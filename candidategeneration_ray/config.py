@@ -1,0 +1,53 @@
+"""Engine configuration.
+
+The reference hardcodes its knobs as static fields (WWWMain.java:29-31:
+distance d=5, threadNum=4; utilsClass.java:117-119: k=1.6, b=0.75) and a
+path-constant tree (WWW.java:32-177). We expose the same knobs as an
+explicit dataclass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # d-window for term-pair ("d-bigram") postings (WWWMain.java:29, d=5).
+    distance: int = 5
+    # BM25 parameters (utilsClass.java:117-119).
+    k1: float = 1.6
+    b: float = 0.75
+    # Score quantization factor (utilsClass.java:127-129: int(BM25 * 1e7)).
+    quantization: int = 10_000_000
+    # Postings per block for block-max metadata (block-max WAND).
+    block_size: int = 128
+    # Number of key-hash buckets the posting shuffle groups by. Each bucket
+    # holds many keys; list building is one vectorized task per bucket.
+    # At cluster scale this should be >= 2-4 x total cores.
+    num_buckets: int = 32
+    # Top-k returned per query (reference num_of_candidate / top-10 GT).
+    top_k: int = 10
+    # Max rows per emitted posting batch (posting expansion is up to
+    # (1 + distance) x token count per turn; cap input batch rows so the
+    # expanded output respects block-size targets).
+    emit_batch_size: int = 2048
+    # Emit unigram postings / d-bigram pair postings.
+    emit_unigrams: bool = True
+    emit_pairs: bool = True
+    # Salting: number of doc-range sub-lists a hot key's postings may be
+    # split into during partitioned builds (merge = ordered concat).
+    # Used implicitly by the partitioned build path: each input partition
+    # is one salt.
+    pairs_per_doc_cap: int | None = None  # no cap by default
+
+    def pack_pair(self, a: int, b: int) -> int:
+        """Pack two (1-based) term ids into one int64 key, low term first.
+
+        Mirrors WWW.java:432-434 `(long)a << 32 | b & 0xFFFFFFFFL` after
+        the two ids are sorted ascending (InvertedIndex.java:289-290).
+        Because term ids are >= 1, pair keys are >= 2^32 and therefore
+        disjoint from unigram keys (which are the raw term ids).
+        """
+        lo, hi = (a, b) if a <= b else (b, a)
+        return (lo << 32) | hi

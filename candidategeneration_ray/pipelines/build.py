@@ -1,0 +1,295 @@
+"""End-to-end index build pipeline (the reference's PHASE1 + PHASE2).
+
+    read_parquet(transcripts)                       # S1; column-pruned
+      → map_batches(tokenize)                        # M1
+      → [stats pass: N, Σlen, df, dictionary]        # A1-A3, checkpointed
+      → map_batches(attach doc_id)                   # pure-function ids
+      → map_batches(PostingEmitter, actor pool)      # M5-M7
+      → groupby(bucket) → vectorized list build      # O1/O2 collapsed into
+                                                     #  one hash shuffle
+      → write_parquet(segments) + manifest           # S5/S6, resumable
+
+Partitioned mode (`partitions=P`) splits the corpus into P contiguous
+conv-id ranges (parquet predicate pushdown prunes row groups at the
+read). Each partition builds its own doc-range-disjoint sub-segments
+with a manifest — this is simultaneously:
+  * the resume unit (a killed build skips completed partitions), and
+  * the salting scheme for hot keys (SURVEY §4): a hot key's postings
+    arrive as P doc-ordered sub-lists whose doc ranges are disjoint and
+    ordered by partition, so the merge phase concatenates — no re-sort.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from candidategeneration_ray.config import EngineConfig
+from candidategeneration_ray.stages.docids import attach_doc_ids, conv_offsets
+from candidategeneration_ray.stages.listbuild import build_posting_lists, build_lists_for_bucket, attach_bucket
+from candidategeneration_ray.stages.postings import emit_postings
+from candidategeneration_ray.stages.stats import compute_stats
+from candidategeneration_ray.stages.tokenize import attach_tokens
+from candidategeneration_ray.state import checkpoint as ckpt
+from candidategeneration_ray.functions.varint import decode_delta, encode_delta
+
+INPUT_COLUMNS = ["conv_id", "turn_idx", "text"]
+
+
+def read_transcripts(source: str | list[str]) -> ray.data.Dataset:
+    """Column-pruned transcript read (only what indexing needs leaves
+    storage)."""
+    return ray.data.read_parquet(source, columns=INPUT_COLUMNS)
+
+
+def _stats_dir(out_dir): return os.path.join(out_dir, "stats")
+def _part_dir(out_dir, p): return os.path.join(out_dir, "segments", f"part-{p:05d}")
+def _final_dir(out_dir): return os.path.join(out_dir, "final")
+
+
+def _persist_stats(out_dir: str, stats: dict, offsets: dict, inputs: list[str]) -> None:
+    d = _stats_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "term": pa.array(list(stats["terms"]), pa.string()),
+            "df": pa.array(stats["df_by_id"][1:], pa.int64()),
+        }),
+        os.path.join(d, "terms.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "conv_id": pa.array(list(offsets["conv_ids"]), pa.string()),
+            "base": pa.array(offsets["bases"], pa.int64()),
+            "n_turns": pa.array(offsets["counts"], pa.int64()),
+        }),
+        os.path.join(d, "convs.parquet"),
+    )
+    with open(os.path.join(d, "global.json"), "w") as f:
+        json.dump({
+            "n_docs": stats["n_docs"],
+            "total_tokens": stats["total_tokens"],
+            "avgdl": stats["avgdl"],
+        }, f)
+    ckpt.write_manifest(d, {"phase": "stats", "inputs": sorted(inputs),
+                            "n_docs": stats["n_docs"],
+                            "n_terms": int(len(stats["terms"]))})
+
+
+def load_stats(out_dir: str) -> tuple[dict, dict]:
+    """Load the persisted stats + conv-offset checkpoint."""
+    d = _stats_dir(out_dir)
+    terms_t = pq.read_table(os.path.join(d, "terms.parquet"))
+    convs_t = pq.read_table(os.path.join(d, "convs.parquet"))
+    with open(os.path.join(d, "global.json")) as f:
+        g = json.load(f)
+    terms = np.asarray(terms_t.column("term").to_pylist(), dtype=object)
+    stats = {
+        "terms": terms,
+        "df_by_id": np.concatenate(([0], terms_t.column("df").to_numpy())),
+        "n_docs": g["n_docs"],
+        "total_tokens": g["total_tokens"],
+        "avgdl": g["avgdl"],
+    }
+    counts = convs_t.column("n_turns").to_numpy()
+    offsets = {
+        "conv_ids": np.asarray(convs_t.column("conv_id").to_pylist(), dtype=object),
+        "bases": convs_t.column("base").to_numpy(),
+        "counts": counts,
+        "n_docs": int(counts.sum()),
+    }
+    return stats, offsets
+
+
+def _conv_ranges(offsets: dict, partitions: int) -> list[tuple[str, str | None]]:
+    """Split conversations into `partitions` contiguous ranges balanced
+    by turn count. Returns [(lo_conv, hi_conv_exclusive_or_None)]."""
+    conv_ids = offsets["conv_ids"]
+    cum = np.cumsum(offsets["counts"])
+    total = cum[-1]
+    bounds = [0]
+    for p in range(1, partitions):
+        bounds.append(int(np.searchsorted(cum, total * p / partitions)))
+    bounds.append(len(conv_ids))
+    ranges = []
+    for i in range(partitions):
+        lo, hi = bounds[i], bounds[i + 1]
+        if lo >= hi:
+            continue
+        hi_conv = conv_ids[hi] if hi < len(conv_ids) else None
+        ranges.append((conv_ids[lo], hi_conv))
+    return ranges
+
+
+def build_index(
+    source: str | list[str],
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    partitions: int = 1,
+    emit_concurrency=None,
+) -> dict:
+    """Build (or resume) the static index under `out_dir`.
+
+    Returns {"final_dir", "stats", "offsets", "metrics"}.
+    """
+    cfg = cfg or EngineConfig()
+    t0 = time.time()
+    if isinstance(source, str) and os.path.isdir(source):
+        inputs = sorted(
+            os.path.join(source, f) for f in os.listdir(source) if f.endswith(".parquet")
+        )
+    else:
+        inputs = sorted(source if isinstance(source, list) else [source])
+    metrics = {"phases": []}
+
+    # ---- phase 1: stats (N, total tokens, df, dictionary, conv offsets)
+    sd = _stats_dir(out_dir)
+    if ckpt.is_complete(sd, inputs):
+        stats, offsets = load_stats(out_dir)
+        metrics["phases"].append({"phase": "stats", "skipped": True})
+    else:
+        ckpt.clear_partial(sd)
+        ds = read_transcripts(inputs)
+        toks = attach_tokens(ds)
+        stats = compute_stats(toks)
+        offsets = conv_offsets(ds)
+        _persist_stats(out_dir, stats, offsets, inputs)
+        metrics["phases"].append({"phase": "stats", "skipped": False,
+                                  "sec": round(time.time() - t0, 3)})
+
+    stats_ref = ray.put(stats)
+    offsets_ref = ray.put(offsets)
+
+    # ---- phase 2: per-partition posting emission + list build
+    ranges = _conv_ranges(offsets, partitions)
+    part_dirs = []
+    for p, (lo, hi) in enumerate(ranges):
+        pd = _part_dir(out_dir, p)
+        part_dirs.append(pd)
+        lineage = sorted(inputs) + [f"range:{lo}..{hi}"]
+        if ckpt.is_complete(pd, None) and ckpt.read_manifest(pd).get("lineage") == lineage:
+            metrics["phases"].append({"phase": f"part-{p}", "skipped": True})
+            continue
+        ckpt.clear_partial(pd)
+        tp = time.time()
+        import pyarrow.dataset as pads
+        flt = pads.field("conv_id") >= lo
+        if hi is not None:
+            flt = flt & (pads.field("conv_id") < hi)
+        ds = ray.data.read_parquet(inputs, columns=INPUT_COLUMNS, filter=flt)
+        toks = attach_tokens(ds)
+        with_ids = attach_doc_ids(toks, offsets_ref)
+        postings = emit_postings(with_ids, stats_ref, cfg, concurrency=emit_concurrency)
+        lists = build_posting_lists(postings, cfg)
+        os.makedirs(pd, exist_ok=True)
+        lists.write_parquet(pd)
+        n_keys = sum(
+            pq.read_metadata(os.path.join(pd, f)).num_rows
+            for f in os.listdir(pd) if f.endswith(".parquet")
+        )
+        ckpt.write_manifest(pd, {
+            "phase": f"part-{p}", "lineage": lineage, "n_keys": int(n_keys),
+            "sec": round(time.time() - tp, 3),
+        })
+        metrics["phases"].append({"phase": f"part-{p}", "skipped": False,
+                                  "n_keys": int(n_keys),
+                                  "sec": round(time.time() - tp, 3)})
+
+    # ---- phase 3: merge partition sub-segments into the global index
+    fd = _final_dir(out_dir)
+    lineage = [os.path.relpath(d, out_dir) for d in part_dirs]
+    if ckpt.is_complete(fd) and ckpt.read_manifest(fd).get("lineage") == lineage:
+        metrics["phases"].append({"phase": "merge", "skipped": True})
+    else:
+        ckpt.clear_partial(fd)
+        tm = time.time()
+        if len(part_dirs) == 1:
+            _merge_single(part_dirs[0], fd)
+        else:
+            _merge_parts(part_dirs, fd, cfg)
+        ckpt.write_manifest(fd, {"phase": "merge", "lineage": lineage,
+                                 "sec": round(time.time() - tm, 3)})
+        metrics["phases"].append({"phase": "merge", "skipped": False,
+                                  "sec": round(time.time() - tm, 3)})
+
+    metrics["total_sec"] = round(time.time() - t0, 3)
+    metrics["n_docs"] = stats["n_docs"]
+    return {"final_dir": fd, "stats": stats, "offsets": offsets, "metrics": metrics}
+
+
+def _merge_single(part_dir: str, final_dir: str) -> None:
+    """One partition ⇒ its segments ARE the final index (hard links)."""
+    os.makedirs(final_dir, exist_ok=True)
+    for f in sorted(os.listdir(part_dir)):
+        if f.endswith(".parquet"):
+            dst = os.path.join(final_dir, f)
+            if not os.path.exists(dst):
+                os.link(os.path.join(part_dir, f), dst)
+
+
+def _merge_parts(part_dirs: list[str], final_dir: str, cfg: EngineConfig) -> None:
+    """Concat-merge doc-range-disjoint sub-lists per key.
+
+    The reference's massiveBinaryMerge (ExternalSort.java:91-205)
+    k-way-merges sorted runs; because our partitions have disjoint,
+    ordered doc ranges, the per-key merge is ordered CONCATENATION of
+    the sub-lists followed by block-metadata rebuild. Executed as one
+    groupby(bucket) over the sub-list rows (bucket-parallel, vectorized
+    inside).
+    """
+    files = []
+    for p, d in enumerate(part_dirs):
+        files += [
+            (p, os.path.join(d, f)) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        ]
+    tables = []
+    for p, f in files:
+        t = pq.read_table(f)
+        tables.append(t.append_column("part", pa.array(np.full(t.num_rows, p, dtype=np.int32))))
+    union = pa.concat_tables(tables)
+    ds = ray.data.from_arrow(union)
+
+    def _merge_bucket(group: dict) -> pa.Table:
+        keys = np.asarray(group["key"], dtype=np.int64)
+        parts = np.asarray(group["part"], dtype=np.int32)
+        order = np.lexsort((parts, keys))
+        out = {"key": [], "n": [], "docs": [], "scores": [], "block_max": [],
+               "block_last": [], "bucket": []}
+        bs = cfg.block_size
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and keys[order[j]] == keys[order[i]]:
+                j += 1
+            rows = order[i:j]
+            docs = np.concatenate([decode_delta(group["docs"][r]).astype(np.int64) for r in rows])
+            scores = np.concatenate([np.frombuffer(group["scores"][r], dtype="<i4") for r in rows])
+            out["key"].append(int(keys[order[i]]))
+            out["n"].append(docs.size)
+            out["docs"].append(encode_delta(docs))
+            out["scores"].append(scores.astype("<i4").tobytes())
+            nb = (docs.size + bs - 1) // bs
+            out["block_max"].append([int(scores[b * bs:(b + 1) * bs].max()) for b in range(nb)])
+            out["block_last"].append([int(docs[min((b + 1) * bs, docs.size) - 1]) for b in range(nb)])
+            out["bucket"].append(int(group["bucket"][order[i]]))
+            i = j
+        return pa.table({
+            "key": pa.array(out["key"], pa.int64()),
+            "n": pa.array(out["n"], pa.int64()),
+            "docs": pa.array(out["docs"], pa.binary()),
+            "scores": pa.array(out["scores"], pa.binary()),
+            "block_max": pa.array(out["block_max"], pa.list_(pa.int32())),
+            "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
+            "bucket": pa.array(out["bucket"], pa.int32()),
+        })
+
+    merged = ds.groupby("bucket").map_groups(_merge_bucket, batch_format="numpy")
+    os.makedirs(final_dir, exist_ok=True)
+    merged.write_parquet(final_dir)

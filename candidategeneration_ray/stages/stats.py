@@ -1,0 +1,95 @@
+"""Global statistics + document frequency + term dictionary.
+
+Reference: PHASE1 (WWWMain.java:69-74) accumulates N / total words into a
+shared long[2] and df into a shared, UNSYNCHRONIZED int[] (lossy races,
+InvertedIndex.java:157-173). We compute both exactly with pre-aggregated
+groupbys:
+
+  - per-batch partial df (one (term, df) row per term per batch) →
+    groupby(term).sum — the shuffle moves per-batch partials, not one
+    row per (doc, term);
+  - N / total tokens via the same partial trick (one row per batch).
+
+Term dictionary (WWW.java:269-281): terms sorted ascending → 1-based
+sequential int32 ids — deterministic, so id spaces are reproducible
+across runs and parallelism levels.
+
+The resulting broadcast state ("index stats") is a dict of numpy arrays
+shipped once via ray.put and pulled once per worker (actor __init__ /
+first batch), mirroring the reference's load-once InvertedIndex ctor
+(InvertedIndex.java:86-121).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from candidategeneration_ray.functions.bm25 import truncated_avgdl
+
+
+def _partial_df(batch: pa.Table) -> pa.Table:
+    """One (term, df, n_docs, total_tokens) partial row per distinct term
+    in the batch; doc-count/token-count partials ride on the first row."""
+    col = batch.column("tokens").combine_chunks()
+    flat = np.asarray(col.values.to_pylist(), dtype=object)
+    offsets = col.offsets.to_numpy()
+    # distinct terms per doc, then count docs per term across the batch
+    terms_all = []
+    for i in range(len(offsets) - 1):
+        row = flat[offsets[i]:offsets[i + 1]]
+        if row.size:
+            terms_all.append(np.unique(row))
+    if terms_all:
+        cat = np.concatenate(terms_all)
+        uniq, counts = np.unique(cat, return_counts=True)
+    else:
+        uniq = np.empty(0, dtype=object)
+        counts = np.empty(0, dtype=np.int64)
+    n_rows = max(len(uniq), 1)
+    n_docs = np.zeros(n_rows, dtype=np.int64)
+    n_toks = np.zeros(n_rows, dtype=np.int64)
+    n_docs[0] = batch.num_rows
+    n_toks[0] = int(offsets[-1] - offsets[0])
+    if len(uniq) == 0:
+        uniq = np.array([""], dtype=object)
+        counts = np.zeros(1, dtype=np.int64)
+    return pa.table({
+        "term": pa.array(uniq.tolist(), pa.string()),
+        "df": pa.array(counts, pa.int64()),
+        "n_docs_partial": pa.array(n_docs, pa.int64()),
+        "n_tokens_partial": pa.array(n_toks, pa.int64()),
+    })
+
+
+def compute_stats(ds_tokens: ray.data.Dataset) -> dict:
+    """ds_tokens must carry a `tokens:list<string>` column.
+
+    Returns {"terms": sorted np object array (id = index+1),
+             "df_by_id": int64 array (df_by_id[0] unused),
+             "n_docs": int, "total_tokens": int, "avgdl": float}.
+    """
+    from ray.data.aggregate import Sum
+
+    partials = ds_tokens.select_columns(["tokens"]).map_batches(
+        _partial_df, batch_format="pyarrow"
+    )
+    agg = partials.groupby("term").aggregate(
+        Sum("df", alias_name="df"),
+        Sum("n_docs_partial", alias_name="nd"),
+        Sum("n_tokens_partial", alias_name="nt"),
+    )
+    pdf = agg.to_pandas()
+    n_docs = int(pdf["nd"].sum())
+    total_tokens = int(pdf["nt"].sum())
+    pdf = pdf[(pdf["df"] > 0) & (pdf["term"] != "")].sort_values("term")
+    terms = pdf["term"].to_numpy()
+    df_by_id = np.concatenate(([0], pdf["df"].to_numpy(np.int64)))
+    return {
+        "terms": terms,
+        "df_by_id": df_by_id,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": truncated_avgdl(total_tokens, n_docs) if n_docs else 1.0,
+    }

@@ -1,0 +1,329 @@
+"""Stateful query engine: posting-list intersection + block-max WAND top-k.
+
+The Ray analog of the reference's C++ per-query operator
+(algo_toplayer.cpp:85-290): a callable class holding the static index
+in memory (T2, ctor algo_toplayer.cpp:61-83), dispatched as an actor
+pool via queries_ds.map_batches(QueryEngine, concurrency=K) or held
+directly as a named actor for serving.
+
+Differences by design (SURVEY §7.4): full lists are doc-id-ordered with
+block-max metadata, so top-k is EXACT block-max WAND — the reference's
+sampled keeptop/keeptop2 pruning (algo_toplayer.cpp:1057-1189) and
+skip-pointer patch lookups (nextGEQ, :935-976) collapse into the WAND
+advance primitive (nextGEQ == np.searchsorted on the decoded list).
+Rank identity contract: score(doc) = Σ quantized per-term BM25 ints of
+the distinct query terms present in the doc; order (score desc, doc_id
+asc); ties beyond k are excluded by doc-id order (DAAT emits ascending
+doc ids, so equal-score later docs never displace incumbents).
+
+The d-bigram lists power `candidates()` — the predictive candidate
+generation path (reference Q5/Q6: pair lists provide high-precision
+co-occurrence candidates; unigram top-layer prefixes patch single-term
+coverage) — an approximate pool generator for a downstream ranker,
+while `topk()` stays exact.
+"""
+
+from __future__ import annotations
+
+import glob
+import heapq
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from candidategeneration_ray.config import EngineConfig
+from candidategeneration_ray.functions.tokenize import tokenize_text
+from candidategeneration_ray.functions.varint import decode_delta
+
+
+class _List:
+    """Decoded posting list + cursor for DAAT traversal."""
+
+    __slots__ = ("docs", "scores", "block_max", "block_last", "pos", "ub", "ub_pos")
+
+    def __init__(self, docs, scores, block_max, block_last):
+        self.docs = docs            # int64 ascending
+        self.scores = scores        # int32 quantized BM25
+        self.block_max = block_max  # int32 per block
+        self.block_last = block_last
+        self.pos = 0
+        self.ub = int(block_max.max()) if block_max.size else 0
+        # Upper-bound CONTRIBUTION of this list to any doc's total: a doc
+        # not in the list contributes 0, a doc in it at most `ub` — so
+        # max(ub, 0). Quantized BM25 is negative when df > N/2
+        # (utilsClass.java:122), where classic WAND's non-negativity
+        # assumption breaks; clamping keeps pruning sound (a doc in a
+        # SUBSET of lists can outscore a prefix sum of signed UBs).
+        self.ub_pos = max(self.ub, 0)
+
+    def cur(self) -> int:
+        return int(self.docs[self.pos]) if self.pos < self.docs.size else _EXHAUSTED
+
+    def next_geq(self, target: int) -> int:
+        """Advance cursor to the first doc >= target (the nextGEQ skip
+        primitive, algo_toplayer.cpp:935-976)."""
+        self.pos += int(np.searchsorted(self.docs[self.pos:], target))
+        return self.cur()
+
+    def cur_block_max(self, block_size: int) -> int:
+        return int(self.block_max[self.pos // block_size])
+
+    def cur_block_last(self, block_size: int) -> int:
+        return int(self.block_last[self.pos // block_size])
+
+
+_EXHAUSTED = 1 << 62
+
+
+class IndexReader:
+    """Loads index segments (parquet dir or pyarrow Table) + lazy list decode."""
+
+    def __init__(self, source, stats: dict | None = None, cfg: EngineConfig | None = None):
+        self.cfg = cfg or EngineConfig()
+        if isinstance(source, str):
+            files = sorted(glob.glob(os.path.join(source, "**", "*.parquet"), recursive=True))
+            tables = [pq.read_table(f) for f in files]
+            table = pa.concat_tables(tables) if tables else None
+        else:
+            table = source
+        if table is None or table.num_rows == 0:
+            raise ValueError(f"no index segments found in {source!r}")
+        table = table.combine_chunks()
+        self._keys = table.column("key").to_numpy()
+        order = np.argsort(self._keys, kind="stable")
+        self._keys = self._keys[order]
+        self._order = order
+        self._docs = table.column("docs")
+        self._scores = table.column("scores")
+        self._bmax = table.column("block_max")
+        self._blast = table.column("block_last")
+        self._n = table.column("n").to_numpy()[order]
+        self._cache: dict[int, tuple] = {}
+        self.stats = stats
+        self.term_to_id = (
+            {t: i + 1 for i, t in enumerate(stats["terms"])} if stats else None
+        )
+
+    @property
+    def keys(self) -> np.ndarray:
+        return self._keys
+
+    def list_len(self, key: int) -> int:
+        i = int(np.searchsorted(self._keys, key))
+        if i >= self._keys.size or self._keys[i] != key:
+            return 0
+        return int(self._n[i])
+
+    def get(self, key: int):
+        """Decoded (docs, scores, block_max, block_last) or None."""
+        if key in self._cache:
+            return self._cache[key]
+        i = int(np.searchsorted(self._keys, key))
+        if i >= self._keys.size or self._keys[i] != key:
+            return None
+        row = int(self._order[i])
+        docs = decode_delta(self._docs[row].as_py()).astype(np.int64)
+        scores = np.frombuffer(self._scores[row].as_py(), dtype="<i4")
+        bmax = np.asarray(self._bmax[row].as_py(), dtype=np.int32)
+        blast = np.asarray(self._blast[row].as_py(), dtype=np.int64)
+        val = (docs, scores, bmax, blast)
+        self._cache[key] = val
+        return val
+
+    def query_term_ids(self, text: str) -> list[int]:
+        """Query conversion (Metadata.java:191-225): tokenize with the
+        corpus tokenizer, map to term ids, drop unmapped terms; distinct."""
+        assert self.term_to_id is not None, "IndexReader needs stats for queries"
+        ids = {self.term_to_id[t] for t in tokenize_text(text) if t in self.term_to_id}
+        return sorted(ids)
+
+    def augmented_keys(self, term_ids: list[int]) -> list[int]:
+        """Query augmentation (Metadata.java:236-262, WWW.java:302-345):
+        unigram ids plus all packed 2-subsets."""
+        keys = list(term_ids)
+        for i in range(len(term_ids)):
+            for j in range(i + 1, len(term_ids)):
+                a, b = term_ids[i], term_ids[j]
+                keys.append((min(a, b) << 32) | max(a, b))
+        return keys
+
+    def top_layer(self, key: int, depth: int):
+        """Impact-ordered prefix of a list (reference top layer,
+        SelectChuncks.java:41-47 / BigramIndex.java:126-151): the `depth`
+        highest-scoring postings, (doc_ids, scores), score desc then
+        doc asc."""
+        got = self.get(key)
+        if got is None:
+            return np.empty(0, np.int64), np.empty(0, np.int32)
+        docs, scores, _, _ = got
+        order = np.lexsort((docs, -scores.astype(np.int64)))[:depth]
+        return docs[order], scores[order]
+
+
+def wand_topk(lists: list[_List], k: int, block_size: int) -> list[tuple[int, int]]:
+    """Exact top-k by (score desc, doc_id asc) via block-max WAND.
+
+    Invariants that make this exact:
+      - docs are traversed in ascending doc-id order, so with a full
+        heap a candidate must score STRICTLY above theta (equal-score
+        later docs lose the doc-id tie-break);
+      - a skip is taken only when an upper bound over ALL lists that can
+        contain the skipped docs is <= theta.
+    """
+    lists = [l for l in lists if l.docs.size]
+    if not lists:
+        return []
+    heap: list[tuple[int, int]] = []  # (score, -doc_id) min-heap
+    theta = None  # kth best score once heap full
+
+    while True:
+        lists.sort(key=lambda l: l.cur())
+        while lists and lists[-1].cur() == _EXHAUSTED:
+            lists.pop()
+        if not lists:
+            break
+        # pivot: first index where the cumulative list upper bound beats
+        # theta (clamped-at-zero UBs — see _List.ub_pos)
+        pivot = -1
+        acc = 0
+        for i, l in enumerate(lists):
+            acc += l.ub_pos
+            if theta is None or acc > theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # even the sum of all list UBs cannot beat theta
+        pivot_doc = lists[pivot].cur()
+
+        if lists[0].cur() != pivot_doc:
+            # not enough mass aligned yet: advance the largest-UB list
+            # strictly below the pivot doc (lists at pivot_doc already
+            # would make next_geq a no-op and stall the loop)
+            adv = max(
+                (i for i in range(pivot) if lists[i].cur() < pivot_doc),
+                key=lambda i: lists[i].ub_pos,
+            )
+            lists[adv].next_geq(pivot_doc)
+            continue
+
+        # equal prefix = every list currently positioned on pivot_doc;
+        # only these lists can contain pivot_doc
+        m = 1
+        while m < len(lists) and lists[m].cur() == pivot_doc:
+            m += 1
+
+        if theta is not None:
+            # BMW shallow check: current-block maxes of the equal prefix
+            # (clamped at 0 — docs in the skip range need not be in
+            # every prefix list)
+            bound = sum(max(l.cur_block_max(block_size), 0) for l in lists[:m])
+            if bound <= theta:
+                # Docs in [pivot_doc, d'-1] appear only in the equal
+                # prefix (every other list's cursor is beyond) and stay
+                # inside each list's current block (d'-1 <= min
+                # block_last), so `bound` covers them all → skip.
+                target = min(l.cur_block_last(block_size) for l in lists[:m]) + 1
+                if m < len(lists):
+                    target = min(target, lists[m].cur())
+                if target <= pivot_doc:
+                    target = pivot_doc + 1
+                for l in lists[:m]:
+                    l.next_geq(target)
+                continue
+
+        # full evaluation of pivot_doc
+        score = 0
+        for l in lists[:m]:
+            score += int(l.scores[l.pos])
+            l.pos += 1
+        if theta is None or score > theta:
+            heapq.heappush(heap, (score, -pivot_doc))
+            if len(heap) > k:
+                heapq.heappop(heap)
+            if len(heap) == k:
+                theta = heap[0][0]
+
+    return sorted(((s, -nd) for s, nd in heap), key=lambda p: (-p[0], p[1]))
+
+
+def taat_topk(reader: IndexReader, term_ids: list[int], k: int) -> list[tuple[int, int]]:
+    """Vectorized exact TAAT scorer (reference Vec_Merge/TAAT analog,
+    algo_toplayer.cpp:300-338,757-858) — the internal cross-check for
+    WAND."""
+    docs_all, scores_all = [], []
+    for t in term_ids:
+        got = reader.get(t)
+        if got is not None:
+            docs_all.append(got[0])
+            scores_all.append(got[1].astype(np.int64))
+    if not docs_all:
+        return []
+    docs = np.concatenate(docs_all)
+    scores = np.concatenate(scores_all)
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    starts = np.concatenate(([0], np.nonzero(docs[1:] != docs[:-1])[0] + 1))
+    uniq = docs[starts]
+    sums = np.add.reduceat(scores, starts)
+    top = np.lexsort((uniq, -sums))[:k]
+    return [(int(sums[i]), int(uniq[i])) for i in top]
+
+
+class QueryEngine:
+    """Actor-pool callable: batch of (query_id, text) → top-k rows."""
+
+    def __init__(self, index_source, stats_ref, cfg: EngineConfig | None = None):
+        import ray
+
+        stats = stats_ref if isinstance(stats_ref, dict) else ray.get(stats_ref)
+        if isinstance(index_source, (str, pa.Table)):
+            src = index_source
+        else:
+            src = ray.get(index_source)
+        self.cfg = cfg or EngineConfig()
+        self.reader = IndexReader(src, stats, self.cfg)
+
+    def topk(self, text: str, k: int | None = None) -> list[tuple[int, int]]:
+        """Exact BM25 top-k [(score, doc_id)] for a free-text query."""
+        k = k or self.cfg.top_k
+        ids = self.reader.query_term_ids(text)
+        lists = []
+        for t in ids:
+            got = self.reader.get(t)
+            if got is not None:
+                lists.append(_List(*got))
+        return wand_topk(lists, k, self.cfg.block_size)
+
+    def candidates(self, text: str, budget: int = 200, pair_weight: int = 5) -> np.ndarray:
+        """Predictive candidate pool (reference Q5/Q6 analog): take
+        impact-ordered prefixes of the query's pair lists (weighted
+        deeper, algo_toplayer.h:272-374 gives pairs 5x weight) and
+        unigram lists, union the doc ids. Approximate by design."""
+        ids = self.reader.query_term_ids(text)
+        keys = self.reader.augmented_keys(ids)
+        pools = []
+        for key in keys:
+            depth = budget * pair_weight if key >= (1 << 32) else budget
+            docs, _ = self.reader.top_layer(key, depth)
+            pools.append(docs)
+        if not pools:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(pools))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        id_col = batch.column("query_id").to_pylist()
+        for qid, text in zip(id_col, batch.column("text").to_pylist()):
+            for rank, (s, d) in enumerate(self.topk(text)):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(d)
+                scores.append(s)
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.int64()),
+        })

@@ -1,0 +1,69 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def transcripts_dir(tmp_path_factory):
+    """sf-small synthetic transcripts (~3.5k turns), written shuffled."""
+    from candidategeneration_ray.sources.transcripts import write_transcripts
+
+    d = tmp_path_factory.mktemp("transcripts_small")
+    return write_transcripts(str(d), num_convs=120, seed=42, num_files=4)
+
+
+@pytest.fixture(scope="session")
+def tiny_transcripts_dir(tmp_path_factory):
+    from candidategeneration_ray.sources.transcripts import write_transcripts
+
+    d = tmp_path_factory.mktemp("transcripts_tiny")
+    return write_transcripts(str(d), num_convs=20, seed=42, num_files=2)
+
+
+@pytest.fixture(scope="session")
+def oracle_small(transcripts_dir):
+    """OracleIndex over the sf-small corpus in stable doc order."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    from candidategeneration_ray.oracle import build_oracle_index
+
+    table = pads.dataset(transcripts_dir).to_table(columns=["conv_id", "turn_idx", "text"])
+    rows = sorted(
+        zip(table.column("conv_id").to_pylist(),
+            table.column("turn_idx").to_pylist(),
+            table.column("text").to_pylist())
+    )
+    docs = [(i, text) for i, (_, _, text) in enumerate(rows)]
+    return build_oracle_index(docs)
+
+
+@pytest.fixture(scope="session")
+def built_index(ray_session, transcripts_dir, tmp_path_factory):
+    """Engine index over the sf-small corpus (single partition)."""
+    from candidategeneration_ray.pipelines.build import build_index
+
+    out = str(tmp_path_factory.mktemp("index_small"))
+    return build_index(transcripts_dir, out)

@@ -1,0 +1,106 @@
+"""End-to-end index build vs the exhaustive oracle (SURVEY §5.2)."""
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from candidategeneration_ray.config import EngineConfig
+from candidategeneration_ray.functions.varint import decode_delta
+from candidategeneration_ray.oracle import build_oracle_index
+from candidategeneration_ray.state.queryengine import IndexReader
+
+
+@pytest.fixture(scope="module")
+def reader(built_index):
+    return IndexReader(built_index["final_dir"], built_index["stats"])
+
+
+class TestStats:
+    def test_global_stats_match_oracle(self, built_index, oracle_small):
+        s = built_index["stats"]
+        assert s["n_docs"] == oracle_small.n_docs
+        assert s["total_tokens"] == oracle_small.total_tokens
+        assert s["avgdl"] == oracle_small.avgdl
+
+    def test_df_matches_oracle(self, built_index, oracle_small):
+        s = built_index["stats"]
+        assert list(s["terms"]) == sorted(oracle_small.df)
+        for i, t in enumerate(s["terms"]):
+            assert s["df_by_id"][i + 1] == oracle_small.df[t], t
+
+    def test_term_ids_are_deterministic_dictionary(self, built_index, oracle_small):
+        s = built_index["stats"]
+        for t, tid in oracle_small.term_ids.items():
+            assert s["terms"][tid - 1] == t
+
+
+class TestDocIds:
+    def test_docid_is_stable_rank(self, built_index, transcripts_dir):
+        off = built_index["offsets"]
+        # conv_ids sorted; bases = prefix sums
+        assert list(off["conv_ids"]) == sorted(off["conv_ids"])
+        assert off["bases"][0] == 0
+        assert np.array_equal(
+            np.diff(off["bases"]), off["counts"][:-1]
+        )
+
+    def test_text_equality_invariant(self, transcripts_dir, ray_session):
+        """Per-turn text equality under stable (conv_id, turn_idx) order:
+        the tokenize stage passes `text` through byte-identical."""
+        import ray.data
+        from candidategeneration_ray.stages.tokenize import attach_tokens
+
+        ds = ray.data.read_parquet(transcripts_dir)
+        out = attach_tokens(ds).select_columns(["conv_id", "turn_idx", "text"]).to_pandas()
+        src = pads.dataset(transcripts_dir).to_table(
+            columns=["conv_id", "turn_idx", "text"]).to_pandas()
+        out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        src = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert (out["text"] == src["text"]).all()
+
+
+class TestPostingLists:
+    def test_unigram_lists_match_oracle(self, reader, oracle_small):
+        # every term's list: same docs, same quantized scores, doc order
+        for t, tid in oracle_small.term_ids.items():
+            got = reader.get(tid)
+            expect = oracle_small.unigram_postings(t)
+            assert got is not None, t
+            docs, scores, bmax, blast = got
+            assert docs.tolist() == [d for d, _ in expect], t
+            assert scores.tolist() == [s for _, s in expect], t
+
+    def test_structural_invariants(self, reader):
+        cfg = EngineConfig()
+        for key in reader.keys:
+            docs, scores, bmax, blast = reader.get(int(key))
+            assert np.all(np.diff(docs) > 0), "doc ids strictly increasing"
+            assert docs.size == scores.size == reader.list_len(int(key))
+            nb = (docs.size + cfg.block_size - 1) // cfg.block_size
+            assert bmax.size == blast.size == nb
+            for b in range(nb):
+                blk = scores[b * cfg.block_size:(b + 1) * cfg.block_size]
+                assert bmax[b] == blk.max(), "block_max is the block max"
+                assert blast[b] == docs[min((b + 1) * cfg.block_size, docs.size) - 1]
+
+    def test_pair_lists_match_oracle_sample(self, reader, oracle_small):
+        # spot-check d-bigram lists for pairs the oracle can verify
+        pair_keys = [int(k) for k in reader.keys if k >= (1 << 32)]
+        assert pair_keys, "index contains pair lists"
+        rng = np.random.default_rng(7)
+        id_to_term = {v: k for k, v in oracle_small.term_ids.items()}
+        for key in rng.choice(pair_keys, size=min(40, len(pair_keys)), replace=False):
+            lo, hi = int(key) >> 32, int(key) & 0xFFFFFFFF
+            t1, t2 = id_to_term[lo], id_to_term[hi]
+            expect = oracle_small.pair_postings(t1, t2, distance=5)
+            docs, scores, _, _ = reader.get(int(key))
+            assert docs.tolist() == [d for d, _ in expect], (t1, t2)
+            assert scores.tolist() == [s for _, s in expect], (t1, t2)
+
+    def test_total_postings_conservation(self, reader, oracle_small):
+        # Σ unigram list lengths == Σ per-doc distinct terms
+        uni_total = sum(
+            reader.list_len(int(k)) for k in reader.keys if k < (1 << 32)
+        )
+        expect = sum(len(set(ts)) for ts in oracle_small.tokens.values())
+        assert uni_total == expect

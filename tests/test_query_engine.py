@@ -1,0 +1,146 @@
+"""BM25 top-k rank identity: block-max WAND vs TAAT vs the exhaustive
+oracle (the north-rule check, BASELINE.md targets)."""
+
+import numpy as np
+import pytest
+
+from candidategeneration_ray.config import EngineConfig
+from candidategeneration_ray.state.queryengine import (
+    IndexReader, QueryEngine, _List, taat_topk, wand_topk,
+)
+
+# a query mix per FIXTURES.md §2: hot terms, rare terms, absent terms,
+# stopword-only, multi-term
+QUERIES = [
+    "data",                      # hottest term (negative IDF path)
+    "query engine",
+    "index worker shard",
+    "rareterma",
+    "rareterma rareterme data",
+    "absentzzz",                 # not in corpus
+    "the and of",                # stopword-only → empty
+    "model kernel latency vector actor",
+    "1003 1007",                 # numeric tokens
+    "duplicate payload text",
+    "alpha beta gamma",
+    "data data data",            # repeated query term == distinct once
+    "cluster dataset engine frame group",
+    "agenting batching caching",
+]
+
+
+@pytest.fixture(scope="module")
+def engine(built_index):
+    return QueryEngine(built_index["final_dir"], built_index["stats"])
+
+
+class TestRankIdentity:
+    @pytest.mark.parametrize("qtext", QUERIES)
+    def test_wand_matches_oracle(self, engine, oracle_small, qtext):
+        from candidategeneration_ray.functions.tokenize import tokenize_text
+
+        got = engine.topk(qtext, k=10)
+        expect = oracle_small.topk(tokenize_text(qtext), k=10)
+        assert [(d, s) for s, d in got] == expect, qtext
+
+    @pytest.mark.parametrize("qtext", QUERIES)
+    def test_wand_matches_taat(self, engine, qtext):
+        ids = engine.reader.query_term_ids(qtext)
+        taat = taat_topk(engine.reader, ids, 10)
+        wand = engine.topk(qtext, k=10)
+        assert wand == taat, qtext
+
+    def test_various_k(self, engine, oracle_small):
+        from candidategeneration_ray.functions.tokenize import tokenize_text
+
+        for k in (1, 3, 25, 100, 10_000):
+            got = engine.topk("query index data worker", k=k)
+            expect = oracle_small.topk(
+                tokenize_text("query index data worker"), k=k)
+            assert [(d, s) for s, d in got] == expect, k
+
+
+class TestWandUnit:
+    def _mk(self, docs, scores, bs=4):
+        docs = np.asarray(docs, np.int64)
+        scores = np.asarray(scores, np.int32)
+        nb = (docs.size + bs - 1) // bs
+        bmax = np.array([scores[i * bs:(i + 1) * bs].max() for i in range(nb)], np.int32)
+        blast = np.array([docs[min((i + 1) * bs, docs.size) - 1] for i in range(nb)], np.int64)
+        return _List(docs, scores, bmax, blast)
+
+    def test_tie_break_doc_asc(self):
+        l1 = self._mk([1, 2, 3], [5, 5, 5])
+        out = wand_topk([l1], 2, 4)
+        assert out == [(5, 1), (5, 2)]
+
+    def test_negative_scores(self):
+        l1 = self._mk([1, 2], [-3, -7])
+        l2 = self._mk([2, 3], [4, 4])
+        # doc2: -7+4=-3; doc1: -3; doc3: 4 → top2 = (4,3),(-3,1)
+        out = wand_topk([l1, l2], 2, 4)
+        assert out == [(4, 3), (-3, 1)]
+
+    def test_block_skip_correctness(self):
+        # long list with one high block at the end
+        docs = list(range(1, 101))
+        scores = [1] * 99 + [100]
+        l1 = self._mk(docs, scores, bs=8)
+        l2 = self._mk([100, 200], [50, 60])
+        out = wand_topk([l1, l2], 2, 8)
+        assert out == [(150, 100), (60, 200)]
+
+    def test_exhaustive_random_vs_taat_reference(self):
+        rng = np.random.default_rng(0)
+        for trial in range(50):
+            nlists = int(rng.integers(1, 6))
+            lists = []
+            ref_acc = {}
+            for _ in range(nlists):
+                n = int(rng.integers(1, 40))
+                docs = np.sort(rng.choice(200, size=n, replace=False)).astype(np.int64)
+                scores = rng.integers(-50, 1000, size=n).astype(np.int32)
+                for d, s in zip(docs, scores):
+                    ref_acc[int(d)] = ref_acc.get(int(d), 0) + int(s)
+                lists.append(self._mk(docs, scores, bs=7))
+            k = int(rng.integers(1, 12))
+            expect = sorted(
+                ((s, d) for d, s in ref_acc.items()), key=lambda p: (-p[0], p[1])
+            )[:k]
+            got = wand_topk(lists, k, 7)
+            assert got == expect, trial
+
+
+class TestCandidates:
+    def test_pair_candidates_contain_cooccurring_docs(self, engine, oracle_small):
+        cands = engine.candidates("alpha beta", budget=1000)
+        # every doc where the pair co-occurs must be in the pool
+        expect = oracle_small.pair_postings("alpha", "beta", distance=5)
+        for d, _ in expect:
+            assert d in cands
+
+    def test_top_layer_is_impact_ordered_prefix(self, engine):
+        key = int(engine.reader.keys[0])
+        docs, scores = engine.reader.top_layer(key, 5)
+        assert np.all(np.diff(scores) <= 0)
+
+
+class TestActorPoolServing(object):
+    def test_map_batches_over_queries(self, built_index, ray_session):
+        import ray.data
+        from candidategeneration_ray.pipelines.query import run_queries
+
+        queries = ray.data.from_items([
+            {"query_id": i, "text": q} for i, q in enumerate(QUERIES)
+        ])
+        out = run_queries(
+            built_index["final_dir"], queries, built_index["stats"],
+            concurrency=(1, 2),
+        ).to_pandas()
+        assert set(out.columns) == {"query_id", "rank", "doc_id", "score"}
+        # stopword-only and absent queries yield no rows
+        assert 6 not in set(out["query_id"])
+        # each answered query has ranks 0..n-1 with n<=10
+        for qid, grp in out.groupby("query_id"):
+            assert list(grp.sort_values("rank")["rank"]) == list(range(len(grp)))
+            assert len(grp) <= 10
