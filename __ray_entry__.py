@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself, then ``entry()`` as a smoke check,
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). Nothing here calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Engine: candidategeneration_ray — a Ray-Data-native rebuild of
+aalto1/candidategeneration's inverted-index build + BM25 query engine
+(see SURVEY.md). Query names map to SURVEY.md §2 operator ids in the
+comments below.
 """
 
 from __future__ import annotations
@@ -20,25 +18,34 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: build the static inverted index over
+    the documents table (tokenize → postings → bucketed shuffle →
+    compressed block-max lists) and serve the fixed query set through
+    the block-max WAND engine. Returns (query_id, rank, doc_id, score)."""
+    from candidategeneration_ray.pipelines.docquery import q_bm25_topk
+
+    return q_bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from candidategeneration_ray.pipelines import docquery as dq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- core engine operators (SURVEY.md §2) ---
+        "tokenize_counts": dq.q_tokenize_counts,        # M1 tokenizer
+        "global_stats": dq.q_global_stats,              # A1 global stats
+        "df_top50": dq.q_df_top50,                      # A2 document frequency
+        "term_postings": dq.q_term_postings,            # M7+M8+O1/O2 list build
+        "unigram_list_lengths": dq.q_unigram_list_lengths,  # A4 list lengths
+        "pair_counts_top50": dq.q_pair_counts_top50,    # M5/M6 d-bigram emission
+        "query_keys": dq.q_query_keys,                  # M2/M3 query convert+augment
+        "access_counts": dq.q_access_counts,            # A5 access map
+        "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
+        "topk_candidates": dq.q_topk_candidates,        # Q5/Q6 predictive pool (rows-only)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from candidategeneration_ray.pipelines.sql_oracles import core_oracles
+
+    return core_oracles()

@@ -1,0 +1,269 @@
+"""Engine operators exposed over the driver's `documents` test table.
+
+Each function here takes `sf_dir` (e.g. /root/testdata/sf0.01), runs a
+REAL engine pipeline over `documents.parquet` (doc_id:int64, text:string,
+...) and returns a small result the DuckDB oracle in __ray_entry__ can
+check value-for-value. The documents table plays the transcript role
+with pre-assigned doc ids (the reference's externally-assigned docInfo
+ids, InvertedIndex.java:140).
+
+Index builds are cached under /tmp/cg_ray_cache/<digest> keyed by the
+resolved input path so repeated queries()/bench calls reuse the build
+(and exercise the resume path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from candidategeneration_ray.config import EngineConfig
+from candidategeneration_ray.stages.stats import compute_stats
+from candidategeneration_ray.stages.tokenize import attach_tokens
+from candidategeneration_ray.stages.postings import emit_postings
+from candidategeneration_ray.stages.listbuild import build_posting_lists
+
+# Fixed query set used by the SQL oracles (mirrors the reference query
+# trace Metadata.java:191-225: hot terms, rare terms, absent terms, a
+# stopword-only query that must vanish, multi-term queries).
+DOC_QUERIES: list[tuple[int, str]] = [
+    (0, "query join order"),
+    (1, "vector spark data"),
+    (2, "customer window merge sort"),
+    (3, "the a and"),          # stopword-only → no results
+    (4, "absentterm9 zzz"),    # unmapped terms → no results
+    (5, "batch"),
+    (6, "stream filter hash table scan"),
+]
+
+
+def documents_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def doc_tokens(sf_dir: str) -> ray.data.Dataset:
+    return attach_tokens(documents_ds(sf_dir))
+
+
+def _cache_dir(sf_dir: str, tag: str) -> str:
+    digest = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join("/tmp/cg_ray_cache", f"{tag}-{digest}")
+
+
+def build_documents_index(sf_dir: str, cfg: EngineConfig | None = None) -> dict:
+    """Build (or reuse) the full static index over the documents table.
+
+    Documents carry their own doc_id, so the transcript doc-id stage is
+    replaced by a pass-through; everything downstream (stats, emission,
+    bucketed list build, segments, manifests) is the standard pipeline.
+    """
+    from candidategeneration_ray.state import checkpoint as ckpt
+    import pyarrow.parquet as pq
+
+    cfg = cfg or EngineConfig()
+    out_dir = _cache_dir(sf_dir, f"docidx-d{cfg.distance}-u{int(cfg.emit_unigrams)}p{int(cfg.emit_pairs)}")
+    final = os.path.join(out_dir, "final")
+    from candidategeneration_ray.pipelines.build import _persist_stats, load_stats
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    if ckpt.is_complete(os.path.join(out_dir, "stats"), [src]) and ckpt.is_complete(final):
+        stats, _ = load_stats(out_dir)
+        return {"final_dir": final, "stats": stats}
+
+    toks = doc_tokens(sf_dir)
+    stats = compute_stats(toks)
+    offsets = {  # documents have no conversations; synthesize 1 "conv" lineage
+        "conv_ids": np.array(["documents"], dtype=object),
+        "bases": np.array([0], dtype=np.int64),
+        "counts": np.array([stats["n_docs"]], dtype=np.int64),
+        "n_docs": stats["n_docs"],
+    }
+    _persist_stats(out_dir, stats, offsets, [src])
+    stats_ref = ray.put(stats)
+    postings = emit_postings(toks, stats_ref, cfg)
+    lists = build_posting_lists(postings, cfg)
+    os.makedirs(final, exist_ok=True)
+    lists.write_parquet(final)
+    ckpt.write_manifest(final, {"phase": "merge", "lineage": [src]})
+    return {"final_dir": final, "stats": stats}
+
+
+# ---------------------------------------------------------------- queries
+
+def q_tokenize_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc kept-token count (tokenizer M1 over documents)."""
+    return doc_tokens(sf_dir).select_columns(["doc_id", "doc_len"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_tokens": t.column("doc_len").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_global_stats(sf_dir: str) -> pa.Table:
+    """Corpus stats N / total kept tokens (A1, InvertedIndex.java:171-172)."""
+    stats = compute_stats(doc_tokens(sf_dir))
+    return pa.table({
+        "n_docs": pa.array([stats["n_docs"]], pa.int64()),
+        "total_tokens": pa.array([stats["total_tokens"]], pa.int64()),
+        "avgdl_trunc": pa.array([int(stats["avgdl"])], pa.int64()),
+    })
+
+
+def q_df_top50(sf_dir: str) -> pa.Table:
+    """Document frequency, top 50 by (df desc, term asc) (A2)."""
+    stats = compute_stats(doc_tokens(sf_dir))
+    terms = np.asarray(stats["terms"], dtype=object)
+    df = stats["df_by_id"][1:]
+    order = np.lexsort((terms, -df))[:50]
+    return pa.table({
+        "term": pa.array(terms[order].tolist(), pa.string()),
+        "df": pa.array(df[order], pa.int64()),
+    })
+
+
+def q_term_postings(sf_dir: str, term: str = "vector") -> pa.Table:
+    """Unigram posting list for one term: (doc_id, score) in doc order,
+    decoded from the real compressed index (M7 + M8 + O1/O2)."""
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir)
+    reader = IndexReader(built["final_dir"], built["stats"])
+    tid = reader.term_to_id.get(term)
+    got = reader.get(tid) if tid else None
+    if got is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    docs, scores, _, _ = got
+    return pa.table({
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores.astype(np.int64), pa.int64()),
+    })
+
+
+def q_unigram_list_lengths(sf_dir: str) -> pa.Table:
+    """Per-term posting-list length from the built index (A4); equals df
+    by construction — checked against SQL's independent count."""
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir)
+    reader = IndexReader(built["final_dir"], built["stats"])
+    terms = np.asarray(built["stats"]["terms"], dtype=object)
+    uni = reader.keys[reader.keys < (1 << 32)]
+    lens = np.array([reader.list_len(int(k)) for k in uni], dtype=np.int64)
+    return pa.table({
+        "term": pa.array(terms[uni.astype(np.int64) - 1].tolist(), pa.string()),
+        "n": pa.array(lens, pa.int64()),
+    })
+
+
+def q_pair_counts_top50(sf_dir: str) -> pa.Table:
+    """d-bigram document counts: top 50 (t1, t2, n_docs) pairs by
+    (n desc, t1, t2) (M6 emission + A4 grouped count), computed
+    distributed: pair postings → groupby(key).count()."""
+    toks = doc_tokens(sf_dir)
+    stats = compute_stats(toks)
+    cfg = EngineConfig(emit_unigrams=False, emit_pairs=True)
+    postings = emit_postings(toks, ray.put(stats), cfg)
+    counts = postings.groupby("key").count()
+    pdf = counts.to_pandas()  # one row per distinct pair key (small)
+    keys = pdf["key"].to_numpy(np.int64)
+    n = pdf["count()"].to_numpy(np.int64)
+    order = np.lexsort((keys, -n))[:50]
+    keys, n = keys[order], n[order]
+    terms = np.asarray(stats["terms"], dtype=object)
+    return pa.table({
+        "t1": pa.array(terms[(keys >> 32) - 1].tolist(), pa.string()),
+        "t2": pa.array(terms[(keys & 0xFFFFFFFF) - 1].tolist(), pa.string()),
+        "n_docs": pa.array(n, pa.int64()),
+    })
+
+
+def q_query_keys(sf_dir: str) -> pa.Table:
+    """Query conversion + augmentation (M2/M3): for the fixed query set,
+    emit (query_id, key) = mapped term ids plus packed 2-subset pairs."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+
+    stats = compute_stats(doc_tokens(sf_dir))
+    t2i = {t: i + 1 for i, t in enumerate(stats["terms"])}
+    qids, keys = [], []
+    for qid, text in DOC_QUERIES:
+        ids = sorted({t2i[t] for t in tokenize_text(text) if t in t2i})
+        out = list(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out.append((ids[i] << 32) | ids[j])
+        qids += [qid] * len(out)
+        keys += out
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "key": pa.array(keys, pa.int64()),
+    })
+
+
+def q_access_counts(sf_dir: str) -> pa.Table:
+    """#queries containing each term (A5, Metadata.java:153-169), over
+    terms that exist in the corpus dictionary."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+
+    stats = compute_stats(doc_tokens(sf_dir))
+    vocab = set(stats["terms"])
+    counts: dict[str, int] = {}
+    for _, text in DOC_QUERIES:
+        for t in set(tokenize_text(text)):
+            if t in vocab:
+                counts[t] = counts.get(t, 0) + 1
+    terms = sorted(counts)
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "n_queries": pa.array([counts[t] for t in terms], pa.int64()),
+    })
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    """FLAGSHIP: exact BM25 top-10 per fixed query via the full engine
+    (static index + block-max WAND actor), rank-identical to SQL."""
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        for rank, (s, d) in enumerate(eng.topk(text, k=10)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
+def q_topk_candidates(sf_dir: str) -> pa.Table:
+    """Predictive candidate pools per query (Q5/Q6 analog): pair-list +
+    unigram top-layer union. Not SQL-expressible (greedy/approximate) —
+    rows-only check."""
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_documents_index(sf_dir)
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    qids, docs = [], []
+    for qid, text in DOC_QUERIES:
+        pool = eng.candidates(text, budget=100)
+        qids += [qid] * len(pool)
+        docs += pool.tolist()
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
