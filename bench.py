@@ -1,0 +1,147 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Headline pipeline: full static-index build (tokenize → stats → posting
+emission → bucketed shuffle → compressed block-max lists) over a
+deterministic synthetic transcript corpus (BASELINE.json input_hint
+shape) sized for the bench, plus BM25 WAND query serving; per-query
+timings cover the documents-table operator pipelines at $GRAFT_SF_DIR.
+
+Usage:
+    python bench.py              # one JSON line (env: GRAFT_SF_DIR, RAY_GRAFT_CPUS)
+    python bench.py --scaling    # run the build twice in fresh processes at
+                                 # 8 and 32 CPUs; report throughputs + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Bench corpus: ~`BENCH_CONVS` conversations * ~7 turns each.
+BENCH_CONVS = int(os.environ.get("CG_BENCH_CONVS", "12000"))
+
+
+def _bench_transcripts() -> str:
+    """Generate (once) the deterministic bench transcript corpus."""
+    from candidategeneration_ray.sources.transcripts import write_transcripts
+
+    d = f"/tmp/cg_bench/transcripts-c{BENCH_CONVS}"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        write_transcripts(d, num_convs=BENCH_CONVS, seed=42, num_files=16)
+        open(marker, "w").close()
+    return d
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.query import run_queries
+    from candidategeneration_ray.pipelines import docquery as dq
+    import ray.data
+
+    src = _bench_transcripts()
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    ray.data.read_parquet(src).count()
+
+    out_dir = f"/tmp/cg_bench/index-c{BENCH_CONVS}-cpu{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = build_index(src, out_dir)
+    build_sec = time.time() - t0
+    n_docs = res["metrics"]["n_docs"]
+
+    # query serving over the fresh index (fixed query mix)
+    queries = ray.data.from_items([
+        {"query_id": i, "text": t} for i, t in enumerate(
+            ["query engine latency", "data", "index worker shard",
+             "model kernel vector", "rareterma data cluster",
+             "agenting batching caching", "1003 1007 shard"] * 8)
+    ])
+    t1 = time.time()
+    n_out = run_queries(res["final_dir"], queries, res["stats"],
+                        concurrency=(1, max(2, NUM_CPUS // 4))).count()
+    query_sec = time.time() - t1
+
+    # documents-table operator pipelines at GRAFT_SF_DIR
+    per_query: dict[str, float] = {}
+    shutil.rmtree("/tmp/cg_ray_cache", ignore_errors=True)
+    for name, fn in [
+        ("build_transcript_index", None),          # recorded below
+        ("tokenize_counts", dq.q_tokenize_counts),
+        ("df_top50", dq.q_df_top50),
+        ("pair_counts_top50", dq.q_pair_counts_top50),
+        ("bm25_topk", dq.q_bm25_topk),
+    ]:
+        if fn is None:
+            per_query[name] = round(build_sec, 3)
+            continue
+        tq = time.time()
+        out = fn(SF_DIR)
+        if hasattr(out, "to_pandas") and not hasattr(out, "num_rows"):
+            out.to_pandas()
+        per_query[name] = round(time.time() - tq, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "turns_per_sec": round(n_docs / build_sec, 1),
+        "query_serving_sec": round(query_sec, 3),
+        "query_rows": n_out,
+    }
+
+
+def run_scaling() -> dict:
+    """Same build at 8 and 32 CPUs in fresh processes (the sandbox
+    evidence for the N-vs-4N-node scaling criterion)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, "bench.py"], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tput_lo = r_lo["turns_per_sec"]
+    tput_hi = r_hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": tput_lo, "turns_per_sec_hi": tput_hi,
+        "n_docs": r_lo["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

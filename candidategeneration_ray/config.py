@@ -35,6 +35,10 @@ class EngineConfig:
     # Emit unigram postings / d-bigram pair postings.
     emit_unigrams: bool = True
     emit_pairs: bool = True
+    # Map-side combiner: emit one compressed partial-list row per
+    # (key, batch) instead of one row per posting (SURVEY §4 skew row) —
+    # shrinks the groupby shuffle by the batch's postings-per-key factor.
+    partial_lists: bool = True
     # Salting: number of doc-range sub-lists a hot key's postings may be
     # split into during partitioned builds (merge = ordered concat).
     # Used implicitly by the partitioned build path: each input partition

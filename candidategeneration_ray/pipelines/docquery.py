@@ -169,14 +169,16 @@ def q_pair_counts_top50(sf_dir: str) -> pa.Table:
     """d-bigram document counts: top 50 (t1, t2, n_docs) pairs by
     (n desc, t1, t2) (M6 emission + A4 grouped count), computed
     distributed: pair postings → groupby(key).count()."""
+    from ray.data.aggregate import Sum
+
     toks = doc_tokens(sf_dir)
     stats = compute_stats(toks)
     cfg = EngineConfig(emit_unigrams=False, emit_pairs=True)
     postings = emit_postings(toks, ray.put(stats), cfg)
-    counts = postings.groupby("key").count()
+    counts = postings.groupby("key").aggregate(Sum("n", alias_name="n_docs"))
     pdf = counts.to_pandas()  # one row per distinct pair key (small)
     keys = pdf["key"].to_numpy(np.int64)
-    n = pdf["count()"].to_numpy(np.int64)
+    n = pdf["n_docs"].to_numpy(np.int64)
     order = np.lexsort((keys, -n))[:50]
     keys, n = keys[order], n[order]
     terms = np.asarray(stats["terms"], dtype=object)

@@ -1,0 +1,403 @@
+"""Large-scale training-data operators over the documents/embeddings
+tables: deduplication (exact, Jaccard, MinHash-LSH, SimHash), similarity
+search, and text analysis. The reference has no near-dedup (SURVEY §2.7)
+— these extend the engine for 100 TB pipeline use; each is expressed as
+Ray Data transforms with the shuffle pattern noted in its docstring.
+
+All hashing is md5-based (functions/hashing.py) so the DuckDB oracles
+compute identical values.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from candidategeneration_ray.functions import hashing as H
+from candidategeneration_ray.functions.tokenize import tokenize_many
+from candidategeneration_ray.pipelines.docquery import documents_ds
+
+
+# ------------------------------------------------------------- exact dedup
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup by content hash: one row per distinct text with its
+    group size and representative (min doc_id). Shuffle: groupby(hash)
+    over per-batch (hash, doc_id) rows — the standard hash-partitioned
+    first-wins dedup."""
+    from ray.data.aggregate import Count, Min
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        import hashlib
+
+        return pa.table({
+            "text_md5": pa.array([hashlib.md5(t.encode()).hexdigest() for t in texts]),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+        })
+
+    return (
+        documents_ds(sf_dir)
+        .map_batches(_hash, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="keep_doc_id"))
+    )
+
+
+# ------------------------------------------------- shingles / near-dedup
+
+def _shingle_rows(batch: pa.Table, w: int) -> pa.Table:
+    """(doc_id, shingle_h) rows — DISTINCT shingles per doc."""
+    token_lists = tokenize_many(batch.column("text").to_pylist())
+    doc_ids = batch.column("doc_id").to_numpy()
+    out_doc, out_h = [], []
+    for i, toks in enumerate(token_lists):
+        hs = np.unique(H.h64_many(H.word_shingles(toks, w)))
+        out_doc.append(np.full(hs.size, doc_ids[i], dtype=np.int64))
+        out_h.append(hs)
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc) if out_doc else [], pa.int64()),
+        "shingle_h": pa.array(
+            np.concatenate(out_h).astype(np.int64) if out_h else [], pa.int64()),
+    })
+
+
+def q_jaccard_pairs(sf_dir: str, threshold_pct: int = 20) -> pa.Table:
+    """n-gram-Jaccard near-dup candidates: doc pairs whose distinct
+    3-word-shingle sets overlap with Jaccard >= threshold_pct/100.
+    Pattern: shingle rows → groupby(shingle) → pair explosion →
+    groupby(pair).count (intersection) → filter by |A|+|B| (broadcast
+    per-doc set sizes). Output (doc_a, doc_b, inter_n, union_n)."""
+    shingles = documents_ds(sf_dir).map_batches(
+        lambda b: _shingle_rows(b, H.SHINGLE_W), batch_format="pyarrow")
+
+    sizes_pdf = shingles.groupby("doc_id").count().to_pandas()
+    sizes = dict(zip(sizes_pdf["doc_id"].astype(np.int64),
+                     sizes_pdf["count()"].astype(np.int64)))
+    sizes_ref = ray.put(sizes)
+
+    def _pairs(group: dict) -> pa.Table:
+        docs = np.sort(np.asarray(group["doc_id"], dtype=np.int64))
+        if docs.size < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(docs.size, k=1)
+        return pa.table({"doc_a": pa.array(docs[ia], pa.int64()),
+                         "doc_b": pa.array(docs[ib], pa.int64())})
+
+    inter = (
+        shingles.groupby("shingle_h").map_groups(_pairs, batch_format="numpy")
+        .groupby(["doc_a", "doc_b"]).count()
+    )
+
+    def _filter(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "s" not in _c:
+            _c["s"] = ray.get(sizes_ref)
+        s = _c["s"]
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        inter_n = batch.column("count()").to_numpy().astype(np.int64)
+        sa = np.array([s[x] for x in a], dtype=np.int64)
+        sb = np.array([s[x] for x in b], dtype=np.int64)
+        union_n = sa + sb - inter_n
+        keep = inter_n * 100 >= threshold_pct * union_n
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "inter_n": pa.array(inter_n[keep], pa.int64()),
+            "union_n": pa.array(union_n[keep], pa.int64()),
+        })
+
+    return inter.map_batches(_filter, batch_format="pyarrow")
+
+
+def q_minhash_signatures(sf_dir: str) -> ray.data.Dataset:
+    """MinHash signature matrix: (doc_id, perm_id, minhash) — 16 fixed
+    permutations over distinct 3-word shingles. Embarrassingly parallel
+    map_batches; no shuffle."""
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy()
+        n = len(token_lists)
+        docs = np.repeat(doc_ids.astype(np.int64), H.NUM_PERMS)
+        perms = np.tile(np.arange(H.NUM_PERMS, dtype=np.int64), n)
+        sigs = np.concatenate([
+            H.minhash_signature(
+                np.unique(H.h64_many(H.word_shingles(toks, H.SHINGLE_W))))
+            for toks in token_lists
+        ]) if n else np.empty(0, np.int64)
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "perm_id": pa.array(perms, pa.int64()),
+            "minhash": pa.array(sigs, pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_sig, batch_format="pyarrow")
+
+
+def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH near-dup candidates: 4 bands x 4 rows; docs sharing
+    any band signature become a pair. Pattern: signature → band rows →
+    groupby(band_id, band_sig) → pairwise explode → distinct. Output
+    (doc_a, doc_b) sorted pairs."""
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy()
+        out_doc, out_band, out_sig = [], [], []
+        for i, toks in enumerate(token_lists):
+            sig = H.minhash_signature(
+                np.unique(H.h64_many(H.word_shingles(toks, H.SHINGLE_W))))
+            for band in range(H.LSH_BANDS):
+                rows = sig[band * H.LSH_ROWS:(band + 1) * H.LSH_ROWS]
+                out_doc.append(int(doc_ids[i]))
+                out_band.append(band)
+                out_sig.append(H.h64("-".join(str(int(x)) for x in rows)))
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "band_id": pa.array(out_band, pa.int64()),
+            "band_sig": pa.array(np.array(out_sig, dtype=np.uint64).astype(np.int64), pa.int64()),
+        })
+
+    bands = documents_ds(sf_dir).map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(group: dict) -> pa.Table:
+        docs = np.unique(np.asarray(group["doc_id"], dtype=np.int64))
+        if docs.size < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(docs.size, k=1)
+        return pa.table({"doc_a": pa.array(docs[ia], pa.int64()),
+                         "doc_b": pa.array(docs[ib], pa.int64())})
+
+    pairs = bands.groupby(["band_id", "band_sig"]).map_groups(
+        _pairs, batch_format="numpy")
+    pdf = pairs.to_pandas().drop_duplicates().sort_values(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def q_simhash(sf_dir: str) -> ray.data.Dataset:
+    """60-bit SimHash per doc over kept tokens weighted by tf.
+    Embarrassingly parallel; Hamming-bucket grouping would follow the
+    LSH pattern above."""
+
+    def _sim(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy()
+        out = np.empty(len(token_lists), dtype=np.int64)
+        for i, toks in enumerate(token_lists):
+            if toks:
+                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                out[i] = H.simhash(H.h64_many(list(uniq)), counts)
+            else:
+                out[i] = 0
+        return pa.table({
+            "doc_id": pa.array(doc_ids.astype(np.int64), pa.int64()),
+            "simhash": pa.array(out, pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_sim, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- similarity search
+
+def q_ann_cosine_top10(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-10 against the query vector (vec_id 0):
+    per-batch numpy matmul against the broadcast query, per-batch
+    partial top-k, driver merge. Output (rank, vec_id). The IVF-style
+    scale path (bucket by coarse centroid, search nearest buckets) is
+    q_ann_ivf_top10."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
+    q /= np.linalg.norm(q)
+    q_ref = ray.put(q)
+
+    def _score(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "q" not in _c:
+            _c["q"] = ray.get(q_ref)
+        qv = _c["q"]
+        col = batch.column("embedding").combine_chunks()
+        mat = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(batch.num_rows, -1)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ qv) / np.where(norms == 0, 1.0, norms)
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        top = np.lexsort((ids, -cos))[:10]   # per-batch partial top-k
+        return pa.table({
+            "vec_id": pa.array(ids[top], pa.int64()),
+            "cos": pa.array(cos[top], pa.float64()),
+        })
+
+    parts = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+        .map_batches(_score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(10)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(parts) + 1, dtype=np.int64), pa.int64()),
+        "vec_id": pa.array(parts["vec_id"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def q_ann_ivf_top10(sf_dir: str, n_buckets: int = 8, probe: int = 3) -> pa.Table:
+    """IVF-flavored ANN: LSH-bucket vectors by sign of projections onto
+    fixed seeded hyperplanes, search only the query's `probe` nearest
+    buckets. Approximate by design — rows-only check; recall vs the
+    brute-force path is asserted in pytest."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tab = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    mat = np.asarray(tab.column("embedding").to_pylist(), dtype=np.float64)
+    ids = tab.column("vec_id").to_numpy().astype(np.int64)
+    dim = mat.shape[1]
+    planes = np.random.default_rng(13).standard_normal((3, dim))  # 8 buckets
+    codes = ((mat @ planes.T) > 0) @ (1 << np.arange(3))
+    qv = mat[ids == 0][0]
+    qcode_bits = (qv @ planes.T) > 0
+    qcode = int(qcode_bits @ (1 << np.arange(3)))
+    # probe buckets by Hamming distance to the query's code
+    ham = np.array([bin(b ^ qcode).count("1") for b in range(8)])
+    probe_codes = set(np.argsort(ham, kind="stable")[:probe])
+    mask = np.isin(codes, list(probe_codes))
+    sub, sub_ids = mat[mask], ids[mask]
+    qn = qv / np.linalg.norm(qv)
+    cos = (sub @ qn) / np.linalg.norm(sub, axis=1)
+    top = np.lexsort((sub_ids, -cos))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(1, top.size + 1, dtype=np.int64), pa.int64()),
+        "vec_id": pa.array(sub_ids[top], pa.int64()),
+    })
+
+
+# ------------------------------------------------------------ text analysis
+
+_WORD_RE = None
+
+
+def _textstats(batch: pa.Table) -> pa.Table:
+    import re
+
+    from candidategeneration_ray.functions.stopwords import STOPWORDS
+
+    word_re = re.compile(r"[A-Za-z]+")
+    digit_re = re.compile(r"[0-9]+")
+    punct_re = re.compile(r"[^A-Za-z0-9\s]")
+    upper_re = re.compile(r"[A-Z]")
+    bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+    texts = batch.column("text").to_pylist()
+    n = len(texts)
+    cols = {k: np.empty(n, dtype=np.int64) for k in
+            ["n_chars", "n_words", "n_stop", "n_digit_tokens",
+             "n_punct_chars", "n_upper_chars", "n_bpe_units"]}
+    for i, t in enumerate(texts):
+        words = [w.lower() for w in word_re.findall(t)]
+        cols["n_chars"][i] = len(t)
+        cols["n_words"][i] = len(words)
+        cols["n_stop"][i] = sum(w in STOPWORDS for w in words)
+        cols["n_digit_tokens"][i] = len(digit_re.findall(t))
+        cols["n_punct_chars"][i] = len(punct_re.findall(t))
+        cols["n_upper_chars"][i] = len(upper_re.findall(t))
+        cols["n_bpe_units"][i] = len(bpe_re.findall(t))
+    out = {"doc_id": batch.column("doc_id").cast(pa.int64())}
+    out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+    return pa.table(out)
+
+
+def q_text_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc text analysis: char/word/stopword/punct/upper counts and
+    a BPE-ish unit count (quality scoring + token counting)."""
+    return documents_ds(sf_dir).map_batches(_textstats, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-ratio language-ID heuristic: is_en iff >= 20% of the
+    alphabetic words are English stopwords (5*n_stop >= n_words)."""
+
+    def _lang(batch: pa.Table) -> pa.Table:
+        t = _textstats(batch)
+        n_words = t.column("n_words").to_numpy()
+        n_stop = t.column("n_stop").to_numpy()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": t.column("n_words"),
+            "n_stop": t.column("n_stop"),
+            "is_en": pa.array(5 * n_stop >= np.maximum(n_words, 1), pa.bool_()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_lang, batch_format="pyarrow")
+
+
+def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Document fingerprint: min md5-hash over 8-word shingles of the
+    kept-token stream (winnowing-style content signature)."""
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        out = np.empty(len(token_lists), dtype=np.int64)
+        for i, toks in enumerate(token_lists):
+            hs = H.h64_many(H.word_shingles(toks, H.FINGERPRINT_W))
+            out[i] = np.int64(int(hs.min()) - (1 << 64) if int(hs.min()) >= (1 << 63) else int(hs.min()))
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "fingerprint": pa.array(out, pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_fp, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- multimodal
+
+class BinaryDecodeStub:
+    """Actor-pool stage for opaque binary payloads (images/audio).
+
+    The decode itself is a STUB (no image/audio libs in this container):
+    it derives deterministic fake metadata from the bytes. The Ray-side
+    plumbing — binary Arrow column in, small batches, actor-pool
+    map_batches, typed metadata out — is the real production shape.
+    """
+
+    def __init__(self):
+        self.decoded = 0  # per-actor counter (real decoders hold models)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n_bytes = np.array([len(p) for p in payloads], dtype=np.int64)
+        # deterministic fake "decode": dimensions derived from content
+        width = 64 + (n_bytes % 577)
+        height = 64 + ((n_bytes * 31) % 419)
+        self.decoded += len(payloads)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "width": pa.array(width, pa.int64()),
+            "height": pa.array(height, pa.int64()),
+        })
+
+
+def q_multimodal_meta(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal plumbing: synthesize an opaque binary column from the
+    text (deterministic), run the actor-pool decode stub with small
+    batches (large-payload sizing), return typed metadata."""
+
+    def _to_binary(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "payload": pa.array(
+                [t.encode("utf-8") for t in batch.column("text").to_pylist()],
+                pa.binary()),
+        })
+
+    return (
+        documents_ds(sf_dir)
+        .map_batches(_to_binary, batch_format="pyarrow")
+        .map_batches(BinaryDecodeStub, batch_format="pyarrow",
+                     batch_size=256, concurrency=(1, 4))
+    )

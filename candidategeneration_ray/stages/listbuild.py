@@ -107,23 +107,116 @@ def build_lists_for_bucket(
     })
 
 
+def merge_partial_lists(
+    keys: np.ndarray,
+    ns: np.ndarray,
+    docs_bin,
+    scores_bin,
+    cfg: EngineConfig,
+    bucket: int,
+) -> pa.Table:
+    """Merge per-batch partial-list rows (one per (key, batch)) into
+    final lists, fully vectorized across the whole bucket:
+
+      1. one-pass decode of ALL partial blobs (decode_delta_concat),
+      2. one global np.lexsort by (key, doc_id) over every posting,
+      3. grouped re-encode (encode_delta_grouped) + reduceat block
+         metadata — no per-key numpy-call overhead.
+    """
+    from candidategeneration_ray.functions.arrowutil import binary_array_from_concat
+    from candidategeneration_ray.functions.varint import (
+        decode_delta_concat, encode_delta_grouped_concat,
+    )
+
+    ns = np.asarray(ns, dtype=np.int64)
+    # 1. bulk-decode every partial row in input order (docs_bin /
+    # scores_bin arrive as ONE contiguous payload + offsets — zero-copy
+    # views of the Arrow data buffers)
+    flat_docs_u, row_off = decode_delta_concat(docs_bin, ns)
+    flat_docs = flat_docs_u.astype(np.int64)
+    flat_scores = np.frombuffer(scores_bin, dtype="<i4") if isinstance(scores_bin, (bytes, bytearray)) \
+        else np.ascontiguousarray(scores_bin, dtype=np.uint8).view("<i4")
+    posting_key = np.repeat(keys, ns)
+
+    # 2. global (key, doc) order
+    order = np.lexsort((flat_docs, posting_key))
+    pk = posting_key[order]
+    docs = flat_docs[order]
+    scores = flat_scores[order]
+
+    starts = np.concatenate(([0], np.nonzero(pk[1:] != pk[:-1])[0] + 1))
+    ends = np.concatenate((starts[1:], [pk.size]))
+    out_key = pk[starts]
+    out_n = ends - starts
+
+    # 3a. grouped re-encode, again buffer-oriented
+    dbuf, doff = encode_delta_grouped_concat(docs, starts, ends)
+    out_docs = binary_array_from_concat(dbuf, doff)
+    value_off = np.concatenate((starts, [pk.size])).astype(np.int64)
+    out_scores = binary_array_from_concat(
+        scores.astype("<i4").view(np.uint8), 4 * value_off)
+
+    # 3b. block metadata via reduceat over per-key block starts
+    bs = cfg.block_size
+    nb = (out_n + bs - 1) // bs
+    block_starts = np.concatenate([
+        np.arange(s, e, bs, dtype=np.int64) for s, e in zip(starts, ends)
+    ]) if starts.size else np.empty(0, np.int64)
+    bmax = np.maximum.reduceat(scores, block_starts) if block_starts.size else np.empty(0, np.int32)
+    block_ends = np.minimum(block_starts + bs, np.repeat(ends, nb))
+    blast = docs[block_ends - 1] if block_starts.size else np.empty(0, np.int64)
+    list_off = np.concatenate(([0], np.cumsum(nb))).astype(np.int32)
+    bmax_col = pa.ListArray.from_arrays(pa.array(list_off, pa.int32()),
+                                        pa.array(bmax.astype(np.int32), pa.int32()))
+    blast_col = pa.ListArray.from_arrays(pa.array(list_off, pa.int32()),
+                                         pa.array(blast, pa.int64()))
+    return pa.table({
+        "key": pa.array(out_key, pa.int64()),
+        "n": pa.array(out_n.astype(np.int64), pa.int64()),
+        "docs": out_docs,
+        "scores": out_scores,
+        "block_max": bmax_col,
+        "block_last": blast_col,
+        "bucket": pa.array(np.full(out_key.size, bucket, dtype=np.int32), pa.int32()),
+    })
+
+
 def build_posting_lists(postings: ray.data.Dataset, cfg: EngineConfig | None = None) -> ray.data.Dataset:
-    """postings(key, score, doc_id) → posting-list dataset (see module doc)."""
+    """postings → posting-list dataset (see module doc).
+
+    Accepts either raw posting rows (key, score, doc_id) or the
+    combiner's partial-list rows (key, n, docs, scores); both shuffle
+    once on the key-hash bucket."""
     cfg = cfg or EngineConfig()
     bucketed = attach_bucket(postings, cfg.num_buckets)
+    partial = "docs" in postings.schema().names
 
-    def _build(group: dict) -> pa.Table:
-        keys = np.asarray(group["key"], dtype=np.int64)
+    def _build(group: pa.Table) -> pa.Table:
+        keys = group.column("key").to_numpy()
         if keys.size == 0:
             return build_lists_for_bucket(
                 keys, np.empty(0, np.int32), np.empty(0, np.int64), cfg, 0
             )
+        bucket = int(group.column("bucket")[0].as_py())
+        if partial:
+            from candidategeneration_ray.functions.arrowutil import binary_column_concat
+
+            docs_data, _ = binary_column_concat(group.column("docs"))
+            scores_data, _ = binary_column_concat(group.column("scores"))
+            return merge_partial_lists(
+                keys.astype(np.int64),
+                group.column("n").to_numpy().astype(np.int64),
+                docs_data,
+                scores_data,
+                cfg,
+                bucket,
+            )
         return build_lists_for_bucket(
-            keys,
-            np.asarray(group["score"], dtype=np.int32),
-            np.asarray(group["doc_id"], dtype=np.int64),
+            keys.astype(np.int64),
+            group.column("score").to_numpy().astype(np.int32),
+            group.column("doc_id").to_numpy().astype(np.int64),
             cfg,
-            int(group["bucket"][0]),
+            bucket,
         )
 
-    return bucketed.groupby("bucket").map_groups(_build, batch_format="numpy")
+    return bucketed.groupby("bucket").map_groups(_build, batch_format="pyarrow")

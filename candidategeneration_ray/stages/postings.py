@@ -31,6 +31,32 @@ from candidategeneration_ray.config import EngineConfig
 from candidategeneration_ray.functions.bm25 import bm25_quantized
 
 
+def _combine_partial(keys: np.ndarray, scores: np.ndarray, docs: np.ndarray) -> pa.Table:
+    """Batch-local combiner: group this batch's postings by key and emit
+    ONE partial-list row per key — (key, n, docs varint-delta binary,
+    scores raw-int32 binary). This is the map-side pre-aggregation of
+    SURVEY §4: the groupby shuffle then moves ~|keys| compressed rows
+    per batch instead of one row per posting (10-20x fewer rows), which
+    is what keeps the all-to-all exchange from dominating the build."""
+    from candidategeneration_ray.functions.arrowutil import binary_array_from_concat
+    from candidategeneration_ray.functions.varint import encode_delta_grouped_concat
+
+    order = np.lexsort((docs, keys))
+    keys = keys[order]
+    scores = scores[order]
+    docs = docs[order]
+    starts = np.concatenate(([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1))
+    ends = np.concatenate((starts[1:], [keys.size]))
+    dbuf, doff = encode_delta_grouped_concat(docs, starts, ends)
+    value_off = np.concatenate((starts, [keys.size])).astype(np.int64)
+    return pa.table({
+        "key": pa.array(keys[starts], pa.int64()),
+        "n": pa.array((ends - starts).astype(np.int32), pa.int32()),
+        "docs": binary_array_from_concat(dbuf, doff),
+        "scores": binary_array_from_concat(scores.astype("<i4").view(np.uint8), 4 * value_off),
+    })
+
+
 class PostingEmitter:
     """Callable class for ds.map_batches(PostingEmitter, fn_constructor_args=...)."""
 
@@ -43,80 +69,162 @@ class PostingEmitter:
         self.avgdl = stats["avgdl"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batch-GLOBAL vectorized emission — no per-doc Python loop.
+
+        All docs' token ids are processed as one flat array with a
+        parallel doc-index array; per-(doc,term) tf, per-doc maxtf,
+        window pairs (masked at doc boundaries) and dedup all run as
+        whole-batch numpy kernels.
+        """
         cfg = self.cfg
         col = batch.column("tokens").combine_chunks()
-        offsets = col.offsets.to_numpy()
+        offsets = col.offsets.to_numpy().astype(np.int64)
         base = offsets[0]
+        lens = np.diff(offsets)
+        # token -> term id via Arrow dictionary encode (C++ hash), then a
+        # small Python pass over the batch's UNIQUE tokens only
+        flat_strs = col.values
+        if flat_strs.offset != 0 or len(flat_strs) != (offsets[-1] - base):
+            flat_strs = flat_strs.slice(0, len(flat_strs))
+        denc = flat_strs.dictionary_encode()
         lookup = self.term_to_id
-        flat_ids = np.fromiter(
-            (lookup[t] for t in col.values.to_pylist()),
-            dtype=np.int64,
-            count=int(offsets[-1] - base),
+        uniq_ids = np.fromiter(
+            (lookup[t] for t in denc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(denc.dictionary),
         )
-        doc_ids = batch.column("doc_id").to_numpy()
-        doc_lens = batch.column("doc_len").to_numpy()
+        indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_ids = uniq_ids[indices]
 
-        out_key, out_score, out_doc = [], [], []
-        d = cfg.distance
-        for r in range(batch.num_rows):
-            ids = flat_ids[offsets[r] - base:offsets[r + 1] - base]
-            n = ids.size
-            if n == 0:
-                continue
-            uids, counts = np.unique(ids, return_counts=True)
-            max_tf = int(counts.max())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        doc_lens = batch.column("doc_len").to_numpy().astype(np.int64)
+        n_tok = flat_ids.size
+        if n_tok == 0:
+            out_key = []
+        else:
+            didx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+            # --- per-(doc, term) tf via one global lexsort
+            order = np.lexsort((flat_ids, didx))
+            sd, si = didx[order], flat_ids[order]
+            new_grp = np.concatenate(([True], (sd[1:] != sd[:-1]) | (si[1:] != si[:-1])))
+            gstart = np.nonzero(new_grp)[0]
+            gend = np.concatenate((gstart[1:], [n_tok]))
+            tf = gend - gstart                      # per (doc, term)
+            g_doc = sd[gstart]                      # doc index per group
+            g_term = si[gstart]                     # term id per group
+            # per-doc max tf: groups are doc-contiguous
+            doc_first = np.concatenate(([True], g_doc[1:] != g_doc[:-1]))
+            dstart = np.nonzero(doc_first)[0]
+            maxtf_per_presentdoc = np.maximum.reduceat(tf, dstart)
+            # map back: docs with zero tokens never appear in groups
+            present_docs = g_doc[dstart]
+            maxtf_by_doc = np.zeros(batch.num_rows, dtype=np.int64)
+            maxtf_by_doc[present_docs] = maxtf_per_presentdoc
+
             scores = bm25_quantized(
-                counts, max_tf, int(doc_lens[r]), self.df_by_id[uids],
+                tf, maxtf_by_doc[g_doc], doc_lens[g_doc], self.df_by_id[g_term],
                 self.n_docs, self.avgdl, cfg.k1, cfg.b, cfg.quantization,
             )
-            doc = np.int64(doc_ids[r])
+
+            out_key, out_score, out_doc = [], [], []
             if cfg.emit_unigrams:
-                out_key.append(uids)
+                out_key.append(g_term)
                 out_score.append(scores)
-                out_doc.append(np.full(uids.size, doc))
-            if cfg.emit_pairs and n >= 2:
-                chunks = []
-                for s in range(1, min(d, n - 1) + 1):
-                    a, b2 = ids[:-s], ids[s:]
+                out_doc.append(doc_ids[g_doc])
+            if cfg.emit_pairs and n_tok >= 2:
+                # window pairs, batch-global: shift + doc-boundary mask
+                chunks_k, chunks_d = [], []
+                for s in range(1, cfg.distance + 1):
+                    if s >= n_tok:
+                        break
+                    same = didx[:-s] == didx[s:]
+                    a = flat_ids[:-s][same]
+                    b2 = flat_ids[s:][same]
                     lo = np.minimum(a, b2)
                     hi = np.maximum(a, b2)
-                    chunks.append((lo << 32) | hi)
-                pkeys = np.unique(np.concatenate(chunks))
-                lo_ids = pkeys >> 32
-                hi_ids = pkeys & 0xFFFFFFFF
-                # per-doc score lookup by binary search into this doc's uids
-                s_lo = scores[np.searchsorted(uids, lo_ids)]
-                s_hi = scores[np.searchsorted(uids, hi_ids)]
-                out_key.append(pkeys)
+                    chunks_k.append((lo << 32) | hi)
+                    chunks_d.append(didx[:-s][same])
+                pk = np.concatenate(chunks_k)
+                pd_ = np.concatenate(chunks_d)
+                # per-doc dedup via one global lexsort over (doc, pairkey)
+                porder = np.lexsort((pk, pd_))
+                pk, pd_ = pk[porder], pd_[porder]
+                keep = np.concatenate(([True], (pd_[1:] != pd_[:-1]) | (pk[1:] != pk[:-1])))
+                pk, pd_ = pk[keep], pd_[keep]
+                # score lookup: (doc, term) -> score via searchsorted on
+                # the group table (sorted by (doc, term) already)
+                gkey = (g_doc << 32) | g_term
+                s_lo = scores[np.searchsorted(gkey, (pd_ << 32) | (pk >> 32))]
+                s_hi = scores[np.searchsorted(gkey, (pd_ << 32) | (pk & 0xFFFFFFFF))]
+                out_key.append(pk)
                 out_score.append((s_lo.astype(np.int64) + s_hi).astype(np.int32))
-                out_doc.append(np.full(pkeys.size, doc))
+                out_doc.append(doc_ids[pd_])
 
         if not out_key:
+            if self.cfg.partial_lists:
+                return pa.table({
+                    "key": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int32()),
+                    "docs": pa.array([], pa.binary()),
+                    "scores": pa.array([], pa.binary()),
+                })
             return pa.table({
                 "key": pa.array([], pa.int64()),
                 "score": pa.array([], pa.int32()),
                 "doc_id": pa.array([], pa.int64()),
             })
-        return pa.table({
-            "key": pa.array(np.concatenate(out_key), pa.int64()),
-            "score": pa.array(np.concatenate(out_score).astype(np.int32), pa.int32()),
-            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
-        })
+        keys = np.concatenate(out_key)
+        scores = np.concatenate(out_score).astype(np.int32)
+        docs = np.concatenate(out_doc)
+        if not self.cfg.partial_lists:
+            return pa.table({
+                "key": pa.array(keys, pa.int64()),
+                "score": pa.array(scores, pa.int32()),
+                "doc_id": pa.array(docs, pa.int64()),
+            })
+        return _combine_partial(keys, scores, docs)
+
+
+# per-worker-process emitter cache, keyed by the broadcast ref so
+# different builds in one session don't collide
+_WORKER_EMITTERS: dict = {}
 
 
 def emit_postings(ds, stats_ref, cfg: EngineConfig | None = None,
-                  concurrency=None):
-    """Map the token dataset to the posting stream.
+                  concurrency=None, use_actors: bool = False):
+    """Map the token dataset to the posting stream (T1, SURVEY §2.3).
 
-    Uses an actor pool so the dictionary/df state is deserialized once
-    per actor, not once per task (T1, SURVEY §2.3).
+    Default is stateless TASKS with a per-worker-process emitter cache:
+    the broadcast state (ray.put ref) is deserialized once per worker,
+    like an actor pool, but without the pool's cold-start cost (~5 s
+    for 32 fresh actor processes per build — measured; worker processes
+    are already warm from earlier stages and are reused). Set
+    use_actors=True for the actor-pool variant (useful when the state
+    is too large for the worker heap to share with task execution).
     """
     cfg = cfg or EngineConfig()
-    kwargs = {"concurrency": concurrency if concurrency is not None else (1, 8)}
-    return ds.select_columns(["doc_id", "doc_len", "tokens"]).map_batches(
-        PostingEmitter,
-        fn_constructor_args=(stats_ref, cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.emit_batch_size,
-        **kwargs,
-    )
+    projected = ds.select_columns(["doc_id", "doc_len", "tokens"])
+    if use_actors:
+        if concurrency is None:
+            try:
+                total = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                total = 8
+            concurrency = (1, max(2, total))
+        return projected.map_batches(
+            PostingEmitter,
+            fn_constructor_args=(stats_ref, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.emit_batch_size,
+            concurrency=concurrency,
+        )
+
+    key = stats_ref.hex() if hasattr(stats_ref, "hex") else id(stats_ref)
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        em = _WORKER_EMITTERS.get(key)
+        if em is None:
+            em = _WORKER_EMITTERS[key] = PostingEmitter(stats_ref, cfg)
+        return em(batch)
+
+    return projected.map_batches(
+        _emit, batch_format="pyarrow", batch_size=cfg.emit_batch_size)

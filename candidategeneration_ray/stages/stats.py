@@ -31,32 +31,26 @@ from candidategeneration_ray.functions.bm25 import truncated_avgdl
 
 def _partial_df(batch: pa.Table) -> pa.Table:
     """One (term, df, n_docs, total_tokens) partial row per distinct term
-    in the batch; doc-count/token-count partials ride on the first row."""
-    col = batch.column("tokens").combine_chunks()
-    flat = np.asarray(col.values.to_pylist(), dtype=object)
-    offsets = col.offsets.to_numpy()
-    # distinct terms per doc, then count docs per term across the batch
-    terms_all = []
-    for i in range(len(offsets) - 1):
-        row = flat[offsets[i]:offsets[i + 1]]
-        if row.size:
-            terms_all.append(np.unique(row))
-    if terms_all:
-        cat = np.concatenate(terms_all)
-        uniq, counts = np.unique(cat, return_counts=True)
-    else:
-        uniq = np.empty(0, dtype=object)
-        counts = np.empty(0, dtype=np.int64)
-    n_rows = max(len(uniq), 1)
-    n_docs = np.zeros(n_rows, dtype=np.int64)
-    n_toks = np.zeros(n_rows, dtype=np.int64)
+    in the batch; doc-count/token-count partials ride on the first row.
+    Pre-aggregation: the groupby shuffle moves per-batch partials, not
+    one row per (doc, term)."""
+    from collections import Counter
+
+    rows = batch.column("tokens").to_pylist()
+    dfc: Counter = Counter()
+    total_tokens = 0
+    for toks in rows:
+        total_tokens += len(toks)
+        dfc.update(set(toks))
+    uniq = list(dfc.keys()) or [""]
+    counts = np.fromiter(dfc.values(), dtype=np.int64, count=len(dfc)) \
+        if dfc else np.zeros(1, dtype=np.int64)
+    n_docs = np.zeros(len(uniq), dtype=np.int64)
+    n_toks = np.zeros(len(uniq), dtype=np.int64)
     n_docs[0] = batch.num_rows
-    n_toks[0] = int(offsets[-1] - offsets[0])
-    if len(uniq) == 0:
-        uniq = np.array([""], dtype=object)
-        counts = np.zeros(1, dtype=np.int64)
+    n_toks[0] = total_tokens
     return pa.table({
-        "term": pa.array(uniq.tolist(), pa.string()),
+        "term": pa.array(uniq, pa.string()),
         "df": pa.array(counts, pa.int64()),
         "n_docs_partial": pa.array(n_docs, pa.int64()),
         "n_tokens_partial": pa.array(n_toks, pa.int64()),
