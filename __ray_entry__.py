@@ -29,6 +29,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from candidategeneration_ray.pipelines import docquery as dq
+    from candidategeneration_ray.pipelines import extras as ex
 
     return {
         # --- core engine operators (SURVEY.md §2) ---
@@ -42,10 +43,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_counts": dq.q_access_counts,            # A5 access map
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
         "topk_candidates": dq.q_topk_candidates,        # Q5/Q6 predictive pool (rows-only)
+        # --- training-data extras (dedup / similarity / text analysis) ---
+        "dedup_exact": ex.q_dedup_exact,
+        "jaccard_pairs": ex.q_jaccard_pairs,
+        "minhash_signatures": ex.q_minhash_signatures,
+        "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
+        "simhash": ex.q_simhash,
+        "ann_cosine_top10": ex.q_ann_cosine_top10,
+        "ann_ivf_top10": ex.q_ann_ivf_top10,            # approximate (rows-only)
+        "text_stats": ex.q_text_stats,
+        "langid": ex.q_langid,
+        "fingerprints": ex.q_fingerprints,
+        "multimodal_meta": ex.q_multimodal_meta,        # decode stub (rows-only)
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from candidategeneration_ray.pipelines.sql_oracles import core_oracles
+    from candidategeneration_ray.pipelines.sql_oracles import core_oracles, extras_oracles
 
-    return core_oracles()
+    return {**core_oracles(), **extras_oracles()}

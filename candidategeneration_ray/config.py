@@ -24,14 +24,18 @@ class EngineConfig:
     block_size: int = 128
     # Number of key-hash buckets the posting shuffle groups by. Each bucket
     # holds many keys; list building is one vectorized task per bucket.
-    # At cluster scale this should be >= 2-4 x total cores.
-    num_buckets: int = 32
+    # Should be >= 2-4 x total cores so reduce-side stragglers even out.
+    num_buckets: int = 96
     # Top-k returned per query (reference num_of_candidate / top-10 GT).
     top_k: int = 10
-    # Max rows per emitted posting batch (posting expansion is up to
-    # (1 + distance) x token count per turn; cap input batch rows so the
-    # expanded output respects block-size targets).
-    emit_batch_size: int = 2048
+    # Max rows per emitted posting batch. Larger batches amortize the
+    # map-side combiner (hot keys emit one partial row per batch
+    # regardless of batch size); posting expansion is up to
+    # (1 + distance) x token count per turn, so peak per-task heap is
+    # ~emit_batch_size * avg_tokens * (1 + distance) * 24B intermediates
+    # — 8192 x 60 x 6 x 24B ≈ 70 MB, fine for multi-GB worker heaps.
+    # Lower this for very long documents.
+    emit_batch_size: int = 8192
     # Emit unigram postings / d-bigram pair postings.
     emit_unigrams: bool = True
     emit_pairs: bool = True

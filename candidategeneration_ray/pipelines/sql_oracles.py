@@ -15,6 +15,7 @@ utilsClass.java:116's long/long truncation).
 
 from __future__ import annotations
 
+from candidategeneration_ray.functions import hashing as H
 from candidategeneration_ray.functions.stopwords import STOPWORDS
 from candidategeneration_ray.pipelines.docquery import DOC_QUERIES
 
@@ -170,5 +171,179 @@ SELECT query_id, rank, doc_id, score FROM (
          doc_id, score
   FROM qscores
 ) WHERE rank <= 10
+""",
+    }
+
+
+# --- extras (dedup / similarity / text analysis) -----------------------
+
+_P = H.MERSENNE_P
+_H64 = "('0x' || substr(md5({expr}), 1, 16))::UBIGINT"
+
+# per-doc ordered kept-token lists, INCLUDING empty docs (empty list)
+_DOCS_TOKS = """
+docs_toks AS (
+  SELECT d.doc_id, coalesce(k.l, []) AS l
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, list(tok ORDER BY kpos) AS l FROM kept GROUP BY doc_id) k
+    USING (doc_id)
+)
+"""
+
+
+def _shingle_cte(w: int) -> str:
+    """DISTINCT md5-hashed w-word shingles per doc; a doc shorter than w
+    yields one shingle of its whole token list (matches
+    functions/hashing.py word_shingles)."""
+    hexpr = _H64.format(
+        expr=f"CASE WHEN len(l) <= {w} THEN array_to_string(l, ' ') "
+             f"ELSE array_to_string(list_slice(l, i, i + {w - 1}), ' ') END")
+    return f"""
+pos AS (
+  SELECT doc_id, l,
+         unnest(range(1, CASE WHEN len(l) <= {w} THEN 2 ELSE len(l) - {w - 2} END)) AS i
+  FROM docs_toks
+),
+sh AS (SELECT DISTINCT doc_id, {hexpr} AS h FROM pos)
+"""
+
+
+def _perm_values() -> str:
+    rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(H.MINHASH_PERMS))
+    return f"perms(perm_id, a, b) AS (VALUES {rows})"
+
+
+_MINHASH_CTE = f"""
+{_perm_values()},
+mh AS (
+  SELECT doc_id, CAST(perm_id AS BIGINT) AS perm_id,
+         CAST(min((a::HUGEINT * (h % {_P}) + b) % {_P}) AS BIGINT) AS minhash
+  FROM sh CROSS JOIN perms
+  GROUP BY doc_id, perm_id
+)
+"""
+
+_WORDS_CTE = f"""
+words AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+  FROM documents
+),
+wstats AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(count(*) FILTER (w IN ({_STOP_SQL})) AS BIGINT) AS n_stop
+  FROM words GROUP BY doc_id
+)
+"""
+
+
+def extras_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": """
+SELECT md5(text) AS text_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+""",
+        "jaccard_pairs": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(H.SHINGLE_W)},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter_n
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter_n, sa.n + sb.n - inter_n AS union_n
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_n * 100 >= 20 * (sa.n + sb.n - inter_n)
+""",
+        "minhash_signatures": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(H.SHINGLE_W)},
+{_MINHASH_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, perm_id, minhash FROM mh
+""",
+        "minhash_lsh_pairs": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(H.SHINGLE_W)},
+{_MINHASH_CTE},
+bandsig AS (
+  SELECT doc_id, perm_id // {H.LSH_ROWS} AS band_id,
+         md5(string_agg(minhash::VARCHAR, '-' ORDER BY perm_id)) AS band_sig
+  FROM mh GROUP BY doc_id, perm_id // {H.LSH_ROWS}
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM bandsig a JOIN bandsig b
+  ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""",
+        "simhash": f"""
+WITH {KEPT_CTE},
+bits AS (SELECT unnest(range(0, {H.SIMHASH_BITS})) AS b),
+tok_h AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf, {_H64.format(expr='tok')} AS h
+  FROM kept GROUP BY doc_id, tok
+),
+bitsum AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tok_h CROSS JOIN bits GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, coalesce(sim.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sim USING (doc_id)
+""",
+        "ann_cosine_top10": """
+WITH scored AS (
+  SELECT vec_id,
+         list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+  FROM embeddings
+)
+SELECT rank, vec_id FROM (
+  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
+         CAST(vec_id AS BIGINT) AS vec_id
+  FROM scored
+) WHERE rank <= 10
+""",
+        "text_stats": f"""
+WITH {_WORDS_CTE}
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       coalesce(w.n_words, 0) AS n_words,
+       coalesce(w.n_stop, 0) AS n_stop,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_tokens,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct_chars,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper_chars,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_units
+FROM documents d LEFT JOIN wstats w USING (doc_id)
+""",
+        "langid": f"""
+WITH {_WORDS_CTE}
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(w.n_words, 0) AS n_words,
+       coalesce(w.n_stop, 0) AS n_stop,
+       5 * coalesce(w.n_stop, 0) >= greatest(coalesce(w.n_words, 0), 1) AS is_en
+FROM documents d LEFT JOIN wstats w USING (doc_id)
+""",
+        "fingerprints": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(H.FINGERPRINT_W)},
+fp AS (SELECT doc_id, min(h) AS m FROM sh GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(m::HUGEINT - CASE WHEN m >= 9223372036854775808::UBIGINT
+                              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+            AS BIGINT) AS fingerprint
+FROM fp
 """,
     }

@@ -1,0 +1,111 @@
+"""Behavioral tests for the training-data extras (dedup / ANN /
+text-analysis) beyond the SQL-oracle value checks."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from candidategeneration_ray.functions import hashing as H
+
+SF = "/root/testdata/sf0.01"
+
+
+class TestHashing:
+    def test_h64_matches_duckdb_expression(self):
+        import duckdb
+
+        con = duckdb.connect()
+        for s in ["", "token", "hello world", "1234"]:
+            sql = con.sql(
+                f"SELECT ('0x' || substr(md5('{s}'), 1, 16))::UBIGINT").fetchone()[0]
+            assert H.h64(s) == sql
+
+    def test_minhash_containment(self):
+        # identical shingle sets -> identical signatures
+        hs = H.h64_many(["aa bb cc", "bb cc dd", "cc dd ee"])
+        assert np.array_equal(H.minhash_signature(hs), H.minhash_signature(hs[::-1]))
+
+    def test_similar_docs_share_minhash_rows(self):
+        a = H.h64_many([f"sh{i}" for i in range(100)])
+        b = H.h64_many([f"sh{i}" for i in range(5, 105)])  # 95% overlap
+        sa, sb = H.minhash_signature(a), H.minhash_signature(b)
+        assert (sa == sb).mean() > 0.5
+
+    def test_simhash_similarity(self):
+        toks_a = [f"w{i}" for i in range(50)]
+        toks_b = toks_a[:45] + ["x1", "x2", "x3", "x4", "x5"]
+        ha = H.simhash(H.h64_many(toks_a), np.ones(50))
+        hb = H.simhash(H.h64_many(toks_b), np.ones(50))
+        hc = H.simhash(H.h64_many([f"z{i}" for i in range(50)]), np.ones(50))
+        d_ab = bin(ha ^ hb).count("1")
+        d_ac = bin(ha ^ hc).count("1")
+        assert d_ab < d_ac
+
+    def test_word_shingles_short_docs(self):
+        assert H.word_shingles([], 3) == [""]
+        assert H.word_shingles(["a"], 3) == ["a"]
+        assert H.word_shingles(["a", "b", "c", "d"], 3) == ["a b c", "b c d"]
+
+
+class TestDedup:
+    def test_lsh_finds_jaccard_dups(self, ray_session):
+        """Every high-Jaccard pair (>=50%) must be surfaced by LSH
+        banding (4 bands x 4 rows catches J>=0.5 w.h.p.)."""
+        from candidategeneration_ray.pipelines.extras import (
+            q_jaccard_pairs, q_minhash_lsh_pairs,
+        )
+
+        jacc = q_jaccard_pairs(SF, threshold_pct=50)
+        if hasattr(jacc, "to_pandas"):
+            jacc = jacc.to_pandas()
+        lsh = q_minhash_lsh_pairs(SF).to_pandas()
+        lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+        for a, b in zip(jacc["doc_a"], jacc["doc_b"]):
+            assert (a, b) in lsh_pairs, (a, b)
+
+    def test_exact_dedup_groups(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import q_dedup_exact
+
+        pdf = q_dedup_exact(SF).to_pandas()
+        assert pdf["n_docs"].sum() == 500  # every doc in exactly one group
+
+
+class TestAnn:
+    def test_ivf_recall_vs_brute_force(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import (
+            q_ann_cosine_top10, q_ann_ivf_top10,
+        )
+
+        bf = q_ann_cosine_top10(SF).column("vec_id").to_pylist()
+        ivf = q_ann_ivf_top10(SF).column("vec_id").to_pylist()
+        recall = len(set(bf) & set(ivf)) / len(bf)
+        assert recall >= 0.5, f"IVF recall {recall}"
+        assert bf[0] == 0  # the query vector itself is its own 1-NN
+
+    def test_brute_force_is_exact(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import q_ann_cosine_top10
+
+        tab = pq.read_table(f"{SF}/embeddings.parquet")
+        mat = np.asarray(tab.column("embedding").to_pylist(), dtype=np.float64)
+        ids = tab.column("vec_id").to_numpy()
+        q = mat[ids == 0][0]
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        expect = ids[np.lexsort((ids, -cos))[:10]].tolist()
+        got = q_ann_cosine_top10(SF).column("vec_id").to_pylist()
+        assert got == expect
+
+
+class TestMultimodal:
+    def test_decode_stub_plumbing(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import q_multimodal_meta
+
+        pdf = q_multimodal_meta(SF).to_pandas()
+        assert len(pdf) == 500
+        assert (pdf["n_bytes"] > 0).all()
+        assert set(pdf.columns) == {"doc_id", "n_bytes", "width", "height"}
+        # deterministic: same input -> same fake dims
+        pdf2 = q_multimodal_meta(SF).to_pandas()
+        assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
+            pdf2.sort_values("doc_id").reset_index(drop=True))

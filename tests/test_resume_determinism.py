@@ -1,0 +1,100 @@
+"""Resume, determinism and parallelism-independence (SURVEY §5.2 4-5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from candidategeneration_ray.pipelines.build import build_index, load_stats
+from candidategeneration_ray.state import checkpoint as ckpt
+from candidategeneration_ray.state.queryengine import IndexReader
+
+
+def _index_fingerprint(final_dir, stats):
+    """Logical content of an index: {key: (docs, scores)} hashes."""
+    r = IndexReader(final_dir, stats)
+    out = {}
+    for k in r.keys:
+        docs, scores, bmax, blast = r.get(int(k))
+        out[int(k)] = (docs.tobytes(), scores.tobytes(),
+                       bmax.tobytes(), blast.tobytes())
+    return out
+
+
+class TestDeterminism:
+    def test_partitioned_equals_single(self, ray_session, transcripts_dir, tmp_path):
+        """3-partition build (salted sub-lists + concat merge) is
+        logically identical to the single-partition build."""
+        r1 = build_index(transcripts_dir, str(tmp_path / "p1"), partitions=1)
+        r3 = build_index(transcripts_dir, str(tmp_path / "p3"), partitions=3)
+        f1 = _index_fingerprint(r1["final_dir"], r1["stats"])
+        f3 = _index_fingerprint(r3["final_dir"], r3["stats"])
+        assert f1 == f3
+
+    def test_rebuild_is_identical(self, ray_session, transcripts_dir, tmp_path):
+        """Two independent builds produce byte-identical logical indexes
+        (no execution-order dependence anywhere)."""
+        ra = build_index(transcripts_dir, str(tmp_path / "a"))
+        rb = build_index(transcripts_dir, str(tmp_path / "b"))
+        assert _index_fingerprint(ra["final_dir"], ra["stats"]) == \
+            _index_fingerprint(rb["final_dir"], rb["stats"])
+
+    def test_doc_ids_pure_function_of_data(self, ray_session, transcripts_dir, tmp_path):
+        ra = build_index(transcripts_dir, str(tmp_path / "da"))
+        offs = ra["offsets"]
+        # doc_id of conv c turn t == base[c] + t, derived from sorted conv order
+        order = np.argsort(offs["conv_ids"])
+        assert np.array_equal(order, np.arange(len(order)))  # already sorted
+
+
+class TestResume:
+    def test_resume_skips_completed(self, ray_session, transcripts_dir, tmp_path):
+        out = str(tmp_path / "resume")
+        r1 = build_index(transcripts_dir, out, partitions=2)
+        assert all(not p.get("skipped") for p in r1["metrics"]["phases"])
+        r2 = build_index(transcripts_dir, out, partitions=2)
+        assert all(p.get("skipped") for p in r2["metrics"]["phases"])
+        assert _index_fingerprint(r1["final_dir"], r1["stats"]) == \
+            _index_fingerprint(r2["final_dir"], r2["stats"])
+
+    def test_interrupted_build_resumes_identically(self, ray_session, transcripts_dir, tmp_path):
+        """Simulate a kill after partition 0: destroy partition 1's
+        output + the merge; the re-run must skip stats and part-0, redo
+        part-1 and merge, and produce the identical index."""
+        import shutil
+
+        out = str(tmp_path / "kill")
+        ref = build_index(transcripts_dir, str(tmp_path / "ref"), partitions=2)
+        full = build_index(transcripts_dir, out, partitions=2)
+        # "kill": remove partition 1 manifest + final dir entirely
+        part1 = os.path.join(out, "segments", "part-00001")
+        os.remove(os.path.join(part1, "MANIFEST.json"))
+        shutil.rmtree(os.path.join(out, "final"))
+        r2 = build_index(transcripts_dir, out, partitions=2)
+        flags = {p["phase"]: p.get("skipped") for p in r2["metrics"]["phases"]}
+        assert flags["stats"] and flags["part-0"]
+        assert not flags["part-1"] and not flags["merge"]
+        assert _index_fingerprint(r2["final_dir"], r2["stats"]) == \
+            _index_fingerprint(ref["final_dir"], ref["stats"])
+
+    def test_manifest_lineage_mismatch_triggers_rebuild(self, ray_session, transcripts_dir, tmp_path):
+        out = str(tmp_path / "lin")
+        build_index(transcripts_dir, out, partitions=1)
+        # tamper with the stats manifest lineage
+        sd = os.path.join(out, "stats")
+        m = ckpt.read_manifest(sd)
+        m["inputs"] = ["bogus"]
+        ckpt.write_manifest(sd, m)
+        r = build_index(transcripts_dir, out, partitions=1)
+        flags = {p["phase"]: p.get("skipped") for p in r["metrics"]["phases"]}
+        assert not flags["stats"]  # recomputed
+
+    def test_stats_checkpoint_roundtrip(self, ray_session, transcripts_dir, tmp_path):
+        out = str(tmp_path / "ckpt")
+        r = build_index(transcripts_dir, out)
+        stats2, offsets2 = load_stats(out)
+        assert list(stats2["terms"]) == list(r["stats"]["terms"])
+        assert np.array_equal(stats2["df_by_id"], r["stats"]["df_by_id"])
+        assert stats2["n_docs"] == r["stats"]["n_docs"]
+        assert stats2["avgdl"] == r["stats"]["avgdl"]
+        assert list(offsets2["conv_ids"]) == list(r["offsets"]["conv_ids"])
