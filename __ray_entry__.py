@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_keys": dq.q_query_keys,                  # M2/M3 query convert+augment
         "access_counts": dq.q_access_counts,            # A5 access map
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
+        "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
+        "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
+        "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
         "topk_candidates": dq.q_topk_candidates,        # Q5/Q6 predictive pool (rows-only)
         # --- training-data extras (dedup / similarity / text analysis) ---
         "dedup_exact": ex.q_dedup_exact,

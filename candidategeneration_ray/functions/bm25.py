@@ -45,9 +45,11 @@ def bm25_quantized(
     """
     tf = np.asarray(tf, dtype=np.float64)
     df = np.asarray(df, dtype=np.float64)
-    nf = 0.5 + 0.5 * tf / np.asarray(max_tf, dtype=np.float64)
-    idf = np.log((n_docs - df + 0.5) / (df + 0.5))
-    denom = nf + k1 * (1.0 - b + b * np.asarray(doc_len, dtype=np.float64) / avgdl)
-    raw = idf * nf * (k1 + 1.0) / denom
+    with np.errstate(divide="ignore"):
+        # avgdl == 0 → inner Inf → BM25 0.0, like Java double division
+        nf = 0.5 + 0.5 * tf / np.asarray(max_tf, dtype=np.float64)
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5))
+        denom = nf + k1 * (1.0 - b + b * np.asarray(doc_len, dtype=np.float64) / avgdl)
+        raw = idf * nf * (k1 + 1.0) / denom
     # Java (int)(double) truncates toward zero.
     return np.trunc(raw * quantization).astype(np.int64).astype(np.int32)

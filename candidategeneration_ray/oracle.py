@@ -27,7 +27,11 @@ def _bm25_int(tf: int, max_tf: int, doc_len: int, df: int, n_docs: int,
               quantization: int = 10_000_000) -> int:
     nf = 0.5 + 0.5 * tf / max_tf
     idf = __import__("math").log((n_docs - df + 0.5) / (df + 0.5))
-    raw = idf * nf * (k1 + 1.0) / (nf + k1 * (1.0 - b + b * doc_len / avgdl))
+    # avgdl can be 0 (total_tokens < n_docs after integer division);
+    # Java double division then yields Infinity and BM25 -> 0.0 — we
+    # replicate IEEE semantics instead of raising (utilsClass.java:125)
+    inner = float("inf") if avgdl == 0 else b * doc_len / avgdl
+    raw = idf * nf * (k1 + 1.0) / (nf + k1 * (1.0 - b + inner))
     return int(raw * quantization)  # int() truncates toward zero, like Java (int)
 
 

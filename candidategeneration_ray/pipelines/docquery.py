@@ -252,6 +252,106 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def q_toplayer_prefixes(sf_dir: str, depth: int = 3) -> pa.Table:
+    """Impact-ordered top-layer prefixes (O3/O4: the reference keeps the
+    first `budget` postings of each impact-ordered list,
+    BigramIndex.java:126-151 / SelectChuncks.java:16-62). For each of
+    the fixed query set's unigram terms: the `depth` highest-scoring
+    postings as (term, prefix_rank, doc_id, score), order (score desc,
+    doc_id asc)."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir)
+    reader = IndexReader(built["final_dir"], built["stats"])
+    terms_out, ranks, docs, scores = [], [], [], []
+    qterms = sorted({t for _, text in DOC_QUERIES for t in tokenize_text(text)})
+    for term in qterms:
+        tid = reader.term_to_id.get(term)
+        if not tid:
+            continue
+        d, s = reader.top_layer(tid, depth)
+        for r in range(d.size):
+            terms_out.append(term)
+            ranks.append(r + 1)
+            docs.append(int(d[r]))
+            scores.append(int(s[r]))
+    return pa.table({
+        "term": pa.array(terms_out, pa.string()),
+        "prefix_rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
+def q_bigram_union_lists(sf_dir: str, budget: int = 20) -> pa.Table:
+    """Bigram-list construction (O5, BigramIndex.java:44-85): for each
+    2-subset of each fixed query's terms, the union of the two unigram
+    top-`budget` prefixes, reported as (t1, t2, doc_id) with doc_id
+    ascending, truncated per reference semantics to the distinct doc
+    union (both lists are impact-ordered prefixes)."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir)
+    reader = IndexReader(built["final_dir"], built["stats"])
+    rows_t1, rows_t2, rows_doc = [], [], []
+    seen_pairs = set()
+    for _, text in DOC_QUERIES:
+        qts = sorted({t for t in tokenize_text(text) if t in reader.term_to_id})
+        for i in range(len(qts)):
+            for j in range(i + 1, len(qts)):
+                pair = (qts[i], qts[j])
+                if pair in seen_pairs:
+                    continue
+                seen_pairs.add(pair)
+                d1, _ = reader.top_layer(reader.term_to_id[pair[0]], budget)
+                d2, _ = reader.top_layer(reader.term_to_id[pair[1]], budget)
+                union = np.union1d(d1, d2)
+                rows_t1 += [pair[0]] * union.size
+                rows_t2 += [pair[1]] * union.size
+                rows_doc += union.tolist()
+    return pa.table({
+        "t1": pa.array(rows_t1, pa.string()),
+        "t2": pa.array(rows_t2, pa.string()),
+        "doc_id": pa.array(rows_doc, pa.int64()),
+    })
+
+
+def q_hit_postings(sf_dir: str, term: str = "vector") -> pa.Table:
+    """HIT-index analog (InvertedIndex.java:375-378 + J6 HITS join):
+    postings of one term ordered by a per-doc static prior. The
+    reference's prior is the HITS rank array; the documents-table
+    analog is rank by (n_chars desc, doc_id asc) — any broadcast
+    doc-prior column works identically. Output (doc_id, hit_rank)."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    prior = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "n_chars"])
+    pd_ids = prior.column("doc_id").to_numpy()
+    n_chars = prior.column("n_chars").to_numpy()
+    order = np.lexsort((pd_ids, -n_chars))
+    rank_by_doc = np.empty(pd_ids.max() + 1, dtype=np.int64)
+    rank_by_doc[pd_ids[order]] = np.arange(1, order.size + 1)
+
+    built = build_documents_index(sf_dir)
+    reader = IndexReader(built["final_dir"], built["stats"])
+    tid = reader.term_to_id.get(term)
+    got = reader.get(tid) if tid else None
+    if got is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "hit_rank": pa.array([], pa.int64())})
+    docs = got[0]
+    ranks = rank_by_doc[docs]
+    order = np.lexsort((docs, ranks))
+    return pa.table({
+        "doc_id": pa.array(docs[order], pa.int64()),
+        "hit_rank": pa.array(ranks[order], pa.int64()),
+    })
+
+
 def q_topk_candidates(sf_dir: str) -> pa.Table:
     """Predictive candidate pools per query (Q5/Q6 analog): pair-list +
     unigram top-layer union. Not SQL-expressible (greedy/approximate) —

@@ -172,6 +172,52 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM qscores
 ) WHERE rank <= 10
 """,
+        "toplayer_prefixes": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE}
+SELECT term, prefix_rank, doc_id, score FROM (
+  SELECT s.tok AS term, s.doc_id, s.score,
+         CAST(row_number() OVER (PARTITION BY s.tok
+                                 ORDER BY s.score DESC, s.doc_id ASC) AS BIGINT)
+           AS prefix_rank
+  FROM scores s
+  WHERE s.tok IN (SELECT tok FROM qtok)
+) WHERE prefix_rank <= 3
+""",
+        "bigram_union_lists": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qpairs AS (
+  SELECT DISTINCT a.tok AS t1, b.tok AS t2
+  FROM qtok a JOIN qtok b ON a.query_id = b.query_id AND a.tok < b.tok
+  WHERE a.tok IN (SELECT DISTINCT tok FROM kept)
+    AND b.tok IN (SELECT DISTINCT tok FROM kept)
+),
+top20 AS (
+  SELECT tok, doc_id FROM (
+    SELECT tok, doc_id,
+           row_number() OVER (PARTITION BY tok ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores
+  ) WHERE rn <= 20
+)
+SELECT DISTINCT t1, t2, CAST(doc_id AS BIGINT) AS doc_id
+FROM qpairs JOIN top20 ON tok = t1 OR tok = t2
+""",
+        "hit_postings": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+prior AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+           AS hit_rank
+  FROM documents
+)
+SELECT s.doc_id, p.hit_rank
+FROM scores s JOIN prior p USING (doc_id)
+WHERE s.tok = 'vector'
+""",
     }
 
 

@@ -143,21 +143,23 @@ class PostingEmitter:
                     hi = np.maximum(a, b2)
                     chunks_k.append((lo << 32) | hi)
                     chunks_d.append(didx[:-s][same])
-                pk = np.concatenate(chunks_k)
-                pd_ = np.concatenate(chunks_d)
+                pk = np.concatenate(chunks_k) if chunks_k else np.empty(0, np.int64)
+                pd_ = np.concatenate(chunks_d) if chunks_d else np.empty(0, np.int64)
                 # per-doc dedup via one global lexsort over (doc, pairkey)
                 porder = np.lexsort((pk, pd_))
                 pk, pd_ = pk[porder], pd_[porder]
-                keep = np.concatenate(([True], (pd_[1:] != pd_[:-1]) | (pk[1:] != pk[:-1])))
-                pk, pd_ = pk[keep], pd_[keep]
+                if pk.size:
+                    keep = np.concatenate(([True], (pd_[1:] != pd_[:-1]) | (pk[1:] != pk[:-1])))
+                    pk, pd_ = pk[keep], pd_[keep]
                 # score lookup: (doc, term) -> score via searchsorted on
                 # the group table (sorted by (doc, term) already)
                 gkey = (g_doc << 32) | g_term
-                s_lo = scores[np.searchsorted(gkey, (pd_ << 32) | (pk >> 32))]
-                s_hi = scores[np.searchsorted(gkey, (pd_ << 32) | (pk & 0xFFFFFFFF))]
-                out_key.append(pk)
-                out_score.append((s_lo.astype(np.int64) + s_hi).astype(np.int32))
-                out_doc.append(doc_ids[pd_])
+                if pk.size:
+                    s_lo = scores[np.searchsorted(gkey, (pd_ << 32) | (pk >> 32))]
+                    s_hi = scores[np.searchsorted(gkey, (pd_ << 32) | (pk & 0xFFFFFFFF))]
+                    out_key.append(pk)
+                    out_score.append((s_lo.astype(np.int64) + s_hi).astype(np.int32))
+                    out_doc.append(doc_ids[pd_])
 
         if not out_key:
             if self.cfg.partial_lists:
