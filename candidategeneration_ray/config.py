@@ -48,6 +48,11 @@ class EngineConfig:
     # Used implicitly by the partitioned build path: each input partition
     # is one salt.
     pairs_per_doc_cap: int | None = None  # no cap by default
+    # Optional query-driven key pruning (the reference "filter sets",
+    # Metadata.java:92-151, applied at emission InvertedIndex.java:291,374):
+    # when set on the emitter (via emit_postings(filter_ref=...)), only
+    # postings whose key is in the broadcast set are emitted. Default is
+    # index-everything.
 
     def pack_pair(self, a: int, b: int) -> int:
         """Pack two (1-based) term ids into one int64 key, low term first.

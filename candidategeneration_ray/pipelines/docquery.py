@@ -189,6 +189,42 @@ def q_pair_counts_top50(sf_dir: str) -> pa.Table:
     })
 
 
+def q_filtered_pair_counts(sf_dir: str) -> pa.Table:
+    """Filter-set-pruned d-bigram emission (M4/J1/D2: the reference
+    emits a pair posting only if its packed key appears in the
+    query-trace filter set, InvertedIndex.java:291): the filter set is
+    the fixed query set's augmented pair keys; output per surviving
+    pair (t1, t2, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+
+    toks = doc_tokens(sf_dir)
+    stats = compute_stats(toks)
+    t2i = {t: i + 1 for i, t in enumerate(stats["terms"])}
+    fkeys = set()
+    for _, text in DOC_QUERIES:
+        ids = sorted({t2i[t] for t in tokenize_text(text) if t in t2i})
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                fkeys.add((ids[i] << 32) | ids[j])
+    cfg = EngineConfig(emit_unigrams=False, emit_pairs=True)
+    postings = emit_postings(
+        toks, ray.put(stats), cfg,
+        filter_ref=ray.put(np.array(sorted(fkeys), dtype=np.int64)))
+    pdf = postings.groupby("key").aggregate(Sum("n", alias_name="n_docs")).to_pandas()
+    keys = pdf["key"].to_numpy(np.int64)
+    n = pdf["n_docs"].to_numpy(np.int64)
+    order = np.lexsort((keys,))
+    keys, n = keys[order], n[order]
+    terms = np.asarray(stats["terms"], dtype=object)
+    return pa.table({
+        "t1": pa.array(terms[(keys >> 32) - 1].tolist(), pa.string()),
+        "t2": pa.array(terms[(keys & 0xFFFFFFFF) - 1].tolist(), pa.string()),
+        "n_docs": pa.array(n, pa.int64()),
+    })
+
+
 def q_query_keys(sf_dir: str) -> pa.Table:
     """Query conversion + augmentation (M2/M3): for the fixed query set,
     emit (query_id, key) = mapped term ids plus packed 2-subset pairs."""

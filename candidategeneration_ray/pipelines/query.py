@@ -17,6 +17,15 @@ from candidategeneration_ray.config import EngineConfig
 from candidategeneration_ray.state.queryengine import QueryEngine
 
 
+def write_candidates(results: ray.data.Dataset, out_dir: str) -> str:
+    """Candidate-pool sink (S7, algo_toplayer.cpp:978-1012 writes
+    `qid:did did ...` text lines): persist (query_id, rank, doc_id,
+    score) as partitioned Parquet — the self-describing replacement for
+    the reference's text file."""
+    results.write_parquet(out_dir)
+    return out_dir
+
+
 def run_queries(
     index_dir: str,
     queries: ray.data.Dataset,

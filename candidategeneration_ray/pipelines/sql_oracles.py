@@ -172,6 +172,25 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM qscores
 ) WHERE rank <= 10
 """,
+        "filtered_pair_counts": f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+qpairs AS (
+  SELECT DISTINCT a.tok AS t1, b.tok AS t2
+  FROM qtok a JOIN qtok b ON a.query_id = b.query_id AND a.tok < b.tok
+  WHERE a.tok IN (SELECT DISTINCT tok FROM kept)
+    AND b.tok IN (SELECT DISTINCT tok FROM kept)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id,
+         least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+  FROM kept a JOIN kept b
+    ON a.doc_id = b.doc_id AND b.kpos > a.kpos AND b.kpos <= a.kpos + 5
+)
+SELECT p.t1, p.t2, CAST(count(*) AS BIGINT) AS n_docs
+FROM pairs p JOIN qpairs q ON p.t1 = q.t1 AND p.t2 = q.t2
+GROUP BY p.t1, p.t2
+""",
         "toplayer_prefixes": f"""
 WITH {KEPT_CTE},
 {SCORES_CTE},

@@ -64,6 +64,29 @@ def conv_offsets(ds: ray.data.Dataset) -> dict:
     }
 
 
+def remap_doc_ids(ds: ray.data.Dataset, mapping_ref,
+                  column: str = "doc_id") -> ray.data.Dataset:
+    """Apply an old→new doc-id mapping to a dataset column (M11,
+    utilsClass.java:398-436: the reference reads a CSV remap and
+    rewrites postings). mapping_ref is a ray.put of {"old": sorted
+    int64 array, "new": int64 array}; lookup is a broadcast
+    searchsorted — no shuffle. Ids absent from the map pass through."""
+
+    def _remap(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "m" not in _c:
+            _c["m"] = ray.get(mapping_ref) if not isinstance(mapping_ref, dict) else mapping_ref
+        m = _c["m"]
+        old = batch.column(column).to_numpy().astype(np.int64)
+        pos = np.searchsorted(m["old"], old)
+        pos = np.minimum(pos, len(m["old"]) - 1)
+        hit = m["old"][pos] == old
+        new = np.where(hit, m["new"][pos], old)
+        i = batch.schema.get_field_index(column)
+        return batch.set_column(i, column, pa.array(new, pa.int64()))
+
+    return ds.map_batches(_remap, batch_format="pyarrow")
+
+
 def attach_doc_ids(ds: ray.data.Dataset, offsets_ref) -> ray.data.Dataset:
     """Add int64 `doc_id` column via broadcast offsets (zero shuffle).
 

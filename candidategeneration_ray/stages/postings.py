@@ -60,13 +60,29 @@ def _combine_partial(keys: np.ndarray, scores: np.ndarray, docs: np.ndarray) -> 
 class PostingEmitter:
     """Callable class for ds.map_batches(PostingEmitter, fn_constructor_args=...)."""
 
-    def __init__(self, stats_ref, cfg: EngineConfig | None = None):
+    def __init__(self, stats_ref, cfg: EngineConfig | None = None,
+                 filter_ref=None):
         stats = ray.get(stats_ref) if not isinstance(stats_ref, dict) else stats_ref
         self.cfg = cfg or EngineConfig()
         self.term_to_id = {t: i + 1 for i, t in enumerate(stats["terms"])}
         self.df_by_id = np.asarray(stats["df_by_id"], dtype=np.int64)
         self.n_docs = stats["n_docs"]
         self.avgdl = stats["avgdl"]
+        # filter set (M4/J1: broadcast semi-join; sorted int64 keys)
+        if filter_ref is None:
+            self.filter_keys = None
+        else:
+            fk = ray.get(filter_ref) if not isinstance(filter_ref, np.ndarray) else filter_ref
+            self.filter_keys = np.sort(np.asarray(fk, dtype=np.int64))
+
+    def _apply_filter(self, keys: np.ndarray) -> np.ndarray:
+        """Boolean mask of keys present in the filter set (searchsorted
+        membership — no shuffle, reference InvertedIndex.java:291)."""
+        if self.filter_keys.size == 0:
+            return np.zeros(keys.size, dtype=bool)
+        pos = np.searchsorted(self.filter_keys, keys)
+        pos = np.minimum(pos, self.filter_keys.size - 1)
+        return self.filter_keys[pos] == keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Batch-GLOBAL vectorized emission — no per-doc Python loop.
@@ -127,9 +143,15 @@ class PostingEmitter:
 
             out_key, out_score, out_doc = [], [], []
             if cfg.emit_unigrams:
-                out_key.append(g_term)
-                out_score.append(scores)
-                out_doc.append(doc_ids[g_doc])
+                if self.filter_keys is not None:
+                    um = self._apply_filter(g_term)
+                    out_key.append(g_term[um])
+                    out_score.append(scores[um])
+                    out_doc.append(doc_ids[g_doc[um]])
+                else:
+                    out_key.append(g_term)
+                    out_score.append(scores)
+                    out_doc.append(doc_ids[g_doc])
             if cfg.emit_pairs and n_tok >= 2:
                 # window pairs, batch-global: shift + doc-boundary mask
                 chunks_k, chunks_d = [], []
@@ -151,6 +173,9 @@ class PostingEmitter:
                 if pk.size:
                     keep = np.concatenate(([True], (pd_[1:] != pd_[:-1]) | (pk[1:] != pk[:-1])))
                     pk, pd_ = pk[keep], pd_[keep]
+                if pk.size and self.filter_keys is not None:
+                    pm = self._apply_filter(pk)
+                    pk, pd_ = pk[pm], pd_[pm]
                 # score lookup: (doc, term) -> score via searchsorted on
                 # the group table (sorted by (doc, term) already)
                 gkey = (g_doc << 32) | g_term
@@ -192,7 +217,8 @@ _WORKER_EMITTERS: dict = {}
 
 
 def emit_postings(ds, stats_ref, cfg: EngineConfig | None = None,
-                  concurrency=None, use_actors: bool = False):
+                  concurrency=None, use_actors: bool = False,
+                  filter_ref=None):
     """Map the token dataset to the posting stream (T1, SURVEY §2.3).
 
     Default is stateless TASKS with a per-worker-process emitter cache:
@@ -214,18 +240,19 @@ def emit_postings(ds, stats_ref, cfg: EngineConfig | None = None,
             concurrency = (1, max(2, total))
         return projected.map_batches(
             PostingEmitter,
-            fn_constructor_args=(stats_ref, cfg),
+            fn_constructor_args=(stats_ref, cfg, filter_ref),
             batch_format="pyarrow",
             batch_size=cfg.emit_batch_size,
             concurrency=concurrency,
         )
 
-    key = stats_ref.hex() if hasattr(stats_ref, "hex") else id(stats_ref)
+    key = (stats_ref.hex() if hasattr(stats_ref, "hex") else id(stats_ref),
+           filter_ref.hex() if hasattr(filter_ref, "hex") else id(filter_ref))
 
     def _emit(batch: pa.Table) -> pa.Table:
         em = _WORKER_EMITTERS.get(key)
         if em is None:
-            em = _WORKER_EMITTERS[key] = PostingEmitter(stats_ref, cfg)
+            em = _WORKER_EMITTERS[key] = PostingEmitter(stats_ref, cfg, filter_ref)
         return em(batch)
 
     return projected.map_batches(
