@@ -46,7 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
-        "topk_candidates": dq.q_topk_candidates,        # Q5/Q6 predictive pool (rows-only)
+        "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
+        "quality_model": dq.q_quality_model,            # Q2/A6 quality model (rows-only)
+        "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection (rows-only)
         # --- training-data extras (dedup / similarity / text analysis) ---
         "dedup_exact": ex.q_dedup_exact,
         "jaccard_pairs": ex.q_jaccard_pairs,

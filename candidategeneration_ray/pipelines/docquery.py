@@ -388,6 +388,72 @@ def q_hit_postings(sf_dir: str, term: str = "vector") -> pa.Table:
     })
 
 
+def _predictive_setup(sf_dir: str):
+    from candidategeneration_ray.state.queryengine import IndexReader, QueryEngine
+    from candidategeneration_ray.state.selection import build_quality_model
+
+    built = build_documents_index(sf_dir)
+    reader = IndexReader(built["final_dir"], built["stats"])
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    keysets, gts = [], []
+    for _, text in DOC_QUERIES:
+        ids = reader.query_term_ids(text)
+        keysets.append(reader.augmented_keys(ids))
+        gts.append([d for _, d in eng.topk(text, k=10)])
+    model = build_quality_model(reader, keysets, gts)
+    return reader, model
+
+
+def q_quality_model(sf_dir: str) -> pa.Table:
+    """Quality-model matrix (Q2/A6): P(GT doc within depth bucket |
+    length bucket) per key family. Iterative/model output — rows-only
+    check; invariants tested in pytest."""
+    reader, model = _predictive_setup(sf_dir)
+    fams, xs, ys, ps = [], [], [], []
+    for fam, name in ((False, "unigram"), (True, "pair")):
+        p = model.prob[fam]
+        for x in range(p.shape[0]):
+            for y in range(p.shape[1]):
+                fams.append(name)
+                xs.append(x)
+                ys.append(y)
+                ps.append(float(p[x, y]))
+    return pa.table({
+        "family": pa.array(fams, pa.string()),
+        "len_bucket": pa.array(xs, pa.int64()),
+        "rank_bucket": pa.array(ys, pa.int64()),
+        "p_found": pa.array(ps, pa.float64()),
+    })
+
+
+def q_predictive_candidates(sf_dir: str) -> pa.Table:
+    """Model-guided candidate generation (Q5/Q6): per fixed query the
+    top-10 candidates from greedy depth selection over its keys, scored
+    exactly. Approximate pipeline — rows-only check; recall vs exact
+    top-k asserted in pytest."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.state.selection import predictive_candidates
+
+    reader, model = _predictive_setup(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        ids = reader.query_term_ids(text)
+        if not ids:
+            continue
+        for rank, (s, d) in enumerate(
+                predictive_candidates(reader, model, ids, 3000, 10)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
 def q_topk_candidates(sf_dir: str) -> pa.Table:
     """Predictive candidate pools per query (Q5/Q6 analog): pair-list +
     unigram top-layer union. Not SQL-expressible (greedy/approximate) —

@@ -1,0 +1,120 @@
+"""Predictive layer (Q1-Q5): quality model, greedy selection, top-layer
+extraction, model-guided candidate generation."""
+
+import numpy as np
+import pytest
+
+from candidategeneration_ray.state.queryengine import IndexReader, QueryEngine
+from candidategeneration_ray.state.selection import (
+    QualityModel, bucket_of, build_quality_model, extract_top_layer,
+    geometric_buckets, greedy_select_chunks, online_depth_selection,
+    predictive_candidates,
+)
+
+QUERY_TEXTS = [
+    "query engine latency", "data worker", "index shard model",
+    "cluster dataset engine", "rareterma data", "model kernel vector actor",
+    "agenting batching", "alpha beta gamma", "1003 shard",
+]
+
+
+@pytest.fixture(scope="module")
+def setup(built_index, oracle_small):
+    reader = IndexReader(built_index["final_dir"], built_index["stats"])
+    eng = QueryEngine(built_index["final_dir"], built_index["stats"])
+    keysets, gts = [], []
+    for q in QUERY_TEXTS:
+        ids = reader.query_term_ids(q)
+        keysets.append(reader.augmented_keys(ids))
+        gts.append([d for _, d in eng.topk(q, k=10)])
+    model = build_quality_model(reader, keysets, gts)
+    return reader, eng, keysets, gts, model
+
+
+class TestBuckets:
+    def test_geometric_buckets_reference_rule(self):
+        # len rule: 4, i += i*1.1 → 4, 8, 16, 33, ... (Selection.java:36-41)
+        b = geometric_buckets(4, 1.1, 100)
+        assert b[0] == 4 and b[1] == 8 and b[-1] == 100
+        # rank rule: 11, i += i*1.4 → 11, 26, 62, ...
+        r = geometric_buckets(11, 1.4, 1000)
+        assert r[0] == 11 and r[1] == 26 and r[2] == 62
+
+    def test_bucket_of(self):
+        b = np.array([4, 8, 16, 100])
+        assert bucket_of(1, b) == 0
+        assert bucket_of(4, b) == 0
+        assert bucket_of(5, b) == 1
+        assert bucket_of(100, b) == 3
+
+
+class TestQualityModel:
+    def test_probabilities_valid_and_monotone(self, setup):
+        _, _, _, _, model = setup
+        for fam in (False, True):
+            p = model.prob[fam]
+            assert (p >= 0).all() and (p <= 1).all()
+            assert (np.diff(p, axis=1) >= -1e-12).all(), "CDF monotone in depth"
+
+    def test_model_has_signal(self, setup):
+        # ground-truth docs score high → they appear in early prefixes of
+        # the query's own lists → deepest bucket prob must be positive
+        _, _, _, _, model = setup
+        assert model.prob[False][:, -1].max() > 0
+
+
+class TestGreedySelection:
+    def test_budget_respected_and_chunks_valid(self, setup):
+        reader, _, keysets, _, model = setup
+        access = {}
+        for keys in keysets:
+            for k in keys:
+                access[k] = access.get(k, 0) + 1
+        sel = greedy_select_chunks(reader, model, access, budget_postings=500)
+        total = sum(sel.values())
+        assert 0 < total <= 500
+        for k, depth in sel.items():
+            assert 0 < depth <= reader.list_len(k)
+
+    def test_top_layer_extraction(self, setup):
+        reader, _, keysets, _, model = setup
+        access = {k: 1 for keys in keysets for k in keys}
+        sel = greedy_select_chunks(reader, model, access, budget_postings=300)
+        layer = extract_top_layer(reader, sel)
+        for k, (docs, scores) in layer.items():
+            assert docs.size == min(sel[k], reader.list_len(k))
+            assert np.all(np.diff(scores) <= 0), "impact-ordered"
+
+    def test_online_selection_budget(self, setup):
+        reader, _, keysets, _, model = setup
+        depths = online_depth_selection(keysets[0], reader, model, 200)
+        assert sum(depths.values()) <= 200
+
+
+class TestPredictiveCandidates:
+    def test_recall_vs_exact_topk(self, setup):
+        """With a generous budget the model-guided pool must recover
+        most of the exact top-10 (candidate generation quality)."""
+        reader, eng, keysets, gts, model = setup
+        recalls = []
+        for q, gt in zip(QUERY_TEXTS, gts):
+            if not gt:
+                continue
+            ids = reader.query_term_ids(q)
+            cands = predictive_candidates(reader, model, ids,
+                                          budget_postings=3000,
+                                          num_candidates=10)
+            got = {d for _, d in cands}
+            recalls.append(len(got & set(gt)) / len(gt))
+        assert np.mean(recalls) >= 0.8, recalls
+
+    def test_candidate_scores_are_exact(self, setup):
+        """Pool members are scored with the same quantized sums as the
+        exact engine (the 'patch-complete' scoring contract)."""
+        reader, eng, _, _, model = setup
+        q = "query engine latency"
+        ids = reader.query_term_ids(q)
+        cands = predictive_candidates(reader, model, ids, 5000, 10)
+        exact = {d: s for s, d in eng.topk(q, k=10_000)}
+        for s, d in cands:
+            assert exact[d] == s
