@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": ex.q_minhash_signatures,
         "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
         "simhash": ex.q_simhash,
+        "embedding_neardups": ex.q_embedding_neardups,
         "ann_cosine_top10": ex.q_ann_cosine_top10,
         "ann_ivf_top10": ex.q_ann_ivf_top10,            # approximate (rows-only)
         "text_stats": ex.q_text_stats,

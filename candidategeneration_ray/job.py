@@ -1,0 +1,110 @@
+"""Cluster job entry point — `ray job submit` / CLI driver.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \
+        python -m candidategeneration_ray.job build \
+            --input s3://bucket/transcripts/ --out s3://bucket/index \
+            --partitions 256
+
+    python -m candidategeneration_ray.job query \
+            --index /tmp/index --queries queries.parquet --out /tmp/cands
+
+`ray.init(address="auto")` inside a submitted job attaches to the
+hosting cluster; standalone runs fall back to local mode. This module
+OWNS a Ray session (unlike the library / __ray_entry__, which never
+call ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if ray.is_initialized():
+        return
+    kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+              "logging_level": "ERROR"}
+    if num_cpus is not None:
+        ray.init(address="local", num_cpus=num_cpus, **kwargs)
+    else:
+        # inside `ray job submit` this attaches to the cluster;
+        # standalone it starts a local session
+        ray.init(address="auto" if _on_cluster() else "local", **kwargs)
+
+
+def _on_cluster() -> bool:
+    import os
+
+    return bool(os.environ.get("RAY_JOB_ID") or os.environ.get("RAY_ADDRESS", "") not in ("", "local"))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="candidategeneration_ray.job")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the static inverted index")
+    b.add_argument("--input", required=True, help="transcript parquet dir/file(s)")
+    b.add_argument("--out", required=True, help="index output directory")
+    b.add_argument("--partitions", type=int, default=1,
+                   help="conv-range partitions (resume + salting unit)")
+    b.add_argument("--distance", type=int, default=5)
+    b.add_argument("--num-buckets", type=int, default=96)
+    b.add_argument("--no-pairs", action="store_true")
+    b.add_argument("--num-cpus", type=int, default=None)
+
+    q = sub.add_parser("query", help="serve a query table against an index")
+    q.add_argument("--index", required=True, help="index dir (build --out)")
+    q.add_argument("--queries", required=True,
+                   help="parquet with (query_id, text)")
+    q.add_argument("--out", required=True, help="candidate output dir")
+    q.add_argument("--concurrency", type=int, default=4)
+    q.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "build":
+            from candidategeneration_ray.config import EngineConfig
+            from candidategeneration_ray.pipelines.build import build_index
+
+            cfg = EngineConfig(distance=args.distance,
+                               num_buckets=args.num_buckets,
+                               emit_pairs=not args.no_pairs)
+            t0 = time.time()
+            res = build_index(args.input, args.out, cfg,
+                              partitions=args.partitions)
+            print(json.dumps({"ok": True, "final_dir": res["final_dir"],
+                              "n_docs": res["metrics"]["n_docs"],
+                              "sec": round(time.time() - t0, 2),
+                              "phases": res["metrics"]["phases"]}))
+        else:
+            import ray.data
+
+            from candidategeneration_ray.pipelines.build import load_stats
+            from candidategeneration_ray.pipelines.query import run_queries, write_candidates
+
+            stats, _ = load_stats(args.index)
+            queries = ray.data.read_parquet(args.queries)
+            import os
+
+            final = os.path.join(args.index, "final")
+            out = run_queries(final, queries, stats,
+                              concurrency=(1, args.concurrency))
+            write_candidates(out, args.out)
+            print(json.dumps({"ok": True, "out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -276,6 +276,31 @@ def q_ann_ivf_top10(sf_dir: str, n_buckets: int = 8, probe: int = 3) -> pa.Table
     })
 
 
+def q_embedding_neardups(sf_dir: str, threshold_pct: int = 40) -> pa.Table:
+    """Embedding-cosine near-duplicates: vector pairs with cosine >=
+    threshold_pct/100, (vec_a, vec_b) ascending. Scale path: the same
+    comparison restricted to LSH/IVF buckets (q_ann_ivf_top10's
+    bucketing) instead of the all-pairs matmul."""
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    mat = np.asarray(tab.column("embedding").to_pylist(), dtype=np.float64)
+    ids = tab.column("vec_id").to_numpy().astype(np.int64)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+    cos = unit @ unit.T
+    ia, ib = np.triu_indices(ids.size, k=1)
+    keep = cos[ia, ib] * 100 >= threshold_pct
+    a, b = ids[ia[keep]], ids[ib[keep]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    order = np.lexsort((hi, lo))
+    return pa.table({
+        "vec_a": pa.array(lo[order], pa.int64()),
+        "vec_b": pa.array(hi[order], pa.int64()),
+    })
+
+
 # ------------------------------------------------------------ text analysis
 
 _WORD_RE = None

@@ -367,6 +367,14 @@ sim AS (
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, coalesce(sim.simhash, 0) AS simhash
 FROM documents d LEFT JOIN sim USING (doc_id)
 """,
+        "embedding_neardups": """
+WITH unitized AS (
+  SELECT vec_id, embedding FROM embeddings
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b
+FROM unitized a JOIN unitized b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) * 100 >= 40
+""",
         "ann_cosine_top10": """
 WITH scored AS (
   SELECT vec_id,
