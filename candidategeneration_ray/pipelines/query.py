@@ -33,11 +33,26 @@ def run_queries(
     cfg: EngineConfig | None = None,
     concurrency=(1, 4),
 ) -> ray.data.Dataset:
+    """Load the index segments ONCE on the driver and ship the Arrow
+    table through the object store: every actor maps the same plasma
+    buffers zero-copy instead of re-reading the segment files
+    (N_actors x IO -> 1 x IO). On a multi-node cluster the table is
+    transferred once per node by the object store."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     cfg = cfg or EngineConfig()
+    files = sorted(glob.glob(os.path.join(index_dir, "**", "*.parquet"),
+                             recursive=True))
+    table = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+    index_ref = ray.put(table)
     stats_ref = ray.put(stats)
     return queries.map_batches(
         QueryEngine,
-        fn_constructor_args=(index_dir, stats_ref, cfg),
+        fn_constructor_args=(index_ref, stats_ref, cfg),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

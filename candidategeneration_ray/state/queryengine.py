@@ -285,8 +285,23 @@ class QueryEngine:
         self.cfg = cfg or EngineConfig()
         self.reader = IndexReader(src, stats, self.cfg)
 
-    def topk(self, text: str, k: int | None = None) -> list[tuple[int, int]]:
-        """Exact BM25 top-k [(score, doc_id)] for a free-text query."""
+    # below this many total postings the vectorized TAAT merge beats the
+    # pointer-walking WAND loop regardless of selectivity (measured)
+    TAAT_THRESHOLD = 1_000_000
+
+    def topk(self, text: str, k: int | None = None,
+             algorithm: str = "auto") -> list[tuple[int, int]]:
+        """Exact BM25 top-k [(score, doc_id)] for a free-text query.
+
+        Hybrid dispatch, both paths rank-identical (tested equal):
+        block-max WAND skips postings only when per-list upper bounds
+        are positive and lists are long enough that skipping beats
+        scanning; for single-term queries, all-non-positive score sets
+        (hot terms with df > N/2 — common in conversational corpora)
+        and sub-million list totals, the vectorized TAAT merge is
+        strictly faster. `algorithm` forces "wand" / "taat" (tests,
+        benchmarking).
+        """
         k = k or self.cfg.top_k
         ids = self.reader.query_term_ids(text)
         lists = []
@@ -294,6 +309,15 @@ class QueryEngine:
             got = self.reader.get(t)
             if got is not None:
                 lists.append(_List(*got))
+        if not lists:
+            return []
+        if algorithm == "auto":
+            total = sum(l.docs.size for l in lists)
+            ub_pos_sum = sum(l.ub_pos for l in lists)
+            algorithm = ("taat" if len(lists) == 1 or ub_pos_sum == 0
+                         or total < self.TAAT_THRESHOLD else "wand")
+        if algorithm == "taat":
+            return taat_topk(self.reader, ids, k)
         return wand_topk(lists, k, self.cfg.block_size)
 
     def candidates(self, text: str, budget: int = 200, pair_weight: int = 5) -> np.ndarray:

@@ -39,7 +39,15 @@ class TestRankIdentity:
     def test_wand_matches_oracle(self, engine, oracle_small, qtext):
         from candidategeneration_ray.functions.tokenize import tokenize_text
 
-        got = engine.topk(qtext, k=10)
+        got = engine.topk(qtext, k=10, algorithm="wand")
+        expect = oracle_small.topk(tokenize_text(qtext), k=10)
+        assert [(d, s) for s, d in got] == expect, qtext
+
+    @pytest.mark.parametrize("qtext", QUERIES)
+    def test_auto_dispatch_matches_oracle(self, engine, oracle_small, qtext):
+        from candidategeneration_ray.functions.tokenize import tokenize_text
+
+        got = engine.topk(qtext, k=10)  # hybrid auto path
         expect = oracle_small.topk(tokenize_text(qtext), k=10)
         assert [(d, s) for s, d in got] == expect, qtext
 
@@ -47,14 +55,14 @@ class TestRankIdentity:
     def test_wand_matches_taat(self, engine, qtext):
         ids = engine.reader.query_term_ids(qtext)
         taat = taat_topk(engine.reader, ids, 10)
-        wand = engine.topk(qtext, k=10)
+        wand = engine.topk(qtext, k=10, algorithm="wand")
         assert wand == taat, qtext
 
     def test_various_k(self, engine, oracle_small):
         from candidategeneration_ray.functions.tokenize import tokenize_text
 
         for k in (1, 3, 25, 100, 10_000):
-            got = engine.topk("query index data worker", k=k)
+            got = engine.topk("query index data worker", k=k, algorithm="wand")
             expect = oracle_small.topk(
                 tokenize_text("query index data worker"), k=k)
             assert [(d, s) for s, d in got] == expect, k
