@@ -98,3 +98,26 @@ class TestResume:
         assert stats2["n_docs"] == r["stats"]["n_docs"]
         assert stats2["avgdl"] == r["stats"]["avgdl"]
         assert list(offsets2["conv_ids"]) == list(r["offsets"]["conv_ids"])
+
+
+class TestScalableDocIds:
+    def test_scalable_matches_broadcast_dict(self, ray_session, transcripts_dir):
+        """The range-blocked offset mapping (cluster-scale path) assigns
+        the exact same doc ids as the broadcast-dict path."""
+        import ray
+        import ray.data
+
+        from candidategeneration_ray.stages.docids import (
+            attach_doc_ids, attach_doc_ids_scalable,
+            conv_offsets, conv_offsets_scalable,
+        )
+
+        ds = ray.data.read_parquet(transcripts_dir, columns=["conv_id", "turn_idx"])
+        off_dict = conv_offsets(ds)
+        off_scal = conv_offsets_scalable(ds, num_blocks=5)
+        assert off_scal["n_docs"] == off_dict["n_docs"]
+        a = attach_doc_ids(ds, ray.put(off_dict)).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = attach_doc_ids_scalable(ds, off_scal).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert (a["doc_id"] == b["doc_id"]).all()
