@@ -33,24 +33,31 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     """One (term, df, n_docs, total_tokens) partial row per distinct term
     in the batch; doc-count/token-count partials ride on the first row.
     Pre-aggregation: the groupby shuffle moves per-batch partials, not
-    one row per (doc, term)."""
-    from collections import Counter
-
-    rows = batch.column("tokens").to_pylist()
-    dfc: Counter = Counter()
-    total_tokens = 0
-    for toks in rows:
-        total_tokens += len(toks)
-        dfc.update(set(toks))
-    uniq = list(dfc.keys()) or [""]
-    counts = np.fromiter(dfc.values(), dtype=np.int64, count=len(dfc)) \
-        if dfc else np.zeros(1, dtype=np.int64)
-    n_docs = np.zeros(len(uniq), dtype=np.int64)
-    n_toks = np.zeros(len(uniq), dtype=np.int64)
+    one row per (doc, term). Fully vectorized: Arrow dictionary_encode
+    (C++ hash) + one np.unique over (doc, term-code) pairs + bincount."""
+    col = batch.column("tokens").combine_chunks()
+    offsets = col.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offsets)
+    total_tokens = int(lens.sum())
+    values = col.values
+    if len(values) and total_tokens:
+        denc = values.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab_n = len(denc.dictionary)
+        didx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        uniq_pairs = np.unique(didx * vocab_n + codes)
+        df_counts = np.bincount(uniq_pairs % vocab_n, minlength=vocab_n)
+        terms = denc.dictionary
+        counts = df_counts.astype(np.int64)
+    else:
+        terms = pa.array([""], pa.string())
+        counts = np.zeros(1, dtype=np.int64)
+    n_docs = np.zeros(len(terms), dtype=np.int64)
+    n_toks = np.zeros(len(terms), dtype=np.int64)
     n_docs[0] = batch.num_rows
     n_toks[0] = total_tokens
     return pa.table({
-        "term": pa.array(uniq, pa.string()),
+        "term": terms,
         "df": pa.array(counts, pa.int64()),
         "n_docs_partial": pa.array(n_docs, pa.int64()),
         "n_tokens_partial": pa.array(n_toks, pa.int64()),
