@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": ex.q_jaccard_pairs,
         "minhash_signatures": ex.q_minhash_signatures,
         "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
+        "dup_clusters": ex.q_dup_clusters,
         "simhash": ex.q_simhash,
         "embedding_neardups": ex.q_embedding_neardups,
         "ann_cosine_top10": ex.q_ann_cosine_top10,

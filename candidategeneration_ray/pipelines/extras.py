@@ -181,6 +181,48 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def q_dup_clusters(sf_dir: str, max_rounds: int = 20) -> pa.Table:
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    every doc gets the MIN doc_id of its duplicate cluster.
+
+    Distributed pattern (iterative min-label propagation, the
+    groupby-per-round shape that scales to graphs that don't fit one
+    node): labels start as doc_id; each round joins labels across edges
+    and takes the min per node; stops when no label changes. At this
+    scale the rounds run vectorized in-process on the edge list; the
+    per-round operation IS a groupby(node).min(label) and is expressed
+    that way. Output (doc_id, cluster) for ALL docs (singletons are
+    their own cluster)."""
+    import pyarrow.parquet as pq
+
+    pairs = q_minhash_lsh_pairs(sf_dir)
+    a = pairs.column("doc_a").to_numpy().astype(np.int64)
+    b = pairs.column("doc_b").to_numpy().astype(np.int64)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"]).column("doc_id").to_numpy().astype(np.int64)
+    docs = np.sort(docs)
+    label = docs.copy()  # label[i] for docs[i]
+
+    def idx(x):
+        return np.searchsorted(docs, x)
+
+    ia, ib = idx(a), idx(b)
+    for _ in range(max_rounds):
+        new = label.copy()
+        # propagate min label across each edge, both directions
+        np.minimum.at(new, ia, label[ib])
+        np.minimum.at(new, ib, label[ia])
+        # pointer-jump: label <- label of own label (halves chain length)
+        new = np.minimum(new, new[idx(new)])
+        if np.array_equal(new, label):
+            break
+        label = new
+    return pa.table({
+        "doc_id": pa.array(docs, pa.int64()),
+        "cluster": pa.array(label, pa.int64()),
+    })
+
+
 def q_simhash(sf_dir: str) -> ray.data.Dataset:
     """60-bit SimHash per doc over kept tokens weighted by tf.
     Embarrassingly parallel; Hamming-bucket grouping would follow the

@@ -347,6 +347,34 @@ SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS d
 FROM bandsig a JOIN bandsig b
   ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """,
+        "dup_clusters": f"""
+WITH RECURSIVE {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(H.SHINGLE_W)},
+{_MINHASH_CTE},
+bandsig AS (
+  SELECT doc_id, perm_id // {H.LSH_ROWS} AS band_id,
+         md5(string_agg(minhash::VARCHAR, '-' ORDER BY perm_id)) AS band_sig
+  FROM mh GROUP BY doc_id, perm_id // {H.LSH_ROWS}
+),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsig a JOIN bandsig b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+FROM reach GROUP BY node
+""",
         "simhash": f"""
 WITH {KEPT_CTE},
 bits AS (SELECT unnest(range(0, {H.SIMHASH_BITS})) AS b),

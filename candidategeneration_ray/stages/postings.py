@@ -64,8 +64,17 @@ class PostingEmitter:
                  filter_ref=None):
         stats = ray.get(stats_ref) if not isinstance(stats_ref, dict) else stats_ref
         self.cfg = cfg or EngineConfig()
-        self.term_to_id = {t: i + 1 for i, t in enumerate(stats["terms"])}
-        self.df_by_id = np.asarray(stats["df_by_id"], dtype=np.int64)
+        if "block_refs" in stats:
+            # range-blocked dictionary (stats_to_blocks): pull blocks on
+            # demand per batch instead of holding the whole vocabulary
+            self.blocks = stats
+            self._block_cache: dict[int, dict] = {}
+            self.term_to_id = None
+            self.df_by_id = None
+        else:
+            self.blocks = None
+            self.term_to_id = {t: i + 1 for i, t in enumerate(stats["terms"])}
+            self.df_by_id = np.asarray(stats["df_by_id"], dtype=np.int64)
         self.n_docs = stats["n_docs"]
         self.avgdl = stats["avgdl"]
         # filter set (M4/J1: broadcast semi-join; sorted int64 keys)
@@ -74,6 +83,29 @@ class PostingEmitter:
         else:
             fk = ray.get(filter_ref) if not isinstance(filter_ref, np.ndarray) else filter_ref
             self.filter_keys = np.sort(np.asarray(fk, dtype=np.int64))
+
+    def _resolve_blocks(self, dictionary) -> tuple[np.ndarray, np.ndarray]:
+        """Blocks mode: map this batch's UNIQUE tokens to (term_id, df)
+        by pulling only the dictionary blocks whose term range the
+        batch touches (cached per worker)."""
+        toks = np.asarray(dictionary.to_pylist(), dtype=object)
+        blocks = self.blocks
+        firsts = blocks["block_first_term"]
+        bases = blocks["block_base_id"]
+        bidx = np.searchsorted(firsts, toks, side="right") - 1
+        bidx = np.maximum(bidx, 0)
+        ids = np.empty(toks.size, dtype=np.int64)
+        dfs = np.empty(toks.size, dtype=np.int64)
+        for bi in np.unique(bidx):
+            if bi not in self._block_cache:
+                self._block_cache[bi] = ray.get(blocks["block_refs"][bi])
+            blk = self._block_cache[bi]
+            rows = bidx == bi
+            pos = np.searchsorted(blk["terms"], toks[rows])
+            # corpus tokens always resolve (dictionary covers the corpus)
+            ids[rows] = bases[bi] + pos + 1
+            dfs[rows] = blk["df"][np.minimum(pos, blk["df"].size - 1)]
+        return ids, dfs
 
     def _apply_filter(self, keys: np.ndarray) -> np.ndarray:
         """Boolean mask of keys present in the filter set (searchsorted
@@ -103,11 +135,16 @@ class PostingEmitter:
         if flat_strs.offset != 0 or len(flat_strs) != (offsets[-1] - base):
             flat_strs = flat_strs.slice(0, len(flat_strs))
         denc = flat_strs.dictionary_encode()
-        lookup = self.term_to_id
-        uniq_ids = np.fromiter(
-            (lookup[t] for t in denc.dictionary.to_pylist()),
-            dtype=np.int64, count=len(denc.dictionary),
-        )
+        if self.blocks is not None:
+            uniq_ids, self._uniq_df = self._resolve_blocks(denc.dictionary)
+            self._uniq_ids_sorted = np.sort(uniq_ids)
+            self._uniq_df_sorted = self._uniq_df[np.argsort(uniq_ids, kind="stable")]
+        else:
+            lookup = self.term_to_id
+            uniq_ids = np.fromiter(
+                (lookup[t] for t in denc.dictionary.to_pylist()),
+                dtype=np.int64, count=len(denc.dictionary),
+            )
         indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         flat_ids = uniq_ids[indices]
 
@@ -136,8 +173,13 @@ class PostingEmitter:
             maxtf_by_doc = np.zeros(batch.num_rows, dtype=np.int64)
             maxtf_by_doc[present_docs] = maxtf_per_presentdoc
 
+            if self.blocks is not None:
+                g_df = self._uniq_df_sorted[
+                    np.searchsorted(self._uniq_ids_sorted, g_term)]
+            else:
+                g_df = self.df_by_id[g_term]
             scores = bm25_quantized(
-                tf, maxtf_by_doc[g_doc], doc_lens[g_doc], self.df_by_id[g_term],
+                tf, maxtf_by_doc[g_doc], doc_lens[g_doc], g_df,
                 self.n_docs, self.avgdl, cfg.k1, cfg.b, cfg.quantization,
             )
 

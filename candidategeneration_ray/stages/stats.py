@@ -64,6 +64,36 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     })
 
 
+def stats_to_blocks(stats: dict, num_blocks: int = 16) -> dict:
+    """Range-blocked form of the dictionary/df state for vocabularies
+    too large to broadcast whole (SCALE.md): the sorted term space is
+    split into `num_blocks` ranges, each ray.put as its own object;
+    the describing dict holds only per-block first terms and base ids.
+    Term ids are IDENTICAL to the broadcast dictionary (block b's terms
+    get ids base_b+1..base_b+len). Workers pull only the blocks their
+    batches' tokens touch (PostingEmitter blocks mode)."""
+    terms = np.asarray(stats["terms"], dtype=object)
+    df = np.asarray(stats["df_by_id"][1:], dtype=np.int64)
+    bounds = np.linspace(0, terms.size, num_blocks + 1).astype(np.int64)
+    block_refs, first_terms, base_ids = [], [], []
+    for i in range(num_blocks):
+        lo, hi = bounds[i], bounds[i + 1]
+        if lo >= hi:
+            continue
+        block_refs.append(ray.put({"terms": terms[lo:hi], "df": df[lo:hi]}))
+        first_terms.append(terms[lo])
+        base_ids.append(int(lo))
+    return {
+        "block_refs": block_refs,
+        "block_first_term": np.array(first_terms, dtype=object),
+        "block_base_id": np.array(base_ids, dtype=np.int64),
+        "n_terms": int(terms.size),
+        "n_docs": stats["n_docs"],
+        "total_tokens": stats["total_tokens"],
+        "avgdl": stats["avgdl"],
+    }
+
+
 def compute_stats(ds_tokens: ray.data.Dataset) -> dict:
     """ds_tokens must carry a `tokens:list<string>` column.
 

@@ -104,3 +104,31 @@ class TestPostingLists:
         )
         expect = sum(len(set(ts)) for ts in oracle_small.tokens.values())
         assert uni_total == expect
+
+
+class TestBlockedDictionary:
+    def test_blocks_mode_emits_identical_postings(self, ray_session, transcripts_dir, built_index):
+        """The range-blocked dictionary (scale path) produces the exact
+        same posting stream as the broadcast dictionary."""
+        import ray
+        import ray.data
+
+        from candidategeneration_ray.config import EngineConfig
+        from candidategeneration_ray.stages.stats import compute_stats, stats_to_blocks
+        from candidategeneration_ray.stages.tokenize import attach_tokens
+        from candidategeneration_ray.stages.docids import attach_doc_ids, conv_offsets
+        from candidategeneration_ray.stages.postings import emit_postings
+
+        cfg = EngineConfig(partial_lists=False)
+        ds = ray.data.read_parquet(transcripts_dir, columns=["conv_id", "turn_idx", "text"])
+        toks = attach_tokens(ds)
+        stats = built_index["stats"]
+        off_ref = ray.put(conv_offsets(ds))
+        wi = attach_doc_ids(toks, off_ref)
+
+        a = emit_postings(wi, ray.put(stats), cfg).to_pandas() \
+            .sort_values(["key", "doc_id"]).reset_index(drop=True)
+        blocks = stats_to_blocks(stats, num_blocks=7)
+        b = emit_postings(wi, ray.put(blocks), cfg).to_pandas() \
+            .sort_values(["key", "doc_id"]).reset_index(drop=True)
+        assert a.equals(b)
