@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
+        "hit_index_top5": dq.q_hit_index_top5,          # HIT index family build
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model (rows-only)
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection (rows-only)

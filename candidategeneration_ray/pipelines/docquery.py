@@ -388,6 +388,59 @@ def q_hit_postings(sf_dir: str, term: str = "vector") -> pa.Table:
     })
 
 
+def q_hit_index_top5(sf_dir: str) -> pa.Table:
+    """HIT index FAMILY built through the real pipeline (the
+    reference's third index, [term, hitRank, docID] postings,
+    InvertedIndex.java:352-389): emitter runs in prior mode (score :=
+    per-doc static rank, rank 1 = best = longest doc here), lists build
+    through the same bucketed shuffle. Output: per fixed-query term the
+    top-5 docs by (hit_rank asc, doc_id asc)."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.stages.listbuild import build_posting_lists
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    prior_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "n_chars"])
+    p_ids = prior_t.column("doc_id").to_numpy().astype(np.int64)
+    n_chars = prior_t.column("n_chars").to_numpy()
+    rank_of = np.empty(p_ids.size, dtype=np.int32)
+    rank_of[np.lexsort((p_ids, -n_chars))] = np.arange(1, p_ids.size + 1, dtype=np.int32)
+    order = np.argsort(p_ids)
+    prior = {"doc_ids": p_ids[order], "rank": rank_of[order]}
+
+    toks = doc_tokens(sf_dir)
+    stats = compute_stats(toks)
+    cfg = EngineConfig(emit_pairs=False)
+    postings = emit_postings(toks, ray.put(stats), cfg, prior_ref=ray.put(prior))
+    lists = build_posting_lists(postings, cfg)
+    reader = IndexReader(pa.concat_tables(
+        [b for b in lists.iter_batches(batch_size=None, batch_format="pyarrow")]),
+        stats)
+
+    qterms = sorted({t for _, text in DOC_QUERIES for t in tokenize_text(text)
+                     if t in reader.term_to_id})
+    terms_out, ranks, docs, hits = [], [], [], []
+    for term in qterms:
+        got = reader.get(reader.term_to_id[term])
+        if got is None:
+            continue
+        d, hit_rank, _, _ = got
+        top = np.lexsort((d, hit_rank))[:5]
+        for r, i in enumerate(top):
+            terms_out.append(term)
+            ranks.append(r + 1)
+            docs.append(int(d[i]))
+            hits.append(int(hit_rank[i]))
+    return pa.table({
+        "term": pa.array(terms_out, pa.string()),
+        "prefix_rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "hit_rank": pa.array(hits, pa.int64()),
+    })
+
+
 def _predictive_setup(sf_dir: str):
     from candidategeneration_ray.state.queryengine import IndexReader, QueryEngine
     from candidategeneration_ray.state.selection import build_quality_model

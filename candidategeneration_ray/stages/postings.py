@@ -61,9 +61,18 @@ class PostingEmitter:
     """Callable class for ds.map_batches(PostingEmitter, fn_constructor_args=...)."""
 
     def __init__(self, stats_ref, cfg: EngineConfig | None = None,
-                 filter_ref=None):
+                 filter_ref=None, prior_ref=None):
         stats = ray.get(stats_ref) if not isinstance(stats_ref, dict) else stats_ref
         self.cfg = cfg or EngineConfig()
+        # HIT-family mode (InvertedIndex.java:375-378): when a per-doc
+        # static prior is supplied, unigram postings carry the doc's
+        # prior rank instead of BM25 (pairs are not emitted — the HIT
+        # family is unigram-only). prior = {"doc_ids": sorted int64,
+        # "rank": int32 aligned}.
+        if prior_ref is None:
+            self.prior = None
+        else:
+            self.prior = ray.get(prior_ref) if not isinstance(prior_ref, dict) else prior_ref
         if "block_refs" in stats:
             # range-blocked dictionary (stats_to_blocks): pull blocks on
             # demand per batch instead of holding the whole vocabulary
@@ -183,6 +192,13 @@ class PostingEmitter:
                 self.n_docs, self.avgdl, cfg.k1, cfg.b, cfg.quantization,
             )
 
+            if self.prior is not None:
+                # replace scores with the doc's prior rank (HIT family)
+                pr = self.prior
+                pdocs = doc_ids[g_doc]
+                pos = np.searchsorted(pr["doc_ids"], pdocs)
+                scores = pr["rank"][pos].astype(np.int32)
+
             out_key, out_score, out_doc = [], [], []
             if cfg.emit_unigrams:
                 if self.filter_keys is not None:
@@ -194,7 +210,7 @@ class PostingEmitter:
                     out_key.append(g_term)
                     out_score.append(scores)
                     out_doc.append(doc_ids[g_doc])
-            if cfg.emit_pairs and n_tok >= 2:
+            if cfg.emit_pairs and n_tok >= 2 and self.prior is None:
                 # window pairs, batch-global: shift + doc-boundary mask
                 chunks_k, chunks_d = [], []
                 for s in range(1, cfg.distance + 1):
@@ -260,7 +276,7 @@ _WORKER_EMITTERS: dict = {}
 
 def emit_postings(ds, stats_ref, cfg: EngineConfig | None = None,
                   concurrency=None, use_actors: bool = False,
-                  filter_ref=None):
+                  filter_ref=None, prior_ref=None):
     """Map the token dataset to the posting stream (T1, SURVEY §2.3).
 
     Default is stateless TASKS with a per-worker-process emitter cache:
@@ -282,19 +298,22 @@ def emit_postings(ds, stats_ref, cfg: EngineConfig | None = None,
             concurrency = (1, max(2, total))
         return projected.map_batches(
             PostingEmitter,
-            fn_constructor_args=(stats_ref, cfg, filter_ref),
+            fn_constructor_args=(stats_ref, cfg, filter_ref, prior_ref),
             batch_format="pyarrow",
             batch_size=cfg.emit_batch_size,
             concurrency=concurrency,
         )
 
-    key = (stats_ref.hex() if hasattr(stats_ref, "hex") else id(stats_ref),
-           filter_ref.hex() if hasattr(filter_ref, "hex") else id(filter_ref))
+    def _rid(r):
+        return r.hex() if hasattr(r, "hex") else id(r)
+
+    key = (_rid(stats_ref), _rid(filter_ref), _rid(prior_ref))
 
     def _emit(batch: pa.Table) -> pa.Table:
         em = _WORKER_EMITTERS.get(key)
         if em is None:
-            em = _WORKER_EMITTERS[key] = PostingEmitter(stats_ref, cfg, filter_ref)
+            em = _WORKER_EMITTERS[key] = PostingEmitter(
+                stats_ref, cfg, filter_ref, prior_ref)
         return em(batch)
 
     return projected.map_batches(

@@ -121,3 +121,39 @@ class TestScalableDocIds:
         b = attach_doc_ids_scalable(ds, off_scal).to_pandas() \
             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
         assert (a["doc_id"] == b["doc_id"]).all()
+
+
+class TestParallelismIndependence:
+    def test_block_count_does_not_change_index(self, ray_session, transcripts_dir, tmp_path):
+        """SURVEY §5.2-4: builds from 2-block and 8-block input layouts
+        produce identical logical indexes (no execution-order or
+        batch-boundary dependence)."""
+        import ray.data
+
+        from candidategeneration_ray.config import EngineConfig
+        from candidategeneration_ray.stages.docids import attach_doc_ids, conv_offsets
+        from candidategeneration_ray.stages.listbuild import build_posting_lists
+        from candidategeneration_ray.stages.postings import emit_postings
+        from candidategeneration_ray.stages.stats import compute_stats
+        from candidategeneration_ray.stages.tokenize import attach_tokens
+        from candidategeneration_ray.state.queryengine import IndexReader
+        import ray
+
+        fingerprints = []
+        for nblocks in (2, 8):
+            ds = ray.data.read_parquet(
+                transcripts_dir, columns=["conv_id", "turn_idx", "text"],
+                override_num_blocks=nblocks)
+            toks = attach_tokens(ds)
+            stats = compute_stats(toks)
+            off_ref = ray.put(conv_offsets(ds))
+            cfg = EngineConfig(emit_batch_size=512 * nblocks)  # different batching too
+            postings = emit_postings(attach_doc_ids(toks, off_ref), ray.put(stats), cfg)
+            lists = build_posting_lists(postings, cfg)
+            out = str(tmp_path / f"blocks{nblocks}")
+            lists.write_parquet(out)
+            r = IndexReader(out, stats)
+            fp = {int(k): r.get(int(k))[0].tobytes() + r.get(int(k))[1].tobytes()
+                  for k in r.keys}
+            fingerprints.append(fp)
+        assert fingerprints[0] == fingerprints[1]
