@@ -38,7 +38,6 @@ from candidategeneration_ray.stages.postings import emit_postings
 from candidategeneration_ray.stages.stats import compute_stats
 from candidategeneration_ray.stages.tokenize import attach_tokens
 from candidategeneration_ray.state import checkpoint as ckpt
-from candidategeneration_ray.functions.varint import decode_delta, encode_delta
 
 INPUT_COLUMNS = ["conv_id", "turn_idx", "text"]
 
@@ -251,52 +250,46 @@ def _merge_parts(part_dirs: list[str], final_dir: str, cfg: EngineConfig) -> Non
     groupby(bucket) over the sub-list rows (bucket-parallel, vectorized
     inside).
     """
-    files = []
-    for p, d in enumerate(part_dirs):
-        files += [
-            (p, os.path.join(d, f)) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-        ]
-    tables = []
-    for p, f in files:
-        t = pq.read_table(f)
-        tables.append(t.append_column("part", pa.array(np.full(t.num_rows, p, dtype=np.int32))))
-    union = pa.concat_tables(tables)
-    ds = ray.data.from_arrow(union)
+    # distributed read: one dataset per partition with its part id
+    # attached in workers — the driver never materializes segment data
+    def _tag(p):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "part", pa.array(np.full(batch.num_rows, p, dtype=np.int32)))
+        return fn
 
-    def _merge_bucket(group: dict) -> pa.Table:
-        keys = np.asarray(group["key"], dtype=np.int64)
-        parts = np.asarray(group["part"], dtype=np.int32)
-        order = np.lexsort((parts, keys))
-        out = {"key": [], "n": [], "docs": [], "scores": [], "block_max": [],
-               "block_last": [], "bucket": []}
-        bs = cfg.block_size
-        i = 0
-        while i < len(order):
-            j = i
-            while j < len(order) and keys[order[j]] == keys[order[i]]:
-                j += 1
-            rows = order[i:j]
-            docs = np.concatenate([decode_delta(group["docs"][r]).astype(np.int64) for r in rows])
-            scores = np.concatenate([np.frombuffer(group["scores"][r], dtype="<i4") for r in rows])
-            out["key"].append(int(keys[order[i]]))
-            out["n"].append(docs.size)
-            out["docs"].append(encode_delta(docs))
-            out["scores"].append(scores.astype("<i4").tobytes())
-            nb = (docs.size + bs - 1) // bs
-            out["block_max"].append([int(scores[b * bs:(b + 1) * bs].max()) for b in range(nb)])
-            out["block_last"].append([int(docs[min((b + 1) * bs, docs.size) - 1]) for b in range(nb)])
-            out["bucket"].append(int(group["bucket"][order[i]]))
-            i = j
-        return pa.table({
-            "key": pa.array(out["key"], pa.int64()),
-            "n": pa.array(out["n"], pa.int64()),
-            "docs": pa.array(out["docs"], pa.binary()),
-            "scores": pa.array(out["scores"], pa.binary()),
-            "block_max": pa.array(out["block_max"], pa.list_(pa.int32())),
-            "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
-            "bucket": pa.array(out["bucket"], pa.int32()),
-        })
+    part_ds = [
+        ray.data.read_parquet(
+            sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+        ).map_batches(_tag(p), batch_format="pyarrow")
+        for p, d in enumerate(part_dirs)
+    ]
+    ds = part_ds[0]
+    for other in part_ds[1:]:
+        ds = ds.union(other)
 
-    merged = ds.groupby("bucket").map_groups(_merge_bucket, batch_format="numpy")
+    def _merge_bucket(group: pa.Table) -> pa.Table:
+        # part sub-lists ARE partial lists whose doc ranges are disjoint
+        # and ordered by partition — the vectorized partial-list merge
+        # (one bulk decode + one lexsort + grouped re-encode) applies
+        # directly; the (key, doc) sort reproduces part order for free.
+        from candidategeneration_ray.functions.arrowutil import binary_column_concat
+        from candidategeneration_ray.stages.listbuild import merge_partial_lists
+
+        keys = group.column("key").to_numpy().astype(np.int64)
+        if keys.size == 0:
+            return group.drop_columns(["part"])
+        docs_data, _ = binary_column_concat(group.column("docs"))
+        scores_data, _ = binary_column_concat(group.column("scores"))
+        return merge_partial_lists(
+            keys,
+            group.column("n").to_numpy().astype(np.int64),
+            docs_data,
+            scores_data,
+            cfg,
+            int(group.column("bucket")[0].as_py()),
+        )
+
+    merged = ds.groupby("bucket").map_groups(_merge_bucket, batch_format="pyarrow")
     os.makedirs(final_dir, exist_ok=True)
     merged.write_parquet(final_dir)
