@@ -10,6 +10,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+# Bump when the on-disk segment/stats layout changes — cache dirs and
+# manifests keyed by this version so stale artifacts from older code
+# are rebuilt, not misread.
+FORMAT_VERSION = 1
+
 
 @dataclass(frozen=True)
 class EngineConfig:

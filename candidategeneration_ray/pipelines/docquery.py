@@ -53,8 +53,10 @@ def doc_tokens(sf_dir: str) -> ray.data.Dataset:
 
 
 def _cache_dir(sf_dir: str, tag: str) -> str:
+    from candidategeneration_ray.config import FORMAT_VERSION
+
     digest = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join("/tmp/cg_ray_cache", f"{tag}-{digest}")
+    return os.path.join("/tmp/cg_ray_cache", f"v{FORMAT_VERSION}-{tag}-{digest}")
 
 
 def build_documents_index(sf_dir: str, cfg: EngineConfig | None = None) -> dict:
