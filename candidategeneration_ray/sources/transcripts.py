@@ -27,7 +27,9 @@ import pyarrow.parquet as pq
 ROLES = ["user", "assistant", "system", "tool"]
 
 def _vocab() -> list[str]:
-    """~200-word vocabulary; sampled with Zipf-ish skew."""
+    """~1.5k-word vocabulary; sampled with Zipf-ish skew (a hot head of
+    ~200 terms, a long synthetic tail so dictionary/df/pair key spaces
+    behave realistically)."""
     stems = [
         "agent", "batch", "cache", "data", "error", "file", "graph", "host",
         "index", "job", "kernel", "latency", "model", "node", "object",
@@ -42,13 +44,25 @@ def _vocab() -> list[str]:
     # pure-numeric tokens (kept by the tokenizer) and some rare terms
     vocab += [str(1000 + i) for i in range(20)]
     vocab += [f"rareterm{chr(ord('a') + i)}" for i in range(20)]
+    # long tail: deterministic synthetic terms (Zipf weights put these
+    # in the low-frequency regime; many occur in only a handful of turns)
+    pre = ["sys", "net", "mem", "disk", "log", "api", "rpc", "gpu"]
+    suf = ["alloc", "trace", "fault", "probe", "stat", "conf", "meta",
+           "pool", "lock", "span", "tick", "hook", "gauge", "quota",
+           "shim", "queue", "edge", "leaf", "root", "path"]
+    for p in pre:
+        for s in suf:
+            for k in range(8):
+                # pure-alpha variants (mixed alnum would be dropped by
+                # the tokenizer's keep-filter)
+                vocab.append(f"{p}{s}" if k == 0 else f"{p}{s}{chr(ord('a') + k)}")
     # dedupe preserving order
     seen, out = set(), []
     for w in vocab:
         if w not in seen:
             seen.add(w)
             out.append(w)
-    return out[:220]
+    return out
 
 
 def generate_transcripts(num_convs: int, seed: int = 42) -> pa.Table:

@@ -1,0 +1,43 @@
+"""Doc-sharded scatter-gather serving must be rank-identical to the
+single-engine path (and therefore to the oracle)."""
+
+import os
+
+import pytest
+
+from candidategeneration_ray.pipelines.build import build_index
+from candidategeneration_ray.state.queryengine import QueryEngine
+from candidategeneration_ray.state.sharded import ShardedQueryEngine
+
+QUERIES = [
+    "query engine latency", "data", "index worker shard", "rareterma data",
+    "model kernel vector actor", "alpha beta gamma", "1003 1007",
+    "the and of", "absentzzz",
+]
+
+
+@pytest.fixture(scope="module")
+def sharded_setup(ray_session, transcripts_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sharded_idx"))
+    res = build_index(transcripts_dir, out, partitions=3)
+    part_dirs = sorted(
+        os.path.join(out, "segments", d)
+        for d in os.listdir(os.path.join(out, "segments"))
+    )
+    single = QueryEngine(res["final_dir"], res["stats"])
+    fleet = ShardedQueryEngine(part_dirs, res["stats"])
+    yield single, fleet
+    fleet.shutdown()
+
+
+class TestShardedServing:
+    @pytest.mark.parametrize("qtext", QUERIES)
+    def test_rank_identity_vs_single_engine(self, sharded_setup, qtext):
+        single, fleet = sharded_setup
+        assert fleet.topk(qtext, k=10) == single.topk(qtext, k=10), qtext
+
+    def test_various_k(self, sharded_setup):
+        single, fleet = sharded_setup
+        for k in (1, 5, 50, 1000):
+            assert fleet.topk("query index data", k=k) == \
+                single.topk("query index data", k=k)
