@@ -157,15 +157,12 @@ def build_index(
         ckpt.clear_partial(sd)
         ds = read_transcripts(inputs)
         toks = attach_tokens(ds)
-        # the two aggregations are independent datasets — execute them
-        # concurrently (the streaming executor interleaves their stages)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            stats_f = pool.submit(compute_stats, toks)
-            offsets_f = pool.submit(conv_offsets, ds)
-            stats = stats_f.result()
-            offsets = offsets_f.result()
+        # sequential: measured faster than both thread-concurrent
+        # execution (two streaming executions contend) and a fused
+        # single-groupby variant (the two-column string groupby path
+        # costs more than the second shuffle saves)
+        stats = compute_stats(toks)
+        offsets = conv_offsets(ds)
         _persist_stats(out_dir, stats, offsets, inputs)
         metrics["phases"].append({"phase": "stats", "skipped": False,
                                   "sec": round(time.time() - t0, 3)})
