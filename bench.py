@@ -108,12 +108,18 @@ def run_bench() -> dict:
     # documents-table operator pipelines at GRAFT_SF_DIR
     per_query: dict[str, float] = {}
     shutil.rmtree("/tmp/cg_ray_cache", ignore_errors=True)
+    from candidategeneration_ray.pipelines import extras as ex
+
     for name, fn in [
         ("build_transcript_index", None),          # recorded below
         ("tokenize_counts", dq.q_tokenize_counts),
         ("df_top50", dq.q_df_top50),
         ("pair_counts_top50", dq.q_pair_counts_top50),
         ("bm25_topk", dq.q_bm25_topk),
+        ("dedup_exact", ex.q_dedup_exact),
+        ("minhash_lsh_pairs", ex.q_minhash_lsh_pairs),
+        ("ann_cosine_top10", ex.q_ann_cosine_top10),
+        ("text_stats", ex.q_text_stats),
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)

@@ -80,14 +80,25 @@ _EXHAUSTED = 1 << 62
 class IndexReader:
     """Loads index segments (parquet dir or pyarrow Table) + lazy list decode."""
 
-    def __init__(self, source, stats: dict | None = None, cfg: EngineConfig | None = None):
+    def __init__(self, source, stats: dict | None = None, cfg: EngineConfig | None = None,
+                 buckets: list[int] | None = None):
+        """`buckets`: load only these key-hash buckets — the unit of a
+        key-sharded serving fleet (each shard owns a bucket subset of
+        the bucket-partitioned segment layout)."""
         self.cfg = cfg or EngineConfig()
         if isinstance(source, str):
             files = sorted(glob.glob(os.path.join(source, "**", "*.parquet"), recursive=True))
-            tables = [pq.read_table(f) for f in files]
+            filters = [("bucket", "in", list(buckets))] if buckets is not None else None
+            tables = [pq.read_table(f, filters=filters) for f in files]
             table = pa.concat_tables(tables) if tables else None
         else:
             table = source
+            if buckets is not None:
+                import pyarrow.compute as pc
+
+                table = table.filter(
+                    pc.is_in(table.column("bucket"),
+                             value_set=pa.array(list(buckets), pa.int32())))
         if table is None or table.num_rows == 0:
             raise ValueError(f"no index segments found in {source!r}")
         table = table.combine_chunks()
@@ -164,6 +175,12 @@ class IndexReader:
 
 def wand_topk(lists: list[_List], k: int, block_size: int) -> list[tuple[int, int]]:
     """Exact top-k by (score desc, doc_id asc) via block-max WAND.
+
+    Algorithm follows the published literature: WAND pivoting (Broder,
+    Carmel, Herscovici, Soffer, Zien, "Efficient query evaluation using
+    a two-level retrieval process", CIKM 2003) with block-max skipping
+    (Ding & Suel, "Faster top-k document retrieval using block-max
+    indexes", SIGIR 2011), adapted for signed quantized scores.
 
     Invariants that make this exact:
       - docs are traversed in ascending doc-id order, so with a full

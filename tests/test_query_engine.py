@@ -152,3 +152,29 @@ class TestActorPoolServing(object):
         for qid, grp in out.groupby("query_id"):
             assert list(grp.sort_values("rank")["rank"]) == list(range(len(grp)))
             assert len(grp) <= 10
+
+
+class TestBucketFilteredLoad:
+    def test_bucket_subset_covers_its_keys(self, built_index):
+        from candidategeneration_ray.stages.listbuild import bucket_of
+        import numpy as np
+
+        full = IndexReader(built_index["final_dir"], built_index["stats"])
+        cfg = EngineConfig()
+        some = IndexReader(built_index["final_dir"], built_index["stats"],
+                           buckets=[0, 1, 2])
+        # every loaded key belongs to the requested buckets and matches
+        # the full reader's list byte-for-byte
+        assert 0 < some.keys.size < full.keys.size
+        b = bucket_of(some.keys, cfg.num_buckets)
+        assert set(b.tolist()) <= {0, 1, 2}
+        for k in some.keys[::17]:
+            for x, y in zip(some.get(int(k)), full.get(int(k))):
+                assert np.array_equal(x, y)
+        # union of all buckets reproduces the full key set
+        union_keys = sum(
+            IndexReader(built_index["final_dir"], built_index["stats"],
+                        buckets=list(range(s, cfg.num_buckets, 4))).keys.size
+            for s in range(4)
+        )
+        assert union_keys == full.keys.size
