@@ -51,59 +51,108 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
 # ------------------------------------------------- shingles / near-dedup
 
 def _shingle_rows(batch: pa.Table, w: int) -> pa.Table:
-    """(doc_id, shingle_h) rows — DISTINCT shingles per doc."""
+    """(doc_id, shingle_h, doc_n) rows — DISTINCT shingles per doc,
+    with the doc's set size carried on every row (docs are batch-local,
+    so sizes are exact — no separate sizing aggregation needed)."""
     token_lists = tokenize_many(batch.column("text").to_pylist())
     doc_ids = batch.column("doc_id").to_numpy()
-    out_doc, out_h = [], []
+    out_doc, out_h, out_n = [], [], []
     for i, toks in enumerate(token_lists):
         hs = np.unique(H.h64_many(H.word_shingles(toks, w)))
         out_doc.append(np.full(hs.size, doc_ids[i], dtype=np.int64))
         out_h.append(hs)
+        out_n.append(np.full(hs.size, hs.size, dtype=np.int64))
     return pa.table({
         "doc_id": pa.array(np.concatenate(out_doc) if out_doc else [], pa.int64()),
         "shingle_h": pa.array(
             np.concatenate(out_h).astype(np.int64) if out_h else [], pa.int64()),
+        "doc_n": pa.array(np.concatenate(out_n) if out_n else [], pa.int64()),
     })
+
+
+def _explode_pairs(shingle_h: np.ndarray, doc_ids: np.ndarray):
+    """All within-shingle doc pairs (a<b), vectorized by GROUP-SIZE
+    CLASS: every shingle group of the same cardinality is processed as
+    one matrix triu — no per-group Python calls."""
+    order = np.lexsort((doc_ids, shingle_h))
+    sh, dc = shingle_h[order], doc_ids[order]
+    starts = np.concatenate(([0], np.nonzero(sh[1:] != sh[:-1])[0] + 1))
+    counts = np.diff(np.concatenate((starts, [sh.size])))
+    out_a, out_b = [], []
+    for c in np.unique(counts):
+        if c < 2:
+            continue
+        s_c = starts[counts == c]
+        mat = dc[s_c[:, None] + np.arange(c)]
+        ia, ib = np.triu_indices(int(c), k=1)
+        out_a.append(mat[:, ia].ravel())
+        out_b.append(mat[:, ib].ravel())
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
 
 
 def q_jaccard_pairs(sf_dir: str, threshold_pct: int = 20) -> pa.Table:
     """n-gram-Jaccard near-dup candidates: doc pairs whose distinct
     3-word-shingle sets overlap with Jaccard >= threshold_pct/100.
-    Pattern: shingle rows → groupby(shingle) → pair explosion →
-    groupby(pair).count (intersection) → filter by |A|+|B| (broadcast
-    per-doc set sizes). Output (doc_a, doc_b, inter_n, union_n)."""
+    Pattern: shingle rows → groupby(shingle-hash BUCKET, not shingle —
+    thousands of tiny groups would drown in per-group overhead) →
+    size-class-vectorized pair explosion per bucket → groupby(pair)
+    count (intersection) → filter by |A|+|B| (broadcast per-doc set
+    sizes). Output (doc_a, doc_b, inter_n, union_n)."""
+    from ray.data.aggregate import Max, Sum
+
     shingles = documents_ds(sf_dir).map_batches(
         lambda b: _shingle_rows(b, H.SHINGLE_W), batch_format="pyarrow")
 
-    sizes_pdf = shingles.groupby("doc_id").count().to_pandas()
-    sizes = dict(zip(sizes_pdf["doc_id"].astype(np.int64),
-                     sizes_pdf["count()"].astype(np.int64)))
-    sizes_ref = ray.put(sizes)
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        h = batch.column("shingle_h").to_numpy()
+        return batch.append_column(
+            "sbucket", pa.array((h.astype(np.uint64) % 64).astype(np.int32)))
 
-    def _pairs(group: dict) -> pa.Table:
-        docs = np.sort(np.asarray(group["doc_id"], dtype=np.int64))
-        if docs.size < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(docs.size, k=1)
-        return pa.table({"doc_a": pa.array(docs[ia], pa.int64()),
-                         "doc_b": pa.array(docs[ib], pa.int64())})
+    def _pairs(group: pa.Table) -> pa.Table:
+        docs = group.column("doc_id").to_numpy().astype(np.int64)
+        a, b = _explode_pairs(
+            group.column("shingle_h").to_numpy().astype(np.int64), docs)
+        # partial intersection counts within the bucket + doc set sizes
+        # (constant per doc, resolved from this group's rows)
+        if a.size:
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            starts = np.nonzero(new)[0]
+            cnt = np.diff(np.concatenate((starts, [a.size])))
+            a, b = a[starts], b[starts]
+            uniq_docs, first = np.unique(docs, return_index=True)
+            doc_n = group.column("doc_n").to_numpy().astype(np.int64)[first]
+            size_a = doc_n[np.searchsorted(uniq_docs, a)]
+            size_b = doc_n[np.searchsorted(uniq_docs, b)]
+        else:
+            cnt = size_a = size_b = np.empty(0, np.int64)
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "inter_partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            "size_a": pa.array(size_a, pa.int64()),
+            "size_b": pa.array(size_b, pa.int64()),
+        })
 
     inter = (
-        shingles.groupby("shingle_h").map_groups(_pairs, batch_format="numpy")
-        .groupby(["doc_a", "doc_b"]).count()
+        shingles.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("sbucket").map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"]).aggregate(
+            Sum("inter_partial", alias_name="inter_n"),
+            Max("size_a", alias_name="size_a"),
+            Max("size_b", alias_name="size_b"),
+        )
     )
 
-    def _filter(batch: pa.Table, *, _c={}) -> pa.Table:
-        if "s" not in _c:
-            _c["s"] = ray.get(sizes_ref)
-        s = _c["s"]
+    def _filter(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy()
         b = batch.column("doc_b").to_numpy()
-        inter_n = batch.column("count()").to_numpy().astype(np.int64)
-        sa = np.array([s[x] for x in a], dtype=np.int64)
-        sb = np.array([s[x] for x in b], dtype=np.int64)
-        union_n = sa + sb - inter_n
+        inter_n = batch.column("inter_n").to_numpy().astype(np.int64)
+        union_n = (batch.column("size_a").to_numpy().astype(np.int64)
+                   + batch.column("size_b").to_numpy().astype(np.int64) - inter_n)
         keep = inter_n * 100 >= threshold_pct * union_n
         return pa.table({
             "doc_a": pa.array(a[keep], pa.int64()),
