@@ -42,6 +42,16 @@ from candidategeneration_ray.state import checkpoint as ckpt
 INPUT_COLUMNS = ["conv_id", "turn_idx", "text"]
 
 
+def read_index_segments(index_dir: str) -> ray.data.Dataset:
+    """Read a segment directory as a Dataset (skips MANIFEST.json —
+    naive read_parquet on the dir would choke on it)."""
+    files = sorted(
+        os.path.join(index_dir, f)
+        for f in os.listdir(index_dir) if f.endswith(".parquet")
+    )
+    return ray.data.read_parquet(files)
+
+
 def read_transcripts(source: str | list[str]) -> ray.data.Dataset:
     """Column-pruned transcript read (only what indexing needs leaves
     storage)."""

@@ -117,6 +117,104 @@ def build_quality_model(
     return QualityModel(len_bounds, rank_bounds, prob[False], prob[True])
 
 
+def build_quality_model_distributed(
+    lists_ds,
+    query_keysets: list[list[int]],
+    ground_truth: list[list[int]],
+    max_list_len: int,
+    len_rule: float = 1.1,
+    rank_rule: float = 1.4,
+) -> QualityModel:
+    """Distributed Q2/A6: the reference streams the merged index once
+    against broadcast ground truth (NewQualityModel.java:50-80); the
+    Ray shape is map_batches over the posting-list dataset with the
+    (small) GT broadcast, emitting partial (family, xbucket, ybucket,
+    hits/opps) rows, then one tiny groupby-sum. Identical matrices to
+    build_quality_model (tested); this variant never holds the index in
+    one process.
+
+    lists_ds: the posting-list Dataset/segments (key, n, docs, scores).
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.functions.varint import decode_delta
+
+    len_bounds = geometric_buckets(4, len_rule, max(int(max_list_len), 5))
+    rank_bounds = geometric_buckets(11, rank_rule, max(int(max_list_len), 12))
+
+    # broadcast: key -> (n_queries_with_key * gt docs...) — we need per
+    # (key, query) the query's gt set; flatten to key -> list of gt sets
+    key_to_gts: dict[int, list[np.ndarray]] = {}
+    for keys, gt in zip(query_keysets, ground_truth):
+        if not gt:
+            continue
+        g = np.asarray(sorted(gt), dtype=np.int64)
+        for k in keys:
+            key_to_gts.setdefault(int(k), []).append(g)
+    gt_ref = ray.put(key_to_gts)
+
+    def _partials(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "gt" not in _c:
+            _c["gt"] = ray.get(gt_ref)
+        gt = _c["gt"]
+        rows = {"family": [], "x": [], "y": [], "hits": [], "opps": []}
+        keys = batch.column("key").to_numpy()
+        for r in range(batch.num_rows):
+            gsets = gt.get(int(keys[r]))
+            if not gsets:
+                continue
+            docs = decode_delta(batch.column("docs")[r].as_py()).astype(np.int64)
+            scores = np.frombuffer(batch.column("scores")[r].as_py(), dtype="<i4")
+            is_pair = int(keys[r]) >= (1 << 32)
+            x = bucket_of(docs.size, len_bounds)
+            order = np.lexsort((docs, -scores.astype(np.int64)))
+            ranked = docs[order]
+            for g in gsets:
+                rows["family"].append(int(is_pair))
+                rows["x"].append(x)
+                rows["y"].append(-1)       # opportunity-marker row
+                rows["hits"].append(0)
+                rows["opps"].append(int(g.size))
+                depths = np.nonzero(np.isin(ranked, g))[0]
+                for d in depths:
+                    rows["family"].append(int(is_pair))
+                    rows["x"].append(x)
+                    rows["y"].append(bucket_of(int(d) + 1, rank_bounds))
+                    rows["hits"].append(1)
+                    rows["opps"].append(0)
+        return pa.table({
+            "family": pa.array(rows["family"], pa.int8()),
+            "x": pa.array(rows["x"], pa.int32()),
+            "y": pa.array(rows["y"], pa.int32()),
+            "hits": pa.array(rows["hits"], pa.int64()),
+            "opps": pa.array(rows["opps"], pa.int64()),
+        })
+
+    agg = (
+        lists_ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["family", "x", "y"])
+        .aggregate(Sum("hits", alias_name="hits"), Sum("opps", alias_name="opps"))
+        .to_pandas()
+    )
+    shape = (len_bounds.size, rank_bounds.size)
+    hits = {False: np.zeros(shape), True: np.zeros(shape)}
+    opps = {False: np.zeros(len_bounds.size), True: np.zeros(len_bounds.size)}
+    for _, row in agg.iterrows():
+        fam = bool(row["family"])
+        if row["y"] < 0:
+            opps[fam][int(row["x"])] += row["opps"]
+        else:
+            hits[fam][int(row["x"]), int(row["y"])] += row["hits"]
+    prob = {}
+    for fam in (False, True):
+        cum = np.cumsum(hits[fam], axis=1)
+        prob[fam] = np.clip(cum / np.maximum(opps[fam], 1.0)[:, None], 0.0, 1.0)
+    return QualityModel(len_bounds, rank_bounds, prob[False], prob[True])
+
+
 def greedy_select_chunks(
     reader: IndexReader,
     model: QualityModel,

@@ -118,3 +118,27 @@ class TestPredictiveCandidates:
         exact = {d: s for s, d in eng.topk(q, k=10_000)}
         for s, d in cands:
             assert exact[d] == s
+
+
+class TestDistributedQualityModel:
+    def test_matches_driver_side_model(self, ray_session, built_index, setup):
+        """The map-over-segments + groupby-sum model equals the
+        driver-side scan bit-for-bit."""
+        import numpy as np
+        import ray.data
+
+        from candidategeneration_ray.state.selection import (
+            build_quality_model_distributed,
+        )
+
+        from candidategeneration_ray.pipelines.build import read_index_segments
+
+        reader, eng, keysets, gts, model = setup
+        lists_ds = read_index_segments(built_index["final_dir"])
+        max_len = int(reader._n.max())
+        dist = build_quality_model_distributed(
+            lists_ds, keysets, gts, max_list_len=max_len)
+        assert np.array_equal(dist.len_bounds, model.len_bounds)
+        assert np.array_equal(dist.rank_bounds, model.rank_bounds)
+        for fam in (False, True):
+            assert np.allclose(dist.prob[fam], model.prob[fam], atol=0), fam
