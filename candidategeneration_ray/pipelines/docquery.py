@@ -59,6 +59,19 @@ def _cache_dir(sf_dir: str, tag: str) -> str:
     return os.path.join("/tmp/cg_ray_cache", f"v{FORMAT_VERSION}-{tag}-{digest}")
 
 
+# in-process memo of corpus stats per sf_dir — half a dozen entries
+# need the same dictionary/df pass; one Ray groupby (~seconds) each
+# adds up across the driver's correctness sweep
+_STATS_MEMO: dict[str, dict] = {}
+
+
+def corpus_stats(sf_dir: str) -> dict:
+    key = os.path.realpath(sf_dir)
+    if key not in _STATS_MEMO:
+        _STATS_MEMO[key] = compute_stats(doc_tokens(sf_dir))
+    return _STATS_MEMO[key]
+
+
 def build_documents_index(sf_dir: str, cfg: EngineConfig | None = None) -> dict:
     """Build (or reuse) the full static index over the documents table.
 
@@ -80,7 +93,7 @@ def build_documents_index(sf_dir: str, cfg: EngineConfig | None = None) -> dict:
         return {"final_dir": final, "stats": stats}
 
     toks = doc_tokens(sf_dir)
-    stats = compute_stats(toks)
+    stats = corpus_stats(sf_dir)
     offsets = {  # documents have no conversations; synthesize 1 "conv" lineage
         "conv_ids": np.array(["documents"], dtype=object),
         "bases": np.array([0], dtype=np.int64),
@@ -112,7 +125,7 @@ def q_tokenize_counts(sf_dir: str) -> ray.data.Dataset:
 
 def q_global_stats(sf_dir: str) -> pa.Table:
     """Corpus stats N / total kept tokens (A1, InvertedIndex.java:171-172)."""
-    stats = compute_stats(doc_tokens(sf_dir))
+    stats = corpus_stats(sf_dir)
     return pa.table({
         "n_docs": pa.array([stats["n_docs"]], pa.int64()),
         "total_tokens": pa.array([stats["total_tokens"]], pa.int64()),
@@ -122,7 +135,7 @@ def q_global_stats(sf_dir: str) -> pa.Table:
 
 def q_df_top50(sf_dir: str) -> pa.Table:
     """Document frequency, top 50 by (df desc, term asc) (A2)."""
-    stats = compute_stats(doc_tokens(sf_dir))
+    stats = corpus_stats(sf_dir)
     terms = np.asarray(stats["terms"], dtype=object)
     df = stats["df_by_id"][1:]
     order = np.lexsort((terms, -df))[:50]
@@ -174,7 +187,7 @@ def q_pair_counts_top50(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     toks = doc_tokens(sf_dir)
-    stats = compute_stats(toks)
+    stats = corpus_stats(sf_dir)
     cfg = EngineConfig(emit_unigrams=False, emit_pairs=True)
     postings = emit_postings(toks, ray.put(stats), cfg)
     counts = postings.groupby("key").aggregate(Sum("n", alias_name="n_docs"))
@@ -202,7 +215,7 @@ def q_filtered_pair_counts(sf_dir: str) -> pa.Table:
     from candidategeneration_ray.functions.tokenize import tokenize_text
 
     toks = doc_tokens(sf_dir)
-    stats = compute_stats(toks)
+    stats = corpus_stats(sf_dir)
     t2i = {t: i + 1 for i, t in enumerate(stats["terms"])}
     fkeys = set()
     for _, text in DOC_QUERIES:
@@ -232,7 +245,7 @@ def q_query_keys(sf_dir: str) -> pa.Table:
     emit (query_id, key) = mapped term ids plus packed 2-subset pairs."""
     from candidategeneration_ray.functions.tokenize import tokenize_text
 
-    stats = compute_stats(doc_tokens(sf_dir))
+    stats = corpus_stats(sf_dir)
     t2i = {t: i + 1 for i, t in enumerate(stats["terms"])}
     qids, keys = [], []
     for qid, text in DOC_QUERIES:
@@ -254,7 +267,7 @@ def q_access_counts(sf_dir: str) -> pa.Table:
     terms that exist in the corpus dictionary."""
     from candidategeneration_ray.functions.tokenize import tokenize_text
 
-    stats = compute_stats(doc_tokens(sf_dir))
+    stats = corpus_stats(sf_dir)
     vocab = set(stats["terms"])
     counts: dict[str, int] = {}
     for _, text in DOC_QUERIES:
@@ -413,7 +426,7 @@ def q_hit_index_top5(sf_dir: str) -> pa.Table:
     prior = {"doc_ids": p_ids[order], "rank": rank_of[order]}
 
     toks = doc_tokens(sf_dir)
-    stats = compute_stats(toks)
+    stats = corpus_stats(sf_dir)
     cfg = EngineConfig(emit_pairs=False)
     postings = emit_postings(toks, ray.put(stats), cfg, prior_ref=ray.put(prior))
     lists = build_posting_lists(postings, cfg)
