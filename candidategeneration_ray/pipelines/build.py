@@ -247,56 +247,59 @@ def _merge_single(part_dir: str, final_dir: str) -> None:
                 os.link(os.path.join(part_dir, f), dst)
 
 
+@ray.remote
+def _merge_bucket_task(part_files: list[list[str]], bucket: int,
+                       cfg: EngineConfig, final_dir: str) -> int:
+    """Merge ONE bucket's sub-lists from every partition and write its
+    final segment file. Parquet bucket filters prune row groups, so
+    each task reads only its slice of each part."""
+    import pyarrow.parquet as _pq
+
+    from candidategeneration_ray.functions.arrowutil import binary_column_concat
+    from candidategeneration_ray.stages.listbuild import merge_partial_lists
+
+    tables = []
+    for files in part_files:
+        for f in files:
+            t = _pq.read_table(f, filters=[("bucket", "=", bucket)])
+            if t.num_rows:
+                tables.append(t)
+    if not tables:
+        return 0
+    tab = pa.concat_tables(tables).combine_chunks()
+    docs_data, _ = binary_column_concat(tab.column("docs"))
+    scores_data, _ = binary_column_concat(tab.column("scores"))
+    merged = merge_partial_lists(
+        tab.column("key").to_numpy().astype(np.int64),
+        tab.column("n").to_numpy().astype(np.int64),
+        docs_data, scores_data, cfg, bucket,
+    )
+    tmp = os.path.join(final_dir, f".bucket-{bucket:05d}.tmp")
+    _pq.write_table(merged, tmp)
+    os.replace(tmp, os.path.join(final_dir, f"bucket-{bucket:05d}.parquet"))
+    return merged.num_rows
+
+
 def _merge_parts(part_dirs: list[str], final_dir: str, cfg: EngineConfig) -> None:
     """Concat-merge doc-range-disjoint sub-lists per key.
 
     The reference's massiveBinaryMerge (ExternalSort.java:91-205)
     k-way-merges sorted runs; because our partitions have disjoint,
-    ordered doc ranges, the per-key merge is ordered CONCATENATION of
-    the sub-lists followed by block-metadata rebuild. Executed as one
-    groupby(bucket) over the sub-list rows (bucket-parallel, vectorized
-    inside).
+    ordered doc ranges AND both sides are already bucket-partitioned,
+    no shuffle is needed at all: one independent Ray task per bucket
+    reads its slice of every part (parquet predicate pushdown), runs
+    the vectorized partial-list merge, and writes its final segment
+    atomically. (An earlier groupby(bucket) implementation sorted the
+    entire index's binary payloads through the shuffle — 400 s at a
+    2 M-turn scale test vs ~20 s for this shape.)
     """
-    # distributed read: one dataset per partition with its part id
-    # attached in workers — the driver never materializes segment data
-    def _tag(p):
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "part", pa.array(np.full(batch.num_rows, p, dtype=np.int32)))
-        return fn
-
-    part_ds = [
-        ray.data.read_parquet(
-            sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
-        ).map_batches(_tag(p), batch_format="pyarrow")
-        for p, d in enumerate(part_dirs)
+    part_files = [
+        sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+        for d in part_dirs
     ]
-    ds = part_ds[0]
-    for other in part_ds[1:]:
-        ds = ds.union(other)
-
-    def _merge_bucket(group: pa.Table) -> pa.Table:
-        # part sub-lists ARE partial lists whose doc ranges are disjoint
-        # and ordered by partition — the vectorized partial-list merge
-        # (one bulk decode + one lexsort + grouped re-encode) applies
-        # directly; the (key, doc) sort reproduces part order for free.
-        from candidategeneration_ray.functions.arrowutil import binary_column_concat
-        from candidategeneration_ray.stages.listbuild import merge_partial_lists
-
-        keys = group.column("key").to_numpy().astype(np.int64)
-        if keys.size == 0:
-            return group.drop_columns(["part"])
-        docs_data, _ = binary_column_concat(group.column("docs"))
-        scores_data, _ = binary_column_concat(group.column("scores"))
-        return merge_partial_lists(
-            keys,
-            group.column("n").to_numpy().astype(np.int64),
-            docs_data,
-            scores_data,
-            cfg,
-            int(group.column("bucket")[0].as_py()),
-        )
-
-    merged = ds.groupby("bucket").map_groups(_merge_bucket, batch_format="pyarrow")
     os.makedirs(final_dir, exist_ok=True)
-    merged.write_parquet(final_dir)
+    refs = [
+        _merge_bucket_task.remote(part_files, b, cfg, final_dir)
+        for b in range(cfg.num_buckets)
+    ]
+    ray.get(refs)
