@@ -143,8 +143,21 @@ def build_index(
     cfg: EngineConfig | None = None,
     partitions: int = 1,
     emit_concurrency=None,
+    partition_by: str = "files",
 ) -> dict:
     """Build (or resume) the static index under `out_dir`.
+
+    partition_by:
+      - "files" (default): partitions are groups of input files — each
+        byte of input is read exactly ONCE across all partitions. Doc
+        ranges per partition are non-contiguous (input may be shuffled)
+        but the bucket merge re-sorts each key's postings by doc id, so
+        the final index is identical (tested).
+      - "conv": partitions are contiguous conv-id ranges (parquet
+        predicate filters). Gives doc-range-disjoint, ordered
+        sub-lists — the layout for range-ordered segment stores — but
+        re-reads row groups that span ranges (all of them when the
+        input is shuffled): P scans of the input at worst.
 
     Returns {"final_dir", "stats", "offsets", "metrics"}.
     """
@@ -181,22 +194,37 @@ def build_index(
     offsets_ref = ray.put(offsets)
 
     # ---- phase 2: per-partition posting emission + list build
-    ranges = _conv_ranges(offsets, partitions)
+    if partition_by == "files" and len(inputs) > 1 and partitions > 1:
+        bounds = np.linspace(0, len(inputs), min(partitions, len(inputs)) + 1).astype(int)
+        part_specs = [
+            ("files", inputs[bounds[i]:bounds[i + 1]])
+            for i in range(len(bounds) - 1) if bounds[i] < bounds[i + 1]
+        ]
+    else:
+        part_specs = [("conv", r) for r in _conv_ranges(offsets, partitions)]
     part_dirs = []
-    for p, (lo, hi) in enumerate(ranges):
+    for p, (mode, spec) in enumerate(part_specs):
         pd = _part_dir(out_dir, p)
         part_dirs.append(pd)
-        lineage = sorted(inputs) + [f"range:{lo}..{hi}"]
+        if mode == "files":
+            lineage = sorted(spec)
+        else:
+            lineage = sorted(inputs) + [f"range:{spec[0]}..{spec[1]}"]
         if ckpt.is_complete(pd, None) and ckpt.read_manifest(pd).get("lineage") == lineage:
             metrics["phases"].append({"phase": f"part-{p}", "skipped": True})
             continue
         ckpt.clear_partial(pd)
         tp = time.time()
-        import pyarrow.dataset as pads
-        flt = pads.field("conv_id") >= lo
-        if hi is not None:
-            flt = flt & (pads.field("conv_id") < hi)
-        ds = ray.data.read_parquet(inputs, columns=INPUT_COLUMNS, filter=flt)
+        if mode == "files":
+            ds = ray.data.read_parquet(spec, columns=INPUT_COLUMNS)
+        else:
+            import pyarrow.dataset as pads
+
+            lo, hi = spec
+            flt = pads.field("conv_id") >= lo
+            if hi is not None:
+                flt = flt & (pads.field("conv_id") < hi)
+            ds = ray.data.read_parquet(inputs, columns=INPUT_COLUMNS, filter=flt)
         toks = attach_tokens(ds)
         with_ids = attach_doc_ids(toks, offsets_ref)
         postings = emit_postings(with_ids, stats_ref, cfg, concurrency=emit_concurrency)

@@ -157,3 +157,18 @@ class TestParallelismIndependence:
                   for k in r.keys}
             fingerprints.append(fp)
         assert fingerprints[0] == fingerprints[1]
+
+
+class TestFilePartitioning:
+    def test_file_partitioned_equals_conv_partitioned(self, ray_session, transcripts_dir, tmp_path):
+        """partition_by='files' (one read of each byte) and
+        partition_by='conv' (doc-range-disjoint) and single-partition
+        builds all yield the identical logical index."""
+        r1 = build_index(transcripts_dir, str(tmp_path / "single"), partitions=1)
+        rf = build_index(transcripts_dir, str(tmp_path / "byfile"),
+                         partitions=3, partition_by="files")
+        rc = build_index(transcripts_dir, str(tmp_path / "byconv"),
+                         partitions=3, partition_by="conv")
+        f1 = _index_fingerprint(r1["final_dir"], r1["stats"])
+        assert f1 == _index_fingerprint(rf["final_dir"], rf["stats"])
+        assert f1 == _index_fingerprint(rc["final_dir"], rc["stats"])
