@@ -29,21 +29,41 @@ import ray
 import ray.data
 
 
+def _conv_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (conv_id, n_turns, min_t, max_t) partials — the groupby
+    shuffle moves ~one row per (conv, batch) instead of one per turn."""
+    conv = batch.column("conv_id").combine_chunks().dictionary_encode()
+    codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turns = batch.column("turn_idx").to_numpy().astype(np.int64)
+    order = np.argsort(codes, kind="stable")
+    sc, st = codes[order], turns[order]
+    starts = np.concatenate(([0], np.nonzero(sc[1:] != sc[:-1])[0] + 1))
+    counts = np.diff(np.concatenate((starts, [sc.size])))
+    names = np.asarray(conv.dictionary.to_pylist(), dtype=object)[sc[starts]]
+    return pa.table({
+        "conv_id": pa.array(names.tolist(), pa.string()),
+        "n_turns": pa.array(counts, pa.int64()),
+        "min_t": pa.array(np.minimum.reduceat(st, starts), pa.int64()),
+        "max_t": pa.array(np.maximum.reduceat(st, starts), pa.int64()),
+    })
+
+
 def conv_offsets(ds: ray.data.Dataset) -> dict:
     """Aggregate per-conversation turn stats and build base offsets.
 
     Returns {"conv_ids": sorted np array, "bases": int64 np array,
     "n_docs": int}. Raises if turn_idx is not dense 0..T-1 per conv.
     """
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
     agg = (
         ds.select_columns(["conv_id", "turn_idx"])
+        .map_batches(_conv_partials, batch_format="pyarrow")
         .groupby("conv_id")
         .aggregate(
-            Count(alias_name="n_turns"),
-            Min("turn_idx", alias_name="min_t"),
-            Max("turn_idx", alias_name="max_t"),
+            Sum("n_turns", alias_name="n_turns"),
+            Min("min_t", alias_name="min_t"),
+            Max("max_t", alias_name="max_t"),
         )
     )
     pdf = agg.to_pandas()  # one row per conversation (small relative to turns)
