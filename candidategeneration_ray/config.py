@@ -59,6 +59,18 @@ class EngineConfig:
     # postings whose key is in the broadcast set are emitted. Default is
     # index-everything.
 
+    def __post_init__(self):
+        if self.distance < 1:
+            raise ValueError("distance must be >= 1")
+        if self.num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        if self.block_size < 1:
+            raise ValueError("block_size must be >= 1")
+        if self.emit_batch_size < 1:
+            raise ValueError("emit_batch_size must be >= 1")
+        if not (self.emit_unigrams or self.emit_pairs):
+            raise ValueError("at least one of emit_unigrams/emit_pairs")
+
     def pack_pair(self, a: int, b: int) -> int:
         """Pack two (1-based) term ids into one int64 key, low term first.
 

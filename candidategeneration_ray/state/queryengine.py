@@ -127,6 +127,10 @@ class IndexReader:
             return 0
         return int(self._n[i])
 
+    # decoded lists kept hot per reader; bounded so a long-lived serving
+    # actor streaming rare keys cannot grow without limit
+    MAX_CACHED_LISTS = 4096
+
     def get(self, key: int):
         """Decoded (docs, scores, block_max, block_last) or None."""
         if key in self._cache:
@@ -140,6 +144,8 @@ class IndexReader:
         bmax = np.asarray(self._bmax[row].as_py(), dtype=np.int32)
         blast = np.asarray(self._blast[row].as_py(), dtype=np.int64)
         val = (docs, scores, bmax, blast)
+        if len(self._cache) >= self.MAX_CACHED_LISTS:
+            self._cache.pop(next(iter(self._cache)))  # FIFO eviction
         self._cache[key] = val
         return val
 
