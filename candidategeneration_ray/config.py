@@ -71,6 +71,26 @@ class EngineConfig:
         if not (self.emit_unigrams or self.emit_pairs):
             raise ValueError("at least one of emit_unigrams/emit_pairs")
 
+    def index_tag(self) -> str:
+        """Digest of FORMAT_VERSION + every field that changes the
+        on-disk index. Stamped into build manifests so a resume under a
+        changed config (distance, num_buckets, block_size, emit flags…)
+        rebuilds instead of silently reusing stale partitions — a
+        num_buckets change is especially dangerous since the merge loop
+        iterates range(num_buckets) over segments bucketed with the old
+        count. emit_batch_size and top_k are excluded: the final index
+        is parallelism-independent and top_k is query-time only.
+        """
+        import hashlib
+
+        fields = (
+            FORMAT_VERSION, self.distance, self.k1, self.b,
+            self.quantization, self.block_size, self.num_buckets,
+            self.emit_unigrams, self.emit_pairs, self.partial_lists,
+            self.pairs_per_doc_cap,
+        )
+        return hashlib.sha256(repr(fields).encode()).hexdigest()[:12]
+
     def pack_pair(self, a: int, b: int) -> int:
         """Pack two (1-based) term ids into one int64 key, low term first.
 

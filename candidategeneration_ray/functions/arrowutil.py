@@ -34,11 +34,23 @@ def binary_column_concat(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, n
 
 
 def binary_array_from_concat(data, value_offsets: np.ndarray) -> pa.Array:
-    """BinaryArray over a concatenated payload without per-row copies."""
+    """BinaryArray over a concatenated payload without per-row copies.
+
+    Payloads past the int32 offset range (a whole bucket's concatenated
+    blobs can exceed 2 GiB at scale) are emitted as large_binary with
+    int64 offsets instead of silently wrapping negative; Parquet stores
+    both as BYTE_ARRAY, and binary_column_concat reads both back.
+    """
     n = len(value_offsets) - 1
-    offs32 = np.ascontiguousarray(value_offsets, dtype=np.int32)
     buf = data if isinstance(data, (bytes, bytearray, memoryview)) else \
         np.ascontiguousarray(data, dtype=np.uint8).data
+    offs = np.ascontiguousarray(value_offsets, dtype=np.int64)
+    total = int(offs[-1]) if n >= 0 and len(offs) else 0
+    if total >= 2**31:
+        return pa.Array.from_buffers(
+            pa.large_binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(buf)]
+        )
     return pa.Array.from_buffers(
-        pa.binary(), n, [None, pa.py_buffer(offs32), pa.py_buffer(buf)]
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.astype(np.int32)), pa.py_buffer(buf)],
     )

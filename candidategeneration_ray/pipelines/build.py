@@ -31,7 +31,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from candidategeneration_ray.config import EngineConfig
+from candidategeneration_ray.config import FORMAT_VERSION, EngineConfig
 from candidategeneration_ray.stages.docids import attach_doc_ids, conv_offsets
 from candidategeneration_ray.stages.listbuild import build_posting_lists, build_lists_for_bucket, attach_bucket
 from candidategeneration_ray.stages.postings import emit_postings
@@ -88,6 +88,7 @@ def _persist_stats(out_dir: str, stats: dict, offsets: dict, inputs: list[str]) 
             "avgdl": stats["avgdl"],
         }, f)
     ckpt.write_manifest(d, {"phase": "stats", "inputs": sorted(inputs),
+                            "format": FORMAT_VERSION,
                             "n_docs": stats["n_docs"],
                             "n_terms": int(len(stats["terms"]))})
 
@@ -171,13 +172,19 @@ def build_index(
         inputs = sorted(source if isinstance(source, list) else [source])
     metrics = {"phases": []}
 
+    # Manifests record the config digest so a resume under a changed
+    # EngineConfig / format version rebuilds rather than silently
+    # reusing partitions built under the old settings.
+    cfg_tag = cfg.index_tag()
+
     # ---- phase 1: stats (N, total tokens, df, dictionary, conv offsets)
     sd = _stats_dir(out_dir)
-    if ckpt.is_complete(sd, inputs):
+    if ckpt.is_complete(sd, inputs) and \
+            (ckpt.read_manifest(sd) or {}).get("format") == FORMAT_VERSION:
         stats, offsets = load_stats(out_dir)
         metrics["phases"].append({"phase": "stats", "skipped": True})
     else:
-        ckpt.clear_partial(sd)
+        ckpt.clear_stale(sd)
         ds = read_transcripts(inputs)
         toks = attach_tokens(ds)
         # sequential: measured faster than both thread-concurrent
@@ -210,10 +217,11 @@ def build_index(
             lineage = sorted(spec)
         else:
             lineage = sorted(inputs) + [f"range:{spec[0]}..{spec[1]}"]
-        if ckpt.is_complete(pd, None) and ckpt.read_manifest(pd).get("lineage") == lineage:
+        pm = ckpt.read_manifest(pd)
+        if pm is not None and pm.get("lineage") == lineage and pm.get("cfg") == cfg_tag:
             metrics["phases"].append({"phase": f"part-{p}", "skipped": True})
             continue
-        ckpt.clear_partial(pd)
+        ckpt.clear_stale(pd)
         tp = time.time()
         if mode == "files":
             ds = ray.data.read_parquet(spec, columns=INPUT_COLUMNS)
@@ -236,8 +244,8 @@ def build_index(
             for f in os.listdir(pd) if f.endswith(".parquet")
         )
         ckpt.write_manifest(pd, {
-            "phase": f"part-{p}", "lineage": lineage, "n_keys": int(n_keys),
-            "sec": round(time.time() - tp, 3),
+            "phase": f"part-{p}", "lineage": lineage, "cfg": cfg_tag,
+            "n_keys": int(n_keys), "sec": round(time.time() - tp, 3),
         })
         metrics["phases"].append({"phase": f"part-{p}", "skipped": False,
                                   "n_keys": int(n_keys),
@@ -246,16 +254,18 @@ def build_index(
     # ---- phase 3: merge partition sub-segments into the global index
     fd = _final_dir(out_dir)
     lineage = [os.path.relpath(d, out_dir) for d in part_dirs]
-    if ckpt.is_complete(fd) and ckpt.read_manifest(fd).get("lineage") == lineage:
+    fm = ckpt.read_manifest(fd)
+    if fm is not None and fm.get("lineage") == lineage and fm.get("cfg") == cfg_tag:
         metrics["phases"].append({"phase": "merge", "skipped": True})
     else:
-        ckpt.clear_partial(fd)
+        ckpt.clear_stale(fd)
         tm = time.time()
         if len(part_dirs) == 1:
             _merge_single(part_dirs[0], fd)
         else:
             _merge_parts(part_dirs, fd, cfg)
         ckpt.write_manifest(fd, {"phase": "merge", "lineage": lineage,
+                                 "cfg": cfg_tag,
                                  "sec": round(time.time() - tm, 3)})
         metrics["phases"].append({"phase": "merge", "skipped": False,
                                   "sec": round(time.time() - tm, 3)})

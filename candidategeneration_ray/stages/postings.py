@@ -41,6 +41,15 @@ def _combine_partial(keys: np.ndarray, scores: np.ndarray, docs: np.ndarray) -> 
     from candidategeneration_ray.functions.arrowutil import binary_array_from_concat
     from candidategeneration_ray.functions.varint import encode_delta_grouped_concat
 
+    if keys.size == 0:
+        # a filter set can strip every posting from a batch; the
+        # keys[starts] gather below would IndexError on an empty array
+        return pa.table({
+            "key": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int32()),
+            "docs": pa.array([], pa.binary()),
+            "scores": pa.array([], pa.binary()),
+        })
     order = np.lexsort((docs, keys))
     keys = keys[order]
     scores = scores[order]
@@ -197,6 +206,14 @@ class PostingEmitter:
                 pr = self.prior
                 pdocs = doc_ids[g_doc]
                 pos = np.searchsorted(pr["doc_ids"], pdocs)
+                pos = np.minimum(pos, pr["doc_ids"].size - 1)
+                if pr["doc_ids"].size == 0 or not np.array_equal(
+                        pr["doc_ids"][pos], pdocs):
+                    missing = pdocs[pr["doc_ids"][pos] != pdocs][:5] \
+                        if pr["doc_ids"].size else pdocs[:5]
+                    raise KeyError(
+                        f"HIT prior has no rank for doc_ids {missing.tolist()}; "
+                        "the prior map must cover every indexed doc")
                 scores = pr["rank"][pos].astype(np.int32)
 
             out_key, out_score, out_doc = [], [], []
@@ -313,6 +330,17 @@ def emit_postings(ds, stats_ref, cfg: EngineConfig | None = None,
     is too large for the worker heap to share with task execution).
     """
     cfg = cfg or EngineConfig()
+    # Broadcast plain objects ONCE here so (a) every worker shares one
+    # plasma copy instead of re-shipping state per task, and (b) the
+    # task-path worker cache below can key on the ref's stable hex id —
+    # keying on id() of a plain object risks CPython id reuse handing a
+    # later build a stale emitter with the previous build's stats.
+    if stats_ref is not None and not hasattr(stats_ref, "hex"):
+        stats_ref = ray.put(stats_ref)
+    if filter_ref is not None and not hasattr(filter_ref, "hex"):
+        filter_ref = ray.put(np.asarray(filter_ref, dtype=np.int64))
+    if prior_ref is not None and not hasattr(prior_ref, "hex"):
+        prior_ref = ray.put(prior_ref)
     projected = ds.select_columns(["doc_id", "doc_len", "tokens"])
     if use_actors:
         if concurrency is None:
@@ -330,7 +358,7 @@ def emit_postings(ds, stats_ref, cfg: EngineConfig | None = None,
         )
 
     def _rid(r):
-        return r.hex() if hasattr(r, "hex") else id(r)
+        return None if r is None else r.hex()
 
     key = (_rid(stats_ref), _rid(filter_ref), _rid(prior_ref))
 

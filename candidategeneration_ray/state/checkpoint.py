@@ -52,6 +52,15 @@ def clear_partial(dir_path: str) -> None:
         shutil.rmtree(dir_path)
 
 
+def clear_stale(dir_path: str) -> None:
+    """Remove a partition dir whether or not it has a manifest — used
+    when the manifest exists but its lineage/config no longer matches
+    (a plain clear_partial would leave stale output files behind that
+    os.link/skip-existing writers then keep)."""
+    if os.path.isdir(dir_path):
+        shutil.rmtree(dir_path)
+
+
 def content_hash(*arrays) -> str:
     """Stable content hash over numpy arrays / bytes for manifests."""
     h = hashlib.sha256()
