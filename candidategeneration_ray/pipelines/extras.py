@@ -189,11 +189,16 @@ def q_minhash_signatures(sf_dir: str) -> ray.data.Dataset:
     return documents_ds(sf_dir).map_batches(_sig, batch_format="pyarrow")
 
 
-def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
-    """MinHash-LSH near-dup candidates: 4 bands x 4 rows; docs sharing
-    any band signature become a pair. Pattern: signature → band rows →
-    groupby(band_id, band_sig) → pairwise explode → distinct. Output
-    (doc_a, doc_b) sorted pairs."""
+def q_minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
+    """MinHash-LSH near-dup candidate STAR EDGES: 4 bands x 4 rows; each
+    (band, band_sig) bucket emits (rep=min doc_id, doc) edges instead of
+    all pairs — a hot duplicate cluster of m docs costs m-1 rows, not
+    m²/2, and connected components over star edges recovers identical
+    clusters. Pattern: signature → band rows → bucketed groupby(sig
+    bucket) → vectorized per-(band,sig) star extraction → distributed
+    distinct via groupby(doc_a, doc_b). No driver-side step. Output
+    (doc_a, doc_b) with doc_a < doc_b."""
+    from ray.data.aggregate import Count
 
     def _bands(batch: pa.Table) -> pa.Table:
         token_lists = tokenize_many(batch.column("text").to_pylist())
@@ -215,61 +220,129 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
 
     bands = documents_ds(sf_dir).map_batches(_bands, batch_format="pyarrow")
 
-    def _pairs(group: dict) -> pa.Table:
-        docs = np.unique(np.asarray(group["doc_id"], dtype=np.int64))
-        if docs.size < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(docs.size, k=1)
-        return pa.table({"doc_a": pa.array(docs[ia], pa.int64()),
-                         "doc_b": pa.array(docs[ib], pa.int64())})
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        s = batch.column("band_sig").to_numpy()
+        return batch.append_column(
+            "sbucket", pa.array((s.astype(np.uint64) % 64).astype(np.int32)))
 
-    pairs = bands.groupby(["band_id", "band_sig"]).map_groups(
-        _pairs, batch_format="numpy")
-    pdf = pairs.to_pandas().drop_duplicates().sort_values(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+    def _star(group: pa.Table) -> pa.Table:
+        """One bucket = many (band, sig) groups, processed by ONE
+        lexsort: the group's min doc (first after sort) becomes the
+        representative; every other member gets one (rep, doc) edge."""
+        b = group.column("band_id").to_numpy().astype(np.int64)
+        s = group.column("band_sig").to_numpy().astype(np.int64)
+        d = group.column("doc_id").to_numpy().astype(np.int64)
+        order = np.lexsort((d, s, b))
+        b, s, d = b[order], s[order], d[order]
+        new = np.concatenate(([True], (b[1:] != b[:-1]) | (s[1:] != s[:-1])))
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.concatenate((starts, [d.size])))
+        rep = np.repeat(d[starts], counts)
+        keep = rep != d
+        return pa.table({
+            "doc_a": pa.array(rep[keep], pa.int64()),
+            "doc_b": pa.array(d[keep], pa.int64()),
+        })
+
+    return (
+        bands.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("sbucket").map_groups(_star, batch_format="pyarrow")
+        # distinct (the same edge may arise from several bands) — a
+        # distributed groupby, not a driver drop_duplicates
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
+        .select_columns(["doc_a", "doc_b"])
+    )
 
 
-def q_dup_clusters(sf_dir: str, max_rounds: int = 20) -> pa.Table:
-    """Connected components over the MinHash-LSH candidate-pair graph:
-    every doc gets the MIN doc_id of its duplicate cluster.
+def q_dup_clusters(sf_dir: str, max_rounds: int = 20) -> ray.data.Dataset:
+    """Connected components over the MinHash-LSH star-edge graph: every
+    doc gets the MIN doc_id of its duplicate cluster.
 
-    Distributed pattern (iterative min-label propagation, the
-    groupby-per-round shape that scales to graphs that don't fit one
-    node): labels start as doc_id; each round joins labels across edges
-    and takes the min per node; stops when no label changes. At this
-    scale the rounds run vectorized in-process on the edge list; the
-    per-round operation IS a groupby(node).min(label) and is expressed
-    that way. Output (doc_id, cluster) for ALL docs (singletons are
-    their own cluster)."""
-    import pyarrow.parquet as pq
+    Fully distributed min-label propagation: labels (node, lbl) start
+    as doc_id; each round unions symmetric edge rows with label rows,
+    groups by src (64-way hash buckets, vectorized inside), sends each
+    src's label along its out-edges, then groupby(node).min(lbl) picks
+    the new label. Labels only decrease, so Sum(lbl) is an exact
+    convergence witness — one scalar aggregate per round, nothing else
+    reaches the driver. Per-round datasets are materialized to truncate
+    lineage (bounded: one row per doc). Output (doc_id, cluster) for
+    ALL docs (singletons are their own cluster)."""
+    from ray.data.aggregate import Min, Sum
 
-    pairs = q_minhash_lsh_pairs(sf_dir)
-    a = pairs.column("doc_a").to_numpy().astype(np.int64)
-    b = pairs.column("doc_b").to_numpy().astype(np.int64)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id"]).column("doc_id").to_numpy().astype(np.int64)
-    docs = np.sort(docs)
-    label = docs.copy()  # label[i] for docs[i]
+    SENT = np.iinfo(np.int64).max  # edge-row marker in the unioned schema
 
-    def idx(x):
-        return np.searchsorted(docs, x)
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate((a, b)), pa.int64()),
+            "dst": pa.array(np.concatenate((b, a)), pa.int64()),
+            "lbl": pa.array(np.full(2 * a.size, SENT, dtype=np.int64), pa.int64()),
+        })
 
-    ia, ib = idx(a), idx(b)
+    edges = (
+        q_minhash_lsh_pairs(sf_dir)
+        .map_batches(_sym, batch_format="pyarrow")
+        .materialize()  # reused every round; star edges are linear in docs
+    )
+
+    def _init_labels(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").cast(pa.int64())
+        return pa.table({"node": d, "lbl": d})
+
+    labels = (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+        .map_batches(_init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("lbl"))["sum(lbl)"]
+
+    def _as_msg(batch: pa.Table) -> pa.Table:
+        # a node's label row doubles as its self-message (keeps own lbl)
+        return pa.table({"src": batch.column("node"),
+                         "dst": batch.column("node"),
+                         "lbl": batch.column("lbl")})
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy()
+        return batch.append_column(
+            "sbucket", pa.array((s.astype(np.uint64) % 64).astype(np.int32)))
+
+    def _propagate(group: pa.Table) -> pa.Table:
+        """Vectorized over the bucket's many src groups: resolve each
+        src's label (its single non-sentinel row) and emit it to every
+        dst of that src."""
+        src = group.column("src").to_numpy().astype(np.int64)
+        dst = group.column("dst").to_numpy().astype(np.int64)
+        lbl = group.column("lbl").to_numpy().astype(np.int64)
+        order = np.lexsort((lbl, src))       # label row sorts first per src
+        src, dst, lbl = src[order], dst[order], lbl[order]
+        new = np.concatenate(([True], src[1:] != src[:-1]))
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.concatenate((starts, [src.size])))
+        src_lbl = np.repeat(lbl[starts], counts)
+        return pa.table({"node": pa.array(dst, pa.int64()),
+                         "lbl": pa.array(src_lbl, pa.int64())})
+
     for _ in range(max_rounds):
-        new = label.copy()
-        # propagate min label across each edge, both directions
-        np.minimum.at(new, ia, label[ib])
-        np.minimum.at(new, ib, label[ia])
-        # pointer-jump: label <- label of own label (halves chain length)
-        new = np.minimum(new, new[idx(new)])
-        if np.array_equal(new, label):
+        msgs = edges.union(labels.map_batches(_as_msg, batch_format="pyarrow"))
+        labels = (
+            msgs.map_batches(_bucketize, batch_format="pyarrow")
+            .groupby("sbucket").map_groups(_propagate, batch_format="pyarrow")
+            .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("lbl"))["sum(lbl)"]
+        if cur_sum == prev_sum:
             break
-        label = new
-    return pa.table({
-        "doc_id": pa.array(docs, pa.int64()),
-        "cluster": pa.array(label, pa.int64()),
-    })
+        prev_sum = cur_sum
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "cluster": batch.column("lbl")})
+
+    return labels.map_batches(_rename, batch_format="pyarrow")
 
 
 def q_simhash(sf_dir: str) -> ray.data.Dataset:
@@ -336,60 +409,138 @@ def q_ann_cosine_top10(sf_dir: str) -> pa.Table:
     })
 
 
-def q_ann_ivf_top10(sf_dir: str, n_buckets: int = 8, probe: int = 3) -> pa.Table:
-    """IVF-flavored ANN: LSH-bucket vectors by sign of projections onto
-    fixed seeded hyperplanes, search only the query's `probe` nearest
-    buckets. Approximate by design — rows-only check; recall vs the
-    brute-force path is asserted in pytest."""
+def _read_query_vec(emb_path: str, vec_id: int = 0) -> np.ndarray:
+    """Point-read ONE vector (parquet row-group filter) — never the
+    whole embeddings table on the driver."""
     import pyarrow.parquet as pq
 
+    qtab = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", vec_id)])
+    return np.asarray(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    col = batch.column("embedding").combine_chunks()
+    mat = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                     dtype=np.float64).reshape(batch.num_rows, -1)
+    ids = batch.column("vec_id").to_numpy().astype(np.int64)
+    return ids, mat
+
+
+def q_ann_ivf_top10(sf_dir: str, n_planes: int = 3, probe: int = 3) -> pa.Table:
+    """IVF/LSH-bucketed ANN, distributed: vectors are sign-coded against
+    fixed seeded hyperplanes INSIDE map_batches; batches keep only rows
+    whose code falls in the query's `probe` Hamming-nearest buckets and
+    emit a per-batch partial top-10 — the driver merges only ≤10-row
+    partials. Approximate by design — recall vs brute force is asserted
+    in pytest. Shuffle: none."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    tab = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    mat = np.asarray(tab.column("embedding").to_pylist(), dtype=np.float64)
-    ids = tab.column("vec_id").to_numpy().astype(np.int64)
-    dim = mat.shape[1]
-    planes = np.random.default_rng(13).standard_normal((3, dim))  # 8 buckets
-    codes = ((mat @ planes.T) > 0) @ (1 << np.arange(3))
-    qv = mat[ids == 0][0]
-    qcode_bits = (qv @ planes.T) > 0
-    qcode = int(qcode_bits @ (1 << np.arange(3)))
-    # probe buckets by Hamming distance to the query's code
-    ham = np.array([bin(b ^ qcode).count("1") for b in range(8)])
-    probe_codes = set(np.argsort(ham, kind="stable")[:probe])
-    mask = np.isin(codes, list(probe_codes))
-    sub, sub_ids = mat[mask], ids[mask]
+    qv = _read_query_vec(emb_path)
+    dim = qv.size
+    planes = np.random.default_rng(13).standard_normal((n_planes, dim))
+    weights = 1 << np.arange(n_planes)
+    qcode = int(((qv @ planes.T) > 0) @ weights)
+    ham = np.array([bin(b ^ qcode).count("1") for b in range(2 ** n_planes)])
+    probe_codes = np.sort(np.argsort(ham, kind="stable")[:probe])
     qn = qv / np.linalg.norm(qv)
-    cos = (sub @ qn) / np.linalg.norm(sub, axis=1)
-    top = np.lexsort((sub_ids, -cos))[:10]
+    bc_ref = ray.put((qn, planes, probe_codes))
+
+    def _probe_score(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "s" not in _c:
+            _c["s"] = ray.get(bc_ref)
+        qn_, planes_, probes_ = _c["s"]
+        ids, mat = _emb_matrix(batch)
+        codes = ((mat @ planes_.T) > 0) @ weights
+        mask = np.isin(codes, probes_)
+        sub, sub_ids = mat[mask], ids[mask]
+        norms = np.linalg.norm(sub, axis=1)
+        cos = (sub @ qn_) / np.where(norms == 0, 1.0, norms)
+        top = np.lexsort((sub_ids, -cos))[:10]
+        return pa.table({
+            "vec_id": pa.array(sub_ids[top], pa.int64()),
+            "cos": pa.array(cos[top], pa.float64()),
+        })
+
+    parts = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+        .map_batches(_probe_score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(10)
     return pa.table({
-        "rank": pa.array(np.arange(1, top.size + 1, dtype=np.int64), pa.int64()),
-        "vec_id": pa.array(sub_ids[top], pa.int64()),
+        "rank": pa.array(np.arange(1, len(parts) + 1, dtype=np.int64), pa.int64()),
+        "vec_id": pa.array(parts["vec_id"].to_numpy(np.int64), pa.int64()),
     })
 
 
-def q_embedding_neardups(sf_dir: str, threshold_pct: int = 40) -> pa.Table:
-    """Embedding-cosine near-duplicates: vector pairs with cosine >=
-    threshold_pct/100, (vec_a, vec_b) ascending. Scale path: the same
-    comparison restricted to LSH/IVF buckets (q_ann_ivf_top10's
-    bucketing) instead of the all-pairs matmul."""
-    import pyarrow.parquet as pq
+def q_embedding_neardups(sf_dir: str, threshold_pct: int = 40,
+                         n_blocks: int = 4) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicates, EXACT and distributed: vector
+    pairs with cosine >= threshold_pct/100, (vec_a, vec_b) ascending.
 
-    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    mat = np.asarray(tab.column("embedding").to_pylist(), dtype=np.float64)
-    ids = tab.column("vec_id").to_numpy().astype(np.int64)
-    norms = np.linalg.norm(mat, axis=1)
-    unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
-    cos = unit @ unit.T
-    ia, ib = np.triu_indices(ids.size, k=1)
-    keep = cos[ia, ib] * 100 >= threshold_pct
-    a, b = ids[ia[keep]], ids[ib[keep]]
-    lo, hi = np.minimum(a, b), np.maximum(a, b)
-    order = np.lexsort((hi, lo))
-    return pa.table({
-        "vec_a": pa.array(lo[order], pa.int64()),
-        "vec_b": pa.array(hi[order], pa.int64()),
-    })
+    Block-pair all-pairs: each vector lands in block vec_id % n_blocks
+    and is replicated to the n_blocks pair-groups its block belongs to;
+    groupby(pair_id) then runs ONE bounded matmul per group (cross for
+    i<j, triu for i==j), so every candidate pair is scored exactly once
+    and no task ever holds more than 2/n_blocks of the table. Scale by
+    raising n_blocks (memory per task shrinks as 1/n_blocks, replication
+    grows as n_blocks ~ sqrt(cluster)). No driver-side read."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        blk = (ids % n_blocks).astype(np.int64)
+        # for block k: pair-groups (min(k,j), max(k,j)) for every j
+        pair_of = np.empty((n_blocks, n_blocks), dtype=np.int64)
+        side_of = np.empty((n_blocks, n_blocks), dtype=np.int64)
+        for k in range(n_blocks):
+            for j in range(n_blocks):
+                lo, hi = min(k, j), max(k, j)
+                pair_of[k, j] = lo * n_blocks + hi
+                side_of[k, j] = 0 if k == lo else 1
+        take = np.repeat(np.arange(ids.size), n_blocks)
+        pair_id = pair_of[np.repeat(blk, n_blocks),
+                          np.tile(np.arange(n_blocks), ids.size)]
+        side = side_of[np.repeat(blk, n_blocks),
+                       np.tile(np.arange(n_blocks), ids.size)]
+        rep = batch.take(take)
+        return pa.table({
+            "pair_id": pa.array(pair_id, pa.int64()),
+            "side": pa.array(side, pa.int64()),
+            "vec_id": rep.column("vec_id").cast(pa.int64()),
+            "embedding": rep.column("embedding"),
+        })
+
+    def _score_group(group: pa.Table) -> pa.Table:
+        pair_id = int(group.column("pair_id")[0].as_py())
+        i, j = divmod(pair_id, n_blocks)
+        side = group.column("side").to_numpy().astype(np.int64)
+        ids, mat = _emb_matrix(group)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        if i == j:
+            # diagonal group: docs appear once (side 0); triu pairs
+            m0 = side == 0
+            u, uid = unit[m0], ids[m0]
+            cos = u @ u.T
+            ia, ib = np.triu_indices(uid.size, k=1)
+            keep = cos[ia, ib] * 100 >= threshold_pct
+            a, b = uid[ia[keep]], uid[ib[keep]]
+        else:
+            m0, m1 = side == 0, side == 1
+            ua, ida = unit[m0], ids[m0]
+            ub, idb = unit[m1], ids[m1]
+            cos = ua @ ub.T
+            ka, kb = np.nonzero(cos * 100 >= threshold_pct)
+            a, b = ida[ka], idb[kb]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({
+            "vec_a": pa.array(lo, pa.int64()),
+            "vec_b": pa.array(hi, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(_expand, batch_format="pyarrow")
+        .groupby("pair_id").map_groups(_score_group, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------------------ text analysis

@@ -361,10 +361,13 @@ bandsig AS (
   SELECT doc_id, perm_id // {H.LSH_ROWS} AS band_id,
          md5(string_agg(minhash::VARCHAR, '-' ORDER BY perm_id)) AS band_sig
   FROM mh GROUP BY doc_id, perm_id // {H.LSH_ROWS}
+),
+starred AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY band_id, band_sig) AS rep
+  FROM bandsig
 )
-SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
-FROM bandsig a JOIN bandsig b
-  ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+SELECT DISTINCT CAST(rep AS BIGINT) AS doc_a, CAST(doc_id AS BIGINT) AS doc_b
+FROM starred WHERE doc_id > rep
 """,
         "dup_clusters": f"""
 WITH RECURSIVE {KEPT_CTE},

@@ -48,20 +48,47 @@ class TestHashing:
 
 
 class TestDedup:
-    def test_lsh_finds_jaccard_dups(self, ray_session):
-        """Every high-Jaccard pair (>=50%) must be surfaced by LSH
-        banding (4 bands x 4 rows catches J>=0.5 w.h.p.)."""
+    def test_lsh_clusters_cover_jaccard_dups(self, ray_session):
+        """Every high-Jaccard pair (>=50%) must land in the SAME
+        duplicate cluster (star edges don't list all pairs directly,
+        but connected components over them recover the full cluster —
+        4 bands x 4 rows catches J>=0.5 w.h.p.)."""
         from candidategeneration_ray.pipelines.extras import (
-            q_jaccard_pairs, q_minhash_lsh_pairs,
+            q_dup_clusters, q_jaccard_pairs,
         )
 
         jacc = q_jaccard_pairs(SF, threshold_pct=50)
         if hasattr(jacc, "to_pandas"):
             jacc = jacc.to_pandas()
-        lsh = q_minhash_lsh_pairs(SF).to_pandas()
-        lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+        cl = q_dup_clusters(SF).to_pandas()
+        cluster_of = dict(zip(cl["doc_id"], cl["cluster"]))
         for a, b in zip(jacc["doc_a"], jacc["doc_b"]):
-            assert (a, b) in lsh_pairs, (a, b)
+            assert cluster_of[a] == cluster_of[b], (a, b)
+
+    def test_star_edges_linear_on_hot_cluster(self, ray_session, tmp_path):
+        """Worst-skew fixture: 10k identical docs form ONE band bucket.
+        The star-edge path must emit exactly n-1 distinct edges (the
+        all-pairs shape would emit ~50M) and cluster everything to the
+        min doc_id."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import (
+            q_dup_clusters, q_minhash_lsh_pairs,
+        )
+
+        n = 10_000
+        d = str(tmp_path / "hot")
+        os.makedirs(d)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array(["duplicate payload text shard"] * n, pa.string()),
+        }), os.path.join(d, "documents.parquet"))
+        pairs = q_minhash_lsh_pairs(d)
+        assert pairs.count() == n - 1
+        cl = q_dup_clusters(d).to_pandas()
+        assert len(cl) == n and (cl["cluster"] == 0).all()
 
     def test_exact_dedup_groups(self, ray_session):
         from candidategeneration_ray.pipelines.extras import q_dedup_exact
