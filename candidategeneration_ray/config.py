@@ -53,6 +53,17 @@ class EngineConfig:
     # Used implicitly by the partitioned build path: each input partition
     # is one salt.
     pairs_per_doc_cap: int | None = None  # no cap by default
+    # Build-time posting-list pruning (reference O3 sampled selection,
+    # InvertedIndex.java:428-462,500-512: keep <=1000 postings per list,
+    # first 100 unconditional, remainder above a sampled threshold).
+    # This is the EXACT deterministic variant: per list keep the first
+    # `unconditional_prefix` postings in doc order unconditionally, then
+    # the best (max_list_postings - unconditional_prefix) of the rest by
+    # (score desc, doc_id asc); the final list stays doc-ordered.
+    # None = keep full lists (default). This is the mechanism that caps
+    # hot-term list size (~TB/list at 10^12 turns) at scale.
+    max_list_postings: int | None = None
+    unconditional_prefix: int = 100
     # Optional query-driven key pruning (the reference "filter sets",
     # Metadata.java:92-151, applied at emission InvertedIndex.java:291,374):
     # when set on the emitter (via emit_postings(filter_ref=...)), only
@@ -70,6 +81,11 @@ class EngineConfig:
             raise ValueError("emit_batch_size must be >= 1")
         if not (self.emit_unigrams or self.emit_pairs):
             raise ValueError("at least one of emit_unigrams/emit_pairs")
+        if self.unconditional_prefix < 0:
+            raise ValueError("unconditional_prefix must be >= 0")
+        if self.max_list_postings is not None and \
+                self.max_list_postings < self.unconditional_prefix:
+            raise ValueError("max_list_postings must be >= unconditional_prefix")
 
     def index_tag(self) -> str:
         """Digest of FORMAT_VERSION + every field that changes the
@@ -87,7 +103,8 @@ class EngineConfig:
             FORMAT_VERSION, self.distance, self.k1, self.b,
             self.quantization, self.block_size, self.num_buckets,
             self.emit_unigrams, self.emit_pairs, self.partial_lists,
-            self.pairs_per_doc_cap,
+            self.pairs_per_doc_cap, self.max_list_postings,
+            self.unconditional_prefix,
         )
         return hashlib.sha256(repr(fields).encode()).hexdigest()[:12]
 

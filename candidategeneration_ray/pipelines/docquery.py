@@ -83,7 +83,9 @@ def build_documents_index(sf_dir: str, cfg: EngineConfig | None = None) -> dict:
     import pyarrow.parquet as pq
 
     cfg = cfg or EngineConfig()
-    out_dir = _cache_dir(sf_dir, f"docidx-d{cfg.distance}-u{int(cfg.emit_unigrams)}p{int(cfg.emit_pairs)}")
+    # cache key = full index-affecting config digest (a pruned build
+    # must never collide with an unpruned one)
+    out_dir = _cache_dir(sf_dir, f"docidx-{cfg.index_tag()}")
     final = os.path.join(out_dir, "final")
     from candidategeneration_ray.pipelines.build import _persist_stats, load_stats
 
@@ -177,6 +179,37 @@ def q_unigram_list_lengths(sf_dir: str) -> pa.Table:
     return pa.table({
         "term": pa.array(terms[uni.astype(np.int64) - 1].tolist(), pa.string()),
         "n": pa.array(lens, pa.int64()),
+    })
+
+
+def q_pruned_list_lengths(sf_dir: str, max_postings: int = 50,
+                          prefix: int = 10) -> pa.Table:
+    """Build-time list pruning (reference O3 sampled selection,
+    InvertedIndex.java:428-462,500-512 — exact deterministic variant):
+    per-term pruned unigram lists with content checksums. Each list
+    keeps its first `prefix` postings in doc order plus the best
+    (max_postings - prefix) of the rest by (score desc, doc asc).
+    Output (term, n, doc_sum, score_sum) over ALL terms — the sums make
+    the oracle comparison content-sensitive, not just length-sensitive."""
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    cfg = EngineConfig(emit_pairs=False, max_list_postings=max_postings,
+                       unconditional_prefix=prefix)
+    built = build_documents_index(sf_dir, cfg)
+    reader = IndexReader(built["final_dir"], built["stats"], cfg)
+    terms = np.asarray(built["stats"]["terms"], dtype=object)
+    uni = reader.keys[reader.keys < (1 << 32)]
+    ns, dsum, ssum = (np.empty(uni.size, dtype=np.int64) for _ in range(3))
+    for i, k in enumerate(uni):
+        docs, scores, _, _ = reader.get(int(k))
+        ns[i] = docs.size
+        dsum[i] = int(docs.sum())
+        ssum[i] = int(scores.astype(np.int64).sum())
+    return pa.table({
+        "term": pa.array(terms[uni.astype(np.int64) - 1].tolist(), pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "doc_sum": pa.array(dsum, pa.int64()),
+        "score_sum": pa.array(ssum, pa.int64()),
     })
 
 

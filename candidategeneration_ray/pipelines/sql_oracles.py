@@ -120,6 +120,29 @@ WITH {KEPT_CTE}
 SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
 FROM kept GROUP BY tok
 """,
+        "pruned_list_lengths": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+ordered AS (
+  SELECT tok, doc_id, score,
+         row_number() OVER (PARTITION BY tok ORDER BY doc_id ASC) AS docpos
+  FROM scores
+),
+pruned AS (
+  SELECT tok, doc_id, score FROM ordered WHERE docpos <= 10
+  UNION ALL
+  SELECT tok, doc_id, score FROM (
+    SELECT tok, doc_id, score,
+           row_number() OVER (PARTITION BY tok
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM ordered WHERE docpos > 10
+  ) WHERE rn <= 40
+)
+SELECT tok AS term, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS doc_sum,
+       CAST(sum(score) AS BIGINT) AS score_sum
+FROM pruned GROUP BY tok
+""",
         "pair_counts_top50": f"""
 WITH {KEPT_CTE},
 pairs AS (
@@ -457,6 +480,13 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        coalesce(w.n_stop, 0) AS n_stop,
        5 * coalesce(w.n_stop, 0) >= greatest(coalesce(w.n_words, 0), 1) AS is_en
 FROM documents d LEFT JOIN wstats w USING (doc_id)
+""",
+        "multimodal_meta": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+       CAST(64 + (octet_length(encode(text)) * 31) % 419 AS BIGINT) AS height
+FROM documents
 """,
         "fingerprints": f"""
 WITH {KEPT_CTE},

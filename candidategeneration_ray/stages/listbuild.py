@@ -56,6 +56,47 @@ def attach_bucket(ds: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def prune_mask(pk: np.ndarray, docs: np.ndarray, scores: np.ndarray,
+               starts: np.ndarray, ends: np.ndarray,
+               cfg: EngineConfig) -> np.ndarray:
+    """Exact build-time list pruning (reference O3 sampled selection,
+    InvertedIndex.java:428-462: keep <=1000/list, first 100
+    unconditional, rest above a sampled score threshold). Deterministic
+    variant over (key, doc)-sorted postings: per list keep the first
+    `unconditional_prefix` postings in doc order plus the best
+    (max_list_postings - prefix) of the remainder by (score desc,
+    doc asc). Vectorized across the whole bucket — one extra lexsort
+    over only the tail postings.
+
+    Safe at every level: applying this mask to any SUBSET of a list
+    (a partition's sub-list, a batch) keeps a superset of the global
+    keep-set's intersection with that subset — a global-prefix posting
+    is within the subset's first `prefix` docs, and a global-top-budget
+    tail posting beats all but < budget subset-tail postings — so
+    partitioned builds may prune per partition AND at the final merge
+    and still produce the exact single-pass result (tested)."""
+    n = pk.size
+    prefix = cfg.unconditional_prefix
+    budget = cfg.max_list_postings - prefix
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts)
+    keep = pos < prefix
+    if budget <= 0:
+        return keep
+    tail = np.nonzero(~keep)[0]
+    if tail.size == 0:
+        return keep
+    tk = pk[tail]
+    ts = scores[tail].astype(np.int64)
+    td = docs[tail]
+    o = np.lexsort((td, -ts, tk))
+    tko = tk[o]
+    tstarts = np.concatenate(([0], np.nonzero(tko[1:] != tko[:-1])[0] + 1))
+    tcounts = np.diff(np.concatenate((tstarts, [tail.size])))
+    rank = np.arange(tail.size, dtype=np.int64) - np.repeat(tstarts, tcounts)
+    keep[tail[o[rank < budget]]] = True
+    return keep
+
+
 def build_lists_for_bucket(
     keys: np.ndarray,
     scores: np.ndarray,
@@ -73,6 +114,11 @@ def build_lists_for_bucket(
     # group boundaries over the sorted keys
     starts = np.concatenate(([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1))
     ends = np.concatenate((starts[1:], [keys.size]))
+    if cfg.max_list_postings is not None and keys.size:
+        keep = prune_mask(keys, doc_ids, scores, starts, ends, cfg)
+        keys, scores, doc_ids = keys[keep], scores[keep], doc_ids[keep]
+        starts = np.concatenate(([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [keys.size]))
     bs = cfg.block_size
 
     out = {
@@ -146,6 +192,11 @@ def merge_partial_lists(
 
     starts = np.concatenate(([0], np.nonzero(pk[1:] != pk[:-1])[0] + 1))
     ends = np.concatenate((starts[1:], [pk.size]))
+    if cfg.max_list_postings is not None and pk.size:
+        keep = prune_mask(pk, docs, scores, starts, ends, cfg)
+        pk, docs, scores = pk[keep], docs[keep], scores[keep]
+        starts = np.concatenate(([0], np.nonzero(pk[1:] != pk[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [pk.size]))
     out_key = pk[starts]
     out_n = ends - starts
 

@@ -31,6 +31,41 @@ class TestDeterminism:
         f3 = _index_fingerprint(r3["final_dir"], r3["stats"])
         assert f1 == f3
 
+    def test_pruned_partitioned_equals_single(self, ray_session, transcripts_dir, tmp_path):
+        """Build-time pruning (O3) applied per partition AND at the
+        merge must equal the single-pass pruned build exactly (the
+        prune_mask superset property), and every list must respect the
+        cap with its doc-order prefix intact."""
+        from candidategeneration_ray.config import EngineConfig
+
+        cfg = EngineConfig(max_list_postings=8, unconditional_prefix=3)
+        r1 = build_index(transcripts_dir, str(tmp_path / "pp1"), cfg, partitions=1)
+        r3 = build_index(transcripts_dir, str(tmp_path / "pp3"), cfg, partitions=3)
+        f1 = _index_fingerprint(r1["final_dir"], r1["stats"])
+        f3 = _index_fingerprint(r3["final_dir"], r3["stats"])
+        assert f1 == f3
+        # compare against the unpruned build: cap respected, prefix kept
+        r_full = build_index(transcripts_dir, str(tmp_path / "pfull"), partitions=1)
+        rf = IndexReader(r_full["final_dir"], r_full["stats"])
+        rp = IndexReader(r1["final_dir"], r1["stats"])
+        assert set(rp.keys.tolist()) == set(rf.keys.tolist())
+        checked_pruned = 0
+        for k in rf.keys:
+            full_docs, full_scores, _, _ = rf.get(int(k))
+            pr_docs, pr_scores, _, _ = rp.get(int(k))
+            assert pr_docs.size == min(full_docs.size, 8)
+            # doc-order prefix unconditional
+            npfx = min(3, full_docs.size)
+            assert np.array_equal(pr_docs[:npfx], full_docs[:npfx])
+            if full_docs.size > 8:
+                checked_pruned += 1
+                # tail = exact top-5 of the remainder by (score desc, doc asc)
+                ts, td = full_scores[npfx:].astype(np.int64), full_docs[npfx:]
+                top = np.lexsort((td, -ts))[:5]
+                expect = np.sort(td[top])
+                assert np.array_equal(np.sort(pr_docs[npfx:]), expect), int(k)
+        assert checked_pruned > 0  # the fixture actually exercises pruning
+
     def test_rebuild_is_identical(self, ray_session, transcripts_dir, tmp_path):
         """Two independent builds produce byte-identical logical indexes
         (no execution-order dependence anywhere)."""
