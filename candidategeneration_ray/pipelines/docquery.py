@@ -368,33 +368,143 @@ def q_toplayer_prefixes(sf_dir: str, depth: int = 3) -> pa.Table:
     })
 
 
-def q_bigram_union_lists(sf_dir: str, budget: int = 20) -> pa.Table:
-    """Bigram-list construction (O5, BigramIndex.java:44-85): for each
-    2-subset of each fixed query's terms, the union of the two unigram
-    top-`budget` prefixes, reported as (t1, t2, doc_id) with doc_id
-    ascending, truncated per reference semantics to the distinct doc
-    union (both lists are impact-ordered prefixes)."""
+def _query_pair_keys(stats: dict) -> list[int]:
+    """Packed pair keys of the fixed query trace — the analog of the
+    reference's BIGRAM_SMALL_FILTER_SET (Metadata.java:92-151)."""
     from candidategeneration_ray.functions.tokenize import tokenize_text
+
+    t2i = {t: i + 1 for i, t in enumerate(stats["terms"])}
+    fkeys = set()
+    for _, text in DOC_QUERIES:
+        ids = sorted({t2i[t] for t in tokenize_text(text) if t in t2i})
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                fkeys.add((ids[i] << 32) | ids[j])
+    return sorted(fkeys)
+
+
+def build_bigram_family(sf_dir: str, budget: int = 20) -> dict:
+    """Persist the BIGRAM index family (BigramIndex.java:44-85
+    getBigramIndex: for each filter-set bigram, merge the two unigram
+    top-`budget` prefixes and write a persistent bigram index +
+    lengths metadata). Distributed shape:
+
+      1. top-`budget` prefixes of the needed unigram lists are
+         extracted by map_batches over the PERSISTED unigram segments
+         (only rows whose key is needed are decoded); the result is
+         bounded by |query-trace terms| x budget and broadcast once;
+      2. the pair-key dataset emits (key, score=0, doc_id) union
+         postings per pair against the broadcast top-map;
+      3. lists build through the SAME bucketed shuffle + segment
+         writer as the unigram/HIT families, cached with a manifest.
+    """
+    from candidategeneration_ray.pipelines.build import read_index_segments
+    from candidategeneration_ray.state import checkpoint as ckpt
+
+    cfg = EngineConfig()
+    built = build_documents_index(sf_dir)
+    stats = built["stats"]
+    fam_dir = _cache_dir(sf_dir, f"bigram-b{budget}-{cfg.index_tag()}")
+    final = os.path.join(fam_dir, "final")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if ckpt.is_complete(final, [src]):
+        return {"final_dir": final, "stats": stats}
+    ckpt.clear_stale(final)
+
+    fkeys = np.array(_query_pair_keys(stats), dtype=np.int64)
+    need = np.unique(np.concatenate((fkeys >> 32, fkeys & 0xFFFFFFFF))) \
+        if fkeys.size else np.empty(0, np.int64)
+    need_ref = ray.put(need)
+
+    def _tops(batch: pa.Table) -> pa.Table:
+        """Decode only the needed unigram lists and keep their
+        impact-ordered top-`budget` docs."""
+        from candidategeneration_ray.functions.varint import decode_delta
+
+        nd = ray.get(need_ref)
+        keys = batch.column("key").to_numpy()
+        out_k, out_d = [], []
+        for row in np.nonzero(np.isin(keys, nd))[0]:
+            docs = decode_delta(batch.column("docs")[row].as_py()).astype(np.int64)
+            scores = np.frombuffer(batch.column("scores")[row].as_py(), dtype="<i4")
+            top = np.lexsort((docs, -scores.astype(np.int64)))[:budget]
+            out_k.append(np.full(top.size, keys[row], dtype=np.int64))
+            out_d.append(docs[top])
+        return pa.table({
+            "key": pa.array(np.concatenate(out_k) if out_k else [], pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d) if out_d else [], pa.int64()),
+        })
+
+    tops = read_index_segments(built["final_dir"]) \
+        .map_batches(_tops, batch_format="pyarrow").to_pandas()
+    top_map = {
+        int(k): np.sort(g["doc_id"].to_numpy(np.int64))
+        for k, g in tops.groupby("key")
+    }
+    top_ref = ray.put(top_map)
+
+    def _emit(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "tm" not in _c:
+            _c["tm"] = ray.get(top_ref)
+        tm = _c["tm"]
+        empty = np.empty(0, np.int64)
+        out_k, out_d = [], []
+        for key in batch.column("key").to_numpy():
+            union = np.union1d(tm.get(int(key >> 32), empty),
+                               tm.get(int(key & 0xFFFFFFFF), empty))
+            out_k.append(np.full(union.size, key, dtype=np.int64))
+            out_d.append(union)
+        docs = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        keys = np.concatenate(out_k) if out_k else np.empty(0, np.int64)
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "score": pa.array(np.zeros(docs.size, np.int32), pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+        })
+
+    pairs_ds = ray.data.from_arrow(pa.table({"key": pa.array(fkeys, pa.int64())}))
+    lists = build_posting_lists(pairs_ds.map_batches(_emit, batch_format="pyarrow"), cfg)
+    os.makedirs(final, exist_ok=True)
+    lists.write_parquet(final)
+    ckpt.write_manifest(final, {"phase": "bigram-family", "inputs": [src],
+                                "budget": budget, "cfg": cfg.index_tag()})
+    return {"final_dir": final, "stats": stats}
+
+
+def q_bigram_union_lists(sf_dir: str, budget: int = 20) -> pa.Table:
+    """Bigram lists SERVED FROM THE PERSISTED FAMILY (O5,
+    BigramIndex.java:44-85): for each 2-subset of each fixed query's
+    terms, the persisted union list of the two unigram top-`budget`
+    prefixes, reported as (t1, t2, doc_id), doc ascending."""
     from candidategeneration_ray.state.queryengine import IndexReader
 
-    built = build_documents_index(sf_dir)
-    reader = IndexReader(built["final_dir"], built["stats"])
+    empty = pa.table({"t1": pa.array([], pa.string()),
+                      "t2": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64())})
+    if not _query_pair_keys(corpus_stats(sf_dir)):
+        return empty
+    fam = build_bigram_family(sf_dir, budget)
+    stats = fam["stats"]
+    terms = np.asarray(stats["terms"], dtype=object)
+    # bucket-filtered read: only the buckets holding the trace's pair
+    # keys are loaded (the key-sharded serving layout)
+    from candidategeneration_ray.stages.listbuild import bucket_of
+
+    fkeys = np.array(_query_pair_keys(stats), dtype=np.int64)
+    cfg = EngineConfig()
+    buckets = np.unique(bucket_of(fkeys, cfg.num_buckets)).tolist() or [0]
+    reader = IndexReader(fam["final_dir"], stats, cfg, buckets=buckets)
     rows_t1, rows_t2, rows_doc = [], [], []
-    seen_pairs = set()
-    for _, text in DOC_QUERIES:
-        qts = sorted({t for t in tokenize_text(text) if t in reader.term_to_id})
-        for i in range(len(qts)):
-            for j in range(i + 1, len(qts)):
-                pair = (qts[i], qts[j])
-                if pair in seen_pairs:
-                    continue
-                seen_pairs.add(pair)
-                d1, _ = reader.top_layer(reader.term_to_id[pair[0]], budget)
-                d2, _ = reader.top_layer(reader.term_to_id[pair[1]], budget)
-                union = np.union1d(d1, d2)
-                rows_t1 += [pair[0]] * union.size
-                rows_t2 += [pair[1]] * union.size
-                rows_doc += union.tolist()
+    for key in fkeys:
+        got = reader.get(int(key))
+        if got is None:
+            continue
+        docs = got[0]
+        t1 = str(terms[(int(key) >> 32) - 1])
+        t2 = str(terms[(int(key) & 0xFFFFFFFF) - 1])
+        rows_t1 += [t1] * docs.size
+        rows_t2 += [t2] * docs.size
+        rows_doc += docs.tolist()
     return pa.table({
         "t1": pa.array(rows_t1, pa.string()),
         "t2": pa.array(rows_t2, pa.string()),
@@ -436,21 +546,27 @@ def q_hit_postings(sf_dir: str, term: str = "vector") -> pa.Table:
     })
 
 
-def q_hit_index_top5(sf_dir: str) -> pa.Table:
-    """HIT index FAMILY built through the real pipeline (the
-    reference's third index, [term, hitRank, docID] postings,
-    InvertedIndex.java:352-389): emitter runs in prior mode (score :=
-    per-doc static rank, rank 1 = best = longest doc here), lists build
-    through the same bucketed shuffle. Output: per fixed-query term the
-    top-5 docs by (hit_rank asc, doc_id asc)."""
+def build_hit_family(sf_dir: str) -> dict:
+    """Persist the HIT index family (the reference's third index,
+    [term, hitRank, docID] postings, InvertedIndex.java:352-389):
+    emitter runs in prior mode (score := per-doc static rank, rank 1 =
+    best = longest doc here), lists build through the same bucketed
+    shuffle, segments land in their own cached family dir — never
+    materialized on the driver."""
     import pyarrow.parquet as pq
 
-    from candidategeneration_ray.functions.tokenize import tokenize_text
-    from candidategeneration_ray.stages.listbuild import build_posting_lists
-    from candidategeneration_ray.state.queryengine import IndexReader
+    from candidategeneration_ray.state import checkpoint as ckpt
 
-    prior_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "n_chars"])
+    cfg = EngineConfig(emit_pairs=False)
+    stats = corpus_stats(sf_dir)
+    fam_dir = _cache_dir(sf_dir, f"hit-{cfg.index_tag()}")
+    final = os.path.join(fam_dir, "final")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if ckpt.is_complete(final, [src]):
+        return {"final_dir": final, "stats": stats}
+    ckpt.clear_stale(final)
+
+    prior_t = pq.read_table(src, columns=["doc_id", "n_chars"])
     p_ids = prior_t.column("doc_id").to_numpy().astype(np.int64)
     n_chars = prior_t.column("n_chars").to_numpy()
     rank_of = np.empty(p_ids.size, dtype=np.int32)
@@ -458,17 +574,39 @@ def q_hit_index_top5(sf_dir: str) -> pa.Table:
     order = np.argsort(p_ids)
     prior = {"doc_ids": p_ids[order], "rank": rank_of[order]}
 
-    toks = doc_tokens(sf_dir)
-    stats = corpus_stats(sf_dir)
-    cfg = EngineConfig(emit_pairs=False)
-    postings = emit_postings(toks, ray.put(stats), cfg, prior_ref=ray.put(prior))
+    postings = emit_postings(doc_tokens(sf_dir), ray.put(stats), cfg,
+                             prior_ref=ray.put(prior))
     lists = build_posting_lists(postings, cfg)
-    reader = IndexReader(pa.concat_tables(
-        [b for b in lists.iter_batches(batch_size=None, batch_format="pyarrow")]),
-        stats)
+    os.makedirs(final, exist_ok=True)
+    lists.write_parquet(final)
+    ckpt.write_manifest(final, {"phase": "hit-family", "inputs": [src],
+                                "cfg": cfg.index_tag()})
+    return {"final_dir": final, "stats": stats}
 
+
+def q_hit_index_top5(sf_dir: str) -> pa.Table:
+    """HIT index family served from the PERSISTED segments via a
+    bucket-filtered read (only the buckets holding the fixed-query
+    terms' keys are loaded). Output: per fixed-query term the top-5
+    docs by (hit_rank asc, doc_id asc)."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.stages.listbuild import bucket_of
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    fam = build_hit_family(sf_dir)
+    stats = fam["stats"]
+    t2i = {t: i + 1 for i, t in enumerate(stats["terms"])}
     qterms = sorted({t for _, text in DOC_QUERIES for t in tokenize_text(text)
-                     if t in reader.term_to_id})
+                     if t in t2i})
+    if not qterms:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "prefix_rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "hit_rank": pa.array([], pa.int64())})
+    cfg = EngineConfig(emit_pairs=False)
+    tids = np.array([t2i[t] for t in qterms], dtype=np.int64)
+    buckets = np.unique(bucket_of(tids, cfg.num_buckets)).tolist()
+    reader = IndexReader(fam["final_dir"], stats, cfg, buckets=buckets)
     terms_out, ranks, docs, hits = [], [], [], []
     for term in qterms:
         got = reader.get(reader.term_to_id[term])

@@ -26,18 +26,35 @@ def write_candidates(results: ray.data.Dataset, out_dir: str) -> str:
     return out_dir
 
 
+# Above this on-disk segment size the driver no longer concatenates the
+# index into one plasma object: each serving actor reads the segment
+# files itself (parallel IO, per-actor memory bounded by its reads) —
+# the default that stays safe when the index outgrows one node. For
+# cross-node scale-out use ShardedQueryEngine (doc-sharded fleet) or
+# IndexReader(buckets=...) (key-sharded fleet).
+BROADCAST_INDEX_MAX_BYTES = 2 << 30
+
+
 def run_queries(
     index_dir: str,
     queries: ray.data.Dataset,
     stats: dict,
     cfg: EngineConfig | None = None,
     concurrency=(1, 4),
+    broadcast_max_bytes: int | None = None,
 ) -> ray.data.Dataset:
-    """Load the index segments ONCE on the driver and ship the Arrow
-    table through the object store: every actor maps the same plasma
-    buffers zero-copy instead of re-reading the segment files
-    (N_actors x IO -> 1 x IO). On a multi-node cluster the table is
-    transferred once per node by the object store."""
+    """Serve a query dataset against the built index.
+
+    Small index (<= broadcast_max_bytes on disk): load segments ONCE on
+    the driver and ship the Arrow table through the object store —
+    every actor maps the same plasma buffers zero-copy instead of
+    re-reading the segment files (N_actors x IO -> 1 x IO; transferred
+    once per node by the object store).
+
+    Large index: pass the segment PATH to the actors — each loads the
+    files itself in parallel and the driver never materializes the
+    index (the whole-index ray.put would otherwise cap serving at one
+    node's driver heap)."""
     import glob
     import os
 
@@ -45,14 +62,20 @@ def run_queries(
     import pyarrow.parquet as pq
 
     cfg = cfg or EngineConfig()
+    limit = BROADCAST_INDEX_MAX_BYTES if broadcast_max_bytes is None \
+        else broadcast_max_bytes
     files = sorted(glob.glob(os.path.join(index_dir, "**", "*.parquet"),
                              recursive=True))
-    table = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
-    index_ref = ray.put(table)
+    total_bytes = sum(os.path.getsize(f) for f in files)
     stats_ref = ray.put(stats)
+    if total_bytes <= limit:
+        table = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        source = ray.put(table)
+    else:
+        source = index_dir
     return queries.map_batches(
         QueryEngine,
-        fn_constructor_args=(index_ref, stats_ref, cfg),
+        fn_constructor_args=(source, stats_ref, cfg),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

@@ -153,6 +153,27 @@ class TestActorPoolServing(object):
             assert list(grp.sort_values("rank")["rank"]) == list(range(len(grp)))
             assert len(grp) <= 10
 
+    def test_large_index_path_routing_identical(self, built_index, ray_session):
+        """Above the broadcast threshold the actors load segments from
+        the path themselves; results must be identical to the
+        plasma-broadcast mode."""
+        import ray.data
+        from candidategeneration_ray.pipelines.query import run_queries
+
+        queries = ray.data.from_items([
+            {"query_id": i, "text": q} for i, q in enumerate(QUERIES)
+        ])
+
+        def _run(limit):
+            return run_queries(
+                built_index["final_dir"], queries, built_index["stats"],
+                concurrency=(1, 2), broadcast_max_bytes=limit,
+            ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+        a = _run(None)   # default: broadcast (index is tiny)
+        b = _run(0)      # force the large-index path mode
+        assert a.equals(b)
+
 
 class TestBucketFilteredLoad:
     def test_bucket_subset_covers_its_keys(self, built_index):
