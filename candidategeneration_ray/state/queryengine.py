@@ -271,6 +271,71 @@ def wand_topk(lists: list[_List], k: int, block_size: int) -> list[tuple[int, in
     return sorted(((s, -nd) for s, nd in heap), key=lambda p: (-p[0], p[1]))
 
 
+def blockmax_topk(lists: list[_List], k: int, block_size: int) -> list[tuple[int, int]]:
+    """Exact top-k by (score desc, doc_id asc), vectorized block-at-a-
+    time (the BMM family: Ding & Suel SIGIR 2011 block-max metadata,
+    evaluated a window per step instead of a doc per step).
+
+    Replaces wand_topk's per-doc Python pointer walk for the degenerate
+    hot-term case: each step either SKIPS a whole window [start, end]
+    (when the clamped block-max sum over the lists that can contain it
+    is <= theta — cost: one in-block searchsorted per list) or scores
+    every posting in the window with one concatenate + sort + reduceat,
+    then merges candidates into the incumbent top-k with one lexsort.
+
+    Exactness: windows advance in ascending doc order, so incumbents
+    always have smaller doc ids than later candidates; a skipped doc
+    with score == theta would lose the (score desc, doc asc) tie-break
+    anyway, and the merged lexsort selection applies the exact order
+    within each evaluated window."""
+    lists = [l for l in lists if l.docs.size]
+    if not lists:
+        return []
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.int64)
+    theta = None
+
+    while lists:
+        curs = np.array([l.cur() for l in lists], dtype=np.int64)
+        # window end: smallest current-block last-doc among the lists —
+        # every doc in [min(curs), end] lies inside each covering
+        # list's CURRENT block, so that block's max bounds it
+        end = min(l.cur_block_last(block_size) for l in lists)
+        covering = [l for l, c in zip(lists, curs) if c <= end]
+        if theta is not None:
+            ub = sum(max(l.cur_block_max(block_size), 0) for l in covering)
+            if ub <= theta:
+                for l in covering:
+                    l.next_geq(end + 1)
+                lists = [l for l in lists if l.cur() != _EXHAUSTED]
+                continue
+        # score the whole window vectorized
+        chunks_d, chunks_s = [], []
+        for l in covering:
+            e = l.pos + int(np.searchsorted(l.docs[l.pos:], end, side="right"))
+            chunks_d.append(l.docs[l.pos:e])
+            chunks_s.append(l.scores[l.pos:e].astype(np.int64))
+            l.pos = e
+        d = np.concatenate(chunks_d)
+        s = np.concatenate(chunks_s)
+        order = np.argsort(d, kind="stable")
+        d, s = d[order], s[order]
+        starts = np.concatenate(([0], np.nonzero(d[1:] != d[:-1])[0] + 1))
+        cand_d = d[starts]
+        cand_s = np.add.reduceat(s, starts)
+        # merge into incumbents, keep best k by (score desc, doc asc)
+        md = np.concatenate((top_docs, cand_d))
+        ms = np.concatenate((top_scores, cand_s))
+        keep = np.lexsort((md, -ms))[:k]
+        top_docs, top_scores = md[keep], ms[keep]
+        if top_docs.size == k:
+            theta = int(top_scores.min())
+        lists = [l for l in lists if l.cur() != _EXHAUSTED]
+
+    order = np.lexsort((top_docs, -top_scores))
+    return [(int(top_scores[i]), int(top_docs[i])) for i in order]
+
+
 def taat_topk(reader: IndexReader, term_ids: list[int], k: int) -> list[tuple[int, int]]:
     """Vectorized exact TAAT scorer (reference Vec_Merge/TAAT analog,
     algo_toplayer.cpp:300-338,757-858) — the internal cross-check for
@@ -322,8 +387,9 @@ class QueryEngine:
         scanning; for single-term queries, all-non-positive score sets
         (hot terms with df > N/2 — common in conversational corpora)
         and sub-million list totals, the vectorized TAAT merge is
-        strictly faster. `algorithm` forces "wand" / "taat" (tests,
-        benchmarking).
+        strictly faster. `algorithm` forces "wand" (vectorized
+        block-at-a-time, blockmax_topk) / "taat" / "wand_scalar" (the
+        per-doc pointer walk, kept as the differential reference).
         """
         k = k or self.cfg.top_k
         ids = self.reader.query_term_ids(text)
@@ -341,7 +407,9 @@ class QueryEngine:
                          or total < self.TAAT_THRESHOLD else "wand")
         if algorithm == "taat":
             return taat_topk(self.reader, ids, k)
-        return wand_topk(lists, k, self.cfg.block_size)
+        if algorithm == "wand_scalar":
+            return wand_topk(lists, k, self.cfg.block_size)
+        return blockmax_topk(lists, k, self.cfg.block_size)
 
     def candidates(self, text: str, budget: int = 200, pair_weight: int = 5) -> np.ndarray:
         """Predictive candidate pool (reference Q5/Q6 analog): take

@@ -11,7 +11,8 @@ from candidategeneration_ray.config import EngineConfig
 from candidategeneration_ray.oracle import build_oracle_index
 from candidategeneration_ray.stages.postings import PostingEmitter
 from candidategeneration_ray.stages.listbuild import merge_partial_lists
-from candidategeneration_ray.state.queryengine import IndexReader, _List, wand_topk
+from candidategeneration_ray.state.queryengine import (
+    IndexReader, _List, blockmax_topk, wand_topk)
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta",
          "theta", "iota", "kappa", "rare1", "rare2", "77", "88"]
@@ -63,14 +64,15 @@ def test_wand_topk_matches_oracle(token_docs, query):
         assert expect == []
         return
     t2i = {t: i + 1 for i, t in enumerate(stats_terms(reader))}
-    lists = []
-    for t in sorted(set(query)):
-        tid = t2i.get(t)
-        got = reader.get(tid) if tid else None
-        if got is not None:
-            lists.append(_List(*got))
-    result = wand_topk(lists, 5, cfg.block_size)
-    assert [(d, s) for s, d in result] == expect
+    for scorer in (wand_topk, blockmax_topk):
+        lists = []
+        for t in sorted(set(query)):
+            tid = t2i.get(t)
+            got = reader.get(tid) if tid else None
+            if got is not None:
+                lists.append(_List(*got))
+        result = scorer(lists, 5, cfg.block_size)
+        assert [(d, s) for s, d in result] == expect, scorer.__name__
 
 
 def stats_terms(reader):

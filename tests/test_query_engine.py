@@ -6,7 +6,7 @@ import pytest
 
 from candidategeneration_ray.config import EngineConfig
 from candidategeneration_ray.state.queryengine import (
-    IndexReader, QueryEngine, _List, taat_topk, wand_topk,
+    IndexReader, QueryEngine, _List, blockmax_topk, taat_topk, wand_topk,
 )
 
 # a query mix per FIXTURES.md §2: hot terms, rare terms, absent terms,
@@ -68,6 +68,8 @@ class TestRankIdentity:
             assert [(d, s) for s, d in got] == expect, k
 
 
+@pytest.mark.parametrize("scorer", [wand_topk, blockmax_topk],
+                         ids=["wand_scalar", "blockmax_vec"])
 class TestWandUnit:
     def _mk(self, docs, scores, bs=4):
         docs = np.asarray(docs, np.int64)
@@ -77,28 +79,28 @@ class TestWandUnit:
         blast = np.array([docs[min((i + 1) * bs, docs.size) - 1] for i in range(nb)], np.int64)
         return _List(docs, scores, bmax, blast)
 
-    def test_tie_break_doc_asc(self):
+    def test_tie_break_doc_asc(self, scorer):
         l1 = self._mk([1, 2, 3], [5, 5, 5])
-        out = wand_topk([l1], 2, 4)
+        out = scorer([l1], 2, 4)
         assert out == [(5, 1), (5, 2)]
 
-    def test_negative_scores(self):
+    def test_negative_scores(self, scorer):
         l1 = self._mk([1, 2], [-3, -7])
         l2 = self._mk([2, 3], [4, 4])
         # doc2: -7+4=-3; doc1: -3; doc3: 4 → top2 = (4,3),(-3,1)
-        out = wand_topk([l1, l2], 2, 4)
+        out = scorer([l1, l2], 2, 4)
         assert out == [(4, 3), (-3, 1)]
 
-    def test_block_skip_correctness(self):
+    def test_block_skip_correctness(self, scorer):
         # long list with one high block at the end
         docs = list(range(1, 101))
         scores = [1] * 99 + [100]
         l1 = self._mk(docs, scores, bs=8)
         l2 = self._mk([100, 200], [50, 60])
-        out = wand_topk([l1, l2], 2, 8)
+        out = scorer([l1, l2], 2, 8)
         assert out == [(150, 100), (60, 200)]
 
-    def test_exhaustive_random_vs_taat_reference(self):
+    def test_exhaustive_random_vs_taat_reference(self, scorer):
         rng = np.random.default_rng(0)
         for trial in range(50):
             nlists = int(rng.integers(1, 6))
@@ -115,7 +117,7 @@ class TestWandUnit:
             expect = sorted(
                 ((s, d) for d, s in ref_acc.items()), key=lambda p: (-p[0], p[1])
             )[:k]
-            got = wand_topk(lists, k, 7)
+            got = scorer(lists, k, 7)
             assert got == expect, trial
 
 
