@@ -627,18 +627,51 @@ def q_hit_index_top5(sf_dir: str) -> pa.Table:
     })
 
 
-def _predictive_setup(sf_dir: str):
+def load_ground_truth(gt_path: str) -> dict[int, list[int]]:
+    """External complex-ranker ground truth — the analog of the
+    reference's complexRankerResults trace (NestedQueryTrace.java:93-152
+    reads (query, doc, rank) triples): a parquet table of
+    (query_id:int64, doc_id:int64, rank:int64). Returns query_id ->
+    doc ids ordered by rank asc."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(gt_path, columns=["query_id", "doc_id", "rank"])
+    qid = t.column("query_id").to_numpy().astype(np.int64)
+    doc = t.column("doc_id").to_numpy().astype(np.int64)
+    rank = t.column("rank").to_numpy().astype(np.int64)
+    order = np.lexsort((rank, qid))
+    qid, doc = qid[order], doc[order]
+    out: dict[int, list[int]] = {}
+    starts = np.concatenate(([0], np.nonzero(qid[1:] != qid[:-1])[0] + 1))
+    ends = np.concatenate((starts[1:], [qid.size]))
+    for s, e in zip(starts, ends):
+        out[int(qid[s])] = doc[s:e].tolist()
+    return out
+
+
+def _predictive_setup(sf_dir: str, gt_path: str | None = None):
+    """Quality-model training setup. Ground truth resolution order:
+    explicit `gt_path` > `<sf_dir>/gt.parquet` if present (the
+    reference's external complex-ranker GT data model) > the engine's
+    own exact top-k (self-GT fallback, documented deviation)."""
     from candidategeneration_ray.state.queryengine import IndexReader, QueryEngine
     from candidategeneration_ray.state.selection import build_quality_model
 
     built = build_documents_index(sf_dir)
     reader = IndexReader(built["final_dir"], built["stats"])
     eng = QueryEngine(built["final_dir"], built["stats"])
+    if gt_path is None:
+        cand = os.path.join(sf_dir, "gt.parquet")
+        gt_path = cand if os.path.exists(cand) else None
+    external = load_ground_truth(gt_path) if gt_path else None
     keysets, gts = [], []
-    for _, text in DOC_QUERIES:
+    for qid, text in DOC_QUERIES:
         ids = reader.query_term_ids(text)
         keysets.append(reader.augmented_keys(ids))
-        gts.append([d for _, d in eng.topk(text, k=10)])
+        if external is not None:
+            gts.append(external.get(qid, []))
+        else:
+            gts.append([d for _, d in eng.topk(text, k=10)])
     model = build_quality_model(reader, keysets, gts)
     return reader, model
 

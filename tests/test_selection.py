@@ -63,6 +63,60 @@ class TestQualityModel:
         assert model.prob[False][:, -1].max() > 0
 
 
+class TestExternalGroundTruth:
+    def test_gt_parquet_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.docquery import load_ground_truth
+
+        p = str(tmp_path / "gt.parquet")
+        pq.write_table(pa.table({
+            "query_id": pa.array([1, 0, 1, 0], pa.int64()),
+            "doc_id": pa.array([7, 3, 9, 5], pa.int64()),
+            "rank": pa.array([2, 1, 1, 2], pa.int64()),
+        }), p)
+        gt = load_ground_truth(p)
+        assert gt == {0: [3, 5], 1: [9, 7]}
+
+    def test_perturbed_gt_moves_the_model(self, ray_session, tmp_path):
+        """Training on external (perturbed) GT must change the quality
+        matrices vs self-GT — proves the external hook actually drives
+        training (reference NestedQueryTrace complex-ranker GT)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.docquery import (
+            DOC_QUERIES, _predictive_setup)
+
+        sf = "/root/testdata/sf0.001"
+        _, self_model = _predictive_setup(sf)
+        # perturbed GT: docs unlikely to sit at the top of impact lists
+        rows_q, rows_d, rows_r = [], [], []
+        for qid, _ in DOC_QUERIES:
+            for r in range(1, 11):
+                rows_q.append(qid)
+                rows_d.append(400 + 13 * r + qid)  # arbitrary mid-corpus docs
+                rows_r.append(r)
+        p = str(tmp_path / "gt.parquet")
+        pq.write_table(pa.table({
+            "query_id": pa.array(rows_q, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }), p)
+        _, ext_model = _predictive_setup(sf, gt_path=p)
+        moved = any(
+            not np.array_equal(self_model.prob[fam], ext_model.prob[fam])
+            for fam in (False, True)
+        )
+        assert moved
+        # still a valid monotone CDF
+        for fam in (False, True):
+            pm = ext_model.prob[fam]
+            assert (pm >= 0).all() and (pm <= 1).all()
+            assert (np.diff(pm, axis=1) >= -1e-12).all()
+
+
 class TestGreedySelection:
     def test_budget_respected_and_chunks_valid(self, setup):
         reader, _, keysets, _, model = setup
