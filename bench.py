@@ -116,8 +116,11 @@ def run_bench() -> dict:
         ("df_top50", dq.q_df_top50),
         ("pair_counts_top50", dq.q_pair_counts_top50),
         ("bm25_topk", dq.q_bm25_topk),
+        ("pruned_list_lengths", dq.q_pruned_list_lengths),
         ("dedup_exact", ex.q_dedup_exact),
         ("minhash_lsh_pairs", ex.q_minhash_lsh_pairs),
+        ("dup_clusters", ex.q_dup_clusters),
+        ("embedding_neardups", ex.q_embedding_neardups),
         ("ann_cosine_top10", ex.q_ann_cosine_top10),
         ("text_stats", ex.q_text_stats),
     ]:

@@ -258,16 +258,25 @@ def q_dup_clusters(sf_dir: str, max_rounds: int = 20) -> ray.data.Dataset:
     """Connected components over the MinHash-LSH star-edge graph: every
     doc gets the MIN doc_id of its duplicate cluster.
 
-    Fully distributed min-label propagation: labels (node, lbl) start
-    as doc_id; each round unions symmetric edge rows with label rows,
-    groups by src (64-way hash buckets, vectorized inside), sends each
-    src's label along its out-edges, then groupby(node).min(lbl) picks
-    the new label. Labels only decrease, so Sum(lbl) is an exact
-    convergence witness — one scalar aggregate per round, nothing else
-    reaches the driver. Per-round datasets are materialized to truncate
-    lineage (bounded: one row per doc). Output (doc_id, cluster) for
-    ALL docs (singletons are their own cluster)."""
-    from ray.data.aggregate import Min, Sum
+    Fully distributed min-label propagation over the EDGE-INDUCED
+    subgraph only (a node with no duplicate edge can never change
+    label, so per-round shuffles move |dup nodes| rows, not |corpus|):
+    labels (node, lbl) start as doc_id; each round unions symmetric
+    edge rows with label rows, groups by src (64-way hash buckets,
+    vectorized inside), sends each src's label along its out-edges,
+    then groupby(node).min(lbl) picks the new label. Labels only
+    decrease, so Sum(lbl) is an exact convergence witness — one scalar
+    aggregate per round, nothing else reaches the driver. Per-round
+    datasets are materialized to truncate lineage (bounded: one row
+    per dup node). Singletons fold back in at the end with ONE
+    groupby(node).min over (identity ∪ subgraph labels) — min is
+    correct because propagated labels only ever decrease below the
+    node's own id. Output (doc_id, cluster) for ALL docs.
+
+    Edge sets small enough for one task (<=5M rows after star-edge
+    compression) skip the rounds and run CC in a single Ray task over
+    the object-store edge blocks instead."""
+    from ray.data.aggregate import Min
 
     SENT = np.iinfo(np.int64).max  # edge-row marker in the unioned schema
 
@@ -286,14 +295,80 @@ def q_dup_clusters(sf_dir: str, max_rounds: int = 20) -> ray.data.Dataset:
         .materialize()  # reused every round; star edges are linear in docs
     )
 
-    def _init_labels(batch: pa.Table) -> pa.Table:
+    # Small-graph fast path: star edges compress a dup cluster to m-1
+    # rows, so the WHOLE edge set of even a heavily-duplicated corpus is
+    # often task-sized. Run CC in ONE Ray task over the object-store
+    # edge blocks (the edge list never touches the driver; the task
+    # returns (node, lbl) for dup nodes only, consumed via
+    # from_arrow_refs). Graphs past the threshold take the
+    # groupby-rounds path.
+    n_edges = edges.count()
+    if n_edges == 0:
+        labels = ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "lbl": pa.array([], pa.int64())}))
+    elif n_edges <= 5_000_000:
+        labels = ray.data.from_arrow_refs(
+            [_small_graph_cc.remote(*edges.to_arrow_refs())])
+    else:
+        labels = _propagation_rounds(edges, max_rounds)
+
+    def _identity(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").cast(pa.int64())
         return pa.table({"node": d, "lbl": d})
 
+    all_docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(_identity, batch_format="pyarrow")
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "cluster": batch.column("lbl")})
+
+    return (
+        all_docs.union(labels)
+        .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+        .map_batches(_rename, batch_format="pyarrow")
+    )
+
+
+@ray.remote
+def _small_graph_cc(*tables: pa.Table) -> pa.Table:
+    """Connected components over a task-sized symmetric edge list:
+    min-label propagation with pointer jumping, vectorized numpy.
+    Returns (node, lbl) for edge-touched nodes only."""
+    t = pa.concat_tables(tables)
+    src = t.column("src").to_numpy().astype(np.int64)
+    dst = t.column("dst").to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate((src, dst)))
+    label = nodes.copy()
+    isrc = np.searchsorted(nodes, src)
+    idst = np.searchsorted(nodes, dst)
+    while True:
+        new = label.copy()
+        np.minimum.at(new, isrc, label[idst])
+        new = np.minimum(new, new[np.searchsorted(nodes, new)])
+        if np.array_equal(new, label):
+            break
+        label = new
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "lbl": pa.array(label, pa.int64())})
+
+
+def _propagation_rounds(edges, max_rounds: int):
+    """The general-scale CC path: per-round groupby label propagation
+    over the edge-induced subgraph (see q_dup_clusters docstring).
+    `edges` is the materialized symmetric (src, dst, lbl=SENT) set."""
+    from ray.data.aggregate import Min, Sum
+
+    def _edge_nodes(batch: pa.Table) -> pa.Table:
+        s = batch.column("src")
+        return pa.table({"node": s, "lbl": s})
+
+    # identity labels for nodes that touch an edge (distinct via groupby)
     labels = (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                              columns=["doc_id"])
-        .map_batches(_init_labels, batch_format="pyarrow")
+        edges.map_batches(_edge_nodes, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
         .materialize()
     )
     prev_sum = labels.aggregate(Sum("lbl"))["sum(lbl)"]
@@ -337,12 +412,13 @@ def q_dup_clusters(sf_dir: str, max_rounds: int = 20) -> ray.data.Dataset:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
 
-    def _rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": batch.column("node"),
-                         "cluster": batch.column("lbl")})
-
-    return labels.map_batches(_rename, batch_format="pyarrow")
+    return (
+        all_docs.union(labels)
+        .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+        .map_batches(_rename, batch_format="pyarrow")
+    )
 
 
 def q_simhash(sf_dir: str) -> ray.data.Dataset:

@@ -90,6 +90,37 @@ class TestDedup:
         cl = q_dup_clusters(d).to_pandas()
         assert len(cl) == n and (cl["cluster"] == 0).all()
 
+    def test_propagation_rounds_match_task_cc(self, ray_session):
+        """The groupby-rounds CC path (taken for >5M-edge graphs) must
+        produce the same labels as the single-task fast path — chains,
+        cliques and merged stars all converge to the component min."""
+        import ray
+        import ray.data
+
+        from candidategeneration_ray.pipelines.extras import (
+            _propagation_rounds, _small_graph_cc)
+
+        SENT = np.iinfo(np.int64).max
+        # chain 0-1-2-3, clique {10,11,12}, star merged via shared node
+        raw = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (11, 12),
+               (20, 25), (25, 30)]
+        a = np.array([p[0] for p in raw], np.int64)
+        b = np.array([p[1] for p in raw], np.int64)
+        sym = pa.table({
+            "src": pa.array(np.concatenate((a, b)), pa.int64()),
+            "dst": pa.array(np.concatenate((b, a)), pa.int64()),
+            "lbl": pa.array(np.full(2 * a.size, SENT, np.int64), pa.int64()),
+        })
+        edges = ray.data.from_arrow(sym).materialize()
+        rounds = _propagation_rounds(edges, 20).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        task = ray.get(_small_graph_cc.remote(sym)).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert rounds.equals(task)
+        got = dict(zip(rounds["node"], rounds["lbl"]))
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10,
+                       20: 20, 25: 20, 30: 20}
+
     def test_exact_dedup_groups(self, ray_session):
         from candidategeneration_ray.pipelines.extras import q_dedup_exact
 
