@@ -321,6 +321,83 @@ def online_depth_selection(
     return depths
 
 
+def coverage_bitmask_candidates(
+    reader: IndexReader,
+    model: QualityModel,
+    term_ids: list[int],
+    budget_postings: int = 2000,
+    num_candidates: int = 10,
+) -> list[tuple[int, int]]:
+    """Q6, the reference's ACTUAL merge shape (algo_toplayer.cpp
+    Vec_Merge :300-338 + the nextGEQ patch phase :935-976): accumulate
+    partial scores from the selected UNIGRAM prefixes with a per-term
+    coverage bitmask, then for every candidate doc patch each UNCOVERED
+    term with a point lookup into its full list (skipped when the doc
+    is outside the list's range — the lookupPruningTable analog).
+
+    Exists as the differential reference for predictive_candidates'
+    pool-restricted TAAT: both must produce identical (score, doc)
+    results on the same selection (tested), which is the semantic-
+    equivalence claim for the documented Q6 deviation."""
+    keys = list(term_ids)
+    for i in range(len(term_ids)):
+        for j in range(i + 1, len(term_ids)):
+            a, b = term_ids[i], term_ids[j]
+            keys.append((min(a, b) << 32) | max(a, b))
+    depths = online_depth_selection(keys, reader, model, budget_postings)
+    uni_terms = sorted(set(term_ids))
+    bit_of = {t: i for i, t in enumerate(uni_terms)}
+
+    # candidate pool = union of ALL selected prefixes (pairs contribute
+    # docs only — their combined score is reconstructed per term by the
+    # patch lookups, as the reference does)
+    pools = []
+    for key, depth in depths.items():
+        docs, _ = reader.top_layer(key, depth)
+        pools.append(docs)
+    if not pools:
+        return []
+    pool = np.unique(np.concatenate(pools))
+
+    score = np.zeros(pool.size, dtype=np.int64)
+    covered = np.zeros(pool.size, dtype=np.int64)  # bitmask per doc
+    # partial scores + coverage bits from unigram prefixes
+    for key, depth in depths.items():
+        if key >= (1 << 32):
+            continue
+        docs, scs = reader.top_layer(key, depth)
+        pos = np.searchsorted(pool, docs)
+        pos_c = np.minimum(pos, pool.size - 1)
+        valid = pool[pos_c] == docs
+        bit = 1 << bit_of[int(key)]
+        score[pos_c[valid]] += scs[valid].astype(np.int64)
+        covered[pos_c[valid]] |= bit
+
+    # patch phase: per uncovered (doc, term), nextGEQ point lookup
+    for t in uni_terms:
+        got = reader.get(int(t))
+        if got is None:
+            continue
+        docs, scs, _, _ = got
+        bit = 1 << bit_of[t]
+        need = (covered & bit) == 0
+        if not need.any():
+            continue
+        targets = pool[need]
+        # lookup pruning: docs outside the list's range cannot hit
+        in_range = (targets >= docs[0]) & (targets <= docs[-1])
+        if not in_range.any():
+            continue
+        pos = np.searchsorted(docs, targets[in_range])
+        pos_c = np.minimum(pos, docs.size - 1)
+        hit = docs[pos_c] == targets[in_range]
+        idx = np.nonzero(need)[0][np.nonzero(in_range)[0][hit]]
+        score[idx] += scs[pos_c[hit]].astype(np.int64)
+
+    order = np.lexsort((pool, -score))[:num_candidates]
+    return [(int(score[i]), int(pool[i])) for i in order]
+
+
 def predictive_candidates(
     reader: IndexReader,
     model: QualityModel,

@@ -63,6 +63,28 @@ class TestQualityModel:
         assert model.prob[False][:, -1].max() > 0
 
 
+class TestCoverageBitmaskMerge:
+    def test_bitmask_merge_equals_pool_taat(self, setup):
+        """The reference-faithful coverage-bitmask merge + nextGEQ
+        patch (Q6, algo_toplayer.cpp:300-338) must equal the
+        pool-restricted exact TAAT that replaced it — the differential
+        proof behind the documented deviation."""
+        from candidategeneration_ray.state.selection import (
+            coverage_bitmask_candidates)
+
+        reader, eng, keysets, gts, model = setup
+        checked = 0
+        for q in QUERY_TEXTS:
+            ids = reader.query_term_ids(q)
+            if not ids:
+                continue
+            a = predictive_candidates(reader, model, ids, 3000, 10)
+            b = coverage_bitmask_candidates(reader, model, ids, 3000, 10)
+            assert a == b, q
+            checked += 1
+        assert checked >= 5
+
+
 class TestExternalGroundTruth:
     def test_gt_parquet_roundtrip(self, tmp_path):
         import pyarrow as pa
