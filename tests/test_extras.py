@@ -121,6 +121,22 @@ class TestDedup:
         assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10,
                        20: 20, 25: 20, 30: 20}
 
+    def test_jaccard_stop_shingle_cap(self, ray_session):
+        """The skew guard drops shingle groups above max_shingle_df
+        before pair explosion; with a cap no larger than any real
+        group's df the result must be unchanged, and a cap of 1 must
+        produce no pairs."""
+        from candidategeneration_ray.pipelines.extras import q_jaccard_pairs
+
+        exact = q_jaccard_pairs(SF, threshold_pct=50).to_pandas() \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        capped = q_jaccard_pairs(SF, threshold_pct=50,
+                                 max_shingle_df=10_000).to_pandas() \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        assert exact.equals(capped)
+        none = q_jaccard_pairs(SF, threshold_pct=50, max_shingle_df=1).to_pandas()
+        assert len(none) == 0
+
     def test_exact_dedup_groups(self, ray_session):
         from candidategeneration_ray.pipelines.extras import q_dedup_exact
 
