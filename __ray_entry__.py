@@ -64,7 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": ex.q_text_stats,
         "langid": ex.q_langid,
         "fingerprints": ex.q_fingerprints,
-        "multimodal_meta": ex.q_multimodal_meta,        # decode stub (rows-only)
+        "multimodal_meta": ex.q_multimodal_meta,        # decode stub
+        "multimodal_frames": ex.q_multimodal_frames,    # frame-sample stage
+        "multimodal_features": ex.q_multimodal_features,  # feature-extract stage
     }
 
 

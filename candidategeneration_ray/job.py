@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--distance", type=int, default=5)
     b.add_argument("--num-buckets", type=int, default=96)
     b.add_argument("--no-pairs", action="store_true")
+    b.add_argument("--max-list-postings", type=int, default=None,
+                   help="build-time list pruning cap (reference O3); "
+                        "None keeps full lists")
+    b.add_argument("--unconditional-prefix", type=int, default=100,
+                   help="doc-order prefix always kept when pruning")
     b.add_argument("--num-cpus", type=int, default=None)
 
     q = sub.add_parser("query", help="serve a query table against an index")
@@ -78,7 +83,9 @@ def main(argv: list[str] | None = None) -> int:
 
             cfg = EngineConfig(distance=args.distance,
                                num_buckets=args.num_buckets,
-                               emit_pairs=not args.no_pairs)
+                               emit_pairs=not args.no_pairs,
+                               max_list_postings=args.max_list_postings,
+                               unconditional_prefix=args.unconditional_prefix)
             t0 = time.time()
             res = build_index(args.input, args.out, cfg,
                               partitions=args.partitions)

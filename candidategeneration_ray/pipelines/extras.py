@@ -739,6 +739,109 @@ class BinaryDecodeStub:
         })
 
 
+class FrameSampleStub:
+    """Actor-pool frame sampler for opaque video payloads: REAL Ray
+    plumbing (binary column in, small batches, exploded per-frame rows
+    out), fake decode (no media libs in this container). Treats the
+    payload as fixed FRAME_BYTES-byte frames and emits every STRIDE-th
+    frame as its own row with the actual byte slice — the shape of a
+    video frame-sampling stage (keyframe extraction would replace the
+    fixed stride)."""
+
+    FRAME_BYTES = 256
+    STRIDE = 4
+
+    def __init__(self):
+        self.sampled = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fb, stride = self.FRAME_BYTES, self.STRIDE
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        payloads = batch.column("payload").to_pylist()
+        out_doc, out_idx, out_n, out_payload = [], [], [], []
+        for i, p in enumerate(payloads):
+            n = len(p)
+            n_frames = (n + fb - 1) // fb
+            for fi in range(0, n_frames, stride):
+                out_doc.append(doc_ids[i])
+                out_idx.append(fi)
+                out_n.append(min(fb, n - fi * fb))
+                out_payload.append(p[fi * fb:(fi + 1) * fb])
+        self.sampled += len(out_idx)
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "frame_idx": pa.array(out_idx, pa.int64()),
+            "frame_bytes": pa.array(out_n, pa.int64()),
+            "frame_payload": pa.array(out_payload, pa.binary()),
+        })
+
+
+class CodepointHistogramFeatures:
+    """Actor-pool feature extractor: 16-bucket codepoint histogram per
+    doc — a REAL (not stubbed) cheap feature family computable without
+    media libs; the actor shape is identical to an embedding-model
+    stage (load weights in __init__, batch inference in __call__).
+    Emits exploded (doc_id, bucket, n) rows for nonzero buckets."""
+
+    N_BUCKETS = 16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        out_doc, out_bucket, out_n = [], [], []
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            # utf-32-le view = one uint32 codepoint per character
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            buckets = np.minimum(cps, 255) >> 4
+            counts = np.bincount(buckets, minlength=self.N_BUCKETS)
+            nz = np.nonzero(counts)[0]
+            out_doc.append(np.full(nz.size, doc_ids[i], dtype=np.int64))
+            out_bucket.append(nz.astype(np.int64))
+            out_n.append(counts[nz].astype(np.int64))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_doc) if out_doc else [], pa.int64()),
+            "bucket": pa.array(np.concatenate(out_bucket) if out_bucket else [], pa.int64()),
+            "n": pa.array(np.concatenate(out_n) if out_n else [], pa.int64()),
+        })
+
+
+def _binary_payloads(sf_dir: str) -> ray.data.Dataset:
+    """Synthesize the opaque binary column from text (deterministic)."""
+
+    def _to_binary(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "payload": pa.array(
+                [t.encode("utf-8") for t in batch.column("text").to_pylist()],
+                pa.binary()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_to_binary, batch_format="pyarrow")
+
+
+def q_multimodal_frames(sf_dir: str) -> ray.data.Dataset:
+    """Frame-sampling plumbing over opaque binary payloads (actor pool,
+    small batches for large payloads). Returns (doc_id, frame_idx,
+    frame_bytes); the actual frame byte slices flow through the stage
+    and are dropped only for the oracle comparison."""
+    return (
+        _binary_payloads(sf_dir)
+        .map_batches(FrameSampleStub, batch_format="pyarrow",
+                     batch_size=256, concurrency=(1, 4))
+        .select_columns(["doc_id", "frame_idx", "frame_bytes"])
+    )
+
+
+def q_multimodal_features(sf_dir: str) -> ray.data.Dataset:
+    """Feature-extraction plumbing: per-doc 16-bucket codepoint
+    histogram as exploded (doc_id, bucket, n) rows (actor pool)."""
+    return documents_ds(sf_dir).map_batches(
+        CodepointHistogramFeatures, batch_format="pyarrow",
+        batch_size=512, concurrency=(1, 4))
+
+
 def q_multimodal_meta(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing: synthesize an opaque binary column from the
     text (deterministic), run the actor-pool decode stub with small

@@ -488,6 +488,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(64 + (octet_length(encode(text)) * 31) % 419 AS BIGINT) AS height
 FROM documents
 """,
+        "multimodal_frames": """
+WITH f AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+frames AS (
+  SELECT doc_id, nb,
+         unnest(range(0, CAST(ceil(nb / 256.0) AS BIGINT), 4)) AS frame_idx
+  FROM f
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(least(256, nb - frame_idx * 256) AS BIGINT) AS frame_bytes
+FROM frames
+""",
+        "multimodal_features": """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(least(unicode(ch), 255) // 16 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM chars WHERE ch != ''
+GROUP BY doc_id, least(unicode(ch), 255) // 16
+""",
         "fingerprints": f"""
 WITH {KEPT_CTE},
 {_DOCS_TOKS},

@@ -172,6 +172,30 @@ class TestAnn:
 
 
 class TestMultimodal:
+    def test_frame_payload_bytes_are_real_slices(self, ray_session):
+        """The frame-sample stage must carry the ACTUAL payload byte
+        slices, not just metadata — checked against python slicing."""
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import (
+            FrameSampleStub, _binary_payloads)
+
+        out = _binary_payloads(SF).map_batches(
+            FrameSampleStub, batch_format="pyarrow",
+            batch_size=256, concurrency=(1, 2)).to_pandas()
+        texts = pq.read_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+        by_doc = dict(zip(texts["doc_id"], texts["text"]))
+        fb = FrameSampleStub.FRAME_BYTES
+        checked = 0
+        for _, row in out.iloc[::37].iterrows():
+            p = by_doc[row["doc_id"]].encode("utf-8")
+            fi = int(row["frame_idx"])
+            assert bytes(row["frame_payload"]) == p[fi * fb:(fi + 1) * fb]
+            assert row["frame_bytes"] == len(row["frame_payload"])
+            checked += 1
+        assert checked > 3
+
     def test_decode_stub_plumbing(self, ray_session):
         from candidategeneration_ray.pipelines.extras import q_multimodal_meta
 
