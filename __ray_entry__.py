@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
         "dup_clusters": ex.q_dup_clusters,
         "simhash": ex.q_simhash,
+        "simhash_neardups": ex.q_simhash_neardups,
         "embedding_neardups": ex.q_embedding_neardups,
         "ann_cosine_top10": ex.q_ann_cosine_top10,
         "ann_ivf_top10": ex.q_ann_ivf_top10,            # approximate (rows-only)

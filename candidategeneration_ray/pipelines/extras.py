@@ -458,6 +458,91 @@ def q_simhash(sf_dir: str) -> ray.data.Dataset:
     return documents_ds(sf_dir).map_batches(_sim, batch_format="pyarrow")
 
 
+def q_simhash_neardups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """SimHash near-duplicates, EXACT for Hamming distance <=
+    `max_hamming`: the 60-bit simhash splits into 4 15-bit bands; any
+    pair within distance 3 differs in <= 3 bits, so by pigeonhole at
+    least one band matches — grouping by (band_id, band_value) has
+    perfect recall, and an exact popcount check inside each group
+    removes false positives. Group work runs at the DISTINCT-value
+    level (a hot duplicate cluster collapses to ONE value, so the
+    value-pair loop is tiny even under worst skew); doc expansion is
+    output-sized. Distinct across bands via groupby. Output
+    (doc_a, doc_b), doc_a < doc_b."""
+    from ray.data.aggregate import Count
+
+    NBANDS, BITS = 4, 15
+    sims = q_simhash(sf_dir)
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        s = batch.column("simhash").to_numpy().astype(np.int64)
+        out_b, out_v, out_d, out_s = [], [], [], []
+        for band in range(NBANDS):
+            val = (s >> (band * BITS)) & ((1 << BITS) - 1)
+            out_b.append(np.full(d.size, band, dtype=np.int64))
+            out_v.append(val)
+            out_d.append(d)
+            out_s.append(s)
+        return pa.table({
+            "band_id": pa.array(np.concatenate(out_b), pa.int64()),
+            "band_val": pa.array(np.concatenate(out_v), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "simhash": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        b = batch.column("band_id").to_numpy().astype(np.uint64)
+        v = batch.column("band_val").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "sbucket", pa.array(((b * 31 + v) % 64).astype(np.int32)))
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        b = group.column("band_id").to_numpy().astype(np.int64)
+        v = group.column("band_val").to_numpy().astype(np.int64)
+        d = group.column("doc_id").to_numpy().astype(np.int64)
+        s = group.column("simhash").to_numpy().astype(np.int64)
+        out_a, out_b2 = [], []
+        order = np.lexsort((d, s, v, b))
+        b, v, d, s = b[order], v[order], d[order], s[order]
+        gnew = np.concatenate(([True], (b[1:] != b[:-1]) | (v[1:] != v[:-1])))
+        gstarts = np.nonzero(gnew)[0]
+        gends = np.concatenate((gstarts[1:], [d.size]))
+        for gs, ge in zip(gstarts, gends):
+            if ge - gs < 2:
+                continue
+            sims_g, docs_g = s[gs:ge], d[gs:ge]
+            vals, vstart = np.unique(sims_g, return_index=True)
+            vend = np.concatenate((vstart[1:], [sims_g.size]))
+            for i in range(vals.size):
+                di = docs_g[vstart[i]:vend[i]]
+                # same-value docs: distance 0 — all pairs (output-sized)
+                if di.size > 1:
+                    ia, ib = np.triu_indices(di.size, k=1)
+                    out_a.append(di[ia])
+                    out_b2.append(di[ib])
+                for j in range(i + 1, vals.size):
+                    if bin(int(vals[i]) ^ int(vals[j])).count("1") > max_hamming:
+                        continue
+                    dj = docs_g[vstart[j]:vend[j]]
+                    aa = np.repeat(di, dj.size)
+                    bb = np.tile(dj, di.size)
+                    out_a.append(np.minimum(aa, bb))
+                    out_b2.append(np.maximum(aa, bb))
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a) if out_a else [], pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b2) if out_b2 else [], pa.int64()),
+        })
+
+    return (
+        sims.map_batches(_bands, batch_format="pyarrow")
+        .map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("sbucket").map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
 # --------------------------------------------------------- similarity search
 
 def q_ann_cosine_top10(sf_dir: str) -> pa.Table:

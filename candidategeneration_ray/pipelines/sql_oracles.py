@@ -440,6 +440,31 @@ sim AS (
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, coalesce(sim.simhash, 0) AS simhash
 FROM documents d LEFT JOIN sim USING (doc_id)
 """,
+        "simhash_neardups": f"""
+WITH {KEPT_CTE},
+bits AS (SELECT unnest(range(0, {H.SIMHASH_BITS})) AS b),
+tok_h AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf, {_H64.format(expr='tok')} AS h
+  FROM kept GROUP BY doc_id, tok
+),
+bitsum AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tok_h CROSS JOIN bits GROUP BY doc_id, b
+),
+sim0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+),
+sim AS (
+  SELECT d.doc_id, coalesce(sim0.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sim0 USING (doc_id)
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
         "embedding_neardups": """
 WITH unitized AS (
   SELECT vec_id, embedding FROM embeddings
