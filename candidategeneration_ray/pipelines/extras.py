@@ -351,6 +351,12 @@ def _small_graph_cc(*tables: pa.Table) -> pa.Table:
     """Connected components over a task-sized symmetric edge list:
     min-label propagation with pointer jumping, vectorized numpy.
     Returns (node, lbl) for edge-touched nodes only."""
+    # high-parallelism runs pad the dataset with 0-row blocks carrying
+    # an EMPTY schema — concat_tables rejects the mix; drop them
+    tables = [t for t in tables if t.num_rows > 0]
+    if not tables:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "lbl": pa.array([], pa.int64())})
     t = pa.concat_tables(tables)
     src = t.column("src").to_numpy().astype(np.int64)
     dst = t.column("dst").to_numpy().astype(np.int64)

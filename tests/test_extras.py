@@ -137,6 +137,27 @@ class TestDedup:
         none = q_jaccard_pairs(SF, threshold_pct=50, max_shingle_df=1).to_pandas()
         assert len(none) == 0
 
+    def test_small_graph_cc_tolerates_empty_schema_blocks(self, ray_session):
+        """High-parallelism datasets pad with 0-row EMPTY-SCHEMA blocks;
+        the single-task CC must drop them instead of failing
+        concat_tables (regression: broke the 32-CPU driver sweep while
+        the 4-CPU pytest session never produced such blocks)."""
+        import ray
+
+        from candidategeneration_ray.pipelines.extras import _small_graph_cc
+
+        good = pa.table({
+            "src": pa.array([1, 2], pa.int64()),
+            "dst": pa.array([2, 1], pa.int64()),
+            "lbl": pa.array([0, 0], pa.int64()),
+        })
+        empty_schema = pa.table({})
+        out = ray.get(_small_graph_cc.remote(good, empty_schema))
+        assert dict(zip(out.column("node").to_pylist(),
+                        out.column("lbl").to_pylist())) == {1: 1, 2: 1}
+        only_empty = ray.get(_small_graph_cc.remote(empty_schema))
+        assert only_empty.num_rows == 0
+
     def test_exact_dedup_groups(self, ray_session):
         from candidategeneration_ray.pipelines.extras import q_dedup_exact
 
