@@ -213,6 +213,75 @@ def q_pruned_list_lengths(sf_dir: str, max_postings: int = 50,
     })
 
 
+def q_delta_update_lists(sf_dir: str) -> pa.Table:
+    """Incremental index update end-to-end (pipelines.update — the LSM
+    capability the reference lacks; its phases are one-shot rebuilds,
+    WWWMain.java:69-110): the documents table split at the doc-id
+    midpoint plays two ingestion batches — base full build, then
+    update_index (delta scored under the frozen base epoch) +
+    compaction. Output per term: (n, doc_sum) over the compacted
+    unigram lists — doc SETS are epoch-independent, so they must equal
+    a single full build's (and the SQL oracle's); scores are
+    deliberately excluded (they carry the documented frozen-epoch
+    semantics, tested in tests/test_update.py).
+
+    Documents become single-turn conversations conv_id=%012d(doc_id);
+    ids are dense 0..N-1 (asserted), so conv-rank doc-id assignment
+    reproduces the original doc ids exactly."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.build import build_index, load_stats
+    from candidategeneration_ray.pipelines.update import update_index
+    from candidategeneration_ray.state import checkpoint as ckpt
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    cfg = EngineConfig(emit_pairs=False)
+    root = _cache_dir(sf_dir, f"deltaidx-{cfg.index_tag()}")
+    out = os.path.join(root, "index")
+    done = os.path.join(root, "DONE")
+    if not os.path.exists(done):
+        ckpt.clear_stale(root)
+        tab = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+        ids = tab.column("doc_id").to_numpy()
+        n = len(ids)
+        assert ids.min() == 0 and ids.max() == n - 1, "doc_ids must be dense"
+        conv = pa.array([f"{i:012d}" for i in ids.tolist()], pa.string())
+        turns = pa.table({
+            "conv_id": conv,
+            "turn_idx": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "text": tab.column("text"),
+        })
+        mid = n // 2
+        import pyarrow.compute as pc
+
+        indir = os.path.join(root, "input")
+        os.makedirs(indir, exist_ok=True)
+        base_f = os.path.join(indir, "base.parquet")
+        delta_f = os.path.join(indir, "delta.parquet")
+        pq.write_table(turns.filter(pc.less(tab.column("doc_id"), mid)), base_f)
+        pq.write_table(turns.filter(pc.greater_equal(tab.column("doc_id"), mid)), delta_f)
+        build_index([base_f], out, cfg)
+        update_index(out, [delta_f], cfg, compact=True)
+        with open(done, "w") as f:
+            f.write("ok")
+    stats, _ = load_stats(out)
+    reader = IndexReader(os.path.join(out, "final"), stats, cfg)
+    terms = np.asarray(stats["terms"], dtype=object)
+    uni = reader.keys[reader.keys < (1 << 32)]
+    ns = np.empty(uni.size, dtype=np.int64)
+    dsum = np.empty(uni.size, dtype=np.int64)
+    for i, k in enumerate(uni):
+        docs, _, _, _ = reader.get(int(k))
+        ns[i] = docs.size
+        dsum[i] = int(docs.sum())
+    return pa.table({
+        "term": pa.array(terms[uni.astype(np.int64) - 1].tolist(), pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "doc_sum": pa.array(dsum, pa.int64()),
+    })
+
+
 def q_pair_counts_top50(sf_dir: str) -> pa.Table:
     """d-bigram document counts: top 50 (t1, t2, n_docs) pairs by
     (n desc, t1, t2) (M6 emission + A4 grouped count), computed

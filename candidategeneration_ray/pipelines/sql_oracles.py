@@ -120,6 +120,12 @@ WITH {KEPT_CTE}
 SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
 FROM kept GROUP BY tok
 """,
+        "delta_update_lists": f"""
+WITH {KEPT_CTE}
+SELECT tok AS term, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS doc_sum
+FROM (SELECT DISTINCT doc_id, tok FROM kept) GROUP BY tok
+""",
         "pruned_list_lengths": f"""
 WITH {KEPT_CTE},
 {SCORES_CTE},

@@ -1,0 +1,265 @@
+"""Incremental (delta) index updates: LSM generations over the static index.
+
+The reference rebuilds its index from scratch for new data (its phases
+are one-shot batch passes, WWWMain.java:69-110 — there is no
+incremental path). At 100 TB a daily full rebuild is the dominant cost,
+so this module adds the standard segment-generation design used by
+impact-ordered index stores:
+
+  update_index(out_dir, delta_source)
+    → delta stats pass (new conversations, new terms)
+    → delta postings scored under the FROZEN base epoch statistics
+    → delta list build through the SAME bucketed shuffle
+      (emit → combiner → groupby(bucket) → vectorized list build)
+    → written as `generations/gen-NNNN/` next to the base `final/`
+  serving: IndexReader([final, gen-0001, ...]) concatenates per-key
+    lists across generations (doc ranges are disjoint ascending by
+    construction) and rebuilds block-max metadata at decode time —
+    queries stay exact block-max WAND with NO compaction required.
+  compact_index(out_dir) folds every generation into `final/` with the
+    bucket-parallel no-shuffle merge (pipelines.build._merge_parts) —
+    identical result to serving the generations directly (tested).
+
+FROZEN-STATS EPOCH SEMANTICS (the deliberate trade, documented):
+  - N, avgdl and the df of base-dictionary terms stay at the last FULL
+    build's values, so every posting of a given term carries a
+    consistent quantized BM25 score across base and delta lists (scores
+    for one term computed under two df values would not be mergeable).
+  - Terms first seen in the delta are APPENDED to the dictionary
+    (ids continue past the base vocabulary; base ids never move) with
+    their delta df.
+  - A full `build_index` over the grown corpus re-baselines the epoch
+    (exactly the reference's rebuild). `update_index` refuses deltas
+    larger than `max_delta_fraction` of the epoch corpus — past that,
+    frozen statistics drift too far and a rebuild is the right call.
+
+Doc-id assignment: delta conversations get doc ids starting at the
+current corpus's total turn count (conv_offsets bases shifted), so base
+doc ids are stable and every delta doc id is strictly greater than
+every base doc id — the invariant the LSM reader's per-key ordered
+concatenation relies on (validated at decode).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import ray
+
+from candidategeneration_ray.config import FORMAT_VERSION, EngineConfig
+from candidategeneration_ray.pipelines.build import (
+    _final_dir,
+    _merge_parts,
+    _persist_stats,
+    _stats_dir,
+    load_stats,
+    read_transcripts,
+)
+from candidategeneration_ray.stages.docids import attach_doc_ids, conv_offsets
+from candidategeneration_ray.stages.listbuild import build_posting_lists
+from candidategeneration_ray.stages.postings import emit_postings
+from candidategeneration_ray.stages.stats import compute_stats
+from candidategeneration_ray.stages.tokenize import attach_tokens
+from candidategeneration_ray.state import checkpoint as ckpt
+
+
+def extend_stats(base: dict, delta: dict) -> dict:
+    """Append delta-only terms to the base dictionary; freeze everything
+    else at the base epoch (see module doc)."""
+    base_terms = np.asarray(base["terms"], dtype=object)
+    known = set(base_terms.tolist())
+    d_terms = np.asarray(delta["terms"], dtype=object)
+    d_df = np.asarray(delta["df_by_id"][1:], dtype=np.int64)
+    new_mask = np.fromiter((t not in known for t in d_terms),
+                           dtype=bool, count=d_terms.size)
+    return {
+        # compute_stats emits terms sorted, so the appended run is
+        # internally sorted; ids = position + 1 (base ids stable)
+        "terms": np.concatenate((base_terms, d_terms[new_mask])),
+        "df_by_id": np.concatenate(
+            (np.asarray(base["df_by_id"], dtype=np.int64), d_df[new_mask])),
+        "n_docs": base["n_docs"],               # frozen epoch N
+        "total_tokens": base["total_tokens"],   # frozen
+        "avgdl": base["avgdl"],                 # frozen
+    }
+
+
+def extend_offsets(base: dict, delta: dict) -> dict:
+    """Merge conversation offset maps; delta conversations' doc-id bases
+    shift past the current corpus. Raises on conv-id overlap."""
+    b_conv = np.asarray(base["conv_ids"], dtype=object)
+    d_conv = np.asarray(delta["conv_ids"], dtype=object)
+    overlap = np.intersect1d(b_conv, d_conv)
+    if overlap.size:
+        raise ValueError(
+            f"delta re-supplies {overlap.size} existing conversations "
+            f"(e.g. {overlap[0]!r}); updates must carry only NEW "
+            "conversations — rebuild to re-ingest changed ones")
+    shift = int(np.asarray(base["counts"], dtype=np.int64).sum())
+    conv = np.concatenate((b_conv, d_conv))
+    bases = np.concatenate((np.asarray(base["bases"], dtype=np.int64),
+                            np.asarray(delta["bases"], dtype=np.int64) + shift))
+    counts = np.concatenate((np.asarray(base["counts"], dtype=np.int64),
+                             np.asarray(delta["counts"], dtype=np.int64)))
+    order = np.argsort(conv, kind="stable")  # attach_doc_ids searchsorts
+    return {
+        "conv_ids": conv[order],
+        "bases": bases[order],
+        "counts": counts[order],
+        "n_docs": int(counts.sum()),
+    }
+
+
+def _gen_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "generations")
+
+
+def generation_dirs(out_dir: str) -> list[str]:
+    """Completed delta generations, ascending doc-id order."""
+    root = _gen_root(out_dir)
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d) for d in sorted(os.listdir(root))
+        if ckpt.read_manifest(os.path.join(root, d)) is not None
+    ]
+
+
+def serving_sources(out_dir: str) -> list[str]:
+    """Segment sources for IndexReader/QueryEngine, base first."""
+    return [_final_dir(out_dir)] + generation_dirs(out_dir)
+
+
+def update_index(
+    out_dir: str,
+    source: str | list[str],
+    cfg: EngineConfig | None = None,
+    compact: bool = False,
+    emit_concurrency=None,
+    max_delta_fraction: float = 1.0,
+) -> dict:
+    """Apply a delta (new parquet files / a directory of them) to the
+    index at `out_dir`. Idempotent: a delta whose inputs are already in
+    the stats lineage is skipped. Returns {"sources", "stats",
+    "offsets", "metrics"} where `sources` is the serving list for
+    IndexReader (single [final] after compact=True)."""
+    cfg = cfg or EngineConfig()
+    t0 = time.time()
+    if isinstance(source, str) and os.path.isdir(source):
+        delta_inputs = sorted(
+            os.path.join(source, f) for f in os.listdir(source) if f.endswith(".parquet"))
+    else:
+        delta_inputs = sorted(source if isinstance(source, list) else [source])
+    if not delta_inputs:
+        raise ValueError(f"no delta parquet inputs in {source!r}")
+
+    sd = _stats_dir(out_dir)
+    sm = ckpt.read_manifest(sd)
+    if sm is None or sm.get("format") != FORMAT_VERSION:
+        raise ValueError(
+            f"{out_dir!r} holds no completed build to update (run "
+            "build_index first)")
+    known_inputs = set(sm.get("inputs", []))
+    already = [p for p in delta_inputs if p in known_inputs]
+    metrics = {"phases": []}
+    if already:
+        if len(already) != len(delta_inputs):
+            raise ValueError(
+                f"delta partially overlaps the index lineage "
+                f"({len(already)}/{len(delta_inputs)} files already "
+                "ingested) — pass only new files")
+        stats, offsets = load_stats(out_dir)
+        metrics["phases"].append({"phase": "delta", "skipped": True})
+        metrics["total_sec"] = round(time.time() - t0, 3)
+        return {"sources": serving_sources(out_dir), "stats": stats,
+                "offsets": offsets, "metrics": metrics}
+
+    base_stats, base_offsets = load_stats(out_dir)
+
+    # ---- delta stats pass (same two aggregates as the base build)
+    ds = read_transcripts(delta_inputs)
+    toks = attach_tokens(ds)
+    delta_stats = compute_stats(toks)
+    delta_offsets = conv_offsets(ds)
+    epoch_docs = int(base_stats["n_docs"])
+    if epoch_docs and delta_offsets["n_docs"] > max_delta_fraction * epoch_docs:
+        raise ValueError(
+            f"delta of {delta_offsets['n_docs']} docs exceeds "
+            f"{max_delta_fraction:.0%} of the {epoch_docs}-doc scoring "
+            "epoch; frozen statistics would drift too far — run a full "
+            "build_index instead (or raise max_delta_fraction)")
+    ext_stats = extend_stats(base_stats, delta_stats)
+    merged_offsets = extend_offsets(base_offsets, delta_offsets)
+    metrics["phases"].append({
+        "phase": "delta-stats",
+        "new_docs": int(delta_offsets["n_docs"]),
+        "new_terms": int(len(ext_stats["terms"]) - len(base_stats["terms"])),
+        "sec": round(time.time() - t0, 3),
+    })
+
+    # ---- delta emission + list build into a new generation dir
+    cfg_tag = cfg.index_tag()
+    gens = generation_dirs(out_dir)
+    gen_dir = os.path.join(_gen_root(out_dir), f"gen-{len(gens) + 1:04d}")
+    ckpt.clear_stale(gen_dir)
+    tg = time.time()
+    stats_ref = ray.put(ext_stats)
+    offsets_ref = ray.put(merged_offsets)
+    with_ids = attach_doc_ids(toks, offsets_ref)
+    postings = emit_postings(with_ids, stats_ref, cfg, concurrency=emit_concurrency)
+    lists = build_posting_lists(postings, cfg)
+    os.makedirs(gen_dir, exist_ok=True)
+    lists.write_parquet(gen_dir)
+    ckpt.write_manifest(gen_dir, {
+        "phase": "generation", "lineage": delta_inputs, "cfg": cfg_tag,
+        "epoch_n_docs": epoch_docs, "sec": round(time.time() - tg, 3),
+    })
+    metrics["phases"].append({"phase": "generation", "skipped": False,
+                              "sec": round(time.time() - tg, 3)})
+
+    # stats/offsets now cover the grown corpus (epoch values frozen —
+    # global.json keeps the base N/avgdl); lineage includes the delta so
+    # a replayed update is detected as already-ingested
+    _persist_stats(out_dir, ext_stats, merged_offsets,
+                   sorted(known_inputs) + delta_inputs)
+
+    if compact:
+        tc = time.time()
+        compact_index(out_dir, cfg)
+        metrics["phases"].append({"phase": "compact", "skipped": False,
+                                  "sec": round(time.time() - tc, 3)})
+
+    metrics["total_sec"] = round(time.time() - t0, 3)
+    return {"sources": serving_sources(out_dir), "stats": ext_stats,
+            "offsets": merged_offsets, "metrics": metrics}
+
+
+def compact_index(out_dir: str, cfg: EngineConfig | None = None) -> str:
+    """Fold every delta generation into `final/` (bucket-parallel merge
+    tasks, no shuffle — each bucket's sub-lists concatenate in doc
+    order). Atomic: the new final is built beside the old one and
+    swapped in, then generation dirs are removed."""
+    cfg = cfg or EngineConfig()
+    fd = _final_dir(out_dir)
+    gens = generation_dirs(out_dir)
+    if not gens:
+        return fd
+    new_fd = fd + ".compacting"
+    ckpt.clear_stale(new_fd)
+    _merge_parts([fd] + gens, new_fd, cfg)
+    fm = ckpt.read_manifest(fd) or {}
+    ckpt.write_manifest(new_fd, {
+        "phase": "merge", "cfg": cfg.index_tag(),
+        "lineage": (fm.get("lineage") or []) + [os.path.relpath(g, out_dir) for g in gens],
+    })
+    old = fd + ".old"
+    ckpt.clear_stale(old)
+    os.rename(fd, old)
+    os.rename(new_fd, fd)
+    shutil.rmtree(old)
+    for g in gens:
+        shutil.rmtree(g)
+    return fd

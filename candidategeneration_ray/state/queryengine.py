@@ -77,8 +77,66 @@ class _List:
 _EXHAUSTED = 1 << 62
 
 
+class _Generation:
+    """One segment family's sorted-key view (a full index, or one LSM
+    delta generation from pipelines.update.update_index)."""
+
+    __slots__ = ("keys", "order", "docs", "scores", "bmax", "blast", "n")
+
+    def __init__(self, table: pa.Table):
+        raw = table.column("key").to_numpy()
+        self.order = np.argsort(raw, kind="stable")
+        self.keys = raw[self.order]
+        self.docs = table.column("docs")
+        self.scores = table.column("scores")
+        self.bmax = table.column("block_max")
+        self.blast = table.column("block_last")
+        self.n = table.column("n").to_numpy()[self.order]
+
+    def find(self, key: int) -> int:
+        """Sorted position of `key` or -1."""
+        i = int(np.searchsorted(self.keys, key))
+        if i >= self.keys.size or self.keys[i] != key:
+            return -1
+        return i
+
+    def decode(self, i: int):
+        row = int(self.order[i])
+        docs = decode_delta(self.docs[row].as_py()).astype(np.int64)
+        scores = np.frombuffer(self.scores[row].as_py(), dtype="<i4")
+        bmax = np.asarray(self.bmax[row].as_py(), dtype=np.int32)
+        blast = np.asarray(self.blast[row].as_py(), dtype=np.int64)
+        return docs, scores, bmax, blast
+
+
+def _load_segment_table(source, buckets: list[int] | None) -> pa.Table | None:
+    if isinstance(source, str):
+        files = sorted(glob.glob(os.path.join(source, "**", "*.parquet"), recursive=True))
+        filters = [("bucket", "in", list(buckets))] if buckets is not None else None
+        tables = [pq.read_table(f, filters=filters) for f in files]
+        return pa.concat_tables(tables) if tables else None
+    table = source
+    if buckets is not None:
+        import pyarrow.compute as pc
+
+        table = table.filter(
+            pc.is_in(table.column("bucket"),
+                     value_set=pa.array(list(buckets), pa.int32())))
+    return table
+
+
 class IndexReader:
-    """Loads index segments (parquet dir or pyarrow Table) + lazy list decode."""
+    """Loads index segments (parquet dir or pyarrow Table) + lazy list decode.
+
+    `source` may also be a LIST of segment sources — an LSM view of a
+    base index plus delta generations (pipelines.update.update_index):
+    list order must be ascending doc-id range (base first). Per-key
+    lists are concatenated across generations at decode time — valid
+    because generations hold DISJOINT, ascending doc-id ranges (delta
+    conversations are appended after the base corpus), checked at every
+    decode — and block-max metadata is rebuilt over the concatenation so
+    WAND/BMW skipping stays exact without compaction.
+    """
 
     def __init__(self, source, stats: dict | None = None, cfg: EngineConfig | None = None,
                  buckets: list[int] | None = None):
@@ -86,31 +144,19 @@ class IndexReader:
         key-sharded serving fleet (each shard owns a bucket subset of
         the bucket-partitioned segment layout)."""
         self.cfg = cfg or EngineConfig()
-        if isinstance(source, str):
-            files = sorted(glob.glob(os.path.join(source, "**", "*.parquet"), recursive=True))
-            filters = [("bucket", "in", list(buckets))] if buckets is not None else None
-            tables = [pq.read_table(f, filters=filters) for f in files]
-            table = pa.concat_tables(tables) if tables else None
-        else:
-            table = source
-            if buckets is not None:
-                import pyarrow.compute as pc
-
-                table = table.filter(
-                    pc.is_in(table.column("bucket"),
-                             value_set=pa.array(list(buckets), pa.int32())))
-        if table is None or table.num_rows == 0:
+        sources = source if isinstance(source, list) else [source]
+        self._gens: list[_Generation] = []
+        for s in sources:
+            table = _load_segment_table(s, buckets)
+            if table is None or table.num_rows == 0:
+                continue  # a generation may be empty in the selected buckets
+            self._gens.append(_Generation(table.combine_chunks()))
+        if not self._gens:
             raise ValueError(f"no index segments found in {source!r}")
-        table = table.combine_chunks()
-        self._keys = table.column("key").to_numpy()
-        order = np.argsort(self._keys, kind="stable")
-        self._keys = self._keys[order]
-        self._order = order
-        self._docs = table.column("docs")
-        self._scores = table.column("scores")
-        self._bmax = table.column("block_max")
-        self._blast = table.column("block_last")
-        self._n = table.column("n").to_numpy()[order]
+        if len(self._gens) == 1:
+            self._keys = self._gens[0].keys
+        else:
+            self._keys = np.unique(np.concatenate([g.keys for g in self._gens]))
         self._cache: dict[int, tuple] = {}
         self.stats = stats
         self.term_to_id = (
@@ -122,10 +168,17 @@ class IndexReader:
         return self._keys
 
     def list_len(self, key: int) -> int:
-        i = int(np.searchsorted(self._keys, key))
-        if i >= self._keys.size or self._keys[i] != key:
-            return 0
-        return int(self._n[i])
+        total = 0
+        for g in self._gens:
+            i = g.find(key)
+            if i >= 0:
+                total += int(g.n[i])
+        return total
+
+    def max_list_len(self) -> int:
+        """Longest posting list in the index (upper bound across
+        generations: per-generation maxima summed)."""
+        return int(sum(int(g.n.max()) if g.n.size else 0 for g in self._gens))
 
     # decoded lists kept hot per reader; bounded so a long-lived serving
     # actor streaming rare keys cannot grow without limit
@@ -135,15 +188,35 @@ class IndexReader:
         """Decoded (docs, scores, block_max, block_last) or None."""
         if key in self._cache:
             return self._cache[key]
-        i = int(np.searchsorted(self._keys, key))
-        if i >= self._keys.size or self._keys[i] != key:
+        parts = []
+        for g in self._gens:
+            i = g.find(key)
+            if i >= 0:
+                parts.append(g.decode(i))
+        if not parts:
             return None
-        row = int(self._order[i])
-        docs = decode_delta(self._docs[row].as_py()).astype(np.int64)
-        scores = np.frombuffer(self._scores[row].as_py(), dtype="<i4")
-        bmax = np.asarray(self._bmax[row].as_py(), dtype=np.int32)
-        blast = np.asarray(self._blast[row].as_py(), dtype=np.int64)
-        val = (docs, scores, bmax, blast)
+        if len(parts) == 1:
+            val = parts[0]
+        else:
+            # LSM view: generations hold disjoint ascending doc ranges,
+            # so per-key lists concatenate in generation order. Block
+            # metadata is rebuilt over the concatenation (block
+            # boundaries do not survive concat).
+            prev_last = None
+            for docs, _, _, _ in parts:
+                if prev_last is not None and docs[0] <= prev_last:
+                    raise ValueError(
+                        f"index generations overlap on key {key}: doc "
+                        f"{int(docs[0])} <= {int(prev_last)}; generations "
+                        "must hold disjoint ascending doc-id ranges")
+                prev_last = docs[-1]
+            docs = np.concatenate([p[0] for p in parts])
+            scores = np.concatenate([p[1] for p in parts])
+            bs = self.cfg.block_size
+            starts = np.arange(0, docs.size, bs, dtype=np.int64)
+            bmax = np.maximum.reduceat(scores, starts).astype(np.int32)
+            blast = docs[np.minimum(starts + bs, docs.size) - 1]
+            val = (docs, scores, bmax, blast)
         if len(self._cache) >= self.MAX_CACHED_LISTS:
             self._cache.pop(next(iter(self._cache)))  # FIFO eviction
         self._cache[key] = val
@@ -366,7 +439,7 @@ class QueryEngine:
         import ray
 
         stats = stats_ref if isinstance(stats_ref, dict) else ray.get(stats_ref)
-        if isinstance(index_source, (str, pa.Table)):
+        if isinstance(index_source, (str, pa.Table, list)):
             src = index_source
         else:
             src = ray.get(index_source)

@@ -80,7 +80,7 @@ def build_quality_model(
     query_keysets[i] = augmented key list of query i (unigrams + packed
     pairs); ground_truth[i] = its exact top-k doc ids.
     """
-    max_len = int(reader._n.max()) if reader._n.size else 2
+    max_len = max(reader.max_list_len(), 2)
     len_bounds = geometric_buckets(4, len_rule, max(max_len, 5))
     rank_bounds = geometric_buckets(11, rank_rule, max(max_len, 12))
     shape = (len_bounds.size, rank_bounds.size)

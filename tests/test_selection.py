@@ -211,7 +211,7 @@ class TestDistributedQualityModel:
 
         reader, eng, keysets, gts, model = setup
         lists_ds = read_index_segments(built_index["final_dir"])
-        max_len = int(reader._n.max())
+        max_len = reader.max_list_len()
         dist = build_quality_model_distributed(
             lists_ds, keysets, gts, max_list_len=max_len)
         assert np.array_equal(dist.len_bounds, model.len_bounds)

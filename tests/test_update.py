@@ -1,0 +1,226 @@
+"""Incremental (delta) index updates: LSM generations, frozen-stats
+epoch semantics, compaction identity, multi-generation serving."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+QUERIES = ["query join data", "vector worker", "batch", "alpha beta gamma",
+           "data", "rareterma shard"]
+
+
+@pytest.fixture(scope="module")
+def split_corpus(tmp_path_factory):
+    """One deterministic corpus split at the conv-id midpoint into
+    base/ and delta/ dirs (delta convs sort strictly after base convs,
+    so merged doc-id assignment equals the global assignment)."""
+    from candidategeneration_ray.sources.transcripts import generate_transcripts
+
+    table = generate_transcripts(80, seed=7)
+    convs = sorted(set(table.column("conv_id").to_pylist()))
+    mid = convs[len(convs) // 2]
+    root = tmp_path_factory.mktemp("update_corpus")
+    import pyarrow.compute as pc
+
+    paths = {}
+    for name, mask in [
+        ("base", pc.less(table.column("conv_id"), mid)),
+        ("delta", pc.greater_equal(table.column("conv_id"), mid)),
+    ]:
+        part = table.filter(mask)
+        if name == "delta":
+            # guarantee at least one delta-only term for the new-term test
+            extra = pa.table({
+                "conv_id": pa.array(["convzzzdelta"], pa.string()),
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": pa.array(["user"], pa.string()),
+                "text": pa.array(["zzzonlydelta vector data"], pa.string()),
+                "tool": pa.array([""], pa.string()),
+                "ts": part.column("ts").slice(0, 1),
+            })
+            part = pa.concat_tables([part, extra.cast(part.schema)])
+        d = root / name
+        d.mkdir()
+        n = part.num_rows
+        pq.write_table(part.slice(0, n // 2), str(d / "a.parquet"))
+        pq.write_table(part.slice(n // 2), str(d / "b.parquet"))
+        paths[name] = str(d)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def updated_index(ray_session, split_corpus, tmp_path_factory):
+    """Base build + one delta update (NOT compacted)."""
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import update_index
+
+    out = str(tmp_path_factory.mktemp("idx_lsm"))
+    base = build_index(split_corpus["base"], out)
+    upd = update_index(out, split_corpus["delta"])
+    return {"out": out, "base": base, "upd": upd}
+
+
+def _topk_all(sources, stats):
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    eng = QueryEngine(sources, stats)
+    return {q: eng.topk(q, k=10) for q in QUERIES}
+
+
+def test_generational_serving_then_compaction_identical(updated_index, split_corpus,
+                                                        tmp_path_factory):
+    """Serving [final, gen-0001] == serving the compacted final — for
+    query results AND per-key decoded list content. Compacts a COPY so
+    the shared fixture keeps its generation."""
+    import shutil
+
+    from candidategeneration_ray.pipelines.update import compact_index, serving_sources
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    out = str(tmp_path_factory.mktemp("idx_compact")) + "/idx"
+    shutil.copytree(updated_index["out"], out)
+    stats = updated_index["upd"]["stats"]
+    sources = serving_sources(out)
+    assert len(sources) == 2, "one delta generation expected"
+
+    lsm = IndexReader(list(sources), stats)
+    before_topk = _topk_all(list(sources), stats)
+    lsm_lists = {int(k): lsm.get(int(k)) for k in lsm.keys}
+
+    compact_index(out)
+    after = serving_sources(out)
+    assert len(after) == 1, "compaction folds generations into final"
+    flat = IndexReader(after[0], stats)
+    assert _topk_all(after, stats) == before_topk
+
+    assert set(map(int, flat.keys)) == set(lsm_lists)
+    for k in lsm_lists:
+        ld, ls, lb, ll = lsm_lists[k]
+        fd_, fs, fb, fl = flat.get(k)
+        np.testing.assert_array_equal(ld, fd_)
+        np.testing.assert_array_equal(ls, fs)
+        np.testing.assert_array_equal(lb, fb)
+        np.testing.assert_array_equal(ll, fl)
+
+
+def test_doc_sets_match_full_rebuild(updated_index, split_corpus,
+                                     tmp_path_factory, ray_session):
+    """Per-TERM doc-id lists of the updated index equal a full rebuild
+    over base+delta (scores differ by epoch, doc sets must not); term
+    ids may differ between the two dictionaries so compare by string."""
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import serving_sources
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    full_out = str(tmp_path_factory.mktemp("idx_full"))
+    all_files = sorted(
+        os.path.join(d, f)
+        for d in (split_corpus["base"], split_corpus["delta"])
+        for f in os.listdir(d) if f.endswith(".parquet"))
+    full = build_index(all_files, full_out)
+
+    upd_stats = updated_index["upd"]["stats"]
+    lsm = IndexReader(list(serving_sources(updated_index["out"])), upd_stats)
+    flat = IndexReader(full["final_dir"], full["stats"])
+
+    assert sorted(upd_stats["terms"].tolist()) == sorted(full["stats"]["terms"].tolist())
+    for term, tid_u in lsm.term_to_id.items():
+        tid_f = flat.term_to_id[term]
+        got_u, got_f = lsm.get(tid_u), flat.get(tid_f)
+        assert (got_u is None) == (got_f is None), term
+        if got_u is not None:
+            np.testing.assert_array_equal(got_u[0], got_f[0], err_msg=term)
+
+
+def test_delta_scores_use_frozen_epoch(updated_index):
+    """A delta posting's score is BM25 under the BASE epoch stats
+    (frozen N/avgdl/df), not the grown corpus's."""
+    from candidategeneration_ray.functions.bm25 import bm25_quantized
+    from candidategeneration_ray.pipelines.update import serving_sources
+    from candidategeneration_ray.state.queryengine import IndexReader
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+
+    base_stats = updated_index["base"]["stats"]
+    upd = updated_index["upd"]
+    base_n_docs = updated_index["base"]["offsets"]["n_docs"]
+
+    assert upd["stats"]["n_docs"] == base_stats["n_docs"]
+    assert upd["stats"]["avgdl"] == base_stats["avgdl"]
+
+    reader = IndexReader(list(serving_sources(updated_index["out"])), upd["stats"])
+    # the synthetic delta-only doc: "zzzonlydelta vector data"
+    tid = reader.term_to_id["zzzonlydelta"]
+    docs, scores, _, _ = reader.get(tid)
+    assert docs.size == 1 and docs[0] >= base_n_docs
+    toks = tokenize_text("zzzonlydelta vector data")
+    tf = np.array([1]); maxtf = np.array([1]); dlen = np.array([len(toks)])
+    df = np.array([upd["stats"]["df_by_id"][tid]])
+    expect = bm25_quantized(tf, maxtf, dlen, df, base_stats["n_docs"],
+                            base_stats["avgdl"], 1.6, 0.75, 10_000_000)
+    assert int(scores[0]) == int(expect[0])
+
+
+def test_new_terms_appended_base_ids_stable(updated_index):
+    base_terms = updated_index["base"]["stats"]["terms"]
+    ext = updated_index["upd"]["stats"]
+    nb = len(base_terms)
+    assert ext["terms"][:nb].tolist() == list(base_terms)
+    appended = ext["terms"][nb:].tolist()
+    assert "zzzonlydelta" in appended
+    assert appended == sorted(appended)
+
+
+def test_update_idempotent(updated_index, split_corpus):
+    from candidategeneration_ray.pipelines.update import generation_dirs, update_index
+
+    out = updated_index["out"]
+    n_gens = len(generation_dirs(out))
+    again = update_index(out, split_corpus["delta"])
+    assert again["metrics"]["phases"][0] == {"phase": "delta", "skipped": True}
+    assert len(generation_dirs(out)) == n_gens
+
+
+def test_partial_overlap_raises(updated_index, split_corpus):
+    from candidategeneration_ray.pipelines.update import update_index
+
+    delta_files = sorted(
+        os.path.join(split_corpus["delta"], f)
+        for f in os.listdir(split_corpus["delta"]))
+    with pytest.raises(ValueError, match="partially overlaps"):
+        update_index(updated_index["out"], delta_files[:1] + ["/nonexistent/x.parquet"])
+
+
+def test_conv_overlap_raises():
+    from candidategeneration_ray.pipelines.update import extend_offsets
+
+    base = {"conv_ids": np.array(["a", "b"], dtype=object),
+            "bases": np.array([0, 3]), "counts": np.array([3, 2]), "n_docs": 5}
+    delta = {"conv_ids": np.array(["b", "c"], dtype=object),
+             "bases": np.array([0, 1]), "counts": np.array([1, 1]), "n_docs": 2}
+    with pytest.raises(ValueError, match="existing conversations"):
+        extend_offsets(base, delta)
+
+
+def test_max_delta_fraction_guard(updated_index, split_corpus, tmp_path_factory):
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import update_index
+
+    out = str(tmp_path_factory.mktemp("idx_guard"))
+    build_index(split_corpus["base"], out)
+    with pytest.raises(ValueError, match="frozen statistics would drift"):
+        update_index(out, split_corpus["delta"], max_delta_fraction=0.01)
+
+
+def test_overlapping_generations_rejected(updated_index):
+    """The LSM reader validates the disjoint-ascending invariant."""
+    from candidategeneration_ray.pipelines.build import _final_dir
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    fd = _final_dir(updated_index["out"])
+    reader = IndexReader([fd, fd], updated_index["upd"]["stats"])
+    with pytest.raises(ValueError, match="generations overlap"):
+        for k in map(int, reader.keys):
+            reader.get(k)
