@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": ex.q_simhash,
         "simhash_neardups": ex.q_simhash_neardups,
         "embedding_neardups": ex.q_embedding_neardups,
+        "embedding_neardups_lsh": ex.q_embedding_neardups_lsh,  # approximate (rows-only)
         "ann_cosine_top10": ex.q_ann_cosine_top10,
         "ann_ivf_top10": ex.q_ann_ivf_top10,            # approximate (rows-only)
         "text_stats": ex.q_text_stats,

@@ -36,7 +36,7 @@ BROADCAST_INDEX_MAX_BYTES = 2 << 30
 
 
 def run_queries(
-    index_dir: str,
+    index_dir: str | list[str],
     queries: ray.data.Dataset,
     stats: dict,
     cfg: EngineConfig | None = None,
@@ -45,13 +45,17 @@ def run_queries(
 ) -> ray.data.Dataset:
     """Serve a query dataset against the built index.
 
+    `index_dir` may be a list of segment sources — the LSM serving view
+    of a base index plus delta generations
+    (pipelines.update.serving_sources), base first.
+
     Small index (<= broadcast_max_bytes on disk): load segments ONCE on
-    the driver and ship the Arrow table through the object store —
+    the driver and ship the Arrow tables through the object store —
     every actor maps the same plasma buffers zero-copy instead of
     re-reading the segment files (N_actors x IO -> 1 x IO; transferred
     once per node by the object store).
 
-    Large index: pass the segment PATH to the actors — each loads the
+    Large index: pass the segment PATHS to the actors — each loads the
     files itself in parallel and the driver never materializes the
     index (the whole-index ray.put would otherwise cap serving at one
     node's driver heap)."""
@@ -64,15 +68,21 @@ def run_queries(
     cfg = cfg or EngineConfig()
     limit = BROADCAST_INDEX_MAX_BYTES if broadcast_max_bytes is None \
         else broadcast_max_bytes
-    files = sorted(glob.glob(os.path.join(index_dir, "**", "*.parquet"),
-                             recursive=True))
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    dirs = index_dir if isinstance(index_dir, list) else [index_dir]
+    per_dir_files = [
+        sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+        for d in dirs
+    ]
+    total_bytes = sum(os.path.getsize(f) for files in per_dir_files for f in files)
     stats_ref = ray.put(stats)
     if total_bytes <= limit:
-        table = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
-        source = ray.put(table)
+        tables = [
+            pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+            for files in per_dir_files
+        ]
+        source = ray.put(tables if isinstance(index_dir, list) else tables[0])
     else:
-        source = index_dir
+        source = dirs if isinstance(index_dir, list) else index_dir
     return queries.map_batches(
         QueryEngine,
         fn_constructor_args=(source, stats_ref, cfg),

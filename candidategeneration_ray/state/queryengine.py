@@ -87,6 +87,11 @@ class _Generation:
         raw = table.column("key").to_numpy()
         self.order = np.argsort(raw, kind="stable")
         self.keys = raw[self.order]
+        if self.keys.size and bool(np.any(self.keys[1:] == self.keys[:-1])):
+            raise ValueError(
+                "duplicate keys within one segment source — an LSM index "
+                "(final + generations) must be passed as a LIST of "
+                "sources, not one directory globbed recursively")
         self.docs = table.column("docs")
         self.scores = table.column("scores")
         self.bmax = table.column("block_max")

@@ -166,6 +166,24 @@ class TestDedup:
 
 
 class TestAnn:
+    def test_lsh_neardup_recall_vs_exact(self, ray_session):
+        """LSH-banded near-dups: precision 1.0 (every emitted pair is
+        cosine-verified in-bucket), recall >= 0.8 vs the exact
+        block-pair path (expected ~0.98 at r=2, B=8 for cos>=0.4)."""
+        from candidategeneration_ray.pipelines.extras import (
+            q_embedding_neardups, q_embedding_neardups_lsh,
+        )
+
+        def pairs(ds):
+            pdf = ds.to_pandas()
+            return set(zip(pdf.iloc[:, 0], pdf.iloc[:, 1]))
+
+        exact = pairs(q_embedding_neardups(SF))
+        lsh = pairs(q_embedding_neardups_lsh(SF))
+        assert lsh <= exact, "LSH emitted a non-near pair (precision < 1)"
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH near-dup recall {recall}"
+
     def test_ivf_recall_vs_brute_force(self, ray_session):
         from candidategeneration_ray.pipelines.extras import (
             q_ann_cosine_top10, q_ann_ivf_top10,

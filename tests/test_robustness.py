@@ -166,3 +166,23 @@ class TestInputValidation:
         res = build_index(p, str(tmp_path / "eidx"))
         assert res["metrics"]["n_docs"] == 1
         assert len(res["stats"]["terms"]) == 0
+
+
+def test_csv_remap_roundtrip(ray_session, tmp_path):
+    """S8 (CSV readers) + M11 (docID remap): the reference's CSV remap
+    input (utilsClass.java:398-436) fed through ray.data.read_csv into
+    remap_doc_ids; unmapped ids pass through."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from candidategeneration_ray.stages.docids import remap_doc_ids
+
+    p = tmp_path / "remap.csv"
+    p.write_text("old,new\n1,100\n3,300\n")
+    m = ray.data.read_csv(str(p)).to_pandas().sort_values("old")
+    mapping = {"old": m["old"].to_numpy(np.int64),
+               "new": m["new"].to_numpy(np.int64)}
+    ds = ray.data.from_items([{"doc_id": i} for i in range(5)])
+    out = sorted(remap_doc_ids(ds, ray.put(mapping)).to_pandas()["doc_id"])
+    assert out == [0, 2, 4, 100, 300]

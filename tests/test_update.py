@@ -214,6 +214,60 @@ def test_max_delta_fraction_guard(updated_index, split_corpus, tmp_path_factory)
         update_index(out, split_corpus["delta"], max_delta_fraction=0.01)
 
 
+def test_run_queries_over_generations(updated_index, ray_session):
+    """Batch serving over the LSM source list — broadcast mode and
+    actor-side path mode give identical results, equal to direct
+    QueryEngine serving."""
+    import pandas as pd
+    import ray.data
+
+    from candidategeneration_ray.pipelines.query import run_queries
+    from candidategeneration_ray.pipelines.update import serving_sources
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    sources = list(serving_sources(updated_index["out"]))
+    stats = updated_index["upd"]["stats"]
+    qds = ray.data.from_items(
+        [{"query_id": i, "text": q} for i, q in enumerate(QUERIES)])
+
+    def norm(ds):
+        pdf = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        return pdf
+
+    broadcast = norm(run_queries(sources, qds, stats))
+    by_path = norm(run_queries(sources, qds, stats, broadcast_max_bytes=0))
+    pd.testing.assert_frame_equal(broadcast, by_path)
+
+    eng = QueryEngine(sources, stats)
+    rows = [
+        {"query_id": i, "rank": r, "doc_id": d, "score": s}
+        for i, q in enumerate(QUERIES)
+        for r, (s, d) in enumerate(eng.topk(q))
+    ]
+    direct = pd.DataFrame(rows)[["query_id", "rank", "doc_id", "score"]]
+    got = broadcast.astype({c: "int64" for c in broadcast.columns})
+    pd.testing.assert_frame_equal(got, direct.astype(got.dtypes.to_dict()))
+
+
+def test_duplicate_keys_in_one_source_rejected(updated_index):
+    """A recursive glob that mixes generations into ONE source must be
+    rejected, not silently serve only the first copy of each key."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import glob as _glob
+    import os
+
+    from candidategeneration_ray.pipelines.build import _final_dir
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    fd = _final_dir(updated_index["out"])
+    files = sorted(_glob.glob(os.path.join(fd, "*.parquet")))
+    tab = pa.concat_tables([pq.read_table(f) for f in files])
+    doubled = pa.concat_tables([tab, tab])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        IndexReader(doubled, updated_index["upd"]["stats"])
+
+
 def test_overlapping_generations_rejected(updated_index):
     """The LSM reader validates the disjoint-ascending invariant."""
     from candidategeneration_ray.pipelines.build import _final_dir
