@@ -56,6 +56,35 @@ def _bench_transcripts() -> str:
     return d
 
 
+def _bench_delta_transcripts() -> str:
+    """A ~10% delta corpus with fresh conv ids (sort after the base
+    corpus's 'convNNNNNN' ids)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.sources.transcripts import generate_transcripts
+
+    n = max(BENCH_CONVS // 10, 100)
+    d = f"/tmp/cg_bench/delta-c{n}"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        table = generate_transcripts(n, seed=77)
+        conv = pc.replace_substring(table.column("conv_id"), "conv", "zdelta")
+        table = table.set_column(
+            table.schema.get_field_index("conv_id"), "conv_id", conv)
+        rows = table.num_rows
+        import numpy as np
+
+        bounds = np.linspace(0, rows, 5).astype(int)
+        for i in range(4):
+            pq.write_table(table.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                           os.path.join(d, f"delta_{i:03d}.parquet"))
+        open(marker, "w").close()
+    return d
+
+
 def run_bench() -> dict:
     import ray
 
@@ -105,11 +134,26 @@ def run_bench() -> dict:
                         concurrency=(1, max(2, NUM_CPUS // 4))).count()
     query_sec = time.time() - t1
 
+    # incremental update: ingest a +10% delta through update_index
+    # (frozen-epoch LSM generation — no full rebuild) and serve over
+    # [final, gen] to include the multi-generation read path
+    from candidategeneration_ray.pipelines.update import update_index
+
+    delta_src = _bench_delta_transcripts()
+    t2 = time.time()
+    upd = update_index(out_dir, delta_src)
+    update_sec = time.time() - t2
+    delta_docs = next(p["new_docs"] for p in upd["metrics"]["phases"]
+                      if p["phase"] == "delta-stats")
+    run_queries(upd["sources"], queries.limit(7), upd["stats"],
+                concurrency=(1, 2)).count()
+
     # documents-table operator pipelines at GRAFT_SF_DIR
     per_query: dict[str, float] = {}
     shutil.rmtree("/tmp/cg_ray_cache", ignore_errors=True)
     from candidategeneration_ray.pipelines import extras as ex
 
+    per_query["delta_update_10pct"] = round(update_sec, 3)
     for name, fn in [
         ("build_transcript_index", None),          # recorded below
         ("tokenize_counts", dq.q_tokenize_counts),
@@ -145,6 +189,9 @@ def run_bench() -> dict:
         "turns_per_sec": round(n_docs / build_sec, 1),
         "query_serving_sec": round(query_sec, 3),
         "query_rows": n_out,
+        "delta_update_sec": round(update_sec, 3),
+        "delta_docs": delta_docs,
+        "delta_turns_per_sec": round(delta_docs / update_sec, 1),
     }
 
 
