@@ -812,6 +812,66 @@ def q_embedding_neardups_lsh(sf_dir: str, threshold_pct: int = 40,
     )
 
 
+def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Repetition-based quality signals (the Gopher/MassiveText-style
+    repetition filters used by training-data pipelines — Rae et al. 2021
+    §A1.1: documents dominated by repeated n-grams are low quality):
+    per doc over ADJACENT kept-token bigrams,
+      n_bigrams      = total bigram occurrences,
+      top_bigram_n   = occurrences of the most frequent bigram,
+      dup_bigram_n   = occurrences belonging to any repeated bigram
+    (the filter thresholds are ratios of these; integers are emitted so
+    the oracle compare is exact). Fully vectorized per batch: tokens →
+    batch-local codes → packed (doc, bigram) keys → one sort + reduceat."""
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        nrows = len(token_lists)
+        lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                           count=nrows)
+        flat = [t for toks in token_lists for t in toks]
+        n_big = np.zeros(nrows, np.int64)
+        top_big = np.zeros(nrows, np.int64)
+        dup_big = np.zeros(nrows, np.int64)
+        if flat:
+            arr = pa.array(flat, pa.string()).dictionary_encode()
+            codes = arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = np.int64(len(arr.dictionary))
+            didx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            if codes.size >= 2:
+                same = didx[:-1] == didx[1:]
+                d = didx[:-1][same]
+                pair = codes[:-1][same] * vocab + codes[1:][same]
+                if d.size:
+                    # one packed sort per batch when (doc, pair) fits an
+                    # int64; lexsort fallback for huge batch vocabularies
+                    if vocab * vocab * nrows < (1 << 62):
+                        packed = np.sort(d * (vocab * vocab) + pair)
+                        starts = np.concatenate(
+                            ([0], np.nonzero(packed[1:] != packed[:-1])[0] + 1))
+                        gd = packed[starts] // (vocab * vocab)
+                    else:
+                        order = np.lexsort((pair, d))
+                        d, pair = d[order], pair[order]
+                        new = np.concatenate(
+                            ([True], (d[1:] != d[:-1]) | (pair[1:] != pair[:-1])))
+                        starts = np.nonzero(new)[0]
+                        gd = d[starts]
+                    cnt = np.diff(np.concatenate((starts, [pair.size])))
+                    np.add.at(n_big, gd, cnt)
+                    np.maximum.at(top_big, gd, cnt)
+                    np.add.at(dup_big, gd, np.where(cnt > 1, cnt, 0))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "top_bigram_n": pa.array(top_big, pa.int64()),
+            "dup_bigram_n": pa.array(dup_big, pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_rep, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ text analysis
 
 _WORD_RE = None

@@ -492,6 +492,20 @@ SELECT rank, vec_id FROM (
   FROM scored
 ) WHERE rank <= 10
 """,
+        "repetition_stats": f"""
+WITH {KEPT_CTE},
+big AS (
+  SELECT a.doc_id, a.tok AS t1, b.tok AS t2
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND b.kpos = a.kpos + 1
+),
+cnt AS (SELECT doc_id, t1, t2, count(*) AS c FROM big GROUP BY doc_id, t1, t2)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(max(c), 0) AS BIGINT) AS top_bigram_n,
+       CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS dup_bigram_n
+FROM documents d LEFT JOIN cnt USING (doc_id)
+GROUP BY d.doc_id
+""",
         "text_stats": f"""
 WITH {_WORDS_CTE}
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,

@@ -246,3 +246,29 @@ class TestMultimodal:
         pdf2 = q_multimodal_meta(SF).to_pandas()
         assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
             pdf2.sort_values("doc_id").reset_index(drop=True))
+
+
+class TestRepetitionStats:
+    def test_known_document(self, ray_session, tmp_path):
+        """'a b a b c' over kept tokens: bigrams (ab, ba, ab, bc) →
+        n=4, top=2 (ab), dup=2 (the two ab occurrences)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import q_repetition_stats
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                "alpha beta alpha beta gamma",
+                "query query query query",   # repeated token: 3x (query,query)
+                "the and of",                # stopwords only -> no bigrams
+            ], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        pdf = q_repetition_stats(d).to_pandas().set_index("doc_id").sort_index()
+        assert pdf.loc[0].tolist() == [4, 2, 2]
+        assert pdf.loc[1].tolist() == [3, 3, 3]
+        assert pdf.loc[2].tolist() == [0, 0, 0]
