@@ -64,6 +64,23 @@ def main(argv: list[str] | None = None) -> int:
                    help="doc-order prefix always kept when pruning")
     b.add_argument("--num-cpus", type=int, default=None)
 
+    u = sub.add_parser("update", help="ingest a delta (new conversations) "
+                                      "into an existing index — LSM "
+                                      "generation, frozen-epoch stats")
+    u.add_argument("--index", required=True, help="index dir (build --out)")
+    u.add_argument("--input", required=True, help="delta parquet dir/file(s)")
+    u.add_argument("--compact", action="store_true",
+                   help="fold generations into final/ after the update")
+    u.add_argument("--max-delta-fraction", type=float, default=1.0,
+                   help="refuse deltas larger than this fraction of the "
+                        "scoring-epoch corpus (frozen-stats drift guard)")
+    u.add_argument("--distance", type=int, default=5)
+    u.add_argument("--num-buckets", type=int, default=96)
+    u.add_argument("--no-pairs", action="store_true")
+    u.add_argument("--max-list-postings", type=int, default=None)
+    u.add_argument("--unconditional-prefix", type=int, default=100)
+    u.add_argument("--num-cpus", type=int, default=None)
+
     q = sub.add_parser("query", help="serve a query table against an index")
     q.add_argument("--index", required=True, help="index dir (build --out)")
     q.add_argument("--queries", required=True,
@@ -93,18 +110,35 @@ def main(argv: list[str] | None = None) -> int:
                               "n_docs": res["metrics"]["n_docs"],
                               "sec": round(time.time() - t0, 2),
                               "phases": res["metrics"]["phases"]}))
+        elif args.cmd == "update":
+            from candidategeneration_ray.config import EngineConfig
+            from candidategeneration_ray.pipelines.update import update_index
+
+            cfg = EngineConfig(distance=args.distance,
+                               num_buckets=args.num_buckets,
+                               emit_pairs=not args.no_pairs,
+                               max_list_postings=args.max_list_postings,
+                               unconditional_prefix=args.unconditional_prefix)
+            t0 = time.time()
+            res = update_index(args.index, args.input, cfg,
+                               compact=args.compact,
+                               max_delta_fraction=args.max_delta_fraction)
+            print(json.dumps({"ok": True, "sources": res["sources"],
+                              "sec": round(time.time() - t0, 2),
+                              "phases": res["metrics"]["phases"]}))
         else:
             import ray.data
 
             from candidategeneration_ray.pipelines.build import load_stats
             from candidategeneration_ray.pipelines.query import run_queries, write_candidates
+            from candidategeneration_ray.pipelines.update import serving_sources
 
             stats, _ = load_stats(args.index)
             queries = ray.data.read_parquet(args.queries)
-            import os
 
-            final = os.path.join(args.index, "final")
-            out = run_queries(final, queries, stats,
+            sources = serving_sources(args.index)  # [final] + any generations
+            out = run_queries(sources if len(sources) > 1 else sources[0],
+                              queries, stats,
                               concurrency=(1, args.concurrency))
             write_candidates(out, args.out)
             print(json.dumps({"ok": True, "out": args.out}))

@@ -162,6 +162,16 @@ def update_index(
         raise ValueError(
             f"{out_dir!r} holds no completed build to update (run "
             "build_index first)")
+    # refuse a config that doesn't match the index on disk — a delta
+    # bucketed under different settings would merge/serve wrongly
+    fm = ckpt.read_manifest(_final_dir(out_dir))
+    disk_tag = (fm or {}).get("cfg")
+    if disk_tag is not None and disk_tag != cfg.index_tag():
+        raise ValueError(
+            f"EngineConfig mismatch: index at {out_dir!r} was built under "
+            f"config tag {disk_tag}, update invoked with {cfg.index_tag()} "
+            "— pass the same configuration the index was built with")
+
     known_inputs = set(sm.get("inputs", []))
     already = [p for p in delta_inputs if p in known_inputs]
     metrics = {"phases": []}
@@ -173,6 +183,11 @@ def update_index(
                 "ingested) — pass only new files")
         stats, offsets = load_stats(out_dir)
         metrics["phases"].append({"phase": "delta", "skipped": True})
+        if compact:  # still honor a compaction request on a no-op delta
+            tc = time.time()
+            compact_index(out_dir, cfg)
+            metrics["phases"].append({"phase": "compact", "skipped": False,
+                                      "sec": round(time.time() - tc, 3)})
         metrics["total_sec"] = round(time.time() - t0, 3)
         return {"sources": serving_sources(out_dir), "stats": stats,
                 "offsets": offsets, "metrics": metrics}
@@ -247,6 +262,13 @@ def compact_index(out_dir: str, cfg: EngineConfig | None = None) -> str:
     gens = generation_dirs(out_dir)
     if not gens:
         return fd
+    tags = {(ckpt.read_manifest(d) or {}).get("cfg") for d in [fd] + gens}
+    tags.discard(None)
+    if len(tags) > 1 or (tags and cfg.index_tag() not in tags):
+        raise ValueError(
+            f"EngineConfig mismatch across segments of {out_dir!r} "
+            f"(tags {sorted(tags)}, compacting with {cfg.index_tag()}) — "
+            "all generations and the final index must share one config")
     new_fd = fd + ".compacting"
     ckpt.clear_stale(new_fd)
     _merge_parts([fd] + gens, new_fd, cfg)

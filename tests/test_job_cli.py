@@ -59,3 +59,49 @@ class TestJobCli:
         t = pads.dataset(cand_dir).to_table()
         assert t.num_rows > 0
         assert set(t.schema.names) == {"query_id", "rank", "doc_id", "score"}
+
+    def test_update_through_cli(self, cli_corpus, tmp_path_factory):
+        """build → update (new convs) → query over [final, generation]
+        → update --compact, all through the job CLI in subprocesses."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        out_dir = str(tmp_path_factory.mktemp("cli_idx_upd"))
+        _run(["build", "--input", cli_corpus, "--out", out_dir,
+              "--num-cpus", "4"])
+
+        # delta: fresh conversations sorted after the base corpus
+        from candidategeneration_ray.sources.transcripts import generate_transcripts
+
+        delta_dir = tmp_path_factory.mktemp("cli_delta")
+        t = generate_transcripts(8, seed=5)
+        conv = pc.replace_substring(t.column("conv_id"), "conv", "zdelta")
+        t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id", conv)
+        pq.write_table(t, str(delta_dir / "d.parquet"))
+
+        ru = _run(["update", "--index", out_dir, "--input", str(delta_dir),
+                   "--num-cpus", "4"])
+        assert ru["ok"] and len(ru["sources"]) == 2
+
+        qdir = tmp_path_factory.mktemp("cli_q_upd")
+        qfile = str(qdir / "queries.parquet")
+        pq.write_table(pa.table({
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array(["data worker"]),
+        }), qfile)
+        cand_a = str(qdir / "cands_lsm")
+        _run(["query", "--index", out_dir, "--queries", qfile,
+              "--out", cand_a, "--num-cpus", "4"])
+
+        # re-running the same delta with --compact: the ingest is an
+        # idempotent skip but the compaction request is honored
+        rc = _run(["update", "--index", out_dir, "--input", str(delta_dir),
+                   "--compact", "--num-cpus", "4"])
+        assert rc["ok"] and len(rc["sources"]) == 1
+
+        cand_b = str(qdir / "cands_flat")
+        _run(["query", "--index", out_dir, "--queries", qfile,
+              "--out", cand_b, "--num-cpus", "4"])
+        t_a = pads.dataset(cand_a).to_table().sort_by("rank").to_pydict()
+        t_b = pads.dataset(cand_b).to_table().sort_by("rank").to_pydict()
+        assert t_a == t_b and len(t_a["rank"]) > 0

@@ -214,6 +214,77 @@ def test_max_delta_fraction_guard(updated_index, split_corpus, tmp_path_factory)
         update_index(out, split_corpus["delta"], max_delta_fraction=0.01)
 
 
+def test_two_successive_deltas(split_corpus, tmp_path_factory, ray_session):
+    """base + delta₁ + delta₂ (three generations of conversations):
+    per-term doc sets equal a full build over everything; compaction of
+    BOTH generations at once is identical to generational serving."""
+    import pyarrow.compute as pc
+
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import (
+        compact_index, generation_dirs, serving_sources, update_index)
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    # split the delta dir's convs once more at its midpoint
+    import pyarrow.parquet as pq
+
+    dd = split_corpus["delta"]
+    files = sorted(os.path.join(dd, f) for f in os.listdir(dd)
+                   if f.endswith(".parquet"))
+    tab = pa.concat_tables([pq.read_table(f) for f in files])
+    convs = sorted(set(tab.column("conv_id").to_pylist()))
+    mid = convs[len(convs) // 2]
+    root = tmp_path_factory.mktemp("two_deltas")
+    d1, d2 = str(root / "d1"), str(root / "d2")
+    os.makedirs(d1), os.makedirs(d2)
+    pq.write_table(tab.filter(pc.less(tab.column("conv_id"), mid)),
+                   os.path.join(d1, "a.parquet"))
+    pq.write_table(tab.filter(pc.greater_equal(tab.column("conv_id"), mid)),
+                   os.path.join(d2, "a.parquet"))
+
+    out = str(tmp_path_factory.mktemp("idx_two"))
+    build_index(split_corpus["base"], out)
+    update_index(out, d1)
+    upd2 = update_index(out, d2)
+    assert len(generation_dirs(out)) == 2
+
+    lsm = IndexReader(list(serving_sources(out)), upd2["stats"])
+    lsm_lists = {int(k): lsm.get(int(k)) for k in lsm.keys}
+    compact_index(out)
+    flat = IndexReader(serving_sources(out)[0], upd2["stats"])
+    assert set(map(int, flat.keys)) == set(lsm_lists)
+    for k, (ld, ls, _, _) in lsm_lists.items():
+        fd_, fs, _, _ = flat.get(k)
+        np.testing.assert_array_equal(ld, fd_)
+        np.testing.assert_array_equal(ls, fs)
+
+    # doc sets equal the full rebuild (by term string)
+    full_out = str(tmp_path_factory.mktemp("idx_two_full"))
+    all_files = sorted(
+        os.path.join(d, f)
+        for d in (split_corpus["base"], d1, d2)
+        for f in os.listdir(d) if f.endswith(".parquet"))
+    full = build_index(all_files, full_out)
+    full_r = IndexReader(full["final_dir"], full["stats"])
+    for term, tid_u in flat.term_to_id.items():
+        got_u = flat.get(tid_u)
+        got_f = full_r.get(full_r.term_to_id[term])
+        assert (got_u is None) == (got_f is None), term
+        if got_u is not None:
+            np.testing.assert_array_equal(got_u[0], got_f[0], err_msg=term)
+
+
+def test_config_mismatch_rejected(split_corpus, tmp_path_factory, ray_session):
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import update_index
+
+    out = str(tmp_path_factory.mktemp("idx_cfg"))
+    build_index(split_corpus["base"], out)
+    with pytest.raises(ValueError, match="EngineConfig mismatch"):
+        update_index(out, split_corpus["delta"], EngineConfig(num_buckets=7))
+
+
 def test_run_queries_over_generations(updated_index, ray_session):
     """Batch serving over the LSM source list — broadcast mode and
     actor-side path mode give identical results, equal to direct
