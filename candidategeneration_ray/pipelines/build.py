@@ -138,6 +138,33 @@ def _conv_ranges(offsets: dict, partitions: int) -> list[tuple[str, str | None]]
     return ranges
 
 
+def _token_store_dir(out_dir): return os.path.join(out_dir, "tokens")
+
+
+def _build_token_store(inputs: list[str], out_dir: str) -> list[str]:
+    """Tokenize the corpus ONCE into a columnar token store
+    (conv_id, turn_idx, doc_len, tokens — text dropped). With the
+    default two-pass build the text column is scanned and tokenized by
+    BOTH the stats pass and the emission pass; at storage-bound scale
+    that doubles the most expensive scan. The store costs one
+    corpus-sized write and makes every later pass a pre-tokenized
+    columnar read. Resumable like any phase (manifest keyed on
+    inputs)."""
+    td = _token_store_dir(out_dir)
+    if ckpt.is_complete(td, inputs):
+        pass
+    else:
+        ckpt.clear_stale(td)
+        os.makedirs(td, exist_ok=True)
+        toks = attach_tokens(read_transcripts(inputs)) \
+            .select_columns(["conv_id", "turn_idx", "doc_len", "tokens"])
+        toks.write_parquet(td)
+        ckpt.write_manifest(td, {"phase": "tokens", "inputs": sorted(inputs),
+                                 "format": FORMAT_VERSION})
+    return sorted(
+        os.path.join(td, f) for f in os.listdir(td) if f.endswith(".parquet"))
+
+
 def build_index(
     source: str | list[str],
     out_dir: str,
@@ -145,6 +172,7 @@ def build_index(
     partitions: int = 1,
     emit_concurrency=None,
     partition_by: str = "files",
+    token_cache: bool = False,
 ) -> dict:
     """Build (or resume) the static index under `out_dir`.
 
@@ -159,6 +187,18 @@ def build_index(
         sub-lists — the layout for range-ordered segment stores — but
         re-reads row groups that span ranges (all of them when the
         input is shuffled): P scans of the input at worst.
+
+    token_cache=True tokenizes the corpus ONCE into out_dir/tokens/ and
+    runs stats + emission from that columnar store instead of scanning
+    and re-tokenizing the text twice (see _build_token_store) —
+    identical final index (tested). Measured trade (273k turns,
+    32 CPUs, warm page cache): NOT faster locally (41 s vs 28 s) —
+    decoding the list<string> token column costs more than re-running
+    the memoized tokenizer over cached text. Use it when the raw-text
+    scan is the bottleneck: cold object storage, or a tokenizer far
+    more expensive than this one (e.g. a learned BPE) — exactly the
+    100 TB regime; the default two-scan build stays right for hot
+    local data.
 
     Returns {"final_dir", "stats", "offsets", "metrics"}.
     """
@@ -177,6 +217,15 @@ def build_index(
     # reusing partitions built under the old settings.
     cfg_tag = cfg.index_tag()
 
+    # ---- phase 0 (optional): tokenize once into a columnar token store
+    if token_cache:
+        tt = time.time()
+        token_files = _build_token_store(inputs, out_dir)
+        metrics["phases"].append({"phase": "tokens",
+                                  "sec": round(time.time() - tt, 3)})
+    else:
+        token_files = None
+
     # ---- phase 1: stats (N, total tokens, df, dictionary, conv offsets)
     sd = _stats_dir(out_dir)
     if ckpt.is_complete(sd, inputs) and \
@@ -185,14 +234,18 @@ def build_index(
         metrics["phases"].append({"phase": "stats", "skipped": True})
     else:
         ckpt.clear_stale(sd)
-        ds = read_transcripts(inputs)
-        toks = attach_tokens(ds)
+        if token_cache:
+            toks = ray.data.read_parquet(token_files)
+            base_ds = toks  # conv_offsets projects conv_id/turn_idx
+        else:
+            base_ds = read_transcripts(inputs)
+            toks = attach_tokens(base_ds)
         # sequential: measured faster than both thread-concurrent
         # execution (two streaming executions contend) and a fused
         # single-groupby variant (the two-column string groupby path
         # costs more than the second shuffle saves)
         stats = compute_stats(toks)
-        offsets = conv_offsets(ds)
+        offsets = conv_offsets(base_ds)
         _persist_stats(out_dir, stats, offsets, inputs)
         metrics["phases"].append({"phase": "stats", "skipped": False,
                                   "sec": round(time.time() - t0, 3)})
@@ -201,10 +254,12 @@ def build_index(
     offsets_ref = ray.put(offsets)
 
     # ---- phase 2: per-partition posting emission + list build
-    if partition_by == "files" and len(inputs) > 1 and partitions > 1:
-        bounds = np.linspace(0, len(inputs), min(partitions, len(inputs)) + 1).astype(int)
+    emit_inputs = token_files if token_cache else inputs
+    emit_columns = None if token_cache else INPUT_COLUMNS
+    if partition_by == "files" and len(emit_inputs) > 1 and partitions > 1:
+        bounds = np.linspace(0, len(emit_inputs), min(partitions, len(emit_inputs)) + 1).astype(int)
         part_specs = [
-            ("files", inputs[bounds[i]:bounds[i + 1]])
+            ("files", emit_inputs[bounds[i]:bounds[i + 1]])
             for i in range(len(bounds) - 1) if bounds[i] < bounds[i + 1]
         ]
     else:
@@ -216,7 +271,7 @@ def build_index(
         if mode == "files":
             lineage = sorted(spec)
         else:
-            lineage = sorted(inputs) + [f"range:{spec[0]}..{spec[1]}"]
+            lineage = sorted(emit_inputs) + [f"range:{spec[0]}..{spec[1]}"]
         pm = ckpt.read_manifest(pd)
         if pm is not None and pm.get("lineage") == lineage and pm.get("cfg") == cfg_tag:
             metrics["phases"].append({"phase": f"part-{p}", "skipped": True})
@@ -224,7 +279,7 @@ def build_index(
         ckpt.clear_stale(pd)
         tp = time.time()
         if mode == "files":
-            ds = ray.data.read_parquet(spec, columns=INPUT_COLUMNS)
+            ds = ray.data.read_parquet(spec, columns=emit_columns)
         else:
             import pyarrow.dataset as pads
 
@@ -232,8 +287,8 @@ def build_index(
             flt = pads.field("conv_id") >= lo
             if hi is not None:
                 flt = flt & (pads.field("conv_id") < hi)
-            ds = ray.data.read_parquet(inputs, columns=INPUT_COLUMNS, filter=flt)
-        toks = attach_tokens(ds)
+            ds = ray.data.read_parquet(emit_inputs, columns=emit_columns, filter=flt)
+        toks = ds if token_cache else attach_tokens(ds)
         with_ids = attach_doc_ids(toks, offsets_ref)
         postings = emit_postings(with_ids, stats_ref, cfg, concurrency=emit_concurrency)
         lists = build_posting_lists(postings, cfg)

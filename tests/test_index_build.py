@@ -132,3 +132,36 @@ class TestBlockedDictionary:
         b = emit_postings(wi, ray.put(blocks), cfg).to_pandas() \
             .sort_values(["key", "doc_id"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestTokenCache:
+    def test_token_cache_build_identical(self, ray_session, transcripts_dir,
+                                         built_index, tmp_path_factory):
+        """token_cache=True (tokenize once into out_dir/tokens/, stats +
+        emission from the columnar store) produces a byte-identical
+        final index, and a re-run skips every phase including the token
+        store."""
+        import os
+
+        from candidategeneration_ray.pipelines.build import build_index
+
+        out = str(tmp_path_factory.mktemp("idx_tokcache"))
+        res = build_index(transcripts_dir, out, partitions=2, token_cache=True)
+        assert os.path.isdir(os.path.join(out, "tokens"))
+
+        base = IndexReader(built_index["final_dir"], built_index["stats"])
+        cached = IndexReader(res["final_dir"], res["stats"])
+        assert sorted(res["stats"]["terms"].tolist()) == \
+            sorted(built_index["stats"]["terms"].tolist())
+        assert set(map(int, base.keys)) == set(map(int, cached.keys))
+        import numpy as np
+
+        for k in map(int, base.keys):
+            a, b = base.get(k), cached.get(k)
+            np.testing.assert_array_equal(a[0], b[0])
+            np.testing.assert_array_equal(a[1], b[1])
+
+        res2 = build_index(transcripts_dir, out, partitions=2, token_cache=True)
+        assert all(p.get("skipped") for p in res2["metrics"]["phases"]
+                   if p["phase"] != "tokens")
+        assert res2["metrics"]["total_sec"] < 5
