@@ -38,6 +38,14 @@ current corpus's total turn count (conv_offsets bases shifted), so base
 doc ids are stable and every delta doc id is strictly greater than
 every base doc id — the invariant the LSM reader's per-key ordered
 concatenation relies on (validated at decode).
+
+With build-time list pruning enabled (EngineConfig.max_list_postings),
+each generation is pruned to the cap on its own, so GENERATIONAL
+serving may expose up to cap × n_generations postings per key;
+COMPACTION re-applies the exact prune to the concatenation and
+restores the cap (prune-of-pruned is safe — the partition-safety
+property in stages/listbuild.prune_mask). This is the documented
+difference between the two serving views under pruning (tested).
 """
 
 from __future__ import annotations

@@ -274,6 +274,43 @@ def test_two_successive_deltas(split_corpus, tmp_path_factory, ray_session):
             np.testing.assert_array_equal(got_u[0], got_f[0], err_msg=term)
 
 
+def test_pruned_delta_compaction_reprunes(split_corpus, tmp_path_factory,
+                                          ray_session):
+    """With build-time list pruning, each generation is pruned on its
+    own (generational serving may exceed the cap per key); compaction
+    must re-apply the EXACT prune to the concatenation: first `prefix`
+    postings in doc order + best tail by (score desc, doc asc)."""
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import (
+        compact_index, serving_sources, update_index)
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    cap, prefix = 15, 5
+    cfg = EngineConfig(emit_pairs=False, max_list_postings=cap,
+                       unconditional_prefix=prefix)
+    out = str(tmp_path_factory.mktemp("idx_pruned_delta"))
+    build_index(split_corpus["base"], out, cfg)
+    upd = update_index(out, split_corpus["delta"], cfg)
+    lsm = IndexReader(list(serving_sources(out)), upd["stats"], cfg)
+    concat = {int(k): lsm.get(int(k)) for k in lsm.keys}
+    assert any(d.size > cap for d, *_ in concat.values()), \
+        "fixture too small to exercise the cap"
+
+    compact_index(out, cfg)
+    flat = IndexReader(serving_sources(out)[0], upd["stats"], cfg)
+    for k, (docs, scores, _, _) in concat.items():
+        keep = set(range(min(prefix, docs.size)))
+        budget = cap - prefix
+        tail = sorted(range(prefix, docs.size),
+                      key=lambda i: (-int(scores[i]), int(docs[i])))[:budget]
+        idx = sorted(keep | set(tail))
+        fd_, fs, _, _ = flat.get(k)
+        np.testing.assert_array_equal(fd_, docs[idx], err_msg=str(k))
+        np.testing.assert_array_equal(fs, scores[idx], err_msg=str(k))
+        assert fd_.size <= cap
+
+
 def test_config_mismatch_rejected(split_corpus, tmp_path_factory, ray_session):
     from candidategeneration_ray.config import EngineConfig
     from candidategeneration_ray.pipelines.build import build_index
