@@ -40,6 +40,13 @@ class ShardedQueryEngine:
 
     part_dirs: the build's segments/part-* directories (doc-range
     disjoint). Corpus-wide stats are shipped once via ray.put.
+
+    LSM updates compose for free: a delta generation
+    (pipelines.update) holds a disjoint doc range BY CONSTRUCTION, so
+    appending its dir to part_dirs adds the new documents to the fleet
+    as one more shard — no re-shard of existing actors, and the
+    scatter-gather merge stays exact (tested equal to the
+    multi-generation QueryEngine).
     """
 
     def __init__(self, part_dirs: list[str], stats: dict,

@@ -357,6 +357,25 @@ def test_run_queries_over_generations(updated_index, ray_session):
     pd.testing.assert_frame_equal(got, direct.astype(got.dtypes.to_dict()))
 
 
+def test_sharded_fleet_with_generation_shard(updated_index, ray_session):
+    """Doc-sharded serving treats a delta generation as one more shard
+    (disjoint doc range by construction) — exact vs the multi-
+    generation single engine."""
+    from candidategeneration_ray.pipelines.update import serving_sources
+    from candidategeneration_ray.state.queryengine import QueryEngine
+    from candidategeneration_ray.state.sharded import ShardedQueryEngine
+
+    sources = list(serving_sources(updated_index["out"]))
+    stats = updated_index["upd"]["stats"]
+    fleet = ShardedQueryEngine(sources, stats)
+    single = QueryEngine(sources, stats)
+    try:
+        for q in QUERIES:
+            assert fleet.topk(q, k=10) == single.topk(q, k=10), q
+    finally:
+        fleet.shutdown()
+
+
 def test_duplicate_keys_in_one_source_rejected(updated_index):
     """A recursive glob that mixes generations into ONE source must be
     rejected, not silently serve only the first copy of each key."""
