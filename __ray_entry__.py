@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top10": ex.q_ann_ivf_top10,            # approximate (rows-only)
         "text_stats": ex.q_text_stats,
         "repetition_stats": ex.q_repetition_stats,
+        "source_sample": ex.q_source_sample,
         "langid": ex.q_langid,
         "fingerprints": ex.q_fingerprints,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub

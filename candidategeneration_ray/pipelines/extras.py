@@ -872,6 +872,41 @@ def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
     return documents_ds(sf_dir).map_batches(_rep, batch_format="pyarrow")
 
 
+def q_source_sample(sf_dir: str, k: int = 25) -> ray.data.Dataset:
+    """Per-source deterministic bottom-k sample — the consistent-
+    hashing sampling primitive training-data pipelines use for mixture
+    control and stable sub-sampling (same doc set on every run and
+    every re-shard, unlike RNG sampling): for each `source`, keep the
+    k docs with the smallest md5-derived hash of their doc id (ties by
+    doc id). Two-level: per-batch PARTIAL bottom-k inside map_batches
+    (the shuffle moves <= k rows per (source, batch)), then
+    groupby(source) final bottom-k. Output (source, doc_id)."""
+
+    def _bottom_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        h = H.h64_many([str(i) for i in ids.tolist()])
+        # group rows by source, keep each group's k smallest (h, doc_id)
+        codes, inv = np.unique(src, return_inverse=True)
+        order = np.lexsort((ids, h, inv))
+        gi = inv[order]
+        starts = np.concatenate(([0], np.nonzero(gi[1:] != gi[:-1])[0] + 1))
+        counts = np.diff(np.concatenate((starts, [gi.size])))
+        pos = np.arange(gi.size) - np.repeat(starts, counts)
+        keep = order[pos < k]
+        return pa.table({
+            "source": pa.array(src[keep].tolist(), pa.string()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "source"])
+        .map_batches(_bottom_k, batch_format="pyarrow")
+        .groupby("source").map_groups(_bottom_k, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 _WORD_RE = None

@@ -492,6 +492,16 @@ SELECT rank, vec_id FROM (
   FROM scored
 ) WHERE rank <= 10
 """,
+        "source_sample": """
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn <= 25
+""",
         "repetition_stats": f"""
 WITH {KEPT_CTE},
 big AS (

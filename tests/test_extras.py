@@ -272,3 +272,31 @@ class TestRepetitionStats:
         assert pdf.loc[0].tolist() == [4, 2, 2]
         assert pdf.loc[1].tolist() == [3, 3, 3]
         assert pdf.loc[2].tolist() == [0, 0, 0]
+
+
+class TestSourceSample:
+    def test_deterministic_and_quota(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import q_source_sample
+
+        a = q_source_sample(SF).to_pandas().sort_values(
+            ["source", "doc_id"]).reset_index(drop=True)
+        b = q_source_sample(SF).to_pandas().sort_values(
+            ["source", "doc_id"]).reset_index(drop=True)
+        assert a.equals(b)  # consistent-hash sample: identical every run
+        assert (a.groupby("source").size() <= 25).all()
+
+    def test_small_source_keeps_all(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import q_source_sample
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "source": pa.array(["tiny"] * 3 + ["big"] * 37, pa.string()),
+        })
+        pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+        pdf = q_source_sample(str(tmp_path)).to_pandas()
+        counts = pdf.groupby("source").size().to_dict()
+        assert counts == {"tiny": 3, "big": 25}
