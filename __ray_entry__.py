@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": ex.q_repetition_stats,
         "source_sample": ex.q_source_sample,
         "langid": ex.q_langid,
+        "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
         "multimodal_frames": ex.q_multimodal_frames,    # frame-sample stage

@@ -966,6 +966,39 @@ def q_langid(sf_dir: str) -> ray.data.Dataset:
     return documents_ds(sf_dir).map_batches(_lang, batch_format="pyarrow")
 
 
+def q_langid_eval(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic-vs-label evaluation aggregate: per (lang label, is_en
+    heuristic) document counts — the confusion table used to calibrate
+    a cheap classifier against labeled data. Pre-aggregated: one
+    partial row per (lang, is_en) per batch, then a tiny groupby sum
+    (the shuffle never moves per-doc rows)."""
+    from ray.data.aggregate import Sum
+
+    def _part(batch: pa.Table) -> pa.Table:
+        t = _textstats(batch)
+        n_words = t.column("n_words").to_numpy()
+        n_stop = t.column("n_stop").to_numpy()
+        is_en = 5 * n_stop >= np.maximum(n_words, 1)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        key = np.array([f"{l}\x00{int(e)}" for l, e in zip(lang, is_en)],
+                       dtype=object)
+        uniq, counts = np.unique(key, return_counts=True)
+        langs = [u.split("\x00")[0] for u in uniq]
+        ens = [u.split("\x00")[1] == "1" for u in uniq]
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "is_en": pa.array(ens, pa.bool_()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "lang"])
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby(["lang", "is_en"]).aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
 def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Document fingerprint: min md5-hash over 8-word shingles of the
     kept-token stream (winnowing-style content signature)."""

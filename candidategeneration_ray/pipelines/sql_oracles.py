@@ -536,6 +536,14 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        5 * coalesce(w.n_stop, 0) >= greatest(coalesce(w.n_words, 0), 1) AS is_en
 FROM documents d LEFT JOIN wstats w USING (doc_id)
 """,
+        "langid_eval": f"""
+WITH {_WORDS_CTE}
+SELECT d.lang,
+       5 * coalesce(w.n_stop, 0) >= greatest(coalesce(w.n_words, 0), 1) AS is_en,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d LEFT JOIN wstats w USING (doc_id)
+GROUP BY 1, 2
+""",
         "multimodal_meta": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
