@@ -909,37 +909,48 @@ def q_source_sample(sf_dir: str, k: int = 25) -> ray.data.Dataset:
 
 # ------------------------------------------------------------ text analysis
 
-_WORD_RE = None
+_STOPWORD_SET = None  # lazily-built pa.array, shared per worker
 
 
 def _textstats(batch: pa.Table) -> pa.Table:
-    import re
+    """Per-doc text statistics, fully vectorized in Arrow C++ (RE2
+    kernels + one flattened word pass) — no Python loop over rows.
+    Tested equal to the per-row regex reference on the driver tables."""
+    import pyarrow.compute as pc
 
-    from candidategeneration_ray.functions.stopwords import STOPWORDS
+    global _STOPWORD_SET
+    if _STOPWORD_SET is None:
+        from candidategeneration_ray.functions.stopwords import STOPWORDS
 
-    word_re = re.compile(r"[A-Za-z]+")
-    digit_re = re.compile(r"[0-9]+")
-    punct_re = re.compile(r"[^A-Za-z0-9\s]")
-    upper_re = re.compile(r"[A-Z]")
-    bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        _STOPWORD_SET = pa.array(sorted(STOPWORDS), pa.string())
 
-    texts = batch.column("text").to_pylist()
-    n = len(texts)
-    cols = {k: np.empty(n, dtype=np.int64) for k in
-            ["n_chars", "n_words", "n_stop", "n_digit_tokens",
-             "n_punct_chars", "n_upper_chars", "n_bpe_units"]}
-    for i, t in enumerate(texts):
-        words = [w.lower() for w in word_re.findall(t)]
-        cols["n_chars"][i] = len(t)
-        cols["n_words"][i] = len(words)
-        cols["n_stop"][i] = sum(w in STOPWORDS for w in words)
-        cols["n_digit_tokens"][i] = len(digit_re.findall(t))
-        cols["n_punct_chars"][i] = len(punct_re.findall(t))
-        cols["n_upper_chars"][i] = len(upper_re.findall(t))
-        cols["n_bpe_units"][i] = len(bpe_re.findall(t))
-    out = {"doc_id": batch.column("doc_id").cast(pa.int64())}
-    out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
-    return pa.table(out)
+    text = batch.column("text").combine_chunks()
+    n = len(text)
+    # words = runs of [A-Za-z]+ — non-letters to spaces, whitespace split
+    words = pc.split_pattern_regex(
+        pc.replace_substring_regex(text, "[^A-Za-z]+", " "), r"\s+")
+    flat = words.values
+    lens_all = np.diff(words.offsets.to_numpy().astype(np.int64))
+    didx = np.repeat(np.arange(n), lens_all)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_words = np.bincount(didx[nonempty], minlength=n).astype(np.int64)
+    stop = pc.is_in(pc.utf8_lower(flat), value_set=_STOPWORD_SET) \
+        .to_numpy(zero_copy_only=False) & nonempty
+    n_stop = np.bincount(didx[stop], minlength=n).astype(np.int64)
+
+    def _count(pattern: str) -> pa.Array:
+        return pc.count_substring_regex(text, pattern).cast(pa.int64())
+
+    return pa.table({
+        "doc_id": batch.column("doc_id").cast(pa.int64()),
+        "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_stop": pa.array(n_stop, pa.int64()),
+        "n_digit_tokens": _count("[0-9]+"),
+        "n_punct_chars": _count(r"[^A-Za-z0-9\s]"),
+        "n_upper_chars": _count("[A-Z]"),
+        "n_bpe_units": _count(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
+    })
 
 
 def q_text_stats(sf_dir: str) -> ray.data.Dataset:

@@ -23,7 +23,11 @@ from candidategeneration_ray.config import EngineConfig
 from candidategeneration_ray.state.queryengine import QueryEngine
 
 
-@ray.remote
+# Shard actors are pure functions of their segment dir + broadcast
+# stats, so Ray can transparently restart a crashed one (re-running
+# __init__ reloads the segments) and retry the in-flight pure topk
+# calls — serving survives worker loss without fleet-level logic.
+@ray.remote(max_restarts=2, max_task_retries=2)
 class _ShardActor:
     def __init__(self, part_dir: str, stats_ref, cfg: EngineConfig):
         self.engine = QueryEngine(part_dir, stats_ref, cfg)

@@ -41,3 +41,21 @@ class TestShardedServing:
         for k in (1, 5, 50, 1000):
             assert fleet.topk("query index data", k=k) == \
                 single.topk("query index data", k=k)
+
+
+def test_shard_actor_restart_after_kill(ray_session, built_index):
+    """A killed shard actor restarts transparently (pure state: segment
+    dir + broadcast stats) and keeps serving the same results."""
+    import ray
+
+    from candidategeneration_ray.state.sharded import ShardedQueryEngine
+
+    fleet = ShardedQueryEngine([built_index["final_dir"]], built_index["stats"])
+    try:
+        q = "query engine latency"
+        before = fleet.topk(q, k=5)
+        ray.kill(fleet.shards[0], no_restart=False)
+        after = fleet.topk(q, k=5)  # retried against the restarted actor
+        assert after == before and len(after) > 0
+    finally:
+        fleet.shutdown()
