@@ -226,22 +226,34 @@ def update_index(
     # ---- delta emission + list build into a new generation dir
     cfg_tag = cfg.index_tag()
     gens = generation_dirs(out_dir)
-    gen_dir = os.path.join(_gen_root(out_dir), f"gen-{len(gens) + 1:04d}")
-    ckpt.clear_stale(gen_dir)
-    tg = time.time()
-    stats_ref = ray.put(ext_stats)
-    offsets_ref = ray.put(merged_offsets)
-    with_ids = attach_doc_ids(toks, offsets_ref)
-    postings = emit_postings(with_ids, stats_ref, cfg, concurrency=emit_concurrency)
-    lists = build_posting_lists(postings, cfg)
-    os.makedirs(gen_dir, exist_ok=True)
-    lists.write_parquet(gen_dir)
-    ckpt.write_manifest(gen_dir, {
-        "phase": "generation", "lineage": delta_inputs, "cfg": cfg_tag,
-        "epoch_n_docs": epoch_docs, "sec": round(time.time() - tg, 3),
-    })
-    metrics["phases"].append({"phase": "generation", "skipped": False,
-                              "sec": round(time.time() - tg, 3)})
+    # crash healing: a run that died between writing the generation and
+    # extending the stats lineage leaves a completed generation whose
+    # delta is not yet in the lineage — reuse it instead of building a
+    # duplicate doc range (which the LSM reader would reject at decode)
+    existing = next(
+        (g for g in gens
+         if (ckpt.read_manifest(g) or {}).get("lineage") == delta_inputs),
+        None)
+    if existing is not None:
+        metrics["phases"].append({"phase": "generation", "skipped": True,
+                                  "healed": True})
+    else:
+        gen_dir = os.path.join(_gen_root(out_dir), f"gen-{len(gens) + 1:04d}")
+        ckpt.clear_stale(gen_dir)
+        tg = time.time()
+        stats_ref = ray.put(ext_stats)
+        offsets_ref = ray.put(merged_offsets)
+        with_ids = attach_doc_ids(toks, offsets_ref)
+        postings = emit_postings(with_ids, stats_ref, cfg, concurrency=emit_concurrency)
+        lists = build_posting_lists(postings, cfg)
+        os.makedirs(gen_dir, exist_ok=True)
+        lists.write_parquet(gen_dir)
+        ckpt.write_manifest(gen_dir, {
+            "phase": "generation", "lineage": delta_inputs, "cfg": cfg_tag,
+            "epoch_n_docs": epoch_docs, "sec": round(time.time() - tg, 3),
+        })
+        metrics["phases"].append({"phase": "generation", "skipped": False,
+                                  "sec": round(time.time() - tg, 3)})
 
     # stats/offsets now cover the grown corpus (epoch values frozen —
     # global.json keeps the base N/avgdl); lineage includes the delta so

@@ -311,6 +311,38 @@ def test_pruned_delta_compaction_reprunes(split_corpus, tmp_path_factory,
         assert fd_.size <= cap
 
 
+def test_crash_between_generation_and_stats_heals(split_corpus,
+                                                  tmp_path_factory, ray_session):
+    """A run that died after writing the generation but before
+    extending the stats lineage must REUSE the generation on retry —
+    not build a duplicate doc range."""
+    from candidategeneration_ray.pipelines.build import build_index, load_stats
+    from candidategeneration_ray.pipelines.update import (
+        generation_dirs, serving_sources, update_index)
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    out = str(tmp_path_factory.mktemp("idx_heal"))
+    base = build_index(split_corpus["base"], out)
+    update_index(out, split_corpus["delta"])
+
+    # simulate the crash: roll the stats checkpoint back to pre-delta
+    # (generation stays on disk with its manifest)
+    from candidategeneration_ray.pipelines.build import _persist_stats
+
+    base_inputs = sorted(
+        os.path.join(split_corpus["base"], f)
+        for f in os.listdir(split_corpus["base"]) if f.endswith(".parquet"))
+    _persist_stats(out, base["stats"], base["offsets"], base_inputs)
+
+    upd = update_index(out, split_corpus["delta"])
+    assert any(p.get("healed") for p in upd["metrics"]["phases"])
+    assert len(generation_dirs(out)) == 1
+    # serving works (decode would raise on duplicated doc ranges)
+    reader = IndexReader(list(serving_sources(out)), upd["stats"])
+    for k in map(int, reader.keys[:50]):
+        reader.get(k)
+
+
 def test_config_mismatch_rejected(split_corpus, tmp_path_factory, ray_session):
     from candidategeneration_ray.config import EngineConfig
     from candidategeneration_ray.pipelines.build import build_index
