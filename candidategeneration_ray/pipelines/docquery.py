@@ -797,8 +797,10 @@ def q_predictive_candidates(sf_dir: str) -> pa.Table:
 
 def q_topk_candidates(sf_dir: str) -> pa.Table:
     """Predictive candidate pools per query (Q5/Q6 analog): pair-list +
-    unigram top-layer union. Not SQL-expressible (greedy/approximate) —
-    rows-only check."""
+    unigram top-layer union — approximate as a RETRIEVAL method but a
+    deterministic computation (impact-ordered prefixes, ties by doc
+    asc), so it carries a full SQL oracle (window-function top-k over
+    the d-window pair scores)."""
     from candidategeneration_ray.state.queryengine import QueryEngine
 
     built = build_documents_index(sf_dir)

@@ -176,6 +176,52 @@ SELECT a.query_id, a.tid * 4294967296 + b.tid AS key
 FROM qid_ids a JOIN qid_ids b
   ON a.query_id = b.query_id AND a.tid < b.tid
 """,
+        "topk_candidates": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qtok_k AS (
+  SELECT query_id, tok FROM qtok WHERE tok IN (SELECT DISTINCT tok FROM kept)
+),
+uni_top AS (
+  SELECT tok, doc_id FROM (
+    SELECT tok, doc_id,
+           row_number() OVER (PARTITION BY tok
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores
+  ) WHERE rn <= 100
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id,
+         least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+  FROM kept a JOIN kept b
+    ON a.doc_id = b.doc_id AND b.kpos > a.kpos AND b.kpos <= a.kpos + 5
+),
+pair_scores AS (
+  SELECT p.doc_id, p.t1, p.t2, s1.score + s2.score AS score
+  FROM pairs p
+  JOIN scores s1 ON s1.doc_id = p.doc_id AND s1.tok = p.t1
+  JOIN scores s2 ON s2.doc_id = p.doc_id AND s2.tok = p.t2
+),
+pair_top AS (
+  SELECT t1, t2, doc_id FROM (
+    SELECT t1, t2, doc_id,
+           row_number() OVER (PARTITION BY t1, t2
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM pair_scores
+  ) WHERE rn <= 500
+),
+qpairs AS (
+  SELECT a.query_id, a.tok AS t1, b.tok AS t2
+  FROM qtok_k a JOIN qtok_k b
+    ON a.query_id = b.query_id AND a.tok < b.tok
+)
+SELECT DISTINCT query_id, CAST(doc_id AS BIGINT) AS doc_id FROM (
+  SELECT q.query_id, u.doc_id FROM qtok_k q JOIN uni_top u ON u.tok = q.tok
+  UNION ALL
+  SELECT qp.query_id, pt.doc_id FROM qpairs qp JOIN pair_top pt USING (t1, t2)
+)
+""",
         "access_counts": f"""
 WITH {KEPT_CTE},
 {QTOK_CTE}
