@@ -29,6 +29,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from candidategeneration_ray.pipelines import docquery as dq
+    from candidategeneration_ray.pipelines import events as ev
     from candidategeneration_ray.pipelines import extras as ex
 
     return {
@@ -70,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": ex.q_langid,
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
+        # --- event-stream operators (keyed windowed / ordered ops) ---
+        "sessionize": ev.q_sessionize,
+        "asof_join": ev.q_asof_join,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
         "multimodal_frames": ex.q_multimodal_frames,    # frame-sample stage
         "multimodal_features": ex.q_multimodal_features,  # feature-extract stage

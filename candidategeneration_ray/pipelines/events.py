@@ -1,0 +1,163 @@
+"""Event-stream operators over the `events` table — the windowed /
+ordered operators Ray Data has no native primitive for (sessionization,
+as-of join), expressed as bucketed co-location + vectorized per-group
+kernels.
+
+Partitioning assumption (documented per the custom-operator rule): all
+of a user's events must co-locate, so both operators bucket by
+user-id hash — a user's stream is assumed to fit one task's memory
+(true even for pathological users: sessions are per-user sequential
+state, the classic keyed-stream layout). The shuffle moves each event
+once; every per-group kernel is numpy over the bucket's sorted arrays,
+not a per-row loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+NUM_USER_BUCKETS = 64
+
+
+def events_ds(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _with_user_bucket(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def _b(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "ubucket", pa.array((h % np.uint64(NUM_USER_BUCKETS)).astype(np.int32)))
+
+    return ds.map_batches(_b, batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
+    """Gap-based sessionization (the canonical keyed-stream windowed
+    aggregate): a user's events ordered by (ts, event_id) start a new
+    session whenever the gap from the previous event exceeds
+    `gap_sec`. Output one row per session: (user_id, session_idx,
+    n_events, min_event_id, max_event_id, cents) with cents =
+    Σ round(value*100) (integer money so the comparison is
+    order-independent and float-exact).
+
+    Shape: bucket by user hash → ONE lexsort per bucket over
+    (user, ts, event_id) → vectorized gap flags + reduceat aggregation
+    over session boundaries. No per-user Python loop."""
+    gap_us = np.int64(gap_sec * 1_000_000)
+
+    def _sessions(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        cents = np.round(group.column("value").to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
+        if u.size == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "min_event_id": pa.array([], pa.int64()),
+                "max_event_id": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            })
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([gap_us + 1], ts[1:] - ts[:-1]))
+        new_sess = new_user | (gap > gap_us)
+        starts = np.nonzero(new_sess)[0]
+        counts = np.diff(np.concatenate((starts, [u.size])))
+        # session_idx = per-user running session number
+        sess_user = u[starts]
+        user_first = np.concatenate(([True], sess_user[1:] != sess_user[:-1]))
+        ustart = np.nonzero(user_first)[0]
+        sess_idx = np.arange(starts.size) - np.repeat(
+            ustart, np.diff(np.concatenate((ustart, [starts.size]))))
+        return pa.table({
+            "user_id": pa.array(sess_user, pa.int64()),
+            "session_idx": pa.array(sess_idx.astype(np.int64), pa.int64()),
+            "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            "min_event_id": pa.array(np.minimum.reduceat(eid, starts), pa.int64()),
+            "max_event_id": pa.array(np.maximum.reduceat(eid, starts), pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents, starts), pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "value"])
+    return (
+        _with_user_bucket(ds)
+        .groupby("ubucket").map_groups(_sessions, batch_format="pyarrow")
+    )
+
+
+def q_asof_join(sf_dir: str, left_type: str = "purchase",
+                right_type: str = "click") -> ray.data.Dataset:
+    """As-of join over the event stream: for every `left_type` event,
+    the most recent STRICTLY-earlier `right_type` event of the same
+    user (ties among equal right-side timestamps resolve to the
+    largest event id). Output (event_id, click_event_id, gap_us) —
+    left events with no prior match are dropped (inner as-of).
+
+    Shape: bucket by user hash co-locates each user's stream; per
+    bucket, one lexsort of each side and a per-user searchsorted of
+    left timestamps into the right side's — the textbook sorted-merge
+    as-of, vectorized per user segment."""
+
+    def _asof(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        lm = et == left_type
+        rm = et == right_type
+        lu, lts, lid = u[lm], ts[lm], eid[lm]
+        ru, rts, rid = u[rm], ts[rm], eid[rm]
+        if lu.size == 0 or ru.size == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "click_event_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            })
+        lo_ = np.lexsort((lid, lts, lu))
+        ro_ = np.lexsort((rid, rts, ru))
+        lu, lts, lid = lu[lo_], lts[lo_], lid[lo_]
+        ru, rts, rid = ru[ro_], rts[ro_], rid[ro_]
+        out_l, out_r, out_gap = [], [], []
+        # per-user segments on both sides (users are bucket-local)
+        ustarts_l = np.concatenate(([0], np.nonzero(lu[1:] != lu[:-1])[0] + 1))
+        uends_l = np.concatenate((ustarts_l[1:], [lu.size]))
+        for s, e in zip(ustarts_l, uends_l):
+            user = lu[s]
+            r_lo = np.searchsorted(ru, user, side="left")
+            r_hi = np.searchsorted(ru, user, side="right")
+            if r_lo == r_hi:
+                continue
+            seg_ts, seg_id = rts[r_lo:r_hi], rid[r_lo:r_hi]
+            pos = np.searchsorted(seg_ts, lts[s:e], side="left") - 1
+            ok = pos >= 0
+            out_l.append(lid[s:e][ok])
+            out_r.append(seg_id[pos[ok]])
+            out_gap.append(lts[s:e][ok] - seg_ts[pos[ok]])
+        if not out_l:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "click_event_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_l), pa.int64()),
+            "click_event_id": pa.array(np.concatenate(out_r), pa.int64()),
+            "gap_us": pa.array(np.concatenate(out_gap), pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return (
+        _with_user_bucket(ds)
+        .groupby("ubucket").map_groups(_asof, batch_format="pyarrow")
+    )

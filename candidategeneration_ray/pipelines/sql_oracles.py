@@ -582,6 +582,43 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        5 * coalesce(w.n_stop, 0) >= greatest(coalesce(w.n_words, 0), 1) AS is_en
 FROM documents d LEFT JOIN wstats w USING (doc_id)
 """,
+        "sessionize": """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM sess GROUP BY user_id, session_idx
+""",
+        "asof_join": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(m.event_id AS BIGINT) AS click_event_id,
+       CAST(epoch_us(p.ts) - epoch_us(m.ts) AS BIGINT) AS gap_us
+FROM p
+JOIN LATERAL (
+  SELECT c.event_id, c.ts FROM c
+  WHERE c.user_id = p.user_id AND c.ts < p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) m ON true
+""",
         "langid_eval": f"""
 WITH {_WORDS_CTE}
 SELECT d.lang,

@@ -1,0 +1,93 @@
+"""Event-stream operators: gap sessionization + as-of join semantics
+on hand-built fixtures (the SQL oracles cover the driver tables)."""
+
+import datetime as dt
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_events(tmp_path, rows):
+    t0 = dt.datetime(2024, 1, 1)
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def test_sessionize_gap_semantics(ray_session, tmp_path):
+    """Gap strictly greater than gap_sec starts a new session; exactly
+    gap_sec does not. Sessions are per-user."""
+    from candidategeneration_ray.pipelines.events import q_sessionize
+
+    rows = [
+        # user 1: events at 0s, 1800s (== gap, same session), 3601s (> gap
+        # from 1800 → new session)
+        (0, 0, 1, "view", 1.00),
+        (1, 1800, 1, "view", 2.00),
+        (2, 3601, 1, "view", 3.00),
+        # user 2: single event
+        (3, 50, 2, "click", 0.50),
+    ]
+    d = _write_events(tmp_path, rows)
+    pdf = q_sessionize(d, gap_sec=1800).to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    got = pdf.values.tolist()
+    assert got == [
+        [1, 0, 2, 0, 1, 300],   # user1 session0: events 0,1; 100+200 cents
+        [1, 1, 1, 2, 2, 300],   # user1 session1: event 2
+        [2, 0, 1, 3, 3, 50],
+    ]
+
+
+def test_asof_join_semantics(ray_session, tmp_path):
+    """Most recent strictly-earlier right event per user; no prior
+    match drops the row; equal-ts right events never match."""
+    from candidategeneration_ray.pipelines.events import q_asof_join
+
+    rows = [
+        (0, 0, 1, "click", 0.0),
+        (1, 100, 1, "click", 0.0),
+        (2, 100, 1, "purchase", 0.0),   # equal ts to click 1 → matches click 0
+        (3, 200, 1, "purchase", 0.0),   # matches click 1 (most recent prior)
+        (4, 10, 2, "purchase", 0.0),    # user 2 has no clicks → dropped
+    ]
+    d = _write_events(tmp_path, rows)
+    pdf = q_asof_join(d).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert pdf.values.tolist() == [
+        [2, 0, 100_000_000],
+        [3, 1, 100_000_000],
+    ]
+
+
+def test_sessionize_matches_single_partition(ray_session, tmp_path):
+    """Bucketing must not change results: random events through the
+    bucketed path equal a single-bucket run."""
+    from candidategeneration_ray.pipelines import events as E
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, int(rng.integers(0, 100_000)), int(rng.integers(0, 20)),
+         "view", float(rng.integers(0, 1000)) / 100)
+        for i in range(2000)
+    ]
+    d = _write_events(tmp_path, rows)
+    a = E.q_sessionize(d).to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    old = E.NUM_USER_BUCKETS
+    try:
+        E.NUM_USER_BUCKETS = 1
+        b = E.q_sessionize(d).to_pandas() \
+            .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    finally:
+        E.NUM_USER_BUCKETS = old
+    assert a.equals(b)
