@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
+        "windowed_counts": ev.q_windowed_counts,
+        "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
         "multimodal_frames": ex.q_multimodal_frames,    # frame-sample stage
         "multimodal_features": ex.q_multimodal_features,  # feature-extract stage

@@ -96,6 +96,98 @@ def q_sessionize(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
     )
 
 
+def q_windowed_counts(sf_dir: str, window_sec: int = 3600) -> ray.data.Dataset:
+    """Tumbling-window aggregate: per (event_type, window) event count
+    and integer-cents sum. Window assignment is a pure map (epoch
+    micros // window), so the whole operator is map_batches partials →
+    one small groupby sum — the windowed-aggregate shape that needs no
+    ordered state at all."""
+    from ray.data.aggregate import Sum
+
+    w_us = np.int64(window_sec) * 1_000_000
+
+    def _part(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        win = ts // w_us
+        key = np.array([f"{t}\x00{w}" for t, w in zip(et, win)], dtype=object)
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv)
+        c = np.bincount(inv, weights=cents).astype(np.int64)
+        types = [u.split("\x00")[0] for u in uniq]
+        wins = np.array([int(u.split("\x00")[1]) for u in uniq], dtype=np.int64)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "window_start_us": pa.array(wins * w_us, pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    return (
+        events_ds(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_us"]).aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("cents", alias_name="cents"),
+        )
+    )
+
+
+def q_range_join_counts(sf_dir: str, left_type: str = "purchase",
+                        right_type: str = "click",
+                        lookback_sec: int = 3600) -> ray.data.Dataset:
+    """Range join over the event stream: for every `left_type` event,
+    the number of same-user `right_type` events with timestamp in
+    [left_ts - lookback, left_ts). Output (event_id, n_prior).
+
+    Shape: user-hash bucketing co-locates the stream; per user segment
+    the count is the DIFFERENCE OF TWO searchsorteds into the sorted
+    right-side timestamps — the band/range-join primitive without any
+    per-row scan."""
+    lb_us = np.int64(lookback_sec) * 1_000_000
+
+    def _range(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        lm = et == left_type
+        rm = et == right_type
+        lu, lts, lid = u[lm], ts[lm], eid[lm]
+        ru, rts = u[rm], ts[rm]
+        if lu.size == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "n_prior": pa.array([], pa.int64()),
+            })
+        lo_ = np.lexsort((lts, lu))
+        ro_ = np.lexsort((rts, ru))
+        lu, lts, lid = lu[lo_], lts[lo_], lid[lo_]
+        ru, rts = ru[ro_], rts[ro_]
+        n_prior = np.zeros(lu.size, dtype=np.int64)
+        ustarts = np.concatenate(([0], np.nonzero(lu[1:] != lu[:-1])[0] + 1))
+        uends = np.concatenate((ustarts[1:], [lu.size]))
+        for s, e in zip(ustarts, uends):
+            user = lu[s]
+            r_lo = np.searchsorted(ru, user, side="left")
+            r_hi = np.searchsorted(ru, user, side="right")
+            seg = rts[r_lo:r_hi]
+            hi = np.searchsorted(seg, lts[s:e], side="left")
+            lo2 = np.searchsorted(seg, lts[s:e] - lb_us, side="left")
+            n_prior[s:e] = hi - lo2
+        return pa.table({
+            "event_id": pa.array(lid, pa.int64()),
+            "n_prior": pa.array(n_prior, pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return (
+        _with_user_bucket(ds)
+        .groupby("ubucket").map_groups(_range, batch_format="pyarrow")
+    )
+
+
 def q_asof_join(sf_dir: str, left_type: str = "purchase",
                 right_type: str = "click") -> ray.data.Dataset:
     """As-of join over the event stream: for every `left_type` event,

@@ -606,6 +606,21 @@ SELECT CAST(user_id AS BIGINT) AS user_id, session_idx,
        CAST(sum(cents) AS BIGINT) AS cents
 FROM sess GROUP BY user_id, session_idx
 """,
+        "windowed_counts": """
+SELECT event_type,
+       CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1, 2
+""",
+        "range_join_counts": """
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST((SELECT count(*) FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts >= p.ts - INTERVAL 3600 SECOND
+               AND c.ts < p.ts) AS BIGINT) AS n_prior
+FROM events p WHERE p.event_type = 'purchase'
+""",
         "asof_join": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
 c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')

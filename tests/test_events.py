@@ -91,3 +91,21 @@ def test_sessionize_matches_single_partition(ray_session, tmp_path):
     finally:
         E.NUM_USER_BUCKETS = old
     assert a.equals(b)
+
+
+def test_range_join_counts_semantics(ray_session, tmp_path):
+    """[ts - lookback, ts) band: boundary events at exactly -lookback
+    count, events at ts itself do not."""
+    from candidategeneration_ray.pipelines.events import q_range_join_counts
+
+    rows = [
+        (0, 0, 1, "click", 0.0),      # exactly lookback before → counts
+        (1, 1800, 1, "click", 0.0),   # inside window → counts
+        (2, 3600, 1, "click", 0.0),   # equal ts → excluded
+        (3, 3600, 1, "purchase", 0.0),
+        (4, 10, 2, "purchase", 0.0),  # no clicks → 0
+    ]
+    d = _write_events(tmp_path, rows)
+    pdf = q_range_join_counts(d).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    assert pdf.values.tolist() == [[3, 2], [4, 0]]
