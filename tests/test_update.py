@@ -311,6 +311,56 @@ def test_pruned_delta_compaction_reprunes(split_corpus, tmp_path_factory,
         assert fd_.size <= cap
 
 
+def test_interleaved_delta_convs(split_corpus, tmp_path_factory, ray_session):
+    """Delta conversations may sort lexically BETWEEN base conversations
+    — doc ids still append after the base corpus (never renumber), the
+    LSM doc-range invariant holds, and per-term list lengths equal a
+    full rebuild's."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import serving_sources, update_index
+    from candidategeneration_ray.sources.transcripts import generate_transcripts
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    root = tmp_path_factory.mktemp("interleaved")
+    tab = generate_transcripts(12, seed=31)
+    import pyarrow.compute as pc
+
+    # rename delta convs to sort between base convs: conv00000X -> conv00000Xz
+    conv = pc.binary_join_element_wise(tab.column("conv_id").cast(pa.string()),
+                                      "z", "")
+    delta = tab.set_column(tab.schema.get_field_index("conv_id"), "conv_id",
+                           conv.cast(tab.schema.field("conv_id").type))
+    dd = root / "delta"
+    dd.mkdir()
+    pq.write_table(delta, str(dd / "d.parquet"))
+
+    out = str(root / "idx")
+    base = build_index(split_corpus["base"], out)
+    base_n = base["offsets"]["n_docs"]
+    upd = update_index(out, str(dd))
+    # delta doc ids all append after the base corpus
+    reader = IndexReader(list(serving_sources(out)), upd["stats"])
+    base_reader = IndexReader(serving_sources(out)[0], base["stats"])
+    for k in map(int, reader.keys):
+        docs, _, _, _ = reader.get(k)  # raises if generations overlap
+        got_base = base_reader.get(k)
+        n_base = got_base[0].size if got_base is not None else 0
+        assert (docs >= base_n).sum() == docs.size - n_base
+
+    # per-term lengths equal a full rebuild over base + delta
+    full_out = str(root / "full")
+    files = sorted(
+        os.path.join(d, f)
+        for d in (split_corpus["base"], str(dd))
+        for f in os.listdir(d) if f.endswith(".parquet"))
+    full = build_index(files, full_out)
+    full_r = IndexReader(full["final_dir"], full["stats"])
+    for term, tid in reader.term_to_id.items():
+        assert reader.list_len(tid) == full_r.list_len(full_r.term_to_id[term]), term
+
+
 def test_crash_between_generation_and_stats_heals(split_corpus,
                                                   tmp_path_factory, ray_session):
     """A run that died after writing the generation but before
