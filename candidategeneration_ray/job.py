@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--max-delta-fraction", type=float, default=1.0,
                    help="refuse deltas larger than this fraction of the "
                         "scoring-epoch corpus (frozen-stats drift guard)")
+    u.add_argument("--partitions", type=int, default=1,
+                   help="conv-range generations per delta (sub-delta "
+                        "resume unit for very large deltas)")
     u.add_argument("--distance", type=int, default=5)
     u.add_argument("--num-buckets", type=int, default=96)
     u.add_argument("--no-pairs", action="store_true")
@@ -122,7 +125,8 @@ def main(argv: list[str] | None = None) -> int:
             t0 = time.time()
             res = update_index(args.index, args.input, cfg,
                                compact=args.compact,
-                               max_delta_fraction=args.max_delta_fraction)
+                               max_delta_fraction=args.max_delta_fraction,
+                               partitions=args.partitions)
             print(json.dumps({"ok": True, "sources": res["sources"],
                               "sec": round(time.time() - t0, 2),
                               "phases": res["metrics"]["phases"]}))

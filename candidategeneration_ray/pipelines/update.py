@@ -56,6 +56,7 @@ import time
 
 import numpy as np
 import ray
+import ray.data
 
 from candidategeneration_ray.config import FORMAT_VERSION, EngineConfig
 from candidategeneration_ray.pipelines.build import (
@@ -148,12 +149,15 @@ def update_index(
     compact: bool = False,
     emit_concurrency=None,
     max_delta_fraction: float = 1.0,
+    partitions: int = 1,
 ) -> dict:
     """Apply a delta (new parquet files / a directory of them) to the
     index at `out_dir`. Idempotent: a delta whose inputs are already in
-    the stats lineage is skipped. Returns {"sources", "stats",
-    "offsets", "metrics"} where `sources` is the serving list for
-    IndexReader (single [final] after compact=True)."""
+    the stats lineage is skipped. `partitions > 1` splits the delta
+    into contiguous conv ranges, one generation each — the resume unit
+    for very large deltas. Returns {"sources", "stats", "offsets",
+    "metrics"} where `sources` is the serving list for IndexReader
+    (single [final] after compact=True)."""
     cfg = cfg or EngineConfig()
     t0 = time.time()
     if isinstance(source, str) and os.path.isdir(source):
@@ -223,36 +227,62 @@ def update_index(
         "sec": round(time.time() - t0, 3),
     })
 
-    # ---- delta emission + list build into a new generation dir
+    # ---- delta emission + list build, one generation per conv range.
+    # partitions > 1 makes a LARGE delta resumable at sub-delta
+    # granularity: contiguous conv ranges get their own generations
+    # (delta doc ids ascend with conv id, so range order preserves the
+    # LSM disjoint-ascending invariant); a killed ingest re-runs only
+    # the unfinished ranges.
     cfg_tag = cfg.index_tag()
-    gens = generation_dirs(out_dir)
-    # crash healing: a run that died between writing the generation and
-    # extending the stats lineage leaves a completed generation whose
-    # delta is not yet in the lineage — reuse it instead of building a
-    # duplicate doc range (which the LSM reader would reject at decode)
-    existing = next(
-        (g for g in gens
-         if (ckpt.read_manifest(g) or {}).get("lineage") == delta_inputs),
-        None)
-    if existing is not None:
-        metrics["phases"].append({"phase": "generation", "skipped": True,
-                                  "healed": True})
+    stats_ref = ray.put(ext_stats)
+    offsets_ref = ray.put(merged_offsets)
+    if partitions > 1:
+        from candidategeneration_ray.pipelines.build import _conv_ranges
+
+        range_specs = [
+            (delta_inputs + [f"range:{lo}..{hi}"], (lo, hi))
+            for lo, hi in _conv_ranges(delta_offsets, partitions)
+        ]
     else:
+        range_specs = [(delta_inputs, None)]
+    for lineage, conv_range in range_specs:
+        gens = generation_dirs(out_dir)
+        # crash healing: a run that died between writing a generation
+        # and extending the stats lineage leaves completed generations
+        # whose delta is not yet in the lineage — reuse them instead of
+        # building duplicate doc ranges (which the LSM reader would
+        # reject at decode)
+        if any((ckpt.read_manifest(g) or {}).get("lineage") == lineage
+               for g in gens):
+            metrics["phases"].append({"phase": "generation", "skipped": True,
+                                      "healed": True, "range": conv_range})
+            continue
         gen_dir = os.path.join(_gen_root(out_dir), f"gen-{len(gens) + 1:04d}")
         ckpt.clear_stale(gen_dir)
         tg = time.time()
-        stats_ref = ray.put(ext_stats)
-        offsets_ref = ray.put(merged_offsets)
-        with_ids = attach_doc_ids(toks, offsets_ref)
+        if conv_range is None:
+            part_toks = toks
+        else:
+            import pyarrow.dataset as pads
+
+            lo, hi = conv_range
+            flt = pads.field("conv_id") >= lo
+            if hi is not None:
+                flt = flt & (pads.field("conv_id") < hi)
+            part_toks = attach_tokens(ray.data.read_parquet(
+                delta_inputs, columns=["conv_id", "turn_idx", "text"],
+                filter=flt))
+        with_ids = attach_doc_ids(part_toks, offsets_ref)
         postings = emit_postings(with_ids, stats_ref, cfg, concurrency=emit_concurrency)
         lists = build_posting_lists(postings, cfg)
         os.makedirs(gen_dir, exist_ok=True)
         lists.write_parquet(gen_dir)
         ckpt.write_manifest(gen_dir, {
-            "phase": "generation", "lineage": delta_inputs, "cfg": cfg_tag,
+            "phase": "generation", "lineage": lineage, "cfg": cfg_tag,
             "epoch_n_docs": epoch_docs, "sec": round(time.time() - tg, 3),
         })
         metrics["phases"].append({"phase": "generation", "skipped": False,
+                                  "range": conv_range,
                                   "sec": round(time.time() - tg, 3)})
 
     # stats/offsets now cover the grown corpus (epoch values frozen —

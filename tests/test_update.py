@@ -311,6 +311,52 @@ def test_pruned_delta_compaction_reprunes(split_corpus, tmp_path_factory,
         assert fd_.size <= cap
 
 
+def test_partitioned_delta_matches_single(split_corpus, tmp_path_factory,
+                                          ray_session):
+    """A delta ingested with partitions=3 (one generation per conv
+    range) serves identically to the same delta as one generation, and
+    partial-resume (kill after range 1) completes on retry without
+    duplicating ranges."""
+    import shutil
+
+    from candidategeneration_ray.pipelines.build import build_index, _persist_stats
+    from candidategeneration_ray.pipelines.update import (
+        generation_dirs, serving_sources, update_index)
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    out1 = str(tmp_path_factory.mktemp("idx_p1"))
+    out3 = str(tmp_path_factory.mktemp("idx_p3"))
+    b1 = build_index(split_corpus["base"], out1)
+    build_index(split_corpus["base"], out3)
+    u1 = update_index(out1, split_corpus["delta"])
+    u3 = update_index(out3, split_corpus["delta"], partitions=3)
+    assert len(generation_dirs(out3)) == 3
+
+    r1 = IndexReader(list(serving_sources(out1)), u1["stats"])
+    r3 = IndexReader(list(serving_sources(out3)), u3["stats"])
+    assert set(map(int, r1.keys)) == set(map(int, r3.keys))
+    for k in map(int, r1.keys):
+        a, b = r1.get(k), r3.get(k)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+    # partial resume: roll stats back and delete the LAST generation —
+    # retry must rebuild only it (first two heal) and converge
+    base_inputs = sorted(
+        os.path.join(split_corpus["base"], f)
+        for f in os.listdir(split_corpus["base"]) if f.endswith(".parquet"))
+    _persist_stats(out3, b1["stats"], b1["offsets"], base_inputs)
+    shutil.rmtree(generation_dirs(out3)[-1])
+    u3b = update_index(out3, split_corpus["delta"], partitions=3)
+    healed = [p for p in u3b["metrics"]["phases"] if p.get("healed")]
+    built = [p for p in u3b["metrics"]["phases"]
+             if p.get("phase") == "generation" and not p.get("skipped")]
+    assert len(healed) == 2 and len(built) == 1
+    r3b = IndexReader(list(serving_sources(out3)), u3b["stats"])
+    for k in map(int, r1.keys):
+        np.testing.assert_array_equal(r1.get(k)[0], r3b.get(k)[0])
+
+
 def test_interleaved_delta_convs(split_corpus, tmp_path_factory, ray_session):
     """Delta conversations may sort lexically BETWEEN base conversations
     — doc ids still append after the base corpus (never renumber), the
