@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": ex.q_minhash_signatures,
         "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
         "dup_clusters": ex.q_dup_clusters,
+        "duplicate_spans": ex.q_duplicate_spans,
         "simhash": ex.q_simhash,
         "simhash_neardups": ex.q_simhash_neardups,
         "embedding_neardups": ex.q_embedding_neardups,

@@ -872,6 +872,59 @@ def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
     return documents_ds(sf_dir).map_batches(_rep, batch_format="pyarrow")
 
 
+def q_duplicate_spans(sf_dir: str, w: int = 20) -> ray.data.Dataset:
+    """Cross-document duplicate-span rates (the repeated-substring
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — memorized boilerplate shows up as long
+    token spans shared across documents): per doc, the number of
+    DISTINCT w-token spans it contains and how many of those appear in
+    at least one other document. Downstream filters threshold
+    n_dup_spans / n_spans.
+
+    Shape: distinct span hashes per doc (map_batches) → span-hash
+    bucket groupby computing per-span cross-doc df and per-doc partial
+    counts inside the bucket → groupby(doc).sum. Both shuffles move
+    compressed rows (distinct spans, then 2-int partials per
+    (doc, bucket))."""
+    from ray.data.aggregate import Sum
+
+    spans = documents_ds(sf_dir).map_batches(
+        lambda b: _shingle_rows(b, w), batch_format="pyarrow")
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        h = batch.column("shingle_h").to_numpy()
+        return batch.append_column(
+            "sbucket", pa.array((h.astype(np.uint64) % 64).astype(np.int32)))
+
+    def _df_partials(group: pa.Table) -> pa.Table:
+        h = group.column("shingle_h").to_numpy().astype(np.int64)
+        d = group.column("doc_id").to_numpy().astype(np.int64)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.concatenate(([0], np.nonzero(h[1:] != h[:-1])[0] + 1))
+        counts = np.diff(np.concatenate((starts, [h.size])))
+        # rows are distinct per doc, so group size IS the cross-doc df;
+        # a span's rows all share its bucket → dfs here are global
+        df = np.repeat(counts, counts)
+        docs, inv = np.unique(d, return_inverse=True)
+        tot = np.bincount(inv, minlength=docs.size)
+        dup = np.bincount(inv[df >= 2], minlength=docs.size)
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "dup_partial": pa.array(dup.astype(np.int64), pa.int64()),
+            "tot_partial": pa.array(tot.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        spans.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("sbucket").map_groups(_df_partials, batch_format="pyarrow")
+        .groupby("doc_id").aggregate(
+            Sum("tot_partial", alias_name="n_spans"),
+            Sum("dup_partial", alias_name="n_dup_spans"),
+        )
+    )
+
+
 def q_source_sample(sf_dir: str, k: int = 25) -> ray.data.Dataset:
     """Per-source deterministic bottom-k sample — the consistent-
     hashing sampling primitive training-data pipelines use for mixture

@@ -538,6 +538,30 @@ SELECT rank, vec_id FROM (
   FROM scored
 ) WHERE rank <= 10
 """,
+        "duplicate_spans": f"""
+WITH {KEPT_CTE},
+wn AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+sh AS (
+  SELECT k.doc_id, k.kpos,
+         string_agg(tok, ' ') OVER (PARTITION BY k.doc_id ORDER BY k.kpos
+                                    ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING) AS s
+  FROM kept k
+),
+spans AS (
+  SELECT DISTINCT sh.doc_id, sh.s
+  FROM sh JOIN wn ON wn.doc_id = sh.doc_id
+  WHERE sh.kpos + 19 <= wn.n OR (sh.kpos = 1 AND wn.n < 20)
+  UNION ALL
+  SELECT d.doc_id, '' AS s FROM documents d
+  WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM kept)
+),
+df AS (SELECT s, count(DISTINCT doc_id) AS df FROM spans GROUP BY s)
+SELECT CAST(sp.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (df.df >= 2) AS BIGINT) AS n_dup_spans
+FROM spans sp JOIN df USING (s)
+GROUP BY sp.doc_id
+""",
         "source_sample": """
 SELECT source, CAST(doc_id AS BIGINT) AS doc_id FROM (
   SELECT source, doc_id,

@@ -300,3 +300,36 @@ class TestSourceSample:
         pdf = q_source_sample(str(tmp_path)).to_pandas()
         counts = pdf.groupby("source").size().to_dict()
         assert counts == {"tiny": 3, "big": 25}
+
+
+class TestDuplicateSpans:
+    def test_known_fixture(self, ray_session, tmp_path):
+        """Exact-duplicate docs share all spans; short docs collapse to
+        one whole-doc span; a unique doc has zero dup spans."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import q_duplicate_spans
+
+        # pure-alpha tokens (the tokenizer drops letter+digit mixes)
+        base = " ".join(f"tok{chr(97 + i // 26)}{chr(97 + i % 26)}"
+                        for i in range(30))
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                base,                      # doc0 == doc1 → all spans dup
+                base,
+                "alpha beta gamma",        # short → one whole-doc span, unique
+                " ".join(f"uniq{chr(97 + i // 26)}{chr(97 + i % 26)}"
+                         for i in range(30)),  # long, unique
+            ], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        pdf = q_duplicate_spans(d, w=20).to_pandas().set_index("doc_id").sort_index()
+        # 30 tokens, w=20 → 11 spans per long doc
+        assert pdf.loc[0].tolist() == [11, 11]
+        assert pdf.loc[1].tolist() == [11, 11]
+        assert pdf.loc[2].tolist() == [1, 0]
+        assert pdf.loc[3].tolist() == [11, 0]
