@@ -148,6 +148,12 @@ def q_range_join_counts(sf_dir: str, left_type: str = "purchase",
     lb_us = np.int64(lookback_sec) * 1_000_000
 
     def _range(group: pa.Table) -> pa.Table:
+        """Merged-probe band count, NO per-user loop: every left event
+        contributes two probes (window end at ts, window start at
+        ts - lookback); probes sort BEFORE rights at equal ts, so a
+        probe's running right-count (cumsum, per-user baselined) is the
+        count of rights STRICTLY before it — window = end − start,
+        which makes the start inclusive and the end exclusive."""
         et = group.column("event_type").to_numpy(zero_copy_only=False)
         u = group.column("user_id").to_numpy().astype(np.int64)
         ts = group.column("ts").cast(pa.int64()).to_numpy()
@@ -156,29 +162,37 @@ def q_range_join_counts(sf_dir: str, left_type: str = "purchase",
         rm = et == right_type
         lu, lts, lid = u[lm], ts[lm], eid[lm]
         ru, rts = u[rm], ts[rm]
-        if lu.size == 0:
+        L, R = lu.size, ru.size
+        if L == 0:
             return pa.table({
                 "event_id": pa.array([], pa.int64()),
                 "n_prior": pa.array([], pa.int64()),
             })
-        lo_ = np.lexsort((lts, lu))
-        ro_ = np.lexsort((rts, ru))
-        lu, lts, lid = lu[lo_], lts[lo_], lid[lo_]
-        ru, rts = ru[ro_], rts[ro_]
-        n_prior = np.zeros(lu.size, dtype=np.int64)
-        ustarts = np.concatenate(([0], np.nonzero(lu[1:] != lu[:-1])[0] + 1))
-        uends = np.concatenate((ustarts[1:], [lu.size]))
-        for s, e in zip(ustarts, uends):
-            user = lu[s]
-            r_lo = np.searchsorted(ru, user, side="left")
-            r_hi = np.searchsorted(ru, user, side="right")
-            seg = rts[r_lo:r_hi]
-            hi = np.searchsorted(seg, lts[s:e], side="left")
-            lo2 = np.searchsorted(seg, lts[s:e] - lb_us, side="left")
-            n_prior[s:e] = hi - lo2
+        all_u = np.concatenate((ru, lu, lu))
+        all_ts = np.concatenate((rts, lts, lts - lb_us))
+        kind = np.concatenate((np.ones(R, np.int64),
+                               np.zeros(2 * L, np.int64)))  # probe=0 < right=1
+        pid = np.concatenate((np.full(R, -1, np.int64),
+                              np.arange(L), np.arange(L) + L))
+        order = np.lexsort((kind, all_ts, all_u))
+        su, sk, sp = all_u[order], kind[order], pid[order]
+        is_right = sk == 1
+        cnt_before = np.cumsum(is_right) - is_right  # rights strictly before row
+        # per-user baseline (rights belong to earlier users otherwise)
+        new_user = np.concatenate(([True], su[1:] != su[:-1]))
+        ustarts = np.nonzero(new_user)[0]
+        seg_len = np.diff(np.concatenate((ustarts, [su.size])))
+        baseline = np.repeat(cnt_before[ustarts], seg_len)
+        cnt_user = cnt_before - baseline
+        cnt_end = np.zeros(L, np.int64)
+        cnt_start = np.zeros(L, np.int64)
+        m_end = (sp >= 0) & (sp < L)
+        m_start = sp >= L
+        cnt_end[sp[m_end]] = cnt_user[m_end]
+        cnt_start[sp[m_start] - L] = cnt_user[m_start]
         return pa.table({
             "event_id": pa.array(lid, pa.int64()),
-            "n_prior": pa.array(n_prior, pa.int64()),
+            "n_prior": pa.array(cnt_end - cnt_start, pa.int64()),
         })
 
     ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])
@@ -202,50 +216,43 @@ def q_asof_join(sf_dir: str, left_type: str = "purchase",
     as-of, vectorized per user segment."""
 
     def _asof(group: pa.Table) -> pa.Table:
+        """Merged-scan as-of, NO per-user loop: lefts and rights sort
+        together by (user, ts, side) with lefts before rights at equal
+        ts (so an equal-ts right is not yet 'seen'); the most recent
+        prior right is then one np.maximum.accumulate over right
+        positions, validated against user boundaries."""
         et = group.column("event_type").to_numpy(zero_copy_only=False)
         u = group.column("user_id").to_numpy().astype(np.int64)
         ts = group.column("ts").cast(pa.int64()).to_numpy()
         eid = group.column("event_id").to_numpy().astype(np.int64)
         lm = et == left_type
         rm = et == right_type
-        lu, lts, lid = u[lm], ts[lm], eid[lm]
-        ru, rts, rid = u[rm], ts[rm], eid[rm]
-        if lu.size == 0 or ru.size == 0:
-            return pa.table({
-                "event_id": pa.array([], pa.int64()),
-                "click_event_id": pa.array([], pa.int64()),
-                "gap_us": pa.array([], pa.int64()),
-            })
-        lo_ = np.lexsort((lid, lts, lu))
-        ro_ = np.lexsort((rid, rts, ru))
-        lu, lts, lid = lu[lo_], lts[lo_], lid[lo_]
-        ru, rts, rid = ru[ro_], rts[ro_], rid[ro_]
-        out_l, out_r, out_gap = [], [], []
-        # per-user segments on both sides (users are bucket-local)
-        ustarts_l = np.concatenate(([0], np.nonzero(lu[1:] != lu[:-1])[0] + 1))
-        uends_l = np.concatenate((ustarts_l[1:], [lu.size]))
-        for s, e in zip(ustarts_l, uends_l):
-            user = lu[s]
-            r_lo = np.searchsorted(ru, user, side="left")
-            r_hi = np.searchsorted(ru, user, side="right")
-            if r_lo == r_hi:
-                continue
-            seg_ts, seg_id = rts[r_lo:r_hi], rid[r_lo:r_hi]
-            pos = np.searchsorted(seg_ts, lts[s:e], side="left") - 1
-            ok = pos >= 0
-            out_l.append(lid[s:e][ok])
-            out_r.append(seg_id[pos[ok]])
-            out_gap.append(lts[s:e][ok] - seg_ts[pos[ok]])
-        if not out_l:
-            return pa.table({
-                "event_id": pa.array([], pa.int64()),
-                "click_event_id": pa.array([], pa.int64()),
-                "gap_us": pa.array([], pa.int64()),
-            })
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "click_event_id": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        })
+        if not lm.any() or not rm.any():
+            return empty
+        side = np.where(rm, 1, 0)[lm | rm]          # left=0 < right=1
+        mu, mts, mid = u[lm | rm], ts[lm | rm], eid[lm | rm]
+        # rights at equal (ts, user): the LARGEST event id must win the
+        # as-of tie, so sort rights by eid and lefts before all rights
+        order = np.lexsort((mid, side, mts, mu))
+        mu, mts, mid, side = mu[order], mts[order], mid[order], side[order]
+        is_r = side == 1
+        # last right index seen so far (−1 = none)
+        marker = np.where(is_r, np.arange(mu.size), -1)
+        last_r = np.maximum.accumulate(marker)
+        lpos = np.nonzero(~is_r)[0]
+        src = last_r[lpos]
+        ok = src >= 0
+        ok[ok] &= mu[src[ok]] == mu[lpos[ok]]       # right belongs to same user
+        lsel, rsel = lpos[ok], src[ok]
         return pa.table({
-            "event_id": pa.array(np.concatenate(out_l), pa.int64()),
-            "click_event_id": pa.array(np.concatenate(out_r), pa.int64()),
-            "gap_us": pa.array(np.concatenate(out_gap), pa.int64()),
+            "event_id": pa.array(mid[lsel], pa.int64()),
+            "click_event_id": pa.array(mid[rsel], pa.int64()),
+            "gap_us": pa.array(mts[lsel] - mts[rsel], pa.int64()),
         })
 
     ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])

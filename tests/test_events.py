@@ -109,3 +109,44 @@ def test_range_join_counts_semantics(ray_session, tmp_path):
     pdf = q_range_join_counts(d).to_pandas().sort_values("event_id") \
         .reset_index(drop=True)
     assert pdf.values.tolist() == [[3, 2], [4, 0]]
+
+
+def test_asof_and_range_match_bruteforce_random(ray_session, tmp_path):
+    """Vectorized merged-scan kernels vs an O(n²) python reference on
+    random data with ts collisions."""
+    from candidategeneration_ray.pipelines.events import (
+        q_asof_join, q_range_join_counts)
+
+    rng = np.random.default_rng(11)
+    n = 1200
+    rows = [
+        (i, int(rng.integers(0, 5000)), int(rng.integers(0, 12)),
+         ["click", "purchase", "view"][int(rng.integers(0, 3))], 0.0)
+        for i in range(n)
+    ]
+    d = _write_events(tmp_path, rows)
+
+    lefts = [(e, s, u) for e, s, u, t, _ in rows if t == "purchase"]
+    rights = [(e, s, u) for e, s, u, t, _ in rows if t == "click"]
+
+    # brute-force as-of: most recent strictly-earlier click, ties by max id
+    want_asof = {}
+    for e, s, u in lefts:
+        cands = [(cs, ce) for ce, cs, cu in rights if cu == u and cs < s]
+        if cands:
+            cs, ce = max(cands)
+            want_asof[e] = (ce, (s - cs) * 1_000_000)
+    got = q_asof_join(d).to_pandas()
+    got_asof = {r.event_id: (r.click_event_id, r.gap_us)
+                for r in got.itertuples()}
+    assert got_asof == want_asof
+
+    # brute-force range count: clicks in [s-3600, s)
+    want_rng = {
+        e: sum(1 for ce, cs, cu in rights
+               if cu == u and s - 3600 <= cs < s)
+        for e, s, u in lefts
+    }
+    got2 = q_range_join_counts(d).to_pandas()
+    got_rng = dict(zip(got2["event_id"], got2["n_prior"]))
+    assert got_rng == want_rng
