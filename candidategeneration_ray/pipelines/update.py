@@ -127,14 +127,41 @@ def _gen_root(out_dir: str) -> str:
 
 
 def generation_dirs(out_dir: str) -> list[str]:
-    """Completed delta generations, ascending doc-id order."""
+    """Completed delta generations, ascending doc-id order. Skips
+    generations already folded into final/ (their relpath appears in
+    the final manifest's lineage) — serving them again would duplicate
+    doc ranges; this happens only if a compaction crashed between the
+    final swap and the generation cleanup, and the next compact_index
+    removes them."""
     root = _gen_root(out_dir)
     if not os.path.isdir(root):
         return []
+    folded = set((ckpt.read_manifest(_final_dir(out_dir)) or {})
+                 .get("lineage") or [])
     return [
         os.path.join(root, d) for d in sorted(os.listdir(root))
         if ckpt.read_manifest(os.path.join(root, d)) is not None
+        and os.path.join("generations", d) not in folded
     ]
+
+
+def _next_gen_dir(out_dir: str) -> str:
+    """Next UNIQUE generation dir. Numbers never reuse a name that the
+    final manifest already folded (a reused name would be skipped by
+    generation_dirs as already-compacted)."""
+    nums = [0]
+    folded = (ckpt.read_manifest(_final_dir(out_dir)) or {}).get("lineage") or []
+    root = _gen_root(out_dir)
+    names = [os.path.basename(x) for x in folded]
+    if os.path.isdir(root):
+        names += os.listdir(root)
+    for name in names:
+        if name.startswith("gen-"):
+            try:
+                nums.append(int(name.split("-", 1)[1]))
+            except ValueError:
+                pass
+    return os.path.join(root, f"gen-{max(nums) + 1:04d}")
 
 
 def serving_sources(out_dir: str) -> list[str]:
@@ -257,7 +284,7 @@ def update_index(
             metrics["phases"].append({"phase": "generation", "skipped": True,
                                       "healed": True, "range": conv_range})
             continue
-        gen_dir = os.path.join(_gen_root(out_dir), f"gen-{len(gens) + 1:04d}")
+        gen_dir = _next_gen_dir(out_dir)
         ckpt.clear_stale(gen_dir)
         tg = time.time()
         if conv_range is None:
@@ -309,6 +336,25 @@ def compact_index(out_dir: str, cfg: EngineConfig | None = None) -> str:
     swapped in, then generation dirs are removed."""
     cfg = cfg or EngineConfig()
     fd = _final_dir(out_dir)
+    new_fd_pending = fd + ".compacting"
+    old_pending = fd + ".old"
+    # crash healing for an interrupted swap: a completed .compacting
+    # (has a manifest) replaces a missing final; otherwise the old
+    # final rolls back. Leftover already-folded generations (crash
+    # between swap and cleanup) are removed here.
+    if not os.path.isdir(fd):
+        if os.path.isdir(new_fd_pending) and ckpt.read_manifest(new_fd_pending):
+            os.rename(new_fd_pending, fd)
+        elif os.path.isdir(old_pending):
+            os.rename(old_pending, fd)
+    if os.path.isdir(old_pending):
+        shutil.rmtree(old_pending)
+    folded = set((ckpt.read_manifest(fd) or {}).get("lineage") or [])
+    root = _gen_root(out_dir)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if os.path.join("generations", d) in folded:
+                shutil.rmtree(os.path.join(root, d))
     gens = generation_dirs(out_dir)
     if not gens:
         return fd

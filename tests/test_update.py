@@ -407,6 +407,66 @@ def test_interleaved_delta_convs(split_corpus, tmp_path_factory, ray_session):
         assert reader.list_len(tid) == full_r.list_len(full_r.term_to_id[term]), term
 
 
+def test_compaction_crash_windows_heal(split_corpus, tmp_path_factory,
+                                       ray_session):
+    """Every compaction crash window recovers: (a) crash between the
+    two renames (final missing, .compacting complete) → swap completes;
+    (b) crash before generation cleanup (final already contains the
+    generations) → leftover gens are skipped by serving and removed by
+    the next compact; (c) new generation names never reuse folded
+    names."""
+    import shutil
+
+    from candidategeneration_ray.pipelines.build import _final_dir, build_index
+    from candidategeneration_ray.pipelines.update import (
+        compact_index, generation_dirs, serving_sources, update_index)
+    from candidategeneration_ray.state import checkpoint as ckpt
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    out = str(tmp_path_factory.mktemp("idx_crash")) + "/i"
+    build_index(split_corpus["base"], out)
+    upd = update_index(out, split_corpus["delta"])
+    fd = _final_dir(out)
+    gen = generation_dirs(out)[0]
+    gen_backup = str(tmp_path_factory.mktemp("genbak")) + "/g"
+    shutil.copytree(gen, gen_backup)
+
+    compact_index(out)
+    want = IndexReader(fd, upd["stats"])
+    want_lists = {int(k): want.get(int(k))[0] for k in want.keys}
+
+    # (b) crash before cleanup: restore the folded generation
+    shutil.copytree(gen_backup, gen)
+    assert generation_dirs(out) == [], "folded generation must be skipped"
+    assert serving_sources(out) == [fd]
+    compact_index(out)  # next compact removes it
+    assert not os.path.isdir(gen)
+
+    # (a) crash between renames: final missing, .compacting complete
+    os.rename(fd, fd + ".compacting.tmp")
+    shutil.move(fd + ".compacting.tmp", fd + ".compacting")
+    compact_index(out)
+    healed = IndexReader(fd, upd["stats"])
+    for k, docs in want_lists.items():
+        np.testing.assert_array_equal(healed.get(k)[0], docs)
+
+    # (c) a new delta after compaction gets a FRESH generation name
+    from candidategeneration_ray.sources.transcripts import generate_transcripts
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = generate_transcripts(5, seed=77)
+    conv = pc.replace_substring(t.column("conv_id"), "conv", "zz")
+    t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id", conv)
+    d2 = tmp_path_factory.mktemp("delta2")
+    pq.write_table(t, str(d2 / "d.parquet"))
+    update_index(out, str(d2))
+    names = [os.path.basename(g) for g in generation_dirs(out)]
+    folded = (ckpt.read_manifest(fd) or {}).get("lineage") or []
+    assert names and all(os.path.join("generations", n) not in folded
+                         for n in names)
+
+
 def test_crash_between_generation_and_stats_heals(split_corpus,
                                                   tmp_path_factory, ray_session):
     """A run that died after writing the generation but before
