@@ -51,8 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
         "hit_index_top5": dq.q_hit_index_top5,          # HIT index family build
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
-        "quality_model": dq.q_quality_model,            # Q2/A6 quality model (rows-only)
-        "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection (rows-only)
+        "quality_model": dq.q_quality_model,            # Q2/A6 quality model
+        "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
         # --- training-data extras (dedup / similarity / text analysis) ---
         "dedup_exact": ex.q_dedup_exact,
         "jaccard_pairs": ex.q_jaccard_pairs,
@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from candidategeneration_ray.pipelines.sql_oracles import core_oracles, extras_oracles
+    from candidategeneration_ray.pipelines.sql_oracles import (
+        core_oracles, extras_oracles, predictive_oracles,
+    )
 
-    return {**core_oracles(), **extras_oracles()}
+    return {**core_oracles(), **predictive_oracles(), **extras_oracles()}

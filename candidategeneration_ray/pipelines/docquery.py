@@ -747,8 +747,10 @@ def _predictive_setup(sf_dir: str, gt_path: str | None = None):
 
 def q_quality_model(sf_dir: str) -> pa.Table:
     """Quality-model matrix (Q2/A6): P(GT doc within depth bucket |
-    length bucket) per key family. Iterative/model output — rows-only
-    check; invariants tested in pytest."""
+    length bucket) per key family. Value-checked against a full SQL
+    re-derivation (sql_oracles.predictive_oracles: geometric buckets as
+    recursive CTEs + window-function impact-rank scans); probabilities
+    are integer-ratio doubles so the float hash matches bit-exactly."""
     reader, model = _predictive_setup(sf_dir)
     fams, xs, ys, ps = [], [], [], []
     for fam, name in ((False, "unigram"), (True, "pair")):
@@ -770,8 +772,10 @@ def q_quality_model(sf_dir: str) -> pa.Table:
 def q_predictive_candidates(sf_dir: str) -> pa.Table:
     """Model-guided candidate generation (Q5/Q6): per fixed query the
     top-10 candidates from greedy depth selection over its keys, scored
-    exactly. Approximate pipeline — rows-only check; recall vs exact
-    top-k asserted in pytest."""
+    exactly. Deterministic computation — value-checked against a SQL
+    oracle that simulates the budgeted greedy heap one pop per
+    iteration (recursive CTE); recall vs exact top-k also asserted in
+    pytest."""
     from candidategeneration_ray.functions.tokenize import tokenize_text
     from candidategeneration_ray.state.selection import predictive_candidates
 

@@ -24,7 +24,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 # kept tokens with their rank among KEPT tokens (kpos, 1-based) — the
 # token sequence the reference indexes after HtmlpageCleaner filtering.
 KEPT_CTE = f"""
-kept AS (
+kept AS MATERIALIZED (
   SELECT doc_id, tok,
          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kpos
   FROM (
@@ -48,7 +48,7 @@ gs AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
               (SELECT CAST(count(*) AS BIGINT) FROM kept) AS total_tokens),
 gs2 AS (SELECT CAST(n_docs AS DOUBLE) AS nd,
                CAST(total_tokens // n_docs AS DOUBLE) AS avgdl FROM gs),
-scores AS (
+scores AS MATERIALIZED (
   SELECT tf.doc_id, tf.tok,
          CAST(trunc(
            ln((nd - df + 0.5) / (df + 0.5))
@@ -165,7 +165,7 @@ LIMIT 50
         "query_keys": f"""
 WITH {KEPT_CTE},
 {QTOK_CTE},
-ids AS (
+ids AS MATERIALIZED (
   SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
   FROM (SELECT DISTINCT tok FROM kept)
 ),
@@ -197,7 +197,7 @@ pairs AS (
   FROM kept a JOIN kept b
     ON a.doc_id = b.doc_id AND b.kpos > a.kpos AND b.kpos <= a.kpos + 5
 ),
-pair_scores AS (
+pair_scores AS MATERIALIZED (
   SELECT p.doc_id, p.t1, p.t2, s1.score + s2.score AS score
   FROM pairs p
   JOIN scores s1 ON s1.doc_id = p.doc_id AND s1.tok = p.t1
@@ -234,7 +234,7 @@ GROUP BY tok
 WITH {KEPT_CTE},
 {SCORES_CTE},
 {QTOK_CTE},
-qscores AS (
+qscores AS MATERIALIZED (
   SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
   FROM qtok q JOIN scores s USING (tok)
   GROUP BY q.query_id, s.doc_id
@@ -330,6 +330,251 @@ prior AS (
 SELECT s.doc_id, p.hit_rank
 FROM scores s JOIN prior p USING (doc_id)
 WHERE s.tok = 'vector'
+""",
+    }
+
+
+# --- predictive layer (quality model + greedy selection) ----------------
+#
+# Independent SQL re-derivation of state/selection.py:
+#   geometric buckets (Selection.java:33-55 len 4/+10%, :46-55 rank
+#   11/+40%) as recursive CTEs with the same int-truncating recurrence;
+#   quality-model fill (NewQualityModel.java:148-195) as window-function
+#   impact-rank scans against the exact BM25 top-10 ground truth;
+#   budgeted greedy depth selection (algo_toplayer.h:272-374, 5x pair
+#   weight) as a recursive CTE that simulates the heap one pop per
+#   iteration — priorities are integer-ratio doubles on both sides, so
+#   float comparisons match bit-exactly.
+
+_MODEL_CTE = f"""
+ids AS MATERIALIZED (
+  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT tok FROM kept)
+),
+qterm AS MATERIALIZED (SELECT q.query_id, q.tok, i.tid FROM qtok q JOIN ids i USING (tok)),
+qsco AS (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok)
+  GROUP BY q.query_id, s.doc_id
+),
+qgt AS MATERIALIZED (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM qsco
+  ) WHERE rn <= 10
+),
+gtn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS gt_n FROM qgt GROUP BY query_id),
+ulen AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM scores GROUP BY tok),
+uimp AS MATERIALIZED (
+  SELECT tok, doc_id,
+         CAST(row_number() OVER (PARTITION BY tok
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+  FROM scores WHERE tok IN (SELECT tok FROM qterm)
+),
+allpairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id, least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+  FROM kept a JOIN kept b
+    ON a.doc_id = b.doc_id AND b.kpos > a.kpos AND b.kpos <= a.kpos + 5
+),
+plen AS MATERIALIZED (SELECT t1, t2, CAST(count(*) AS BIGINT) AS n FROM allpairs GROUP BY t1, t2),
+qpair AS MATERIALIZED (
+  SELECT a.query_id, a.tok AS t1, b.tok AS t2, a.tid AS tid1, b.tid AS tid2
+  FROM qterm a JOIN qterm b ON a.query_id = b.query_id AND a.tok < b.tok
+),
+ppost AS (
+  SELECT p.t1, p.t2, p.doc_id, s1.score + s2.score AS score
+  FROM allpairs p
+  JOIN scores s1 ON s1.doc_id = p.doc_id AND s1.tok = p.t1
+  JOIN scores s2 ON s2.doc_id = p.doc_id AND s2.tok = p.t2
+  WHERE EXISTS (SELECT 1 FROM qpair qp WHERE qp.t1 = p.t1 AND qp.t2 = p.t2)
+),
+pimp AS MATERIALIZED (
+  SELECT t1, t2, doc_id,
+         CAST(row_number() OVER (PARTITION BY t1, t2
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+  FROM ppost
+),
+maxl AS (
+  SELECT greatest(coalesce((SELECT max(n) FROM ulen), 0),
+                  coalesce((SELECT max(n) FROM plen), 0)) AS m
+),
+lb0(v) AS (
+  SELECT CAST(4 AS BIGINT) WHERE 4 < (SELECT greatest(m, 5) FROM maxl)
+  UNION ALL
+  SELECT v + CAST(trunc(v * 1.1) AS BIGINT) FROM lb0
+  WHERE v + CAST(trunc(v * 1.1) AS BIGINT) < (SELECT greatest(m, 5) FROM maxl)
+),
+lb AS MATERIALIZED (SELECT v FROM lb0 UNION ALL SELECT greatest(m, 5) AS v FROM maxl),
+rb0(v) AS (
+  SELECT CAST(11 AS BIGINT) WHERE 11 < (SELECT greatest(m, 12) FROM maxl)
+  UNION ALL
+  SELECT v + CAST(trunc(v * 1.4) AS BIGINT) FROM rb0
+  WHERE v + CAST(trunc(v * 1.4) AS BIGINT) < (SELECT greatest(m, 12) FROM maxl)
+),
+rb AS MATERIALIZED (SELECT v FROM rb0 UNION ALL SELECT greatest(m, 12) AS v FROM maxl),
+u_opp AS (
+  SELECT 0 AS family, (SELECT count(*) FROM lb WHERE v < ul.n) AS x, g.gt_n AS w
+  FROM qterm q JOIN ulen ul ON ul.tok = q.tok
+  JOIN gtn g ON g.query_id = q.query_id
+),
+u_hit AS (
+  SELECT 0 AS family,
+         (SELECT count(*) FROM lb WHERE v < ul.n) AS x,
+         (SELECT count(*) FROM rb WHERE v < ui.rn) AS y
+  FROM qterm q
+  JOIN ulen ul ON ul.tok = q.tok
+  JOIN uimp ui ON ui.tok = q.tok
+  JOIN qgt g ON g.query_id = q.query_id AND g.doc_id = ui.doc_id
+),
+p_opp AS (
+  SELECT 1 AS family, (SELECT count(*) FROM lb WHERE v < pl.n) AS x, g.gt_n AS w
+  FROM qpair qp JOIN plen pl ON pl.t1 = qp.t1 AND pl.t2 = qp.t2
+  JOIN gtn g ON g.query_id = qp.query_id
+),
+p_hit AS (
+  SELECT 1 AS family,
+         (SELECT count(*) FROM lb WHERE v < pl.n) AS x,
+         (SELECT count(*) FROM rb WHERE v < pi.rn) AS y
+  FROM qpair qp
+  JOIN plen pl ON pl.t1 = qp.t1 AND pl.t2 = qp.t2
+  JOIN pimp pi ON pi.t1 = qp.t1 AND pi.t2 = qp.t2
+  JOIN qgt g ON g.query_id = qp.query_id AND g.doc_id = pi.doc_id
+),
+hitagg AS (
+  SELECT family, x, y, CAST(count(*) AS BIGINT) AS hits
+  FROM (SELECT * FROM u_hit UNION ALL SELECT * FROM p_hit) GROUP BY family, x, y
+),
+oppagg AS (
+  SELECT family, x, CAST(sum(w) AS BIGINT) AS opps
+  FROM (SELECT * FROM u_opp UNION ALL SELECT * FROM p_opp) GROUP BY family, x
+),
+lbx AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS x, v FROM lb),
+rbx AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS y, v FROM rb),
+grid AS (
+  SELECT f.family, lbx.x, rbx.y
+  FROM (SELECT 0 AS family UNION ALL SELECT 1) f
+  CROSS JOIN lbx CROSS JOIN rbx
+),
+model AS MATERIALIZED (
+  SELECT g.family, g.x, g.y,
+         least(greatest(
+           CAST(sum(coalesce(h.hits, 0)) OVER
+                  (PARTITION BY g.family, g.x ORDER BY g.y
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(greatest(coalesce(o.opps, 0), 1) AS DOUBLE), 0.0), 1.0) AS p
+  FROM grid g
+  LEFT JOIN hitagg h ON h.family = g.family AND h.x = g.x AND h.y = g.y
+  LEFT JOIN oppagg o ON o.family = g.family AND o.x = g.x
+)
+"""
+
+
+def predictive_oracles() -> dict[str, str]:
+    return {
+        "quality_model": f"""
+WITH RECURSIVE {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+{_MODEL_CTE}
+SELECT CASE WHEN family = 0 THEN 'unigram' ELSE 'pair' END AS family,
+       x AS len_bucket, y AS rank_bucket, p AS p_found
+FROM model
+""",
+        "predictive_candidates": f"""
+WITH RECURSIVE {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+{_MODEL_CTE},
+klists AS (
+  SELECT k.query_id, k.key, k.family, k.n,
+         (SELECT count(*) FROM lb WHERE v < k.n) AS x
+  FROM (
+    SELECT q.query_id, q.tid AS key, 0 AS family, ul.n
+    FROM qterm q JOIN ulen ul ON ul.tok = q.tok
+    UNION ALL
+    SELECT qp.query_id, qp.tid1 * 4294967296 + qp.tid2 AS key, 1 AS family, pl.n
+    FROM qpair qp JOIN plen pl ON pl.t1 = qp.t1 AND pl.t2 = qp.t2
+  ) k
+),
+chunks AS MATERIALIZED (
+  SELECT k.query_id, k.key, r.y,
+         least(r.v, k.n) AS depth,
+         least(r.v, k.n) - coalesce(rp.v, 0) AS cost,
+         (CASE WHEN k.family = 1 THEN 5.0 ELSE 1.0 END
+          * (m.p - coalesce(mp.p, 0.0)))
+           / CAST(least(r.v, k.n) - coalesce(rp.v, 0) AS DOUBLE) AS priority
+  FROM klists k
+  CROSS JOIN rbx r
+  LEFT JOIN rbx rp ON rp.y = r.y - 1
+  JOIN model m ON m.family = k.family AND m.y = r.y AND m.x = k.x
+  LEFT JOIN model mp ON mp.family = k.family AND mp.y = r.y - 1 AND mp.x = k.x
+  WHERE r.y = 0 OR rp.v < k.n
+),
+greedy AS (
+  SELECT query_id, 0 AS it, CAST(0 AS BIGINT) AS spent,
+         CAST([] AS BIGINT[]) AS selkeys,
+         CAST([] AS BIGINT[]) AS seldepths,
+         CAST([] AS BIGINT[]) AS dead
+  FROM (SELECT DISTINCT query_id FROM chunks)
+  UNION ALL
+  SELECT g.query_id, g.it + 1,
+         CASE WHEN g.spent + p.cost <= 3000 THEN g.spent + p.cost ELSE g.spent END,
+         CASE WHEN g.spent + p.cost <= 3000 THEN list_append(g.selkeys, p.key)
+              ELSE g.selkeys END,
+         CASE WHEN g.spent + p.cost <= 3000 THEN list_append(g.seldepths, p.depth)
+              ELSE g.seldepths END,
+         CASE WHEN g.spent + p.cost <= 3000 THEN g.dead
+              ELSE list_append(g.dead, p.key) END
+  FROM greedy g, LATERAL (
+    SELECT c.key, c.depth, c.cost
+    FROM chunks c
+    WHERE c.query_id = g.query_id
+      AND NOT list_contains(g.dead, c.key)
+      AND c.y = len(list_filter(g.selkeys, k -> k = c.key))
+    ORDER BY c.priority DESC, c.key ASC
+    LIMIT 1
+  ) p
+  WHERE g.spent < 3000
+),
+gfin AS (
+  SELECT query_id, selkeys, seldepths FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY it DESC) AS rr
+    FROM greedy
+  ) WHERE rr = 1
+),
+seldepth AS (
+  SELECT query_id, key, max(depth) AS depth FROM (
+    SELECT query_id, unnest(selkeys) AS key, unnest(seldepths) AS depth FROM gfin
+  ) GROUP BY query_id, key
+),
+impacts AS (
+  SELECT i.tid AS key, u.doc_id, u.rn FROM uimp u JOIN ids i USING (tok)
+  UNION ALL
+  SELECT ia.tid * 4294967296 + ib.tid AS key, p.doc_id, p.rn
+  FROM pimp p JOIN ids ia ON ia.tok = p.t1 JOIN ids ib ON ib.tok = p.t2
+),
+pool AS (
+  SELECT DISTINCT s.query_id, im.doc_id
+  FROM seldepth s JOIN impacts im ON im.key = s.key AND im.rn <= s.depth
+),
+scored AS (
+  SELECT p.query_id, p.doc_id,
+         CAST(coalesce(sum(qs.score), 0) AS BIGINT) AS score
+  FROM pool p
+  LEFT JOIN (SELECT q.query_id, s.doc_id, s.score
+             FROM qterm q JOIN scores s ON s.tok = q.tok) qs
+    ON qs.query_id = p.query_id AND qs.doc_id = p.doc_id
+  GROUP BY p.query_id, p.doc_id
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score
+FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 10
 """,
     }
 
