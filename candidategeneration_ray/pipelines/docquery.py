@@ -585,29 +585,27 @@ def q_hit_postings(sf_dir: str, term: str = "vector") -> pa.Table:
     """HIT-index analog (InvertedIndex.java:375-378 + J6 HITS join):
     postings of one term ordered by a per-doc static prior. The
     reference's prior is the HITS rank array; the documents-table
-    analog is rank by (n_chars desc, doc_id asc) — any broadcast
-    doc-prior column works identically. Output (doc_id, hit_rank)."""
-    import pyarrow.parquet as pq
-
+    analog is rank by (n_chars desc, doc_id asc). Served straight from
+    the PERSISTED HIT family (whose score column IS the prior rank,
+    built by the distributed rank pipeline) — no driver-side corpus
+    read. Output (doc_id, hit_rank)."""
+    from candidategeneration_ray.stages.listbuild import bucket_of
     from candidategeneration_ray.state.queryengine import IndexReader
 
-    prior = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "n_chars"])
-    pd_ids = prior.column("doc_id").to_numpy()
-    n_chars = prior.column("n_chars").to_numpy()
-    order = np.lexsort((pd_ids, -n_chars))
-    rank_by_doc = np.empty(pd_ids.max() + 1, dtype=np.int64)
-    rank_by_doc[pd_ids[order]] = np.arange(1, order.size + 1)
-
-    built = build_documents_index(sf_dir)
-    reader = IndexReader(built["final_dir"], built["stats"])
-    tid = reader.term_to_id.get(term)
-    got = reader.get(tid) if tid else None
+    fam = build_hit_family(sf_dir)
+    cfg = EngineConfig(emit_pairs=False)
+    t2i = {t: i + 1 for i, t in enumerate(fam["stats"]["terms"])}
+    tid = t2i.get(term)
+    if not tid:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "hit_rank": pa.array([], pa.int64())})
+    buckets = np.unique(bucket_of(np.array([tid], np.int64), cfg.num_buckets)).tolist()
+    reader = IndexReader(fam["final_dir"], fam["stats"], cfg, buckets=buckets)
+    got = reader.get(tid)
     if got is None:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "hit_rank": pa.array([], pa.int64())})
-    docs = got[0]
-    ranks = rank_by_doc[docs]
+    docs, ranks = got[0], got[1].astype(np.int64)
     order = np.lexsort((docs, ranks))
     return pa.table({
         "doc_id": pa.array(docs[order], pa.int64()),
@@ -620,10 +618,15 @@ def build_hit_family(sf_dir: str) -> dict:
     [term, hitRank, docID] postings, InvertedIndex.java:352-389):
     emitter runs in prior mode (score := per-doc static rank, rank 1 =
     best = longest doc here), lists build through the same bucketed
-    shuffle, segments land in their own cached family dir — never
-    materialized on the driver."""
-    import pyarrow.parquet as pq
+    shuffle, segments land in their own cached family dir.
 
+    The prior rank itself is computed DISTRIBUTED
+    (stages.docids.rank_prior_scalable: sort by (n_chars desc, doc
+    asc) + per-block base offsets, range-blocked lookup blocks in the
+    object store) — the corpus never materializes on the driver; the
+    reference reads its HITS array from a precomputed file
+    (utilsClass.java:251-263), this IS that precomputation."""
+    from candidategeneration_ray.stages.docids import rank_prior_scalable
     from candidategeneration_ray.state import checkpoint as ckpt
 
     cfg = EngineConfig(emit_pairs=False)
@@ -635,19 +638,15 @@ def build_hit_family(sf_dir: str) -> dict:
         return {"final_dir": final, "stats": stats}
     ckpt.clear_stale(final)
 
-    prior_t = pq.read_table(src, columns=["doc_id", "n_chars"])
-    p_ids = prior_t.column("doc_id").to_numpy().astype(np.int64)
-    n_chars = prior_t.column("n_chars").to_numpy()
-    rank_of = np.empty(p_ids.size, dtype=np.int32)
-    rank_of[np.lexsort((p_ids, -n_chars))] = np.arange(1, p_ids.size + 1, dtype=np.int32)
-    order = np.argsort(p_ids)
-    prior = {"doc_ids": p_ids[order], "rank": rank_of[order]}
+    docs_meta = ray.data.read_parquet(src, columns=["doc_id", "n_chars"])
+    prior, keepalive = rank_prior_scalable(docs_meta)
 
     postings = emit_postings(doc_tokens(sf_dir), ray.put(stats), cfg,
                              prior_ref=ray.put(prior))
     lists = build_posting_lists(postings, cfg)
     os.makedirs(final, exist_ok=True)
     lists.write_parquet(final)
+    del keepalive  # prior blocks live until the pipeline above executed
     ckpt.write_manifest(final, {"phase": "hit-family", "inputs": [src],
                                 "cfg": cfg.index_tag()})
     return {"final_dir": final, "stats": stats}

@@ -173,6 +173,78 @@ def attach_doc_ids_scalable(ds: ray.data.Dataset, offsets: dict) -> ray.data.Dat
     return ds.map_batches(_assign, batch_format="pyarrow")
 
 
+def rank_prior_scalable(ds: ray.data.Dataset, by: str = "n_chars",
+                        num_blocks: int = 64) -> tuple[dict, object]:
+    """Distributed static-prior rank (the HIT-family prior, J6): rank
+    every doc by (`by` desc, doc_id asc), 1-based, without the corpus
+    ever touching the driver. The reference loads HITS[docID] from a
+    precomputed file (utilsClass.java:251-263) — this is that
+    precomputation as a Ray pipeline:
+
+      1. distributed sort by (`by` desc, doc_id asc); per-block row
+         counts (tiny remote calls) prefix-sum into block base ranks on
+         the driver — num_blocks scalars, O(KB) at any corpus size;
+      2. per-block rank emission (base + arange) as object-store Arrow
+         blocks, re-sorted by doc_id into `num_blocks` range blocks;
+      3. the returned prior dict holds only block refs + per-block
+         first doc_id; PostingEmitter's blocked-prior mode pulls the
+         1-2 blocks each batch touches (same range-partitioned
+         broadcast-join shape as attach_doc_ids_scalable).
+
+    Ranks are int32 to match the index score column; a corpus beyond
+    2^31 docs needs the score format widened first.
+
+    Returns (prior_dict, keepalive) — hold `keepalive` until every
+    pipeline consuming the prior has executed (it owns the
+    materialized object-store blocks).
+    """
+    sorted_ds = (
+        ds.select_columns([by, "doc_id"])
+        .sort([by, "doc_id"], descending=[True, False])
+        .materialize()
+    )
+    refs = list(sorted_ds.get_internal_block_refs())
+
+    @ray.remote
+    def _count(block) -> int:
+        t = block if hasattr(block, "column") else block.to_arrow()
+        return t.num_rows
+
+    counts = np.array(ray.get([_count.remote(r) for r in refs]), dtype=np.int64)
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    @ray.remote
+    def _rank(block, base: int) -> pa.Table:
+        t = block if hasattr(block, "column") else block.to_arrow()
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "rank": pa.array(
+                base + np.arange(1, t.num_rows + 1, dtype=np.int64), pa.int32()),
+        })
+
+    rank_refs = [_rank.remote(r, int(b)) for r, b, c in zip(refs, bases, counts) if c]
+    ranked = (
+        ray.data.from_arrow_refs(rank_refs)
+        .sort("doc_id")
+        .repartition(num_blocks)
+        .materialize()
+    )
+    block_refs = list(ranked.get_internal_block_refs())
+
+    @ray.remote
+    def _first(block):
+        t = block if hasattr(block, "column") else block.to_arrow()
+        return None if t.num_rows == 0 else int(t.column("doc_id")[0].as_py())
+
+    firsts = ray.get([_first.remote(r) for r in block_refs])
+    keep = [(r, f) for r, f in zip(block_refs, firsts) if f is not None]
+    prior = {
+        "block_refs": [r for r, _ in keep],
+        "block_first_doc": np.array([f for _, f in keep], dtype=np.int64),
+    }
+    return prior, ranked
+
+
 def remap_doc_ids(ds: ray.data.Dataset, mapping_ref,
                   column: str = "doc_id") -> ray.data.Dataset:
     """Apply an old→new doc-id mapping to a dataset column (M11,

@@ -82,6 +82,7 @@ class PostingEmitter:
             self.prior = None
         else:
             self.prior = ray.get(prior_ref) if not isinstance(prior_ref, dict) else prior_ref
+        self._prior_block_cache: dict[int, dict] = {}
         if "block_refs" in stats:
             # range-blocked dictionary (stats_to_blocks): pull blocks on
             # demand per batch instead of holding the whole vocabulary
@@ -124,6 +125,53 @@ class PostingEmitter:
             ids[rows] = bases[bi] + pos + 1
             dfs[rows] = blk["df"][np.minimum(pos, blk["df"].size - 1)]
         return ids, dfs
+
+    def _prior_ranks(self, pdocs: np.ndarray) -> np.ndarray:
+        """doc_id -> static prior rank, in either prior layout:
+        broadcast {"doc_ids" sorted, "rank"} or range-blocked
+        {"block_refs", "block_first_doc"} (stages.docids.
+        rank_prior_scalable) — the blocked form pulls only the mapping
+        blocks this batch's doc range touches, so the prior never has
+        to fit in one object (10^12-doc scale path)."""
+        pr = self.prior
+        if "block_refs" not in pr:
+            pos = np.searchsorted(pr["doc_ids"], pdocs)
+            pos = np.minimum(pos, pr["doc_ids"].size - 1)
+            if pr["doc_ids"].size == 0 or not np.array_equal(
+                    pr["doc_ids"][pos], pdocs):
+                missing = pdocs[pr["doc_ids"][pos] != pdocs][:5] \
+                    if pr["doc_ids"].size else pdocs[:5]
+                raise KeyError(
+                    f"HIT prior has no rank for doc_ids {missing.tolist()}; "
+                    "the prior map must cover every indexed doc")
+            return pr["rank"][pos].astype(np.int32)
+        firsts = pr["block_first_doc"]
+        bidx = np.searchsorted(firsts, pdocs, side="right") - 1
+        if bidx.size and bidx.min() < 0:
+            raise KeyError(
+                f"HIT prior has no rank for doc_ids "
+                f"{pdocs[bidx < 0][:5].tolist()} (below first block)")
+        ranks = np.empty(pdocs.size, dtype=np.int32)
+        for bi in np.unique(bidx):
+            if bi not in self._prior_block_cache:
+                t = ray.get(pr["block_refs"][bi])
+                t = t if hasattr(t, "column") else t.to_arrow()
+                self._prior_block_cache[bi] = {
+                    "doc_ids": t.column("doc_id").to_numpy().astype(np.int64),
+                    "rank": t.column("rank").to_numpy().astype(np.int32),
+                }
+            blk = self._prior_block_cache[bi]
+            rows = bidx == bi
+            want = pdocs[rows]
+            pos = np.searchsorted(blk["doc_ids"], want)
+            pos = np.minimum(pos, blk["doc_ids"].size - 1)
+            if not np.array_equal(blk["doc_ids"][pos], want):
+                missing = want[blk["doc_ids"][pos] != want][:5]
+                raise KeyError(
+                    f"HIT prior has no rank for doc_ids {missing.tolist()}; "
+                    "the prior map must cover every indexed doc")
+            ranks[rows] = blk["rank"][pos]
+        return ranks
 
     def _apply_filter(self, keys: np.ndarray) -> np.ndarray:
         """Boolean mask of keys present in the filter set (searchsorted
@@ -203,18 +251,7 @@ class PostingEmitter:
 
             if self.prior is not None:
                 # replace scores with the doc's prior rank (HIT family)
-                pr = self.prior
-                pdocs = doc_ids[g_doc]
-                pos = np.searchsorted(pr["doc_ids"], pdocs)
-                pos = np.minimum(pos, pr["doc_ids"].size - 1)
-                if pr["doc_ids"].size == 0 or not np.array_equal(
-                        pr["doc_ids"][pos], pdocs):
-                    missing = pdocs[pr["doc_ids"][pos] != pdocs][:5] \
-                        if pr["doc_ids"].size else pdocs[:5]
-                    raise KeyError(
-                        f"HIT prior has no rank for doc_ids {missing.tolist()}; "
-                        "the prior map must cover every indexed doc")
-                scores = pr["rank"][pos].astype(np.int32)
+                scores = self._prior_ranks(doc_ids[g_doc])
 
             out_key, out_score, out_doc = [], [], []
             if cfg.emit_unigrams:

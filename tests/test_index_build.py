@@ -134,6 +134,85 @@ class TestBlockedDictionary:
         assert a.equals(b)
 
 
+class TestDistributedPrior:
+    def _docs_table(self):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(13)
+        n = 200
+        words = np.array(["alpha", "beta", "gamma", "delta", "query", "index"])
+        texts = [" ".join(rng.choice(words, size=int(rng.integers(2, 12))))
+                 for _ in range(n)]
+        return pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+
+    def test_rank_prior_scalable_matches_driver_rank(self, ray_session):
+        """The distributed (sort + block-base) prior rank equals the
+        driver-side lexsort rank, and the driver only ever holds block
+        metadata (verified by reading the blocks back explicitly)."""
+        import pyarrow as pa
+        import ray
+        import ray.data
+
+        from candidategeneration_ray.stages.docids import rank_prior_scalable
+
+        t = self._docs_table()
+        ds = ray.data.from_arrow(t).repartition(5)
+        prior, keep = rank_prior_scalable(
+            ds.select_columns(["doc_id", "n_chars"]), num_blocks=4)
+        assert set(prior) == {"block_refs", "block_first_doc"}
+        got = {}
+        for ref in prior["block_refs"]:
+            blk = ray.get(ref)
+            blk = blk if hasattr(blk, "column") else blk.to_arrow()
+            for d, r in zip(blk.column("doc_id").to_pylist(),
+                            blk.column("rank").to_pylist()):
+                got[d] = r
+        ids = t.column("doc_id").to_numpy()
+        nch = t.column("n_chars").to_numpy()
+        order = np.lexsort((ids, -nch))
+        expect = {int(ids[i]): r + 1 for r, i in enumerate(order)}
+        assert got == expect
+        del keep
+
+    def test_hit_emission_identical_blocked_vs_broadcast(self, ray_session):
+        """HIT-family postings from the range-blocked prior (scale path)
+        are identical to the broadcast-prior emission."""
+        import ray
+        import ray.data
+
+        from candidategeneration_ray.stages.docids import rank_prior_scalable
+        from candidategeneration_ray.stages.postings import emit_postings
+        from candidategeneration_ray.stages.stats import compute_stats
+        from candidategeneration_ray.stages.tokenize import attach_tokens
+
+        t = self._docs_table()
+        ds = ray.data.from_arrow(t).repartition(5)
+        toks = attach_tokens(ds)
+        stats = compute_stats(toks)
+        cfg = EngineConfig(emit_pairs=False, partial_lists=False)
+
+        ids = t.column("doc_id").to_numpy()
+        nch = t.column("n_chars").to_numpy()
+        rank_of = np.empty(ids.size, dtype=np.int32)
+        rank_of[np.lexsort((ids, -nch))] = np.arange(1, ids.size + 1, dtype=np.int32)
+        broadcast = {"doc_ids": ids, "rank": rank_of}
+        a = emit_postings(toks, ray.put(stats), cfg,
+                          prior_ref=ray.put(broadcast)).to_pandas() \
+            .sort_values(["key", "doc_id"]).reset_index(drop=True)
+
+        blocked, keep = rank_prior_scalable(
+            ds.select_columns(["doc_id", "n_chars"]), num_blocks=4)
+        b = emit_postings(toks, ray.put(stats), cfg,
+                          prior_ref=ray.put(blocked)).to_pandas() \
+            .sort_values(["key", "doc_id"]).reset_index(drop=True)
+        del keep
+        assert a.equals(b)
+
+
 class TestTokenCache:
     def test_token_cache_build_identical(self, ray_session, transcripts_dir,
                                          built_index, tmp_path_factory):
