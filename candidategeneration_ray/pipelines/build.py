@@ -93,6 +93,131 @@ def _persist_stats(out_dir: str, stats: dict, offsets: dict, inputs: list[str]) 
                             "n_terms": int(len(stats["terms"]))})
 
 
+def _persist_offsets_global(d: str, blocks: dict, offsets: dict) -> None:
+    pq.write_table(
+        pa.table({
+            "conv_id": pa.array(list(offsets["conv_ids"]), pa.string()),
+            "base": pa.array(offsets["bases"], pa.int64()),
+            "n_turns": pa.array(offsets["counts"], pa.int64()),
+        }),
+        os.path.join(d, "convs.parquet"),
+    )
+    with open(os.path.join(d, "global.json"), "w") as f:
+        json.dump({
+            "n_docs": blocks["n_docs"],
+            "total_tokens": blocks["total_tokens"],
+            "avgdl": blocks["avgdl"],
+            "n_terms": int(blocks["n_terms"]),
+            "dict_mode": "blocks",
+        }, f)
+
+
+def _persist_stats_blocks(out_dir: str, blocks: dict, offsets: dict,
+                          inputs: list[str]) -> None:
+    """Blocked-dictionary persistence: each dictionary block writes its
+    own parquet via a remote task (the vocabulary never assembles on
+    the driver); the driver writes only conv offsets + tiny globals."""
+    d = _stats_dir(out_dir)
+    tb = os.path.join(d, "terms-blocks")
+    os.makedirs(tb, exist_ok=True)
+
+    @ray.remote
+    def _write_block(blk: dict, path: str) -> int:
+        t = pa.table({
+            "term": pa.array(blk["terms"].tolist(), pa.string()),
+            "df": pa.array(blk["df"], pa.int64()),
+        })
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return t.num_rows
+
+    ray.get([
+        _write_block.remote(ref, os.path.join(tb, f"block-{i:05d}.parquet"))
+        for i, ref in enumerate(blocks["block_refs"])
+    ])
+    _persist_offsets_global(d, blocks, offsets)
+    ckpt.write_manifest(d, {"phase": "stats", "inputs": sorted(inputs),
+                            "format": FORMAT_VERSION, "dict_mode": "blocks",
+                            "n_docs": blocks["n_docs"],
+                            "n_terms": int(blocks["n_terms"])})
+
+
+def stats_dict_mode(out_dir: str) -> str:
+    """"blocks" if the persisted stats use the blocked dictionary."""
+    try:
+        with open(os.path.join(_stats_dir(out_dir), "global.json")) as f:
+            return json.load(f).get("dict_mode", "broadcast")
+    except FileNotFoundError:
+        return "broadcast"
+
+
+def load_stats_blocks(out_dir: str) -> tuple[dict, dict]:
+    """Load blocked-dictionary stats: block files re-enter the object
+    store via remote loader tasks (driver holds per-block metadata
+    only); delta overlays (small) load onto the driver."""
+    d = _stats_dir(out_dir)
+    with open(os.path.join(d, "global.json")) as f:
+        g = json.load(f)
+    tb = os.path.join(d, "terms-blocks")
+    block_files = sorted(
+        os.path.join(tb, f) for f in os.listdir(tb)
+        if f.startswith("block-") and f.endswith(".parquet"))
+
+    @ray.remote(num_returns=2)
+    def _load_block(path: str):
+        t = pq.read_table(path)
+        terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        blk = {"terms": terms, "df": t.column("df").to_numpy().astype(np.int64)}
+        return blk, {"first": terms[0] if terms.size else None, "n": int(terms.size)}
+
+    pairs = [_load_block.remote(p) for p in block_files]
+    metas = ray.get([m for _, m in pairs])
+    keep = [(blk, m) for (blk, _), m in zip(pairs, metas) if m["n"]]
+    counts = np.array([m["n"] for _, m in keep], dtype=np.int64)
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts.size \
+        else np.empty(0, np.int64)
+    blocks = {
+        "block_refs": [blk for blk, _ in keep],
+        "block_first_term": np.array([m["first"] for _, m in keep], dtype=object),
+        "block_base_id": bases,
+        "n_terms": int(g["n_terms"]),
+        "n_docs": g["n_docs"],
+        "total_tokens": g["total_tokens"],
+        "avgdl": g["avgdl"],
+    }
+    ov_files = sorted(
+        os.path.join(tb, f) for f in os.listdir(tb)
+        if f.startswith("overlay-") and f.endswith(".parquet"))
+    if ov_files:
+        ts, ids_, dfs_ = [], [], []
+        for p in ov_files:
+            t = pq.read_table(p)
+            ts.append(np.asarray(t.column("term").to_pylist(), dtype=object))
+            ids_.append(t.column("id").to_numpy().astype(np.int64))
+            dfs_.append(t.column("df").to_numpy().astype(np.int64))
+        ot = np.concatenate(ts)
+        order = np.argsort(ot, kind="stable")
+        all_ids = np.concatenate(ids_)
+        blocks["overlay_terms"] = ot[order]
+        blocks["overlay_ids"] = all_ids[order]
+        blocks["overlay_df"] = np.concatenate(dfs_)[order]
+        # crash heal: an update that died between writing its overlay
+        # and committing global.json leaves ids past the recorded
+        # n_terms — the id space must never reuse them
+        if all_ids.size:
+            blocks["n_terms"] = max(blocks["n_terms"], int(all_ids.max()))
+    convs_t = pq.read_table(os.path.join(d, "convs.parquet"))
+    counts = convs_t.column("n_turns").to_numpy()
+    offsets = {
+        "conv_ids": np.asarray(convs_t.column("conv_id").to_pylist(), dtype=object),
+        "bases": convs_t.column("base").to_numpy(),
+        "counts": counts,
+        "n_docs": int(counts.sum()),
+    }
+    return blocks, offsets
+
+
 def load_stats(out_dir: str) -> tuple[dict, dict]:
     """Load the persisted stats + conv-offset checkpoint."""
     d = _stats_dir(out_dir)
@@ -173,6 +298,7 @@ def build_index(
     emit_concurrency=None,
     partition_by: str = "files",
     token_cache: bool = False,
+    dict_blocks: int | None = None,
 ) -> dict:
     """Build (or resume) the static index under `out_dir`.
 
@@ -187,6 +313,14 @@ def build_index(
         sub-lists — the layout for range-ordered segment stores — but
         re-reads row groups that span ranges (all of them when the
         input is shuffled): P scans of the input at worst.
+
+    dict_blocks=N builds and persists the term dictionary as N range
+    blocks that never assemble on the driver (compute_stats_blocks —
+    the 10^10+-term scale path; the emitter pulls only the blocks each
+    batch touches). The final index is byte-identical to the broadcast
+    build (tested); the returned "stats" is the blocked dict (serve
+    with stats from load_stats of a broadcast build, or keep the
+    blocked form for build/update-only flows).
 
     token_cache=True tokenizes the corpus ONCE into out_dir/tokens/ and
     runs stats + emission from that columnar store instead of scanning
@@ -228,9 +362,11 @@ def build_index(
 
     # ---- phase 1: stats (N, total tokens, df, dictionary, conv offsets)
     sd = _stats_dir(out_dir)
-    if ckpt.is_complete(sd, inputs) and \
-            (ckpt.read_manifest(sd) or {}).get("format") == FORMAT_VERSION:
-        stats, offsets = load_stats(out_dir)
+    sm = ckpt.read_manifest(sd) or {}
+    want_mode = "blocks" if dict_blocks else "broadcast"
+    if ckpt.is_complete(sd, inputs) and sm.get("format") == FORMAT_VERSION \
+            and sm.get("dict_mode", "broadcast") == want_mode:
+        stats, offsets = (load_stats_blocks if dict_blocks else load_stats)(out_dir)
         metrics["phases"].append({"phase": "stats", "skipped": True})
     else:
         ckpt.clear_stale(sd)
@@ -244,9 +380,15 @@ def build_index(
         # execution (two streaming executions contend) and a fused
         # single-groupby variant (the two-column string groupby path
         # costs more than the second shuffle saves)
-        stats = compute_stats(toks)
         offsets = conv_offsets(base_ds)
-        _persist_stats(out_dir, stats, offsets, inputs)
+        if dict_blocks:
+            from candidategeneration_ray.stages.stats import compute_stats_blocks
+
+            stats = compute_stats_blocks(toks, dict_blocks)
+            _persist_stats_blocks(out_dir, stats, offsets, inputs)
+        else:
+            stats = compute_stats(toks)
+            _persist_stats(out_dir, stats, offsets, inputs)
         metrics["phases"].append({"phase": "stats", "skipped": False,
                                   "sec": round(time.time() - t0, 3)})
 

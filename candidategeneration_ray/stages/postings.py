@@ -106,20 +106,33 @@ class PostingEmitter:
     def _resolve_blocks(self, dictionary) -> tuple[np.ndarray, np.ndarray]:
         """Blocks mode: map this batch's UNIQUE tokens to (term_id, df)
         by pulling only the dictionary blocks whose term range the
-        batch touches (cached per worker)."""
+        batch touches (cached per worker). Tokens first check the
+        delta-appended OVERLAY (terms whose ids continue past the base
+        vocabulary, update.extend_stats_blocks — delta-sized, rides in
+        the broadcast dict) since appended ids break the base blocks'
+        term-range invariant."""
         toks = np.asarray(dictionary.to_pylist(), dtype=object)
         blocks = self.blocks
+        ids = np.empty(toks.size, dtype=np.int64)
+        dfs = np.empty(toks.size, dtype=np.int64)
+        pending = np.ones(toks.size, dtype=bool)
+        ov_t = blocks.get("overlay_terms")
+        if ov_t is not None and len(ov_t):
+            pos = np.searchsorted(ov_t, toks)
+            pos_c = np.minimum(pos, len(ov_t) - 1)
+            hit = ov_t[pos_c] == toks
+            ids[hit] = blocks["overlay_ids"][pos_c[hit]]
+            dfs[hit] = blocks["overlay_df"][pos_c[hit]]
+            pending &= ~hit
         firsts = blocks["block_first_term"]
         bases = blocks["block_base_id"]
         bidx = np.searchsorted(firsts, toks, side="right") - 1
         bidx = np.maximum(bidx, 0)
-        ids = np.empty(toks.size, dtype=np.int64)
-        dfs = np.empty(toks.size, dtype=np.int64)
-        for bi in np.unique(bidx):
+        for bi in np.unique(bidx[pending]):
             if bi not in self._block_cache:
                 self._block_cache[bi] = ray.get(blocks["block_refs"][bi])
             blk = self._block_cache[bi]
-            rows = bidx == bi
+            rows = pending & (bidx == bi)
             pos = np.searchsorted(blk["terms"], toks[rows])
             # corpus tokens always resolve (dictionary covers the corpus)
             ids[rows] = bases[bi] + pos + 1

@@ -94,6 +94,74 @@ def stats_to_blocks(stats: dict, num_blocks: int = 16) -> dict:
     }
 
 
+def compute_stats_blocks(ds_tokens: ray.data.Dataset, num_blocks: int = 16) -> dict:
+    """Blocked-dictionary CONSTRUCTION that never materializes the
+    vocabulary on the driver (the scale path stats_to_blocks only
+    reshapes a driver-built dict; this builds the blocks straight from
+    the aggregate's object-store blocks):
+
+      partial df rows → groupby(term) sum → sort(term) →
+      repartition(num_blocks) — blocks stay in the object store; one
+      tiny remote task per block normalizes it ({"terms", "df"} dict,
+      padding rows dropped) and reports (first_term, n_terms,
+      n_docs/total_tokens partial sums). The driver holds only
+      per-block firsts + prefix-sum base ids: O(num_blocks), any vocab.
+
+    Term ids are IDENTICAL to compute_stats's (position in the global
+    sorted term order + 1) — verified by the byte-identity build test.
+    Returns the same dict shape PostingEmitter's blocks mode consumes.
+    """
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds_tokens.select_columns(["tokens"])
+        .map_batches(_partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("n_docs_partial", alias_name="nd"),
+            Sum("n_tokens_partial", alias_name="nt"),
+        )
+        .sort("term")
+        .repartition(num_blocks)
+        .materialize()
+    )
+    block_refs = list(agg.get_internal_block_refs())
+
+    @ray.remote(num_returns=2)
+    def _normalize(block):
+        """One dictionary block: drop padding rows, return the lookup
+        dict (stays in the object store) + tiny metadata."""
+        t = block if hasattr(block, "column") else block.to_arrow()
+        terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        df = t.column("df").to_numpy().astype(np.int64)
+        nd = int(t.column("nd").to_numpy().sum())
+        nt = int(t.column("nt").to_numpy().sum())
+        keep = (df > 0) & (terms != "")
+        terms, df = terms[keep], df[keep]
+        blk = {"terms": terms, "df": df}
+        meta = {"first": terms[0] if terms.size else None,
+                "n": int(terms.size), "nd": nd, "nt": nt}
+        return blk, meta
+
+    pairs = [_normalize.remote(r) for r in block_refs]
+    metas = ray.get([m for _, m in pairs])
+    n_docs = sum(m["nd"] for m in metas)
+    total_tokens = sum(m["nt"] for m in metas)
+    keep = [(blk, m) for (blk, _), m in zip(pairs, metas) if m["n"]]
+    counts = np.array([m["n"] for _, m in keep], dtype=np.int64)
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return {
+        "block_refs": [blk for blk, _ in keep],
+        "block_first_term": np.array([m["first"] for _, m in keep], dtype=object),
+        "block_base_id": bases,
+        "n_terms": int(counts.sum()),
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": truncated_avgdl(total_tokens, n_docs) if n_docs else 1.0,
+    }
+
+
 def compute_stats(ds_tokens: ray.data.Dataset) -> dict:
     """ds_tokens must carry a `tokens:list<string>` column.
 
