@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_list_lengths": dq.q_unigram_list_lengths,  # A4 list lengths
         "pruned_list_lengths": dq.q_pruned_list_lengths,    # O3 build-time pruning
         "delta_update_lists": dq.q_delta_update_lists,      # incremental (LSM) update
+        "delta_hit_top5": dq.q_delta_hit_top5,              # HIT family rebuilt after a delta
         "pair_counts_top50": dq.q_pair_counts_top50,    # M5/M6 d-bigram emission
         "filtered_pair_counts": dq.q_filtered_pair_counts,  # M4/J1/D2 filter-set semi-join
         "query_keys": dq.q_query_keys,                  # M2/M3 query convert+augment

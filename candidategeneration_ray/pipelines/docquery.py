@@ -213,29 +213,17 @@ def q_pruned_list_lengths(sf_dir: str, max_postings: int = 50,
     })
 
 
-def q_delta_update_lists(sf_dir: str) -> pa.Table:
-    """Incremental index update end-to-end (pipelines.update — the LSM
-    capability the reference lacks; its phases are one-shot rebuilds,
-    WWWMain.java:69-110): the documents table split at the doc-id
-    midpoint plays two ingestion batches — base full build, then
-    update_index (delta scored under the frozen base epoch) +
-    compaction. Output per term: (n, doc_sum) over the compacted
-    unigram lists — doc SETS are epoch-independent, so they must equal
-    a single full build's (and the SQL oracle's); scores are
-    deliberately excluded (they carry the documented frozen-epoch
-    semantics, tested in tests/test_update.py).
-
-    Documents become single-turn conversations conv_id=%012d(doc_id);
-    ids are dense 0..N-1 (asserted), so conv-rank doc-id assignment
-    reproduces the original doc ids exactly."""
+def _delta_index(sf_dir: str, cfg: EngineConfig) -> str:
+    """Build (or reuse) the delta-exercising LSM index: the documents
+    table split at the doc-id midpoint into base + delta ingestion
+    batches — full build, then update_index + compaction. Returns the
+    index out_dir."""
     import pyarrow.parquet as pq
 
-    from candidategeneration_ray.pipelines.build import build_index, load_stats
+    from candidategeneration_ray.pipelines.build import build_index
     from candidategeneration_ray.pipelines.update import update_index
     from candidategeneration_ray.state import checkpoint as ckpt
-    from candidategeneration_ray.state.queryengine import IndexReader
 
-    cfg = EngineConfig(emit_pairs=False)
     root = _cache_dir(sf_dir, f"deltaidx-{cfg.index_tag()}")
     out = os.path.join(root, "index")
     done = os.path.join(root, "DONE")
@@ -265,6 +253,79 @@ def q_delta_update_lists(sf_dir: str) -> pa.Table:
         update_index(out, [delta_f], cfg, compact=True)
         with open(done, "w") as f:
             f.write("ok")
+    return out
+
+
+def q_delta_hit_top5(sf_dir: str) -> pa.Table:
+    """HIT family REBUILT AFTER A DELTA (pipelines.families): the
+    delta-exercising LSM index's HIT family is built over the grown
+    corpus via ensure_hit_family (update_index marked any prior family
+    stale). The prior rank (n_chars desc, doc asc) is a pure function
+    of the corpus — independent of the frozen scoring epoch — so the
+    post-delta family must match the full-corpus SQL oracle exactly.
+    Output: per fixed-query term the top-5 docs by (hit_rank, doc)."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.build import load_stats
+    from candidategeneration_ray.pipelines.families import ensure_hit_family
+    from candidategeneration_ray.stages.listbuild import bucket_of
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    cfg = EngineConfig(emit_pairs=False)
+    out = _delta_index(sf_dir, cfg)
+    fam_final = ensure_hit_family(out, cfg)
+    stats, _ = load_stats(out)
+    t2i = {t: i + 1 for i, t in enumerate(stats["terms"])}
+    qterms = sorted({t for _, text in DOC_QUERIES for t in tokenize_text(text)
+                     if t in t2i})
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "prefix_rank": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "hit_rank": pa.array([], pa.int64())})
+    if not qterms:
+        return empty
+    tids = np.array([t2i[t] for t in qterms], dtype=np.int64)
+    buckets = np.unique(bucket_of(tids, cfg.num_buckets)).tolist()
+    reader = IndexReader(fam_final, stats, cfg, buckets=buckets)
+    terms_out, ranks, docs, hits = [], [], [], []
+    for term in qterms:
+        got = reader.get(t2i[term])
+        if got is None:
+            continue
+        d, hit_rank = got[0], got[1]
+        top = np.lexsort((d, hit_rank))[:5]
+        for r, i in enumerate(top):
+            terms_out.append(term)
+            ranks.append(r + 1)
+            docs.append(int(d[i]))
+            hits.append(int(hit_rank[i]))
+    return pa.table({
+        "term": pa.array(terms_out, pa.string()),
+        "prefix_rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "hit_rank": pa.array(hits, pa.int64()),
+    })
+
+
+def q_delta_update_lists(sf_dir: str) -> pa.Table:
+    """Incremental index update end-to-end (pipelines.update — the LSM
+    capability the reference lacks; its phases are one-shot rebuilds,
+    WWWMain.java:69-110): the documents table split at the doc-id
+    midpoint plays two ingestion batches — base full build, then
+    update_index (delta scored under the frozen base epoch) +
+    compaction. Output per term: (n, doc_sum) over the compacted
+    unigram lists — doc SETS are epoch-independent, so they must equal
+    a single full build's (and the SQL oracle's); scores are
+    deliberately excluded (they carry the documented frozen-epoch
+    semantics, tested in tests/test_update.py).
+
+    Documents become single-turn conversations conv_id=%012d(doc_id);
+    ids are dense 0..N-1 (asserted), so conv-rank doc-id assignment
+    reproduces the original doc ids exactly."""
+    from candidategeneration_ray.pipelines.build import load_stats
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    cfg = EngineConfig(emit_pairs=False)
+    out = _delta_index(sf_dir, cfg)
     stats, _ = load_stats(out)
     reader = IndexReader(os.path.join(out, "final"), stats, cfg)
     terms = np.asarray(stats["terms"], dtype=object)

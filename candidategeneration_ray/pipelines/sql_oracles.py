@@ -318,6 +318,28 @@ SELECT term, prefix_rank, doc_id, hit_rank FROM (
   WHERE td.tok IN (SELECT tok FROM qtok)
 ) WHERE prefix_rank <= 5
 """,
+        # post-delta HIT family: the prior rank is epoch-independent, so
+        # the family rebuilt over the delta'd LSM index must equal the
+        # full-corpus derivation exactly — same SQL as hit_index_top5
+        "delta_hit_top5": f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+prior AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+           AS hit_rank
+  FROM documents
+),
+term_docs AS (SELECT DISTINCT tok, doc_id FROM kept)
+SELECT term, prefix_rank, doc_id, hit_rank FROM (
+  SELECT td.tok AS term, td.doc_id, p.hit_rank,
+         CAST(row_number() OVER (PARTITION BY td.tok
+                                 ORDER BY p.hit_rank ASC, td.doc_id ASC) AS BIGINT)
+           AS prefix_rank
+  FROM term_docs td JOIN prior p USING (doc_id)
+  WHERE td.tok IN (SELECT tok FROM qtok)
+) WHERE prefix_rank <= 5
+""",
         "hit_postings": f"""
 WITH {KEPT_CTE},
 {SCORES_CTE},

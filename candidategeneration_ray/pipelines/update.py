@@ -427,6 +427,17 @@ def update_index(
         _persist_stats(out_dir, ext_stats, merged_offsets,
                        sorted(known_inputs) + delta_inputs)
 
+    # secondary families (HIT / bigram) are global functions of the
+    # corpus — mark them stale so the next ensure_* rebuilds them over
+    # the grown corpus (their lineage check also catches this if the
+    # eager invalidation is lost to a crash)
+    from candidategeneration_ray.pipelines.families import invalidate_families
+
+    stale_fams = invalidate_families(out_dir)
+    if stale_fams:
+        metrics["phases"].append({"phase": "invalidate-families",
+                                  "families": stale_fams})
+
     if compact:
         tc = time.time()
         compact_index(out_dir, cfg)

@@ -658,3 +658,88 @@ def test_blocks_mode_build_and_update_identical(split_corpus, tmp_path_factory,
     # blocked-mode resume: a replayed delta is a detected no-op
     ub_re = update_index(out_b, d2)
     assert ub_re["metrics"]["phases"][0].get("skipped") is True
+
+
+def test_families_invalidate_and_rebuild_on_delta(split_corpus,
+                                                  tmp_path_factory,
+                                                  ray_session):
+    """Secondary families (HIT, bigram) built before a delta are marked
+    stale by update_index and rebuild over the grown corpus on next
+    ensure_*; the rebuilt HIT family equals a fresh full build's
+    (prior rank is epoch-independent), and the rebuilt bigram family
+    equals an independent recomputation from the served index."""
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.families import (
+        ensure_bigram_family, ensure_hit_family, family_dir)
+    from candidategeneration_ray.pipelines.update import (
+        serving_sources, update_index)
+    from candidategeneration_ray.state import checkpoint as ckpt
+    from candidategeneration_ray.state.queryengine import IndexReader
+    from candidategeneration_ray.config import EngineConfig
+
+    cfg = EngineConfig(emit_pairs=False)
+    out = str(tmp_path_factory.mktemp("idx_fam"))
+    base = build_index(split_corpus["base"], out, cfg)
+
+    # pair keys over three common terms of the base corpus
+    terms = [t for t in ("data", "query", "vector") if t in base["stats"]["terms"]]
+    assert len(terms) >= 2
+    t2i = {t: i + 1 for i, t in enumerate(base["stats"]["terms"])}
+    tids = sorted(t2i[t] for t in terms)
+    pair_keys = np.array([(tids[i] << 32) | tids[j]
+                          for i in range(len(tids))
+                          for j in range(i + 1, len(tids))], dtype=np.int64)
+
+    hit_before = ensure_hit_family(out, cfg)
+    ensure_bigram_family(out, pair_keys, budget=10, cfg=cfg)
+    assert not (ckpt.read_manifest(hit_before) or {}).get("stale")
+    # fresh call reuses without rebuilding (manifest unchanged)
+    m1 = ckpt.read_manifest(hit_before)
+    assert ensure_hit_family(out, cfg) == hit_before
+    assert ckpt.read_manifest(hit_before) == m1
+
+    upd = update_index(out, split_corpus["delta"], cfg, compact=True)
+    inv = [p for p in upd["metrics"]["phases"]
+           if p["phase"] == "invalidate-families"]
+    assert inv and sorted(inv[0]["families"]) == ["bigram", "hit"]
+    assert (ckpt.read_manifest(family_dir(out, "hit")) or {}).get("stale")
+
+    # rebuild over the grown corpus; term ids are the EXTENDED dict's
+    stats = upd["stats"]
+    hit_fd = ensure_hit_family(out, cfg)
+    assert not (ckpt.read_manifest(hit_fd) or {}).get("stale")
+    t2i2 = {t: i + 1 for i, t in enumerate(stats["terms"])}
+    tids2 = sorted(t2i2[t] for t in terms)
+    pair_keys2 = np.array([(tids2[i] << 32) | tids2[j]
+                           for i in range(len(tids2))
+                           for j in range(i + 1, len(tids2))], dtype=np.int64)
+    big_fd = ensure_bigram_family(out, pair_keys2, budget=10, cfg=cfg)
+
+    # HIT family == fresh full build's HIT family (term-by-term)
+    full_out = str(tmp_path_factory.mktemp("idx_fam_full"))
+    all_files = sorted(
+        os.path.join(d, f) for d in (split_corpus["base"], split_corpus["delta"])
+        for f in os.listdir(d) if f.endswith(".parquet"))
+    full = build_index(all_files, full_out, cfg)
+    full_hit = ensure_hit_family(full_out, cfg)
+    ra = IndexReader(hit_fd, stats, cfg)
+    rb = IndexReader(full_hit, full["stats"], cfg)
+    for term in stats["terms"]:
+        ka, kb = t2i2[term], rb.term_to_id[term]
+        ga, gb = ra.get(ka), rb.get(kb)
+        assert (ga is None) == (gb is None), term
+        if ga is not None:
+            np.testing.assert_array_equal(ga[0], gb[0], err_msg=term)
+            np.testing.assert_array_equal(ga[1], gb[1], err_msg=term)
+
+    # bigram family == independent recomputation from the served index
+    main = IndexReader(serving_sources(out), stats, cfg)
+    fam = IndexReader(big_fd, stats, cfg)
+    for key in pair_keys2:
+        lo, hi = int(key) >> 32, int(key) & 0xFFFFFFFF
+        want = np.union1d(main.top_layer(lo, 10)[0], main.top_layer(hi, 10)[0])
+        got = fam.get(int(key))
+        if want.size == 0:
+            assert got is None
+        else:
+            np.testing.assert_array_equal(got[0], want)
