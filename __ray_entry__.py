@@ -56,7 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
         # --- training-data extras (dedup / similarity / text analysis) ---
         "dedup_exact": ex.q_dedup_exact,
-        "jaccard_pairs": ex.q_jaccard_pairs,
+        # exact-mode opt-in: the library default caps hot shingles
+        # (safe polarity at scale); the oracle comparison wants exact
+        "jaccard_pairs": lambda sf: ex.q_jaccard_pairs(sf, max_shingle_df=None),
         "minhash_signatures": ex.q_minhash_signatures,
         "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
         "dup_clusters": ex.q_dup_clusters,

@@ -20,7 +20,28 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-NUM_USER_BUCKETS = 64
+def _num_user_buckets() -> int:
+    """User-hash bucket count for the keyed-stream operators, scaled
+    with the cluster (4 x total CPUs, floor 64) so a bigger cluster
+    gets proportionally more reduce-side parallelism. Results are
+    bucket-count-independent (bucketing only partitions the groupby);
+    the co-location assumption is one BUCKET per task, and a single
+    monster user still needs its events to fit one task — see the
+    hot-user test for the measured bound."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return max(64, 4 * cpus)
+
+
+def _cents(values: np.ndarray) -> np.ndarray:
+    """value -> integer cents with DuckDB round() semantics (half AWAY
+    from zero; np.round is half-to-even and diverges on exact .5)."""
+    v = values * 100.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
 
 
 def events_ds(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
@@ -29,12 +50,14 @@ def events_ds(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
 
 
 def _with_user_bucket(ds: ray.data.Dataset) -> ray.data.Dataset:
+    nb = _num_user_buckets()
+
     def _b(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy().astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
         return batch.append_column(
-            "ubucket", pa.array((h % np.uint64(NUM_USER_BUCKETS)).astype(np.int32)))
+            "ubucket", pa.array((h % np.uint64(nb)).astype(np.int32)))
 
     return ds.map_batches(_b, batch_format="pyarrow")
 
@@ -57,7 +80,7 @@ def q_sessionize(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
         u = group.column("user_id").to_numpy().astype(np.int64)
         ts = group.column("ts").cast(pa.int64()).to_numpy()
         eid = group.column("event_id").to_numpy().astype(np.int64)
-        cents = np.round(group.column("value").to_numpy() * 100).astype(np.int64)
+        cents = _cents(group.column("value").to_numpy())
         order = np.lexsort((eid, ts, u))
         u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
         if u.size == 0:
@@ -109,7 +132,7 @@ def q_windowed_counts(sf_dir: str, window_sec: int = 3600) -> ray.data.Dataset:
     def _part(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
         et = batch.column("event_type").to_numpy(zero_copy_only=False)
-        cents = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        cents = _cents(batch.column("value").to_numpy())
         win = ts // w_us
         key = np.array([f"{t}\x00{w}" for t, w in zip(et, win)], dtype=object)
         uniq, inv = np.unique(key, return_inverse=True)

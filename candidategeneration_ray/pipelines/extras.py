@@ -19,7 +19,7 @@ import ray.data
 
 from candidategeneration_ray.functions import hashing as H
 from candidategeneration_ray.functions.tokenize import tokenize_many
-from candidategeneration_ray.pipelines.docquery import documents_ds
+from candidategeneration_ray.pipelines.docquery import _cache_dir, documents_ds
 
 
 # ------------------------------------------------------------- exact dedup
@@ -94,8 +94,11 @@ def _explode_pairs(shingle_h: np.ndarray, doc_ids: np.ndarray,
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def q_jaccard_pairs(sf_dir: str, threshold_pct: int = 20,
-                    max_shingle_df: int | None = None) -> pa.Table:
+                    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF) -> pa.Table:
     """n-gram-Jaccard near-dup candidates: doc pairs whose distinct
     3-word-shingle sets overlap with Jaccard >= threshold_pct/100.
     Pattern: shingle rows → groupby(shingle-hash BUCKET, not shingle —
@@ -104,13 +107,16 @@ def q_jaccard_pairs(sf_dir: str, threshold_pct: int = 20,
     count (intersection) → filter by |A|+|B| (broadcast per-doc set
     sizes). Output (doc_a, doc_b, inter_n, union_n).
 
-    `max_shingle_df`: skew guard for web-scale corpora — shingle groups
-    larger than this (boilerplate "stop shingles") are dropped before
-    the O(m²) pair explosion, bounding any group's cost at
-    max_shingle_df²/2. Default None = exact (matches the SQL oracle);
-    at 100 TB run with a cap (a shingle shared by >10³ docs carries no
-    near-dup signal — the MinHash-LSH star-edge path is the exact-scale
-    alternative)."""
+    `max_shingle_df`: skew guard — shingle groups larger than this
+    (boilerplate "stop shingles") are dropped before the O(m²) pair
+    explosion, bounding any group's cost at max_shingle_df²/2. The cap
+    is ON by default (safe polarity: a web-scale run that forgets the
+    knob cannot blow up on one hot shingle; a shingle shared by >10³
+    docs carries no near-dup signal anyway — the MinHash-LSH star-edge
+    path is the exact-scale alternative). Pass max_shingle_df=None for
+    the exact result — the oracle harness opts in explicitly
+    (__ray_entry__), and capped output is always a SUBSET of exact
+    (tested with a pathological hot shingle)."""
     from ray.data.aggregate import Max, Sum
 
     shingles = documents_ds(sf_dir).map_batches(
@@ -420,6 +426,7 @@ def _propagation_rounds(edges, max_rounds: int):
         return pa.table({"node": pa.array(dst, pa.int64()),
                          "lbl": pa.array(src_lbl, pa.int64())})
 
+    converged = False
     for _ in range(max_rounds):
         msgs = edges.union(labels.map_batches(_as_msg, batch_format="pyarrow"))
         labels = (
@@ -430,15 +437,19 @@ def _propagation_rounds(edges, max_rounds: int):
         )
         cur_sum = labels.aggregate(Sum("lbl"))["sum(lbl)"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # labels only decrease, so an unstable Sum(lbl) after the last
+        # round means propagation has NOT reached a fixpoint — returning
+        # would hand back wrong (split) clusters silently
+        raise RuntimeError(
+            f"duplicate-cluster label propagation did not converge within "
+            f"{max_rounds} rounds (Sum(lbl) still falling). Star edges keep "
+            "cluster diameter ~2, so this indicates a pathological graph — "
+            "raise max_rounds")
     return labels
-
-    return (
-        all_docs.union(labels)
-        .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
-        .map_batches(_rename, batch_format="pyarrow")
-    )
 
 
 def q_simhash(sf_dir: str) -> ray.data.Dataset:
@@ -447,17 +458,37 @@ def q_simhash(sf_dir: str) -> ray.data.Dataset:
     LSH pattern above."""
 
     def _sim(batch: pa.Table) -> pa.Table:
+        """Batch-GLOBAL simhash — no per-doc Python loop: one Arrow
+        dictionary-encode over the batch's flattened tokens (each
+        unique token md5-hashed ONCE), per-(doc, token) tf via one
+        np.unique over packed pairs, then a single (rows x 60)
+        sign-weighted reduceat per doc. Bit-identical to the scalar
+        H.simhash path (differential-tested)."""
         token_lists = tokenize_many(batch.column("text").to_pylist())
-        doc_ids = batch.column("doc_id").to_numpy()
-        out = np.empty(len(token_lists), dtype=np.int64)
-        for i, toks in enumerate(token_lists):
-            if toks:
-                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                out[i] = H.simhash(H.h64_many(list(uniq)), counts)
-            else:
-                out[i] = 0
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        n = len(token_lists)
+        lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+        out = np.zeros(n, dtype=np.int64)
+        if lens.sum():
+            flat = pa.array([t for ts in token_lists for t in ts], pa.string())
+            denc = flat.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = len(denc.dictionary)
+            didx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            pairs, counts = np.unique(didx * vocab + codes, return_counts=True)
+            pdoc, pcode = pairs // vocab, pairs % vocab
+            uh = H.h64_many(denc.dictionary.to_pylist())
+            shifts = np.arange(H.SIMHASH_BITS, dtype=np.uint64)
+            signs = (2 * ((uh[:, None] >> shifts[None, :])
+                          & np.uint64(1)).astype(np.int32) - 1)
+            contrib = counts[:, None].astype(np.int32) * signs[pcode]
+            starts = np.nonzero(
+                np.concatenate(([True], pdoc[1:] != pdoc[:-1])))[0]
+            sums = np.add.reduceat(contrib, starts, axis=0)
+            bitvals = np.int64(1) << np.arange(H.SIMHASH_BITS, dtype=np.int64)
+            out[pdoc[starts]] = ((sums > 0).astype(np.int64) * bitvals).sum(axis=1)
         return pa.table({
-            "doc_id": pa.array(doc_ids.astype(np.int64), pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
             "simhash": pa.array(out, pa.int64()),
         })
 
@@ -608,42 +639,98 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
-def q_ann_ivf_top10(sf_dir: str, n_planes: int = 3, probe: int = 3) -> pa.Table:
-    """IVF/LSH-bucketed ANN, distributed: vectors are sign-coded against
-    fixed seeded hyperplanes INSIDE map_batches; batches keep only rows
-    whose code falls in the query's `probe` Hamming-nearest buckets and
-    emit a per-batch partial top-10 — the driver merges only ≤10-row
-    partials. Approximate by design — recall vs brute force is asserted
-    in pytest. Shuffle: none."""
+def _ivf_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Fixed seeded coarse-quantizer hyperplanes (the IVF 'centroid'
+    analog that needs no training pass)."""
+    return np.random.default_rng(13).standard_normal((n_planes, dim))
+
+
+def build_ivf_index(sf_dir: str, n_planes: int = 3) -> str:
+    """Persist the IVF layout ONCE: embeddings sign-coded against the
+    fixed hyperplanes and written BUCKETED BY CODE (hive-partitioned
+    parquet, one directory per inverted list) — the exact analog of the
+    bucket-partitioned posting segments next door. Query-time probing
+    then READS only the probed buckets' files (parquet directory
+    pruning) instead of scanning the table per query — what a 100 TB
+    embedding table needs for high-QPS serving. Cached with a manifest
+    keyed on the source path + parameters."""
+    from candidategeneration_ray.state import checkpoint as ckpt
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    out = _cache_dir(sf_dir, f"ivf-p{n_planes}")
+    if ckpt.is_complete(out, [emb_path]):
+        return out
+    ckpt.clear_stale(out)
+    dim = _read_query_vec(emb_path).size
+    planes = _ivf_planes(n_planes, dim)
+    weights = 1 << np.arange(n_planes)
+    planes_ref = ray.put(planes)
+
+    def _code(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "p" not in _c:
+            _c["p"] = ray.get(planes_ref)
+        _, mat = _emb_matrix(batch)
+        codes = ((mat @ _c["p"].T) > 0) @ weights
+        return batch.append_column("code", pa.array(codes.astype(np.int64), pa.int64()))
+
+    os.makedirs(out, exist_ok=True)
+    ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+        .map_batches(_code, batch_format="pyarrow") \
+        .write_parquet(out, partition_cols=["code"])
+    ckpt.write_manifest(out, {"phase": "ivf", "inputs": [emb_path],
+                              "n_planes": n_planes})
+    return out
+
+
+def ivf_probe_paths(ivf_dir: str, probe_codes) -> list[str]:
+    """Parquet files of ONLY the probed inverted lists — the unit the
+    bucket-pruned read touches (asserted in pytest)."""
+    import glob as _glob
+
+    paths = []
+    for c in probe_codes:
+        paths.extend(sorted(_glob.glob(
+            os.path.join(ivf_dir, f"code={int(c)}", "*.parquet"))))
+    return paths
+
+
+def q_ann_ivf_top10(sf_dir: str, n_planes: int = 3, probe: int = 3) -> pa.Table:
+    """IVF ANN over the PERSISTED bucketed layout (build_ivf_index):
+    the query's `probe` Hamming-nearest inverted lists are read by
+    explicit bucket-directory pruning — nothing outside the probed
+    buckets leaves storage — then scored with per-batch matmuls and
+    ≤10-row partial top-k merges. Candidate set identical to the
+    former scan-and-filter variant (recall unchanged, tested).
+    Approximate by design — recall vs brute force asserted in pytest."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ivf_dir = build_ivf_index(sf_dir, n_planes)
     qv = _read_query_vec(emb_path)
-    dim = qv.size
-    planes = np.random.default_rng(13).standard_normal((n_planes, dim))
+    planes = _ivf_planes(n_planes, qv.size)
     weights = 1 << np.arange(n_planes)
     qcode = int(((qv @ planes.T) > 0) @ weights)
     ham = np.array([bin(b ^ qcode).count("1") for b in range(2 ** n_planes)])
     probe_codes = np.sort(np.argsort(ham, kind="stable")[:probe])
+    files = ivf_probe_paths(ivf_dir, probe_codes)
+    if not files:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
     qn = qv / np.linalg.norm(qv)
-    bc_ref = ray.put((qn, planes, probe_codes))
+    q_ref = ray.put(qn)
 
-    def _probe_score(batch: pa.Table, *, _c={}) -> pa.Table:
-        if "s" not in _c:
-            _c["s"] = ray.get(bc_ref)
-        qn_, planes_, probes_ = _c["s"]
+    def _score(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "q" not in _c:
+            _c["q"] = ray.get(q_ref)
         ids, mat = _emb_matrix(batch)
-        codes = ((mat @ planes_.T) > 0) @ weights
-        mask = np.isin(codes, probes_)
-        sub, sub_ids = mat[mask], ids[mask]
-        norms = np.linalg.norm(sub, axis=1)
-        cos = (sub @ qn_) / np.where(norms == 0, 1.0, norms)
-        top = np.lexsort((sub_ids, -cos))[:10]
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ _c["q"]) / np.where(norms == 0, 1.0, norms)
+        top = np.lexsort((ids, -cos))[:10]
         return pa.table({
-            "vec_id": pa.array(sub_ids[top], pa.int64()),
+            "vec_id": pa.array(ids[top], pa.int64()),
             "cos": pa.array(cos[top], pa.float64()),
         })
 
-    parts = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
-        .map_batches(_probe_score, batch_format="pyarrow").to_pandas()
+    parts = ray.data.read_parquet(files, columns=["vec_id", "embedding"]) \
+        .map_batches(_score, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(10)
     return pa.table({
         "rank": pa.array(np.arange(1, len(parts) + 1, dtype=np.int64), pa.int64()),

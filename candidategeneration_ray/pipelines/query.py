@@ -73,7 +73,17 @@ def run_queries(
         sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
         for d in dirs
     ]
-    total_bytes = sum(os.path.getsize(f) for files in per_dir_files for f in files)
+    # size the broadcast decision on the DECODED footprint, not the
+    # compressed file size: parquet row-group metadata records the
+    # uncompressed byte size, which tracks the Arrow tables placed in
+    # plasma far better (advisor finding: an index just under the
+    # on-disk limit could still exhaust the object store)
+    total_bytes = 0
+    for files in per_dir_files:
+        for f in files:
+            md = pq.read_metadata(f)
+            total_bytes += sum(md.row_group(g).total_byte_size
+                               for g in range(md.num_row_groups))
     stats_ref = ray.put(stats)
     if total_bytes <= limit:
         from concurrent.futures import ThreadPoolExecutor

@@ -83,14 +83,30 @@ def test_sessionize_matches_single_partition(ray_session, tmp_path):
     d = _write_events(tmp_path, rows)
     a = E.q_sessionize(d).to_pandas() \
         .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
-    old = E.NUM_USER_BUCKETS
+    old = E._num_user_buckets
     try:
-        E.NUM_USER_BUCKETS = 1
+        E._num_user_buckets = lambda: 1
         b = E.q_sessionize(d).to_pandas() \
             .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
     finally:
-        E.NUM_USER_BUCKETS = old
+        E._num_user_buckets = old
     assert a.equals(b)
+
+
+def test_hot_user_single_bucket(ray_session, tmp_path):
+    """Pathological skew: ONE user owns every event. The bucketed
+    groupby routes them all to a single task (the documented
+    co-location assumption) and still produces exact sessions with the
+    full row count."""
+    from candidategeneration_ray.pipelines import events as E
+
+    n = 5000
+    rows = [(i, i * 10, 7, "view", 1.0) for i in range(n)]  # no gaps
+    d = _write_events(tmp_path, rows)
+    pdf = E.q_sessionize(d).to_pandas()
+    assert len(pdf) == 1  # one user, gap never exceeded -> one session
+    assert int(pdf["n_events"].iloc[0]) == n
+    assert int(pdf["cents"].iloc[0]) == 100 * n
 
 
 def test_range_join_counts_semantics(ray_session, tmp_path):

@@ -195,6 +195,72 @@ class TestAnn:
         assert recall >= 0.5, f"IVF recall {recall}"
         assert bf[0] == 0  # the query vector itself is its own 1-NN
 
+    def test_jaccard_hot_shingle_cap(self, ray_session, tmp_path):
+        """Pathological skew: one boilerplate shingle shared by EVERY
+        doc. The default cap drops it before the O(m²) explosion;
+        capped pairs are a subset of exact pairs, true near-dups (which
+        share many non-hot shingles) survive, and the all-pairs blowup
+        from the hot shingle alone does not."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import q_jaccard_pairs
+
+        n = 40
+        boiler = "click here to subscribe"
+        texts = [f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d"
+                 for i in range(n)]
+        # one true near-dup pair sharing most of their text
+        texts[0] = f"{boiler} shared alpha beta gamma delta epsilon"
+        texts[1] = f"{boiler} shared alpha beta gamma delta zeta"
+        t = pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+        def pairs(tab):
+            pdf = tab.to_pandas()
+            return set(zip(pdf["doc_a"], pdf["doc_b"]))
+
+        exact = pairs(q_jaccard_pairs(d, max_shingle_df=None))
+        capped = pairs(q_jaccard_pairs(d, max_shingle_df=5))
+        assert capped <= exact
+        assert (0, 1) in capped, "true near-dup survives the cap"
+        # the hot shingle alone may pull low-Jaccard pairs into `exact`
+        # but never into `capped`
+        assert len(capped) <= len(exact)
+
+    def test_ivf_persisted_layout_prunes_probes(self, ray_session):
+        """The IVF index persists as a code-bucketed parquet layout; a
+        probe's read set contains ONLY the probed buckets' files, and
+        the bucket files partition the table (every vector in exactly
+        one inverted list)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import (
+            build_ivf_index, ivf_probe_paths)
+
+        ivf_dir = build_ivf_index(SF)
+        codes = sorted(int(d.split("=")[1]) for d in os.listdir(ivf_dir)
+                       if d.startswith("code="))
+        assert len(codes) >= 2, "layout has at least two inverted lists"
+        probed = codes[:2]
+        others = [c for c in codes if c not in probed]
+        files = ivf_probe_paths(ivf_dir, probed)
+        assert files
+        for f in files:
+            assert any(os.sep + f"code={c}" + os.sep in f for c in probed), f
+            assert not any(os.sep + f"code={c}" + os.sep in f for c in others), f
+        total = sum(pq.read_metadata(f).num_rows
+                    for f in ivf_probe_paths(ivf_dir, codes))
+        n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+        assert total == n
+
     def test_brute_force_is_exact(self, ray_session):
         import pyarrow.parquet as pq
 
