@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from candidategeneration_ray.pipelines import docquery as dq
     from candidategeneration_ray.pipelines import events as ev
     from candidategeneration_ray.pipelines import extras as ex
+    from candidategeneration_ray.pipelines import sketches as sk
 
     return {
         # --- core engine operators (SURVEY.md §2) ---
@@ -75,6 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": ex.q_langid,
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
+        # --- mergeable-summary (sketch) aggregates ---
+        "doclen_histogram": sk.q_doclen_histogram,
+        "doclen_quantiles": sk.q_doclen_quantiles,
+        "frequent_terms": sk.q_frequent_terms,      # 2-pass Misra-Gries, exact
+        "hll_distinct_terms": sk.q_hll_distinct_terms,  # approximate (rows-only)
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
@@ -88,7 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from candidategeneration_ray.pipelines.sql_oracles import (
-        core_oracles, extras_oracles, predictive_oracles,
+        core_oracles, extras_oracles, predictive_oracles, sketch_oracles,
     )
 
-    return {**core_oracles(), **predictive_oracles(), **extras_oracles()}
+    return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
+            **sketch_oracles()}

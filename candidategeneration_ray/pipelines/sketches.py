@@ -1,0 +1,261 @@
+"""Mergeable-summary (sketch) aggregates over the documents table.
+
+The reference has no sketches or approximate aggregates (SURVEY §2,
+"sampled selection threshold" O3 is its only sampling); these are the
+bounded-memory summaries a 100 TB training-data pipeline runs where an
+exact groupby over the full key space is unnecessary or impossible.
+Every operator follows the same shape: a vectorized per-batch PARTIAL
+summary emitted as a few rows, one tiny ``groupby`` merge (the summary
+is orders of magnitude smaller than the data), and a driver-side
+finalize over the merged summary only — the data itself is never
+materialized and the shuffle moves summaries, not rows.
+
+Three of the four are EXACT (and SQL-verified by the driver):
+histogram/quantiles because fixed-width binning is deterministic, and
+heavy hitters because the Misra-Gries pass only bounds the CANDIDATE
+set — a second exact counting pass restricted to candidates makes the
+output exact (the classic 2-pass frequent-items scheme, Misra & Gries
+1982).  HyperLogLog is genuinely approximate (Flajolet et al. 2007)
+and is error-bound tested against the exact distinct count instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+from candidategeneration_ray.functions import hashing as H
+from candidategeneration_ray.functions.tokenize import tokenize_many
+
+# ---------------------------------------------------------------- histogram
+
+HIST_BIN_WIDTH = 64          # n_chars per bin — fixed so the oracle agrees
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def _doclen_partials(batch: pa.Table) -> pa.Table:
+    bins = batch.column("n_chars").to_numpy() // HIST_BIN_WIDTH
+    idx, cnt = np.unique(bins, return_counts=True)
+    return pa.table({
+        "bin": pa.array(idx.astype(np.int64), pa.int64()),
+        "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def _texts_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+
+def _doclen_hist_ds(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
+    return (
+        ds.map_batches(_doclen_partials, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def q_doclen_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-width histogram of document lengths (n_chars, bin width
+    64): one row per non-empty bin with its inclusive char range.
+    Shuffle: per-batch bincount partials -> groupby(bin).sum — the
+    merged summary is O(max_len / width) rows regardless of corpus
+    size."""
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy()
+        return batch.append_column(
+            "lo_chars", pa.array(b * HIST_BIN_WIDTH, pa.int64()))
+
+    return _doclen_hist_ds(sf_dir).map_batches(_edges, batch_format="pyarrow")
+
+
+def q_doclen_quantiles(sf_dir: str) -> pa.Table:
+    """Histogram-sketch quantiles of document length: for each pct the
+    smallest bin whose cumulative count reaches ceil(pct/100 * N), with
+    its exclusive upper char bound.  Deterministic (fixed bins + fixed
+    rank rule), so exactly reproducible in SQL.  The finalize runs on
+    the driver over the merged histogram only (a few hundred rows)."""
+    hist = _doclen_hist_ds(sf_dir).sort("bin").take_all()
+    bins = np.array([r["bin"] for r in hist], dtype=np.int64)
+    counts = np.array([r["n_docs"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if cum.size else 0
+    out_pct, out_bin = [], []
+    for pct in QUANTILE_PCTS:
+        target = -(-pct * total // 100)  # ceil without floats
+        i = int(np.searchsorted(cum, target))
+        out_pct.append(pct)
+        out_bin.append(int(bins[min(i, bins.size - 1)]) if bins.size else 0)
+    b = np.array(out_bin, dtype=np.int64)
+    return pa.table({
+        "pct": pa.array(out_pct, pa.int64()),
+        "bin": pa.array(b, pa.int64()),
+        "ub_chars": pa.array((b + 1) * HIST_BIN_WIDTH, pa.int64()),
+    })
+
+
+# ------------------------------------------------------------ heavy hitters
+
+FREQ_PHI_PCT = 0.5       # report terms with >= 0.5% of all kept tokens
+MG_CAPACITY = 512        # per-batch Misra-Gries capacity k (>= 2/phi)
+_TOTAL_KEY = ""          # never a kept token (tokenizer drops len<=1)
+
+
+def _mg_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch Misra-Gries summary over kept tokens: at most k
+    (term, cnt) rows where cnt is a LOWER bound with error <= B/(k+1)
+    for a batch of B tokens, plus one reserved ''-keyed row carrying
+    the exact batch token count (so the merge also yields exact N)."""
+    token_lists = tokenize_many(batch.column("text").to_pylist())
+    flat = np.asarray(
+        [t for toks in token_lists for t in toks], dtype=object)
+    terms, counts = (np.unique(flat, return_counts=True)
+                     if flat.size else (np.empty(0, object), np.empty(0, np.int64)))
+    if terms.size > MG_CAPACITY:
+        # decrement trick on exact batch counts: subtract the (k+1)-th
+        # largest count; <= k terms stay positive and each kept count
+        # is the standard MG lower bound
+        d = np.partition(counts, -(MG_CAPACITY + 1))[-(MG_CAPACITY + 1)]
+        keep = counts > d
+        terms, counts = terms[keep], counts[keep] - d
+    return pa.table({
+        "term": pa.array(
+            np.concatenate(([_TOTAL_KEY], terms)).tolist(), pa.string()),
+        "cnt": pa.array(
+            np.concatenate(([flat.size], counts)).astype(np.int64), pa.int64()),
+    })
+
+
+def q_frequent_terms(sf_dir: str, phi_pct: float = FREQ_PHI_PCT) -> pa.Table:
+    """EXACT heavy hitters: every kept token whose total occurrence
+    count is >= ceil(phi * total_tokens), with its exact count
+    (2-pass Misra-Gries).
+
+    Pass 1: per-batch MG summaries -> groupby(term).sum.  A term absent
+    from every batch summary has total count <= sum_i B_i/(k+1) =
+    N/(k+1) < phi*N (k >= 2/phi), so the merged candidate set has no
+    false negatives; candidates whose merged lower bound plus the
+    global error N/(k+1) misses the threshold are pruned before the
+    broadcast.  Pass 2: broadcast the sorted candidate array (the
+    filter-set semi-join pattern, stages/postings.py M4) and count
+    exactly -> groupby(term).sum -> threshold filter.  Only summaries
+    and candidate-restricted counts are ever shuffled; the candidate
+    set is <= 1/phi true hitters plus prunable noise."""
+    merged = (
+        _texts_ds(sf_dir)
+        .map_batches(_mg_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    total = next(r["cnt"] for r in merged if r["term"] == _TOTAL_KEY)
+    threshold = -(-int(phi_pct * 100) * total // 10000)  # ceil(phi*N), exact ints
+    err = total // (MG_CAPACITY + 1)
+    cand = np.array(sorted(
+        r["term"] for r in merged
+        if r["term"] != _TOTAL_KEY and r["cnt"] + err >= threshold
+    ), dtype=object)
+    cand_ref = ray.put(cand)
+
+    def _exact_partial(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        flat = np.asarray(
+            [t for toks in token_lists for t in toks], dtype=object)
+        if flat.size == 0 or cands.size == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        flat = flat[np.isin(flat, cands)]
+        terms, counts = np.unique(flat, return_counts=True)
+        return pa.table({"term": pa.array(terms.tolist(), pa.string()),
+                         "cnt": pa.array(counts.astype(np.int64), pa.int64())})
+
+    exact = (
+        _texts_ds(sf_dir)
+        .map_batches(_exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    rows = sorted(((r["term"], r["cnt"]) for r in exact
+                   if r["cnt"] >= threshold), key=lambda x: (-x[1], x[0]))
+    return pa.table({
+        "term": pa.array([t for t, _ in rows], pa.string()),
+        "cnt": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
+# -------------------------------------------------------------- HyperLogLog
+
+HLL_P = 12                       # 2^12 = 4096 registers, ~1.6% std error
+HLL_M = 1 << HLL_P
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length for uint64 (6 shift/compare passes)."""
+    bl = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl[v > 0] += 1
+    return bl
+
+
+def _hll_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch HLL register maxima over the batch's DISTINCT kept
+    tokens: (register, rho) rows, at most m per batch."""
+    token_lists = tokenize_many(batch.column("text").to_pylist())
+    toks = sorted({t for ts in token_lists for t in ts})
+    if not toks:
+        return pa.table({"register": pa.array([], pa.int64()),
+                         "rho": pa.array([], pa.int64())})
+    h = H.h64_many(toks)
+    reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) >> np.uint64(HLL_P)  # low 64-p bits
+    rho = (64 - HLL_P) - _bit_length_u64(rest) + 1      # leading zeros + 1
+    order = np.lexsort((-rho, reg))
+    reg, rho = reg[order], rho[order]
+    first = np.concatenate(([True], reg[1:] != reg[:-1]))
+    return pa.table({
+        "register": pa.array(reg[first], pa.int64()),
+        "rho": pa.array(rho[first], pa.int64()),
+    })
+
+
+def q_hll_distinct_terms(sf_dir: str) -> pa.Table:
+    """Approximate number of distinct kept tokens via HyperLogLog
+    (p=12).  Per-batch register partials -> groupby(register).max ->
+    driver estimate over <= 4096 rows.  Register max is commutative,
+    so the estimate is independent of partitioning/parallelism (tested)
+    and the merge is a fixed-size shuffle however large the corpus.
+    Approximate by nature -> rows-only driver entry; relative error vs
+    the exact distinct count is pytest-asserted (<5%, ~3x std error)."""
+    merged = (
+        _texts_ds(sf_dir)
+        .map_batches(_hll_partial, batch_format="pyarrow")
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+        .take_all()
+    )
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    for r in merged:
+        regs[r["register"]] = r["rho"]
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    est = alpha * HLL_M * HLL_M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * HLL_M and zeros > 0:      # small-range correction
+        est = HLL_M * np.log(HLL_M / zeros)
+    return pa.table({
+        "n_distinct_est": pa.array([int(est)], pa.int64()),
+        "n_registers": pa.array([HLL_M], pa.int64()),
+    })

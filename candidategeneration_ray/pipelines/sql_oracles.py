@@ -974,3 +974,42 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM fp
 """,
     }
+
+
+def sketch_oracles() -> dict[str, str]:
+    """Oracles for the exact sketch aggregates (pipelines/sketches.py).
+
+    The binning / threshold arithmetic is pure integer math on both
+    sides: bin = n_chars // 64, quantile rank = ceil(pct*N/100) via
+    (pct*N + 99) // 100, heavy-hitter threshold = ceil(0.005*N) via
+    (50*N + 9999) // 10000 — so the comparison is exact, not
+    float-tolerant."""
+    return {
+        "doclen_histogram": """
+SELECT CAST(n_chars // 64 AS BIGINT) AS bin,
+       CAST((n_chars // 64) * 64 AS BIGINT) AS lo_chars,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY n_chars // 64
+""",
+        "doclen_quantiles": """
+WITH h AS (SELECT n_chars // 64 AS bin, count(*) AS n FROM documents GROUP BY 1),
+c AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cum FROM h),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+p(pct) AS (VALUES (50), (90), (99))
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST(min(bin) AS BIGINT) AS bin,
+       CAST(min(bin) * 64 + 64 AS BIGINT) AS ub_chars
+FROM p, t, c
+WHERE c.cum >= (pct * total + 99) // 100
+GROUP BY pct
+""",
+        "frequent_terms": f"""
+WITH {KEPT_CTE}
+SELECT tok AS term, CAST(count(*) AS BIGINT) AS cnt
+FROM kept
+GROUP BY tok
+HAVING count(*) >= ((SELECT count(*) FROM kept) * 50 + 9999) // 10000
+ORDER BY cnt DESC, term ASC
+""",
+    }
