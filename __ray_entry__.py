@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from candidategeneration_ray.pipelines import events as ev
     from candidategeneration_ray.pipelines import extras as ex
     from candidategeneration_ray.pipelines import sketches as sk
+    from candidategeneration_ray.pipelines import clustering as cl
 
     return {
         # --- core engine operators (SURVEY.md §2) ---
@@ -81,6 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": sk.q_doclen_quantiles,
         "frequent_terms": sk.q_frequent_terms,      # 2-pass Misra-Gries, exact
         "hll_distinct_terms": sk.q_hll_distinct_terms,  # approximate (rows-only)
+        # --- clustering (exact-integer Lloyd, value-verified) ---
+        "kmeans_centroids": cl.q_kmeans_centroids,
+        "kmeans_assignments": cl.q_kmeans_assignments,
+        "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,  # approximate (rows-only)
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
@@ -94,8 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from candidategeneration_ray.pipelines.sql_oracles import (
-        core_oracles, extras_oracles, predictive_oracles, sketch_oracles,
+        core_oracles, extras_oracles, kmeans_oracles, predictive_oracles,
+        sketch_oracles,
     )
 
     return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
-            **sketch_oracles()}
+            **sketch_oracles(), **kmeans_oracles()}

@@ -1,0 +1,263 @@
+"""Distributed k-means over the embeddings table, value-verified.
+
+Lloyd's algorithm is normally unverifiable against SQL because float
+summation order differs between a distributed reduce and a single-node
+oracle.  This implementation is EXACT and partition-order independent:
+
+- vectors are quantized once by a power-of-two scale (x_q =
+  trunc(x * 2^16) — scaling a float by a power of two is exact, so
+  numpy and DuckDB compute identical int64 coordinates);
+- per-batch partials are integer (cluster, dim, sum) rows merged by one
+  groupby — integer addition is associative/commutative, so the merged
+  sums are independent of batching;
+- the centroid update is integer floor division (floor(sum/count) via
+  float64 division is exact here: |sum| < 2^40 and count < 2^31 keep
+  the rational's distance from any non-equal integer above the float64
+  rounding error);
+- assignment minimizes the integer squared L2 distance with a (dist
+  asc, cluster asc) tie-break.
+
+Every step is therefore reproducible in DuckDB as ITERS unrolled
+CTE pairs (assign_i, centroids_i) — the driver's hash compare is exact,
+not float-tolerant.  Scale shape: each iteration is one pass
+(map_batches partials -> k*(dim+1)-row groupby -> driver update of the
+k x dim codebook); the data is never materialized and the broadcast is
+the codebook, not the table.  The codebook doubles as a learned IVF
+coarse quantizer (see q_ann_ivf_kmeans_top10).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+KMEANS_SCALE = 1 << 16          # power of two -> exact quantization
+_COUNT_DIM = -1                 # reserved dim row carrying cluster counts
+
+
+def _embeddings_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+
+def _quantize(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy()
+    emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    return ids.astype(np.int64), np.trunc(emb * KMEANS_SCALE).astype(np.int64)
+
+
+def _assign(xq: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest centroid by integer squared L2; ties -> lowest cluster id.
+    dist fits int64: |coord diff| < 2^18, dim<=2^10 -> < 2^47."""
+    # (n, k) distances without materializing (n, k, d): ||x||^2 - 2 x.c + ||c||^2
+    d2 = (
+        (xq * xq).sum(axis=1, keepdims=True)
+        - 2 * (xq @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+    return np.argmin(d2, axis=1).astype(np.int64)  # argmin takes first = lowest id
+
+
+def _init_centroids(sf_dir: str) -> np.ndarray:
+    """Quantized vectors of the K smallest vec_ids: per-batch partial
+    bottom-k -> driver merge of <=k rows per batch (no global sort)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids, xq = _quantize(batch)
+        keep = np.argsort(ids, kind="stable")[:KMEANS_K]
+        return pa.table({
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "xq": pa.array(list(xq[keep]), pa.list_(pa.int64())),
+        })
+
+    rows = _embeddings_ds(sf_dir).map_batches(
+        _partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.array([r["xq"] for r in rows[:KMEANS_K]], dtype=np.int64)
+
+
+def _update_pass(sf_dir: str, cent: np.ndarray) -> np.ndarray:
+    """One Lloyd iteration: broadcast codebook, integer partial sums per
+    (cluster, dim) + a count row per cluster, one groupby merge, floor
+    division on the driver.  Empty clusters keep their centroid."""
+    cent_ref = ray.put(cent)
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        _, xq = _quantize(batch)
+        a = _assign(xq, c)
+        k, dim = c.shape
+        out_c, out_d, out_s = [], [], []
+        for cl in np.unique(a):
+            sums = xq[a == cl].sum(axis=0)
+            out_c.append(np.full(dim + 1, cl, dtype=np.int64))
+            out_d.append(np.concatenate((np.arange(dim), [_COUNT_DIM])))
+            out_s.append(np.concatenate((sums, [int((a == cl).sum())])))
+        return pa.table({
+            "cluster": pa.array(np.concatenate(out_c), pa.int64()),
+            "dim": pa.array(np.concatenate(out_d).astype(np.int64), pa.int64()),
+            "s": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+
+    merged = (
+        _embeddings_ds(sf_dir)
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["cluster", "dim"])
+        .aggregate(Sum("s", alias_name="s"))
+        .take_all()
+    )
+    k, dim = cent.shape
+    sums = np.zeros((k, dim), dtype=np.int64)
+    counts = np.zeros(k, dtype=np.int64)
+    for r in merged:
+        if r["dim"] == _COUNT_DIM:
+            counts[r["cluster"]] = r["s"]
+        else:
+            sums[r["cluster"], r["dim"]] = r["s"]
+    new = cent.copy()
+    nz = counts > 0
+    new[nz] = np.floor(sums[nz] / counts[nz, None]).astype(np.int64)
+    return new
+
+
+def kmeans_codebook(sf_dir: str) -> np.ndarray:
+    """The (k, dim) int64 codebook after KMEANS_ITERS Lloyd passes."""
+    cent = _init_centroids(sf_dir)
+    for _ in range(KMEANS_ITERS):
+        cent = _update_pass(sf_dir, cent)
+    return cent
+
+
+def q_kmeans_centroids(sf_dir: str) -> pa.Table:
+    """Final quantized centroids, long form (cluster, dim, centroid_q)."""
+    cent = kmeans_codebook(sf_dir)
+    k, dim = cent.shape
+    return pa.table({
+        "cluster": pa.array(np.repeat(np.arange(k), dim), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(dim), k), pa.int64()),
+        "centroid_q": pa.array(cent.ravel(), pa.int64()),
+    })
+
+
+def q_kmeans_assignments(sf_dir: str) -> ray.data.Dataset:
+    """(vec_id, cluster) under the final codebook — one extra assign
+    pass with the broadcast codebook; fully streaming."""
+    cent_ref = ray.put(kmeans_codebook(sf_dir))
+
+    def _assign_batch(batch: pa.Table) -> pa.Table:
+        ids, xq = _quantize(batch)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(_assign(xq, ray.get(cent_ref)), pa.int64()),
+        })
+
+    return _embeddings_ds(sf_dir).map_batches(
+        _assign_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------- learned-codebook IVF
+
+IVF_NPROBE = 3
+
+
+def build_ivf_kmeans_index(sf_dir: str) -> tuple[str, np.ndarray]:
+    """Persist the learned-codebook IVF layout once: train the k-means
+    codebook, assign every vector, and write the table hive-partitioned
+    by cluster (one directory per inverted list — the embedding analog
+    of the bucket-partitioned posting segments).  Query-time probing
+    reads only the probed clusters' directories.  The codebook is
+    persisted next to the layout so serving never retrains; the
+    manifest keys on the source file (lineage), so a changed table
+    rebuilds."""
+    import json
+
+    from candidategeneration_ray.pipelines.docquery import _cache_dir
+    from candidategeneration_ray.state import checkpoint as ckpt
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    out = _cache_dir(sf_dir, f"ivfkm-k{KMEANS_K}i{KMEANS_ITERS}")
+    cb_path = os.path.join(out, "codebook.json")
+    if ckpt.is_complete(out, [emb_path]):
+        cent = np.array(json.load(open(cb_path)), dtype=np.int64)
+        return out, cent
+    ckpt.clear_stale(out)
+    cent = kmeans_codebook(sf_dir)
+    cent_ref = ray.put(cent)
+
+    def _code(batch: pa.Table) -> pa.Table:
+        _, xq = _quantize(batch)
+        return batch.append_column(
+            "cluster", pa.array(_assign(xq, ray.get(cent_ref)), pa.int64()))
+
+    os.makedirs(out, exist_ok=True)
+    ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+        .map_batches(_code, batch_format="pyarrow") \
+        .write_parquet(out, partition_cols=["cluster"])
+    json.dump(cent.tolist(), open(cb_path, "w"))
+    ckpt.write_manifest(out, {"phase": "ivf-kmeans", "inputs": [emb_path],
+                              "k": KMEANS_K, "iters": KMEANS_ITERS})
+    return out, cent
+
+
+def ivf_kmeans_probe_paths(ivf_dir: str, clusters) -> list[str]:
+    import glob
+
+    paths = []
+    for c in clusters:
+        paths.extend(sorted(glob.glob(
+            os.path.join(ivf_dir, f"cluster={int(c)}", "*.parquet"))))
+    return paths
+
+
+def q_ann_ivf_kmeans_top10(sf_dir: str, nprobe: int = IVF_NPROBE) -> pa.Table:
+    """ANN top-10 through the LEARNED IVF: probe the query's `nprobe`
+    nearest centroids (same integer L2 as training), bucket-pruned read
+    of only those inverted lists, exact cosine + partial top-k within.
+    Approximate by design (recall vs the brute-force twin asserted in
+    pytest); the trained codebook probes the true neighborhood far more
+    sharply than the hyperplane-sign variant at equal probe budget."""
+    from candidategeneration_ray.pipelines.extras import (
+        _emb_matrix, _read_query_vec)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ivf_dir, cent = build_ivf_kmeans_index(sf_dir)
+    qv = _read_query_vec(emb_path)
+    xq = np.trunc(qv[None, :] * KMEANS_SCALE).astype(np.int64)
+    d2 = ((xq - cent) ** 2).sum(axis=1)
+    probe = np.sort(np.argsort(d2, kind="stable")[:nprobe])
+    files = ivf_kmeans_probe_paths(ivf_dir, probe)
+    if not files:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    qn = qv / np.linalg.norm(qv)
+    q_ref = ray.put(qn)
+
+    def _score(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "q" not in _c:
+            _c["q"] = ray.get(q_ref)
+        ids, mat = _emb_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ _c["q"]) / np.where(norms == 0, 1.0, norms)
+        top = np.lexsort((ids, -cos))[:10]
+        return pa.table({
+            "vec_id": pa.array(ids[top], pa.int64()),
+            "cos": pa.array(cos[top], pa.float64()),
+        })
+
+    parts = ray.data.read_parquet(files, columns=["vec_id", "embedding"]) \
+        .map_batches(_score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cos", "vec_id"],
+                              ascending=[False, True]).head(10)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(parts) + 1, dtype=np.int64),
+                         pa.int64()),
+        "vec_id": pa.array(parts["vec_id"].to_numpy(np.int64), pa.int64()),
+    })

@@ -1013,3 +1013,63 @@ HAVING count(*) >= ((SELECT count(*) FROM kept) * 50 + 9999) // 10000
 ORDER BY cnt DESC, term ASC
 """,
     }
+
+
+def _kmeans_ctes() -> str:
+    """Unrolled Lloyd iterations as (assign_i, centroids_i) CTE pairs —
+    the integer arithmetic (power-of-two quantize, int sums, floor-div
+    centroid update, squared-L2 assignment with (dist, cluster)
+    tie-break) mirrors pipelines/clustering.py step for step, so the
+    comparison is exact."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_ITERS, KMEANS_K, KMEANS_SCALE)
+
+    parts = [f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM embeddings),
+c0 AS (SELECT CAST(rk AS BIGINT) AS cluster, d, x AS cq
+       FROM qv JOIN ids USING (vec_id) WHERE rk < {KMEANS_K})"""]
+    for i in range(1, KMEANS_ITERS + 2):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT qv.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY qv.vec_id
+             ORDER BY sum((qv.x - c.cq) * (qv.x - c.cq)) ASC, c.cluster ASC
+           ) AS rn
+    FROM qv JOIN c{i - 1} c USING (d)
+    GROUP BY qv.vec_id, c.cluster)
+  WHERE rn = 1
+)""")
+        if i <= KMEANS_ITERS:
+            parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT p.cluster, p.d,
+         coalesce(CAST(floor(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT), p.cq) AS cq
+  FROM c{i - 1} p
+  LEFT JOIN (
+    SELECT a.cluster, qv.d, sum(qv.x) AS sx, count(*) AS n
+    FROM a{i} a JOIN qv USING (vec_id)
+    GROUP BY a.cluster, qv.d
+  ) s ON s.cluster = p.cluster AND s.d = p.d
+)""")
+    return ",\n".join(parts)
+
+
+def kmeans_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
+
+    last_c, last_a = f"c{KMEANS_ITERS}", f"a{KMEANS_ITERS + 1}"
+    return {
+        "kmeans_centroids": f"""
+WITH {_kmeans_ctes()}
+SELECT cluster, d AS dim, cq AS centroid_q FROM {last_c}
+""",
+        "kmeans_assignments": f"""
+WITH {_kmeans_ctes()}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, cluster FROM {last_a}
+""",
+    }

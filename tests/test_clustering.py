@@ -1,0 +1,128 @@
+"""Distributed exact-integer k-means (pipelines/clustering.py):
+identity with a single-process numpy replica, partition independence,
+empty-cluster handling, and the learned-codebook IVF's recall +
+bucket-pruned reads.  The sf0.01 SQL-oracle identity runs in
+test_driver_contract."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from candidategeneration_ray.pipelines import clustering as cl
+
+SF = "/root/testdata/sf0.01"
+
+
+def _numpy_replica(ids: np.ndarray, emb: np.ndarray):
+    """Single-process reference of the exact algorithm."""
+    xq = np.trunc(emb.astype(np.float64) * cl.KMEANS_SCALE).astype(np.int64)
+    order = np.argsort(ids)
+    ids, xq = ids[order], xq[order]
+    cent = xq[:cl.KMEANS_K].copy()
+    for _ in range(cl.KMEANS_ITERS):
+        a = cl._assign(xq, cent)
+        new = cent.copy()
+        for c in range(cl.KMEANS_K):
+            m = a == c
+            if m.any():
+                new[c] = np.floor(xq[m].sum(0) / m.sum()).astype(np.int64)
+        cent = new
+    return cent, ids, cl._assign(xq, cent)
+
+
+def _load(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    return (np.array(t.column("vec_id"), dtype=np.int64),
+            np.array(t.column("embedding").to_pylist(), dtype=np.float64))
+
+
+def _write_emb(path: str, ids: np.ndarray, emb: np.ndarray,
+               num_files: int = 1) -> str:
+    def tab(sl):
+        return pa.table({
+            "vec_id": pa.array(ids[sl], pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in emb[sl]],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(ids[sl]), np.int32), pa.int32()),
+        })
+
+    if num_files == 1:
+        pq.write_table(tab(slice(None)),
+                       os.path.join(path, "embeddings.parquet"))
+    else:
+        d = os.path.join(path, "embeddings.parquet")
+        os.makedirs(d, exist_ok=True)
+        bounds = np.linspace(0, len(ids), num_files + 1).astype(int)
+        for i in range(num_files):
+            pq.write_table(tab(slice(bounds[i], bounds[i + 1])),
+                           os.path.join(d, f"part_{i}.parquet"))
+    return path
+
+
+class TestKmeans:
+    def test_matches_numpy_replica(self, ray_session):
+        ids, emb = _load(SF)
+        cent, rids, ra = _numpy_replica(ids, emb)
+        got_c = cl.q_kmeans_centroids(SF).to_pandas() \
+            .sort_values(["cluster", "dim"])
+        assert (got_c["centroid_q"].values == cent.ravel()).all()
+        got_a = cl.q_kmeans_assignments(SF).to_pandas().sort_values("vec_id")
+        assert (got_a["vec_id"].values == rids).all()
+        assert (got_a["cluster"].values == ra).all()
+
+    def test_partition_independence(self, tmp_path_factory, ray_session):
+        rng = np.random.default_rng(11)
+        n, dim = 300, 16
+        emb = rng.standard_normal((n, dim)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        ids = np.arange(n, dtype=np.int64)
+        d1 = _write_emb(str(tmp_path_factory.mktemp("emb1")), ids, emb, 1)
+        d4 = _write_emb(str(tmp_path_factory.mktemp("emb4")), ids, emb, 4)
+        c1 = cl.q_kmeans_centroids(d1).to_pandas().sort_values(["cluster", "dim"])
+        c4 = cl.q_kmeans_centroids(d4).to_pandas().sort_values(["cluster", "dim"])
+        assert (c1["centroid_q"].values == c4["centroid_q"].values).all()
+
+    def test_empty_clusters_keep_centroid(self, tmp_path_factory, ray_session):
+        # 20 identical vectors: after one pass every point sits in
+        # cluster 0 and clusters 1..k-1 are empty — they must keep
+        # their (identical) init centroids, and nothing may crash
+        n, dim = 20, 8
+        emb = np.tile(np.float32(1.0 / np.sqrt(dim)), (n, dim))
+        ids = np.arange(n, dtype=np.int64)
+        d = _write_emb(str(tmp_path_factory.mktemp("embdup")), ids, emb, 1)
+        cent = cl.q_kmeans_centroids(d).to_pandas()
+        assert len(cent) == cl.KMEANS_K * dim
+        a = cl.q_kmeans_assignments(d).to_pandas()
+        assert (a["cluster"] == 0).all()
+
+
+class TestIvfKmeans:
+    def test_recall_vs_brute_force(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import q_ann_cosine_top10
+
+        bf = q_ann_cosine_top10(SF).column("vec_id").to_pylist()
+        ivf = cl.q_ann_ivf_kmeans_top10(SF).column("vec_id").to_pylist()
+        assert len(ivf) == 10
+        recall = len(set(bf) & set(ivf)) / len(bf)
+        assert recall >= 0.8
+
+    def test_bucket_pruned_reads_and_partitioning(self, ray_session):
+        ivf_dir, cent = cl.build_ivf_kmeans_index(SF)
+        clusters = sorted(int(d.split("=")[1]) for d in os.listdir(ivf_dir)
+                          if d.startswith("cluster="))
+        assert len(clusters) >= 2
+        probed = clusters[:2]
+        files = cl.ivf_kmeans_probe_paths(ivf_dir, probed)
+        all_files = cl.ivf_kmeans_probe_paths(ivf_dir, clusters)
+        assert files and set(files) < set(all_files)  # strictly pruned
+        # the buckets partition the table: per-bucket rows sum to N and
+        # vec_ids are disjoint
+        seen = []
+        for f in all_files:
+            seen.extend(pq.read_table(f, columns=["vec_id"])
+                        .column("vec_id").to_pylist())
+        n = pq.read_metadata(os.path.join(SF, "embeddings.parquet")).num_rows
+        assert len(seen) == n and len(set(seen)) == n
