@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_centroids": cl.q_kmeans_centroids,
         "kmeans_assignments": cl.q_kmeans_assignments,
         "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,  # approximate (rows-only)
+        "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
@@ -99,9 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from candidategeneration_ray.pipelines.sql_oracles import (
-        core_oracles, extras_oracles, kmeans_oracles, predictive_oracles,
-        sketch_oracles,
+        core_oracles, extras_oracles, kmeans_oracles, knn_oracles,
+        predictive_oracles, sketch_oracles,
     )
 
     return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
-            **sketch_oracles(), **kmeans_oracles()}
+            **sketch_oracles(), **kmeans_oracles(), **knn_oracles()}

@@ -261,3 +261,104 @@ def q_ann_ivf_kmeans_top10(sf_dir: str, nprobe: int = IVF_NPROBE) -> pa.Table:
                          pa.int64()),
         "vec_id": pa.array(parts["vec_id"].to_numpy(np.int64), pa.int64()),
     })
+
+
+# ------------------------------------------------------ exact kNN graph
+
+KNN_K = 3
+
+
+def q_knn_graph(sf_dir: str, k: int = KNN_K, n_blocks: int = 4) -> ray.data.Dataset:
+    """EXACT k-nearest-neighbor graph over the embeddings (the seed
+    structure for graph clustering / diversity filtering): for every
+    vector its k nearest others by (integer squared L2 asc, nbr_id asc),
+    value-verified because the quantized distances are exact integers.
+
+    Same block-pair all-pairs decomposition as q_embedding_neardups
+    (extras.py): each pair-group computes one bounded distance matrix
+    and emits per-vector PARTIAL top-k rows (both directions for
+    off-diagonal groups); groupby(vec_id) then merges <= n_blocks
+    partials per vector into the final top-k. No task holds more than
+    2/n_blocks of the table; the merge shuffles k*n_blocks rows per
+    vector, not distances."""
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        blk = (ids % n_blocks).astype(np.int64)
+        pair_of = np.empty((n_blocks, n_blocks), dtype=np.int64)
+        side_of = np.empty((n_blocks, n_blocks), dtype=np.int64)
+        for a in range(n_blocks):
+            for b in range(n_blocks):
+                lo, hi = min(a, b), max(a, b)
+                pair_of[a, b] = lo * n_blocks + hi
+                side_of[a, b] = 0 if a == lo else 1
+        take = np.repeat(np.arange(ids.size), n_blocks)
+        pair_id = pair_of[np.repeat(blk, n_blocks),
+                          np.tile(np.arange(n_blocks), ids.size)]
+        side = side_of[np.repeat(blk, n_blocks),
+                       np.tile(np.arange(n_blocks), ids.size)]
+        rep = batch.take(take)
+        return pa.table({
+            "pair_id": pa.array(pair_id, pa.int64()),
+            "side": pa.array(side, pa.int64()),
+            "vec_id": rep.column("vec_id").cast(pa.int64()),
+            "embedding": rep.column("embedding"),
+        })
+
+    def _partial_topk(ids_a, xa, ids_b, xb, exclude_self: bool):
+        """Per-row top-k of a (len(a), len(b)) integer distance matrix."""
+        d2 = ((xa * xa).sum(1, keepdims=True) - 2 * (xa @ xb.T)
+              + (xb * xb).sum(1)[None, :])
+        if exclude_self:
+            self_m = ids_a[:, None] == ids_b[None, :]
+            d2 = np.where(self_m, np.iinfo(np.int64).max, d2)
+        kk = min(k, ids_b.size - (1 if exclude_self else 0))
+        if kk <= 0:
+            return (np.empty(0, np.int64),) * 3
+        # lexsort per row on (d2, nbr_id): sort a composite is overkill —
+        # argsort d2 then stable tie-break via nbr order within equal d2
+        order = np.lexsort((np.broadcast_to(ids_b, d2.shape), d2), axis=1)[:, :kk]
+        rows = np.repeat(ids_a, kk)
+        cols = order.ravel()
+        return rows, ids_b[cols], d2[np.repeat(np.arange(ids_a.size), kk), cols]
+
+    def _score_group(group: pa.Table) -> pa.Table:
+        from candidategeneration_ray.pipelines.extras import _emb_matrix
+
+        pair_id = int(group.column("pair_id")[0].as_py())
+        i, j = divmod(pair_id, n_blocks)
+        side = group.column("side").to_numpy().astype(np.int64)
+        ids, mat = _emb_matrix(group)
+        xq = np.trunc(mat * KMEANS_SCALE).astype(np.int64)
+        if i == j:
+            m0 = side == 0
+            out = [_partial_topk(ids[m0], xq[m0], ids[m0], xq[m0], True)]
+        else:
+            m0, m1 = side == 0, side == 1
+            out = [_partial_topk(ids[m0], xq[m0], ids[m1], xq[m1], False),
+                   _partial_topk(ids[m1], xq[m1], ids[m0], xq[m0], False)]
+        return pa.table({
+            "vec_id": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
+            "nbr_id": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
+            "d2": pa.array(np.concatenate([o[2] for o in out]), pa.int64()),
+        })
+
+    def _merge(group: pa.Table) -> pa.Table:
+        vid = group.column("vec_id")[0].as_py()
+        nbr = group.column("nbr_id").to_numpy()
+        d2 = group.column("d2").to_numpy()
+        order = np.lexsort((nbr, d2))[:k]
+        return pa.table({
+            "vec_id": pa.array(np.full(order.size, vid, np.int64), pa.int64()),
+            "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64),
+                             pa.int64()),
+            "nbr_id": pa.array(nbr[order], pa.int64()),
+            "d2": pa.array(d2[order], pa.int64()),
+        })
+
+    return (
+        _embeddings_ds(sf_dir)
+        .map_batches(_expand, batch_format="pyarrow")
+        .groupby("pair_id").map_groups(_score_group, batch_format="pyarrow")
+        .groupby("vec_id").map_groups(_merge, batch_format="pyarrow")
+    )

@@ -1073,3 +1073,37 @@ WITH {_kmeans_ctes()}
 SELECT CAST(vec_id AS BIGINT) AS vec_id, cluster FROM {last_a}
 """,
     }
+
+
+def knn_oracles() -> dict[str, str]:
+    """Exact kNN graph oracle: same power-of-two quantization as the
+    engine (pipelines/clustering.py), integer squared L2, (d2, nbr_id)
+    rank — comparison is exact."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_SCALE, KNN_K)
+
+    return {
+        "knn_graph": f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+rk AS (
+  SELECT vec_id, nbr_id, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, nbr_id ASC) AS rank
+  FROM dist
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+       CAST(nbr_id AS BIGINT) AS nbr_id, CAST(d2 AS BIGINT) AS d2
+FROM rk WHERE rank <= {KNN_K}
+""",
+    }

@@ -126,3 +126,32 @@ class TestIvfKmeans:
                         .column("vec_id").to_pylist())
         n = pq.read_metadata(os.path.join(SF, "embeddings.parquet")).num_rows
         assert len(seen) == n and len(set(seen)) == n
+
+
+class TestKnnGraph:
+    def test_matches_single_process(self, ray_session):
+        ids, emb = _load(SF)
+        xq = np.trunc(emb * cl.KMEANS_SCALE).astype(np.int64)
+        got = cl.q_knn_graph(SF).to_pandas() \
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        # brute-force single-process reference
+        d2 = ((xq * xq).sum(1, keepdims=True) - 2 * (xq @ xq.T)
+              + (xq * xq).sum(1)[None, :])
+        np.fill_diagonal(d2, np.iinfo(np.int64).max)
+        rows = []
+        for r in range(ids.size):
+            order = np.lexsort((ids, d2[r]))[:cl.KNN_K]
+            for rank, c in enumerate(order, 1):
+                rows.append((ids[r], rank, ids[c], d2[r, c]))
+        rows.sort()
+        assert len(got) == len(rows)
+        assert (got["vec_id"].values == [r[0] for r in rows]).all()
+        assert (got["nbr_id"].values == [r[2] for r in rows]).all()
+        assert (got["d2"].values == [r[3] for r in rows]).all()
+
+    def test_block_count_invariance(self, ray_session):
+        a = cl.q_knn_graph(SF, n_blocks=2).to_pandas() \
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        b = cl.q_knn_graph(SF, n_blocks=7).to_pandas() \
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        assert (a.values == b.values).all()
