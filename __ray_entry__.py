@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": ex.q_text_stats,
         "repetition_stats": ex.q_repetition_stats,
         "source_sample": ex.q_source_sample,
+        "tokens_by_source": ex.q_tokens_by_source,
+        "train_val_split": ex.q_train_val_split,
         "langid": ex.q_langid,
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
@@ -91,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
         "windowed_counts": ev.q_windowed_counts,
+        "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
         "multimodal_frames": ex.q_multimodal_frames,    # frame-sample stage
@@ -101,8 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from candidategeneration_ray.pipelines.sql_oracles import (
         core_oracles, extras_oracles, kmeans_oracles, knn_oracles,
-        predictive_oracles, sketch_oracles,
+        mixture_oracles, predictive_oracles, sketch_oracles,
+        sliding_oracles,
     )
 
     return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
-            **sketch_oracles(), **kmeans_oracles(), **knn_oracles()}
+            **sketch_oracles(), **kmeans_oracles(), **knn_oracles(),
+            **mixture_oracles(), **sliding_oracles()}

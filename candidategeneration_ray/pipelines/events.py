@@ -283,3 +283,54 @@ def q_asof_join(sf_dir: str, left_type: str = "purchase",
         _with_user_bucket(ds)
         .groupby("ubucket").map_groups(_asof, batch_format="pyarrow")
     )
+
+
+def q_sliding_counts(sf_dir: str, window_sec: int = 3600,
+                     slide_sec: int = 900) -> ray.data.Dataset:
+    """SLIDING-window aggregate: per (event_type, window) count and
+    integer-cents sum over windows of `window_sec` advancing every
+    `slide_sec` (window covers [start, start + window)).  Each event
+    is fanned out to its window_sec/slide_sec containing windows inside
+    map_batches (a pure map — no ordered state), partials compressed
+    per batch, one groupby sum.  The fan-out factor is the overlap
+    ratio, so output shuffle volume is (W/S) * O(types x windows) per
+    batch, never O(events)."""
+    from ray.data.aggregate import Sum
+
+    assert window_sec % slide_sec == 0
+    s_us = np.int64(slide_sec) * 1_000_000
+    fan = window_sec // slide_sec
+
+    def _part(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("value").to_numpy())
+        base = ts // s_us
+        # window starts base-j for j in 0..fan-1 all contain ts
+        win = (np.repeat(base, fan)
+               - np.tile(np.arange(fan, dtype=np.int64), ts.size))
+        et_r = np.repeat(et, fan)
+        cents_r = np.repeat(cents, fan)
+        key = np.array([f"{t}\x00{w}" for t, w in zip(et_r, win)],
+                       dtype=object)
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv)
+        c = np.bincount(inv, weights=cents_r).astype(np.int64)
+        types = [u.split("\x00")[0] for u in uniq]
+        wins = np.array([int(u.split("\x00")[1]) for u in uniq],
+                        dtype=np.int64)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "window_start_us": pa.array(wins * s_us, pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    return (
+        events_ds(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_us"]).aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("cents", alias_name="cents"),
+        )
+    )

@@ -1319,3 +1319,76 @@ def q_multimodal_meta(sf_dir: str) -> ray.data.Dataset:
         .map_batches(BinaryDecodeStub, batch_format="pyarrow",
                      batch_size=256, concurrency=(1, 4))
     )
+
+
+# --------------------------------------------------- mixture accounting
+
+TRAIN_PCT = 90
+
+
+def q_tokens_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Mixture accounting: per `source`, document / kept-token /
+    character totals — the bookkeeping a training-data pipeline runs
+    before weighting sources. Per-batch vectorized partials (one row
+    per source per batch) -> groupby(source).sum; the shuffle moves
+    O(sources) rows per batch."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        nch = batch.column("n_chars").to_numpy().astype(np.int64)
+        ntok = np.fromiter((len(t) for t in token_lists), np.int64,
+                           len(token_lists))
+        codes, inv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "source": pa.array(codes.tolist(), pa.string()),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "total_tokens": pa.array(
+                np.bincount(inv, weights=ntok).astype(np.int64), pa.int64()),
+            "total_chars": pa.array(
+                np.bincount(inv, weights=nch).astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "source", "n_chars"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_tokens", alias_name="total_tokens"),
+                   Sum("total_chars", alias_name="total_chars"))
+    )
+
+
+def q_train_val_split(sf_dir: str, train_pct: int = TRAIN_PCT) -> ray.data.Dataset:
+    """Deterministic train/val split by consistent hash — split
+    membership depends only on doc_id (stable across runs, re-shards
+    and corpus growth, unlike RNG splits): split = 'train' iff
+    h64(doc_id) % 100 < train_pct. Returns per-(source, split) doc
+    counts; per-batch compressed partials -> groupby sum."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        h = H.h64_many([str(i) for i in ids.tolist()])
+        split = np.where(h % np.uint64(100) < train_pct, "train", "val")
+        key = np.char.add(np.char.add(src.astype("U"), "\x1f"),
+                          split.astype("U"))
+        codes, counts = np.unique(key, return_counts=True)
+        srcs, splits = zip(*(c.split("\x1f") for c in codes.tolist())) \
+            if codes.size else ((), ())
+        return pa.table({
+            "source": pa.array(list(srcs), pa.string()),
+            "split": pa.array(list(splits), pa.string()),
+            "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "source"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "split"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )

@@ -1107,3 +1107,41 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
 FROM rk WHERE rank <= {KNN_K}
 """,
     }
+
+
+def mixture_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.extras import TRAIN_PCT
+
+    h64_docid = _H64.format(expr="CAST(doc_id AS VARCHAR)")
+    return {
+        "tokens_by_source": f"""
+WITH {KEPT_CTE},
+tk AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(tk.n, 0)) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents d LEFT JOIN tk USING (doc_id)
+GROUP BY source
+""",
+        "train_val_split": f"""
+SELECT source,
+       CASE WHEN {h64_docid} % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY source, split
+""",
+    }
+
+
+def sliding_oracles() -> dict[str, str]:
+    return {
+        "sliding_counts": """
+SELECT event_type,
+       CAST((epoch_us(ts) // 900000000 - j) * 900000000 AS BIGINT) AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) o(j)
+GROUP BY 1, 2
+""",
+    }

@@ -166,3 +166,22 @@ def test_asof_and_range_match_bruteforce_random(ray_session, tmp_path):
     got2 = q_range_join_counts(d).to_pandas()
     got_rng = dict(zip(got2["event_id"], got2["n_prior"]))
     assert got_rng == want_rng
+
+
+class TestSlidingCounts:
+    def test_fanout_totals_and_tumbling_degenerate(self, ray_session):
+        import pyarrow.parquet as pq
+        from candidategeneration_ray.pipelines.events import (
+            q_sliding_counts, q_windowed_counts)
+
+        SF = "/root/testdata/sf0.01"
+        n = pq.read_metadata(SF + "/events.parquet").num_rows
+        sl = q_sliding_counts(SF).to_pandas()
+        # every event lands in exactly window/slide = 4 windows
+        assert sl["n_events"].sum() == 4 * n
+        # slide == window degenerates to the tumbling aggregate exactly
+        deg = q_sliding_counts(SF, 3600, 3600).to_pandas() \
+            .sort_values(["event_type", "window_start_us"]).reset_index(drop=True)
+        tum = q_windowed_counts(SF).to_pandas() \
+            .sort_values(["event_type", "window_start_us"]).reset_index(drop=True)
+        assert (deg.values == tum.values).all()

@@ -399,3 +399,21 @@ class TestDuplicateSpans:
         assert pdf.loc[1].tolist() == [11, 11]
         assert pdf.loc[2].tolist() == [1, 0]
         assert pdf.loc[3].tolist() == [11, 0]
+
+
+class TestMixtureAccounting:
+    def test_split_partitions_and_token_totals(self, ray_session):
+        from candidategeneration_ray.pipelines.docquery import q_global_stats
+        from candidategeneration_ray.pipelines.extras import (
+            q_tokens_by_source, q_train_val_split)
+
+        SF = "/root/testdata/sf0.01"
+        tbs = q_tokens_by_source(SF).to_pandas()
+        gs = q_global_stats(SF).to_pandas()
+        assert tbs["n_docs"].sum() == gs["n_docs"][0]
+        assert tbs["total_tokens"].sum() == gs["total_tokens"][0]
+        tvs = q_train_val_split(SF).to_pandas()
+        assert set(tvs["split"]) <= {"train", "val"}
+        per_src = tvs.groupby("source")["n_docs"].sum().sort_index()
+        by_src = tbs.set_index("source")["n_docs"].sort_index()
+        assert (per_src.values == by_src.values).all()
