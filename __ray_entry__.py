@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_top10": ex.q_ann_cosine_top10,
         "ann_ivf_top10": ex.q_ann_ivf_top10,            # approximate (rows-only)
         "text_stats": ex.q_text_stats,
+        "quality_filter": ex.q_quality_filter,
         "repetition_stats": ex.q_repetition_stats,
         "source_sample": ex.q_source_sample,
         "tokens_by_source": ex.q_tokens_by_source,
@@ -104,10 +105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from candidategeneration_ray.pipelines.sql_oracles import (
         core_oracles, extras_oracles, kmeans_oracles, knn_oracles,
-        mixture_oracles, predictive_oracles, sketch_oracles,
-        sliding_oracles,
+        mixture_oracles, predictive_oracles, quality_filter_oracles,
+        sketch_oracles, sliding_oracles,
     )
 
     return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
             **sketch_oracles(), **kmeans_oracles(), **knn_oracles(),
-            **mixture_oracles(), **sliding_oracles()}
+            **mixture_oracles(), **sliding_oracles(),
+            **quality_filter_oracles()}

@@ -1392,3 +1392,49 @@ def q_train_val_split(sf_dir: str, train_pct: int = TRAIN_PCT) -> ray.data.Datas
         .groupby(["source", "split"])
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
+
+
+# ----------------------------------------------------- quality filtering
+
+# C4/Gopher-style document filter rules (Raffel et al. 2020 / Rae et
+# al. 2021 shapes, integer-exact thresholds): bit i of fail_mask set =
+# rule i failed. All comparisons are integer, so the SQL oracle is exact.
+QF_MIN_WORDS = 20          # bit 0: too short
+QF_MAX_WORDS = 10_000      # bit 1: too long
+QF_STOP_MULT = 30          # bit 2: stopword ratio < 1/30
+QF_MAX_MEAN_WLEN = 12      # bit 3: mean chars per word too high
+QF_PUNCT_MULT = 10         # bit 4: punct chars > 1/10 of chars
+
+
+def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Composite document-quality filter: per doc a keep flag and a
+    bitmask of failed rules (min/max length, stopword ratio, mean word
+    length, symbol ratio) over the vectorized _textstats quantities —
+    the canonical pre-training cleaning gate, as one streaming
+    map_batches chain (stats kernel -> integer rule mask), no shuffle
+    at all."""
+
+    def _rules(batch: pa.Table) -> pa.Table:
+        nw = batch.column("n_words").to_numpy()
+        nc = batch.column("n_chars").to_numpy()
+        ns = batch.column("n_stop").to_numpy()
+        np_ = batch.column("n_punct_chars").to_numpy()
+        mask = (
+            (nw < QF_MIN_WORDS).astype(np.int64)
+            | ((nw > QF_MAX_WORDS).astype(np.int64) << 1)
+            | ((QF_STOP_MULT * ns < nw).astype(np.int64) << 2)
+            | ((nc > QF_MAX_MEAN_WLEN * np.maximum(nw, 1)).astype(np.int64) << 3)
+            | ((QF_PUNCT_MULT * np_ > nc).astype(np.int64) << 4)
+        )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "keep": pa.array((mask == 0).astype(np.int64), pa.int64()),
+            "fail_mask": pa.array(mask, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+        .map_batches(_textstats, batch_format="pyarrow")
+        .map_batches(_rules, batch_format="pyarrow")
+    )

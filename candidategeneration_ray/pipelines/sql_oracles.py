@@ -1145,3 +1145,36 @@ FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) o(j)
 GROUP BY 1, 2
 """,
     }
+
+
+def quality_filter_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.extras import (
+        QF_MAX_MEAN_WLEN, QF_MAX_WORDS, QF_MIN_WORDS, QF_PUNCT_MULT,
+        QF_STOP_MULT)
+
+    return {
+        "quality_filter": f"""
+WITH {_WORDS_CTE},
+s AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         coalesce(w.n_words, 0) AS n_words,
+         coalesce(w.n_stop, 0) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+  FROM documents d LEFT JOIN wstats w USING (doc_id)
+)
+SELECT doc_id,
+       CAST(CASE WHEN mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       mask AS fail_mask
+FROM (
+  SELECT doc_id,
+         CAST(CASE WHEN n_words < {QF_MIN_WORDS} THEN 1 ELSE 0 END
+            + CASE WHEN n_words > {QF_MAX_WORDS} THEN 2 ELSE 0 END
+            + CASE WHEN {QF_STOP_MULT} * n_stop < n_words THEN 4 ELSE 0 END
+            + CASE WHEN n_chars > {QF_MAX_MEAN_WLEN} * greatest(n_words, 1) THEN 8 ELSE 0 END
+            + CASE WHEN {QF_PUNCT_MULT} * n_punct > n_chars THEN 16 ELSE 0 END
+          AS BIGINT) AS mask
+  FROM s
+)
+""",
+    }

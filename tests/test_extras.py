@@ -417,3 +417,15 @@ class TestMixtureAccounting:
         per_src = tvs.groupby("source")["n_docs"].sum().sort_index()
         by_src = tbs.set_index("source")["n_docs"].sort_index()
         assert (per_src.values == by_src.values).all()
+
+
+class TestQualityFilter:
+    def test_mask_consistency_and_mix(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import q_quality_filter
+
+        df = q_quality_filter("/root/testdata/sf0.01").to_pandas()
+        assert len(df) == 500
+        assert ((df["keep"] == 1) == (df["fail_mask"] == 0)).all()
+        # thresholds chosen to actually discriminate on the driver table
+        assert 0 < df["keep"].sum() < len(df)
+        assert (df["fail_mask"] >= 0).all() and (df["fail_mask"] < 32).all()
