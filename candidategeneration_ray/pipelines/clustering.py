@@ -68,7 +68,9 @@ def _assign(xq: np.ndarray, cent: np.ndarray) -> np.ndarray:
 
 def _init_centroids(sf_dir: str) -> np.ndarray:
     """Quantized vectors of the K smallest vec_ids: per-batch partial
-    bottom-k -> driver merge of <=k rows per batch (no global sort)."""
+    bottom-k, then a distributed sort + limit over the k-per-batch
+    partials — the driver receives exactly K rows, never the partial
+    union (which is k x n_batches rows at scale)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         ids, xq = _quantize(batch)
@@ -78,10 +80,14 @@ def _init_centroids(sf_dir: str) -> np.ndarray:
             "xq": pa.array(list(xq[keep]), pa.list_(pa.int64())),
         })
 
-    rows = _embeddings_ds(sf_dir).map_batches(
-        _partial, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r["vec_id"])
-    return np.array([r["xq"] for r in rows[:KMEANS_K]], dtype=np.int64)
+    rows = (
+        _embeddings_ds(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .sort("vec_id")
+        .limit(KMEANS_K)
+        .take_all()
+    )
+    return np.array([r["xq"] for r in rows], dtype=np.int64)
 
 
 def _update_pass(sf_dir: str, cent: np.ndarray) -> np.ndarray:

@@ -149,19 +149,41 @@ def q_frequent_terms(sf_dir: str, phi_pct: float = FREQ_PHI_PCT) -> pa.Table:
     exactly -> groupby(term).sum -> threshold filter.  Only summaries
     and candidate-restricted counts are ever shuffled; the candidate
     set is <= 1/phi true hitters plus prunable noise."""
+    # materialize the merged summary in the OBJECT STORE (it can be up
+    # to k x n_batches rows at scale — never take_all it raw); the
+    # driver pulls one total row, then only the candidates that survive
+    # the distributed error-bound prune (<= ~1/phi true hitters +
+    # borderline noise)
     merged = (
         _texts_ds(sf_dir)
         .map_batches(_mg_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
+        .materialize()
     )
-    total = next(r["cnt"] for r in merged if r["term"] == _TOTAL_KEY)
+
+    import pyarrow.compute as pc
+
+    def _total_row(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("term"), _TOTAL_KEY))
+
+    total = merged.map_batches(
+        _total_row, batch_format="pyarrow").take_all()[0]["cnt"]
     threshold = -(-int(phi_pct * 100) * total // 10000)  # ceil(phi*N), exact ints
     err = total // (MG_CAPACITY + 1)
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        terms = batch.column("term")
+        cnt = batch.column("cnt").to_numpy()
+        keep = (cnt + err >= threshold) & pc.not_equal(
+            terms, _TOTAL_KEY).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep))
+
     cand = np.array(sorted(
-        r["term"] for r in merged
-        if r["term"] != _TOTAL_KEY and r["cnt"] + err >= threshold
+        r["term"] for r in
+        merged.map_batches(_prune, batch_format="pyarrow").take_all()
     ), dtype=object)
     cand_ref = ray.put(cand)
 
