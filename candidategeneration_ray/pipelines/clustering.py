@@ -134,12 +134,21 @@ def _update_pass(sf_dir: str, cent: np.ndarray) -> np.ndarray:
     return new
 
 
+# in-process memo — three driver entries (centroids, assignments, IVF)
+# share one training run per table instead of re-running the Lloyd
+# passes; the result is deterministic so memoization is transparent
+_CODEBOOK_MEMO: dict[str, np.ndarray] = {}
+
+
 def kmeans_codebook(sf_dir: str) -> np.ndarray:
     """The (k, dim) int64 codebook after KMEANS_ITERS Lloyd passes."""
-    cent = _init_centroids(sf_dir)
-    for _ in range(KMEANS_ITERS):
-        cent = _update_pass(sf_dir, cent)
-    return cent
+    key = os.path.realpath(sf_dir)
+    if key not in _CODEBOOK_MEMO:
+        cent = _init_centroids(sf_dir)
+        for _ in range(KMEANS_ITERS):
+            cent = _update_pass(sf_dir, cent)
+        _CODEBOOK_MEMO[key] = cent
+    return _CODEBOOK_MEMO[key].copy()
 
 
 def q_kmeans_centroids(sf_dir: str) -> pa.Table:
