@@ -84,7 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_histogram": sk.q_doclen_histogram,
         "doclen_quantiles": sk.q_doclen_quantiles,
         "frequent_terms": sk.q_frequent_terms,      # 2-pass Misra-Gries, exact
-        "hll_distinct_terms": sk.q_hll_distinct_terms,  # approximate (rows-only)
+        "hll_registers": sk.q_hll_registers,            # sketch state, exact
+        "hll_distinct_terms": sk.q_hll_distinct_terms,  # float estimator (rows-only)
         # --- clustering (exact-integer Lloyd, value-verified) ---
         "kmeans_centroids": cl.q_kmeans_centroids,
         "kmeans_assignments": cl.q_kmeans_assignments,
@@ -104,12 +105,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from candidategeneration_ray.pipelines.sql_oracles import (
-        core_oracles, extras_oracles, kmeans_oracles, knn_oracles,
-        mixture_oracles, predictive_oracles, quality_filter_oracles,
-        sketch_oracles, sliding_oracles,
+        core_oracles, extras_oracles, hll_oracles, kmeans_oracles,
+        knn_oracles, mixture_oracles, predictive_oracles,
+        quality_filter_oracles, sketch_oracles, sliding_oracles,
     )
 
     return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
             **sketch_oracles(), **kmeans_oracles(), **knn_oracles(),
             **mixture_oracles(), **sliding_oracles(),
-            **quality_filter_oracles()}
+            **quality_filter_oracles(), **hll_oracles()}

@@ -254,21 +254,44 @@ def _hll_partial(batch: pa.Table) -> pa.Table:
     })
 
 
-def q_hll_distinct_terms(sf_dir: str) -> pa.Table:
-    """Approximate number of distinct kept tokens via HyperLogLog
-    (p=12).  Per-batch register partials -> groupby(register).max ->
-    driver estimate over <= 4096 rows.  Register max is commutative,
-    so the estimate is independent of partitioning/parallelism (tested)
-    and the merge is a fixed-size shuffle however large the corpus.
-    Approximate by nature -> rows-only driver entry; relative error vs
-    the exact distinct count is pytest-asserted (<5%, ~3x std error)."""
-    merged = (
+def _hll_merged(sf_dir: str) -> list[dict]:
+    """Merged HLL registers: per-batch partials over batch-distinct
+    tokens -> groupby(register).max.  Duplicate tokens across batches
+    hash identically, so the merged registers equal the single-pass
+    registers over the GLOBAL distinct token set — which is what the
+    SQL oracle computes (q_hll_registers is value-verified on exactly
+    this state)."""
+    return (
         _texts_ds(sf_dir)
         .map_batches(_hll_partial, batch_format="pyarrow")
         .groupby("register")
         .aggregate(Max("rho", alias_name="rho"))
         .take_all()
     )
+
+
+def q_hll_registers(sf_dir: str) -> pa.Table:
+    """The HLL sketch STATE (register, max rho) — deterministic
+    integers, so the driver hash-verifies the entire distributed
+    sketch construction; only the float estimator on top of it
+    (q_hll_distinct_terms) remains approximate."""
+    merged = sorted(_hll_merged(sf_dir), key=lambda r: r["register"])
+    return pa.table({
+        "register": pa.array([r["register"] for r in merged], pa.int64()),
+        "rho": pa.array([r["rho"] for r in merged], pa.int64()),
+    })
+
+
+def q_hll_distinct_terms(sf_dir: str) -> pa.Table:
+    """Approximate number of distinct kept tokens via HyperLogLog
+    (p=12).  Per-batch register partials -> groupby(register).max ->
+    driver estimate over <= 4096 rows.  Register max is commutative,
+    so the estimate is independent of partitioning/parallelism (tested)
+    and the merge is a fixed-size shuffle however large the corpus.
+    The register state itself is value-verified (q_hll_registers);
+    the float estimator makes THIS entry rows-only, with relative
+    error vs the exact distinct count pytest-asserted (<5%)."""
+    merged = _hll_merged(sf_dir)
     regs = np.zeros(HLL_M, dtype=np.int64)
     for r in merged:
         regs[r["register"]] = r["rho"]

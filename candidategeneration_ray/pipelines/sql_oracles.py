@@ -1178,3 +1178,27 @@ FROM (
 )
 """,
     }
+
+
+def hll_oracles() -> dict[str, str]:
+    """The HLL register state re-derived in SQL: same md5-based h64,
+    register = top 12 bits, rho = leading zeros of the low 52 bits + 1
+    (exact via bin() string length — no float log)."""
+    from candidategeneration_ray.pipelines.sketches import HLL_P
+
+    two_rest = 1 << (64 - HLL_P)   # 2^52
+    h64_tok = _H64.format(expr="tok")
+    return {
+        "hll_registers": f"""
+WITH {KEPT_CTE},
+toks AS (SELECT DISTINCT tok FROM kept),
+h AS (SELECT {h64_tok} AS hv FROM toks),
+rr AS (
+  SELECT CAST(hv // CAST({two_rest} AS UBIGINT) AS BIGINT) AS register,
+         CAST({64 - HLL_P + 1} - length(ltrim(bin(hv % CAST({two_rest} AS UBIGINT)), '0')) AS BIGINT) AS rho
+  FROM h
+)
+SELECT register, CAST(max(rho) AS BIGINT) AS rho
+FROM rr GROUP BY register
+""",
+    }
