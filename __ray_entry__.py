@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from candidategeneration_ray.pipelines import extras as ex
     from candidategeneration_ray.pipelines import sketches as sk
     from candidategeneration_ray.pipelines import clustering as cl
+    from candidategeneration_ray.pipelines import textlm as tl
 
     return {
         # --- core engine operators (SURVEY.md §2) ---
@@ -91,6 +92,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assignments": cl.q_kmeans_assignments,
         "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,  # approximate (rows-only)
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
+        # --- corpus-LM / retrieval / mixture operators ---
+        "decontaminate": tl.q_decontaminate,        # GPT-3-style shingle overlap
+        "lm_bigram_scores": tl.q_lm_bigram_scores,  # pruned bigram LM (CCNet shape)
+        "bool_and_docs": tl.q_bool_and_docs,        # conjunctive retrieval from the index
+        "pmi_top50": tl.q_pmi_top50,                # PMI collocation mining
+        "mixture_select": tl.q_mixture_select,      # budgeted per-source selection
+        "tfidf_top3": tl.q_tfidf_top3,              # per-doc keyword extraction
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
@@ -108,9 +116,11 @@ def oracle_sql() -> dict[str, str]:
         core_oracles, extras_oracles, hll_oracles, kmeans_oracles,
         knn_oracles, mixture_oracles, predictive_oracles,
         quality_filter_oracles, sketch_oracles, sliding_oracles,
+        textlm_oracles,
     )
 
     return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
             **sketch_oracles(), **kmeans_oracles(), **knn_oracles(),
             **mixture_oracles(), **sliding_oracles(),
-            **quality_filter_oracles(), **hll_oracles()}
+            **quality_filter_oracles(), **hll_oracles(),
+            **textlm_oracles()}

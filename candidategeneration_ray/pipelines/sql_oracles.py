@@ -1202,3 +1202,111 @@ SELECT register, CAST(max(rho) AS BIGINT) AS rho
 FROM rr GROUP BY register
 """,
     }
+
+
+def textlm_oracles() -> dict[str, str]:
+    """Corpus-LM / retrieval / mixture operators (pipelines/textlm.py).
+    Same md5 h64, same kept-token stream, same integer score rules."""
+    from candidategeneration_ray.pipelines.textlm import (
+        BENCH_MOD, DECON_W, TRAIN_PCT)
+
+    h64_docid = _H64.format(expr="CAST(doc_id AS VARCHAR)")
+    # adjacent KEPT-token bigrams, one row per occurrence
+    big_cte = """
+big AS MATERIALIZED (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND b.kpos = a.kpos + 1
+)"""
+    return {
+        "decontaminate": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(DECON_W)},
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {BENCH_MOD} = 0)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_overlap
+FROM sh s JOIN bench USING (h)
+WHERE s.doc_id % {BENCH_MOD} <> 0
+GROUP BY s.doc_id
+""",
+        "lm_bigram_scores": f"""
+WITH {KEPT_CTE},
+{big_cte},
+lm AS MATERIALIZED (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+  FROM big WHERE {h64_docid} % 100 < {TRAIN_PCT}
+  GROUP BY bigram
+  ORDER BY cnt DESC, bigram
+  LIMIT 50000
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(lm.cnt) AS BIGINT) AS n_known,
+       CAST(coalesce(sum(lm.cnt), 0) AS BIGINT) AS cnt_sum
+FROM big b LEFT JOIN lm USING (bigram)
+WHERE {h64_docid} % 100 >= {TRAIN_PCT}
+GROUP BY b.doc_id
+""",
+        "bool_and_docs": f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM qtok GROUP BY query_id),
+dt AS (SELECT DISTINCT doc_id, tok FROM kept),
+hits AS (
+  SELECT q.query_id, d.doc_id, CAST(count(*) AS BIGINT) AS k
+  FROM qtok q JOIN dt d USING (tok)
+  GROUP BY q.query_id, d.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id
+FROM hits JOIN qn USING (query_id)
+WHERE k = n
+""",
+        "pmi_top50": f"""
+WITH {KEPT_CTE},
+{big_cte},
+bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM big GROUP BY bigram),
+uc AS MATERIALIZED (SELECT tok, CAST(count(*) AS HUGEINT) AS c FROM kept GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS total FROM kept)
+SELECT bc.bigram, bc.c_ab,
+       CAST((CAST(bc.c_ab AS HUGEINT) * tot.total * 1000) // (ua.c * ub.c) AS BIGINT) AS score
+FROM bc
+JOIN uc ua ON ua.tok = split_part(bc.bigram, ' ', 1)
+JOIN uc ub ON ub.tok = split_part(bc.bigram, ' ', 2)
+CROSS JOIN tot
+WHERE bc.c_ab >= 5
+ORDER BY score DESC, bc.bigram
+LIMIT 50
+""",
+        "mixture_select": f"""
+WITH {KEPT_CTE},
+tk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT tok) AS BIGINT) AS nd
+       FROM kept GROUP BY doc_id),
+c AS (
+  SELECT d.source, d.doc_id, (1000 * nd) // n AS prio, n AS ntok
+  FROM documents d JOIN tk USING (doc_id)
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(prio AS BIGINT) AS prio,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM (
+  SELECT source, doc_id, prio,
+         sum(ntok) OVER (PARTITION BY source ORDER BY prio DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+WHERE cum <= 400
+""",
+        "tfidf_top3": f"""
+WITH {KEPT_CTE},
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM kept GROUP BY doc_id, tok),
+dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM kept GROUP BY tok),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, tok AS term, CAST(score AS BIGINT) AS score
+FROM (
+  SELECT doc_id, tok,
+         tf * CAST(trunc(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 10000000) AS BIGINT) AS score
+  FROM tf JOIN dft USING (tok) CROSS JOIN nd
+)
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) <= 3
+""",
+    }

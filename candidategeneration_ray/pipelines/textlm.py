@@ -1,0 +1,513 @@
+"""Corpus-language-model and retrieval operators over the documents
+table: benchmark decontamination, pruned bigram-LM scoring, boolean
+conjunctive retrieval served from the persisted index, PMI collocation
+mining, per-source budgeted mixture selection, and TF-IDF keyword
+extraction.
+
+These extend the engine's training-data surface (SURVEY §2.7/§2.8 has
+no LM/decontamination analog in the reference — they are the standard
+public-pipeline steps: CCNet-style LM filtering, GPT-3-style 13-gram
+decontamination, C4-style mixture budgeting). Every operator is a Ray
+Data pipeline whose shuffle shape is noted in its docstring; every
+float is either absent or produced by the same double-precision ln the
+BM25 oracle already matches bit-exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from candidategeneration_ray.functions import hashing as H
+from candidategeneration_ray.functions.tokenize import tokenize_many, tokenize_text
+from candidategeneration_ray.pipelines.docquery import (
+    DOC_QUERIES,
+    build_documents_index,
+    corpus_stats,
+    documents_ds,
+)
+
+TRAIN_PCT = 90          # must match extras.TRAIN_PCT / the split oracle
+BENCH_MOD = 41          # doc_id % BENCH_MOD == 0 -> benchmark member
+# Overlap window. GPT-3 used 13-grams over web text; the synthetic
+# corpus' docs are short and templated, so the default is 4 (the
+# largest w with nonempty overlap at the driver's test scales — the
+# operator is w-parametric either way).
+DECON_W = 4
+
+
+# ------------------------------------------------------- packed helpers
+
+def _packed_doc_terms(token_lists):
+    """Batch-global (doc, distinct-term) pairs via one np.unique + one
+    packed-key unique — no per-doc set()/unique loops (the same
+    dictionary-encode trick as stats._partial_df / the vectorized
+    simhash). Returns (lens, u, doc_g, term_g, tf_g): `u` is the
+    batch's sorted distinct term array; the `_g` arrays are one row per
+    (doc, distinct term) with term frequency `tf_g`."""
+    n = len(token_lists)
+    lens = np.fromiter((len(t) for t in token_lists), np.int64, n)
+    total = int(lens.sum())
+    z = np.empty(0, np.int64)
+    if total == 0:
+        return lens, np.empty(0, object), z, z, z
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for t in token_lists:
+        if t:
+            flat[pos:pos + len(t)] = t
+            pos += len(t)
+    dix = np.repeat(np.arange(n, dtype=np.int64), lens)
+    u, inv = np.unique(flat, return_inverse=True)
+    key = dix * np.int64(len(u)) + inv
+    kg, tf = np.unique(key, return_counts=True)
+    return lens, u, kg // len(u), kg % len(u), tf.astype(np.int64)
+
+
+def _segment_counts(hit_mask: np.ndarray, sizes: np.ndarray,
+                    weights: np.ndarray | None = None):
+    """Per-segment sums of a flat mask (and optional weights) for
+    contiguous segments of the given sizes (all >= 1)."""
+    starts = np.zeros(sizes.size, np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    n_hit = np.add.reduceat(hit_mask.astype(np.int64), starts)
+    if weights is None:
+        return n_hit, None
+    w_sum = np.add.reduceat(np.where(hit_mask, weights, 0), starts)
+    return n_hit, w_sum
+
+
+# ------------------------------------------------------ decontamination
+
+def _doc_shingle_hashes(batch: pa.Table, w: int):
+    """(doc_id int64 array, list of per-doc distinct-shingle uint64
+    arrays) for one batch. The hash loop is per-doc by nature (shingles
+    never cross docs), the same accepted shape as fingerprints/minhash."""
+    token_lists = tokenize_many(batch.column("text").to_pylist())
+    doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    per_doc = [
+        np.unique(H.h64_many(H.word_shingles(toks, w)))
+        for toks in token_lists
+    ]
+    return doc_ids, per_doc
+
+
+def q_decontaminate(sf_dir: str, w: int = DECON_W,
+                    bench_mod: int = BENCH_MOD) -> ray.data.Dataset:
+    """Benchmark decontamination: flag corpus docs sharing at least one
+    w-word shingle with the benchmark set (docs with
+    doc_id % bench_mod == 0 play the held-out benchmark).
+
+    Shape: the benchmark is tiny by nature, so its distinct shingle
+    hashes are collected with one distributed distinct (`unique`) and
+    BROADCAST once via ray.put; the corpus scan is a pure map_batches
+    membership test (one batch-concatenated searchsorted + reduceat —
+    no per-doc lookup loop) and the result streams out as a Dataset.
+    At 10^12 docs the benchmark side is still the small side; only it
+    is ever materialized.
+
+    Returns (doc_id, n_overlap) for contaminated docs (n_overlap =
+    number of distinct shared shingles).
+    """
+    def _bench_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, per_doc = _doc_shingle_hashes(batch, w)
+        keep = doc_ids % bench_mod == 0
+        hs = (np.unique(np.concatenate(
+            [h for h, k in zip(per_doc, keep) if k]))
+            if keep.any() else np.empty(0, np.uint64))
+        return pa.table({"h": pa.array(hs.astype(np.int64), pa.int64())})
+
+    bench = np.sort(np.asarray(
+        documents_ds(sf_dir)
+        .map_batches(_bench_rows, batch_format="pyarrow")
+        .unique("h"),
+        dtype=np.int64,
+    ).astype(np.uint64))  # uint64 BEFORE sort: int64 order differs
+    bench_ref = ray.put(bench)
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        doc_ids, per_doc = _doc_shingle_hashes(batch, w)
+        sel = np.flatnonzero(doc_ids % bench_mod != 0)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_overlap": pa.array([], pa.int64()),
+        })
+        if sel.size == 0 or bset.size == 0:
+            return empty
+        sizes = np.fromiter((per_doc[i].size for i in sel), np.int64,
+                            sel.size)  # always >= 1 (word_shingles)
+        cat = np.concatenate([per_doc[i] for i in sel])
+        pos = np.searchsorted(bset, cat)
+        pos[pos == bset.size] = 0
+        hit = bset[pos] == cat
+        n_hit, _ = _segment_counts(hit, sizes)
+        flag = n_hit > 0
+        return pa.table({
+            "doc_id": pa.array(doc_ids[sel[flag]], pa.int64()),
+            "n_overlap": pa.array(n_hit[flag], pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_scan, batch_format="pyarrow")
+
+
+# ----------------------------------------------- pruned bigram LM scores
+
+def _bigram_rows(batch: pa.Table, train_only: bool, train_pct: int) -> pa.Table:
+    """Per-batch compressed (bigram, cnt) partial counts over adjacent
+    kept-token bigrams; optionally restricted to the train split."""
+    token_lists = tokenize_many(batch.column("text").to_pylist())
+    doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    if train_only:
+        hs = H.h64_many([str(i) for i in doc_ids.tolist()])
+        sel = hs % np.uint64(100) < train_pct
+    else:
+        sel = np.ones(len(token_lists), bool)
+    grams: list[str] = []
+    for toks, keep in zip(token_lists, sel):
+        if keep and len(toks) >= 2:
+            grams.extend(a + " " + b for a, b in zip(toks, toks[1:]))
+    u, c = (np.unique(np.asarray(grams, dtype=object), return_counts=True)
+            if grams else (np.empty(0, object), np.empty(0, np.int64)))
+    return pa.table({
+        "bigram": pa.array(u.tolist(), pa.string()),
+        "cnt": pa.array(c.astype(np.int64), pa.int64()),
+    })
+
+
+def train_bigram_lm(sf_dir: str, top_v: int, train_pct: int = TRAIN_PCT):
+    """Distributed pruned bigram LM: per-batch partial counts ->
+    groupby(bigram).sum -> global top-V by (cnt desc, bigram asc).
+    Only the V surviving rows reach the driver — V bounds the broadcast
+    no matter the corpus size (the CCNet-style hash-pruned LM shape).
+    Returns (sorted bigram object array, aligned int64 counts)."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        documents_ds(sf_dir)
+        .map_batches(lambda b: _bigram_rows(b, True, train_pct),
+                     batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    top = (counts
+           .sort(key=["cnt", "bigram"], descending=[True, False])
+           .limit(top_v)
+           .to_pandas())
+    grams = top["bigram"].to_numpy(dtype=object)
+    cnts = top["cnt"].to_numpy(np.int64)
+    order = np.argsort(grams)  # membership lookups want bigram order
+    return grams[order], cnts[order]
+
+
+def q_lm_bigram_scores(sf_dir: str, top_v: int = 50_000,
+                       train_pct: int = TRAIN_PCT) -> ray.data.Dataset:
+    """Perplexity-style LM scoring with an exactly-verifiable integer
+    surface: train a bigram count LM on the consistent-hash train split
+    (h64(doc_id) % 100 < train_pct), prune it to the top-V bigrams by
+    (count desc, bigram asc), then score every VAL doc with >= 2 kept
+    tokens:
+
+        n_bigrams  - adjacent-bigram occurrences in the doc
+        n_known    - occurrences whose bigram survives in the pruned LM
+        cnt_sum    - sum of LM counts over those occurrences
+
+    (The float perplexity is a deterministic function of these integers
+    plus the LM total; keeping the driver-checked surface integral
+    sidesteps cross-engine float-summation order.) Shape: LM build is
+    one combined-partial groupby + top-V sort/limit; scoring is a pure
+    map_batches against the ray.put LM arrays — one batch-concatenated
+    searchsorted + reduceat, no per-occurrence dict lookups — with no
+    shuffle on the val side."""
+    lm_terms, lm_cnts = train_bigram_lm(sf_dir, top_v, train_pct)
+    lm_ref = ray.put((lm_terms, lm_cnts))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        terms, cnts = ray.get(lm_ref)
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        hs = H.h64_many([str(i) for i in doc_ids.tolist()])
+        is_val = (hs % np.uint64(100) >= train_pct)
+        val_docs, gram_lists = [], []
+        for did, ok, toks in zip(doc_ids, is_val, token_lists):
+            if ok and len(toks) >= 2:
+                val_docs.append(int(did))
+                gram_lists.append(
+                    [a + " " + b for a, b in zip(toks, toks[1:])])
+        empty = pa.table({k: pa.array([], pa.int64()) for k in
+                          ("doc_id", "n_bigrams", "n_known", "cnt_sum")})
+        if not val_docs:
+            return empty
+        sizes = np.fromiter((len(g) for g in gram_lists), np.int64,
+                            len(gram_lists))  # all >= 1 (len(toks) >= 2)
+        cat = np.empty(int(sizes.sum()), dtype=object)
+        pos = 0
+        for g in gram_lists:
+            cat[pos:pos + len(g)] = g
+            pos += len(g)
+        if terms.size:
+            idx = np.searchsorted(terms, cat)
+            idx[idx == terms.size] = 0
+            hit = terms[idx] == cat
+            n_known, cnt_sum = _segment_counts(hit, sizes, cnts[idx])
+        else:
+            n_known = np.zeros(sizes.size, np.int64)
+            cnt_sum = np.zeros(sizes.size, np.int64)
+        return pa.table({
+            "doc_id": pa.array(val_docs, pa.int64()),
+            "n_bigrams": pa.array(sizes, pa.int64()),
+            "n_known": pa.array(n_known, pa.int64()),
+            "cnt_sum": pa.array(cnt_sum, pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_score, batch_format="pyarrow")
+
+
+# ------------------------------------- boolean conjunctive retrieval
+
+def q_bool_and_docs(sf_dir: str) -> pa.Table:
+    """Conjunctive (AND) boolean retrieval served from the PERSISTED
+    compressed index: for each fixed query, the docs containing every
+    distinct kept query term. Lists are doc-ordered by construction, so
+    the intersection is a chain of sorted-array intersections starting
+    from the rarest list (classic term-at-a-time AND). A query with any
+    unindexed term is empty; a query with no kept terms is empty.
+
+    Shape: serving-side operator — the driver touches only the <= 7
+    fixed queries' lists (same access pattern as bm25_topk's engine).
+
+    Returns (query_id, doc_id)."""
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    qids, docs = [], []
+    for qid, text in DOC_QUERIES:
+        terms = sorted(set(tokenize_text(text)))
+        if not terms:
+            continue
+        tids = [reader.term_to_id.get(t) for t in terms]
+        if any(t is None for t in tids):
+            continue
+        lists = []
+        ok = True
+        for tid in tids:
+            got = reader.get(int(tid))
+            if got is None:
+                ok = False
+                break
+            lists.append(got[0])
+        if not ok:
+            continue
+        lists.sort(key=len)
+        cur = lists[0]
+        for nxt in lists[1:]:
+            cur = cur[np.isin(cur, nxt, assume_unique=True)]
+            if cur.size == 0:
+                break
+        for d in cur.tolist():
+            qids.append(qid)
+            docs.append(int(d))
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+# ---------------------------------------------------- PMI collocations
+
+def q_pmi_top50(sf_dir: str, min_count: int = 5, k: int = 50) -> pa.Table:
+    """Top-k adjacent-bigram collocations by integer-scaled lift
+    (monotone in PMI for fixed corpus totals):
+
+        score = (c_ab * total_tokens * 1000) // (c_a * c_b)
+
+    c_a/c_b are total term OCCURRENCE counts (not df). Shape: bigram
+    counts via combined partials + one groupby; unigram occurrence
+    counts likewise, collected and BROADCAST as sorted arrays
+    (dictionary-scale — the blocked-stats machinery in stages/stats.py
+    is the >memory path); the score map (vectorized Arrow split +
+    searchsorted, overflow-checked with a Python-int fallback past
+    int64) and (score desc, bigram asc) top-k run dataset-side, so the
+    driver sees k rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _uni_rows(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        _, u, _, term_g, tf_g = _packed_doc_terms(token_lists)
+        cnt = np.zeros(len(u), np.int64)
+        if u.size:
+            np.add.at(cnt, term_g, tf_g)
+        return pa.table({
+            "term": pa.array(u.tolist(), pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    uni = (documents_ds(sf_dir)
+           .map_batches(_uni_rows, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    uterms = uni["term"].to_numpy(dtype=object)
+    ucnts = uni["cnt"].to_numpy(np.int64)
+    order = np.argsort(uterms)
+    uterms, ucnts = uterms[order], ucnts[order]
+    total = int(ucnts.sum())
+    uni_ref = ray.put((uterms, ucnts))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        terms, cnts = ray.get(uni_ref)
+        bgs = batch.column("bigram")
+        cab = batch.column("cnt").to_numpy().astype(np.int64)
+        if cab.size == 0:
+            return pa.table({
+                "bigram": pa.array([], pa.string()),
+                "c_ab": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+            })
+        col = (pa.concat_arrays(bgs.chunks)
+               if isinstance(bgs, pa.ChunkedArray) else bgs)
+        flat = np.asarray(pc.list_flatten(pc.split_pattern(col, " "))
+                          .to_pylist(), dtype=object)
+        ia = np.searchsorted(terms, flat[0::2])
+        ib = np.searchsorted(terms, flat[1::2])
+        ca, cb = cnts[ia], cnts[ib]
+        if cab.size and int(cab.max()) * total * 1000 > 2**63 - 1:
+            # >~3e6 total tokens: int64 would overflow — exact big-int path
+            scores = np.fromiter(
+                ((int(c) * total * 1000) // (int(a) * int(b))
+                 for c, a, b in zip(cab, ca, cb)),
+                np.int64, cab.size)
+        else:
+            scores = (cab * total * 1000) // (ca * cb)
+        return pa.table({
+            "bigram": bgs,
+            "c_ab": pa.array(cab, pa.int64()),
+            "score": pa.array(scores, pa.int64()),
+        })
+
+    bi = (documents_ds(sf_dir)
+          .map_batches(lambda b: _bigram_rows(b, False, 100),
+                       batch_format="pyarrow")
+          .groupby("bigram")
+          .aggregate(Sum("cnt", alias_name="cnt")))
+    top = (bi.filter(expr=f"cnt >= {min_count}")
+           .map_batches(_score, batch_format="pyarrow")
+           .sort(key=["score", "bigram"], descending=[True, False])
+           .limit(k))
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+# ------------------------------------- per-source budgeted selection
+
+def q_mixture_select(sf_dir: str, budget: int = 400) -> ray.data.Dataset:
+    """Quality-budgeted mixture selection: per source, greedily keep
+    the highest-quality docs until the source's kept-token budget is
+    spent. Quality = type-token ratio scaled to an integer,
+    prio = (1000 * distinct_terms) // kept_tokens (anti-repetition, the
+    C4/Gopher-style signal), ties by doc_id. A doc is kept iff the
+    running token total INCLUDING it stays <= budget; docs with zero
+    kept tokens are excluded.
+
+    Shape: per-doc (source, prio, ntok) rows from one map_batches
+    (distinct-term counts via the batch-global packed unique — no
+    per-doc set() loop), then groupby(source).map_groups — the
+    cumulative-sum scan is inherently sequential per source, and a
+    source's candidate rows (ints, no text) fit a task by construction
+    of the budget; for monster sources a first pass can pre-filter rows
+    below the prio quantile whose prefix already overruns the budget.
+
+    Returns (source, doc_id, prio, cum_tokens) for selected docs."""
+    def _rows(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        lens, _, doc_g, _, _ = _packed_doc_terms(token_lists)
+        nd = np.bincount(doc_g, minlength=len(token_lists)).astype(np.int64)
+        keep = lens > 0
+        prio = np.zeros(len(token_lists), np.int64)
+        prio[keep] = (1000 * nd[keep]) // lens[keep]
+        return pa.table({
+            "source": batch.column("source").filter(pa.array(keep)),
+            "doc_id": batch.column("doc_id").cast(pa.int64()).filter(pa.array(keep)),
+            "prio": pa.array(prio[keep], pa.int64()),
+            "ntok": pa.array(lens[keep], pa.int64()),
+        })
+
+    def _select(group: pa.Table) -> pa.Table:
+        prio = group.column("prio").to_numpy()
+        did = group.column("doc_id").to_numpy()
+        ntok = group.column("ntok").to_numpy()
+        order = np.lexsort((did, -prio))
+        cum = np.cumsum(ntok[order])
+        sel = cum <= budget
+        idx = order[sel]
+        return pa.table({
+            "source": group.column("source").take(idx.tolist()),
+            "doc_id": pa.array(did[idx], pa.int64()),
+            "prio": pa.array(prio[idx], pa.int64()),
+            "cum_tokens": pa.array(cum[sel], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "source"])
+        .map_batches(_rows, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(_select, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------ TF-IDF keyword extract
+
+def q_tfidf_top3(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-doc keyword extraction: top-k terms by integer tf-idf,
+    score = tf * trunc(ln(n_docs / df) * 1e7), ties by term asc. The
+    idf table is the corpus dictionary (one groupby, memoized in
+    corpus_stats) broadcast via ray.put as (sorted terms, idf) arrays —
+    the same dictionary-scale broadcast as posting emission, with the
+    blocked-stats path as the >memory fallback. Scoring is a pure
+    map_batches: batch-global packed (doc, term, tf) triples, ONE
+    lexsort for the per-doc top-k — no per-doc unique/sort loops; ln
+    matches DuckDB's bit-exactly (same libm double).
+
+    Returns (doc_id, term, score)."""
+    stats = corpus_stats(sf_dir)
+    idf = np.trunc(
+        np.log(float(stats["n_docs"]) / stats["df_by_id"][1:].astype(np.float64))
+        * 1e7).astype(np.int64)
+    state_ref = ray.put((stats["terms"], idf))
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        terms, idf_arr = ray.get(state_ref)
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        _, u, doc_g, term_g, tf_g = _packed_doc_terms(token_lists)
+        if u.size == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "score": pa.array([], pa.int64()),
+            })
+        idf_u = idf_arr[np.searchsorted(terms, u)]
+        score = tf_g * idf_u[term_g]
+        # (doc asc, score desc, term asc); term_g index order IS
+        # lexicographic order because u is sorted
+        order = np.lexsort((term_g, -score, doc_g))
+        dg = doc_g[order]
+        first = np.r_[True, dg[1:] != dg[:-1]]
+        starts = np.flatnonzero(first)
+        rank = np.arange(order.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, order.size]))
+        sel = order[rank < k]
+        return pa.table({
+            "doc_id": pa.array(doc_ids[doc_g[sel]], pa.int64()),
+            "term": pa.array(u[term_g[sel]].tolist(), pa.string()),
+            "score": pa.array(score[sel], pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_topk, batch_format="pyarrow")

@@ -1,0 +1,105 @@
+"""Corpus-LM / retrieval / mixture operators (pipelines/textlm.py):
+kernel identities and semantic invariants at sf0.001. The sf0.01
+oracle-identity check for all six entries runs in test_driver_contract."""
+
+import numpy as np
+import pytest
+
+from candidategeneration_ray.functions.tokenize import tokenize_many
+from candidategeneration_ray.pipelines import textlm as tl
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_packed_doc_terms_matches_per_doc_sets():
+    lists = [["b", "a", "b", "c"], [], ["a"], ["z", "z", "z"]]
+    lens, u, doc_g, term_g, tf_g = tl._packed_doc_terms(lists)
+    assert lens.tolist() == [4, 0, 1, 3]
+    got = {}
+    for d, t, f in zip(doc_g, term_g, tf_g):
+        got.setdefault(int(d), {})[u[t]] = int(f)
+    want = {i: dict(zip(*np.unique(np.asarray(t, object), return_counts=True)))
+            for i, t in enumerate(lists) if t}
+    want = {i: {k: int(v) for k, v in m.items()} for i, m in want.items()}
+    assert got == want
+
+
+def test_packed_doc_terms_empty_batch():
+    lens, u, doc_g, term_g, tf_g = tl._packed_doc_terms([[], []])
+    assert lens.tolist() == [0, 0] and u.size == 0 and doc_g.size == 0
+
+
+def test_decontaminate_never_flags_bench_docs(ray_session):
+    out = tl.q_decontaminate(SF_DIR).to_pandas()
+    assert len(out) > 0
+    assert (out["doc_id"] % tl.BENCH_MOD != 0).all()
+    assert (out["n_overlap"] >= 1).all()
+
+
+def test_lm_bigram_scores_split_and_bounds(ray_session):
+    from candidategeneration_ray.functions import hashing as H
+
+    out = tl.q_lm_bigram_scores(SF_DIR).to_pandas()
+    assert len(out) > 0
+    hs = H.h64_many([str(i) for i in out["doc_id"].tolist()])
+    assert (hs % np.uint64(100) >= tl.TRAIN_PCT).all()  # val docs only
+    assert (out["n_known"] <= out["n_bigrams"]).all()
+    assert (out["cnt_sum"] >= out["n_known"]).all()  # every LM count >= 1
+    assert (out["n_bigrams"] >= 1).all()
+
+
+def test_bool_and_docs_matches_direct_scan(ray_session):
+    import pyarrow.parquet as pq
+
+    out = tl.q_bool_and_docs(SF_DIR).to_pandas()
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    toks = {int(d): set(t) for d, t in zip(
+        docs.column("doc_id").to_pylist(),
+        tokenize_many(docs.column("text").to_pylist()))}
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.docquery import DOC_QUERIES
+
+    want = []
+    for qid, text in DOC_QUERIES:
+        terms = set(tokenize_text(text))
+        if not terms:
+            continue
+        if not all(any(t in s for s in toks.values()) for t in terms):
+            continue
+        for d, s in toks.items():
+            if terms <= s:
+                want.append((qid, d))
+    got = sorted(zip(out["query_id"].tolist(), out["doc_id"].tolist()))
+    assert got == sorted(want)
+    assert 3 not in {q for q, _ in got}  # stopword-only query vanishes
+
+
+def test_mixture_select_respects_budget(ray_session):
+    budget = 400
+    out = tl.q_mixture_select(SF_DIR, budget=budget).to_pandas()
+    assert len(out) > 0
+    assert (out.groupby("source")["cum_tokens"].max() <= budget).all()
+    # cum_tokens strictly increases along each source's selection order
+    for _, g in out.groupby("source"):
+        cums = np.sort(g["cum_tokens"].to_numpy())
+        assert (np.diff(cums) > 0).all()
+
+
+def test_tfidf_at_most_k_rows_per_doc(ray_session):
+    out = tl.q_tfidf_top3(SF_DIR).to_pandas()
+    assert len(out) > 0
+    assert out.groupby("doc_id").size().max() <= 3
+    assert (out["score"] >= 0).all()
+    # within a doc, rows ordered by score desc break ties by term asc
+    for _, g in out.groupby("doc_id"):
+        rows = list(zip(-g["score"].to_numpy(), g["term"].tolist()))
+        assert rows == sorted(rows)
+
+
+def test_pmi_scores_monotone_and_bounded(ray_session):
+    out = tl.q_pmi_top50(SF_DIR).to_pandas()
+    assert 0 < len(out) <= 50
+    assert (out["c_ab"] >= 5).all()
+    rows = list(zip(-out["score"].to_numpy(), out["bigram"].tolist()))
+    assert rows == sorted(rows)
