@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assignments": cl.q_kmeans_assignments,
         "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,  # approximate (rows-only)
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
+        "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
+        "pagerank": cl.q_pagerank,                  # integer PageRank over kNN graph
         # --- corpus-LM / retrieval / mixture operators ---
         "decontaminate": tl.q_decontaminate,        # GPT-3-style shingle overlap
         "lm_bigram_scores": tl.q_lm_bigram_scores,  # pruned bigram LM (CCNet shape)
@@ -115,12 +117,12 @@ def oracle_sql() -> dict[str, str]:
     from candidategeneration_ray.pipelines.sql_oracles import (
         core_oracles, extras_oracles, hll_oracles, kmeans_oracles,
         knn_oracles, mixture_oracles, predictive_oracles,
-        quality_filter_oracles, sketch_oracles, sliding_oracles,
-        textlm_oracles,
+        graph_oracles, quality_filter_oracles, sketch_oracles,
+        sliding_oracles, textlm_oracles,
     )
 
     return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
             **sketch_oracles(), **kmeans_oracles(), **knn_oracles(),
             **mixture_oracles(), **sliding_oracles(),
             **quality_filter_oracles(), **hll_oracles(),
-            **textlm_oracles()}
+            **textlm_oracles(), **graph_oracles()}

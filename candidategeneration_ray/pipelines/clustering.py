@@ -377,3 +377,143 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K, n_blocks: int = 4) -> ray.data.Data
         .groupby("pair_id").map_groups(_score_group, batch_format="pyarrow")
         .groupby("vec_id").map_groups(_merge, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------- SemDeDup (cluster-then-dedup)
+
+def q_semantic_neardups(sf_dir: str, threshold_pct: int = 40) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    recipe): exact cosine near-dup pairs RESTRICTED to vectors in the
+    same k-means cluster, so the candidate-pair space shrinks from n^2
+    to sum(c_i^2) — the clustered analog of q_embedding_neardups whose
+    codebook is the value-verified Lloyd run above.
+
+    Shape: one assign pass with the broadcast codebook, then
+    groupby(cluster).map_groups with ONE bounded matmul per cluster.
+    KMEANS_K should scale with the corpus so expected cluster size
+    stays task-bounded; a monster cluster takes the block-pair
+    decomposition WITHIN the cluster (the q_embedding_neardups shape
+    keyed by (cluster, pair_id)) — documented, not needed at the
+    driver scales.
+
+    Returns (cluster, vec_a, vec_b), vec_a < vec_b, cosine*100 >=
+    threshold_pct."""
+    from candidategeneration_ray.pipelines.extras import _emb_matrix
+
+    cent_ref = ray.put(kmeans_codebook(sf_dir))
+
+    def _assign_batch(batch: pa.Table) -> pa.Table:
+        _, xq = _quantize(batch)
+        return batch.append_column(
+            "cluster", pa.array(_assign(xq, ray.get(cent_ref)), pa.int64()))
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        cl = int(group.column("cluster")[0].as_py())
+        ids, mat = _emb_matrix(group)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        cos = unit @ unit.T
+        ia, ib = np.triu_indices(ids.size, k=1)
+        keep = cos[ia, ib] * 100 >= threshold_pct
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({
+            "cluster": pa.array(np.full(lo.size, cl, np.int64), pa.int64()),
+            "vec_a": pa.array(lo, pa.int64()),
+            "vec_b": pa.array(hi, pa.int64()),
+        })
+
+    return (
+        _embeddings_ds(sf_dir)
+        .map_batches(_assign_batch, batch_format="pyarrow")
+        .groupby("cluster").map_groups(_pairs, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------- integer PageRank over kNN graph
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000          # rank fixed-point scale
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def q_pagerank(sf_dir: str, iters: int = PR_ITERS) -> ray.data.Dataset:
+    """Integer PageRank over the exact kNN graph — the representative
+    ITERATIVE graph algorithm on Ray Data (the same family as label
+    propagation in q_dup_clusters). Fixed-point arithmetic makes every
+    iteration exact and partition-independent, so the DuckDB oracle
+    unrolls the iterations and the driver's hash compare is exact:
+
+        r0(v)   = S                       (S = 1e6)
+        give(u) = (85 * r(u)) // (100 * deg)
+        r'(v)   = (15 * S) // 100 + sum_{u->v} give(u)
+
+    deg is the kNN constant min(k, n-1) — every vector has exactly
+    that many out-edges, so there are no dangling nodes.
+
+    Shape per iteration: TWO bounded shuffles — groupby(node) attaches
+    r(u) to its out-edges (group size deg+1; the union-tag trick, no
+    join needed) and groupby(dst).sum merges contributions. The edge
+    list is materialized ONCE into the object store (reused every
+    round, never on the driver); ranks flow as a lazy chain, each
+    iteration consumed exactly once.
+
+    Returns (vec_id, pagerank) for every vector."""
+    n = _embeddings_ds(sf_dir).count()
+    deg = min(KNN_K, n - 1)
+    base = (100 - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+
+    # tag: edge rows carry dst >= 0; the node's rank row carries dst = -1
+    edge_rows = q_knn_graph(sf_dir).map_batches(
+        lambda b: pa.table({
+            "node": b.column("vec_id").cast(pa.int64()),
+            "dst": b.column("nbr_id").cast(pa.int64()),
+            "r": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+        }), batch_format="pyarrow").materialize()
+
+    ranks = _embeddings_ds(sf_dir).map_batches(
+        lambda b: pa.table({
+            "node": b.column("vec_id").cast(pa.int64()),
+            "r": pa.array(np.full(b.num_rows, PR_SCALE, np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+
+    def _scatter(group: pa.Table) -> pa.Table:
+        dst = group.column("dst").to_numpy().astype(np.int64)
+        r = group.column("r").to_numpy().astype(np.int64)
+        node = int(group.column("node")[0].as_py())
+        rv = int(r[dst == -1][0])
+        give = (PR_DAMP_NUM * rv) // (PR_DAMP_DEN * deg) if deg > 0 else 0
+        out_dst = dst[dst >= 0]
+        return pa.table({
+            # self row (give 0) keeps in-edge-less nodes in the groupby
+            "dst": pa.array(np.concatenate((out_dst, [node])), pa.int64()),
+            "give": pa.array(
+                np.concatenate((np.full(out_dst.size, give, np.int64), [0])),
+                pa.int64()),
+        })
+
+    for _ in range(iters):
+        rank_rows = ranks.map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "dst": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "r": b.column("r"),
+            }), batch_format="pyarrow")
+        contribs = (edge_rows.union(rank_rows)
+                    .groupby("node").map_groups(_scatter,
+                                                batch_format="pyarrow"))
+        ranks = (contribs.groupby("dst").aggregate(
+                     Sum("give", alias_name="s"))
+                 .map_batches(
+                     lambda b: pa.table({
+                         "node": b.column("dst").cast(pa.int64()),
+                         "r": pa.array(
+                             base + b.column("s").to_numpy().astype(np.int64),
+                             pa.int64()),
+                     }), batch_format="pyarrow"))
+
+    return ranks.map_batches(
+        lambda b: pa.table({
+            "vec_id": b.column("node"),
+            "pagerank": b.column("r"),
+        }), batch_format="pyarrow")

@@ -1310,3 +1310,71 @@ FROM (
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) <= 3
 """,
     }
+
+
+def graph_oracles() -> dict[str, str]:
+    """SemDeDup (cluster-restricted near-dups) and integer PageRank over
+    the exact kNN graph — the kmeans/knn CTEs above re-derive the same
+    codebook / edge list; PageRank iterations unroll as (c_i, r_i) CTE
+    pairs with the same integer floor-div arithmetic as
+    pipelines/clustering.py::q_pagerank."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_ITERS, KMEANS_SCALE, KNN_K, PR_DAMP_DEN, PR_DAMP_NUM,
+        PR_ITERS, PR_SCALE)
+
+    last_a = f"a{KMEANS_ITERS + 1}"
+    base = (100 - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    knn_cte = f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+edges AS MATERIALIZED (
+  SELECT vec_id AS src, nbr_id AS dst FROM (
+    SELECT vec_id, nbr_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, nbr_id ASC) AS rank
+    FROM dist)
+  WHERE rank <= {KNN_K}
+),
+meta AS (SELECT least({KNN_K}, count(*) - 1) AS deg FROM embeddings),
+r0 AS (SELECT vec_id AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM embeddings)"""
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f"""cc{i} AS (
+  SELECT e.dst AS node, sum(({PR_DAMP_NUM} * r.r) // ({PR_DAMP_DEN} * m.deg)) AS s
+  FROM edges e JOIN r{i - 1} r ON r.node = e.src CROSS JOIN meta m
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node, CAST({base} + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM r0 n LEFT JOIN cc{i} c USING (node)
+)""")
+    pagerank_sql = (
+        "WITH " + knn_cte + ",\n" + ",\n".join(steps)
+        + f"\nSELECT CAST(node AS BIGINT) AS vec_id, r AS pagerank FROM r{PR_ITERS}\n"
+    )
+    return {
+        "semantic_neardups": f"""
+WITH {_kmeans_ctes()},
+cpairs AS (
+  SELECT x.cluster, x.vec_id AS va, y.vec_id AS vb
+  FROM {last_a} x JOIN {last_a} y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+)
+SELECT CAST(p.cluster AS BIGINT) AS cluster,
+       CAST(p.va AS BIGINT) AS vec_a, CAST(p.vb AS BIGINT) AS vec_b
+FROM cpairs p
+JOIN embeddings ea ON ea.vec_id = p.va
+JOIN embeddings eb ON eb.vec_id = p.vb
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) * 100 >= 40
+""",
+        "pagerank": pagerank_sql,
+    }

@@ -155,3 +155,34 @@ class TestKnnGraph:
         b = cl.q_knn_graph(SF, n_blocks=7).to_pandas() \
             .sort_values(["vec_id", "rank"]).reset_index(drop=True)
         assert (a.values == b.values).all()
+
+
+class TestGraphOps:
+    def test_semantic_neardups_subset_of_exact(self, ray_session):
+        """Cluster restriction only REMOVES pairs from the exact
+        all-pairs near-dup set; every kept pair is in the same cluster."""
+        from candidategeneration_ray.pipelines import extras as ex
+
+        sem = cl.q_semantic_neardups(SF).to_pandas()
+        allp = ex.q_embedding_neardups(SF).to_pandas()
+        assert len(sem) > 0
+        all_set = set(zip(allp["vec_a"], allp["vec_b"]))
+        assert set(zip(sem["vec_a"], sem["vec_b"])) <= all_set
+        assign = cl.q_kmeans_assignments(SF).to_pandas()
+        c_of = dict(zip(assign["vec_id"], assign["cluster"]))
+        for _, r in sem.iterrows():
+            assert c_of[r["vec_a"]] == c_of[r["vec_b"]] == r["cluster"]
+
+    def test_pagerank_mass_and_coverage(self, ray_session):
+        pr = cl.q_pagerank(SF).to_pandas()
+        n = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                          columns=["vec_id"]).num_rows
+        assert len(pr) == n                      # every node ranked
+        assert pr["vec_id"].is_unique
+        # floor-div loses < 1 unit per edge per node; total mass stays
+        # within [n * (base + damp*S) - n*deg, n * S]
+        total = int(pr["pagerank"].sum())
+        assert total <= n * cl.PR_SCALE
+        assert total >= n * cl.PR_SCALE - cl.PR_ITERS * n * (cl.KNN_K + 1)
+        assert (pr["pagerank"] >= (100 - cl.PR_DAMP_NUM) * cl.PR_SCALE
+                // cl.PR_DAMP_DEN).all()
