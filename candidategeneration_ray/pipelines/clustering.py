@@ -283,6 +283,20 @@ def q_ann_ivf_kmeans_top10(sf_dir: str, nprobe: int = IVF_NPROBE) -> pa.Table:
 KNN_K = 3
 
 
+def _graph_buckets() -> int:
+    """Node-hash bucket count for the graph operators (kNN merge,
+    PageRank scatter), scaled with the cluster like the event-stream
+    user buckets: one bucket = one vectorized task over ~n/buckets
+    nodes, so per-node work is numpy, never a Python call per node.
+    Results are bucket-count independent (bucketing only partitions
+    the groupby)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return max(32, 4 * cpus)
+
+
 def q_knn_graph(sf_dir: str, k: int = KNN_K, n_blocks: int = 4) -> ray.data.Dataset:
     """EXACT k-nearest-neighbor graph over the embeddings (the seed
     structure for graph clustering / diversity filtering): for every
@@ -358,24 +372,40 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K, n_blocks: int = 4) -> ray.data.Data
             "d2": pa.array(np.concatenate([o[2] for o in out]), pa.int64()),
         })
 
-    def _merge(group: pa.Table) -> pa.Table:
-        vid = group.column("vec_id")[0].as_py()
-        nbr = group.column("nbr_id").to_numpy()
-        d2 = group.column("d2").to_numpy()
-        order = np.lexsort((nbr, d2))[:k]
+    nbk = _graph_buckets()
+
+    def _tag_bucket(batch: pa.Table) -> pa.Table:
+        vec = batch.column("vec_id").to_numpy().astype(np.int64)
+        return batch.append_column("bkt", pa.array(vec % nbk, pa.int64()))
+
+    def _merge_bucket(group: pa.Table) -> pa.Table:
+        """Vectorized per-bucket merge: ONE lexsort + rank-within-vector
+        selection for the whole bucket's partials — no per-node Python
+        (a 10^12-node graph must not pay a Python call per node)."""
+        vec = group.column("vec_id").to_numpy().astype(np.int64)
+        nbr = group.column("nbr_id").to_numpy().astype(np.int64)
+        d2 = group.column("d2").to_numpy().astype(np.int64)
+        order = np.lexsort((nbr, d2, vec))
+        v = vec[order]
+        first = np.r_[True, v[1:] != v[:-1]]
+        starts = np.flatnonzero(first)
+        rank = np.arange(v.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, v.size]))
+        sel = rank < k
+        o = order[sel]
         return pa.table({
-            "vec_id": pa.array(np.full(order.size, vid, np.int64), pa.int64()),
-            "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64),
-                             pa.int64()),
-            "nbr_id": pa.array(nbr[order], pa.int64()),
-            "d2": pa.array(d2[order], pa.int64()),
+            "vec_id": pa.array(v[sel], pa.int64()),
+            "rank": pa.array(rank[sel] + 1, pa.int64()),
+            "nbr_id": pa.array(nbr[o], pa.int64()),
+            "d2": pa.array(d2[o], pa.int64()),
         })
 
     return (
         _embeddings_ds(sf_dir)
         .map_batches(_expand, batch_format="pyarrow")
         .groupby("pair_id").map_groups(_score_group, batch_format="pyarrow")
-        .groupby("vec_id").map_groups(_merge, batch_format="pyarrow")
+        .map_batches(_tag_bucket, batch_format="pyarrow")
+        .groupby("bkt").map_groups(_merge_bucket, batch_format="pyarrow")
     )
 
 
@@ -451,69 +481,90 @@ def q_pagerank(sf_dir: str, iters: int = PR_ITERS) -> ray.data.Dataset:
     deg is the kNN constant min(k, n-1) — every vector has exactly
     that many out-edges, so there are no dangling nodes.
 
-    Shape per iteration: TWO bounded shuffles — groupby(node) attaches
-    r(u) to its out-edges (group size deg+1; the union-tag trick, no
-    join needed) and groupby(dst).sum merges contributions. The edge
-    list is materialized ONCE into the object store (reused every
-    round, never on the driver); ranks flow as a lazy chain, each
-    iteration consumed exactly once.
+    Shape: ONE bounded shuffle per iteration. The static structure
+    (out-edges + a node row per vector, both keyed by node-hash
+    bucket) is materialized once into the object store; each round is
+    a single groupby(bkt) whose task (a) reconstructs this bucket's
+    ranks from the PREVIOUS round's contribution rows (base + in-bucket
+    sum — the aggregation is fused into the scatter instead of being
+    its own shuffle) and (b) scatters the new per-edge contributions
+    keyed by the TARGET's bucket. All per-node work is one sort + two
+    searchsorteds per bucket — no Python call per node, nothing on the
+    driver. A final groupby materializes the last ranks.
 
     Returns (vec_id, pagerank) for every vector."""
     n = _embeddings_ds(sf_dir).count()
     deg = min(KNN_K, n - 1)
     base = (100 - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    nbk = _graph_buckets()
 
-    # tag: edge rows carry dst >= 0; the node's rank row carries dst = -1
-    edge_rows = q_knn_graph(sf_dir).map_batches(
-        lambda b: pa.table({
-            "node": b.column("vec_id").cast(pa.int64()),
-            "dst": b.column("nbr_id").cast(pa.int64()),
-            "r": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
-        }), batch_format="pyarrow").materialize()
-
-    ranks = _embeddings_ds(sf_dir).map_batches(
-        lambda b: pa.table({
-            "node": b.column("vec_id").cast(pa.int64()),
-            "r": pa.array(np.full(b.num_rows, PR_SCALE, np.int64), pa.int64()),
-        }), batch_format="pyarrow")
-
-    def _scatter(group: pa.Table) -> pa.Table:
-        dst = group.column("dst").to_numpy().astype(np.int64)
-        r = group.column("r").to_numpy().astype(np.int64)
-        node = int(group.column("node")[0].as_py())
-        rv = int(r[dst == -1][0])
-        give = (PR_DAMP_NUM * rv) // (PR_DAMP_DEN * deg) if deg > 0 else 0
-        out_dst = dst[dst >= 0]
+    # row kinds in the union: node row (dst = -1), edge row (dst >= 0),
+    # contribution row (dst = -2, give = value targeted at `node`)
+    def _static_rows(b: pa.Table) -> pa.Table:
+        vec = b.column("vec_id").to_numpy().astype(np.int64)
+        nbr = b.column("nbr_id").to_numpy().astype(np.int64)
+        # one node row per vector: its rank-1 edge row (batch-boundary
+        # proof, unlike adjacent-difference dedup)
+        nodes = vec[b.column("rank").to_numpy().astype(np.int64) == 1]
         return pa.table({
-            # self row (give 0) keeps in-edge-less nodes in the groupby
-            "dst": pa.array(np.concatenate((out_dst, [node])), pa.int64()),
-            "give": pa.array(
-                np.concatenate((np.full(out_dst.size, give, np.int64), [0])),
+            "bkt": pa.array(np.concatenate((vec, nodes)) % nbk, pa.int64()),
+            "node": pa.array(np.concatenate((vec, nodes)), pa.int64()),
+            "dst": pa.array(
+                np.concatenate((nbr, np.full(nodes.size, -1, np.int64))),
                 pa.int64()),
+            "give": pa.array(
+                np.zeros(vec.size + nodes.size, np.int64), pa.int64()),
         })
 
-    for _ in range(iters):
-        rank_rows = ranks.map_batches(
-            lambda b: pa.table({
-                "node": b.column("node"),
-                "dst": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
-                "r": b.column("r"),
-            }), batch_format="pyarrow")
-        contribs = (edge_rows.union(rank_rows)
-                    .groupby("node").map_groups(_scatter,
-                                                batch_format="pyarrow"))
-        ranks = (contribs.groupby("dst").aggregate(
-                     Sum("give", alias_name="s"))
-                 .map_batches(
-                     lambda b: pa.table({
-                         "node": b.column("dst").cast(pa.int64()),
-                         "r": pa.array(
-                             base + b.column("s").to_numpy().astype(np.int64),
-                             pa.int64()),
-                     }), batch_format="pyarrow"))
+    static = q_knn_graph(sf_dir).map_batches(
+        _static_rows, batch_format="pyarrow").materialize()
 
-    return ranks.map_batches(
-        lambda b: pa.table({
-            "vec_id": b.column("node"),
-            "pagerank": b.column("r"),
-        }), batch_format="pyarrow")
+    def _bucket_ranks(group: pa.Table, first: bool):
+        """(sorted node array, rank array) for one bucket."""
+        node = group.column("node").to_numpy().astype(np.int64)
+        dst = group.column("dst").to_numpy().astype(np.int64)
+        give = group.column("give").to_numpy().astype(np.int64)
+        rn = np.sort(node[dst == -1])
+        if first:
+            return rn, np.full(rn.size, PR_SCALE, np.int64)
+        rv = np.full(rn.size, base, np.int64)
+        is_con = dst == -2
+        np.add.at(rv, np.searchsorted(rn, node[is_con]), give[is_con])
+        return rn, rv
+
+    def _make_round(first: bool):
+        def _round(group: pa.Table) -> pa.Table:
+            node = group.column("node").to_numpy().astype(np.int64)
+            dst = group.column("dst").to_numpy().astype(np.int64)
+            rn, rv = _bucket_ranks(group, first)
+            give_n = (PR_DAMP_NUM * rv) // (PR_DAMP_DEN * deg) if deg > 0 \
+                else np.zeros(rn.size, np.int64)
+            is_edge = dst >= 0
+            es, ed = node[is_edge], dst[is_edge]
+            return pa.table({
+                "bkt": pa.array(ed % nbk, pa.int64()),
+                "node": pa.array(ed, pa.int64()),
+                "dst": pa.array(np.full(ed.size, -2, np.int64), pa.int64()),
+                "give": pa.array(give_n[np.searchsorted(rn, es)], pa.int64()),
+            })
+        return _round
+
+    def _final(group: pa.Table) -> pa.Table:
+        rn, rv = _bucket_ranks(group, False)
+        return pa.table({
+            "vec_id": pa.array(rn, pa.int64()),
+            "pagerank": pa.array(rv, pa.int64()),
+        })
+
+    cur = static
+    for t in range(iters):
+        contribs = cur.groupby("bkt").map_groups(
+            _make_round(t == 0), batch_format="pyarrow")
+        cur = static.union(contribs)
+    if iters == 0:
+        return static.groupby("bkt").map_groups(
+            lambda g: (lambda rn, rv: pa.table({
+                "vec_id": pa.array(rn, pa.int64()),
+                "pagerank": pa.array(rv, pa.int64()),
+            }))(*_bucket_ranks(g, True)), batch_format="pyarrow")
+    return cur.groupby("bkt").map_groups(_final, batch_format="pyarrow")
