@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": sk.q_doclen_quantiles,
         "frequent_terms": sk.q_frequent_terms,      # 2-pass Misra-Gries, exact
         "hll_registers": sk.q_hll_registers,            # sketch state, exact
+        "source_quantile_filter": sk.q_source_quantile_filter,  # dynamic per-source cutoff
         "hll_distinct_terms": sk.q_hll_distinct_terms,  # float estimator (rows-only)
         # --- clustering (exact-integer Lloyd, value-verified) ---
         "kmeans_centroids": cl.q_kmeans_centroids,
@@ -101,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top50": tl.q_pmi_top50,                # PMI collocation mining
         "mixture_select": tl.q_mixture_select,      # budgeted per-source selection
         "tfidf_top3": tl.q_tfidf_top3,              # per-doc keyword extraction
+        "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
+        # quality gate -> decontaminate -> exact dedup -> budget selection
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
@@ -117,12 +120,14 @@ def oracle_sql() -> dict[str, str]:
     from candidategeneration_ray.pipelines.sql_oracles import (
         core_oracles, extras_oracles, hll_oracles, kmeans_oracles,
         knn_oracles, mixture_oracles, predictive_oracles,
-        graph_oracles, quality_filter_oracles, sketch_oracles,
-        sliding_oracles, textlm_oracles,
+        graph_oracles, pretrain_oracles, quality_filter_oracles,
+        sketch_oracles, sliding_oracles, source_quantile_oracles,
+        textlm_oracles,
     )
 
     return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
             **sketch_oracles(), **kmeans_oracles(), **knn_oracles(),
             **mixture_oracles(), **sliding_oracles(),
             **quality_filter_oracles(), **hll_oracles(),
-            **textlm_oracles(), **graph_oracles()}
+            **textlm_oracles(), **graph_oracles(),
+            **source_quantile_oracles(), **pretrain_oracles()}

@@ -164,7 +164,9 @@ def run_bench() -> dict:
     # documents-table operator pipelines at GRAFT_SF_DIR
     per_query: dict[str, float] = {}
     shutil.rmtree("/tmp/cg_ray_cache", ignore_errors=True)
+    from candidategeneration_ray.pipelines import clustering as cb
     from candidategeneration_ray.pipelines import extras as ex
+    from candidategeneration_ray.pipelines import textlm as tl
 
     per_query["delta_update_10pct"] = round(update_sec, 3)
     for name, fn in [
@@ -180,6 +182,10 @@ def run_bench() -> dict:
         ("embedding_neardups", ex.q_embedding_neardups),
         ("ann_cosine_top10", ex.q_ann_cosine_top10),
         ("text_stats", ex.q_text_stats),
+        ("tfidf_top3", tl.q_tfidf_top3),
+        ("decontaminate", tl.q_decontaminate),
+        ("semantic_neardups", cb.q_semantic_neardups),
+        ("pagerank", cb.q_pagerank),
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)

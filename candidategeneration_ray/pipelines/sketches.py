@@ -304,3 +304,84 @@ def q_hll_distinct_terms(sf_dir: str) -> pa.Table:
         "n_distinct_est": pa.array([int(est)], pa.int64()),
         "n_registers": pa.array([HLL_M], pa.int64()),
     })
+
+
+# ----------------------------------- per-source dynamic quantile filter
+
+def q_source_quantile_filter(sf_dir: str, pct: int = 25) -> ray.data.Dataset:
+    """Dynamic per-source length filter: drop each source's shortest
+    ~pct% of docs, where the threshold is derived from the SOURCE's own
+    length distribution (the data-driven analog of quality_filter's
+    fixed bounds — sources with different length profiles get different
+    cutoffs). The threshold is the histogram-sketch quantile bin (same
+    fixed 64-char bins and ceil-rank rule as q_doclen_quantiles), so
+    the rule is integer-deterministic and exactly SQL-reproducible.
+
+    Shape: per-batch (source, bin) count partials -> one
+    groupby(source, bin).sum whose merged summary is
+    O(sources * bins) rows; thresholds broadcast once; the filter pass
+    is a pure streaming map. Nothing driver-side scales with the
+    corpus.
+
+    Returns (source, doc_id, n_chars, thr_bin) for KEPT docs
+    (n_chars // 64 >= thr_bin)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        bins = batch.column("n_chars").to_numpy().astype(np.int64) \
+            // HIST_BIN_WIDTH
+        su, sinv = np.unique(src, return_inverse=True)
+        key = sinv.astype(np.int64) * (int(bins.max()) + 1 if bins.size else 1) \
+            + bins
+        kg, cnt = np.unique(key, return_counts=True)
+        width = int(bins.max()) + 1 if bins.size else 1
+        return pa.table({
+            "source": pa.array(su[kg // width].tolist(), pa.string()),
+            "bin": pa.array(kg % width, pa.int64()),
+            "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"])
+    hist = (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(["source", "bin"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+            .sort(["source", "bin"])
+            .take_all())  # merged summary only: O(sources * bins) rows
+    thr: dict[str, int] = {}
+    i = 0
+    while i < len(hist):
+        s = hist[i]["source"]
+        j = i
+        cum = 0
+        rows = []
+        while j < len(hist) and hist[j]["source"] == s:
+            rows.append((hist[j]["bin"], hist[j]["n_docs"]))
+            cum += hist[j]["n_docs"]
+            j += 1
+        target = -(-pct * cum // 100)  # ceil without floats
+        c = 0
+        for b, nd in rows:
+            c += nd
+            if c >= target:
+                thr[s] = int(b)
+                break
+        i = j
+    thr_ref = ray.put(thr)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        nch = batch.column("n_chars").to_numpy().astype(np.int64)
+        tb = np.fromiter((t[s] for s in src), np.int64, src.size)
+        keep = (nch // HIST_BIN_WIDTH) >= tb
+        return pa.table({
+            "source": batch.column("source").filter(pa.array(keep)),
+            "doc_id": batch.column("doc_id").cast(pa.int64()).filter(pa.array(keep)),
+            "n_chars": pa.array(nch[keep], pa.int64()),
+            "thr_bin": pa.array(tb[keep], pa.int64()),
+        })
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

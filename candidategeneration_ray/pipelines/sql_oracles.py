@@ -1378,3 +1378,99 @@ WHERE list_cosine_similarity(ea.embedding, eb.embedding) * 100 >= 40
 """,
         "pagerank": pagerank_sql,
     }
+
+
+def source_quantile_oracles() -> dict[str, str]:
+    """Per-source histogram-quantile filter — same 64-char bins and
+    ceil-rank rule as q_doclen_quantiles, per source."""
+    from candidategeneration_ray.pipelines.sketches import HIST_BIN_WIDTH
+
+    w, pct = HIST_BIN_WIDTH, 25
+    return {
+        "source_quantile_filter": f"""
+WITH h AS (
+  SELECT source, n_chars // {w} AS bin, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, bin
+),
+tot AS (SELECT source, sum(n) AS t FROM h GROUP BY source),
+cum AS (
+  SELECT h.source, h.bin,
+         sum(n) OVER (PARTITION BY h.source ORDER BY h.bin) AS c, t.t
+  FROM h JOIN tot t USING (source)
+),
+q AS (
+  SELECT source, min(bin) AS thr_bin FROM cum
+  WHERE c >= ({pct} * t + 99) // 100
+  -- ceil over positives; DuckDB // truncates toward zero, so the
+  -- negate-floor-negate ceil idiom is NOT valid here
+  GROUP BY source
+)
+SELECT d.source, CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(q.thr_bin AS BIGINT) AS thr_bin
+FROM documents d JOIN q USING (source)
+WHERE d.n_chars // {w} >= q.thr_bin
+""",
+    }
+
+
+def pretrain_oracles() -> dict[str, str]:
+    """End-to-end pretraining data-prep composition: quality gate ->
+    benchmark removal + decontamination -> exact dedup -> per-source
+    budgeted selection. Each stage reuses the EXACT rule text of its
+    standalone oracle (quality_filter, decontaminate, dedup_exact,
+    mixture_select), so the composition verifies the stage wiring, not
+    just the stages."""
+    from candidategeneration_ray.pipelines.extras import (
+        QF_MAX_MEAN_WLEN, QF_MAX_WORDS, QF_MIN_WORDS, QF_PUNCT_MULT,
+        QF_STOP_MULT)
+    from candidategeneration_ray.pipelines.textlm import BENCH_MOD, DECON_W
+
+    budget = 400
+    return {
+        "pretrain_select": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(DECON_W)},
+{_WORDS_CTE},
+qual AS (
+  SELECT d.doc_id
+  FROM documents d LEFT JOIN wstats w USING (doc_id)
+  WHERE coalesce(w.n_words, 0) >= {QF_MIN_WORDS}
+    AND coalesce(w.n_words, 0) <= {QF_MAX_WORDS}
+    AND {QF_STOP_MULT} * coalesce(w.n_stop, 0) >= coalesce(w.n_words, 0)
+    AND length(d.text) <= {QF_MAX_MEAN_WLEN} * greatest(coalesce(w.n_words, 0), 1)
+    AND {QF_PUNCT_MULT} * len(regexp_extract_all(d.text, '[^A-Za-z0-9\\s]')) <= length(d.text)
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+contam AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (h)
+  WHERE s.doc_id % {BENCH_MOD} <> 0
+),
+tk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT tok) AS BIGINT) AS nd
+       FROM kept GROUP BY doc_id),
+surv AS (
+  SELECT d.doc_id, d.source, d.text, tk.n, tk.nd
+  FROM documents d
+  JOIN qual USING (doc_id)
+  JOIN tk USING (doc_id)
+  WHERE d.doc_id % {BENCH_MOD} <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+dd AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
+cand AS (
+  SELECT s.source, s.doc_id, (1000 * s.nd) // s.n AS prio, s.n AS ntok
+  FROM surv s JOIN dd USING (doc_id)
+),
+sel AS (
+  SELECT source, doc_id, prio,
+         sum(ntok) OVER (PARTITION BY source ORDER BY prio DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cand
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(prio AS BIGINT) AS prio,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM sel WHERE cum <= {budget}
+""",
+    }

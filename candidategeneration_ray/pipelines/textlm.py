@@ -511,3 +511,136 @@ def q_tfidf_top3(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         })
 
     return documents_ds(sf_dir).map_batches(_topk, batch_format="pyarrow")
+
+
+# --------------------------------- end-to-end pretraining data prep
+
+def q_pretrain_select(sf_dir: str, budget: int = 400, w: int = DECON_W,
+                      bench_mod: int = BENCH_MOD,
+                      n_buckets: int = 64) -> ray.data.Dataset:
+    """FLAGSHIP COMPOSITION — the full pre-training data-prep pipeline
+    the individual operators exist for, end to end over the documents
+    table:
+
+        1. composite quality gate (the q_quality_filter rule mask == 0)
+        2. benchmark removal + decontamination (w-shingle overlap with
+           the doc_id % bench_mod benchmark set)
+        3. exact deduplication (keep the min doc_id per identical text)
+        4. per-source budgeted greedy selection (type-token-ratio prio,
+           running total <= budget — the q_mixture_select rule)
+
+    Shape: the benchmark shingle set is the only broadcast; ONE feature
+    map over the corpus computes quality mask, contamination flag,
+    md5 and token stats in a single pass (no shuffle); then exactly two
+    bounded shuffles finish the job — groupby(md5-hash bucket) for the
+    vectorized dedup (min doc per identical text, one lexsort per
+    bucket) and groupby(source) for the sequential budget scan. The
+    driver never sees a per-doc row.
+
+    Returns (source, doc_id, prio, cum_tokens) for the selected docs.
+    """
+    import hashlib
+
+    from candidategeneration_ray.pipelines import extras as ex
+
+    # benchmark shingle hashes: distributed distinct -> one broadcast
+    def _bench_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, per_doc = _doc_shingle_hashes(batch, w)
+        keep = doc_ids % bench_mod == 0
+        hs = (np.unique(np.concatenate(
+            [h for h, k in zip(per_doc, keep) if k]))
+            if keep.any() else np.empty(0, np.uint64))
+        return pa.table({"h": pa.array(hs.astype(np.int64), pa.int64())})
+
+    bench = np.sort(np.asarray(
+        documents_ds(sf_dir)
+        .map_batches(_bench_rows, batch_format="pyarrow")
+        .unique("h"),
+        dtype=np.int64,
+    ).astype(np.uint64))
+    bench_ref = ray.put(bench)
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        from candidategeneration_ray.pipelines.extras import (
+            QF_MAX_MEAN_WLEN, QF_MAX_WORDS, QF_MIN_WORDS, QF_PUNCT_MULT,
+            QF_STOP_MULT)
+
+        bset = ray.get(bench_ref)
+        st = ex._textstats(batch)           # row-aligned with the batch
+        nw = st.column("n_words").to_numpy()
+        nc = st.column("n_chars").to_numpy()
+        ns = st.column("n_stop").to_numpy()
+        npc = st.column("n_punct_chars").to_numpy()
+        quality_ok = (
+            (nw >= QF_MIN_WORDS) & (nw <= QF_MAX_WORDS)
+            & (QF_STOP_MULT * ns >= nw)
+            & (nc <= QF_MAX_MEAN_WLEN * np.maximum(nw, 1))
+            & (QF_PUNCT_MULT * npc <= nc)
+        )
+        texts = batch.column("text").to_pylist()
+        token_lists = tokenize_many(texts)
+        lens, _, doc_g, _, _ = _packed_doc_terms(token_lists)
+        nd = np.bincount(doc_g, minlength=len(token_lists)).astype(np.int64)
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        per_doc = [np.unique(H.h64_many(H.word_shingles(t, w)))
+                   for t in token_lists]
+        sizes = np.fromiter((p.size for p in per_doc), np.int64,
+                            len(per_doc))  # >= 1 each
+        cat = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
+        if bset.size:
+            pos = np.searchsorted(bset, cat)
+            pos[pos == bset.size] = 0
+            n_hit, _ = _segment_counts(bset[pos] == cat, sizes)
+        else:
+            n_hit = np.zeros(sizes.size, np.int64)
+        keep = (quality_ok & (doc_ids % bench_mod != 0) & (n_hit == 0)
+                & (lens > 0))
+        ki = np.flatnonzero(keep)
+        md5s = [hashlib.md5(texts[i].encode("utf-8")).hexdigest()
+                for i in ki]
+        bkt = H.h64_many(md5s) % np.uint64(n_buckets) if ki.size else \
+            np.empty(0, np.uint64)
+        prio = (1000 * nd[ki]) // lens[ki]
+        return pa.table({
+            "bkt": pa.array(bkt.astype(np.int64), pa.int64()),
+            "md5": pa.array(md5s, pa.string()),
+            "source": batch.column("source").filter(pa.array(keep)),
+            "doc_id": pa.array(doc_ids[ki], pa.int64()),
+            "prio": pa.array(prio, pa.int64()),
+            "ntok": pa.array(lens[ki], pa.int64()),
+        })
+
+    def _dedup_bucket(group: pa.Table) -> pa.Table:
+        """Keep the min doc_id per md5 — vectorized over the whole
+        bucket (one unique + one lexsort, no per-text Python)."""
+        md5 = np.asarray(group.column("md5").to_pylist(), dtype=object)
+        did = group.column("doc_id").to_numpy().astype(np.int64)
+        _, inv = np.unique(md5, return_inverse=True)
+        order = np.lexsort((did, inv))
+        v = inv[order]
+        first = np.r_[True, v[1:] != v[:-1]]
+        sel = order[first]
+        return group.take(sel.tolist()).drop_columns(["bkt", "md5"])
+
+    def _select(group: pa.Table) -> pa.Table:
+        prio = group.column("prio").to_numpy()
+        did = group.column("doc_id").to_numpy()
+        ntok = group.column("ntok").to_numpy()
+        order = np.lexsort((did, -prio))
+        cum = np.cumsum(ntok[order])
+        sel = cum <= budget
+        idx = order[sel]
+        return pa.table({
+            "source": group.column("source").take(idx.tolist()),
+            "doc_id": pa.array(did[idx], pa.int64()),
+            "prio": pa.array(prio[idx], pa.int64()),
+            "cum_tokens": pa.array(cum[sel], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "source"])
+        .map_batches(_rows, batch_format="pyarrow")
+        .groupby("bkt").map_groups(_dedup_bucket, batch_format="pyarrow")
+        .groupby("source").map_groups(_select, batch_format="pyarrow")
+    )

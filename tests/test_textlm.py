@@ -103,3 +103,41 @@ def test_pmi_scores_monotone_and_bounded(ray_session):
     assert (out["c_ab"] >= 5).all()
     rows = list(zip(-out["score"].to_numpy(), out["bigram"].tolist()))
     assert rows == sorted(rows)
+
+
+def test_source_quantile_filter_drops_short_tail(ray_session):
+    from candidategeneration_ray.pipelines import sketches as sk
+
+    out = sk.q_source_quantile_filter(SF_DIR).to_pandas()
+    assert len(out) > 0
+    assert (out["n_chars"] // sk.HIST_BIN_WIDTH >= out["thr_bin"]).all()
+    # each source keeps at most ~75% + one bin's worth of its docs
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["source"]).to_pandas()
+    tot = docs.groupby("source").size()
+    kept = out.groupby("source").size()
+    assert (kept <= tot[kept.index]).all()
+    assert kept.sum() < len(docs)  # something was dropped
+
+
+def test_pretrain_select_stage_semantics(ray_session):
+    """Every selected doc passes quality, is not benchmark, is not
+    contaminated, has a unique text among selections, and each source
+    stays within budget."""
+    from candidategeneration_ray.pipelines import extras as ex
+    import pyarrow.parquet as pq
+
+    sel = tl.q_pretrain_select(SF_DIR).to_pandas()
+    assert len(sel) > 0
+    assert (sel.groupby("source")["cum_tokens"].max() <= 400).all()
+    assert (sel["doc_id"] % tl.BENCH_MOD != 0).all()
+    contaminated = set(tl.q_decontaminate(SF_DIR).to_pandas()["doc_id"])
+    assert not (set(sel["doc_id"]) & contaminated)
+    qual = ex.q_quality_filter(SF_DIR).to_pandas()
+    ok = set(qual[qual["keep"] == 1]["doc_id"])
+    assert set(sel["doc_id"]) <= ok
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = docs.set_index("doc_id")["text"]
+    assert texts[sel["doc_id"]].is_unique
