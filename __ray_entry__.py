@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from candidategeneration_ray.pipelines import extras as ex
     from candidategeneration_ray.pipelines import sketches as sk
     from candidategeneration_ray.pipelines import clustering as cl
+    from candidategeneration_ray.pipelines import relational as rl
     from candidategeneration_ray.pipelines import textlm as tl
 
     return {
@@ -104,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top3": tl.q_tfidf_top3,              # per-doc keyword extraction
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
+        # --- relational / warehouse surface (TPC-H-shaped tables) ---
+        "pricing_summary": rl.q_pricing_summary,    # Q1-shape scan+group-agg
+        "nation_order_stats": rl.q_nation_order_stats,  # bucketed hash equi-join
+        "top_customers": rl.q_top_customers,        # group-agg + dataset-side top-k
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
@@ -121,8 +126,8 @@ def oracle_sql() -> dict[str, str]:
         core_oracles, extras_oracles, hll_oracles, kmeans_oracles,
         knn_oracles, mixture_oracles, predictive_oracles,
         graph_oracles, pretrain_oracles, quality_filter_oracles,
-        sketch_oracles, sliding_oracles, source_quantile_oracles,
-        textlm_oracles,
+        relational_oracles, sketch_oracles, sliding_oracles,
+        source_quantile_oracles, textlm_oracles,
     )
 
     return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
@@ -130,4 +135,5 @@ def oracle_sql() -> dict[str, str]:
             **mixture_oracles(), **sliding_oracles(),
             **quality_filter_oracles(), **hll_oracles(),
             **textlm_oracles(), **graph_oracles(),
-            **source_quantile_oracles(), **pretrain_oracles()}
+            **source_quantile_oracles(), **pretrain_oracles(),
+            **relational_oracles()}

@@ -1,0 +1,239 @@
+"""General relational operators over the TPC-H-shaped tables — the
+engine's generic warehouse surface beside the IR core: an integer-exact
+pricing summary (scan + group-aggregate with predicate pushdown at the
+read), a distributed bucketed hash equi-join (the general two-large-
+tables shape; the small-side broadcast join the engine already uses
+everywhere is the documented alternative), and a join-free top-k spend
+aggregation.
+
+All money arithmetic is integer cents with DuckDB round() semantics
+(half away from zero, the events-pipeline convention) so the oracle
+hash compare is exact — float summation order never matters.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+# Q1-style shipdate cutoff (synthetic corpus dates span 1995-2001).
+PRICING_CUTOFF = "1998-09-01"
+JOIN_BUCKETS = 64            # custkey-hash buckets for the shuffle join
+TOP_CUSTOMERS = 20
+
+
+def _cents(values: np.ndarray) -> np.ndarray:
+    """DuckDB round() semantics: half AWAY from zero (np.round is
+    half-to-even and diverges on exact .5 — same rule as events.py)."""
+    v = values * 100.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def _pct(values: np.ndarray) -> np.ndarray:
+    """Fraction -> integer percent with the same rounding rule."""
+    v = values * 100.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-shaped pricing summary, integer-exact: per
+    (l_returnflag, l_linestatus) over rows with l_shipdate <= cutoff:
+
+        n_rows, sum_qty (integer quantities),
+        sum_base_cents            = sum(cents(extendedprice))
+        sum_disc_milli            = sum(cents(price) * (100 - disc_pct))
+        sum_charge_micro          = sum(cents(price) * (100 - disc_pct)
+                                                     * (100 + tax_pct))
+
+    Shape: the shipdate predicate and the 7-column projection push down
+    into the parquet read (row groups that miss the cutoff never leave
+    storage); per-batch partials compress to one row per (flag, status)
+    before the O(groups) groupby. int64 bound: cents < 2^33 per row,
+    charge < 2^47 per row — 10^12 rows would move the milli/micro sums
+    past int64, so at that scale the partials split the sum into
+    (count, sum) pairs per 10^9-row partition or use decimal128;
+    documented, not needed at bench scale."""
+    import pyarrow.compute as pc
+
+    cutoff = np.datetime64(PRICING_CUTOFF, "us")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flag = np.asarray(batch.column("l_returnflag").to_pylist(), object)
+        stat = np.asarray(batch.column("l_linestatus").to_pylist(), object)
+        qty = _cents(batch.column("l_quantity").to_numpy()) // 100
+        price = _cents(batch.column("l_extendedprice").to_numpy())
+        disc = _pct(batch.column("l_discount").to_numpy())
+        tax = _pct(batch.column("l_tax").to_numpy())
+        disc_m = price * (100 - disc)
+        charge_u = disc_m * (100 + tax)
+        key = np.asarray([f + "\x00" + s for f, s in zip(flag, stat)], object)
+        u, inv = np.unique(key, return_inverse=True)
+        def _g(x):
+            o = np.zeros(len(u), np.int64)
+            np.add.at(o, inv, x)
+            return o
+        return pa.table({
+            "l_returnflag": pa.array([k.split("\x00")[0] for k in u], pa.string()),
+            "l_linestatus": pa.array([k.split("\x00")[1] for k in u], pa.string()),
+            "n_rows": pa.array(_g(np.ones(len(key), np.int64)), pa.int64()),
+            "sum_qty": pa.array(_g(qty), pa.int64()),
+            "sum_base_cents": pa.array(_g(price), pa.int64()),
+            "sum_disc_milli": pa.array(_g(disc_m), pa.int64()),
+            "sum_charge_micro": pa.array(_g(charge_u), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= pa.scalar(
+            cutoff, pa.timestamp("us"))),
+    )
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_milli", alias_name="sum_disc_milli"),
+            Sum("sum_charge_micro", alias_name="sum_charge_micro"),
+        )
+    )
+
+
+def q_nation_order_stats(sf_dir: str) -> ray.data.Dataset:
+    """Distributed hash equi-join orders JOIN customer ON custkey,
+    aggregated per (nation name, order status): order count + total
+    cents.
+
+    Shape: the GENERAL two-large-tables join — both sides bucket by
+    custkey hash (union-tag trick, same machinery as the PageRank
+    scatter), one groupby(bucket) co-locates each key's rows, and the
+    in-bucket probe is one sort + one searchsorted (build side =
+    customer rows in the bucket, unique on the PK). The 25-row nation
+    dim is a broadcast lookup, and the output shuffle carries one
+    compressed partial row per (nation, status) per bucket. When one
+    side fits memory the broadcast join (ray.put + map_batches, used
+    all over the engine) is the cheaper plan; this entry keeps the
+    shuffle-join path exercised."""
+    import pyarrow.parquet as pq
+
+    nb = JOIN_BUCKETS
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    nnames = np.asarray(nation.column("n_name").to_pylist(), object)
+    order = np.argsort(nk)
+    nation_ref = ray.put((nk[order], nnames[order]))
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nationkey": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
+            "status": batch.column("o_orderstatus"),
+            "cents": pa.array(_cents(batch.column("o_totalprice").to_numpy()),
+                              pa.int64()),
+        })
+
+    def _cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nationkey": pa.array(
+                batch.column("c_nationkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "status": pa.array([""] * ck.size, pa.string()),
+            "cents": pa.array(np.zeros(ck.size, np.int64), pa.int64()),
+        })
+
+    def _probe(group: pa.Table) -> pa.Table:
+        nko, nname = ray.get(nation_ref)
+        key = group.column("key").to_numpy().astype(np.int64)
+        natk = group.column("nationkey").to_numpy().astype(np.int64)
+        cents = group.column("cents").to_numpy().astype(np.int64)
+        status = np.asarray(group.column("status").to_pylist(), object)
+        build = natk >= 0
+        bk = key[build]
+        bn = natk[build]
+        o = np.argsort(bk)
+        bk, bn = bk[o], bn[o]
+        pk = key[~build]
+        idx = np.searchsorted(bk, pk)
+        if bk.size:
+            idx[idx == bk.size] = 0
+            hit = bk[idx] == pk
+        else:
+            hit = np.zeros(pk.size, bool)  # inner join: drop orphans
+        nat = bn[idx[hit]]
+        nm = nname[np.searchsorted(nko, nat)]
+        st = status[~build][hit]
+        cn = cents[~build][hit]
+        pkey = np.asarray([a + "\x00" + b for a, b in zip(nm, st)], object)
+        u, inv = np.unique(pkey, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        c = np.zeros(len(u), np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(c, inv, cn)
+        return pa.table({
+            "n_name": pa.array([k.split("\x00")[0] for k in u], pa.string()),
+            "o_orderstatus": pa.array([k.split("\x00")[1] for k in u],
+                                      pa.string()),
+            "n_orders": pa.array(n, pa.int64()),
+            "total_cents": pa.array(c, pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"],
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(_cust_rows, batch_format="pyarrow")
+    return (
+        orders.union(cust)
+        .groupby("bkt").map_groups(_probe, batch_format="pyarrow")
+        .groupby(["n_name", "o_orderstatus"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_cents", alias_name="total_cents"))
+    )
+
+
+def q_top_customers(sf_dir: str, k: int = TOP_CUSTOMERS) -> pa.Table:
+    """Top-k customers by total order spend (cents), ties by custkey
+    asc: per-batch compressed partials -> groupby(custkey).sum ->
+    dataset-side sort + limit, so the driver sees k rows."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        cents = _cents(batch.column("o_totalprice").to_numpy())
+        u, inv = np.unique(ck, return_inverse=True)
+        c = np.zeros(u.size, np.int64)
+        n = np.zeros(u.size, np.int64)
+        np.add.at(c, inv, cents)
+        np.add.at(n, inv, 1)
+        return pa.table({
+            "o_custkey": pa.array(u, pa.int64()),
+            "total_cents": pa.array(c, pa.int64()),
+            "n_orders": pa.array(n, pa.int64()),
+        })
+
+    top = (
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey", "o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("total_cents", alias_name="total_cents"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .sort(key=["total_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)

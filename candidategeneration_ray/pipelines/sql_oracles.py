@@ -1474,3 +1474,46 @@ SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(prio AS BIGINT) AS prio,
 FROM sel WHERE cum <= {budget}
 """,
     }
+
+
+def relational_oracles() -> dict[str, str]:
+    """Warehouse-surface operators over the TPC-H-shaped tables
+    (pipelines/relational.py). Money math is integer cents with DuckDB
+    round() (half away from zero) on both sides."""
+    from candidategeneration_ray.pipelines.relational import (
+        PRICING_CUTOFF, TOP_CUSTOMERS)
+
+    c = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    d = "CAST(round(l_discount * 100) AS BIGINT)"
+    t = "CAST(round(l_tax * 100) AS BIGINT)"
+    return {
+        "pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) // 100) AS BIGINT) AS sum_qty,
+       CAST(sum({c}) AS BIGINT) AS sum_base_cents,
+       CAST(sum({c} * (100 - {d})) AS BIGINT) AS sum_disc_milli,
+       CAST(sum({c} * (100 - {d}) * (100 + {t})) AS BIGINT) AS sum_charge_micro
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "nation_order_stats": """
+SELECT n_name, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name, o_orderstatus
+""",
+        "top_customers": f"""
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_cents DESC, o_custkey
+LIMIT {TOP_CUSTOMERS}
+""",
+    }
