@@ -92,6 +92,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--concurrency", type=int, default=4)
     q.add_argument("--num-cpus", type=int, default=None)
 
+    pp = sub.add_parser("prep", help="run the pretraining data-prep "
+                        "composition (quality -> decontaminate -> dedup -> "
+                        "budget select) and write the source-partitioned "
+                        "corpus")
+    pp.add_argument("--input", required=True,
+                    help="directory holding documents.parquet")
+    pp.add_argument("--out", required=True, help="corpus output directory")
+    pp.add_argument("--budget", type=int, default=400,
+                    help="kept-token budget per source")
+    pp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
     import ray
@@ -130,6 +141,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"ok": True, "sources": res["sources"],
                               "sec": round(time.time() - t0, 2),
                               "phases": res["metrics"]["phases"]}))
+        elif args.cmd == "prep":
+            from candidategeneration_ray.pipelines.textlm import (
+                write_pretrain_corpus)
+
+            t0 = time.time()
+            res = write_pretrain_corpus(args.input, args.out,
+                                        budget=args.budget)
+            print(json.dumps({"ok": True, "out": res["out_dir"],
+                              "n_docs": res["n_docs"],
+                              "skipped": res["skipped"],
+                              "sec": round(time.time() - t0, 2)}))
         else:
             import ray.data
 

@@ -644,3 +644,47 @@ def q_pretrain_select(sf_dir: str, budget: int = 400, w: int = DECON_W,
         .groupby("bkt").map_groups(_dedup_bucket, batch_format="pyarrow")
         .groupby("source").map_groups(_select, batch_format="pyarrow")
     )
+
+
+def write_pretrain_corpus(sf_dir: str, out_dir: str,
+                          budget: int = 400) -> dict:
+    """SINK for the flagship composition: persist the pretrain_select
+    survivors as a source-partitioned parquet corpus (one directory per
+    source — the resume/read-pruning unit), with a lineage manifest so
+    a re-run against the same input skips the work entirely (the same
+    checkpoint discipline as the index builds).
+
+    The selected ID set is driver-bounded BY CONSTRUCTION (the token
+    budget caps each source's rows), so collecting it is not a scale
+    hazard; the text itself never passes through the driver — the
+    writeout is a broadcast-filtered streaming scan of the corpus.
+
+    Returns {"out_dir", "n_docs", "skipped"}."""
+    from candidategeneration_ray.state import checkpoint as ckpt
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    if ckpt.is_complete(out_dir, [src]):
+        meta = ckpt.read_manifest(out_dir)
+        return {"out_dir": out_dir, "n_docs": meta["n_docs"], "skipped": True}
+    ckpt.clear_stale(out_dir)
+    sel = q_pretrain_select(sf_dir, budget=budget).to_pandas()
+    ids = np.sort(sel["doc_id"].to_numpy(np.int64))
+    ids_ref = ray.put(ids)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keep_ids = ray.get(ids_ref)
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        pos = np.searchsorted(keep_ids, did)
+        pos[pos == keep_ids.size] = 0
+        keep = keep_ids[pos] == did if keep_ids.size else \
+            np.zeros(did.size, bool)
+        return batch.filter(pa.array(keep))
+
+    os.makedirs(out_dir, exist_ok=True)
+    (ray.data.read_parquet(src, columns=["doc_id", "text", "source", "lang"])
+     .map_batches(_filter, batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["source"]))
+    ckpt.write_manifest(out_dir, {"phase": "pretrain-corpus",
+                                  "inputs": [src], "budget": budget,
+                                  "n_docs": int(len(sel))})
+    return {"out_dir": out_dir, "n_docs": int(len(sel)), "skipped": False}

@@ -105,3 +105,12 @@ class TestJobCli:
         t_a = pads.dataset(cand_a).to_table().sort_by("rank").to_pydict()
         t_b = pads.dataset(cand_b).to_table().sort_by("rank").to_pydict()
         assert t_a == t_b and len(t_a["rank"]) > 0
+
+    def test_prep_through_cli(self, tmp_path_factory):
+        out_dir = os.path.join(str(tmp_path_factory.mktemp("cli_prep")), "c")
+        r = _run(["prep", "--input", "/root/testdata/sf0.001",
+                  "--out", out_dir, "--num-cpus", "4"])
+        assert r["ok"] and r["n_docs"] > 0 and not r["skipped"]
+        r2 = _run(["prep", "--input", "/root/testdata/sf0.001",
+                   "--out", out_dir, "--num-cpus", "4"])
+        assert r2["skipped"] and r2["n_docs"] == r["n_docs"]

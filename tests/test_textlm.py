@@ -141,3 +141,23 @@ def test_pretrain_select_stage_semantics(ray_session):
                          columns=["doc_id", "text"]).to_pandas()
     texts = docs.set_index("doc_id")["text"]
     assert texts[sel["doc_id"]].is_unique
+
+
+def test_write_pretrain_corpus_roundtrip_and_resume(ray_session, tmp_path):
+    import pyarrow.dataset as pads
+
+    out = str(tmp_path / "corpus")
+    r1 = tl.write_pretrain_corpus(SF_DIR, out)
+    assert not r1["skipped"] and r1["n_docs"] > 0
+    sel = tl.q_pretrain_select(SF_DIR).to_pandas()
+    written = pads.dataset(out, format="parquet", partitioning="hive",
+                           exclude_invalid_files=True).to_table()
+    assert written.num_rows == len(sel) == r1["n_docs"]
+    assert set(written.column("doc_id").to_pylist()) == set(sel["doc_id"])
+    # one hive directory per source
+    import os as _os
+    srcs = {d for d in _os.listdir(out) if d.startswith("source=")}
+    assert len(srcs) == sel["source"].nunique()
+    # second call resumes via the manifest
+    r2 = tl.write_pretrain_corpus(SF_DIR, out)
+    assert r2["skipped"] and r2["n_docs"] == r1["n_docs"]
