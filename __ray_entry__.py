@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
         "windowed_counts": ev.q_windowed_counts,
+        "windowed_distinct_users": ev.q_windowed_distinct_users,  # exact windowed dedup
         "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         graph_oracles, pretrain_oracles, quality_filter_oracles,
         relational_oracles, sketch_oracles, sliding_oracles,
         source_quantile_oracles, textlm_oracles,
+        windowed_distinct_oracles,
     )
 
     return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
@@ -136,4 +138,4 @@ def oracle_sql() -> dict[str, str]:
             **quality_filter_oracles(), **hll_oracles(),
             **textlm_oracles(), **graph_oracles(),
             **source_quantile_oracles(), **pretrain_oracles(),
-            **relational_oracles()}
+            **relational_oracles(), **windowed_distinct_oracles()}

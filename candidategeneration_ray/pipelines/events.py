@@ -334,3 +334,58 @@ def q_sliding_counts(sf_dir: str, window_sec: int = 3600,
             Sum("cents", alias_name="cents"),
         )
     )
+
+
+def q_windowed_distinct_users(sf_dir: str,
+                              window_sec: int = 3600) -> ray.data.Dataset:
+    """EXACT distinct-user count per (event_type, tumbling window) —
+    the windowed-dedup composition (the cardinality twin of
+    q_windowed_counts; the HLL sketch in pipelines/sketches.py is the
+    approximate alternative when exact distinct is too wide).
+
+    Shape: per-batch distinct (type, window, user) triples compress the
+    stream first (a user's repeat events within a batch emit one row);
+    one vectorized groupby-count dedups the triples globally; a second
+    O(windows x types) groupby sums the distinct rows. Both shuffles
+    carry compressed rows, never raw events."""
+    from ray.data.aggregate import Count, Sum
+
+    w_us = np.int64(window_sec) * 1_000_000
+
+    def _part(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        win = (ts // w_us) * w_us
+        # batch-local distinct triples: dictionary-encode the type,
+        # ONE lexsort + first-occurrence mask (no per-event strings)
+        et_u, et_inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((uid, win, et_inv))
+        e, w, u = et_inv[order], win[order], uid[order]
+        first = np.r_[True, (e[1:] != e[:-1]) | (w[1:] != w[:-1])
+                      | (u[1:] != u[:-1])] if e.size else np.empty(0, bool)
+        return pa.table({
+            "event_type": pa.array(et_u[e[first]].tolist(), pa.string()),
+            "window_start_us": pa.array(w[first], pa.int64()),
+            "user_id": pa.array(u[first], pa.int64()),
+        })
+
+    dedup = (
+        events_ds(sf_dir, ["ts", "event_type", "user_id"])
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_us", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def _ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start_us": batch.column("window_start_us"),
+            "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+
+    return (
+        dedup.map_batches(_ones, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_us"])
+        .aggregate(Sum("one", alias_name="n_users"))
+    )

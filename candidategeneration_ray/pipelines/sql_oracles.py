@@ -1517,3 +1517,16 @@ ORDER BY total_cents DESC, o_custkey
 LIMIT {TOP_CUSTOMERS}
 """,
     }
+
+
+def windowed_distinct_oracles() -> dict[str, str]:
+    w_us = 3600 * 1_000_000
+    return {
+        "windowed_distinct_users": f"""
+SELECT event_type,
+       CAST((epoch_us(ts) // {w_us}) * {w_us} AS BIGINT) AS window_start_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+    }

@@ -378,7 +378,8 @@ def q_pmi_top50(sf_dir: str, min_count: int = 5, k: int = 50) -> pa.Table:
         ia = np.searchsorted(terms, flat[0::2])
         ib = np.searchsorted(terms, flat[1::2])
         ca, cb = cnts[ia], cnts[ib]
-        if cab.size and int(cab.max()) * total * 1000 > 2**63 - 1:
+        if cab.size and (int(cab.max()) * total * 1000 > 2**63 - 1
+                         or int(ca.max()) * int(cb.max()) > 2**63 - 1):
             # >~3e6 total tokens: int64 would overflow — exact big-int path
             scores = np.fromiter(
                 ((int(c) * total * 1000) // (int(a) * int(b))
