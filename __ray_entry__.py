@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,  # approximate (rows-only)
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
         "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
+        "cluster_top_terms": cl.q_cluster_top_terms,  # cross-modal cluster labeling
         "pagerank": cl.q_pagerank,                  # integer PageRank over kNN graph
         # --- corpus-LM / retrieval / mixture operators ---
         "decontaminate": tl.q_decontaminate,        # GPT-3-style shingle overlap
@@ -128,7 +129,7 @@ def oracle_sql() -> dict[str, str]:
         knn_oracles, mixture_oracles, predictive_oracles,
         graph_oracles, pretrain_oracles, quality_filter_oracles,
         relational_oracles, sketch_oracles, sliding_oracles,
-        source_quantile_oracles, textlm_oracles,
+        cluster_label_oracles, source_quantile_oracles, textlm_oracles,
         windowed_distinct_oracles,
     )
 
@@ -138,4 +139,5 @@ def oracle_sql() -> dict[str, str]:
             **quality_filter_oracles(), **hll_oracles(),
             **textlm_oracles(), **graph_oracles(),
             **source_quantile_oracles(), **pretrain_oracles(),
-            **relational_oracles(), **windowed_distinct_oracles()}
+            **relational_oracles(), **windowed_distinct_oracles(),
+            **cluster_label_oracles()}

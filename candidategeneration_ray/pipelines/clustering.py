@@ -568,3 +568,114 @@ def q_pagerank(sf_dir: str, iters: int = PR_ITERS) -> ray.data.Dataset:
                 "pagerank": pa.array(rv, pa.int64()),
             }))(*_bucket_ranks(g, True)), batch_format="pyarrow")
     return cur.groupby("bkt").map_groups(_final, batch_format="pyarrow")
+
+
+# ------------------------------------------- cluster keyword labeling
+
+def q_cluster_top_terms(sf_dir: str, k_terms: int = 5) -> ray.data.Dataset:
+    """Cross-modal cluster labeling: for each k-means cluster (trained
+    on the embeddings), the top terms of its member DOCUMENTS by summed
+    integer tf-idf — the human-readable summary step of a SemDeDup/
+    clustering pipeline (embeddings pick the clusters, text explains
+    them). vec_id joins doc_id 1:1.
+
+    Shape: the cluster side is an assign pass over the embeddings
+    (broadcast codebook); the text side emits compressed per-doc
+    (doc, term, tf) rows; an id-hash bucketed union-tag join (the
+    relational.py machinery) attaches clusters, aggregating inside the
+    bucket to (cluster, term, sum_tf) partials; one O(clusters x terms)
+    groupby merges; per-cluster top-k is a tiny final groupby. The idf
+    table is the standard dictionary broadcast.
+
+    Returns (cluster, rank, term, score)."""
+    from candidategeneration_ray.pipelines.docquery import (
+        corpus_stats, documents_ds)
+    from candidategeneration_ray.pipelines.textlm import _packed_doc_terms
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+
+    nbk = _graph_buckets()
+    cent_ref = ray.put(kmeans_codebook(sf_dir))
+    stats = corpus_stats(sf_dir)
+    idf = np.trunc(
+        np.log(float(stats["n_docs"]) / stats["df_by_id"][1:].astype(np.float64))
+        * 1e7).astype(np.int64)
+    idf_ref = ray.put((stats["terms"], idf))
+
+    def _emb_rows(batch: pa.Table) -> pa.Table:
+        ids, xq = _quantize(batch)
+        return pa.table({
+            "bkt": pa.array(ids % nbk, pa.int64()),
+            "key": pa.array(ids, pa.int64()),
+            "cluster": pa.array(_assign(xq, ray.get(cent_ref)), pa.int64()),
+            "term": pa.array([""] * ids.size, pa.string()),
+            "tf": pa.array(np.zeros(ids.size, np.int64), pa.int64()),
+        })
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        _, u, doc_g, term_g, tf_g = _packed_doc_terms(token_lists)
+        keys = doc_ids[doc_g]
+        return pa.table({
+            "bkt": pa.array(keys % nbk, pa.int64()),
+            "key": pa.array(keys, pa.int64()),
+            "cluster": pa.array(np.full(keys.size, -1, np.int64), pa.int64()),
+            "term": pa.array(u[term_g].tolist(), pa.string()),
+            "tf": pa.array(tf_g, pa.int64()),
+        })
+
+    def _probe(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy().astype(np.int64)
+        cl = group.column("cluster").to_numpy().astype(np.int64)
+        tf = group.column("tf").to_numpy().astype(np.int64)
+        term = np.asarray(group.column("term").to_pylist(), dtype=object)
+        build = cl >= 0
+        bk, bc = key[build], cl[build]
+        o = np.argsort(bk)
+        bk, bc = bk[o], bc[o]
+        pk = key[~build]
+        idx = np.searchsorted(bk, pk)
+        if bk.size:
+            idx[idx == bk.size] = 0
+            hit = bk[idx] == pk
+        else:
+            hit = np.zeros(pk.size, bool)
+        cls = bc[idx[hit]]
+        tms = term[~build][hit]
+        tfs = tf[~build][hit]
+        # in-bucket partial aggregate to (cluster, term, sum_tf)
+        tu, tinv = np.unique(tms, return_inverse=True)
+        pk2 = cls * np.int64(len(tu) + 1) + tinv
+        ku, kinv = np.unique(pk2, return_inverse=True)
+        s = np.zeros(ku.size, np.int64)
+        np.add.at(s, kinv, tfs)
+        return pa.table({
+            "cluster": pa.array(ku // (len(tu) + 1), pa.int64()),
+            "term": pa.array(tu[ku % (len(tu) + 1)].tolist(), pa.string()),
+            "tf": pa.array(s, pa.int64()),
+        })
+
+    def _score_topk(group: pa.Table) -> pa.Table:
+        terms_sorted, idf_arr = ray.get(idf_ref)
+        cl = int(group.column("cluster")[0].as_py())
+        term = np.asarray(group.column("term").to_pylist(), dtype=object)
+        tf = group.column("tf").to_numpy().astype(np.int64)
+        score = tf * idf_arr[np.searchsorted(terms_sorted, term)]
+        _, tinv = np.unique(term, return_inverse=True)  # lexsortable ints
+        order = np.lexsort((tinv, -score))[:k_terms]
+        return pa.table({
+            "cluster": pa.array(np.full(order.size, cl, np.int64), pa.int64()),
+            "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64),
+                             pa.int64()),
+            "term": pa.array(term[order].tolist(), pa.string()),
+            "score": pa.array(score[order], pa.int64()),
+        })
+
+    emb = _embeddings_ds(sf_dir).map_batches(_emb_rows, batch_format="pyarrow")
+    docs = documents_ds(sf_dir).map_batches(_doc_rows, batch_format="pyarrow")
+    return (
+        emb.union(docs)
+        .groupby("bkt").map_groups(_probe, batch_format="pyarrow")
+        .groupby(["cluster", "term"]).aggregate(Sum("tf", alias_name="tf"))
+        .groupby("cluster").map_groups(_score_topk, batch_format="pyarrow")
+    )

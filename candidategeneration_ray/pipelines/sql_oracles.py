@@ -1530,3 +1530,38 @@ FROM events
 GROUP BY 1, 2
 """,
     }
+
+
+def cluster_label_oracles() -> dict[str, str]:
+    """Cross-modal cluster labeling: k-means assignment (unrolled Lloyd
+    CTEs) joined to the kept-token tf table by vec_id = doc_id, summed
+    per (cluster, term), scored with the same integer tf-idf as
+    tfidf_top3, top-5 per cluster."""
+    from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
+
+    last_a = f"a{KMEANS_ITERS + 1}"
+    return {
+        "cluster_top_terms": f"""
+WITH {KEPT_CTE},
+{_kmeans_ctes()},
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM kept GROUP BY doc_id, tok),
+dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM kept GROUP BY tok),
+ndc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+ct AS (
+  SELECT a.cluster, tf.tok, CAST(sum(tf.tf) AS BIGINT) AS stf
+  FROM {last_a} a JOIN tf ON tf.doc_id = a.vec_id
+  GROUP BY a.cluster, tf.tok
+),
+sc AS (
+  SELECT cluster, tok,
+         stf * CAST(trunc(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 10000000) AS BIGINT) AS score
+  FROM ct JOIN dft USING (tok) CROSS JOIN ndc
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(row_number() OVER (PARTITION BY cluster
+                               ORDER BY score DESC, tok) AS BIGINT) AS rank,
+       tok AS term, CAST(score AS BIGINT) AS score
+FROM sc
+QUALIFY rank <= 5
+""",
+    }

@@ -186,3 +186,14 @@ class TestGraphOps:
         assert total >= n * cl.PR_SCALE - cl.PR_ITERS * n * (cl.KNN_K + 1)
         assert (pr["pagerank"] >= (100 - cl.PR_DAMP_NUM) * cl.PR_SCALE
                 // cl.PR_DAMP_DEN).all()
+
+    def test_cluster_top_terms_shape(self, ray_session):
+        t = cl.q_cluster_top_terms(SF).to_pandas()
+        assert len(t) > 0
+        per = t.groupby("cluster")
+        assert per.size().max() <= 5
+        assert t["cluster"].nunique() <= cl.KMEANS_K
+        for _, g in per:
+            assert g["rank"].tolist() == list(range(1, len(g) + 1))
+            rows = list(zip(-g["score"].to_numpy(), g["term"].tolist()))
+            assert rows == sorted(rows)
