@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- clustering (exact-integer Lloyd, value-verified) ---
         "kmeans_centroids": cl.q_kmeans_centroids,
         "kmeans_assignments": cl.q_kmeans_assignments,
+        "kmeans_label_eval": cl.q_kmeans_label_eval,  # contingency vs ground-truth labels
         "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,  # approximate (rows-only)
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
         "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
@@ -129,7 +130,8 @@ def oracle_sql() -> dict[str, str]:
         knn_oracles, mixture_oracles, predictive_oracles,
         graph_oracles, pretrain_oracles, quality_filter_oracles,
         relational_oracles, sketch_oracles, sliding_oracles,
-        cluster_label_oracles, source_quantile_oracles, textlm_oracles,
+        cluster_label_oracles, kmeans_eval_oracles, source_quantile_oracles,
+        textlm_oracles,
         windowed_distinct_oracles,
     )
 
@@ -140,4 +142,4 @@ def oracle_sql() -> dict[str, str]:
             **textlm_oracles(), **graph_oracles(),
             **source_quantile_oracles(), **pretrain_oracles(),
             **relational_oracles(), **windowed_distinct_oracles(),
-            **cluster_label_oracles()}
+            **cluster_label_oracles(), **kmeans_eval_oracles()}

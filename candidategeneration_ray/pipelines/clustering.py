@@ -679,3 +679,37 @@ def q_cluster_top_terms(sf_dir: str, k_terms: int = 5) -> ray.data.Dataset:
         .groupby(["cluster", "term"]).aggregate(Sum("tf", alias_name="tf"))
         .groupby("cluster").map_groups(_score_topk, batch_format="pyarrow")
     )
+
+
+def q_kmeans_label_eval(sf_dir: str) -> ray.data.Dataset:
+    """Clustering evaluation against the embeddings table's ground-truth
+    `label` column: the (cluster, label) contingency counts — the
+    clustering twin of langid_eval (purity / NMI / rand index are all
+    driver-side functions of this O(k x labels) summary).
+
+    Shape: one assign pass with the broadcast codebook emitting
+    compressed per-batch (cluster, label, n) partials -> one
+    O(k x labels) groupby."""
+    cent_ref = ray.put(kmeans_codebook(sf_dir))
+
+    def _part(batch: pa.Table) -> pa.Table:
+        ids, xq = _quantize(batch)
+        a = _assign(xq, ray.get(cent_ref))
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        key = a * (int(lab.max()) + 1 if lab.size else 1) + lab
+        width = int(lab.max()) + 1 if lab.size else 1
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cluster": pa.array(ku // width, pa.int64()),
+            "label": pa.array(ku % width, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding", "label"])
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby(["cluster", "label"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -1565,3 +1565,19 @@ FROM sc
 QUALIFY rank <= 5
 """,
     }
+
+
+def kmeans_eval_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
+
+    last_a = f"a{KMEANS_ITERS + 1}"
+    return {
+        "kmeans_label_eval": f"""
+WITH {_kmeans_ctes()}
+SELECT CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n
+FROM {last_a} a JOIN embeddings e USING (vec_id)
+GROUP BY 1, 2
+""",
+    }
