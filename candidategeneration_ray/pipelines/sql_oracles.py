@@ -1581,3 +1581,44 @@ FROM {last_a} a JOIN embeddings e USING (vec_id)
 GROUP BY 1, 2
 """,
     }
+
+
+def events_topk_oracles() -> dict[str, str]:
+    w_us = 3600 * 1_000_000
+    return {
+        "window_top_users": f"""
+WITH c AS (
+  SELECT CAST((epoch_us(ts) // {w_us}) * {w_us} AS BIGINT) AS window_start_us,
+         CAST(user_id AS BIGINT) AS user_id,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start_us,
+       CAST(row_number() OVER (PARTITION BY window_start_us
+                               ORDER BY n_events DESC, user_id) AS BIGINT) AS rank,
+       user_id, n_events
+FROM c
+QUALIFY rank <= 3
+""",
+    }
+
+
+def kmeans_purity_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
+
+    last_a = f"a{KMEANS_ITERS + 1}"
+    return {
+        "kmeans_purity": f"""
+WITH {_kmeans_ctes()},
+cont AS (
+  SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+  FROM {last_a} a JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+mx AS (SELECT cluster, max(n) AS m FROM cont GROUP BY cluster),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+SELECT tot.n AS n_vectors,
+       CAST((sum(m) * 1000000) // tot.n AS BIGINT) AS purity_millionths
+FROM mx CROSS JOIN tot GROUP BY tot.n
+""",
+    }

@@ -197,3 +197,15 @@ class TestGraphOps:
             assert g["rank"].tolist() == list(range(1, len(g) + 1))
             rows = list(zip(-g["score"].to_numpy(), g["term"].tolist()))
             assert rows == sorted(rows)
+
+
+def test_kmeans_purity_consistent_with_contingency(ray_session):
+    """Purity finalizer == sum of per-cluster majorities over n, and
+    sits in (0, 1] scaled to millionths."""
+    cont = cl.q_kmeans_label_eval(SF).to_pandas()
+    n = int(cont["n"].sum())
+    maj = int(cont.groupby("cluster")["n"].max().sum())
+    got = cl.q_kmeans_purity(SF).to_pandas()
+    assert got["n_vectors"].tolist() == [n]
+    assert got["purity_millionths"].tolist() == [maj * 1_000_000 // n]
+    assert 0 < got["purity_millionths"][0] <= 1_000_000

@@ -185,3 +185,49 @@ class TestSlidingCounts:
         tum = q_windowed_counts(SF).to_pandas() \
             .sort_values(["event_type", "window_start_us"]).reset_index(drop=True)
         assert (deg.values == tum.values).all()
+
+
+class TestWindowTopUsers:
+    def test_matches_bruteforce_with_ties(self, ray_session, tmp_path):
+        """Per-window top-k by count desc, ties broken by user_id asc;
+        dense ranks 1..k even when counts tie across the cut."""
+        from candidategeneration_ray.pipelines.events import q_window_top_users
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, int(rng.integers(0, 4 * 3600)), int(rng.integers(0, 9)),
+             "view", 0.0)
+            for i in range(800)
+        ]
+        d = _write_events(tmp_path, rows)
+
+        # brute force over (window, user) counts
+        t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+        counts = {}
+        for _, s, u, _, _ in rows:
+            us = int((t0 + s) * 1_000_000)
+            w = (us // (3600 * 1_000_000)) * 3600 * 1_000_000
+            counts[(w, u)] = counts.get((w, u), 0) + 1
+        want = []
+        for w in sorted({k[0] for k in counts}):
+            per = sorted(((c, u) for (ww, u), c in counts.items() if ww == w),
+                         key=lambda t: (-t[0], t[1]))[:3]
+            want += [(w, r + 1, u, c) for r, (c, u) in enumerate(per)]
+
+        got = q_window_top_users(d, k=3).to_pandas() \
+            .sort_values(["window_start_us", "rank"]).reset_index(drop=True)
+        assert [tuple(r) for r in got[
+            ["window_start_us", "rank", "user_id", "n_events"]
+        ].itertuples(index=False)] == want
+
+    def test_k1_is_argmax(self, ray_session):
+        from candidategeneration_ray.pipelines.events import q_window_top_users
+
+        SF = "/root/testdata/sf0.01"
+        one = q_window_top_users(SF, k=1).to_pandas()
+        three = q_window_top_users(SF, k=3).to_pandas()
+        assert (one["rank"] == 1).all()
+        top = three[three["rank"] == 1].sort_values("window_start_us") \
+            .reset_index(drop=True)
+        one = one.sort_values("window_start_us").reset_index(drop=True)
+        assert (one.values == top.values).all()
