@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from candidategeneration_ray.pipelines import sketches as sk
     from candidategeneration_ray.pipelines import clustering as cl
     from candidategeneration_ray.pipelines import relational as rl
+    from candidategeneration_ray.pipelines import positional as ps
     from candidategeneration_ray.pipelines import textlm as tl
 
     return {
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
         "hit_index_top5": dq.q_hit_index_top5,          # HIT index family build
+        "phrase_postings": ps.q_phrase_postings,        # positional family: exact phrase
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
@@ -133,7 +135,7 @@ def oracle_sql() -> dict[str, str]:
         graph_oracles, pretrain_oracles, quality_filter_oracles,
         relational_oracles, sketch_oracles, sliding_oracles,
         cluster_label_oracles, events_topk_oracles, kmeans_eval_oracles,
-        kmeans_purity_oracles, source_quantile_oracles,
+        kmeans_purity_oracles, positional_oracles, source_quantile_oracles,
         textlm_oracles,
         windowed_distinct_oracles,
     )
@@ -146,4 +148,5 @@ def oracle_sql() -> dict[str, str]:
             **source_quantile_oracles(), **pretrain_oracles(),
             **relational_oracles(), **windowed_distinct_oracles(),
             **cluster_label_oracles(), **kmeans_eval_oracles(),
-            **events_topk_oracles(), **kmeans_purity_oracles()}
+            **events_topk_oracles(), **kmeans_purity_oracles(),
+            **positional_oracles()}

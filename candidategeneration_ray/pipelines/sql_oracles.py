@@ -1622,3 +1622,37 @@ SELECT tot.n AS n_vectors,
 FROM mx CROSS JOIN tot GROUP BY tot.n
 """,
     }
+
+
+def positional_oracles() -> dict[str, str]:
+    """Phrase matching re-derived in SQL: consecutive KEPT-token
+    positions (kpos self-joins on +1 offsets), overlapping occurrences
+    counted — independent of the positional family's encoding."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.positional import PHRASE_QUERIES
+
+    parts = []
+    for pid, phrase in PHRASE_QUERIES:
+        toks = tokenize_text(phrase)
+        if not toks:
+            continue
+        joins = "\n  ".join(
+            f"JOIN kept p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.kpos = p0.kpos + {i} AND p{i}.tok = '{t}'"
+            for i, t in enumerate(toks[1:], 1)
+        )
+        parts.append(f"""
+SELECT CAST({pid} AS BIGINT) AS phrase_id,
+       CAST(p0.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM kept p0
+  {joins}
+WHERE p0.tok = '{toks[0]}'
+GROUP BY p0.doc_id""")
+    union = "\nUNION ALL\n".join(parts)
+    return {
+        "phrase_postings": f"""
+WITH {KEPT_CTE}
+{union}
+""",
+    }

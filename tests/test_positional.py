@@ -1,0 +1,138 @@
+"""Positional family + phrase query tests."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from candidategeneration_ray.functions.tokenize import tokenize_text
+from candidategeneration_ray.pipelines import positional as ps
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts):
+    d = str(tmp_path / "corpus")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(100, 100 + len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _brute(texts, phrase):
+    """(doc_id, n_occurrences) by scanning kept-token windows."""
+    want = {}
+    ptoks = tokenize_text(phrase)
+    for i, text in enumerate(texts):
+        toks = tokenize_text(text)
+        n = sum(
+            toks[j:j + len(ptoks)] == ptoks
+            for j in range(len(toks) - len(ptoks) + 1)
+        )
+        if n:
+            want[100 + i] = n
+    return want
+
+
+class TestPhrasePostings:
+    def test_bruteforce_including_overlaps(self, ray_session, tmp_path):
+        texts = [
+            "alpha beta gamma alpha beta",          # 2x "alpha beta"
+            "beta alpha beta alpha beta alpha",     # overlapping repeats
+            "alpha alpha alpha alpha",              # repeated-term phrase
+            "the alpha of beta",                    # stopwords removed -> adjacent
+            "gamma delta",                          # no match
+            "",                                     # empty doc
+        ]
+        d = _write_docs(tmp_path, texts)
+        phrases = [(0, "alpha beta"), (1, "alpha alpha"), (2, "beta alpha beta"),
+                   (3, "nosuchword beta")]
+        got = ps.q_phrase_postings(d, phrases=phrases).to_pandas()
+        for pid, phrase in phrases:
+            sub = got[got["phrase_id"] == pid]
+            assert dict(zip(sub["doc_id"], sub["n_occurrences"])) == \
+                _brute(texts, phrase), phrase
+
+    def test_overlap_counting_is_sliding(self, ray_session, tmp_path):
+        # "ab ab ab ab" contains "ab ab" 3 times (overlaps count)
+        d = _write_docs(tmp_path, ["ab ab ab ab"])
+        got = ps.q_phrase_postings(d, phrases=[(0, "ab ab")]).to_pandas()
+        assert got["n_occurrences"].tolist() == [3]
+
+    def test_stopword_only_and_unmapped_phrases_empty(self, ray_session, tmp_path):
+        d = _write_docs(tmp_path, ["alpha beta gamma"])
+        got = ps.q_phrase_postings(
+            d, phrases=[(0, "the and of"), (1, "zz qq")]).to_pandas()
+        assert len(got) == 0
+        assert list(got.columns) == ["phrase_id", "doc_id", "n_occurrences"]
+
+    def test_single_term_phrase_is_tf(self, ray_session, tmp_path):
+        texts = ["alpha beta alpha", "beta beta", "alpha"]
+        d = _write_docs(tmp_path, texts)
+        got = ps.q_phrase_postings(d, phrases=[(0, "alpha")]).to_pandas()
+        assert dict(zip(got["doc_id"], got["n_occurrences"])) == \
+            {100: 2, 102: 1}
+
+
+class TestFamilyBuild:
+    def test_resume_skips_rebuild(self, ray_session, tmp_path):
+        d = _write_docs(tmp_path, ["alpha beta", "beta gamma"])
+        r1 = ps.build_positional_family(d)
+        mtimes = {
+            f: os.path.getmtime(os.path.join(r1["final_dir"], f))
+            for f in os.listdir(r1["final_dir"])
+        }
+        r2 = ps.build_positional_family(d)
+        assert r2["final_dir"] == r1["final_dir"]
+        assert mtimes == {
+            f: os.path.getmtime(os.path.join(r1["final_dir"], f))
+            for f in os.listdir(r1["final_dir"])
+        }
+
+    def test_segment_roundtrip_matches_tokenizer(self, ray_session):
+        """Decode every (term, doc) position list of a few sf0.001 terms
+        and compare with positions recomputed from the raw text."""
+        import glob
+
+        from candidategeneration_ray.functions.varint import (
+            decode_delta_concat, varint_decode)
+        from candidategeneration_ray.pipelines.docquery import corpus_stats
+
+        fam = ps.build_positional_family(SF)
+        stats = corpus_stats(SF)
+        check_terms = ["query", "join", "batch"]
+        tids = {t: ps.phrase_term_ids(stats, t)[0] for t in check_terms}
+
+        raw = pq.read_table(os.path.join(SF, "documents.parquet"),
+                            columns=["doc_id", "text"])
+        want = {t: {} for t in check_terms}
+        for doc_id, text in zip(raw.column("doc_id").to_pylist(),
+                                raw.column("text").to_pylist()):
+            toks = tokenize_text(text)
+            for t in check_terms:
+                p = [i + 1 for i, x in enumerate(toks) if x == t]
+                if p:
+                    want[t][doc_id] = p
+
+        seg = pq.read_table(
+            sorted(glob.glob(os.path.join(fam["final_dir"], "*.parquet"))),
+            filters=[("key", "in", list(tids.values()))])
+        assert seg.num_rows == len(check_terms)
+        for row in range(seg.num_rows):
+            key = seg.column("key")[row].as_py()
+            term = next(t for t, i in tids.items() if i == key)
+            counts = varint_decode(seg.column("counts")[row].as_py()).astype(np.int64)
+            docs = decode_delta_concat(
+                seg.column("docs")[row].as_py(),
+                np.array([counts.size]))[0].astype(np.int64)
+            posv, off = decode_delta_concat(seg.column("pos")[row].as_py(), counts)
+            got = {
+                int(docs[i]): posv[off[i]:off[i + 1]].astype(int).tolist()
+                for i in range(docs.size)
+            }
+            assert got == want[term], term
+            assert seg.column("n")[row].as_py() == len(want[term])
