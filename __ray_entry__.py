@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": ev.q_asof_join,
         "windowed_counts": ev.q_windowed_counts,
         "windowed_distinct_users": ev.q_windowed_distinct_users,  # exact windowed dedup
+        "windowed_heavy_hitters": ev.q_windowed_heavy_hitters,  # keyed 2-pass MG, exact
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
         "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
@@ -134,7 +135,8 @@ def oracle_sql() -> dict[str, str]:
         knn_oracles, mixture_oracles, predictive_oracles,
         graph_oracles, pretrain_oracles, quality_filter_oracles,
         relational_oracles, sketch_oracles, sliding_oracles,
-        cluster_label_oracles, events_topk_oracles, kmeans_eval_oracles,
+        cluster_label_oracles, events_topk_oracles, heavy_hitter_oracles,
+        kmeans_eval_oracles,
         kmeans_purity_oracles, positional_oracles, source_quantile_oracles,
         textlm_oracles,
         windowed_distinct_oracles,
@@ -149,4 +151,4 @@ def oracle_sql() -> dict[str, str]:
             **relational_oracles(), **windowed_distinct_oracles(),
             **cluster_label_oracles(), **kmeans_eval_oracles(),
             **events_topk_oracles(), **kmeans_purity_oracles(),
-            **positional_oracles()}
+            **positional_oracles(), **heavy_hitter_oracles()}

@@ -452,3 +452,133 @@ def q_window_top_users(sf_dir: str, window_sec: int = 3600,
         merged.map_batches(_bucket, batch_format="pyarrow")
         .groupby("bkt").map_groups(_topk_bucket, batch_format="pyarrow")
     )
+
+
+def q_windowed_heavy_hitters(sf_dir: str, window_sec: int = 86400,
+                             phi100: int = 150,
+                             capacity: int = 200) -> ray.data.Dataset:
+    """EXACT per-window heavy hitters via a keyed 2-pass Misra-Gries:
+    every (window, user) whose event count is >= phi of the window's
+    total (phi = phi100/10000, threshold ceil'd exactly in integers).
+
+    Pass 1 compresses each batch's exact (window, user) counts to an MG
+    summary of <= `capacity` entries per window (subtract the
+    (capacity+1)-th largest count t_b; sum of t_b over batches <=
+    n_w/(capacity+1) = the classic MG error bound, so no true hitter is
+    lost) plus one per-window total row, merged by ONE groupby sum.
+    Pass 2 broadcasts the pruned candidate set (<= ~2/phi ids per
+    window) and counts exactly; only summaries and candidate-restricted
+    counts ever shuffle. The same sketch-then-verify shape as the
+    global q_frequent_terms (sketches.py) generalized to keyed windows.
+
+    Soundness requires capacity+1 > 1/phi (else the MG error bound
+    n_w/(capacity+1) reaches the threshold and a true hitter can be
+    decremented out of every batch summary), so `capacity` is raised
+    to ceil(10000/phi100) when set lower."""
+    from ray.data.aggregate import Sum
+
+    capacity = max(capacity, -(-10000 // phi100))
+    w_us = np.int64(window_sec) * 1_000_000
+    PK = np.int64(1_000_003)  # uid < 1e6 by testdata; -1 marks totals
+
+    def _pack(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        return ts // w_us, uid
+
+    def _mg_partial(batch: pa.Table) -> pa.Table:
+        widx, uid = _pack(batch)
+        ku, cnt = np.unique(widx * PK + uid, return_counts=True)
+        w, u = ku // PK, ku % PK
+        # per-window rank by count desc (lexsort is enough; ties keep
+        # arbitrary members — MG allows any (capacity+1)-th value)
+        order = np.lexsort((-cnt, w))
+        ws, cs, us = w[order], cnt[order], u[order]
+        first = np.r_[True, ws[1:] != ws[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, ws.size])
+        rank = np.arange(ws.size) - np.repeat(starts, lens)
+        # t = (capacity+1)-th largest count per window (0 if fewer)
+        t = np.zeros(starts.size, dtype=np.int64)
+        has = lens > capacity
+        t[has] = cs[starts[has] + capacity]
+        dec = cs - np.repeat(t, lens)
+        keep = dec > 0
+        totals = np.add.reduceat(cs, starts)
+        out_w = np.concatenate((ws[keep], ws[starts]))
+        out_u = np.concatenate((us[keep], np.full(starts.size, -1, np.int64)))
+        out_c = np.concatenate((dec[keep], totals))
+        return pa.table({
+            "window_start_us": pa.array(out_w * w_us, pa.int64()),
+            "user_id": pa.array(out_u, pa.int64()),
+            "cnt": pa.array(out_c, pa.int64()),
+        })
+
+    merged = (
+        events_ds(sf_dir, ["ts", "user_id"])
+        .map_batches(_mg_partial, batch_format="pyarrow")
+        .groupby(["window_start_us", "user_id"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    import pyarrow.compute as pc
+
+    def _total_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("user_id"), -1))
+
+    totals = {
+        int(r["window_start_us"]): int(r["cnt"])
+        for r in merged.map_batches(
+            _total_rows, batch_format="pyarrow").take_all()
+    }
+    # thr = ceil(phi * n_w) exactly; candidates need cnt >= thr - err
+    thr = {w: -(-phi100 * n // 10000) for w, n in totals.items()}
+    err = {w: n // (capacity + 1) for w, n in totals.items()}
+    cut_ref = ray.put({w: thr[w] - err[w] for w in totals})
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        cut = ray.get(cut_ref)
+        w = batch.column("window_start_us").to_numpy()
+        u = batch.column("user_id").to_numpy()
+        c = batch.column("cnt").to_numpy()
+        cuts = np.array([cut[int(x)] for x in w], dtype=np.int64)
+        return batch.filter(pa.array((u != -1) & (c >= cuts)))
+
+    cand = np.sort(np.array([
+        (int(r["window_start_us"]) // int(w_us)) * PK + int(r["user_id"])
+        for r in merged.map_batches(_prune, batch_format="pyarrow").take_all()
+    ], dtype=np.int64))
+    cand_ref = ray.put(cand)
+    thr_ref = ray.put(thr)
+
+    def _exact_partial(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        widx, uid = _pack(batch)
+        key = widx * PK + uid
+        if cands.size:
+            pos = np.minimum(np.searchsorted(cands, key), cands.size - 1)
+            key = key[cands[pos] == key]
+        else:
+            key = key[:0]
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "window_start_us": pa.array((ku // PK) * w_us, pa.int64()),
+            "user_id": pa.array(ku % PK, pa.int64()),
+            "n_events": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def _threshold(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        w = batch.column("window_start_us").to_numpy()
+        n = batch.column("n_events").to_numpy()
+        ts = np.array([t[int(x)] for x in w], dtype=np.int64)
+        return batch.filter(pa.array(n >= ts))
+
+    return (
+        events_ds(sf_dir, ["ts", "user_id"])
+        .map_batches(_exact_partial, batch_format="pyarrow")
+        .groupby(["window_start_us", "user_id"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .map_batches(_threshold, batch_format="pyarrow")
+    )

@@ -1656,3 +1656,23 @@ WITH {KEPT_CTE}
 {union}
 """,
     }
+
+
+def heavy_hitter_oracles() -> dict[str, str]:
+    w_us = 86400 * 1_000_000
+    phi100 = 150
+    return {
+        # n >= ceil(phi100*nw/10000)  <=>  n*10000 >= phi100*nw (ints)
+        "windowed_heavy_hitters": f"""
+WITH c AS (
+  SELECT CAST((epoch_us(ts) // {w_us}) * {w_us} AS BIGINT) AS window_start_us,
+         CAST(user_id AS BIGINT) AS user_id,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT window_start_us, sum(n_events) AS nw FROM c GROUP BY 1)
+SELECT c.window_start_us, c.user_id, c.n_events
+FROM c JOIN tot USING (window_start_us)
+WHERE c.n_events * 10000 >= {phi100} * nw
+""",
+    }

@@ -231,3 +231,62 @@ class TestWindowTopUsers:
             .reset_index(drop=True)
         one = one.sort_values("window_start_us").reset_index(drop=True)
         assert (one.values == top.values).all()
+
+
+class TestWindowedHeavyHitters:
+    @staticmethod
+    def _brute(rows, window_sec, phi100):
+        t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+        counts, totals = {}, {}
+        for _, s, u, _, _ in rows:
+            w = (int((t0 + s) * 1_000_000) // (window_sec * 1_000_000)) \
+                * window_sec * 1_000_000
+            counts[(w, u)] = counts.get((w, u), 0) + 1
+            totals[w] = totals.get(w, 0) + 1
+        return {
+            (w, u): c for (w, u), c in counts.items()
+            if c * 10000 >= phi100 * totals[w]
+        }
+
+    def test_matches_bruteforce_with_tiny_capacity(self, ray_session, tmp_path):
+        """capacity=2 forces heavy MG compression per batch; the exact
+        second pass must still recover precisely the true hitters."""
+        from candidategeneration_ray.pipelines.events import (
+            q_windowed_heavy_hitters)
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(900):
+            # skew: users 0/1 dominate, long tail of 30 others
+            u = int(rng.choice([0, 0, 0, 1, 1] + list(range(2, 32))))
+            rows.append((i, int(rng.integers(0, 3 * 3600)), u, "view", 0.0))
+        d = _write_events(tmp_path, rows)
+        got = q_windowed_heavy_hitters(
+            d, window_sec=3600, phi100=500, capacity=2).to_pandas()
+        want = self._brute(rows, 3600, 500)
+        assert {
+            (int(r.window_start_us), int(r.user_id)): int(r.n_events)
+            for r in got.itertuples()
+        } == want
+        assert want  # the fixture must actually produce hitters
+
+    def test_sf0001_exact(self, ray_session):
+        """Engine output == exact pandas recount at sf0.001 defaults."""
+        from candidategeneration_ray.pipelines.events import (
+            q_windowed_heavy_hitters)
+
+        SF = "/root/testdata/sf0.001"
+        ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                           columns=["ts", "user_id"]).to_pandas()
+        w_us = 86400 * 1_000_000
+        w = (ev["ts"].astype("int64") // w_us) * w_us
+        df = ev.assign(w=w).groupby(["w", "user_id"]).size().reset_index(name="n")
+        tot = df.groupby("w")["n"].sum().rename("nw")
+        df = df.join(tot, on="w")
+        want = df[df["n"] * 10000 >= 150 * df["nw"]]
+        got = q_windowed_heavy_hitters(SF).to_pandas()
+        assert {
+            (int(r.window_start_us), int(r.user_id)): int(r.n_events)
+            for r in got.itertuples()
+        } == {(int(r.w), int(r.user_id)): int(r.n) for r in want.itertuples()}
+        assert len(got) > 0
