@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from candidategeneration_ray.pipelines import sketches as sk
     from candidategeneration_ray.pipelines import clustering as cl
     from candidategeneration_ray.pipelines import relational as rl
+    from candidategeneration_ray.pipelines import ivfdelta as ivfd
     from candidategeneration_ray.pipelines import positional as ps
     from candidategeneration_ray.pipelines import textlm as tl
 
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
         "cluster_top_terms": cl.q_cluster_top_terms,  # cross-modal cluster labeling
         "pagerank": cl.q_pagerank,                  # integer PageRank over kNN graph
+        "ivf_delta_counts": ivfd.q_ivf_delta_counts,  # IVF LSM: frozen-codebook delta
         # --- corpus-LM / retrieval / mixture operators ---
         "decontaminate": tl.q_decontaminate,        # GPT-3-style shingle overlap
         "lm_bigram_scores": tl.q_lm_bigram_scores,  # pruned bigram LM (CCNet shape)
@@ -136,7 +138,7 @@ def oracle_sql() -> dict[str, str]:
         graph_oracles, pretrain_oracles, quality_filter_oracles,
         relational_oracles, sketch_oracles, sliding_oracles,
         cluster_label_oracles, events_topk_oracles, heavy_hitter_oracles,
-        kmeans_eval_oracles,
+        ivf_delta_oracles, kmeans_eval_oracles,
         kmeans_purity_oracles, positional_oracles, source_quantile_oracles,
         textlm_oracles,
         windowed_distinct_oracles,
@@ -151,4 +153,5 @@ def oracle_sql() -> dict[str, str]:
             **relational_oracles(), **windowed_distinct_oracles(),
             **cluster_label_oracles(), **kmeans_eval_oracles(),
             **events_topk_oracles(), **kmeans_purity_oracles(),
-            **positional_oracles(), **heavy_hitter_oracles()}
+            **positional_oracles(), **heavy_hitter_oracles(),
+            **ivf_delta_oracles()}

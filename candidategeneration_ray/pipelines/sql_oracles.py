@@ -1015,25 +1015,33 @@ ORDER BY cnt DESC, term ASC
     }
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(train_pred: str | None = None) -> str:
     """Unrolled Lloyd iterations as (assign_i, centroids_i) CTE pairs —
     the integer arithmetic (power-of-two quantize, int sums, floor-div
     centroid update, squared-L2 assignment with (dist, cluster)
     tie-break) mirrors pipelines/clustering.py step for step, so the
-    comparison is exact."""
+    comparison is exact.
+
+    `train_pred` (a SQL predicate over vec_id, e.g. "vec_id % 2 = 0")
+    restricts TRAINING — init and every Lloyd pass — to that subset
+    while the FINAL assignment a{ITERS+1} still covers every vector:
+    exactly the frozen-codebook semantics of the IVF delta path."""
     from candidategeneration_ray.pipelines.clustering import (
         KMEANS_ITERS, KMEANS_K, KMEANS_SCALE)
 
+    ids_w = f" WHERE {train_pred}" if train_pred else ""
     parts = [f"""qv AS MATERIALIZED (
   SELECT vec_id,
          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
          CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
   FROM embeddings
 ),
-ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM embeddings),
+ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM embeddings{ids_w}),
 c0 AS (SELECT CAST(rk AS BIGINT) AS cluster, d, x AS cq
        FROM qv JOIN ids USING (vec_id) WHERE rk < {KMEANS_K})"""]
     for i in range(1, KMEANS_ITERS + 2):
+        inner_w = f"\n    WHERE qv.{train_pred}" \
+            if train_pred and i <= KMEANS_ITERS else ""
         parts.append(f"""a{i} AS MATERIALIZED (
   SELECT vec_id, cluster FROM (
     SELECT qv.vec_id, c.cluster,
@@ -1041,7 +1049,7 @@ c0 AS (SELECT CAST(rk AS BIGINT) AS cluster, d, x AS cq
              PARTITION BY qv.vec_id
              ORDER BY sum((qv.x - c.cq) * (qv.x - c.cq)) ASC, c.cluster ASC
            ) AS rn
-    FROM qv JOIN c{i - 1} c USING (d)
+    FROM qv JOIN c{i - 1} c USING (d){inner_w}
     GROUP BY qv.vec_id, c.cluster)
   WHERE rn = 1
 )""")
@@ -1674,5 +1682,22 @@ tot AS (SELECT window_start_us, sum(n_events) AS nw FROM c GROUP BY 1)
 SELECT c.window_start_us, c.user_id, c.n_events
 FROM c JOIN tot USING (window_start_us)
 WHERE c.n_events * 10000 >= {phi100} * nw
+""",
+    }
+
+
+def ivf_delta_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
+
+    last_a = f"a{KMEANS_ITERS + 1}"
+    return {
+        # codebook trained on EVEN vec_ids only; every vector assigned
+        # under it — the frozen-epoch IVF delta semantics
+        "ivf_delta_counts": f"""
+WITH {_kmeans_ctes(train_pred="vec_id % 2 = 0")}
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
+FROM {last_a} GROUP BY cluster
 """,
     }

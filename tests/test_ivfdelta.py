@@ -1,0 +1,114 @@
+"""IVF LSM (frozen-codebook delta + trivial-move compaction) tests."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from candidategeneration_ray.pipelines import ivfdelta as ivd
+from candidategeneration_ray.pipelines.clustering import (
+    KMEANS_K, build_ivf_kmeans_index)
+
+
+def _write_vecs(path, ids, rng):
+    emb = rng.normal(size=(len(ids), 8)).round(3)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in emb],
+                              pa.list_(pa.float64())),
+    }), path)
+
+
+def _served_ids(ivf_dir):
+    files = ivd.ivf_serving_paths(ivf_dir, range(KMEANS_K))
+    if not files:
+        return []
+    return sorted(pq.read_table(files, columns=["vec_id"])
+                  .column("vec_id").to_pylist())
+
+
+class TestIvfLsm:
+    def _build(self, tmp_path, n_base=40, n_delta=15):
+        rng = np.random.default_rng(3)
+        base_dir = str(tmp_path / "base")
+        os.makedirs(base_dir)
+        _write_vecs(os.path.join(base_dir, "embeddings.parquet"),
+                    list(range(n_base)), rng)
+        delta_f = str(tmp_path / "delta.parquet")
+        _write_vecs(delta_f, list(range(1000, 1000 + n_delta)), rng)
+        ivf_dir, cent = build_ivf_kmeans_index(base_dir)
+        return ivf_dir, cent, delta_f
+
+    def test_delta_visible_and_compaction_identity(self, ray_session, tmp_path):
+        ivf_dir, cent, delta_f = self._build(tmp_path)
+        assert _served_ids(ivf_dir) == list(range(40))
+        ivd.update_ivf_index(ivf_dir, cent, delta_f)
+        pre = _served_ids(ivf_dir)
+        assert pre == list(range(40)) + list(range(1000, 1015))
+        # per-cluster membership must be identical across compaction
+        pre_by_cluster = {
+            c: sorted(pq.read_table(f, columns=["vec_id"])
+                      .column("vec_id").to_pylist())
+            for c in range(KMEANS_K)
+            if (f := ivd.ivf_serving_paths(ivf_dir, [c]))
+        }
+        moved = ivd.compact_ivf_index(ivf_dir)
+        assert moved > 0
+        assert not glob.glob(os.path.join(ivf_dir, "gen-*"))
+        assert _served_ids(ivf_dir) == pre
+        for c, want in pre_by_cluster.items():
+            got = sorted(pq.read_table(
+                ivd.ivf_serving_paths(ivf_dir, [c]),
+                columns=["vec_id"]).column("vec_id").to_pylist())
+            assert got == want
+
+    def test_half_moved_generation_serves_each_row_once(self, ray_session, tmp_path):
+        """Simulate a crash mid-compaction: one file already renamed
+        into base, the generation manifest still present — every row
+        must be served exactly once."""
+        ivf_dir, cent, delta_f = self._build(tmp_path)
+        gen = ivd.update_ivf_index(ivf_dir, cent, delta_f)
+        want = _served_ids(ivf_dir)
+        gname = os.path.basename(gen)
+        f = sorted(glob.glob(os.path.join(gen, "cluster=*", "*.parquet")))[0]
+        cdir = os.path.join(ivf_dir, os.path.basename(os.path.dirname(f)))
+        os.makedirs(cdir, exist_ok=True)
+        os.rename(f, os.path.join(cdir, f"{gname}-{os.path.basename(f)}"))
+        assert _served_ids(ivf_dir) == want          # crash window
+        ivd.compact_ivf_index(ivf_dir)                # healing finishes
+        assert _served_ids(ivf_dir) == want
+
+    def test_incomplete_generation_invisible(self, ray_session, tmp_path):
+        ivf_dir, cent, delta_f = self._build(tmp_path)
+        base = _served_ids(ivf_dir)
+        gen = ivd.update_ivf_index(ivf_dir, cent, delta_f)
+        os.remove(os.path.join(gen, ivd._GEN_MANIFEST))  # crash before manifest
+        assert _served_ids(ivf_dir) == base
+        # re-ingest heals: a fresh generation number is used
+        gen2 = ivd.update_ivf_index(ivf_dir, cent, delta_f)
+        assert gen2 != gen
+        assert len(_served_ids(ivf_dir)) == len(base) + 15
+
+    def test_two_deltas_stack_then_compact(self, ray_session, tmp_path):
+        ivf_dir, cent, delta_f = self._build(tmp_path)
+        rng = np.random.default_rng(9)
+        delta2 = str(tmp_path / "delta2.parquet")
+        _write_vecs(delta2, list(range(2000, 2010)), rng)
+        ivd.update_ivf_index(ivf_dir, cent, delta_f)
+        ivd.update_ivf_index(ivf_dir, cent, delta2)
+        assert len(ivd._generations(ivf_dir)) == 2
+        want = _served_ids(ivf_dir)
+        ivd.compact_ivf_index(ivf_dir)
+        assert _served_ids(ivf_dir) == want
+        assert len(want) == 40 + 15 + 10
+
+
+def test_driver_entry_total_is_table_size(ray_session):
+    got = ivd.q_ivf_delta_counts("/root/testdata/sf0.001").to_pandas()
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                        columns=["vec_id"])
+    assert got["n_vectors"].sum() == emb.num_rows
+    assert got["vec_id_sum"].sum() == \
+        int(np.sum(emb.column("vec_id").to_numpy()))
