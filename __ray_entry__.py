@@ -115,6 +115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / warehouse surface (TPC-H-shaped tables) ---
         "pricing_summary": rl.q_pricing_summary,    # Q1-shape scan+group-agg
         "nation_order_stats": rl.q_nation_order_stats,  # bucketed hash equi-join
+        # same join with the 10 hottest probe keys salted across
+        # dedicated buckets — must hash-match the unsalted oracle
+        "nation_order_stats_salted":
+            lambda sf: rl.q_nation_order_stats(sf, hot_k=10),
         "top_customers": rl.q_top_customers,        # group-agg + dataset-side top-k
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,

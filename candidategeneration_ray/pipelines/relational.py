@@ -107,7 +107,32 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def q_nation_order_stats(sf_dir: str) -> ray.data.Dataset:
+def _hot_probe_keys(sf_dir: str, hot_k: int) -> np.ndarray:
+    """The hot_k most frequent probe-side keys (ties by key asc),
+    detected with compressed per-batch partials -> one small groupby ->
+    dataset-side sort/limit. At 100 TB the standard variant samples the
+    probe side instead of counting it exactly; the plumbing (broadcast
+    sorted hot array, dedicated salt buckets) is identical."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        u, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"key": pa.array(u, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    rows = (
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(key=["cnt", "key"], descending=[True, False])
+        .limit(hot_k)
+        .take_all()
+    )
+    return np.sort(np.array([r["key"] for r in rows], dtype=np.int64))
+
+
+def q_nation_order_stats(sf_dir: str, hot_k: int = 0,
+                         salt_shards: int = 8) -> ray.data.Dataset:
     """Distributed hash equi-join orders JOIN customer ON custkey,
     aggregated per (nation name, order status): order count + total
     cents.
@@ -121,7 +146,15 @@ def q_nation_order_stats(sf_dir: str) -> ray.data.Dataset:
     compressed partial row per (nation, status) per bucket. When one
     side fits memory the broadcast join (ray.put + map_batches, used
     all over the engine) is the cheaper plan; this entry keeps the
-    shuffle-join path exercised."""
+    shuffle-join path exercised.
+
+    MONSTER-KEY SALTING (hot_k > 0): the hot_k most frequent probe
+    keys each get `salt_shards` DEDICATED buckets past the base range;
+    their (unique, PK) build row is replicated to all of them and their
+    probe rows spread round-robin, so no single task ever holds a hot
+    key's full probe stream — the skew ceiling drops from
+    max_key_count to max_key_count/salt_shards. Cold keys are
+    untouched, and the result is bit-identical (same oracle SQL)."""
     import pyarrow.parquet as pq
 
     nb = JOIN_BUCKETS
@@ -131,11 +164,25 @@ def q_nation_order_stats(sf_dir: str) -> ray.data.Dataset:
     nnames = np.asarray(nation.column("n_name").to_pylist(), object)
     order = np.argsort(nk)
     nation_ref = ray.put((nk[order], nnames[order]))
+    hot = _hot_probe_keys(sf_dir, hot_k) if hot_k else np.empty(0, np.int64)
+    hot_ref = ray.put(hot)
+
+    def _hot_index(ck: np.ndarray, hk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if hk.size == 0:
+            return np.zeros(ck.size, bool), np.empty(0, np.int64)
+        pos = np.minimum(np.searchsorted(hk, ck), hk.size - 1)
+        ishot = hk[pos] == ck
+        return ishot, pos[ishot]
 
     def _order_rows(batch: pa.Table) -> pa.Table:
         ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        bkt = ck % nb
+        ishot, hidx = _hot_index(ck, ray.get(hot_ref))
+        if ishot.any():  # spread a hot key's probe rows round-robin
+            salt = np.arange(ishot.sum(), dtype=np.int64) % salt_shards
+            bkt[ishot] = nb + hidx * salt_shards + salt
         return pa.table({
-            "bkt": pa.array(ck % nb, pa.int64()),
+            "bkt": pa.array(bkt, pa.int64()),
             "key": pa.array(ck, pa.int64()),
             "nationkey": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
             "status": batch.column("o_orderstatus"),
@@ -145,14 +192,25 @@ def q_nation_order_stats(sf_dir: str) -> ray.data.Dataset:
 
     def _cust_rows(batch: pa.Table) -> pa.Table:
         ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        natk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        bkt = ck % nb
+        ishot, hidx = _hot_index(ck, ray.get(hot_ref))
+        # cold rows keep their base bucket; each hot build row (unique
+        # on the PK) is replicated to all of its salt buckets instead
+        cold = ~ishot
+        rep_ck = np.repeat(ck[ishot], salt_shards)
+        rep_nk = np.repeat(natk[ishot], salt_shards)
+        rep_bkt = nb + np.repeat(hidx, salt_shards) * salt_shards \
+            + np.tile(np.arange(salt_shards, dtype=np.int64), int(ishot.sum()))
+        out_ck = np.concatenate((ck[cold], rep_ck))
+        out_nk = np.concatenate((natk[cold], rep_nk))
+        out_bkt = np.concatenate((bkt[cold], rep_bkt))
         return pa.table({
-            "bkt": pa.array(ck % nb, pa.int64()),
-            "key": pa.array(ck, pa.int64()),
-            "nationkey": pa.array(
-                batch.column("c_nationkey").to_numpy().astype(np.int64),
-                pa.int64()),
-            "status": pa.array([""] * ck.size, pa.string()),
-            "cents": pa.array(np.zeros(ck.size, np.int64), pa.int64()),
+            "bkt": pa.array(out_bkt, pa.int64()),
+            "key": pa.array(out_ck, pa.int64()),
+            "nationkey": pa.array(out_nk, pa.int64()),
+            "status": pa.array([""] * out_ck.size, pa.string()),
+            "cents": pa.array(np.zeros(out_ck.size, np.int64), pa.int64()),
         })
 
     def _probe(group: pa.Table) -> pa.Table:

@@ -1515,6 +1515,17 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON n_nationkey = c_nationkey
 GROUP BY n_name, o_orderstatus
 """,
+        # salting is plan-level only: the salted entry must hash-match
+        # the very same SQL as the unsalted join
+        "nation_order_stats_salted": """
+SELECT n_name, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name, o_orderstatus
+""",
         "top_customers": f"""
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,

@@ -2,7 +2,10 @@
 arithmetic invariants; the sf0.01 oracle-identity checks run in
 test_driver_contract."""
 
+import os
+
 import numpy as np
+import pyarrow as pa
 
 from candidategeneration_ray.pipelines import relational as rl
 
@@ -54,3 +57,81 @@ def test_top_customers_ordering(ray_session):
     assert 0 < len(t) <= rl.TOP_CUSTOMERS
     rows = list(zip(-t["total_cents"].to_numpy(), t["o_custkey"].to_numpy()))
     assert rows == sorted(rows)
+
+
+class TestSaltedJoin:
+    @staticmethod
+    def _write_tables(tmp_path, n_orders_hot=5000, hotkey=7):
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(5)
+        d = str(tmp_path)
+        nkeys = np.arange(5, dtype=np.int64)
+        pq.write_table(pa.table({
+            "n_nationkey": pa.array(nkeys, pa.int64()),
+            "n_name": pa.array([f"NATION{i}" for i in nkeys], pa.string()),
+        }), os.path.join(d, "nation.parquet"))
+        ck = np.arange(50, dtype=np.int64)
+        pq.write_table(pa.table({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "c_nationkey": pa.array(ck % 5, pa.int64()),
+        }), os.path.join(d, "customer.parquet"))
+        # one monster key + a uniform tail
+        custs = np.concatenate((
+            np.full(n_orders_hot, hotkey, np.int64),
+            rng.integers(0, 50, 2000).astype(np.int64)))
+        pq.write_table(pa.table({
+            "o_custkey": pa.array(custs, pa.int64()),
+            "o_orderstatus": pa.array(
+                np.where(np.arange(custs.size) % 3 == 0, "F", "O"),
+                pa.string()),
+            "o_totalprice": pa.array(
+                rng.uniform(1, 100, custs.size).round(2), pa.float64()),
+        }), os.path.join(d, "orders.parquet"))
+        return d
+
+    def test_hot_key_detection(self, ray_session, tmp_path):
+        from candidategeneration_ray.pipelines.relational import _hot_probe_keys
+
+        d = self._write_tables(tmp_path)
+        hot = _hot_probe_keys(d, 1)
+        assert hot.tolist() == [7]
+        assert len(_hot_probe_keys(d, 5)) == 5
+
+    def test_salted_equals_unsalted_with_monster_key(self, ray_session, tmp_path):
+        from candidategeneration_ray.pipelines.relational import (
+            q_nation_order_stats)
+
+        d = self._write_tables(tmp_path)
+        key = ["n_name", "o_orderstatus"]
+        plain = q_nation_order_stats(d).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        salted = q_nation_order_stats(d, hot_k=3, salt_shards=4).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        assert plain.equals(salted)
+        # and both equal the brute-force join
+        import pyarrow.parquet as pq
+
+        o = pq.read_table(os.path.join(d, "orders.parquet")).to_pandas()
+        c = pq.read_table(os.path.join(d, "customer.parquet")).to_pandas()
+        n = pq.read_table(os.path.join(d, "nation.parquet")).to_pandas()
+        o["cents"] = np.floor(np.abs(o.o_totalprice * 100) + 0.5).astype(np.int64)
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey") \
+             .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        want = j.groupby(key).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum")) \
+            .reset_index().sort_values(key).reset_index(drop=True)
+        assert plain[key + ["n_orders", "total_cents"]].equals(
+            want[key + ["n_orders", "total_cents"]])
+
+    def test_salted_equals_unsalted_sf0001(self, ray_session):
+        from candidategeneration_ray.pipelines.relational import (
+            q_nation_order_stats)
+
+        SF = "/root/testdata/sf0.001"
+        key = ["n_name", "o_orderstatus"]
+        plain = q_nation_order_stats(SF).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        salted = q_nation_order_stats(SF, hot_k=10).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        assert plain.equals(salted)
