@@ -136,3 +136,59 @@ class TestFamilyBuild:
             }
             assert got == want[term], term
             assert seg.column("n")[row].as_py() == len(want[term])
+
+
+class TestProximityDocs:
+    @staticmethod
+    def _brute(texts, terms, W):
+        want = {}
+        terms = sorted(set(terms))
+        for i, text in enumerate(texts):
+            toks = tokenize_text(text)
+            pos = {t: [j + 1 for j, x in enumerate(toks) if x == t]
+                   for t in terms}
+            anchors = sorted(p for t in terms for p in pos[t])
+            n = sum(
+                all(any(a <= p < a + W for p in pos[t]) for t in terms)
+                for a in anchors
+            )
+            if n:
+                want[100 + i] = n
+        return want
+
+    def test_bruteforce_window_boundary(self, ray_session, tmp_path):
+        texts = [
+            "alpha xx xx beta",          # gap 3: inside W=4 exactly
+            "alpha xx xx xx beta",       # gap 4: outside W=4
+            "beta alpha",                # reversed order still counts
+            "alpha beta alpha",          # multiple anchors
+            "alpha only here",
+        ]
+        d = _write_docs(tmp_path, texts)
+        qs = [(0, "alpha beta")]
+        got = ps.q_proximity_docs(d, window=4, queries=qs).to_pandas()
+        assert dict(zip(got["doc_id"], got["n_anchors"])) == \
+            self._brute(texts, ["alpha", "beta"], 4)
+        # doc 100 matches (max gap W-1), doc 101 must not
+        assert 100 in set(got["doc_id"]) and 101 not in set(got["doc_id"])
+
+    def test_three_terms_and_repeated_query_term(self, ray_session, tmp_path):
+        texts = [
+            "aa bb cc",
+            "aa xx bb xx xx cc",         # span 6 > W=5
+            "cc bb aa",
+            "aa bb xx cc aa bb cc",
+        ]
+        d = _write_docs(tmp_path, texts)
+        got = ps.q_proximity_docs(
+            d, window=5, queries=[(0, "aa bb cc"), (1, "aa aa bb")]).to_pandas()
+        for qid, terms in [(0, ["aa", "bb", "cc"]), (1, ["aa", "bb"])]:
+            sub = got[got["query_id"] == qid]
+            assert dict(zip(sub["doc_id"], sub["n_anchors"])) == \
+                self._brute(texts, terms, 5), qid
+
+    def test_unmapped_term_query_empty(self, ray_session, tmp_path):
+        d = _write_docs(tmp_path, ["alpha beta"])
+        got = ps.q_proximity_docs(
+            d, queries=[(0, "alpha zzqq")]).to_pandas()
+        assert len(got) == 0
