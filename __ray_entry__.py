@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
         "hit_index_top5": dq.q_hit_index_top5,          # HIT index family build
         "phrase_postings": ps.q_phrase_postings,        # positional family: exact phrase
+        "proximity_docs": ps.q_proximity_docs,          # all terms within a W-window
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
@@ -143,7 +144,8 @@ def oracle_sql() -> dict[str, str]:
         relational_oracles, sketch_oracles, sliding_oracles,
         cluster_label_oracles, events_topk_oracles, heavy_hitter_oracles,
         ivf_delta_oracles, kmeans_eval_oracles,
-        kmeans_purity_oracles, positional_oracles, source_quantile_oracles,
+        kmeans_purity_oracles, positional_oracles, proximity_oracles,
+        source_quantile_oracles,
         textlm_oracles,
         windowed_distinct_oracles,
     )
@@ -158,4 +160,4 @@ def oracle_sql() -> dict[str, str]:
             **cluster_label_oracles(), **kmeans_eval_oracles(),
             **events_topk_oracles(), **kmeans_purity_oracles(),
             **positional_oracles(), **heavy_hitter_oracles(),
-            **ivf_delta_oracles()}
+            **ivf_delta_oracles(), **proximity_oracles()}

@@ -33,6 +33,7 @@ a query trace fans out across the cluster.
 
 from __future__ import annotations
 
+import glob
 import os
 
 import numpy as np
@@ -114,7 +115,9 @@ class _PositionalEmitter:
         # 1-based position within the doc's kept-token stream
         positions = np.arange(n_tok, dtype=np.int64) \
             - np.repeat(np.cumsum(lens) - lens, lens) + 1
-        if lens.max(initial=0) >= (1 << POS_BITS):
+        # 64 slots of headroom so proximity windows (a + window) never
+        # roll into the next doc's packed range
+        if lens.max(initial=0) >= (1 << POS_BITS) - 64:
             raise ValueError(
                 f"doc_len {lens.max()} exceeds the {POS_BITS}-bit position "
                 "field; raise POS_BITS for this corpus")
@@ -247,8 +250,6 @@ def _phrase_task(final_dir: str, phrase_id: int, tids: list[int],
     (doc << POS_BITS | pos) sorted-set intersection with per-term
     shifts — occurrence p matches iff p+i is a position of term i for
     every i. Overlapping occurrences count (standard phrase TF)."""
-    import glob
-
     import pyarrow.parquet as pq
 
     empty = pa.table({
@@ -287,6 +288,102 @@ def _phrase_task(final_dir: str, phrase_id: int, tids: list[int],
         "doc_id": pa.array(d, pa.int64()),
         "n_occurrences": pa.array(occ.astype(np.int64), pa.int64()),
     })
+
+
+# Proximity trace: every term must fall inside one W-wide kept-token
+# window (the query-time generalization of the reference's d-window
+# PAIR keys, InvertedIndex.java:246-287 — there the windows are baked
+# into index keys at d=5; here they're evaluated from positions).
+PROX_W = 6
+PROX_QUERIES: list[tuple[int, str]] = [
+    (0, "query join"),
+    (1, "customer window merge"),
+    (2, "stream filter hash"),
+    (3, "vector spark data"),
+    (4, "table scan"),
+    (5, "zzzq table"),       # unmapped term → no rows
+]
+
+
+@ray.remote
+def _proximity_task(final_dir: str, query_id: int, tids: list[int],
+                    window: int, num_buckets: int) -> pa.Table:
+    """One proximity query: every distinct term must have a position
+    in [a, a+window) for some anchor position a (any term's position —
+    a satisfying window's minimum is always an anchor, so anchors are
+    complete). n_anchors counts the satisfying anchors per doc. Same
+    pruned read + packed-position machinery as _phrase_task; the
+    searchsorted range tests run over ALL docs' anchors at once."""
+    import pyarrow.parquet as pq
+
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "n_anchors": pa.array([], pa.int64()),
+    })
+    uniq_tids = sorted(set(tids))
+    buckets = np.unique(
+        bucket_of(np.asarray(uniq_tids, np.int64), num_buckets)).tolist()
+    t = pq.read_table(
+        sorted(glob.glob(os.path.join(final_dir, "*.parquet"))),
+        filters=[("bucket", "in", buckets), ("key", "in", uniq_tids)],
+        columns=["key", "docs", "counts", "pos"],
+    )
+    packed: dict[int, np.ndarray] = {}
+    for row in range(t.num_rows):
+        key = int(t.column("key")[row].as_py())
+        counts = varint_decode(t.column("counts")[row].as_py()).astype(np.int64)
+        docs = decode_delta_concat(
+            t.column("docs")[row].as_py(), np.array([counts.size]))[0].astype(np.int64)
+        posv, _ = decode_delta_concat(t.column("pos")[row].as_py(), counts)
+        packed[key] = (np.repeat(docs, counts) << POS_BITS) | posv.astype(np.int64)
+    if any(tid not in packed for tid in uniq_tids):
+        return empty
+    anchors = np.sort(np.concatenate([packed[tid] for tid in uniq_tids]))
+    ok = np.ones(anchors.size, dtype=bool)
+    for tid in uniq_tids:
+        p = packed[tid]
+        lo = np.searchsorted(p, anchors)
+        hi = np.searchsorted(p, anchors + window)
+        ok &= hi > lo
+    hits = anchors[ok]
+    if hits.size == 0:
+        return empty
+    d, n = np.unique(hits >> POS_BITS, return_counts=True)
+    return pa.table({
+        "query_id": pa.array(np.full(d.size, query_id, np.int64), pa.int64()),
+        "doc_id": pa.array(d, pa.int64()),
+        "n_anchors": pa.array(n.astype(np.int64), pa.int64()),
+    })
+
+
+def q_proximity_docs(sf_dir: str, window: int = PROX_W,
+                     queries: list[tuple[int, str]] | None = None) -> pa.Table:
+    """Proximity retrieval from the persisted positional family:
+    (query_id, doc_id, n_anchors) for docs where all query terms
+    co-occur within a `window`-wide kept-token span. One Ray task per
+    query, bucket/key-pruned reads."""
+    cfg = EngineConfig()
+    fam = build_positional_family(sf_dir, cfg)
+    stats = fam["stats"]
+    futs = []
+    for qid, text in (queries or PROX_QUERIES):
+        tids = phrase_term_ids(stats, text)
+        if tids is None:
+            continue
+        futs.append(_proximity_task.remote(
+            fam["final_dir"], qid, tids, window, cfg.num_buckets))
+    parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
+    if not parts:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_anchors": pa.array([], pa.int64()),
+        })
+    out = pa.concat_tables(parts)
+    order = pa.compute.sort_indices(
+        out, sort_keys=[("query_id", "ascending"), ("doc_id", "ascending")])
+    return out.take(order)
 
 
 def q_phrase_postings(sf_dir: str,

@@ -1712,3 +1712,38 @@ SELECT cluster,
 FROM {last_a} GROUP BY cluster
 """,
     }
+
+
+def proximity_oracles() -> dict[str, str]:
+    """Proximity matching re-derived in SQL: an anchor kept-position a
+    satisfies iff every query term has a kept position in
+    [a, a+W) in the same doc; n_anchors counts satisfying anchors."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.positional import (
+        PROX_QUERIES, PROX_W)
+
+    parts = []
+    for qid, text in PROX_QUERIES:
+        toks = sorted(set(tokenize_text(text)))
+        if not toks:
+            continue
+        tl = ", ".join(f"'{t}'" for t in toks)
+        ex = "\n  AND ".join(
+            f"EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = a.doc_id "
+            f"AND k.tok = '{t}' AND k.kpos >= a.kpos "
+            f"AND k.kpos < a.kpos + {PROX_W})"
+            for t in toks)
+        parts.append(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id,
+       CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_anchors
+FROM (SELECT doc_id, kpos FROM kept WHERE tok IN ({tl})) a
+WHERE {ex}
+GROUP BY a.doc_id""")
+    union = "\nUNION ALL\n".join(parts)
+    return {
+        "proximity_docs": f"""
+WITH {KEPT_CTE}
+{union}
+""",
+    }
