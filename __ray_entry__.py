@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assignments": cl.q_kmeans_assignments,
         "kmeans_label_eval": cl.q_kmeans_label_eval,  # contingency vs ground-truth labels
         "kmeans_purity": cl.q_kmeans_purity,        # sketch-then-finalize purity
+        "kmeans_ari": cl.q_kmeans_ari,              # integer-exact adjusted Rand
         "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,  # approximate (rows-only)
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
         "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_counts": ev.q_windowed_counts,
         "windowed_distinct_users": ev.q_windowed_distinct_users,  # exact windowed dedup
         "windowed_heavy_hitters": ev.q_windowed_heavy_hitters,  # keyed 2-pass MG, exact
+        "funnel_counts": ev.q_funnel_counts,        # ordered-subsequence funnel
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
         "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
@@ -142,8 +144,9 @@ def oracle_sql() -> dict[str, str]:
         knn_oracles, mixture_oracles, predictive_oracles,
         graph_oracles, pretrain_oracles, quality_filter_oracles,
         relational_oracles, sketch_oracles, sliding_oracles,
-        cluster_label_oracles, events_topk_oracles, heavy_hitter_oracles,
-        ivf_delta_oracles, kmeans_eval_oracles,
+        cluster_label_oracles, events_topk_oracles, funnel_oracles,
+        heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
+        kmeans_eval_oracles,
         kmeans_purity_oracles, positional_oracles, proximity_oracles,
         source_quantile_oracles,
         textlm_oracles,
@@ -160,4 +163,5 @@ def oracle_sql() -> dict[str, str]:
             **cluster_label_oracles(), **kmeans_eval_oracles(),
             **events_topk_oracles(), **kmeans_purity_oracles(),
             **positional_oracles(), **heavy_hitter_oracles(),
-            **ivf_delta_oracles(), **proximity_oracles()}
+            **ivf_delta_oracles(), **proximity_oracles(),
+            **kmeans_ari_oracles(), **funnel_oracles()}

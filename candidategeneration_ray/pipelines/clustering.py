@@ -733,3 +733,35 @@ def q_kmeans_purity(sf_dir: str) -> pa.Table:
         "n_vectors": pa.array([n], pa.int64()),
         "purity_millionths": pa.array([purity], pa.int64()),
     })
+
+
+def q_kmeans_ari(sf_dir: str) -> pa.Table:
+    """Adjusted Rand Index of the k-means clustering vs the ground
+    truth, as EXACT integers: pair-count sums from the O(k x labels)
+    contingency summary plus the ARI fraction's numerator/denominator
+    (both x2 to stay integral) — no float division anywhere, so the
+    oracle hash compare is exact even when ARI is negative."""
+    rows = q_kmeans_label_eval(sf_dir).take_all()
+    a: dict[int, int] = {}
+    b: dict[int, int] = {}
+    index_comb = 0
+    n = 0
+    for r in rows:
+        c, l, cnt = int(r["cluster"]), int(r["label"]), int(r["n"])
+        a[c] = a.get(c, 0) + cnt
+        b[l] = b.get(l, 0) + cnt
+        index_comb += cnt * (cnt - 1) // 2
+        n += cnt
+    sum_a = sum(s * (s - 1) // 2 for s in a.values())
+    sum_b = sum(s * (s - 1) // 2 for s in b.values())
+    comb_n = n * (n - 1) // 2
+    num2 = 2 * (index_comb * comb_n - sum_a * sum_b)
+    den2 = comb_n * (sum_a + sum_b) - 2 * sum_a * sum_b
+    return pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "index_comb": pa.array([index_comb], pa.int64()),
+        "sum_a_comb": pa.array([sum_a], pa.int64()),
+        "sum_b_comb": pa.array([sum_b], pa.int64()),
+        "ari_num2": pa.array([num2], pa.int64()),
+        "ari_den2": pa.array([den2], pa.int64()),
+    })

@@ -582,3 +582,57 @@ def q_windowed_heavy_hitters(sf_dir: str, window_sec: int = 86400,
         .aggregate(Sum("n_events", alias_name="n_events"))
         .map_batches(_threshold, batch_format="pyarrow")
     )
+
+
+FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+def q_funnel_counts(sf_dir: str,
+                    stages: list[str] | None = None) -> ray.data.Dataset:
+    """Ordered funnel: per stage, how many users' streams contain the
+    stage sequence so far as a strictly-time-increasing subsequence
+    (greedy earliest-match — optimal for subsequence existence).
+
+    Shape: one user-hash bucket shuffle (all of a user's events
+    co-locate, the events-module invariant), then a vectorized kernel
+    per bucket — one lexsort, then per stage one boolean mask +
+    np.minimum.at scatter for the per-user earliest admissible event;
+    no per-user Python. Buckets emit m partial rows; a tiny groupby
+    sums them."""
+    from ray.data.aggregate import Sum
+
+    stages = stages or FUNNEL_STAGES
+    INF = np.iinfo(np.int64).max
+
+    def _bucket_partial(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((ts, uid))
+        u, t, e = uid[order], ts[order], et[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        uidx = np.cumsum(first) - 1
+        n_users = int(first.sum())
+        prev = np.full(n_users, np.int64(-1))
+        reached = []
+        for s in stages:
+            # t > prev also kills dead users (prev == INF beats any ts)
+            mask = (e == s) & (t > prev[uidx])
+            cur = np.full(n_users, INF)
+            if mask.any():
+                np.minimum.at(cur, uidx[mask], t[mask])
+            prev = cur
+            reached.append(int((cur != INF).sum()))
+        return pa.table({
+            "stage": pa.array(np.arange(1, len(stages) + 1), pa.int64()),
+            "event_type": pa.array(stages, pa.string()),
+            "n_users": pa.array(reached, pa.int64()),
+        })
+
+    return (
+        _with_user_bucket(events_ds(sf_dir, ["ts", "user_id", "event_type"]))
+        .groupby("ubucket")
+        .map_groups(_bucket_partial, batch_format="pyarrow")
+        .groupby(["stage", "event_type"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

@@ -1747,3 +1747,60 @@ WITH {KEPT_CTE}
 {union}
 """,
     }
+
+
+def kmeans_ari_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
+
+    last_a = f"a{KMEANS_ITERS + 1}"
+    return {
+        # all terms integral (x2 trick); n*(n-1)//2 is floor==trunc for
+        # the nonnegative counts here
+        "kmeans_ari": f"""
+WITH {_kmeans_ctes()},
+cont AS (
+  SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+  FROM {last_a} a JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+vals AS (
+  SELECT
+    (SELECT CAST(sum(n) AS BIGINT) FROM cont) AS n_vectors,
+    (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM cont) AS index_comb,
+    (SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT)
+     FROM (SELECT sum(n) AS s FROM cont GROUP BY cluster)) AS sum_a_comb,
+    (SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT)
+     FROM (SELECT sum(n) AS s FROM cont GROUP BY label)) AS sum_b_comb
+)
+SELECT n_vectors, index_comb, sum_a_comb, sum_b_comb,
+       CAST(2 * (index_comb * (n_vectors * (n_vectors - 1) // 2)
+                 - sum_a_comb * sum_b_comb) AS BIGINT) AS ari_num2,
+       CAST((n_vectors * (n_vectors - 1) // 2) * (sum_a_comb + sum_b_comb)
+            - 2 * sum_a_comb * sum_b_comb AS BIGINT) AS ari_den2
+FROM vals
+""",
+    }
+
+
+def funnel_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.events import FUNNEL_STAGES
+
+    ctes, selects = [], []
+    for i, s in enumerate(FUNNEL_STAGES, 1):
+        if i == 1:
+            ctes.append(f"""s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+  WHERE event_type = '{s}' GROUP BY user_id)""")
+        else:
+            ctes.append(f"""s{i} AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s{i - 1} p
+    ON e.user_id = p.user_id AND epoch_us(e.ts) > p.t
+  WHERE e.event_type = '{s}' GROUP BY e.user_id)""")
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS stage, '{s}' AS event_type, "
+            f"CAST((SELECT count(*) FROM s{i}) AS BIGINT) AS n_users")
+    return {
+        "funnel_counts": "WITH " + ",\n".join(ctes) + "\n"
+                         + "\nUNION ALL\n".join(selects),
+    }

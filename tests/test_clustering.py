@@ -209,3 +209,23 @@ def test_kmeans_purity_consistent_with_contingency(ray_session):
     assert got["n_vectors"].tolist() == [n]
     assert got["purity_millionths"].tolist() == [maj * 1_000_000 // n]
     assert 0 < got["purity_millionths"][0] <= 1_000_000
+
+
+def test_kmeans_ari_identities(ray_session):
+    """ARI pieces recomputed from the contingency; perfect-match sanity
+    on the identity clustering."""
+    cont = cl.q_kmeans_label_eval(SF).to_pandas()
+    got = cl.q_kmeans_ari(SF).to_pandas().iloc[0]
+    n = int(cont["n"].sum())
+    idx = int((cont["n"] * (cont["n"] - 1) // 2).sum())
+    sa = int(cont.groupby("cluster")["n"].sum().map(
+        lambda s: s * (s - 1) // 2).sum())
+    sb = int(cont.groupby("label")["n"].sum().map(
+        lambda s: s * (s - 1) // 2).sum())
+    cn = n * (n - 1) // 2
+    assert got["n_vectors"] == n and got["index_comb"] == idx
+    assert got["sum_a_comb"] == sa and got["sum_b_comb"] == sb
+    assert got["ari_num2"] == 2 * (idx * cn - sa * sb)
+    assert got["ari_den2"] == cn * (sa + sb) - 2 * sa * sb
+    # ARI <= 1 always: num2 <= den2
+    assert got["ari_num2"] <= got["ari_den2"]

@@ -290,3 +290,49 @@ class TestWindowedHeavyHitters:
             for r in got.itertuples()
         } == {(int(r.w), int(r.user_id)): int(r.n) for r in want.itertuples()}
         assert len(got) > 0
+
+
+class TestFunnelCounts:
+    def test_ordering_semantics(self, ray_session, tmp_path):
+        """A user counts for stage i only if the stages appear as a
+        strictly-time-increasing subsequence."""
+        from candidategeneration_ray.pipelines.events import q_funnel_counts
+
+        rows = [
+            # user 1: full ordered funnel
+            (0, 0, 1, "signup", 0.0), (1, 10, 1, "click", 0.0),
+            (2, 20, 1, "purchase", 0.0),
+            # user 2: purchase BEFORE click -> stops at click
+            (3, 0, 2, "signup", 0.0), (4, 5, 2, "purchase", 0.0),
+            (5, 10, 2, "click", 0.0),
+            # user 3: click only, no signup -> stage 0
+            (6, 0, 3, "click", 0.0),
+            # user 4: signup only
+            (7, 0, 4, "signup", 0.0),
+            # user 5: greedy earliest signup still lets later click count
+            (8, 0, 5, "signup", 0.0), (9, 1, 5, "signup", 0.0),
+            (10, 2, 5, "click", 0.0), (11, 3, 5, "purchase", 0.0),
+        ]
+        d = _write_events(tmp_path, rows)
+        got = q_funnel_counts(d).to_pandas().sort_values("stage")
+        assert got["event_type"].tolist() == ["signup", "click", "purchase"]
+        assert got["n_users"].tolist() == [4, 3, 2]
+
+    def test_equal_ts_does_not_advance(self, ray_session, tmp_path):
+        from candidategeneration_ray.pipelines.events import q_funnel_counts
+
+        rows = [(0, 0, 1, "signup", 0.0), (1, 0, 1, "click", 0.0),
+                (2, 1, 1, "purchase", 0.0)]
+        d = _write_events(tmp_path, rows)
+        got = q_funnel_counts(d).to_pandas().sort_values("stage")
+        # click shares the signup timestamp -> strict > rejects it
+        assert got["n_users"].tolist() == [1, 0, 0]
+
+    def test_monotone_nonincreasing(self, ray_session):
+        from candidategeneration_ray.pipelines.events import q_funnel_counts
+
+        got = q_funnel_counts("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("stage")
+        n = got["n_users"].tolist()
+        assert all(a >= b for a, b in zip(n, n[1:]))
+        assert n[0] > 0
