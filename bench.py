@@ -165,7 +165,11 @@ def run_bench() -> dict:
     per_query: dict[str, float] = {}
     shutil.rmtree("/tmp/cg_ray_cache", ignore_errors=True)
     from candidategeneration_ray.pipelines import clustering as cb
+    from candidategeneration_ray.pipelines import events as ev
     from candidategeneration_ray.pipelines import extras as ex
+    from candidategeneration_ray.pipelines import ivfdelta as ivfd
+    from candidategeneration_ray.pipelines import positional as ps
+    from candidategeneration_ray.pipelines import relational as rl
     from candidategeneration_ray.pipelines import textlm as tl
 
     per_query["delta_update_10pct"] = round(update_sec, 3)
@@ -186,6 +190,13 @@ def run_bench() -> dict:
         ("decontaminate", tl.q_decontaminate),
         ("semantic_neardups", cb.q_semantic_neardups),
         ("pagerank", cb.q_pagerank),
+        ("phrase_postings", ps.q_phrase_postings),      # positional family build
+        ("proximity_docs", ps.q_proximity_docs),        # served from same family
+        ("windowed_heavy_hitters", ev.q_windowed_heavy_hitters),
+        ("funnel_counts", ev.q_funnel_counts),
+        ("nation_order_stats_salted",
+         lambda sf: rl.q_nation_order_stats(sf, hot_k=10)),
+        ("ivf_delta_counts", ivfd.q_ivf_delta_counts),  # IVF LSM end-to-end
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)
