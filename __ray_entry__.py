@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_index_top5": dq.q_hit_index_top5,          # HIT index family build
         "phrase_postings": ps.q_phrase_postings,        # positional family: exact phrase
         "proximity_docs": ps.q_proximity_docs,          # all terms within a W-window
+        # LSM twin: base+delta compacted family must equal the
+        # full-corpus phrase oracle (phrase semantics are epoch-free)
+        "phrase_delta_postings": ps.q_phrase_delta_postings,
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection

@@ -81,11 +81,18 @@ class _PositionalEmitter:
     (doc, term) grouping, one grouped delta+varint encode for ALL
     position lists. Dictionary broadcast once via ray.put, fetched per
     actor/worker on first batch (PostingEmitter's pattern,
-    stages/postings.py:69-104)."""
+    stages/postings.py:69-104). For LSM delta ingest the broadcast is
+    (base_terms, appended_terms, appended_ids): appended ids continue
+    past the base vocabulary (update.extend_stats id assignment)."""
 
     def __init__(self, terms_ref):
-        t = ray.get(terms_ref) if not isinstance(terms_ref, np.ndarray) else terms_ref
-        self.terms = t  # sorted ascending; id = index + 1
+        t = ray.get(terms_ref) if isinstance(terms_ref, ray.ObjectRef) else terms_ref
+        if isinstance(t, tuple):
+            self.terms, self.app_terms, self.app_ids = t
+        else:
+            self.terms = t  # sorted ascending; id = index + 1
+            self.app_terms = np.empty(0, dtype=object)
+            self.app_ids = np.empty(0, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column("tokens").combine_chunks()
@@ -105,8 +112,20 @@ class _PositionalEmitter:
             })
         denc = flat_strs.dictionary_encode()
         uniq = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-        loc = np.searchsorted(self.terms, uniq)
-        uniq_ids = loc.astype(np.int64) + 1  # corpus tokens always resolve
+        loc = np.minimum(np.searchsorted(self.terms, uniq),
+                         max(self.terms.size - 1, 0))
+        uniq_ids = loc.astype(np.int64) + 1
+        if self.terms.size:
+            miss = self.terms[loc] != uniq
+        else:
+            miss = np.ones(uniq.size, dtype=bool)
+        if miss.any():  # delta-only terms resolve via the appended run
+            mpos = np.minimum(np.searchsorted(self.app_terms, uniq[miss]),
+                              max(self.app_terms.size - 1, 0))
+            if self.app_terms.size == 0 or not np.array_equal(
+                    self.app_terms[mpos], uniq[miss]):
+                raise KeyError("token outside base+appended dictionary")
+            uniq_ids[miss] = self.app_ids[mpos]
         indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         flat_ids = uniq_ids[indices]
 
@@ -227,45 +246,195 @@ def build_positional_family(sf_dir: str, cfg: EngineConfig | None = None) -> dic
     return {"final_dir": final, "stats": stats}
 
 
+# ------------------------------------------------- LSM delta support
+
+_FAM_ACTIVE = "ACTIVE.json"
+_GEN_MANIFEST = "GEN_MANIFEST.json"
+
+
+def family_serving_dirs(fam_root: str) -> list[str]:
+    """Serving dirs for a positional family root: the active final
+    (post-compaction pointer if present) plus every COMPLETE,
+    not-yet-folded generation. Phrase semantics are epoch-free (no
+    scores), so multi-generation serving is exact."""
+    import json
+
+    active, folded = "final", set()
+    p = os.path.join(fam_root, _FAM_ACTIVE)
+    if os.path.exists(p):
+        with open(p) as f:
+            a = json.load(f)
+        active, folded = a["final"], set(a["folded"])
+    gens = [
+        g for g in sorted(glob.glob(os.path.join(fam_root, "gen-*")))
+        if os.path.exists(os.path.join(g, _GEN_MANIFEST))
+        and os.path.basename(g) not in folded
+    ]
+    return [os.path.join(fam_root, active)] + gens
+
+
+def update_positional_family(fam_root: str, base_stats: dict,
+                             delta_dir: str,
+                             cfg: EngineConfig | None = None) -> dict:
+    """Ingest a delta documents table as a new generation. Delta-only
+    terms get appended dictionary ids (update.extend_stats — the same
+    append-only overlay rule as the text LSM); doc ids must be new.
+    Returns {"gen_dir", "stats"} with the EXTENDED stats for serving."""
+    import json
+
+    from candidategeneration_ray.pipelines.update import extend_stats
+    from candidategeneration_ray.stages.stats import compute_stats
+    from candidategeneration_ray.stages.tokenize import attach_tokens
+
+    cfg = cfg or EngineConfig()
+    delta_ds = attach_tokens(ray.data.read_parquet(
+        os.path.join(delta_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+    ext = extend_stats(base_stats, compute_stats(delta_ds))
+    n_base = len(base_stats["terms"])
+    app_terms = np.asarray(ext["terms"][n_base:], dtype=object)  # sorted run
+    app_ids = n_base + 1 + np.arange(app_terms.size, dtype=np.int64)
+
+    gens = glob.glob(os.path.join(fam_root, "gen-*"))
+    n = 1 + max((int(os.path.basename(g).split("-")[1]) for g in gens),
+                default=0)
+    gen_dir = os.path.join(fam_root, f"gen-{n:04d}")
+    terms_ref = ray.put((np.asarray(base_stats["terms"], dtype=object),
+                         app_terms, app_ids))
+    rows = delta_ds.map_batches(
+        _PositionalEmitter, fn_constructor_args=(terms_ref,),
+        batch_format="pyarrow", concurrency=(1, 8))
+    attach_bucket(rows, cfg.num_buckets) \
+        .groupby("bucket").map_groups(_merge_bucket, batch_format="pyarrow") \
+        .write_parquet(gen_dir)
+    with open(os.path.join(gen_dir, _GEN_MANIFEST), "w") as f:
+        json.dump({"generation": n, "inputs": [delta_dir],
+                   "app_terms": app_terms.tolist(),
+                   "app_ids": app_ids.tolist()}, f)
+    return {"gen_dir": gen_dir, "stats": {
+        **base_stats, "app_terms": app_terms, "app_ids": app_ids}}
+
+
+def _explode_segments(batch: pa.Table) -> pa.Table:
+    """Merged rows -> per-(key, doc) emission rows. Per-doc position
+    blobs are delta-reset per doc, so their BYTES are reusable as-is —
+    splitting needs only the varint end positions (MSB clear), no
+    decode/re-encode."""
+    out_k, out_d, out_n, out_p = [], [], [], []
+    for row in range(batch.num_rows):
+        counts = varint_decode(
+            batch.column("counts")[row].as_py()).astype(np.int64)
+        docs = decode_delta_concat(
+            batch.column("docs")[row].as_py(),
+            np.array([counts.size]))[0].astype(np.int64)
+        blob = batch.column("pos")[row].as_py()
+        b = np.frombuffer(blob, dtype=np.uint8)
+        ends = np.flatnonzero((b & 0x80) == 0)
+        byte_ends = ends[np.cumsum(counts) - 1] + 1
+        byte_starts = np.concatenate(([0], byte_ends[:-1]))
+        key = int(batch.column("key")[row].as_py())
+        out_k.append(np.full(docs.size, key, np.int64))
+        out_d.append(docs)
+        out_n.append(counts)
+        out_p.extend(blob[s:e] for s, e in zip(byte_starts, byte_ends))
+    cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+    return pa.table({
+        "key": pa.array(cat(out_k), pa.int64()),
+        "doc_id": pa.array(cat(out_d), pa.int64()),
+        "npos": pa.array(cat(out_n).astype(np.int32), pa.int32()),
+        "pos": pa.array(out_p, pa.binary()),
+    })
+
+
+def compact_positional_family(fam_root: str,
+                              cfg: EngineConfig | None = None) -> int:
+    """Fold every complete generation into a NEW final directory (the
+    per-doc blobs regroup byte-for-byte; only docs/counts re-encode),
+    then atomically repoint ACTIVE.json. Crash windows: pointer not
+    written -> old state serves; pointer written but folded gens not
+    yet deleted -> they're excluded by the folded list. Returns the
+    number of generations folded."""
+    import json
+
+    cfg = cfg or EngineConfig()
+    dirs = family_serving_dirs(fam_root)
+    gens = dirs[1:]
+    if not gens:
+        return 0
+    existing = glob.glob(os.path.join(fam_root, "final-c*"))
+    k = 1 + max((int(os.path.basename(d).split("final-c")[1])
+                 for d in existing), default=0)
+    new_final = os.path.join(fam_root, f"final-c{k}")
+    rows = ray.data.read_parquet(_family_files(dirs)) \
+        .map_batches(_explode_segments, batch_format="pyarrow")
+    attach_bucket(rows, cfg.num_buckets) \
+        .groupby("bucket").map_groups(_merge_bucket, batch_format="pyarrow") \
+        .write_parquet(new_final)
+    p = os.path.join(fam_root, _FAM_ACTIVE)
+    old_folded = []
+    if os.path.exists(p):
+        with open(p) as f:
+            old_folded = json.load(f)["folded"]
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"final": f"final-c{k}",
+                   "folded": old_folded
+                   + [os.path.basename(g) for g in gens]}, f)
+    os.replace(tmp, p)
+    import shutil
+
+    for g in gens:  # best-effort cleanup; folded list already excludes
+        shutil.rmtree(g, ignore_errors=True)
+    return len(gens)
+
+
 def phrase_term_ids(stats: dict, phrase: str) -> list[int] | None:
     """Tokenize a phrase with the indexing tokenizer and map to term
-    ids; None if any token is outside the dictionary (no match)."""
+    ids (base dictionary, then the LSM appended run if present); None
+    if any token is outside both (no match)."""
     terms = np.asarray(stats["terms"], dtype=object)
+    app_t = np.asarray(stats.get("app_terms", []), dtype=object)
+    app_i = np.asarray(stats.get("app_ids", []), dtype=np.int64)
     toks = tokenize_text(phrase)
     if not toks:
         return None
     ids = []
     for t in toks:
         i = int(np.searchsorted(terms, t))
-        if i >= terms.size or terms[i] != t:
+        if i < terms.size and terms[i] == t:
+            ids.append(i + 1)
+            continue
+        j = int(np.searchsorted(app_t, t))
+        if j >= app_t.size or app_t[j] != t:
             return None
-        ids.append(i + 1)
+        ids.append(int(app_i[j]))
     return ids
 
 
-@ray.remote
-def _phrase_task(final_dir: str, phrase_id: int, tids: list[int],
-                 num_buckets: int) -> pa.Table:
-    """Serve one phrase: bucket/key-pruned segment read, then packed
-    (doc << POS_BITS | pos) sorted-set intersection with per-term
-    shifts — occurrence p matches iff p+i is a position of term i for
-    every i. Overlapping occurrences count (standard phrase TF)."""
+def _family_files(dirs: list[str]) -> list[str]:
+    files = []
+    for d in dirs:
+        files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return files
+
+
+def _packed_positions(dirs: list[str], uniq_tids: list[int],
+                      num_buckets: int) -> dict[int, np.ndarray]:
+    """Bucket/key-pruned read of the requested terms across every
+    serving dir (base final + LSM generations): per term ONE sorted
+    packed (doc << POS_BITS | pos) array. A key can contribute one row
+    per (bucket file, generation); doc sets are disjoint across
+    generations, so concatenation + sort is an exact merge."""
     import pyarrow.parquet as pq
 
-    empty = pa.table({
-        "phrase_id": pa.array([], pa.int64()),
-        "doc_id": pa.array([], pa.int64()),
-        "n_occurrences": pa.array([], pa.int64()),
-    })
-    uniq_tids = sorted(set(tids))
     buckets = np.unique(
         bucket_of(np.asarray(uniq_tids, np.int64), num_buckets)).tolist()
     t = pq.read_table(
-        sorted(glob.glob(os.path.join(final_dir, "*.parquet"))),
+        _family_files(dirs),
         filters=[("bucket", "in", buckets), ("key", "in", uniq_tids)],
         columns=["key", "docs", "counts", "pos"],
     )
-    packed: dict[int, np.ndarray] = {}
+    parts: dict[int, list[np.ndarray]] = {}
     for row in range(t.num_rows):
         key = int(t.column("key")[row].as_py())
         counts = varint_decode(t.column("counts")[row].as_py()).astype(np.int64)
@@ -274,7 +443,27 @@ def _phrase_task(final_dir: str, phrase_id: int, tids: list[int],
         posv, _ = decode_delta_concat(t.column("pos")[row].as_py(), counts)
         if docs.size and int(docs.max()) >= (1 << (62 - POS_BITS)):
             raise ValueError("doc_id exceeds the packed field")
-        packed[key] = (np.repeat(docs, counts) << POS_BITS) | posv.astype(np.int64)
+        parts.setdefault(key, []).append(
+            (np.repeat(docs, counts) << POS_BITS) | posv.astype(np.int64))
+    return {
+        k: v[0] if len(v) == 1 else np.sort(np.concatenate(v))
+        for k, v in parts.items()
+    }
+
+
+@ray.remote
+def _phrase_task(dirs: list[str], phrase_id: int, tids: list[int],
+                 num_buckets: int) -> pa.Table:
+    """Serve one phrase: bucket/key-pruned segment read, then packed
+    (doc << POS_BITS | pos) sorted-set intersection with per-term
+    shifts — occurrence p matches iff p+i is a position of term i for
+    every i. Overlapping occurrences count (standard phrase TF)."""
+    empty = pa.table({
+        "phrase_id": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "n_occurrences": pa.array([], pa.int64()),
+    })
+    packed = _packed_positions(dirs, sorted(set(tids)), num_buckets)
     if any(tid not in packed for tid in tids):
         return empty
     s = packed[tids[0]]
@@ -306,7 +495,7 @@ PROX_QUERIES: list[tuple[int, str]] = [
 
 
 @ray.remote
-def _proximity_task(final_dir: str, query_id: int, tids: list[int],
+def _proximity_task(dirs: list[str], query_id: int, tids: list[int],
                     window: int, num_buckets: int) -> pa.Table:
     """One proximity query: every distinct term must have a position
     in [a, a+window) for some anchor position a (any term's position —
@@ -314,29 +503,13 @@ def _proximity_task(final_dir: str, query_id: int, tids: list[int],
     complete). n_anchors counts the satisfying anchors per doc. Same
     pruned read + packed-position machinery as _phrase_task; the
     searchsorted range tests run over ALL docs' anchors at once."""
-    import pyarrow.parquet as pq
-
     empty = pa.table({
         "query_id": pa.array([], pa.int64()),
         "doc_id": pa.array([], pa.int64()),
         "n_anchors": pa.array([], pa.int64()),
     })
     uniq_tids = sorted(set(tids))
-    buckets = np.unique(
-        bucket_of(np.asarray(uniq_tids, np.int64), num_buckets)).tolist()
-    t = pq.read_table(
-        sorted(glob.glob(os.path.join(final_dir, "*.parquet"))),
-        filters=[("bucket", "in", buckets), ("key", "in", uniq_tids)],
-        columns=["key", "docs", "counts", "pos"],
-    )
-    packed: dict[int, np.ndarray] = {}
-    for row in range(t.num_rows):
-        key = int(t.column("key")[row].as_py())
-        counts = varint_decode(t.column("counts")[row].as_py()).astype(np.int64)
-        docs = decode_delta_concat(
-            t.column("docs")[row].as_py(), np.array([counts.size]))[0].astype(np.int64)
-        posv, _ = decode_delta_concat(t.column("pos")[row].as_py(), counts)
-        packed[key] = (np.repeat(docs, counts) << POS_BITS) | posv.astype(np.int64)
+    packed = _packed_positions(dirs, uniq_tids, num_buckets)
     if any(tid not in packed for tid in uniq_tids):
         return empty
     anchors = np.sort(np.concatenate([packed[tid] for tid in uniq_tids]))
@@ -366,13 +539,14 @@ def q_proximity_docs(sf_dir: str, window: int = PROX_W,
     cfg = EngineConfig()
     fam = build_positional_family(sf_dir, cfg)
     stats = fam["stats"]
+    dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
     futs = []
     for qid, text in (queries or PROX_QUERIES):
         tids = phrase_term_ids(stats, text)
         if tids is None:
             continue
         futs.append(_proximity_task.remote(
-            fam["final_dir"], qid, tids, window, cfg.num_buckets))
+            dirs, qid, tids, window, cfg.num_buckets))
     parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
     if not parts:
         return pa.table({
@@ -395,13 +569,90 @@ def q_phrase_postings(sf_dir: str,
     cfg = EngineConfig()
     fam = build_positional_family(sf_dir, cfg)
     stats = fam["stats"]
+    dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
     futs = []
     for pid, phrase in (phrases or PHRASE_QUERIES):
         tids = phrase_term_ids(stats, phrase)
         if tids is None:
             continue
         futs.append(_phrase_task.remote(
-            fam["final_dir"], pid, tids, cfg.num_buckets))
+            dirs, pid, tids, cfg.num_buckets))
+    parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
+    if not parts:
+        return pa.table({
+            "phrase_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_occurrences": pa.array([], pa.int64()),
+        })
+    out = pa.concat_tables(parts)
+    order = pa.compute.sort_indices(
+        out, sort_keys=[("phrase_id", "ascending"), ("doc_id", "ascending")])
+    return out.take(order)
+
+
+def _delta_positional(sf_dir: str) -> tuple[list[str], dict, EngineConfig]:
+    """Build (or reuse) the delta-exercising positional family: docs
+    split by doc_id parity — EVEN ids are the base family, ODD ids
+    arrive as an LSM generation (appended-dictionary terms included),
+    then the family is COMPACTED. Returns (serving dirs, stats, cfg).
+    Phrase/proximity semantics carry no scoring epoch, so the end
+    state must equal a full-corpus build exactly — the driver entry
+    reuses the full-corpus phrase oracle verbatim."""
+    import json
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.state import checkpoint as ckpt
+
+    cfg = EngineConfig()
+    root = _cache_dir(sf_dir, f"posdelta-{cfg.index_tag()}")
+    done = os.path.join(root, "DONE")
+    base_dir = os.path.join(root, "base")
+    fam_root = None
+    if os.path.exists(done):
+        with open(done) as f:
+            d = json.load(f)
+        stats = corpus_stats(base_dir)
+        stats = {**stats,
+                 "app_terms": np.asarray(d["app_terms"], dtype=object),
+                 "app_ids": np.asarray(d["app_ids"], dtype=np.int64)}
+        return family_serving_dirs(d["fam_root"]), stats, cfg
+    ckpt.clear_stale(root)
+    delta_dir = os.path.join(root, "delta")
+    os.makedirs(base_dir, exist_ok=True)
+    os.makedirs(delta_dir, exist_ok=True)
+    tab = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    even = pc.equal(pc.bit_wise_and(tab.column("doc_id"), 1), 0)
+    pq.write_table(tab.filter(even),
+                   os.path.join(base_dir, "documents.parquet"))
+    pq.write_table(tab.filter(pc.invert(even)),
+                   os.path.join(delta_dir, "documents.parquet"))
+
+    fam = build_positional_family(base_dir, cfg)
+    fam_root = os.path.dirname(fam["final_dir"])
+    upd = update_positional_family(fam_root, fam["stats"], delta_dir, cfg)
+    compact_positional_family(fam_root, cfg)
+    with open(done, "w") as f:
+        json.dump({"fam_root": fam_root,
+                   "app_terms": upd["stats"]["app_terms"].tolist(),
+                   "app_ids": upd["stats"]["app_ids"].tolist()}, f)
+    return family_serving_dirs(fam_root), upd["stats"], cfg
+
+
+def q_phrase_delta_postings(sf_dir: str) -> pa.Table:
+    """Phrase postings served from the base+delta COMPACTED positional
+    family — must equal the full-corpus phrase oracle exactly (doc
+    sets and positions are epoch-free). The LSM twin of
+    q_phrase_postings."""
+    dirs, stats, cfg = _delta_positional(sf_dir)
+    futs = []
+    for pid, phrase in PHRASE_QUERIES:
+        tids = phrase_term_ids(stats, phrase)
+        if tids is None:
+            continue
+        futs.append(_phrase_task.remote(dirs, pid, tids, cfg.num_buckets))
     parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
     if not parts:
         return pa.table({

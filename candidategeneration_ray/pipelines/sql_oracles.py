@@ -1669,12 +1669,14 @@ FROM kept p0
 WHERE p0.tok = '{toks[0]}'
 GROUP BY p0.doc_id""")
     union = "\nUNION ALL\n".join(parts)
-    return {
-        "phrase_postings": f"""
+    sql = f"""
 WITH {KEPT_CTE}
 {union}
-""",
-    }
+"""
+    # the LSM entry serves base+delta through generations/compaction;
+    # phrase semantics are epoch-free, so the SAME full-corpus SQL is
+    # the exact oracle
+    return {"phrase_postings": sql, "phrase_delta_postings": sql}
 
 
 def heavy_hitter_oracles() -> dict[str, str]:

@@ -192,3 +192,100 @@ class TestProximityDocs:
         got = ps.q_proximity_docs(
             d, queries=[(0, "alpha zzqq")]).to_pandas()
         assert len(got) == 0
+
+
+class TestPositionalLsm:
+    def _setup(self, tmp_path):
+        """Base corpus + a delta that reuses old terms AND introduces a
+        brand-new term (exercises the appended dictionary)."""
+        base_texts = ["alpha beta gamma", "beta gamma alpha beta"]
+        delta_texts = ["alpha beta newword", "newword alpha", "gamma beta"]
+        base = _write_docs(tmp_path / "b", base_texts)
+        # delta doc ids must be new: write with shifted ids
+        ddir = str(tmp_path / "d")
+        os.makedirs(ddir, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(500, 500 + len(delta_texts)), pa.int64()),
+            "text": pa.array(delta_texts, pa.string()),
+        }), os.path.join(ddir, "documents.parquet"))
+        # the full-corpus twin for ground truth
+        full = str(tmp_path / "f")
+        os.makedirs(full, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(
+                list(range(100, 100 + len(base_texts)))
+                + list(range(500, 500 + len(delta_texts))), pa.int64()),
+            "text": pa.array(base_texts + delta_texts, pa.string()),
+        }), os.path.join(full, "documents.parquet"))
+        return base, ddir, full
+
+    @staticmethod
+    def _serve(dirs, stats, phrases):
+        from candidategeneration_ray.config import EngineConfig
+
+        import ray as _ray
+
+        cfg = EngineConfig()
+        futs = []
+        for pid, phrase in phrases:
+            tids = ps.phrase_term_ids(stats, phrase)
+            if tids is None:
+                continue
+            futs.append(ps._phrase_task.remote(dirs, pid, tids,
+                                               cfg.num_buckets))
+        parts = [p.to_pandas() for p in _ray.get(futs) if p.num_rows]
+        import pandas as pd
+
+        if not parts:
+            return []
+        df = pd.concat(parts).sort_values(
+            ["phrase_id", "doc_id"]).reset_index(drop=True)
+        return [tuple(r) for r in df.itertuples(index=False)]
+
+    def test_delta_then_compaction_equals_full_build(self, ray_session, tmp_path):
+        base, ddir, full = self._setup(tmp_path)
+        phrases = [(0, "alpha beta"), (1, "newword alpha"),
+                   (2, "beta gamma"), (3, "alpha beta newword")]
+
+        fam = ps.build_positional_family(base)
+        root = os.path.dirname(fam["final_dir"])
+        upd = ps.update_positional_family(root, fam["stats"], ddir)
+
+        # ground truth: a one-shot family over the union corpus
+        want = ps.q_phrase_postings(full, phrases=phrases).to_pandas()
+        want = [tuple(r) for r in want.itertuples(index=False)]
+
+        pre = self._serve(ps.family_serving_dirs(root), upd["stats"], phrases)
+        assert pre == want                      # generational serving
+        assert len(ps.family_serving_dirs(root)) == 2
+
+        folded = ps.compact_positional_family(root)
+        assert folded == 1
+        dirs = ps.family_serving_dirs(root)
+        assert len(dirs) == 1 and "final-c1" in dirs[0]
+        assert self._serve(dirs, upd["stats"], phrases) == want
+
+    def test_crash_window_folded_gens_excluded(self, ray_session, tmp_path):
+        """If compaction wrote ACTIVE.json but the folded generation
+        dir still exists (crash before cleanup), it must not serve."""
+        base, ddir, full = self._setup(tmp_path)
+        fam = ps.build_positional_family(base)
+        root = os.path.dirname(fam["final_dir"])
+        upd = ps.update_positional_family(root, fam["stats"], ddir)
+        gen = upd["gen_dir"]
+        ps.compact_positional_family(root)
+        # resurrect the folded generation dir as a crash leftover
+        os.makedirs(os.path.join(gen, "x"), exist_ok=True)
+        with open(os.path.join(gen, ps._GEN_MANIFEST), "w") as f:
+            f.write("{}")
+        dirs = ps.family_serving_dirs(root)
+        assert all(os.path.basename(gen) not in d for d in dirs)
+
+    def test_new_term_id_continues_past_base_vocab(self, ray_session, tmp_path):
+        base, ddir, _ = self._setup(tmp_path)
+        fam = ps.build_positional_family(base)
+        root = os.path.dirname(fam["final_dir"])
+        upd = ps.update_positional_family(root, fam["stats"], ddir)
+        n_base = len(fam["stats"]["terms"])
+        tids = ps.phrase_term_ids(upd["stats"], "newword")
+        assert tids is not None and tids[0] > n_base
