@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_distinct_users": ev.q_windowed_distinct_users,  # exact windowed dedup
         "windowed_heavy_hitters": ev.q_windowed_heavy_hitters,  # keyed 2-pass MG, exact
         "funnel_counts": ev.q_funnel_counts,        # ordered-subsequence funnel
+        "cohort_retention": ev.q_cohort_retention,  # signup-cohort x week matrix
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
         "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
@@ -147,7 +148,8 @@ def oracle_sql() -> dict[str, str]:
         knn_oracles, mixture_oracles, predictive_oracles,
         graph_oracles, pretrain_oracles, quality_filter_oracles,
         relational_oracles, sketch_oracles, sliding_oracles,
-        cluster_label_oracles, events_topk_oracles, funnel_oracles,
+        cluster_label_oracles, cohort_oracles, events_topk_oracles,
+        funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
         kmeans_eval_oracles,
         kmeans_purity_oracles, positional_oracles, proximity_oracles,
@@ -167,4 +169,5 @@ def oracle_sql() -> dict[str, str]:
             **events_topk_oracles(), **kmeans_purity_oracles(),
             **positional_oracles(), **heavy_hitter_oracles(),
             **ivf_delta_oracles(), **proximity_oracles(),
-            **kmeans_ari_oracles(), **funnel_oracles()}
+            **kmeans_ari_oracles(), **funnel_oracles(),
+            **cohort_oracles()}

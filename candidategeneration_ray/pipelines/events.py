@@ -636,3 +636,61 @@ def q_funnel_counts(sf_dir: str,
         .groupby(["stage", "event_type"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def q_cohort_retention(sf_dir: str, cohort_sec: int = 7 * 86400,
+                       horizon: int = 5) -> ray.data.Dataset:
+    """Cohort-retention matrix: users are cohorted by the week of
+    their FIRST signup; cell (cohort, k) counts cohort users with at
+    least one purchase in cohort-week + k (0 <= k < horizon, week
+    arithmetic on epoch//cohort_sec so a purchase earlier in the
+    signup week still counts as week 0).
+
+    ONE user-hash shuffle: each bucket derives first-signup cohorts
+    and distinct (user, week-offset) purchase activity with sorted-
+    array kernels (lexsort + minimum.reduceat + packed unique), emits
+    O(cohorts x horizon) partial counts, and a tiny groupby sums
+    them."""
+    from ray.data.aggregate import Sum
+
+    w_us = np.int64(cohort_sec) * 1_000_000
+
+    def _bucket_partial(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((ts, uid))
+        u, t, e = uid[order], ts[order], et[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        uidx = np.cumsum(first) - 1
+        n_users = int(first.sum())
+        # first signup ts per user (rows sorted by ts within user, so
+        # the first signup row per user is the min)
+        sm = e == "signup"
+        t0wk = np.full(n_users, np.int64(-1))
+        if sm.any():
+            su = uidx[sm]
+            sfirst = np.r_[True, su[1:] != su[:-1]]
+            t0wk[su[sfirst]] = t[sm][sfirst] // w_us
+        pm = e == "purchase"
+        pu = uidx[pm]
+        off = t[pm] // w_us - t0wk[pu]
+        ok = (t0wk[pu] >= 0) & (off >= 0) & (off < horizon)
+        # distinct (user, offset); pack then unique
+        key = np.unique(pu[ok] * np.int64(horizon) + off[ok])
+        cu, co = key // horizon, key % horizon
+        ck, cnt = np.unique(
+            t0wk[cu] * np.int64(horizon) + co, return_counts=True)
+        return pa.table({
+            "cohort_start_us": pa.array((ck // horizon) * w_us, pa.int64()),
+            "week_offset": pa.array(ck % horizon, pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        _with_user_bucket(events_ds(sf_dir, ["ts", "user_id", "event_type"]))
+        .groupby("ubucket")
+        .map_groups(_bucket_partial, batch_format="pyarrow")
+        .groupby(["cohort_start_us", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

@@ -1806,3 +1806,28 @@ def funnel_oracles() -> dict[str, str]:
         "funnel_counts": "WITH " + ",\n".join(ctes) + "\n"
                          + "\nUNION ALL\n".join(selects),
     }
+
+
+def cohort_oracles() -> dict[str, str]:
+    w_us = 7 * 86400 * 1_000_000
+    horizon = 5
+    return {
+        "cohort_retention": f"""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) // {w_us} AS wk0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT DISTINCT e.user_id, s.wk0,
+         (epoch_us(e.ts) // {w_us}) - s.wk0 AS k
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND (epoch_us(e.ts) // {w_us}) - s.wk0 >= 0
+    AND (epoch_us(e.ts) // {w_us}) - s.wk0 < {horizon}
+)
+SELECT CAST(wk0 * {w_us} AS BIGINT) AS cohort_start_us,
+       CAST(k AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1, 2
+""",
+    }

@@ -336,3 +336,66 @@ class TestFunnelCounts:
         n = got["n_users"].tolist()
         assert all(a >= b for a, b in zip(n, n[1:]))
         assert n[0] > 0
+
+
+class TestCohortRetention:
+    def test_semantics_small(self, ray_session, tmp_path):
+        from candidategeneration_ray.pipelines.events import q_cohort_retention
+
+        W = 7 * 86400
+        rows = [
+            # user 1: signup week0, purchases weeks 0 and 2 (two in w2
+            # count once), one past the horizon
+            (0, 10, 1, "signup", 0.0),
+            (1, 20, 1, "purchase", 0.0),
+            (2, 2 * W + 5, 1, "purchase", 0.0),
+            (3, 2 * W + 6, 1, "purchase", 0.0),
+            (4, 9 * W, 1, "purchase", 0.0),           # beyond horizon 5
+            # user 2: signup week1 (second signup ignored), purchase week1
+            (5, W + 50, 2, "signup", 0.0),
+            (6, 2 * W, 2, "signup", 0.0),
+            (7, W + 60, 2, "purchase", 0.0),
+            # user 3: purchase BEFORE signup in the same week -> week 0
+            (8, 100, 3, "purchase", 0.0),
+            (9, 200, 3, "signup", 0.0),
+            # user 4: purchase but never signed up -> excluded
+            (10, 50, 4, "purchase", 0.0),
+        ]
+        d = _write_events(tmp_path, rows)
+        got = q_cohort_retention(d, cohort_sec=W, horizon=5).to_pandas() \
+            .sort_values(["cohort_start_us", "week_offset"]).reset_index(drop=True)
+        t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+        wk = lambda s: (int((t0 + s) * 1_000_000) // (W * 1_000_000)) \
+            * W * 1_000_000
+        want = {
+            (wk(10), 0): 2,   # users 1 and 3 (3's purchase same week)
+            (wk(10), 2): 1,   # user 1
+            (wk(W + 50), 0): 1,  # user 2
+        }
+        assert {
+            (int(r.cohort_start_us), int(r.week_offset)): int(r.n_users)
+            for r in got.itertuples()
+        } == want
+
+    def test_sf0001_matches_pandas(self, ray_session):
+        from candidategeneration_ray.pipelines.events import q_cohort_retention
+
+        SF = "/root/testdata/sf0.001"
+        ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                           columns=["ts", "user_id", "event_type"]).to_pandas()
+        W = 7 * 86400 * 1_000_000
+        ev["us"] = ev["ts"].astype("int64")
+        s = ev[ev.event_type == "signup"].groupby("user_id")["us"].min() // W
+        p = ev[ev.event_type == "purchase"].copy()
+        p["wk0"] = p["user_id"].map(s)
+        p = p.dropna(subset=["wk0"])
+        p["k"] = p["us"] // W - p["wk0"].astype("int64")
+        p = p[(p["k"] >= 0) & (p["k"] < 5)]
+        want = p.drop_duplicates(["user_id", "k"]) \
+            .groupby([p["wk0"].astype("int64") * W, "k"]).size()
+        got = q_cohort_retention(SF).to_pandas()
+        assert {
+            (int(r.cohort_start_us), int(r.week_offset)): int(r.n_users)
+            for r in got.itertuples()
+        } == {(int(c), int(k)): int(v) for (c, k), v in want.items()}
+        assert len(got) > 0
