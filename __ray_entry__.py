@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_order_stats_salted":
             lambda sf: rl.q_nation_order_stats(sf, hot_k=10),
         "top_customers": rl.q_top_customers,        # group-agg + dataset-side top-k
+        "shipping_priority": rl.q_shipping_priority,  # Q3 shape: 2-key multi-join
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
@@ -153,7 +154,7 @@ def oracle_sql() -> dict[str, str]:
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
         kmeans_eval_oracles,
         kmeans_purity_oracles, positional_oracles, proximity_oracles,
-        source_quantile_oracles,
+        q3_oracles, source_quantile_oracles,
         textlm_oracles,
         windowed_distinct_oracles,
     )
@@ -170,4 +171,4 @@ def oracle_sql() -> dict[str, str]:
             **positional_oracles(), **heavy_hitter_oracles(),
             **ivf_delta_oracles(), **proximity_oracles(),
             **kmeans_ari_oracles(), **funnel_oracles(),
-            **cohort_oracles()}
+            **cohort_oracles(), **q3_oracles()}

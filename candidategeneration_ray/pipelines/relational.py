@@ -295,3 +295,151 @@ def q_top_customers(sf_dir: str, k: int = TOP_CUSTOMERS) -> pa.Table:
         .limit(k)
     )
     return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-01-01"
+Q3_TOPK = 10
+
+
+def q_shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> pa.Table:
+    """TPC-H-Q3-shaped shipping-priority query: top-k undelivered
+    orders of one market segment by revenue —
+
+        customer(segment) ⋈ orders(date < cutoff)
+                          ⋈ lineitem(shipdate > cutoff)
+        group by order, revenue_milli = Σ cents(price)·(100 − disc_pct)
+
+    The MULTI-JOIN composition shape: both predicates and projections
+    push into the parquet reads; join 1 (custkey) is a bucketed
+    union-tag SEMI join that only forwards qualifying order headers;
+    lineitem compresses to one partial-revenue row per (batch,
+    orderkey) BEFORE join 2 (orderkey), so the second shuffle carries
+    aggregates, not lineitems; the final top-k is a dataset-side
+    sort + limit — the driver sees k rows."""
+    import pyarrow.compute as pc
+
+    nb = JOIN_BUCKETS
+    cutoff = np.datetime64(Q3_CUTOFF, "us")
+
+    def _cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "okey": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
+            "odate_us": pa.array(np.zeros(ck.size, np.int64), pa.int64()),
+            "oprio": pa.array([""] * ck.size, pa.string()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "okey": pa.array(
+                batch.column("o_orderkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "odate_us": pa.array(
+                batch.column("o_orderdate").cast(pa.int64()).to_numpy(),
+                pa.int64()),
+            "oprio": batch.column("o_orderpriority"),
+        })
+
+    def _semi(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        key = group.column("key").to_numpy().astype(np.int64)
+        build = np.sort(key[okey == -1])  # segment custkeys (unique PK)
+        probe = okey != -1
+        pk = key[probe]
+        if build.size:
+            idx = np.minimum(np.searchsorted(build, pk), build.size - 1)
+            hit = build[idx] == pk
+        else:
+            hit = np.zeros(pk.size, bool)
+        sel = np.flatnonzero(probe)[hit]
+        return group.select(["okey", "odate_us", "oprio"]).take(sel)
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pc.equal(pc.field("c_mktsegment"), Q3_SEGMENT),
+    ).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < pa.scalar(cutoff, pa.timestamp("us"))),
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    qorders = cust.union(orders).groupby("bkt") \
+        .map_groups(_semi, batch_format="pyarrow")
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        lok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        rev = _cents(batch.column("l_extendedprice").to_numpy()) \
+            * (100 - _pct(batch.column("l_discount").to_numpy()))
+        u, inv = np.unique(lok, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({
+            "bkt": pa.array(u % nb, pa.int64()),
+            "okey": pa.array(u, pa.int64()),
+            "odate_us": pa.array(np.zeros(u.size, np.int64), pa.int64()),
+            "oprio": pa.array([""] * u.size, pa.string()),
+            "rev": pa.array(s, pa.int64()),
+        })
+
+    def _o2(batch: pa.Table) -> pa.Table:
+        okey = batch.column("okey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(okey % nb, pa.int64()),
+            "okey": pa.array(okey, pa.int64()),
+            "odate_us": batch.column("odate_us"),
+            "oprio": batch.column("oprio"),
+            "rev": pa.array(np.full(okey.size, -1, np.int64), pa.int64()),
+        })
+
+    def _probe2(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        rev = group.column("rev").to_numpy().astype(np.int64)
+        build = rev == -1  # order headers (unique per okey)
+        bo = okey[build]
+        order = np.argsort(bo)
+        bo = bo[order]
+        hdr_idx = np.flatnonzero(build)[order]
+        pk = okey[~build]
+        pv = rev[~build]
+        if bo.size:
+            idx = np.minimum(np.searchsorted(bo, pk), bo.size - 1)
+            hit = bo[idx] == pk
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        s = np.zeros(bo.size, np.int64)
+        n = np.zeros(bo.size, np.int64)
+        np.add.at(s, idx[hit], pv[hit])
+        np.add.at(n, idx[hit], 1)
+        keep = n > 0  # inner join: headers with no lineitem drop
+        sel = hdr_idx[keep]
+        dates = group.column("odate_us").to_numpy().astype(np.int64)[sel]
+        prios = group.column("oprio").take(pa.array(sel))
+        return pa.table({
+            "l_orderkey": pa.array(bo[keep], pa.int64()),
+            "revenue_milli": pa.array(s[keep], pa.int64()),
+            "o_orderdate_us": pa.array(dates, pa.int64()),
+            "o_orderpriority": prios,
+        })
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > pa.scalar(cutoff, pa.timestamp("us"))),
+    ).map_batches(_li_partial, batch_format="pyarrow")
+
+    top = (
+        qorders.map_batches(_o2, batch_format="pyarrow").union(li)
+        .groupby("bkt").map_groups(_probe2, batch_format="pyarrow")
+        .sort(key=["revenue_milli", "o_orderdate_us", "l_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+    )
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)

@@ -1831,3 +1831,28 @@ SELECT CAST(wk0 * {w_us} AS BIGINT) AS cohort_start_us,
 FROM p GROUP BY 1, 2
 """,
     }
+
+
+def q3_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.relational import (
+        Q3_CUTOFF, Q3_SEGMENT, Q3_TOPK)
+
+    return {
+        "shipping_priority": f"""
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_milli,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_milli DESC, o_orderdate_us, l_orderkey
+LIMIT {Q3_TOPK}
+""",
+    }

@@ -135,3 +135,64 @@ class TestSaltedJoin:
         salted = q_nation_order_stats(SF, hot_k=10).to_pandas() \
             .sort_values(key).reset_index(drop=True)
         assert plain.equals(salted)
+
+
+class TestShippingPriority:
+    def test_sf0001_matches_pandas(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        SF = "/root/testdata/sf0.001"
+        c = pq.read_table(os.path.join(SF, "customer.parquet")).to_pandas()
+        o = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+        li = pq.read_table(os.path.join(SF, "lineitem.parquet")).to_pandas()
+        cutoff = pd.Timestamp("1998-01-01")
+        c = c[c.c_mktsegment == "BUILDING"]
+        o = o[o.o_orderdate < cutoff]
+        li = li[li.l_shipdate > cutoff].copy()
+        li["rev"] = (
+            np.floor(np.abs(li.l_extendedprice * 100) + 0.5).astype(np.int64)
+            * (100 - np.floor(np.abs(li.l_discount * 100) + 0.5).astype(np.int64)))
+        j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey") \
+              .merge(c, left_on="o_custkey", right_on="c_custkey")
+        g = j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])["rev"] \
+             .sum().reset_index()
+        g["o_orderdate_us"] = g["o_orderdate"].astype("int64")
+        g = g.sort_values(["rev", "o_orderdate_us", "l_orderkey"],
+                          ascending=[False, True, True]).head(10)
+        want = [tuple(r) for r in g[
+            ["l_orderkey", "rev", "o_orderdate_us", "o_orderpriority"]
+        ].itertuples(index=False)]
+
+        got = rl.q_shipping_priority(SF).to_pandas()
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+        assert len(got) == 10
+
+    def test_orders_without_lineitems_drop(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        d = str(tmp_path)
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_mktsegment": pa.array(["BUILDING", "AUTO"], pa.string()),
+        }), os.path.join(d, "customer.parquet"))
+        dates = np.array(["1997-01-01", "1997-06-01", "1999-01-01"],
+                         dtype="datetime64[us]")
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+        }), os.path.join(d, "orders.parquet"))
+        ship = np.array(["1998-06-01", "1998-07-01"], dtype="datetime64[us]")
+        pq.write_table(pa.table({
+            # order 10 qualifies; order 11 has NO post-cutoff lineitem;
+            # order 12 fails the orderdate predicate
+            "l_orderkey": pa.array([10, 12], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 100.0], pa.float64()),
+            "l_discount": pa.array([0.10, 0.10], pa.float64()),
+            "l_shipdate": pa.array(ship, pa.timestamp("us")),
+        }), os.path.join(d, "lineitem.parquet"))
+        got = rl.q_shipping_priority(d).to_pandas()
+        assert got["l_orderkey"].tolist() == [10]
+        assert got["revenue_milli"].tolist() == [10000 * 90]
