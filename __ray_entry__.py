@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSM twin: base+delta compacted family must equal the
         # full-corpus phrase oracle (phrase semantics are epoch-free)
         "phrase_delta_postings": ps.q_phrase_delta_postings,
+        "minspan_topk": ps.q_minspan_topk,              # passage ranking by span
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
@@ -126,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: rl.q_nation_order_stats(sf, hot_k=10),
         "top_customers": rl.q_top_customers,        # group-agg + dataset-side top-k
         "shipping_priority": rl.q_shipping_priority,  # Q3 shape: 2-key multi-join
+        "nation_rollup": rl.q_nation_rollup,        # ROLLUP finalizer over the join
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "asof_join": ev.q_asof_join,
@@ -153,8 +155,9 @@ def oracle_sql() -> dict[str, str]:
         funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
         kmeans_eval_oracles,
-        kmeans_purity_oracles, positional_oracles, proximity_oracles,
-        q3_oracles, source_quantile_oracles,
+        kmeans_purity_oracles, minspan_oracles, positional_oracles,
+        proximity_oracles, q3_oracles, rollup_oracles,
+        source_quantile_oracles,
         textlm_oracles,
         windowed_distinct_oracles,
     )
@@ -171,4 +174,5 @@ def oracle_sql() -> dict[str, str]:
             **positional_oracles(), **heavy_hitter_oracles(),
             **ivf_delta_oracles(), **proximity_oracles(),
             **kmeans_ari_oracles(), **funnel_oracles(),
-            **cohort_oracles(), **q3_oracles()}
+            **cohort_oracles(), **q3_oracles(), **minspan_oracles(),
+            **rollup_oracles()}

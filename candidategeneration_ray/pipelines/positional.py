@@ -664,3 +664,85 @@ def q_phrase_delta_postings(sf_dir: str) -> pa.Table:
     order = pa.compute.sort_indices(
         out, sort_keys=[("phrase_id", "ascending"), ("doc_id", "ascending")])
     return out.take(order)
+
+
+MINSPAN_TOPK = 5
+
+
+@ray.remote
+def _minspan_task(dirs: list[str], query_id: int, tids: list[int],
+                  num_buckets: int, k: int) -> pa.Table:
+    """Minimal-covering-window ranking (the classic passage-retrieval
+    primitive): per doc the smallest kept-token span containing ALL
+    query terms, top-k docs by (span asc, doc asc).
+
+    Algorithm: for each anchor position a (any term's position), the
+    minimal cover STARTING at a ends at max over terms of the first
+    position >= a in the same doc; the window minimum of an optimal
+    span is always an anchor, so min over anchors is exact. All steps
+    are whole-array searchsorteds over packed (doc<<POS_BITS|pos)."""
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "min_span": pa.array([], pa.int64()),
+    })
+    uniq = sorted(set(tids))
+    packed = _packed_positions(dirs, uniq, num_buckets)
+    if any(t not in packed for t in uniq):
+        return empty
+    anchors = np.sort(np.concatenate([packed[t] for t in uniq]))
+    doc_a = anchors >> POS_BITS
+    ok = np.ones(anchors.size, dtype=bool)
+    end = np.zeros(anchors.size, dtype=np.int64)
+    for t in uniq:
+        p = packed[t]
+        j = np.searchsorted(p, anchors)
+        valid = j < p.size
+        cand = p[np.minimum(j, p.size - 1)]
+        ok &= valid & ((cand >> POS_BITS) == doc_a)
+        end = np.maximum(end, cand)
+    mask = (1 << POS_BITS) - 1
+    d = doc_a[ok]
+    w = (end[ok] & mask) - (anchors[ok] & mask) + 1
+    if d.size == 0:
+        return empty
+    order = np.lexsort((w, d))
+    d, w = d[order], w[order]
+    first = np.r_[True, d[1:] != d[:-1]]
+    docs, spans = d[first], w[first]
+    sel = np.lexsort((docs, spans))[:k]
+    return pa.table({
+        "query_id": pa.array(np.full(sel.size, query_id, np.int64), pa.int64()),
+        "rank": pa.array(np.arange(1, sel.size + 1, dtype=np.int64), pa.int64()),
+        "doc_id": pa.array(docs[sel], pa.int64()),
+        "min_span": pa.array(spans[sel], pa.int64()),
+    })
+
+
+def q_minspan_topk(sf_dir: str, k: int = MINSPAN_TOPK,
+                   queries: list[tuple[int, str]] | None = None) -> pa.Table:
+    """Passage ranking from the positional family: top-k docs per
+    query by the minimal window covering all terms."""
+    cfg = EngineConfig()
+    fam = build_positional_family(sf_dir, cfg)
+    stats = fam["stats"]
+    dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
+    futs = []
+    for qid, text in (queries or PROX_QUERIES):
+        tids = phrase_term_ids(stats, text)
+        if tids is None:
+            continue
+        futs.append(_minspan_task.remote(dirs, qid, tids, cfg.num_buckets, k))
+    parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
+    if not parts:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "min_span": pa.array([], pa.int64()),
+        })
+    out = pa.concat_tables(parts)
+    order = pa.compute.sort_indices(
+        out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
+    return out.take(order)

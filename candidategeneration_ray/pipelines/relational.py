@@ -443,3 +443,30 @@ def q_shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> pa.Table:
         .limit(k)
     )
     return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+def q_nation_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP(n_name, o_orderstatus) over the join aggregate: the
+    finest level plus per-nation subtotals plus a grand total, with
+    'ALL' markers (not NULL — avoids null-ordering ambiguity in the
+    comparison). The rollup is a driver finalizer over the O(groups)
+    merged aggregate — the classic sketch-then-finalize shape; the
+    distributed work is exactly q_nation_order_stats."""
+    fine = q_nation_order_stats(sf_dir).to_pandas()
+    nat = fine.groupby("n_name", as_index=False)[
+        ["n_orders", "total_cents"]].sum()
+    nat["o_orderstatus"] = "ALL"
+    tot = fine[["n_orders", "total_cents"]].sum().to_frame().T
+    tot["n_name"] = "ALL"
+    tot["o_orderstatus"] = "ALL"
+    import pandas as pd
+
+    out = pd.concat([fine, nat, tot], ignore_index=True)[
+        ["n_name", "o_orderstatus", "n_orders", "total_cents"]]
+    out = out.sort_values(["n_name", "o_orderstatus"]).reset_index(drop=True)
+    return pa.table({
+        "n_name": pa.array(out["n_name"].tolist(), pa.string()),
+        "o_orderstatus": pa.array(out["o_orderstatus"].tolist(), pa.string()),
+        "n_orders": pa.array(out["n_orders"].astype("int64"), pa.int64()),
+        "total_cents": pa.array(out["total_cents"].astype("int64"), pa.int64()),
+    })

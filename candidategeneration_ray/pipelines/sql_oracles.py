@@ -1856,3 +1856,63 @@ ORDER BY revenue_milli DESC, o_orderdate_us, l_orderkey
 LIMIT {Q3_TOPK}
 """,
     }
+
+
+def minspan_oracles() -> dict[str, str]:
+    """Minimal covering window re-derived in SQL: for each anchor the
+    per-term NEXT kept position >= the anchor (correlated min), span =
+    greatest(next_i) - anchor + 1 when every term resolves in-doc."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.positional import (
+        MINSPAN_TOPK, PROX_QUERIES)
+
+    parts = []
+    for qid, text in PROX_QUERIES:
+        toks = sorted(set(tokenize_text(text)))
+        if not toks:
+            continue
+        tl = ", ".join(f"'{t}'" for t in toks)
+        nxt_cols = ",\n         ".join(
+            f"(SELECT min(k.kpos) FROM kept k WHERE k.doc_id = a.doc_id "
+            f"AND k.tok = '{t}' AND k.kpos >= a.kpos) AS n{i}"
+            for i, t in enumerate(toks))
+        notnull = " AND ".join(f"n{i} IS NOT NULL" for i in range(len(toks)))
+        greatest = ", ".join(f"n{i}" for i in range(len(toks)))
+        parts.append(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id,
+       CAST(row_number() OVER (ORDER BY ms, doc_id) AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ms AS BIGINT) AS min_span
+FROM (
+  SELECT doc_id, min(greatest({greatest}) - kpos + 1) AS ms
+  FROM (
+    SELECT a.doc_id, a.kpos,
+         {nxt_cols}
+    FROM (SELECT doc_id, kpos FROM kept WHERE tok IN ({tl})) a
+  )
+  WHERE {notnull}
+  GROUP BY doc_id
+)
+QUALIFY rank <= {MINSPAN_TOPK}""")
+    union = "\nUNION ALL\n".join(parts)
+    return {
+        "minspan_topk": f"""
+WITH {KEPT_CTE}
+{union}
+""",
+    }
+
+
+def rollup_oracles() -> dict[str, str]:
+    return {
+        "nation_rollup": """
+SELECT coalesce(n_name, 'ALL') AS n_name,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY ROLLUP (n_name, o_orderstatus)
+""",
+    }

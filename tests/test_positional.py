@@ -289,3 +289,53 @@ class TestPositionalLsm:
         n_base = len(fam["stats"]["terms"])
         tids = ps.phrase_term_ids(upd["stats"], "newword")
         assert tids is not None and tids[0] > n_base
+
+
+class TestMinspanTopk:
+    @staticmethod
+    def _brute(texts, terms, k=5):
+        terms = sorted(set(terms))
+        per_doc = []
+        for i, text in enumerate(texts):
+            toks = tokenize_text(text)
+            pos = {t: [j + 1 for j, x in enumerate(toks) if x == t]
+                   for t in terms}
+            if any(not p for p in pos.values()):
+                continue
+            best = None
+            anchors = sorted(p for t in terms for p in pos[t])
+            for a in anchors:
+                nxt = []
+                for t in terms:
+                    c = [p for p in pos[t] if p >= a]
+                    if not c:
+                        nxt = None
+                        break
+                    nxt.append(min(c))
+                if nxt is not None:
+                    s = max(nxt) - a + 1
+                    best = s if best is None else min(best, s)
+            if best is not None:
+                per_doc.append((best, 100 + i))
+        per_doc.sort()
+        return [(r + 1, d, s) for r, (s, d) in enumerate(per_doc[:k])]
+
+    def test_bruteforce(self, ray_session, tmp_path):
+        texts = [
+            "alpha xx beta",                 # span 3
+            "alpha beta",                    # span 2 -> rank 1
+            "beta xx xx alpha yy beta",      # best span: alpha..beta = 3
+            "alpha xx xx xx xx beta",        # span 6
+            "alpha only",
+            "beta only",
+        ]
+        d = _write_docs(tmp_path, texts)
+        got = ps.q_minspan_topk(d, queries=[(0, "alpha beta")]).to_pandas()
+        want = self._brute(texts, ["alpha", "beta"])
+        assert [tuple(r) for r in got[
+            ["rank", "doc_id", "min_span"]].itertuples(index=False)] == want
+
+    def test_adjacent_terms_span_equals_arity(self, ray_session, tmp_path):
+        d = _write_docs(tmp_path, ["aa bb cc dd"])
+        got = ps.q_minspan_topk(d, queries=[(0, "aa bb cc")]).to_pandas()
+        assert got["min_span"].tolist() == [3]
