@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
         "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
         "cluster_top_terms": cl.q_cluster_top_terms,  # cross-modal cluster labeling
+        "term_embeddings": cl.q_term_embeddings,    # cross-modal term centroids
         "pagerank": cl.q_pagerank,                  # integer PageRank over kNN graph
         "ivf_delta_counts": ivfd.q_ivf_delta_counts,  # IVF LSM: frozen-codebook delta
         # --- corpus-LM / retrieval / mixture operators ---
@@ -158,7 +159,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_purity_oracles, minspan_oracles, positional_oracles,
         proximity_oracles, q3_oracles, rollup_oracles,
         source_quantile_oracles,
-        textlm_oracles,
+        term_embedding_oracles, textlm_oracles,
         windowed_distinct_oracles,
     )
 
@@ -175,4 +176,4 @@ def oracle_sql() -> dict[str, str]:
             **ivf_delta_oracles(), **proximity_oracles(),
             **kmeans_ari_oracles(), **funnel_oracles(),
             **cohort_oracles(), **q3_oracles(), **minspan_oracles(),
-            **rollup_oracles()}
+            **rollup_oracles(), **term_embedding_oracles()}

@@ -765,3 +765,136 @@ def q_kmeans_ari(sf_dir: str) -> pa.Table:
         "ari_num2": pa.array([num2], pa.int64()),
         "ari_den2": pa.array([den2], pa.int64()),
     })
+
+
+def q_term_embeddings(sf_dir: str, top_m: int = 20) -> pa.Table:
+    """Cross-modal TERM embeddings: for the top_m highest-df terms,
+    the integer centroid of the embeddings of the docs CONTAINING the
+    term (vec_id joins doc_id 1:1) — the anchor-based word-vector
+    derivation, with the same exact-integer arithmetic as k-means
+    (trunc-quantize, int sums, floor-div on doubles).
+
+    Shape: neither side broadcasts the other — doc-term membership
+    rows and quantized embedding rows union-tag into id-hash buckets;
+    each bucket joins by searchsorted and emits per-(term, dim)
+    integer partial sums plus per-term doc counts; one O(top_m x dim)
+    groupby merges; the driver floor-divides the tiny summary."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+    from candidategeneration_ray.pipelines.docquery import (
+        corpus_stats, documents_ds)
+    from candidategeneration_ray.pipelines.textlm import _packed_doc_terms
+
+    nbk = _graph_buckets()
+    stats = corpus_stats(sf_dir)
+    terms = np.asarray(stats["terms"], dtype=object)
+    df = np.asarray(stats["df_by_id"], dtype=np.int64)[1:]
+    pick = np.lexsort((terms, -df))[:top_m]
+    sel = np.sort(terms[pick])  # sorted for searchsorted membership
+    sel_ref = ray.put(sel)
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        s = ray.get(sel_ref)
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        _, u, doc_g, term_g, _ = _packed_doc_terms(token_lists)
+        if u.size == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "tidx": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(s, u), max(s.size - 1, 0))
+        keep_u = (s[pos] == u) if s.size else np.zeros(u.size, bool)
+        m = keep_u[term_g]
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)[doc_g[m]]
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "tidx": pa.array(pos[term_g[m]].astype(np.int64), pa.int64()),
+            "dim": pa.array(np.full(ids.size, -1, np.int64), pa.int64()),
+            "x": pa.array(np.zeros(ids.size, np.int64), pa.int64()),
+        })
+
+    def _emb_rows(batch: pa.Table) -> pa.Table:
+        ids, xq = _quantize(batch)
+        n, dim = xq.shape
+        return pa.table({
+            "id": pa.array(np.repeat(ids, dim), pa.int64()),
+            "tidx": pa.array(np.full(n * dim, -1, np.int64), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n),
+                            pa.int64()),
+            "x": pa.array(xq.ravel(), pa.int64()),
+        })
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "bkt", pa.array(i % np.int64(nbk), pa.int64()))
+
+    def _join(group: pa.Table) -> pa.Table:
+        ids = group.column("id").to_numpy().astype(np.int64)
+        tidx = group.column("tidx").to_numpy().astype(np.int64)
+        dim = group.column("dim").to_numpy().astype(np.int64)
+        x = group.column("x").to_numpy().astype(np.int64)
+        is_emb = tidx == -1
+        # per-id embedding matrix (ids unique per (id, dim) on this side)
+        eo = np.lexsort((dim[is_emb], ids[is_emb]))
+        eids = ids[is_emb][eo]
+        ex = x[is_emb][eo]
+        ndim = int(dim[is_emb].max()) + 1 if is_emb.any() else 0
+        uids = eids[::ndim] if ndim else np.empty(0, np.int64)
+        # membership rows join their doc's vector
+        mt = tidx[~is_emb]
+        mid = ids[~is_emb]
+        if uids.size:
+            j = np.minimum(np.searchsorted(uids, mid), uids.size - 1)
+            hit = uids[j] == mid
+        else:
+            j = np.zeros(mid.size, np.int64)
+            hit = np.zeros(mid.size, bool)
+        mt, j = mt[hit], j[hit]
+        # partial sums per (term, dim) + doc counts per term (dim = -1)
+        nt = mt.size
+        if nt == 0:
+            return pa.table({"tidx": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        vec = ex.reshape(-1, ndim)[j]           # (nt, ndim)
+        tkey = (np.repeat(mt, ndim) * np.int64(ndim + 1)
+                + np.tile(np.arange(ndim, dtype=np.int64), nt))
+        uk, inv = np.unique(tkey, return_inverse=True)
+        s = np.zeros(uk.size, np.int64)
+        np.add.at(s, inv, vec.ravel())
+        cu, cc = np.unique(mt, return_counts=True)
+        return pa.table({
+            "tidx": pa.array(np.concatenate((uk // (ndim + 1), cu)), pa.int64()),
+            "dim": pa.array(np.concatenate((uk % (ndim + 1),
+                                            np.full(cu.size, -1, np.int64))),
+                            pa.int64()),
+            "s": pa.array(np.concatenate((s, cc.astype(np.int64))), pa.int64()),
+        })
+
+    docs = documents_ds(sf_dir).map_batches(_doc_rows, batch_format="pyarrow")
+    embs = _embeddings_ds(sf_dir).map_batches(_emb_rows, batch_format="pyarrow")
+    merged = (
+        docs.union(embs)
+        .map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bkt").map_groups(_join, batch_format="pyarrow")
+        .groupby(["tidx", "dim"]).aggregate(Sum("s", alias_name="s"))
+        .take_all()
+    )
+    counts: dict[int, int] = {}
+    sums: dict[tuple[int, int], int] = {}
+    for r in merged:
+        if r["dim"] == -1:
+            counts[int(r["tidx"])] = counts.get(int(r["tidx"]), 0) + int(r["s"])
+        else:
+            sums[(int(r["tidx"]), int(r["dim"]))] = int(r["s"])
+    rows = sorted(sums)
+    out_t = [str(sel[t]) for t, _ in rows]
+    out_d = [d for _, d in rows]
+    out_c = [int(np.floor(sums[(t, d)] / counts[t])) for t, d in rows]
+    return pa.table({
+        "term": pa.array(out_t, pa.string()),
+        "dim": pa.array(out_d, pa.int64()),
+        "centroid_q": pa.array(out_c, pa.int64()),
+    })

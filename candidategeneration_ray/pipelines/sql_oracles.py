@@ -1916,3 +1916,32 @@ JOIN nation ON n_nationkey = c_nationkey
 GROUP BY ROLLUP (n_name, o_orderstatus)
 """,
     }
+
+
+def term_embedding_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.clustering import KMEANS_SCALE
+
+    return {
+        # same float semantics as the kmeans oracle: int sums,
+        # floor(double division)
+        "term_embeddings": f"""
+WITH {KEPT_CTE},
+tops AS (
+  SELECT tok FROM (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM kept GROUP BY tok)
+  ORDER BY df DESC, tok LIMIT 20
+),
+dt AS (SELECT DISTINCT doc_id, tok FROM kept
+       WHERE tok IN (SELECT tok FROM tops)),
+qv AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+)
+SELECT dt.tok AS term, qv.d AS dim,
+       CAST(floor(CAST(sum(qv.x) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_q
+FROM dt JOIN qv ON qv.vec_id = dt.doc_id
+GROUP BY dt.tok, qv.d
+""",
+    }

@@ -229,3 +229,39 @@ def test_kmeans_ari_identities(ray_session):
     assert got["ari_den2"] == cn * (sa + sb) - 2 * sa * sb
     # ARI <= 1 always: num2 <= den2
     assert got["ari_num2"] <= got["ari_den2"]
+
+
+def test_term_embeddings_matches_bruteforce(ray_session):
+    """Distributed cross-modal centroid == pandas recomputation over
+    the raw tables (top-20 df terms, floor-div integer centroids)."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+
+    SF_ = "/root/testdata/sf0.001"
+    docs = pq.read_table(SF_ + "/documents.parquet",
+                         columns=["doc_id", "text"])
+    emb = pq.read_table(SF_ + "/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    xq = {int(v): np.trunc(np.array(e, np.float64) * cl.KMEANS_SCALE
+                           ).astype(np.int64)
+          for v, e in zip(emb.column("vec_id").to_pylist(),
+                          emb.column("embedding").to_pylist())}
+    members: dict[str, list[int]] = {}
+    df_cnt: dict[str, int] = {}
+    for did, text in zip(docs.column("doc_id").to_pylist(),
+                         docs.column("text").to_pylist()):
+        for t in set(tokenize_text(text)):
+            df_cnt[t] = df_cnt.get(t, 0) + 1
+            members.setdefault(t, []).append(did)
+    top = sorted(df_cnt, key=lambda t: (-df_cnt[t], t))[:20]
+    want = {}
+    for t in top:
+        vs = np.stack([xq[d] for d in members[t] if d in xq])
+        want[t] = np.floor(vs.sum(axis=0) / vs.shape[0]).astype(np.int64)
+
+    got = cl.q_term_embeddings(SF_).to_pandas()
+    assert set(got["term"]) == set(top)
+    for t, g in got.groupby("term"):
+        g = g.sort_values("dim")
+        assert g["centroid_q"].to_numpy().tolist() == want[t].tolist(), t
