@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-corpus phrase oracle (phrase semantics are epoch-free)
         "phrase_delta_postings": ps.q_phrase_delta_postings,
         "minspan_topk": ps.q_minspan_topk,              # passage ranking by span
+        "snippets": ps.q_snippets,                      # KWIC snippet extraction
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
@@ -158,7 +159,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_eval_oracles,
         kmeans_purity_oracles, minspan_oracles, positional_oracles,
         proximity_oracles, q3_oracles, rollup_oracles,
-        source_quantile_oracles,
+        snippet_oracles, source_quantile_oracles,
         term_embedding_oracles, textlm_oracles,
         windowed_distinct_oracles,
     )
@@ -176,4 +177,5 @@ def oracle_sql() -> dict[str, str]:
             **ivf_delta_oracles(), **proximity_oracles(),
             **kmeans_ari_oracles(), **funnel_oracles(),
             **cohort_oracles(), **q3_oracles(), **minspan_oracles(),
-            **rollup_oracles(), **term_embedding_oracles()}
+            **rollup_oracles(), **term_embedding_oracles(),
+            **snippet_oracles()}

@@ -746,3 +746,103 @@ def q_minspan_topk(sf_dir: str, k: int = MINSPAN_TOPK,
     order = pa.compute.sort_indices(
         out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
     return out.take(order)
+
+
+SNIPPET_TOPK = 3
+
+
+@ray.remote
+def _snippet_task(dirs: list[str], docs_path: str, query_id: int,
+                  tids: list[int], num_buckets: int, k: int) -> pa.Table:
+    """Query-biased snippet (KWIC) extraction: the top-k docs by
+    minimal covering span, each with the text of its BEST window
+    (smallest span, ties to the earliest anchor) re-tokenized from the
+    raw doc. Only the <= k matched docs' rows are read back
+    (parquet doc_id filter) — snippeting never scans the corpus."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "min_span": pa.array([], pa.int64()),
+        "snippet": pa.array([], pa.string()),
+    })
+    uniq = sorted(set(tids))
+    packed = _packed_positions(dirs, uniq, num_buckets)
+    if any(t not in packed for t in uniq):
+        return empty
+    anchors = np.sort(np.concatenate([packed[t] for t in uniq]))
+    doc_a = anchors >> POS_BITS
+    ok = np.ones(anchors.size, dtype=bool)
+    end = np.zeros(anchors.size, dtype=np.int64)
+    for t in uniq:
+        p = packed[t]
+        j = np.searchsorted(p, anchors)
+        valid = j < p.size
+        cand = p[np.minimum(j, p.size - 1)]
+        ok &= valid & ((cand >> POS_BITS) == doc_a)
+        end = np.maximum(end, cand)
+    mask = (1 << POS_BITS) - 1
+    d = doc_a[ok]
+    a = anchors[ok] & mask
+    w = (end[ok] & mask) - a + 1
+    if d.size == 0:
+        return empty
+    # per doc: (min span, then earliest anchor)
+    order = np.lexsort((a, w, d))
+    d, a, w = d[order], a[order], w[order]
+    first = np.r_[True, d[1:] != d[:-1]]
+    docs, starts, spans = d[first], a[first], w[first]
+    sel = np.lexsort((docs, spans))[:k]
+    docs, starts, spans = docs[sel], starts[sel], spans[sel]
+
+    txt = pq.read_table(docs_path, columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", docs.tolist())])
+    text_by_id = dict(zip(txt.column("doc_id").to_pylist(),
+                          txt.column("text").to_pylist()))
+    snippets = []
+    for did, s, ms in zip(docs, starts, spans):
+        toks = tokenize_text(text_by_id[int(did)])
+        snippets.append(" ".join(toks[int(s) - 1:int(s) - 1 + int(ms)]))
+    return pa.table({
+        "query_id": pa.array(np.full(docs.size, query_id, np.int64), pa.int64()),
+        "rank": pa.array(np.arange(1, docs.size + 1, dtype=np.int64), pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "min_span": pa.array(spans, pa.int64()),
+        "snippet": pa.array(snippets, pa.string()),
+    })
+
+
+def q_snippets(sf_dir: str, k: int = SNIPPET_TOPK,
+               queries: list[tuple[int, str]] | None = None) -> pa.Table:
+    """End-to-end retrieval UX: match (positional family) -> rank
+    (min-span) -> query-biased snippet extraction, one Ray task per
+    query, all reads pruned."""
+    cfg = EngineConfig()
+    fam = build_positional_family(sf_dir, cfg)
+    stats = fam["stats"]
+    dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    futs = []
+    for qid, text in (queries or PROX_QUERIES):
+        tids = phrase_term_ids(stats, text)
+        if tids is None:
+            continue
+        futs.append(_snippet_task.remote(
+            dirs, docs_path, qid, tids, cfg.num_buckets, k))
+    parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
+    if not parts:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "min_span": pa.array([], pa.int64()),
+            "snippet": pa.array([], pa.string()),
+        })
+    out = pa.concat_tables(parts)
+    order = pa.compute.sort_indices(
+        out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
+    return out.take(order)

@@ -1945,3 +1945,69 @@ FROM dt JOIN qv ON qv.vec_id = dt.doc_id
 GROUP BY dt.tok, qv.d
 """,
     }
+
+
+def snippet_oracles() -> dict[str, str]:
+    """KWIC snippets re-derived in SQL: best window = minimal span,
+    ties to the earliest anchor; snippet = kept tokens across the
+    window via string_agg ordered by position."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.positional import (
+        PROX_QUERIES, SNIPPET_TOPK)
+
+    parts = []
+    for qid, text in PROX_QUERIES:
+        toks = sorted(set(tokenize_text(text)))
+        if not toks:
+            continue
+        tl = ", ".join(f"'{t}'" for t in toks)
+        nxt_cols = ",\n           ".join(
+            f"(SELECT min(k.kpos) FROM kept k WHERE k.doc_id = a.doc_id "
+            f"AND k.tok = '{t}' AND k.kpos >= a.kpos) AS n{i}"
+            for i, t in enumerate(toks))
+        notnull = " AND ".join(f"n{i} IS NOT NULL" for i in range(len(toks)))
+        greatest = ", ".join(f"n{i}" for i in range(len(toks)))
+        parts.append(f"""
+SELECT query_id, rank, doc_id, min_span,
+       (SELECT string_agg(k.tok, ' ' ORDER BY k.kpos) FROM kept k
+        WHERE k.doc_id = t.doc_id
+          AND k.kpos BETWEEN t.a AND t.a + t.min_span - 1) AS snippet
+FROM (
+  SELECT CAST({qid} AS BIGINT) AS query_id,
+         CAST(row_number() OVER (ORDER BY ms, doc_id) AS BIGINT) AS rank,
+         CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(ms AS BIGINT) AS min_span, a
+  FROM (
+    SELECT s.doc_id, b.ms, min(s.kpos) AS a
+    FROM (
+      SELECT doc_id, kpos, greatest({greatest}) - kpos + 1 AS span
+      FROM (
+        SELECT a.doc_id, a.kpos,
+           {nxt_cols}
+        FROM (SELECT doc_id, kpos FROM kept WHERE tok IN ({tl})) a
+      )
+      WHERE {notnull}
+    ) s
+    JOIN (
+      SELECT doc_id, min(span) AS ms FROM (
+        SELECT doc_id, greatest({greatest}) - kpos + 1 AS span
+        FROM (
+          SELECT a.doc_id, a.kpos,
+             {nxt_cols}
+          FROM (SELECT doc_id, kpos FROM kept WHERE tok IN ({tl})) a
+        )
+        WHERE {notnull}
+      ) GROUP BY doc_id
+    ) b ON b.doc_id = s.doc_id AND s.span = b.ms
+    GROUP BY s.doc_id, b.ms
+  )
+  QUALIFY rank <= {SNIPPET_TOPK}
+) t
+""",)
+    union = "\nUNION ALL\n".join(parts)
+    return {
+        "snippets": f"""
+WITH {KEPT_CTE}
+{union}
+""",
+    }

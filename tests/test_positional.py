@@ -339,3 +339,29 @@ class TestMinspanTopk:
         d = _write_docs(tmp_path, ["aa bb cc dd"])
         got = ps.q_minspan_topk(d, queries=[(0, "aa bb cc")]).to_pandas()
         assert got["min_span"].tolist() == [3]
+
+
+class TestSnippets:
+    def test_snippet_is_best_window_text(self, ray_session, tmp_path):
+        texts = [
+            "alpha zz yy beta more words here",   # span 4
+            "junk alpha beta junk",               # span 2 -> rank 1
+            "beta qq alpha zz beta",              # two span-3 windows;
+            # earliest anchor wins -> "beta qq alpha"
+        ]
+        d = _write_docs(tmp_path, texts)
+        got = ps.q_snippets(d, queries=[(0, "alpha beta")]).to_pandas()
+        assert got["doc_id"].tolist() == [101, 102, 100]
+        assert got["snippet"].tolist() == [
+            "alpha beta",
+            "beta qq alpha",
+            "alpha zz yy beta",
+        ]
+        assert got["min_span"].tolist() == [2, 3, 4]
+        assert got["rank"].tolist() == [1, 2, 3]
+
+    def test_earliest_anchor_tiebreak(self, ray_session, tmp_path):
+        # two minimal windows in one doc -> snippet from the EARLIEST
+        d = _write_docs(tmp_path, ["alpha qq beta zz alpha yy beta"])
+        got = ps.q_snippets(d, queries=[(0, "alpha beta")]).to_pandas()
+        assert got["snippet"].tolist() == ["alpha qq beta"]
