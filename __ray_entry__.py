@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": sk.q_doclen_quantiles,
         "frequent_terms": sk.q_frequent_terms,      # 2-pass Misra-Gries, exact
         "hll_registers": sk.q_hll_registers,            # sketch state, exact
+        "bloom_bits": sk.q_bloom_bits,              # bloom sketch state, exact
+        "bloom_membership": sk.q_bloom_membership,  # probes incl. false positives
         "source_quantile_filter": sk.q_source_quantile_filter,  # dynamic per-source cutoff
         "hll_distinct_terms": sk.q_hll_distinct_terms,  # float estimator (rows-only)
         # --- clustering (exact-integer Lloyd, value-verified) ---
@@ -149,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from candidategeneration_ray.pipelines.sql_oracles import (
+        bloom_oracles,
         core_oracles, extras_oracles, hll_oracles, kmeans_oracles,
         knn_oracles, mixture_oracles, predictive_oracles,
         graph_oracles, pretrain_oracles, quality_filter_oracles,
@@ -178,4 +181,4 @@ def oracle_sql() -> dict[str, str]:
             **kmeans_ari_oracles(), **funnel_oracles(),
             **cohort_oracles(), **q3_oracles(), **minspan_oracles(),
             **rollup_oracles(), **term_embedding_oracles(),
-            **snippet_oracles()}
+            **snippet_oracles(), **bloom_oracles()}

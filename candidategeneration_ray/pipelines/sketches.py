@@ -385,3 +385,78 @@ def q_source_quantile_filter(sf_dir: str, pct: int = 25) -> ray.data.Dataset:
         })
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ Bloom filter
+
+BLOOM_M = 8192               # bits
+BLOOM_K = 3                  # salted hash functions
+BLOOM_PROBES = ["query", "join", "vector", "batch",
+                "zzqq", "absentwordx", "qq"]
+
+
+def _bloom_bits_of(tokens: np.ndarray) -> np.ndarray:
+    """Distinct bloom bit indices of a distinct-token array: k salted
+    md5-h64 hashes mod m (the engine-wide hash, so the oracle can
+    recompute bit-for-bit)."""
+    if tokens.size == 0:
+        return np.empty(0, np.int64)
+    bits = [
+        (H.h64_many([f"b{i}:{t}" for t in tokens])
+         % np.uint64(BLOOM_M)).astype(np.int64)  # mod in uint64 — an
+        # int64 wrap first would change the residue
+        for i in range(BLOOM_K)
+    ]
+    return np.unique(np.concatenate(bits))
+
+
+def _bloom_merged(sf_dir: str) -> np.ndarray:
+    """Distributed bloom construction: per-batch distinct tokens ->
+    bit-index partials -> groupby(bit) dedup. The merge shuffles at
+    most m rows regardless of corpus size (OR of bitsets == distinct
+    union of set bits)."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        toks = np.unique(np.asarray(
+            [t for ts in token_lists for t in ts], dtype=object))
+        bits = _bloom_bits_of(toks)
+        return pa.table({
+            "bit": pa.array(bits, pa.int64()),
+            "one": pa.array(np.ones(bits.size, np.int64), pa.int64()),
+        })
+
+    rows = (
+        _texts_ds(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(Max("one", alias_name="one"))
+        .take_all()
+    )
+    return np.sort(np.array([r["bit"] for r in rows], dtype=np.int64))
+
+
+def q_bloom_bits(sf_dir: str) -> pa.Table:
+    """The Bloom-filter STATE: every set bit index over the corpus's
+    distinct kept tokens (m=8192, k=3 salted h64 hashes) — exact
+    deterministic integers, so the driver value-verifies the whole
+    distributed sketch construction."""
+    bits = _bloom_merged(sf_dir)
+    return pa.table({"bit": pa.array(bits, pa.int64())})
+
+
+def q_bloom_membership(sf_dir: str) -> pa.Table:
+    """Membership probes through the merged filter: in_filter = all k
+    salted bits set. False positives are a deterministic function of
+    the corpus + hash, so the SQL oracle reproduces them exactly
+    (the probe list mixes present and absent terms)."""
+    bits = _bloom_merged(sf_dir)
+    out = []
+    for term in BLOOM_PROBES:
+        b = _bloom_bits_of(np.array([term], dtype=object))
+        pos = np.minimum(np.searchsorted(bits, b), max(bits.size - 1, 0))
+        ok = bool(bits.size) and bool((bits[pos] == b).all())
+        out.append((term, int(ok)))
+    return pa.table({
+        "term": pa.array([t for t, _ in out], pa.string()),
+        "in_filter": pa.array([f for _, f in out], pa.int64()),
+    })

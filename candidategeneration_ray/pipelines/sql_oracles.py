@@ -2011,3 +2011,35 @@ WITH {KEPT_CTE}
 {union}
 """,
     }
+
+
+def bloom_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.sketches import (
+        BLOOM_K, BLOOM_M, BLOOM_PROBES)
+
+    def _bit(expr: str, i: int) -> str:
+        h = _H64.format(expr=f"'b{i}:' || {expr}")
+        return f"CAST({h} % {BLOOM_M} AS BIGINT)"
+
+    bit_union = "\nUNION\n".join(
+        f"SELECT {_bit('tok', i)} AS bit FROM toks" for i in range(BLOOM_K))
+    probes = ", ".join(f"('{t}')" for t in BLOOM_PROBES)
+    member_pred = " AND ".join(
+        f"{_bit('p.term', i)} IN (SELECT bit FROM bits)"
+        for i in range(BLOOM_K))
+    return {
+        "bloom_bits": f"""
+WITH {KEPT_CTE},
+toks AS (SELECT DISTINCT tok FROM kept)
+SELECT DISTINCT bit FROM ({bit_union})
+""",
+        "bloom_membership": f"""
+WITH {KEPT_CTE},
+toks AS (SELECT DISTINCT tok FROM kept),
+bits AS (SELECT DISTINCT bit FROM ({bit_union})),
+p(term) AS (VALUES {probes})
+SELECT p.term,
+       CAST(CASE WHEN {member_pred} THEN 1 ELSE 0 END AS BIGINT) AS in_filter
+FROM p
+""",
+    }

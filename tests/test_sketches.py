@@ -140,3 +140,30 @@ class TestHistogram:
             target = -(-int(row["pct"]) * len(lens) // 100)
             v = lens[target - 1]
             assert row["bin"] == v // sk.HIST_BIN_WIDTH
+
+
+class TestBloom:
+    def test_state_matches_direct_construction(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.functions.tokenize import tokenize_text
+        from candidategeneration_ray.pipelines import sketches as sk
+
+        SF_ = "/root/testdata/sf0.001"
+        txt = pq.read_table(SF_ + "/documents.parquet", columns=["text"])
+        toks = np.unique(np.asarray(
+            [t for s in txt.column("text").to_pylist()
+             for t in tokenize_text(s)], dtype=object))
+        want = sk._bloom_bits_of(toks).tolist()
+        got = sk.q_bloom_bits(SF_).to_pandas()["bit"].tolist()
+        assert got == want
+        assert 0 < len(got) <= sk.BLOOM_M
+
+    def test_membership_no_false_negatives(self, ray_session):
+        from candidategeneration_ray.pipelines import sketches as sk
+
+        got = sk.q_bloom_membership("/root/testdata/sf0.001").to_pandas()
+        by_term = dict(zip(got["term"], got["in_filter"]))
+        # present terms must be found (bloom has no false negatives)
+        for t in ("query", "join", "vector", "batch"):
+            assert by_term[t] == 1, t
