@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_bits": sk.q_bloom_bits,              # bloom sketch state, exact
         "bloom_membership": sk.q_bloom_membership,  # probes incl. false positives
         "source_quantile_filter": sk.q_source_quantile_filter,  # dynamic per-source cutoff
+        "source_pct_rank": sk.q_source_pct_rank,    # within-group percentile feature
         "hll_distinct_terms": sk.q_hll_distinct_terms,  # float estimator (rows-only)
         # --- clustering (exact-integer Lloyd, value-verified) ---
         "kmeans_centroids": cl.q_kmeans_centroids,
@@ -154,7 +155,8 @@ def oracle_sql() -> dict[str, str]:
         bloom_oracles,
         core_oracles, extras_oracles, hll_oracles, kmeans_oracles,
         knn_oracles, mixture_oracles, predictive_oracles,
-        graph_oracles, pretrain_oracles, quality_filter_oracles,
+        graph_oracles, pct_rank_oracles, pretrain_oracles,
+        quality_filter_oracles,
         relational_oracles, sketch_oracles, sliding_oracles,
         cluster_label_oracles, cohort_oracles, events_topk_oracles,
         funnel_oracles,
@@ -181,4 +183,5 @@ def oracle_sql() -> dict[str, str]:
             **kmeans_ari_oracles(), **funnel_oracles(),
             **cohort_oracles(), **q3_oracles(), **minspan_oracles(),
             **rollup_oracles(), **term_embedding_oracles(),
-            **snippet_oracles(), **bloom_oracles()}
+            **snippet_oracles(), **bloom_oracles(),
+            **pct_rank_oracles()}

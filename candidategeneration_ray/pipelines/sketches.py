@@ -460,3 +460,71 @@ def q_bloom_membership(sf_dir: str) -> pa.Table:
         "term": pa.array([t for t, _ in out], pa.string()),
         "in_filter": pa.array([f for _, f in out], pa.int64()),
     })
+
+
+# -------------------------------------------- per-source percentile rank
+
+def q_source_pct_rank(sf_dir: str) -> ray.data.Dataset:
+    """Within-group feature normalization: each doc's length percentile
+    rank inside its OWN source, in millionths — rank = number of
+    strictly shorter docs in the source (ties share the minimum, SQL
+    rank() semantics), pct = rank * 1e6 // n_source.
+
+    Two passes: (1) per-batch (source, n_chars) count partials -> one
+    bounded groupby (groups = sources x distinct lengths; for
+    real-valued features you'd bin first — q_doclen_histogram is that
+    path), (2) the merged distribution broadcasts once and the rank
+    map is a streaming searchsorted per batch — no second shuffle."""
+    def _counts(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        n = batch.column("n_chars").to_numpy().astype(np.int64)
+        key = np.asarray([f"{s}\x00{v}" for s, v in zip(src, n)], object)
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": pa.array([k.split("\x00")[0] for k in u], pa.string()),
+            "n_chars": pa.array([int(k.split("\x00")[1]) for k in u],
+                                pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    merged = (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["source", "n_chars"])
+        .map_batches(_counts, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    dist: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for r in merged:
+        by_src.setdefault(r["source"], []).append(
+            (int(r["n_chars"]), int(r["cnt"])))
+    for s, rows in by_src.items():
+        rows.sort()
+        vals = np.array([v for v, _ in rows], dtype=np.int64)
+        cum = np.concatenate(([0], np.cumsum([c for _, c in rows])))
+        dist[s] = (vals, cum[:-1], int(cum[-1]))  # cum[i] = # strictly <
+    dist_ref = ray.put(dist)
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        d = ray.get(dist_ref)
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        n = batch.column("n_chars").to_numpy().astype(np.int64)
+        pct = np.empty(n.size, np.int64)
+        for s in np.unique(src):
+            vals, below, total = d[s]
+            m = src == s
+            pos = np.searchsorted(vals, n[m])  # exact match guaranteed
+            pct[m] = below[pos] * 1_000_000 // total
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_chars": pa.array(n, pa.int64()),
+            "pct_millionths": pa.array(pct, pa.int64()),
+        })
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    ).map_batches(_rank, batch_format="pyarrow")

@@ -2043,3 +2043,18 @@ SELECT p.term,
 FROM p
 """,
     }
+
+
+def pct_rank_oracles() -> dict[str, str]:
+    return {
+        # rank() = 1 + #strictly-smaller (ties share the min)
+        "source_pct_rank": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((rank() OVER (PARTITION BY source ORDER BY n_chars) - 1)
+            * 1000000
+            // count(*) OVER (PARTITION BY source) AS BIGINT)
+         AS pct_millionths
+FROM documents
+""",
+    }

@@ -167,3 +167,25 @@ class TestBloom:
         # present terms must be found (bloom has no false negatives)
         for t in ("query", "join", "vector", "batch"):
             assert by_term[t] == 1, t
+
+
+def test_source_pct_rank_semantics(ray_session):
+    """pct = (#strictly shorter in source) * 1e6 // n_source; doc set
+    complete; min per source is 0 and max < 1e6."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.sketches import q_source_pct_rank
+
+    SF_ = "/root/testdata/sf0.001"
+    got = q_source_pct_rank(SF_).to_pandas()
+    raw = pq.read_table(SF_ + "/documents.parquet",
+                        columns=["doc_id", "source", "n_chars"]).to_pandas()
+    assert len(got) == len(raw)
+    for s, g in raw.groupby("source"):
+        sub = got[got["source"] == s].set_index("doc_id")
+        n = len(g)
+        for r in g.itertuples():
+            below = int((g["n_chars"] < r.n_chars).sum())
+            assert sub.loc[r.doc_id, "pct_millionths"] == below * 1_000_000 // n
+    assert got.groupby("source")["pct_millionths"].min().eq(0).all()
+    assert (got["pct_millionths"] < 1_000_000).all()
