@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": sk.q_doclen_quantiles,
         "frequent_terms": sk.q_frequent_terms,      # 2-pass Misra-Gries, exact
         "hll_registers": sk.q_hll_registers,            # sketch state, exact
+        "hll_registers_by_source": sk.q_hll_registers_by_source,  # keyed sketch
         "bloom_bits": sk.q_bloom_bits,              # bloom sketch state, exact
         "bloom_membership": sk.q_bloom_membership,  # probes incl. false positives
         "source_quantile_filter": sk.q_source_quantile_filter,  # dynamic per-source cutoff
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
         kmeans_eval_oracles,
+        keyed_hll_oracles,
         kmeans_purity_oracles, minspan_oracles, positional_oracles,
         proximity_oracles, q3_oracles, rollup_oracles,
         snippet_oracles, source_quantile_oracles,
@@ -184,4 +186,4 @@ def oracle_sql() -> dict[str, str]:
             **cohort_oracles(), **q3_oracles(), **minspan_oracles(),
             **rollup_oracles(), **term_embedding_oracles(),
             **snippet_oracles(), **bloom_oracles(),
-            **pct_rank_oracles()}
+            **pct_rank_oracles(), **keyed_hll_oracles()}

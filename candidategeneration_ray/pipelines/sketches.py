@@ -528,3 +528,46 @@ def q_source_pct_rank(sf_dir: str) -> ray.data.Dataset:
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "n_chars"],
     ).map_batches(_rank, batch_format="pyarrow")
+
+
+def q_hll_registers_by_source(sf_dir: str) -> ray.data.Dataset:
+    """KEYED sketch: per-source HLL register state (source, register,
+    max rho) over each source's distinct kept tokens — the grouped
+    generalization of q_hll_registers; the merge is one groupby over
+    at most sources x m rows regardless of corpus size. Exact
+    deterministic integers, so the whole keyed-sketch construction is
+    value-verified."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        pairs = sorted({(s, t) for s, ts in zip(src, token_lists)
+                        for t in ts})
+        if not pairs:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "register": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        ps = np.asarray([p[0] for p in pairs], dtype=object)
+        h = H.h64_many([p[1] for p in pairs])
+        reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        rest = (h << np.uint64(HLL_P)) >> np.uint64(HLL_P)
+        rho = (64 - HLL_P) - _bit_length_u64(rest) + 1
+        # per (source, register) max via one packed sort
+        key = np.asarray([f"{s}\x00{r}" for s, r in zip(ps, reg)], object)
+        order = np.lexsort((-rho, key))
+        k, rh = key[order], rho[order]
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        ks = k[first]
+        return pa.table({
+            "source": pa.array([x.split("\x00")[0] for x in ks], pa.string()),
+            "register": pa.array([int(x.split("\x00")[1]) for x in ks],
+                                 pa.int64()),
+            "rho": pa.array(rh[first], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["source", "text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )

@@ -2058,3 +2058,32 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
 FROM documents
 """,
     }
+
+
+def keyed_hll_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.sketches import HLL_P
+
+    two_rest = 1 << (64 - HLL_P)
+    h64_tok = _H64.format(expr="tok")
+    return {
+        "hll_registers_by_source": f"""
+WITH kept AS MATERIALIZED (
+  SELECT d.source, t.tok FROM documents d, LATERAL (
+    SELECT lower(unnest(regexp_extract_all(d.text, '[A-Za-z0-9.]+'))) AS tok
+  ) t
+  WHERE length(t.tok) > 1
+    AND (regexp_full_match(t.tok, '[a-z]+') OR regexp_full_match(t.tok, '[0-9]+'))
+    AND t.tok NOT IN ({_STOP_SQL})
+),
+toks AS (SELECT DISTINCT source, tok FROM kept),
+h AS (SELECT source, {h64_tok} AS hv FROM toks),
+rr AS (
+  SELECT source,
+         CAST(hv // CAST({two_rest} AS UBIGINT) AS BIGINT) AS register,
+         CAST({64 - HLL_P + 1} - length(ltrim(bin(hv % CAST({two_rest} AS UBIGINT)), '0')) AS BIGINT) AS rho
+  FROM h
+)
+SELECT source, register, CAST(max(rho) AS BIGINT) AS rho
+FROM rr GROUP BY source, register
+""",
+    }

@@ -189,3 +189,17 @@ def test_source_pct_rank_semantics(ray_session):
             assert sub.loc[r.doc_id, "pct_millionths"] == below * 1_000_000 // n
     assert got.groupby("source")["pct_millionths"].min().eq(0).all()
     assert (got["pct_millionths"] < 1_000_000).all()
+
+
+def test_keyed_hll_reduces_to_global(ray_session):
+    """Max over sources of each register's rho == the global register
+    state (HLL merge is a max-union), and every per-source register
+    also appears globally."""
+    from candidategeneration_ray.pipelines.sketches import (
+        q_hll_registers, q_hll_registers_by_source)
+
+    SF_ = "/root/testdata/sf0.001"
+    keyed = q_hll_registers_by_source(SF_).to_pandas()
+    glob = q_hll_registers(SF_).to_pandas().set_index("register")["rho"]
+    union = keyed.groupby("register")["rho"].max()
+    assert union.to_dict() == glob.to_dict()
