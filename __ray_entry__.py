@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers_by_source": sk.q_hll_registers_by_source,  # keyed sketch
         "bloom_bits": sk.q_bloom_bits,              # bloom sketch state, exact
         "bloom_membership": sk.q_bloom_membership,  # probes incl. false positives
+        "cmsketch_counters": sk.q_cmsketch_counters,  # count-min state, exact
+        "cmsketch_estimates": sk.q_cmsketch_estimates,  # point queries + truth
         "source_quantile_filter": sk.q_source_quantile_filter,  # dynamic per-source cutoff
         "source_pct_rank": sk.q_source_pct_rank,    # within-group percentile feature
         "hll_distinct_terms": sk.q_hll_distinct_terms,  # float estimator (rows-only)
@@ -153,7 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from candidategeneration_ray.pipelines.sql_oracles import (
-        bloom_oracles,
+        bloom_oracles, cm_oracles,
         core_oracles, extras_oracles, hll_oracles, kmeans_oracles,
         knn_oracles, mixture_oracles, predictive_oracles,
         graph_oracles, pct_rank_oracles, pretrain_oracles,
@@ -186,4 +188,5 @@ def oracle_sql() -> dict[str, str]:
             **cohort_oracles(), **q3_oracles(), **minspan_oracles(),
             **rollup_oracles(), **term_embedding_oracles(),
             **snippet_oracles(), **bloom_oracles(),
-            **pct_rank_oracles(), **keyed_hll_oracles()}
+            **pct_rank_oracles(), **keyed_hll_oracles(),
+            **cm_oracles()}

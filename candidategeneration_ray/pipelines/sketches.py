@@ -571,3 +571,99 @@ def q_hll_registers_by_source(sf_dir: str) -> ray.data.Dataset:
         .groupby(["source", "register"])
         .aggregate(Max("rho", alias_name="rho"))
     )
+
+
+# ---------------------------------------------------------- Count-Min
+
+CM_WIDTH = 2048
+CM_DEPTH = 3
+CM_PROBES = ["query", "join", "vector", "batch", "zzqq", "absentwordx"]
+
+
+def _cm_rows(terms: np.ndarray, counts: np.ndarray) -> pa.Table:
+    """(depth, cell, partial count) rows for a batch's term counts —
+    at most depth x width rows after the in-batch combine."""
+    ds, ws, cs = [], [], []
+    for d in range(CM_DEPTH):
+        w = (H.h64_many([f"c{d}:{t}" for t in terms])
+             % np.uint64(CM_WIDTH)).astype(np.int64)
+        u, inv = np.unique(w, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, counts)
+        ds.append(np.full(u.size, d, np.int64))
+        ws.append(u)
+        cs.append(s)
+    return pa.table({
+        "depth": pa.array(np.concatenate(ds), pa.int64()),
+        "cell": pa.array(np.concatenate(ws), pa.int64()),
+        "cnt": pa.array(np.concatenate(cs), pa.int64()),
+    })
+
+
+def _cm_merged(sf_dir: str) -> ray.data.Dataset:
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        flat = np.asarray([t for ts in token_lists for t in ts], dtype=object)
+        if flat.size == 0:
+            return pa.table({"depth": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        terms, counts = np.unique(flat, return_counts=True)
+        return _cm_rows(terms, counts.astype(np.int64))
+
+    return (
+        _texts_ds(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["depth", "cell"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def q_cmsketch_counters(sf_dir: str) -> ray.data.Dataset:
+    """Count-Min sketch STATE over kept-token occurrences: counter
+    (depth, cell) = Σ counts of tokens hashing there (width=2048,
+    depth=3, salted md5-h64). Counter addition is commutative, so the
+    merge is one groupby over at most depth x width rows — exact
+    deterministic integers, value-verified like the HLL/Bloom states."""
+    return _cm_merged(sf_dir)
+
+
+def q_cmsketch_estimates(sf_dir: str) -> pa.Table:
+    """Point queries through the merged sketch: est = min over rows of
+    the probed counters (the CM upper bound; >= true count, equality
+    unless collisions) next to the EXACT count — both deterministic,
+    so overestimates are reproduced bit-for-bit by the oracle."""
+    merged = {}
+    for r in _cm_merged(sf_dir).take_all():
+        merged[(int(r["depth"]), int(r["cell"]))] = int(r["cnt"])
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        flat = np.asarray([t for ts in token_lists for t in ts], dtype=object)
+        probes = np.asarray(CM_PROBES, dtype=object)
+        if flat.size:
+            flat = flat[np.isin(flat, probes)]
+        terms, counts = np.unique(flat, return_counts=True)
+        return pa.table({
+            "term": pa.array(terms.tolist(), pa.string()),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    exact = {
+        r["term"]: int(r["cnt"])
+        for r in _texts_ds(sf_dir)
+        .map_batches(_exact, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("cnt", alias_name="cnt")).take_all()
+    }
+    ests, trues = [], []
+    for t in CM_PROBES:
+        cells = (H.h64_many([f"c{d}:{t}" for d in range(CM_DEPTH)])
+                 % np.uint64(CM_WIDTH)).astype(np.int64)
+        ests.append(min(merged.get((d, int(c)), 0)
+                        for d, c in enumerate(cells)))
+        trues.append(exact.get(t, 0))
+    return pa.table({
+        "term": pa.array(CM_PROBES, pa.string()),
+        "cm_estimate": pa.array(ests, pa.int64()),
+        "true_count": pa.array(trues, pa.int64()),
+    })

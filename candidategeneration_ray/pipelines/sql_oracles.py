@@ -2087,3 +2087,44 @@ SELECT source, register, CAST(max(rho) AS BIGINT) AS rho
 FROM rr GROUP BY source, register
 """,
     }
+
+
+def cm_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.sketches import (
+        CM_DEPTH, CM_PROBES, CM_WIDTH)
+
+    def _cell(expr: str, d: int) -> str:
+        h = _H64.format(expr=f"'c{d}:' || {expr}")
+        return f"CAST({h} % {CM_WIDTH} AS BIGINT)"
+
+    counter_union = "\nUNION ALL\n".join(
+        f"SELECT CAST({d} AS BIGINT) AS depth, {_cell('tok', d)} AS cell, "
+        f"cnt FROM tf"
+        for d in range(CM_DEPTH))
+    probes = ", ".join(f"('{t}')" for t in CM_PROBES)
+    est = "least(" + ", ".join(
+        f"coalesce((SELECT cnt FROM counters c WHERE c.depth = {d} "
+        f"AND c.cell = {_cell('p.term', d)}), 0)"
+        for d in range(CM_DEPTH)) + ")"
+    return {
+        "cmsketch_counters": f"""
+WITH {KEPT_CTE},
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY tok)
+SELECT depth, cell, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM ({counter_union}) GROUP BY depth, cell
+""",
+        "cmsketch_estimates": f"""
+WITH {KEPT_CTE},
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY tok),
+counters AS (
+  SELECT depth, cell, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM ({counter_union}) GROUP BY depth, cell
+),
+p(term) AS (VALUES {probes})
+SELECT p.term,
+       CAST({est} AS BIGINT) AS cm_estimate,
+       CAST(coalesce((SELECT cnt FROM tf WHERE tf.tok = p.term), 0) AS BIGINT)
+         AS true_count
+FROM p
+""",
+    }

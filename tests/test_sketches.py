@@ -203,3 +203,33 @@ def test_keyed_hll_reduces_to_global(ray_session):
     glob = q_hll_registers(SF_).to_pandas().set_index("register")["rho"]
     union = keyed.groupby("register")["rho"].max()
     assert union.to_dict() == glob.to_dict()
+
+
+class TestCountMin:
+    def test_upper_bound_and_exactness(self, ray_session):
+        from candidategeneration_ray.pipelines.sketches import (
+            q_cmsketch_estimates)
+
+        got = q_cmsketch_estimates("/root/testdata/sf0.001").to_pandas()
+        # CM never underestimates
+        assert (got["cm_estimate"] >= got["true_count"]).all()
+        # absent probes still get 0 truth
+        by_term = got.set_index("term")
+        assert by_term.loc["zzqq", "true_count"] == 0
+        assert by_term.loc["query", "true_count"] > 0
+
+    def test_counter_mass_conserved(self, ray_session):
+        """Each depth row's counters sum to the total token count."""
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.functions.tokenize import tokenize_text
+        from candidategeneration_ray.pipelines.sketches import (
+            CM_DEPTH, q_cmsketch_counters)
+
+        SF_ = "/root/testdata/sf0.001"
+        txt = pq.read_table(SF_ + "/documents.parquet", columns=["text"])
+        total = sum(len(tokenize_text(s))
+                    for s in txt.column("text").to_pylist())
+        got = q_cmsketch_counters(SF_).to_pandas()
+        sums = got.groupby("depth")["cnt"].sum()
+        assert sums.tolist() == [total] * CM_DEPTH
