@@ -103,6 +103,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="kept-token budget per source")
     pp.add_argument("--num-cpus", type=int, default=None)
 
+    s = sub.add_parser("search", help="phrase / proximity search with "
+                       "ranked KWIC snippets over a documents corpus "
+                       "(builds or reuses the positional family)")
+    s.add_argument("--corpus", required=True,
+                   help="directory holding documents.parquet")
+    s.add_argument("--query", required=True, action="append",
+                   help="query text (repeatable)")
+    s.add_argument("--mode", choices=["phrase", "snippets"],
+                   default="snippets")
+    s.add_argument("--topk", type=int, default=3)
+    s.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
     import ray
@@ -152,6 +164,19 @@ def main(argv: list[str] | None = None) -> int:
                               "n_docs": res["n_docs"],
                               "skipped": res["skipped"],
                               "sec": round(time.time() - t0, 2)}))
+        elif args.cmd == "search":
+            from candidategeneration_ray.pipelines.positional import (
+                q_phrase_postings, q_snippets)
+
+            t0 = time.time()
+            qs = list(enumerate(args.query))
+            if args.mode == "phrase":
+                res = q_phrase_postings(args.corpus, phrases=qs)
+            else:
+                res = q_snippets(args.corpus, k=args.topk, queries=qs)
+            print(json.dumps({"ok": True, "n_rows": res.num_rows,
+                              "sec": round(time.time() - t0, 2),
+                              "results": res.to_pylist()}))
         else:
             import ray.data
 

@@ -114,3 +114,27 @@ class TestJobCli:
         r2 = _run(["prep", "--input", "/root/testdata/sf0.001",
                    "--out", out_dir, "--num-cpus", "4"])
         assert r2["skipped"] and r2["n_docs"] == r["n_docs"]
+
+
+def test_search_subcommand(tmp_path):
+    """`job search` returns ranked snippets as one JSON line."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta gamma", "junk alpha zz beta",
+                          "gamma delta"], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = subprocess.run(
+        [sys.executable, "-m", "candidategeneration_ray.job", "search",
+         "--corpus", d, "--query", "alpha beta", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["ok"] and payload["n_rows"] == 2
+    snippets = {r["doc_id"]: r["snippet"] for r in payload["results"]}
+    assert snippets == {1: "alpha beta", 2: "alpha zz beta"}
