@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_rollup": rl.q_nation_rollup,        # ROLLUP finalizer over the join
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
+        "session_length_hist": ev.q_session_length_hist,  # composition histogram
         "asof_join": ev.q_asof_join,
         "windowed_counts": ev.q_windowed_counts,
         "windowed_distinct_users": ev.q_windowed_distinct_users,  # exact windowed dedup
@@ -160,7 +161,8 @@ def oracle_sql() -> dict[str, str]:
         knn_oracles, mixture_oracles, predictive_oracles,
         graph_oracles, pct_rank_oracles, pretrain_oracles,
         quality_filter_oracles,
-        relational_oracles, sketch_oracles, sliding_oracles,
+        relational_oracles, session_hist_oracles, sketch_oracles,
+        sliding_oracles,
         cluster_label_oracles, cohort_oracles, events_topk_oracles,
         funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
@@ -189,4 +191,4 @@ def oracle_sql() -> dict[str, str]:
             **rollup_oracles(), **term_embedding_oracles(),
             **snippet_oracles(), **bloom_oracles(),
             **pct_rank_oracles(), **keyed_hll_oracles(),
-            **cm_oracles()}
+            **cm_oracles(), **session_hist_oracles()}

@@ -694,3 +694,34 @@ def q_cohort_retention(sf_dir: str, cohort_sec: int = 7 * 86400,
         .groupby(["cohort_start_us", "week_offset"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def q_session_length_hist(sf_dir: str,
+                          gap_sec: int = 1800) -> ray.data.Dataset:
+    """Composition over sessionization: the distribution of session
+    lengths — (n_events, n_sessions) per distinct session size, plus
+    total session cents per size. One extra compressed groupby on top
+    of q_sessionize's bucketed output (sessions are already
+    O(sessions) rows, the histogram is O(distinct sizes))."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_events").to_numpy().astype(np.int64)
+        c = batch.column("cents").to_numpy().astype(np.int64)
+        u, inv = np.unique(n, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        cs = np.zeros(u.size, np.int64)
+        np.add.at(cs, inv, c)
+        return pa.table({
+            "n_events": pa.array(u, pa.int64()),
+            "n_sessions": pa.array(cnt, pa.int64()),
+            "cents": pa.array(cs, pa.int64()),
+        })
+
+    return (
+        q_sessionize(sf_dir, gap_sec=gap_sec)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("n_events")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                   Sum("cents", alias_name="cents"))
+    )

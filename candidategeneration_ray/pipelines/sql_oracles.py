@@ -2128,3 +2128,36 @@ SELECT p.term,
 FROM p
 """,
     }
+
+
+def session_hist_oracles() -> dict[str, str]:
+    # composition oracle: the sessionize rule text + one aggregation
+    return {
+        "session_length_hist": """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_idx,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM sess GROUP BY user_id, session_idx
+)
+SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM per_session GROUP BY n_events
+""",
+    }

@@ -399,3 +399,18 @@ class TestCohortRetention:
             for r in got.itertuples()
         } == {(int(c), int(k)): int(v) for (c, k), v in want.items()}
         assert len(got) > 0
+
+
+def test_session_length_hist_consistent_with_sessionize(ray_session):
+    from candidategeneration_ray.pipelines.events import (
+        q_session_length_hist, q_sessionize)
+
+    SF_ = "/root/testdata/sf0.001"
+    sess = q_sessionize(SF_).to_pandas()
+    want = sess.groupby("n_events").agg(
+        n_sessions=("n_events", "size"), cents=("cents", "sum"))
+    got = q_session_length_hist(SF_).to_pandas().set_index("n_events") \
+        .sort_index()
+    assert got["n_sessions"].to_dict() == want["n_sessions"].to_dict()
+    assert got["cents"].to_dict() == want["cents"].to_dict()
+    assert int(got["n_sessions"].sum()) == len(sess)
