@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_heavy_hitters": ev.q_windowed_heavy_hitters,  # keyed 2-pass MG, exact
         "funnel_counts": ev.q_funnel_counts,        # ordered-subsequence funnel
         "cohort_retention": ev.q_cohort_retention,  # signup-cohort x week matrix
+        "last_touch": ev.q_last_touch,              # group-wise argmax
+        "event_dedup_counts": ev.q_event_dedup_counts,  # stream near-dup rule
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
         "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
@@ -167,7 +169,7 @@ def oracle_sql() -> dict[str, str]:
         funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
         kmeans_eval_oracles,
-        keyed_hll_oracles,
+        keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, positional_oracles,
         proximity_oracles, q3_oracles, rollup_oracles,
         snippet_oracles, source_quantile_oracles,
@@ -191,4 +193,5 @@ def oracle_sql() -> dict[str, str]:
             **rollup_oracles(), **term_embedding_oracles(),
             **snippet_oracles(), **bloom_oracles(),
             **pct_rank_oracles(), **keyed_hll_oracles(),
-            **cm_oracles(), **session_hist_oracles()}
+            **cm_oracles(), **session_hist_oracles(),
+            **last_touch_oracles()}

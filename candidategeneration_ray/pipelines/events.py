@@ -725,3 +725,71 @@ def q_session_length_hist(sf_dir: str,
         .aggregate(Sum("n_sessions", alias_name="n_sessions"),
                    Sum("cents", alias_name="cents"))
     )
+
+
+def q_last_touch(sf_dir: str) -> ray.data.Dataset:
+    """Group-wise argmax ("last touch" attribution): each user's most
+    recent event — ties on ts broken by event_id desc (the latest
+    write wins deterministically). Per bucket one lexsort + last-row
+    mask; no per-user Python."""
+    def _last(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        last = np.r_[u[1:] != u[:-1], True]
+        sel = order[last]
+        return pa.table({
+            "user_id": pa.array(uid[sel], pa.int64()),
+            "ts_us": pa.array(ts[sel], pa.int64()),
+            "event_id": pa.array(eid[sel], pa.int64()),
+            "event_type": group.column("event_type").take(pa.array(sel)),
+        })
+
+    return (
+        _with_user_bucket(
+            events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+        .groupby("ubucket")
+        .map_groups(_last, batch_format="pyarrow")
+    )
+
+
+def q_event_dedup_counts(sf_dir: str, window_sec: int = 60) -> ray.data.Dataset:
+    """Stream dedup signal: per event_type, how many events are
+    near-duplicates — same (user, type) within `window_sec` of the
+    PREVIOUS same-kind event (the at-least-once-delivery dedup rule).
+    Per bucket one lexsort over (user, type, ts, event_id) + one
+    shifted-gap compare; output is O(types) rows per bucket."""
+    from ray.data.aggregate import Sum
+
+    w_us = np.int64(window_sec) * 1_000_000
+
+    def _dups(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, et, uid))
+        u, t, e = uid[order], ts[order], et[order]
+        same = np.r_[False, (u[1:] == u[:-1]) & (e[1:] == e[:-1])]
+        dup = same & np.r_[False, (t[1:] - t[:-1]) <= w_us]
+        uniq, inv = np.unique(e, return_inverse=True)
+        n_dup = np.zeros(uniq.size, np.int64)
+        np.add.at(n_dup, inv[dup], 1)
+        n_all = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(uniq.tolist(), pa.string()),
+            "n_events": pa.array(n_all, pa.int64()),
+            "n_dups": pa.array(n_dup, pa.int64()),
+        })
+
+    return (
+        _with_user_bucket(
+            events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+        .groupby("ubucket")
+        .map_groups(_dups, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("n_dups", alias_name="n_dups"))
+    )

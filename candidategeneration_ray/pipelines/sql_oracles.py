@@ -2161,3 +2161,34 @@ SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
 FROM per_session GROUP BY n_events
 """,
     }
+
+
+def last_touch_oracles() -> dict[str, str]:
+    return {
+        "last_touch": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(event_id AS BIGINT) AS event_id,
+       event_type
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        # dup = previous same-(user, type) event within 60 s; ordering
+        # ties broken by event_id (same as the engine lexsort)
+        "event_dedup_counts": """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE gap IS NOT NULL AND gap <= 60000000)
+            AS BIGINT) AS n_dups
+FROM g GROUP BY event_type
+""",
+    }

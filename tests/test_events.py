@@ -414,3 +414,27 @@ def test_session_length_hist_consistent_with_sessionize(ray_session):
     assert got["n_sessions"].to_dict() == want["n_sessions"].to_dict()
     assert got["cents"].to_dict() == want["cents"].to_dict()
     assert int(got["n_sessions"].sum()) == len(sess)
+
+
+def test_last_touch_and_dedup_semantics(ray_session, tmp_path):
+    from candidategeneration_ray.pipelines.events import (
+        q_event_dedup_counts, q_last_touch)
+
+    rows = [
+        (0, 0, 1, "view", 0.0),
+        (1, 30, 1, "view", 0.0),    # dup of event 0 (30s <= 60)
+        (2, 200, 1, "view", 0.0),   # gap 170s > 60 -> not a dup
+        (3, 200, 1, "click", 0.0),  # different type -> not a dup
+        (4, 5, 2, "view", 0.0),     # other user
+        (5, 200, 1, "view", 0.0),   # same ts as event 2 -> gap 0 dup
+    ]
+    d = _write_events(tmp_path, rows)
+    lt = q_last_touch(d).to_pandas().sort_values("user_id")
+    # user 1 ties at ts=200: event_id 5 wins (event_id desc)
+    assert lt["event_id"].tolist() == [5, 4]
+    assert lt["event_type"].tolist() == ["view", "view"]
+
+    dd = q_event_dedup_counts(d).to_pandas().set_index("event_type")
+    assert dd.loc["view", "n_events"] == 5
+    assert dd.loc["view", "n_dups"] == 2     # events 1 and 5
+    assert dd.loc["click", "n_dups"] == 0
