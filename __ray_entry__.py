@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_delta_postings": ps.q_phrase_delta_postings,
         "minspan_topk": ps.q_minspan_topk,              # passage ranking by span
         "snippets": ps.q_snippets,                      # KWIC snippet extraction
+        "rrf_fusion": ps.q_rrf_fusion,                  # reciprocal-rank fusion
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
@@ -171,7 +172,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_eval_oracles,
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, positional_oracles,
-        proximity_oracles, q3_oracles, rollup_oracles,
+        proximity_oracles, q3_oracles, rollup_oracles, rrf_oracles,
         snippet_oracles, source_quantile_oracles,
         term_embedding_oracles, textlm_oracles,
         windowed_distinct_oracles,
@@ -194,4 +195,4 @@ def oracle_sql() -> dict[str, str]:
             **snippet_oracles(), **bloom_oracles(),
             **pct_rank_oracles(), **keyed_hll_oracles(),
             **cm_oracles(), **session_hist_oracles(),
-            **last_touch_oracles()}
+            **last_touch_oracles(), **rrf_oracles()}

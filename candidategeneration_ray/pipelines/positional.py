@@ -846,3 +846,58 @@ def q_snippets(sf_dir: str, k: int = SNIPPET_TOPK,
     order = pa.compute.sort_indices(
         out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
     return out.take(order)
+
+
+RRF_C = 60
+RRF_TOPK = 5
+
+
+def q_rrf_fusion(sf_dir: str, k: int = RRF_TOPK, c: int = RRF_C,
+                 queries: list[tuple[int, str]] | None = None) -> pa.Table:
+    """Reciprocal-rank fusion of two positional rankings per query —
+    list A: docs containing ALL terms ranked by minimal covering span;
+    list B: docs with a W-window co-occurrence ranked by anchor count
+    desc. rrf_micro = Σ 1e6 // (c + rank) over the lists where the doc
+    appears (exact integers, so the fusion arithmetic hash-verifies).
+    The per-list rankings come from the same per-query Ray tasks the
+    standalone entries use; fusion runs over the two small ranked
+    lists only."""
+    cfg = EngineConfig()
+    fam = build_positional_family(sf_dir, cfg)
+    stats = fam["stats"]
+    dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
+    jobs = []
+    for qid, text in (queries or PROX_QUERIES):
+        tids = phrase_term_ids(stats, text)
+        if tids is None:
+            continue
+        jobs.append((qid,
+                     _minspan_task.remote(dirs, qid, tids, cfg.num_buckets,
+                                          1 << 30),
+                     _proximity_task.remote(dirs, qid, tids, PROX_W,
+                                            cfg.num_buckets)))
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid, fa, fb in jobs:
+        a, b = ray.get(fa), ray.get(fb)
+        score: dict[int, int] = {}
+        for rank, doc in enumerate(a.column("doc_id").to_pylist(), 1):
+            score[doc] = score.get(doc, 0) + 1_000_000 // (c + rank)
+        bb = b.to_pandas()
+        if len(bb):
+            bb = bb.sort_values(["n_anchors", "doc_id"],
+                                ascending=[False, True])
+            for rank, doc in enumerate(bb["doc_id"], 1):
+                doc = int(doc)
+                score[doc] = score.get(doc, 0) + 1_000_000 // (c + rank)
+        top = sorted(score.items(), key=lambda t: (-t[1], t[0]))[:k]
+        for r, (doc, s) in enumerate(top, 1):
+            out_q.append(qid)
+            out_r.append(r)
+            out_d.append(doc)
+            out_s.append(s)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "rrf_micro": pa.array(out_s, pa.int64()),
+    })

@@ -2192,3 +2192,67 @@ SELECT event_type,
 FROM g GROUP BY event_type
 """,
     }
+
+
+def rrf_oracles() -> dict[str, str]:
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.positional import (
+        PROX_QUERIES, PROX_W, RRF_C, RRF_TOPK)
+
+    parts = []
+    for qid, text in PROX_QUERIES:
+        toks = sorted(set(tokenize_text(text)))
+        if not toks:
+            continue
+        tl = ", ".join(f"'{t}'" for t in toks)
+        nxt_cols = ",\n         ".join(
+            f"(SELECT min(k.kpos) FROM kept k WHERE k.doc_id = a.doc_id "
+            f"AND k.tok = '{t}' AND k.kpos >= a.kpos) AS n{i}"
+            for i, t in enumerate(toks))
+        notnull = " AND ".join(f"n{i} IS NOT NULL" for i in range(len(toks)))
+        greatest = ", ".join(f"n{i}" for i in range(len(toks)))
+        prox_ex = "\n    AND ".join(
+            f"EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = a.doc_id "
+            f"AND k.tok = '{t}' AND k.kpos >= a.kpos "
+            f"AND k.kpos < a.kpos + {PROX_W})"
+            for t in toks)
+        parts.append(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rrf AS BIGINT) AS rrf_micro
+FROM (
+  SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+         coalesce(1000000 // ({RRF_C} + r1.r), 0)
+         + coalesce(1000000 // ({RRF_C} + r2.r), 0) AS rrf
+  FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY ms, doc_id) AS r
+    FROM (
+      SELECT doc_id, min(greatest({greatest}) - kpos + 1) AS ms
+      FROM (
+        SELECT a.doc_id, a.kpos,
+         {nxt_cols}
+        FROM (SELECT doc_id, kpos FROM kept WHERE tok IN ({tl})) a
+      )
+      WHERE {notnull}
+      GROUP BY doc_id
+    )
+  ) r1
+  FULL JOIN (
+    SELECT doc_id, row_number() OVER (ORDER BY n_anchors DESC, doc_id) AS r
+    FROM (
+      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_anchors
+      FROM (SELECT doc_id, kpos FROM kept WHERE tok IN ({tl})) a
+      WHERE {prox_ex}
+      GROUP BY a.doc_id
+    )
+  ) r2 USING (doc_id)
+)
+QUALIFY rank <= {RRF_TOPK}""")
+    union = "\nUNION ALL\n".join(parts)
+    return {
+        "rrf_fusion": f"""
+WITH {KEPT_CTE}
+{union}
+""",
+    }

@@ -365,3 +365,27 @@ class TestSnippets:
         d = _write_docs(tmp_path, ["alpha qq beta zz alpha yy beta"])
         got = ps.q_snippets(d, queries=[(0, "alpha beta")]).to_pandas()
         assert got["snippet"].tolist() == ["alpha qq beta"]
+
+
+def test_rrf_fusion_arithmetic(ray_session, tmp_path):
+    """Fusion score == hand-computed reciprocal ranks from the two
+    standalone rankings."""
+    texts = [
+        "alpha beta",                       # span 2, in-window
+        "alpha zz zz zz zz zz zz beta",     # span 8: minspan only (W=6)
+        "alpha zz beta alpha yy beta",      # span 3, two anchors
+    ]
+    d = _write_docs(tmp_path, texts)
+    qs = [(0, "alpha beta")]
+    ms = ps.q_minspan_topk(d, k=100, queries=qs).to_pandas()
+    pr = ps.q_proximity_docs(d, queries=qs).to_pandas() \
+        .sort_values(["n_anchors", "doc_id"], ascending=[False, True])
+    want = {}
+    for r, doc in enumerate(ms["doc_id"], 1):
+        want[doc] = want.get(doc, 0) + 1_000_000 // (60 + r)
+    for r, doc in enumerate(pr["doc_id"], 1):
+        want[doc] = want.get(doc, 0) + 1_000_000 // (60 + r)
+    got = ps.q_rrf_fusion(d, queries=qs).to_pandas()
+    assert dict(zip(got["doc_id"], got["rrf_micro"])) == want
+    # doc 101 is outside the proximity window -> single-list score
+    assert 101 in set(got["doc_id"])
