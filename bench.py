@@ -197,6 +197,10 @@ def run_bench() -> dict:
         ("nation_order_stats_salted",
          lambda sf: rl.q_nation_order_stats(sf, hot_k=10)),
         ("ivf_delta_counts", ivfd.q_ivf_delta_counts),  # IVF LSM end-to-end
+        ("snippets", ps.q_snippets),                    # match->rank->KWIC
+        ("rrf_fusion", ps.q_rrf_fusion),
+        ("cohort_retention", ev.q_cohort_retention),
+        ("shipping_priority", rl.q_shipping_priority),  # Q3 multi-join
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)
