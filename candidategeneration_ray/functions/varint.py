@@ -19,15 +19,24 @@ import numpy as np
 _MAX_BYTES = 10  # ceil(64 / 7)
 
 
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value under varint_encode's scheme
+    (1 + number of 7-bit groups above the first) — THE sizing rule;
+    callers that split a concatenated encoding must use this instead
+    of re-deriving it."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for k in range(1, _MAX_BYTES):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nbytes
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """Encode a uint64 array as concatenated LEB128 varints (vectorized)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: 1 + number of 7-bit groups above the first
-    nbytes = np.ones(v.size, dtype=np.int64)
-    for k in range(1, _MAX_BYTES):
-        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    nbytes = varint_sizes(v)
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     out = np.zeros(offsets[-1], dtype=np.uint8)
     for j in range(_MAX_BYTES):

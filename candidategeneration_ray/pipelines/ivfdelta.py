@@ -53,15 +53,25 @@ def _generations(ivf_dir: str, complete_only: bool = True) -> list[str]:
     return gens
 
 
+def _next_gen_num(ivf_dir: str) -> int:
+    """Next generation number — scans live gen dirs AND the gen-NNNN-
+    prefixes of files already compacted into the base cluster dirs, so
+    a number (and therefore a moved-file name) is never reused across
+    compaction epochs (os.rename would silently clobber)."""
+    nums = [int(os.path.basename(g).split("-")[1])
+            for g in _generations(ivf_dir, complete_only=False)]
+    for f in glob.glob(os.path.join(ivf_dir, "cluster=*", "gen-*.parquet")):
+        nums.append(int(os.path.basename(f).split("-")[1]))
+    return 1 + max(nums, default=0)
+
+
 def update_ivf_index(ivf_dir: str, cent: np.ndarray,
                      delta_path: str) -> str:
     """Ingest one delta file as a new generation; returns its dir.
 
     Vec ids must be new (the LSM is append-only, like the text path);
     the codebook is the base's — FROZEN, never retrained here."""
-    gens = _generations(ivf_dir, complete_only=False)
-    n = 1 + max((int(os.path.basename(g).split("-")[1]) for g in gens),
-                default=0)
+    n = _next_gen_num(ivf_dir)
     gen_dir = os.path.join(ivf_dir, f"gen-{n:04d}")
     cent_ref = ray.put(cent)
 
@@ -95,6 +105,8 @@ def compact_ivf_index(ivf_dir: str) -> int:
     """Move every complete generation's files down into the base
     cluster dirs (names prefixed with the generation so they never
     collide), then drop the generation. Returns #files moved."""
+    import shutil
+
     moved = 0
     for g in _generations(ivf_dir):
         gname = os.path.basename(g)
@@ -108,6 +120,13 @@ def compact_ivf_index(ivf_dir: str) -> int:
         for d in sorted(glob.glob(os.path.join(g, "cluster=*"))):
             os.rmdir(d)
         os.rmdir(g)
+    # sweep manifest-less skeletons a crash between the manifest
+    # removal and the rmdirs may have left (their files, if any, were
+    # already moved — the dirs are empty husks)
+    for g in glob.glob(os.path.join(ivf_dir, "gen-*")):
+        if not os.path.exists(os.path.join(g, _GEN_MANIFEST)) \
+                and not glob.glob(os.path.join(g, "cluster=*", "*.parquet")):
+            shutil.rmtree(g, ignore_errors=True)
     return moved
 
 
@@ -127,11 +146,11 @@ def _delta_ivf(sf_dir: str) -> tuple[str, np.ndarray]:
     root = _cache_dir(sf_dir, f"ivfdelta-k{KMEANS_K}i{KMEANS_ITERS}")
     done = os.path.join(root, "DONE")
     base_dir = os.path.join(root, "base")
-    ivf_dir, cb = None, os.path.join(root, "codebook.json")
     if os.path.exists(done):
-        with open(done) as f:
-            ivf_dir = json.load(f)["ivf_dir"]
-        return ivf_dir, np.array(json.load(open(cb)), dtype=np.int64)
+        # the codebook persists with the base layout
+        # (build_ivf_kmeans_index's own cache) — single source of truth
+        ivf_dir, cent = build_ivf_kmeans_index(base_dir)
+        return ivf_dir, cent
     ckpt.clear_stale(root)
     os.makedirs(base_dir, exist_ok=True)
 
@@ -148,9 +167,18 @@ def _delta_ivf(sf_dir: str) -> tuple[str, np.ndarray]:
         "parity split needs both halves non-empty"
 
     ivf_dir, cent = build_ivf_kmeans_index(base_dir)
+    # crash hygiene: a previous attempt may have ingested (gen dirs) or
+    # compacted (gen-prefixed files in the base cluster dirs) this same
+    # delta and died before DONE — reset to the pristine base layout so
+    # re-ingest can't double-serve.
+    import shutil
+
+    for g in glob.glob(os.path.join(ivf_dir, "gen-*")):
+        shutil.rmtree(g, ignore_errors=True)
+    for f in glob.glob(os.path.join(ivf_dir, "cluster=*", "gen-*.parquet")):
+        os.remove(f)
     update_ivf_index(ivf_dir, cent, delta_f)
     compact_ivf_index(ivf_dir)
-    json.dump(cent.tolist(), open(cb, "w"))
     with open(done, "w") as f:
         json.dump({"ivf_dir": ivf_dir}, f)
     return ivf_dir, cent

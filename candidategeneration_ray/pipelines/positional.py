@@ -49,6 +49,7 @@ from candidategeneration_ray.functions.tokenize import tokenize_text
 from candidategeneration_ray.functions.varint import (
     decode_delta_concat, encode_delta_grouped,
     encode_delta_grouped_concat, varint_decode, varint_encode,
+    varint_sizes,
 )
 from candidategeneration_ray.pipelines.docquery import (
     _cache_dir, corpus_stats, doc_tokens,
@@ -99,9 +100,10 @@ class _PositionalEmitter:
         offsets = col.offsets.to_numpy().astype(np.int64)
         base = offsets[0]
         lens = np.diff(offsets)
-        flat_strs = col.values
-        if flat_strs.offset != 0 or len(flat_strs) != (offsets[-1] - base):
-            flat_strs = flat_strs.slice(0, len(flat_strs))
+        # re-base the child array onto this batch's offset window (a
+        # sliced ListArray's .values is the FULL child; offsets are
+        # absolute into it — a no-op slice when already aligned)
+        flat_strs = col.values.slice(base, offsets[-1] - base)
         n_tok = len(flat_strs)
         if n_tok == 0:
             return pa.table({
@@ -188,12 +190,7 @@ def _merge_bucket(group: pa.Table) -> pa.Table:
     # counts column: varint(npos) back-to-back, split at key boundaries
     cbytes = np.asarray(
         np.frombuffer(varint_encode(c), dtype=np.uint8))
-    # per-value byte size, same rule as varint_encode's sizing pass
-    v = c.astype(np.uint64)
-    csz = np.ones(c.size, dtype=np.int64)
-    for kb in range(1, 10):
-        csz += (v >= np.uint64(1) << np.uint64(7 * kb)).astype(np.int64)
-    cum = np.concatenate(([0], np.cumsum(csz)))
+    cum = np.concatenate(([0], np.cumsum(varint_sizes(c))))
     out_counts = binary_array_from_concat(
         cbytes, cum[np.concatenate((kstart, [c.size]))])
 
@@ -273,13 +270,31 @@ def family_serving_dirs(fam_root: str) -> list[str]:
     return [os.path.join(fam_root, active)] + gens
 
 
+def _next_gen_num(fam_root: str) -> int:
+    """Next generation number — NEVER reuses a number that a live dir
+    OR the compaction pointer's folded list has seen (a reused name
+    would sit in the folded set and be silently unservable)."""
+    import json
+
+    nums = [int(os.path.basename(g).split("-")[1])
+            for g in glob.glob(os.path.join(fam_root, "gen-*"))]
+    p = os.path.join(fam_root, _FAM_ACTIVE)
+    if os.path.exists(p):
+        with open(p) as f:
+            nums += [int(g.split("-")[1]) for g in json.load(f)["folded"]]
+    return 1 + max(nums, default=0)
+
+
 def update_positional_family(fam_root: str, base_stats: dict,
                              delta_dir: str,
                              cfg: EngineConfig | None = None) -> dict:
     """Ingest a delta documents table as a new generation. Delta-only
     terms get appended dictionary ids (update.extend_stats — the same
     append-only overlay rule as the text LSM); doc ids must be new.
-    Returns {"gen_dir", "stats"} with the EXTENDED stats for serving."""
+    Returns {"gen_dir", "stats"} with the EXTENDED stats for serving.
+    Pass the PREVIOUS update's returned stats for chained deltas — the
+    existing overlay is folded into the dictionary before extension,
+    so ids never alias across generations."""
     import json
 
     from candidategeneration_ray.pipelines.update import extend_stats
@@ -287,20 +302,35 @@ def update_positional_family(fam_root: str, base_stats: dict,
     from candidategeneration_ray.stages.tokenize import attach_tokens
 
     cfg = cfg or EngineConfig()
+    base_terms = np.asarray(base_stats["terms"], dtype=object)  # sorted
+    prev_t = np.asarray(base_stats.get("app_terms", []), dtype=object)
+    prev_i = np.asarray(base_stats.get("app_ids", []), dtype=np.int64)
+    # effective dictionary = base ++ prior overlay in ID order, so
+    # extend_stats assigns the next delta's ids past ALL existing ones
+    by_id = np.argsort(prev_i) if prev_t.size else np.empty(0, np.int64)
+    eff = {
+        **base_stats,
+        "terms": np.concatenate((base_terms, prev_t[by_id])),
+        "df_by_id": np.concatenate((
+            np.asarray(base_stats["df_by_id"], dtype=np.int64),
+            np.zeros(prev_t.size, np.int64))),
+    }
     delta_ds = attach_tokens(ray.data.read_parquet(
         os.path.join(delta_dir, "documents.parquet"),
         columns=["doc_id", "text"]))
-    ext = extend_stats(base_stats, compute_stats(delta_ds))
-    n_base = len(base_stats["terms"])
-    app_terms = np.asarray(ext["terms"][n_base:], dtype=object)  # sorted run
-    app_ids = n_base + 1 + np.arange(app_terms.size, dtype=np.int64)
+    ext = extend_stats(eff, compute_stats(delta_ds))
+    n_eff = len(eff["terms"])
+    new_terms = np.asarray(ext["terms"][n_eff:], dtype=object)  # sorted run
+    new_ids = n_eff + 1 + np.arange(new_terms.size, dtype=np.int64)
+    # combined overlay (prior + new), sorted by term with aligned ids
+    all_t = np.concatenate((prev_t, new_terms))
+    all_i = np.concatenate((prev_i, new_ids))
+    o = np.argsort(all_t, kind="stable")
+    app_terms, app_ids = all_t[o], all_i[o]
 
-    gens = glob.glob(os.path.join(fam_root, "gen-*"))
-    n = 1 + max((int(os.path.basename(g).split("-")[1]) for g in gens),
-                default=0)
+    n = _next_gen_num(fam_root)
     gen_dir = os.path.join(fam_root, f"gen-{n:04d}")
-    terms_ref = ray.put((np.asarray(base_stats["terms"], dtype=object),
-                         app_terms, app_ids))
+    terms_ref = ray.put((base_terms, app_terms, app_ids))
     rows = delta_ds.map_batches(
         _PositionalEmitter, fn_constructor_args=(terms_ref,),
         batch_format="pyarrow", concurrency=(1, 8))
@@ -386,6 +416,16 @@ def compact_positional_family(fam_root: str,
     for g in gens:  # best-effort cleanup; folded list already excludes
         shutil.rmtree(g, ignore_errors=True)
     return len(gens)
+
+
+def _gather_sorted(futs, empty: pa.Table, sort_keys) -> pa.Table:
+    """Collect per-query task results, drop empties, concat + sort —
+    the shared tail of every positional query entry."""
+    parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
+    if not parts:
+        return empty
+    out = pa.concat_tables(parts)
+    return out.take(pa.compute.sort_indices(out, sort_keys=sort_keys))
 
 
 def phrase_term_ids(stats: dict, phrase: str) -> list[int] | None:
@@ -547,17 +587,11 @@ def q_proximity_docs(sf_dir: str, window: int = PROX_W,
             continue
         futs.append(_proximity_task.remote(
             dirs, qid, tids, window, cfg.num_buckets))
-    parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
-    if not parts:
-        return pa.table({
+    return _gather_sorted(futs, pa.table({
             "query_id": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
             "n_anchors": pa.array([], pa.int64()),
-        })
-    out = pa.concat_tables(parts)
-    order = pa.compute.sort_indices(
-        out, sort_keys=[("query_id", "ascending"), ("doc_id", "ascending")])
-    return out.take(order)
+    }), [("query_id", "ascending"), ("doc_id", "ascending")])
 
 
 def q_phrase_postings(sf_dir: str,
@@ -577,17 +611,11 @@ def q_phrase_postings(sf_dir: str,
             continue
         futs.append(_phrase_task.remote(
             dirs, pid, tids, cfg.num_buckets))
-    parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
-    if not parts:
-        return pa.table({
+    return _gather_sorted(futs, pa.table({
             "phrase_id": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
             "n_occurrences": pa.array([], pa.int64()),
-        })
-    out = pa.concat_tables(parts)
-    order = pa.compute.sort_indices(
-        out, sort_keys=[("phrase_id", "ascending"), ("doc_id", "ascending")])
-    return out.take(order)
+    }), [("phrase_id", "ascending"), ("doc_id", "ascending")])
 
 
 def _delta_positional(sf_dir: str) -> tuple[list[str], dict, EngineConfig]:
@@ -632,6 +660,20 @@ def _delta_positional(sf_dir: str) -> tuple[list[str], dict, EngineConfig]:
 
     fam = build_positional_family(base_dir, cfg)
     fam_root = os.path.dirname(fam["final_dir"])
+    # crash hygiene: a previous attempt may have ingested/compacted
+    # this delta and died before DONE — the base segments are
+    # deterministic and reusable, but stale generations / compaction
+    # output would DOUBLE the delta on re-ingest. Reset to pristine
+    # base state first.
+    import shutil
+
+    for d in glob.glob(os.path.join(fam_root, "gen-*")) \
+            + glob.glob(os.path.join(fam_root, "final-c*")):
+        shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.remove(os.path.join(fam_root, _FAM_ACTIVE))
+    except FileNotFoundError:
+        pass
     upd = update_positional_family(fam_root, fam["stats"], delta_dir, cfg)
     compact_positional_family(fam_root, cfg)
     with open(done, "w") as f:
@@ -653,44 +695,24 @@ def q_phrase_delta_postings(sf_dir: str) -> pa.Table:
         if tids is None:
             continue
         futs.append(_phrase_task.remote(dirs, pid, tids, cfg.num_buckets))
-    parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
-    if not parts:
-        return pa.table({
+    return _gather_sorted(futs, pa.table({
             "phrase_id": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
             "n_occurrences": pa.array([], pa.int64()),
-        })
-    out = pa.concat_tables(parts)
-    order = pa.compute.sort_indices(
-        out, sort_keys=[("phrase_id", "ascending"), ("doc_id", "ascending")])
-    return out.take(order)
+    }), [("phrase_id", "ascending"), ("doc_id", "ascending")])
 
 
 MINSPAN_TOPK = 5
 
 
-@ray.remote
-def _minspan_task(dirs: list[str], query_id: int, tids: list[int],
-                  num_buckets: int, k: int) -> pa.Table:
-    """Minimal-covering-window ranking (the classic passage-retrieval
-    primitive): per doc the smallest kept-token span containing ALL
-    query terms, top-k docs by (span asc, doc asc).
-
-    Algorithm: for each anchor position a (any term's position), the
-    minimal cover STARTING at a ends at max over terms of the first
-    position >= a in the same doc; the window minimum of an optimal
-    span is always an anchor, so min over anchors is exact. All steps
-    are whole-array searchsorteds over packed (doc<<POS_BITS|pos)."""
-    empty = pa.table({
-        "query_id": pa.array([], pa.int64()),
-        "rank": pa.array([], pa.int64()),
-        "doc_id": pa.array([], pa.int64()),
-        "min_span": pa.array([], pa.int64()),
-    })
-    uniq = sorted(set(tids))
-    packed = _packed_positions(dirs, uniq, num_buckets)
-    if any(t not in packed for t in uniq):
-        return empty
+def _min_cover(packed: dict[int, np.ndarray], uniq: list[int]):
+    """Per-doc minimal covering window over packed positions: for each
+    anchor position a (any term's position) the minimal cover STARTING
+    at a ends at max over terms of the first position >= a in the same
+    doc; the window minimum of an optimal span is always an anchor, so
+    min over anchors is exact (ties to the EARLIEST anchor). Returns
+    (docs, starts, spans) sorted by doc — all whole-array
+    searchsorteds, shared by the min-span and snippet tasks."""
     anchors = np.sort(np.concatenate([packed[t] for t in uniq]))
     doc_a = anchors >> POS_BITS
     ok = np.ones(anchors.size, dtype=bool)
@@ -704,13 +726,36 @@ def _minspan_task(dirs: list[str], query_id: int, tids: list[int],
         end = np.maximum(end, cand)
     mask = (1 << POS_BITS) - 1
     d = doc_a[ok]
-    w = (end[ok] & mask) - (anchors[ok] & mask) + 1
+    a = anchors[ok] & mask
+    w = (end[ok] & mask) - a + 1
     if d.size == 0:
-        return empty
-    order = np.lexsort((w, d))
-    d, w = d[order], w[order]
+        z = np.empty(0, np.int64)
+        return z, z, z
+    order = np.lexsort((a, w, d))
+    d, a, w = d[order], a[order], w[order]
     first = np.r_[True, d[1:] != d[:-1]]
-    docs, spans = d[first], w[first]
+    return d[first], a[first], w[first]
+
+
+@ray.remote
+def _minspan_task(dirs: list[str], query_id: int, tids: list[int],
+                  num_buckets: int, k: int) -> pa.Table:
+    """Minimal-covering-window ranking (the classic passage-retrieval
+    primitive): per doc the smallest kept-token span containing ALL
+    query terms, top-k docs by (span asc, doc asc)."""
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "min_span": pa.array([], pa.int64()),
+    })
+    uniq = sorted(set(tids))
+    packed = _packed_positions(dirs, uniq, num_buckets)
+    if any(t not in packed for t in uniq):
+        return empty
+    docs, _, spans = _min_cover(packed, uniq)
+    if docs.size == 0:
+        return empty
     sel = np.lexsort((docs, spans))[:k]
     return pa.table({
         "query_id": pa.array(np.full(sel.size, query_id, np.int64), pa.int64()),
@@ -734,18 +779,12 @@ def q_minspan_topk(sf_dir: str, k: int = MINSPAN_TOPK,
         if tids is None:
             continue
         futs.append(_minspan_task.remote(dirs, qid, tids, cfg.num_buckets, k))
-    parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
-    if not parts:
-        return pa.table({
+    return _gather_sorted(futs, pa.table({
             "query_id": pa.array([], pa.int64()),
             "rank": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
             "min_span": pa.array([], pa.int64()),
-        })
-    out = pa.concat_tables(parts)
-    order = pa.compute.sort_indices(
-        out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
-    return out.take(order)
+    }), [("query_id", "ascending"), ("rank", "ascending")])
 
 
 SNIPPET_TOPK = 3
@@ -774,28 +813,9 @@ def _snippet_task(dirs: list[str], docs_path: str, query_id: int,
     packed = _packed_positions(dirs, uniq, num_buckets)
     if any(t not in packed for t in uniq):
         return empty
-    anchors = np.sort(np.concatenate([packed[t] for t in uniq]))
-    doc_a = anchors >> POS_BITS
-    ok = np.ones(anchors.size, dtype=bool)
-    end = np.zeros(anchors.size, dtype=np.int64)
-    for t in uniq:
-        p = packed[t]
-        j = np.searchsorted(p, anchors)
-        valid = j < p.size
-        cand = p[np.minimum(j, p.size - 1)]
-        ok &= valid & ((cand >> POS_BITS) == doc_a)
-        end = np.maximum(end, cand)
-    mask = (1 << POS_BITS) - 1
-    d = doc_a[ok]
-    a = anchors[ok] & mask
-    w = (end[ok] & mask) - a + 1
-    if d.size == 0:
+    docs, starts, spans = _min_cover(packed, uniq)
+    if docs.size == 0:
         return empty
-    # per doc: (min span, then earliest anchor)
-    order = np.lexsort((a, w, d))
-    d, a, w = d[order], a[order], w[order]
-    first = np.r_[True, d[1:] != d[:-1]]
-    docs, starts, spans = d[first], a[first], w[first]
     sel = np.lexsort((docs, spans))[:k]
     docs, starts, spans = docs[sel], starts[sel], spans[sel]
 
@@ -833,19 +853,13 @@ def q_snippets(sf_dir: str, k: int = SNIPPET_TOPK,
             continue
         futs.append(_snippet_task.remote(
             dirs, docs_path, qid, tids, cfg.num_buckets, k))
-    parts = [p for p in ray.get(futs) if p.num_rows] if futs else []
-    if not parts:
-        return pa.table({
+    return _gather_sorted(futs, pa.table({
             "query_id": pa.array([], pa.int64()),
             "rank": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
             "min_span": pa.array([], pa.int64()),
             "snippet": pa.array([], pa.string()),
-        })
-    out = pa.concat_tables(parts)
-    order = pa.compute.sort_indices(
-        out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
-    return out.take(order)
+    }), [("query_id", "ascending"), ("rank", "ascending")])
 
 
 RRF_C = 60

@@ -112,3 +112,30 @@ def test_driver_entry_total_is_table_size(ray_session):
     assert got["n_vectors"].sum() == emb.num_rows
     assert got["vec_id_sum"].sum() == \
         int(np.sum(emb.column("vec_id").to_numpy()))
+
+
+class TestIvfLsmEpochs:
+    """Regression tests: generation numbering across compaction epochs
+    and the second-delta-after-compaction path."""
+
+    def test_second_delta_after_compaction(self, ray_session, tmp_path):
+        rng = np.random.default_rng(3)
+        base_dir = str(tmp_path / "base")
+        os.makedirs(base_dir)
+        _write_vecs(os.path.join(base_dir, "embeddings.parquet"),
+                    list(range(40)), rng)
+        d1 = str(tmp_path / "d1.parquet")
+        _write_vecs(d1, list(range(1000, 1010)), rng)
+        d2 = str(tmp_path / "d2.parquet")
+        _write_vecs(d2, list(range(2000, 2012)), rng)
+        ivf_dir, cent = build_ivf_kmeans_index(base_dir)
+        ivd.update_ivf_index(ivf_dir, cent, d1)
+        ivd.compact_ivf_index(ivf_dir)
+        gen2 = ivd.update_ivf_index(ivf_dir, cent, d2)
+        # numbering never reuses an epoch-1 name
+        assert os.path.basename(gen2) != "gen-0001"
+        want = sorted(list(range(40)) + list(range(1000, 1010))
+                      + list(range(2000, 2012)))
+        assert _served_ids(ivf_dir) == want
+        ivd.compact_ivf_index(ivf_dir)
+        assert _served_ids(ivf_dir) == want  # no clobber across epochs

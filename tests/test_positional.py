@@ -389,3 +389,92 @@ def test_rrf_fusion_arithmetic(ray_session, tmp_path):
     assert dict(zip(got["doc_id"], got["rrf_micro"])) == want
     # doc 101 is outside the proximity window -> single-list score
     assert 101 in set(got["doc_id"])
+
+
+class TestPositionalLsmMultiDelta:
+    """Regression tests for the review findings: generation numbering
+    across compactions, chained-delta dictionary extension, and
+    crash-rerun double-ingest hygiene."""
+
+    def _full(self, tmp_path, all_texts, ids):
+        full = str(tmp_path / "full")
+        os.makedirs(full, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(all_texts, pa.string()),
+        }), os.path.join(full, "documents.parquet"))
+        return full
+
+    def test_update_after_compaction_stays_servable(self, ray_session, tmp_path):
+        base_texts = ["alpha beta", "beta gamma"]
+        d1_texts = ["alpha beta newword"]
+        d2_texts = ["newword alpha", "aardvark beta", "alpha beta"]
+        base = _write_docs(tmp_path / "b", base_texts)
+        d1 = str(tmp_path / "d1"); os.makedirs(d1)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([500], pa.int64()),
+            "text": pa.array(d1_texts, pa.string()),
+        }), os.path.join(d1, "documents.parquet"))
+        d2 = str(tmp_path / "d2"); os.makedirs(d2)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([600, 601, 602], pa.int64()),
+            "text": pa.array(d2_texts, pa.string()),
+        }), os.path.join(d2, "documents.parquet"))
+        full = self._full(tmp_path, base_texts + d1_texts + d2_texts,
+                          [100, 101, 500, 600, 601, 602])
+
+        fam = ps.build_positional_family(base)
+        root = os.path.dirname(fam["final_dir"])
+        u1 = ps.update_positional_family(root, fam["stats"], d1)
+        ps.compact_positional_family(root)
+        # delta AFTER compaction must get a FRESH generation number
+        u2 = ps.update_positional_family(root, u1["stats"], d2)
+        assert os.path.basename(u2["gen_dir"]) != "gen-0001"
+        assert len(ps.family_serving_dirs(root)) == 2  # final-c1 + gen-0002
+
+        phrases = [(0, "alpha beta"), (1, "newword alpha"),
+                   (2, "aardvark beta"), (3, "alpha beta newword")]
+        want = ps.q_phrase_postings(full, phrases=phrases).to_pandas()
+        want = [tuple(r) for r in want.itertuples(index=False)]
+        got = TestPositionalLsm._serve(
+            ps.family_serving_dirs(root), u2["stats"], phrases)
+        assert got == want
+        # second compaction folds the post-compaction generation too
+        assert ps.compact_positional_family(root) == 1
+        assert TestPositionalLsm._serve(
+            ps.family_serving_dirs(root), u2["stats"], phrases) == want
+
+    def test_chained_deltas_no_id_aliasing(self, ray_session, tmp_path):
+        """Delta 2 reuses delta 1's new term AND introduces one that
+        sorts before it — ids must not alias (review finding)."""
+        base = _write_docs(tmp_path / "b", ["alpha beta"])
+        d1 = str(tmp_path / "d1"); os.makedirs(d1)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([500], pa.int64()),
+            "text": pa.array(["alpha newword"], pa.string()),
+        }), os.path.join(d1, "documents.parquet"))
+        d2 = str(tmp_path / "d2"); os.makedirs(d2)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([600, 601], pa.int64()),
+            "text": pa.array(["aardvark newword", "newword beta"],
+                             pa.string()),
+        }), os.path.join(d2, "documents.parquet"))
+        full = self._full(
+            tmp_path, ["alpha beta", "alpha newword", "aardvark newword",
+                       "newword beta"], [100, 500, 600, 601])
+
+        fam = ps.build_positional_family(base)
+        root = os.path.dirname(fam["final_dir"])
+        u1 = ps.update_positional_family(root, fam["stats"], d1)
+        u2 = ps.update_positional_family(root, u1["stats"], d2)
+        # 'newword' keeps its delta-1 id; 'aardvark' gets a NEW id
+        t1 = ps.phrase_term_ids(u1["stats"], "newword")[0]
+        assert ps.phrase_term_ids(u2["stats"], "newword")[0] == t1
+        assert ps.phrase_term_ids(u2["stats"], "aardvark")[0] != t1
+        phrases = [(0, "aardvark newword"), (1, "newword beta"),
+                   (2, "alpha newword")]
+        want = ps.q_phrase_postings(full, phrases=phrases).to_pandas()
+        want = [tuple(r) for r in want.itertuples(index=False)]
+        got = TestPositionalLsm._serve(
+            ps.family_serving_dirs(root), u2["stats"], phrases)
+        assert got == want
