@@ -38,10 +38,24 @@ def _num_user_buckets() -> int:
 
 
 def _cents(values: np.ndarray) -> np.ndarray:
-    """value -> integer cents with DuckDB round() semantics (half AWAY
-    from zero; np.round is half-to-even and diverges on exact .5)."""
-    v = values * 100.0
-    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    """value -> integer cents with DuckDB round() semantics (the one
+    shared kernel, functions/money.py)."""
+    from candidategeneration_ray.functions.money import round_scaled
+
+    return round_scaled(values)
+
+
+# packed (window_index, user) key base for the windowed operators; the
+# pack is guarded (below), not an unchecked testdata assumption
+_UID_PACK = np.int64(1_000_003)
+
+
+def _pack_window_user(widx: np.ndarray, uid: np.ndarray) -> np.ndarray:
+    if uid.size and int(uid.max()) >= int(_UID_PACK):
+        raise ValueError(
+            f"user_id >= {int(_UID_PACK)} breaks the packed (window, user) "
+            "key; widen _UID_PACK or switch to the 64-bit user hash")
+    return widx * _UID_PACK + uid
 
 
 def events_ds(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
@@ -133,19 +147,7 @@ def q_windowed_counts(sf_dir: str, window_sec: int = 3600) -> ray.data.Dataset:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
         et = batch.column("event_type").to_numpy(zero_copy_only=False)
         cents = _cents(batch.column("value").to_numpy())
-        win = ts // w_us
-        key = np.array([f"{t}\x00{w}" for t, w in zip(et, win)], dtype=object)
-        uniq, inv = np.unique(key, return_inverse=True)
-        n = np.bincount(inv)
-        c = np.bincount(inv, weights=cents).astype(np.int64)
-        types = [u.split("\x00")[0] for u in uniq]
-        wins = np.array([int(u.split("\x00")[1]) for u in uniq], dtype=np.int64)
-        return pa.table({
-            "event_type": pa.array(types, pa.string()),
-            "window_start_us": pa.array(wins * w_us, pa.int64()),
-            "n": pa.array(n.astype(np.int64), pa.int64()),
-            "cents": pa.array(c, pa.int64()),
-        })
+        return _window_type_partial(ts // w_us, et, cents, w_us)
 
     return (
         events_ds(sf_dir, ["ts", "event_type", "value"])
@@ -155,6 +157,27 @@ def q_windowed_counts(sf_dir: str, window_sec: int = 3600) -> ray.data.Dataset:
             Sum("cents", alias_name="cents"),
         )
     )
+
+
+def _window_type_partial(win: np.ndarray, et: np.ndarray,
+                         cents: np.ndarray, w_us: np.int64) -> pa.Table:
+    """Per-batch (event_type, window) count + EXACT int64 cents sums:
+    dictionary-encode the type once, pack (window, type_code) as one
+    integer key, np.add.at for the sums (float bincount weights would
+    lose exactness past 2^53)."""
+    et_u, et_inv = np.unique(et, return_inverse=True)
+    nt = max(len(et_u), 1)
+    key = win * np.int64(nt) + et_inv
+    uk, inv = np.unique(key, return_inverse=True)
+    n = np.bincount(inv).astype(np.int64)
+    c = np.zeros(uk.size, np.int64)
+    np.add.at(c, inv, cents)
+    return pa.table({
+        "event_type": pa.array(et_u[(uk % nt)].tolist(), pa.string()),
+        "window_start_us": pa.array((uk // nt) * w_us, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "cents": pa.array(c, pa.int64()),
+    })
 
 
 def q_range_join_counts(sf_dir: str, left_type: str = "purchase",
@@ -309,22 +332,8 @@ def q_sliding_counts(sf_dir: str, window_sec: int = 3600,
         # window starts base-j for j in 0..fan-1 all contain ts
         win = (np.repeat(base, fan)
                - np.tile(np.arange(fan, dtype=np.int64), ts.size))
-        et_r = np.repeat(et, fan)
-        cents_r = np.repeat(cents, fan)
-        key = np.array([f"{t}\x00{w}" for t, w in zip(et_r, win)],
-                       dtype=object)
-        uniq, inv = np.unique(key, return_inverse=True)
-        n = np.bincount(inv)
-        c = np.bincount(inv, weights=cents_r).astype(np.int64)
-        types = [u.split("\x00")[0] for u in uniq]
-        wins = np.array([int(u.split("\x00")[1]) for u in uniq],
-                        dtype=np.int64)
-        return pa.table({
-            "event_type": pa.array(types, pa.string()),
-            "window_start_us": pa.array(wins * s_us, pa.int64()),
-            "n": pa.array(n.astype(np.int64), pa.int64()),
-            "cents": pa.array(c, pa.int64()),
-        })
+        return _window_type_partial(
+            win, np.repeat(et, fan), np.repeat(cents, fan), s_us)
 
     return (
         events_ds(sf_dir, ["ts", "event_type", "value"])
@@ -348,7 +357,7 @@ def q_windowed_distinct_users(sf_dir: str,
     one vectorized groupby-count dedups the triples globally; a second
     O(windows x types) groupby sums the distinct rows. Both shuffles
     carry compressed rows, never raw events."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     w_us = np.int64(window_sec) * 1_000_000
 
@@ -377,17 +386,10 @@ def q_windowed_distinct_users(sf_dir: str,
         .aggregate(Count(alias_name="_c"))
     )
 
-    def _ones(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": batch.column("event_type"),
-            "window_start_us": batch.column("window_start_us"),
-            "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
-        })
-
+    # one deduped row per (type, window, user) -> Count IS n_users
     return (
-        dedup.map_batches(_ones, batch_format="pyarrow")
-        .groupby(["event_type", "window_start_us"])
-        .aggregate(Sum("one", alias_name="n_users"))
+        dedup.groupby(["event_type", "window_start_us"])
+        .aggregate(Count(alias_name="n_users"))
     )
 
 
@@ -408,13 +410,13 @@ def q_window_top_users(sf_dir: str, window_sec: int = 3600,
     def _part(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
         uid = batch.column("user_id").to_numpy().astype(np.int64)
-        widx = ts // w_us  # pack the window INDEX (~5e5), not the
-        # epoch-us start (~1.7e15 — start * 1e6 would overflow int64)
-        key = widx * np.int64(1_000_003) + uid  # uid < 1e6 by testdata
-        ku, cnt = np.unique(key, return_counts=True)
+        # pack the window INDEX (~5e5), not the epoch-us start
+        # (~1.7e15 — start * pack would overflow int64)
+        ku, cnt = np.unique(_pack_window_user(ts // w_us, uid),
+                            return_counts=True)
         return pa.table({
-            "window_start_us": pa.array((ku // 1_000_003) * w_us, pa.int64()),
-            "user_id": pa.array(ku % 1_000_003, pa.int64()),
+            "window_start_us": pa.array((ku // _UID_PACK) * w_us, pa.int64()),
+            "user_id": pa.array(ku % _UID_PACK, pa.int64()),
             "n": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
@@ -443,10 +445,13 @@ def q_window_top_users(sf_dir: str, window_sec: int = 3600,
         .aggregate(Sum("n", alias_name="n"))
     )
 
+    nb = np.int64(_num_user_buckets())  # hoisted: one bucket count for
+    # the whole run (recomputing per batch could split a window across
+    # groups if cluster resources change mid-run)
+
     def _bucket(batch: pa.Table) -> pa.Table:
         win = batch.column("window_start_us").to_numpy().astype(np.int64)
-        return batch.append_column(
-            "bkt", pa.array(win % _num_user_buckets(), pa.int64()))
+        return batch.append_column("bkt", pa.array(win % nb, pa.int64()))
 
     return (
         merged.map_batches(_bucket, batch_format="pyarrow")
@@ -479,16 +484,23 @@ def q_windowed_heavy_hitters(sf_dir: str, window_sec: int = 86400,
 
     capacity = max(capacity, -(-10000 // phi100))
     w_us = np.int64(window_sec) * 1_000_000
-    PK = np.int64(1_000_003)  # uid < 1e6 by testdata; -1 marks totals
+    PK = _UID_PACK  # guarded pack; user_id = -1 marks totals
 
-    def _pack(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    def _pack(batch: pa.Table) -> np.ndarray:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
         uid = batch.column("user_id").to_numpy().astype(np.int64)
-        return ts // w_us, uid
+        return _pack_window_user(ts // w_us, uid)
+
+    _EMPTY = pa.table({
+        "window_start_us": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64()),
+    })
 
     def _mg_partial(batch: pa.Table) -> pa.Table:
-        widx, uid = _pack(batch)
-        ku, cnt = np.unique(widx * PK + uid, return_counts=True)
+        ku, cnt = np.unique(_pack(batch), return_counts=True)
+        if ku.size == 0:  # reduceat/fancy-index below need >= 1 group
+            return _EMPTY
         w, u = ku // PK, ku % PK
         # per-window rank by count desc (lexsort is enough; ties keep
         # arbitrary members — MG allows any (capacity+1)-th value)
@@ -554,8 +566,7 @@ def q_windowed_heavy_hitters(sf_dir: str, window_sec: int = 86400,
 
     def _exact_partial(batch: pa.Table) -> pa.Table:
         cands = ray.get(cand_ref)
-        widx, uid = _pack(batch)
-        key = widx * PK + uid
+        key = _pack(batch)
         if cands.size:
             pos = np.minimum(np.searchsorted(cands, key), cands.size - 1)
             key = key[cands[pos] == key]

@@ -28,16 +28,15 @@ TOP_CUSTOMERS = 20
 
 
 def _cents(values: np.ndarray) -> np.ndarray:
-    """DuckDB round() semantics: half AWAY from zero (np.round is
-    half-to-even and diverges on exact .5 — same rule as events.py)."""
-    v = values * 100.0
-    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    """value -> integer cents, DuckDB round() semantics (the one
+    shared kernel, functions/money.py)."""
+    from candidategeneration_ray.functions.money import round_scaled
+
+    return round_scaled(values)
 
 
-def _pct(values: np.ndarray) -> np.ndarray:
-    """Fraction -> integer percent with the same rounding rule."""
-    v = values * 100.0
-    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+# fraction -> integer percent: the same rounding rule, same kernel
+_pct = _cents
 
 
 def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:

@@ -149,6 +149,14 @@ def q_frequent_terms(sf_dir: str, phi_pct: float = FREQ_PHI_PCT) -> pa.Table:
     exactly -> groupby(term).sum -> threshold filter.  Only summaries
     and candidate-restricted counts are ever shuffled; the candidate
     set is <= 1/phi true hitters plus prunable noise."""
+    # soundness precondition (same hazard as the windowed twin,
+    # events.q_windowed_heavy_hitters): the MG error N/(k+1) must stay
+    # BELOW the threshold phi*N or true hitters can be decremented out
+    # of every batch summary — fail fast instead of silently missing
+    if (MG_CAPACITY + 1) * int(phi_pct * 100) <= 10000:
+        raise ValueError(
+            f"phi_pct={phi_pct} needs MG capacity > {10000 // int(phi_pct * 100)}"
+            f" (have {MG_CAPACITY}); raise MG_CAPACITY or phi_pct")
     # materialize the merged summary in the OBJECT STORE (it can be up
     # to k x n_batches rows at scale — never take_all it raw); the
     # driver pulls one total row, then only the candidates that survive
