@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-corpus phrase oracle (phrase semantics are epoch-free)
         "phrase_delta_postings": ps.q_phrase_delta_postings,
         "minspan_topk": ps.q_minspan_topk,              # passage ranking by span
+        "phrase_bm25_topk": ps.q_phrase_bm25_topk,      # match-then-rank: phrase + BM25
         "snippets": ps.q_snippets,                      # KWIC snippet extraction
         "rrf_fusion": ps.q_rrf_fusion,                  # reciprocal-rank fusion
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
@@ -171,7 +172,8 @@ def oracle_sql() -> dict[str, str]:
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
         kmeans_eval_oracles,
         keyed_hll_oracles, last_touch_oracles,
-        kmeans_purity_oracles, minspan_oracles, positional_oracles,
+        kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
+        positional_oracles,
         proximity_oracles, q3_oracles, rollup_oracles, rrf_oracles,
         snippet_oracles, source_quantile_oracles,
         term_embedding_oracles, textlm_oracles,
@@ -195,4 +197,5 @@ def oracle_sql() -> dict[str, str]:
             **snippet_oracles(), **bloom_oracles(),
             **pct_rank_oracles(), **keyed_hll_oracles(),
             **cm_oracles(), **session_hist_oracles(),
-            **last_touch_oracles(), **rrf_oracles()}
+            **last_touch_oracles(), **rrf_oracles(),
+            **phrase_bm25_oracles()}

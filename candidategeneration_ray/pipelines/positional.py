@@ -862,6 +862,90 @@ def q_snippets(sf_dir: str, k: int = SNIPPET_TOPK,
     }), [("query_id", "ascending"), ("rank", "ascending")])
 
 
+PHRASE_BM25_TOPK = 10
+
+
+@ray.remote
+def _phrase_bm25_task(pos_dirs: list[str], idx_dir: str, phrase_id: int,
+                      tids: list[int], num_buckets: int, k: int) -> pa.Table:
+    """Phrase-constrained BM25 ranking for ONE phrase — the classic
+    two-stage 'match then rank': exact-phrase docs from the positional
+    family (packed-position intersection, identical to _phrase_task),
+    ranked by the SUM of the phrase's DISTINCT terms' quantized BM25
+    scores read bucket/key-pruned from the persisted unigram index
+    (functions/bm25.py semantics, utilsClass.java:102-131). Matching
+    docs contain every term by construction, so one searchsorted gather
+    per term scores all matches at once; ties break (score desc,
+    doc asc) like the engine's top-k (O6)."""
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    empty = pa.table({
+        "phrase_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.int64()),
+        "n_occurrences": pa.array([], pa.int64()),
+    })
+    uniq = sorted(set(tids))
+    packed = _packed_positions(pos_dirs, uniq, num_buckets)
+    if any(t not in packed for t in uniq):
+        return empty
+    s = packed[tids[0]]
+    for i, tid in enumerate(tids[1:], 1):
+        s = np.intersect1d(s, packed[tid] - i, assume_unique=True)
+        if s.size == 0:
+            return empty
+    match_docs, occ = np.unique(s >> POS_BITS, return_counts=True)
+    buckets = np.unique(
+        bucket_of(np.asarray(uniq, np.int64), num_buckets)).tolist()
+    reader = IndexReader(idx_dir, buckets=buckets)
+    total = np.zeros(match_docs.size, dtype=np.int64)
+    for tid in uniq:
+        got = reader.get(int(tid))
+        if got is None:  # unreachable: every matching doc holds every term
+            return empty
+        docs, scores, _, _ = got
+        total += scores.astype(np.int64)[np.searchsorted(docs, match_docs)]
+    sel = np.lexsort((match_docs, -total))[:k]
+    return pa.table({
+        "phrase_id": pa.array(np.full(sel.size, phrase_id, np.int64), pa.int64()),
+        "rank": pa.array(np.arange(1, sel.size + 1, dtype=np.int64), pa.int64()),
+        "doc_id": pa.array(match_docs[sel], pa.int64()),
+        "score": pa.array(total[sel], pa.int64()),
+        "n_occurrences": pa.array(occ[sel].astype(np.int64), pa.int64()),
+    })
+
+
+def q_phrase_bm25_topk(sf_dir: str, k: int = PHRASE_BM25_TOPK,
+                       phrases: list[tuple[int, str]] | None = None) -> pa.Table:
+    """Relevance-ranked exact-phrase retrieval: phrase match from the
+    positional family, BM25 ranking from the persisted unigram index —
+    both families share the dictionary, both reads are bucket-pruned,
+    one Ray task per phrase. At 100 TB each task touches only the
+    phrase's terms' buckets in two family layouts; nothing scans."""
+    from candidategeneration_ray.pipelines.docquery import build_documents_index
+
+    cfg = EngineConfig()
+    fam = build_positional_family(sf_dir, cfg)
+    stats = fam["stats"]
+    dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
+    idx = build_documents_index(sf_dir, cfg)
+    futs = []
+    for pid, phrase in (phrases or PHRASE_QUERIES):
+        tids = phrase_term_ids(stats, phrase)
+        if tids is None:
+            continue
+        futs.append(_phrase_bm25_task.remote(
+            dirs, idx["final_dir"], pid, tids, cfg.num_buckets, k))
+    return _gather_sorted(futs, pa.table({
+            "phrase_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+            "n_occurrences": pa.array([], pa.int64()),
+    }), [("phrase_id", "ascending"), ("rank", "ascending")])
+
+
 RRF_C = 60
 RRF_TOPK = 5
 

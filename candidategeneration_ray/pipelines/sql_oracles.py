@@ -1679,6 +1679,56 @@ WITH {KEPT_CTE}
     return {"phrase_postings": sql, "phrase_delta_postings": sql}
 
 
+def phrase_bm25_oracles() -> dict[str, str]:
+    """Phrase-constrained BM25 ranking re-derived in SQL: the phrase
+    self-join from positional_oracles() supplies the matching docs and
+    occurrence counts; the shared SCORES_CTE (bit-exact BM25 quantized
+    scores) supplies per-(doc, term) scores summed over the phrase's
+    DISTINCT terms; a window rank takes the top-k."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.positional import (
+        PHRASE_BM25_TOPK, PHRASE_QUERIES)
+
+    parts = []
+    for pid, phrase in PHRASE_QUERIES:
+        toks = tokenize_text(phrase)
+        if not toks:
+            continue
+        joins = "\n    ".join(
+            f"JOIN kept p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.kpos = p0.kpos + {i} AND p{i}.tok = '{t}'"
+            for i, t in enumerate(toks[1:], 1))
+        tl = ", ".join(f"'{t}'" for t in sorted(set(toks)))
+        parts.append(f"""
+SELECT CAST({pid} AS BIGINT) AS phrase_id,
+       CAST(m.doc_id AS BIGINT) AS doc_id,
+       m.n_occurrences,
+       CAST(sum(s.score) AS BIGINT) AS score
+FROM (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM kept p0
+    {joins}
+  WHERE p0.tok = '{toks[0]}'
+  GROUP BY p0.doc_id
+) m JOIN scores s ON s.doc_id = m.doc_id AND s.tok IN ({tl})
+GROUP BY m.doc_id, m.n_occurrences""")
+    union = "\nUNION ALL\n".join(parts)
+    return {
+        "phrase_bm25_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+matched AS ({union})
+SELECT phrase_id, rank, doc_id, score, n_occurrences FROM (
+  SELECT phrase_id, doc_id, score, n_occurrences,
+         CAST(row_number() OVER (PARTITION BY phrase_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM matched
+) WHERE rank <= {PHRASE_BM25_TOPK}
+""",
+    }
+
+
 def heavy_hitter_oracles() -> dict[str, str]:
     w_us = 86400 * 1_000_000
     phi100 = 150

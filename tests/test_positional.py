@@ -391,6 +391,61 @@ def test_rrf_fusion_arithmetic(ray_session, tmp_path):
     assert 101 in set(got["doc_id"])
 
 
+class TestPhraseBm25TopK:
+    def test_matches_composed_standalone_entries(self, ray_session, tmp_path):
+        """Top-k == phrase-matching docs ranked by the sum of the
+        distinct terms' unigram index scores (the two standalone
+        entries composed by hand)."""
+        from candidategeneration_ray.pipelines import docquery as dq
+
+        texts = [
+            "alpha beta gamma alpha beta",
+            "beta alpha beta noise words here",
+            "alpha beta",
+            "alpha zz beta",                    # no phrase match
+            "gamma delta epsilon",
+        ]
+        d = _write_docs(tmp_path, texts)
+        qs = [(0, "alpha beta"), (1, "beta alpha beta")]
+        got = ps.q_phrase_bm25_topk(d, k=10, phrases=qs).to_pandas()
+        match = ps.q_phrase_postings(d, phrases=qs).to_pandas()
+        score = {}
+        for term in ["alpha", "beta"]:
+            t = dq.q_term_postings(d, term=term).to_pandas()
+            for doc, s in zip(t["doc_id"], t["score"]):
+                score[(doc, term)] = int(s)
+        for pid, _ in qs:
+            sub = got[got["phrase_id"] == pid]
+            m = match[match["phrase_id"] == pid]
+            want = sorted(
+                ((-(score[(doc, "alpha")] + score[(doc, "beta")]), doc, occ)
+                 for doc, occ in zip(m["doc_id"], m["n_occurrences"])),
+            )
+            assert [tuple(r) for r in sub[
+                ["doc_id", "score", "n_occurrences"]].itertuples(index=False)
+            ] == [(doc, -neg, occ) for neg, doc, occ in want]
+            assert sub["rank"].tolist() == list(range(1, len(want) + 1))
+
+    def test_repeated_term_phrase_scores_distinct_terms_once(
+            self, ray_session, tmp_path):
+        from candidategeneration_ray.pipelines import docquery as dq
+
+        d = _write_docs(tmp_path, ["order order order", "order filler words"])
+        got = ps.q_phrase_bm25_topk(d, phrases=[(0, "order order")]).to_pandas()
+        t = dq.q_term_postings(d, term="order").to_pandas()
+        s100 = int(t[t["doc_id"] == 100]["score"].iloc[0])
+        assert got["doc_id"].tolist() == [100]
+        assert got["score"].tolist() == [s100]   # once, not twice
+        assert got["n_occurrences"].tolist() == [2]
+
+    def test_unmapped_phrase_yields_no_rows(self, ray_session, tmp_path):
+        d = _write_docs(tmp_path, ["alpha beta"])
+        got = ps.q_phrase_bm25_topk(d, phrases=[(0, "zz alpha")]).to_pandas()
+        assert len(got) == 0
+        assert list(got.columns) == [
+            "phrase_id", "rank", "doc_id", "score", "n_occurrences"]
+
+
 class TestPositionalLsmMultiDelta:
     """Regression tests for the review findings: generation numbering
     across compactions, chained-delta dictionary extension, and
