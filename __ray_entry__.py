@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_rollup": rl.q_nation_rollup,        # ROLLUP finalizer over the join
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
+        # two-level (user, time-slice) plan for monster users; hash-matches
+        # the SAME sessionize oracle = plan-equivalence proof
+        "sessionize_sliced": ev.q_sessionize_sliced,
         "session_length_hist": ev.q_session_length_hist,  # composition histogram
         "asof_join": ev.q_asof_join,
         "windowed_counts": ev.q_windowed_counts,
@@ -180,7 +183,7 @@ def oracle_sql() -> dict[str, str]:
         windowed_distinct_oracles,
     )
 
-    return {**core_oracles(), **predictive_oracles(), **extras_oracles(),
+    d = {**core_oracles(), **predictive_oracles(), **extras_oracles(),
             **sketch_oracles(), **kmeans_oracles(), **knn_oracles(),
             **mixture_oracles(), **sliding_oracles(),
             **quality_filter_oracles(), **hll_oracles(),
@@ -199,3 +202,7 @@ def oracle_sql() -> dict[str, str]:
             **cm_oracles(), **session_hist_oracles(),
             **last_touch_oracles(), **rrf_oracles(),
             **phrase_bm25_oracles()}
+    # the sliced (two-level) sessionize plan must equal the one-level
+    # plan — same oracle, so the driver hash-checks plan equivalence
+    d["sessionize_sliced"] = d["sessionize"]
+    return d

@@ -133,6 +133,132 @@ def q_sessionize(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
     )
 
 
+def q_sessionize_sliced(sf_dir: str, gap_sec: int = 1800,
+                        slice_sec: int = 6 * 3600) -> ray.data.Dataset:
+    """Two-level sessionization for MONSTER users — same result as
+    q_sessionize (the driver maps both to the SAME SQL oracle: a
+    plan-equivalence proof, like the salted join), but no single task
+    ever has to hold one user's whole stream:
+
+    Phase 1 buckets by hash(user, time-slice), so a hot user's events
+    spread across tasks, and sessionizes each slice locally (sessions
+    are forced closed at slice boundaries). Exactness: within a slice
+    the gap rule sees the same consecutive-event gaps the global pass
+    would; only boundary-straddling sessions are split, and phase 2
+    repairs exactly those.
+
+    Phase 2 re-buckets the per-SESSION rows (compressed: one fixed-width
+    row per local session, not per event) by user and merges
+    consecutive sessions whose inter-session gap <= gap_sec. Sessions
+    of one user are disjoint ascending time intervals, so the ordered
+    merge is exact for ANY slice width — `slice_sec` trades phase-1
+    parallelism against phase-2 row count and needs no tuning for
+    correctness (the tests run it down to 1 s slices).
+
+    Scale: this is the template for the other keyed-stream operators'
+    monster-key regime — the co-location assumption drops from "a
+    user's events fit one task" to "a user's SESSION SUMMARIES fit one
+    task"."""
+    gap_us = np.int64(gap_sec * 1_000_000)
+    slice_us = np.int64(slice_sec) * 1_000_000
+    nb = _num_user_buckets()
+
+    def _slice_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        sl = (ts // slice_us).astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            sl * np.uint64(0xC2B2AE3D27D4EB4F))
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "sbucket", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def _local_sessions(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        cents = _cents(group.column("value").to_numpy())
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "first_ts": pa.array([], pa.int64()),
+            "last_ts": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "min_event_id": pa.array([], pa.int64()),
+            "max_event_id": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        })
+        if u.size == 0:
+            return empty
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
+        sl = ts // slice_us
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        new_slice = np.concatenate(([True], sl[1:] != sl[:-1]))
+        gap = np.concatenate(([gap_us + 1], ts[1:] - ts[:-1]))
+        new_sess = new_user | new_slice | (gap > gap_us)
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate((starts[1:], [u.size])) - 1
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "first_ts": pa.array(ts[starts], pa.int64()),
+            "last_ts": pa.array(ts[ends], pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.concatenate((starts, [u.size]))).astype(np.int64),
+                pa.int64()),
+            "min_event_id": pa.array(np.minimum.reduceat(eid, starts), pa.int64()),
+            "max_event_id": pa.array(np.maximum.reduceat(eid, starts), pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents, starts), pa.int64()),
+        })
+
+    def _merge_sessions(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        first = group.column("first_ts").to_numpy()
+        last = group.column("last_ts").to_numpy()
+        n = group.column("n_events").to_numpy()
+        mn = group.column("min_event_id").to_numpy()
+        mx = group.column("max_event_id").to_numpy()
+        cents = group.column("cents").to_numpy()
+        if u.size == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "min_event_id": pa.array([], pa.int64()),
+                "max_event_id": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((first, u))
+        u, first, last = u[order], first[order], last[order]
+        n, mn, mx, cents = n[order], mn[order], mx[order], cents[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([gap_us + 1], first[1:] - last[:-1]))
+        new_sess = new_user | (gap > gap_us)
+        starts = np.nonzero(new_sess)[0]
+        sess_user = u[starts]
+        user_first = np.concatenate(([True], sess_user[1:] != sess_user[:-1]))
+        ustart = np.nonzero(user_first)[0]
+        sess_idx = np.arange(starts.size) - np.repeat(
+            ustart, np.diff(np.concatenate((ustart, [starts.size]))))
+        return pa.table({
+            "user_id": pa.array(sess_user, pa.int64()),
+            "session_idx": pa.array(sess_idx.astype(np.int64), pa.int64()),
+            "n_events": pa.array(np.add.reduceat(n, starts), pa.int64()),
+            "min_event_id": pa.array(np.minimum.reduceat(mn, starts), pa.int64()),
+            "max_event_id": pa.array(np.maximum.reduceat(mx, starts), pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents, starts), pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "value"])
+    local = (
+        ds.map_batches(_slice_bucket, batch_format="pyarrow")
+        .groupby("sbucket").map_groups(_local_sessions, batch_format="pyarrow")
+    )
+    return (
+        _with_user_bucket(local)
+        .groupby("ubucket").map_groups(_merge_sessions, batch_format="pyarrow")
+    )
+
+
 def q_windowed_counts(sf_dir: str, window_sec: int = 3600) -> ray.data.Dataset:
     """Tumbling-window aggregate: per (event_type, window) event count
     and integer-cents sum. Window assignment is a pure map (epoch

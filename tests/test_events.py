@@ -109,6 +109,82 @@ def test_hot_user_single_bucket(ray_session, tmp_path):
     assert int(pdf["cents"].iloc[0]) == 100 * n
 
 
+class TestSessionizeSliced:
+    """Two-level (user, time-slice) sessionization must equal the
+    one-level plan for any slice width — including widths far smaller
+    than the session gap, where nearly every session is split and
+    repaired by the phase-2 merge."""
+
+    def _one_level(self, E, d, gap_sec=1800):
+        return E.q_sessionize(d, gap_sec=gap_sec).to_pandas() \
+            .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+    def test_equals_one_level_random(self, ray_session, tmp_path):
+        from candidategeneration_ray.pipelines import events as E
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, int(rng.integers(0, 200_000)), int(rng.integers(0, 25)),
+             "view", float(rng.integers(0, 1000)) / 100)
+            for i in range(3000)
+        ]
+        d = _write_events(tmp_path, rows)
+        want = self._one_level(E, d)
+        for slice_sec in (6 * 3600, 1800, 601, 1):
+            got = E.q_sessionize_sliced(d, slice_sec=slice_sec).to_pandas() \
+                .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+            assert got.equals(want), f"slice_sec={slice_sec}"
+
+    def test_boundary_straddling_session_merges(self, ray_session, tmp_path):
+        from candidategeneration_ray.pipelines import events as E
+
+        # slice width 100s; events at 95s and 105s (gap 10 <= 1800)
+        # land in different slices and must merge back into ONE session;
+        # 105s -> 2000s (gap 1895 > 1800) must stay split even though
+        # a slice boundary also separates them.
+        rows = [
+            (0, 95, 1, "view", 1.00),
+            (1, 105, 1, "view", 2.00),
+            (2, 2000, 1, "view", 4.00),
+        ]
+        d = _write_events(tmp_path, rows)
+        got = E.q_sessionize_sliced(d, slice_sec=100).to_pandas() \
+            .sort_values("session_idx").reset_index(drop=True)
+        assert got[["session_idx", "n_events", "min_event_id",
+                    "max_event_id", "cents"]].values.tolist() == [
+            [0, 2, 0, 1, 300],
+            [1, 1, 2, 2, 400],
+        ]
+
+    def test_gap_spanning_empty_slices_merges(self, ray_session, tmp_path):
+        from candidategeneration_ray.pipelines import events as E
+
+        # 1s slices, events 1700s apart (gap <= 1800): ~1700 empty
+        # slices between the two local sessions — still one session.
+        rows = [(0, 0, 1, "view", 1.00), (1, 1700, 1, "view", 1.00)]
+        d = _write_events(tmp_path, rows)
+        got = E.q_sessionize_sliced(d, slice_sec=1).to_pandas()
+        assert len(got) == 1
+        assert int(got["n_events"].iloc[0]) == 2
+
+    def test_monster_user_spreads_across_phase1_groups(
+            self, ray_session, tmp_path):
+        """The point of the plan: one user's events hash to MANY
+        phase-1 buckets (one per time slice), unlike the one-level
+        plan's single bucket."""
+        from candidategeneration_ray.pipelines import events as E
+
+        n = 4000
+        rows = [(i, i * 10, 7, "view", 1.0) for i in range(n)]
+        d = _write_events(tmp_path, rows)
+        got = E.q_sessionize_sliced(d, slice_sec=600).to_pandas()
+        assert len(got) == 1 and int(got["n_events"].iloc[0]) == n
+        assert int(got["cents"].iloc[0]) == 100 * n
+        # distinct phase-1 keys touched = distinct (user, slice) pairs
+        ts = np.arange(n, dtype=np.int64) * 10
+        assert len(np.unique(ts // 600)) > 1
+
+
 def test_range_join_counts_semantics(ray_session, tmp_path):
     """[ts - lookback, ts) band: boundary events at exactly -lookback
     count, events at ts itself do not."""
