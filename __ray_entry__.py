@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": rl.q_top_customers,        # group-agg + dataset-side top-k
         "shipping_priority": rl.q_shipping_priority,  # Q3 shape: 2-key multi-join
         "nation_rollup": rl.q_nation_rollup,        # ROLLUP finalizer over the join
+        "local_supplier_volume": rl.q_local_supplier_volume,  # Q5 shape: 6-way join
+        "customers_no_orders": rl.q_customers_no_orders,  # bucketed ANTI join
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         # two-level (user, time-slice) plan for monster users; hash-matches
@@ -177,7 +179,8 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         positional_oracles,
-        proximity_oracles, q3_oracles, rollup_oracles, rrf_oracles,
+        proximity_oracles, q3_oracles, q5_oracles, rollup_oracles,
+        rrf_oracles,
         snippet_oracles, source_quantile_oracles,
         term_embedding_oracles, textlm_oracles,
         windowed_distinct_oracles,
@@ -201,7 +204,7 @@ def oracle_sql() -> dict[str, str]:
             **pct_rank_oracles(), **keyed_hll_oracles(),
             **cm_oracles(), **session_hist_oracles(),
             **last_touch_oracles(), **rrf_oracles(),
-            **phrase_bm25_oracles()}
+            **phrase_bm25_oracles(), **q5_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -444,6 +444,263 @@ def q_shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> pa.Table:
     return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
 
 
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def q_local_supplier_volume(sf_dir: str) -> pa.Table:
+    """TPC-H-Q5-shaped local-supplier volume: revenue per nation from
+    lineitems where the CUSTOMER and the SUPPLIER sit in the same
+    nation, the nation is in one region, and the order falls in a
+    one-year window —
+
+        region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier
+        group by n_name, revenue_milli = Σ cents(price)·(100 − disc_pct)
+
+    The 6-way join decomposes into the engine's standard shapes with
+    TWO bucketed shuffles total: region/nation (30 rows) and supplier
+    (|S| ≪ facts; int64→int64 key map) broadcast once via ray.put;
+    join 1 (custkey) is the union-tag bucketed join forwarding ONE row
+    (okey, c_nationkey) per qualifying date-filtered order; lineitem
+    rows resolve s_nationkey from the broadcast map and compress to one
+    partial-revenue row per (batch, okey, s_nation) BEFORE join 2
+    (okey), where the equality c_nation == s_nation is applied
+    in-bucket and the output is one row per nation per bucket. At a
+    scale where supplier outgrows broadcast (~10^9 rows), join 3 runs
+    as a third bucketed union-tag exchange on suppkey — same machinery,
+    documented trade."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    nb = JOIN_BUCKETS
+    lo = np.datetime64(Q5_DATE_LO, "us")
+    hi = np.datetime64(Q5_DATE_HI, "us")
+
+    # broadcast side 1: nationkey -> name, restricted to the region
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rk = {r["r_name"]: r["r_regionkey"] for r in region.to_pylist()}[Q5_REGION]
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nrows = [r for r in nation.to_pylist() if r["n_regionkey"] == rk]
+    nk = np.array(sorted(r["n_nationkey"] for r in nrows), np.int64)
+    nname = np.asarray([r["n_name"] for r in sorted(
+        nrows, key=lambda r: r["n_nationkey"])], object)
+    # broadcast side 2: suppkey -> nationkey (sorted-key gather)
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    o = np.argsort(sk)
+    supp_ref = ray.put((sk[o], sn[o]))
+    nat_ref = ray.put((nk, nname))
+
+    def _cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        natk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        regional = np.isin(natk, ray.get(nat_ref)[0])
+        ck, natk = ck[regional], natk[regional]
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "okey": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
+            "cnat": pa.array(natk, pa.int64()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "okey": pa.array(
+                batch.column("o_orderkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "cnat": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
+        })
+
+    def _join1(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        key = group.column("key").to_numpy().astype(np.int64)
+        cnat = group.column("cnat").to_numpy().astype(np.int64)
+        build = okey == -1
+        bk, bn = key[build], cnat[build]
+        o = np.argsort(bk)
+        bk, bn = bk[o], bn[o]
+        pk = key[~build]
+        if bk.size:
+            idx = np.minimum(np.searchsorted(bk, pk), bk.size - 1)
+            hit = bk[idx] == pk
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        ok = okey[~build][hit]
+        return pa.table({
+            "bkt": pa.array(ok % nb, pa.int64()),
+            "okey": pa.array(ok, pa.int64()),
+            "nat": pa.array(bn[idx[hit]], pa.int64()),
+            "rev": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+        })
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        sk_s, sn_s = ray.get(supp_ref)
+        lok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        lsk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        rev = _cents(batch.column("l_extendedprice").to_numpy()) \
+            * (100 - _pct(batch.column("l_discount").to_numpy()))
+        snat = sn_s[np.searchsorted(sk_s, lsk)]  # FK: every suppkey resolves
+        # compress: one row per (okey, supplier nation) per batch; only
+        # regional supplier nations can satisfy cnat == snat
+        regional = np.isin(snat, ray.get(nat_ref)[0])
+        lok, snat, rev = lok[regional], snat[regional], rev[regional]
+        key = lok * np.int64(64) + snat  # nationkey < 64 by schema
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({
+            "bkt": pa.array((u // 64) % nb, pa.int64()),
+            "okey": pa.array(u // 64, pa.int64()),
+            "nat": pa.array(u % 64, pa.int64()),
+            "rev": pa.array(s, pa.int64()),
+        })
+
+    def _join2(group: pa.Table) -> pa.Table:
+        nk_b, nname_b = ray.get(nat_ref)
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        nat = group.column("nat").to_numpy().astype(np.int64)
+        rev = group.column("rev").to_numpy().astype(np.int64)
+        build = rev == -1  # (okey, customer nation) headers, unique per okey
+        bo, bn = okey[build], nat[build]
+        o = np.argsort(bo)
+        bo, bn = bo[o], bn[o]
+        pk, pn, pv = okey[~build], nat[~build], rev[~build]
+        if bo.size:
+            idx = np.minimum(np.searchsorted(bo, pk), bo.size - 1)
+            hit = (bo[idx] == pk) & (bn[idx] == pn)  # local-supplier rule
+        else:
+            hit = np.zeros(pk.size, bool)
+        if not hit.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue_milli": pa.array([], pa.int64())})
+        u, inv = np.unique(pn[hit], return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, pv[hit])
+        names = nname_b[np.searchsorted(nk_b, u)]
+        return pa.table({
+            "n_name": pa.array(names.tolist(), pa.string()),
+            "revenue_milli": pa.array(s, pa.int64()),
+        })
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))),
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    qorders = cust.union(orders).groupby("bkt") \
+        .map_groups(_join1, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_li_partial, batch_format="pyarrow")
+    out = (
+        qorders.union(li)
+        .groupby("bkt").map_groups(_join2, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+        .sort(key=["revenue_milli", "n_name"], descending=[True, False])
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_customers_no_orders(sf_dir: str) -> ray.data.Dataset:
+    """Distributed bucketed ANTI join: customers with NO order inside
+    the [Q5_DATE_LO, Q5_DATE_HI) window, counted per nation — the join
+    polarity the surface didn't cover (inner: nation_order_stats;
+    semi: shipping_priority; anti: here). The date scope keeps the
+    result non-degenerate on the synthetic corpus (every customer has
+    SOME order) and pushes the predicate into the orders read.
+
+    Shape: both sides bucket by custkey hash (union-tag); the orders
+    side compresses to DISTINCT custkeys per batch before the shuffle
+    (the anti probe only needs existence); per bucket one sort + one
+    searchsorted marks customers without a probe hit; output is one
+    (nation, count) partial per bucket, merged by a tiny groupby.
+    The 25-row nation dim broadcasts for naming."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(Q5_DATE_LO, "us")
+    hi = np.datetime64(Q5_DATE_HI, "us")
+
+    nb = JOIN_BUCKETS
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    nnames = np.asarray(nation.column("n_name").to_pylist(), object)
+    o = np.argsort(nk)
+    nat_ref = ray.put((nk[o], nnames[o]))
+
+    def _cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nat": pa.array(
+                batch.column("c_nationkey").to_numpy().astype(np.int64),
+                pa.int64()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        ck = np.unique(batch.column("o_custkey").to_numpy().astype(np.int64))
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nat": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
+        })
+
+    def _anti(group: pa.Table) -> pa.Table:
+        nk_b, nname_b = ray.get(nat_ref)
+        key = group.column("key").to_numpy().astype(np.int64)
+        nat = group.column("nat").to_numpy().astype(np.int64)
+        cust = nat >= 0
+        probe = np.unique(key[~cust])
+        ck, cn = key[cust], nat[cust]
+        if probe.size:
+            idx = np.minimum(np.searchsorted(probe, ck), probe.size - 1)
+            lonely = probe[idx] != ck
+        else:
+            lonely = np.ones(ck.size, bool)
+        if not lonely.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "n_customers": pa.array([], pa.int64())})
+        u, cnt = np.unique(cn[lonely], return_counts=True)
+        names = nname_b[np.searchsorted(nk_b, u)]
+        return pa.table({
+            "n_name": pa.array(names.tolist(), pa.string()),
+            "n_customers": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))),
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    return (
+        cust.union(orders)
+        .groupby("bkt").map_groups(_anti, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
 def q_nation_rollup(sf_dir: str) -> pa.Table:
     """ROLLUP(n_name, o_orderstatus) over the join aggregate: the
     finest level plus per-nation subtotals plus a grand total, with

@@ -1908,6 +1908,40 @@ LIMIT {Q3_TOPK}
     }
 
 
+def q5_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.relational import (
+        Q5_DATE_HI, Q5_DATE_LO, Q5_REGION)
+
+    return {
+        "local_supplier_volume": f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_milli
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n_name
+""",
+        "customers_no_orders": f"""
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+      AND o_orderdate < TIMESTAMP '{Q5_DATE_HI}')
+GROUP BY n_name
+""",
+    }
+
+
 def minspan_oracles() -> dict[str, str]:
     """Minimal covering window re-derived in SQL: for each anchor the
     per-term NEXT kept position >= the anchor (correlated min), span =

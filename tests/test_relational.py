@@ -196,3 +196,83 @@ class TestShippingPriority:
         got = rl.q_shipping_priority(d).to_pandas()
         assert got["l_orderkey"].tolist() == [10]
         assert got["revenue_milli"].tolist() == [10000 * 90]
+
+
+class TestLocalSupplierVolume:
+    def _fixture(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        d = str(tmp_path)
+        pq.write_table(pa.table({
+            "r_regionkey": pa.array([0, 1], pa.int64()),
+            "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+        }), os.path.join(d, "region.parquet"))
+        pq.write_table(pa.table({
+            "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+            "n_name": pa.array(["JAPAN", "INDIA", "FRANCE"], pa.string()),
+            "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+        }), os.path.join(d, "nation.parquet"))
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_nationkey": pa.array([0, 1, 2], pa.int64()),
+        }), os.path.join(d, "customer.parquet"))
+        pq.write_table(pa.table({
+            "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+            "s_nationkey": pa.array([0, 1, 2], pa.int64()),
+        }), os.path.join(d, "supplier.parquet"))
+        dates = np.array(["1996-06-01", "1996-07-01", "1997-06-01",
+                          "1996-08-01"], dtype="datetime64[us]")
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([100, 101, 102, 103], pa.int64()),
+            "o_custkey": pa.array([1, 2, 1, 3], pa.int64()),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        }), os.path.join(d, "orders.parquet"))
+        pq.write_table(pa.table({
+            # order 100 (cust JP): JP supplier (local, counts) + IN
+            # supplier (not local, drops); order 101 (cust IN): IN
+            # supplier counts; order 102 fails the date window; order
+            # 103's customer is FRANCE (not in ASIA) -> drops.
+            "l_orderkey": pa.array([100, 100, 101, 102, 103], pa.int64()),
+            "l_suppkey": pa.array([10, 11, 11, 10, 12], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 50.0, 40.0, 70.0, 30.0],
+                                        pa.float64()),
+            "l_discount": pa.array([0.10, 0.0, 0.05, 0.0, 0.0], pa.float64()),
+        }), os.path.join(d, "lineitem.parquet"))
+        return d
+
+    def test_local_rule_and_window(self, ray_session, tmp_path):
+        d = self._fixture(tmp_path)
+        got = rl.q_local_supplier_volume(d).to_pandas()
+        want = {
+            "JAPAN": 10000 * 90,          # order 100 x supplier 10 only
+            "INDIA": 4000 * 95,           # order 101 x supplier 11
+        }
+        assert dict(zip(got["n_name"], got["revenue_milli"])) == want
+        # sorted by revenue desc
+        assert got["revenue_milli"].is_monotonic_decreasing
+
+
+class TestCustomersNoOrders:
+    def test_anti_semantics(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        d = str(tmp_path)
+        pq.write_table(pa.table({
+            "n_nationkey": pa.array([0, 1], pa.int64()),
+            "n_name": pa.array(["JAPAN", "INDIA"], pa.string()),
+        }), os.path.join(d, "nation.parquet"))
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_nationkey": pa.array([0, 0, 1, 1], pa.int64()),
+        }), os.path.join(d, "customer.parquet"))
+        dates = np.array(["1996-06-01", "1995-06-01"], dtype="datetime64[us]")
+        pq.write_table(pa.table({
+            # cust 1 has an in-window order; cust 2's order is outside
+            # the window (still lonely); custs 3,4 have none.
+            "o_orderkey": pa.array([100, 101], pa.int64()),
+            "o_custkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        }), os.path.join(d, "orders.parquet"))
+        got = rl.q_customers_no_orders(d).to_pandas()
+        assert dict(zip(got["n_name"], got["n_customers"])) == {
+            "JAPAN": 1, "INDIA": 2}
