@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from candidategeneration_ray.pipelines import ivfdelta as ivfd
     from candidategeneration_ray.pipelines import positional as ps
     from candidategeneration_ray.pipelines import textlm as tl
+    from candidategeneration_ray.pipelines import lexicon as lx
 
     return {
         # --- core engine operators (SURVEY.md §2) ---
@@ -66,6 +67,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_bm25_topk": ps.q_phrase_bm25_topk,      # match-then-rank: phrase + BM25
         "snippets": ps.q_snippets,                      # KWIC snippet extraction
         "rrf_fusion": ps.q_rrf_fusion,                  # reciprocal-rank fusion
+        # --- lexicon / search-frontend features ---
+        "prefix_terms": lx.q_prefix_terms,              # wildcard/autocomplete scan
+        "fuzzy_terms": lx.q_fuzzy_terms,                # ed<=1 "did you mean"
+        "bool_or_docs": lx.q_bool_or_docs,              # m-of-k disjunctive retrieval
+        "facet_counts": lx.q_facet_counts,              # faceted result counts
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
@@ -175,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         cluster_label_oracles, cohort_oracles, events_topk_oracles,
         funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
+        lexicon_oracles,
         kmeans_eval_oracles,
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
@@ -204,7 +211,8 @@ def oracle_sql() -> dict[str, str]:
             **pct_rank_oracles(), **keyed_hll_oracles(),
             **cm_oracles(), **session_hist_oracles(),
             **last_touch_oracles(), **rrf_oracles(),
-            **phrase_bm25_oracles(), **q5_oracles()}
+            **phrase_bm25_oracles(), **q5_oracles(),
+            **lexicon_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -1,0 +1,282 @@
+"""Dictionary-serving search features: prefix scan, fuzzy (edit-
+distance <= 1) term lookup, m-of-k disjunctive retrieval, and faceted
+result counts.
+
+These are the query-side lexicon operators a full-text engine layers
+over the inverted index (the reference's dictionary is the HashMap in
+InvertedIndex.java; its lookups are exact-match only — prefix / fuzzy /
+facets are the standard extensions a search frontend needs).
+
+Scale notes (100 TB): the dictionary is DICTIONARY-scale, not
+corpus-scale — it fits the same budget as the stats broadcast
+(stages/stats.py). All four operators below keep that separation:
+prefix/fuzzy scan the dictionary as a Dataset (the blocked-stats path
+`stats_to_blocks` is the >memory variant), disjunctive retrieval reads
+only the queried terms' posting lists from the persisted index, and
+facet counting is ONE streaming corpus scan emitting O(terms x facets)
+partial rows per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from candidategeneration_ray.functions.tokenize import tokenize_text
+from candidategeneration_ray.pipelines.docquery import (
+    DOC_QUERIES,
+    build_documents_index,
+    corpus_stats,
+)
+
+# Fixed inputs shared with the SQL oracles (sql_oracles.lexicon_oracles)
+PREFIXES: list[str] = ["s", "co", "qu", "gr", "ba"]
+FUZZY_QUERIES: list[str] = [
+    "vectr", "scann", "hush", "qery", "tible", "spork", "merg",
+    "data", "kay", "zzzz",
+]
+FACET_TERMS: list[str] = ["query", "vector", "batch", "customer"]
+OR_MIN_MATCH = 2
+
+
+def _dictionary_ds(sf_dir: str, n_blocks: int = 4) -> ray.data.Dataset:
+    """The (term, df) dictionary as a Dataset.
+
+    At test scale the dictionary comes from the in-memory stats; at
+    100 TB the same rows stream from the persisted blocked dictionary
+    (stages/stats.py::stats_to_blocks) — either way the scan below is
+    a per-block map, never a driver loop.
+    """
+    stats = corpus_stats(sf_dir)
+    terms = np.asarray(stats["terms"], dtype=object)
+    df = np.asarray(stats["df_by_id"][1:], dtype=np.int64)
+    tbl = pa.table({
+        "term": pa.array(terms.tolist(), pa.string()),
+        "df": pa.array(df, pa.int64()),
+    })
+    return ray.data.from_arrow(tbl).repartition(n_blocks)
+
+
+# ------------------------------------------------------------- prefix scan
+
+def q_prefix_terms(sf_dir: str) -> ray.data.Dataset:
+    """Prefix dictionary scan: for each fixed prefix, every dictionary
+    term starting with it plus its document frequency — the lookup
+    behind query autocompletion / wildcard expansion (term*).
+
+    Shape: vectorized `starts_with` per dictionary block; output is
+    O(matching terms). With a SORTED blocked dictionary the scan
+    prunes to the blocks whose [first, last] term range overlaps the
+    prefix interval — same range pruning the segment reader uses.
+    Returns (prefix, term, df)."""
+    import pyarrow.compute as pc
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in PREFIXES:
+            hit = batch.filter(pc.starts_with(batch.column("term"), p))
+            if hit.num_rows:
+                outs.append(pa.table({
+                    "prefix": pa.array([p] * hit.num_rows, pa.string()),
+                    "term": hit.column("term"),
+                    "df": hit.column("df"),
+                }))
+        if not outs:
+            return pa.table({
+                "prefix": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+            })
+        return pa.concat_tables(outs)
+
+    return _dictionary_ds(sf_dir).map_batches(_scan, batch_format="pyarrow")
+
+
+# ------------------------------------------------- fuzzy (ed<=1) term match
+
+def _edit_distance_le1(a: str, b: str) -> int | None:
+    """Exact Levenshtein distance if <= 1, else None. O(len) via the
+    common-prefix/suffix rule (no DP needed for distance 1)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    p = 0
+    while p < la and p < lb and a[p] == b[p]:
+        p += 1
+    s = 0
+    while s < la - p and s < lb - p and a[la - 1 - s] == b[lb - 1 - s]:
+        s += 1
+    if la == lb:
+        return 1 if p + s >= la - 1 else None
+    return 1 if p + s >= min(la, lb) else None
+
+
+def _deletion_variants(words: pd.Series) -> pd.DataFrame:
+    """All strings reachable by deleting <= 1 character, vectorized:
+    one sliced-concat pass per character position (no per-row Python),
+    so cost is O(max_len) column ops per block."""
+    idx = np.arange(len(words))
+    frames = [pd.DataFrame({"variant": words.to_numpy(), "row": idx})]
+    max_len = int(words.str.len().max() or 0)
+    for i in range(max_len):
+        mask = (words.str.len() > i).to_numpy()
+        if not mask.any():
+            break
+        sub = words[mask]
+        frames.append(pd.DataFrame({
+            "variant": (sub.str[:i] + sub.str[i + 1:]).to_numpy(),
+            "row": idx[mask],
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+def q_fuzzy_terms(sf_dir: str) -> ray.data.Dataset:
+    """Fuzzy dictionary lookup: for each fixed (possibly misspelled)
+    query word, every dictionary term within Levenshtein distance 1,
+    with its df — the "did you mean" candidate generator.
+
+    Shape: SymSpell-style deletion neighborhoods. The query words'
+    variants are tiny and BROADCAST (closure capture; `ray.put` at
+    fleet scale); each dictionary block generates its own variants
+    with vectorized slice-concats and hash-joins against the query
+    variants. A deletion-variant collision bounds true distance by 2,
+    so survivors get the exact prefix/suffix distance-1 check — the
+    candidate set per block is tiny by construction (only near-misses
+    collide). Returns (qword, term, df, dist)."""
+    qs = pd.Series(FUZZY_QUERIES, dtype=object)
+    qvar = _deletion_variants(qs).rename(columns={"row": "qrow"})
+    qwords = qs.to_numpy()
+
+    def _match(batch: pa.Table) -> pa.Table:
+        terms = pd.Series(batch.column("term").to_pylist(), dtype=object)
+        df = batch.column("df").to_numpy()
+        tvar = _deletion_variants(terms)
+        cand = tvar.merge(qvar, on="variant")[["row", "qrow"]].drop_duplicates()
+        out_q, out_t, out_df, out_d = [], [], [], []
+        for trow, qrow in cand.itertuples(index=False):
+            d = _edit_distance_le1(str(qwords[qrow]), str(terms.iat[trow]))
+            if d is not None:
+                out_q.append(str(qwords[qrow]))
+                out_t.append(str(terms.iat[trow]))
+                out_df.append(int(df[trow]))
+                out_d.append(d)
+        return pa.table({
+            "qword": pa.array(out_q, pa.string()),
+            "term": pa.array(out_t, pa.string()),
+            "df": pa.array(out_df, pa.int64()),
+            "dist": pa.array(out_d, pa.int64()),
+        })
+
+    return _dictionary_ds(sf_dir).map_batches(_match, batch_format="pyarrow")
+
+
+# ------------------------------------------- m-of-k disjunctive retrieval
+
+def q_bool_or_docs(sf_dir: str, min_match: int = OR_MIN_MATCH) -> pa.Table:
+    """Disjunctive (OR) retrieval with a minimum-should-match rule:
+    for each fixed query, the docs containing at least `min_match`
+    DISTINCT kept query terms, with the match count — the boolean
+    recall set a ranker like WAND prunes (bm25_topk is the scored
+    twin; this is the unscored m-of-k membership).
+
+    Shape: serving-side — reads ONLY the queried terms' posting lists
+    from the persisted compressed index (lists are doc-ordered, so the
+    union-with-counts is one concat + unique per query). Unindexed
+    terms contribute nothing (OR semantics). Returns
+    (query_id, doc_id, n_matched)."""
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    qids, docs, nm = [], [], []
+    for qid, text in DOC_QUERIES:
+        terms = sorted(set(tokenize_text(text)))
+        tids = [reader.term_to_id[t] for t in terms if t in reader.term_to_id]
+        lists = []
+        for tid in tids:
+            got = reader.get(int(tid))
+            if got is not None:
+                lists.append(got[0])
+        if len(lists) < min_match:
+            continue
+        alldocs = np.concatenate(lists)
+        u, cnt = np.unique(alldocs, return_counts=True)
+        keep = cnt >= min_match
+        for d, c in zip(u[keep].tolist(), cnt[keep].tolist()):
+            qids.append(qid)
+            docs.append(int(d))
+            nm.append(int(c))
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_matched": pa.array(nm, pa.int64()),
+    })
+
+
+# -------------------------------------------------------- faceted counts
+
+def q_facet_counts(sf_dir: str) -> ray.data.Dataset:
+    """Faceted search counts: for each fixed query term, how many
+    matching documents fall in each (source, lang) facet bucket — the
+    sidebar counts a search UI renders next to results.
+
+    Shape: ONE streaming corpus scan; each batch emits at most
+    O(|terms| x |facet combos|) partial rows (term membership via one
+    np.unique over the batch's token stream — no per-row set probes),
+    then a tiny groupby sum. No posting lists and no corpus-scale
+    shuffle. Returns (term, source, lang, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+
+    facet_terms = np.asarray(FACET_TERMS, dtype=object)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        n = len(token_lists)
+        lens = np.fromiter((len(t) for t in token_lists), np.int64, n)
+        flat = np.asarray(
+            [t for toks in token_lists for t in toks], dtype=object)
+        doc_of = np.repeat(np.arange(n), lens)
+        # facet key codes once per batch
+        key = np.char.add(np.char.add(src.astype(str), "\x1f"),
+                          lang.astype(str))
+        fcodes, finv = np.unique(key, return_inverse=True)
+        out_t, out_s, out_l, out_n = [], [], [], []
+        for term in facet_terms:
+            hit_docs = np.unique(doc_of[flat == term])
+            if hit_docs.size == 0:
+                continue
+            cnt = np.zeros(len(fcodes), np.int64)
+            np.add.at(cnt, finv[hit_docs], 1)
+            nz = np.nonzero(cnt)[0]
+            for j in nz:
+                s, l = fcodes[j].split("\x1f", 1)
+                out_t.append(str(term))
+                out_s.append(s)
+                out_l.append(l)
+                out_n.append(int(cnt[j]))
+        return pa.table({
+            "term": pa.array(out_t, pa.string()),
+            "source": pa.array(out_s, pa.string()),
+            "lang": pa.array(out_l, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source", "lang"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["term", "source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )

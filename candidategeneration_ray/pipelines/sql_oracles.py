@@ -2340,3 +2340,51 @@ WITH {KEPT_CTE}
 {union}
 """,
     }
+
+
+def lexicon_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.lexicon import (
+        FACET_TERMS, FUZZY_QUERIES, OR_MIN_MATCH, PREFIXES,
+    )
+
+    pre_vals = ", ".join(f"('{p}')" for p in PREFIXES)
+    fq_vals = ", ".join(f"('{w}')" for w in FUZZY_QUERIES)
+    ft_vals = ", ".join(f"('{t}')" for t in FACET_TERMS)
+    dft = ("dft AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT)"
+           " AS df FROM kept GROUP BY tok)")
+    return {
+        "prefix_terms": f"""
+WITH {KEPT_CTE},
+{dft},
+pre(prefix) AS (VALUES {pre_vals})
+SELECT prefix, term, df FROM dft JOIN pre ON starts_with(term, prefix)
+""",
+        "fuzzy_terms": f"""
+WITH {KEPT_CTE},
+{dft},
+qw(qword) AS (VALUES {fq_vals})
+SELECT qword, term, df, CAST(levenshtein(qword, term) AS BIGINT) AS dist
+FROM dft CROSS JOIN qw
+WHERE levenshtein(qword, term) <= 1
+""",
+        "bool_or_docs": f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+dt AS (SELECT DISTINCT doc_id, tok FROM kept)
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM qtok q JOIN dt d USING (tok)
+GROUP BY q.query_id, d.doc_id
+HAVING count(*) >= {OR_MIN_MATCH}
+""",
+        "facet_counts": f"""
+WITH {KEPT_CTE},
+ft(term) AS (VALUES {ft_vals})
+SELECT ft.term, d.source, d.lang,
+       CAST(count(DISTINCT k.doc_id) AS BIGINT) AS n_docs
+FROM ft JOIN kept k ON k.tok = ft.term
+JOIN documents d ON d.doc_id = k.doc_id
+GROUP BY ft.term, d.source, d.lang
+""",
+    }

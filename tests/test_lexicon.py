@@ -1,0 +1,116 @@
+"""Lexicon operators: fuzzy distance kernel, deletion variants,
+block-count invariance, and OR/AND consistency."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from candidategeneration_ray.pipelines.lexicon import (
+    _deletion_variants,
+    _edit_distance_le1,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+WORDS = ["", "a", "ab", "ba", "abc", "acb", "abcd", "abd", "xbcd",
+         "vector", "vectr", "vecttor", "wector", "vectors", "scan",
+         "scann", "banana", "banane", "ananab", "table", "tible"]
+
+
+def test_edit_distance_le1_matches_dp():
+    for a in WORDS:
+        for b in WORDS:
+            true = _levenshtein(a, b)
+            got = _edit_distance_le1(a, b)
+            if true <= 1:
+                assert got == true, (a, b)
+            else:
+                assert got is None, (a, b)
+
+
+def test_deletion_variants_exhaustive():
+    s = pd.Series(["abc", "x", ""], dtype=object)
+    v = _deletion_variants(s)
+    got = set(map(tuple, v[["variant", "row"]].itertuples(index=False)))
+    expect = {("abc", 0), ("bc", 0), ("ac", 0), ("ab", 0),
+              ("x", 1), ("", 1), ("", 2)}
+    assert got == expect
+
+
+def test_deletion_neighborhood_covers_ed1():
+    # any pair at true distance <= 1 must share a deletion variant
+    for a in WORDS:
+        for b in WORDS:
+            if _levenshtein(a, b) <= 1:
+                va = set(_deletion_variants(
+                    pd.Series([a], dtype=object))["variant"])
+                vb = set(_deletion_variants(
+                    pd.Series([b], dtype=object))["variant"])
+                assert va & vb, (a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prefix_terms_block_invariance():
+    from candidategeneration_ray.pipelines import lexicon as lx
+
+    base = lx.q_prefix_terms(SF).to_pandas()
+    base = base.sort_values(list(base.columns)).reset_index(drop=True)
+    assert len(base) > 0
+    # every returned term actually starts with its prefix and df >= 1
+    assert all(t.startswith(p) for p, t in zip(base["prefix"], base["term"]))
+    assert (base["df"] >= 1).all()
+    # the per-block scan must not depend on the dictionary block count
+    orig = lx._dictionary_ds
+    try:
+        lx._dictionary_ds = lambda sf, n_blocks=1: orig(sf, n_blocks=1)
+        one = lx.q_prefix_terms(SF).to_pandas()
+    finally:
+        lx._dictionary_ds = orig
+    one = one.sort_values(list(one.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, one)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bool_or_superset_of_and():
+    from candidategeneration_ray.pipelines.lexicon import q_bool_or_docs
+    from candidategeneration_ray.pipelines.textlm import q_bool_and_docs
+
+    or_t = q_bool_or_docs(SF).to_pandas()
+    and_t = q_bool_and_docs(SF).to_pandas()
+    or_pairs = set(zip(or_t["query_id"], or_t["doc_id"]))
+    # AND docs for multi-term queries satisfy any m-of-k with m=2
+    # (queries with >= 2 indexed kept terms)
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.docquery import DOC_QUERIES
+
+    multi = {qid for qid, text in DOC_QUERIES
+             if len(set(tokenize_text(text))) >= 2}
+    for qid, did in zip(and_t["query_id"], and_t["doc_id"]):
+        if qid in multi:
+            assert (qid, did) in or_pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_terms_sound_and_bounded():
+    from candidategeneration_ray.pipelines.lexicon import (
+        FUZZY_QUERIES, q_fuzzy_terms)
+
+    t = q_fuzzy_terms(SF).to_pandas()
+    assert len(t) > 0
+    for qw, term, dist in zip(t["qword"], t["term"], t["dist"]):
+        assert qw in FUZZY_QUERIES
+        assert _levenshtein(qw, term) == dist <= 1
+    # no duplicate (qword, term) pairs
+    assert not t.duplicated(subset=["qword", "term"]).any()
