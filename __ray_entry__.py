@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_sample": ex.q_source_sample,
         "tokens_by_source": ex.q_tokens_by_source,
         "train_val_split": ex.q_train_val_split,
+        "regex_counts": ex.q_regex_counts,  # PII-ish scrub-pattern scan
         "langid": ex.q_langid,
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
@@ -161,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch": ev.q_last_touch,              # group-wise argmax
         "event_dedup_counts": ev.q_event_dedup_counts,  # stream near-dup rule
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
+        "rolling_spend": ev.q_rolling_spend,        # RANGE-frame rolling window
         "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
@@ -181,7 +183,7 @@ def oracle_sql() -> dict[str, str]:
         cluster_label_oracles, cohort_oracles, events_topk_oracles,
         funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
-        lexicon_oracles,
+        lexicon_oracles, regex_oracles, rolling_oracles,
         kmeans_eval_oracles,
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
@@ -212,7 +214,8 @@ def oracle_sql() -> dict[str, str]:
             **cm_oracles(), **session_hist_oracles(),
             **last_touch_oracles(), **rrf_oracles(),
             **phrase_bm25_oracles(), **q5_oracles(),
-            **lexicon_oracles()}
+            **lexicon_oracles(), **regex_oracles(),
+            **rolling_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

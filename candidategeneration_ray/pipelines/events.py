@@ -434,6 +434,63 @@ def q_asof_join(sf_dir: str, left_type: str = "purchase",
     )
 
 
+def q_rolling_spend(sf_dir: str, window_sec: int = 3600,
+                    event_type: str = "purchase") -> ray.data.Dataset:
+    """Per-event rolling RANGE-window aggregate: for every `event_type`
+    event, the count and integer-cents sum of the SAME user's
+    `event_type` events in the trailing `window_sec` window — SQL's
+    `RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW` frame, so
+    equal-timestamp peers are included on both ends. The per-entity
+    trailing-spend / velocity feature of fraud and abuse pipelines.
+
+    Shape: bucket by user hash → one lexsort per bucket → BOTH frame
+    bounds from two np.searchsorted calls over a single monotone
+    composite key (segment_rank * band + ts_offset with band >
+    ts_span + window, so a query shifted by `window` can never cross
+    a segment boundary) → prefix-sum differences. No per-user loop;
+    the window never needs materializing."""
+    win_us = np.int64(window_sec * 1_000_000)
+
+    def _rolling(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        keep = et == event_type
+        u = group.column("user_id").to_numpy().astype(np.int64)[keep]
+        ts = group.column("ts").cast(pa.int64()).to_numpy()[keep]
+        eid = group.column("event_id").to_numpy().astype(np.int64)[keep]
+        cents = _cents(group.column("value").to_numpy()[keep])
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "n_window": pa.array([], pa.int64()),
+            "cents_window": pa.array([], pa.int64()),
+        })
+        if u.size == 0:
+            return empty
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
+        seg = np.concatenate(([True], u[1:] != u[:-1])).cumsum() - 1
+        ts0 = ts - ts.min()
+        band = int(ts0.max()) + int(win_us) + 2
+        if (int(seg[-1]) + 1) * band >= 2**62:  # guarded pack
+            raise ValueError("rolling-window composite key would overflow; "
+                             "shrink the bucket's time span or window")
+        comp = seg * np.int64(band) + ts0
+        left = np.searchsorted(comp, comp - win_us, side="left")
+        right = np.searchsorted(comp, comp, side="right")
+        pref = np.concatenate(([0], np.cumsum(cents)))
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "n_window": pa.array(right - left, pa.int64()),
+            "cents_window": pa.array(pref[right] - pref[left], pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                            "value"])
+    return (
+        _with_user_bucket(ds)
+        .groupby("ubucket").map_groups(_rolling, batch_format="pyarrow")
+    )
+
+
 def q_sliding_counts(sf_dir: str, window_sec: int = 3600,
                      slide_sec: int = 900) -> ray.data.Dataset:
     """SLIDING-window aggregate: per (event_type, window) count and

@@ -1099,6 +1099,57 @@ def q_text_stats(sf_dir: str) -> ray.data.Dataset:
     return documents_ds(sf_dir).map_batches(_textstats, batch_format="pyarrow")
 
 
+# PII-ish scrub patterns (RE2 syntax — pyarrow and DuckDB both run
+# RE2, so partial-match semantics agree by construction)
+REGEX_PATTERNS: list[tuple[str, str]] = [
+    ("repeat_word", "batch batch"),
+    ("gap_pair", "query [a-z]+ join"),
+    ("either_order", "(vector [a-z]+ data|data [a-z]+ vector)"),
+    ("adjacent_class", "(sort|merge) (sort|merge)"),
+    ("ordered_triple", "stream .*filter.* hash"),
+]
+
+
+def q_regex_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-(source, pattern) count of documents whose raw text matches
+    a fixed set of unanchored regexes — the scrub-list / PII-pattern
+    accounting pass a training-data pipeline runs before redaction.
+
+    Shape: ONE streaming scan; each batch runs compiled RE2 kernels
+    (pyarrow match_substring_regex — no Python regex loop) and emits
+    O(sources x patterns) partial rows; a tiny groupby sums them.
+    Returns (pattern, source, n_docs)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(src, return_inverse=True)
+        out_p, out_s, out_n = [], [], []
+        for name, pat in REGEX_PATTERNS:
+            hit = pc.match_substring_regex(
+                batch.column("text"), pat).to_numpy(zero_copy_only=False)
+            cnt = np.zeros(len(codes), np.int64)
+            np.add.at(cnt, inv[hit], 1)
+            nz = np.nonzero(cnt)[0]
+            out_p.extend([name] * nz.size)
+            out_s.extend(codes[nz].tolist())
+            out_n.extend(cnt[nz].tolist())
+        return pa.table({
+            "pattern": pa.array(out_p, pa.string()),
+            "source": pa.array(out_s, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text", "source"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["pattern", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
 def q_langid(sf_dir: str) -> ray.data.Dataset:
     """Stopword-ratio language-ID heuristic: is_en iff >= 20% of the
     alphabetic words are English stopwords (5*n_stop >= n_words)."""

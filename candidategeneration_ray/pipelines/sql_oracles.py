@@ -2388,3 +2388,36 @@ JOIN documents d ON d.doc_id = k.doc_id
 GROUP BY ft.term, d.source, d.lang
 """,
     }
+
+
+def rolling_oracles() -> dict[str, str]:
+    return {
+        "rolling_spend": """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_window
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+    }
+
+
+def regex_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.extras import REGEX_PATTERNS
+
+    parts = []
+    for name, pat in REGEX_PATTERNS:
+        esc = pat.replace("\\", "\\\\").replace("'", "''")
+        parts.append(f"""
+SELECT '{name}' AS pattern, source,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE regexp_matches(text, '{esc}')
+GROUP BY source""")
+    union = "\nUNION ALL\n".join(parts)
+    return {"regex_counts": union}

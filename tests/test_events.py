@@ -514,3 +514,58 @@ def test_last_touch_and_dedup_semantics(ray_session, tmp_path):
     assert dd.loc["view", "n_events"] == 5
     assert dd.loc["view", "n_dups"] == 2     # events 1 and 5
     assert dd.loc["click", "n_dups"] == 0
+
+
+def test_rolling_spend_range_frame_semantics(ray_session, tmp_path):
+    from candidategeneration_ray.pipelines.events import q_rolling_spend
+
+    rows = [
+        (0, 0, 1, "purchase", 1.00),
+        (1, 1800, 1, "purchase", 2.00),     # within 1h of 0
+        (2, 3600, 1, "purchase", 4.00),     # exactly 1h after 0: included
+        (3, 3601, 1, "purchase", 8.00),     # event 0 now out of range
+        (4, 3601, 1, "purchase", 16.00),    # equal-ts PEER of 3: both see both
+        (5, 3601, 1, "click", 99.00),       # other type: ignored
+        (6, 0, 2, "purchase", 32.00),       # other user
+        (7, 100000, 1, "purchase", 64.00),  # lone trailing window
+    ]
+    d = _write_events(tmp_path, rows)
+    got = q_rolling_spend(d).to_pandas().set_index("event_id").sort_index()
+    assert got.loc[0, "cents_window"] == 100
+    assert got.loc[1, "cents_window"] == 300
+    assert got.loc[2, "cents_window"] == 700       # 1+2+4 (boundary incl.)
+    # RANGE CURRENT ROW includes equal-ts peers in BOTH frames
+    assert got.loc[3, "cents_window"] == 3000      # 2+4+8+16
+    assert got.loc[4, "cents_window"] == 3000
+    assert got.loc[3, "n_window"] == 4 and got.loc[4, "n_window"] == 4
+    assert got.loc[6, "cents_window"] == 3200
+    assert got.loc[7, "cents_window"] == 6400 and got.loc[7, "n_window"] == 1
+    assert 5 not in got.index
+
+
+def test_rolling_spend_matches_bruteforce(ray_session):
+    import duckdb
+
+    from candidategeneration_ray.pipelines.events import q_rolling_spend
+
+    sf = "/root/testdata/sf0.001"
+    got = q_rolling_spend(sf).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    exp = con.sql("""
+        WITH p AS (SELECT event_id, user_id, ts,
+                          CAST(round(value*100) AS BIGINT) AS cents
+                   FROM events WHERE event_type = 'purchase')
+        SELECT a.event_id,
+               count(*) AS n_window,
+               sum(b.cents) AS cents_window
+        FROM p a JOIN p b ON a.user_id = b.user_id
+         AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+        GROUP BY a.event_id ORDER BY a.event_id
+    """).df()
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["n_window"].tolist() == exp["n_window"].astype(int).tolist()
+    assert got["cents_window"].tolist() == \
+        exp["cents_window"].astype(int).tolist()
