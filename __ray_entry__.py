@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-mode opt-in: the library default caps hot shingles
         # (safe polarity at scale); the oracle comparison wants exact
         "jaccard_pairs": lambda sf: ex.q_jaccard_pairs(sf, max_shingle_df=None),
+        # containment twin: exact-mode opt-in like jaccard_pairs
+        "containment_pairs":
+            lambda sf: ex.q_containment_pairs(sf, max_shingle_df=None),
         "minhash_signatures": ex.q_minhash_signatures,
         "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
         "dup_clusters": ex.q_dup_clusters,
@@ -183,7 +186,8 @@ def oracle_sql() -> dict[str, str]:
         cluster_label_oracles, cohort_oracles, events_topk_oracles,
         funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
-        lexicon_oracles, regex_oracles, rolling_oracles,
+        containment_oracles, lexicon_oracles, regex_oracles,
+        rolling_oracles,
         kmeans_eval_oracles,
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
@@ -215,7 +219,7 @@ def oracle_sql() -> dict[str, str]:
             **last_touch_oracles(), **rrf_oracles(),
             **phrase_bm25_oracles(), **q5_oracles(),
             **lexicon_oracles(), **regex_oracles(),
-            **rolling_oracles()}
+            **rolling_oracles(), **containment_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -117,6 +117,65 @@ def q_jaccard_pairs(sf_dir: str, threshold_pct: int = 20,
     the exact result — the oracle harness opts in explicitly
     (__ray_entry__), and capped output is always a SUBSET of exact
     (tested with a pathological hot shingle)."""
+    inter = _shingle_pair_overlaps(sf_dir, max_shingle_df)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        inter_n = batch.column("inter_n").to_numpy().astype(np.int64)
+        union_n = (batch.column("size_a").to_numpy().astype(np.int64)
+                   + batch.column("size_b").to_numpy().astype(np.int64) - inter_n)
+        keep = inter_n * 100 >= threshold_pct * union_n
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "inter_n": pa.array(inter_n[keep], pa.int64()),
+            "union_n": pa.array(union_n[keep], pa.int64()),
+        })
+
+    return inter.map_batches(_filter, batch_format="pyarrow")
+
+
+def q_containment_pairs(sf_dir: str, threshold_pct: int = 80,
+                        max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF
+                        ) -> ray.data.Dataset:
+    """One-sided containment near-dups: doc pairs where the SMALLER
+    distinct-shingle set is >= threshold_pct contained in the other —
+    the rule that catches quote/subset duplicates whose Jaccard stays
+    low because the containing doc is much bigger (Broder's
+    containment, the dedup signal Jaccard structurally misses).
+
+    Same distributed shape as q_jaccard_pairs (shared intersection
+    machinery); only the finalizer rule differs:
+    inter * 100 >= pct * min(|A|, |B|).
+    Output (doc_a, doc_b, inter_n, small_n)."""
+    inter = _shingle_pair_overlaps(sf_dir, max_shingle_df)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        inter_n = batch.column("inter_n").to_numpy().astype(np.int64)
+        small_n = np.minimum(
+            batch.column("size_a").to_numpy().astype(np.int64),
+            batch.column("size_b").to_numpy().astype(np.int64))
+        keep = inter_n * 100 >= threshold_pct * small_n
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "inter_n": pa.array(inter_n[keep], pa.int64()),
+            "small_n": pa.array(small_n[keep], pa.int64()),
+        })
+
+    return inter.map_batches(_filter, batch_format="pyarrow")
+
+
+def _shingle_pair_overlaps(sf_dir: str,
+                           max_shingle_df: int | None) -> ray.data.Dataset:
+    """Shared near-dup intersection machinery: distinct-shingle rows →
+    groupby(shingle-hash bucket) → size-class-vectorized pair explosion
+    → groupby(pair) sum. Yields (doc_a, doc_b, inter_n, size_a,
+    size_b); the Jaccard / containment finalizers differ only in the
+    threshold rule they apply to these five columns."""
     from ray.data.aggregate import Max, Sum
 
     shingles = documents_ds(sf_dir).map_batches(
@@ -166,22 +225,7 @@ def q_jaccard_pairs(sf_dir: str, threshold_pct: int = 20,
             Max("size_b", alias_name="size_b"),
         )
     )
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy()
-        b = batch.column("doc_b").to_numpy()
-        inter_n = batch.column("inter_n").to_numpy().astype(np.int64)
-        union_n = (batch.column("size_a").to_numpy().astype(np.int64)
-                   + batch.column("size_b").to_numpy().astype(np.int64) - inter_n)
-        keep = inter_n * 100 >= threshold_pct * union_n
-        return pa.table({
-            "doc_a": pa.array(a[keep], pa.int64()),
-            "doc_b": pa.array(b[keep], pa.int64()),
-            "inter_n": pa.array(inter_n[keep], pa.int64()),
-            "union_n": pa.array(union_n[keep], pa.int64()),
-        })
-
-    return inter.map_batches(_filter, batch_format="pyarrow")
+    return inter
 
 
 def q_minhash_signatures(sf_dir: str) -> ray.data.Dataset:

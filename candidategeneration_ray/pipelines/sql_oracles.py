@@ -2421,3 +2421,24 @@ FROM documents WHERE regexp_matches(text, '{esc}')
 GROUP BY source""")
     union = "\nUNION ALL\n".join(parts)
     return {"regex_counts": union}
+
+
+def containment_oracles() -> dict[str, str]:
+    return {
+        "containment_pairs": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(H.SHINGLE_W)},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter_n
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter_n, least(sa.n, sb.n) AS small_n
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_n * 100 >= 80 * least(sa.n, sb.n)
+""",
+    }

@@ -429,3 +429,76 @@ class TestQualityFilter:
         # thresholds chosen to actually discriminate on the driver table
         assert 0 < df["keep"].sum() < len(df)
         assert (df["fail_mask"] >= 0).all() and (df["fail_mask"] < 32).all()
+
+
+class TestContainment:
+    def test_subset_dup_caught_by_containment_not_jaccard(
+            self, ray_session, tmp_path):
+        """A short doc fully contained in a much longer one: containment
+        fires, 20%-Jaccard does not — the case the rule exists for."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import (
+            q_containment_pairs, q_jaccard_pairs)
+
+        # pure-alpha words (the tokenizer drops alphanumeric mixes)
+        import itertools
+        import string
+
+        words = ["".join(p) for p in itertools.islice(
+            itertools.product(string.ascii_lowercase, repeat=3), 120)]
+        short = " ".join(words[:12])           # 10 shingles, all in long
+        long = " ".join(words)                 # 118 shingles
+        other = " ".join("".join(p) for p in itertools.islice(
+            itertools.product("qrstuv", repeat=3), 50))
+        d = str(tmp_path / "subset")
+        os.makedirs(d)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([short, long, other], pa.string()),
+        }), os.path.join(d, "documents.parquet"))
+        cont = q_containment_pairs(d, max_shingle_df=None).to_pandas()
+        assert len(cont) == 1
+        assert (int(cont["doc_a"][0]), int(cont["doc_b"][0])) == (1, 2)
+        assert int(cont["inter_n"][0]) == int(cont["small_n"][0]) == 10
+        jac = q_jaccard_pairs(d, max_shingle_df=None).to_pandas()
+        assert len(jac) == 0                   # 10/118 < 20%
+
+    def test_capped_containment_is_subset_of_exact(
+            self, ray_session, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import (
+            q_containment_pairs)
+
+        import itertools
+        import string
+
+        tails = ["".join(p) for p in itertools.islice(
+            itertools.product(string.ascii_lowercase, repeat=4), 36)]
+        # 30 DISTINCT common words: 28 shared shingles vs 32 per doc
+        # (>80% containment); repetition wouldn't work — distinct
+        # shingle sets collapse repeats
+        hot = " ".join("".join(p) for p in itertools.islice(
+            itertools.product("fghjk", repeat=3), 30))
+        docs = [f"{hot} {tails[3*i]} {tails[3*i+1]} {tails[3*i+2]}"
+                for i in range(12)]
+        d = str(tmp_path / "cap")
+        os.makedirs(d)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs, pa.string()),
+        }), os.path.join(d, "documents.parquet"))
+        def pairs(t):
+            df = t.to_pandas()
+            return (set() if df.empty
+                    else set(zip(df["doc_a"], df["doc_b"])))
+
+        ep = pairs(q_containment_pairs(d, max_shingle_df=None))
+        cp = pairs(q_containment_pairs(d, max_shingle_df=4))
+        assert ep, "exact run should find the hot-prefix pairs"
+        assert cp <= ep
