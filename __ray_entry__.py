@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_top50": dq.q_df_top50,                      # A2 document frequency
         "term_postings": dq.q_term_postings,            # M7+M8+O1/O2 list build
         "unigram_list_lengths": dq.q_unigram_list_lengths,  # A4 list lengths
+        "postings_bytes": dq.q_postings_bytes,  # on-disk codec accounting
         "pruned_list_lengths": dq.q_pruned_list_lengths,    # O3 build-time pruning
         "delta_update_lists": dq.q_delta_update_lists,      # incremental (LSM) update
         "delta_hit_top5": dq.q_delta_hit_top5,              # HIT family rebuilt after a delta
@@ -186,8 +187,8 @@ def oracle_sql() -> dict[str, str]:
         cluster_label_oracles, cohort_oracles, events_topk_oracles,
         funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
-        containment_oracles, lexicon_oracles, regex_oracles,
-        rolling_oracles,
+        containment_oracles, lexicon_oracles, postings_bytes_oracles,
+        regex_oracles, rolling_oracles,
         kmeans_eval_oracles,
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
@@ -219,7 +220,8 @@ def oracle_sql() -> dict[str, str]:
             **last_touch_oracles(), **rrf_oracles(),
             **phrase_bm25_oracles(), **q5_oracles(),
             **lexicon_oracles(), **regex_oracles(),
-            **rolling_oracles(), **containment_oracles()}
+            **rolling_oracles(), **containment_oracles(),
+            **postings_bytes_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

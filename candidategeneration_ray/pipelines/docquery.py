@@ -425,6 +425,49 @@ def q_query_keys(sf_dir: str) -> pa.Table:
     })
 
 
+def q_postings_bytes(sf_dir: str) -> ray.data.Dataset:
+    """Compression accounting straight off the PERSISTED index: per
+    unigram term, the on-disk byte size of its delta+varint doc array
+    and raw-int32 score array — the index-size budget a capacity plan
+    needs, verified against an ANALYTIC SQL model of the codec (the
+    oracle recomputes Σ varint_size(gap) from the doc sets, so this
+    entry hash-checks the byte layout itself, not just the decoded
+    content; functions/varint.py semantics, reference codec
+    VariableByteCode.java:68-113).
+
+    Shape: dataset-side scan of the segment files (binary_length is
+    zero-copy Arrow — lists are never decoded); the id→term dictionary
+    rides along as a broadcast (blocked-dictionary path at >memory
+    vocab). Returns (term, n, docs_bytes, scores_bytes)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    terms = np.asarray(built["stats"]["terms"], dtype=object)
+    terms_ref = ray.put(terms)
+    files = sorted(_glob.glob(
+        os.path.join(built["final_dir"], "**", "*.parquet"), recursive=True))
+
+    def _sizes(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy()
+        m = key < (1 << 32)
+        t = batch.filter(pa.array(m))
+        ids = t.column("key").to_numpy().astype(np.int64)
+        names = ray.get(terms_ref)[ids - 1]
+        return pa.table({
+            "term": pa.array(names.tolist(), pa.string()),
+            "n": t.column("n").cast(pa.int64()),
+            "docs_bytes": pc.binary_length(t.column("docs")).cast(pa.int64()),
+            "scores_bytes": pc.binary_length(
+                t.column("scores")).cast(pa.int64()),
+        })
+
+    return ray.data.read_parquet(
+        files, columns=["key", "n", "docs", "scores"]
+    ).map_batches(_sizes, batch_format="pyarrow")
+
+
 def q_access_counts(sf_dir: str) -> pa.Table:
     """#queries containing each term (A5, Metadata.java:153-169), over
     terms that exist in the corpus dictionary."""

@@ -2442,3 +2442,28 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter_n * 100 >= 80 * least(sa.n, sb.n)
 """,
     }
+
+
+def postings_bytes_oracles() -> dict[str, str]:
+    # analytic codec model: gap[0] = doc_id (absolute), LEB128 size =
+    # 1 byte per 7 bits; scores are raw little-endian int32
+    size_case = ("CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 "
+                 "WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 "
+                 "ELSE 5 END")
+    return {
+        "postings_bytes": f"""
+WITH {KEPT_CTE},
+dt AS (SELECT DISTINCT doc_id, tok FROM kept),
+g AS (
+  SELECT tok,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok
+                                             ORDER BY doc_id), 0) AS gap
+  FROM dt
+)
+SELECT tok AS term,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({size_case}) AS BIGINT) AS docs_bytes,
+       CAST(4 * count(*) AS BIGINT) AS scores_bytes
+FROM g GROUP BY tok
+""",
+    }
