@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_hit_top5": dq.q_delta_hit_top5,              # HIT family rebuilt after a delta
         "pair_counts_top50": dq.q_pair_counts_top50,    # M5/M6 d-bigram emission
         "filtered_pair_counts": dq.q_filtered_pair_counts,  # M4/J1/D2 filter-set semi-join
+        "related_terms": dq.q_related_terms,  # seed-filtered co-occurrence top-5
         "query_keys": dq.q_query_keys,                  # M2/M3 query convert+augment
         "access_counts": dq.q_access_counts,            # A5 access map
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
@@ -188,7 +189,7 @@ def oracle_sql() -> dict[str, str]:
         funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
         containment_oracles, lexicon_oracles, postings_bytes_oracles,
-        regex_oracles, rolling_oracles,
+        regex_oracles, related_terms_oracles, rolling_oracles,
         kmeans_eval_oracles,
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
@@ -221,7 +222,7 @@ def oracle_sql() -> dict[str, str]:
             **phrase_bm25_oracles(), **q5_oracles(),
             **lexicon_oracles(), **regex_oracles(),
             **rolling_oracles(), **containment_oracles(),
-            **postings_bytes_oracles()}
+            **postings_bytes_oracles(), **related_terms_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

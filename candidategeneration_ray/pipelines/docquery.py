@@ -403,6 +403,60 @@ def q_filtered_pair_counts(sf_dir: str) -> pa.Table:
     })
 
 
+RELATED_SEEDS: list[str] = ["query", "vector", "batch"]
+
+
+def q_related_terms(sf_dir: str, k: int = 5) -> pa.Table:
+    """"Related searches": for each seed term, the top-k co-occurring
+    terms by d-window pair document count (n desc, term asc) — the
+    suggestion list a search frontend derives from the pair family.
+
+    Shape: reuses the M4 filter-set emission path — the filter is the
+    dictionary-scale set of packed keys containing a seed id, so
+    non-seed pairs are pruned INSIDE the emitter (nothing but
+    O(seeds x vocab) pair rows ever reaches the shuffle); the groupby
+    output is O(seeds x vocab) and the per-seed top-k is one lexsort.
+    A pair of two seeds feeds both seeds' lists.
+    Returns (seed, other, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    toks = doc_tokens(sf_dir)
+    stats = corpus_stats(sf_dir)
+    t2i = {t: i + 1 for i, t in enumerate(stats["terms"])}
+    seed_ids = {t2i[s] for s in RELATED_SEEDS if s in t2i}
+    fkeys = set()
+    for s in seed_ids:
+        for o in t2i.values():
+            if o != s:
+                lo, hi = (s, o) if s < o else (o, s)
+                fkeys.add((lo << 32) | hi)
+    cfg = EngineConfig(emit_unigrams=False, emit_pairs=True)
+    postings = emit_postings(
+        toks, ray.put(stats), cfg,
+        filter_ref=ray.put(np.array(sorted(fkeys), dtype=np.int64)))
+    pdf = postings.groupby("key").aggregate(
+        Sum("n", alias_name="n_docs")).to_pandas()
+    keys = pdf["key"].to_numpy(np.int64)
+    n = pdf["n_docs"].to_numpy(np.int64)
+    terms = np.asarray(stats["terms"], dtype=object)
+    out_s, out_o, out_n = [], [], []
+    for s in sorted(seed_ids):
+        t1, t2 = keys >> 32, keys & 0xFFFFFFFF
+        m = (t1 == s) | (t2 == s)
+        other = np.where(t1[m] == s, t2[m], t1[m])
+        names = terms[other - 1]
+        cnt = n[m]
+        order = np.lexsort((names, -cnt))[:k]
+        out_s.extend([str(terms[s - 1])] * order.size)
+        out_o.extend(names[order].tolist())
+        out_n.extend(cnt[order].tolist())
+    return pa.table({
+        "seed": pa.array(out_s, pa.string()),
+        "other": pa.array(out_o, pa.string()),
+        "n_docs": pa.array(out_n, pa.int64()),
+    })
+
+
 def q_query_keys(sf_dir: str) -> pa.Table:
     """Query conversion + augmentation (M2/M3): for the fixed query set,
     emit (query_id, key) = mapped term ids plus packed 2-subset pairs."""

@@ -2467,3 +2467,30 @@ SELECT tok AS term,
 FROM g GROUP BY tok
 """,
     }
+
+
+def related_terms_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.docquery import RELATED_SEEDS
+
+    seed_vals = ", ".join(f"('{s}')" for s in RELATED_SEEDS)
+    return {
+        "related_terms": f"""
+WITH {KEPT_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc_id,
+         least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+  FROM kept a JOIN kept b
+    ON a.doc_id = b.doc_id AND b.kpos > a.kpos AND b.kpos <= a.kpos + 5
+),
+counts AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_docs
+           FROM pairs GROUP BY t1, t2),
+seeds(seed) AS (VALUES {seed_vals}),
+rel AS (
+  SELECT seed, CASE WHEN t1 = seed THEN t2 ELSE t1 END AS other, n_docs
+  FROM counts JOIN seeds ON t1 = seed OR t2 = seed
+)
+SELECT seed, other, n_docs FROM rel
+QUALIFY row_number() OVER (PARTITION BY seed
+                           ORDER BY n_docs DESC, other ASC) <= 5
+""",
+    }
