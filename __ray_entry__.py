@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_dedup_counts": ev.q_event_dedup_counts,  # stream near-dup rule
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
         "rolling_spend": ev.q_rolling_spend,        # RANGE-frame rolling window
+        "campaign_overlap": ev.q_campaign_overlap,  # interval-overlap join
         "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
@@ -188,7 +189,8 @@ def oracle_sql() -> dict[str, str]:
         cluster_label_oracles, cohort_oracles, events_topk_oracles,
         funnel_oracles,
         heavy_hitter_oracles, ivf_delta_oracles, kmeans_ari_oracles,
-        containment_oracles, lexicon_oracles, postings_bytes_oracles,
+        campaign_oracles, containment_oracles, lexicon_oracles,
+        postings_bytes_oracles,
         regex_oracles, related_terms_oracles, rolling_oracles,
         kmeans_eval_oracles,
         keyed_hll_oracles, last_touch_oracles,
@@ -222,7 +224,8 @@ def oracle_sql() -> dict[str, str]:
             **phrase_bm25_oracles(), **q5_oracles(),
             **lexicon_oracles(), **regex_oracles(),
             **rolling_oracles(), **containment_oracles(),
-            **postings_bytes_oracles(), **related_terms_oracles()}
+            **postings_bytes_oracles(), **related_terms_oracles(),
+            **campaign_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

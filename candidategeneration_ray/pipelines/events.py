@@ -434,6 +434,91 @@ def q_asof_join(sf_dir: str, left_type: str = "purchase",
     )
 
 
+# Fixed campaign windows for the interval-overlap join (UTC, closed
+# [start, end] on both sides); the events table spans Jan 2024
+CAMPAIGNS: list[tuple[int, str, str]] = [
+    (1, "2024-01-03 00:00:00", "2024-01-05 23:59:59"),
+    (2, "2024-01-10 12:00:00", "2024-01-11 11:59:59"),
+    (3, "2024-01-15 00:00:00", "2024-01-21 23:59:59"),
+    (4, "2024-01-29 00:00:00", "2024-02-02 00:00:00"),
+]
+
+
+def q_campaign_overlap(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
+    """Interval-overlap join: per fixed campaign window, how many user
+    SESSIONS (same gap rule as q_sessionize) overlap it and their
+    total integer cents — attribution of derived intervals against a
+    broadcast interval dimension (the classic range-overlap join with
+    one tiny side).
+
+    Shape: the sessionize bucket kernel, extended with per-session
+    [min ts, max ts] bounds; each bucket tests its sessions against
+    the BROADCAST campaign windows (closed-interval overlap:
+    smin <= c_end AND smax >= c_start) and emits O(campaigns) partial
+    rows; a tiny groupby sums them. The corpus-scale side never
+    shuffles by campaign. Returns (campaign_id, n_sessions, cents)."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    gap_us = np.int64(gap_sec * 1_000_000)
+    bounds = [
+        # naive-UTC epoch micros (the table's ts is a naive timestamp;
+        # never go through the host's local timezone)
+        (cid,
+         int(_dt.datetime.fromisoformat(a).replace(
+             tzinfo=_dt.timezone.utc).timestamp() * 1_000_000),
+         int(_dt.datetime.fromisoformat(b).replace(
+             tzinfo=_dt.timezone.utc).timestamp() * 1_000_000))
+        for cid, a, b in CAMPAIGNS
+    ]
+
+    def _overlap(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        cents = _cents(group.column("value").to_numpy())
+        empty = pa.table({
+            "campaign_id": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        })
+        if u.size == 0:
+            return empty
+        order = np.lexsort((eid, ts, u))
+        u, ts, cents = u[order], ts[order], cents[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([gap_us + 1], ts[1:] - ts[:-1]))
+        starts = np.nonzero(new_user | (gap > gap_us))[0]
+        ends = np.concatenate((starts[1:], [u.size]))
+        smin, smax = ts[starts], ts[ends - 1]
+        pref = np.concatenate(([0], np.cumsum(cents)))
+        scents = pref[ends] - pref[starts]
+        out_c, out_n, out_s = [], [], []
+        for cid, c0, c1 in bounds:
+            m = (smin <= c1) & (smax >= c0)
+            if m.any():
+                out_c.append(cid)
+                out_n.append(int(m.sum()))
+                out_s.append(int(scents[m].sum()))
+        if not out_c:
+            return empty
+        return pa.table({
+            "campaign_id": pa.array(out_c, pa.int64()),
+            "n_sessions": pa.array(out_n, pa.int64()),
+            "cents": pa.array(out_s, pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "value"])
+    return (
+        _with_user_bucket(ds)
+        .groupby("ubucket").map_groups(_overlap, batch_format="pyarrow")
+        .groupby("campaign_id")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                   Sum("cents", alias_name="cents"))
+    )
+
+
 def q_rolling_spend(sf_dir: str, window_sec: int = 3600,
                     event_type: str = "purchase") -> ray.data.Dataset:
     """Per-event rolling RANGE-window aggregate: for every `event_type`

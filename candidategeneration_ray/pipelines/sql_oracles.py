@@ -2494,3 +2494,41 @@ QUALIFY row_number() OVER (PARTITION BY seed
                            ORDER BY n_docs DESC, other ASC) <= 5
 """,
     }
+
+
+def campaign_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.events import CAMPAIGNS
+
+    cvals = ", ".join(
+        f"({cid}, TIMESTAMP '{a}', TIMESTAMP '{b}')" for cid, a, b in CAMPAIGNS)
+    return {
+        "campaign_overlap": f"""
+WITH ordered AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, sidx, min(ts) AS smin, max(ts) AS smax,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM sess GROUP BY user_id, sidx
+),
+camp(campaign_id, c0, c1) AS (VALUES {cvals})
+SELECT CAST(campaign_id AS BIGINT) AS campaign_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM spans JOIN camp ON smin <= c1 AND smax >= c0
+GROUP BY campaign_id
+""",
+    }
