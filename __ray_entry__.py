@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_rollup": rl.q_nation_rollup,        # ROLLUP finalizer over the join
         "local_supplier_volume": rl.q_local_supplier_volume,  # Q5 shape: 6-way join
         "customers_no_orders": rl.q_customers_no_orders,  # bucketed ANTI join
+        "order_priority_counts": rl.q_order_priority_counts,  # Q4: EXISTS semi
+        # Q13 shape: LEFT OUTER join with zero-fill distribution
+        "customer_order_distribution": rl.q_customer_order_distribution,
+        "large_volume_customers": rl.q_large_volume_customers,  # Q18: HAVING join
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         # two-level (user, time-slice) plan for monster users; hash-matches
@@ -195,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_eval_oracles,
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
+        priority_join_oracles,
         positional_oracles,
         proximity_oracles, q3_oracles, q5_oracles, rollup_oracles,
         rrf_oracles,
@@ -225,7 +230,7 @@ def oracle_sql() -> dict[str, str]:
             **lexicon_oracles(), **regex_oracles(),
             **rolling_oracles(), **containment_oracles(),
             **postings_bytes_oracles(), **related_terms_oracles(),
-            **campaign_oracles()}
+            **campaign_oracles(), **priority_join_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -726,3 +726,306 @@ def q_nation_rollup(sf_dir: str) -> pa.Table:
         "n_orders": pa.array(out["n_orders"].astype("int64"), pa.int64()),
         "total_cents": pa.array(out["total_cents"].astype("int64"), pa.int64()),
     })
+
+
+Q4_DATE_LO = "1996-01-01"
+Q4_DATE_HI = "1997-01-01"
+Q4_LATE_DAYS = 30
+
+
+def q_order_priority_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q4-shaped order-priority check: orders placed inside
+    [Q4_DATE_LO, Q4_DATE_HI) counted per priority where EXISTS a
+    lineitem shipped more than Q4_LATE_DAYS after the order date (the
+    synthetic schema has no commitdate/receiptdate, so "late shipment"
+    stands in for Q4's commit-vs-receipt predicate; the reference
+    exercises the same exists-filter shape in its candidate-pool
+    filters, Selection.java filter-set path).
+
+    Shape: the correlated EXISTS becomes an aggregate semi-join —
+    max(l_shipdate) witnesses the existential, so the lineitem side
+    compresses to ONE (orderkey, max_ship) row per batch before the
+    shuffle; both sides bucket by orderkey hash (union-tag), each
+    bucket does one sort + reduceat-max + searchsorted probe, and the
+    output is one (priority, n) partial per bucket merged by a tiny
+    groupby. No lineitem row crosses the wire uncompressed."""
+    import pyarrow.compute as pc
+
+    nb = JOIN_BUCKETS
+    lo = np.datetime64(Q4_DATE_LO, "us")
+    hi = np.datetime64(Q4_DATE_HI, "us")
+    late_us = np.int64(Q4_LATE_DAYS) * 86_400_000_000
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        return pa.table({
+            "bkt": pa.array(ok % nb, pa.int64()),
+            "key": pa.array(ok, pa.int64()),
+            "ship_us": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+            "odate_us": pa.array(od, pa.int64()),
+            "priority": batch.column("o_orderpriority"),
+        })
+
+    def _line_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        sh = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        order = np.argsort(ok, kind="stable")
+        ok, sh = ok[order], sh[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ok[1:] != ok[:-1])))
+        mx = np.maximum.reduceat(sh, starts)
+        u = ok[starts]
+        return pa.table({
+            "bkt": pa.array(u % nb, pa.int64()),
+            "key": pa.array(u, pa.int64()),
+            "ship_us": pa.array(mx, pa.int64()),
+            "odate_us": pa.array(np.zeros(u.size, np.int64), pa.int64()),
+            "priority": pa.array([""] * u.size, pa.string()),
+        })
+
+    def _probe(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy().astype(np.int64)
+        ship = group.column("ship_us").to_numpy().astype(np.int64)
+        odate = group.column("odate_us").to_numpy().astype(np.int64)
+        prio = np.asarray(group.column("priority").to_pylist(), object)
+        build = ship >= 0
+        bk, bs = key[build], ship[build]
+        order = np.argsort(bk, kind="stable")
+        bk, bs = bk[order], bs[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], bk[1:] != bk[:-1]))) if bk.size \
+            else np.empty(0, np.int64)
+        ukeys = bk[starts] if bk.size else bk
+        umax = np.maximum.reduceat(bs, starts) if bk.size \
+            else np.empty(0, np.int64)
+        pk = key[~build]
+        if ukeys.size:
+            idx = np.minimum(np.searchsorted(ukeys, pk), ukeys.size - 1)
+            hit = (ukeys[idx] == pk) & (umax[idx] > odate[~build] + late_us)
+        else:
+            hit = np.zeros(pk.size, bool)
+        if not hit.any():
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64())})
+        u, cnt = np.unique(prio[~build][hit], return_counts=True)
+        return pa.table({
+            "o_orderpriority": pa.array(u.tolist(), pa.string()),
+            "n_orders": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))),
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(_line_rows, batch_format="pyarrow")
+    return (
+        orders.union(lines)
+        .groupby("bkt").map_groups(_probe, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def q_customer_order_distribution(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q13-shaped customer distribution: histogram of
+    orders-per-customer (orders outside one excluded priority class),
+    INCLUDING the zero bucket — the LEFT OUTER join polarity (inner /
+    semi / anti are covered by the sibling queries; outer-with-
+    zero-fill completes the set).
+
+    Shape: orders compress to per-custkey count partials → one
+    O(customers) groupby; the counts and the customer PK rows then
+    bucket by custkey hash (union-tag), each bucket zero-fills the
+    customers without a count row via one sort + searchsorted, and
+    emits a (c_count, n) histogram partial — so the final shuffle is
+    O(distinct counts), not O(customers)."""
+    counts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda b: _custkey_count_partial(b, Q13_EXCLUDE_PRIORITY),
+            batch_format="pyarrow")
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    nb = JOIN_BUCKETS
+
+    def _count_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(k % nb, pa.int64()),
+            "key": pa.array(k, pa.int64()),
+            "cnt": pa.array(batch.column("cnt").to_numpy().astype(np.int64),
+                            pa.int64()),
+        })
+
+    def _cust_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(k % nb, pa.int64()),
+            "key": pa.array(k, pa.int64()),
+            "cnt": pa.array(np.full(k.size, -1, np.int64), pa.int64()),
+        })
+
+    def _hist(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy().astype(np.int64)
+        cnt = group.column("cnt").to_numpy().astype(np.int64)
+        build = cnt >= 0
+        bk, bc = key[build], cnt[build]
+        order = np.argsort(bk, kind="stable")
+        bk, bc = bk[order], bc[order]
+        pk = key[~build]
+        if bk.size:
+            idx = np.minimum(np.searchsorted(bk, pk), bk.size - 1)
+            hit = bk[idx] == pk
+            c_count = np.where(hit, bc[np.minimum(idx, bk.size - 1)], 0)
+        else:
+            c_count = np.zeros(pk.size, np.int64)
+        u, n = np.unique(c_count, return_counts=True)
+        return pa.table({
+            "c_count": pa.array(u.astype(np.int64), pa.int64()),
+            "custdist": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"],
+    ).map_batches(_cust_rows, batch_format="pyarrow")
+    return (
+        counts.map_batches(_count_rows, batch_format="pyarrow")
+        .union(cust)
+        .groupby("bkt").map_groups(_hist, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+
+
+def _custkey_count_partial(batch: pa.Table, exclude: str) -> pa.Table:
+    ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+    prio = np.asarray(batch.column("o_orderpriority").to_pylist(), object)
+    ck = ck[prio != exclude]
+    u, cnt = np.unique(ck, return_counts=True)
+    return pa.table({"key": pa.array(u, pa.int64()),
+                     "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+Q18_MIN_QTY_C = 250 * 100  # HAVING sum(quantity) > 250, in centi-units
+
+
+def q_large_volume_customers(sf_dir: str) -> pa.Table:
+    """TPC-H-Q18-shaped large-volume customers: orders whose total
+    lineitem quantity exceeds a threshold, joined back to the order
+    header and the customer name — the HAVING-driven join shape where
+    a filtered aggregate becomes the (small) build side of the next
+    join.
+
+    Shape: lineitem compresses to per-orderkey quantity partials →
+    one groupby → HAVING filter inside map_batches. The survivors are
+    threshold-bounded (p99 of the per-order distribution), so the
+    right plan is two broadcast semi-joins: survivors broadcast into a
+    map over orders (picks headers + custkeys), then the matched
+    headers broadcast into a map over customer (picks names); only the
+    two tiny survivor tables ever reach the driver. If the threshold
+    made the survivor set large, the bucketed union-tag join
+    (q_nation_order_stats) is the swap-in plan."""
+    qty = (
+        ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                              columns=["l_orderkey", "l_quantity"])
+        .map_batches(_orderkey_qty_partial, batch_format="pyarrow")
+        .groupby("key").aggregate(Sum("qty_c", alias_name="sum_qty_c"))
+        .map_batches(
+            lambda b: b.filter(
+                pa.compute.greater(b.column("sum_qty_c"),
+                                   pa.scalar(Q18_MIN_QTY_C, pa.int64()))),
+            batch_format="pyarrow")
+    )
+    hot = qty.to_pandas()
+    okeys = hot["key"].to_numpy().astype(np.int64)
+    order = np.argsort(okeys)
+    okeys = okeys[order]
+    sqty = hot["sum_qty_c"].to_numpy().astype(np.int64)[order]
+    hot_ref = ray.put((okeys, sqty))
+
+    def _pick_orders(batch: pa.Table) -> pa.Table:
+        hk, hq = ray.get(hot_ref)
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        if hk.size == 0:
+            keep = np.zeros(ok.size, bool)
+        else:
+            idx = np.minimum(np.searchsorted(hk, ok), hk.size - 1)
+            keep = hk[idx] == ok
+        sub = batch.filter(pa.array(keep))
+        ok = sub.column("o_orderkey").to_numpy().astype(np.int64)
+        qv = hq[np.searchsorted(hk, ok)] if ok.size else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "c_custkey": pa.array(
+                sub.column("o_custkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "o_orderkey": pa.array(ok, pa.int64()),
+            "o_orderdate_us": pa.array(
+                sub.column("o_orderdate").cast(pa.int64()).to_numpy(),
+                pa.int64()),
+            "total_cents": pa.array(
+                _cents(sub.column("o_totalprice").to_numpy()), pa.int64()),
+            "sum_qty_c": pa.array(qv, pa.int64()),
+        })
+
+    picked = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"])
+        .map_batches(_pick_orders, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cks = np.unique(picked["c_custkey"].to_numpy().astype(np.int64))
+    ck_ref = ray.put(cks)
+
+    def _pick_names(batch: pa.Table) -> pa.Table:
+        hk = ray.get(ck_ref)
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        if hk.size == 0:
+            keep = np.zeros(ck.size, bool)
+        else:
+            idx = np.minimum(np.searchsorted(hk, ck), hk.size - 1)
+            keep = hk[idx] == ck
+        return batch.filter(pa.array(keep)).select(["c_custkey", "c_name"])
+
+    names = (
+        ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey", "c_name"])
+        .map_batches(_pick_names, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = picked.merge(names, on="c_custkey", how="inner")
+    out = out.sort_values(["sum_qty_c", "o_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pa.table({
+        "c_name": pa.array(out["c_name"].tolist(), pa.string()),
+        "c_custkey": pa.array(out["c_custkey"].astype("int64"), pa.int64()),
+        "o_orderkey": pa.array(out["o_orderkey"].astype("int64"), pa.int64()),
+        "o_orderdate_us": pa.array(out["o_orderdate_us"].astype("int64"),
+                                   pa.int64()),
+        "total_cents": pa.array(out["total_cents"].astype("int64"),
+                                pa.int64()),
+        "sum_qty_c": pa.array(out["sum_qty_c"].astype("int64"), pa.int64()),
+    })
+
+
+def _orderkey_qty_partial(batch: pa.Table) -> pa.Table:
+    ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+    qc = _cents(batch.column("l_quantity").to_numpy())
+    u, inv = np.unique(ok, return_inverse=True)
+    s = np.zeros(u.size, np.int64)
+    np.add.at(s, inv, qc)
+    return pa.table({"key": pa.array(u, pa.int64()),
+                     "qty_c": pa.array(s, pa.int64())})

@@ -2532,3 +2532,50 @@ FROM spans JOIN camp ON smin <= c1 AND smax >= c0
 GROUP BY campaign_id
 """,
     }
+
+
+def priority_join_oracles() -> dict[str, str]:
+    """Q4/Q13/Q18-shaped relational oracles (pipelines/relational.py):
+    exists semi-join, left-outer zero-fill distribution, HAVING-driven
+    join."""
+    from candidategeneration_ray.pipelines.relational import (
+        Q4_DATE_HI, Q4_DATE_LO, Q4_LATE_DAYS, Q13_EXCLUDE_PRIORITY,
+        Q18_MIN_QTY_C)
+
+    return {
+        "order_priority_counts": f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{Q4_DATE_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+""",
+        "customer_order_distribution": f"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey
+   AND o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+""",
+        "large_volume_customers": f"""
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       q.sum_qty_c
+FROM (SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {Q18_MIN_QTY_C}
+     ) q
+JOIN orders ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    }

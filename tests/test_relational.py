@@ -276,3 +276,48 @@ class TestCustomersNoOrders:
         got = rl.q_customers_no_orders(d).to_pandas()
         assert dict(zip(got["n_name"], got["n_customers"])) == {
             "JAPAN": 1, "INDIA": 2}
+
+
+def test_order_priority_counts_bounds(ray_session):
+    """Every counted order lies in the window, and the count per
+    priority can't exceed the window's order count for that class."""
+    import duckdb
+
+    df = rl.q_order_priority_counts(SF_DIR).to_pandas()
+    assert len(df) > 0
+    con = duckdb.connect()
+    tot = con.execute(f"""
+        SELECT o_orderpriority, count(*) FROM '{SF_DIR}/orders.parquet'
+        WHERE o_orderdate >= TIMESTAMP '{rl.Q4_DATE_LO}'
+          AND o_orderdate < TIMESTAMP '{rl.Q4_DATE_HI}'
+        GROUP BY 1""").df().set_index("o_orderpriority").iloc[:, 0]
+    for _, r in df.iterrows():
+        assert 0 < r["n_orders"] <= tot[r["o_orderpriority"]]
+
+
+def test_customer_order_distribution_total(ray_session):
+    """Histogram masses must sum to the customer count (outer join
+    drops nobody), and the weighted sum equals the non-excluded
+    order count of customers that exist."""
+    import duckdb
+
+    df = rl.q_customer_order_distribution(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    n_cust = con.execute(
+        f"SELECT count(*) FROM '{SF_DIR}/customer.parquet'").fetchone()[0]
+    n_ord = con.execute(f"""
+        SELECT count(*) FROM '{SF_DIR}/orders.parquet' o
+        WHERE o_orderpriority <> '{rl.Q13_EXCLUDE_PRIORITY}'
+          AND EXISTS (SELECT 1 FROM '{SF_DIR}/customer.parquet' c
+                      WHERE c.c_custkey = o.o_custkey)""").fetchone()[0]
+    assert df["custdist"].sum() == n_cust
+    assert (df["c_count"] * df["custdist"]).sum() == n_ord
+
+
+def test_large_volume_customers_threshold(ray_session):
+    t = rl.q_large_volume_customers(SF_DIR).to_pandas()
+    assert (t["sum_qty_c"] > rl.Q18_MIN_QTY_C).all()
+    # descending by quantity, ties by orderkey asc
+    rows = list(zip(-t["sum_qty_c"].to_numpy(), t["o_orderkey"].to_numpy()))
+    assert rows == sorted(rows)
+    assert t["o_orderkey"].is_unique
