@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": ex.q_langid,
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
+        "doc_chunks": ex.q_doc_chunks,          # flat-map chunker (RAG shape)
+        "column_profile": ex.q_column_profile,  # schema-drift validation
+        "similar_docs": ex.q_similar_docs,      # broadcast-probe Jaccard search
         # --- mergeable-summary (sketch) aggregates ---
         "doclen_histogram": sk.q_doclen_histogram,
         "doclen_quantiles": sk.q_doclen_quantiles,
@@ -173,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
         "rolling_spend": ev.q_rolling_spend,        # RANGE-frame rolling window
         "campaign_overlap": ev.q_campaign_overlap,  # interval-overlap join
+        "gap_histogram": ev.q_gap_histogram,        # LAG-offset window shape
         "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
@@ -199,7 +203,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_eval_oracles,
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
-        priority_join_oracles,
+        priority_join_oracles, gap_chunk_profile_oracles,
         positional_oracles,
         proximity_oracles, q3_oracles, q5_oracles, rollup_oracles,
         rrf_oracles,
@@ -230,7 +234,8 @@ def oracle_sql() -> dict[str, str]:
             **lexicon_oracles(), **regex_oracles(),
             **rolling_oracles(), **containment_oracles(),
             **postings_bytes_oracles(), **related_terms_oracles(),
-            **campaign_oracles(), **priority_join_oracles()}
+            **campaign_oracles(), **priority_join_oracles(),
+            **gap_chunk_profile_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -1072,3 +1072,49 @@ def q_event_dedup_counts(sf_dir: str, window_sec: int = 60) -> ray.data.Dataset:
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("n_dups", alias_name="n_dups"))
     )
+
+
+GAP_BUCKET_US = np.int64(60_000_000)   # 1-minute histogram bins
+GAP_BUCKET_CAP = np.int64(60)          # clamp at 60 (1 hour tail bin)
+
+
+def q_gap_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Inter-event gap histogram — the LAG window shape: for every
+    same-user consecutive event pair (ordered by ts, event_id), the
+    gap in whole minutes (floor of the microsecond difference),
+    clamped at GAP_BUCKET_CAP. Output one row per bucket:
+    (gap_min_bucket, n_gaps). The gap statistic is what picks the
+    sessionization threshold; the LAG shape is the one windowed
+    primitive (offset frame) the surface didn't cover.
+
+    Shape: bucket by user hash → one lexsort per bucket → vectorized
+    consecutive diff masked at user boundaries → per-bucket histogram
+    partial (≤ CAP+1 rows) → tiny groupby sum. All integer — the
+    oracle compares exactly."""
+    def _gaps(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        if u.size < 2:
+            return pa.table({"gap_min_bucket": pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64())})
+        same = u[1:] == u[:-1]
+        gap_us = (ts[1:] - ts[:-1])[same]
+        bucket = np.minimum(gap_us // GAP_BUCKET_US, GAP_BUCKET_CAP)
+        b, n = np.unique(bucket, return_counts=True)
+        return pa.table({
+            "gap_min_bucket": pa.array(b.astype(np.int64), pa.int64()),
+            "n_gaps": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id"])
+    return (
+        _with_user_bucket(ds)
+        .groupby("ubucket").map_groups(_gaps, batch_format="pyarrow")
+        .groupby("gap_min_bucket")
+        .aggregate(Sum("n_gaps", alias_name="n_gaps"))
+    )

@@ -1533,3 +1533,232 @@ def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
         .map_batches(_textstats, batch_format="pyarrow")
         .map_batches(_rules, batch_format="pyarrow")
     )
+
+
+# ----------------------------------------------- chunking / profiling
+
+CHUNK_TOKENS = 32
+
+
+def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """RAG/training-style document chunker — the flat-map EXPANSION
+    shape (one doc → many rows): each document's kept-token stream
+    (indexing tokenizer, so chunk boundaries line up with the
+    positional family) splits into fixed CHUNK_TOKENS-token chunks;
+    output one row per chunk: (doc_id, chunk_idx, n_tokens,
+    chunk_text). Docs with no kept tokens yield no chunks.
+
+    Shape: pure map_batches (embarrassingly parallel, no shuffle);
+    chunk assembly is vectorized — one flat token array per batch, a
+    ListArray built from computed offsets, and Arrow's binary_join
+    does the string work in C++. At 100 TB this runs at read
+    throughput and is the stage you'd put in front of an embedding
+    actor pool."""
+    import pyarrow.compute as pc
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        lens = np.array([len(t) for t in token_lists], np.int64)
+        n_chunks = -(-lens // CHUNK_TOKENS)  # ceil; 0 for empty docs
+        if int(n_chunks.sum()) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        flat = pa.array([t for tl in token_lists for t in tl], pa.string())
+        doc_start = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        # per-chunk start offsets: doc_start + 32*[0..n_chunks)
+        local = (np.arange(int(n_chunks.sum()), dtype=np.int64)
+                 - np.repeat(np.concatenate(([0], np.cumsum(n_chunks)))[:-1],
+                             n_chunks))
+        starts = np.repeat(doc_start, n_chunks) + local * CHUNK_TOKENS
+        ends = np.minimum(starts + CHUNK_TOKENS,
+                          np.repeat(doc_start + lens, n_chunks))
+        offsets = np.concatenate((starts, [int(ends[-1])]))
+        # chunks are contiguous per doc, so starts[i+1] == ends[i]
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, n_chunks), pa.int64()),
+            "chunk_idx": pa.array(local, pa.int64()),
+            "n_tokens": pa.array(ends - starts, pa.int64()),
+            "chunk_text": pc.binary_join(lists, " "),
+        })
+
+    return documents_ds(sf_dir).map_batches(_chunks, batch_format="pyarrow")
+
+
+PROFILE_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_column_profile(sf_dir: str) -> pa.Table:
+    """Data-validation column profile of the documents table — the
+    schema-drift check every ingest pipeline runs first: per column,
+    the null count and the exact distinct count.
+
+    Shape: nulls/rows come from per-batch counter partials → one
+    O(columns) groupby; distincts come from per-batch-deduped
+    (col, value) rows → distributed distinct (groupby) → per-column
+    count partials. Nothing materializes values on the driver; at
+    100 TB you'd pre-hash wide text values into the fingerprint
+    (fingerprints entry) before the distinct shuffle — the profile
+    then counts distinct hashes (collision-bounded), same plumbing."""
+    from ray.data.aggregate import Sum
+
+    cols = PROFILE_COLUMNS
+
+    def _null_partial(batch: pa.Table) -> pa.Table:
+        names, nulls = [], []
+        for c in cols:
+            names.append(c)
+            nulls.append(batch.column(c).null_count)
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "n_null": pa.array(np.array(nulls, np.int64), pa.int64()),
+        })
+
+    def _distinct_rows(batch: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for c in cols:
+            arr = batch.column(c)
+            vals = np.unique(np.asarray(
+                [str(v) for v in arr.to_pylist() if v is not None], object))
+            out_c.append(np.full(vals.size, c, object))
+            out_v.append(vals)
+        return pa.table({
+            "col_name": pa.array(np.concatenate(out_c).tolist(), pa.string()),
+            "val": pa.array(np.concatenate(out_v).tolist(), pa.string()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=cols)
+    nulls = (ds.map_batches(_null_partial, batch_format="pyarrow")
+             .groupby("col_name").aggregate(Sum("n_null", alias_name="n_null"))
+             ).to_pandas()
+    distinct = (
+        ds.map_batches(_distinct_rows, batch_format="pyarrow")
+        .groupby(["col_name", "val"])
+        .map_groups(
+            lambda g: pa.table(
+                {"col_name": g.column("col_name").slice(0, 1),
+                 "n_distinct": pa.array([1], pa.int64())}),
+            batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+    ).to_pandas()
+    out = nulls.merge(distinct, on="col_name", how="outer").fillna(0)
+    out = out.sort_values("col_name").reset_index(drop=True)
+    return pa.table({
+        "col_name": pa.array(out["col_name"].tolist(), pa.string()),
+        "n_null": pa.array(out["n_null"].astype("int64"), pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"].astype("int64"), pa.int64()),
+    })
+
+
+SIMDOC_QUERY_DOCS = [3, 17, 29]
+SIMDOC_TOPK = 5
+SIMDOC_SCALE = np.int64(1_000_000_000)
+
+
+def q_similar_docs(sf_dir: str) -> pa.Table:
+    """Jaccard similarity SEARCH (query-by-document): for each query
+    doc, the top-k most shingle-similar corpus docs — the
+    broadcast-probe retrieval shape (the pairwise near-dup entries
+    sweep all pairs; this one answers "find docs like THIS one"
+    without a pair explosion).
+
+    Shape: the Q query docs' shingle sets load once and broadcast via
+    ray.put; one map_batches over the corpus shingle rows computes
+    per-doc intersection partials against all Q sets simultaneously
+    (searchsorted membership + one bincount per query), a groupby(doc)
+    merges partials, and a per-batch partial top-k bounds what the
+    driver merges to ≤ k·Q rows per block. Scores are scaled-integer
+    Jaccard (inter·1e9 // union) so rank order is float-free and the
+    oracle compares exactly."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max, Sum
+
+    qdocs = np.array(sorted(SIMDOC_QUERY_DOCS), np.int64)
+    qtab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", [int(d) for d in qdocs])])
+    qrows = _shingle_rows(qtab, H.SHINGLE_W)
+    qd = qrows.column("doc_id").to_numpy()
+    qh = qrows.column("shingle_h").to_numpy()
+    qsets = [np.sort(qh[qd == d]) for d in qdocs]
+    q_ref = ray.put((qdocs, qsets))
+
+    def _inter_partial(batch: pa.Table) -> pa.Table:
+        qdocs_b, qsets_b = ray.get(q_ref)
+        rows = _shingle_rows(batch, H.SHINGLE_W)
+        d = rows.column("doc_id").to_numpy()
+        h = rows.column("shingle_h").to_numpy()
+        n = rows.column("doc_n").to_numpy()
+        u, first = np.unique(d, return_index=True)
+        inv = np.searchsorted(u, d)
+        cols = {"doc_id": pa.array(u, pa.int64()),
+                "size": pa.array(n[first], pa.int64())}
+        for qi, qs in enumerate(qsets_b):
+            if qs.size:
+                pos = np.minimum(np.searchsorted(qs, h), qs.size - 1)
+                hit = qs[pos] == h
+            else:
+                hit = np.zeros(h.size, bool)
+            inter = np.bincount(inv[hit], minlength=u.size).astype(np.int64)
+            cols[f"inter_{qi}"] = pa.array(inter, pa.int64())
+        return pa.table(cols)
+
+    merged = (
+        documents_ds(sf_dir)
+        .map_batches(_inter_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Max("size", alias_name="size"),
+                   *[Sum(f"inter_{qi}", alias_name=f"inter_{qi}")
+                     for qi in range(len(qdocs))])
+    )
+    qsizes = np.array([s.size for s in qsets], np.int64)
+
+    def _partial_topk(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        sz = batch.column("size").to_numpy().astype(np.int64)
+        oq, od, oi, ou, os_ = [], [], [], [], []
+        for qi, qdoc in enumerate(qdocs):
+            inter = batch.column(f"inter_{qi}").to_numpy().astype(np.int64)
+            mask = (inter > 0) & (d != qdoc)
+            union = qsizes[qi] + sz[mask] - inter[mask]
+            score = inter[mask] * SIMDOC_SCALE // union
+            dd = d[mask]
+            order = np.lexsort((dd, -score))[:SIMDOC_TOPK]
+            oq.append(np.full(order.size, qdoc, np.int64))
+            od.append(dd[order]); oi.append(inter[mask][order])
+            ou.append(union[order]); os_.append(score[order])
+        return pa.table({
+            "query_doc": pa.array(np.concatenate(oq), pa.int64()),
+            "doc_id": pa.array(np.concatenate(od), pa.int64()),
+            "inter_n": pa.array(np.concatenate(oi), pa.int64()),
+            "union_n": pa.array(np.concatenate(ou), pa.int64()),
+            "score_scaled": pa.array(np.concatenate(os_), pa.int64()),
+        })
+
+    parts = merged.map_batches(_partial_topk, batch_format="pyarrow").to_pandas()
+    outs = []
+    for qdoc in qdocs:
+        sub = parts[parts["query_doc"] == qdoc].sort_values(
+            ["score_scaled", "doc_id"], ascending=[False, True]
+        ).head(SIMDOC_TOPK).reset_index(drop=True)
+        sub.insert(1, "rank", np.arange(1, len(sub) + 1, dtype=np.int64))
+        outs.append(sub)
+    import pandas as pd
+
+    out = pd.concat(outs, ignore_index=True)
+    return pa.table({
+        "query_doc": pa.array(out["query_doc"].astype("int64"), pa.int64()),
+        "rank": pa.array(out["rank"].astype("int64"), pa.int64()),
+        "doc_id": pa.array(out["doc_id"].astype("int64"), pa.int64()),
+        "inter_n": pa.array(out["inter_n"].astype("int64"), pa.int64()),
+        "union_n": pa.array(out["union_n"].astype("int64"), pa.int64()),
+        "score_scaled": pa.array(out["score_scaled"].astype("int64"),
+                                 pa.int64()),
+    })

@@ -2579,3 +2579,73 @@ JOIN orders ON o_orderkey = q.l_orderkey
 JOIN customer ON c_custkey = o_custkey
 """,
     }
+
+
+def gap_chunk_profile_oracles() -> dict[str, str]:
+    """Session-5 additions: LAG gap histogram (events), flat-map
+    chunker, column profile, similarity search (documents)."""
+    from candidategeneration_ray.pipelines.events import (
+        GAP_BUCKET_CAP, GAP_BUCKET_US)
+    from candidategeneration_ray.pipelines.extras import (
+        CHUNK_TOKENS, PROFILE_COLUMNS, SIMDOC_QUERY_DOCS, SIMDOC_SCALE,
+        SIMDOC_TOPK)
+    from candidategeneration_ray.functions.hashing import SHINGLE_W
+
+    profile_union = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM documents"
+        for c in PROFILE_COLUMNS)
+    qdocs_sql = ", ".join(str(d) for d in sorted(SIMDOC_QUERY_DOCS))
+    return {
+        "gap_histogram": f"""
+WITH g AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT CAST(least(gap_us // {int(GAP_BUCKET_US)}, {int(GAP_BUCKET_CAP)})
+            AS BIGINT) AS gap_min_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1
+""",
+        "doc_chunks": f"""
+WITH {KEPT_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((kpos - 1) // {CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY kpos) AS chunk_text
+FROM kept
+GROUP BY doc_id, (kpos - 1) // {CHUNK_TOKENS}
+""",
+        "column_profile": profile_union,
+        "similar_docs": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(SHINGLE_W)},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT q.doc_id AS query_doc, c.doc_id AS doc_id,
+         CAST(count(*) AS BIGINT) AS inter_n
+  FROM sh q JOIN sh c ON q.h = c.h AND c.doc_id <> q.doc_id
+  WHERE q.doc_id IN ({qdocs_sql})
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_doc, i.doc_id, inter_n,
+         sq.n + sc.n - inter_n AS union_n,
+         (inter_n * {int(SIMDOC_SCALE)}) // (sq.n + sc.n - inter_n)
+             AS score_scaled
+  FROM inter i
+  JOIN sizes sq ON sq.doc_id = i.query_doc
+  JOIN sizes sc ON sc.doc_id = i.doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_doc
+      ORDER BY score_scaled DESC, doc_id) AS rank
+  FROM scored)
+SELECT CAST(query_doc AS BIGINT) AS query_doc, CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, inter_n, union_n,
+       CAST(score_scaled AS BIGINT) AS score_scaled
+FROM ranked WHERE rank <= {SIMDOC_TOPK}
+""",
+    }

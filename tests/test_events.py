@@ -569,3 +569,19 @@ def test_rolling_spend_matches_bruteforce(ray_session):
     assert got["n_window"].tolist() == exp["n_window"].astype(int).tolist()
     assert got["cents_window"].tolist() == \
         exp["cents_window"].astype(int).tolist()
+
+
+def test_gap_histogram_mass(ray_session):
+    """Total gaps = total events - distinct users (one LAG null per
+    user); buckets bounded by the cap."""
+    import duckdb
+
+    from candidategeneration_ray.pipelines import events as ev
+
+    df = ev.q_gap_histogram("/root/testdata/sf0.01").to_pandas()
+    con = duckdb.connect()
+    n_ev, n_users = con.execute(
+        "SELECT count(*), count(DISTINCT user_id) "
+        "FROM '/root/testdata/sf0.01/events.parquet'").fetchone()
+    assert df["n_gaps"].sum() == n_ev - n_users
+    assert df["gap_min_bucket"].between(0, int(ev.GAP_BUCKET_CAP)).all()

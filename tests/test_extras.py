@@ -502,3 +502,58 @@ class TestContainment:
         cp = pairs(q_containment_pairs(d, max_shingle_df=4))
         assert ep, "exact run should find the hot-prefix pairs"
         assert cp <= ep
+
+
+def test_doc_chunks_reassemble(ray_session):
+    """Chunks partition each doc's kept-token stream: contiguous
+    chunk_idx from 0, all chunks full except possibly the last, and
+    re-joining the chunk texts equals the tokenized doc."""
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+    from candidategeneration_ray.pipelines.extras import CHUNK_TOKENS, q_doc_chunks
+
+    import pyarrow.parquet as pq
+
+    df = q_doc_chunks("/root/testdata/sf0.01").to_pandas()
+    docs = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {int(d): t for d, t in
+            zip(docs["doc_id"], tokenize_many(docs["text"].tolist()))}
+    for doc_id, grp in df.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx")
+        assert grp["chunk_idx"].tolist() == list(range(len(grp)))
+        assert (grp["n_tokens"].iloc[:-1] == CHUNK_TOKENS).all()
+        joined = " ".join(grp["chunk_text"])
+        assert joined == " ".join(toks[int(doc_id)])
+    # every non-empty doc appears
+    assert set(df["doc_id"]) == {d for d, t in toks.items() if t}
+
+
+def test_column_profile_counts(ray_session):
+    from candidategeneration_ray.pipelines.extras import q_column_profile
+
+    t = q_column_profile("/root/testdata/sf0.01").to_pandas().set_index("col_name")
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.01/documents.parquet'").fetchone()[0]
+    assert t.loc["doc_id", "n_distinct"] == n     # primary key
+    assert (t["n_null"] == 0).all()               # synthetic corpus: no nulls
+    assert (t["n_distinct"] <= n).all()
+
+
+def test_similar_docs_sane(ray_session):
+    from candidategeneration_ray.pipelines.extras import (
+        SIMDOC_QUERY_DOCS, SIMDOC_TOPK, q_similar_docs)
+
+    df = q_similar_docs("/root/testdata/sf0.01").to_pandas()
+    for qd, grp in df.groupby("query_doc"):
+        assert int(qd) in SIMDOC_QUERY_DOCS
+        assert len(grp) <= SIMDOC_TOPK
+        assert (grp["doc_id"] != qd).all()        # self excluded
+        g = grp.sort_values("rank")
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        # ranks follow (score desc, doc_id asc)
+        rows = list(zip(-g["score_scaled"].to_numpy(), g["doc_id"].to_numpy()))
+        assert rows == sorted(rows)
+        assert (g["inter_n"] <= g["union_n"]).all()
