@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # containment twin: exact-mode opt-in like jaccard_pairs
         "containment_pairs":
             lambda sf: ex.q_containment_pairs(sf, max_shingle_df=None),
+        # PPJoin-style prefix-filtered plan; hash-matches the SAME
+        # jaccard oracle = plan-equivalence proof (sub-quadratic scale path)
+        "jaccard_pairs_prefix": ex.q_jaccard_pairs_prefix,
         "minhash_signatures": ex.q_minhash_signatures,
         "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
         "dup_clusters": ex.q_dup_clusters,
@@ -239,4 +242,7 @@ def oracle_sql() -> dict[str, str]:
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]
+    # the prefix-filtered (PPJoin) plan must equal the exact all-pairs
+    # plan — same oracle, so the driver hash-checks plan equivalence
+    d["jaccard_pairs_prefix"] = d["jaccard_pairs"]
     return d

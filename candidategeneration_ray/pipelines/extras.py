@@ -1762,3 +1762,197 @@ def q_similar_docs(sf_dir: str) -> pa.Table:
         "score_scaled": pa.array(out["score_scaled"].astype("int64"),
                                  pa.int64()),
     })
+
+
+# ------------------------------------- prefix-filtered (PPJoin) near-dup
+
+PPJOIN_PAIR_BUCKETS = 64
+
+
+def q_jaccard_pairs_prefix(sf_dir: str,
+                           threshold_pct: int = 20) -> ray.data.Dataset:
+    """Prefix-filtered exact Jaccard join — the ALL-PAIRS/PPJoin plan
+    (Bayardo et al. WWW'07, Xiao et al. WWW'08; public algorithms):
+    the same result as q_jaccard_pairs computed WITHOUT exploding
+    every shared-shingle group.
+
+    Prefix-filtering principle: order each doc's shingle set by one
+    global order (numeric hash); if J(A,B) >= t then |A∩B| >=
+    ceil(t·|A|), so the first |A| - ceil(t·|A|) + 1 hashes of A and
+    the corresponding prefix of B must share an element. Candidate
+    pairs therefore come from PREFIX rows only (plus the |B| >= t·|A|
+    length filter); the quadratic explosion touches ~(1-t) of each
+    set instead of all of it, and hot non-prefix shingles generate
+    nothing.
+
+    Verification is exact and distributed: each candidate pair gets a
+    packed pair id, both docs' FULL shingle sets are routed to the
+    pair's hash bucket (union-tag through one groupby), and a
+    per-bucket lexsort counts duplicated hashes — inter = dup count,
+    union = rows - inter, no size join needed. Output schema and
+    values equal q_jaccard_pairs; the driver hash-checks the two
+    plans against the SAME oracle (plan-equivalence proof, like
+    sessionize_sliced)."""
+    from ray.data.aggregate import Max
+
+    pct = int(threshold_pct)
+    if not 0 < pct <= 100:
+        raise ValueError("threshold_pct must be in (0, 100]")
+
+    def _prefix_rows(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy()
+        out_doc, out_h, out_n = [], [], []
+        for i, toks in enumerate(token_lists):
+            hs = np.unique(H.h64_many(H.word_shingles(toks, H.SHINGLE_W)))
+            n = hs.size
+            if n == 0:
+                continue
+            p = min(n, max(1, n - (pct * n + 99) // 100 + 1))
+            out_doc.append(np.full(p, doc_ids[i], dtype=np.int64))
+            out_h.append(hs[:p].astype(np.int64))
+            out_n.append(np.full(p, n, dtype=np.int64))
+        if not out_doc:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingle_h": pa.array([], pa.int64()),
+                             "doc_n": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "shingle_h": pa.array(np.concatenate(out_h), pa.int64()),
+            "doc_n": pa.array(np.concatenate(out_n), pa.int64()),
+        })
+
+    nsb = 64
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        h = batch.column("shingle_h").to_numpy()
+        return batch.append_column(
+            "sbucket", pa.array((h % nsb).astype(np.int32)))
+
+    def _cand_pairs(group: pa.Table) -> pa.Table:
+        docs = group.column("doc_id").to_numpy().astype(np.int64)
+        a, b = _explode_pairs(
+            group.column("shingle_h").to_numpy().astype(np.int64), docs)
+        if a.size == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "size_a": pa.array([], pa.int64()),
+                             "size_b": pa.array([], pa.int64())})
+        # bucket-local distinct + sizes + the |B| >= t|A| length filter
+        key = a * np.int64(1) << np.int64(32) | b  # doc ids < 2^31 (guarded)
+        _, first = np.unique(key, return_index=True)
+        a, b = a[first], b[first]
+        uniq_docs, fidx = np.unique(docs, return_index=True)
+        doc_n = group.column("doc_n").to_numpy().astype(np.int64)[fidx]
+        size_a = doc_n[np.searchsorted(uniq_docs, a)]
+        size_b = doc_n[np.searchsorted(uniq_docs, b)]
+        keep = (100 * size_b >= pct * size_a) & (100 * size_a >= pct * size_b)
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "size_a": pa.array(size_a[keep], pa.int64()),
+            "size_b": pa.array(size_b[keep], pa.int64()),
+        })
+
+    shingles_full = documents_ds(sf_dir).map_batches(
+        lambda bt: _shingle_rows(bt, H.SHINGLE_W), batch_format="pyarrow")
+    cands = (
+        documents_ds(sf_dir)
+        .map_batches(_prefix_rows, batch_format="pyarrow")
+        .map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("sbucket").map_groups(_cand_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Max("size_a", alias_name="size_a"),
+                   Max("size_b", alias_name="size_b"))
+    )
+
+    npb = PPJOIN_PAIR_BUCKETS
+
+    def _pid_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        if a.size and (int(a.max()) >= 1 << 31 or int(b.max()) >= 1 << 31):
+            raise ValueError("packed pair id needs doc_id < 2^31; switch "
+                             "to the (doc_a, doc_b) struct key at that scale")
+        pid = (a << np.int64(32)) | b
+        return pa.table({
+            "doc": pa.array(np.concatenate((a, b)), pa.int64()),
+            "pid": pa.array(np.concatenate((pid, pid)), pa.int64()),
+            "h": pa.array(np.zeros(2 * a.size, np.int64), pa.int64()),
+            "is_set": pa.array(np.zeros(2 * a.size, bool), pa.bool_()),
+        })
+
+    def _set_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": batch.column("doc_id"),
+            "pid": pa.array(
+                np.full(batch.num_rows, -1, np.int64), pa.int64()),
+            "h": batch.column("shingle_h"),
+            "is_set": pa.array(np.ones(batch.num_rows, bool), pa.bool_()),
+        })
+
+    def _doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc").to_numpy().astype(np.uint64)
+        hh = d * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
+        return batch.append_column(
+            "dbucket", pa.array((hh % np.uint64(npb)).astype(np.int32)))
+
+    def _gather(group: pa.Table) -> pa.Table:
+        """Route each doc's full set to every pair it belongs to."""
+        doc = group.column("doc").to_numpy().astype(np.int64)
+        pid = group.column("pid").to_numpy().astype(np.int64)
+        h = group.column("h").to_numpy().astype(np.int64)
+        is_set = group.column("is_set").to_numpy()
+        sd, sh = doc[is_set], h[is_set]
+        order = np.argsort(sd, kind="stable")
+        sd, sh = sd[order], sh[order]
+        md, mp = doc[~is_set], pid[~is_set]
+        lo = np.searchsorted(sd, md, side="left")
+        hi = np.searchsorted(sd, md, side="right")
+        cnt = hi - lo
+        if int(cnt.sum()) == 0:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "pbucket": pa.array([], pa.int32()),
+                             "h": pa.array([], pa.int64())})
+        idx = np.repeat(lo, cnt) + (
+            np.arange(int(cnt.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt))
+        out_pid = np.repeat(mp, cnt)
+        return pa.table({
+            "pid": pa.array(out_pid, pa.int64()),
+            "pbucket": pa.array(
+                (out_pid % np.int64(npb)).astype(np.int32)),
+            "h": pa.array(sh[idx], pa.int64()),
+        })
+
+    def _verify(group: pa.Table) -> pa.Table:
+        pid = group.column("pid").to_numpy().astype(np.int64)
+        h = group.column("h").to_numpy().astype(np.int64)
+        order = np.lexsort((h, pid))
+        pid, h = pid[order], h[order]
+        dup = np.concatenate(
+            ([False], (pid[1:] == pid[:-1]) & (h[1:] == h[:-1])))
+        upid, tot = np.unique(pid, return_counts=True)
+        inter = np.bincount(np.searchsorted(upid, pid[dup]),
+                            minlength=upid.size).astype(np.int64)
+        union = tot.astype(np.int64) - inter
+        keep = inter * 100 >= pct * union
+        upid, inter, union = upid[keep], inter[keep], union[keep]
+        return pa.table({
+            "doc_a": pa.array(upid >> np.int64(32), pa.int64()),
+            "doc_b": pa.array(upid & np.int64(0xFFFFFFFF), pa.int64()),
+            "inter_n": pa.array(inter, pa.int64()),
+            "union_n": pa.array(union, pa.int64()),
+        })
+
+    routed = (
+        cands.map_batches(_pid_rows, batch_format="pyarrow")
+        .union(shingles_full.map_batches(_set_rows, batch_format="pyarrow"))
+        .map_batches(_doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket").map_groups(_gather, batch_format="pyarrow")
+    )
+    return (
+        routed.groupby("pbucket").map_groups(_verify, batch_format="pyarrow")
+        .select_columns(["doc_a", "doc_b", "inter_n", "union_n"])
+    )

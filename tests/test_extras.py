@@ -557,3 +557,47 @@ def test_similar_docs_sane(ray_session):
         rows = list(zip(-g["score_scaled"].to_numpy(), g["doc_id"].to_numpy()))
         assert rows == sorted(rows)
         assert (g["inter_n"] <= g["union_n"]).all()
+
+
+def test_jaccard_prefix_plan_equivalence(ray_session):
+    """The PPJoin prefix-filtered plan must produce exactly the
+    all-pairs result (sf0.001 here; sf0.01 in the contract test)."""
+    from candidategeneration_ray.pipelines.extras import (
+        q_jaccard_pairs, q_jaccard_pairs_prefix)
+
+    sf = "/root/testdata/sf0.001"
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    exact = canon(q_jaccard_pairs(sf, max_shingle_df=None).to_pandas())
+    pref = canon(q_jaccard_pairs_prefix(sf).to_pandas())
+    assert len(exact) == len(pref)
+    for c in exact.columns:
+        assert (exact[c].values == pref[c].values).all()
+
+
+def test_jaccard_prefix_emits_fewer_candidate_rows(ray_session):
+    """The point of the prefix filter: candidate generation touches
+    only each doc's prefix, so a hot shared suffix shingle creates no
+    pairs. Construct a corpus where every doc shares one hot shingle
+    that sorts LAST — prefix rows exclude it — and check no candidate
+    pairs (no doc pair is actually similar)."""
+    import pyarrow.parquet as pq
+    import tempfile, os
+    from candidategeneration_ray.functions import hashing as H
+    from candidategeneration_ray.pipelines.extras import q_jaccard_pairs_prefix
+
+    with tempfile.TemporaryDirectory() as d:
+        # distinct per-doc text + one shared trigram at the end; tokens
+        # must be pure letters (the tokenizer drops mixed alnum words)
+        def w(i, j):
+            return "uniq" + chr(97 + i) + chr(97 + j) * 3
+        texts = [" ".join(w(i, j) for j in range(7))
+                 + " shared hot trigram" for i in range(20)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(20, dtype=np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), os.path.join(d, "documents.parquet"))
+        out = q_jaccard_pairs_prefix(d).to_pandas()
+        # no pair reaches Jaccard >= 0.2 (1 shared of ~8 shingles each)
+        assert len(out) == 0
