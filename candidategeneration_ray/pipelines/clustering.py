@@ -898,3 +898,130 @@ def q_term_embeddings(sf_dir: str, top_m: int = 20) -> pa.Table:
         "dim": pa.array(out_d, pa.int64()),
         "centroid_q": pa.array(out_c, pa.int64()),
     })
+
+
+TRI_PAIR_BUCKETS = 64
+
+
+def q_triangle_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-node triangle counts over the UNDIRECTED kNN graph — the
+    graph-motif aggregation shape (the local clustering-coefficient
+    numerator used for graph-based quality/diversity filtering). A
+    triangle {x,y,z} exists when all three undirected edges do; each
+    node's count is the number of triangles containing it.
+
+    Shape: the classic distributed wedge-check (node-iterator) plan —
+    (1) kNN edges symmetrize + distinct through one groupby;
+    (2) adjacency buckets by node hash, each node emits its sorted
+    neighbor PAIRS (wedges, apex attached) — O(Σ deg²) rows, bounded
+    because kNN degree <= 2k; (3) wedges and edges union-tag into
+    pair-hash buckets where one sorted membership test marks closed
+    wedges; each triangle closes exactly once per apex, so per-apex
+    match counts ARE per-node triangle counts (partial rows →
+    groupby(vec_id) sum). No adjacency ever materializes on the
+    driver; skew ceiling is max-degree², not graph size."""
+    from ray.data.aggregate import Count, Sum
+
+    knn = q_knn_graph(sf_dir)
+    npb = TRI_PAIR_BUCKETS
+
+    def _sym_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_id").to_numpy().astype(np.int64)
+        b = batch.column("nbr_id").to_numpy().astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        key = (u << np.int64(32)) | v
+        uk = np.unique(key)
+        return pa.table({
+            "u": pa.array(uk >> np.int64(32), pa.int64()),
+            "v": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+        })
+
+    edges = (knn.map_batches(_sym_edges, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+             .select_columns(["u", "v"]))
+
+    def _adj_rows(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy().astype(np.int64)
+        v = batch.column("v").to_numpy().astype(np.int64)
+        node = np.concatenate((u, v))
+        nbr = np.concatenate((v, u))
+        hh = node.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
+        return pa.table({
+            "nbucket": pa.array((hh % np.uint64(64)).astype(np.int32)),
+            "node": pa.array(node, pa.int64()),
+            "nbr": pa.array(nbr, pa.int64()),
+        })
+
+    def _wedges(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy().astype(np.int64)
+        nbr = group.column("nbr").to_numpy().astype(np.int64)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], node[1:] != node[:-1])))
+        counts = np.diff(np.concatenate((starts, [node.size])))
+        out_a, out_b, out_apex = [], [], []
+        for c in np.unique(counts):
+            if c < 2:
+                continue
+            s_c = starts[counts == c]
+            mat = nbr[s_c[:, None] + np.arange(c)]     # sorted per row
+            ia, ib = np.triu_indices(int(c), k=1)
+            out_a.append(mat[:, ia].ravel())
+            out_b.append(mat[:, ib].ravel())
+            out_apex.append(np.repeat(node[s_c], ia.size))
+        if not out_a:
+            return pa.table({"pkey": pa.array([], pa.int64()),
+                             "apex": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table({
+            "pkey": pa.array((a << np.int64(32)) | b, pa.int64()),
+            "apex": pa.array(np.concatenate(out_apex), pa.int64()),
+        })
+
+    def _edge_keys(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy().astype(np.int64)
+        v = batch.column("v").to_numpy().astype(np.int64)
+        if u.size and (int(u.max()) >= 1 << 31 or int(v.max()) >= 1 << 31):
+            raise ValueError("packed pair key needs vec_id < 2^31")
+        return pa.table({
+            "pkey": pa.array((u << np.int64(32)) | v, pa.int64()),
+            "apex": pa.array(np.full(u.size, -1, np.int64), pa.int64()),
+        })
+
+    def _pbucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("pkey").to_numpy().astype(np.uint64)
+        hh = k * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
+        return batch.append_column(
+            "pbucket", pa.array((hh % np.uint64(npb)).astype(np.int32)))
+
+    def _close(group: pa.Table) -> pa.Table:
+        pkey = group.column("pkey").to_numpy().astype(np.int64)
+        apex = group.column("apex").to_numpy().astype(np.int64)
+        is_edge = apex < 0
+        ek = np.unique(pkey[is_edge])
+        wk, wa = pkey[~is_edge], apex[~is_edge]
+        if ek.size == 0 or wk.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "n_triangles": pa.array([], pa.int64())})
+        idx = np.minimum(np.searchsorted(ek, wk), ek.size - 1)
+        hit = ek[idx] == wk
+        u, cnt = np.unique(wa[hit], return_counts=True)
+        return pa.table({
+            "vec_id": pa.array(u, pa.int64()),
+            "n_triangles": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    wedges = (edges.map_batches(_adj_rows, batch_format="pyarrow")
+              .groupby("nbucket").map_groups(_wedges, batch_format="pyarrow"))
+    return (
+        wedges.union(edges.map_batches(_edge_keys, batch_format="pyarrow"))
+        .map_batches(_pbucket, batch_format="pyarrow")
+        .groupby("pbucket").map_groups(_close, batch_format="pyarrow")
+        .groupby("vec_id")
+        .aggregate(Sum("n_triangles", alias_name="n_triangles"))
+    )

@@ -2649,3 +2649,53 @@ SELECT CAST(query_doc AS BIGINT) AS query_doc, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank <= {SIMDOC_TOPK}
 """,
     }
+
+
+def triangle_oracles() -> dict[str, str]:
+    """Per-node triangle counts over the undirected kNN graph: the
+    same qv/dist/rk CTEs as knn_oracles, symmetrized into an edge set,
+    then the a<b<c triple join; each node of a triangle is counted
+    once per triangle."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_SCALE, KNN_K)
+
+    return {
+        "triangle_counts": f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+rk AS (
+  SELECT vec_id, nbr_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, nbr_id ASC) AS rank
+  FROM dist
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+  FROM rk WHERE rank <= {KNN_K}
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+  SELECT a AS vec_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY vec_id
+""",
+    }

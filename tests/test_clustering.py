@@ -265,3 +265,14 @@ def test_term_embeddings_matches_bruteforce(ray_session):
     for t, g in got.groupby("term"):
         g = g.sort_values("dim")
         assert g["centroid_q"].to_numpy().tolist() == want[t].tolist(), t
+
+
+def test_triangle_counts_invariants(ray_session):
+    """Sum of per-node counts = 3 x number of triangles (each triangle
+    has three nodes); every count positive."""
+    from candidategeneration_ray.pipelines.clustering import q_triangle_counts
+
+    df = q_triangle_counts("/root/testdata/sf0.001").to_pandas()
+    assert (df["n_triangles"] > 0).all()
+    assert df["n_triangles"].sum() % 3 == 0
+    assert df["vec_id"].is_unique
