@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": ex.q_minhash_signatures,
         "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
         "dup_clusters": ex.q_dup_clusters,
+        "cluster_representatives": ex.q_cluster_representatives,  # keep-best dedup
         "duplicate_spans": ex.q_duplicate_spans,
         "simhash": ex.q_simhash,
         "simhash_neardups": ex.q_simhash_neardups,
@@ -179,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_dedup_counts": ev.q_event_dedup_counts,  # stream near-dup rule
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
         "rolling_spend": ev.q_rolling_spend,        # RANGE-frame rolling window
+        "running_spend": ev.q_running_spend,        # UNBOUNDED-PRECEDING scan
+        "user_features": ev.q_user_features,        # one-pass feature vector
         "campaign_overlap": ev.q_campaign_overlap,  # interval-overlap join
         "gap_histogram": ev.q_gap_histogram,        # LAG-offset window shape
         "sliding_counts": ev.q_sliding_counts,
@@ -208,7 +211,7 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        triangle_oracles,
+        triangle_oracles, feature_oracles,
         positional_oracles,
         proximity_oracles, q3_oracles, q5_oracles, rollup_oracles,
         rrf_oracles,
@@ -240,7 +243,7 @@ def oracle_sql() -> dict[str, str]:
             **rolling_oracles(), **containment_oracles(),
             **postings_bytes_oracles(), **related_terms_oracles(),
             **campaign_oracles(), **priority_join_oracles(),
-            **gap_chunk_profile_oracles(), **triangle_oracles()}
+            **gap_chunk_profile_oracles(), **triangle_oracles(), **feature_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

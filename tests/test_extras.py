@@ -601,3 +601,26 @@ def test_jaccard_prefix_emits_fewer_candidate_rows(ray_session):
         out = q_jaccard_pairs_prefix(d).to_pandas()
         # no pair reaches Jaccard >= 0.2 (1 shared of ~8 shingles each)
         assert len(out) == 0
+
+
+def test_cluster_representatives_policy(ray_session):
+    """Representative = longest doc (ties min id) of its cluster;
+    clusters and sizes agree with q_dup_clusters."""
+    import pyarrow.parquet as pq
+    from candidategeneration_ray.pipelines.extras import (
+        q_cluster_representatives, q_dup_clusters)
+
+    reps = q_cluster_representatives(SF).to_pandas()
+    clusters = q_dup_clusters(SF).to_pandas()
+    nchars = pq.read_table(SF + "/documents.parquet",
+                           columns=["doc_id", "n_chars"]).to_pandas() \
+        .set_index("doc_id")["n_chars"]
+    sizes = clusters.groupby("cluster").size()
+    assert set(reps["cluster"]) == set(sizes.index)
+    r = reps.set_index("cluster")
+    assert (r["n_docs"].sort_index() == sizes.sort_index()).all()
+    for cl, grp in clusters.groupby("cluster"):
+        members = grp["doc_id"].to_numpy()
+        best = sorted(members, key=lambda d: (-nchars[d], d))[0]
+        assert r.loc[cl, "rep_doc"] == best
+        assert r.loc[cl, "rep_n_chars"] == nchars[best]
