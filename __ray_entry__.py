@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": ex.q_doc_chunks,          # flat-map chunker (RAG shape)
         "column_profile": ex.q_column_profile,  # schema-drift validation
         "similar_docs": ex.q_similar_docs,      # broadcast-probe Jaccard search
+        "source_moments": ex.q_source_moments,  # sufficient-statistics pattern
         # --- mergeable-summary (sketch) aggregates ---
         "doclen_histogram": sk.q_doclen_histogram,
         "doclen_quantiles": sk.q_doclen_quantiles,
@@ -182,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_spend": ev.q_rolling_spend,        # RANGE-frame rolling window
         "running_spend": ev.q_running_spend,        # UNBOUNDED-PRECEDING scan
         "user_features": ev.q_user_features,        # one-pass feature vector
+        "props_extract": ev.q_props_extract,        # JSON payload extraction
         "campaign_overlap": ev.q_campaign_overlap,  # interval-overlap join
         "gap_histogram": ev.q_gap_histogram,        # LAG-offset window shape
         "sliding_counts": ev.q_sliding_counts,
@@ -211,7 +213,7 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        triangle_oracles, feature_oracles,
+        triangle_oracles, feature_oracles, props_moments_oracles,
         positional_oracles,
         proximity_oracles, q3_oracles, q5_oracles, rollup_oracles,
         rrf_oracles,
@@ -243,7 +245,8 @@ def oracle_sql() -> dict[str, str]:
             **rolling_oracles(), **containment_oracles(),
             **postings_bytes_oracles(), **related_terms_oracles(),
             **campaign_oracles(), **priority_join_oracles(),
-            **gap_chunk_profile_oracles(), **triangle_oracles(), **feature_oracles()}
+            **gap_chunk_profile_oracles(), **triangle_oracles(), **feature_oracles(),
+            **props_moments_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

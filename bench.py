@@ -201,6 +201,11 @@ def run_bench() -> dict:
         ("rrf_fusion", ps.q_rrf_fusion),
         ("cohort_retention", ev.q_cohort_retention),
         ("shipping_priority", rl.q_shipping_priority),  # Q3 multi-join
+        ("jaccard_pairs_prefix", ex.q_jaccard_pairs_prefix),  # PPJoin plan
+        ("doc_chunks", ex.q_doc_chunks),                # flat-map chunker
+        ("user_features", ev.q_user_features),          # one-pass features
+        ("triangle_counts", cb.q_triangle_counts),      # graph motif
+        ("order_priority_counts", rl.q_order_priority_counts),  # Q4 semi
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)

@@ -1233,3 +1233,46 @@ def q_user_features(sf_dir: str) -> ray.data.Dataset:
                             "value"])
     return (_with_user_bucket(ds)
             .groupby("ubucket").map_groups(_features, batch_format="pyarrow"))
+
+
+def q_props_extract(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured extraction — the JSON-payload shape (every
+    event pipeline ends up parsing a props blob): pull the integer
+    `k` field out of the JSON `props` column and aggregate per
+    (event_type, k // 10 decade): event count + exact k sum.
+
+    Shape: extraction is Arrow C++ regex (extract digits, cast) —
+    no Python JSON parser in the hot path for a schema this regular;
+    ragged/nested payloads would swap in a json_normalize actor
+    stage, same plumbing. Per-batch partials → O(groups) groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.struct_field(ks, "k").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        _, code = np.unique(et, return_inverse=True)
+        etu = np.unique(et)
+        bucket = k // 10
+        key = code * np.int64(1 << 32) + bucket
+        u, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, k)
+        return pa.table({
+            "event_type": pa.array(
+                etu[(u >> np.int64(32))].tolist(), pa.string()),
+            "k_bucket": pa.array(u & np.int64(0xFFFFFFFF), pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "sum_k": pa.array(s, pa.int64()),
+        })
+
+    return (
+        events_ds(sf_dir, ["event_type", "props"])
+        .map_batches(_extract, batch_format="pyarrow")
+        .groupby(["event_type", "k_bucket"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_k", alias_name="sum_k"))
+    )

@@ -2040,3 +2040,47 @@ def q_cluster_representatives(sf_dir: str) -> ray.data.Dataset:
         .groupby("cbucket").map_groups(_argmax, batch_format="pyarrow")
         .select_columns(["cluster", "rep_doc", "rep_n_chars", "n_docs"])
     )
+
+
+def q_source_moments(sf_dir: str) -> ray.data.Dataset:
+    """Per-source SUFFICIENT STATISTICS for (n_chars, kept-token
+    count): n, Σx, Σy, Σx², Σy², Σxy — the mergeable-moment pattern
+    every distributed correlation / variance / linear-regression
+    fit reduces to (ship integer moments, finalize float math on the
+    O(groups) result; the engine ships moments so the comparison is
+    exact). int64 bound: x,y < 10⁴ per doc keeps Σxy < 2^63 up to
+    ~10¹¹ docs per source; past that the partials would split into
+    per-shard moments, documented not needed here.
+
+    Shape: tokenize + one numpy pass per batch → one compressed row
+    per (batch, source) → tiny groupby sum."""
+    from ray.data.aggregate import Sum
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        y = np.array([len(t) for t in token_lists], np.int64)
+        x = batch.column("n_chars").to_numpy().astype(np.int64)
+        src = np.asarray(batch.column("source").to_pylist(), object)
+        u, inv = np.unique(src, return_inverse=True)
+        def _g(vals):
+            o = np.zeros(u.size, np.int64)
+            np.add.at(o, inv, vals)
+            return o
+        return pa.table({
+            "source": pa.array(u.tolist(), pa.string()),
+            "n": pa.array(_g(np.ones(x.size, np.int64)), pa.int64()),
+            "sum_x": pa.array(_g(x), pa.int64()),
+            "sum_y": pa.array(_g(y), pa.int64()),
+            "sum_xx": pa.array(_g(x * x), pa.int64()),
+            "sum_yy": pa.array(_g(y * y), pa.int64()),
+            "sum_xy": pa.array(_g(x * y), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text", "n_chars"])
+    return (ds.map_batches(_moments, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ["n", "sum_x", "sum_y", "sum_xx",
+                                   "sum_yy", "sum_xy"]]))

@@ -2750,3 +2750,30 @@ SELECT cluster, rep_doc, rep_n_chars, n_docs FROM (
 WHERE rn = 1
 """,
     }
+
+
+def props_moments_oracles() -> dict[str, str]:
+    """JSON props extraction + per-source sufficient statistics."""
+    return {
+        "props_extract": """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k
+FROM events GROUP BY 1, 2
+""",
+        "source_moments": f"""
+WITH {KEPT_CTE},
+tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS y FROM kept GROUP BY doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_x,
+       CAST(sum(coalesce(y, 0)) AS BIGINT) AS sum_y,
+       CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_xx,
+       CAST(sum(coalesce(y, 0) * coalesce(y, 0)) AS BIGINT) AS sum_yy,
+       CAST(sum(n_chars * coalesce(y, 0)) AS BIGINT) AS sum_xy
+FROM documents LEFT JOIN tc USING (doc_id)
+GROUP BY source
+""",
+    }

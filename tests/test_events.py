@@ -611,3 +611,16 @@ def test_user_features_consistency(ray_session):
     assert (feat["first_ts_us"] <= feat["last_ts_us"]).all()
     assert (feat["n_purchases"] <= feat["n_events"]).all()
     assert (feat["n_event_types"] >= 1).all()
+
+
+def test_props_extract_mass(ray_session):
+    from candidategeneration_ray.pipelines import events as ev
+
+    import pyarrow.parquet as pq
+
+    df = ev.q_props_extract("/root/testdata/sf0.01").to_pandas()
+    n = pq.read_metadata("/root/testdata/sf0.01/events.parquet").num_rows
+    assert df["n_events"].sum() == n          # every event parsed
+    # bucket invariant: 10*bucket <= mean k in bucket < 10*(bucket+1)
+    assert (df["sum_k"] >= 10 * df["k_bucket"] * df["n_events"]).all()
+    assert (df["sum_k"] < 10 * (df["k_bucket"] + 1) * df["n_events"]).all()

@@ -624,3 +624,16 @@ def test_cluster_representatives_policy(ray_session):
         best = sorted(members, key=lambda d: (-nchars[d], d))[0]
         assert r.loc[cl, "rep_doc"] == best
         assert r.loc[cl, "rep_n_chars"] == nchars[best]
+
+
+def test_source_moments_cauchy_schwarz(ray_session):
+    """Moment sanity: n*Σxy within Cauchy-Schwarz bounds, variance
+    numerators non-negative."""
+    from candidategeneration_ray.pipelines.extras import q_source_moments
+
+    df = q_source_moments(SF).to_pandas()
+    vx = df["n"] * df["sum_xx"] - df["sum_x"] ** 2
+    vy = df["n"] * df["sum_yy"] - df["sum_y"] ** 2
+    cov = df["n"] * df["sum_xy"] - df["sum_x"] * df["sum_y"]
+    assert (vx >= 0).all() and (vy >= 0).all()
+    assert (cov * cov <= vx * vy).all()
