@@ -1782,8 +1782,11 @@ def q_jaccard_pairs_prefix(sf_dir: str,
     the corresponding prefix of B must share an element. Candidate
     pairs therefore come from PREFIX rows only (plus the |B| >= t·|A|
     length filter); the quadratic explosion touches ~(1-t) of each
-    set instead of all of it, and hot non-prefix shingles generate
-    nothing.
+    set instead of all of it. Hash order gives a hot shingle a
+    ~(1-t)² chance of surviving into both prefixes; the classic
+    refinement orders by ASCENDING global df instead (one extra df
+    aggregate + broadcast), which pushes hot shingles to suffixes
+    deterministically — worth it at 100 TB, not at bench scale.
 
     Verification is exact and distributed: each candidate pair gets a
     packed pair id, both docs' FULL shingle sets are routed to the
@@ -1839,7 +1842,10 @@ def q_jaccard_pairs_prefix(sf_dir: str,
                              "size_a": pa.array([], pa.int64()),
                              "size_b": pa.array([], pa.int64())})
         # bucket-local distinct + sizes + the |B| >= t|A| length filter
-        key = a * np.int64(1) << np.int64(32) | b  # doc ids < 2^31 (guarded)
+        if int(b.max()) >= 1 << 31 or int(a.max()) >= 1 << 31:
+            raise ValueError("packed pair key needs doc_id < 2^31; switch "
+                             "to the (doc_a, doc_b) struct key at that scale")
+        key = (a << np.int64(32)) | b
         _, first = np.unique(key, return_index=True)
         a, b = a[first], b[first]
         uniq_docs, fidx = np.unique(docs, return_index=True)
