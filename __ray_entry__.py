@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_embeddings": cl.q_term_embeddings,    # cross-modal term centroids
         "pagerank": cl.q_pagerank,                  # integer PageRank over kNN graph
         "triangle_counts": cl.q_triangle_counts,    # graph-motif wedge-check
+        "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
         "ivf_delta_counts": ivfd.q_ivf_delta_counts,  # IVF LSM: frozen-codebook delta
         # --- corpus-LM / retrieval / mixture operators ---
         "decontaminate": tl.q_decontaminate,        # GPT-3-style shingle overlap
@@ -213,7 +214,8 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        triangle_oracles, feature_oracles, props_moments_oracles,
+        triangle_oracles, feature_oracles, hits_oracles,
+        props_moments_oracles,
         positional_oracles,
         proximity_oracles, q3_oracles, q5_oracles, rollup_oracles,
         rrf_oracles,
@@ -246,7 +248,7 @@ def oracle_sql() -> dict[str, str]:
             **postings_bytes_oracles(), **related_terms_oracles(),
             **campaign_oracles(), **priority_join_oracles(),
             **gap_chunk_profile_oracles(), **triangle_oracles(), **feature_oracles(),
-            **props_moments_oracles()}
+            **props_moments_oracles(), **hits_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

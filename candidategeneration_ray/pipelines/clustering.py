@@ -1025,3 +1025,140 @@ def q_triangle_counts(sf_dir: str) -> ray.data.Dataset:
         .groupby("vec_id")
         .aggregate(Sum("n_triangles", alias_name="n_triangles"))
     )
+
+
+HITS_ITERS = 2
+HITS_SCALE = np.int64(1_000_000)
+
+
+def q_hits_scores(sf_dir: str, iters: int = HITS_ITERS) -> ray.data.Dataset:
+    """Integer HITS (hubs & authorities, Kleinberg JACM'99) over the
+    directed kNN graph — closes SURVEY §2 A7 with a value-verified
+    implementation instead of the prior-join stand-in: the reference
+    consumes precomputed HIT ranks (utilsClass.java:251-263); this
+    computes them. Fixed-point arithmetic with FLOOR max-normalization
+    keeps every round exact and partition-independent:
+
+        h0(u)    = S                      (S = 1e6)
+        a'(v)    = Σ_{u→v} h(u);  a(v) = a'(v)·S // max_w a'(w)
+        h'(u)    = Σ_{u→v} a(v);  h(u) = h'(u)·S // max_w h'(w)
+
+    The global max is ONE scalar aggregate per half-round (broadcast
+    into the next map) — exactly computable by the unrolled DuckDB
+    oracle, so the driver hash-compares the scores.
+
+    Shape: per half-round one co-location groupby (edges + scores
+    union-tagged by source-node bucket, contributions scattered to
+    targets) and one groupby(node) sum — the plain join-per-round
+    iterative shape; q_pagerank shows the fused-scatter optimization
+    that halves the shuffles when rounds dominate. Output (vec_id,
+    hub, auth) for every vector (auth 0 for in-edge-free nodes)."""
+    from ray.data.aggregate import Sum
+
+    nbk = _graph_buckets()
+    knn = q_knn_graph(sf_dir)
+
+    def _edge_rows(b: pa.Table) -> pa.Table:
+        u = b.column("vec_id").to_numpy().astype(np.int64)
+        v = b.column("nbr_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "node": pa.array(u, pa.int64()),
+            "other": pa.array(v, pa.int64()),
+            "s": pa.array(np.zeros(u.size, np.int64), pa.int64()),
+        })
+
+    edges = knn.map_batches(_edge_rows, batch_format="pyarrow").materialize()
+
+    def _node_rows(b: pa.Table) -> pa.Table:
+        u = b.column("vec_id").to_numpy().astype(np.int64)
+        nodes = u[b.column("rank").to_numpy().astype(np.int64) == 1]
+        return pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "other": pa.array(np.full(nodes.size, -1, np.int64), pa.int64()),
+            "s": pa.array(np.full(nodes.size, int(HITS_SCALE), np.int64),
+                          pa.int64()),
+        })
+
+    def _bkt(batch: pa.Table) -> pa.Table:
+        n_ = batch.column("node").to_numpy().astype(np.int64)
+        return batch.append_column("bkt", pa.array(n_ % nbk, pa.int64()))
+
+    def _scatter(group: pa.Table) -> pa.Table:
+        """Send each source node's score along its out-edges."""
+        node = group.column("node").to_numpy().astype(np.int64)
+        other = group.column("other").to_numpy().astype(np.int64)
+        s = group.column("s").to_numpy().astype(np.int64)
+        is_score = other < 0
+        sn, sv = node[is_score], s[is_score]
+        order = np.argsort(sn, kind="stable")
+        sn, sv = sn[order], sv[order]
+        eu, ev = node[~is_score], other[~is_score]
+        idx = np.searchsorted(sn, eu)       # every source has a score row
+        return pa.table({
+            "node": pa.array(ev, pa.int64()),
+            "c": pa.array(sv[idx], pa.int64()),
+        })
+
+    def _push(scores: ray.data.Dataset,
+              reverse: bool) -> ray.data.Dataset:
+        """One half-round: raw sums at the edge targets (reverse=False
+        pushes along u→v for authorities; True along v→u for hubs),
+        floor-normalized by the global max."""
+        e = edges
+        if reverse:
+            e = edges.map_batches(
+                lambda b: pa.table({"node": b.column("other"),
+                                    "other": b.column("node"),
+                                    "s": b.column("s")}),
+                batch_format="pyarrow")
+        raw = (
+            e.union(scores)
+            .map_batches(_bkt, batch_format="pyarrow")
+            .groupby("bkt").map_groups(_scatter, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("c", alias_name="raw"))
+        ).materialize()
+        mx = int(raw.max("raw"))
+
+        def _scale(batch: pa.Table) -> pa.Table:
+            r = batch.column("raw").to_numpy().astype(np.int64)
+            return pa.table({
+                "node": batch.column("node"),
+                "other": pa.array(np.full(r.size, -1, np.int64), pa.int64()),
+                "s": pa.array(r * HITS_SCALE // np.int64(mx), pa.int64()),
+            })
+
+        return raw.map_batches(_scale, batch_format="pyarrow")
+
+    hubs = knn.map_batches(_node_rows, batch_format="pyarrow")
+    auths = None
+    for _ in range(iters):
+        auths = _push(hubs, reverse=False)
+        hubs = _push(auths, reverse=True)
+
+    def _final(tag: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "vec_id": batch.column("node"),
+                "hub": batch.column("s") if tag == "hub" else pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()),
+                "auth": batch.column("s") if tag == "auth" else pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()),
+            })
+        return _f
+
+    # union hub rows + auth rows + zero rows for every node, sum per node
+    zeros = knn.map_batches(_node_rows, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: pa.table({
+                "vec_id": b.column("node"),
+                "hub": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                "auth": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            }), batch_format="pyarrow")
+    return (
+        hubs.map_batches(_final("hub"), batch_format="pyarrow")
+        .union(auths.map_batches(_final("auth"), batch_format="pyarrow"))
+        .union(zeros)
+        .groupby("vec_id")
+        .aggregate(Sum("hub", alias_name="hub"),
+                   Sum("auth", alias_name="auth"))
+    )

@@ -2777,3 +2777,61 @@ FROM documents LEFT JOIN tc USING (doc_id)
 GROUP BY source
 """,
     }
+
+
+def hits_oracles() -> dict[str, str]:
+    """Unrolled integer HITS rounds (floor max-normalization per
+    half-round) over the kNN edge set — same qv/dist/rk CTEs as
+    knn_oracles."""
+    from candidategeneration_ray.pipelines.clustering import (
+        HITS_ITERS, HITS_SCALE, KMEANS_SCALE, KNN_K)
+
+    s = int(HITS_SCALE)
+    rounds = []
+    prev_h = "h0"
+    last_a = None
+    for i in range(1, HITS_ITERS + 1):
+        rounds.append(f"""
+a{i}r AS (SELECT v AS node, sum({prev_h}.s) AS raw
+          FROM edges JOIN {prev_h} ON {prev_h}.node = edges.u GROUP BY v),
+a{i} AS (SELECT node, raw * {s} // (SELECT max(raw) FROM a{i}r) AS s
+         FROM a{i}r),
+h{i}r AS (SELECT u AS node, sum(a{i}.s) AS raw
+          FROM edges JOIN a{i} ON a{i}.node = edges.v GROUP BY u),
+h{i} AS (SELECT node, raw * {s} // (SELECT max(raw) FROM h{i}r) AS s
+         FROM h{i}r)""")
+        prev_h, last_a = f"h{i}", f"a{i}"
+    rounds_sql = ",".join(rounds)
+    return {
+        "hits_scores": f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+rk AS (
+  SELECT vec_id, nbr_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, nbr_id ASC) AS rank
+  FROM dist
+),
+edges AS MATERIALIZED (
+  SELECT vec_id AS u, nbr_id AS v FROM rk WHERE rank <= {KNN_K}
+),
+h0 AS (SELECT vec_id AS node, CAST({s} AS BIGINT) AS s FROM embeddings),
+{rounds_sql}
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce({prev_h}.s, 0) AS BIGINT) AS hub,
+       CAST(coalesce({last_a}.s, 0) AS BIGINT) AS auth
+FROM embeddings e
+LEFT JOIN {prev_h} ON {prev_h}.node = e.vec_id
+LEFT JOIN {last_a} ON {last_a}.node = e.vec_id
+""",
+    }

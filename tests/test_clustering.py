@@ -276,3 +276,39 @@ def test_triangle_counts_invariants(ray_session):
     assert (df["n_triangles"] > 0).all()
     assert df["n_triangles"].sum() % 3 == 0
     assert df["vec_id"].is_unique
+
+
+def test_hits_scores_invariants(ray_session):
+    """Every node ranked exactly once; scores in [0, S]; each
+    half-round's max-normalization puts at least one node AT S for
+    both hubs and authorities; hub/auth agree with a single-process
+    numpy recomputation of the same integer recurrence."""
+    df = cl.q_hits_scores(SF).to_pandas()
+    n = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                      columns=["vec_id"]).num_rows
+    S = int(cl.HITS_SCALE)
+    assert len(df) == n and df["vec_id"].is_unique
+    assert df["hub"].between(0, S).all()
+    assert df["auth"].between(0, S).all()
+    assert df["hub"].max() == S and df["auth"].max() == S
+
+    # numpy reference: same floor-normalized recurrence on the kNN edges
+    knn = cl.q_knn_graph(SF).to_pandas()
+    u = knn["vec_id"].to_numpy(np.int64)
+    v = knn["nbr_id"].to_numpy(np.int64)
+    ids = np.sort(df["vec_id"].to_numpy(np.int64))
+    pos = {int(x): i for i, x in enumerate(ids)}
+    ui = np.array([pos[int(x)] for x in u])
+    vi = np.array([pos[int(x)] for x in v])
+    h = np.full(n, S, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(cl.HITS_ITERS):
+        a = np.bincount(vi, weights=h[ui].astype(np.float64),
+                        minlength=n).astype(np.int64)
+        a = a * S // max(int(a.max()), 1)
+        h = np.bincount(ui, weights=a[vi].astype(np.float64),
+                        minlength=n).astype(np.int64)
+        h = h * S // max(int(h.max()), 1)
+    got = df.sort_values("vec_id")
+    assert got["hub"].to_numpy(np.int64).tolist() == h.tolist()
+    assert got["auth"].to_numpy(np.int64).tolist() == a.tolist()
