@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": cl.q_pagerank,                  # integer PageRank over kNN graph
         "triangle_counts": cl.q_triangle_counts,    # graph-motif wedge-check
         "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
+        "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
         "ivf_delta_counts": ivfd.q_ivf_delta_counts,  # IVF LSM: frozen-codebook delta
         # --- corpus-LM / retrieval / mixture operators ---
         "decontaminate": tl.q_decontaminate,        # GPT-3-style shingle overlap
@@ -166,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q13 shape: LEFT OUTER join with zero-fill distribution
         "customer_order_distribution": rl.q_customer_order_distribution,
         "large_volume_customers": rl.q_large_volume_customers,  # Q18: HAVING join
+        "order_skyline": rl.q_order_skyline,        # 2-phase Pareto frontier
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         # two-level (user, time-slice) plan for monster users; hash-matches
@@ -187,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": ev.q_props_extract,        # JSON payload extraction
         "campaign_overlap": ev.q_campaign_overlap,  # interval-overlap join
         "gap_histogram": ev.q_gap_histogram,        # LAG-offset window shape
+        "type_transitions": ev.q_type_transitions,  # Markov pair mining
         "sliding_counts": ev.q_sliding_counts,
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
@@ -214,7 +217,9 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        triangle_oracles, feature_oracles, hits_oracles,
+        label_vote_oracles, skyline_oracles, transition_oracles,
+        triangle_oracles,
+        feature_oracles, hits_oracles,
         props_moments_oracles,
         positional_oracles,
         proximity_oracles, q3_oracles, q5_oracles, rollup_oracles,
@@ -248,7 +253,9 @@ def oracle_sql() -> dict[str, str]:
             **postings_bytes_oracles(), **related_terms_oracles(),
             **campaign_oracles(), **priority_join_oracles(),
             **gap_chunk_profile_oracles(), **triangle_oracles(), **feature_oracles(),
-            **props_moments_oracles(), **hits_oracles()}
+            **props_moments_oracles(), **hits_oracles(),
+            **transition_oracles(), **label_vote_oracles(),
+            **skyline_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

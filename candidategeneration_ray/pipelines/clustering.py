@@ -1162,3 +1162,108 @@ def q_hits_scores(sf_dir: str, iters: int = HITS_ITERS) -> ray.data.Dataset:
         .aggregate(Sum("hub", alias_name="hub"),
                    Sum("auth", alias_name="auth"))
     )
+
+
+LABEL_HOLDOUT = 5  # vec_id % 5 == 0 treated as unlabeled
+
+
+def q_knn_label_vote(sf_dir: str,
+                     holdout: int = LABEL_HOLDOUT) -> ray.data.Dataset:
+    """Semi-supervised label propagation, one round: vectors with
+    vec_id % holdout == 0 are treated as UNLABELED and receive the
+    majority label among their k nearest labeled neighbors (ties to
+    the smallest label; vectors whose whole neighborhood is unlabeled
+    emit nothing). This is the transductive-labeling step of a
+    weak-supervision pipeline (label a seed set, propagate over the
+    embedding kNN graph) — integer votes, so value-verified.
+
+    Shape: edges restricted to unlabeled sources + label rows,
+    union-tagged and co-located by NEIGHBOR id hash-bucket (one
+    searchsorted attach per bucket, the same join layout as
+    q_triangle_counts); vote counting is ONE groupby((vec, label));
+    the per-vector argmax co-locates ≤ k vote rows per vector by
+    vector bucket. No driver step; every kernel is numpy over the
+    bucket's arrays."""
+    from ray.data.aggregate import Sum
+
+    nbk = _graph_buckets()
+    knn = q_knn_graph(sf_dir)
+
+    def _edge_rows(b: pa.Table) -> pa.Table:
+        u = b.column("vec_id").to_numpy().astype(np.int64)
+        v = b.column("nbr_id").to_numpy().astype(np.int64)
+        keep = u % holdout == 0
+        u, v = u[keep], v[keep]
+        return pa.table({
+            "node": pa.array(v, pa.int64()),
+            "u": pa.array(u, pa.int64()),
+            "lbl": pa.array(np.full(u.size, -1, np.int64), pa.int64()),
+        })
+
+    def _label_rows(b: pa.Table) -> pa.Table:
+        vec = b.column("vec_id").to_numpy().astype(np.int64)
+        lbl = b.column("label").to_numpy().astype(np.int64)
+        keep = vec % holdout != 0
+        vec, lbl = vec[keep], lbl[keep]
+        return pa.table({
+            "node": pa.array(vec, pa.int64()),
+            "u": pa.array(np.full(vec.size, -1, np.int64), pa.int64()),
+            "lbl": pa.array(lbl, pa.int64()),
+        })
+
+    def _bkt(batch: pa.Table) -> pa.Table:
+        n_ = batch.column("node").to_numpy().astype(np.int64)
+        return batch.append_column("bkt", pa.array(n_ % nbk, pa.int64()))
+
+    def _attach(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy().astype(np.int64)
+        u = group.column("u").to_numpy().astype(np.int64)
+        lbl = group.column("lbl").to_numpy().astype(np.int64)
+        is_lab = u < 0
+        ln, lv = node[is_lab], lbl[is_lab]
+        order = np.argsort(ln, kind="stable")
+        ln, lv = ln[order], lv[order]
+        ev, eu = node[~is_lab], u[~is_lab]
+        idx = np.searchsorted(ln, ev)
+        ok = (idx < ln.size) & (ln[np.minimum(idx, max(ln.size - 1, 0))]
+                                == ev) if ln.size else np.zeros(
+                                    ev.size, bool)
+        return pa.table({
+            "vec_id": pa.array(eu[ok], pa.int64()),
+            "pred_label": pa.array(lv[idx[ok]], pa.int64()),
+            "n_votes": pa.array(np.ones(int(ok.sum()), np.int64),
+                                pa.int64()),
+        })
+
+    def _vbkt(batch: pa.Table) -> pa.Table:
+        v_ = batch.column("vec_id").to_numpy().astype(np.int64)
+        return batch.append_column("vbkt", pa.array(v_ % nbk, pa.int64()))
+
+    def _argmax(group: pa.Table) -> pa.Table:
+        vec = group.column("vec_id").to_numpy().astype(np.int64)
+        lbl = group.column("pred_label").to_numpy().astype(np.int64)
+        n = group.column("n_votes").to_numpy().astype(np.int64)
+        order = np.lexsort((lbl, -n, vec))
+        vec, lbl, n = vec[order], lbl[order], n[order]
+        first = np.concatenate(([True], vec[1:] != vec[:-1]))
+        return pa.table({
+            "vec_id": pa.array(vec[first], pa.int64()),
+            "pred_label": pa.array(lbl[first], pa.int64()),
+            "n_votes": pa.array(n[first], pa.int64()),
+        })
+
+    labels = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"])
+    votes = (
+        knn.map_batches(_edge_rows, batch_format="pyarrow")
+        .union(labels.map_batches(_label_rows, batch_format="pyarrow"))
+        .map_batches(_bkt, batch_format="pyarrow")
+        .groupby("bkt").map_groups(_attach, batch_format="pyarrow")
+        .groupby(["vec_id", "pred_label"])
+        .aggregate(Sum("n_votes", alias_name="n_votes"))
+    )
+    return (
+        votes.map_batches(_vbkt, batch_format="pyarrow")
+        .groupby("vbkt").map_groups(_argmax, batch_format="pyarrow")
+    )

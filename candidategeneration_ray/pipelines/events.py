@@ -1276,3 +1276,56 @@ def q_props_extract(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("sum_k", alias_name="sum_k"))
     )
+
+
+def q_type_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Event-type transition counts (first-order Markov structure
+    mining): for every same-user consecutive event pair ordered by
+    (ts, event_id), count (prev_type, next_type) occurrences. The
+    row-normalized version of this table IS the session Markov
+    transition matrix; keeping raw integer counts keeps the oracle
+    hash-exact (normalization is a trivial finalizer).
+
+    Shape: the LAG offset frame fused with pair counting — bucket by
+    user hash, ONE lexsort per bucket, shift-compare for the user
+    boundary, then count pairs via batch-local dictionary codes
+    (np.unique packed code pairs). Per-bucket partials are O(types²)
+    rows regardless of bucket size; final groupby sums ≤ types² rows
+    total — no per-row shuffle leaves the bucket."""
+    def _pairs(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        types, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, u))
+        u, code = u[order], code[order].astype(np.int64)
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "next_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if u.size < 2:
+            return empty
+        same = u[1:] == u[:-1]
+        prev_c, next_c = code[:-1][same], code[1:][same]
+        if prev_c.size == 0:
+            return empty
+        k = types.size
+        packed, counts = np.unique(prev_c * k + next_c,
+                                   return_counts=True)
+        return pa.table({
+            "prev_type": pa.array(types[packed // k].tolist(),
+                                  pa.string()),
+            "next_type": pa.array(types[packed % k].tolist(),
+                                  pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return (
+        _with_user_bucket(ds)
+        .groupby("ubucket").map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

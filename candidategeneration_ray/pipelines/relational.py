@@ -1029,3 +1029,77 @@ def _orderkey_qty_partial(batch: pa.Table) -> pa.Table:
     np.add.at(s, inv, qc)
     return pa.table({"key": pa.array(u, pa.int64()),
                      "qty_c": pa.array(s, pa.int64())})
+
+
+def q_order_skyline(sf_dir: str) -> ray.data.Dataset:
+    """Pareto skyline (maximal-vector / multi-objective frontier) of
+    orders minimizing BOTH price and date — "the cheapest early
+    orders": an order survives iff no other order is <= on both
+    (price_cents, order_day) and strictly < on at least one. The
+    skyline shape shows up in data curation as "keep the frontier"
+    selection (e.g. shortest-yet-highest-quality documents); dominance
+    is pure integer comparison, so the oracle hash-matches.
+
+    Shape: the classic two-phase distributed skyline — phase 1 runs a
+    sort-based LOCAL skyline per batch (one np.lexsort + running-min
+    scan; dominated rows die before any shuffle), phase 2 runs the
+    same kernel once over the union of local skylines (a constant-key
+    map_groups task). Correct because global skyline points survive
+    every local pass (a dominator in a batch is a dominator globally).
+    Phase-2 size = O(Σ local frontier sizes) — tiny for correlated
+    dims; a fully anti-correlated 100 TB table would need the
+    grid/angular-partition variant (partition by price decile, each
+    task gets its decile plus the running frontier), documented not
+    built."""
+    def _kernel(key: np.ndarray, price: np.ndarray,
+                day: np.ndarray) -> pa.Table:
+        """Sort-based 2-D skyline: a row survives iff it has the min
+        day within its exact price group AND a strictly smaller day
+        than everything strictly cheaper."""
+        if key.size == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "price_cents": pa.array([], pa.int64()),
+                "order_day": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((key, day, price))
+        key, price, day = key[order], price[order], day[order]
+        uniq_first = np.concatenate(([True], price[1:] != price[:-1]))
+        starts = np.nonzero(uniq_first)[0]
+        grp_of = np.cumsum(uniq_first) - 1           # price-group index
+        run_min = np.minimum.accumulate(day)
+        # min day among STRICTLY cheaper rows = running min at the row
+        # just before my price group starts (+inf for the cheapest)
+        prev = starts[grp_of] - 1
+        mdc = np.where(prev >= 0, run_min[np.maximum(prev, 0)],
+                       np.iinfo(np.int64).max)
+        mdp = np.minimum.reduceat(day, starts)[grp_of]
+        keep = (day < mdc) & (day == mdp)
+        return pa.table({
+            "o_orderkey": pa.array(key[keep], pa.int64()),
+            "price_cents": pa.array(price[keep], pa.int64()),
+            "order_day": pa.array(day[keep], pa.int64()),
+        })
+
+    def _local(batch: pa.Table) -> pa.Table:
+        t = _kernel(
+            batch.column("o_orderkey").to_numpy().astype(np.int64),
+            _cents(batch.column("o_totalprice").to_numpy()),
+            batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+            // np.int64(86_400_000_000))
+        return t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, np.int64), pa.int64()))
+
+    def _final(group: pa.Table) -> pa.Table:
+        return _kernel(
+            group.column("o_orderkey").to_numpy().astype(np.int64),
+            group.column("price_cents").to_numpy().astype(np.int64),
+            group.column("order_day").to_numpy().astype(np.int64))
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return (
+        ds.map_batches(_local, batch_format="pyarrow")
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+    )

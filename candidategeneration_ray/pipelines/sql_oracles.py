@@ -2835,3 +2835,99 @@ LEFT JOIN {prev_h} ON {prev_h}.node = e.vec_id
 LEFT JOIN {last_a} ON {last_a}.node = e.vec_id
 """,
     }
+
+
+def transition_oracles() -> dict[str, str]:
+    """LAG pair mining: first-order event-type transition counts."""
+    return {
+        "type_transitions": """
+WITH o AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""",
+    }
+
+
+def label_vote_oracles() -> dict[str, str]:
+    """One-round kNN majority-vote label propagation — same qv/dist/rk
+    CTEs as knn_oracles; argmax tie-break (n_votes DESC, label ASC)."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_SCALE, KNN_K, LABEL_HOLDOUT)
+
+    return {
+        "knn_label_vote": f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+rk AS (
+  SELECT vec_id, nbr_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, nbr_id ASC) AS rank
+  FROM dist
+),
+edges AS (
+  SELECT vec_id AS u, nbr_id AS v FROM rk
+  WHERE rank <= {KNN_K} AND vec_id % {LABEL_HOLDOUT} = 0
+),
+lab AS (
+  SELECT vec_id, label FROM embeddings
+  WHERE vec_id % {LABEL_HOLDOUT} <> 0
+),
+votes AS (
+  SELECT e.u AS vec_id, l.label AS pred_label,
+         count(*) AS n_votes
+  FROM edges e JOIN lab l ON l.vec_id = e.v
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, pred_label, n_votes,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY n_votes DESC, pred_label ASC) AS r
+  FROM votes)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM best WHERE r = 1
+""",
+    }
+
+
+def skyline_oracles() -> dict[str, str]:
+    """2-D Pareto skyline via the sort-based window formulation (the
+    NOT-EXISTS self-join is O(n²); this is the same running-min scan
+    the engine kernel runs): survive iff min day in your exact price
+    group AND strictly earlier than every strictly-cheaper row."""
+    return {
+        "order_skyline": """
+WITH pts AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS order_day
+  FROM orders),
+w AS (
+  SELECT *,
+         min(order_day) OVER (
+           ORDER BY price_cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mdc,
+         min(order_day) OVER (PARTITION BY price_cents) AS mdp
+  FROM pts)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, price_cents, order_day
+FROM w
+WHERE order_day = mdp AND (mdc IS NULL OR order_day < mdc)
+""",
+    }

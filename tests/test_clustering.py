@@ -312,3 +312,28 @@ def test_hits_scores_invariants(ray_session):
     got = df.sort_values("vec_id")
     assert got["hub"].to_numpy(np.int64).tolist() == h.tolist()
     assert got["auth"].to_numpy(np.int64).tolist() == a.tolist()
+
+
+def test_knn_label_vote_majority(ray_session):
+    """Prediction == pandas majority vote recomputed from the kNN
+    graph; only held-out vectors predicted; votes bounded by k."""
+    got = cl.q_knn_label_vote(SF).to_pandas()
+    assert (got["vec_id"] % cl.LABEL_HOLDOUT == 0).all()
+    assert got["vec_id"].is_unique
+    assert got["n_votes"].between(1, cl.KNN_K).all()
+
+    knn = cl.q_knn_graph(SF).to_pandas()
+    emb = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                        columns=["vec_id", "label"]).to_pandas()
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    votes = {}
+    for u, v in zip(knn["vec_id"], knn["nbr_id"]):
+        if u % cl.LABEL_HOLDOUT == 0 and v % cl.LABEL_HOLDOUT != 0:
+            votes.setdefault(int(u), []).append(int(lab[int(v)]))
+    want = {}
+    for u, ls in votes.items():
+        vals, cnts = np.unique(np.array(ls), return_counts=True)
+        order = np.lexsort((vals, -cnts))
+        want[u] = (int(vals[order[0]]), int(cnts[order[0]]))
+    assert {int(r.vec_id): (int(r.pred_label), int(r.n_votes))
+            for r in got.itertuples()} == want

@@ -624,3 +624,35 @@ def test_props_extract_mass(ray_session):
     # bucket invariant: 10*bucket <= mean k in bucket < 10*(bucket+1)
     assert (df["sum_k"] >= 10 * df["k_bucket"] * df["n_events"]).all()
     assert (df["sum_k"] < 10 * (df["k_bucket"] + 1) * df["n_events"]).all()
+
+
+def test_type_transitions_fixture(ray_session, tmp_path):
+    """Hand-built stream: user 1 = view->click->purchase, user 2 =
+    view->view; counts exact, cross-user pairs never counted."""
+    from candidategeneration_ray.pipelines.events import q_type_transitions
+
+    sf = _write_events(tmp_path, [
+        (1, 0, 1, "view", 0.0),
+        (2, 10, 1, "click", 0.0),
+        (3, 20, 1, "purchase", 5.0),
+        (4, 5, 2, "view", 0.0),
+        (5, 15, 2, "view", 0.0),
+    ])
+    df = q_type_transitions(sf).to_pandas()
+    got = {(r.prev_type, r.next_type): r.n for r in df.itertuples()}
+    assert got == {("view", "click"): 1, ("click", "purchase"): 1,
+                   ("view", "view"): 1}
+
+
+def test_type_transitions_total(ray_session):
+    """Σ transitions = n_events - n_users (each user contributes
+    len-1 pairs)."""
+    from candidategeneration_ray.pipelines.events import q_type_transitions
+
+    sf = "/root/testdata/sf0.001"
+    df = q_type_transitions(sf).to_pandas()
+    ev = pq.read_table(os.path.join(sf, "events.parquet"),
+                       columns=["user_id"])
+    n = ev.num_rows
+    nu = len(set(ev.column("user_id").to_pylist()))
+    assert int(df["n"].sum()) == n - nu

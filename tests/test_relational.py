@@ -321,3 +321,29 @@ def test_large_volume_customers_threshold(ray_session):
     rows = list(zip(-t["sum_qty_c"].to_numpy(), t["o_orderkey"].to_numpy()))
     assert rows == sorted(rows)
     assert t["o_orderkey"].is_unique
+
+
+def test_order_skyline_exact(ray_session):
+    """Skyline == brute-force dominance over the whole table, and is
+    batch-layout independent by construction (phase 2 reruns the same
+    kernel on the union)."""
+    import pyarrow.parquet as pq
+
+    got = rl.q_order_skyline(SF_DIR).to_pandas().sort_values(
+        "o_orderkey").reset_index(drop=True)
+    t = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                      columns=["o_orderkey", "o_totalprice",
+                               "o_orderdate"])
+    key = t.column("o_orderkey").to_numpy().astype(np.int64)
+    price = rl._cents(t.column("o_totalprice").to_numpy())
+    day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+           // np.int64(86_400_000_000))
+    keep = np.ones(key.size, bool)
+    for i in range(key.size):
+        dom = (price <= price[i]) & (day <= day[i]) & (
+            (price < price[i]) | (day < day[i]))
+        if dom.any():
+            keep[i] = False
+    want = sorted(key[keep].tolist())
+    assert got["o_orderkey"].tolist() == want
+    assert len(want) > 0
