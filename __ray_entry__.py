@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": rl.q_customer_order_distribution,
         "large_volume_customers": rl.q_large_volume_customers,  # Q18: HAVING join
         "order_skyline": rl.q_order_skyline,        # 2-phase Pareto frontier
+        "promo_revenue_share": rl.q_promo_revenue_share,  # Q14: dim-broadcast CASE agg
+        "small_qty_revenue": rl.q_small_qty_revenue,  # Q17: decorrelated scalar subquery
+        "above_avg_idle_customers": rl.q_above_avg_idle_customers,  # Q22: scalar + anti join
+        "line_priority_counts": rl.q_line_priority_counts,  # Q12: joined-attr filter + CASE
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         # two-level (user, time-slice) plan for monster users; hash-matches
@@ -217,7 +221,8 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        label_vote_oracles, skyline_oracles, transition_oracles,
+        label_vote_oracles, skyline_oracles, tpch_shapes_oracles,
+        transition_oracles,
         triangle_oracles,
         feature_oracles, hits_oracles,
         props_moments_oracles,
@@ -255,7 +260,7 @@ def oracle_sql() -> dict[str, str]:
             **gap_chunk_profile_oracles(), **triangle_oracles(), **feature_oracles(),
             **props_moments_oracles(), **hits_oracles(),
             **transition_oracles(), **label_vote_oracles(),
-            **skyline_oracles()}
+            **skyline_oracles(), **tpch_shapes_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -1103,3 +1103,420 @@ def q_order_skyline(sf_dir: str) -> ray.data.Dataset:
         ds.map_batches(_local, batch_format="pyarrow")
         .groupby("g").map_groups(_final, batch_format="pyarrow")
     )
+
+
+PROMO_SHIP_LO = "1997-09-01"
+PROMO_SHIP_HI = "1997-10-01"
+Q17_BRAND = "Brand#4"
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q_promo_revenue_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q14-shaped promo share: over one shipdate month, the
+    promo-part revenue and total revenue as EXACT integer
+    numerator/denominator (revenue_milli = cents(extendedprice) x
+    (100 - disc_pct); the reported percentage is num/den, a float
+    finalizer the caller applies — keeping the division out keeps the
+    oracle hash-exact).
+
+    Shape: the dimension-broadcast join — part's (partkey → is_promo)
+    bit goes into the object store ONCE (ray.put) and every lineitem
+    batch probes it with one searchsorted; the month predicate and the
+    4-column projection push into the parquet read. Output: one row.
+    At 100 TB part is ~1/30 the rows of lineitem and only 2 columns
+    are shipped — broadcast is the right plan; the bucketed shuffle
+    join (q_nation_order_stats) is the fallback when the dim outgrows
+    worker memory."""
+    import pyarrow.compute as pc
+
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"])
+
+    def _part_rows(b: pa.Table) -> pa.Table:
+        pk = b.column("p_partkey").to_numpy().astype(np.int64)
+        promo = pc.equal(b.column("p_type"), "PROMO").to_numpy(
+            zero_copy_only=False)
+        return pa.table({"pk": pa.array(pk, pa.int64()),
+                         "promo": pa.array(promo.astype(np.int8),
+                                           pa.int8())})
+
+    pt = pa.concat_tables(
+        ray.get([blk for blk in part.map_batches(
+            _part_rows, batch_format="pyarrow").to_arrow_refs()]))
+    pk = pt.column("pk").to_numpy().astype(np.int64)
+    promo = pt.column("promo").to_numpy().astype(bool)
+    o = np.argsort(pk)
+    dim_ref = ray.put((pk[o], promo[o]))
+
+    lo = np.datetime64(PROMO_SHIP_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(PROMO_SHIP_HI).astype("datetime64[us]").astype(np.int64)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (sd >= lo) & (sd < hi)
+        lpk = batch.column("l_partkey").to_numpy().astype(np.int64)[keep]
+        ext = _cents(batch.column("l_extendedprice").to_numpy()[keep])
+        disc = _pct(batch.column("l_discount").to_numpy()[keep])
+        rev = ext * (np.int64(100) - disc)
+        dpk, dpromo = ray.get(dim_ref)
+        if dpk.size:
+            idx = np.minimum(np.searchsorted(dpk, lpk), dpk.size - 1)
+            is_promo = (dpk[idx] == lpk) & dpromo[idx]
+        else:
+            is_promo = np.zeros(lpk.size, bool)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "promo_milli": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_milli": pa.array([int(rev.sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("promo_milli", alias_name="promo_milli"),
+                   Sum("total_milli", alias_name="total_milli"),
+                   Sum("n_lines", alias_name="n_lines"))
+        .map_batches(lambda t: t.drop_columns(["g"]),
+                     batch_format="pyarrow")
+    )
+
+
+def q_small_qty_revenue(sf_dir: str,
+                        brand: str = Q17_BRAND) -> ray.data.Dataset:
+    """TPC-H-Q17-shaped decorrelated scalar subquery: total revenue of
+    brand lines whose quantity is under 20% of that part's average
+    quantity. The fractional comparison is EXACT by cross-
+    multiplication: qty < 0.2 * (sum_qty/cnt)  ⟺  5*qty*cnt < sum_qty
+    (quantities are integral) — no float threshold, so the oracle
+    hash-matches.
+
+    Shape: the correlated subquery decorrelates into (pass 1) a
+    per-part aggregate of the brand's lineitems — per-batch compressed
+    partials, one small groupby — and (pass 2) a re-scan that
+    co-locates each part's agg row with its lineitem rows by partkey
+    hash-bucket (union-tag + one searchsorted per bucket, no driver
+    materialization of the agg) and keeps qualifying lines. Output:
+    one row (total_cents, n_lines)."""
+    import pyarrow.compute as pc
+
+    nb = JOIN_BUCKETS
+
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"])
+
+    def _brand_rows(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("p_brand"), brand).to_numpy(
+            zero_copy_only=False)
+        pk = b.column("p_partkey").to_numpy().astype(np.int64)[keep]
+        return pa.table({"pk": pa.array(pk, pa.int64())})
+
+    bt = pa.concat_tables(
+        ray.get([blk for blk in part.map_batches(
+            _brand_rows, batch_format="pyarrow").to_arrow_refs()]))
+    bset = np.sort(bt.column("pk").to_numpy().astype(np.int64))
+    bset_ref = ray.put(bset)
+
+    def _in_brand(lpk: np.ndarray) -> np.ndarray:
+        bs = ray.get(bset_ref)
+        if bs.size == 0:
+            return np.zeros(lpk.size, bool)
+        idx = np.minimum(np.searchsorted(bs, lpk), bs.size - 1)
+        return bs[idx] == lpk
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        lpk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        keep = _in_brand(lpk)
+        lpk = lpk[keep]
+        qty = np.rint(batch.column("l_quantity").to_numpy()[keep]) \
+            .astype(np.int64)
+        u, inv = np.unique(lpk, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, qty)
+        return pa.table({"l_partkey": pa.array(u, pa.int64()),
+                         "cnt": pa.array(n, pa.int64()),
+                         "sum_qty": pa.array(s, pa.int64())})
+
+    lineitem_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity"])
+        .map_batches(_qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("cnt", alias_name="cnt"),
+                   Sum("sum_qty", alias_name="sum_qty"))
+    )
+
+    def _agg_rows(b: pa.Table) -> pa.Table:
+        pkk = b.column("l_partkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(pkk % nb, pa.int64()),
+            "key": pa.array(pkk, pa.int64()),
+            "cnt": b.column("cnt"),
+            "sum_qty": b.column("sum_qty"),
+            "qty": pa.array(np.full(pkk.size, -1, np.int64), pa.int64()),
+            "cents": pa.array(np.zeros(pkk.size, np.int64), pa.int64()),
+        })
+
+    def _line_rows(batch: pa.Table) -> pa.Table:
+        lpk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        keep = _in_brand(lpk)
+        lpk = lpk[keep]
+        qty = np.rint(batch.column("l_quantity").to_numpy()[keep]) \
+            .astype(np.int64)
+        cents = _cents(batch.column("l_extendedprice").to_numpy()[keep])
+        return pa.table({
+            "bkt": pa.array(lpk % nb, pa.int64()),
+            "key": pa.array(lpk, pa.int64()),
+            "cnt": pa.array(np.zeros(lpk.size, np.int64), pa.int64()),
+            "sum_qty": pa.array(np.zeros(lpk.size, np.int64), pa.int64()),
+            "qty": pa.array(qty, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    def _filter(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy().astype(np.int64)
+        qty = group.column("qty").to_numpy().astype(np.int64)
+        build = qty < 0
+        bk = key[build]
+        bc = group.column("cnt").to_numpy().astype(np.int64)[build]
+        bs = group.column("sum_qty").to_numpy().astype(np.int64)[build]
+        o = np.argsort(bk)
+        bk, bc, bs = bk[o], bc[o], bs[o]
+        pkk = key[~build]
+        pq_ = qty[~build]
+        pc_ = group.column("cents").to_numpy().astype(np.int64)[~build]
+        idx = np.searchsorted(bk, pkk)   # every probe part has an agg row
+        ok = np.int64(5) * pq_ * bc[idx] < bs[idx]
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "total_cents": pa.array([int(pc_[ok].sum())], pa.int64()),
+            "n_lines": pa.array([int(ok.sum())], pa.int64()),
+        })
+
+    lines = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=lineitem_cols
+    ).map_batches(_line_rows, batch_format="pyarrow")
+    return (
+        agg.map_batches(_agg_rows, batch_format="pyarrow")
+        .union(lines)
+        .groupby("bkt").map_groups(_filter, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("total_cents", alias_name="total_cents"),
+                   Sum("n_lines", alias_name="n_lines"))
+        .map_batches(lambda t: t.drop_columns(["g"]),
+                     batch_format="pyarrow")
+    )
+
+
+Q22_DATE_LO = "2000-01-01"
+Q22_DATE_HI = "2000-07-01"
+
+
+def q_above_avg_idle_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q22-shaped global-scalar + anti-join: per nation, the
+    count and total balance cents of customers whose balance exceeds
+    the average POSITIVE balance and who placed no order inside the
+    [Q22_DATE_LO, Q22_DATE_HI) window (the window keeps the anti side
+    non-degenerate on the synthetic corpus — every customer has SOME
+    order — and pushes a predicate into the orders read).
+    The above-average comparison is EXACT by cross-multiplication:
+    cents > sum_pos/n_pos ⟺ cents * n_pos > sum_pos — no float
+    average crosses the wire.
+
+    Shape: (1) one compressed aggregate pass over customer produces
+    the (n_pos, sum_pos) scalar — a 1-row broadcast, the decorrelated
+    scalar subquery; (2) the NOT-EXISTS becomes the bucketed ANTI
+    join (union-tag by custkey hash, per-batch-distinct order keys on
+    the build side, one searchsorted per bucket — same machinery as
+    q_customers_no_orders); (3) surviving rows compress to per-nation
+    partials before the O(nations) groupby."""
+    nb = JOIN_BUCKETS
+
+    def _bal_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("c_acctbal").to_numpy())
+        pos = cents > 0
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "n_pos": pa.array([int(pos.sum())], pa.int64()),
+            "sum_pos": pa.array([int(cents[pos].sum())], pa.int64()),
+        })
+
+    scal = (
+        ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_acctbal"])
+        .map_batches(_bal_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n_pos", alias_name="n_pos"),
+                   Sum("sum_pos", alias_name="sum_pos"))
+        .take_all()
+    )
+    n_pos = np.int64(scal[0]["n_pos"])
+    sum_pos = np.int64(scal[0]["sum_pos"])
+
+    def _cust_rows(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy().astype(np.int64)
+        cents = _cents(b.column("c_acctbal").to_numpy())
+        natk = b.column("c_nationkey").to_numpy().astype(np.int64)
+        keep = cents * n_pos > sum_pos
+        ck, cents, natk = ck[keep], cents[keep], natk[keep]
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nationkey": pa.array(natk, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    q22_lo = np.datetime64(Q22_DATE_LO).astype(
+        "datetime64[us]").astype(np.int64)
+    q22_hi = np.datetime64(Q22_DATE_HI).astype(
+        "datetime64[us]").astype(np.int64)
+
+    def _order_keys(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").cast(pa.int64()).to_numpy()
+        inwin = (od >= q22_lo) & (od < q22_hi)
+        ck = np.unique(
+            b.column("o_custkey").to_numpy().astype(np.int64)[inwin])
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nationkey": pa.array(np.full(ck.size, -1, np.int64),
+                                  pa.int64()),
+            "cents": pa.array(np.zeros(ck.size, np.int64), pa.int64()),
+        })
+
+    def _anti(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy().astype(np.int64)
+        natk = group.column("nationkey").to_numpy().astype(np.int64)
+        cents = group.column("cents").to_numpy().astype(np.int64)
+        has_order = natk < 0
+        ok_keys = np.unique(key[has_order])
+        ck, cn, cc = key[~has_order], natk[~has_order], cents[~has_order]
+        if ok_keys.size:
+            idx = np.minimum(np.searchsorted(ok_keys, ck),
+                             ok_keys.size - 1)
+            keep = ok_keys[idx] != ck
+        else:
+            keep = np.ones(ck.size, bool)
+        cn, cc = cn[keep], cc[keep]
+        u, inv = np.unique(cn, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, cc)
+        return pa.table({
+            "c_nationkey": pa.array(u, pa.int64()),
+            "n_custs": pa.array(n, pa.int64()),
+            "total_cents": pa.array(s, pa.int64()),
+        })
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal", "c_nationkey"],
+    ).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    ).map_batches(_order_keys, batch_format="pyarrow")
+    return (
+        cust.union(orders)
+        .groupby("bkt").map_groups(_anti, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_custs", alias_name="n_custs"),
+                   Sum("total_cents", alias_name="total_cents"))
+    )
+
+
+def q_line_priority_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q12-shaped join + conditional aggregation: per
+    l_returnflag, how many lineitems (shipped strictly after their
+    order date — a predicate on JOINED attributes, evaluable only
+    post-join) belong to high-priority orders (1-URGENT/2-HIGH) vs
+    low. The CASE collapses the join output to counts, so the final
+    shuffle is O(flags), not O(lines).
+
+    Shape: the general bucketed equi-join by orderkey (orders build
+    side unique on PK, lineitem probe side), the joined-attribute
+    filter and the conditional partial both inside the bucket task."""
+    nb = JOIN_BUCKETS
+
+    def _order_rows(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy().astype(np.int64)
+        od = b.column("o_orderdate").cast(pa.int64()).to_numpy()
+        prio = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        high = np.isin(prio, np.asarray(HIGH_PRIORITIES, object))
+        return pa.table({
+            "bkt": pa.array(ok % nb, pa.int64()),
+            "key": pa.array(ok, pa.int64()),
+            "odate": pa.array(od, pa.int64()),
+            "high": pa.array(high.astype(np.int8), pa.int8()),
+            "sdate": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+            "flag": pa.array([""] * ok.size, pa.string()),
+        })
+
+    def _line_rows(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy().astype(np.int64)
+        sd = b.column("l_shipdate").cast(pa.int64()).to_numpy()
+        return pa.table({
+            "bkt": pa.array(ok % nb, pa.int64()),
+            "key": pa.array(ok, pa.int64()),
+            "odate": pa.array(np.zeros(ok.size, np.int64), pa.int64()),
+            "high": pa.array(np.full(ok.size, -1, np.int8), pa.int8()),
+            "sdate": pa.array(sd, pa.int64()),
+            "flag": b.column("l_returnflag"),
+        })
+
+    def _probe(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy().astype(np.int64)
+        high = group.column("high").to_numpy().astype(np.int64)
+        build = high >= 0
+        bk = key[build]
+        bo = group.column("odate").to_numpy().astype(np.int64)[build]
+        bh = high[build]
+        o = np.argsort(bk)
+        bk, bo, bh = bk[o], bo[o], bh[o]
+        pk = key[~build]
+        psd = group.column("sdate").to_numpy().astype(np.int64)[~build]
+        pf = np.asarray(group.column("flag").to_pylist(), object)[~build]
+        if bk.size:
+            idx = np.minimum(np.searchsorted(bk, pk), bk.size - 1)
+            hit = bk[idx] == pk
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        late = hit & (psd > bo[idx])
+        is_high = np.zeros(pk.size, bool)
+        is_high[late] = bh[idx[late]] == 1
+        flags, inv = np.unique(pf[late], return_inverse=True)
+        hi = np.zeros(flags.size, np.int64)
+        lo_ = np.zeros(flags.size, np.int64)
+        np.add.at(hi, inv, is_high[late].astype(np.int64))
+        np.add.at(lo_, inv, (~is_high[late]).astype(np.int64))
+        return pa.table({
+            "l_returnflag": pa.array(flags.tolist(), pa.string()),
+            "high_lines": pa.array(hi, pa.int64()),
+            "low_lines": pa.array(lo_, pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_returnflag"],
+    ).map_batches(_line_rows, batch_format="pyarrow")
+    return (
+        orders.union(lines)
+        .groupby("bkt").map_groups(_probe, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("high_lines", alias_name="high_lines"),
+                   Sum("low_lines", alias_name="low_lines"))
+    )

@@ -2931,3 +2931,71 @@ FROM w
 WHERE order_day = mdp AND (mdc IS NULL OR order_day < mdc)
 """,
     }
+
+
+def tpch_shapes_oracles() -> dict[str, str]:
+    """Q14/Q17/Q22/Q12-shaped oracles — all integer-exact (revenue in
+    milli-cents, fractional comparisons cross-multiplied)."""
+    from candidategeneration_ray.pipelines.relational import (
+        HIGH_PRIORITIES, PROMO_SHIP_HI, PROMO_SHIP_LO, Q17_BRAND,
+        Q22_DATE_HI, Q22_DATE_LO)
+
+    hp = ", ".join(f"'{p}'" for p in HIGH_PRIORITIES)
+    return {
+        "promo_revenue_share": f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{PROMO_SHIP_LO}'
+    AND l_shipdate <  TIMESTAMP '{PROMO_SHIP_HI}')
+SELECT
+  CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0)
+       AS BIGINT) AS promo_milli,
+  CAST(coalesce(sum(rev), 0) AS BIGINT) AS total_milli,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM li JOIN part ON p_partkey = l_partkey
+""",
+        "small_qty_revenue": f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+li AS (
+  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN bp ON p_partkey = l_partkey),
+ag AS (SELECT l_partkey, count(*) AS cnt, sum(qty) AS sum_qty
+       FROM li GROUP BY 1)
+SELECT CAST(coalesce(sum(li.cents), 0) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM li JOIN ag USING (l_partkey)
+WHERE 5 * li.qty * ag.cnt < ag.sum_qty
+""",
+        "above_avg_idle_customers": f"""
+WITH s AS (
+  SELECT count(*) AS n_pos,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_pos
+  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+kept AS (
+  SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer, s
+  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '{Q22_DATE_LO}'
+                      AND o_orderdate <  TIMESTAMP '{Q22_DATE_HI}'))
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM kept GROUP BY 1
+""",
+        "line_priority_counts": f"""
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ({hp}) THEN 1 ELSE 0 END)
+       AS BIGINT) AS high_lines,
+  CAST(sum(CASE WHEN o_orderpriority IN ({hp}) THEN 0 ELSE 1 END)
+       AS BIGINT) AS low_lines
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE epoch_us(l_shipdate) > epoch_us(o_orderdate)
+GROUP BY 1
+""",
+    }

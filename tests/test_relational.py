@@ -347,3 +347,94 @@ def test_order_skyline_exact(ray_session):
     want = sorted(key[keep].tolist())
     assert got["o_orderkey"].tolist() == want
     assert len(want) > 0
+
+
+def test_promo_revenue_share_recompute(ray_session):
+    """Integer num/den == pandas recompute over the month window."""
+    import pyarrow.parquet as pq
+
+    got = rl.q_promo_revenue_share(SF_DIR).to_pandas().iloc[0]
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                       columns=["l_partkey", "l_extendedprice",
+                                "l_discount", "l_shipdate"]).to_pandas()
+    pt = pq.read_table(os.path.join(SF_DIR, "part.parquet"),
+                       columns=["p_partkey", "p_type"]).to_pandas()
+    lo = np.datetime64(rl.PROMO_SHIP_LO)
+    hi = np.datetime64(rl.PROMO_SHIP_HI)
+    m = (li["l_shipdate"].values >= lo) & (li["l_shipdate"].values < hi)
+    li = li[m]
+    rev = (rl._cents(li["l_extendedprice"].to_numpy())
+           * (100 - rl._pct(li["l_discount"].to_numpy())))
+    promo_parts = set(pt[pt["p_type"] == "PROMO"]["p_partkey"])
+    is_promo = li["l_partkey"].isin(promo_parts).to_numpy()
+    assert int(got["total_milli"]) == int(rev.sum())
+    assert int(got["promo_milli"]) == int(rev[is_promo].sum())
+    assert int(got["n_lines"]) == int(m.sum()) > 0
+    assert 0 < got["promo_milli"] < got["total_milli"]
+
+
+def test_small_qty_revenue_recompute(ray_session):
+    """Cross-multiplied 20%-of-avg filter == pandas recompute."""
+    import pyarrow.parquet as pq
+
+    got = rl.q_small_qty_revenue(SF_DIR).to_pandas().iloc[0]
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                       columns=["l_partkey", "l_quantity",
+                                "l_extendedprice"]).to_pandas()
+    pt = pq.read_table(os.path.join(SF_DIR, "part.parquet"),
+                       columns=["p_partkey", "p_brand"]).to_pandas()
+    brand = set(pt[pt["p_brand"] == rl.Q17_BRAND]["p_partkey"])
+    li = li[li["l_partkey"].isin(brand)]
+    qty = np.rint(li["l_quantity"].to_numpy()).astype(np.int64)
+    cents = rl._cents(li["l_extendedprice"].to_numpy())
+    g = li.groupby("l_partkey")["l_quantity"]
+    cnt = g.transform("count").to_numpy().astype(np.int64)
+    sq = np.rint(g.transform("sum").to_numpy()).astype(np.int64)
+    ok = 5 * qty * cnt < sq
+    assert int(got["total_cents"]) == int(cents[ok].sum())
+    assert int(got["n_lines"]) == int(ok.sum()) > 0
+
+
+def test_above_avg_idle_customers_recompute(ray_session):
+    import pyarrow.parquet as pq
+
+    got = rl.q_above_avg_idle_customers(SF_DIR).to_pandas()
+    cu = pq.read_table(os.path.join(SF_DIR, "customer.parquet"),
+                       columns=["c_custkey", "c_acctbal",
+                                "c_nationkey"]).to_pandas()
+    od = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                       columns=["o_custkey", "o_orderdate"]).to_pandas()
+    lo, hi = np.datetime64(rl.Q22_DATE_LO), np.datetime64(rl.Q22_DATE_HI)
+    active = set(od[(od["o_orderdate"].values >= lo)
+                    & (od["o_orderdate"].values < hi)]["o_custkey"])
+    cents = rl._cents(cu["c_acctbal"].to_numpy())
+    n_pos = int((cents > 0).sum())
+    sum_pos = int(cents[cents > 0].sum())
+    keep = (cents * n_pos > sum_pos) & ~cu["c_custkey"].isin(active).to_numpy()
+    want = {}
+    for nk, c in zip(cu["c_nationkey"].to_numpy()[keep], cents[keep]):
+        n, s = want.get(int(nk), (0, 0))
+        want[int(nk)] = (n + 1, s + int(c))
+    assert {int(r.c_nationkey): (int(r.n_custs), int(r.total_cents))
+            for r in got.itertuples()} == want
+    assert len(got) > 0
+
+
+def test_line_priority_counts_recompute(ray_session):
+    import pyarrow.parquet as pq
+
+    got = rl.q_line_priority_counts(SF_DIR).to_pandas()
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                       columns=["l_orderkey", "l_shipdate",
+                                "l_returnflag"]).to_pandas()
+    od = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                       columns=["o_orderkey", "o_orderdate",
+                                "o_orderpriority"]).to_pandas()
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    j = j[j["l_shipdate"] > j["o_orderdate"]]
+    j["high"] = j["o_orderpriority"].isin(rl.HIGH_PRIORITIES)
+    want = {f: (int(g["high"].sum()), int((~g["high"]).sum()))
+            for f, g in j.groupby("l_returnflag")}
+    assert {r.l_returnflag: (int(r.high_lines), int(r.low_lines))
+            for r in got.itertuples()} == want
+    assert len(got) > 0
