@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
+        "retrieval_eval": dq.q_retrieval_eval,  # recall/MRR stats vs exact top-k
         # --- training-data extras (dedup / similarity / text analysis) ---
         "dedup_exact": ex.q_dedup_exact,
         # exact-mode opt-in: the library default caps hot shingles
@@ -221,7 +222,8 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        label_vote_oracles, skyline_oracles, tpch_shapes_oracles,
+        label_vote_oracles, retrieval_eval_oracles, skyline_oracles,
+        tpch_shapes_oracles,
         transition_oracles,
         triangle_oracles,
         feature_oracles, hits_oracles,
@@ -260,7 +262,8 @@ def oracle_sql() -> dict[str, str]:
             **gap_chunk_profile_oracles(), **triangle_oracles(), **feature_oracles(),
             **props_moments_oracles(), **hits_oracles(),
             **transition_oracles(), **label_vote_oracles(),
-            **skyline_oracles(), **tpch_shapes_oracles()}
+            **skyline_oracles(), **tpch_shapes_oracles(),
+            **retrieval_eval_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -975,3 +975,49 @@ def q_topk_candidates(sf_dir: str) -> pa.Table:
         "query_id": pa.array(qids, pa.int64()),
         "doc_id": pa.array(docs, pa.int64()),
     })
+
+
+def q_retrieval_eval(sf_dir: str) -> pa.Table:
+    """Retrieval-quality evaluation of the predictive candidate
+    pipeline against the exact BM25 top-10 as relevance truth — the
+    reference's actual research question ("do the predictive index's
+    candidates cover the full ranker's top-k?",
+    algo_toplayer.cpp:978-1012 counts exactly these hits). Per query:
+
+        n_candidates    rows the greedy selection returned
+        hits_at_10      |top-10 candidates ∩ exact top-10|
+        first_rel_rank  rank of the first relevant candidate (0 = none)
+
+    recall@10 = hits_at_10/10 and MRR = mean(1/first_rel_rank) are
+    float finalizers the caller applies; keeping integer ranks keeps
+    the oracle hash-exact. Both inputs are SQL-verified pipelines; the
+    oracle re-composes their SQL, so the driver checks the COMPOSITION,
+    not just the parts. Per-query work is O(k²) over two ≤k-row lists
+    — evaluation cost is query-bound, never corpus-bound."""
+    cand = q_predictive_candidates(sf_dir)
+    rel = q_bm25_topk(sf_dir)
+
+    rq = rel.column("query_id").to_numpy().astype(np.int64)
+    rd = rel.column("doc_id").to_numpy().astype(np.int64)
+    relset = set(zip(rq.tolist(), rd.tolist()))
+
+    cq = cand.column("query_id").to_numpy().astype(np.int64)
+    cr = cand.column("rank").to_numpy().astype(np.int64)
+    cd = cand.column("doc_id").to_numpy().astype(np.int64)
+    hit = np.fromiter(((int(q), int(d)) in relset
+                       for q, d in zip(cq, cd)), bool, cq.size)
+
+    qids, ncand, hits10, firstrel = [], [], [], []
+    for q in np.unique(cq):
+        m = cq == q
+        qids.append(int(q))
+        ncand.append(int(m.sum()))
+        hits10.append(int((hit & m & (cr <= 10)).sum()))
+        relranks = cr[m & hit]
+        firstrel.append(int(relranks.min()) if relranks.size else 0)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "n_candidates": pa.array(ncand, pa.int64()),
+        "hits_at_10": pa.array(hits10, pa.int64()),
+        "first_rel_rank": pa.array(firstrel, pa.int64()),
+    })

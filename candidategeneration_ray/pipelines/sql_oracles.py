@@ -2999,3 +2999,28 @@ WHERE epoch_us(l_shipdate) > epoch_us(o_orderdate)
 GROUP BY 1
 """,
     }
+
+
+def retrieval_eval_oracles() -> dict[str, str]:
+    """Composition oracle: re-uses the bm25_topk and
+    predictive_candidates oracle SQL verbatim as derived tables, so
+    the driver value-checks the EVALUATION of one pipeline against
+    the other, not just each pipeline alone."""
+    bm25 = core_oracles()["bm25_topk"]
+    cand = predictive_oracles()["predictive_candidates"]
+    return {
+        "retrieval_eval": f"""
+WITH cand AS ({cand}),
+rel AS ({bm25})
+SELECT CAST(c.query_id AS BIGINT) AS query_id,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN r.doc_id IS NOT NULL AND c.rank <= 10
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+       CAST(coalesce(min(CASE WHEN r.doc_id IS NOT NULL
+                              THEN c.rank END), 0) AS BIGINT)
+         AS first_rel_rank
+FROM cand c
+LEFT JOIN rel r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+GROUP BY 1
+""",
+    }

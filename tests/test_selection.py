@@ -218,3 +218,32 @@ class TestDistributedQualityModel:
         assert np.array_equal(dist.rank_bounds, model.rank_bounds)
         for fam in (False, True):
             assert np.allclose(dist.prob[fam], model.prob[fam], atol=0), fam
+
+
+def test_retrieval_eval_invariants(ray_session):
+    """Eval stats internally consistent and consistent with a direct
+    set comparison of the two underlying pipelines."""
+    from candidategeneration_ray.pipelines.docquery import (
+        q_bm25_topk, q_predictive_candidates, q_retrieval_eval)
+
+    sf = "/root/testdata/sf0.001"
+    ev = q_retrieval_eval(sf).to_pandas()
+    assert len(ev) > 0 and ev["query_id"].is_unique
+    assert ev["hits_at_10"].between(0, 10).all()
+    assert ((ev["first_rel_rank"] == 0)
+            | (ev["first_rel_rank"] <= ev["n_candidates"])).all()
+    # a query with any top-10 hit must have a first relevant rank
+    assert ((ev["hits_at_10"] == 0)
+            | (ev["first_rel_rank"] >= 1)).all()
+
+    cand = q_predictive_candidates(sf).to_pandas()
+    rel = q_bm25_topk(sf).to_pandas()
+    for q in ev["query_id"]:
+        c = cand[cand["query_id"] == q]
+        r = set(rel[rel["query_id"] == q]["doc_id"])
+        row = ev[ev["query_id"] == q].iloc[0]
+        hits10 = len(set(c[c["rank"] <= 10]["doc_id"]) & r)
+        assert int(row["hits_at_10"]) == hits10
+        relranks = c[c["doc_id"].isin(r)]["rank"]
+        assert int(row["first_rel_rank"]) == (
+            int(relranks.min()) if len(relranks) else 0)
