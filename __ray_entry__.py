@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_features": ev.q_user_features,        # one-pass feature vector
         "props_extract": ev.q_props_extract,        # JSON payload extraction
         "campaign_overlap": ev.q_campaign_overlap,  # interval-overlap join
+        "session_copresence": ev.q_session_copresence,  # large-large interval self-join
         "gap_histogram": ev.q_gap_histogram,        # LAG-offset window shape
         "type_transitions": ev.q_type_transitions,  # Markov pair mining
         "sliding_counts": ev.q_sliding_counts,
@@ -222,7 +223,8 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        label_vote_oracles, retrieval_eval_oracles, skyline_oracles,
+        copresence_oracles, label_vote_oracles, retrieval_eval_oracles,
+        skyline_oracles,
         tpch_shapes_oracles,
         transition_oracles,
         triangle_oracles,
@@ -263,7 +265,7 @@ def oracle_sql() -> dict[str, str]:
             **props_moments_oracles(), **hits_oracles(),
             **transition_oracles(), **label_vote_oracles(),
             **skyline_oracles(), **tpch_shapes_oracles(),
-            **retrieval_eval_oracles()}
+            **retrieval_eval_oracles(), **copresence_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

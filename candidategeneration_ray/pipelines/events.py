@@ -1329,3 +1329,121 @@ def q_type_transitions(sf_dir: str) -> ray.data.Dataset:
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+COPRESENCE_SLICE_US = np.int64(6 * 3600) * 1_000_000
+
+
+def q_session_copresence(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
+    """Co-presence interval SELF-join — the two-LARGE-sides interval
+    join (campaign_overlap broadcasts a small dim; here BOTH sides are
+    the full session table): for every unordered pair of users, how
+    many of their session pairs overlap in time ([s,e] closed-interval
+    intersection). The audience-overlap / co-occurrence shape.
+
+    Shape: time-slice replication — each session is replicated to the
+    time slices it spans (one fixed-width row per slice), a
+    groupby(slice) co-locates everything alive in a slice, and the
+    in-slice sweep is sort-by-start + one searchsorted per row (pairs
+    expand via the repeat/arange trick, no Python loop). EXACT dedup
+    across slices with no second shuffle: a pair's overlap starts at
+    max(s_a, s_b), a time point both sessions were replicated to — so
+    only the slice CONTAINING that point emits the pair (ownership
+    test, no distinct pass). Skew bound: work per slice is
+    O(alive * log + pairs-in-slice); pathological all-day-long sessions
+    concentrate in every slice — the documented mitigation is a
+    coarser slice for the long-session stratum (split by duration),
+    not built."""
+    def _session_bounds(group: pa.Table) -> pa.Table:
+        gap_us = np.int64(gap_sec * 1_000_000)
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        if u.size == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "e": pa.array([], pa.int64())})
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([gap_us + 1], ts[1:] - ts[:-1]))
+        starts = np.nonzero(new_user | (gap > gap_us))[0]
+        ends = np.concatenate((starts[1:], [u.size])) - 1
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "s": pa.array(ts[starts], pa.int64()),
+            "e": pa.array(ts[ends], pa.int64()),
+        })
+
+    def _replicate(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        s = batch.column("s").to_numpy().astype(np.int64)
+        e = batch.column("e").to_numpy().astype(np.int64)
+        lo = s // COPRESENCE_SLICE_US
+        hi = e // COPRESENCE_SLICE_US
+        n = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(uid.size), n)
+        # slice id = lo[i] + position within each run
+        off = np.arange(n.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n)[:-1])), n)
+        return pa.table({
+            "slice": pa.array(lo[idx] + off, pa.int64()),
+            "user_id": pa.array(uid[idx], pa.int64()),
+            "s": pa.array(s[idx], pa.int64()),
+            "e": pa.array(e[idx], pa.int64()),
+        })
+
+    def _sweep(group: pa.Table) -> pa.Table:
+        sl = int(group.column("slice")[0].as_py())
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        s = group.column("s").to_numpy().astype(np.int64)
+        e = group.column("e").to_numpy().astype(np.int64)
+        order = np.lexsort((uid, s))
+        uid, s, e = uid[order], s[order], e[order]
+        empty = pa.table({"user_a": pa.array([], pa.int64()),
+                          "user_b": pa.array([], pa.int64()),
+                          "n_overlaps": pa.array([], pa.int64())})
+        if uid.size < 2:
+            return empty
+        # for sorted starts, i overlaps every j>i with s[j] <= e[i]
+        hi = np.searchsorted(s, e, side="right")
+        cnt = np.maximum(hi - np.arange(uid.size) - 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        i = np.repeat(np.arange(uid.size), cnt)
+        j = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt) \
+            + i + 1
+        # ownership: the overlap starts at s[j] (j sorted after i);
+        # only the slice containing it emits the pair
+        own = (s[j] // COPRESENCE_SLICE_US) == sl
+        diff = uid[i] != uid[j]
+        keep = own & diff
+        ua = np.minimum(uid[i[keep]], uid[j[keep]])
+        ub = np.maximum(uid[i[keep]], uid[j[keep]])
+        if ub.size and int(ub.max()) >= (1 << 31):
+            raise ValueError("user_id >= 2^31 breaks the packed pair "
+                             "key; switch to a 128-bit or string key")
+        packed = ua * np.int64(1 << 31) + ub
+        u_, counts = np.unique(packed, return_counts=True)
+        return pa.table({
+            "user_a": pa.array(u_ >> np.int64(31), pa.int64()),
+            "user_b": pa.array(u_ & np.int64((1 << 31) - 1), pa.int64()),
+            "n_overlaps": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id"])
+    sessions = (
+        _with_user_bucket(ds)
+        .groupby("ubucket").map_groups(_session_bounds,
+                                       batch_format="pyarrow")
+    )
+    return (
+        sessions.map_batches(_replicate, batch_format="pyarrow")
+        .groupby("slice").map_groups(_sweep, batch_format="pyarrow")
+        .groupby(["user_a", "user_b"])
+        .aggregate(Sum("n_overlaps", alias_name="n_overlaps"))
+    )

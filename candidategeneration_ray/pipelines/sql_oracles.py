@@ -3024,3 +3024,36 @@ LEFT JOIN rel r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
 GROUP BY 1
 """,
     }
+
+
+def copresence_oracles() -> dict[str, str]:
+    """Interval self-join: overlapping session pairs across users —
+    the sessionize CTE extended with per-session time bounds, then a
+    closed-interval inequality join."""
+    return {
+        "session_copresence": """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged),
+sessions AS (
+  SELECT user_id, session_idx,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM sess GROUP BY 1, 2)
+SELECT CAST(a.user_id AS BIGINT) AS user_a,
+       CAST(b.user_id AS BIGINT) AS user_b,
+       CAST(count(*) AS BIGINT) AS n_overlaps
+FROM sessions a, sessions b
+WHERE a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+GROUP BY 1, 2
+""",
+    }

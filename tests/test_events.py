@@ -656,3 +656,45 @@ def test_type_transitions_total(ray_session):
     n = ev.num_rows
     nu = len(set(ev.column("user_id").to_pylist()))
     assert int(df["n"].sum()) == n - nu
+
+
+def test_session_copresence_fixture(ray_session, tmp_path):
+    """Users 1,2 overlap twice; user 3 is disjoint; same-user sessions
+    never pair. Long sessions cross slice boundaries — counted once."""
+    from candidategeneration_ray.pipelines.events import q_session_copresence
+
+    H = 3600
+    rows, eid = [], 1
+
+    def _chain(user, start_s, end_s):
+        # events every 20 min keep one session alive across the span
+        nonlocal eid
+        for t in range(start_s, end_s + 1, 1200):
+            rows.append((eid, t, user, "view", 0.0))
+            eid += 1
+
+    _chain(1, 0, 8 * H)            # user 1 session A crosses 6h slice
+    _chain(2, 1 * H, 2 * H)        # user 2 A inside user-1-A -> overlap
+    _chain(1, 20 * H, 21 * H)      # user 1 session B
+    _chain(2, int(20.5 * H), 22 * H)  # user 2 B overlaps B -> overlap 2
+    _chain(3, 100 * H, 101 * H)    # user 3: disjoint
+    sf = _write_events(tmp_path, rows)
+    df = q_session_copresence(sf).to_pandas()
+    got = {(r.user_a, r.user_b): r.n_overlaps for r in df.itertuples()}
+    assert got == {(1, 2): 2}
+
+
+def test_session_copresence_slice_invariance(ray_session, monkeypatch):
+    """The result is slice-width independent (ownership dedup exact):
+    a 10-minute slice forces heavy replication + cross-slice pairs."""
+    from candidategeneration_ray.pipelines import events as ev
+
+    sf = "/root/testdata/sf0.001"
+    base = ev.q_session_copresence(sf).to_pandas().sort_values(
+        ["user_a", "user_b"]).reset_index(drop=True)
+    monkeypatch.setattr(ev, "COPRESENCE_SLICE_US",
+                        np.int64(600) * 1_000_000)
+    tiny = ev.q_session_copresence(sf).to_pandas().sort_values(
+        ["user_a", "user_b"]).reset_index(drop=True)
+    assert len(base) > 0
+    assert base.equals(tiny)
