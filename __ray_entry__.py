@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_terms": lx.q_fuzzy_terms,                # ed<=1 "did you mean"
         "bool_or_docs": lx.q_bool_or_docs,              # m-of-k disjunctive retrieval
         "facet_counts": lx.q_facet_counts,              # faceted result counts
+        "substring_docs": lx.q_substring_docs,          # trigram-filtered grep
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
         copresence_oracles, label_vote_oracles, retrieval_eval_oracles,
+        substring_oracles,
         skyline_oracles,
         tpch_shapes_oracles,
         transition_oracles,
@@ -265,7 +267,8 @@ def oracle_sql() -> dict[str, str]:
             **props_moments_oracles(), **hits_oracles(),
             **transition_oracles(), **label_vote_oracles(),
             **skyline_oracles(), **tpch_shapes_oracles(),
-            **retrieval_eval_oracles(), **copresence_oracles()}
+            **retrieval_eval_oracles(), **copresence_oracles(),
+            **substring_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -280,3 +280,75 @@ def q_facet_counts(sf_dir: str) -> ray.data.Dataset:
         .groupby(["term", "source", "lang"])
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
+
+
+# fixed substring patterns (>= 3 bytes each so the trigram filter
+# applies); varied selectivity incl. a cross-word-boundary pattern
+SUBSTR_PATTERNS = ("spark", "batch batch", "dow fil")
+
+
+def q_substring_docs(sf_dir: str) -> ray.data.Dataset:
+    """Substring search via a byte-trigram filter — the grep-index /
+    code-search shape (Cox's trigram index behind Google Code Search,
+    public design): a document can contain pattern p only if it
+    contains EVERY byte trigram of p, so the scan builds each batch's
+    trigram codes ONCE (one vectorized sliding window over the
+    separator-joined text block), intersects against each pattern's
+    tiny trigram set, and runs the exact substring verify only on the
+    surviving candidates. Works for any byte pattern incl. across
+    token boundaries — the positional/phrase family can't see inside
+    or across tokens.
+
+    Scale note: here the trigram filter is computed in-scan (the scan
+    is one streaming map_batches, no shuffle at all); the persisted
+    variant — (trigram, doc) posting lists, the same family pattern as
+    pipelines/positional.py — turns repeated queries into
+    posting-list intersections instead of re-scans. Output:
+    (pattern, doc_id) for every document containing the pattern."""
+    pats = [p.encode() for p in SUBSTR_PATTERNS]
+    pat_tris = []
+    for p in pats:
+        assert len(p) >= 3, "trigram filter needs patterns >= 3 bytes"
+        pat_tris.append(np.unique(np.frombuffer(p, np.uint8)[:-2]
+                                  .astype(np.int64) * 65536
+                                  + np.frombuffer(p, np.uint8)[1:-1]
+                                  .astype(np.int64) * 256
+                                  + np.frombuffer(p, np.uint8)[2:]
+                                  .astype(np.int64)))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        joined = b"\x01" + "\x01".join(texts).encode() + b"\x01"
+        b = np.frombuffer(joined, np.uint8).astype(np.int64)
+        code = b[:-2] * 65536 + b[1:-1] * 256 + b[2:]
+        # doc index of each window start (separator windows match no
+        # pattern trigram: \x01 never occurs in a pattern)
+        lens = np.fromiter((len(t.encode()) for t in texts), np.int64,
+                           len(texts))
+        starts = np.concatenate(([1], 1 + np.cumsum(lens + 1)))[:-1]
+        doc_of = np.searchsorted(starts, np.arange(code.size),
+                                 side="right") - 1
+        out_pat, out_doc = [], []
+        for pi, (praw, tris) in enumerate(zip(pats, pat_tris)):
+            hitw = np.isin(code, tris)
+            d = doc_of[hitw]
+            t = np.searchsorted(tris, code[hitw])
+            # candidate docs contain ALL of the pattern's trigrams
+            u = np.unique(d * np.int64(len(tris) + 1) + t)
+            cd, cnt = np.unique(u // np.int64(len(tris) + 1),
+                                return_counts=True)
+            cand = cd[cnt == len(tris)]
+            for ci in cand:
+                if praw in texts[int(ci)].encode():
+                    out_pat.append(SUBSTR_PATTERNS[pi])
+                    out_doc.append(int(docs[int(ci)]))
+        return pa.table({
+            "pattern": pa.array(out_pat, pa.string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        })
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).map_batches(_scan, batch_format="pyarrow")

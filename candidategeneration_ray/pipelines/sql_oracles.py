@@ -3057,3 +3057,14 @@ WHERE a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
 GROUP BY 1, 2
 """,
     }
+
+
+def substring_oracles() -> dict[str, str]:
+    """Trigram-filtered substring search vs plain contains() scans."""
+    from candidategeneration_ray.pipelines.lexicon import SUBSTR_PATTERNS
+
+    parts = "\nUNION ALL\n".join(
+        f"SELECT '{p}' AS pattern, CAST(doc_id AS BIGINT) AS doc_id "
+        f"FROM documents WHERE contains(text, '{p}')"
+        for p in SUBSTR_PATTERNS)
+    return {"substring_docs": parts}

@@ -114,3 +114,46 @@ def test_fuzzy_terms_sound_and_bounded():
         assert _levenshtein(qw, term) == dist <= 1
     # no duplicate (qword, term) pairs
     assert not t.duplicated(subset=["qword", "term"]).any()
+
+
+def test_substring_docs_boundaries(ray_session, tmp_path, monkeypatch):
+    """Patterns at doc start/end match; text straddling two docs must
+    NOT match (separator windows can't satisfy the trigram filter);
+    repeated occurrences dedup to one row."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import lexicon as lx
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "spark at start",            # match at offset 0
+            "ends with spark",           # match at end
+            "spa",                       # straddle bait: next doc "rk..."
+            "rk spark spark",            # repeated -> one row
+        ], pa.string()),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    monkeypatch.setattr(lx, "SUBSTR_PATTERNS", ("spark",))
+    got = lx.q_substring_docs(str(tmp_path)).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [0, 1, 3]
+    assert (got["pattern"] == "spark").all()
+
+
+def test_substring_docs_matches_bruteforce(ray_session):
+    from candidategeneration_ray.pipelines import lexicon as lx
+    import os
+    import pyarrow.parquet as pq
+
+    got = lx.q_substring_docs(SF).to_pandas()
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    want = sorted(
+        (p, int(d)) for d, x in zip(t.column("doc_id").to_pylist(),
+                                    t.column("text").to_pylist())
+        for p in lx.SUBSTR_PATTERNS if p in x)
+    assert sorted(zip(got["pattern"], got["doc_id"])) == want
+    assert len(want) > 0
