@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": rl.q_customer_order_distribution,
         "large_volume_customers": rl.q_large_volume_customers,  # Q18: HAVING join
         "order_skyline": rl.q_order_skyline,        # 2-phase Pareto frontier
+        "nation_median_order": rl.q_nation_median_order,  # holistic (exact median)
+        "fk_audit": rl.q_fk_audit,                  # referential-integrity audit
         "promo_revenue_share": rl.q_promo_revenue_share,  # Q14: dim-broadcast CASE agg
         "small_qty_revenue": rl.q_small_qty_revenue,  # Q17: decorrelated scalar subquery
         "above_avg_idle_customers": rl.q_above_avg_idle_customers,  # Q22: scalar + anti join
@@ -224,7 +226,8 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        copresence_oracles, label_vote_oracles, retrieval_eval_oracles,
+        copresence_oracles, holistic_audit_oracles, label_vote_oracles,
+        retrieval_eval_oracles,
         substring_oracles,
         skyline_oracles,
         tpch_shapes_oracles,
@@ -268,7 +271,7 @@ def oracle_sql() -> dict[str, str]:
             **transition_oracles(), **label_vote_oracles(),
             **skyline_oracles(), **tpch_shapes_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
-            **substring_oracles()}
+            **substring_oracles(), **holistic_audit_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -1520,3 +1520,173 @@ def q_line_priority_counts(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("high_lines", alias_name="high_lines"),
                    Sum("low_lines", alias_name="low_lines"))
     )
+
+
+def q_nation_median_order(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-nation median order value — the HOLISTIC aggregate
+    (unlike every mergeable sum/count/sketch on this surface, an exact
+    median cannot combine from partials; it needs the group's values
+    co-located). Output per nation: n_orders, median_cents (lower
+    median: element at index (n-1)//2 — integer, so the oracle
+    hash-matches), plus min/max cents.
+
+    Shape: orders join customer for the nation key via the bucketed
+    equi-join, then ONE groupby(nation) map_groups with a vectorized
+    sort per group. Group count is O(nations) — each group must fit a
+    task, the documented holistic-aggregate co-location assumption; a
+    heavy-group variant would use the two-pass counting-sort median
+    (histogram partials → cumulative rank probe), documented not
+    built."""
+    nb = JOIN_BUCKETS
+
+    def _order_rows(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nationkey": pa.array(np.full(ck.size, -1, np.int64),
+                                  pa.int64()),
+            "cents": pa.array(_cents(b.column("o_totalprice").to_numpy()),
+                              pa.int64()),
+        })
+
+    def _cust_rows(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nationkey": pa.array(
+                b.column("c_nationkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "cents": pa.array(np.zeros(ck.size, np.int64), pa.int64()),
+        })
+
+    def _attach(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy().astype(np.int64)
+        natk = group.column("nationkey").to_numpy().astype(np.int64)
+        cents = group.column("cents").to_numpy().astype(np.int64)
+        build = natk >= 0
+        bk, bn = key[build], natk[build]
+        o = np.argsort(bk)
+        bk, bn = bk[o], bn[o]
+        pk, pc_ = key[~build], cents[~build]
+        if bk.size:
+            idx = np.minimum(np.searchsorted(bk, pk), bk.size - 1)
+            hit = bk[idx] == pk
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        return pa.table({
+            "c_nationkey": pa.array(bn[idx[hit]], pa.int64()),
+            "cents": pa.array(pc_[hit], pa.int64()),
+        })
+
+    def _median(group: pa.Table) -> pa.Table:
+        nk = int(group.column("c_nationkey")[0].as_py())
+        c = np.sort(group.column("cents").to_numpy().astype(np.int64))
+        return pa.table({
+            "c_nationkey": pa.array([nk], pa.int64()),
+            "n_orders": pa.array([c.size], pa.int64()),
+            "median_cents": pa.array([int(c[(c.size - 1) // 2])],
+                                     pa.int64()),
+            "min_cents": pa.array([int(c[0])], pa.int64()),
+            "max_cents": pa.array([int(c[-1])], pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(_cust_rows, batch_format="pyarrow")
+    return (
+        orders.union(cust)
+        .groupby("bkt").map_groups(_attach, batch_format="pyarrow")
+        .groupby("c_nationkey").map_groups(_median,
+                                           batch_format="pyarrow")
+    )
+
+
+def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
+    """Referential-integrity audit — the data-quality gate a pipeline
+    runs before trusting joins: for each FK edge, the number of child
+    rows and how many are ORPHANS (no parent). Synthetic data should
+    be clean (zero orphans) — the audit PROVES it rather than assumes
+    it, and the same operator catches real corruption at 100 TB.
+
+    Shape: per edge one bucketed anti-join (distinct parent keys per
+    batch → bucket co-location → searchsorted miss count), partials
+    compressed to one row per bucket. Edges audited: lineitem→orders,
+    lineitem→part, lineitem→supplier, orders→customer,
+    customer→nation."""
+    nb = JOIN_BUCKETS
+
+    def _edge(child_tbl: str, child_col: str,
+              parent_tbl: str, parent_col: str, name: str):
+        def _child(b: pa.Table) -> pa.Table:
+            k = b.column(child_col).to_numpy().astype(np.int64)
+            return pa.table({
+                "bkt": pa.array(k % nb, pa.int64()),
+                "key": pa.array(k, pa.int64()),
+                "is_parent": pa.array(np.zeros(k.size, np.int8),
+                                      pa.int8()),
+            })
+
+        def _parent(b: pa.Table) -> pa.Table:
+            k = np.unique(b.column(parent_col).to_numpy()
+                          .astype(np.int64))
+            return pa.table({
+                "bkt": pa.array(k % nb, pa.int64()),
+                "key": pa.array(k, pa.int64()),
+                "is_parent": pa.array(np.ones(k.size, np.int8),
+                                      pa.int8()),
+            })
+
+        def _count(group: pa.Table) -> pa.Table:
+            key = group.column("key").to_numpy().astype(np.int64)
+            isp = group.column("is_parent").to_numpy().astype(bool)
+            pk = np.unique(key[isp])
+            ck = key[~isp]
+            if pk.size:
+                idx = np.minimum(np.searchsorted(pk, ck), pk.size - 1)
+                orphan = pk[idx] != ck
+            else:
+                orphan = np.ones(ck.size, bool)
+            return pa.table({
+                "fk_edge": pa.array([name], pa.string()),
+                "n_child_rows": pa.array([ck.size], pa.int64()),
+                "n_orphans": pa.array([int(orphan.sum())], pa.int64()),
+            })
+
+        child = ray.data.read_parquet(
+            os.path.join(sf_dir, f"{child_tbl}.parquet"),
+            columns=[child_col]).map_batches(
+                _child, batch_format="pyarrow")
+        parent = ray.data.read_parquet(
+            os.path.join(sf_dir, f"{parent_tbl}.parquet"),
+            columns=[parent_col]).map_batches(
+                _parent, batch_format="pyarrow")
+        return (child.union(parent)
+                .groupby("bkt").map_groups(_count,
+                                           batch_format="pyarrow"))
+
+    edges = [
+        _edge("lineitem", "l_orderkey", "orders", "o_orderkey",
+              "lineitem->orders"),
+        _edge("lineitem", "l_partkey", "part", "p_partkey",
+              "lineitem->part"),
+        _edge("lineitem", "l_suppkey", "supplier", "s_suppkey",
+              "lineitem->supplier"),
+        _edge("orders", "o_custkey", "customer", "c_custkey",
+              "orders->customer"),
+        _edge("customer", "c_nationkey", "nation", "n_nationkey",
+              "customer->nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.union(e)
+    return (out.groupby("fk_edge")
+            .aggregate(Sum("n_child_rows", alias_name="n_child_rows"),
+                       Sum("n_orphans", alias_name="n_orphans")))

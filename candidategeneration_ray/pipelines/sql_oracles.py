@@ -3068,3 +3068,48 @@ def substring_oracles() -> dict[str, str]:
         f"FROM documents WHERE contains(text, '{p}')"
         for p in SUBSTR_PATTERNS)
     return {"substring_docs": parts}
+
+
+def holistic_audit_oracles() -> dict[str, str]:
+    """Exact per-group median (holistic aggregate) + FK audit."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey",
+         "lineitem->orders"),
+        ("lineitem", "l_partkey", "part", "p_partkey",
+         "lineitem->part"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+         "lineitem->supplier"),
+        ("orders", "o_custkey", "customer", "c_custkey",
+         "orders->customer"),
+        ("customer", "c_nationkey", "nation", "n_nationkey",
+         "customer->nation"),
+    ]
+    audit = "\nUNION ALL\n".join(
+        f"SELECT '{nm}' AS fk_edge, CAST(count(*) AS BIGINT) AS "
+        f"n_child_rows, CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM "
+        f"{pt} WHERE {pc} = c.{cc}) THEN 1 ELSE 0 END) AS BIGINT) AS "
+        f"n_orphans FROM {ct} c"
+        for ct, cc, pt, pc, nm in edges)
+    return {
+        "nation_median_order": """
+WITH j AS (
+  SELECT c_nationkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON c_custkey = o_custkey),
+r AS (
+  SELECT c_nationkey, cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents) AS rk,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM j)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(cents AS BIGINT) AS median_cents,
+       CAST(min(cents) OVER (PARTITION BY c_nationkey) AS BIGINT)
+         AS min_cents,
+       CAST(max(cents) OVER (PARTITION BY c_nationkey) AS BIGINT)
+         AS max_cents
+FROM r QUALIFY rk = (n - 1) // 2 + 1
+""",
+        "fk_audit": audit,
+    }

@@ -438,3 +438,50 @@ def test_line_priority_counts_recompute(ray_session):
     assert {r.l_returnflag: (int(r.high_lines), int(r.low_lines))
             for r in got.itertuples()} == want
     assert len(got) > 0
+
+
+def test_nation_median_order_recompute(ray_session):
+    import pyarrow.parquet as pq
+
+    got = rl.q_nation_median_order(SF_DIR).to_pandas()
+    od = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                       columns=["o_custkey", "o_totalprice"]).to_pandas()
+    cu = pq.read_table(os.path.join(SF_DIR, "customer.parquet"),
+                       columns=["c_custkey", "c_nationkey"]).to_pandas()
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = rl._cents(j["o_totalprice"].to_numpy())
+    for nk, g in j.groupby("c_nationkey"):
+        c = np.sort(g["cents"].to_numpy())
+        row = got[got["c_nationkey"] == nk].iloc[0]
+        assert int(row["n_orders"]) == c.size
+        assert int(row["median_cents"]) == int(c[(c.size - 1) // 2])
+        assert int(row["min_cents"]) == int(c[0])
+        assert int(row["max_cents"]) == int(c[-1])
+    assert len(got) == j["c_nationkey"].nunique()
+
+
+def test_fk_audit_clean_and_corrupted(ray_session, tmp_path):
+    """Synthetic corpus audits clean; an injected orphan is counted."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    clean = rl.q_fk_audit(SF_DIR).to_pandas()
+    assert len(clean) == 5
+    assert (clean["n_orphans"] == 0).all()
+    assert (clean["n_child_rows"] > 0).all()
+
+    # corrupt a copy: one lineitem pointing at a nonexistent order
+    for t in ["lineitem", "orders", "part", "supplier", "customer",
+              "nation"]:
+        shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"),
+                    os.path.join(str(tmp_path), f"{t}.parquet"))
+    li = pq.read_table(os.path.join(str(tmp_path), "lineitem.parquet"))
+    bad = li.slice(0, 1).to_pydict()
+    bad["l_orderkey"] = [10 ** 12]
+    pq.write_table(
+        pa.concat_tables([li, pa.table(bad, schema=li.schema)]),
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    audit = rl.q_fk_audit(str(tmp_path)).to_pandas()
+    row = audit[audit["fk_edge"] == "lineitem->orders"].iloc[0]
+    assert int(row["n_orphans"]) == 1
