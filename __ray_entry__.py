@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": rl.q_order_skyline,        # 2-phase Pareto frontier
         "nation_median_order": rl.q_nation_median_order,  # holistic (exact median)
         "fk_audit": rl.q_fk_audit,                  # referential-integrity audit
+        "nation_p90_order": rl.q_nation_p90_order,  # two-pass exact quantile
         "promo_revenue_share": rl.q_promo_revenue_share,  # Q14: dim-broadcast CASE agg
         "small_qty_revenue": rl.q_small_qty_revenue,  # Q17: decorrelated scalar subquery
         "above_avg_idle_customers": rl.q_above_avg_idle_customers,  # Q22: scalar + anti join
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
         copresence_oracles, holistic_audit_oracles, label_vote_oracles,
+        p90_oracles,
         retrieval_eval_oracles,
         substring_oracles,
         skyline_oracles,
@@ -271,7 +273,8 @@ def oracle_sql() -> dict[str, str]:
             **transition_oracles(), **label_vote_oracles(),
             **skyline_oracles(), **tpch_shapes_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
-            **substring_oracles(), **holistic_audit_oracles()}
+            **substring_oracles(), **holistic_audit_oracles(),
+            **p90_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

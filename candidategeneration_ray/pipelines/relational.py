@@ -1690,3 +1690,164 @@ def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
     return (out.groupby("fk_edge")
             .aggregate(Sum("n_child_rows", alias_name="n_child_rows"),
                        Sum("n_orphans", alias_name="n_orphans")))
+
+
+P90_VALUE_BUCKET = np.int64(100_000)   # cents per histogram bucket
+
+
+def q_nation_p90_order(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-nation 90th-percentile order value WITHOUT group
+    co-location — the two-pass counting-sort quantile that
+    q_nation_median_order's docstring promises for heavy groups. No
+    task ever holds a nation's full value set:
+
+    Pass 1 histograms values into fixed-width buckets
+    (P90_VALUE_BUCKET cents): per-batch partials → one small groupby →
+    a per-nation prefix scan over its O(value_range/width) bucket
+    counts finds the bucket CONTAINING rank (9·(n−1))//10 and the
+    remaining offset inside it.
+    Pass 2 rescans only rows falling in each nation's target bucket
+    (a ~1/buckets fraction of the table), co-locates those few values
+    per nation, sorts, and picks the offset element. Exact for any
+    distribution; skew only widens pass 2 by the heaviest bucket,
+    bounded by width choice. Output: (c_nationkey, n_orders,
+    p90_cents), integer-exact vs the window-formulation oracle.
+
+    The nation key comes from the same bucketed orders⋈customer join
+    both passes share."""
+    nb = JOIN_BUCKETS
+    B = P90_VALUE_BUCKET
+
+    def _order_rows(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nationkey": pa.array(np.full(ck.size, -1, np.int64),
+                                  pa.int64()),
+            "cents": pa.array(_cents(b.column("o_totalprice").to_numpy()),
+                              pa.int64()),
+        })
+
+    def _cust_rows(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nationkey": pa.array(
+                b.column("c_nationkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "cents": pa.array(np.zeros(ck.size, np.int64), pa.int64()),
+        })
+
+    def _attach(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy().astype(np.int64)
+        natk = group.column("nationkey").to_numpy().astype(np.int64)
+        cents = group.column("cents").to_numpy().astype(np.int64)
+        build = natk >= 0
+        bk, bn = key[build], natk[build]
+        o = np.argsort(bk)
+        bk, bn = bk[o], bn[o]
+        pk, pc_ = key[~build], cents[~build]
+        if bk.size:
+            idx = np.minimum(np.searchsorted(bk, pk), bk.size - 1)
+            hit = bk[idx] == pk
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        return pa.table({
+            "c_nationkey": pa.array(bn[idx[hit]], pa.int64()),
+            "cents": pa.array(pc_[hit], pa.int64()),
+        })
+
+    def _joined() -> ray.data.Dataset:
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        ).map_batches(_order_rows, batch_format="pyarrow")
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        ).map_batches(_cust_rows, batch_format="pyarrow")
+        return (orders.union(cust)
+                .groupby("bkt").map_groups(_attach,
+                                           batch_format="pyarrow"))
+
+    joined = _joined()
+
+    def _hist_partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        vb = batch.column("cents").to_numpy().astype(np.int64) // B
+        key = nk * np.int64(1 << 32) + vb   # cents >= 0 so vb >= 0
+        u, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "c_nationkey": pa.array(u >> np.int64(32), pa.int64()),
+            "vbucket": pa.array(u & np.int64(0xFFFFFFFF), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    def _find_bucket(group: pa.Table) -> pa.Table:
+        nk = int(group.column("c_nationkey")[0].as_py())
+        vb = group.column("vbucket").to_numpy().astype(np.int64)
+        n = group.column("n").to_numpy().astype(np.int64)
+        o = np.argsort(vb)
+        vb, n = vb[o], n[o]
+        total = int(n.sum())
+        rank = (9 * (total - 1)) // 10          # 0-based target index
+        cum = np.cumsum(n)
+        bi = int(np.searchsorted(cum, rank + 1))
+        offset = rank - (int(cum[bi - 1]) if bi else 0)
+        return pa.table({
+            "c_nationkey": pa.array([nk], pa.int64()),
+            "target_bucket": pa.array([int(vb[bi])], pa.int64()),
+            "offset": pa.array([offset], pa.int64()),
+            "n_orders": pa.array([total], pa.int64()),
+        })
+
+    targets = (
+        joined.map_batches(_hist_partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "vbucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("c_nationkey")
+        .map_groups(_find_bucket, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    tt = pa.concat_tables(
+        [t for t in ray.get(targets) if t.num_rows > 0])
+    tnk = tt.column("c_nationkey").to_numpy().astype(np.int64)
+    o = np.argsort(tnk)
+    tgt_ref = ray.put((
+        tnk[o],
+        tt.column("target_bucket").to_numpy().astype(np.int64)[o],
+        tt.column("offset").to_numpy().astype(np.int64)[o],
+        tt.column("n_orders").to_numpy().astype(np.int64)[o],
+    ))
+
+    def _pass2_filter(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        c = batch.column("cents").to_numpy().astype(np.int64)
+        tn, tb, _, _ = ray.get(tgt_ref)
+        idx = np.searchsorted(tn, nk)        # every nation has a target
+        keep = c // B == tb[idx]
+        return pa.table({
+            "c_nationkey": pa.array(nk[keep], pa.int64()),
+            "cents": pa.array(c[keep], pa.int64()),
+        })
+
+    def _pick(group: pa.Table) -> pa.Table:
+        nk = int(group.column("c_nationkey")[0].as_py())
+        c = np.sort(group.column("cents").to_numpy().astype(np.int64))
+        tn, _, toff, tcnt = ray.get(tgt_ref)
+        i = int(np.searchsorted(tn, nk))
+        return pa.table({
+            "c_nationkey": pa.array([nk], pa.int64()),
+            "n_orders": pa.array([int(tcnt[i])], pa.int64()),
+            "p90_cents": pa.array([int(c[int(toff[i])])], pa.int64()),
+        })
+
+    return (
+        _joined().map_batches(_pass2_filter, batch_format="pyarrow")
+        .groupby("c_nationkey").map_groups(_pick,
+                                           batch_format="pyarrow")
+    )

@@ -3113,3 +3113,26 @@ FROM r QUALIFY rk = (n - 1) // 2 + 1
 """,
         "fk_audit": audit,
     }
+
+
+def p90_oracles() -> dict[str, str]:
+    """Exact P90 via the window formulation — rank (9*(n-1))//10,
+    0-based, matching the two-pass counting-sort engine path."""
+    return {
+        "nation_p90_order": """
+WITH j AS (
+  SELECT c_nationkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON c_custkey = o_custkey),
+r AS (
+  SELECT c_nationkey, cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents) AS rk,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM j)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(cents AS BIGINT) AS p90_cents
+FROM r WHERE rk = (9 * (n - 1)) // 10 + 1
+""",
+    }

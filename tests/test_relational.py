@@ -485,3 +485,33 @@ def test_fk_audit_clean_and_corrupted(ray_session, tmp_path):
     audit = rl.q_fk_audit(str(tmp_path)).to_pandas()
     row = audit[audit["fk_edge"] == "lineitem->orders"].iloc[0]
     assert int(row["n_orphans"]) == 1
+
+
+def test_nation_p90_two_pass_exact(ray_session, monkeypatch):
+    """Two-pass counting-sort P90 == direct sorted-index recompute,
+    and is value-bucket-width independent (width only shifts work
+    between the histogram and the pass-2 scan)."""
+    import pyarrow.parquet as pq
+
+    def _want():
+        od = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                           columns=["o_custkey", "o_totalprice"]).to_pandas()
+        cu = pq.read_table(os.path.join(SF_DIR, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"]).to_pandas()
+        j = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+        j["cents"] = rl._cents(j["o_totalprice"].to_numpy())
+        out = {}
+        for nk, g in j.groupby("c_nationkey"):
+            c = np.sort(g["cents"].to_numpy())
+            out[int(nk)] = (c.size, int(c[(9 * (c.size - 1)) // 10]))
+        return out
+
+    want = _want()
+    got = rl.q_nation_p90_order(SF_DIR).to_pandas()
+    assert {int(r.c_nationkey): (int(r.n_orders), int(r.p90_cents))
+            for r in got.itertuples()} == want
+
+    monkeypatch.setattr(rl, "P90_VALUE_BUCKET", np.int64(137))
+    tiny = rl.q_nation_p90_order(SF_DIR).to_pandas()
+    assert {int(r.c_nationkey): (int(r.n_orders), int(r.p90_cents))
+            for r in tiny.itertuples()} == want
