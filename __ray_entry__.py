@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_length_hist": ev.q_session_length_hist,  # composition histogram
         "asof_join": ev.q_asof_join,
         "windowed_counts": ev.q_windowed_counts,
+        "windowed_counts_filled": ev.q_windowed_counts_filled,  # gap-fill row generation
         "windowed_distinct_users": ev.q_windowed_distinct_users,  # exact windowed dedup
         "windowed_heavy_hitters": ev.q_windowed_heavy_hitters,  # keyed 2-pass MG, exact
         "funnel_counts": ev.q_funnel_counts,        # ordered-subsequence funnel
@@ -227,7 +228,8 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        copresence_oracles, holistic_audit_oracles, label_vote_oracles,
+        copresence_oracles, gapfill_oracles, holistic_audit_oracles,
+        label_vote_oracles,
         p90_oracles,
         retrieval_eval_oracles,
         substring_oracles,
@@ -274,7 +276,7 @@ def oracle_sql() -> dict[str, str]:
             **skyline_oracles(), **tpch_shapes_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
-            **p90_oracles()}
+            **p90_oracles(), **gapfill_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -1447,3 +1447,80 @@ def q_session_copresence(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
         .groupby(["user_a", "user_b"])
         .aggregate(Sum("n_overlaps", alias_name="n_overlaps"))
     )
+
+
+def q_windowed_counts_filled(sf_dir: str,
+                             window_sec: int = 3600) -> ray.data.Dataset:
+    """Gap-filled tumbling-window aggregate — the ROW-GENERATION shape
+    (time-series consumers need a row for EVERY slot, not just
+    non-empty ones): per event type, every window between that type's
+    first and last event exists, zero-filled where no events landed.
+
+    Shape: the dense aggregate is q_windowed_counts' map partials +
+    small groupby; the slot generation comes from a SECOND tiny
+    aggregate (per-type min/max window — one row per type) expanded by
+    a map_groups into zero rows, unioned with the real counts and
+    summed (zeros are the identity, so the union-sum IS the left
+    join). Generation is O(types x windows-in-span) rows from an
+    O(types) input — a year of hourly slots is ~9k rows per type; a
+    multi-decade span would chunk the range expansion, documented not
+    needed."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    w_us = np.int64(window_sec) * 1_000_000
+
+    def _part(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("value").to_numpy())
+        t = _window_type_partial(ts // w_us, et, cents, w_us)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "window_start_us": t.column("window_start_us"),
+            "n_events": t.column("n"),
+            "cents": t.column("cents"),
+        })
+
+    def _bounds_part(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        w = ts // w_us
+        types, code = np.unique(et, return_inverse=True)
+        lo = np.full(types.size, np.iinfo(np.int64).max, np.int64)
+        hi = np.full(types.size, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(lo, code, w)
+        np.maximum.at(hi, code, w)
+        return pa.table({
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+        })
+
+    def _expand(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        lo = int(group.column("lo")[0].as_py())
+        hi = int(group.column("hi")[0].as_py())
+        w = np.arange(lo, hi + 1, dtype=np.int64)
+        return pa.table({
+            "event_type": pa.array([et] * w.size, pa.string()),
+            "window_start_us": pa.array(w * w_us, pa.int64()),
+            "n_events": pa.array(np.zeros(w.size, np.int64), pa.int64()),
+            "cents": pa.array(np.zeros(w.size, np.int64), pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["ts", "event_type", "value"])
+    dense = ds.map_batches(_part, batch_format="pyarrow")
+    zeros = (
+        ds.map_batches(_bounds_part, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Min("lo", alias_name="lo"),
+                   Max("hi", alias_name="hi"))
+        .groupby("event_type")
+        .map_groups(_expand, batch_format="pyarrow")
+    )
+    return (
+        dense.union(zeros)
+        .groupby(["event_type", "window_start_us"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("cents", alias_name="cents"))
+    )

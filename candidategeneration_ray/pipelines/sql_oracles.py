@@ -3136,3 +3136,26 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
 FROM r WHERE rk = (9 * (n - 1)) // 10 + 1
 """,
     }
+
+
+def gapfill_oracles() -> dict[str, str]:
+    """Row-generation gap fill: every hourly slot per type."""
+    return {
+        "windowed_counts_filled": """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS w,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+b AS (SELECT event_type, min(w) AS lo, max(w) AS hi FROM w GROUP BY 1),
+slots AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS w FROM b),
+agg AS (
+  SELECT event_type, w, count(*) AS n, sum(cents) AS c
+  FROM w GROUP BY 1, 2)
+SELECT s.event_type,
+       CAST(s.w * 3600000000 AS BIGINT) AS window_start_us,
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(agg.c, 0) AS BIGINT) AS cents
+FROM slots s LEFT JOIN agg USING (event_type, w)
+""",
+    }

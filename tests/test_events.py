@@ -698,3 +698,27 @@ def test_session_copresence_slice_invariance(ray_session, monkeypatch):
         ["user_a", "user_b"]).reset_index(drop=True)
     assert len(base) > 0
     assert base.equals(tiny)
+
+
+def test_windowed_counts_filled_consistency(ray_session):
+    """Filled == dense counts plus zero rows for every empty slot in
+    each type's [min, max] window span; dense rows unchanged."""
+    from candidategeneration_ray.pipelines.events import (
+        q_windowed_counts, q_windowed_counts_filled)
+
+    sf = "/root/testdata/sf0.001"
+    dense = q_windowed_counts(sf).to_pandas()
+    filled = q_windowed_counts_filled(sf).to_pandas()
+    W = 3600 * 1_000_000
+    d = {(r.event_type, r.window_start_us): (r.n_events, r.cents)
+         for r in dense.itertuples()}
+    for et, g in filled.groupby("event_type"):
+        ws = np.sort(g["window_start_us"].to_numpy())
+        span = dense[dense["event_type"] == et]["window_start_us"]
+        # contiguous hourly slots covering the dense span exactly
+        assert ws[0] == span.min() and ws[-1] == span.max()
+        assert (np.diff(ws) == W).all()
+    for r in filled.itertuples():
+        want = d.get((r.event_type, r.window_start_us), (0, 0))
+        assert (r.n_events, r.cents) == want
+    assert len(filled) > len(dense)  # the corpus has empty slots
