@@ -1055,8 +1055,13 @@ def q_hits_scores(sf_dir: str, iters: int = HITS_ITERS) -> ray.data.Dataset:
     hub, auth) for every vector (auth 0 for in-edge-free nodes)."""
     from ray.data.aggregate import Sum
 
+    if iters < 1:
+        raise ValueError("q_hits_scores needs iters >= 1")
     nbk = _graph_buckets()
-    knn = q_knn_graph(sf_dir)
+    # materialize ONCE: edges, the h0 rows and the zero rows all
+    # derive from the kNN graph, and the all-pairs distance pass is
+    # the dominant cost (q_pagerank does the same)
+    knn = q_knn_graph(sf_dir).materialize()
 
     def _edge_rows(b: pa.Table) -> pa.Table:
         u = b.column("vec_id").to_numpy().astype(np.int64)

@@ -1377,6 +1377,11 @@ def q_session_copresence(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
 
     def _replicate(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy().astype(np.int64)
+        if uid.size == 0:
+            return pa.table({"slice": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "e": pa.array([], pa.int64())})
         s = batch.column("s").to_numpy().astype(np.int64)
         e = batch.column("e").to_numpy().astype(np.int64)
         lo = s // COPRESENCE_SLICE_US

@@ -1162,14 +1162,18 @@ def q_promo_revenue_share(sf_dir: str) -> ray.data.Dataset:
         dpk, dpromo = ray.get(dim_ref)
         if dpk.size:
             idx = np.minimum(np.searchsorted(dpk, lpk), dpk.size - 1)
-            is_promo = (dpk[idx] == lpk) & dpromo[idx]
+            found = dpk[idx] == lpk
+            is_promo = found & dpromo[idx]
         else:
-            is_promo = np.zeros(lpk.size, bool)
+            found = np.zeros(lpk.size, bool)
+            is_promo = found
+        # inner-join semantics (match the oracle): orphan partkeys —
+        # the corruption q_fk_audit detects — drop from BOTH sums
         return pa.table({
             "g": pa.array([0], pa.int64()),
             "promo_milli": pa.array([int(rev[is_promo].sum())], pa.int64()),
-            "total_milli": pa.array([int(rev.sum())], pa.int64()),
-            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            "total_milli": pa.array([int(rev[found].sum())], pa.int64()),
+            "n_lines": pa.array([int(found.sum())], pa.int64()),
         })
 
     return (
@@ -1305,10 +1309,18 @@ def q_small_qty_revenue(sf_dir: str,
     lines = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=lineitem_cols
     ).map_batches(_line_rows, batch_format="pyarrow")
+    # zero seed: the ungrouped oracle aggregate always returns one row,
+    # so an empty brand (no buckets form) must still yield (0, 0)
+    seed = ray.data.from_arrow(pa.table({
+        "g": pa.array([0], pa.int64()),
+        "total_cents": pa.array([0], pa.int64()),
+        "n_lines": pa.array([0], pa.int64()),
+    }))
     return (
         agg.map_batches(_agg_rows, batch_format="pyarrow")
         .union(lines)
         .groupby("bkt").map_groups(_filter, batch_format="pyarrow")
+        .union(seed)
         .groupby("g")
         .aggregate(Sum("total_cents", alias_name="total_cents"),
                    Sum("n_lines", alias_name="n_lines"))
@@ -1534,9 +1546,31 @@ def q_nation_median_order(sf_dir: str) -> ray.data.Dataset:
     equi-join, then ONE groupby(nation) map_groups with a vectorized
     sort per group. Group count is O(nations) — each group must fit a
     task, the documented holistic-aggregate co-location assumption; a
-    heavy-group variant would use the two-pass counting-sort median
-    (histogram partials → cumulative rank probe), documented not
-    built."""
+    heavy-group variant is BUILT as q_nation_p90_order's two-pass
+    counting-sort path (same join, rank (n-1)//2)."""
+    def _median(group: pa.Table) -> pa.Table:
+        nk = int(group.column("c_nationkey")[0].as_py())
+        c = np.sort(group.column("cents").to_numpy().astype(np.int64))
+        return pa.table({
+            "c_nationkey": pa.array([nk], pa.int64()),
+            "n_orders": pa.array([c.size], pa.int64()),
+            "median_cents": pa.array([int(c[(c.size - 1) // 2])],
+                                     pa.int64()),
+            "min_cents": pa.array([int(c[0])], pa.int64()),
+            "max_cents": pa.array([int(c[-1])], pa.int64()),
+        })
+
+    return (
+        _orders_nation_cents(sf_dir)
+        .groupby("c_nationkey").map_groups(_median,
+                                           batch_format="pyarrow")
+    )
+
+
+def _orders_nation_cents(sf_dir: str) -> ray.data.Dataset:
+    """Shared bucketed orders⋈customer join: one (c_nationkey, cents)
+    row per order — the input both holistic-quantile operators
+    (q_nation_median_order, q_nation_p90_order) consume."""
     nb = JOIN_BUCKETS
 
     def _order_rows(b: pa.Table) -> pa.Table:
@@ -1581,18 +1615,6 @@ def q_nation_median_order(sf_dir: str) -> ray.data.Dataset:
             "cents": pa.array(pc_[hit], pa.int64()),
         })
 
-    def _median(group: pa.Table) -> pa.Table:
-        nk = int(group.column("c_nationkey")[0].as_py())
-        c = np.sort(group.column("cents").to_numpy().astype(np.int64))
-        return pa.table({
-            "c_nationkey": pa.array([nk], pa.int64()),
-            "n_orders": pa.array([c.size], pa.int64()),
-            "median_cents": pa.array([int(c[(c.size - 1) // 2])],
-                                     pa.int64()),
-            "min_cents": pa.array([int(c[0])], pa.int64()),
-            "max_cents": pa.array([int(c[-1])], pa.int64()),
-        })
-
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_totalprice"],
@@ -1601,12 +1623,8 @@ def q_nation_median_order(sf_dir: str) -> ray.data.Dataset:
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"],
     ).map_batches(_cust_rows, batch_format="pyarrow")
-    return (
-        orders.union(cust)
-        .groupby("bkt").map_groups(_attach, batch_format="pyarrow")
-        .groupby("c_nationkey").map_groups(_median,
-                                           batch_format="pyarrow")
-    )
+    return (orders.union(cust)
+            .groupby("bkt").map_groups(_attach, batch_format="pyarrow"))
 
 
 def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
@@ -1713,67 +1731,11 @@ def q_nation_p90_order(sf_dir: str) -> ray.data.Dataset:
     bounded by width choice. Output: (c_nationkey, n_orders,
     p90_cents), integer-exact vs the window-formulation oracle.
 
-    The nation key comes from the same bucketed orders⋈customer join
-    both passes share."""
-    nb = JOIN_BUCKETS
+    The nation key comes from the shared bucketed orders⋈customer
+    join (_orders_nation_cents), run once per pass."""
     B = P90_VALUE_BUCKET
 
-    def _order_rows(b: pa.Table) -> pa.Table:
-        ck = b.column("o_custkey").to_numpy().astype(np.int64)
-        return pa.table({
-            "bkt": pa.array(ck % nb, pa.int64()),
-            "key": pa.array(ck, pa.int64()),
-            "nationkey": pa.array(np.full(ck.size, -1, np.int64),
-                                  pa.int64()),
-            "cents": pa.array(_cents(b.column("o_totalprice").to_numpy()),
-                              pa.int64()),
-        })
-
-    def _cust_rows(b: pa.Table) -> pa.Table:
-        ck = b.column("c_custkey").to_numpy().astype(np.int64)
-        return pa.table({
-            "bkt": pa.array(ck % nb, pa.int64()),
-            "key": pa.array(ck, pa.int64()),
-            "nationkey": pa.array(
-                b.column("c_nationkey").to_numpy().astype(np.int64),
-                pa.int64()),
-            "cents": pa.array(np.zeros(ck.size, np.int64), pa.int64()),
-        })
-
-    def _attach(group: pa.Table) -> pa.Table:
-        key = group.column("key").to_numpy().astype(np.int64)
-        natk = group.column("nationkey").to_numpy().astype(np.int64)
-        cents = group.column("cents").to_numpy().astype(np.int64)
-        build = natk >= 0
-        bk, bn = key[build], natk[build]
-        o = np.argsort(bk)
-        bk, bn = bk[o], bn[o]
-        pk, pc_ = key[~build], cents[~build]
-        if bk.size:
-            idx = np.minimum(np.searchsorted(bk, pk), bk.size - 1)
-            hit = bk[idx] == pk
-        else:
-            idx = np.zeros(pk.size, np.int64)
-            hit = np.zeros(pk.size, bool)
-        return pa.table({
-            "c_nationkey": pa.array(bn[idx[hit]], pa.int64()),
-            "cents": pa.array(pc_[hit], pa.int64()),
-        })
-
-    def _joined() -> ray.data.Dataset:
-        orders = ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_custkey", "o_totalprice"],
-        ).map_batches(_order_rows, batch_format="pyarrow")
-        cust = ray.data.read_parquet(
-            os.path.join(sf_dir, "customer.parquet"),
-            columns=["c_custkey", "c_nationkey"],
-        ).map_batches(_cust_rows, batch_format="pyarrow")
-        return (orders.union(cust)
-                .groupby("bkt").map_groups(_attach,
-                                           batch_format="pyarrow"))
-
-    joined = _joined()
+    joined = _orders_nation_cents(sf_dir)
 
     def _hist_partial(batch: pa.Table) -> pa.Table:
         nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
@@ -1847,7 +1809,8 @@ def q_nation_p90_order(sf_dir: str) -> ray.data.Dataset:
         })
 
     return (
-        _joined().map_batches(_pass2_filter, batch_format="pyarrow")
+        _orders_nation_cents(sf_dir)
+        .map_batches(_pass2_filter, batch_format="pyarrow")
         .groupby("c_nationkey").map_groups(_pick,
                                            batch_format="pyarrow")
     )
