@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_top_terms": cl.q_cluster_top_terms,  # cross-modal cluster labeling
         "term_embeddings": cl.q_term_embeddings,    # cross-modal term centroids
         "pagerank": cl.q_pagerank,                  # integer PageRank over kNN graph
+        "personalized_pagerank": cl.q_personalized_pagerank,  # seeded teleport
         "triangle_counts": cl.q_triangle_counts,    # graph-motif wedge-check
         "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
         "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
@@ -229,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
         copresence_oracles, gapfill_oracles, holistic_audit_oracles,
+        ppr_oracles,
         label_vote_oracles,
         p90_oracles,
         retrieval_eval_oracles,
@@ -276,7 +278,7 @@ def oracle_sql() -> dict[str, str]:
             **skyline_oracles(), **tpch_shapes_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
-            **p90_oracles(), **gapfill_oracles()}
+            **p90_oracles(), **gapfill_oracles(), **ppr_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -493,10 +493,48 @@ def q_pagerank(sf_dir: str, iters: int = PR_ITERS) -> ray.data.Dataset:
     driver. A final groupby materializes the last ranks.
 
     Returns (vec_id, pagerank) for every vector."""
+    return _pagerank_rounds(sf_dir, iters, seed_mod=None,
+                            out_col="pagerank")
+
+
+PPR_SEED_MOD = 10   # vec_id % 10 == 0 are the personalization seeds
+
+
+def q_personalized_pagerank(sf_dir: str, iters: int = PR_ITERS,
+                            seed_mod: int = PPR_SEED_MOD
+                            ) -> ray.data.Dataset:
+    """PERSONALIZED PageRank: teleport mass goes only to the seed set
+    (vec_id % seed_mod == 0) — the seeded-relevance propagation used
+    for 'expand this trusted subset' curation (find documents
+    graph-close to a vetted seed corpus). Same integer recurrence as
+    q_pagerank but r0 and the restart term are seed-conditional:
+
+        r0(v)   = S·[v ∈ seeds]
+        r'(v)   = (15·S)//100·[v ∈ seeds] + Σ_{u→v} give(u)
+
+    Non-seed nodes score only what the graph walks into them — the
+    score IS the seed-proximity measure. Same one-shuffle-per-round
+    scatter as q_pagerank (shared machinery), same unrolled-oracle
+    verification. Returns (vec_id, ppr)."""
+    if seed_mod < 1:
+        raise ValueError("seed_mod must be >= 1")
+    return _pagerank_rounds(sf_dir, iters, seed_mod=seed_mod,
+                            out_col="ppr")
+
+
+def _pagerank_rounds(sf_dir: str, iters: int, seed_mod: int | None,
+                     out_col: str) -> ray.data.Dataset:
+    """Shared PageRank machinery; seed_mod=None = uniform teleport,
+    else teleport only to nodes with node % seed_mod == 0."""
     n = _embeddings_ds(sf_dir).count()
     deg = min(KNN_K, n - 1)
     base = (100 - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
     nbk = _graph_buckets()
+
+    def _seed_mask(nodes: np.ndarray) -> np.ndarray:
+        if seed_mod is None:
+            return np.ones(nodes.size, bool)
+        return nodes % seed_mod == 0
 
     # row kinds in the union: node row (dst = -1), edge row (dst >= 0),
     # contribution row (dst = -2, give = value targeted at `node`)
@@ -525,9 +563,10 @@ def q_pagerank(sf_dir: str, iters: int = PR_ITERS) -> ray.data.Dataset:
         dst = group.column("dst").to_numpy().astype(np.int64)
         give = group.column("give").to_numpy().astype(np.int64)
         rn = np.sort(node[dst == -1])
+        seed = _seed_mask(rn)
         if first:
-            return rn, np.full(rn.size, PR_SCALE, np.int64)
-        rv = np.full(rn.size, base, np.int64)
+            return rn, np.where(seed, PR_SCALE, 0).astype(np.int64)
+        rv = np.where(seed, base, 0).astype(np.int64)
         is_con = dst == -2
         np.add.at(rv, np.searchsorted(rn, node[is_con]), give[is_con])
         return rn, rv
@@ -553,7 +592,7 @@ def q_pagerank(sf_dir: str, iters: int = PR_ITERS) -> ray.data.Dataset:
         rn, rv = _bucket_ranks(group, False)
         return pa.table({
             "vec_id": pa.array(rn, pa.int64()),
-            "pagerank": pa.array(rv, pa.int64()),
+            out_col: pa.array(rv, pa.int64()),
         })
 
     cur = static
@@ -565,7 +604,7 @@ def q_pagerank(sf_dir: str, iters: int = PR_ITERS) -> ray.data.Dataset:
         return static.groupby("bkt").map_groups(
             lambda g: (lambda rn, rv: pa.table({
                 "vec_id": pa.array(rn, pa.int64()),
-                "pagerank": pa.array(rv, pa.int64()),
+                out_col: pa.array(rv, pa.int64()),
             }))(*_bucket_ranks(g, True)), batch_format="pyarrow")
     return cur.groupby("bkt").map_groups(_final, batch_format="pyarrow")
 

@@ -3159,3 +3159,59 @@ SELECT s.event_type,
 FROM slots s LEFT JOIN agg USING (event_type, w)
 """,
     }
+
+
+def ppr_oracles() -> dict[str, str]:
+    """Personalized PageRank: same unrolled rounds as graph_oracles'
+    pagerank but r0 and the restart term are seed-conditional."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_SCALE, KNN_K, PPR_SEED_MOD, PR_DAMP_DEN, PR_DAMP_NUM,
+        PR_ITERS, PR_SCALE)
+
+    base = (100 - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    M = PPR_SEED_MOD
+    knn_cte = f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+edges AS MATERIALIZED (
+  SELECT vec_id AS src, nbr_id AS dst FROM (
+    SELECT vec_id, nbr_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, nbr_id ASC) AS rank
+    FROM dist)
+  WHERE rank <= {KNN_K}
+),
+meta AS (SELECT least({KNN_K}, count(*) - 1) AS deg FROM embeddings),
+r0 AS (SELECT vec_id AS node,
+              CAST(CASE WHEN vec_id % {M} = 0 THEN {PR_SCALE}
+                        ELSE 0 END AS BIGINT) AS r
+       FROM embeddings)"""
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f"""cc{i} AS (
+  SELECT e.dst AS node,
+         sum(({PR_DAMP_NUM} * r.r) // ({PR_DAMP_DEN} * m.deg)) AS s
+  FROM edges e JOIN r{i - 1} r ON r.node = e.src CROSS JOIN meta m
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % {M} = 0 THEN {base} ELSE 0 END
+              + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM r0 n LEFT JOIN cc{i} c USING (node)
+)""")
+    return {
+        "personalized_pagerank": (
+            "WITH " + knn_cte + ",\n" + ",\n".join(steps)
+            + f"\nSELECT CAST(node AS BIGINT) AS vec_id, r AS ppr "
+              f"FROM r{PR_ITERS}\n"),
+    }

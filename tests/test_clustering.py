@@ -337,3 +337,21 @@ def test_knn_label_vote_majority(ray_session):
         want[u] = (int(vals[order[0]]), int(cnts[order[0]]))
     assert {int(r.vec_id): (int(r.pred_label), int(r.n_votes))
             for r in got.itertuples()} == want
+
+
+def test_personalized_pagerank_seed_semantics(ray_session):
+    """Seeds carry the restart mass; non-seeds score only walked-in
+    mass (strictly below the restart base unless heavily linked);
+    total mass bounded by the uniform variant's."""
+    ppr = cl.q_personalized_pagerank(SF).to_pandas()
+    pr = cl.q_pagerank(SF).to_pandas()
+    assert len(ppr) == len(pr)
+    base = (100 - cl.PR_DAMP_NUM) * cl.PR_SCALE // cl.PR_DAMP_DEN
+    seeds = ppr["vec_id"] % cl.PPR_SEED_MOD == 0
+    assert seeds.any() and (~seeds).any()
+    assert (ppr.loc[seeds, "ppr"] >= base).all()
+    assert (ppr["ppr"] >= 0).all()
+    # personalization concentrates mass: total <= uniform total
+    assert ppr["ppr"].sum() <= pr["pagerank"].sum()
+    # at least one non-seed received walked-in mass
+    assert (ppr.loc[~seeds, "ppr"] > 0).any()
