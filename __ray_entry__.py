@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": ev.q_asof_join,
         "windowed_counts": ev.q_windowed_counts,
         "windowed_counts_filled": ev.q_windowed_counts_filled,  # gap-fill row generation
+        # incremental view maintenance: base+delta folded state must
+        # equal the full recompute — SAME windowed_counts oracle
+        "windowed_counts_ivm": ev.q_windowed_counts_ivm,
         "windowed_distinct_users": ev.q_windowed_distinct_users,  # exact windowed dedup
         "windowed_heavy_hitters": ev.q_windowed_heavy_hitters,  # keyed 2-pass MG, exact
         "funnel_counts": ev.q_funnel_counts,        # ordered-subsequence funnel
@@ -285,4 +288,6 @@ def oracle_sql() -> dict[str, str]:
     # the prefix-filtered (PPJoin) plan must equal the exact all-pairs
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["jaccard_pairs_prefix"] = d["jaccard_pairs"]
+    # IVM-maintained window view must equal the full recompute
+    d["windowed_counts_ivm"] = d["windowed_counts"]
     return d

@@ -1529,3 +1529,119 @@ def q_windowed_counts_filled(sf_dir: str,
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("cents", alias_name="cents"))
     )
+
+
+def build_window_view(sf_dir: str, out_dir: str,
+                      parity: int | None = None) -> str:
+    """Materialize the (event_type, window) count+cents view as
+    parquet state (the base step of incremental view maintenance).
+    `parity` optionally restricts to event_id % 2 == parity — the
+    constant-free base/delta split the other LSM entries use. Write is
+    tmp-dir + atomic rename with a DONE marker (crash-rerun safe:
+    a half-written state is invisible)."""
+    from ray.data.aggregate import Sum
+
+    tmp = out_dir + ".tmp"
+    if os.path.exists(os.path.join(out_dir, "DONE")):
+        return out_dir
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = np.ones(eid.size, bool) if parity is None \
+            else eid % 2 == parity
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()[keep]
+        et = batch.column("event_type").to_numpy(
+            zero_copy_only=False)[keep]
+        cents = _cents(batch.column("value").to_numpy()[keep])
+        w_us = np.int64(3600) * 1_000_000
+        t = _window_type_partial(ts // w_us, et, cents, w_us)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "window_start_us": t.column("window_start_us"),
+            "n_events": t.column("n"),
+            "cents": t.column("cents"),
+        })
+
+    (events_ds(sf_dir, ["event_id", "ts", "event_type", "value"])
+     .map_batches(_part, batch_format="pyarrow")
+     .groupby(["event_type", "window_start_us"])
+     .aggregate(Sum("n_events", alias_name="n_events"),
+                Sum("cents", alias_name="cents"))
+     .write_parquet(tmp))
+    open(os.path.join(tmp, "DONE"), "w").write("ok")
+    os.rename(tmp, out_dir)
+    return out_dir
+
+
+def maintain_window_view(state_dir: str, sf_dir: str, out_dir: str,
+                         parity: int = 1) -> str:
+    """Incremental view maintenance: fold a delta (events with
+    event_id % 2 == parity) into an existing window-view state. Reads
+    the STATE (O(occupied slots)) plus the DELTA — never the base
+    events: count/cents are additive, so maintenance is
+    union(state, delta partials) → groupby sum, the IVM property that
+    makes additive aggregates delta-cheap (contrast the posting-list
+    LSM in pipelines/update.py, where merge order matters). Same
+    atomic-rename crash discipline as the build."""
+    from ray.data.aggregate import Sum
+
+    tmp = out_dir + ".tmp"
+    if os.path.exists(os.path.join(out_dir, "DONE")):
+        return out_dir
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def _delta_part(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 2 == parity
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()[keep]
+        et = batch.column("event_type").to_numpy(
+            zero_copy_only=False)[keep]
+        cents = _cents(batch.column("value").to_numpy()[keep])
+        w_us = np.int64(3600) * 1_000_000
+        t = _window_type_partial(ts // w_us, et, cents, w_us)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "window_start_us": t.column("window_start_us"),
+            "n_events": t.column("n"),
+            "cents": t.column("cents"),
+        })
+
+    state = ray.data.read_parquet(
+        [os.path.join(state_dir, f) for f in os.listdir(state_dir)
+         if f.endswith(".parquet")])
+    delta = (events_ds(sf_dir, ["event_id", "ts", "event_type", "value"])
+             .map_batches(_delta_part, batch_format="pyarrow"))
+    (state.union(delta)
+     .groupby(["event_type", "window_start_us"])
+     .aggregate(Sum("n_events", alias_name="n_events"),
+                Sum("cents", alias_name="cents"))
+     .write_parquet(tmp))
+    open(os.path.join(tmp, "DONE"), "w").write("ok")
+    os.rename(tmp, out_dir)
+    return out_dir
+
+
+def q_windowed_counts_ivm(sf_dir: str) -> ray.data.Dataset:
+    """Driver entry for the IVM path: base view from even event_ids,
+    delta fold of the odd half — the maintained state must equal the
+    full recompute (the SAME windowed_counts oracle: a plan-equivalence
+    proof like sessionize_sliced). The maintenance pass's inputs are
+    the state rows + the delta only."""
+    from candidategeneration_ray.pipelines.docquery import _cache_dir
+
+    root = _cache_dir(sf_dir, "winivm")
+    os.makedirs(root, exist_ok=True)
+    base = build_window_view(sf_dir, os.path.join(root, "base"),
+                             parity=0)
+    cur = maintain_window_view(base, sf_dir, os.path.join(root, "gen1"),
+                               parity=1)
+    return ray.data.read_parquet(
+        [os.path.join(cur, f) for f in os.listdir(cur)
+         if f.endswith(".parquet")])

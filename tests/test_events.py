@@ -722,3 +722,48 @@ def test_windowed_counts_filled_consistency(ray_session):
         want = d.get((r.event_type, r.window_start_us), (0, 0))
         assert (r.n_events, r.cents) == want
     assert len(filled) > len(dense)  # the corpus has empty slots
+
+
+def test_window_view_ivm_never_rereads_base(ray_session, tmp_path):
+    """After the base state exists, the maintenance pass uses ONLY the
+    state + the delta rows: deleting the base half of the events file
+    before maintaining must not change the result."""
+    from candidategeneration_ray.pipelines import events as E
+
+    rng = np.random.default_rng(5)
+    rows = [(i, int(rng.integers(0, 500_000)), int(rng.integers(0, 9)),
+             ["view", "click"][int(rng.integers(0, 2))],
+             float(rng.integers(0, 1000)) / 100) for i in range(3000)]
+    d = _write_events(tmp_path, rows)
+    full = E.q_windowed_counts(d).to_pandas().sort_values(
+        ["event_type", "window_start_us"]).reset_index(drop=True)
+
+    base = E.build_window_view(d, os.path.join(str(tmp_path), "base"),
+                               parity=0)
+    # drop the base half from the source — only odd rows remain
+    t = pq.read_table(os.path.join(d, "events.parquet"))
+    odd = (t.column("event_id").to_numpy() % 2 == 1)
+    pq.write_table(t.filter(pa.array(odd)),
+                   os.path.join(d, "events.parquet"))
+
+    cur = E.maintain_window_view(base, d,
+                                 os.path.join(str(tmp_path), "gen1"),
+                                 parity=1)
+    import ray as _ray
+    import ray.data as rd
+    got = rd.read_parquet(
+        [os.path.join(cur, f) for f in os.listdir(cur)
+         if f.endswith(".parquet")]).to_pandas().sort_values(
+        ["event_type", "window_start_us"]).reset_index(drop=True)
+    assert got.equals(full)
+
+    # crash-rerun idempotence: a second maintain call is a no-op
+    again = E.maintain_window_view(base, d,
+                                   os.path.join(str(tmp_path), "gen1"),
+                                   parity=1)
+    assert again == cur
+    got2 = rd.read_parquet(
+        [os.path.join(cur, f) for f in os.listdir(cur)
+         if f.endswith(".parquet")]).to_pandas().sort_values(
+        ["event_type", "window_start_us"]).reset_index(drop=True)
+    assert got2.equals(full)
