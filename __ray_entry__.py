@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": ex.q_doc_chunks,          # flat-map chunker (RAG shape)
         "column_profile": ex.q_column_profile,  # schema-drift validation
         "similar_docs": ex.q_similar_docs,      # broadcast-probe Jaccard search
+        "top_similar_pairs": ex.q_top_similar_pairs,  # threshold-less top-k sim join
         "source_moments": ex.q_source_moments,  # sufficient-statistics pattern
         # --- mergeable-summary (sketch) aggregates ---
         "doclen_histogram": sk.q_doclen_histogram,
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
         copresence_oracles, gapfill_oracles, holistic_audit_oracles,
+        top_pairs_oracles,
         ppr_oracles,
         label_vote_oracles,
         p90_oracles,
@@ -281,7 +283,8 @@ def oracle_sql() -> dict[str, str]:
             **skyline_oracles(), **tpch_shapes_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
-            **p90_oracles(), **gapfill_oracles(), **ppr_oracles()}
+            **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),
+            **top_pairs_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -2090,3 +2090,69 @@ def q_source_moments(sf_dir: str) -> ray.data.Dataset:
             .aggregate(*[Sum(c, alias_name=c)
                          for c in ["n", "sum_x", "sum_y", "sum_xx",
                                    "sum_yy", "sum_xy"]]))
+
+
+TOP_PAIRS_K = 20
+JACC_SCORE_SCALE = np.int64(1_000_000)
+
+
+def q_top_similar_pairs(sf_dir: str, k: int = TOP_PAIRS_K) -> ray.data.Dataset:
+    """Global top-k most-similar document pairs by Jaccard — the
+    THRESHOLD-LESS similarity join ("show me the worst near-dups"
+    triage view; jaccard_pairs needs a cutoff picked in advance). The
+    score is the scaled integer (inter * 1e6) // union with
+    (doc_a, doc_b) tie-break, so ranking is deterministic and the
+    oracle hash-matches including boundary ties.
+
+    Shape: reuses _shingle_pair_overlaps (bucketed pair intersection
+    counts); each batch then keeps its LOCAL top-k (one lexsort) and a
+    single constant-key merge ranks the <= k x n_batches survivors —
+    the partial-top-k pattern every ANN entry here uses, applied to a
+    pair stream."""
+    from ray.data.aggregate import Sum  # noqa: F401 (kernel symmetry)
+
+    def _score(batch: pa.Table):
+        da = batch.column("doc_a").to_numpy().astype(np.int64)
+        db = batch.column("doc_b").to_numpy().astype(np.int64)
+        inter = batch.column("inter_n").to_numpy().astype(np.int64)
+        union = (batch.column("size_a").to_numpy().astype(np.int64)
+                 + batch.column("size_b").to_numpy().astype(np.int64)
+                 - inter)
+        score = inter * JACC_SCORE_SCALE // union
+        order = np.lexsort((db, da, -score))[:k]
+        return da[order], db[order], inter[order], union[order], \
+            score[order]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        da, db, inter, union, score = _score(batch)
+        return pa.table({
+            "doc_a": pa.array(da, pa.int64()),
+            "doc_b": pa.array(db, pa.int64()),
+            "inter_n": pa.array(inter, pa.int64()),
+            "union_n": pa.array(union, pa.int64()),
+            "score_q": pa.array(score, pa.int64()),
+            "g": pa.array(np.zeros(da.size, np.int64), pa.int64()),
+        })
+
+    def _final(group: pa.Table) -> pa.Table:
+        da = group.column("doc_a").to_numpy().astype(np.int64)
+        db = group.column("doc_b").to_numpy().astype(np.int64)
+        inter = group.column("inter_n").to_numpy().astype(np.int64)
+        union = group.column("union_n").to_numpy().astype(np.int64)
+        score = group.column("score_q").to_numpy().astype(np.int64)
+        order = np.lexsort((db, da, -score))[:k]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64),
+                             pa.int64()),
+            "doc_a": pa.array(da[order], pa.int64()),
+            "doc_b": pa.array(db[order], pa.int64()),
+            "inter_n": pa.array(inter[order], pa.int64()),
+            "union_n": pa.array(union[order], pa.int64()),
+            "score_q": pa.array(score[order], pa.int64()),
+        })
+
+    return (
+        _shingle_pair_overlaps(sf_dir, None)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+    )

@@ -3215,3 +3215,42 @@ r{i} AS (
             + f"\nSELECT CAST(node AS BIGINT) AS vec_id, r AS ppr "
               f"FROM r{PR_ITERS}\n"),
     }
+
+
+def top_pairs_oracles() -> dict[str, str]:
+    """Threshold-less top-k similarity join — same shingle CTEs as
+    jaccard_pairs, ranked by the scaled integer score."""
+    from candidategeneration_ray.pipelines.extras import (
+        JACC_SCORE_SCALE, TOP_PAIRS_K)
+
+    return {
+        "top_similar_pairs": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(H.SHINGLE_W)},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter_n
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b, inter_n,
+         sa.n + sb.n - inter_n AS union_n,
+         (inter_n * {int(JACC_SCORE_SCALE)})
+           // (sa.n + sb.n - inter_n) AS score_q
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_a, doc_b)
+            AS BIGINT) AS rank,
+       doc_a, doc_b, inter_n, CAST(union_n AS BIGINT) AS union_n,
+       CAST(score_q AS BIGINT) AS score_q
+FROM scored
+ORDER BY score_q DESC, doc_a, doc_b
+LIMIT {TOP_PAIRS_K}
+""",
+    }

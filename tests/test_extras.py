@@ -637,3 +637,28 @@ def test_source_moments_cauchy_schwarz(ray_session):
     cov = df["n"] * df["sum_xy"] - df["sum_x"] * df["sum_y"]
     assert (vx >= 0).all() and (vy >= 0).all()
     assert (cov * cov <= vx * vy).all()
+
+
+def test_top_similar_pairs_invariants(ray_session):
+    """Top-k ranking: descending scores, rank contiguous, every row's
+    score recomputes from inter/union, and the set is the true global
+    top-k (checked against the full jaccard pair recompute)."""
+    from candidategeneration_ray.pipelines import extras as ex
+
+    sf = "/root/testdata/sf0.001"
+    got = ex.q_top_similar_pairs(sf).to_pandas().sort_values("rank")
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    s = got["score_q"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    assert (got["inter_n"] * int(ex.JACC_SCORE_SCALE)
+            // got["union_n"] == got["score_q"]).all()
+
+    allp = ex._shingle_pair_overlaps(sf, None).to_pandas()
+    allp["union_n"] = allp["size_a"] + allp["size_b"] - allp["inter_n"]
+    allp["score_q"] = (allp["inter_n"] * int(ex.JACC_SCORE_SCALE)
+                       // allp["union_n"])
+    want = allp.sort_values(
+        ["score_q", "doc_a", "doc_b"],
+        ascending=[False, True, True]).head(len(got))
+    assert got[["doc_a", "doc_b", "score_q"]].values.tolist() \
+        == want[["doc_a", "doc_b", "score_q"]].values.tolist()
