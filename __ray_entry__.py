@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_rollup": rl.q_nation_rollup,        # ROLLUP finalizer over the join
         "local_supplier_volume": rl.q_local_supplier_volume,  # Q5 shape: 6-way join
         "customers_no_orders": rl.q_customers_no_orders,  # bucketed ANTI join
+        # bloom semi-join reduction: bloom-proven misses skip the
+        # shuffle; hash-matches the SAME anti-join oracle
+        "customers_no_orders_bloom": rl.q_customers_no_orders_bloom,
         "order_priority_counts": rl.q_order_priority_counts,  # Q4: EXISTS semi
         # Q13 shape: LEFT OUTER join with zero-fill distribution
         "customer_order_distribution": rl.q_customer_order_distribution,
@@ -293,4 +296,6 @@ def oracle_sql() -> dict[str, str]:
     d["jaccard_pairs_prefix"] = d["jaccard_pairs"]
     # IVM-maintained window view must equal the full recompute
     d["windowed_counts_ivm"] = d["windowed_counts"]
+    # bloom-prefiltered anti join must equal the plain anti join
+    d["customers_no_orders_bloom"] = d["customers_no_orders"]
     return d

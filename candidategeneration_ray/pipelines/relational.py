@@ -1814,3 +1814,141 @@ def q_nation_p90_order(sf_dir: str) -> ray.data.Dataset:
         .groupby("c_nationkey").map_groups(_pick,
                                            batch_format="pyarrow")
     )
+
+
+BLOOM_JOIN_M = np.int64(1 << 17)          # bits in the key bloom
+_BLOOM_JOIN_SALTS = (np.int64(0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF),
+                     np.int64(0xC2B2AE3D27D4EB4F & 0x7FFFFFFFFFFFFFFF),
+                     np.int64(0x165667B19E3779F9 & 0x7FFFFFFFFFFFFFFF))
+
+
+def _bloom_join_bits(keys: np.ndarray) -> np.ndarray:
+    """k=3 salted mix hashes of int64 keys → bit indices (int64)."""
+    out = []
+    for c in _BLOOM_JOIN_SALTS:
+        h = (keys.astype(np.uint64) * np.uint64(c))
+        h ^= h >> np.uint64(29)
+        out.append((h % np.uint64(BLOOM_JOIN_M)).astype(np.int64))
+    return np.concatenate(out)
+
+
+def q_customers_no_orders_bloom(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-accelerated ANTI join — the semi-join-reduction technique:
+    a tiny bloom filter of the (date-scoped) order custkeys broadcasts
+    to every customer batch, and customers the bloom DEFINITELY rules
+    out skip the shuffle entirely (a bloom has no false negatives, so
+    'absent' is proof of no order); only possible members — true
+    matches plus the filter's false positives — take the bucketed
+    exact anti-join path. Result is bit-identical to
+    q_customers_no_orders (the driver maps both to the SAME oracle:
+    plan-equivalence proof, like the salted join), while the shuffle
+    carries a fraction of the rows. At 100 TB this is the difference
+    between shuffling every probe row and shuffling ~|matches|."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(Q5_DATE_LO, "us")
+    hi = np.datetime64(Q5_DATE_HI, "us")
+    nb = JOIN_BUCKETS
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    nnames = np.asarray(nation.column("n_name").to_pylist(), object)
+    o = np.argsort(nk)
+    nat_ref = ray.put((nk[o], nnames[o]))
+
+    def _order_bits(batch: pa.Table) -> pa.Table:
+        ck = np.unique(batch.column("o_custkey").to_numpy()
+                       .astype(np.int64))
+        bits = np.unique(_bloom_join_bits(ck))
+        return pa.table({"bit": pa.array(bits, pa.int64())})
+
+    orders_scoped = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))))
+    bit_parts = ray.get(orders_scoped.map_batches(
+        _order_bits, batch_format="pyarrow").to_arrow_refs())
+    bloom = np.zeros(int(BLOOM_JOIN_M), bool)
+    for t in bit_parts:
+        if t.num_rows:
+            bloom[t.column("bit").to_numpy()] = True
+    bloom_ref = ray.put(bloom)
+
+    def _cust_split(batch: pa.Table) -> pa.Table:
+        """bkt = -1 rows are bloom-proven no-order customers: they skip
+        the shuffle as per-nation count partials."""
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        nat = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        bl = ray.get(bloom_ref)
+        k = len(_BLOOM_JOIN_SALTS)
+        hits = bl[_bloom_join_bits(ck).reshape(k, ck.size)]
+        maybe = hits.all(axis=0)
+        u, cnt = np.unique(nat[~maybe], return_counts=True)
+        return pa.table({
+            "bkt": pa.array(np.concatenate((
+                ck[maybe] % nb, np.full(u.size, -1, np.int64))),
+                pa.int64()),
+            "key": pa.array(np.concatenate((
+                ck[maybe], np.zeros(u.size, np.int64))), pa.int64()),
+            "nat": pa.array(np.concatenate((nat[maybe], u)), pa.int64()),
+            "n_sure": pa.array(np.concatenate((
+                np.zeros(int(maybe.sum()), np.int64), cnt)), pa.int64()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        ck = np.unique(batch.column("o_custkey").to_numpy()
+                       .astype(np.int64))
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nat": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
+            "n_sure": pa.array(np.zeros(ck.size, np.int64), pa.int64()),
+        })
+
+    def _anti(group: pa.Table) -> pa.Table:
+        nk_b, nname_b = ray.get(nat_ref)
+        bkt0 = int(group.column("bkt")[0].as_py())
+        nat = group.column("nat").to_numpy().astype(np.int64)
+        if bkt0 == -1:   # bloom-proven partials: pass counts through
+            ns = group.column("n_sure").to_numpy().astype(np.int64)
+            u, inv = np.unique(nat, return_inverse=True)
+            s = np.zeros(u.size, np.int64)
+            np.add.at(s, inv, ns)
+            names = nname_b[np.searchsorted(nk_b, u)]
+            return pa.table({
+                "n_name": pa.array(names.tolist(), pa.string()),
+                "n_customers": pa.array(s, pa.int64()),
+            })
+        key = group.column("key").to_numpy().astype(np.int64)
+        cust = nat >= 0
+        probe = np.unique(key[~cust])
+        ck, cn = key[cust], nat[cust]
+        if probe.size:
+            idx = np.minimum(np.searchsorted(probe, ck), probe.size - 1)
+            lonely = probe[idx] != ck
+        else:
+            lonely = np.ones(ck.size, bool)
+        if not lonely.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "n_customers": pa.array([], pa.int64())})
+        u, cnt = np.unique(cn[lonely], return_counts=True)
+        names = nname_b[np.searchsorted(nk_b, u)]
+        return pa.table({
+            "n_name": pa.array(names.tolist(), pa.string()),
+            "n_customers": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(_cust_split, batch_format="pyarrow")
+    orders = orders_scoped.map_batches(_order_rows,
+                                       batch_format="pyarrow")
+    return (
+        cust.union(orders)
+        .groupby("bkt").map_groups(_anti, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )

@@ -515,3 +515,39 @@ def test_nation_p90_two_pass_exact(ray_session, monkeypatch):
     tiny = rl.q_nation_p90_order(SF_DIR).to_pandas()
     assert {int(r.c_nationkey): (int(r.n_orders), int(r.p90_cents))
             for r in tiny.itertuples()} == want
+
+
+def test_bloom_anti_join_plan_equivalence(ray_session):
+    """Bloom-prefiltered anti join == plain anti join, and the bloom
+    shortcut actually fires (most customers are proven order-less
+    without touching the shuffle)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    plain = rl.q_customers_no_orders(SF_DIR).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+    bloomed = rl.q_customers_no_orders_bloom(SF_DIR).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+    assert bloomed.equals(plain)
+    assert len(plain) > 0
+
+    # recompute the bloom on the driver: some customers must be
+    # definite misses (the shuffle-reduction claim)
+    lo = np.datetime64(rl.Q5_DATE_LO, "us")
+    hi = np.datetime64(rl.Q5_DATE_HI, "us")
+    od = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                       columns=["o_custkey", "o_orderdate"])
+    ts = od.column("o_orderdate").cast(pa.int64()).to_numpy()
+    scoped = od.column("o_custkey").to_numpy().astype(np.int64)[
+        (ts >= lo.astype(np.int64)) & (ts < hi.astype(np.int64))]
+    bloom = np.zeros(int(rl.BLOOM_JOIN_M), bool)
+    bloom[rl._bloom_join_bits(np.unique(scoped))] = True
+    cu = pq.read_table(os.path.join(SF_DIR, "customer.parquet"),
+                       columns=["c_custkey"])
+    ck = cu.column("c_custkey").to_numpy().astype(np.int64)
+    k = len(rl._BLOOM_JOIN_SALTS)
+    maybe = bloom[rl._bloom_join_bits(ck).reshape(k, ck.size)].all(axis=0)
+    assert (~maybe).sum() > 0          # shortcut fires
+    # no false negatives: every customer WITH a scoped order is 'maybe'
+    has_order = np.isin(ck, scoped)
+    assert maybe[has_order].all()
