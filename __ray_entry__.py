@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": ex.q_langid,
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
+        "corpus_digest": ex.q_corpus_digest,   # order-insensitive row-hash digest
         "doc_chunks": ex.q_doc_chunks,          # flat-map chunker (RAG shape)
         "column_profile": ex.q_column_profile,  # schema-drift validation
         "similar_docs": ex.q_similar_docs,      # broadcast-probe Jaccard search
@@ -236,7 +237,8 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        copresence_oracles, gapfill_oracles, holistic_audit_oracles,
+        copresence_oracles, digest_oracles, gapfill_oracles,
+        holistic_audit_oracles,
         top_pairs_oracles,
         ppr_oracles,
         label_vote_oracles,
@@ -287,7 +289,7 @@ def oracle_sql() -> dict[str, str]:
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),
-            **top_pairs_oracles()}
+            **top_pairs_oracles(), **digest_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

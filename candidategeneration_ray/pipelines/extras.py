@@ -2156,3 +2156,57 @@ def q_top_similar_pairs(sf_dir: str, k: int = TOP_PAIRS_K) -> ray.data.Dataset:
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("g").map_groups(_final, batch_format="pyarrow")
     )
+
+
+DIGEST_MOD = np.int64(1) << 40
+
+
+def q_corpus_digest(sf_dir: str) -> ray.data.Dataset:
+    """Order-insensitive corpus digest — the data-versioning primitive
+    (detect ANY changed/added/dropped row between two copies of a
+    table without comparing rows): per (source, lang) stratum, the row
+    count and the SUM of per-row hashes (h64 of the canonical
+    'doc_id|n_chars' row string, reduced mod 2^40 so count × max fits
+    int64 far past 10^12 rows). Addition commutes, so the digest is
+    partitioning/order independent and incrementally maintainable
+    (a delta's digest just adds on). Sum (not XOR) keeps duplicate
+    rows visible.
+
+    Shape: embarrassingly parallel — per-batch partials, one
+    O(strata) groupby. Per-row md5 is the irreducible cost (same as
+    fingerprints); strings assemble in Arrow C++ first."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rows = pc.binary_join_element_wise(
+            pc.cast(batch.column("doc_id"), pa.string()),
+            pc.cast(batch.column("n_chars"), pa.string()), "|")
+        h = (H.h64_many(rows.to_pylist()).astype(np.int64)
+             & np.int64((1 << 63) - 1)) % DIGEST_MOD
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        key = np.asarray([a + "\x00" + b for a, b in zip(src, lang)],
+                         object)
+        u, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, h)
+        return pa.table({
+            "source": pa.array([k.split("\x00")[0] for k in u],
+                               pa.string()),
+            "lang": pa.array([k.split("\x00")[1] for k in u],
+                             pa.string()),
+            "n_rows": pa.array(n, pa.int64()),
+            "digest": pa.array(s, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars", "source", "lang"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("digest", alias_name="digest"))
+    )

@@ -3254,3 +3254,21 @@ ORDER BY score_q DESC, doc_a, doc_b
 LIMIT {TOP_PAIRS_K}
 """,
     }
+
+
+def digest_oracles() -> dict[str, str]:
+    """Order-insensitive row-hash digest per (source, lang): same md5
+    h64 and mod-2^40 reduction as the engine (2^40 divides 2^63, so
+    the engine's 63-bit mask then mod equals a direct mod)."""
+    from candidategeneration_ray.pipelines.extras import DIGEST_MOD
+
+    h = _H64.format(
+        expr="doc_id::VARCHAR || '|' || n_chars::VARCHAR")
+    return {
+        "corpus_digest": f"""
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({h} % {int(DIGEST_MOD)}) AS BIGINT) AS digest
+FROM documents
+GROUP BY 1, 2
+""",
+    }

@@ -662,3 +662,53 @@ def test_top_similar_pairs_invariants(ray_session):
         ascending=[False, True, True]).head(len(got))
     assert got[["doc_a", "doc_b", "score_q"]].values.tolist() \
         == want[["doc_a", "doc_b", "score_q"]].values.tolist()
+
+
+def test_corpus_digest_detects_any_change(ray_session, tmp_path):
+    """The digest is order-independent but changes under row edit,
+    insertion and deletion; incremental property: digest(base+delta) =
+    digest(base) + digest(delta) per stratum."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import extras as ex
+
+    sf = "/root/testdata/sf0.001"
+    base = ex.q_corpus_digest(sf).to_pandas()
+
+    # shuffled copy -> identical digest
+    d2 = str(tmp_path)
+    t = pq.read_table(os.path.join(sf, "documents.parquet"))
+    perm = np.random.default_rng(1).permutation(t.num_rows)
+    pq.write_table(t.take(pa.array(perm)),
+                   os.path.join(d2, "documents.parquet"))
+    shuffled = ex.q_corpus_digest(d2).to_pandas()
+    key = ["source", "lang"]
+    assert shuffled.sort_values(key).reset_index(drop=True).equals(
+        base.sort_values(key).reset_index(drop=True))
+
+    # edit one row's n_chars -> that stratum's digest changes
+    cols = t.to_pydict()
+    src0, lang0 = cols["source"][0], cols["lang"][0]
+    cols["n_chars"][0] += 1
+    pq.write_table(pa.table(cols, schema=t.schema),
+                   os.path.join(d2, "documents.parquet"))
+    edited = ex.q_corpus_digest(d2).to_pandas()
+    b = base.set_index(key)["digest"]
+    e = edited.set_index(key)["digest"]
+    assert e[(src0, lang0)] != b[(src0, lang0)]
+    changed = (b.sort_index().values != e.sort_index().values).sum()
+    assert changed == 1
+
+    # additive: splitting the table gives digests that sum to base's
+    half = t.slice(0, t.num_rows // 2)
+    rest = t.slice(t.num_rows // 2)
+    pq.write_table(half, os.path.join(d2, "documents.parquet"))
+    d_half = ex.q_corpus_digest(d2).to_pandas().set_index(key)
+    pq.write_table(rest, os.path.join(d2, "documents.parquet"))
+    d_rest = ex.q_corpus_digest(d2).to_pandas().set_index(key)
+    tot = d_half.add(d_rest, fill_value=0)
+    assert tot["digest"].astype(int).sort_index().equals(
+        base.set_index(key)["digest"].sort_index())
