@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental view maintenance: base+delta folded state must
         # equal the full recompute — SAME windowed_counts oracle
         "windowed_counts_ivm": ev.q_windowed_counts_ivm,
+        "events_range_scan": ev.q_events_range_scan,  # partition-pruned time scan
         "windowed_distinct_users": ev.q_windowed_distinct_users,  # exact windowed dedup
         "windowed_heavy_hitters": ev.q_windowed_heavy_hitters,  # keyed 2-pass MG, exact
         "funnel_counts": ev.q_funnel_counts,        # ordered-subsequence funnel
@@ -238,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
         copresence_oracles, digest_oracles, gapfill_oracles,
+        range_scan_oracles,
         holistic_audit_oracles,
         top_pairs_oracles,
         ppr_oracles,
@@ -289,7 +291,8 @@ def oracle_sql() -> dict[str, str]:
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),
-            **top_pairs_oracles(), **digest_oracles()}
+            **top_pairs_oracles(), **digest_oracles(),
+            **range_scan_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -1645,3 +1645,107 @@ def q_windowed_counts_ivm(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         [os.path.join(cur, f) for f in os.listdir(cur)
          if f.endswith(".parquet")])
+
+
+RANGE_SCAN_LO = "2024-01-10"
+RANGE_SCAN_HI = "2024-01-20"
+
+
+def build_events_partitioned(sf_dir: str, out_dir: str) -> str:
+    """Materialize the event log as DAY-partitioned parquet
+    (hive layout day=N/) — the storage layout that turns time-range
+    queries from full scans into partition-pruned reads. Write is
+    crash-safe (tmp dir + atomic rename + DONE)."""
+    tmp = out_dir + ".tmp"
+    if os.path.exists(os.path.join(out_dir, "DONE")):
+        return out_dir
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def _with_day(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        return batch.append_column(
+            "day", pa.array(ts // np.int64(86_400_000_000), pa.int64()))
+
+    (events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                        "value"])
+     .map_batches(_with_day, batch_format="pyarrow")
+     .write_parquet(tmp, partition_cols=["day"]))
+    open(os.path.join(tmp, "DONE"), "w").write("ok")
+    os.rename(tmp, out_dir)
+    return out_dir
+
+
+def range_scan_paths(part_dir: str, lo_day: int, hi_day: int) -> list[str]:
+    """Partition files overlapping [lo_day, hi_day) — the pruning step
+    (directory names carry the day, so files outside the range are
+    never opened)."""
+    out = []
+    for d in sorted(os.listdir(part_dir)):
+        if not d.startswith("day="):
+            continue
+        day = int(d.split("=")[1])
+        if lo_day <= day < hi_day:
+            p = os.path.join(part_dir, d)
+            out.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                       if f.endswith(".parquet"))
+    return out
+
+
+def q_events_range_scan(sf_dir: str) -> ray.data.Dataset:
+    """Time-range aggregate THROUGH the partitioned layout: per event
+    type, count + cents over [RANGE_SCAN_LO, RANGE_SCAN_HI) reading
+    ONLY the partitions the range touches (plus one residual ts filter
+    inside the boundary partitions — day granularity prunes, the
+    filter exactifies). The same pattern as the IVF probe-pruned read
+    and the bucket-filtered index segments, applied to time.
+
+    The partitioned copy builds once into the /tmp cache (at 100 TB
+    the log is WRITTEN partitioned in the first place — the build step
+    here stands in for ingest)."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.pipelines.docquery import _cache_dir
+
+    part_dir = build_events_partitioned(
+        sf_dir, os.path.join(_cache_dir(sf_dir, "evpart"), "days"))
+    lo = np.datetime64(RANGE_SCAN_LO).astype("datetime64[us]") \
+        .astype(np.int64)
+    hi = np.datetime64(RANGE_SCAN_HI).astype("datetime64[us]") \
+        .astype(np.int64)
+    day_us = np.int64(86_400_000_000)
+    files = range_scan_paths(part_dir, int(lo // day_us),
+                             int(-(-hi // day_us)))
+
+    def _part(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        keep = (ts >= lo) & (ts < hi)
+        et = batch.column("event_type").to_numpy(
+            zero_copy_only=False)[keep]
+        cents = _cents(batch.column("value").to_numpy()[keep])
+        u, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "event_type": pa.array(u.tolist(), pa.string()),
+            "n_events": pa.array(n, pa.int64()),
+            "cents": pa.array(s, pa.int64()),
+        })
+
+    if not files:
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        }))
+    return (
+        ray.data.read_parquet(files, columns=["ts", "event_type",
+                                              "value"])
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("cents", alias_name="cents"))
+    )

@@ -3272,3 +3272,21 @@ FROM documents
 GROUP BY 1, 2
 """,
     }
+
+
+def range_scan_oracles() -> dict[str, str]:
+    """Time-range aggregate — the oracle scans everything; the engine
+    must agree while reading only the touched day partitions."""
+    from candidategeneration_ray.pipelines.events import (
+        RANGE_SCAN_HI, RANGE_SCAN_LO)
+
+    return {
+        "events_range_scan": f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE ts >= TIMESTAMP '{RANGE_SCAN_LO}'
+  AND ts <  TIMESTAMP '{RANGE_SCAN_HI}'
+GROUP BY 1
+""",
+    }

@@ -767,3 +767,43 @@ def test_window_view_ivm_never_rereads_base(ray_session, tmp_path):
          if f.endswith(".parquet")]).to_pandas().sort_values(
         ["event_type", "window_start_us"]).reset_index(drop=True)
     assert got2.equals(full)
+
+
+def test_events_range_scan_prunes_partitions(ray_session):
+    """The pruned read touches only the day partitions inside the
+    range — strictly fewer files than the full layout — and the
+    result equals a direct filtered aggregate."""
+    from candidategeneration_ray.pipelines import events as E
+    from candidategeneration_ray.pipelines.docquery import _cache_dir
+
+    sf = "/root/testdata/sf0.001"
+    got = E.q_events_range_scan(sf).to_pandas().sort_values(
+        "event_type").reset_index(drop=True)
+
+    part_dir = os.path.join(_cache_dir(sf, "evpart"), "days")
+    day_us = 86_400_000_000
+    lo = np.datetime64(E.RANGE_SCAN_LO).astype("datetime64[us]") \
+        .astype(np.int64)
+    hi = np.datetime64(E.RANGE_SCAN_HI).astype("datetime64[us]") \
+        .astype(np.int64)
+    touched = E.range_scan_paths(part_dir, int(lo // day_us),
+                                 int(-(-hi // day_us)))
+    all_files = E.range_scan_paths(part_dir, -10**9, 10**9)
+    assert touched and set(touched) < set(all_files)  # strict pruning
+    for f in touched:  # every touched file IS in range by dirname
+        day = int(f.split("day=")[1].split("/")[0])
+        assert lo // day_us <= day < -(-hi // day_us)
+
+    ev = pq.read_table(os.path.join(sf, "events.parquet"),
+                       columns=["ts", "event_type", "value"])
+    ts = ev.column("ts").cast(pa.int64()).to_numpy()
+    keep = (ts >= lo) & (ts < hi)
+    et = np.asarray(ev.column("event_type").to_pylist(), object)[keep]
+    from candidategeneration_ray.functions.money import round_scaled
+    cents = round_scaled(ev.column("value").to_numpy()[keep])
+    want = {}
+    for t, c in zip(et, cents):
+        n, s = want.get(t, (0, 0))
+        want[t] = (n + 1, s + int(c))
+    assert {r.event_type: (r.n_events, r.cents)
+            for r in got.itertuples()} == want
