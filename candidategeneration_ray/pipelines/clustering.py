@@ -1311,3 +1311,166 @@ def q_knn_label_vote(sf_dir: str,
         votes.map_batches(_vbkt, batch_format="pyarrow")
         .groupby("vbkt").map_groups(_argmax, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------ product quantization
+
+PQ_M = 8                      # subspaces: 64 dims -> 8 x 8
+_PQ_MEMO: dict[str, list[np.ndarray]] = {}
+
+
+def pq_codebooks(sf_dir: str) -> list[np.ndarray]:
+    """Per-subspace integer k-means codebooks for product quantization
+    (Jégou et al., TPAMI'11): the embedding splits into PQ_M
+    contiguous subvectors, each trained with the SAME exact-integer
+    Lloyd recipe as the global codebook (init = K smallest vec_ids'
+    subvectors, floor-div centroid updates) — so every subspace chain
+    is SQL-unrollable and the codes are value-verified.
+
+    Training is FUSED: one data pass per Lloyd iteration computes all
+    PQ_M subspaces' partials together (per-batch (subspace, cluster,
+    dim) integer sums → one small groupby → driver floor-div over
+    M·K·(dsub+1) rows) — M separate trainings would scan the table
+    M times."""
+    key = os.path.realpath(sf_dir)
+    if key in _PQ_MEMO:
+        return [c.copy() for c in _PQ_MEMO[key]]
+    init = _init_centroids(sf_dir)          # (K, dim) int64
+    dim = init.shape[1]
+    if dim % PQ_M:
+        raise ValueError(f"dim {dim} not divisible by PQ_M={PQ_M}")
+    ds = dim // PQ_M
+    cents = [init[:, m * ds:(m + 1) * ds].copy() for m in range(PQ_M)]
+    for _ in range(KMEANS_ITERS):
+        cents = _pq_update_pass(sf_dir, cents, ds)
+    _PQ_MEMO[key] = [c.copy() for c in cents]
+    return cents
+
+
+def _pq_update_pass(sf_dir: str, cents: list[np.ndarray],
+                    ds: int) -> list[np.ndarray]:
+    cent_ref = ray.put(cents)
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cent_ref)
+        _, xq = _quantize(batch)
+        out_m, out_c, out_d, out_s = [], [], [], []
+        for m, c in enumerate(cs):
+            sub = xq[:, m * ds:(m + 1) * ds]
+            a = _assign(sub, c)
+            for cl in np.unique(a):
+                sums = sub[a == cl].sum(axis=0)
+                out_m.append(np.full(ds + 1, m, np.int64))
+                out_c.append(np.full(ds + 1, cl, np.int64))
+                out_d.append(np.concatenate((np.arange(ds),
+                                             [_COUNT_DIM])))
+                out_s.append(np.concatenate(
+                    (sums, [int((a == cl).sum())])))
+        return pa.table({
+            "subspace": pa.array(np.concatenate(out_m), pa.int64()),
+            "cluster": pa.array(np.concatenate(out_c), pa.int64()),
+            "dim": pa.array(np.concatenate(out_d).astype(np.int64),
+                            pa.int64()),
+            "s": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+
+    merged = (
+        _embeddings_ds(sf_dir)
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["subspace", "cluster", "dim"])
+        .aggregate(Sum("s", alias_name="s"))
+        .take_all()
+    )
+    k = cents[0].shape[0]
+    sums = np.zeros((PQ_M, k, ds), np.int64)
+    counts = np.zeros((PQ_M, k), np.int64)
+    for r in merged:
+        if r["dim"] == _COUNT_DIM:
+            counts[r["subspace"], r["cluster"]] = r["s"]
+        else:
+            sums[r["subspace"], r["cluster"], r["dim"]] = r["s"]
+    new = [c.copy() for c in cents]
+    for m in range(PQ_M):
+        nz = counts[m] > 0
+        new[m][nz] = np.floor(
+            sums[m][nz] / counts[m][nz, None]).astype(np.int64)
+    return new
+
+
+def q_pq_codes(sf_dir: str) -> ray.data.Dataset:
+    """(vec_id, subspace, code): every vector's PQ code word — one
+    streaming assign pass with the broadcast codebooks (64 ints per
+    vector compress to PQ_M codes: the 100 TB embedding-storage
+    path)."""
+    cents = pq_codebooks(sf_dir)
+    ds = cents[0].shape[1]
+    cent_ref = ray.put(cents)
+
+    def _codes(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cent_ref)
+        ids, xq = _quantize(batch)
+        n = ids.size
+        return pa.table({
+            "vec_id": pa.array(np.tile(ids, PQ_M), pa.int64()),
+            "subspace": pa.array(np.repeat(np.arange(PQ_M), n),
+                                 pa.int64()),
+            "code": pa.array(np.concatenate(
+                [_assign(xq[:, m * ds:(m + 1) * ds], cs[m])
+                 for m in range(PQ_M)]), pa.int64()),
+        })
+
+    return _embeddings_ds(sf_dir).map_batches(_codes,
+                                              batch_format="pyarrow")
+
+
+def q_ann_pq_top10(sf_dir: str, k: int = 10) -> pa.Table:
+    """ADC (asymmetric distance) top-k for the fixed query (vec_id 0)
+    through the PQ codes: the query's per-subspace distances to every
+    centroid form an M×K integer lookup table; a vector's approximate
+    distance is the sum of its codes' LUT entries. The RANKING is a
+    deterministic integer computation — so unlike most ANN entries
+    this one is fully SQL-verified (the approximation is relative to
+    true neighbors, not to the oracle). Per-batch LUT-gather +
+    partial top-k, driver merges ≤ k·n_batches rows."""
+    import pyarrow.parquet as pq
+
+    cents = pq_codebooks(sf_dir)
+    ds = cents[0].shape[1]
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(emb_path, filters=[("vec_id", "=", 0)],
+                         columns=["vec_id", "embedding"])
+    qx = np.trunc(np.asarray(qtab.column("embedding").to_pylist()[0],
+                             np.float64) * KMEANS_SCALE).astype(np.int64)
+    lut = np.stack([
+        ((qx[m * ds:(m + 1) * ds][None, :] - cents[m]) ** 2).sum(axis=1)
+        for m in range(PQ_M)
+    ])                                     # (M, K) int64
+    lut_ref = ray.put(lut)
+    cent_ref = ray.put(cents)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cent_ref)
+        lt = ray.get(lut_ref)
+        ids, xq = _quantize(batch)
+        adc = np.zeros(ids.size, np.int64)
+        for m in range(PQ_M):
+            adc += lt[m][_assign(xq[:, m * ds:(m + 1) * ds], cs[m])]
+        top = np.lexsort((ids, adc))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[top], pa.int64()),
+            "adc_d2": pa.array(adc[top], pa.int64()),
+        })
+
+    parts = pa.concat_tables(ray.get(
+        _embeddings_ds(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_arrow_refs()))
+    ids = parts.column("vec_id").to_numpy().astype(np.int64)
+    adc = parts.column("adc_d2").to_numpy().astype(np.int64)
+    top = np.lexsort((ids, adc))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, top.size + 1, dtype=np.int64),
+                         pa.int64()),
+        "vec_id": pa.array(ids[top], pa.int64()),
+        "adc_d2": pa.array(adc[top], pa.int64()),
+    })

@@ -3290,3 +3290,96 @@ WHERE ts >= TIMESTAMP '{RANGE_SCAN_LO}'
 GROUP BY 1
 """,
     }
+
+
+def _pq_ctes() -> str:
+    """Per-subspace unrolled Lloyd chains for product quantization —
+    the _kmeans_ctes recipe repeated with the qv rows split into PQ_M
+    contiguous dim ranges (the split derives from max(d), so the SQL
+    stays table-shape-free). Prefixes: s{m}qv / s{m}c{i} / s{m}a{i}."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, PQ_M)
+
+    parts = [f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dims AS (SELECT max(d) + 1 AS dim FROM qv),
+ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk
+        FROM embeddings)"""]
+    for m in range(PQ_M):
+        parts.append(f"""s{m}qv AS MATERIALIZED (
+  SELECT qv.vec_id, qv.d, qv.x FROM qv, dims
+  WHERE qv.d // (dims.dim // {PQ_M}) = {m}
+),
+s{m}c0 AS (SELECT CAST(rk AS BIGINT) AS cluster, d, x AS cq
+           FROM s{m}qv JOIN ids USING (vec_id) WHERE rk < {KMEANS_K})""")
+        for i in range(1, KMEANS_ITERS + 2):
+            parts.append(f"""s{m}a{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY sum((v.x - c.cq) * (v.x - c.cq)) ASC,
+                      c.cluster ASC) AS rn
+    FROM s{m}qv v JOIN s{m}c{i - 1} c USING (d)
+    GROUP BY v.vec_id, c.cluster)
+  WHERE rn = 1
+)""")
+            if i <= KMEANS_ITERS:
+                parts.append(f"""s{m}c{i} AS MATERIALIZED (
+  SELECT p.cluster, p.d,
+         coalesce(CAST(floor(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT),
+                  p.cq) AS cq
+  FROM s{m}c{i - 1} p
+  LEFT JOIN (
+    SELECT a.cluster, v.d, sum(v.x) AS sx, count(*) AS n
+    FROM s{m}a{i} a JOIN s{m}qv v USING (vec_id)
+    GROUP BY a.cluster, v.d
+  ) s ON s.cluster = p.cluster AND s.d = p.d
+)""")
+    return ",\n".join(parts)
+
+
+def pq_oracles() -> dict[str, str]:
+    """PQ codes + ADC top-10 — deterministic integer computations, so
+    even the 'approximate' ANN ranking is value-verified."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_ITERS, PQ_M)
+
+    F = KMEANS_ITERS + 1
+    code_union = "\nUNION ALL\n".join(
+        f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        f"CAST({m} AS BIGINT) AS subspace, cluster AS code "
+        f"FROM s{m}a{F}" for m in range(PQ_M))
+    luts = ",\n".join(
+        f"""lut{m} AS (
+  SELECT c.cluster, sum((q.x - c.cq) * (q.x - c.cq)) AS d2
+  FROM s{m}c{KMEANS_ITERS} c
+  JOIN qv q ON q.d = c.d AND q.vec_id = 0
+  GROUP BY c.cluster)""" for m in range(PQ_M))
+    joins = "\n".join(
+        f"JOIN s{m}a{F} a{m} ON a{m}.vec_id = a0.vec_id\n"
+        f"JOIN lut{m} l{m} ON l{m}.cluster = a{m}.cluster"
+        for m in range(1, PQ_M))
+    adc_sum = " + ".join(f"l{m}.d2" for m in range(PQ_M))
+    return {
+        "pq_codes": f"WITH {_pq_ctes()}\n{code_union}",
+        "ann_pq_top10": f"""
+WITH {_pq_ctes()},
+{luts},
+adc AS (
+  SELECT a0.vec_id, {adc_sum} AS adc_d2
+  FROM s0a{F} a0
+  JOIN lut0 l0 ON l0.cluster = a0.cluster
+{joins}
+)
+SELECT CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS BIGINT)
+         AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM adc ORDER BY adc_d2, vec_id LIMIT 10
+""",
+    }
