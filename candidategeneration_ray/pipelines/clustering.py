@@ -99,6 +99,10 @@ def _update_pass(sf_dir: str, cent: np.ndarray) -> np.ndarray:
     def _partials(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         _, xq = _quantize(batch)
+        if xq.shape[0] == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
         a = _assign(xq, c)
         k, dim = c.shape
         out_c, out_d, out_s = [], [], []
@@ -1354,6 +1358,12 @@ def _pq_update_pass(sf_dir: str, cents: list[np.ndarray],
     def _partials(batch: pa.Table) -> pa.Table:
         cs = ray.get(cent_ref)
         _, xq = _quantize(batch)
+        empty = pa.table({"subspace": pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if xq.shape[0] == 0:
+            return empty
         out_m, out_c, out_d, out_s = [], [], [], []
         for m, c in enumerate(cs):
             sub = xq[:, m * ds:(m + 1) * ds]

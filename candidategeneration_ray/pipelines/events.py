@@ -1531,23 +1531,32 @@ def q_windowed_counts_filled(sf_dir: str,
     )
 
 
-def build_window_view(sf_dir: str, out_dir: str,
-                      parity: int | None = None) -> str:
-    """Materialize the (event_type, window) count+cents view as
-    parquet state (the base step of incremental view maintenance).
-    `parity` optionally restricts to event_id % 2 == parity — the
-    constant-free base/delta split the other LSM entries use. Write is
-    tmp-dir + atomic rename with a DONE marker (crash-rerun safe:
-    a half-written state is invisible)."""
-    from ray.data.aggregate import Sum
+WINDOW_VIEW_SEC = 3600   # must match q_windowed_counts' window_sec
+
+
+def _atomic_state_build(out_dir: str, writer) -> str:
+    """Shared crash discipline for persisted-state builders: skip if
+    DONE, else write into a tmp dir, mark DONE, atomic-rename. A
+    half-written state is invisible; reruns are no-ops."""
+    import shutil
 
     tmp = out_dir + ".tmp"
     if os.path.exists(os.path.join(out_dir, "DONE")):
         return out_dir
-    import shutil
-
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
+    writer(tmp)
+    open(os.path.join(tmp, "DONE"), "w").write("ok")
+    os.rename(tmp, out_dir)
+    return out_dir
+
+
+def _window_view_partials(sf_dir: str,
+                          parity: int | None) -> ray.data.Dataset:
+    """Per-batch (event_type, window) partials, optionally restricted
+    to event_id % 2 == parity — shared by the build and maintain
+    passes (the ONLY difference between them is which rows they see)."""
+    w_us = np.int64(WINDOW_VIEW_SEC) * 1_000_000
 
     def _part(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy().astype(np.int64)
@@ -1557,7 +1566,6 @@ def build_window_view(sf_dir: str, out_dir: str,
         et = batch.column("event_type").to_numpy(
             zero_copy_only=False)[keep]
         cents = _cents(batch.column("value").to_numpy()[keep])
-        w_us = np.int64(3600) * 1_000_000
         t = _window_type_partial(ts // w_us, et, cents, w_us)
         return pa.table({
             "event_type": t.column("event_type"),
@@ -1566,15 +1574,26 @@ def build_window_view(sf_dir: str, out_dir: str,
             "cents": t.column("cents"),
         })
 
-    (events_ds(sf_dir, ["event_id", "ts", "event_type", "value"])
-     .map_batches(_part, batch_format="pyarrow")
-     .groupby(["event_type", "window_start_us"])
-     .aggregate(Sum("n_events", alias_name="n_events"),
-                Sum("cents", alias_name="cents"))
-     .write_parquet(tmp))
-    open(os.path.join(tmp, "DONE"), "w").write("ok")
-    os.rename(tmp, out_dir)
-    return out_dir
+    return events_ds(sf_dir, ["event_id", "ts", "event_type", "value"]) \
+        .map_batches(_part, batch_format="pyarrow")
+
+
+def build_window_view(sf_dir: str, out_dir: str,
+                      parity: int | None = None) -> str:
+    """Materialize the (event_type, window) count+cents view as
+    parquet state (the base step of incremental view maintenance).
+    `parity` optionally restricts to event_id % 2 == parity — the
+    constant-free base/delta split the other LSM entries use."""
+    from ray.data.aggregate import Sum
+
+    def _write(tmp: str) -> None:
+        (_window_view_partials(sf_dir, parity)
+         .groupby(["event_type", "window_start_us"])
+         .aggregate(Sum("n_events", alias_name="n_events"),
+                    Sum("cents", alias_name="cents"))
+         .write_parquet(tmp))
+
+    return _atomic_state_build(out_dir, _write)
 
 
 def maintain_window_view(state_dir: str, sf_dir: str, out_dir: str,
@@ -1585,47 +1604,20 @@ def maintain_window_view(state_dir: str, sf_dir: str, out_dir: str,
     events: count/cents are additive, so maintenance is
     union(state, delta partials) → groupby sum, the IVM property that
     makes additive aggregates delta-cheap (contrast the posting-list
-    LSM in pipelines/update.py, where merge order matters). Same
-    atomic-rename crash discipline as the build."""
+    LSM in pipelines/update.py, where merge order matters)."""
     from ray.data.aggregate import Sum
 
-    tmp = out_dir + ".tmp"
-    if os.path.exists(os.path.join(out_dir, "DONE")):
-        return out_dir
-    import shutil
+    def _write(tmp: str) -> None:
+        state = ray.data.read_parquet(
+            [os.path.join(state_dir, f) for f in os.listdir(state_dir)
+             if f.endswith(".parquet")])
+        (state.union(_window_view_partials(sf_dir, parity))
+         .groupby(["event_type", "window_start_us"])
+         .aggregate(Sum("n_events", alias_name="n_events"),
+                    Sum("cents", alias_name="cents"))
+         .write_parquet(tmp))
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-
-    def _delta_part(batch: pa.Table) -> pa.Table:
-        eid = batch.column("event_id").to_numpy().astype(np.int64)
-        keep = eid % 2 == parity
-        ts = batch.column("ts").cast(pa.int64()).to_numpy()[keep]
-        et = batch.column("event_type").to_numpy(
-            zero_copy_only=False)[keep]
-        cents = _cents(batch.column("value").to_numpy()[keep])
-        w_us = np.int64(3600) * 1_000_000
-        t = _window_type_partial(ts // w_us, et, cents, w_us)
-        return pa.table({
-            "event_type": t.column("event_type"),
-            "window_start_us": t.column("window_start_us"),
-            "n_events": t.column("n"),
-            "cents": t.column("cents"),
-        })
-
-    state = ray.data.read_parquet(
-        [os.path.join(state_dir, f) for f in os.listdir(state_dir)
-         if f.endswith(".parquet")])
-    delta = (events_ds(sf_dir, ["event_id", "ts", "event_type", "value"])
-             .map_batches(_delta_part, batch_format="pyarrow"))
-    (state.union(delta)
-     .groupby(["event_type", "window_start_us"])
-     .aggregate(Sum("n_events", alias_name="n_events"),
-                Sum("cents", alias_name="cents"))
-     .write_parquet(tmp))
-    open(os.path.join(tmp, "DONE"), "w").write("ok")
-    os.rename(tmp, out_dir)
-    return out_dir
+    return _atomic_state_build(out_dir, _write)
 
 
 def q_windowed_counts_ivm(sf_dir: str) -> ray.data.Dataset:
@@ -1654,28 +1646,20 @@ RANGE_SCAN_HI = "2024-01-20"
 def build_events_partitioned(sf_dir: str, out_dir: str) -> str:
     """Materialize the event log as DAY-partitioned parquet
     (hive layout day=N/) — the storage layout that turns time-range
-    queries from full scans into partition-pruned reads. Write is
-    crash-safe (tmp dir + atomic rename + DONE)."""
-    tmp = out_dir + ".tmp"
-    if os.path.exists(os.path.join(out_dir, "DONE")):
-        return out_dir
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-
+    queries from full scans into partition-pruned reads. Same
+    _atomic_state_build crash discipline as the view builders."""
     def _with_day(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
         return batch.append_column(
             "day", pa.array(ts // np.int64(86_400_000_000), pa.int64()))
 
-    (events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type",
-                        "value"])
-     .map_batches(_with_day, batch_format="pyarrow")
-     .write_parquet(tmp, partition_cols=["day"]))
-    open(os.path.join(tmp, "DONE"), "w").write("ok")
-    os.rename(tmp, out_dir)
-    return out_dir
+    def _write(tmp: str) -> None:
+        (events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                            "value"])
+         .map_batches(_with_day, batch_format="pyarrow")
+         .write_parquet(tmp, partition_cols=["day"]))
+
+    return _atomic_state_build(out_dir, _write)
 
 
 def range_scan_paths(part_dir: str, lo_day: int, hi_day: int) -> list[str]:

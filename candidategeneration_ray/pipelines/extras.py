@@ -2096,7 +2096,9 @@ TOP_PAIRS_K = 20
 JACC_SCORE_SCALE = np.int64(1_000_000)
 
 
-def q_top_similar_pairs(sf_dir: str, k: int = TOP_PAIRS_K) -> ray.data.Dataset:
+def q_top_similar_pairs(sf_dir: str, k: int = TOP_PAIRS_K,
+                        max_shingle_df: int | None = None
+                        ) -> ray.data.Dataset:
     """Global top-k most-similar document pairs by Jaccard — the
     THRESHOLD-LESS similarity join ("show me the worst near-dups"
     triage view; jaccard_pairs needs a cutoff picked in advance). The
@@ -2108,9 +2110,13 @@ def q_top_similar_pairs(sf_dir: str, k: int = TOP_PAIRS_K) -> ray.data.Dataset:
     counts); each batch then keeps its LOCAL top-k (one lexsort) and a
     single constant-key merge ranks the <= k x n_batches survivors —
     the partial-top-k pattern every ANN entry here uses, applied to a
-    pair stream."""
-    from ray.data.aggregate import Sum  # noqa: F401 (kernel symmetry)
+    pair stream.
 
+    Skew note (same polarity warning as jaccard_pairs): the default
+    max_shingle_df=None keeps the pair expansion exact for the oracle,
+    which leaves the O(df²) hot-shingle explosion reachable — at scale
+    pass a finite cap (hot shingles are stop-phrases that cannot be
+    top-similarity evidence anyway)."""
     def _score(batch: pa.Table):
         da = batch.column("doc_a").to_numpy().astype(np.int64)
         db = batch.column("doc_b").to_numpy().astype(np.int64)
@@ -2152,7 +2158,7 @@ def q_top_similar_pairs(sf_dir: str, k: int = TOP_PAIRS_K) -> ray.data.Dataset:
         })
 
     return (
-        _shingle_pair_overlaps(sf_dir, None)
+        _shingle_pair_overlaps(sf_dir, max_shingle_df)
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("g").map_groups(_final, batch_format="pyarrow")
     )
@@ -2166,11 +2172,14 @@ def q_corpus_digest(sf_dir: str) -> ray.data.Dataset:
     (detect ANY changed/added/dropped row between two copies of a
     table without comparing rows): per (source, lang) stratum, the row
     count and the SUM of per-row hashes (h64 of the canonical
-    'doc_id|n_chars' row string, reduced mod 2^40 so count × max fits
-    int64 far past 10^12 rows). Addition commutes, so the digest is
-    partitioning/order independent and incrementally maintainable
-    (a delta's digest just adds on). Sum (not XOR) keeps duplicate
-    rows visible.
+    'doc_id|n_chars' row string, reduced mod 2^40). The int64 stratum
+    sum is exact to 2^23 (~8.4M) rows per stratum — plenty at bench
+    scale; past that the honest fix is the two-level tree digest
+    (digest per partition, then a digest of digests — each level stays
+    under the bound), NOT a wider modulus. Addition commutes, so the
+    digest is partitioning/order independent and incrementally
+    maintainable (a delta's digest just adds on). Sum (not XOR) keeps
+    duplicate rows visible.
 
     Shape: embarrassingly parallel — per-batch partials, one
     O(strata) groupby. Per-row md5 is the irreducible cost (same as

@@ -1816,19 +1816,32 @@ def q_nation_p90_order(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-BLOOM_JOIN_M = np.int64(1 << 17)          # bits in the key bloom
+BLOOM_JOIN_M = np.int64(1 << 17)          # bloom bit FLOOR (grows with keys)
+BLOOM_BITS_PER_KEY = 16                    # k=3 @ 16 bits/key -> ~2-3% fp
 _BLOOM_JOIN_SALTS = (np.int64(0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF),
                      np.int64(0xC2B2AE3D27D4EB4F & 0x7FFFFFFFFFFFFFFF),
                      np.int64(0x165667B19E3779F9 & 0x7FFFFFFFFFFFFFFF))
 
 
-def _bloom_join_bits(keys: np.ndarray) -> np.ndarray:
+def bloom_join_size(n_keys: int) -> int:
+    """Bits sized to the build-side key count (next power of two ≥
+    BLOOM_BITS_PER_KEY per key, floored at BLOOM_JOIN_M): a fixed M
+    saturates once n_keys ≫ M/16 and the filter degrades to 'everyone
+    is maybe' — sizing from the count the build pass sees anyway keeps
+    the false-positive rate flat at any scale factor."""
+    m = int(BLOOM_JOIN_M)
+    while m < BLOOM_BITS_PER_KEY * max(n_keys, 1):
+        m <<= 1
+    return m
+
+
+def _bloom_join_bits(keys: np.ndarray, m: int) -> np.ndarray:
     """k=3 salted mix hashes of int64 keys → bit indices (int64)."""
     out = []
     for c in _BLOOM_JOIN_SALTS:
         h = (keys.astype(np.uint64) * np.uint64(c))
         h ^= h >> np.uint64(29)
-        out.append((h % np.uint64(BLOOM_JOIN_M)).astype(np.int64))
+        out.append((h % np.uint64(m)).astype(np.int64))
     return np.concatenate(out)
 
 
@@ -1857,23 +1870,26 @@ def q_customers_no_orders_bloom(sf_dir: str) -> ray.data.Dataset:
     o = np.argsort(nk)
     nat_ref = ray.put((nk[o], nnames[o]))
 
-    def _order_bits(batch: pa.Table) -> pa.Table:
+    def _order_keys_distinct(batch: pa.Table) -> pa.Table:
         ck = np.unique(batch.column("o_custkey").to_numpy()
                        .astype(np.int64))
-        bits = np.unique(_bloom_join_bits(ck))
-        return pa.table({"bit": pa.array(bits, pa.int64())})
+        return pa.table({"key": pa.array(ck, pa.int64())})
 
     orders_scoped = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderdate"],
         filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
                 & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))))
-    bit_parts = ray.get(orders_scoped.map_batches(
-        _order_bits, batch_format="pyarrow").to_arrow_refs())
-    bloom = np.zeros(int(BLOOM_JOIN_M), bool)
-    for t in bit_parts:
-        if t.num_rows:
-            bloom[t.column("bit").to_numpy()] = True
+    key_parts = ray.get(orders_scoped.map_batches(
+        _order_keys_distinct, batch_format="pyarrow").to_arrow_refs())
+    build_keys = np.unique(np.concatenate(
+        [t.column("key").to_numpy().astype(np.int64)
+         for t in key_parts if t.num_rows]
+        or [np.empty(0, np.int64)]))
+    m = bloom_join_size(build_keys.size)
+    bloom = np.zeros(m, bool)
+    if build_keys.size:
+        bloom[_bloom_join_bits(build_keys, m)] = True
     bloom_ref = ray.put(bloom)
 
     def _cust_split(batch: pa.Table) -> pa.Table:
@@ -1883,7 +1899,7 @@ def q_customers_no_orders_bloom(sf_dir: str) -> ray.data.Dataset:
         nat = batch.column("c_nationkey").to_numpy().astype(np.int64)
         bl = ray.get(bloom_ref)
         k = len(_BLOOM_JOIN_SALTS)
-        hits = bl[_bloom_join_bits(ck).reshape(k, ck.size)]
+        hits = bl[_bloom_join_bits(ck, bl.size).reshape(k, ck.size)]
         maybe = hits.all(axis=0)
         u, cnt = np.unique(nat[~maybe], return_counts=True)
         return pa.table({

@@ -1320,18 +1320,21 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) <= 3
     }
 
 
-def graph_oracles() -> dict[str, str]:
-    """SemDeDup (cluster-restricted near-dups) and integer PageRank over
-    the exact kNN graph — the kmeans/knn CTEs above re-derive the same
-    codebook / edge list; PageRank iterations unroll as (c_i, r_i) CTE
-    pairs with the same integer floor-div arithmetic as
-    pipelines/clustering.py::q_pagerank."""
+def _pagerank_sql(seed_mod: int | None, out_col: str) -> str:
+    """Unrolled integer PageRank rounds over the exact kNN edge set —
+    shared by the uniform (seed_mod=None) and personalized variants;
+    the seed restricts r0 and the restart term. Arithmetic mirrors
+    pipelines/clustering.py::_pagerank_rounds step for step."""
     from candidategeneration_ray.pipelines.clustering import (
-        KMEANS_ITERS, KMEANS_SCALE, KNN_K, PR_DAMP_DEN, PR_DAMP_NUM,
-        PR_ITERS, PR_SCALE)
+        KMEANS_SCALE, KNN_K, PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS,
+        PR_SCALE)
 
-    last_a = f"a{KMEANS_ITERS + 1}"
     base = (100 - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    r0_expr = f"CAST({PR_SCALE} AS BIGINT)" if seed_mod is None else (
+        f"CAST(CASE WHEN vec_id % {seed_mod} = 0 THEN {PR_SCALE} "
+        f"ELSE 0 END AS BIGINT)")
+    base_expr = f"{base}" if seed_mod is None else (
+        f"CASE WHEN n.node % {seed_mod} = 0 THEN {base} ELSE 0 END")
     knn_cte = f"""qv AS MATERIALIZED (
   SELECT vec_id,
          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
@@ -1353,22 +1356,32 @@ edges AS MATERIALIZED (
   WHERE rank <= {KNN_K}
 ),
 meta AS (SELECT least({KNN_K}, count(*) - 1) AS deg FROM embeddings),
-r0 AS (SELECT vec_id AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM embeddings)"""
+r0 AS (SELECT vec_id AS node, {r0_expr} AS r FROM embeddings)"""
     steps = []
     for i in range(1, PR_ITERS + 1):
         steps.append(f"""cc{i} AS (
-  SELECT e.dst AS node, sum(({PR_DAMP_NUM} * r.r) // ({PR_DAMP_DEN} * m.deg)) AS s
+  SELECT e.dst AS node,
+         sum(({PR_DAMP_NUM} * r.r) // ({PR_DAMP_DEN} * m.deg)) AS s
   FROM edges e JOIN r{i - 1} r ON r.node = e.src CROSS JOIN meta m
   GROUP BY e.dst
 ),
 r{i} AS (
-  SELECT n.node, CAST({base} + coalesce(c.s, 0) AS BIGINT) AS r
+  SELECT n.node, CAST({base_expr} + coalesce(c.s, 0) AS BIGINT) AS r
   FROM r0 n LEFT JOIN cc{i} c USING (node)
 )""")
-    pagerank_sql = (
+    return (
         "WITH " + knn_cte + ",\n" + ",\n".join(steps)
-        + f"\nSELECT CAST(node AS BIGINT) AS vec_id, r AS pagerank FROM r{PR_ITERS}\n"
-    )
+        + f"\nSELECT CAST(node AS BIGINT) AS vec_id, r AS {out_col} "
+          f"FROM r{PR_ITERS}\n")
+
+
+def graph_oracles() -> dict[str, str]:
+    """SemDeDup (cluster-restricted near-dups) and integer PageRank
+    over the exact kNN graph — PageRank SQL comes from the shared
+    _pagerank_sql builder (uniform teleport)."""
+    from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
+
+    last_a = f"a{KMEANS_ITERS + 1}"
     return {
         "semantic_neardups": f"""
 WITH {_kmeans_ctes()},
@@ -1384,7 +1397,7 @@ JOIN embeddings ea ON ea.vec_id = p.va
 JOIN embeddings eb ON eb.vec_id = p.vb
 WHERE list_cosine_similarity(ea.embedding, eb.embedding) * 100 >= 40
 """,
-        "pagerank": pagerank_sql,
+        "pagerank": _pagerank_sql(None, "pagerank"),
     }
 
 
@@ -3162,58 +3175,12 @@ FROM slots s LEFT JOIN agg USING (event_type, w)
 
 
 def ppr_oracles() -> dict[str, str]:
-    """Personalized PageRank: same unrolled rounds as graph_oracles'
-    pagerank but r0 and the restart term are seed-conditional."""
-    from candidategeneration_ray.pipelines.clustering import (
-        KMEANS_SCALE, KNN_K, PPR_SEED_MOD, PR_DAMP_DEN, PR_DAMP_NUM,
-        PR_ITERS, PR_SCALE)
+    """Personalized PageRank: the shared _pagerank_sql builder with a
+    seed-conditional r0/restart term."""
+    from candidategeneration_ray.pipelines.clustering import PPR_SEED_MOD
 
-    base = (100 - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
-    M = PPR_SEED_MOD
-    knn_cte = f"""qv AS MATERIALIZED (
-  SELECT vec_id,
-         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
-         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
-  FROM embeddings
-),
-dist AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-         sum((a.x - b.x) * (a.x - b.x)) AS d2
-  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
-  GROUP BY a.vec_id, b.vec_id
-),
-edges AS MATERIALIZED (
-  SELECT vec_id AS src, nbr_id AS dst FROM (
-    SELECT vec_id, nbr_id,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY d2 ASC, nbr_id ASC) AS rank
-    FROM dist)
-  WHERE rank <= {KNN_K}
-),
-meta AS (SELECT least({KNN_K}, count(*) - 1) AS deg FROM embeddings),
-r0 AS (SELECT vec_id AS node,
-              CAST(CASE WHEN vec_id % {M} = 0 THEN {PR_SCALE}
-                        ELSE 0 END AS BIGINT) AS r
-       FROM embeddings)"""
-    steps = []
-    for i in range(1, PR_ITERS + 1):
-        steps.append(f"""cc{i} AS (
-  SELECT e.dst AS node,
-         sum(({PR_DAMP_NUM} * r.r) // ({PR_DAMP_DEN} * m.deg)) AS s
-  FROM edges e JOIN r{i - 1} r ON r.node = e.src CROSS JOIN meta m
-  GROUP BY e.dst
-),
-r{i} AS (
-  SELECT n.node,
-         CAST(CASE WHEN n.node % {M} = 0 THEN {base} ELSE 0 END
-              + coalesce(c.s, 0) AS BIGINT) AS r
-  FROM r0 n LEFT JOIN cc{i} c USING (node)
-)""")
     return {
-        "personalized_pagerank": (
-            "WITH " + knn_cte + ",\n" + ",\n".join(steps)
-            + f"\nSELECT CAST(node AS BIGINT) AS vec_id, r AS ppr "
-              f"FROM r{PR_ITERS}\n"),
+        "personalized_pagerank": _pagerank_sql(PPR_SEED_MOD, "ppr"),
     }
 
 

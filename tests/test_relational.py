@@ -540,13 +540,15 @@ def test_bloom_anti_join_plan_equivalence(ray_session):
     ts = od.column("o_orderdate").cast(pa.int64()).to_numpy()
     scoped = od.column("o_custkey").to_numpy().astype(np.int64)[
         (ts >= lo.astype(np.int64)) & (ts < hi.astype(np.int64))]
-    bloom = np.zeros(int(rl.BLOOM_JOIN_M), bool)
-    bloom[rl._bloom_join_bits(np.unique(scoped))] = True
+    m = rl.bloom_join_size(np.unique(scoped).size)
+    bloom = np.zeros(m, bool)
+    bloom[rl._bloom_join_bits(np.unique(scoped), m)] = True
     cu = pq.read_table(os.path.join(SF_DIR, "customer.parquet"),
                        columns=["c_custkey"])
     ck = cu.column("c_custkey").to_numpy().astype(np.int64)
     k = len(rl._BLOOM_JOIN_SALTS)
-    maybe = bloom[rl._bloom_join_bits(ck).reshape(k, ck.size)].all(axis=0)
+    maybe = bloom[rl._bloom_join_bits(ck, m).reshape(k, ck.size)] \
+        .all(axis=0)
     assert (~maybe).sum() > 0          # shortcut fires
     # no false negatives: every customer WITH a scoped order is 'maybe'
     has_order = np.isin(ck, scoped)
