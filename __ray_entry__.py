@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,  # approximate (rows-only)
         "pq_codes": cl.q_pq_codes,                  # product-quantization codes
         "ann_pq_top10": cl.q_ann_pq_top10,          # ADC ranking (value-verified)
+        "ann_ivfpq_top10": cl.q_ann_ivfpq_top10,    # IVF-PQ (probe + ADC, value-verified)
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
         "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
         "cluster_top_terms": cl.q_cluster_top_terms,  # cross-modal cluster labeling
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
         copresence_oracles, digest_oracles, gapfill_oracles,
+        ivfpq_oracles,
         pq_oracles,
         range_scan_oracles,
         holistic_audit_oracles,
@@ -295,7 +297,7 @@ def oracle_sql() -> dict[str, str]:
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),
             **top_pairs_oracles(), **digest_oracles(),
-            **range_scan_oracles(), **pq_oracles()}
+            **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

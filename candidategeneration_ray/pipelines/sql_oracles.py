@@ -3275,7 +3275,21 @@ def _pq_ctes() -> str:
 ),
 dims AS (SELECT max(d) + 1 AS dim FROM qv),
 ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk
-        FROM embeddings)"""]
+        FROM embeddings),
+{_pq_subspace_chains()}"""]
+    return ",\n".join(parts)
+
+
+def _pq_subspace_chains() -> str:
+    """The per-subspace chains alone (s{{m}}qv / s{{m}}c{{i}} /
+    s{{m}}a{{i}}) — assume qv, dims and ids CTEs already exist in the
+    enclosing WITH; lets the IVF-PQ oracle combine these with the
+    coarse-quantizer chains from _kmeans_ctes (which defines the same
+    qv/ids header)."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_ITERS, KMEANS_K, PQ_M)
+
+    parts = []
     for m in range(PQ_M):
         parts.append(f"""s{m}qv AS MATERIALIZED (
   SELECT qv.vec_id, qv.d, qv.x FROM qv, dims
@@ -3341,6 +3355,58 @@ adc AS (
   SELECT a0.vec_id, {adc_sum} AS adc_d2
   FROM s0a{F} a0
   JOIN lut0 l0 ON l0.cluster = a0.cluster
+{joins}
+)
+SELECT CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS BIGINT)
+         AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM adc ORDER BY adc_d2, vec_id LIMIT 10
+""",
+    }
+
+
+def ivfpq_oracles() -> dict[str, str]:
+    """IVF-PQ two-stage ranking: coarse chains from _kmeans_ctes +
+    subspace chains from _pq_subspace_chains in ONE WITH (they share
+    the qv header; _kmeans_ctes lacks dims/pq ids, added here).
+    Probe = nprobe nearest coarse centroids by (d2, cluster); final
+    order (adc_d2, vec_id)."""
+    from candidategeneration_ray.pipelines.clustering import (
+        IVF_NPROBE, KMEANS_ITERS, PQ_M)
+
+    F = KMEANS_ITERS + 1
+    luts = ",\n".join(
+        f"""lut{m} AS (
+  SELECT c.cluster, sum((q.x - c.cq) * (q.x - c.cq)) AS d2
+  FROM s{m}c{KMEANS_ITERS} c
+  JOIN qv q ON q.d = c.d AND q.vec_id = 0
+  GROUP BY c.cluster)""" for m in range(PQ_M))
+    joins = "\n".join(
+        f"JOIN s{m}a{F} a{m} ON a{m}.vec_id = cand.vec_id\n"
+        f"JOIN lut{m} l{m} ON l{m}.cluster = a{m}.cluster"
+        for m in range(PQ_M))
+    adc_sum = " + ".join(f"l{m}.d2" for m in range(PQ_M))
+    return {
+        "ann_ivfpq_top10": f"""
+WITH {_kmeans_ctes()},
+dims AS (SELECT max(d) + 1 AS dim FROM qv),
+{_pq_subspace_chains()},
+{luts},
+cdist AS (
+  SELECT c.cluster, sum((q.x - c.cq) * (q.x - c.cq)) AS d2
+  FROM c{KMEANS_ITERS} c
+  JOIN qv q ON q.d = c.d AND q.vec_id = 0
+  GROUP BY c.cluster),
+probe AS (
+  SELECT cluster FROM cdist
+  ORDER BY d2 ASC, cluster ASC LIMIT {IVF_NPROBE}),
+cand AS (
+  SELECT vec_id FROM a{F}
+  WHERE cluster IN (SELECT cluster FROM probe)),
+adc AS (
+  SELECT cand.vec_id, {adc_sum} AS adc_d2
+  FROM cand
 {joins}
 )
 SELECT CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS BIGINT)

@@ -418,3 +418,35 @@ def test_ann_pq_neighborhood_quality(ray_session):
     true50 = set(ids[np.lexsort((ids, d2))[:50]].tolist())
     overlap = len(set(got["vec_id"]) & true50) / 10
     assert overlap >= 0.6, overlap
+
+
+def test_ann_ivfpq_probe_restriction_and_recompute(ray_session):
+    """IVF-PQ results come only from the probed coarse clusters and
+    equal a numpy recompute of ADC restricted to those clusters."""
+    got = cl.q_ann_ivfpq_top10(SF).to_pandas()
+    assert len(got) == 10 and got["rank"].tolist() == list(range(1, 11))
+
+    ids, emb = _load(SF)
+    xq = np.trunc(emb.astype(np.float64) * cl.KMEANS_SCALE).astype(np.int64)
+    order = np.argsort(ids)
+    ids, xq = ids[order], xq[order]
+    q = xq[ids == 0][0]
+
+    coarse = cl.kmeans_codebook(SF)
+    assign = cl._assign(xq, coarse)
+    cd2 = ((coarse - q[None, :]) ** 2).sum(axis=1)
+    probe = set(np.lexsort((np.arange(coarse.shape[0]), cd2))
+                [:cl.IVF_NPROBE].tolist())
+    in_probe = np.isin(assign, list(probe))
+    assert set(got["vec_id"]) <= set(ids[in_probe].tolist())
+
+    cents = cl.pq_codebooks(SF)
+    ds = xq.shape[1] // cl.PQ_M
+    adc = np.zeros(ids.size, np.int64)
+    for m in range(cl.PQ_M):
+        lut = ((q[m * ds:(m + 1) * ds][None, :] - cents[m]) ** 2).sum(axis=1)
+        adc += lut[cl._assign(xq[:, m * ds:(m + 1) * ds], cents[m])]
+    cids, cadc = ids[in_probe], adc[in_probe]
+    top = np.lexsort((cids, cadc))[:10]
+    assert got["vec_id"].tolist() == cids[top].tolist()
+    assert got["adc_d2"].tolist() == cadc[top].tolist()
