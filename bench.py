@@ -206,6 +206,15 @@ def run_bench() -> dict:
         ("user_features", ev.q_user_features),          # one-pass features
         ("triangle_counts", cb.q_triangle_counts),      # graph motif
         ("order_priority_counts", rl.q_order_priority_counts),  # Q4 semi
+        # session-6 additions (appended — earlier keys stay comparable)
+        ("hits_scores", cb.q_hits_scores),              # iterative graph
+        ("session_copresence", ev.q_session_copresence),  # interval self-join
+        ("nation_p90_order", rl.q_nation_p90_order),    # two-pass quantile
+        ("customers_no_orders_bloom",
+         rl.q_customers_no_orders_bloom),               # bloom semi-join
+        ("corpus_digest", ex.q_corpus_digest),          # row-hash digest
+        ("ann_ivfpq_top10", cb.q_ann_ivfpq_top10),      # IVF-PQ serving
+        ("windowed_counts_ivm", ev.q_windowed_counts_ivm),  # IVM fold
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)
