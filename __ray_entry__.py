@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_docs": ex.q_similar_docs,      # broadcast-probe Jaccard search
         "top_similar_pairs": ex.q_top_similar_pairs,  # threshold-less top-k sim join
         "source_moments": ex.q_source_moments,  # sufficient-statistics pattern
+        "source_regression": ex.q_source_regression,  # grouped OLS (exact num/den)
         # --- mergeable-summary (sketch) aggregates ---
         "doclen_histogram": sk.q_doclen_histogram,
         "doclen_quantiles": sk.q_doclen_quantiles,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
         copresence_oracles, digest_oracles, gapfill_oracles,
+        regression_oracles,
         ivfpq_oracles,
         pq_oracles,
         range_scan_oracles,
@@ -297,7 +299,8 @@ def oracle_sql() -> dict[str, str]:
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),
             **top_pairs_oracles(), **digest_oracles(),
-            **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles()}
+            **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
+            **regression_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -2219,3 +2219,40 @@ def q_corpus_digest(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_rows", alias_name="n_rows"),
                    Sum("digest", alias_name="digest"))
     )
+
+
+def q_source_regression(sf_dir: str) -> ray.data.Dataset:
+    """Grouped closed-form OLS fit (tokens-per-chars slope per source)
+    — distributed ML as a FINALIZER over the mergeable moments
+    (q_source_moments): slope = cov/var and intercept arrive as EXACT
+    integer numerator/denominator pairs
+
+        slope_num = n·Σxy − Σx·Σy      slope_den = n·Σx² − (Σx)²
+        icept_num = Σy·slope_den − slope_num·Σx
+        icept_den = n·slope_den
+
+    so the fit itself is hash-verified (the float division is the
+    caller's one-line finalizer). Shows the sufficient-statistics
+    pattern every distributed closed-form estimator reduces to —
+    nothing beyond the moments ever crosses the wire. int64 bound:
+    x,y < 10⁴ per doc keeps n·Σxy < 2^63 to ~10⁹ docs/source; past
+    that, moments recenter around a pivot (documented)."""
+    def _fit(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        sx = batch.column("sum_x").to_numpy().astype(np.int64)
+        sy = batch.column("sum_y").to_numpy().astype(np.int64)
+        sxx = batch.column("sum_xx").to_numpy().astype(np.int64)
+        sxy = batch.column("sum_xy").to_numpy().astype(np.int64)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        return pa.table({
+            "source": batch.column("source"),
+            "n": pa.array(n, pa.int64()),
+            "slope_num": pa.array(num, pa.int64()),
+            "slope_den": pa.array(den, pa.int64()),
+            "icept_num": pa.array(sy * den - num * sx, pa.int64()),
+            "icept_den": pa.array(n * den, pa.int64()),
+        })
+
+    return q_source_moments(sf_dir).map_batches(
+        _fit, batch_format="pyarrow")

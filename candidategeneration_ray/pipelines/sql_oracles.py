@@ -3416,3 +3416,31 @@ SELECT CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS BIGINT)
 FROM adc ORDER BY adc_d2, vec_id LIMIT 10
 """,
     }
+
+
+def regression_oracles() -> dict[str, str]:
+    """Grouped OLS from the same moment expressions as source_moments
+    — integer num/den so the fit hash-compares."""
+    return {
+        "source_regression": f"""
+WITH {KEPT_CTE},
+tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS y
+       FROM kept GROUP BY doc_id),
+m AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(coalesce(y, 0)) AS BIGINT) AS sy,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+         CAST(sum(n_chars * coalesce(y, 0)) AS BIGINT) AS sxy
+  FROM documents LEFT JOIN tc USING (doc_id)
+  GROUP BY source)
+SELECT source, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(sy * (n * sxx - sx * sx)
+            - (n * sxy - sx * sy) * sx AS BIGINT) AS icept_num,
+       CAST(n * (n * sxx - sx * sx) AS BIGINT) AS icept_den
+FROM m
+""",
+    }

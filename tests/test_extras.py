@@ -712,3 +712,26 @@ def test_corpus_digest_detects_any_change(ray_session, tmp_path):
     tot = d_half.add(d_rest, fill_value=0)
     assert tot["digest"].astype(int).sort_index().equals(
         base.set_index(key)["digest"].sort_index())
+
+
+def test_source_regression_matches_lstsq(ray_session):
+    """Exact integer num/den fit == numpy float lstsq per source (to
+    float tolerance), and identities hold (den > 0 with varying x)."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines import extras as ex
+    import os
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = ex.q_source_regression(sf).to_pandas()
+    t = pq.read_table(os.path.join(sf, "documents.parquet"),
+                      columns=["source", "text", "n_chars"]).to_pandas()
+    t["y"] = [len(tokenize_text(s)) for s in t["text"]]
+    for src, g in t.groupby("source"):
+        row = got[got["source"] == src].iloc[0]
+        x, y = g["n_chars"].to_numpy(float), g["y"].to_numpy(float)
+        if len(g) >= 2 and x.std() > 0:
+            slope, icept = np.polyfit(x, y, 1)
+            assert row["slope_den"] > 0
+            assert abs(row["slope_num"] / row["slope_den"] - slope) < 1e-9
+            assert abs(row["icept_num"] / row["icept_den"] - icept) < 1e-9
