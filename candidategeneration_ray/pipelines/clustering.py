@@ -1551,3 +1551,43 @@ def q_ann_ivfpq_top10(sf_dir: str, k: int = 10,
         "vec_id": pa.array(ids[top], pa.int64()),
         "adc_d2": pa.array(adc[top], pa.int64()),
     })
+
+
+def q_embedding_gram(sf_dir: str) -> ray.data.Dataset:
+    """Distributed Gram matrix XᵀX over the quantized embeddings — the
+    sufficient statistic for PCA / whitening / covariance (cov =
+    Gram/n − mean meanᵀ, eigendecomposition is the driver-side float
+    finalizer over a d×d result). The moments pattern at matrix scale:
+    each batch contributes ONE d×d integer partial via a single matmul
+    (never a row loop), the shuffle carries O(d²) rows per batch, and
+    the groupby result is d(d+1)/2 upper-triangle rows total.
+
+    int64 bound: |x| ≤ 2^16 ⇒ x² ≤ 2^32, safe to ~2^31 rows; beyond,
+    per-shard Grams combine in int128/float128 on the driver
+    (documented). Output (dim_a ≤ dim_b, sum_xy) plus the n row as
+    (-1, -1, n)."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, xq = _quantize(batch)
+        if xq.shape[0] == 0:
+            return pa.table({"dim_a": pa.array([], pa.int64()),
+                             "dim_b": pa.array([], pa.int64()),
+                             "sum_xy": pa.array([], pa.int64())})
+        g = xq.T @ xq                       # (d, d) int64, one matmul
+        d = g.shape[0]
+        ia, ib = np.triu_indices(d)
+        return pa.table({
+            "dim_a": pa.array(np.concatenate((ia.astype(np.int64),
+                                              [-1])), pa.int64()),
+            "dim_b": pa.array(np.concatenate((ib.astype(np.int64),
+                                              [-1])), pa.int64()),
+            "sum_xy": pa.array(np.concatenate((g[ia, ib],
+                                               [xq.shape[0]])),
+                               pa.int64()),
+        })
+
+    return (
+        _embeddings_ds(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["dim_a", "dim_b"])
+        .aggregate(Sum("sum_xy", alias_name="sum_xy"))
+    )

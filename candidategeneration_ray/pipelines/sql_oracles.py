@@ -3444,3 +3444,26 @@ SELECT source, n,
 FROM m
 """,
     }
+
+
+def gram_oracles() -> dict[str, str]:
+    """Gram matrix: qv self-join per vector, upper triangle + n row."""
+    from candidategeneration_ray.pipelines.clustering import KMEANS_SCALE
+
+    return {
+        "embedding_gram": f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+)
+SELECT a.d AS dim_a, b.d AS dim_b,
+       CAST(sum(a.x * b.x) AS BIGINT) AS sum_xy
+FROM qv a JOIN qv b ON a.vec_id = b.vec_id AND a.d <= b.d
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM embeddings
+""",
+    }

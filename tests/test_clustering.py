@@ -450,3 +450,27 @@ def test_ann_ivfpq_probe_restriction_and_recompute(ray_session):
     top = np.lexsort((cids, cadc))[:10]
     assert got["vec_id"].tolist() == cids[top].tolist()
     assert got["adc_d2"].tolist() == cadc[top].tolist()
+
+
+def test_embedding_gram_matches_numpy(ray_session):
+    """Distributed X^T X == one numpy matmul; n row correct; PCA
+    finalizer sanity (covariance from Gram is PSD)."""
+    got = cl.q_embedding_gram(SF).to_pandas()
+    ids, emb = _load(SF)
+    xq = np.trunc(emb.astype(np.float64) * cl.KMEANS_SCALE).astype(np.int64)
+    g = xq.T @ xq
+    nrow = got[(got["dim_a"] == -1)]
+    assert int(nrow["sum_xy"].iloc[0]) == ids.size
+    body = got[got["dim_a"] >= 0]
+    assert len(body) == 64 * 65 // 2
+    for r in body.itertuples():
+        assert int(r.sum_xy) == int(g[int(r.dim_a), int(r.dim_b)])
+    # finalizer: reconstruct full matrix, covariance must be PSD
+    full = np.zeros((64, 64))
+    for r in body.itertuples():
+        full[int(r.dim_a), int(r.dim_b)] = r.sum_xy
+        full[int(r.dim_b), int(r.dim_a)] = r.sum_xy
+    n = ids.size
+    mu = xq.mean(axis=0)
+    cov = full / n - np.outer(mu, mu)
+    assert np.linalg.eigvalsh(cov).min() > -1e-6 * np.abs(cov).max()
