@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_top10": cl.q_ann_pq_top10,          # ADC ranking (value-verified)
         "ann_ivfpq_top10": cl.q_ann_ivfpq_top10,    # IVF-PQ (probe + ADC, value-verified)
         "embedding_gram": cl.q_embedding_gram,      # distributed X^T X (PCA prep)
+        "embedding_jl_sketch": cl.q_embedding_jl_sketch,  # deterministic JL projection
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
         "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
         "cluster_top_terms": cl.q_cluster_top_terms,  # cross-modal cluster labeling
@@ -244,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
         copresence_oracles, digest_oracles, gapfill_oracles,
+        jl_oracles,
         gram_oracles,
         regression_oracles,
         ivfpq_oracles,
@@ -302,7 +304,7 @@ def oracle_sql() -> dict[str, str]:
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),
             **top_pairs_oracles(), **digest_oracles(),
             **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
-            **regression_oracles(), **gram_oracles()}
+            **regression_oracles(), **gram_oracles(), **jl_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -1591,3 +1591,53 @@ def q_embedding_gram(sf_dir: str) -> ray.data.Dataset:
         .groupby(["dim_a", "dim_b"])
         .aggregate(Sum("sum_xy", alias_name="sum_xy"))
     )
+
+
+JL_DIMS = 16
+
+
+def _jl_signs(dim_in: int, dim_out: int) -> np.ndarray:
+    """Deterministic ±1 projection matrix: sign of the md5-derived
+    h64('r|d') parity — reproducible everywhere including in SQL."""
+    from candidategeneration_ray.functions.hashing import h64_many
+
+    keys = [f"{r}|{d}" for r in range(dim_out) for d in range(dim_in)]
+    bits = (h64_many(keys) & np.uint64(1)).astype(np.int64)
+    return (2 * bits - 1).reshape(dim_out, dim_in)
+
+
+def q_embedding_jl_sketch(sf_dir: str,
+                          dim_out: int = JL_DIMS) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss sketch: project each quantized embedding
+    through a DETERMINISTIC ±1 matrix (Achlioptas'03 database-friendly
+    JL) down to dim_out integer coordinates — the 4× embedding
+    compressor in front of dedup/clustering when full vectors are too
+    wide to ship. Hash-derived signs make the projection reproducible
+    on any worker AND in the SQL oracle, so the sketch values are
+    hash-verified exactly (distance preservation is probabilistic;
+    the COMPUTATION is deterministic).
+
+    Shape: broadcast the (dim_out × dim) sign matrix once, one matmul
+    per batch, long-form output. int64 bound: |x| ≤ 2^16, dim 64 ⇒
+    |proj| ≤ 2^22."""
+    signs_ref = None
+
+    def _project(batch: pa.Table) -> pa.Table:
+        nonlocal signs_ref
+        ids, xq = _quantize(batch)
+        if ids.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "jdim": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.int64())})
+        s = _jl_signs(xq.shape[1], dim_out)     # cached per process by
+        proj = xq @ s.T                          # numpy; tiny anyway
+        n = ids.size
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, dim_out), pa.int64()),
+            "jdim": pa.array(np.tile(np.arange(dim_out, dtype=np.int64),
+                                     n), pa.int64()),
+            "value": pa.array(proj.reshape(-1), pa.int64()),
+        })
+
+    return _embeddings_ds(sf_dir).map_batches(_project,
+                                              batch_format="pyarrow")

@@ -3467,3 +3467,29 @@ SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
        CAST(count(*) AS BIGINT) FROM embeddings
 """,
     }
+
+
+def jl_oracles() -> dict[str, str]:
+    """JL sketch: same md5-parity ±1 matrix, reproduced in SQL."""
+    from candidategeneration_ray.pipelines.clustering import (
+        JL_DIMS, KMEANS_SCALE)
+
+    sign = _H64.format(
+        expr="r.r::VARCHAR || '|' || qv.d::VARCHAR")
+    return {
+        "embedding_jl_sketch": f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+r AS (SELECT unnest(generate_series(0, {JL_DIMS - 1})) AS r)
+SELECT CAST(qv.vec_id AS BIGINT) AS vec_id,
+       CAST(r.r AS BIGINT) AS jdim,
+       CAST(sum(qv.x * (2 * CAST(({sign}) % 2 AS BIGINT) - 1))
+            AS BIGINT) AS value
+FROM qv CROSS JOIN r
+GROUP BY 1, 2
+""",
+    }

@@ -474,3 +474,35 @@ def test_embedding_gram_matches_numpy(ray_session):
     mu = xq.mean(axis=0)
     cov = full / n - np.outer(mu, mu)
     assert np.linalg.eigvalsh(cov).min() > -1e-6 * np.abs(cov).max()
+
+
+def test_jl_sketch_distance_preservation(ray_session):
+    """Sketch values == one numpy matmul; JL property sanity: sketched
+    squared distances correlate strongly with true ones (Pearson over
+    200 random pairs — deterministic pair choice)."""
+    got = cl.q_embedding_jl_sketch(SF).to_pandas()
+    ids, emb = _load(SF)
+    xq = np.trunc(emb.astype(np.float64) * cl.KMEANS_SCALE).astype(np.int64)
+    order = np.argsort(ids)
+    ids, xq = ids[order], xq[order]
+    s = cl._jl_signs(xq.shape[1], cl.JL_DIMS)
+    proj = xq @ s.T
+    g = got.sort_values(["vec_id", "jdim"])
+    assert (g["value"].to_numpy().reshape(len(ids), cl.JL_DIMS)
+            == proj).all()
+
+    # JL preservation needs distance SPREAD — the synthetic corpus
+    # concentrates distances (±15%) below the 16-dim JL distortion
+    # (~1/sqrt(16)), so test the property where it applies: vectors
+    # with varying norms.
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((100, 64))
+    v *= rng.uniform(1, 10, 100)[:, None]
+    vq = np.trunc(v * 100).astype(np.int64)
+    pj = vq @ s.T
+    i = rng.integers(0, 100, 200)
+    j = rng.integers(0, 100, 200)
+    d_true = ((vq[i] - vq[j]) ** 2).sum(axis=1).astype(float)
+    d_sk = ((pj[i] - pj[j]) ** 2).sum(axis=1).astype(float)
+    r = np.corrcoef(d_true, d_sk)[0, 1]
+    assert r > 0.7, r   # 16-dim JL ⇒ ~25% distortion
