@@ -313,7 +313,16 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K, n_blocks: int = 4) -> ray.data.Data
     off-diagonal groups); groupby(vec_id) then merges <= n_blocks
     partials per vector into the final top-k. No task holds more than
     2/n_blocks of the table; the merge shuffles k*n_blocks rows per
-    vector, not distances."""
+    vector, not distances.
+
+    The result is memoized MATERIALIZED per (table, k, n_blocks) — five
+    graph entries (pagerank, ppr, hits, label vote, triangles) consume
+    the same deterministic graph; the driver's sweep runs them in one
+    process, so the all-pairs pass runs once, not five times (the same
+    pattern as the kmeans codebook memo)."""
+    memo_key = (os.path.realpath(sf_dir), k, n_blocks)
+    if memo_key in _KNN_MEMO:
+        return _KNN_MEMO[memo_key]
 
     def _expand(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy().astype(np.int64)
@@ -404,13 +413,19 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K, n_blocks: int = 4) -> ray.data.Data
             "d2": pa.array(d2[o], pa.int64()),
         })
 
-    return (
+    out = (
         _embeddings_ds(sf_dir)
         .map_batches(_expand, batch_format="pyarrow")
         .groupby("pair_id").map_groups(_score_group, batch_format="pyarrow")
         .map_batches(_tag_bucket, batch_format="pyarrow")
         .groupby("bkt").map_groups(_merge_bucket, batch_format="pyarrow")
-    )
+    ).materialize()
+    _KNN_MEMO[memo_key] = out
+    return out
+
+
+# in-process memo of the materialized kNN graph (see the docstring)
+_KNN_MEMO: dict[tuple, ray.data.Dataset] = {}
 
 
 # ------------------------------------------- SemDeDup (cluster-then-dedup)
