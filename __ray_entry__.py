@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top50": tl.q_pmi_top50,                # PMI collocation mining
         "mixture_select": tl.q_mixture_select,      # budgeted per-source selection
         "tfidf_top3": tl.q_tfidf_top3,              # per-doc keyword extraction
+        "token_offsets": tl.q_token_offsets,        # sequence-packing offsets
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
         # --- relational / warehouse surface (TPC-H-shaped tables) ---
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
         copresence_oracles, digest_oracles, gapfill_oracles,
+        token_offset_oracles,
         jl_oracles,
         gram_oracles,
         regression_oracles,
@@ -304,7 +306,8 @@ def oracle_sql() -> dict[str, str]:
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),
             **top_pairs_oracles(), **digest_oracles(),
             **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
-            **regression_oracles(), **gram_oracles(), **jl_oracles()}
+            **regression_oracles(), **gram_oracles(), **jl_oracles(),
+            **token_offset_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

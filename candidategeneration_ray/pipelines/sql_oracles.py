@@ -3493,3 +3493,27 @@ FROM qv CROSS JOIN r
 GROUP BY 1, 2
 """,
     }
+
+
+def token_offset_oracles() -> dict[str, str]:
+    """Global token offsets in doc_id order: one window prefix sum."""
+    from candidategeneration_ray.pipelines.textlm import SEQ_LEN
+
+    return {
+        "token_offsets": f"""
+WITH {KEPT_CTE},
+tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       FROM kept GROUP BY doc_id),
+o AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS token_start
+  FROM tc)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n AS n_tokens,
+       CAST(token_start AS BIGINT) AS token_start,
+       CAST(token_start // {SEQ_LEN} AS BIGINT) AS seq_first,
+       CAST((token_start + n - 1) // {SEQ_LEN} AS BIGINT) AS seq_last
+FROM o
+""",
+    }

@@ -689,3 +689,81 @@ def write_pretrain_corpus(sf_dir: str, out_dir: str,
                                   "inputs": [src], "budget": budget,
                                   "n_docs": int(len(sel))})
     return {"out_dir": out_dir, "n_docs": int(len(sel)), "skipped": False}
+
+
+SEQ_LEN = 2048   # training sequence length for token-offset packing
+
+
+def q_token_offsets(sf_dir: str, seq_len: int = SEQ_LEN,
+                    num_blocks: int = 32) -> ray.data.Dataset:
+    """Deterministic sequence-packing prep: every document's GLOBAL
+    token offset in doc_id order, plus the first/last training
+    sequence (length `seq_len`) its tokens land in — the mapping a
+    pretraining loader needs to assemble fixed-length batches
+    reproducibly from a distributed corpus (docs straddle sequence
+    boundaries; the offsets say exactly where).
+
+    Shape: the range-blocked prefix-sum pattern
+    (stages/docids.py::conv_offsets_scalable): per-doc kept-token
+    counts → distributed sort by doc_id into `num_blocks` range blocks
+    that stay in the object store → the driver holds ONLY per-block
+    totals (O(num_blocks)) and their exclusive prefix; each block then
+    adds its base to a local cumsum — the global running sum with no
+    driver materialization and no sequential scan. Zero-token docs are
+    excluded (they occupy no tokens; documented, mirrored in SQL)."""
+    from ray.data.aggregate import Sum
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        docs = batch.column("doc_id").to_numpy().astype(np.int64)
+        n = np.fromiter((len(t) for t in token_lists), np.int64,
+                        len(token_lists))
+        keep = n > 0
+        return pa.table({
+            "doc_id": pa.array(docs[keep], pa.int64()),
+            "n_tokens": pa.array(n[keep], pa.int64()),
+        })
+
+    mat = (
+        documents_ds(sf_dir)
+        .map_batches(_counts, batch_format="pyarrow")
+        .sort("doc_id")
+        .repartition(num_blocks)
+        .materialize()
+    )
+    block_refs = list(mat.get_internal_block_refs())
+
+    @ray.remote
+    def _total(block) -> int:
+        t = block if hasattr(block, "column") else block.to_arrow()
+        return int(t.column("n_tokens").to_numpy().sum()) \
+            if t.num_rows else 0
+
+    totals = np.array(ray.get([_total.remote(b) for b in block_refs]),
+                      np.int64)
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    @ray.remote
+    def _offsets(block, base: int, L: int) -> pa.Table:
+        t = block if hasattr(block, "column") else block.to_arrow()
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "token_start": pa.array([], pa.int64()),
+                "seq_first": pa.array([], pa.int64()),
+                "seq_last": pa.array([], pa.int64()),
+            })
+        n = t.column("n_tokens").to_numpy().astype(np.int64)
+        start = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "token_start": pa.array(start, pa.int64()),
+            "seq_first": pa.array(start // L, pa.int64()),
+            "seq_last": pa.array((start + n - 1) // L, pa.int64()),
+        })
+
+    refs = [_offsets.remote(b, int(base), seq_len)
+            for b, base in zip(block_refs, bases)]
+    return ray.data.from_arrow_refs(refs)

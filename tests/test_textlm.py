@@ -161,3 +161,28 @@ def test_write_pretrain_corpus_roundtrip_and_resume(ray_session, tmp_path):
     # second call resumes via the manifest
     r2 = tl.write_pretrain_corpus(SF_DIR, out)
     assert r2["skipped"] and r2["n_docs"] == r1["n_docs"]
+
+
+def test_token_offsets_contiguous_and_block_invariant(ray_session):
+    """Offsets tile the token stream exactly (each doc starts where the
+    previous ends, in doc_id order), seq ids match the arithmetic, and
+    the result is block-count independent."""
+    import numpy as np
+
+    from candidategeneration_ray.pipelines import textlm as tl
+
+    sf = "/root/testdata/sf0.001"
+    got = tl.q_token_offsets(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    n = got["n_tokens"].to_numpy()
+    start = got["token_start"].to_numpy()
+    assert start[0] == 0
+    assert (start[1:] == start[:-1] + n[:-1]).all()
+    assert (n >= 1).all()
+    L = tl.SEQ_LEN
+    assert (got["seq_first"] == start // L).all()
+    assert (got["seq_last"] == (start + n - 1) // L).all()
+
+    other = tl.q_token_offsets(sf, num_blocks=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert other.equals(got)
