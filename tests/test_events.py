@@ -807,3 +807,61 @@ def test_events_range_scan_prunes_partitions(ray_session):
         want[t] = (n + 1, s + int(c))
     assert {r.event_type: (r.n_events, r.cents)
             for r in got.itertuples()} == want
+
+
+def test_session_copresence_random_vs_bruteforce(ray_session, tmp_path):
+    """Randomized stream: slice-replicated co-presence == O(n²) brute
+    force over the per-user session intervals."""
+    from candidategeneration_ray.pipelines import events as E
+
+    rng = np.random.default_rng(23)
+    rows = [(i, int(rng.integers(0, 400_000)), int(rng.integers(0, 12)),
+             "view", 0.0) for i in range(1500)]
+    d = _write_events(tmp_path, rows)
+    got = {(r.user_a, r.user_b): r.n_overlaps
+           for r in E.q_session_copresence(d).to_pandas().itertuples()}
+
+    # brute force: sessions per user from the same gap rule
+    by_user: dict[int, list[int]] = {}
+    for _, t, u, _, _ in rows:
+        by_user.setdefault(u, []).append(t)
+    sess = []
+    for u, ts in by_user.items():
+        ts.sort()
+        s = e = ts[0]
+        for t in ts[1:]:
+            if t - e > 1800:
+                sess.append((u, s, e))
+                s = t
+            e = t
+        sess.append((u, s, e))
+    want: dict[tuple, int] = {}
+    for i in range(len(sess)):
+        for j in range(i + 1, len(sess)):
+            (ua, sa, ea), (ub, sb, eb) = sess[i], sess[j]
+            if ua != ub and sa <= eb and sb <= ea:
+                k = (min(ua, ub), max(ua, ub))
+                want[k] = want.get(k, 0) + 1
+    assert got == want and len(want) > 0
+
+
+def test_type_transitions_random_vs_pandas(ray_session, tmp_path):
+    from candidategeneration_ray.pipelines.events import q_type_transitions
+    import pandas as pd
+
+    rng = np.random.default_rng(31)
+    types = ["view", "click", "purchase", "error"]
+    rows = [(i, int(rng.integers(0, 50_000)), int(rng.integers(0, 15)),
+             types[int(rng.integers(0, 4))], 0.0) for i in range(2000)]
+    d = _write_events(tmp_path, rows)
+    got = {(r.prev_type, r.next_type): r.n
+           for r in q_type_transitions(d).to_pandas().itertuples()}
+    df = pd.DataFrame(rows, columns=["event_id", "t", "user_id",
+                                     "event_type", "v"])
+    df = df.sort_values(["user_id", "t", "event_id"])
+    want: dict[tuple, int] = {}
+    for _, g in df.groupby("user_id"):
+        et = g["event_type"].tolist()
+        for a, b in zip(et, et[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want

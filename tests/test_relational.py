@@ -553,3 +553,35 @@ def test_bloom_anti_join_plan_equivalence(ray_session):
     # no false negatives: every customer WITH a scoped order is 'maybe'
     has_order = np.isin(ck, scoped)
     assert maybe[has_order].all()
+
+
+def test_order_skyline_random_brute_force(ray_session, tmp_path):
+    """Randomized orders (heavy ties in both dims) — two-phase skyline
+    == O(n²) dominance check."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(47)
+    n = 800
+    prices = rng.integers(10, 40, n) * 1.0         # coarse → many ties
+    days = rng.integers(0, 30, n)
+    t0 = dt.datetime(2024, 1, 1)
+    tab = pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array(
+            [t0 + dt.timedelta(days=int(x)) for x in days],
+            pa.timestamp("us")),
+    })
+    pq.write_table(tab, os.path.join(str(tmp_path), "orders.parquet"))
+    got = sorted(rl.q_order_skyline(str(tmp_path)).to_pandas()
+                 ["o_orderkey"].tolist())
+    cents = rl._cents(prices)
+    keep = []
+    for i in range(n):
+        dom = ((cents <= cents[i]) & (days <= days[i])
+               & ((cents < cents[i]) | (days < days[i]))).any()
+        if not dom:
+            keep.append(i)
+    assert got == keep and len(keep) > 0
