@@ -190,6 +190,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": rl.q_small_qty_revenue,  # Q17: decorrelated scalar subquery
         "above_avg_idle_customers": rl.q_above_avg_idle_customers,  # Q22: scalar + anti join
         "line_priority_counts": rl.q_line_priority_counts,  # Q12: joined-attr filter + CASE
+        "volume_shipping": rl.q_volume_shipping,        # Q7: cross-nation 6-way join
+        "market_share": rl.q_market_share,              # Q8: share num/den per year
+        "returned_items": rl.q_returned_items,          # Q10: top-k + point dim attach
+        "waiting_suppliers": rl.q_waiting_suppliers,    # Q21: exists/not-exists group rule
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         # two-level (user, time-slice) plan for monster users; hash-matches
@@ -262,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         substring_oracles,
         skyline_oracles,
         tpch_shapes_oracles,
+        tpch_joins2_oracles,
         transition_oracles,
         triangle_oracles,
         feature_oracles, hits_oracles,
@@ -301,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
             **props_moments_oracles(), **hits_oracles(),
             **transition_oracles(), **label_vote_oracles(),
             **skyline_oracles(), **tpch_shapes_oracles(),
+            **tpch_joins2_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),

@@ -1968,3 +1968,628 @@ def q_customers_no_orders_bloom(sf_dir: str) -> ray.data.Dataset:
         .groupby("n_name")
         .aggregate(Sum("n_customers", alias_name="n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7/Q8/Q10/Q21-shaped multi-join plans (session 7)
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_SHIP_LO = "1996-01-01"
+Q7_SHIP_HI = "1998-01-01"
+
+
+def _nation_lookup(sf_dir: str):
+    """(sorted nationkeys, names aligned) from the tiny nation table."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nk = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    nnames = np.asarray(nation.column("n_name").to_pylist(), object)
+    o = np.argsort(nk)
+    return nk[o], nnames[o], nation
+
+
+def _supplier_nation_ref(sf_dir: str):
+    """Broadcast suppkey -> nationkey as sorted parallel arrays. At a
+    scale where supplier outgrows broadcast (~10^9 rows) this becomes a
+    third bucketed union-tag exchange on suppkey — same machinery as
+    join 1 (documented trade, q_local_supplier_volume)."""
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    o = np.argsort(sk)
+    return ray.put((sk[o], sn[o]))
+
+
+def q_volume_shipping(sf_dir: str) -> pa.Table:
+    """TPC-H-Q7-shaped volume shipping: revenue flowing BETWEEN two
+    nations per shipping year — lineitems whose supplier sits in nation
+    A and whose ordering customer sits in nation B, or vice versa,
+    shipped inside a two-year window.
+
+        lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ×2
+        group by (supp_nation, cust_nation, year(l_shipdate))
+
+    Plan (two bucketed shuffles, like Q5): nation + supplier broadcast;
+    join 1 on custkey forwards ONE (okey, cust_nation) header per order
+    of a customer in {A, B} (everyone else never enters the shuffle);
+    lineitem rows resolve supp_nation from the broadcast map, keep only
+    {A, B} suppliers, and compress to one partial-revenue row per
+    (batch, okey, supp_nation, ship_year) BEFORE join 2 on okey, where
+    the cross-nation rule (supp_nation != cust_nation) applies
+    in-bucket. Final aggregate is O(2×2×years) rows."""
+    import pyarrow.compute as pc
+
+    nb = JOIN_BUCKETS
+    lo = np.datetime64(Q7_SHIP_LO, "us")
+    hi = np.datetime64(Q7_SHIP_HI, "us")
+    nk, nnames, _ = _nation_lookup(sf_dir)
+    name2key = {n: int(k) for k, n in zip(nk, nnames)}
+    ka, kb = name2key[Q7_NATION_A], name2key[Q7_NATION_B]
+    pair = np.array(sorted((ka, kb)), np.int64)
+    supp_ref = _supplier_nation_ref(sf_dir)
+
+    def _cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        natk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        keep = np.isin(natk, pair)
+        ck, natk = ck[keep], natk[keep]
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "okey": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
+            "nat": pa.array(natk, pa.int64()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "okey": pa.array(
+                batch.column("o_orderkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "nat": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
+        })
+
+    def _join1(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        key = group.column("key").to_numpy().astype(np.int64)
+        nat = group.column("nat").to_numpy().astype(np.int64)
+        build = okey == -1
+        bk, bn = key[build], nat[build]
+        o = np.argsort(bk)
+        bk, bn = bk[o], bn[o]
+        pk = key[~build]
+        if bk.size:
+            idx = np.minimum(np.searchsorted(bk, pk), bk.size - 1)
+            hit = bk[idx] == pk
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        ok = okey[~build][hit]
+        return pa.table({
+            "bkt": pa.array(ok % nb, pa.int64()),
+            "okey": pa.array(ok, pa.int64()),
+            "nat": pa.array(bn[idx[hit]], pa.int64()),
+            "year": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+            "rev": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+        })
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        sk_s, sn_s = ray.get(supp_ref)
+        lok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        lsk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        ship = batch.column("l_shipdate").to_numpy()
+        rev = _cents(batch.column("l_extendedprice").to_numpy()) \
+            * (100 - _pct(batch.column("l_discount").to_numpy()))
+        snat = sn_s[np.searchsorted(sk_s, lsk)]  # FK: every suppkey resolves
+        keep = np.isin(snat, pair)
+        lok, snat, rev = lok[keep], snat[keep], rev[keep]
+        year = ship[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        # compress: one row per (okey, supp_nation, year) per batch.
+        # nationkey < 64 by schema; years span < 16 here (pack bound
+        # documented: okey < 2^52 keeps the packed key inside int64 —
+        # beyond that, pack into two int64 columns and lexsort instead)
+        pk = (lok * np.int64(64) + snat) * np.int64(16) + (year - 1995)
+        u, inv = np.unique(pk, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, rev)
+        ok_u = u // (64 * 16)
+        return pa.table({
+            "bkt": pa.array(ok_u % nb, pa.int64()),
+            "okey": pa.array(ok_u, pa.int64()),
+            "nat": pa.array((u // 16) % 64, pa.int64()),
+            "year": pa.array(u % 16 + 1995, pa.int64()),
+            "rev": pa.array(s, pa.int64()),
+        })
+
+    def _join2(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        nat = group.column("nat").to_numpy().astype(np.int64)
+        year = group.column("year").to_numpy().astype(np.int64)
+        rev = group.column("rev").to_numpy().astype(np.int64)
+        build = rev == -1            # (okey, cust_nation) headers
+        bo, bn = okey[build], nat[build]
+        o = np.argsort(bo)
+        bo, bn = bo[o], bn[o]
+        pk, psn, py, pv = okey[~build], nat[~build], year[~build], rev[~build]
+        if bo.size:
+            idx = np.minimum(np.searchsorted(bo, pk), bo.size - 1)
+            hit = (bo[idx] == pk) & (bn[idx] != psn)  # cross-nation rule
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        if not hit.any():
+            return pa.table({"snat": pa.array([], pa.int64()),
+                             "cnat": pa.array([], pa.int64()),
+                             "l_year": pa.array([], pa.int64()),
+                             "revenue_milli": pa.array([], pa.int64())})
+        sn_h, cn_h, y_h, v_h = psn[hit], bn[idx[hit]], py[hit], pv[hit]
+        key = (sn_h * np.int64(64) + cn_h) * np.int64(16) + (y_h - 1995)
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, v_h)
+        return pa.table({
+            "snat": pa.array((u // 16) // 64, pa.int64()),
+            "cnat": pa.array((u // 16) % 64, pa.int64()),
+            "l_year": pa.array(u % 16 + 1995, pa.int64()),
+            "revenue_milli": pa.array(s, pa.int64()),
+        })
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    qorders = cust.union(orders).groupby("bkt") \
+        .map_groups(_join1, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("l_shipdate") < pa.scalar(hi, pa.timestamp("us")))),
+    ).map_batches(_li_partial, batch_format="pyarrow")
+    agg = (
+        qorders.union(li)
+        .groupby("bkt").map_groups(_join2, batch_format="pyarrow")
+        .groupby(["snat", "cnat", "l_year"])
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+    ).to_pandas()
+    key2name = {int(k): str(n) for k, n in zip(nk, nnames)}
+    agg["supp_nation"] = agg["snat"].map(key2name)
+    agg["cust_nation"] = agg["cnat"].map(key2name)
+    agg = agg[["supp_nation", "cust_nation", "l_year", "revenue_milli"]] \
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+Q8_TYPE = "STANDARD"
+Q8_DATE_LO = "1996-01-01"
+Q8_DATE_HI = "1998-01-01"
+
+
+def q_market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q8-shaped market share: per order year, what fraction of
+    the revenue that region-R customers spent on parts of one type came
+    through suppliers of nation X. Emitted as exact integer numerator /
+    denominator (national_milli, total_milli) per year — the share is
+    num/den, never divided (float-free, like promo_revenue_share).
+
+    Plan: part-type keyset, supplier→nation map and region nation set
+    broadcast (at 10^9-row part/supplier the keyset becomes a bloom +
+    bucketed semi-join — documented, q_customers_no_orders_bloom is the
+    in-repo template); join 1 on custkey forwards (okey, order_year)
+    headers for region customers' date-scoped orders; lineitem keeps
+    typed parts only, flags national suppliers, compresses to one
+    (okey, flag) partial per batch before join 2 on okey; final
+    aggregate is O(years)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    nb = JOIN_BUCKETS
+    lo = np.datetime64(Q8_DATE_LO, "us")
+    hi = np.datetime64(Q8_DATE_HI, "us")
+    nk, nnames, nation = _nation_lookup(sf_dir)
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = {r["r_name"]: r["r_regionkey"]
+            for r in region.to_pylist()}[Q8_REGION]
+    rnk = np.array(sorted(
+        r["n_nationkey"] for r in nation.to_pylist()
+        if r["n_regionkey"] == rkey), np.int64)
+    xkey = {n: int(k) for k, n in zip(nk, nnames)}[Q8_NATION]
+    supp_ref = _supplier_nation_ref(sf_dir)
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    typed = part.column("p_partkey").to_numpy().astype(np.int64)[
+        np.asarray(part.column("p_type").to_pylist(), object) == Q8_TYPE]
+    typed_ref = ray.put(np.sort(typed))
+
+    def _cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        natk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        keep = np.isin(natk, rnk)
+        ck = ck[keep]
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "okey": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
+            "year": pa.array(np.full(ck.size, -1, np.int64), pa.int64()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        year = batch.column("o_orderdate").to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "okey": pa.array(
+                batch.column("o_orderkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "year": pa.array(year, pa.int64()),
+        })
+
+    def _join1(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        key = group.column("key").to_numpy().astype(np.int64)
+        year = group.column("year").to_numpy().astype(np.int64)
+        build = okey == -1
+        bk = np.sort(key[build])
+        pk = key[~build]
+        if bk.size:
+            idx = np.minimum(np.searchsorted(bk, pk), bk.size - 1)
+            hit = bk[idx] == pk
+        else:
+            hit = np.zeros(pk.size, bool)
+        ok, yr = okey[~build][hit], year[~build][hit]
+        return pa.table({
+            "bkt": pa.array(ok % nb, pa.int64()),
+            "okey": pa.array(ok, pa.int64()),
+            "year": pa.array(yr, pa.int64()),
+            "flag": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+            "rev": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+        })
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        sk_s, sn_s = ray.get(supp_ref)
+        tp = ray.get(typed_ref)
+        lok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        lpk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        lsk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        rev = _cents(batch.column("l_extendedprice").to_numpy()) \
+            * (100 - _pct(batch.column("l_discount").to_numpy()))
+        keep = np.isin(lpk, tp)
+        lok, lsk, rev = lok[keep], lsk[keep], rev[keep]
+        flag = (sn_s[np.searchsorted(sk_s, lsk)] == xkey).astype(np.int64)
+        pk = lok * np.int64(2) + flag
+        u, inv = np.unique(pk, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({
+            "bkt": pa.array((u // 2) % nb, pa.int64()),
+            "okey": pa.array(u // 2, pa.int64()),
+            "year": pa.array(np.full(u.size, -1, np.int64), pa.int64()),
+            "flag": pa.array(u % 2, pa.int64()),
+            "rev": pa.array(s, pa.int64()),
+        })
+
+    def _join2(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        year = group.column("year").to_numpy().astype(np.int64)
+        flag = group.column("flag").to_numpy().astype(np.int64)
+        rev = group.column("rev").to_numpy().astype(np.int64)
+        build = rev == -1
+        bo, by = okey[build], year[build]
+        o = np.argsort(bo)
+        bo, by = bo[o], by[o]
+        pk, pf, pv = okey[~build], flag[~build], rev[~build]
+        if bo.size:
+            idx = np.minimum(np.searchsorted(bo, pk), bo.size - 1)
+            hit = bo[idx] == pk
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        if not hit.any():
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "national_milli": pa.array([], pa.int64()),
+                             "total_milli": pa.array([], pa.int64())})
+        yr, fl, rv = by[idx[hit]], pf[hit], pv[hit]
+        u, inv = np.unique(yr, return_inverse=True)
+        nat_s = np.zeros(u.size, np.int64)
+        tot_s = np.zeros(u.size, np.int64)
+        np.add.at(nat_s, inv, rv * fl)
+        np.add.at(tot_s, inv, rv)
+        return pa.table({
+            "o_year": pa.array(u, pa.int64()),
+            "national_milli": pa.array(nat_s, pa.int64()),
+            "total_milli": pa.array(tot_s, pa.int64()),
+        })
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))),
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    qorders = cust.union(orders).groupby("bkt") \
+        .map_groups(_join1, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(_li_partial, batch_format="pyarrow")
+    return (
+        qorders.union(li)
+        .groupby("bkt").map_groups(_join2, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("national_milli", alias_name="national_milli"),
+                   Sum("total_milli", alias_name="total_milli"))
+    )
+
+
+Q10_DATE_LO = "1996-10-01"
+Q10_DATE_HI = "1997-01-01"
+Q10_TOPK = 20
+
+
+def q_returned_items(sf_dir: str) -> pa.Table:
+    """TPC-H-Q10-shaped returned-item reporting: the TOP_K customers by
+    revenue lost to returned lineitems (l_returnflag = 'R') on orders
+    placed inside one quarter, with name and nation attached.
+
+    Plan: orders date-filter at the read → (okey, custkey) headers;
+    returned lineitems compress to one (okey, rev) partial per batch;
+    ONE bucketed join on okey rewrites partials to custkey; a groupby +
+    dataset-side sort/limit picks the K winners (ties broken custkey
+    asc); ONLY THEN does the customer table enter — a predicate-pushdown
+    point read of K rows (the dimension attach never shuffles and never
+    broadcasts the full customer table)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    nb = JOIN_BUCKETS
+    lo = np.datetime64(Q10_DATE_LO, "us")
+    hi = np.datetime64(Q10_DATE_HI, "us")
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ok % nb, pa.int64()),
+            "okey": pa.array(ok, pa.int64()),
+            "ck": pa.array(
+                batch.column("o_custkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "rev": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+        })
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        lok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        rev = _cents(batch.column("l_extendedprice").to_numpy()) \
+            * (100 - _pct(batch.column("l_discount").to_numpy()))
+        u, inv = np.unique(lok, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({
+            "bkt": pa.array(u % nb, pa.int64()),
+            "okey": pa.array(u, pa.int64()),
+            "ck": pa.array(np.full(u.size, -1, np.int64), pa.int64()),
+            "rev": pa.array(s, pa.int64()),
+        })
+
+    def _join(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        ck = group.column("ck").to_numpy().astype(np.int64)
+        rev = group.column("rev").to_numpy().astype(np.int64)
+        build = rev == -1
+        bo, bc = okey[build], ck[build]
+        o = np.argsort(bo)
+        bo, bc = bo[o], bc[o]
+        pk, pv = okey[~build], rev[~build]
+        if bo.size:
+            idx = np.minimum(np.searchsorted(bo, pk), bo.size - 1)
+            hit = bo[idx] == pk
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        if not hit.any():
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "revenue_milli": pa.array([], pa.int64())})
+        cu, inv = np.unique(bc[idx[hit]], return_inverse=True)
+        s = np.zeros(cu.size, np.int64)
+        np.add.at(s, inv, pv[hit])
+        return pa.table({
+            "c_custkey": pa.array(cu, pa.int64()),
+            "revenue_milli": pa.array(s, pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))),
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=(pc.field("l_returnflag") == "R"),
+    ).map_batches(_li_partial, batch_format="pyarrow")
+    top = (
+        orders.union(li)
+        .groupby("bkt").map_groups(_join, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+        .sort(key=["revenue_milli", "c_custkey"], descending=[True, False])
+        .limit(Q10_TOPK)
+        .take_all()
+    )
+    keys = np.array([r["c_custkey"] for r in top], np.int64)
+    revs = {int(r["c_custkey"]): int(r["revenue_milli"]) for r in top}
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", keys.tolist())]) if keys.size else \
+        pa.table({"c_custkey": pa.array([], pa.int64()),
+                  "c_name": pa.array([], pa.string()),
+                  "c_nationkey": pa.array([], pa.int32())})
+    nk, nnames, _ = _nation_lookup(sf_dir)
+    rows = sorted(cust.to_pylist(),
+                  key=lambda r: (-revs[r["c_custkey"]], r["c_custkey"]))
+    return pa.table({
+        "c_custkey": pa.array([r["c_custkey"] for r in rows], pa.int64()),
+        "c_name": pa.array([r["c_name"] for r in rows], pa.string()),
+        "n_name": pa.array(
+            [str(nnames[np.searchsorted(nk, r["c_nationkey"])])
+             for r in rows], pa.string()),
+        "revenue_milli": pa.array(
+            [revs[r["c_custkey"]] for r in rows], pa.int64()),
+    })
+
+
+Q21_LATE_DAYS = 1400
+Q21_TOPK = 25
+
+
+def q_waiting_suppliers(sf_dir: str) -> pa.Table:
+    """TPC-H-Q21-shaped waiting-supplier count: suppliers who were the
+    ONLY late supplier on a finished ('F') multi-supplier order, ranked
+    by how many such orders they spoiled. "Late" adapts Q21's
+    receipt-vs-commit rule to this schema: a supplier is late on an
+    order iff any of its lineitems shipped more than Q21_LATE_DAYS
+    after the order date (the synthetic corpus has no commit/receipt
+    columns; the EXISTS / NOT-EXISTS plan shape is what's exercised).
+
+    Plan: both existential subqueries collapse into ONE group-local
+    computation — lineitem compresses to (okey, suppkey, max_shipdate)
+    partials per batch (max witnesses 'any line late', like Q4's
+    aggregate semi-join), 'F' orders forward (okey, orderdate) headers,
+    and a single bucketed shuffle on okey co-locates each order's
+    suppliers so n_suppliers ≥ 2 ∧ n_late = 1 ∧ late(s) evaluates
+    vectorized per bucket. Supplier names attach as a broadcast of the
+    tiny dimension; final rank is a groupby + sort/limit."""
+    import pyarrow.parquet as pq
+
+    nb = JOIN_BUCKETS
+    late_us = np.int64(Q21_LATE_DAYS) * 86_400_000_000
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        st = np.asarray(batch.column("o_orderstatus").to_pylist(), object)
+        keep = st == "F"
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)[keep]
+        od = batch.column("o_orderdate").to_numpy().astype(np.int64)[keep]
+        return pa.table({
+            "bkt": pa.array(ok % nb, pa.int64()),
+            "okey": pa.array(ok, pa.int64()),
+            "sk": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+            "ship": pa.array(od, pa.int64()),   # header: orderdate_us
+        })
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        lok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        lsk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        ship = batch.column("l_shipdate").to_numpy().astype(np.int64)
+        # one (okey, suppkey, max ship) row per pair per batch
+        order = np.lexsort((lsk, lok))
+        lok, lsk, ship = lok[order], lsk[order], ship[order]
+        new = np.empty(lok.size, bool)
+        new[:1] = True
+        new[1:] = (lok[1:] != lok[:-1]) | (lsk[1:] != lsk[:-1])
+        starts = np.flatnonzero(new)
+        mx = np.maximum.reduceat(ship, starts) if lok.size else ship
+        return pa.table({
+            "bkt": pa.array(lok[starts] % nb, pa.int64()),
+            "okey": pa.array(lok[starts], pa.int64()),
+            "sk": pa.array(lsk[starts], pa.int64()),
+            "ship": pa.array(mx, pa.int64()),
+        })
+
+    def _join(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        sk = group.column("sk").to_numpy().astype(np.int64)
+        ship = group.column("ship").to_numpy().astype(np.int64)
+        build = sk == -1
+        bo, bd = okey[build], ship[build]
+        o = np.argsort(bo)
+        bo, bd = bo[o], bd[o]
+        pk, psk, pship = okey[~build], sk[~build], ship[~build]
+        # batch partials may repeat a (okey, suppkey) pair: recombine max
+        order = np.lexsort((psk, pk))
+        pk, psk, pship = pk[order], psk[order], pship[order]
+        if pk.size:
+            new = np.empty(pk.size, bool)
+            new[:1] = True
+            new[1:] = (pk[1:] != pk[:-1]) | (psk[1:] != psk[:-1])
+            starts = np.flatnonzero(new)
+            pk, psk = pk[starts], psk[starts]
+            pship = np.maximum.reduceat(pship, starts)
+        if bo.size and pk.size:
+            idx = np.minimum(np.searchsorted(bo, pk), bo.size - 1)
+            hit = bo[idx] == pk          # order is 'F'
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        pk, psk, pship, odate = pk[hit], psk[hit], pship[hit], bd[idx[hit]]
+        if not pk.size:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
+        late = pship > odate + late_us
+        # per order (pk is sorted, one row per supplier): size + late count
+        new = np.empty(pk.size, bool)
+        new[:1] = True
+        new[1:] = pk[1:] != pk[:-1]
+        gid = np.cumsum(new) - 1
+        n_supp = np.bincount(gid)
+        n_late = np.bincount(gid, weights=late).astype(np.int64)
+        keep = late & (n_supp[gid] >= 2) & (n_late[gid] == 1)
+        if not keep.any():
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
+        u, cnt = np.unique(psk[keep], return_counts=True)
+        return pa.table({
+            "s_suppkey": pa.array(u, pa.int64()),
+            "numwait": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(_li_partial, batch_format="pyarrow")
+    agg = (
+        orders.union(li)
+        .groupby("bkt").map_groups(_join, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .sort(key=["numwait", "s_suppkey"], descending=[True, False])
+        .limit(Q21_TOPK)
+        .take_all()
+    )
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    name = {r["s_suppkey"]: r["s_name"] for r in supp.to_pylist()}
+    return pa.table({
+        "s_suppkey": pa.array([int(r["s_suppkey"]) for r in agg],
+                              pa.int64()),
+        "s_name": pa.array([name[int(r["s_suppkey"])] for r in agg],
+                           pa.string()),
+        "numwait": pa.array([int(r["numwait"]) for r in agg], pa.int64()),
+    })

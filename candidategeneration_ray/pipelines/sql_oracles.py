@@ -3517,3 +3517,99 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n AS n_tokens,
 FROM o
 """,
     }
+
+
+def tpch_joins2_oracles() -> dict[str, str]:
+    """Q7/Q8/Q10/Q21-shaped oracles — integer milli-cent revenue,
+    DuckDB round() cents on both sides, tie-breaks on the key column so
+    the LIMIT boundary is deterministic."""
+    from candidategeneration_ray.pipelines.relational import (
+        Q7_NATION_A, Q7_NATION_B, Q7_SHIP_LO, Q7_SHIP_HI,
+        Q8_REGION, Q8_NATION, Q8_TYPE, Q8_DATE_LO, Q8_DATE_HI,
+        Q10_DATE_LO, Q10_DATE_HI, Q10_TOPK,
+        Q21_LATE_DAYS, Q21_TOPK)
+
+    return {
+        "volume_shipping": f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_milli
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_SHIP_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q7_SHIP_HI}'
+  AND ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+    OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+GROUP BY 1, 2, 3
+""",
+        "market_share": f"""
+WITH rn AS (SELECT n_nationkey FROM nation
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = '{Q8_REGION}'),
+j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+         (s_nationkey = (SELECT n_nationkey FROM nation
+                         WHERE n_name = '{Q8_NATION}')) AS is_nat
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey AND p_type = '{Q8_TYPE}'
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+                AND c_nationkey IN (SELECT n_nationkey FROM rn)
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE o_orderdate >= TIMESTAMP '{Q8_DATE_LO}'
+    AND o_orderdate <  TIMESTAMP '{Q8_DATE_HI}')
+SELECT o_year,
+       CAST(coalesce(sum(CASE WHEN is_nat THEN rev END), 0)
+            AS BIGINT) AS national_milli,
+       CAST(sum(rev) AS BIGINT) AS total_milli
+FROM j GROUP BY 1
+""",
+        "returned_items": f"""
+WITH rev AS (
+  SELECT o_custkey AS c_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS revenue_milli
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+    AND o_orderdate <  TIMESTAMP '{Q10_DATE_HI}'
+  GROUP BY 1)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       CAST(revenue_milli AS BIGINT) AS revenue_milli
+FROM rev
+JOIN customer USING (c_custkey)
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue_milli DESC, c_custkey
+LIMIT {Q10_TOPK}
+""",
+        "waiting_suppliers": f"""
+WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderstatus = 'F'),
+ls AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+       FROM lineitem GROUP BY 1, 2),
+j AS (SELECT l_orderkey, l_suppkey,
+             (ms > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY) AS late
+      FROM ls JOIN fo ON o_orderkey = l_orderkey),
+ag AS (SELECT l_orderkey, count(*) AS n_supp,
+              sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late
+       FROM j GROUP BY 1)
+SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM j
+JOIN ag USING (l_orderkey)
+JOIN supplier ON supplier.s_suppkey = l_suppkey
+WHERE j.late AND ag.n_supp >= 2 AND ag.n_late = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT {Q21_TOPK}
+""",
+    }
