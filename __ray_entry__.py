@@ -111,7 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": ex.q_langid,
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
-        "corpus_digest": ex.q_corpus_digest,   # order-insensitive row-hash digest
+        "corpus_digest": ex.q_corpus_digest,
+        "snapshot_diff": ex.q_snapshot_diff,            # versioned-table diff by key
+   # order-insensitive row-hash digest
         "doc_chunks": ex.q_doc_chunks,          # flat-map chunker (RAG shape)
         "column_profile": ex.q_column_profile,  # schema-drift validation
         "similar_docs": ex.q_similar_docs,      # broadcast-probe Jaccard search
@@ -149,7 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_embeddings": cl.q_term_embeddings,    # cross-modal term centroids
         "pagerank": cl.q_pagerank,                  # integer PageRank over kNN graph
         "personalized_pagerank": cl.q_personalized_pagerank,  # seeded teleport
-        "triangle_counts": cl.q_triangle_counts,    # graph-motif wedge-check
+        "triangle_counts": cl.q_triangle_counts,
+        "common_neighbors": cl.q_common_neighbors,      # link prediction (wedge anti)
+    # graph-motif wedge-check
         "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
         "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
         "ivf_delta_counts": ivfd.q_ivf_delta_counts,  # IVF LSM: frozen-codebook delta
@@ -160,7 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top50": tl.q_pmi_top50,                # PMI collocation mining
         "mixture_select": tl.q_mixture_select,      # budgeted per-source selection
         "tfidf_top3": tl.q_tfidf_top3,              # per-doc keyword extraction
-        "token_offsets": tl.q_token_offsets,        # sequence-packing offsets
+        "token_offsets": tl.q_token_offsets,
+        "sequence_manifest": tl.q_sequence_manifest,    # inverse seq->docs manifest
+        # sequence-packing offsets
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
         # --- relational / warehouse surface (TPC-H-shaped tables) ---
@@ -194,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": rl.q_market_share,              # Q8: share num/den per year
         "returned_items": rl.q_returned_items,          # Q10: top-k + point dim attach
         "waiting_suppliers": rl.q_waiting_suppliers,    # Q21: exists/not-exists group rule
+        "top_orders_per_customer": rl.q_top_orders_per_customer,  # ROW_NUMBER top-N per group
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         # two-level (user, time-slice) plan for monster users; hash-matches
@@ -223,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_histogram": ev.q_gap_histogram,        # LAG-offset window shape
         "type_transitions": ev.q_type_transitions,  # Markov pair mining
         "sliding_counts": ev.q_sliding_counts,
+        "events_pivot": ev.q_events_pivot,              # row->column wide pivot
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
         "multimodal_frames": ex.q_multimodal_frames,    # frame-sample stage
@@ -267,6 +275,11 @@ def oracle_sql() -> dict[str, str]:
         skyline_oracles,
         tpch_shapes_oracles,
         tpch_joins2_oracles,
+        pivot_oracles,
+        topn_group_oracles,
+        sequence_manifest_oracles,
+        snapshot_diff_oracles,
+        common_neighbor_oracles,
         transition_oracles,
         triangle_oracles,
         feature_oracles, hits_oracles,
@@ -306,7 +319,9 @@ def oracle_sql() -> dict[str, str]:
             **props_moments_oracles(), **hits_oracles(),
             **transition_oracles(), **label_vote_oracles(),
             **skyline_oracles(), **tpch_shapes_oracles(),
-            **tpch_joins2_oracles(),
+            **tpch_joins2_oracles(), **pivot_oracles(),
+            **topn_group_oracles(), **sequence_manifest_oracles(),
+            **snapshot_diff_oracles(), **common_neighbor_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),

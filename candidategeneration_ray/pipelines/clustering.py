@@ -1656,3 +1656,140 @@ def q_embedding_jl_sketch(sf_dir: str,
 
     return _embeddings_ds(sf_dir).map_batches(_project,
                                               batch_format="pyarrow")
+
+
+CN_TOPK = 20
+
+
+def q_common_neighbors(sf_dir: str, k_out: int = CN_TOPK) -> pa.Table:
+    """Link prediction by common-neighbor count (the simplest of the
+    classic neighborhood scores — Liben-Nowell & Kleinberg CIKM'03):
+    the top NON-adjacent pairs of the undirected kNN graph ranked by
+    how many neighbors they share. High scorers are edges the kNN
+    truncation cut — the candidate pairs a graph-expansion /
+    semi-supervised pass would probe first.
+
+    Shape: the triangle plan with the closure polarity INVERTED —
+    adjacency buckets emit sorted neighbor pairs (wedges, O(Σ deg²)
+    bounded by kNN degree ≤ 2k), pair-hash buckets co-locate every
+    copy of a pair, and each bucket counts its wedges per pair then
+    DROPS pairs that are edges (the anti test is one sorted membership
+    probe). Pair counts are bucket-complete, so the global answer is a
+    dataset-side sort/limit over O(distinct candidate pairs) rows."""
+    from ray.data.aggregate import Count, Sum
+
+    knn = q_knn_graph(sf_dir)
+    npb = TRI_PAIR_BUCKETS
+
+    def _sym_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_id").to_numpy().astype(np.int64)
+        b = batch.column("nbr_id").to_numpy().astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        key = (u << np.int64(32)) | v
+        uk = np.unique(key)
+        return pa.table({
+            "u": pa.array(uk >> np.int64(32), pa.int64()),
+            "v": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+        })
+
+    edges = (knn.map_batches(_sym_edges, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+             .select_columns(["u", "v"]))
+
+    def _adj_rows(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy().astype(np.int64)
+        v = batch.column("v").to_numpy().astype(np.int64)
+        node = np.concatenate((u, v))
+        nbr = np.concatenate((v, u))
+        hh = node.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
+        return pa.table({
+            "nbucket": pa.array((hh % np.uint64(64)).astype(np.int32)),
+            "node": pa.array(node, pa.int64()),
+            "nbr": pa.array(nbr, pa.int64()),
+        })
+
+    def _wedges(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy().astype(np.int64)
+        nbr = group.column("nbr").to_numpy().astype(np.int64)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], node[1:] != node[:-1])))
+        counts = np.diff(np.concatenate((starts, [node.size])))
+        out_a, out_b = [], []
+        for c in np.unique(counts):
+            if c < 2:
+                continue
+            s_c = starts[counts == c]
+            mat = nbr[s_c[:, None] + np.arange(c)]
+            ia, ib = np.triu_indices(int(c), k=1)
+            out_a.append(mat[:, ia].ravel())
+            out_b.append(mat[:, ib].ravel())
+        if not out_a:
+            return pa.table({"pkey": pa.array([], pa.int64()),
+                             "is_edge": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table({
+            "pkey": pa.array((a << np.int64(32)) | b, pa.int64()),
+            "is_edge": pa.array(np.zeros(a.size, np.int64), pa.int64()),
+        })
+
+    def _edge_keys(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy().astype(np.int64)
+        v = batch.column("v").to_numpy().astype(np.int64)
+        if u.size and (int(u.max()) >= 1 << 31 or int(v.max()) >= 1 << 31):
+            raise ValueError("packed pair key needs vec_id < 2^31")
+        return pa.table({
+            "pkey": pa.array((u << np.int64(32)) | v, pa.int64()),
+            "is_edge": pa.array(np.ones(u.size, np.int64), pa.int64()),
+        })
+
+    def _pbucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("pkey").to_numpy().astype(np.uint64)
+        hh = k * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
+        return batch.append_column(
+            "pbucket", pa.array((hh % np.uint64(npb)).astype(np.int32)))
+
+    def _count_nonedges(group: pa.Table) -> pa.Table:
+        pkey = group.column("pkey").to_numpy().astype(np.int64)
+        is_edge = group.column("is_edge").to_numpy().astype(np.int64) == 1
+        ek = np.unique(pkey[is_edge])
+        wk = pkey[~is_edge]
+        if wk.size == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64())})
+        if ek.size:
+            idx = np.minimum(np.searchsorted(ek, wk), ek.size - 1)
+            wk = wk[ek[idx] != wk]
+        if wk.size == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64())})
+        uk, cnt = np.unique(wk, return_counts=True)
+        return pa.table({
+            "u": pa.array(uk >> np.int64(32), pa.int64()),
+            "v": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+            "n_common": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    wedges = (edges.map_batches(_adj_rows, batch_format="pyarrow")
+              .groupby("nbucket").map_groups(_wedges, batch_format="pyarrow"))
+    top = (
+        wedges.union(edges.map_batches(_edge_keys, batch_format="pyarrow"))
+        .map_batches(_pbucket, batch_format="pyarrow")
+        .groupby("pbucket").map_groups(_count_nonedges,
+                                       batch_format="pyarrow")
+        .sort(key=["n_common", "u", "v"], descending=[True, False, False])
+        .limit(k_out)
+        .take_all()
+    )
+    return pa.table({
+        "u": pa.array([r["u"] for r in top], pa.int64()),
+        "v": pa.array([r["v"] for r in top], pa.int64()),
+        "n_common": pa.array([r["n_common"] for r in top], pa.int64()),
+    })

@@ -1733,3 +1733,54 @@ def q_events_range_scan(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("cents", alias_name="cents"))
     )
+
+
+# --- pivot (session 7) ------------------------------------------------------
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Row→column PIVOT: per UTC day, one wide row with a count column
+    per event type plus purchase revenue — the warehouse reshaping
+    primitive (the inverse of the tall groupby the other event entries
+    produce). The type set is a declared constant; a type outside it
+    fails fast rather than silently dropping (the schema IS the
+    contract — at 100 TB a silent drop is an unnoticed data bug).
+
+    Shape: embarrassingly parallel — each batch compresses to one wide
+    partial row per day (O(days) not O(events)), one tiny groupby sums
+    them. No shuffle ever sees event-grain rows."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        cents = _cents(batch.column("value").to_numpy())
+        unknown = ~np.isin(et, np.asarray(PIVOT_TYPES, object))
+        if unknown.any():
+            raise ValueError(
+                f"event_type outside PIVOT_TYPES: "
+                f"{sorted(set(et[unknown]))[:5]}")
+        day = ts // day_us
+        u, inv = np.unique(day, return_inverse=True)
+        cols = {"day": pa.array(u, pa.int64())}
+        for t in PIVOT_TYPES:
+            c = np.zeros(u.size, np.int64)
+            np.add.at(c, inv, (et == t).astype(np.int64))
+            cols[f"n_{t}"] = pa.array(c, pa.int64())
+        pc_ = np.zeros(u.size, np.int64)
+        np.add.at(pc_, inv, np.where(et == "purchase", cents, 0))
+        cols["purchase_cents"] = pa.array(pc_, pa.int64())
+        return pa.table(cols)
+
+    return (
+        events_ds(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                     for t in PIVOT_TYPES],
+                   Sum("purchase_cents", alias_name="purchase_cents"))
+    )

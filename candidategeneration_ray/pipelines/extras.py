@@ -2256,3 +2256,111 @@ def q_source_regression(sf_dir: str) -> ray.data.Dataset:
 
     return q_source_moments(sf_dir).map_batches(
         _fit, batch_format="pyarrow")
+
+
+# --- snapshot diff (session 7) ----------------------------------------------
+
+SNAP_ADD_BASE = 10_000_000   # demo id offset for the derived snapshot's
+                             # added rows (a real diff takes two dirs)
+
+
+def snapshot_diff(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset,
+                  n_buckets: int = 64) -> ray.data.Dataset:
+    """Generic two-snapshot table diff by primary key — the
+    data-versioning operator corpus_digest only detects: which doc_ids
+    were ADDED, REMOVED, or CHANGED between snapshot A and snapshot B
+    (unchanged rows are never emitted). Both inputs need (doc_id,
+    text) columns.
+
+    Shape: each side compresses to (doc_id, row_hash) per batch —
+    hashes, never text, enter the exchange — then ONE union-tag
+    bucketed shuffle on doc_id hash classifies each id with two sorted
+    membership probes per bucket. Output is O(changes), so a 100 TB
+    diff with 0.1% churn shuffles 64-bit pairs and emits a trickle."""
+
+    def _hash_side(side: int):
+        def _h(batch: pa.Table) -> pa.Table:
+            doc = batch.column("doc_id").to_numpy().astype(np.int64)
+            import pyarrow.compute as pc
+            rows = pc.binary_join_element_wise(
+                pc.cast(batch.column("doc_id"), pa.string()),
+                batch.column("text"), "|")
+            h = (H.h64_many(rows.to_pylist()).astype(np.int64)
+                 & np.int64((1 << 63) - 1))
+            return pa.table({
+                "bkt": pa.array(doc % n_buckets, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "side": pa.array(np.full(doc.size, side, np.int64),
+                                 pa.int64()),
+            })
+        return _h
+
+    def _classify(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy().astype(np.int64)
+        h = group.column("h").to_numpy().astype(np.int64)
+        side = group.column("side").to_numpy().astype(np.int64)
+        a, b = side == 0, side == 1
+        da, ha = doc[a], h[a]
+        oa = np.argsort(da)
+        da, ha = da[oa], ha[oa]
+        db, hb = doc[b], h[b]
+        ob = np.argsort(db)
+        db, hb = db[ob], hb[ob]
+        # A-side probe into B
+        ia = np.minimum(np.searchsorted(db, da), max(db.size - 1, 0))
+        in_b = (db[ia] == da) if db.size else np.zeros(da.size, bool)
+        # B-side probe into A
+        ib = np.minimum(np.searchsorted(da, db), max(da.size - 1, 0))
+        in_a = (da[ib] == db) if da.size else np.zeros(db.size, bool)
+        removed = da[~in_b]
+        added = db[~in_a]
+        changed = da[in_b & (hb[ia] != ha)] if db.size else da[:0]
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate((removed, added, changed)), pa.int64()),
+            "status": pa.array(
+                ["removed"] * removed.size + ["added"] * added.size
+                + ["changed"] * changed.size, pa.string()),
+        })
+
+    return (
+        ds_a.map_batches(_hash_side(0), batch_format="pyarrow")
+        .union(ds_b.map_batches(_hash_side(1), batch_format="pyarrow"))
+        .groupby("bkt")
+        .map_groups(_classify, batch_format="pyarrow")
+    )
+
+
+def q_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """snapshot_diff driven by a deterministically DERIVED second
+    snapshot (the sandbox has only one corpus version): version B drops
+    doc_id % 10 == 0 (removed), appends ' v2' to text where
+    doc_id % 7 == 0 (changed), and injects a new row at
+    SNAP_ADD_BASE + doc_id for doc_id % 13 == 0 (added). The oracle
+    re-derives B relationally and FULL-OUTER-joins on text equality,
+    so the hash-diff plan is value-verified against the direct
+    comparison."""
+    import pyarrow.compute as pc
+
+    a = documents_ds(sf_dir).select_columns(["doc_id", "text"])
+
+    def _derive_b(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy().astype(np.int64)
+        text = np.asarray(batch.column("text").to_pylist(), object)
+        keep = doc % 10 != 0
+        kd, kt = doc[keep], text[keep].copy()
+        bump = kd % 7 == 0
+        kt[bump] = [t + " v2" for t in kt[bump]]
+        newd = doc[doc % 13 == 0]
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate((kd, SNAP_ADD_BASE + newd)), pa.int64()),
+            "text": pa.array(
+                kt.tolist()
+                + [f"new version row {d}" for d in newd], pa.string()),
+        })
+
+    b = documents_ds(sf_dir).select_columns(["doc_id", "text"]) \
+        .map_batches(_derive_b, batch_format="pyarrow")
+    return snapshot_diff(a, b)

@@ -2593,3 +2593,63 @@ def q_waiting_suppliers(sf_dir: str) -> pa.Table:
                            pa.string()),
         "numwait": pa.array([int(r["numwait"]) for r in agg], pa.int64()),
     })
+
+
+TOPN_PER_CUSTOMER = 3
+
+
+def q_top_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
+    """Per-group top-N with explicit rank — the ROW_NUMBER() window
+    dedup/ranking shape (keep each customer's 3 priciest orders): rank
+    by (total_cents desc, o_orderkey asc), emit (c_custkey, rnk,
+    o_orderkey, total_cents).
+
+    Shape: ONE bucketed shuffle on custkey hash; each bucket ranks all
+    its customers with a single lexsort + segment-boundary subtraction
+    (rank = position − segment start, no per-customer loop) and keeps
+    rank ≤ N. Unlike the argmax entry (last_touch) this emits multiple
+    ranked rows per group; output is O(N × customers), never
+    order-grain after the shuffle."""
+    nb = JOIN_BUCKETS
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "ck": pa.array(ck, pa.int64()),
+            "okey": pa.array(
+                batch.column("o_orderkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "cents": pa.array(
+                _cents(batch.column("o_totalprice").to_numpy()),
+                pa.int64()),
+        })
+
+    def _rank(group: pa.Table) -> pa.Table:
+        ck = group.column("ck").to_numpy().astype(np.int64)
+        ok = group.column("okey").to_numpy().astype(np.int64)
+        cents = group.column("cents").to_numpy().astype(np.int64)
+        order = np.lexsort((ok, -cents, ck))
+        ck, ok, cents = ck[order], ok[order], cents[order]
+        new = np.empty(ck.size, bool)
+        new[:1] = True
+        new[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rnk = np.arange(ck.size, dtype=np.int64) - starts[seg] + 1
+        keep = rnk <= TOPN_PER_CUSTOMER
+        return pa.table({
+            "c_custkey": pa.array(ck[keep], pa.int64()),
+            "rnk": pa.array(rnk[keep], pa.int64()),
+            "o_orderkey": pa.array(ok[keep], pa.int64()),
+            "total_cents": pa.array(cents[keep], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(_rows, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(_rank, batch_format="pyarrow")
+    )

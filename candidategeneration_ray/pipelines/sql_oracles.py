@@ -3613,3 +3613,151 @@ ORDER BY numwait DESC, s_suppkey
 LIMIT {Q21_TOPK}
 """,
     }
+
+
+def pivot_oracles() -> dict[str, str]:
+    """Row→column pivot per UTC day: CASE aggregates, integer cents."""
+    from candidategeneration_ray.pipelines.events import PIVOT_TYPES
+
+    cols = ",\n  ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t}" for t in PIVOT_TYPES)
+    return {
+        "events_pivot": f"""
+SELECT epoch_us(ts) // 86400000000 AS day,
+  {cols},
+  CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS purchase_cents
+FROM events
+GROUP BY 1
+""",
+    }
+
+
+def topn_group_oracles() -> dict[str, str]:
+    """Per-customer top-N orders: the ROW_NUMBER() window shape."""
+    from candidategeneration_ray.pipelines.relational import (
+        TOPN_PER_CUSTOMER)
+
+    return {
+        "top_orders_per_customer": f"""
+WITH r AS (
+  SELECT o_custkey AS c_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY round(o_totalprice * 100) DESC, o_orderkey)
+           AS rnk
+  FROM orders)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, total_cents
+FROM r WHERE rnk <= {TOPN_PER_CUSTOMER}
+""",
+    }
+
+
+def sequence_manifest_oracles() -> dict[str, str]:
+    """Per-sequence manifest: the token_offsets oracle as a derived
+    table, expanded with generate_series (one row per (doc, seq) the
+    doc overlaps), overlap = least/greatest clip."""
+    from candidategeneration_ray.pipelines.textlm import SEQ_LEN
+
+    toff = token_offset_oracles()["token_offsets"]
+    return {
+        "sequence_manifest": f"""
+WITH toff AS ({toff}),
+x AS (
+  SELECT doc_id, n_tokens, token_start,
+         unnest(generate_series(seq_first, seq_last)) AS seq_id
+  FROM toff)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(least(token_start + n_tokens, (seq_id + 1) * {SEQ_LEN})
+                - greatest(token_start, seq_id * {SEQ_LEN}))
+            AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM x GROUP BY 1
+""",
+    }
+
+
+def snapshot_diff_oracles() -> dict[str, str]:
+    """Snapshot diff: re-derive version B relationally, FULL OUTER
+    join on doc_id, compare TEXT directly (the engine compares md5
+    row hashes — same verdicts, so this cross-checks the hash plan
+    against the direct comparison)."""
+    from candidategeneration_ray.pipelines.extras import SNAP_ADD_BASE
+
+    return {
+        "snapshot_diff": f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT {SNAP_ADD_BASE} + doc_id,
+         'new version row ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 13 = 0),
+d AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.doc_id IS NULL THEN 'added'
+              WHEN a.text <> b.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, status
+FROM d WHERE status <> 'unchanged'
+""",
+    }
+
+
+def common_neighbor_oracles() -> dict[str, str]:
+    """Top non-adjacent kNN pairs by shared-neighbor count: the same
+    qv/dist/edges CTEs as the triangle oracle, symmetric adjacency
+    self-join, anti join against edges."""
+    from candidategeneration_ray.pipelines.clustering import (
+        CN_TOPK, KMEANS_SCALE, KNN_K)
+
+    return {
+        "common_neighbors": f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+rk AS (
+  SELECT vec_id, nbr_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, nbr_id ASC) AS rank
+  FROM dist
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+  FROM rk WHERE rank <= {KNN_K}
+),
+sadj AS (SELECT u AS x, v AS y FROM edges
+         UNION ALL SELECT v, u FROM edges),
+cn AS (
+  SELECT s1.y AS u, s2.y AS v, CAST(count(*) AS BIGINT) AS n_common
+  FROM sadj s1 JOIN sadj s2 ON s1.x = s2.x AND s1.y < s2.y
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT cn.u, cn.v, cn.n_common
+  FROM cn LEFT JOIN edges e ON e.u = cn.u AND e.v = cn.v
+  WHERE e.u IS NULL)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, n_common
+FROM nonadj
+ORDER BY n_common DESC, u, v
+LIMIT {CN_TOPK}
+""",
+    }

@@ -767,3 +767,58 @@ def q_token_offsets(sf_dir: str, seq_len: int = SEQ_LEN,
     refs = [_offsets.remote(b, int(base), seq_len)
             for b, base in zip(block_refs, bases)]
     return ray.data.from_arrow_refs(refs)
+
+
+def q_sequence_manifest(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset:
+    """The INVERSE of q_token_offsets: one row per fixed-length
+    training sequence — how many docs contribute to it, how many of
+    its token slots are filled, and the first/last contributing doc.
+    This is the manifest a pretraining loader reads to fetch exactly
+    the docs a sequence needs (every seq is full at seq_len tokens
+    except the corpus tail).
+
+    Shape: the row-GENERATING expansion (like windowed_counts_filled):
+    each doc fans out to its (seq_last − seq_first + 1) overlapping
+    sequences inside map_batches — bounded by n_tokens/seq_len + 1
+    rows per doc, so the expansion is ~(total_tokens/seq_len) rows
+    corpus-wide, SMALLER than the input; per-seq contribution =
+    min(doc_end, seq_end) − max(doc_start, seq_start). One O(#seqs)
+    groupby finishes."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    offs = q_token_offsets(sf_dir, seq_len=seq_len)
+    L = np.int64(seq_len)
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy().astype(np.int64)
+        n = batch.column("n_tokens").to_numpy().astype(np.int64)
+        start = batch.column("token_start").to_numpy().astype(np.int64)
+        sf = batch.column("seq_first").to_numpy().astype(np.int64)
+        sl = batch.column("seq_last").to_numpy().astype(np.int64)
+        cnt = sl - sf + 1
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table({"seq_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        row = np.repeat(np.arange(doc.size, dtype=np.int64), cnt)
+        base = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        seq = np.arange(total, dtype=np.int64) - base[row] + sf[row]
+        filled = (np.minimum(start[row] + n[row], (seq + 1) * L)
+                  - np.maximum(start[row], seq * L))
+        return pa.table({
+            "seq_id": pa.array(seq, pa.int64()),
+            "doc_id": pa.array(doc[row], pa.int64()),
+            "n_tokens": pa.array(filled, pa.int64()),
+        })
+
+    return (
+        offs.map_batches(_expand, batch_format="pyarrow")
+        .groupby("seq_id")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Min("doc_id", alias_name="first_doc"),
+            Max("doc_id", alias_name="last_doc"),
+        )
+    )
