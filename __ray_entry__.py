@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_terms": lx.q_prefix_terms,              # wildcard/autocomplete scan
         "fuzzy_terms": lx.q_fuzzy_terms,                # ed<=1 "did you mean"
         "bool_or_docs": lx.q_bool_or_docs,              # m-of-k disjunctive retrieval
+        "bool_diff_docs": lx.q_bool_diff_docs,          # AND-NOT set difference
         "facet_counts": lx.q_facet_counts,              # faceted result counts
         "substring_docs": lx.q_substring_docs,          # trigram-filtered grep
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
@@ -201,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_items": rl.q_returned_items,          # Q10: top-k + point dim attach
         "waiting_suppliers": rl.q_waiting_suppliers,    # Q21: exists/not-exists group rule
         "top_orders_per_customer": rl.q_top_orders_per_customer,  # ROW_NUMBER top-N per group
+        "orders_cube": rl.q_orders_cube,                # CUBE grouping-set lattice
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         # two-level (user, time-slice) plan for monster users; hash-matches
@@ -231,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_transitions": ev.q_type_transitions,  # Markov pair mining
         "sliding_counts": ev.q_sliding_counts,
         "events_pivot": ev.q_events_pivot,              # row->column wide pivot
+        "user_event_paths": ev.q_user_event_paths,      # ordered string_agg journeys
+        "anomalous_days": ev.q_anomalous_days,          # integer-exact z-score outliers
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
         "multimodal_frames": ex.q_multimodal_frames,    # frame-sample stage
@@ -280,6 +284,9 @@ def oracle_sql() -> dict[str, str]:
         sequence_manifest_oracles,
         snapshot_diff_oracles,
         common_neighbor_oracles,
+        bool_diff_oracles,
+        cube_oracles,
+        path_anomaly_oracles,
         transition_oracles,
         triangle_oracles,
         feature_oracles, hits_oracles,
@@ -322,6 +329,8 @@ def oracle_sql() -> dict[str, str]:
             **tpch_joins2_oracles(), **pivot_oracles(),
             **topn_group_oracles(), **sequence_manifest_oracles(),
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
+            **bool_diff_oracles(), **cube_oracles(),
+            **path_anomaly_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),

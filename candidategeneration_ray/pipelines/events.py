@@ -1784,3 +1784,119 @@ def q_events_pivot(sf_dir: str) -> ray.data.Dataset:
                      for t in PIVOT_TYPES],
                    Sum("purchase_cents", alias_name="purchase_cents"))
     )
+
+
+PATH_N = 8
+
+
+def q_user_event_paths(sf_dir: str) -> ray.data.Dataset:
+    """Order-SENSITIVE aggregation (the string_agg ORDER BY shape no
+    other entry exercises): per user, the '>'-joined sequence of their
+    first PATH_N event types in (ts, event_id) order, plus the total
+    event count — the "user journey" feature behavioral models consume.
+
+    Shape: one user-hash bucketed shuffle; per bucket ONE lexsort
+    orders every user's stream, segment boundaries cut the first
+    PATH_N rows per user vectorized, and only the string join is
+    per-user (O(users), bounded at PATH_N short tokens each — the same
+    irreducible string-assembly class as q_snippets)."""
+
+    def _paths(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        et = np.asarray(group.column("event_type").to_pylist(), object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        new = np.empty(u.size, bool)
+        new[:1] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(u.size, dtype=np.int64) - starts[seg]
+        n_events = np.diff(np.concatenate((starts, [u.size])))
+        keep = pos < PATH_N
+        ku, ket = u[keep], et[keep]
+        # kept rows stay (user, pos)-sorted and every user keeps pos 0,
+        # so kept segment starts align 1:1 with `starts`
+        knew = np.empty(ku.size, bool)
+        knew[:1] = True
+        knew[1:] = ku[1:] != ku[:-1]
+        bounds = np.concatenate((np.flatnonzero(knew), [ku.size]))
+        paths = [">".join(ket[bounds[i]:bounds[i + 1]])
+                 for i in range(bounds.size - 1)]
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "path": pa.array(paths, pa.string()),
+            "n_events": pa.array(n_events.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        _with_user_bucket(events_ds(
+            sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+        .groupby("ubucket")
+        .map_groups(_paths, batch_format="pyarrow")
+    )
+
+
+ANOMALY_K = 2
+
+
+def q_anomalous_days(sf_dir: str) -> ray.data.Dataset:
+    """Statistical outlier detection with EXACT integer arithmetic:
+    per event type, the UTC days whose event count deviates from the
+    type's mean by more than ANOMALY_K standard deviations — the
+    z-score test cross-multiplied so no float division or sqrt ever
+    happens:  z² > k²  ⟺  (n·c − S)² > k²·(n·Q − S²)
+    with n = #days the type occurs, S = Σc, Q = Σc² (population over
+    the type's active days; documented). int64 bound: needs
+    n·c < ~3·10⁹ — at a scale past that the partials switch to
+    float128/hugeint (noted, not needed at bench scale).
+
+    Shape: events compress to (type, day, count) partials per batch →
+    one tiny groupby → per-type finalize via a second O(types×days)
+    groupby (each type's day vector fits a task trivially)."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        day = ts // day_us
+        key = np.asarray([t + "\x00" + str(d) for t, d in zip(et, day)],
+                         object)
+        u, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array([k.split("\x00")[0] for k in u],
+                                   pa.string()),
+            "day": pa.array([int(k.split("\x00")[1]) for k in u],
+                            pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+        })
+
+    def _flag(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = group.column("day").to_numpy().astype(np.int64)
+        c = group.column("n_events").to_numpy().astype(np.int64)
+        n = np.int64(c.size)
+        s = np.int64(c.sum())
+        q = np.int64((c * c).sum())
+        dev = n * c - s
+        keep = dev * dev > np.int64(ANOMALY_K * ANOMALY_K) * (n * q - s * s)
+        return pa.table({
+            "event_type": pa.array(
+                [t for t, k in zip(et, keep) if k], pa.string()),
+            "day": pa.array(day[keep], pa.int64()),
+            "n_events": pa.array(c[keep], pa.int64()),
+        })
+
+    return (
+        events_ds(sf_dir, ["ts", "event_type"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .groupby("event_type")
+        .map_groups(_flag, batch_format="pyarrow")
+    )

@@ -352,3 +352,53 @@ def q_substring_docs(sf_dir: str) -> ray.data.Dataset:
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
     ).map_batches(_scan, batch_format="pyarrow")
+
+
+def q_bool_diff_docs(sf_dir: str) -> pa.Table:
+    """AND-NOT boolean retrieval — the negation polarity the boolean
+    surface lacked (AND: bool_and_docs; OR: bool_or_docs): for each
+    fixed query, docs containing its lexicographically FIRST kept term
+    (the anchor) but NONE of its other kept terms. This is the
+    "A minus B" set difference search engines expose as `foo -bar`.
+
+    Shape: serving-side — reads only the queried terms' doc-ordered
+    posting lists from the persisted compressed index; the difference
+    is one sorted-membership mask per excluded list (no corpus scan,
+    no shuffle). Unindexed anchors yield nothing; unindexed excluded
+    terms exclude nothing (matching the relational NOT EXISTS).
+    Returns (query_id, doc_id)."""
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    qids, docs = [], []
+    for qid, text in DOC_QUERIES:
+        terms = sorted(set(tokenize_text(text)))
+        if not terms:
+            continue
+        anchor, rest = terms[0], terms[1:]
+        tid = reader.term_to_id.get(anchor)
+        got = reader.get(int(tid)) if tid is not None else None
+        if got is None:
+            continue
+        cur = got[0]
+        for t in rest:
+            rid = reader.term_to_id.get(t)
+            if rid is None:
+                continue
+            rgot = reader.get(int(rid))
+            if rgot is None:
+                continue
+            cur = cur[~np.isin(cur, rgot[0], assume_unique=True)]
+            if cur.size == 0:
+                break
+        qids.append(np.full(cur.size, qid, np.int64))
+        docs.append(cur.astype(np.int64))
+    if not qids:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
+    return pa.table({
+        "query_id": pa.array(np.concatenate(qids), pa.int64()),
+        "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+    })

@@ -2653,3 +2653,67 @@ def q_top_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
         .groupby("bkt")
         .map_groups(_rank, batch_format="pyarrow")
     )
+
+
+CUBE_ALL = "ALL"
+
+
+def q_orders_cube(sf_dir: str) -> ray.data.Dataset:
+    """CUBE lattice aggregate over (o_orderstatus, o_orderpriority):
+    counts and total cents for every grouping-set level — (s, p), (s),
+    (p), and the grand total — with '{ALL}' as the rolled-up sentinel.
+    Completes the grouping-set family next to nation_rollup (ROLLUP is
+    the prefix chain; CUBE is the full lattice).
+
+    Shape: the lattice derives from the BASE aggregate, never from the
+    fact rows — one compressed groupby to O(status × priority) base
+    rows, then a 4-way expansion of that tiny table and a second
+    O(lattice) groupby. Fact rows are touched once."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        st = np.asarray(batch.column("o_orderstatus").to_pylist(), object)
+        pr = np.asarray(batch.column("o_orderpriority").to_pylist(), object)
+        cents = _cents(batch.column("o_totalprice").to_numpy())
+        key = np.asarray([s + "\x00" + p for s, p in zip(st, pr)], object)
+        u, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "o_orderstatus": pa.array([k.split("\x00")[0] for k in u],
+                                      pa.string()),
+            "o_orderpriority": pa.array([k.split("\x00")[1] for k in u],
+                                        pa.string()),
+            "n_orders": pa.array(n, pa.int64()),
+            "total_cents": pa.array(s, pa.int64()),
+        })
+
+    def _lattice(batch: pa.Table) -> pa.Table:
+        st = np.asarray(batch.column("o_orderstatus").to_pylist(), object)
+        pr = np.asarray(batch.column("o_orderpriority").to_pylist(), object)
+        n = batch.column("n_orders").to_numpy().astype(np.int64)
+        c = batch.column("total_cents").to_numpy().astype(np.int64)
+        all_ = np.full(st.size, CUBE_ALL, object)
+        return pa.table({
+            "o_orderstatus": pa.array(
+                np.concatenate((st, st, all_, all_)).tolist(), pa.string()),
+            "o_orderpriority": pa.array(
+                np.concatenate((pr, all_, pr, all_)).tolist(), pa.string()),
+            "n_orders": pa.array(np.tile(n, 4), pa.int64()),
+            "total_cents": pa.array(np.tile(c, 4), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_cents", alias_name="total_cents"))
+        .map_batches(_lattice, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_cents", alias_name="total_cents"))
+    )

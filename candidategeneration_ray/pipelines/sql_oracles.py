@@ -3761,3 +3761,78 @@ ORDER BY n_common DESC, u, v
 LIMIT {CN_TOPK}
 """,
     }
+
+
+def bool_diff_oracles() -> dict[str, str]:
+    """AND-NOT retrieval: anchor = min kept query token; EXISTS anchor,
+    NOT EXISTS any other kept token."""
+    return {
+        "bool_diff_docs": f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+anchor AS (SELECT query_id, min(tok) AS tok FROM qtok GROUP BY query_id),
+others AS (SELECT q.query_id, q.tok FROM qtok q
+           JOIN anchor a ON a.query_id = q.query_id AND q.tok <> a.tok),
+dt AS (SELECT DISTINCT doc_id, tok FROM kept),
+pos AS (SELECT a.query_id, d.doc_id FROM anchor a JOIN dt d USING (tok)),
+neg AS (SELECT DISTINCT o.query_id, d.doc_id
+        FROM others o JOIN dt d USING (tok))
+SELECT CAST(p.query_id AS BIGINT) AS query_id,
+       CAST(p.doc_id AS BIGINT) AS doc_id
+FROM pos p
+LEFT JOIN neg n ON n.query_id = p.query_id AND n.doc_id = p.doc_id
+WHERE n.query_id IS NULL
+""",
+    }
+
+
+def cube_oracles() -> dict[str, str]:
+    """CUBE lattice with the engine's 'ALL' sentinel via coalesce."""
+    from candidategeneration_ray.pipelines.relational import CUBE_ALL
+
+    return {
+        "orders_cube": f"""
+SELECT coalesce(o_orderstatus, '{CUBE_ALL}') AS o_orderstatus,
+       coalesce(o_orderpriority, '{CUBE_ALL}') AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    }
+
+
+def path_anomaly_oracles() -> dict[str, str]:
+    """Ordered string_agg journeys and the cross-multiplied z² test."""
+    from candidategeneration_ray.pipelines.events import ANOMALY_K, PATH_N
+
+    return {
+        "user_event_paths": f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       string_agg(event_type, '>' ORDER BY rn) AS path,
+       CAST(max(n_events) AS BIGINT) AS n_events
+FROM e WHERE rn <= {PATH_N}
+GROUP BY user_id
+""",
+        "anomalous_days": f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS S,
+             CAST(sum(c * c) AS BIGINT) AS Q
+      FROM d GROUP BY 1)
+SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.c AS n_events
+FROM d JOIN s USING (event_type)
+WHERE (s.n * d.c - s.S) * (s.n * d.c - s.S)
+      > {ANOMALY_K * ANOMALY_K} * (s.n * s.Q - s.S * s.S)
+""",
+    }
