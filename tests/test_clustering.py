@@ -506,3 +506,31 @@ def test_jl_sketch_distance_preservation(ray_session):
     d_sk = ((pj[i] - pj[j]) ** 2).sum(axis=1).astype(float)
     r = np.corrcoef(d_true, d_sk)[0, 1]
     assert r > 0.7, r   # 16-dim JL ⇒ ~25% distortion
+
+
+def test_common_neighbors_brute_force(ray_session):
+    """Top pairs equal a numpy recomputation over the exact kNN edge
+    set at sf0.001: counts, non-adjacency, and the tie-break order."""
+    sf = "/root/testdata/sf0.001"
+    got = cl.q_common_neighbors(sf).to_pandas()
+    edges = cl.q_knn_graph(sf).to_pandas()
+    und = {tuple(sorted((int(a), int(b))))
+           for a, b in zip(edges["vec_id"], edges["nbr_id"])}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    from collections import Counter
+
+    cn = Counter()
+    for x, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cn[(ns[i], ns[j])] += 1
+    cand = [(n, u, v) for (u, v), n in cn.items() if (u, v) not in und]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = cand[:cl.CN_TOPK]
+    assert [(int(r.n_common), int(r.u), int(r.v))
+            for r in got.itertuples()] == want
+    assert all((int(r.u), int(r.v)) not in und for r in got.itertuples())

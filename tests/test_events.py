@@ -865,3 +865,64 @@ def test_type_transitions_random_vs_pandas(ray_session, tmp_path):
         for a, b in zip(et, et[1:]):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+def test_events_pivot_fails_fast_on_unknown_type(ray_session, tmp_path):
+    from candidategeneration_ray.pipelines import events as ev
+
+    t = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array(np.array([0], "datetime64[us]")),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["mystery"], pa.string()),
+        "value": pa.array([1.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    with pytest.raises(Exception, match="PIVOT_TYPES"):
+        ev.q_events_pivot(str(tmp_path)).to_pandas()
+
+
+def test_user_event_paths_brute_force(ray_session):
+    """Engine paths equal a pandas recomputation for every user at
+    sf0.001 (order, truncation, count)."""
+    import pandas as pd
+
+    from candidategeneration_ray.pipelines import events as ev
+
+    sf = "/root/testdata/sf0.001"
+    got = ev.q_user_event_paths(sf).to_pandas() \
+        .set_index("user_id").sort_index()
+    raw = pq.read_table(
+        sf + "/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"]).to_pandas()
+    raw = raw.sort_values(["user_id", "ts", "event_id"])
+    want_path = raw.groupby("user_id")["event_type"] \
+        .apply(lambda s: ">".join(s.iloc[:ev.PATH_N]))
+    want_n = raw.groupby("user_id").size()
+    assert got["path"].equals(want_path.sort_index())
+    assert got["n_events"].astype(int).equals(want_n.sort_index()
+                                              .astype(int))
+
+
+def test_anomalous_days_zscore_brute_force(ray_session):
+    """Flagged (type, day) set equals a float z-score recomputation
+    (strict > k sigma, population variance)."""
+    from candidategeneration_ray.pipelines import events as ev
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["event_type"], int(r["day"]))
+           for r in ev.q_anomalous_days(sf).take_all()}
+    raw = pq.read_table(sf + "/events.parquet",
+                        columns=["ts", "event_type"]).to_pandas()
+    raw["day"] = raw["ts"].astype("int64") // 86_400_000_000
+    counts = raw.groupby(["event_type", "day"]).size().rename("c") \
+        .reset_index()
+    want = set()
+    for et, grp in counts.groupby("event_type"):
+        c = grp["c"].to_numpy(np.float64)
+        mu, var = c.mean(), c.var()
+        for d, ci in zip(grp["day"], c):
+            if (ci - mu) ** 2 > ev.ANOMALY_K ** 2 * var:
+                want.add((et, int(d)))
+    assert got == want

@@ -735,3 +735,50 @@ def test_source_regression_matches_lstsq(ray_session):
             assert row["slope_den"] > 0
             assert abs(row["slope_num"] / row["slope_den"] - slope) < 1e-9
             assert abs(row["icept_num"] / row["icept_den"] - icept) < 1e-9
+
+
+def test_snapshot_diff_generic(ray_session):
+    """The generic two-dataset diff classifies added/removed/changed
+    and never emits unchanged rows."""
+    import ray.data
+
+    from candidategeneration_ray.pipelines.extras import snapshot_diff
+
+    a = ray.data.from_items([
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "beta"},
+        {"doc_id": 3, "text": "gamma"},
+        {"doc_id": 4, "text": "delta"},
+    ])
+    b = ray.data.from_items([
+        {"doc_id": 1, "text": "alpha"},        # unchanged
+        {"doc_id": 2, "text": "beta prime"},   # changed
+        {"doc_id": 4, "text": "delta"},        # unchanged (3 removed)
+        {"doc_id": 5, "text": "epsilon"},      # added
+    ])
+    got = {(r["doc_id"], r["status"])
+           for r in snapshot_diff(a, b).take_all()}
+    assert got == {(2, "changed"), (3, "removed"), (5, "added")}
+
+
+def test_snapshot_diff_statuses_partition_the_churn(ray_session):
+    """Driver entry at sf0.001: statuses are disjoint and counts match
+    the derivation rules exactly."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.extras import q_snapshot_diff
+
+    sf = "/root/testdata/sf0.001"
+    df = q_snapshot_diff(sf).to_pandas()
+    assert df["doc_id"].is_unique or (
+        # an added id never collides with a base id by construction
+        df.groupby("doc_id")["status"].nunique().max() == 1)
+    ids = pq.read_table(sf + "/documents.parquet", columns=["doc_id"]) \
+        .column("doc_id").to_numpy()
+    n_removed = int((ids % 10 == 0).sum())
+    n_changed = int(((ids % 10 != 0) & (ids % 7 == 0)).sum())
+    n_added = int((ids % 13 == 0).sum())
+    counts = df["status"].value_counts().to_dict()
+    assert counts.get("removed", 0) == n_removed
+    assert counts.get("changed", 0) == n_changed
+    assert counts.get("added", 0) == n_added

@@ -585,3 +585,101 @@ def test_order_skyline_random_brute_force(ray_session, tmp_path):
         if not dom:
             keep.append(i)
     assert got == keep and len(keep) > 0
+
+
+def test_waiting_suppliers_group_rule(ray_session, tmp_path):
+    """Pathological polarity cases for the Q21 shape: an order with
+    TWO late suppliers yields nobody; a single-supplier late order
+    yields nobody; only the exactly-one-late multi-supplier 'F' order
+    counts (and non-'F' orders never count)."""
+    import pyarrow.parquet as pq
+
+    day = 86_400_000_000
+    late = (rl.Q21_LATE_DAYS + 10) * day
+    t0 = np.datetime64("1996-01-01", "us").astype(np.int64)
+
+    def ts(us):
+        return np.array([us], "datetime64[us]")[0].astype("datetime64[us]")
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F", "O"], pa.string()),
+        "o_totalprice": pa.array([1.0] * 4, pa.float64()),
+        "o_orderdate": pa.array(
+            np.full(4, t0).astype("datetime64[us]")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+    })
+    li_rows = [
+        # order 1: suppliers 10 (late), 11 (on time)  -> supplier 10 counts
+        (1, 10, t0 + late), (1, 11, t0 + day),
+        # order 2: suppliers 10, 11 both late         -> nobody
+        (2, 10, t0 + late), (2, 11, t0 + late),
+        # order 3: single supplier 12, late           -> nobody (no coworker)
+        (3, 12, t0 + late),
+        # order 4: status 'O', supplier 10 late among two -> nobody
+        (4, 10, t0 + late), (4, 13, t0 + day),
+    ]
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in li_rows], pa.int64()),
+        "l_shipdate": pa.array(
+            np.array([r[2] for r in li_rows], np.int64)
+            .astype("datetime64[us]")),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "s_name": pa.array([f"SUPP_{i}" for i in (10, 11, 12, 13)],
+                           pa.string()),
+        "s_nationkey": pa.array([0, 0, 0, 0], pa.int32()),
+        "s_acctbal": pa.array([0.0] * 4, pa.float64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"))
+    pq.write_table(supplier, os.path.join(d, "supplier.parquet"))
+    out = rl.q_waiting_suppliers(d).to_pydict()
+    assert out["s_name"] == ["SUPP_10"]
+    assert out["numwait"] == [1]
+
+
+def test_top_orders_per_customer_rank_semantics(ray_session):
+    """Every customer keeps <= N rows, ranks are 1..k dense, and rank 1
+    is that customer's max-cents order with orderkey tie-break."""
+    df = rl.q_top_orders_per_customer(SF_DIR).to_pandas()
+    g = df.groupby("c_custkey")
+    assert int(g.size().max()) <= rl.TOPN_PER_CUSTOMER
+    for _, grp in list(g)[:50]:
+        grp = grp.sort_values("rnk")
+        assert grp["rnk"].tolist() == list(range(1, len(grp) + 1))
+        top = grp.iloc[0]
+        rest = grp.iloc[1:]
+        assert (rest["total_cents"] < top["total_cents"]).all() or (
+            (rest["total_cents"] <= top["total_cents"]).all()
+            and (rest[rest["total_cents"] == top["total_cents"]]
+                 ["o_orderkey"] > top["o_orderkey"]).all())
+
+
+def test_orders_cube_lattice_consistency(ray_session):
+    """Every rolled-up level must re-aggregate exactly from the base
+    level, and the grand total must equal the order count."""
+    import pyarrow.parquet as pq
+
+    df = rl.q_orders_cube(SF_DIR).to_pandas()
+    base = df[(df["o_orderstatus"] != rl.CUBE_ALL)
+              & (df["o_orderpriority"] != rl.CUBE_ALL)]
+    by_status = df[(df["o_orderstatus"] != rl.CUBE_ALL)
+                   & (df["o_orderpriority"] == rl.CUBE_ALL)]
+    by_prio = df[(df["o_orderstatus"] == rl.CUBE_ALL)
+                 & (df["o_orderpriority"] != rl.CUBE_ALL)]
+    total = df[(df["o_orderstatus"] == rl.CUBE_ALL)
+               & (df["o_orderpriority"] == rl.CUBE_ALL)]
+    want = base.groupby("o_orderstatus")["n_orders"].sum()
+    got = by_status.set_index("o_orderstatus")["n_orders"]
+    assert got.sort_index().equals(want.sort_index())
+    want_c = base.groupby("o_orderpriority")["total_cents"].sum()
+    got_c = by_prio.set_index("o_orderpriority")["total_cents"]
+    assert got_c.sort_index().equals(want_c.sort_index())
+    n = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                      columns=["o_orderkey"]).num_rows
+    assert len(total) == 1 and int(total["n_orders"].iloc[0]) == n

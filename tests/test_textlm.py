@@ -186,3 +186,20 @@ def test_token_offsets_contiguous_and_block_invariant(ray_session):
     other = tl.q_token_offsets(sf, num_blocks=3).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert other.equals(got)
+
+
+def test_sequence_manifest_conservation(ray_session):
+    """Sequence manifests conserve tokens: Σ n_tokens == corpus kept
+    tokens, every non-final sequence is exactly full, seq ids are the
+    dense range, and doc spans nest (first_doc <= last_doc)."""
+    import pyarrow.parquet as pq
+
+    df = tl.q_sequence_manifest(SF_DIR).to_pandas().sort_values("seq_id")
+    texts = pq.read_table(SF_DIR + "/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    total = sum(len(t) for t in tokenize_many(texts))
+    assert int(df["n_tokens"].sum()) == total
+    assert df["seq_id"].tolist() == list(range(len(df)))
+    assert (df["n_tokens"].iloc[:-1] == tl.SEQ_LEN).all()
+    assert 0 < int(df["n_tokens"].iloc[-1]) <= tl.SEQ_LEN
+    assert (df["first_doc"] <= df["last_doc"]).all()
