@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": rl.q_waiting_suppliers,    # Q21: exists/not-exists group rule
         "top_orders_per_customer": rl.q_top_orders_per_customer,  # ROW_NUMBER top-N per group
         "orders_cube": rl.q_orders_cube,                # CUBE grouping-set lattice
+        "order_global_rank": rl.q_order_global_rank,    # global rank via range blocks
+        "stratified_budget": rl.q_stratified_budget,    # Hamilton budget allocation
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         # two-level (user, time-slice) plan for monster users; hash-matches
@@ -287,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         bool_diff_oracles,
         cube_oracles,
         path_anomaly_oracles,
+        global_rank_oracles,
         transition_oracles,
         triangle_oracles,
         feature_oracles, hits_oracles,
@@ -330,7 +333,7 @@ def oracle_sql() -> dict[str, str]:
             **topn_group_oracles(), **sequence_manifest_oracles(),
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
             **bool_diff_oracles(), **cube_oracles(),
-            **path_anomaly_oracles(),
+            **path_anomaly_oracles(), **global_rank_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),

@@ -2717,3 +2717,111 @@ def q_orders_cube(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("total_cents", alias_name="total_cents"))
     )
+
+
+def q_order_global_rank(sf_dir: str, num_blocks: int = 32) -> ray.data.Dataset:
+    """GLOBAL dense row-number over a distributed sort — the total-
+    ordering primitive (sample-sort shape) the surface only used
+    internally (token_offsets): every order's exact global rank by
+    (total_cents desc, o_orderkey asc).
+
+    Shape: distributed range-partitioned sort → `num_blocks` ordered
+    blocks stay in the object store → the driver holds ONLY per-block
+    row counts and their exclusive prefix (O(num_blocks)); each block
+    adds its base to a local arange. No driver materialization, no
+    sequential scan — rank assignment is embarrassingly parallel after
+    the one sort."""
+    def _rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pa.array(
+                batch.column("o_orderkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "total_cents": pa.array(
+                _cents(batch.column("o_totalprice").to_numpy()),
+                pa.int64()),
+        })
+
+    mat = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"])
+        .map_batches(_rows, batch_format="pyarrow")
+        .sort(key=["total_cents", "o_orderkey"], descending=[True, False])
+        .repartition(num_blocks)
+        .materialize()
+    )
+    block_refs = list(mat.get_internal_block_refs())
+
+    @ray.remote
+    def _count(block) -> int:
+        t = block if hasattr(block, "column") else block.to_arrow()
+        return int(t.num_rows)
+
+    counts = np.array(ray.get([_count.remote(b) for b in block_refs]),
+                      np.int64)
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    @ray.remote
+    def _rank(block, base: int) -> pa.Table:
+        t = block if hasattr(block, "column") else block.to_arrow()
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "total_cents": t.column("total_cents"),
+            "rnk": pa.array(
+                base + 1 + np.arange(t.num_rows, dtype=np.int64),
+                pa.int64()),
+        })
+
+    refs = [_rank.remote(b, int(base))
+            for b, base in zip(block_refs, bases)]
+    return ray.data.from_arrow_refs(refs)
+
+
+STRAT_BUDGET = 10_000
+
+
+def q_stratified_budget(sf_dir: str,
+                        budget: int = STRAT_BUDGET) -> pa.Table:
+    """Exact integer budget allocation across strata — Hamilton's
+    largest-remainder method (the deterministic way to split a sample
+    budget of B docs proportionally across sources with NO fractional
+    seats): base_i = B·n_i // N, then the B − Σbase leftover units go
+    to the largest remainders (B·n_i mod N), ties by source name asc.
+    Σ alloc == B exactly — the property proportional-float rounding
+    can't give. This is the planning half of mixture sampling
+    (source_sample executes a rate; this chooses the rates).
+
+    Shape: one compressed groupby to O(sources) counts; the
+    allocation itself is O(sources) driver arithmetic (documented
+    tiny — sources number in the hundreds at any scale)."""
+    from ray.data.aggregate import Count
+
+    rows = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+        .take_all()
+    )
+    src = np.asarray([r["source"] for r in rows], object)
+    n = np.array([r["n_docs"] for r in rows], np.int64)
+    order = np.argsort(src)
+    src, n = src[order], n[order]
+    total = np.int64(n.sum())
+    b = np.int64(budget)
+    base = b * n // total
+    rem = b * n % total
+    extra = int(b - base.sum())
+    # largest remainder, ties by source asc (src already sorted)
+    give = np.zeros(n.size, np.int64)
+    if extra > 0:
+        winners = np.lexsort((np.arange(n.size), -rem))[:extra]
+        give[winners] = 1
+    alloc = base + give
+    assert int(alloc.sum()) == budget
+    return pa.table({
+        "source": pa.array(src.tolist(), pa.string()),
+        "n_docs": pa.array(n, pa.int64()),
+        "alloc": pa.array(alloc, pa.int64()),
+    })

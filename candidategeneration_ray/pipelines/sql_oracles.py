@@ -3836,3 +3836,35 @@ WHERE (s.n * d.c - s.S) * (s.n * d.c - s.S)
       > {ANOMALY_K * ANOMALY_K} * (s.n * s.Q - s.S * s.S)
 """,
     }
+
+
+def global_rank_oracles() -> dict[str, str]:
+    """Global row-number over the full sort, and Hamilton allocation."""
+    from candidategeneration_ray.pipelines.relational import STRAT_BUDGET
+
+    return {
+        "order_global_rank": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       CAST(row_number() OVER (
+              ORDER BY round(o_totalprice * 100) DESC, o_orderkey)
+            AS BIGINT) AS rnk
+FROM orders
+""",
+        "stratified_budget": f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+q AS (SELECT source, n,
+             ({STRAT_BUDGET} * n) // t.tot AS base,
+             ({STRAT_BUDGET} * n) % t.tot AS rem
+      FROM c, t),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q),
+d AS (SELECT {STRAT_BUDGET} - sum(base) AS extra FROM q)
+SELECT source, n AS n_docs,
+       CAST(base + CASE WHEN rk <= d.extra THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r, d
+""",
+    }

@@ -683,3 +683,29 @@ def test_orders_cube_lattice_consistency(ray_session):
     n = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
                       columns=["o_orderkey"]).num_rows
     assert len(total) == 1 and int(total["n_orders"].iloc[0]) == n
+
+
+def test_order_global_rank_is_permutation(ray_session):
+    """Ranks are exactly 1..N, and rank order matches
+    (cents desc, orderkey asc) — block-count independent."""
+    df = rl.q_order_global_rank(SF_DIR, num_blocks=5).to_pandas()
+    n = len(df)
+    assert sorted(df["rnk"].tolist()) == list(range(1, n + 1))
+    df = df.sort_values("rnk")
+    c = df["total_cents"].to_numpy()
+    k = df["o_orderkey"].to_numpy()
+    assert ((c[:-1] > c[1:]) | ((c[:-1] == c[1:]) & (k[:-1] < k[1:]))).all()
+    df2 = rl.q_order_global_rank(SF_DIR, num_blocks=17).to_pandas() \
+        .sort_values("rnk")
+    assert df2["o_orderkey"].tolist() == df["o_orderkey"].tolist()
+
+
+def test_stratified_budget_sums_and_fairness(ray_session):
+    """Allocation sums to the budget exactly and never misses a
+    stratum's proportional share by more than one unit."""
+    t = rl.q_stratified_budget(SF_DIR).to_pandas()
+    B = rl.STRAT_BUDGET
+    total = int(t["n_docs"].sum())
+    assert int(t["alloc"].sum()) == B
+    lo = (B * t["n_docs"]) // total
+    assert ((t["alloc"] == lo) | (t["alloc"] == lo + 1)).all()
