@@ -112,9 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": ex.q_langid,
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
-        "corpus_digest": ex.q_corpus_digest,
+        "corpus_digest": ex.q_corpus_digest,            # order-insensitive row-hash digest
         "snapshot_diff": ex.q_snapshot_diff,            # versioned-table diff by key
-   # order-insensitive row-hash digest
         "doc_chunks": ex.q_doc_chunks,          # flat-map chunker (RAG shape)
         "column_profile": ex.q_column_profile,  # schema-drift validation
         "similar_docs": ex.q_similar_docs,      # broadcast-probe Jaccard search
@@ -152,9 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_embeddings": cl.q_term_embeddings,    # cross-modal term centroids
         "pagerank": cl.q_pagerank,                  # integer PageRank over kNN graph
         "personalized_pagerank": cl.q_personalized_pagerank,  # seeded teleport
-        "triangle_counts": cl.q_triangle_counts,
+        "triangle_counts": cl.q_triangle_counts,        # graph-motif wedge-check
         "common_neighbors": cl.q_common_neighbors,      # link prediction (wedge anti)
-    # graph-motif wedge-check
         "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
         "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
         "ivf_delta_counts": ivfd.q_ivf_delta_counts,  # IVF LSM: frozen-codebook delta
@@ -165,9 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top50": tl.q_pmi_top50,                # PMI collocation mining
         "mixture_select": tl.q_mixture_select,      # budgeted per-source selection
         "tfidf_top3": tl.q_tfidf_top3,              # per-doc keyword extraction
-        "token_offsets": tl.q_token_offsets,
+        "token_offsets": tl.q_token_offsets,            # sequence-packing offsets
         "sequence_manifest": tl.q_sequence_manifest,    # inverse seq->docs manifest
-        # sequence-packing offsets
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
         # --- relational / warehouse surface (TPC-H-shaped tables) ---

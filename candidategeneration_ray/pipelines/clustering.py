@@ -959,29 +959,16 @@ def q_term_embeddings(sf_dir: str, top_m: int = 20) -> pa.Table:
 
 
 TRI_PAIR_BUCKETS = 64
+TRI_NODE_BUCKETS = 64
 
 
-def q_triangle_counts(sf_dir: str) -> ray.data.Dataset:
-    """Per-node triangle counts over the UNDIRECTED kNN graph — the
-    graph-motif aggregation shape (the local clustering-coefficient
-    numerator used for graph-based quality/diversity filtering). A
-    triangle {x,y,z} exists when all three undirected edges do; each
-    node's count is the number of triangles containing it.
-
-    Shape: the classic distributed wedge-check (node-iterator) plan —
-    (1) kNN edges symmetrize + distinct through one groupby;
-    (2) adjacency buckets by node hash, each node emits its sorted
-    neighbor PAIRS (wedges, apex attached) — O(Σ deg²) rows, bounded
-    because kNN degree <= 2k; (3) wedges and edges union-tag into
-    pair-hash buckets where one sorted membership test marks closed
-    wedges; each triangle closes exactly once per apex, so per-apex
-    match counts ARE per-node triangle counts (partial rows →
-    groupby(vec_id) sum). No adjacency ever materializes on the
-    driver; skew ceiling is max-degree², not graph size."""
-    from ray.data.aggregate import Count, Sum
+def _knn_undirected_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Symmetrized, distinct undirected edge set of the kNN graph —
+    shared by the wedge-based motif operators (triangles, common
+    neighbors)."""
+    from ray.data.aggregate import Count
 
     knn = q_knn_graph(sf_dir)
-    npb = TRI_PAIR_BUCKETS
 
     def _sym_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("vec_id").to_numpy().astype(np.int64)
@@ -995,9 +982,19 @@ def q_triangle_counts(sf_dir: str) -> ray.data.Dataset:
             "v": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
         })
 
-    edges = (knn.map_batches(_sym_edges, batch_format="pyarrow")
-             .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
-             .select_columns(["u", "v"]))
+    return (knn.map_batches(_sym_edges, batch_format="pyarrow")
+            .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+            .select_columns(["u", "v"]))
+
+
+def _wedge_edge_union(edges: "ray.data.Dataset",
+                      npb: int = TRI_PAIR_BUCKETS) -> "ray.data.Dataset":
+    """Pair-hash-bucketed union of wedge rows and edge rows over the
+    undirected edge set — the shared front half of every wedge-check
+    plan. Schema: (pbucket, pkey, apex) where apex >= 0 marks a wedge
+    (its apex node) and apex == -1 marks an adjacency row; all copies
+    of a pair land in one pbucket, so per-bucket counting is
+    bucket-complete. O(Σ deg²) wedges, bounded by kNN degree <= 2k."""
 
     def _adj_rows(batch: pa.Table) -> pa.Table:
         u = batch.column("u").to_numpy().astype(np.int64)
@@ -1007,7 +1004,8 @@ def q_triangle_counts(sf_dir: str) -> ray.data.Dataset:
         hh = node.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         hh ^= hh >> np.uint64(29)
         return pa.table({
-            "nbucket": pa.array((hh % np.uint64(64)).astype(np.int32)),
+            "nbucket": pa.array(
+                (hh % np.uint64(TRI_NODE_BUCKETS)).astype(np.int32)),
             "node": pa.array(node, pa.int64()),
             "nbr": pa.array(nbr, pa.int64()),
         })
@@ -1057,6 +1055,33 @@ def q_triangle_counts(sf_dir: str) -> ray.data.Dataset:
         return batch.append_column(
             "pbucket", pa.array((hh % np.uint64(npb)).astype(np.int32)))
 
+    wedges = (edges.map_batches(_adj_rows, batch_format="pyarrow")
+              .groupby("nbucket").map_groups(_wedges,
+                                             batch_format="pyarrow"))
+    return (wedges
+            .union(edges.map_batches(_edge_keys, batch_format="pyarrow"))
+            .map_batches(_pbucket, batch_format="pyarrow"))
+
+
+def q_triangle_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-node triangle counts over the UNDIRECTED kNN graph — the
+    graph-motif aggregation shape (the local clustering-coefficient
+    numerator used for graph-based quality/diversity filtering). A
+    triangle {x,y,z} exists when all three undirected edges do; each
+    node's count is the number of triangles containing it.
+
+    Shape: the classic distributed wedge-check (node-iterator) plan —
+    (1) kNN edges symmetrize + distinct through one groupby;
+    (2) adjacency buckets by node hash, each node emits its sorted
+    neighbor PAIRS (wedges, apex attached) — O(Σ deg²) rows, bounded
+    because kNN degree <= 2k; (3) wedges and edges union-tag into
+    pair-hash buckets where one sorted membership test marks closed
+    wedges; each triangle closes exactly once per apex, so per-apex
+    match counts ARE per-node triangle counts (partial rows →
+    groupby(vec_id) sum). No adjacency ever materializes on the
+    driver; skew ceiling is max-degree², not graph size."""
+    from ray.data.aggregate import Sum
+
     def _close(group: pa.Table) -> pa.Table:
         pkey = group.column("pkey").to_numpy().astype(np.int64)
         apex = group.column("apex").to_numpy().astype(np.int64)
@@ -1074,11 +1099,8 @@ def q_triangle_counts(sf_dir: str) -> ray.data.Dataset:
             "n_triangles": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    wedges = (edges.map_batches(_adj_rows, batch_format="pyarrow")
-              .groupby("nbucket").map_groups(_wedges, batch_format="pyarrow"))
     return (
-        wedges.union(edges.map_batches(_edge_keys, batch_format="pyarrow"))
-        .map_batches(_pbucket, batch_format="pyarrow")
+        _wedge_edge_union(_knn_undirected_edges(sf_dir))
         .groupby("pbucket").map_groups(_close, batch_format="pyarrow")
         .groupby("vec_id")
         .aggregate(Sum("n_triangles", alias_name="n_triangles"))
@@ -1676,94 +1698,14 @@ def q_common_neighbors(sf_dir: str, k_out: int = CN_TOPK) -> pa.Table:
     DROPS pairs that are edges (the anti test is one sorted membership
     probe). Pair counts are bucket-complete, so the global answer is a
     dataset-side sort/limit over O(distinct candidate pairs) rows."""
-    from ray.data.aggregate import Count, Sum
-
-    knn = q_knn_graph(sf_dir)
-    npb = TRI_PAIR_BUCKETS
-
-    def _sym_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column("vec_id").to_numpy().astype(np.int64)
-        b = batch.column("nbr_id").to_numpy().astype(np.int64)
-        u = np.minimum(a, b)
-        v = np.maximum(a, b)
-        key = (u << np.int64(32)) | v
-        uk = np.unique(key)
-        return pa.table({
-            "u": pa.array(uk >> np.int64(32), pa.int64()),
-            "v": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
-        })
-
-    edges = (knn.map_batches(_sym_edges, batch_format="pyarrow")
-             .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
-             .select_columns(["u", "v"]))
-
-    def _adj_rows(batch: pa.Table) -> pa.Table:
-        u = batch.column("u").to_numpy().astype(np.int64)
-        v = batch.column("v").to_numpy().astype(np.int64)
-        node = np.concatenate((u, v))
-        nbr = np.concatenate((v, u))
-        hh = node.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        hh ^= hh >> np.uint64(29)
-        return pa.table({
-            "nbucket": pa.array((hh % np.uint64(64)).astype(np.int32)),
-            "node": pa.array(node, pa.int64()),
-            "nbr": pa.array(nbr, pa.int64()),
-        })
-
-    def _wedges(group: pa.Table) -> pa.Table:
-        node = group.column("node").to_numpy().astype(np.int64)
-        nbr = group.column("nbr").to_numpy().astype(np.int64)
-        order = np.lexsort((nbr, node))
-        node, nbr = node[order], nbr[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], node[1:] != node[:-1])))
-        counts = np.diff(np.concatenate((starts, [node.size])))
-        out_a, out_b = [], []
-        for c in np.unique(counts):
-            if c < 2:
-                continue
-            s_c = starts[counts == c]
-            mat = nbr[s_c[:, None] + np.arange(c)]
-            ia, ib = np.triu_indices(int(c), k=1)
-            out_a.append(mat[:, ia].ravel())
-            out_b.append(mat[:, ib].ravel())
-        if not out_a:
-            return pa.table({"pkey": pa.array([], pa.int64()),
-                             "is_edge": pa.array([], pa.int64())})
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        return pa.table({
-            "pkey": pa.array((a << np.int64(32)) | b, pa.int64()),
-            "is_edge": pa.array(np.zeros(a.size, np.int64), pa.int64()),
-        })
-
-    def _edge_keys(batch: pa.Table) -> pa.Table:
-        u = batch.column("u").to_numpy().astype(np.int64)
-        v = batch.column("v").to_numpy().astype(np.int64)
-        if u.size and (int(u.max()) >= 1 << 31 or int(v.max()) >= 1 << 31):
-            raise ValueError("packed pair key needs vec_id < 2^31")
-        return pa.table({
-            "pkey": pa.array((u << np.int64(32)) | v, pa.int64()),
-            "is_edge": pa.array(np.ones(u.size, np.int64), pa.int64()),
-        })
-
-    def _pbucket(batch: pa.Table) -> pa.Table:
-        k = batch.column("pkey").to_numpy().astype(np.uint64)
-        hh = k * np.uint64(0x9E3779B97F4A7C15)
-        hh ^= hh >> np.uint64(29)
-        return batch.append_column(
-            "pbucket", pa.array((hh % np.uint64(npb)).astype(np.int32)))
 
     def _count_nonedges(group: pa.Table) -> pa.Table:
         pkey = group.column("pkey").to_numpy().astype(np.int64)
-        is_edge = group.column("is_edge").to_numpy().astype(np.int64) == 1
+        apex = group.column("apex").to_numpy().astype(np.int64)
+        is_edge = apex < 0
         ek = np.unique(pkey[is_edge])
         wk = pkey[~is_edge]
-        if wk.size == 0:
-            return pa.table({"u": pa.array([], pa.int64()),
-                             "v": pa.array([], pa.int64()),
-                             "n_common": pa.array([], pa.int64())})
-        if ek.size:
+        if wk.size and ek.size:
             idx = np.minimum(np.searchsorted(ek, wk), ek.size - 1)
             wk = wk[ek[idx] != wk]
         if wk.size == 0:
@@ -1777,11 +1719,8 @@ def q_common_neighbors(sf_dir: str, k_out: int = CN_TOPK) -> pa.Table:
             "n_common": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    wedges = (edges.map_batches(_adj_rows, batch_format="pyarrow")
-              .groupby("nbucket").map_groups(_wedges, batch_format="pyarrow"))
     top = (
-        wedges.union(edges.map_batches(_edge_keys, batch_format="pyarrow"))
-        .map_batches(_pbucket, batch_format="pyarrow")
+        _wedge_edge_union(_knn_undirected_edges(sf_dir))
         .groupby("pbucket").map_groups(_count_nonedges,
                                        batch_format="pyarrow")
         .sort(key=["n_common", "u", "v"], descending=[True, False, False])

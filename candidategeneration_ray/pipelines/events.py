@@ -1864,15 +1864,17 @@ def q_anomalous_days(sf_dir: str) -> ray.data.Dataset:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
         et = np.asarray(batch.column("event_type").to_pylist(), object)
         day = ts // day_us
-        key = np.asarray([t + "\x00" + str(d) for t, d in zip(et, day)],
-                         object)
-        u, inv = np.unique(key, return_inverse=True)
+        # vectorized factorize + integer pack (day spans are bounded;
+        # the pack normalizes to the batch-local day range)
+        ut, ti = np.unique(et, return_inverse=True)
+        d0 = np.int64(day.min()) if day.size else np.int64(0)
+        span = np.int64(day.max()) - d0 + 1 if day.size else np.int64(1)
+        code = ti.astype(np.int64) * span + (day - d0)
+        u, inv = np.unique(code, return_inverse=True)
         n = np.bincount(inv).astype(np.int64)
         return pa.table({
-            "event_type": pa.array([k.split("\x00")[0] for k in u],
-                                   pa.string()),
-            "day": pa.array([int(k.split("\x00")[1]) for k in u],
-                            pa.int64()),
+            "event_type": pa.array(ut[u // span].tolist(), pa.string()),
+            "day": pa.array(u % span + d0, pa.int64()),
             "n_events": pa.array(n, pa.int64()),
         })
 

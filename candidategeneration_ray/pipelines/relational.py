@@ -2033,6 +2033,13 @@ def q_volume_shipping(sf_dir: str) -> pa.Table:
     ka, kb = name2key[Q7_NATION_A], name2key[Q7_NATION_B]
     pair = np.array(sorted((ka, kb)), np.int64)
     supp_ref = _supplier_nation_ref(sf_dir)
+    # year-pack base/width derived from the window, not hardcoded: a
+    # wider window must widen the pack, never silently corrupt keys
+    ybase = int(Q7_SHIP_LO[:4])
+    yspan = int(Q7_SHIP_HI[:4]) - ybase + 1
+    if yspan > 16:
+        raise ValueError("Q7 ship window spans > 16 years; widen the "
+                         "year pack before extending the window")
 
     def _cust_rows(batch: pa.Table) -> pa.Table:
         ck = batch.column("c_custkey").to_numpy().astype(np.int64)
@@ -2096,7 +2103,7 @@ def q_volume_shipping(sf_dir: str) -> pa.Table:
         # nationkey < 64 by schema; years span < 16 here (pack bound
         # documented: okey < 2^52 keeps the packed key inside int64 —
         # beyond that, pack into two int64 columns and lexsort instead)
-        pk = (lok * np.int64(64) + snat) * np.int64(16) + (year - 1995)
+        pk = (lok * np.int64(64) + snat) * np.int64(16) + (year - ybase)
         u, inv = np.unique(pk, return_inverse=True)
         s = np.zeros(u.size, np.int64)
         np.add.at(s, inv, rev)
@@ -2105,7 +2112,7 @@ def q_volume_shipping(sf_dir: str) -> pa.Table:
             "bkt": pa.array(ok_u % nb, pa.int64()),
             "okey": pa.array(ok_u, pa.int64()),
             "nat": pa.array((u // 16) % 64, pa.int64()),
-            "year": pa.array(u % 16 + 1995, pa.int64()),
+            "year": pa.array(u % 16 + ybase, pa.int64()),
             "rev": pa.array(s, pa.int64()),
         })
 
@@ -2131,14 +2138,14 @@ def q_volume_shipping(sf_dir: str) -> pa.Table:
                              "l_year": pa.array([], pa.int64()),
                              "revenue_milli": pa.array([], pa.int64())})
         sn_h, cn_h, y_h, v_h = psn[hit], bn[idx[hit]], py[hit], pv[hit]
-        key = (sn_h * np.int64(64) + cn_h) * np.int64(16) + (y_h - 1995)
+        key = (sn_h * np.int64(64) + cn_h) * np.int64(16) + (y_h - ybase)
         u, inv = np.unique(key, return_inverse=True)
         s = np.zeros(u.size, np.int64)
         np.add.at(s, inv, v_h)
         return pa.table({
             "snat": pa.array((u // 16) // 64, pa.int64()),
             "cnat": pa.array((u // 16) % 64, pa.int64()),
-            "l_year": pa.array(u % 16 + 1995, pa.int64()),
+            "l_year": pa.array(u % 16 + ybase, pa.int64()),
             "revenue_milli": pa.array(s, pa.int64()),
         })
 
@@ -2583,8 +2590,13 @@ def q_waiting_suppliers(sf_dir: str) -> pa.Table:
         .limit(Q21_TOPK)
         .take_all()
     )
-    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                         columns=["s_suppkey", "s_name"])
+    keys = [int(r["s_suppkey"]) for r in agg]
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", keys)]) if keys else \
+        pa.table({"s_suppkey": pa.array([], pa.int64()),
+                  "s_name": pa.array([], pa.string())})
     name = {r["s_suppkey"]: r["s_name"] for r in supp.to_pylist()}
     return pa.table({
         "s_suppkey": pa.array([int(r["s_suppkey"]) for r in agg],
@@ -2675,15 +2687,19 @@ def q_orders_cube(sf_dir: str) -> ray.data.Dataset:
         st = np.asarray(batch.column("o_orderstatus").to_pylist(), object)
         pr = np.asarray(batch.column("o_orderpriority").to_pylist(), object)
         cents = _cents(batch.column("o_totalprice").to_numpy())
-        key = np.asarray([s + "\x00" + p for s, p in zip(st, pr)], object)
-        u, inv = np.unique(key, return_inverse=True)
+        # vectorized two-column factorize + integer pack (no per-row
+        # string keys in the hot path)
+        us, si = np.unique(st, return_inverse=True)
+        up, pi = np.unique(pr, return_inverse=True)
+        code = si.astype(np.int64) * up.size + pi
+        u, inv = np.unique(code, return_inverse=True)
         n = np.bincount(inv).astype(np.int64)
         s = np.zeros(u.size, np.int64)
         np.add.at(s, inv, cents)
         return pa.table({
-            "o_orderstatus": pa.array([k.split("\x00")[0] for k in u],
+            "o_orderstatus": pa.array(us[u // up.size].tolist(),
                                       pa.string()),
-            "o_orderpriority": pa.array([k.split("\x00")[1] for k in u],
+            "o_orderpriority": pa.array(up[u % up.size].tolist(),
                                         pa.string()),
             "n_orders": pa.array(n, pa.int64()),
             "total_cents": pa.array(s, pa.int64()),
@@ -2741,29 +2757,17 @@ def q_order_global_rank(sf_dir: str, num_blocks: int = 32) -> ray.data.Dataset:
                 pa.int64()),
         })
 
-    mat = (
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    ds = (
         ray.data.read_parquet(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_totalprice"])
         .map_batches(_rows, batch_format="pyarrow")
         .sort(key=["total_cents", "o_orderkey"], descending=[True, False])
-        .repartition(num_blocks)
-        .materialize()
     )
-    block_refs = list(mat.get_internal_block_refs())
 
-    @ray.remote
-    def _count(block) -> int:
-        t = block if hasattr(block, "column") else block.to_arrow()
-        return int(t.num_rows)
-
-    counts = np.array(ray.get([_count.remote(b) for b in block_refs]),
-                      np.int64)
-    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
-
-    @ray.remote
-    def _rank(block, base: int) -> pa.Table:
-        t = block if hasattr(block, "column") else block.to_arrow()
+    def _emit(t: pa.Table, base: int) -> pa.Table:
         return pa.table({
             "o_orderkey": t.column("o_orderkey"),
             "total_cents": t.column("total_cents"),
@@ -2772,9 +2776,8 @@ def q_order_global_rank(sf_dir: str, num_blocks: int = 32) -> ray.data.Dataset:
                 pa.int64()),
         })
 
-    refs = [_rank.remote(b, int(base))
-            for b, base in zip(block_refs, bases)]
-    return ray.data.from_arrow_refs(refs)
+    return blocked_prefix_apply(ds, num_blocks,
+                                lambda t: t.num_rows, _emit)
 
 
 STRAT_BUDGET = 10_000

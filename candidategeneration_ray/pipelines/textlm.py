@@ -724,28 +724,20 @@ def q_token_offsets(sf_dir: str, seq_len: int = SEQ_LEN,
             "n_tokens": pa.array(n[keep], pa.int64()),
         })
 
-    mat = (
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    ds = (
         documents_ds(sf_dir)
         .map_batches(_counts, batch_format="pyarrow")
         .sort("doc_id")
-        .repartition(num_blocks)
-        .materialize()
     )
-    block_refs = list(mat.get_internal_block_refs())
 
-    @ray.remote
-    def _total(block) -> int:
-        t = block if hasattr(block, "column") else block.to_arrow()
+    def _total(t: pa.Table) -> int:
         return int(t.column("n_tokens").to_numpy().sum()) \
             if t.num_rows else 0
 
-    totals = np.array(ray.get([_total.remote(b) for b in block_refs]),
-                      np.int64)
-    bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
-
-    @ray.remote
-    def _offsets(block, base: int, L: int) -> pa.Table:
-        t = block if hasattr(block, "column") else block.to_arrow()
+    def _emit(t: pa.Table, base: int) -> pa.Table:
+        L = seq_len
         if t.num_rows == 0:
             return pa.table({
                 "doc_id": pa.array([], pa.int64()),
@@ -764,9 +756,7 @@ def q_token_offsets(sf_dir: str, seq_len: int = SEQ_LEN,
             "seq_last": pa.array((start + n - 1) // L, pa.int64()),
         })
 
-    refs = [_offsets.remote(b, int(base), seq_len)
-            for b, base in zip(block_refs, bases)]
-    return ray.data.from_arrow_refs(refs)
+    return blocked_prefix_apply(ds, num_blocks, _total, _emit)
 
 
 def q_sequence_manifest(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset:

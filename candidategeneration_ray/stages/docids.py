@@ -284,3 +284,41 @@ def attach_doc_ids(ds: ray.data.Dataset, offsets_ref) -> ray.data.Dataset:
         return batch.append_column("doc_id", pa.array(doc_id, pa.int64()))
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def blocked_prefix_apply(ds_sorted: ray.data.Dataset, num_blocks: int,
+                         total_fn, emit_fn) -> ray.data.Dataset:
+    """The range-blocked global prefix-sum pattern, factored once (the
+    scaffolding conv_offsets_scalable / rank_prior_scalable /
+    token_offsets / order_global_rank all share): a SORTED dataset is
+    split into `num_blocks` order-preserving blocks that stay in the
+    object store; `total_fn(table) -> int` extracts each block's
+    contribution, the driver holds ONLY the O(num_blocks) totals and
+    their exclusive prefix, and `emit_fn(table, base) -> pa.Table`
+    finishes each block in parallel with its global base. No driver
+    materialization, no sequential scan.
+
+    Correctness leans on Ray Data preserving block order through
+    repartition of a sorted dataset — the one assumption, audited
+    here and tested by the callers' block-count-invariance tests."""
+    mat = ds_sorted.repartition(num_blocks).materialize()
+    block_refs = list(mat.get_internal_block_refs())
+
+    def _as_table(block) -> pa.Table:
+        return block if hasattr(block, "column") else block.to_arrow()
+
+    @ray.remote
+    def _total(block) -> int:
+        return int(total_fn(_as_table(block)))
+
+    totals = np.array(ray.get([_total.remote(b) for b in block_refs]),
+                      np.int64)
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    @ray.remote
+    def _emit(block, base: int) -> pa.Table:
+        return emit_fn(_as_table(block), int(base))
+
+    refs = [_emit.remote(b, int(base))
+            for b, base in zip(block_refs, bases)]
+    return ray.data.from_arrow_refs(refs)
