@@ -215,6 +215,13 @@ def run_bench() -> dict:
         ("corpus_digest", ex.q_corpus_digest),          # row-hash digest
         ("ann_ivfpq_top10", cb.q_ann_ivfpq_top10),      # IVF-PQ serving
         ("windowed_counts_ivm", ev.q_windowed_counts_ivm),  # IVM fold
+        # session-7 additions (appended — earlier keys stay comparable)
+        ("volume_shipping", rl.q_volume_shipping),      # Q7 cross-nation join
+        ("waiting_suppliers", rl.q_waiting_suppliers),  # Q21 group rule
+        ("order_global_rank", rl.q_order_global_rank),  # sample-sort rank
+        ("snapshot_diff", ex.q_snapshot_diff),          # versioned diff
+        ("user_event_paths", ev.q_user_event_paths),    # ordered string_agg
+        ("common_neighbors", cb.q_common_neighbors),    # link prediction
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)
