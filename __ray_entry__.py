@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": ev.q_events_pivot,              # row->column wide pivot
         "user_event_paths": ev.q_user_event_paths,      # ordered string_agg journeys
         "anomalous_days": ev.q_anomalous_days,          # integer-exact z-score outliers
+        "ab_test_flags": ev.q_ab_test_flags,            # integer two-sample test
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub
         "multimodal_frames": ex.q_multimodal_frames,    # frame-sample stage
@@ -287,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         cube_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
+        ab_test_oracles,
         transition_oracles,
         triangle_oracles,
         feature_oracles, hits_oracles,
@@ -330,7 +332,7 @@ def oracle_sql() -> dict[str, str]:
             **topn_group_oracles(), **sequence_manifest_oracles(),
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
             **bool_diff_oracles(), **cube_oracles(),
-            **path_anomaly_oracles(), **global_rank_oracles(),
+            **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),

@@ -1902,3 +1902,81 @@ def q_anomalous_days(sf_dir: str) -> ray.data.Dataset:
         .groupby("event_type")
         .map_groups(_flag, batch_format="pyarrow")
     )
+
+
+AB_K = 2
+
+
+def q_ab_test_flags(sf_dir: str) -> pa.Table:
+    """Two-sample experimentation readout with EXACT integer
+    arithmetic — the Welch-style significance test cross-multiplied so
+    no float division or sqrt ever happens: users split into arms by
+    user_id parity; per event type the cents means are compared and
+    the type is flagged significant iff
+
+        (S_a·n_b − S_b·n_a)²·n_a·n_b
+            > k²·[(n_a·Q_a − S_a²)·n_b³ + (n_b·Q_b − S_b²)·n_a³]
+
+    (both sides of z² > k² scaled by n_a³·n_b³; S = Σcents,
+    Q = Σcents² per arm). Intermediates exceed int64, so the O(types)
+    finalizer uses Python bigints and the oracle HUGEINT — exactness
+    is preserved at any magnitude.
+
+    Shape: events compress to (type, arm, n, S, Q) partials per batch
+    (int64-safe: Q per row < 2^63/rows at bench cents) → one tiny
+    groupby → an O(types) driver finalize. Returns per type the arm
+    counts, cents totals, and the 0/1 significance flag."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        c = _cents(batch.column("value").to_numpy())
+        ut, ti = np.unique(et, return_inverse=True)
+        code = ti.astype(np.int64) * 2 + (uid % 2)
+        u, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, c)
+        q = np.zeros(u.size, np.int64)
+        np.add.at(q, inv, c * c)
+        return pa.table({
+            "event_type": pa.array(ut[u // 2].tolist(), pa.string()),
+            "arm": pa.array(u % 2, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "q": pa.array(q, pa.int64()),
+        })
+
+    rows = (
+        events_ds(sf_dir, ["user_id", "event_type", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "arm"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("q", alias_name="q"))
+        .take_all()
+    )
+    by_type: dict[str, dict[int, tuple[int, int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[int(r["arm"])] = (
+            int(r["n"]), int(r["s"]), int(r["q"]))
+    out_t, out = [], {k: [] for k in
+                      ("n_a", "n_b", "cents_a", "cents_b", "significant")}
+    for et in sorted(by_type):
+        arms = by_type[et]
+        if 0 not in arms or 1 not in arms:
+            continue                      # a one-armed type can't test
+        na, sa, qa = arms[0]
+        nb, sb, qb = arms[1]
+        lhs = (sa * nb - sb * na) ** 2 * na * nb          # Python bigint
+        rhs = AB_K * AB_K * ((na * qa - sa * sa) * nb ** 3
+                             + (nb * qb - sb * sb) * na ** 3)
+        out_t.append(et)
+        out["n_a"].append(na)
+        out["n_b"].append(nb)
+        out["cents_a"].append(sa)
+        out["cents_b"].append(sb)
+        out["significant"].append(1 if lhs > rhs else 0)
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     **{k: pa.array(v, pa.int64())
+                        for k, v in out.items()}})

@@ -3868,3 +3868,35 @@ SELECT source, n AS n_docs,
 FROM r, d
 """,
     }
+
+
+def ab_test_oracles() -> dict[str, str]:
+    """Cross-multiplied two-sample test in HUGEINT (engine uses Python
+    bigints — both sides exact at any magnitude)."""
+    from candidategeneration_ray.pipelines.events import AB_K
+
+    k2 = AB_K * AB_K
+    return {
+        "ab_test_flags": f"""
+WITH e AS (SELECT event_type, user_id % 2 AS arm,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+g AS (SELECT event_type, arm, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(c * c) AS HUGEINT) AS q
+      FROM e GROUP BY 1, 2),
+w AS (SELECT a.event_type,
+             a.n AS na, a.s AS sa, a.q AS qa,
+             b.n AS nb, b.s AS sb, b.q AS qb
+      FROM g a JOIN g b USING (event_type)
+      WHERE a.arm = 0 AND b.arm = 1)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(sa AS BIGINT) AS cents_a, CAST(sb AS BIGINT) AS cents_b,
+       CAST(CASE WHEN (sa * nb - sb * na) * (sa * nb - sb * na) * na * nb
+                      > {k2} * ((na * qa - sa * sa) * nb * nb * nb
+                                + (nb * qb - sb * sb) * na * na * na)
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM w
+""",
+    }

@@ -926,3 +926,28 @@ def test_anomalous_days_zscore_brute_force(ray_session):
             if (ci - mu) ** 2 > ev.ANOMALY_K ** 2 * var:
                 want.add((et, int(d)))
     assert got == want
+
+
+def test_ab_test_flags_float_recompute(ray_session):
+    """The integer cross-multiplied verdicts equal a float Welch
+    z-test recomputation (population variances, strict > k)."""
+    from candidategeneration_ray.pipelines import events as ev
+
+    sf = "/root/testdata/sf0.001"
+    got = ev.q_ab_test_flags(sf).to_pandas().set_index("event_type")
+    raw = pq.read_table(sf + "/events.parquet",
+                        columns=["user_id", "event_type", "value"]) \
+        .to_pandas()
+    raw["c"] = ev._cents(raw["value"].to_numpy())
+    raw["arm"] = raw["user_id"] % 2
+    for et, grp in raw.groupby("event_type"):
+        a = grp[grp["arm"] == 0]["c"].to_numpy(np.float64)
+        b = grp[grp["arm"] == 1]["c"].to_numpy(np.float64)
+        if not len(a) or not len(b):
+            assert et not in got.index
+            continue
+        z2 = (a.mean() - b.mean()) ** 2 / (
+            a.var() / len(a) + b.var() / len(b))
+        assert int(got.loc[et, "significant"]) == int(z2 > ev.AB_K ** 2)
+        assert int(got.loc[et, "cents_a"]) == int(a.sum())
+        assert int(got.loc[et, "n_b"]) == len(b)
