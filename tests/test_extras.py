@@ -782,3 +782,42 @@ def test_snapshot_diff_statuses_partition_the_churn(ray_session):
     assert counts.get("removed", 0) == n_removed
     assert counts.get("changed", 0) == n_changed
     assert counts.get("added", 0) == n_added
+
+
+def test_snapshot_diff_property_random(ray_session):
+    """Property test: for seeded random A/B table pairs the engine
+    diff equals a dict-based brute diff (including empty sides and
+    bucket-boundary ids)."""
+    import ray.data
+
+    from candidategeneration_ray.pipelines.extras import snapshot_diff
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        na, nb = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+        ids_a = rng.choice(200, size=na, replace=False)
+        ids_b = rng.choice(200, size=nb, replace=False)
+        ta = {int(i): f"t{int(rng.integers(0, 3))}" for i in ids_a}
+        tb = {int(i): f"t{int(rng.integers(0, 3))}" for i in ids_b}
+        a = ray.data.from_items(
+            [{"doc_id": k, "text": v} for k, v in ta.items()]) \
+            if ta else ray.data.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}))
+        b = ray.data.from_items(
+            [{"doc_id": k, "text": v} for k, v in tb.items()]) \
+            if tb else ray.data.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}))
+        got = {(r["doc_id"], r["status"])
+               for r in snapshot_diff(a, b, n_buckets=7).take_all()}
+        want = set()
+        for k in ta:
+            if k not in tb:
+                want.add((k, "removed"))
+            elif ta[k] != tb[k]:
+                want.add((k, "changed"))
+        for k in tb:
+            if k not in ta:
+                want.add((k, "added"))
+        assert got == want, f"trial {trial}"
