@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_list_lengths": dq.q_pruned_list_lengths,    # O3 build-time pruning
         "delta_update_lists": dq.q_delta_update_lists,      # incremental (LSM) update
         "delta_hit_top5": dq.q_delta_hit_top5,              # HIT family rebuilt after a delta
+        "tombstone_delete_lists": dq.q_tombstone_delete_lists,  # LSM delete path
+        "delete_bm25_topk": dq.q_delete_bm25_topk,          # exact top-k over deleted index
         "pair_counts_top50": dq.q_pair_counts_top50,    # M5/M6 d-bigram emission
         "filtered_pair_counts": dq.q_filtered_pair_counts,  # M4/J1/D2 filter-set semi-join
         "related_terms": dq.q_related_terms,  # seed-filtered co-occurrence top-5

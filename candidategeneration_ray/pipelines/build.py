@@ -484,7 +484,8 @@ def _merge_single(part_dir: str, final_dir: str) -> None:
 
 @ray.remote
 def _merge_bucket_task(part_files: list[list[str]], bucket: int,
-                       cfg: EngineConfig, final_dir: str) -> int:
+                       cfg: EngineConfig, final_dir: str,
+                       tombstones=None) -> int:
     """Merge ONE bucket's sub-lists from every partition and write its
     final segment file. Parquet bucket filters prune row groups, so
     each task reads only its slice of each part."""
@@ -508,6 +509,7 @@ def _merge_bucket_task(part_files: list[list[str]], bucket: int,
         tab.column("key").to_numpy().astype(np.int64),
         tab.column("n").to_numpy().astype(np.int64),
         docs_data, scores_data, cfg, bucket,
+        tombstones=tombstones,
     )
     tmp = os.path.join(final_dir, f".bucket-{bucket:05d}.tmp")
     _pq.write_table(merged, tmp)
@@ -515,7 +517,8 @@ def _merge_bucket_task(part_files: list[list[str]], bucket: int,
     return merged.num_rows
 
 
-def _merge_parts(part_dirs: list[str], final_dir: str, cfg: EngineConfig) -> None:
+def _merge_parts(part_dirs: list[str], final_dir: str, cfg: EngineConfig,
+                 tombstones=None) -> None:
     """Concat-merge doc-range-disjoint sub-lists per key.
 
     The reference's massiveBinaryMerge (ExternalSort.java:91-205)
@@ -533,8 +536,9 @@ def _merge_parts(part_dirs: list[str], final_dir: str, cfg: EngineConfig) -> Non
         for d in part_dirs
     ]
     os.makedirs(final_dir, exist_ok=True)
+    tomb_ref = ray.put(tombstones) if tombstones is not None else None
     refs = [
-        _merge_bucket_task.remote(part_files, b, cfg, final_dir)
+        _merge_bucket_task.remote(part_files, b, cfg, final_dir, tomb_ref)
         for b in range(cfg.num_buckets)
     ]
     ray.get(refs)

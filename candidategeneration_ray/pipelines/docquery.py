@@ -256,6 +256,114 @@ def _delta_index(sf_dir: str, cfg: EngineConfig) -> str:
     return out
 
 
+def _deleted_index(sf_dir: str, cfg: EngineConfig) -> str:
+    """Build (or reuse) the delete-exercising index: full build over
+    the documents table as single-turn conversations, then
+    delete_docs of every conv with doc_id % 7 == 3 — tombstones left
+    UNcompacted so serving exercises the decode-time filter (the
+    compaction-identity property is pytest's job, tests/test_delete.py).
+    Returns the index out_dir."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import delete_docs
+    from candidategeneration_ray.state import checkpoint as ckpt
+
+    root = _cache_dir(sf_dir, f"delidx-{cfg.index_tag()}")
+    out = os.path.join(root, "index")
+    done = os.path.join(root, "DONE")
+    if not os.path.exists(done):
+        ckpt.clear_stale(root)
+        tab = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+        ids = tab.column("doc_id").to_numpy()
+        n = len(ids)
+        assert ids.min() == 0 and ids.max() == n - 1, "doc_ids must be dense"
+        turns = pa.table({
+            "conv_id": pa.array([f"{i:012d}" for i in ids.tolist()], pa.string()),
+            "turn_idx": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "text": tab.column("text"),
+        })
+        indir = os.path.join(root, "input")
+        os.makedirs(indir, exist_ok=True)
+        src = os.path.join(indir, "docs.parquet")
+        pq.write_table(turns, src)
+        build_index([src], out, cfg)
+        delete_docs(out, [f"{i:012d}" for i in range(n) if i % 7 == 3])
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_tombstone_delete_lists(sf_dir: str) -> pa.Table:
+    """Tombstone DELETE end-to-end (pipelines.update.delete_docs — the
+    LSM delete path; the reference can only rebuild, WWWMain.java:69-110):
+    full build over the documents table, then every doc with
+    doc_id % 7 == 3 deleted; lists served through the decode-time
+    tombstone filter. Scores stay at the full-corpus epoch (frozen
+    stats — the documented delete semantics), so score_sum over the
+    SURVIVING postings must equal the full-corpus BM25 arithmetic
+    restricted to live docs: doc sets AND frozen scores are both
+    value-verified. Keys whose every posting is deleted vanish."""
+    from candidategeneration_ray.pipelines.build import load_stats
+    from candidategeneration_ray.pipelines.update import load_tombstones
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    cfg = EngineConfig(emit_pairs=False)
+    out = _deleted_index(sf_dir, cfg)
+    stats, _ = load_stats(out)
+    reader = IndexReader(os.path.join(out, "final"), stats, cfg,
+                         tombstones=load_tombstones(out))
+    terms = np.asarray(stats["terms"], dtype=object)
+    uni = reader.keys[reader.keys < (1 << 32)]
+    out_terms, ns, dsum, ssum = [], [], [], []
+    for k in uni:
+        got = reader.get(int(k))
+        if got is None:
+            continue  # fully-deleted key
+        docs, scores = got[0], got[1]
+        out_terms.append(terms[int(k) - 1])
+        ns.append(docs.size)
+        dsum.append(int(docs.sum()))
+        ssum.append(int(scores.astype(np.int64).sum()))
+    return pa.table({
+        "term": pa.array(out_terms, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "doc_sum": pa.array(dsum, pa.int64()),
+        "score_sum": pa.array(ssum, pa.int64()),
+    })
+
+
+def q_delete_bm25_topk(sf_dir: str) -> pa.Table:
+    """Exact BM25 top-10 per fixed query OVER THE DELETED INDEX: the
+    tombstone view must rank exactly as if deleted docs never existed
+    in the lists while scores keep the frozen full-corpus epoch —
+    block-max metadata is rebuilt over the survivors at decode, so
+    WAND pruning stays exact (the property this entry pins down)."""
+    from candidategeneration_ray.pipelines.build import load_stats
+    from candidategeneration_ray.pipelines.update import load_tombstones
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    cfg = EngineConfig(emit_pairs=False)
+    out = _deleted_index(sf_dir, cfg)
+    stats, _ = load_stats(out)
+    eng = QueryEngine(os.path.join(out, "final"), stats, cfg,
+                      tombstones_ref=load_tombstones(out))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        for rank, (s, d) in enumerate(eng.topk(text, k=10)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
 def q_delta_hit_top5(sf_dir: str) -> pa.Table:
     """HIT family REBUILT AFTER A DELTA (pipelines.families): the
     delta-exercising LSM index's HIT family is built over the grown

@@ -149,6 +149,35 @@ SELECT tok AS term, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(score) AS BIGINT) AS score_sum
 FROM pruned GROUP BY tok
 """,
+        # tombstone delete: lists exclude deleted docs, scores stay at
+        # the frozen FULL-corpus epoch — SCORES_CTE runs over the whole
+        # table and only the final selection filters live docs
+        "tombstone_delete_lists": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE}
+SELECT tok AS term, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS doc_sum,
+       CAST(sum(score) AS BIGINT) AS score_sum
+FROM scores WHERE doc_id % 7 <> 3 GROUP BY tok
+""",
+        "delete_bm25_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok)
+  WHERE s.doc_id % 7 <> 3
+  GROUP BY q.query_id, s.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM qscores
+) WHERE rank <= 10
+""",
         "pair_counts_top50": f"""
 WITH {KEPT_CTE},
 pairs AS (

@@ -33,6 +33,12 @@ FROZEN-STATS EPOCH SEMANTICS (the deliberate trade, documented):
     larger than `max_delta_fraction` of the epoch corpus — past that,
     frozen statistics drift too far and a rebuild is the right call.
 
+DELETES (tombstones): delete_docs(out_dir, conv_ids) records deleted
+conversations as doc-id ranges under `tombstones/`; IndexReader
+filters them at decode time (exact serving, no rebuild), and
+compact_index physically removes the postings. Statistics stay at the
+frozen epoch like additive deltas; a full rebuild re-baselines.
+
 Doc-id assignment: delta conversations get doc ids starting at the
 current corpus's total turn count (conv_offsets bases shifted), so base
 doc ids are stable and every delta doc id is strictly greater than
@@ -158,22 +164,41 @@ def extend_stats_blocks(base: dict, delta: dict) -> dict:
     return out
 
 
-def extend_offsets(base: dict, delta: dict) -> dict:
+def extend_offsets(base: dict, delta: dict,
+                   readdable: set | None = None) -> dict:
     """Merge conversation offset maps; delta conversations' doc-id bases
-    shift past the current corpus. Raises on conv-id overlap."""
+    shift past the current corpus. Raises on conv-id overlap — except
+    for conversations in `readdable` (previously tombstone-deleted,
+    see delete_docs): a re-supplied deleted conversation REPLACES its
+    map row with a fresh doc-id range at the end of the id space (its
+    old doc ids stay tombstoned forever; ids are never reclaimed).
+
+    The shift is max(base + count) over the current map — NOT
+    sum(counts) — so dropping a re-added conversation's old row can
+    never shrink the id space under a live range."""
     b_conv = np.asarray(base["conv_ids"], dtype=object)
+    b_bases = np.asarray(base["bases"], dtype=np.int64)
+    b_counts = np.asarray(base["counts"], dtype=np.int64)
     d_conv = np.asarray(delta["conv_ids"], dtype=object)
     overlap = np.intersect1d(b_conv, d_conv)
     if overlap.size:
-        raise ValueError(
-            f"delta re-supplies {overlap.size} existing conversations "
-            f"(e.g. {overlap[0]!r}); updates must carry only NEW "
-            "conversations — rebuild to re-ingest changed ones")
-    shift = int(np.asarray(base["counts"], dtype=np.int64).sum())
+        blocked = overlap if readdable is None else \
+            overlap[~np.isin(overlap, np.asarray(sorted(readdable), dtype=object))]
+        if blocked.size:
+            raise ValueError(
+                f"delta re-supplies {blocked.size} existing conversations "
+                f"(e.g. {blocked[0]!r}); updates must carry only NEW "
+                "conversations — delete_docs a conversation first to "
+                "re-ingest it, or rebuild")
+        keep = ~np.isin(b_conv, overlap)
+        b_conv, b_bases, b_counts = b_conv[keep], b_bases[keep], b_counts[keep]
+    shift = int((np.asarray(base["bases"], dtype=np.int64)
+                 + np.asarray(base["counts"], dtype=np.int64)).max()) \
+        if len(base["bases"]) else 0
     conv = np.concatenate((b_conv, d_conv))
-    bases = np.concatenate((np.asarray(base["bases"], dtype=np.int64),
+    bases = np.concatenate((b_bases,
                             np.asarray(delta["bases"], dtype=np.int64) + shift))
-    counts = np.concatenate((np.asarray(base["counts"], dtype=np.int64),
+    counts = np.concatenate((b_counts,
                              np.asarray(delta["counts"], dtype=np.int64)))
     order = np.argsort(conv, kind="stable")  # attach_doc_ids searchsorts
     return {
@@ -219,6 +244,194 @@ def _persist_overlay_update(out_dir: str, ext: dict, offsets: dict,
 
 def _gen_root(out_dir: str) -> str:
     return os.path.join(out_dir, "generations")
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes: the LSM delete path. delete_docs records deleted
+# conversations as doc-id RANGES (one row per conv — the transcript
+# schema maps a conv to a contiguous [base, base+n_turns) doc-id run),
+# serving filters them at decode time (IndexReader tombstones=...),
+# and compact_index physically removes them. Statistics stay at the
+# frozen epoch (N, df, avgdl unchanged — the same deliberate trade as
+# additive deltas; a full rebuild re-baselines). Doc-id space is NEVER
+# reclaimed: bases are absolute, so live doc ids are stable forever.
+
+
+def _tomb_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "tombstones")
+
+
+def _load_offsets_light(out_dir: str) -> dict:
+    """Conversation offset map only — no dictionary load (delete_docs
+    must not pay the vocabulary's memory at 10^12-doc scale)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(_stats_dir(out_dir), "convs.parquet"))
+    conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+    bases = t.column("base").to_numpy().astype(np.int64)
+    counts = t.column("n_turns").to_numpy().astype(np.int64)
+    order = np.argsort(conv, kind="stable")
+    return {"conv_ids": conv[order], "bases": bases[order],
+            "counts": counts[order]}
+
+
+def tombstone_files(out_dir: str) -> list[str]:
+    """Committed tombstone files not yet folded into final/ by a
+    compaction (same folded-lineage discipline as generation_dirs: a
+    compaction crash between the final swap and file cleanup leaves
+    already-applied tombstones on disk; serving them again is harmless
+    — the postings are gone — but they are skipped and the next
+    compact_index removes them)."""
+    root = _tomb_root(out_dir)
+    if not os.path.isdir(root):
+        return []
+    folded = set((ckpt.read_manifest(_final_dir(out_dir)) or {})
+                 .get("lineage") or [])
+    return [
+        os.path.join(root, f) for f in sorted(os.listdir(root))
+        if f.startswith("del-") and f.endswith(".parquet")
+        and os.path.join("tombstones", f) not in folded
+    ]
+
+
+def load_tombstones(out_dir: str) -> dict | None:
+    """Active tombstones as sorted disjoint doc-id ranges:
+    {"starts", "ends", "conv_ids", "n_docs"} or None when there are
+    none. Pass to IndexReader(tombstones=...) / QueryEngine."""
+    import pyarrow.parquet as pq
+
+    files = tombstone_files(out_dir)
+    if not files:
+        return None
+    import pyarrow as pa
+
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    starts = t.column("start").to_numpy().astype(np.int64)
+    counts = t.column("n_docs").to_numpy().astype(np.int64)
+    convs = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+    order = np.argsort(starts, kind="stable")
+    starts, counts, convs = starts[order], counts[order], convs[order]
+    # distinct delete ops never share a conv (delete_docs skips already-
+    # deleted convs), so ranges are disjoint by construction; verify.
+    ends = starts + counts
+    if starts.size > 1 and bool(np.any(starts[1:] < ends[:-1])):
+        raise ValueError(f"overlapping tombstone ranges in {out_dir!r}")
+    return {"starts": starts, "ends": ends, "conv_ids": convs,
+            "n_docs": int(counts.sum())}
+
+
+def _folded_convs_path(out_dir: str) -> str:
+    return os.path.join(_tomb_root(out_dir), "folded-convs.parquet")
+
+
+def deleted_convs(out_dir: str) -> set:
+    """Every conversation ever tombstone-deleted and not since
+    re-added: active tombstone files ∪ the folded registry kept by
+    compact_index (posting effects fold into final/, but the IDENTITY
+    of deleted conversations must outlive compaction so update_index
+    can authorize re-ingestion), minus conversations whose CURRENT
+    offset row postdates their deletion (re-added)."""
+    import pyarrow.parquet as pq
+
+    convs: set = set()
+    p = _folded_convs_path(out_dir)
+    if os.path.exists(p):
+        convs |= set(pq.read_table(p).column("conv_id").to_pylist())
+    t = load_tombstones(out_dir)
+    if t is not None:
+        convs |= set(t["conv_ids"].tolist())
+    if not convs:
+        return convs
+    # a re-added conv has a live row whose base is past every tombstone
+    # range recorded for it — it is no longer "deleted"
+    off = _load_offsets_light(out_dir)
+    starts_by_conv: dict = {}
+    if t is not None:
+        for c, s in zip(t["conv_ids"], t["starts"]):
+            starts_by_conv.setdefault(c, []).append(int(s))
+    if os.path.exists(p):
+        reg = pq.read_table(p)
+        for c, s in zip(reg.column("conv_id").to_pylist(),
+                        reg.column("start").to_pylist()):
+            starts_by_conv.setdefault(c, []).append(int(s))
+    out = set()
+    for c in sorted(convs):
+        i = int(np.searchsorted(off["conv_ids"], c))
+        if i >= off["conv_ids"].size or off["conv_ids"][i] != c:
+            out.add(c)  # deleted and never re-added (row may be dropped)
+        elif int(off["bases"][i]) in starts_by_conv.get(c, []):
+            out.add(c)  # current row is exactly the deleted range
+    return out
+
+
+def delete_docs(out_dir: str, conv_ids: list[str],
+                compact: bool = False,
+                cfg: EngineConfig | None = None) -> dict:
+    """Tombstone-delete whole conversations from the index at
+    `out_dir`. Idempotent: conversations already tombstoned are
+    skipped; re-running the same request rewrites the same file
+    (digest-named, atomic replace). Unknown conversations raise.
+    Serving picks the tombstones up via load_tombstones; compact=True
+    folds them into final/ immediately (physical removal).
+
+    O(deleted convs) driver memory and one tiny parquet write — the
+    corpus is never read."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    if not conv_ids:
+        raise ValueError("delete_docs needs at least one conv_id")
+    req = np.asarray(sorted(set(conv_ids)), dtype=object)
+    off = _load_offsets_light(out_dir)
+    pos = np.searchsorted(off["conv_ids"], req)
+    pos_c = np.minimum(pos, off["conv_ids"].size - 1)
+    found = off["conv_ids"][pos_c] == req
+    if not found.all():
+        missing = req[~found]
+        raise ValueError(
+            f"delete_docs: {missing.size} conversations not in the index "
+            f"(e.g. {missing[0]!r})")
+    dead_now = deleted_convs(out_dir)
+    if dead_now:
+        already = np.isin(req, np.asarray(sorted(dead_now), dtype=object))
+        req, pos_c = req[~already], pos_c[~already]
+    metrics = {"requested": int(len(set(conv_ids))),
+               "skipped_already_deleted": int(len(set(conv_ids)) - req.size)}
+    if req.size:
+        # digest over (conv, CURRENT start): re-deleting a re-added
+        # conversation must not reuse the folded file's name (folded
+        # lineage would skip it); same request in the same state still
+        # replays to the same file (idempotent)
+        digest = hashlib.md5("|".join(
+            f"{c}:{int(s)}" for c, s in zip(req.tolist(), off["bases"][pos_c])
+        ).encode()).hexdigest()[:10]
+        root = _tomb_root(out_dir)
+        os.makedirs(root, exist_ok=True)
+        path = os.path.join(root, f"del-{digest}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({
+            "conv_id": pa.array(req.tolist(), pa.string()),
+            "start": pa.array(off["bases"][pos_c], pa.int64()),
+            "n_docs": pa.array(off["counts"][pos_c], pa.int64()),
+        }), tmp)
+        os.replace(tmp, path)
+        metrics["deleted_docs"] = int(off["counts"][pos_c].sum())
+        # secondary families are corpus functions — rebuild post-delete
+        from candidategeneration_ray.pipelines.families import invalidate_families
+
+        stale = invalidate_families(out_dir)
+        if stale:
+            metrics["invalidated_families"] = stale
+    else:
+        metrics["deleted_docs"] = 0
+    if compact:
+        compact_index(out_dir, cfg)
+        metrics["compacted"] = True
+    metrics["total_sec"] = round(time.time() - t0, 3)
+    return metrics
 
 
 def generation_dirs(out_dir: str) -> list[str]:
@@ -350,7 +563,8 @@ def update_index(
     else:
         ext_stats = extend_stats(base_stats, delta_stats)
         n_new = int(len(ext_stats["terms"]) - len(base_stats["terms"]))
-    merged_offsets = extend_offsets(base_offsets, delta_offsets)
+    merged_offsets = extend_offsets(base_offsets, delta_offsets,
+                                    readdable=deleted_convs(out_dir))
     metrics["phases"].append({
         "phase": "delta-stats",
         "new_docs": int(delta_offsets["n_docs"]),
@@ -450,18 +664,20 @@ def update_index(
 
 
 def compact_index(out_dir: str, cfg: EngineConfig | None = None) -> str:
-    """Fold every delta generation into `final/` (bucket-parallel merge
-    tasks, no shuffle — each bucket's sub-lists concatenate in doc
-    order). Atomic: the new final is built beside the old one and
-    swapped in, then generation dirs are removed."""
+    """Fold every delta generation AND every active tombstone into
+    `final/` (bucket-parallel merge tasks, no shuffle — each bucket's
+    sub-lists concatenate in doc order; tombstoned postings are dropped
+    inside the merge, physically removing deleted docs). Atomic: the
+    new final is built beside the old one and swapped in, then
+    generation dirs / tombstone files are removed."""
     cfg = cfg or EngineConfig()
     fd = _final_dir(out_dir)
     new_fd_pending = fd + ".compacting"
     old_pending = fd + ".old"
     # crash healing for an interrupted swap: a completed .compacting
     # (has a manifest) replaces a missing final; otherwise the old
-    # final rolls back. Leftover already-folded generations (crash
-    # between swap and cleanup) are removed here.
+    # final rolls back. Leftover already-folded generations/tombstones
+    # (crash between swap and cleanup) are removed here.
     if not os.path.isdir(fd):
         if os.path.isdir(new_fd_pending) and ckpt.read_manifest(new_fd_pending):
             os.rename(new_fd_pending, fd)
@@ -475,8 +691,15 @@ def compact_index(out_dir: str, cfg: EngineConfig | None = None) -> str:
         for d in os.listdir(root):
             if os.path.join("generations", d) in folded:
                 shutil.rmtree(os.path.join(root, d))
+    troot = _tomb_root(out_dir)
+    if os.path.isdir(troot):
+        for f in os.listdir(troot):
+            if os.path.join("tombstones", f) in folded:
+                os.remove(os.path.join(troot, f))
     gens = generation_dirs(out_dir)
-    if not gens:
+    tomb_paths = tombstone_files(out_dir)
+    tombs = load_tombstones(out_dir)
+    if not gens and tombs is None:
         return fd
     tags = {(ckpt.read_manifest(d) or {}).get("cfg") for d in [fd] + gens}
     tags.discard(None)
@@ -487,12 +710,39 @@ def compact_index(out_dir: str, cfg: EngineConfig | None = None) -> str:
             "all generations and the final index must share one config")
     new_fd = fd + ".compacting"
     ckpt.clear_stale(new_fd)
-    _merge_parts([fd] + gens, new_fd, cfg)
+    _merge_parts([fd] + gens, new_fd, cfg,
+                 tombstones=(tombs["starts"], tombs["ends"]) if tombs else None)
     fm = ckpt.read_manifest(fd) or {}
     ckpt.write_manifest(new_fd, {
         "phase": "merge", "cfg": cfg.index_tag(),
-        "lineage": (fm.get("lineage") or []) + [os.path.relpath(g, out_dir) for g in gens],
+        "lineage": (fm.get("lineage") or [])
+        + [os.path.relpath(g, out_dir) for g in gens]
+        + [os.path.relpath(t, out_dir) for t in tomb_paths],
     })
+    if tombs is not None:
+        # preserve deleted-conv IDENTITY past compaction (folded
+        # registry authorizes later re-ingestion, see deleted_convs);
+        # written BEFORE the swap so no crash window loses it
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        reg_p = _folded_convs_path(out_dir)
+        add = pa.table({
+            "conv_id": pa.array(tombs["conv_ids"].tolist(), pa.string()),
+            "start": pa.array(tombs["starts"], pa.int64()),
+        })
+        if os.path.exists(reg_p):
+            prev = pq.read_table(reg_p)
+            add = pa.concat_tables([prev, add])
+            # dedupe (replayed compaction after a crash)
+            import pandas as pd
+
+            df = add.to_pandas().drop_duplicates().sort_values(
+                ["conv_id", "start"], kind="mergesort")
+            add = pa.Table.from_pandas(df, preserve_index=False)
+        tmp_reg = reg_p + ".tmp"
+        pq.write_table(add, tmp_reg)
+        os.replace(tmp_reg, reg_p)
     old = fd + ".old"
     ckpt.clear_stale(old)
     os.rename(fd, old)
@@ -500,4 +750,6 @@ def compact_index(out_dir: str, cfg: EngineConfig | None = None) -> str:
     shutil.rmtree(old)
     for g in gens:
         shutil.rmtree(g)
+    for t in tomb_paths:
+        os.remove(t)
     return fd

@@ -160,6 +160,7 @@ def merge_partial_lists(
     scores_bin,
     cfg: EngineConfig,
     bucket: int,
+    tombstones: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pa.Table:
     """Merge per-batch partial-list rows (one per (key, batch)) into
     final lists, fully vectorized across the whole bucket:
@@ -168,6 +169,11 @@ def merge_partial_lists(
       2. one global np.lexsort by (key, doc_id) over every posting,
       3. grouped re-encode (encode_delta_grouped) + reduceat block
          metadata — no per-key numpy-call overhead.
+
+    `tombstones` = (starts, ends) sorted disjoint deleted doc-id ranges
+    (pipelines.update.delete_docs): tombstoned postings are dropped
+    BEFORE pruning/encode, so compaction physically removes deleted
+    docs and keys left empty vanish from the segment.
     """
     from candidategeneration_ray.functions.arrowutil import binary_array_from_concat
     from candidategeneration_ray.functions.varint import (
@@ -189,6 +195,19 @@ def merge_partial_lists(
     pk = posting_key[order]
     docs = flat_docs[order]
     scores = flat_scores[order]
+
+    if tombstones is not None and pk.size:
+        t_starts, t_ends = tombstones
+        idx = np.searchsorted(t_starts, docs, side="right") - 1
+        live = np.ones(docs.size, dtype=bool)
+        has = idx >= 0
+        live[has] = docs[has] >= t_ends[idx[has]]
+        if not live.all():
+            pk, docs, scores = pk[live], docs[live], scores[live]
+        if pk.size == 0:
+            return build_lists_for_bucket(
+                np.empty(0, np.int64), np.empty(0, np.int32),
+                np.empty(0, np.int64), cfg, bucket)
 
     starts = np.concatenate(([0], np.nonzero(pk[1:] != pk[:-1])[0] + 1))
     ends = np.concatenate((starts[1:], [pk.size]))

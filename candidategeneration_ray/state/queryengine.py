@@ -114,6 +114,26 @@ class _Generation:
         return docs, scores, bmax, blast
 
 
+def apply_tombstones(docs: np.ndarray, scores: np.ndarray,
+                     starts: np.ndarray, ends: np.ndarray):
+    """Drop postings whose doc id falls in a tombstoned [start, end)
+    range (pipelines.update.delete_docs). Ranges are sorted and
+    disjoint; membership is one searchsorted over the range starts.
+    Returns (docs, scores, n_dropped) — unchanged arrays when nothing
+    in the list is tombstoned (the common case costs one searchsorted)."""
+    if docs.size == 0 or starts.size == 0:
+        return docs, scores, 0
+    idx = np.searchsorted(starts, docs, side="right") - 1
+    dead = np.zeros(docs.size, dtype=bool)
+    has = idx >= 0
+    dead[has] = docs[has] < ends[idx[has]]
+    n_dead = int(dead.sum())
+    if n_dead == 0:
+        return docs, scores, 0
+    live = ~dead
+    return docs[live], scores[live], n_dead
+
+
 def _load_segment_table(source, buckets: list[int] | None) -> pa.Table | None:
     if isinstance(source, str):
         files = sorted(glob.glob(os.path.join(source, "**", "*.parquet"), recursive=True))
@@ -144,10 +164,18 @@ class IndexReader:
     """
 
     def __init__(self, source, stats: dict | None = None, cfg: EngineConfig | None = None,
-                 buckets: list[int] | None = None):
+                 buckets: list[int] | None = None,
+                 tombstones: dict | None = None):
         """`buckets`: load only these key-hash buckets — the unit of a
         key-sharded serving fleet (each shard owns a bucket subset of
-        the bucket-partitioned segment layout)."""
+        the bucket-partitioned segment layout).
+
+        `tombstones`: {"starts", "ends"} sorted disjoint doc-id ranges
+        (pipelines.update.load_tombstones) — deleted docs are filtered
+        at decode time and block metadata is rebuilt over the survivors,
+        so WAND/BMW stays exact without compaction. Under tombstones
+        `list_len`/`max_list_len` report the UNDELETED counts (upper
+        bounds on served lengths); exact lengths come from `get`."""
         self.cfg = cfg or EngineConfig()
         sources = source if isinstance(source, list) else [source]
         self._gens: list[_Generation] = []
@@ -163,6 +191,11 @@ class IndexReader:
         else:
             self._keys = np.unique(np.concatenate([g.keys for g in self._gens]))
         self._cache: dict[int, tuple] = {}
+        if tombstones is not None and len(tombstones.get("starts", ())):
+            self._tomb = (np.asarray(tombstones["starts"], dtype=np.int64),
+                          np.asarray(tombstones["ends"], dtype=np.int64))
+        else:
+            self._tomb = None
         self.stats = stats
         self.term_to_id = (
             {t: i + 1 for i, t in enumerate(stats["terms"])} if stats else None
@@ -201,27 +234,38 @@ class IndexReader:
         if not parts:
             return None
         if len(parts) == 1:
-            val = parts[0]
+            docs, scores, bmax, blast = parts[0]
         else:
             # LSM view: generations hold disjoint ascending doc ranges,
             # so per-key lists concatenate in generation order. Block
             # metadata is rebuilt over the concatenation (block
             # boundaries do not survive concat).
             prev_last = None
-            for docs, _, _, _ in parts:
-                if prev_last is not None and docs[0] <= prev_last:
+            for d, _, _, _ in parts:
+                if prev_last is not None and d[0] <= prev_last:
                     raise ValueError(
                         f"index generations overlap on key {key}: doc "
-                        f"{int(docs[0])} <= {int(prev_last)}; generations "
+                        f"{int(d[0])} <= {int(prev_last)}; generations "
                         "must hold disjoint ascending doc-id ranges")
-                prev_last = docs[-1]
+                prev_last = d[-1]
             docs = np.concatenate([p[0] for p in parts])
             scores = np.concatenate([p[1] for p in parts])
+            bmax = None  # rebuilt below
+            blast = None
+        if self._tomb is not None:
+            docs, scores, n_dead = apply_tombstones(docs, scores, *self._tomb)
+            if docs.size == 0:
+                val = None  # every posting deleted — key vanishes
+                self._cache[key] = val
+                return val
+            if n_dead:
+                bmax = None  # persisted metadata covers dropped postings
+        if bmax is None:
             bs = self.cfg.block_size
             starts = np.arange(0, docs.size, bs, dtype=np.int64)
             bmax = np.maximum.reduceat(scores, starts).astype(np.int32)
             blast = docs[np.minimum(starts + bs, docs.size) - 1]
-            val = (docs, scores, bmax, blast)
+        val = (docs, scores, bmax, blast)
         if len(self._cache) >= self.MAX_CACHED_LISTS:
             self._cache.pop(next(iter(self._cache)))  # FIFO eviction
         self._cache[key] = val
@@ -440,7 +484,8 @@ def taat_topk(reader: IndexReader, term_ids: list[int], k: int) -> list[tuple[in
 class QueryEngine:
     """Actor-pool callable: batch of (query_id, text) → top-k rows."""
 
-    def __init__(self, index_source, stats_ref, cfg: EngineConfig | None = None):
+    def __init__(self, index_source, stats_ref, cfg: EngineConfig | None = None,
+                 tombstones_ref=None):
         import ray
 
         stats = stats_ref if isinstance(stats_ref, dict) else ray.get(stats_ref)
@@ -448,8 +493,11 @@ class QueryEngine:
             src = index_source
         else:
             src = ray.get(index_source)
+        tombs = tombstones_ref
+        if tombs is not None and not isinstance(tombs, dict):
+            tombs = ray.get(tombs)
         self.cfg = cfg or EngineConfig()
-        self.reader = IndexReader(src, stats, self.cfg)
+        self.reader = IndexReader(src, stats, self.cfg, tombstones=tombs)
 
     # below this many total postings the vectorized TAAT merge beats the
     # pointer-walking WAND loop regardless of selectivity (measured)
