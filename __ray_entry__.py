@@ -200,6 +200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": rl.q_market_share,              # Q8: share num/den per year
         "returned_items": rl.q_returned_items,          # Q10: top-k + point dim attach
         "waiting_suppliers": rl.q_waiting_suppliers,    # Q21: exists/not-exists group rule
+        "forecast_revenue": rl.q_forecast_revenue,      # Q6: predicate-heavy scan aggregate
+        "nation_profit": rl.q_nation_profit,            # Q9: profit by nation x year
+        "top_supplier_revenue": rl.q_top_supplier_revenue,  # Q15: max-with-ties view
+        "min_price_supplier": rl.q_min_price_supplier,  # Q2: groupwise-min + dims
+        "disjunctive_revenue": rl.q_disjunctive_revenue,  # Q19: OR'd predicate scan
         "top_orders_per_customer": rl.q_top_orders_per_customer,  # ROW_NUMBER top-N per group
         "orders_cube": rl.q_orders_cube,                # CUBE grouping-set lattice
         "order_global_rank": rl.q_order_global_rank,    # global rank via range blocks

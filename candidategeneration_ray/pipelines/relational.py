@@ -2828,3 +2828,430 @@ def q_stratified_budget(sf_dir: str,
         "n_docs": pa.array(n, pa.int64()),
         "alloc": pa.array(alloc, pa.int64()),
     })
+
+
+# ------------------------------------------------------- session-8 shapes
+# The remaining canonical TPC-H polarities expressible on this schema
+# (no partsupp table exists; Q2/Q9 adapt supply cost to p_retailprice).
+
+Q6_SHIP_LO = "1997-01-01"
+Q6_SHIP_HI = "1998-01-01"
+Q6_DISC_PCTS = (5, 6, 7)     # discount BETWEEN 0.05 AND 0.07 in pct ints
+Q6_MAX_QTY = 24
+
+Q9_NAME_SUBSTR = "red"       # p_name LIKE '%red%'
+
+Q15_SHIP_LO = "1997-03-01"
+Q15_SHIP_HI = "1997-06-01"
+
+Q2_PART_TYPE = "LARGE"
+Q2_REGION = "EUROPE"
+
+# Q19 disjuncts: (brand, max_size, qty_lo, qty_hi) — sizes are 1..max
+Q19_DISJUNCTS = (("Brand#1", 15, 1, 11),
+                 ("Brand#2", 25, 10, 20),
+                 ("Brand#3", 50, 20, 30))
+
+
+def _ship_window_ints(lo: str, hi: str) -> tuple[int, int]:
+    return (int(np.datetime64(lo).astype("datetime64[us]").astype(np.int64)),
+            int(np.datetime64(hi).astype("datetime64[us]").astype(np.int64)))
+
+
+def q_forecast_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q6-shaped forecast revenue: one predicate-heavy scan, one
+    row out — sum(extendedprice * discount) over a ship-year, a
+    discount band and a quantity cap. Exact integers: revenue_e4 =
+    cents(extendedprice) × disc_pct (10⁻⁴ dollars).
+
+    Shape: the pure scan-aggregate — every predicate column is in the
+    4-column projection pushed into the parquet read, the batch kernel
+    is one vectorized mask, and the only exchange is the one-row
+    groupby of per-batch partials. The 100 TB plan is identical."""
+    lo, hi = _ship_window_ints(Q6_SHIP_LO, Q6_SHIP_HI)
+    pcts = np.asarray(Q6_DISC_PCTS, np.int64)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        qty = _cents(batch.column("l_quantity").to_numpy()) // 100
+        disc = _pct(batch.column("l_discount").to_numpy())
+        keep = ((sd >= lo) & (sd < hi) & (qty < Q6_MAX_QTY)
+                & np.isin(disc, pcts))
+        ext = _cents(batch.column("l_extendedprice").to_numpy()[keep])
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "revenue_e4": pa.array([int((ext * disc[keep]).sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_shipdate", "l_quantity", "l_discount",
+                     "l_extendedprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                   Sum("n_lines", alias_name="n_lines"))
+        .map_batches(lambda t: t.drop_columns(["g"]), batch_format="pyarrow")
+    )
+
+
+def q_nation_profit(sf_dir: str) -> pa.Table:
+    """TPC-H-Q9-shaped product-type profit by (supplier nation, order
+    year), adapted to this schema: cost = p_retailprice × quantity (no
+    partsupp table). profit_e4 = cents(ext) × (100 − disc_pct)
+    − cents(retail) × qty × 100, exact integers end to end.
+
+    Plan: part (name-filtered → retail cents) and supplier→nation are
+    broadcast dimensions; the lineitem⋈orders year attach is ONE
+    bucketed shuffle on orderkey where the lineitem side enters
+    pre-compressed to one partial row per (batch, okey, nationkey) —
+    the same compressed-join scaffold as Q5/Q7 — and the final
+    aggregate is O(nations × years)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    nb = JOIN_BUCKETS
+    nk, nnames, _ = _nation_lookup(sf_dir)
+    supp_ref = _supplier_nation_ref(sf_dir)
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name", "p_retailprice"])
+    pmask = pc.match_substring(part.column("p_name"), Q9_NAME_SUBSTR)
+    part = part.filter(pmask)
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    retail = _cents(part.column("p_retailprice").to_numpy())
+    o = np.argsort(pk)
+    part_ref = ray.put((pk[o], retail[o]))
+
+    def _line_rows(batch: pa.Table) -> pa.Table:
+        lpk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        dpk, dretail = ray.get(part_ref)
+        if dpk.size == 0:
+            return pa.table({"bkt": pa.array([], pa.int64()),
+                             "okey": pa.array([], pa.int64()),
+                             "nat": pa.array([], pa.int64()),
+                             "year": pa.array([], pa.int64()),
+                             "profit_e4": pa.array([], pa.int64()),
+                             "n_lines": pa.array([], pa.int64())})
+        idx = np.minimum(np.searchsorted(dpk, lpk), dpk.size - 1)
+        hit = dpk[idx] == lpk
+        sk, sn = ray.get(supp_ref)
+        lsk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        sidx = np.minimum(np.searchsorted(sk, lsk), max(sk.size - 1, 0))
+        hit &= sk[sidx] == lsk if sk.size else False
+        okey = batch.column("l_orderkey").to_numpy().astype(np.int64)[hit]
+        nat = sn[sidx[hit]]
+        ext = _cents(batch.column("l_extendedprice").to_numpy()[hit])
+        disc = _pct(batch.column("l_discount").to_numpy()[hit])
+        qty = _cents(batch.column("l_quantity").to_numpy()[hit]) // 100
+        profit = ext * (np.int64(100) - disc) - dretail[idx[hit]] * qty * 100
+        # compress: one row per (okey, nat) in this batch
+        key = okey * (np.int64(nk.max()) + 2) + nat
+        order = np.argsort(key, kind="stable")
+        key_s, profit_s = key[order], profit[order]
+        starts = np.concatenate(([0], np.nonzero(key_s[1:] != key_s[:-1])[0] + 1)) \
+            if key_s.size else np.empty(0, np.int64)
+        sums = np.add.reduceat(profit_s, starts) if key_s.size else np.empty(0, np.int64)
+        cnts = np.diff(np.concatenate((starts, [key_s.size]))) if key_s.size \
+            else np.empty(0, np.int64)
+        uok = key_s[starts] // (np.int64(nk.max()) + 2)
+        unat = key_s[starts] % (np.int64(nk.max()) + 2)
+        return pa.table({
+            "bkt": pa.array(uok % nb, pa.int64()),
+            "okey": pa.array(uok, pa.int64()),
+            "nat": pa.array(unat, pa.int64()),
+            "year": pa.array(np.full(uok.size, -1, np.int64), pa.int64()),
+            "profit_e4": pa.array(sums.astype(np.int64), pa.int64()),
+            "n_lines": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        okey = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        years = batch.column("o_orderdate").cast(pa.timestamp("us"))
+        yr = pc.year(years).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(okey % nb, pa.int64()),
+            "okey": pa.array(okey, pa.int64()),
+            "nat": pa.array(np.full(okey.size, -1, np.int64), pa.int64()),
+            "year": pa.array(yr, pa.int64()),
+            "profit_e4": pa.array(np.zeros(okey.size, np.int64), pa.int64()),
+            "n_lines": pa.array(np.zeros(okey.size, np.int64), pa.int64()),
+        })
+
+    def _join(group: pa.Table) -> pa.Table:
+        nat = group.column("nat").to_numpy().astype(np.int64)
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        build = nat == -1
+        bok = okey[build]
+        byr = group.column("year").to_numpy().astype(np.int64)[build]
+        o = np.argsort(bok)
+        bok, byr = bok[o], byr[o]
+        pok = okey[~build]
+        if bok.size == 0 or pok.size == 0:
+            return pa.table({"nat": pa.array([], pa.int64()),
+                             "year": pa.array([], pa.int64()),
+                             "profit_e4": pa.array([], pa.int64()),
+                             "n_lines": pa.array([], pa.int64())})
+        idx = np.minimum(np.searchsorted(bok, pok), bok.size - 1)
+        hit = bok[idx] == pok
+        return pa.table({
+            "nat": pa.array(nat[~build][hit], pa.int64()),
+            "year": pa.array(byr[idx[hit]], pa.int64()),
+            "profit_e4": pa.array(
+                group.column("profit_e4").to_numpy().astype(np.int64)[~build][hit],
+                pa.int64()),
+            "n_lines": pa.array(
+                group.column("n_lines").to_numpy().astype(np.int64)[~build][hit],
+                pa.int64()),
+        })
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount", "l_quantity"]
+    ).map_batches(_line_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    joined = li.union(orders).groupby("bkt").map_groups(
+        _join, batch_format="pyarrow")
+    agg = joined.groupby(["nat", "year"]).aggregate(
+        Sum("profit_e4", alias_name="profit_e4"),
+        Sum("n_lines", alias_name="n_lines")).to_pandas()
+    nat = agg["nat"].to_numpy(np.int64)
+    name_of = {int(k): n for k, n in zip(nk, nnames)}
+    return pa.table({
+        "n_name": pa.array([name_of[int(x)] for x in nat], pa.string()),
+        "o_year": pa.array(agg["year"].to_numpy(np.int64), pa.int64()),
+        "profit_e4": pa.array(agg["profit_e4"].to_numpy(np.int64), pa.int64()),
+        "n_lines": pa.array(agg["n_lines"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def q_top_supplier_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q15-shaped top supplier(s): per-supplier revenue inside a
+    quarter, keeping EVERY supplier that attains the maximum (the
+    tie-keeping MAX-of-aggregate polarity Q15's view expresses).
+    revenue_e4 = Σ cents(ext) × (100 − disc_pct), exact.
+
+    Plan: per-batch partials → one supplier-keyed groupby (dimension-
+    sized output); the max and tie filter run on the aggregate, and
+    supplier names attach by broadcast point-reads."""
+    import pyarrow.parquet as pq
+
+    lo, hi = _ship_window_ints(Q15_SHIP_LO, Q15_SHIP_HI)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (sd >= lo) & (sd < hi)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)[keep]
+        ext = _cents(batch.column("l_extendedprice").to_numpy()[keep])
+        disc = _pct(batch.column("l_discount").to_numpy()[keep])
+        rev = ext * (np.int64(100) - disc)
+        order = np.argsort(sk, kind="stable")
+        sk_s, rev_s = sk[order], rev[order]
+        starts = np.concatenate(([0], np.nonzero(sk_s[1:] != sk_s[:-1])[0] + 1)) \
+            if sk_s.size else np.empty(0, np.int64)
+        return pa.table({
+            "s_suppkey": pa.array(sk_s[starts] if sk_s.size else
+                                  np.empty(0, np.int64), pa.int64()),
+            "revenue_e4": pa.array(
+                np.add.reduceat(rev_s, starts).astype(np.int64)
+                if sk_s.size else np.empty(0, np.int64), pa.int64()),
+        })
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    ).to_pandas()  # one row per supplier — dimension-sized
+    if len(agg) == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "revenue_e4": pa.array([], pa.int64())})
+    mx = int(agg["revenue_e4"].max())
+    win = agg[agg["revenue_e4"] == mx].sort_values("s_suppkey")
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    names = np.asarray(supp.column("s_name").to_pylist(), object)
+    o = np.argsort(sk)
+    sk, names = sk[o], names[o]
+    wk = win["s_suppkey"].to_numpy(np.int64)
+    idx = np.searchsorted(sk, wk)
+    return pa.table({
+        "s_suppkey": pa.array(wk, pa.int64()),
+        "s_name": pa.array(names[idx].tolist(), pa.string()),
+        "revenue_e4": pa.array(win["revenue_e4"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def q_min_price_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H-Q2-shaped groupwise-min supplier, adapted: for every part
+    of one type, the supplier(s) whose lineitem attains that part's
+    MINIMUM extended price (ties kept, Q2's correlated-min subquery
+    polarity), restricted to suppliers in one region. No partsupp
+    table exists, so lineitem plays the supply catalog.
+
+    Plan: part/supplier/nation/region broadcast; ONE lineitem scan
+    emits per-batch (partkey, suppkey) min partials; a (part, supp)
+    groupby Min reduces to catalog size; the per-part global min
+    derives from that reduced table and the tie filter + dimension
+    attach happen on catalog-sized data."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Min
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name", "p_type"])
+    part = part.filter(pc.equal(part.column("p_type"), Q2_PART_TYPE))
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    pnames = np.asarray(part.column("p_name").to_pylist(), object)
+    o = np.argsort(pk)
+    pk, pnames = pk[o], pnames[o]
+    part_ref = ray.put(pk)
+
+    nk, nnames, nation = _nation_lookup(sf_dir)
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rk = region.column("r_regionkey").to_numpy().astype(np.int64)
+    rnames = np.asarray(region.column("r_name").to_pylist(), object)
+    target_r = {int(k) for k, n in zip(rk, rnames) if n == Q2_REGION}
+    n_region = nation.column("n_regionkey").to_numpy().astype(np.int64)
+    nat_in_region = {int(k) for k, r in zip(
+        nation.column("n_nationkey").to_numpy().astype(np.int64), n_region)
+        if int(r) in target_r}
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    snames = np.asarray(supp.column("s_name").to_pylist(), object)
+    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    o = np.argsort(sk)
+    sk, snames, snat = sk[o], snames[o], snat[o]
+    keep_supp = np.isin(snat, np.asarray(sorted(nat_in_region), np.int64))
+    supp_set_ref = ray.put(sk[keep_supp])
+
+    def _pair_min(batch: pa.Table) -> pa.Table:
+        lpk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        dpk = ray.get(part_ref)
+        dsup = ray.get(supp_set_ref)
+        lsk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        hit = np.zeros(lpk.size, bool)
+        if dpk.size:
+            idx = np.minimum(np.searchsorted(dpk, lpk), dpk.size - 1)
+            hit = dpk[idx] == lpk
+        if dsup.size:
+            sidx = np.minimum(np.searchsorted(dsup, lsk), dsup.size - 1)
+            hit &= dsup[sidx] == lsk
+        else:
+            hit &= False
+        lpk, lsk = lpk[hit], lsk[hit]
+        cents = _cents(batch.column("l_extendedprice").to_numpy()[hit])
+        key = lpk << 20 | lsk  # suppkeys < 2^20 asserted below
+        assert (lsk < (1 << 20)).all(), "suppkey exceeds pack width"
+        order = np.lexsort((cents, key))
+        key_s, cents_s = key[order], cents[order]
+        first = np.concatenate(([True], key_s[1:] != key_s[:-1])) \
+            if key_s.size else np.empty(0, bool)
+        return pa.table({
+            "p_partkey": pa.array(key_s[first] >> 20, pa.int64()),
+            "s_suppkey": pa.array(key_s[first] & ((1 << 20) - 1), pa.int64()),
+            "min_cents": pa.array(cents_s[first].astype(np.int64), pa.int64()),
+        })
+
+    pairs = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(_pair_min, batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Min("min_cents", alias_name="min_cents"))
+    ).to_pandas()  # catalog-sized: |parts of type| × |region suppliers|
+    if len(pairs) == 0:
+        return pa.table({"p_partkey": pa.array([], pa.int64()),
+                         "p_name": pa.array([], pa.string()),
+                         "s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "n_name": pa.array([], pa.string()),
+                         "min_cents": pa.array([], pa.int64())})
+    part_min = pairs.groupby("p_partkey")["min_cents"].transform("min")
+    win = pairs[pairs["min_cents"] == part_min].sort_values(
+        ["p_partkey", "s_suppkey"])
+    wpk = win["p_partkey"].to_numpy(np.int64)
+    wsk = win["s_suppkey"].to_numpy(np.int64)
+    pidx = np.searchsorted(pk, wpk)
+    sidx = np.searchsorted(sk, wsk)
+    name_of_nat = {int(k): n for k, n in zip(nk, nnames)}
+    return pa.table({
+        "p_partkey": pa.array(wpk, pa.int64()),
+        "p_name": pa.array(pnames[pidx].tolist(), pa.string()),
+        "s_suppkey": pa.array(wsk, pa.int64()),
+        "s_name": pa.array(snames[sidx].tolist(), pa.string()),
+        "n_name": pa.array([name_of_nat[int(x)] for x in snat[sidx]],
+                           pa.string()),
+        "min_cents": pa.array(win["min_cents"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def q_disjunctive_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q19-shaped disjunctive predicate scan: revenue over three
+    OR'd (brand, size-range, quantity-range) disjuncts — the shape
+    where predicate evaluation, not the join, is the operator.
+    revenue_e4 = Σ cents(ext) × (100 − disc_pct), exact.
+
+    Plan: part's (brand, size) broadcast once; each lineitem batch
+    evaluates all disjuncts as vectorized masks (no row loop, no
+    per-disjunct scan) and contributes one partial row."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    brands = np.asarray(part.column("p_brand").to_pylist(), object)
+    sizes = part.column("p_size").to_numpy().astype(np.int64)
+    o = np.argsort(pk)
+    # brand → small int id so the broadcast is numeric
+    blist = sorted({b for b, _, _, _ in Q19_DISJUNCTS})
+    bid = {b: i for i, b in enumerate(blist)}
+    bcode = np.array([bid.get(b, -1) for b in brands[o]], np.int64)
+    dim_ref = ray.put((pk[o], bcode, sizes[o]))
+    djs = [(bid[b], mx, qlo, qhi) for b, mx, qlo, qhi in Q19_DISJUNCTS]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lpk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        dpk, dbrand, dsize = ray.get(dim_ref)
+        idx = np.minimum(np.searchsorted(dpk, lpk), max(dpk.size - 1, 0))
+        hit = dpk[idx] == lpk if dpk.size else np.zeros(lpk.size, bool)
+        qty = _cents(batch.column("l_quantity").to_numpy()) // 100
+        b = dbrand[idx]
+        s = dsize[idx]
+        keep = np.zeros(lpk.size, bool)
+        for code, mx, qlo, qhi in djs:
+            keep |= (hit & (b == code) & (s >= 1) & (s <= mx)
+                     & (qty >= qlo) & (qty <= qhi))
+        ext = _cents(batch.column("l_extendedprice").to_numpy()[keep])
+        disc = _pct(batch.column("l_discount").to_numpy()[keep])
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "revenue_e4": pa.array(
+                [int((ext * (np.int64(100) - disc)).sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                   Sum("n_lines", alias_name="n_lines"))
+        .map_batches(lambda t: t.drop_columns(["g"]), batch_format="pyarrow")
+    )

@@ -1577,6 +1577,84 @@ GROUP BY o_custkey
 ORDER BY total_cents DESC, o_custkey
 LIMIT {TOP_CUSTOMERS}
 """,
+        **_session8_relational_oracles(c, d),
+    }
+
+
+def _session8_relational_oracles(c: str, d: str) -> dict[str, str]:
+    from candidategeneration_ray.pipelines.relational import (
+        Q2_PART_TYPE, Q2_REGION, Q6_DISC_PCTS, Q6_MAX_QTY, Q6_SHIP_HI,
+        Q6_SHIP_LO, Q9_NAME_SUBSTR, Q15_SHIP_HI, Q15_SHIP_LO, Q19_DISJUNCTS)
+
+    q = "CAST(round(l_quantity * 100) AS BIGINT) // 100"
+    pcts = ", ".join(str(p) for p in Q6_DISC_PCTS)
+    disj = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {mx} "
+        f"AND {q} BETWEEN {qlo} AND {qhi})"
+        for b, mx, qlo, qhi in Q19_DISJUNCTS)
+    return {
+        "forecast_revenue": f"""
+SELECT CAST(coalesce(sum({c} * {d}), 0) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_SHIP_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q6_SHIP_HI}'
+  AND {d} IN ({pcts})
+  AND {q} < {Q6_MAX_QTY}
+""",
+        "nation_profit": f"""
+SELECT n_name,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({c} * (100 - {d})
+                - CAST(round(p_retailprice * 100) AS BIGINT) * {q} * 100)
+            AS BIGINT) AS profit_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%{Q9_NAME_SUBSTR}%'
+GROUP BY n_name, year(o_orderdate)
+""",
+        "top_supplier_revenue": f"""
+WITH rev AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+         CAST(sum({c} * (100 - {d})) AS BIGINT) AS revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_SHIP_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q15_SHIP_HI}'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, revenue_e4
+FROM rev JOIN supplier USING (s_suppkey)
+WHERE revenue_e4 = (SELECT max(revenue_e4) FROM rev)
+""",
+        "min_price_supplier": f"""
+WITH cat AS (
+  SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+         CAST(l_suppkey AS BIGINT) AS s_suppkey,
+         CAST(min({c}) AS BIGINT) AS min_cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = '{Q2_PART_TYPE}'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = '{Q2_REGION}'
+  GROUP BY 1, 2)
+SELECT cat.p_partkey, p.p_name, cat.s_suppkey, s.s_name, n.n_name,
+       cat.min_cents
+FROM cat
+JOIN part p ON p.p_partkey = cat.p_partkey
+JOIN supplier s ON s.s_suppkey = cat.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE cat.min_cents = (SELECT min(c2.min_cents) FROM cat c2
+                       WHERE c2.p_partkey = cat.p_partkey)
+""",
+        "disjunctive_revenue": f"""
+SELECT CAST(coalesce(sum({c} * (100 - {d})), 0) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {disj}
+""",
     }
 
 

@@ -709,3 +709,126 @@ def test_stratified_budget_sums_and_fairness(ray_session):
     assert int(t["alloc"].sum()) == B
     lo = (B * t["n_docs"]) // total
     assert ((t["alloc"] == lo) | (t["alloc"] == lo + 1)).all()
+
+
+def _li(cols):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                         columns=cols).to_pandas()
+
+
+def test_forecast_revenue_recompute(ray_session):
+    df = rl.q_forecast_revenue(SF_DIR).to_pandas()
+    li = _li(["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"])
+    sd = li["l_shipdate"].to_numpy().astype("datetime64[us]")
+    qty = rl._cents(li["l_quantity"].to_numpy()) // 100
+    disc = rl._pct(li["l_discount"].to_numpy())
+    keep = ((sd >= np.datetime64(rl.Q6_SHIP_LO)) &
+            (sd < np.datetime64(rl.Q6_SHIP_HI)) &
+            (qty < rl.Q6_MAX_QTY) & np.isin(disc, list(rl.Q6_DISC_PCTS)))
+    ext = rl._cents(li["l_extendedprice"].to_numpy()[keep])
+    assert int(df["revenue_e4"].iloc[0]) == int((ext * disc[keep]).sum())
+    assert int(df["n_lines"].iloc[0]) == int(keep.sum())
+
+
+def test_top_supplier_revenue_ties_and_max(ray_session):
+    t = rl.q_top_supplier_revenue(SF_DIR).to_pandas()
+    assert len(t) >= 1
+    assert t["revenue_e4"].nunique() == 1  # every kept row attains the max
+    li = _li(["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    sd = li["l_shipdate"].to_numpy().astype("datetime64[us]")
+    keep = ((sd >= np.datetime64(rl.Q15_SHIP_LO)) &
+            (sd < np.datetime64(rl.Q15_SHIP_HI)))
+    rev = (rl._cents(li["l_extendedprice"].to_numpy()[keep])
+           * (100 - rl._pct(li["l_discount"].to_numpy()[keep])))
+    import pandas as pd
+
+    per = pd.DataFrame({"s": li["l_suppkey"].to_numpy()[keep],
+                        "r": rev}).groupby("s")["r"].sum()
+    assert int(t["revenue_e4"].iloc[0]) == int(per.max())
+    assert sorted(t["s_suppkey"].tolist()) == \
+        sorted(per[per == per.max()].index.tolist())
+
+
+def test_min_price_supplier_groupwise_min(ray_session):
+    t = rl.q_min_price_supplier(SF_DIR).to_pandas()
+    assert len(t) > 0
+    # within each part every kept supplier attains one shared minimum
+    assert (t.groupby("p_partkey")["min_cents"].nunique() == 1).all()
+    # brute force one part end-to-end
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(os.path.join(SF_DIR, "part.parquet")).to_pandas()
+    typed = set(part[part["p_type"] == rl.Q2_PART_TYPE]["p_partkey"])
+    assert set(t["p_partkey"]) <= typed
+    p0 = int(t["p_partkey"].iloc[0])
+    li = _li(["l_partkey", "l_suppkey", "l_extendedprice"])
+    sup = pq.read_table(os.path.join(SF_DIR, "supplier.parquet")).to_pandas()
+    nat = pq.read_table(os.path.join(SF_DIR, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(SF_DIR, "region.parquet")).to_pandas()
+    rkey = set(reg[reg["r_name"] == rl.Q2_REGION]["r_regionkey"])
+    nkeys = set(nat[nat["n_regionkey"].isin(rkey)]["n_nationkey"])
+    skeys = set(sup[sup["s_nationkey"].isin(nkeys)]["s_suppkey"])
+    sub = li[(li["l_partkey"] == p0) & (li["l_suppkey"].isin(skeys))]
+    cents = rl._cents(sub["l_extendedprice"].to_numpy())
+    want_min = int(cents.min())
+    assert int(t[t["p_partkey"] == p0]["min_cents"].iloc[0]) == want_min
+    want_supps = sorted(set(sub["l_suppkey"].to_numpy()[cents == want_min]))
+    assert sorted(t[t["p_partkey"] == p0]["s_suppkey"]) == want_supps
+
+
+def test_disjunctive_revenue_recompute(ray_session):
+    import pyarrow.parquet as pq
+
+    df = rl.q_disjunctive_revenue(SF_DIR).to_pandas()
+    part = pq.read_table(os.path.join(SF_DIR, "part.parquet")).to_pandas()
+    li = _li(["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    m = li.merge(part[["p_partkey", "p_brand", "p_size"]],
+                 left_on="l_partkey", right_on="p_partkey")
+    qty = rl._cents(m["l_quantity"].to_numpy()) // 100
+    keep = np.zeros(len(m), bool)
+    for b, mx, qlo, qhi in rl.Q19_DISJUNCTS:
+        keep |= ((m["p_brand"] == b).to_numpy()
+                 & (m["p_size"].to_numpy() >= 1)
+                 & (m["p_size"].to_numpy() <= mx)
+                 & (qty >= qlo) & (qty <= qhi))
+    rev = (rl._cents(m["l_extendedprice"].to_numpy()[keep])
+           * (100 - rl._pct(m["l_discount"].to_numpy()[keep])))
+    assert int(df["revenue_e4"].iloc[0]) == int(rev.sum())
+    assert int(df["n_lines"].iloc[0]) == int(keep.sum())
+
+
+def test_nation_profit_recompute(ray_session):
+    import pyarrow.parquet as pq
+
+    t = rl.q_nation_profit(SF_DIR).to_pandas()
+    assert len(t) > 0
+    part = pq.read_table(os.path.join(SF_DIR, "part.parquet")).to_pandas()
+    part = part[part["p_name"].str.contains(rl.Q9_NAME_SUBSTR)]
+    li = _li(["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+              "l_discount", "l_quantity"])
+    sup = pq.read_table(os.path.join(SF_DIR, "supplier.parquet")).to_pandas()
+    nat = pq.read_table(os.path.join(SF_DIR, "nation.parquet")).to_pandas()
+    orders = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                           columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    m = (li.merge(part[["p_partkey", "p_retailprice"]],
+                  left_on="l_partkey", right_on="p_partkey")
+           .merge(sup[["s_suppkey", "s_nationkey"]],
+                  left_on="l_suppkey", right_on="s_suppkey")
+           .merge(nat[["n_nationkey", "n_name"]],
+                  left_on="s_nationkey", right_on="n_nationkey")
+           .merge(orders, left_on="l_orderkey", right_on="o_orderkey"))
+    profit = (rl._cents(m["l_extendedprice"].to_numpy())
+              * (100 - rl._pct(m["l_discount"].to_numpy()))
+              - rl._cents(m["p_retailprice"].to_numpy())
+              * (rl._cents(m["l_quantity"].to_numpy()) // 100) * 100)
+    m = m.assign(profit=profit,
+                 o_year=m["o_orderdate"].dt.year.astype("int64"))
+    want = (m.groupby(["n_name", "o_year"])["profit"].agg(["sum", "count"])
+             .reset_index())
+    got = t.set_index(["n_name", "o_year"]).sort_index()
+    want = want.set_index(["n_name", "o_year"]).sort_index()
+    assert got.index.tolist() == want.index.tolist()
+    assert got["profit_e4"].tolist() == want["sum"].tolist()
+    assert got["n_lines"].tolist() == want["count"].tolist()
