@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": cl.q_personalized_pagerank,  # seeded teleport
         "triangle_counts": cl.q_triangle_counts,        # graph-motif wedge-check
         "common_neighbors": cl.q_common_neighbors,      # link prediction (wedge anti)
+        "neighborhood_jaccard": cl.q_neighborhood_jaccard,  # exact-ratio link score
         "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
         "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
         "ivf_delta_counts": ivfd.q_ivf_delta_counts,  # IVF LSM: frozen-codebook delta
@@ -205,12 +206,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": rl.q_top_supplier_revenue,  # Q15: max-with-ties view
         "min_price_supplier": rl.q_min_price_supplier,  # Q2: groupwise-min + dims
         "disjunctive_revenue": rl.q_disjunctive_revenue,  # Q19: OR'd predicate scan
+        "copurchase_pairs": rl.q_copurchase_pairs,      # market-basket 2-itemsets
         "top_orders_per_customer": rl.q_top_orders_per_customer,  # ROW_NUMBER top-N per group
         "orders_cube": rl.q_orders_cube,                # CUBE grouping-set lattice
         "order_global_rank": rl.q_order_global_rank,    # global rank via range blocks
         "stratified_budget": rl.q_stratified_budget,    # Hamilton budget allocation
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
+        "peak_concurrency": ev.q_peak_concurrency,  # sweep-line interval max
         # two-level (user, time-slice) plan for monster users; hash-matches
         # the SAME sessionize oracle = plan-equivalence proof
         "sessionize_sliced": ev.q_sessionize_sliced,

@@ -1732,3 +1732,88 @@ def q_common_neighbors(sf_dir: str, k_out: int = CN_TOPK) -> pa.Table:
         "v": pa.array([r["v"] for r in top], pa.int64()),
         "n_common": pa.array([r["n_common"] for r in top], pa.int64()),
     })
+
+
+JACCARD_LINK_NUM = 1
+JACCARD_LINK_DEN = 4
+
+
+def q_neighborhood_jaccard(sf_dir: str) -> pa.Table:
+    """Link prediction by neighborhood Jaccard — the normalized
+    companion of q_common_neighbors (Liben-Nowell & Kleinberg CIKM'03):
+    every NON-adjacent pair of the undirected kNN graph whose
+    |N(u)∩N(v)| / |N(u)∪N(v)| ≥ 1/4. The threshold comparison is
+    EXACT by cross-multiplication — with uni = deg(u)+deg(v)−inter,
+      inter/uni ≥ 1/4  ⟺  (4+1)·inter ≥ deg(u)+deg(v)
+    — no float ratio anywhere, so the entry hash-verifies. Output
+    (u, v, n_common, n_union) with both count columns exposed; the
+    caller divides if it wants the score.
+
+    Shape: the shared wedge plan (pair-hash buckets, bucket-complete
+    counts, anti test against edges) plus ONE broadcast degree array
+    (node-count-sized, built from a distributed degree groupby)."""
+    from ray.data.aggregate import Sum
+
+    edges = _knn_undirected_edges(sf_dir)
+
+    def _deg_rows(batch: pa.Table) -> pa.Table:
+        node = np.concatenate((
+            batch.column("u").to_numpy().astype(np.int64),
+            batch.column("v").to_numpy().astype(np.int64)))
+        uk, cnt = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(uk, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    deg_df = (edges.map_batches(_deg_rows, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+              ).to_pandas()  # node-count-sized
+    dn = deg_df["node"].to_numpy(np.int64)
+    dd = deg_df["deg"].to_numpy(np.int64)
+    o = np.argsort(dn)
+    deg_ref = ray.put((dn[o], dd[o]))
+    num = np.int64(JACCARD_LINK_NUM)
+    den = np.int64(JACCARD_LINK_DEN)
+
+    def _jaccard_pairs(group: pa.Table) -> pa.Table:
+        pkey = group.column("pkey").to_numpy().astype(np.int64)
+        apex = group.column("apex").to_numpy().astype(np.int64)
+        is_edge = apex < 0
+        ek = np.unique(pkey[is_edge])
+        wk = pkey[~is_edge]
+        if wk.size and ek.size:
+            idx = np.minimum(np.searchsorted(ek, wk), ek.size - 1)
+            wk = wk[ek[idx] != wk]
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "n_common": pa.array([], pa.int64()),
+                          "n_union": pa.array([], pa.int64())})
+        if wk.size == 0:
+            return empty
+        uk, inter = np.unique(wk, return_counts=True)
+        u = uk >> np.int64(32)
+        v = uk & np.int64(0xFFFFFFFF)
+        gn, gd = ray.get(deg_ref)
+        du = gd[np.searchsorted(gn, u)]
+        dv = gd[np.searchsorted(gn, v)]
+        keep = den * inter >= num * (du + dv - inter)
+        if not keep.any():
+            return empty
+        return pa.table({
+            "u": pa.array(u[keep], pa.int64()),
+            "v": pa.array(v[keep], pa.int64()),
+            "n_common": pa.array(inter[keep].astype(np.int64), pa.int64()),
+            "n_union": pa.array((du + dv - inter)[keep].astype(np.int64),
+                                pa.int64()),
+        })
+
+    rows = (_wedge_edge_union(edges)
+            .groupby("pbucket")
+            .map_groups(_jaccard_pairs, batch_format="pyarrow")
+            ).take_all()  # O(qualifying pairs) — threshold-bounded
+    rows.sort(key=lambda r: (-r["n_common"], r["u"], r["v"]))
+    return pa.table({
+        "u": pa.array([r["u"] for r in rows], pa.int64()),
+        "v": pa.array([r["v"] for r in rows], pa.int64()),
+        "n_common": pa.array([r["n_common"] for r in rows], pa.int64()),
+        "n_union": pa.array([r["n_union"] for r in rows], pa.int64()),
+    })

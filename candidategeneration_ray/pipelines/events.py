@@ -1980,3 +1980,96 @@ def q_ab_test_flags(sf_dir: str) -> pa.Table:
     return pa.table({"event_type": pa.array(out_t, pa.string()),
                      **{k: pa.array(v, pa.int64())
                         for k, v in out.items()}})
+
+
+PEAK_GAP_SEC = 1800
+PEAK_BLOCKS = 32
+
+
+def q_peak_concurrency(sf_dir: str, gap_sec: int = PEAK_GAP_SEC,
+                       num_blocks: int = PEAK_BLOCKS) -> pa.Table:
+    """Peak session concurrency — the interval-overlap maximum: how
+    many user sessions (gap-based, same rule as q_sessionize) were
+    simultaneously active at the busiest instant, and the earliest
+    microsecond that peak was reached. A session is active during
+    [start_ts, end_ts] inclusive.
+
+    Shape: the classic sweep-line, fully distributed —
+      1. sessions per user bucket (one lexsort + reduceat, the
+         sessionize kernel) emit interval endpoints as ±1 deltas
+         (+1 at start, −1 at end+1µs);
+      2. deltas pre-aggregate to one NET row per distinct timestamp
+         (groupby ts) — intra-instant ordering ceases to exist, so the
+         running sum is well-defined at every instant;
+      3. the global running maximum runs through the range-blocked
+         prefix-sum scaffold (stages.docids.blocked_prefix_apply): the
+         driver holds only O(num_blocks) block totals, each block
+         reports (its max prefix, earliest ts attaining it), and the
+         final reduce is over num_blocks rows.
+    Output one row: (peak, peak_ts_us, n_sessions)."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    gap_us = np.int64(gap_sec * 1_000_000)
+
+    def _session_deltas(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        if u.size == 0:
+            return pa.table({"ts": pa.array([], pa.int64()),
+                             "delta": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new_s = np.concatenate(([True], (u[1:] != u[:-1])
+                                | (ts[1:] - ts[:-1] > gap_us)))
+        starts = np.nonzero(new_s)[0]
+        ends = np.concatenate((starts[1:], [u.size])) - 1
+        s_ts, e_ts = ts[starts], ts[ends]
+        return pa.table({
+            "ts": pa.array(np.concatenate((s_ts, e_ts + 1)), pa.int64()),
+            "delta": pa.array(np.concatenate((
+                np.ones(s_ts.size, np.int64),
+                np.full(e_ts.size, -1, np.int64))), pa.int64()),
+            "n_sessions": pa.array(np.concatenate((
+                np.ones(s_ts.size, np.int64),
+                np.zeros(e_ts.size, np.int64))), pa.int64()),
+        })
+
+    deltas = (
+        _with_user_bucket(events_ds(sf_dir, ["user_id", "ts"]))
+        .groupby("ubucket")
+        .map_groups(_session_deltas, batch_format="pyarrow")
+    )
+    net = deltas.groupby("ts").aggregate(
+        Sum("delta", alias_name="net"),
+        Sum("n_sessions", alias_name="n_sessions")).sort("ts")
+
+    def _total(tab: pa.Table) -> int:
+        return int(tab.column("net").to_numpy().sum()) if tab.num_rows else 0
+
+    def _emit(tab: pa.Table, base: int) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"peak": pa.array([], pa.int64()),
+                             "peak_ts_us": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        c = base + np.cumsum(tab.column("net").to_numpy())
+        i = int(np.argmax(c))  # first index attaining the block max
+        return pa.table({
+            "peak": pa.array([int(c[i])], pa.int64()),
+            "peak_ts_us": pa.array(
+                [int(tab.column("ts").to_numpy()[i])], pa.int64()),
+            "n_sessions": pa.array(
+                [int(tab.column("n_sessions").to_numpy().sum())], pa.int64()),
+        })
+
+    rows = blocked_prefix_apply(net, num_blocks, _total, _emit).take_all()
+    peak = max(r["peak"] for r in rows)
+    peak_ts = min(r["peak_ts_us"] for r in rows if r["peak"] == peak)
+    return pa.table({
+        "peak": pa.array([peak], pa.int64()),
+        "peak_ts_us": pa.array([peak_ts], pa.int64()),
+        "n_sessions": pa.array([sum(r["n_sessions"] for r in rows)],
+                               pa.int64()),
+    })

@@ -3255,3 +3255,91 @@ def q_disjunctive_revenue(sf_dir: str) -> ray.data.Dataset:
                    Sum("n_lines", alias_name="n_lines"))
         .map_batches(lambda t: t.drop_columns(["g"]), batch_format="pyarrow")
     )
+
+
+COPURCHASE_TOPK = 50
+COPURCHASE_BUCKETS = 64
+COPURCHASE_MAX_BASKET = 1024
+
+
+def q_copurchase_pairs(sf_dir: str, k_out: int = COPURCHASE_TOPK) -> pa.Table:
+    """Market-basket co-purchase mining: the top part PAIRS by the
+    number of orders containing both (the support count of 2-itemsets —
+    the first level of Apriori / FP-growth, and the affinity signal an
+    item-item recommender consumes).
+
+    Shape: orders are baskets — bucket by orderkey hash so each
+    basket's lines co-locate; per bucket one sort + distinct, then
+    pair expansion vectorized PER BASKET-SIZE CLASS (one broadcasted
+    triu index per distinct size, no per-order Python loop; basket
+    size is capped — a degenerate 10⁶-line order would otherwise
+    expand quadratically). Pair partials → one groupby(key) →
+    deterministic top-k (n desc, p1, p2). At 100 TB the pair space is
+    bounded by the catalog (|parts|²/2 worst case, far less in
+    practice); past driver comfort the final top-k becomes per-block
+    partial top-k + merge (same pattern as top_similar_pairs)."""
+    from ray.data.aggregate import Sum
+
+    nb = COPURCHASE_BUCKETS
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy().astype(np.int64)
+        pk = group.column("l_partkey").to_numpy().astype(np.int64)
+        assert (pk < (1 << 31)).all(), "partkey exceeds pair pack width"
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        first = np.concatenate(([True], (ok[1:] != ok[:-1])
+                                | (pk[1:] != pk[:-1]))) \
+            if ok.size else np.empty(0, bool)
+        ok, pk = ok[first], pk[first]
+        if ok.size == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        starts = np.concatenate(([0], np.nonzero(ok[1:] != ok[:-1])[0] + 1))
+        sizes = np.diff(np.concatenate((starts, [ok.size])))
+        if int(sizes.max()) > COPURCHASE_MAX_BASKET:
+            raise ValueError(
+                f"basket of {int(sizes.max())} distinct parts exceeds "
+                f"COPURCHASE_MAX_BASKET={COPURCHASE_MAX_BASKET} — cap or "
+                "sample degenerate baskets before pair expansion")
+        out = []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            idx = starts[sizes == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            a = pk[(idx[:, None] + iu[None, :]).ravel()]
+            b = pk[(idx[:, None] + ju[None, :]).ravel()]
+            out.append((a << np.int64(32)) | b)  # a < b by sort order
+        if not out:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        keys = np.concatenate(out)
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "bkt", pa.array((ok % nb).astype(np.int32)))
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"])
+        .map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(lambda g: _pairs(g), batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    ).to_pandas()  # one row per distinct co-purchased pair
+    key = agg["key"].to_numpy(np.int64)
+    n = agg["n_orders"].to_numpy(np.int64)
+    order = np.lexsort((key, -n))[:k_out]
+    key, n = key[order], n[order]
+    return pa.table({
+        "p1": pa.array(key >> np.int64(32), pa.int64()),
+        "p2": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+        "n_orders": pa.array(n, pa.int64()),
+    })

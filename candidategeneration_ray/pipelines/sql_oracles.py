@@ -902,6 +902,43 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        5 * coalesce(w.n_stop, 0) >= greatest(coalesce(w.n_words, 0), 1) AS is_en
 FROM documents d LEFT JOIN wstats w USING (doc_id)
 """,
+        "peak_concurrency": """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, session_idx,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM sess GROUP BY 1, 2
+),
+deltas AS (
+  SELECT s AS t, 1 AS d FROM spans
+  UNION ALL SELECT e + 1, -1 FROM spans
+),
+net AS (SELECT t, sum(d) AS nd FROM deltas GROUP BY t),
+run AS (
+  SELECT t, sum(nd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+  FROM net
+)
+SELECT CAST((SELECT max(conc) FROM run) AS BIGINT) AS peak,
+       CAST((SELECT min(t) FROM run
+             WHERE conc = (SELECT max(conc) FROM run)) AS BIGINT)
+         AS peak_ts_us,
+       CAST((SELECT count(*) FROM spans) AS BIGINT) AS n_sessions
+""",
         "sessionize": """
 WITH ordered AS (
   SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
@@ -1578,6 +1615,18 @@ ORDER BY total_cents DESC, o_custkey
 LIMIT {TOP_CUSTOMERS}
 """,
         **_session8_relational_oracles(c, d),
+        "copurchase_pairs": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (
+  SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM pr GROUP BY 1, 2
+ORDER BY n_orders DESC, p1, p2
+LIMIT 50
+""",
     }
 
 
@@ -3866,6 +3915,47 @@ SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, n_common
 FROM nonadj
 ORDER BY n_common DESC, u, v
 LIMIT {CN_TOPK}
+""",
+        "neighborhood_jaccard": f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+rk AS (
+  SELECT vec_id, nbr_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, nbr_id ASC) AS rank
+  FROM dist
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+  FROM rk WHERE rank <= {KNN_K}
+),
+sadj AS (SELECT u AS x, v AS y FROM edges
+         UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM sadj GROUP BY x),
+cn AS (
+  SELECT s1.y AS u, s2.y AS v, CAST(count(*) AS BIGINT) AS n_common
+  FROM sadj s1 JOIN sadj s2 ON s1.x = s2.x AND s1.y < s2.y
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT cn.u, cn.v, cn.n_common
+  FROM cn LEFT JOIN edges e ON e.u = cn.u AND e.v = cn.v
+  WHERE e.u IS NULL)
+SELECT CAST(n.u AS BIGINT) AS u, CAST(n.v AS BIGINT) AS v, n.n_common,
+       CAST(du.deg + dv.deg - n.n_common AS BIGINT) AS n_union
+FROM nonadj n
+JOIN deg du ON du.x = n.u
+JOIN deg dv ON dv.x = n.v
+WHERE 4 * n.n_common >= 1 * (du.deg + dv.deg - n.n_common)
 """,
     }
 

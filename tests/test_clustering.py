@@ -534,3 +534,38 @@ def test_common_neighbors_brute_force(ray_session):
     assert [(int(r.n_common), int(r.u), int(r.v))
             for r in got.itertuples()] == want
     assert all((int(r.u), int(r.v)) not in und for r in got.itertuples())
+
+
+def test_neighborhood_jaccard_consistency(ray_session):
+    """Jaccard entries are exactly the common_neighbors candidates that
+    clear the 1/4 cross-multiplied threshold; union = du+dv-inter."""
+    from candidategeneration_ray.pipelines import clustering as cl
+
+    SF = "/root/testdata/sf0.001"
+    t = cl.q_neighborhood_jaccard(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["n_common"] >= 1).all()
+    assert (t["n_union"] >= t["n_common"]).all()
+    assert (cl.JACCARD_LINK_DEN * t["n_common"]
+            >= cl.JACCARD_LINK_NUM * t["n_union"]).all()
+    # brute force over the same kNN edge set
+    edges = cl._knn_undirected_edges(SF).to_pandas()
+    adj = {}
+    for u, v in zip(edges["u"], edges["v"]):
+        adj.setdefault(int(u), set()).add(int(v))
+        adj.setdefault(int(v), set()).add(int(u))
+    eset = {(int(u), int(v)) for u, v in zip(edges["u"], edges["v"])}
+    want = []
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in eset:
+                continue
+            inter = len(adj[u] & adj[v])
+            if inter == 0:
+                continue
+            uni = len(adj[u] | adj[v])
+            if cl.JACCARD_LINK_DEN * inter >= cl.JACCARD_LINK_NUM * uni:
+                want.append((u, v, inter, uni))
+    got = sorted(zip(t["u"], t["v"], t["n_common"], t["n_union"]))
+    assert got == sorted(want)

@@ -951,3 +951,43 @@ def test_ab_test_flags_float_recompute(ray_session):
         assert int(got.loc[et, "significant"]) == int(z2 > ev.AB_K ** 2)
         assert int(got.loc[et, "cents_a"]) == int(a.sum())
         assert int(got.loc[et, "n_b"]) == len(b)
+
+
+def test_peak_concurrency_brute_force(ray_session):
+    """Sweep-line result == O(n²) direct check: for every session-start
+    instant, count sessions whose [start, end] covers it."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import events as ev
+
+    SF_DIR = "/root/testdata/sf0.001"
+    t = ev.q_peak_concurrency(SF_DIR).to_pandas()
+    assert len(t) == 1
+    li = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "ts"]).to_pandas()
+    li = li.sort_values(["user_id", "ts"], kind="mergesort")
+    gap = np.int64(ev.PEAK_GAP_SEC) * 1_000_000
+    spans = []
+    for _, g in li.groupby("user_id"):
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new = np.concatenate(([True], np.diff(ts) > gap))
+        st = np.nonzero(new)[0]
+        en = np.concatenate((st[1:], [ts.size])) - 1
+        spans.extend(zip(ts[st], ts[en]))
+    assert int(t["n_sessions"].iloc[0]) == len(spans)
+    s = np.array([a for a, _ in spans], np.int64)
+    e = np.array([b for _, b in spans], np.int64)
+    conc = [(int(((s <= x) & (e >= x)).sum()), int(x)) for x in s]
+    peak = max(c for c, _ in conc)
+    first_ts = min(x for c, x in conc if c == peak)
+    assert int(t["peak"].iloc[0]) == peak
+    assert int(t["peak_ts_us"].iloc[0]) == first_ts
+
+
+def test_peak_concurrency_block_count_invariant(ray_session):
+    from candidategeneration_ray.pipelines import events as ev
+
+    SF_DIR = "/root/testdata/sf0.001"
+    a = ev.q_peak_concurrency(SF_DIR, num_blocks=2).to_pandas()
+    b = ev.q_peak_concurrency(SF_DIR, num_blocks=57).to_pandas()
+    assert a.equals(b)

@@ -832,3 +832,19 @@ def test_nation_profit_recompute(ray_session):
     assert got.index.tolist() == want.index.tolist()
     assert got["profit_e4"].tolist() == want["sum"].tolist()
     assert got["n_lines"].tolist() == want["count"].tolist()
+
+
+def test_copurchase_pairs_brute_force(ray_session):
+    t = rl.q_copurchase_pairs(SF_DIR).to_pandas()
+    li = _li(["l_orderkey", "l_partkey"]).drop_duplicates()
+    from collections import Counter
+    from itertools import combinations
+
+    cnt = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["l_partkey"]), 2):
+            cnt[(a, b)] += 1
+    want = sorted(((-n, a, b) for (a, b), n in cnt.items()))[:rl.COPURCHASE_TOPK]
+    got = list(zip(-t["n_orders"].to_numpy(), t["p1"].to_numpy(),
+                   t["p2"].to_numpy()))
+    assert got == want
