@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
         "retrieval_eval": dq.q_retrieval_eval,  # recall/MRR stats vs exact top-k
+        "prf_topk": dq.q_prf_topk,  # Rocchio-style PRF expansion, integer-exact
         # --- training-data extras (dedup / similarity / text analysis) ---
         "dedup_exact": ex.q_dedup_exact,
         # exact-mode opt-in: the library default caps hot shingles
@@ -156,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": cl.q_triangle_counts,        # graph-motif wedge-check
         "common_neighbors": cl.q_common_neighbors,      # link prediction (wedge anti)
         "neighborhood_jaccard": cl.q_neighborhood_jaccard,  # exact-ratio link score
+        "kcore_nodes": cl.q_kcore_nodes,                # k-core peeling fixed point
         "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
         "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
         "ivf_delta_counts": ivfd.q_ivf_delta_counts,  # IVF LSM: frozen-codebook delta

@@ -1817,3 +1817,83 @@ def q_neighborhood_jaccard(sf_dir: str) -> pa.Table:
         "n_common": pa.array([r["n_common"] for r in rows], pa.int64()),
         "n_union": pa.array([r["n_union"] for r in rows], pa.int64()),
     })
+
+
+KCORE_K = 2
+KCORE_SUPPORT = 2   # co-purchase edge support threshold
+KCORE_ROUNDS = 12
+
+
+def q_kcore_nodes(sf_dir: str, k: int = KCORE_K,
+                  max_rounds: int = KCORE_ROUNDS) -> pa.Table:
+    """k-core decomposition (Seidman 1983) of the CO-PURCHASE graph
+    (parts adjacent when ≥ KCORE_SUPPORT orders contain both,
+    relational.copurchase_edges — the kNN graph's min-degree-K
+    construction makes its cores all-or-nothing, so the heavy-tailed
+    association graph is the instructive input): the maximal subgraph
+    in which every node keeps degree ≥ k — the standard dense-region
+    extractor (community seeding, spam/outlier trimming).
+    Simultaneous peeling: each round drops EVERY node whose degree
+    among still-alive nodes is < k; the fixed point is unique and
+    round-order independent, so the result is exact.
+
+    Shape: edges stay distributed; each round is one map_batches
+    (broadcast sorted removed-ids array, two searchsorted probes) +
+    one node-keyed degree groupby whose output is node-count-sized
+    (the same driver-material degree map the other graph scores use).
+    Rounds are bounded by `max_rounds` and the function RAISES on
+    non-convergence rather than returning a partial peel (the advisor
+    rule from q_dup_clusters); the SQL oracle unrolls the same bound,
+    and post-convergence rounds are idempotent, so early exit is safe.
+    Output: (node, core_deg) — degree WITHIN the core."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.pipelines.relational import copurchase_edges
+
+    edges = copurchase_edges(sf_dir, KCORE_SUPPORT).materialize()
+    removed = np.empty(0, np.int64)
+
+    def _deg_table(rem: np.ndarray):
+        rem_ref = ray.put(rem)
+
+        def _deg(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy().astype(np.int64)
+            v = batch.column("v").to_numpy().astype(np.int64)
+            dead = ray.get(rem_ref)
+            if dead.size:
+                iu = np.minimum(np.searchsorted(dead, u), dead.size - 1)
+                iv = np.minimum(np.searchsorted(dead, v), dead.size - 1)
+                live = (dead[iu] != u) & (dead[iv] != v)
+                u, v = u[live], v[live]
+            node = np.concatenate((u, v))
+            uk, cnt = np.unique(node, return_counts=True)
+            return pa.table({"node": pa.array(uk, pa.int64()),
+                             "deg": pa.array(cnt.astype(np.int64), pa.int64())})
+
+        df = (edges.map_batches(_deg, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+              ).to_pandas()  # node-count-sized
+        if "deg" not in df.columns:  # every edge peeled away
+            import pandas as pd
+
+            return pd.DataFrame({"node": np.empty(0, np.int64),
+                                 "deg": np.empty(0, np.int64)})
+        return df
+
+    deg = None
+    for _ in range(max_rounds):
+        deg = _deg_table(removed)
+        drop = deg[deg["deg"] < k]["node"].to_numpy(np.int64)
+        if drop.size == 0:
+            break
+        removed = np.union1d(removed, drop)
+    else:
+        raise ValueError(
+            f"k-core peeling did not converge in {max_rounds} rounds "
+            f"(still dropping); raise max_rounds (and regenerate the "
+            "unrolled oracle to the same bound)")
+    core = deg[deg["deg"] >= k].sort_values("node")
+    return pa.table({
+        "node": pa.array(core["node"].to_numpy(np.int64), pa.int64()),
+        "core_deg": pa.array(core["deg"].to_numpy(np.int64), pa.int64()),
+    })

@@ -1129,3 +1129,97 @@ def q_retrieval_eval(sf_dir: str) -> pa.Table:
         "hits_at_10": pa.array(hits10, pa.int64()),
         "first_rel_rank": pa.array(firstrel, pa.int64()),
     })
+
+
+PRF_R = 5   # pseudo-relevant feedback depth
+PRF_E = 3   # expansion terms added per query
+
+
+def q_prf_topk(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback retrieval (Rocchio-style two-pass —
+    the classic query-expansion loop, Salton & Buckley 1990): run the
+    exact BM25 top-R, harvest the E strongest non-query terms from
+    those R docs, and re-rank with the expanded term set. Every step
+    is integer-deterministic — expansion strength is the SUM of the
+    quantized per-term BM25 scores over the feedback docs (ties by
+    term asc), and the final ranking is the same quantized-score
+    identity as bm25_topk — so even this "relevance model" entry
+    hash-verifies against SQL.
+
+    Feedback-doc term scores are recomputed FORWARD (point-read the R
+    texts, tokenize, score under corpus stats) rather than inverted —
+    the per-(term,doc) score identity between the two paths is the
+    engine's core contract (tested in test_index_build)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.bm25 import bm25_quantized
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.state.queryengine import IndexReader, taat_topk
+
+    cfg = EngineConfig(emit_pairs=False)
+    built = build_documents_index(sf_dir, cfg)
+    stats = built["stats"]
+    reader = IndexReader(built["final_dir"], stats, cfg)
+    terms = np.asarray(stats["terms"], dtype=object)
+    t2i = {t: i + 1 for i, t in enumerate(terms)}
+    df_by_id = np.asarray(stats["df_by_id"], dtype=np.int64)
+
+    # pass 1: feedback docs for every query, then ONE point-read
+    base_ids: dict[int, list[int]] = {}
+    rel: dict[int, list[int]] = {}
+    for qid, text in DOC_QUERIES:
+        ids = reader.query_term_ids(text)
+        base_ids[qid] = ids
+        rel[qid] = [d for _, d in taat_topk(reader, ids, PRF_R)] if ids else []
+    need = sorted({d for docs in rel.values() for d in docs})
+    texts: dict[int, str] = {}
+    if need:
+        tab = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "in", need)])
+        texts = dict(zip(tab.column("doc_id").to_pylist(),
+                         tab.column("text").to_pylist()))
+
+    # forward-score each feedback doc once: term id -> quantized score
+    doc_scores: dict[int, dict[int, int]] = {}
+    for d in need:
+        toks = tokenize_text(texts[d])
+        if not toks:
+            doc_scores[d] = {}
+            continue
+        tf = Counter(toks)
+        tids = np.array([t2i[t] for t in tf], np.int64)
+        tfv = np.array(list(tf.values()), np.float64)
+        sc = bm25_quantized(tfv, float(tfv.max()), float(len(toks)),
+                            df_by_id[tids], stats["n_docs"], stats["avgdl"])
+        doc_scores[d] = dict(zip(tids.tolist(), sc.tolist()))
+
+    qids, ranks, docs_o, scores_o = [], [], [], []
+    for qid, _ in DOC_QUERIES:
+        ids = base_ids[qid]
+        if not ids:
+            continue
+        esum: Counter = Counter()
+        for d in rel[qid]:
+            for tid, s in doc_scores[d].items():
+                esum[tid] += s
+        qset = set(ids)
+        cand = sorted(((tid, s) for tid, s in esum.items()
+                       if tid not in qset),
+                      key=lambda x: (-x[1], terms[x[0] - 1]))
+        exp = [tid for tid, _ in cand[:PRF_E]]
+        all_ids = sorted(qset | set(exp))
+        for rank, (s, d) in enumerate(taat_topk(reader, all_ids, 10)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs_o.append(d)
+            scores_o.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs_o, pa.int64()),
+        "score": pa.array(scores_o, pa.int64()),
+    })

@@ -3262,22 +3262,17 @@ COPURCHASE_BUCKETS = 64
 COPURCHASE_MAX_BASKET = 1024
 
 
-def q_copurchase_pairs(sf_dir: str, k_out: int = COPURCHASE_TOPK) -> pa.Table:
-    """Market-basket co-purchase mining: the top part PAIRS by the
-    number of orders containing both (the support count of 2-itemsets —
-    the first level of Apriori / FP-growth, and the affinity signal an
-    item-item recommender consumes).
+def copurchase_counts(sf_dir: str) -> ray.data.Dataset:
+    """Distinct co-purchased part pairs with their order-support count
+    — the shared front half of q_copurchase_pairs and the co-purchase
+    graph (q_kcore_nodes). Schema: (key = p1<<32|p2, n_orders).
 
     Shape: orders are baskets — bucket by orderkey hash so each
     basket's lines co-locate; per bucket one sort + distinct, then
     pair expansion vectorized PER BASKET-SIZE CLASS (one broadcasted
     triu index per distinct size, no per-order Python loop; basket
     size is capped — a degenerate 10⁶-line order would otherwise
-    expand quadratically). Pair partials → one groupby(key) →
-    deterministic top-k (n desc, p1, p2). At 100 TB the pair space is
-    bounded by the catalog (|parts|²/2 worst case, far less in
-    practice); past driver comfort the final top-k becomes per-block
-    partial top-k + merge (same pattern as top_similar_pairs)."""
+    expand quadratically). Pair partials → one groupby(key)."""
     from ray.data.aggregate import Sum
 
     nb = COPURCHASE_BUCKETS
@@ -3324,7 +3319,7 @@ def q_copurchase_pairs(sf_dir: str, k_out: int = COPURCHASE_TOPK) -> pa.Table:
         return batch.append_column(
             "bkt", pa.array((ok % nb).astype(np.int32)))
 
-    agg = (
+    return (
         ray.data.read_parquet(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_orderkey", "l_partkey"])
@@ -3333,7 +3328,19 @@ def q_copurchase_pairs(sf_dir: str, k_out: int = COPURCHASE_TOPK) -> pa.Table:
         .map_groups(lambda g: _pairs(g), batch_format="pyarrow")
         .groupby("key")
         .aggregate(Sum("n", alias_name="n_orders"))
-    ).to_pandas()  # one row per distinct co-purchased pair
+    )
+
+
+def q_copurchase_pairs(sf_dir: str, k_out: int = COPURCHASE_TOPK) -> pa.Table:
+    """Market-basket co-purchase mining: the top part PAIRS by the
+    number of orders containing both (the support count of 2-itemsets —
+    the first level of Apriori / FP-growth, and the affinity signal an
+    item-item recommender consumes). Deterministic top-k
+    (n desc, p1, p2) over copurchase_counts. At 100 TB the pair space
+    is bounded by the catalog (|parts|²/2 worst case, far less in
+    practice); past driver comfort the final top-k becomes per-block
+    partial top-k + merge (same pattern as top_similar_pairs)."""
+    agg = copurchase_counts(sf_dir).to_pandas()  # one row per distinct pair
     key = agg["key"].to_numpy(np.int64)
     n = agg["n_orders"].to_numpy(np.int64)
     order = np.lexsort((key, -n))[:k_out]
@@ -3343,3 +3350,20 @@ def q_copurchase_pairs(sf_dir: str, k_out: int = COPURCHASE_TOPK) -> pa.Table:
         "p2": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
         "n_orders": pa.array(n, pa.int64()),
     })
+
+
+def copurchase_edges(sf_dir: str, min_support: int) -> ray.data.Dataset:
+    """Co-purchase GRAPH edges: distinct part pairs with order support
+    ≥ min_support, as (u, v) with u < v. The association-graph input
+    of q_kcore_nodes."""
+    def _edges(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy().astype(np.int64)
+        n = batch.column("n_orders").to_numpy().astype(np.int64)
+        key = key[n >= min_support]
+        return pa.table({
+            "u": pa.array(key >> np.int64(32), pa.int64()),
+            "v": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+        })
+
+    return copurchase_counts(sf_dir).map_batches(
+        _edges, batch_format="pyarrow")

@@ -276,6 +276,57 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM qscores
 ) WHERE rank <= 10
 """,
+        "prf_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok)
+  GROUP BY q.query_id, s.doc_id
+),
+rel AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM qscores) WHERE rn <= 5
+),
+cand AS (
+  SELECT r.query_id, s.tok, CAST(sum(s.score) AS BIGINT) AS esum
+  FROM rel r JOIN scores s USING (doc_id)
+  GROUP BY 1, 2
+),
+cand2 AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN qtok q ON q.query_id = c.query_id AND q.tok = c.tok
+  WHERE q.tok IS NULL
+),
+exp AS (
+  SELECT query_id, tok FROM (
+    SELECT query_id, tok,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY esum DESC, tok ASC) AS rn
+    FROM cand2) WHERE rn <= 3
+),
+allt AS (
+  SELECT query_id, tok FROM qtok
+  UNION
+  SELECT query_id, tok FROM exp
+),
+q2 AS (
+  SELECT a.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM allt a JOIN scores s USING (tok)
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM q2
+) WHERE rank <= 10
+""",
         "filtered_pair_counts": f"""
 WITH {KEPT_CTE},
 {QTOK_CTE},
@@ -1439,6 +1490,46 @@ r{i} AS (
         "WITH " + knn_cte + ",\n" + ",\n".join(steps)
         + f"\nSELECT CAST(node AS BIGINT) AS vec_id, r AS {out_col} "
           f"FROM r{PR_ITERS}\n")
+
+
+def _kcore_sql() -> str:
+    """Unrolled simultaneous-peel k-core over the co-purchase graph:
+    round i keeps nodes with ≥ k alive-neighbors under round i−1's
+    alive set. Unrolls exactly clustering.KCORE_ROUNDS rounds — the
+    engine RAISES if it needs more, and extra rounds past the fixed
+    point are idempotent, so the two sides agree whenever the engine
+    returns."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KCORE_K, KCORE_ROUNDS, KCORE_SUPPORT)
+
+    head = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {KCORE_SUPPORT}
+),
+sadj AS MATERIALIZED (SELECT u AS x, v AS y FROM edges
+                      UNION ALL SELECT v, u FROM edges),
+alive0 AS (SELECT DISTINCT x AS node FROM sadj)"""
+    rounds = []
+    prev = "alive0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f""",
+alive{i} AS MATERIALIZED (
+  SELECT s.x AS node FROM sadj s
+  JOIN {prev} a ON a.node = s.x
+  JOIN {prev} b ON b.node = s.y
+  GROUP BY s.x HAVING count(*) >= {KCORE_K})""")
+        prev = f"alive{i}"
+    return head + "".join(rounds) + f"""
+SELECT CAST(s.x AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_deg
+FROM sadj s
+JOIN {prev} a ON a.node = s.x
+JOIN {prev} b ON b.node = s.y
+GROUP BY s.x
+"""
 
 
 def graph_oracles() -> dict[str, str]:
@@ -3916,6 +4007,7 @@ FROM nonadj
 ORDER BY n_common DESC, u, v
 LIMIT {CN_TOPK}
 """,
+        "kcore_nodes": _kcore_sql(),
         "neighborhood_jaccard": f"""
 WITH qv AS MATERIALIZED (
   SELECT vec_id,

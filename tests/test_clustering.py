@@ -569,3 +569,28 @@ def test_neighborhood_jaccard_consistency(ray_session):
                 want.append((u, v, inter, uni))
     got = sorted(zip(t["u"], t["v"], t["n_common"], t["n_union"]))
     assert got == sorted(want)
+
+
+def test_kcore_brute_force(ray_session):
+    """Engine peel == pure-python peel over the same co-purchase edges,
+    at sf0.001."""
+    from candidategeneration_ray.pipelines import clustering as cl
+    from candidategeneration_ray.pipelines.relational import copurchase_edges
+
+    SF = "/root/testdata/sf0.001"
+    t = cl.q_kcore_nodes(SF).to_pandas()
+    edges = copurchase_edges(SF, cl.KCORE_SUPPORT).to_pandas()
+    adj = {}
+    for u, v in zip(edges["u"], edges["v"]):
+        adj.setdefault(int(u), set()).add(int(v))
+        adj.setdefault(int(v), set()).add(int(u))
+    live = set(adj)
+    while True:
+        drop = {n for n in live if len(adj[n] & live) < cl.KCORE_K}
+        if not drop:
+            break
+        live -= drop
+    want = sorted((n, len(adj[n] & live)) for n in live)
+    got = sorted(zip(t["node"], t["core_deg"]))
+    assert got == want
+    assert (t["core_deg"] >= cl.KCORE_K).all()

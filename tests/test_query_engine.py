@@ -201,3 +201,24 @@ class TestBucketFilteredLoad:
             for s in range(4)
         )
         assert union_keys == full.keys.size
+
+
+def test_prf_topk_second_scale_oracle(ray_session):
+    """prf_topk hash-verifies at sf0.01 in the contract sweep; this
+    re-verifies the full expansion chain at sf0.001 (different corpus
+    statistics exercise different expansion-term ties)."""
+    import duckdb
+    import pandas as pd
+
+    from candidategeneration_ray.pipelines.docquery import q_prf_topk
+    from candidategeneration_ray.pipelines.sql_oracles import core_oracles
+
+    SF = "/root/testdata/sf0.001"
+    got = q_prf_topk(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(core_oracles()["prf_topk"]).df()
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False)
