@@ -42,12 +42,16 @@ def run_queries(
     cfg: EngineConfig | None = None,
     concurrency=(1, 4),
     broadcast_max_bytes: int | None = None,
+    tombstones: dict | None = None,
 ) -> ray.data.Dataset:
     """Serve a query dataset against the built index.
 
     `index_dir` may be a list of segment sources — the LSM serving view
     of a base index plus delta generations
-    (pipelines.update.serving_sources), base first.
+    (pipelines.update.serving_sources), base first. `tombstones`
+    (pipelines.update.load_tombstones) filters deleted docs at decode
+    time in every serving actor — pass it whenever the index has
+    uncompacted deletes.
 
     Small index (<= broadcast_max_bytes on disk): load segments ONCE on
     the driver and ship the Arrow tables through the object store —
@@ -99,9 +103,10 @@ def run_queries(
         source = ray.put(tables if isinstance(index_dir, list) else tables[0])
     else:
         source = dirs if isinstance(index_dir, list) else index_dir
+    tomb_ref = ray.put(tombstones) if tombstones is not None else None
     return queries.map_batches(
         QueryEngine,
-        fn_constructor_args=(source, stats_ref, cfg),
+        fn_constructor_args=(source, stats_ref, cfg, tomb_ref),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

@@ -29,8 +29,10 @@ from candidategeneration_ray.state.queryengine import QueryEngine
 # calls — serving survives worker loss without fleet-level logic.
 @ray.remote(max_restarts=2, max_task_retries=2)
 class _ShardActor:
-    def __init__(self, part_dir: str, stats_ref, cfg: EngineConfig):
-        self.engine = QueryEngine(part_dir, stats_ref, cfg)
+    def __init__(self, part_dir: str, stats_ref, cfg: EngineConfig,
+                 tombstones_ref=None):
+        self.engine = QueryEngine(part_dir, stats_ref, cfg,
+                                  tombstones_ref=tombstones_ref)
 
     def topk(self, text: str, k: int) -> list[tuple[int, int]]:
         return self.engine.topk(text, k=k)
@@ -54,11 +56,17 @@ class ShardedQueryEngine:
     """
 
     def __init__(self, part_dirs: list[str], stats: dict,
-                 cfg: EngineConfig | None = None):
+                 cfg: EngineConfig | None = None,
+                 tombstones: dict | None = None):
+        """`tombstones` (pipelines.update.load_tombstones): deleted-doc
+        ranges, shipped once and filtered inside every shard — deletes
+        compose with doc-sharding exactly like generations do."""
         self.cfg = cfg or EngineConfig()
         stats_ref = ray.put(stats)
+        tomb_ref = ray.put(tombstones) if tombstones is not None else None
         self.shards = [
-            _ShardActor.remote(d, stats_ref, self.cfg) for d in part_dirs
+            _ShardActor.remote(d, stats_ref, self.cfg, tomb_ref)
+            for d in part_dirs
         ]
         ray.get([s.ping.remote() for s in self.shards])  # surface init errors
 

@@ -384,3 +384,38 @@ def test_delete_under_pruning_serve_equals_compact(ray_session, corpus,
     compact_index(out, cfg)
     compacted = _snap(IndexReader(os.path.join(out, "final"), stats, cfg))
     assert compacted == tomb_view
+
+
+def test_run_queries_and_sharded_fleet_with_tombstones(deleted_index,
+                                                       ray_session):
+    """Both batch-serving paths (actor-pool run_queries, doc-sharded
+    fleet) honor tombstones and match the single engine."""
+    import pyarrow as pa
+    import ray.data
+    from candidategeneration_ray.pipelines.query import run_queries
+    from candidategeneration_ray.pipelines.update import load_tombstones
+    from candidategeneration_ray.state.queryengine import QueryEngine
+    from candidategeneration_ray.state.sharded import ShardedQueryEngine
+
+    out = deleted_index["out"]
+    stats = deleted_index["built"]["stats"]
+    final = os.path.join(out, "final")
+    tombs = load_tombstones(out)
+    eng = QueryEngine(final, stats, tombstones_ref=tombs)
+    want = {q: eng.topk(q, k=10) for q in QUERIES}
+
+    qds = ray.data.from_arrow(pa.table({
+        "query_id": pa.array(range(len(QUERIES)), pa.int64()),
+        "text": pa.array(QUERIES, pa.string()),
+    }))
+    got = run_queries(final, qds, stats, tombstones=tombs).to_pandas()
+    for i, q in enumerate(QUERIES):
+        rows = got[got["query_id"] == i].sort_values("rank")
+        assert list(zip(rows["score"], rows["doc_id"])) == want[q][:10]
+
+    fleet = ShardedQueryEngine([final], stats, tombstones=tombs)
+    try:
+        for q in QUERIES:
+            assert fleet.topk(q, k=10) == want[q]
+    finally:
+        fleet.shutdown()
