@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
         "retrieval_eval": dq.q_retrieval_eval,  # recall/MRR stats vs exact top-k
         "prf_topk": dq.q_prf_topk,  # Rocchio-style PRF expansion, integer-exact
+        "forward_export": dq.q_forward_export,  # inverted->forward transpose
         # --- training-data extras (dedup / similarity / text analysis) ---
         "dedup_exact": ex.q_dedup_exact,
         # exact-mode opt-in: the library default caps hot shingles
@@ -209,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_price_supplier": rl.q_min_price_supplier,  # Q2: groupwise-min + dims
         "disjunctive_revenue": rl.q_disjunctive_revenue,  # Q19: OR'd predicate scan
         "copurchase_pairs": rl.q_copurchase_pairs,      # market-basket 2-itemsets
+        "association_rules": rl.q_association_rules,    # confidence/lift rules (exact)
         "top_orders_per_customer": rl.q_top_orders_per_customer,  # ROW_NUMBER top-N per group
         "orders_cube": rl.q_orders_cube,                # CUBE grouping-set lattice
         "order_global_rank": rl.q_order_global_rank,    # global rank via range blocks

@@ -1223,3 +1223,67 @@ def q_prf_topk(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(docs_o, pa.int64()),
         "score": pa.array(scores_o, pa.int64()),
     })
+
+
+def q_forward_export(sf_dir: str) -> ray.data.Dataset:
+    """Inverted→forward index TRANSPOSE (the docvalues structure real
+    engines keep beside the postings): stream the built unigram
+    segments, decode each list, re-key every posting by doc, and
+    aggregate one row per document — (doc_id, n_terms, term_id_sum,
+    score_sum). term ids are the dictionary's 1-based sorted-vocab
+    positions, which SQL re-derives as a row_number over the distinct
+    token set, so the transpose is value-verified end to end (it must
+    reproduce, per doc, exactly the term set and scores the emitter
+    inverted in the first place).
+
+    Shape: segments stream through map_batches (decode + one packed
+    sort per batch → per-(batch, doc) partials) into ONE doc-keyed
+    groupby. The transpose moves each posting once — the same cost
+    class as the original build shuffle."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.functions.arrowutil import binary_column_concat
+    from candidategeneration_ray.functions.varint import decode_delta_concat
+
+    cfg = EngineConfig(emit_pairs=False)
+    built = build_documents_index(sf_dir, cfg)
+
+    def _transpose(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_numpy().astype(np.int64)
+        ns = batch.column("n").to_numpy().astype(np.int64)
+        if keys.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_terms": pa.array([], pa.int64()),
+                             "term_id_sum": pa.array([], pa.int64()),
+                             "score_sum": pa.array([], pa.int64())})
+        docs_bin, _ = binary_column_concat(batch.column("docs"))
+        scores_bin, _ = binary_column_concat(batch.column("scores"))
+        d_u, _ = decode_delta_concat(docs_bin, ns)  # one-pass bulk decode
+        d = d_u.astype(np.int64)
+        s = (np.frombuffer(scores_bin, dtype="<i4")
+             if isinstance(scores_bin, (bytes, bytearray))
+             else np.ascontiguousarray(scores_bin, dtype=np.uint8).view("<i4")
+             ).astype(np.int64)
+        t = np.repeat(keys, ns)
+        order = np.argsort(d, kind="stable")
+        d, t, s = d[order], t[order], s[order]
+        starts = np.concatenate(([0], np.nonzero(d[1:] != d[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [d.size]))
+        return pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "n_terms": pa.array(ends - starts, pa.int64()),
+            "term_id_sum": pa.array(np.add.reduceat(t, starts), pa.int64()),
+            "score_sum": pa.array(np.add.reduceat(s, starts), pa.int64()),
+        })
+
+    import glob
+
+    seg_files = sorted(glob.glob(os.path.join(built["final_dir"], "*.parquet")))
+    return (
+        ray.data.read_parquet(seg_files)
+        .map_batches(_transpose, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_terms", alias_name="n_terms"),
+                   Sum("term_id_sum", alias_name="term_id_sum"),
+                   Sum("score_sum", alias_name="score_sum"))
+    )

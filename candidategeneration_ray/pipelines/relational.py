@@ -3367,3 +3367,87 @@ def copurchase_edges(sf_dir: str, min_support: int) -> ray.data.Dataset:
 
     return copurchase_counts(sf_dir).map_batches(
         _edges, batch_format="pyarrow")
+
+
+RULE_CONF_NUM = 1
+RULE_CONF_DEN = 5
+RULE_MIN_SUPPORT = 3
+
+
+def q_association_rules(sf_dir: str) -> pa.Table:
+    """Association rules from the co-purchase 2-itemsets (Agrawal &
+    Srikant VLDB'94): directed rules a→b with pair support ≥
+    RULE_MIN_SUPPORT and confidence = support(a,b)/support(a) ≥ 1/5.
+    The confidence threshold is EXACT by cross-multiplication
+    (5·support(a,b) ≥ support(a)) and the output exposes the raw
+    integer (antecedent, pair) supports plus the lift fraction's
+    numerator/denominator — every column integer, hash-verified.
+
+    Shape: copurchase_counts (the bucketed basket expansion) + ONE
+    item-support groupby (catalog-sized) broadcast into a final filter
+    map — no new shuffle beyond the shared pair aggregate."""
+    from ray.data.aggregate import Count
+
+    # item support: orders containing the part (distinct per order)
+    def _item_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        key = (ok << np.int64(32)) | pk  # both < 2^31 (asserted in _pairs)
+        uk = np.unique(key)
+        return pa.table({"pk": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+                         "one": pa.array(np.ones(uk.size, np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    items = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"])
+        .map_batches(_item_rows, batch_format="pyarrow")
+        .groupby("pk").aggregate(Sum("one", alias_name="support"))
+    ).to_pandas()  # catalog-sized
+    ik = items["pk"].to_numpy(np.int64)
+    isup = items["support"].to_numpy(np.int64)
+    o = np.argsort(ik)
+    ik, isup = ik[o], isup[o]
+    n_orders_total = None  # lift denominator needs total basket count
+    import pyarrow.parquet as pq
+
+    ok_col = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_orderkey"]).column("l_orderkey")
+    n_orders_total = int(len(np.unique(ok_col.to_numpy())))
+    item_ref = ray.put((ik, isup))
+    num = np.int64(RULE_CONF_NUM)
+    den = np.int64(RULE_CONF_DEN)
+
+    def _rules(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy().astype(np.int64)
+        n = batch.column("n_orders").to_numpy().astype(np.int64)
+        keep = n >= RULE_MIN_SUPPORT
+        key, n = key[keep], n[keep]
+        p1 = key >> np.int64(32)
+        p2 = key & np.int64(0xFFFFFFFF)
+        gk, gs = ray.get(item_ref)
+        # both directions: a→b and b→a
+        a = np.concatenate((p1, p2))
+        b = np.concatenate((p2, p1))
+        nn = np.concatenate((n, n))
+        sa = gs[np.searchsorted(gk, a)]
+        sb = gs[np.searchsorted(gk, b)]
+        keep = den * nn >= num * sa
+        return pa.table({
+            "antecedent": pa.array(a[keep], pa.int64()),
+            "consequent": pa.array(b[keep], pa.int64()),
+            "pair_support": pa.array(nn[keep], pa.int64()),
+            "antecedent_support": pa.array(sa[keep], pa.int64()),
+            # lift = conf / P(b) = (n/sa) / (sb/N) -> num/den ints
+            "lift_num": pa.array(nn[keep] * np.int64(n_orders_total),
+                                 pa.int64()),
+            "lift_den": pa.array((sa[keep] * sb[keep]).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return pa.concat_tables(
+        ray.get(copurchase_counts(sf_dir)
+                .map_batches(_rules, batch_format="pyarrow")
+                .to_arrow_refs()))

@@ -276,6 +276,20 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM qscores
 ) WHERE rank <= 10
 """,
+        "forward_export": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+tid AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS id
+  FROM (SELECT DISTINCT tok FROM kept)
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(t.id) AS BIGINT) AS term_id_sum,
+       CAST(sum(s.score) AS BIGINT) AS score_sum
+FROM scores s JOIN tid t USING (tok)
+GROUP BY s.doc_id
+""",
         "prf_topk": f"""
 WITH {KEPT_CTE},
 {SCORES_CTE},
@@ -1706,6 +1720,32 @@ ORDER BY total_cents DESC, o_custkey
 LIMIT {TOP_CUSTOMERS}
 """,
         **_session8_relational_oracles(c, d),
+        "association_rules": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+isup AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS s
+         FROM op GROUP BY 1),
+total AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+          FROM lineitem),
+pr AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+rules AS (SELECT p1 AS a, p2 AS b, n FROM pr
+          UNION ALL SELECT p2, p1, n FROM pr)
+SELECT CAST(r.a AS BIGINT) AS antecedent,
+       CAST(r.b AS BIGINT) AS consequent,
+       r.n AS pair_support,
+       sa.s AS antecedent_support,
+       CAST(r.n * total.n AS BIGINT) AS lift_num,
+       CAST(sa.s * sb.s AS BIGINT) AS lift_den
+FROM rules r
+JOIN isup sa ON sa.pk = r.a
+JOIN isup sb ON sb.pk = r.b
+CROSS JOIN total
+WHERE 5 * r.n >= 1 * sa.s
+""",
         "copurchase_pairs": """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pr AS (

@@ -222,3 +222,25 @@ def test_prf_topk_second_scale_oracle(ray_session):
     want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"), check_dtype=False)
+
+
+def test_forward_export_conserves_postings(ray_session):
+    """The transpose must conserve postings: Σ n_terms over docs ==
+    Σ list lengths over terms, and per-doc term counts equal the
+    tokenizer's distinct-term counts."""
+    from candidategeneration_ray.pipelines.docquery import (
+        q_forward_export, q_unigram_list_lengths)
+
+    SF = "/root/testdata/sf0.001"
+    fwd = q_forward_export(SF).to_pandas()
+    lens = q_unigram_list_lengths(SF).to_pandas()
+    assert fwd["n_terms"].sum() == lens["n"].sum()
+    import pyarrow.parquet as pq
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    want = {int(r.doc_id): len(set(tokenize_text(r.text)))
+            for r in docs.itertuples()}
+    got = dict(zip(fwd["doc_id"].astype(int), fwd["n_terms"].astype(int)))
+    assert got == {d: n for d, n in want.items() if n > 0}

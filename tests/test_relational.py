@@ -848,3 +848,29 @@ def test_copurchase_pairs_brute_force(ray_session):
     got = list(zip(-t["n_orders"].to_numpy(), t["p1"].to_numpy(),
                    t["p2"].to_numpy()))
     assert got == want
+
+
+def test_association_rules_brute_force(ray_session):
+    t = rl.q_association_rules(SF_DIR).to_pandas()
+    li = _li(["l_orderkey", "l_partkey"]).drop_duplicates()
+    from collections import Counter
+    from itertools import combinations
+
+    isup = li.groupby("l_partkey").size().to_dict()
+    n_orders = li["l_orderkey"].nunique()
+    pair = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["l_partkey"]), 2):
+            pair[(a, b)] += 1
+    want = []
+    for (a, b), n in pair.items():
+        if n < rl.RULE_MIN_SUPPORT:
+            continue
+        for x, y in ((a, b), (b, a)):
+            if rl.RULE_CONF_DEN * n >= rl.RULE_CONF_NUM * isup[x]:
+                want.append((x, y, n, isup[x], n * n_orders,
+                             isup[x] * isup[y]))
+    got = sorted(zip(t["antecedent"], t["consequent"], t["pair_support"],
+                     t["antecedent_support"], t["lift_num"], t["lift_den"]))
+    assert got == sorted(want)
+    assert len(got) > 0
