@@ -419,3 +419,41 @@ def test_run_queries_and_sharded_fleet_with_tombstones(deleted_index,
             assert fleet.topk(q, k=10) == want[q]
     finally:
         fleet.shutdown()
+
+
+def test_randomized_delete_subsets_match_bruteforce(deleted_index, corpus,
+                                                    ray_session,
+                                                    tmp_path_factory):
+    """Property test: for random conversation subsets, tombstone
+    serving equals the dense np.isin filter of the unfiltered lists —
+    across fresh tombstone sets applied to copies of the same build."""
+    import pyarrow.parquet as pq
+    from candidategeneration_ray.pipelines.update import (
+        delete_docs, load_tombstones)
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    out = deleted_index["out"]
+    stats = deleted_index["built"]["stats"]
+    final = os.path.join(out, "final")
+    plain = IndexReader(final, stats)
+    base_lists = {int(k): plain.get(int(k))[:2] for k in plain.keys}
+    rng = np.random.default_rng(7)
+    convs = np.asarray(corpus["convs"], dtype=object)
+    for trial in range(3):
+        cp = str(tmp_path_factory.mktemp(f"rnd{trial}")) + "/idx"
+        shutil.copytree(out, cp)
+        shutil.rmtree(os.path.join(cp, "tombstones"))
+        pick = convs[rng.random(convs.size) < rng.uniform(0.1, 0.6)]
+        if pick.size == 0:
+            pick = convs[:1]
+        delete_docs(cp, pick.tolist())
+        dead = _deleted_doc_ids(cp, pick.tolist())
+        tomb = IndexReader(final, stats, tombstones=load_tombstones(cp))
+        for k, (docs, scores) in base_lists.items():
+            live = ~np.isin(docs, dead)
+            got = tomb.get(k)
+            if not live.any():
+                assert got is None
+            else:
+                assert got[0].tolist() == docs[live].tolist()
+                assert got[1].tolist() == scores[live].tolist()
