@@ -161,7 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": cl.q_kcore_nodes,                # k-core peeling fixed point
         "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
         "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
-        "ivf_delta_counts": ivfd.q_ivf_delta_counts,  # IVF LSM: frozen-codebook delta
+        "ivf_delta_counts": ivfd.q_ivf_delta_counts,
+        "ivf_delete_counts": ivfd.q_ivf_delete_counts,  # vector tombstones
         # --- corpus-LM / retrieval / mixture operators ---
         "decontaminate": tl.q_decontaminate,        # GPT-3-style shingle overlap
         "lm_bigram_scores": tl.q_lm_bigram_scores,  # pruned bigram LM (CCNet shape)

@@ -212,3 +212,132 @@ def q_ivf_delta_counts(sf_dir: str) -> pa.Table:
         "n_vectors": pa.array([r[1] for r in rows], pa.int64()),
         "vec_id_sum": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+# ------------------------------------------------------- vector deletes
+
+_TOMB_DIR = "tombstones"
+
+
+def delete_vectors(ivf_dir: str, vec_ids) -> dict:
+    """Tombstone-delete vectors from the IVF layout — the embedding-side
+    twin of pipelines.update.delete_docs. O(deleted ids): one sorted-id
+    parquet write (digest-named, atomic, idempotent); probing filters
+    them (ivf_read_filtered) and purge_ivf_tombstones physically
+    rewrites only the files that contain any."""
+    import hashlib
+
+    ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
+    if ids.size == 0:
+        raise ValueError("delete_vectors needs at least one vec_id")
+    existing = load_vector_tombstones(ivf_dir)
+    if existing is not None:
+        ids = ids[~np.isin(ids, existing)]
+    if ids.size == 0:
+        return {"deleted": 0, "skipped_already_deleted": True}
+    root = os.path.join(ivf_dir, _TOMB_DIR)
+    os.makedirs(root, exist_ok=True)
+    digest = hashlib.md5(ids.tobytes()).hexdigest()[:10]
+    path = os.path.join(root, f"del-{digest}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64())}), tmp)
+    os.replace(tmp, path)
+    return {"deleted": int(ids.size)}
+
+
+def load_vector_tombstones(ivf_dir: str) -> np.ndarray | None:
+    files = sorted(glob.glob(os.path.join(ivf_dir, _TOMB_DIR, "del-*.parquet")))
+    if not files:
+        return None
+    ids = np.concatenate([
+        pq.read_table(f).column("vec_id").to_numpy().astype(np.int64)
+        for f in files])
+    return np.unique(ids)
+
+
+def ivf_read_filtered(ivf_dir: str, clusters,
+                      columns: list[str]) -> pa.Table | None:
+    """Probe read over base + generations with tombstoned vectors
+    filtered out — the serving-path view under uncompacted deletes."""
+    paths = ivf_serving_paths(ivf_dir, clusters)
+    if not paths:
+        return None
+    cols = list(dict.fromkeys(["vec_id", *columns]))
+    t = pq.read_table(paths, columns=cols)
+    tombs = load_vector_tombstones(ivf_dir)
+    if tombs is not None and t.num_rows:
+        v = t.column("vec_id").to_numpy()
+        idx = np.minimum(np.searchsorted(tombs, v), tombs.size - 1)
+        t = t.filter(pa.array(tombs[idx] != v))
+    return t
+
+
+@ray.remote
+def _purge_file(path: str, tombs: np.ndarray) -> int:
+    """Rewrite one cluster file without its tombstoned vectors (atomic
+    tmp+replace; a file left with zero rows is removed). Returns the
+    number of vectors dropped. Idempotent — a replayed purge finds no
+    matching ids and no-ops."""
+    t = pq.read_table(path)
+    v = t.column("vec_id").to_numpy().astype(np.int64)
+    idx = np.minimum(np.searchsorted(tombs, v), tombs.size - 1)
+    dead = tombs[idx] == v
+    n_dead = int(dead.sum())
+    if n_dead == 0:
+        return 0
+    kept = t.filter(pa.array(~dead))
+    if kept.num_rows == 0:
+        os.remove(path)
+        return n_dead
+    tmp = path + ".tmp"
+    pq.write_table(kept, tmp)
+    os.replace(tmp, path)
+    return n_dead
+
+
+def purge_ivf_tombstones(ivf_dir: str) -> int:
+    """Physically remove tombstoned vectors: one Ray task per serving
+    file (base AND generations), each rewriting only if it holds any
+    deleted id; tombstone files are removed last (crash between purge
+    and removal replays as a no-op). Returns #vectors purged."""
+    tombs = load_vector_tombstones(ivf_dir)
+    if tombs is None:
+        return 0
+    files = sorted(
+        glob.glob(os.path.join(ivf_dir, "cluster=*", "*.parquet"))
+        + glob.glob(os.path.join(ivf_dir, "gen-*", "cluster=*", "*.parquet")))
+    tombs_ref = ray.put(tombs)
+    purged = int(sum(ray.get([_purge_file.remote(f, tombs_ref)
+                              for f in files])))
+    for f in glob.glob(os.path.join(ivf_dir, _TOMB_DIR, "del-*.parquet")):
+        os.remove(f)
+    return purged
+
+
+def q_ivf_delete_counts(sf_dir: str) -> pa.Table:
+    """IVF inverted-list membership AFTER vector deletes: the
+    delta-exercising layout (base = even vec_ids, delta = odd, frozen
+    codebook) with every vec_id % 5 == 2 tombstone-deleted, served
+    through the probe-time filter. pytest proves filter-view ==
+    purged-view; the oracle re-derives membership excluding deleted
+    ids under the same frozen codebook."""
+    from candidategeneration_ray.pipelines.clustering import KMEANS_K
+
+    ivf_dir, _ = _delta_ivf(sf_dir)
+    all_ids = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id"]).column("vec_id").to_numpy()
+    victims = all_ids[all_ids % 5 == 2]
+    if victims.size:
+        delete_vectors(ivf_dir, victims)  # idempotent on fixture reuse
+    rows = []
+    for c in range(KMEANS_K):
+        t = ivf_read_filtered(ivf_dir, [c], ["vec_id"])
+        if t is None or t.num_rows == 0:
+            continue
+        v = t.column("vec_id").to_numpy()
+        rows.append((c, int(v.size), int(v.sum())))
+    return pa.table({
+        "cluster": pa.array([r[0] for r in rows], pa.int64()),
+        "n_vectors": pa.array([r[1] for r in rows], pa.int64()),
+        "vec_id_sum": pa.array([r[2] for r in rows], pa.int64()),
+    })

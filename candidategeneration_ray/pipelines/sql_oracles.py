@@ -2063,6 +2063,15 @@ SELECT cluster,
        CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
 FROM {last_a} GROUP BY cluster
 """,
+        # same frozen-codebook assignment, vectors with vec_id%5==2
+        # tombstone-deleted (the IVF delete path)
+        "ivf_delete_counts": f"""
+WITH {_kmeans_ctes(train_pred="vec_id % 2 = 0")}
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
+FROM {last_a} WHERE vec_id % 5 <> 2 GROUP BY cluster
+""",
     }
 
 

@@ -139,3 +139,68 @@ class TestIvfLsmEpochs:
         assert _served_ids(ivf_dir) == want
         ivd.compact_ivf_index(ivf_dir)
         assert _served_ids(ivf_dir) == want  # no clobber across epochs
+
+
+def _filtered_ids(ivf_dir):
+    out = []
+    for c in range(KMEANS_K):
+        t = ivd.ivf_read_filtered(ivf_dir, [c], ["vec_id"])
+        if t is not None:
+            out.extend(t.column("vec_id").to_pylist())
+    return sorted(out)
+
+
+class TestIvfDeletes:
+    def _build(self, tmp_path):
+        rng = np.random.default_rng(5)
+        base_dir = str(tmp_path / "base")
+        os.makedirs(base_dir)
+        _write_vecs(os.path.join(base_dir, "embeddings.parquet"),
+                    list(range(50)), rng)
+        delta_f = str(tmp_path / "delta.parquet")
+        _write_vecs(delta_f, list(range(1000, 1020)), rng)
+        ivf_dir, cent = build_ivf_kmeans_index(base_dir)
+        ivd.update_ivf_index(ivf_dir, cent, delta_f)
+        return ivf_dir
+
+    def test_filter_view_equals_purged_view(self, ray_session, tmp_path):
+        """Probe-time tombstone filter == physical purge, with deletes
+        hitting base AND an uncompacted generation."""
+        ivf_dir = self._build(tmp_path)
+        victims = [0, 7, 13, 1000, 1001, 1017]
+        m = ivd.delete_vectors(ivf_dir, victims)
+        assert m["deleted"] == len(victims)
+        want = [i for i in _served_ids(ivf_dir) if i not in set(victims)]
+        assert _filtered_ids(ivf_dir) == want
+        n = ivd.purge_ivf_tombstones(ivf_dir)
+        assert n == len(victims)
+        assert ivd.load_vector_tombstones(ivf_dir) is None
+        assert _served_ids(ivf_dir) == want       # physically gone
+        assert _filtered_ids(ivf_dir) == want     # filter path idempotent
+        # replayed purge no-ops
+        assert ivd.purge_ivf_tombstones(ivf_dir) == 0
+
+    def test_delete_idempotent_and_compaction_composes(self, ray_session,
+                                                       tmp_path):
+        ivf_dir = self._build(tmp_path)
+        ivd.delete_vectors(ivf_dir, [3, 1005])
+        m2 = ivd.delete_vectors(ivf_dir, [3, 1005])
+        assert m2 == {"deleted": 0, "skipped_already_deleted": True}
+        before = _filtered_ids(ivf_dir)
+        ivd.compact_ivf_index(ivf_dir)   # move-down keeps tombstones live
+        assert _filtered_ids(ivf_dir) == before
+        ivd.purge_ivf_tombstones(ivf_dir)
+        assert _served_ids(ivf_dir) == before
+
+    def test_purge_removes_emptied_file(self, ray_session, tmp_path):
+        ivf_dir = self._build(tmp_path)
+        ivd.compact_ivf_index(ivf_dir)
+        # delete EVERY vector of one populated cluster
+        files = sorted(glob.glob(os.path.join(ivf_dir, "cluster=*",
+                                              "*.parquet")))
+        t = pq.read_table(files[0], columns=["vec_id"])
+        victims = t.column("vec_id").to_pylist()
+        ivd.delete_vectors(ivf_dir, victims)
+        ivd.purge_ivf_tombstones(ivf_dir)
+        assert not os.path.exists(files[0])
+        assert not set(victims) & set(_served_ids(ivf_dir))
