@@ -1287,3 +1287,44 @@ def q_forward_export(sf_dir: str) -> ray.data.Dataset:
                    Sum("term_id_sum", alias_name="term_id_sum"),
                    Sum("score_sum", alias_name="score_sum"))
     )
+
+
+FILTER_LANG = "en"
+
+
+def q_filtered_bm25_topk(sf_dir: str) -> pa.Table:
+    """Metadata-filtered retrieval: exact BM25 top-10 restricted to
+    documents with lang == FILTER_LANG — the filtered-index-view
+    serving mode (the search-engine analog of filtered ANN). The
+    allowed-doc set comes from a column the index never saw; it is
+    applied at decode (IndexReader doc_filter), so every top-k
+    algorithm stays exact over the filtered corpus while scores keep
+    the full-corpus epoch (a serving-time filter never rescores —
+    same contract as tombstones)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    cfg = EngineConfig(emit_pairs=False)
+    built = build_documents_index(sf_dir, cfg)
+    meta = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+    allowed = np.sort(meta.filter(
+        pc.equal(meta.column("lang"), FILTER_LANG)
+    ).column("doc_id").to_numpy().astype(np.int64))
+    eng = QueryEngine(built["final_dir"], built["stats"], cfg,
+                      doc_filter_ref=allowed)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        for rank, (s, d) in enumerate(eng.topk(text, k=10)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })

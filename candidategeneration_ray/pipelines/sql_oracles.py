@@ -341,6 +341,25 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM q2
 ) WHERE rank <= 10
 """,
+        "filtered_bm25_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q
+  JOIN scores s USING (tok)
+  JOIN documents d ON d.doc_id = s.doc_id AND d.lang = 'en'
+  GROUP BY q.query_id, s.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM qscores
+) WHERE rank <= 10
+""",
         "filtered_pair_counts": f"""
 WITH {KEPT_CTE},
 {QTOK_CTE},

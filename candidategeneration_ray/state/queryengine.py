@@ -165,7 +165,8 @@ class IndexReader:
 
     def __init__(self, source, stats: dict | None = None, cfg: EngineConfig | None = None,
                  buckets: list[int] | None = None,
-                 tombstones: dict | None = None):
+                 tombstones: dict | None = None,
+                 doc_filter: np.ndarray | None = None):
         """`buckets`: load only these key-hash buckets — the unit of a
         key-sharded serving fleet (each shard owns a bucket subset of
         the bucket-partitioned segment layout).
@@ -175,7 +176,15 @@ class IndexReader:
         at decode time and block metadata is rebuilt over the survivors,
         so WAND/BMW stays exact without compaction. Under tombstones
         `list_len`/`max_list_len` report the UNDELETED counts (upper
-        bounds on served lengths); exact lengths come from `get`."""
+        bounds on served lengths); exact lengths come from `get`.
+
+        `doc_filter`: sorted array of ALLOWED doc ids — the filtered
+        index view (metadata-restricted retrieval: serve only docs
+        matching a predicate computed outside the index). Applied at
+        decode like tombstones (keep-set instead of drop-ranges), so
+        every top-k algorithm stays exact over the filtered corpus;
+        scores keep the full-corpus statistics (the index's epoch —
+        a serving-time filter never rescores)."""
         self.cfg = cfg or EngineConfig()
         sources = source if isinstance(source, list) else [source]
         self._gens: list[_Generation] = []
@@ -196,6 +205,8 @@ class IndexReader:
                           np.asarray(tombstones["ends"], dtype=np.int64))
         else:
             self._tomb = None
+        self._doc_filter = (np.asarray(doc_filter, dtype=np.int64)
+                            if doc_filter is not None else None)
         self.stats = stats
         self.term_to_id = (
             {t: i + 1 for i, t in enumerate(stats["terms"])} if stats else None
@@ -260,6 +271,20 @@ class IndexReader:
                 return val
             if n_dead:
                 bmax = None  # persisted metadata covers dropped postings
+        if self._doc_filter is not None and docs.size:
+            allowed = self._doc_filter
+            if allowed.size == 0:
+                keep = np.zeros(docs.size, dtype=bool)
+            else:
+                idx = np.minimum(np.searchsorted(allowed, docs),
+                                 allowed.size - 1)
+                keep = allowed[idx] == docs
+            if not keep.all():
+                docs, scores = docs[keep], scores[keep]
+                bmax = None
+            if docs.size == 0:
+                self._cache[key] = None
+                return None
         if bmax is None:
             bs = self.cfg.block_size
             starts = np.arange(0, docs.size, bs, dtype=np.int64)
@@ -485,7 +510,7 @@ class QueryEngine:
     """Actor-pool callable: batch of (query_id, text) → top-k rows."""
 
     def __init__(self, index_source, stats_ref, cfg: EngineConfig | None = None,
-                 tombstones_ref=None):
+                 tombstones_ref=None, doc_filter_ref=None):
         import ray
 
         stats = stats_ref if isinstance(stats_ref, dict) else ray.get(stats_ref)
@@ -496,8 +521,12 @@ class QueryEngine:
         tombs = tombstones_ref
         if tombs is not None and not isinstance(tombs, dict):
             tombs = ray.get(tombs)
+        doc_filter = doc_filter_ref
+        if doc_filter is not None and not isinstance(doc_filter, np.ndarray):
+            doc_filter = ray.get(doc_filter)
         self.cfg = cfg or EngineConfig()
-        self.reader = IndexReader(src, stats, self.cfg, tombstones=tombs)
+        self.reader = IndexReader(src, stats, self.cfg, tombstones=tombs,
+                                  doc_filter=doc_filter)
 
     # below this many total postings the vectorized TAAT merge beats the
     # pointer-walking WAND loop regardless of selectivity (measured)

@@ -244,3 +244,35 @@ def test_forward_export_conserves_postings(ray_session):
             for r in docs.itertuples()}
     got = dict(zip(fwd["doc_id"].astype(int), fwd["n_terms"].astype(int)))
     assert got == {d: n for d, n in want.items() if n > 0}
+
+
+def test_doc_filter_algorithms_agree_and_respect_filter(ray_session):
+    """The filtered index view serves identically under WAND / scalar
+    WAND / TAAT, returns only allowed docs, and equals the unfiltered
+    ranking restricted to the allowed set."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.pipelines.docquery import (
+        DOC_QUERIES, build_documents_index)
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    SF = "/root/testdata/sf0.001"
+    cfg = EngineConfig(emit_pairs=False)
+    built = build_documents_index(SF, cfg)
+    meta = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    allowed = np.sort(meta.filter(pc.equal(meta.column("lang"), "en"))
+                      .column("doc_id").to_numpy().astype(np.int64))
+    eng_f = QueryEngine(built["final_dir"], built["stats"], cfg,
+                        doc_filter_ref=allowed)
+    eng = QueryEngine(built["final_dir"], built["stats"], cfg)
+    aset = set(allowed.tolist())
+    for _, q in DOC_QUERIES:
+        w = eng_f.topk(q, k=10, algorithm="wand")
+        assert eng_f.topk(q, k=10, algorithm="wand_scalar") == w
+        assert eng_f.topk(q, k=10, algorithm="taat") == w
+        assert all(d in aset for _, d in w)
+        full = [(s, d) for s, d in eng.topk(q, k=10_000) if d in aset]
+        assert w == full[:10]
