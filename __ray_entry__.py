@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": rl.q_disjunctive_revenue,  # Q19: OR'd predicate scan
         "copurchase_pairs": rl.q_copurchase_pairs,      # market-basket 2-itemsets
         "association_rules": rl.q_association_rules,    # confidence/lift rules (exact)
+        "record_orders": rl.q_record_orders,            # running-max record scan
+        "nation_order_stats_ivm": rl.q_nation_order_stats_ivm,  # join-view IVM
         "top_orders_per_customer": rl.q_top_orders_per_customer,  # ROW_NUMBER top-N per group
         "orders_cube": rl.q_orders_cube,                # CUBE grouping-set lattice
         "order_global_rank": rl.q_order_global_rank,    # global rank via range blocks
@@ -364,6 +366,8 @@ def oracle_sql() -> dict[str, str]:
     d["jaccard_pairs_prefix"] = d["jaccard_pairs"]
     # IVM-maintained window view must equal the full recompute
     d["windowed_counts_ivm"] = d["windowed_counts"]
+    # IVM-maintained JOIN view must equal the full shuffle-join recompute
+    d["nation_order_stats_ivm"] = d["nation_order_stats"]
     # bloom-prefiltered anti join must equal the plain anti join
     d["customers_no_orders_bloom"] = d["customers_no_orders"]
     return d

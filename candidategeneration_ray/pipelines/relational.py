@@ -3451,3 +3451,180 @@ def q_association_rules(sf_dir: str) -> pa.Table:
         ray.get(copurchase_counts(sf_dir)
                 .map_batches(_rules, batch_format="pyarrow")
                 .to_arrow_refs()))
+
+
+RECORD_BLOCKS = 32
+
+
+def q_record_orders(sf_dir: str, num_blocks: int = RECORD_BLOCKS) -> ray.data.Dataset:
+    """Record-breaking orders — the running-maximum scan: every order
+    whose total STRICTLY exceeds the maximum of all chronologically
+    earlier orders (order (o_orderdate, o_orderkey); the first order is
+    a record by definition). The classic monotone-monoid stream
+    operator (new-high detection / watermark family): same
+    range-blocked prefix scaffold as the global-rank operators but
+    under MAX instead of SUM (blocked_prefix_apply combine="max") —
+    the driver holds only O(blocks) block maxima.
+
+    Output (o_orderkey, total_cents, prev_max_cents) with
+    prev_max_cents = the previous record (0 for the first order)."""
+    import pyarrow.compute as pc
+
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    ds = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(lambda t: pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "d": t.column("o_orderdate").cast(pa.int64()),
+            "cents": pa.array(_cents(t.column("o_totalprice").to_numpy()),
+                              pa.int64()),
+        }), batch_format="pyarrow")
+        .sort(["d", "o_orderkey"])
+    )
+    ident = -(1 << 62)
+
+    def _total(tab: pa.Table) -> int:
+        c = tab.column("cents").to_numpy()
+        return int(c.max()) if c.size else ident  # max-monoid identity
+
+    def _emit(tab: pa.Table, base: int) -> pa.Table:
+        c = tab.column("cents").to_numpy()
+        k = tab.column("o_orderkey").to_numpy()
+        if c.size == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "total_cents": pa.array([], pa.int64()),
+                             "prev_max_cents": pa.array([], pa.int64())})
+        run = np.maximum.accumulate(c)
+        prev = np.maximum(np.concatenate(([ident], run[:-1])),
+                          np.int64(base))
+        rec = c > prev
+        return pa.table({
+            "o_orderkey": pa.array(k[rec], pa.int64()),
+            "total_cents": pa.array(c[rec], pa.int64()),
+            "prev_max_cents": pa.array(
+                np.maximum(prev[rec], 0), pa.int64()),
+        })
+
+    return blocked_prefix_apply(ds, num_blocks, _total, _emit,
+                                combine="max")
+
+
+def _nation_view_partials(sf_dir: str,
+                          parity: int | None) -> ray.data.Dataset:
+    """Per-batch (n_name, o_orderstatus) partials of the orders ⋈
+    customer ⋈ nation view, optionally restricted to
+    o_orderkey % 2 == parity — shared by the IVM build and maintain
+    passes. The dimension side (customer→nation name) broadcasts
+    once; inner-join semantics (orphan custkeys drop) match the
+    nation_order_stats oracle."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy().astype(np.int64)
+    cn = cust.column("c_nationkey").to_numpy().astype(np.int64)
+    o = np.argsort(ck)
+    nk, nnames, _ = _nation_lookup(sf_dir)
+    nat_name = {int(k): n for k, n in zip(nk, nnames)}
+    dim_ref = ray.put((ck[o], cn[o]))
+
+    def _part(batch: pa.Table) -> pa.Table:
+        okey = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        keep = np.ones(okey.size, bool) if parity is None \
+            else okey % 2 == parity
+        ock = batch.column("o_custkey").to_numpy().astype(np.int64)[keep]
+        status = np.asarray(
+            batch.column("o_orderstatus").to_pylist(), object)[keep]
+        cents = _cents(batch.column("o_totalprice").to_numpy()[keep])
+        dck, dcn = ray.get(dim_ref)
+        idx = np.minimum(np.searchsorted(dck, ock), max(dck.size - 1, 0))
+        hit = dck[idx] == ock if dck.size else np.zeros(ock.size, bool)
+        natk = dcn[idx[hit]]
+        status = status[hit]
+        cents = cents[hit]
+        # pack (nation, status) -> group in one lexsort
+        scode = np.unique(status, return_inverse=True)
+        key = natk * np.int64(64) + scode[1] if status.size else \
+            np.empty(0, np.int64)
+        order = np.argsort(key, kind="stable")
+        key_s, cents_s = key[order], cents[order]
+        starts = np.concatenate(([0], np.nonzero(key_s[1:] != key_s[:-1])[0] + 1)) \
+            if key_s.size else np.empty(0, np.int64)
+        cnts = np.diff(np.concatenate((starts, [key_s.size]))) \
+            if key_s.size else np.empty(0, np.int64)
+        return pa.table({
+            "n_name": pa.array(
+                [nat_name[int(k // 64)] for k in key_s[starts]], pa.string()),
+            "o_orderstatus": pa.array(
+                [scode[0][int(k % 64)] for k in key_s[starts]], pa.string()),
+            "n_orders": pa.array(cnts.astype(np.int64), pa.int64()),
+            "total_cents": pa.array(
+                np.add.reduceat(cents_s, starts).astype(np.int64)
+                if key_s.size else np.empty(0, np.int64), pa.int64()),
+        })
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ).map_batches(_part, batch_format="pyarrow")
+
+
+def build_nation_view(sf_dir: str, out_dir: str,
+                      parity: int | None = None) -> str:
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.pipelines.events import _atomic_state_build
+
+    def _write(tmp: str) -> None:
+        (_nation_view_partials(sf_dir, parity)
+         .groupby(["n_name", "o_orderstatus"])
+         .aggregate(Sum("n_orders", alias_name="n_orders"),
+                    Sum("total_cents", alias_name="total_cents"))
+         .write_parquet(tmp))
+
+    return _atomic_state_build(out_dir, _write)
+
+
+def maintain_nation_view(state_dir: str, sf_dir: str, out_dir: str,
+                         parity: int = 1) -> str:
+    """IVM for a JOIN view: fold delta orders (o_orderkey % 2 ==
+    parity) into the maintained (n_name, status) aggregate. The join's
+    dimension side is stable, so the delta view is (delta ⋈ dims) and
+    count/cents stay additive — maintenance reads the O(groups) state
+    plus the delta, never the base fact rows."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.pipelines.events import _atomic_state_build
+
+    def _write(tmp: str) -> None:
+        state = ray.data.read_parquet(
+            [os.path.join(state_dir, f) for f in os.listdir(state_dir)
+             if f.endswith(".parquet")])
+        (state.union(_nation_view_partials(sf_dir, parity))
+         .groupby(["n_name", "o_orderstatus"])
+         .aggregate(Sum("n_orders", alias_name="n_orders"),
+                    Sum("total_cents", alias_name="total_cents"))
+         .write_parquet(tmp))
+
+    return _atomic_state_build(out_dir, _write)
+
+
+def q_nation_order_stats_ivm(sf_dir: str) -> ray.data.Dataset:
+    """IVM twin of nation_order_stats (SAME oracle = plan-equivalence
+    proof): base view from even orderkeys, delta fold of the odd half
+    — incremental maintenance of a JOIN view, extending the
+    windowed_counts_ivm pattern from a single-table aggregate to a
+    fact ⋈ dimension join."""
+    from candidategeneration_ray.pipelines.docquery import _cache_dir
+
+    root = _cache_dir(sf_dir, "nationivm")
+    os.makedirs(root, exist_ok=True)
+    base = build_nation_view(sf_dir, os.path.join(root, "base"), parity=0)
+    cur = maintain_nation_view(base, sf_dir, os.path.join(root, "gen1"),
+                               parity=1)
+    return ray.data.read_parquet(
+        [os.path.join(cur, f) for f in os.listdir(cur)
+         if f.endswith(".parquet")])

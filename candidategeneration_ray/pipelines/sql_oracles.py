@@ -1765,6 +1765,19 @@ JOIN isup sb ON sb.pk = r.b
 CROSS JOIN total
 WHERE 5 * r.n >= 1 * sa.s
 """,
+        "record_orders": """
+WITH w AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         max(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM orders)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       c AS total_cents,
+       CAST(coalesce(mx, 0) AS BIGINT) AS prev_max_cents
+FROM w WHERE mx IS NULL OR c > mx
+""",
         "copurchase_pairs": """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pr AS (

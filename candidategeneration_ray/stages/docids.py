@@ -287,16 +287,20 @@ def attach_doc_ids(ds: ray.data.Dataset, offsets_ref) -> ray.data.Dataset:
 
 
 def blocked_prefix_apply(ds_sorted: ray.data.Dataset, num_blocks: int,
-                         total_fn, emit_fn) -> ray.data.Dataset:
-    """The range-blocked global prefix-sum pattern, factored once (the
+                         total_fn, emit_fn,
+                         combine: str = "sum") -> ray.data.Dataset:
+    """The range-blocked global prefix-SCAN pattern, factored once (the
     scaffolding conv_offsets_scalable / rank_prior_scalable /
-    token_offsets / order_global_rank all share): a SORTED dataset is
-    split into `num_blocks` order-preserving blocks that stay in the
-    object store; `total_fn(table) -> int` extracts each block's
-    contribution, the driver holds ONLY the O(num_blocks) totals and
-    their exclusive prefix, and `emit_fn(table, base) -> pa.Table`
-    finishes each block in parallel with its global base. No driver
-    materialization, no sequential scan.
+    token_offsets / order_global_rank / peak_concurrency / late_events
+    all share): a SORTED dataset is split into `num_blocks`
+    order-preserving blocks that stay in the object store;
+    `total_fn(table) -> int` extracts each block's contribution, the
+    driver holds ONLY the O(num_blocks) totals and their EXCLUSIVE
+    prefix under `combine` ("sum" → running totals base 0, "max" →
+    running maxima base -2^62 — any associative scan fits the shape),
+    and `emit_fn(table, base) -> pa.Table` finishes each block in
+    parallel with its global base. No driver materialization, no
+    sequential scan.
 
     Correctness leans on Ray Data preserving block order through
     repartition of a sorted dataset — the one assumption, audited
@@ -313,7 +317,14 @@ def blocked_prefix_apply(ds_sorted: ray.data.Dataset, num_blocks: int,
 
     totals = np.array(ray.get([_total.remote(b) for b in block_refs]),
                       np.int64)
-    bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    if combine == "sum":
+        bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    elif combine == "max":
+        ident = np.int64(-(1 << 62))
+        bases = np.concatenate(
+            ([ident], np.maximum.accumulate(totals)[:-1]))
+    else:
+        raise ValueError(f"unknown combine {combine!r}")
 
     @ray.remote
     def _emit(block, base: int) -> pa.Table:

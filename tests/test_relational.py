@@ -874,3 +874,63 @@ def test_association_rules_brute_force(ray_session):
                      t["antecedent_support"], t["lift_num"], t["lift_den"]))
     assert got == sorted(want)
     assert len(got) > 0
+
+
+def test_record_orders_brute_force_and_block_invariance(ray_session):
+    a = rl.q_record_orders(SF_DIR, num_blocks=3).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    b = rl.q_record_orders(SF_DIR, num_blocks=29).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert a.equals(b)
+    import pyarrow.parquet as pq
+
+    o = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                      columns=["o_orderkey", "o_orderdate",
+                               "o_totalprice"]).to_pandas()
+    o["c"] = rl._cents(o["o_totalprice"].to_numpy())
+    o = o.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+    best = -1
+    want = []
+    for r in o.itertuples():
+        if r.c > best:
+            want.append((int(r.o_orderkey), int(r.c), max(best, 0)))
+            best = int(r.c)
+    got = sorted(zip(a["o_orderkey"], a["total_cents"], a["prev_max_cents"]))
+    # records arrive in ascending-cents order, so sorting by key==by time
+    assert sorted(want) == got
+    assert len(got) >= 2
+
+
+def test_nation_ivm_maintenance_never_reads_base(ray_session, tmp_path):
+    """The IVM property: after the base view is built, deleting the
+    even-orderkey half of the fact table must not change maintenance —
+    the fold reads only state + delta."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(SF_DIR, "orders.parquet")
+    work = tmp_path / "sf"
+    work.mkdir()
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(SF_DIR, f), work / f)
+    base = rl.build_nation_view(str(work), str(tmp_path / "base"), parity=0)
+    # replace orders with ONLY the odd half (the delta)
+    t = pq.read_table(src)
+    odd = t.filter(pa.compute.equal(
+        pa.compute.bit_wise_and(t.column("o_orderkey"), 1), 1))
+    os.remove(work / "orders.parquet")
+    pq.write_table(odd, work / "orders.parquet")
+    cur = rl.maintain_nation_view(base, str(work), str(tmp_path / "gen1"),
+                                  parity=1)
+    import ray.data
+
+    got = ray.data.read_parquet(
+        [os.path.join(cur, f) for f in os.listdir(cur)
+         if f.endswith(".parquet")]).to_pandas() \
+        .sort_values(["n_name", "o_orderstatus"]).reset_index(drop=True)
+    want = rl.q_nation_order_stats(SF_DIR).to_pandas() \
+        .sort_values(["n_name", "o_orderstatus"]).reset_index(drop=True)
+    assert got[["n_name", "o_orderstatus", "n_orders", "total_cents"]] \
+        .equals(want[["n_name", "o_orderstatus", "n_orders", "total_cents"]])
