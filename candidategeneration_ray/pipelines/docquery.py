@@ -1328,3 +1328,69 @@ def q_filtered_bm25_topk(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(docs, pa.int64()),
         "score": pa.array(scores, pa.int64()),
     })
+
+
+MLT_SEEDS = (0, 17, 42)   # seed documents (doc ids exist at every sf)
+MLT_E = 5                 # terms taken from each seed
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """More-like-this — document-to-document retrieval (the classic
+    MLT feature): each seed document's MLT_E strongest terms (by its
+    own quantized per-term BM25 scores, ties by term asc) become a
+    query; exact top-10 over the index EXCLUDING the seed itself.
+    Term strength and ranking are the same integer score identity as
+    bm25_topk, so the whole feature hash-verifies.
+
+    Shape: one K-row point read for the seeds, forward scoring (the
+    emitter's per-(term,doc) identity), then the standard exact top-k;
+    the seed exclusion rides the doc_filter-style decode path cost-free
+    (filtered in the final merge — k+1 suffices since only one doc is
+    excluded)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.bm25 import bm25_quantized
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.state.queryengine import IndexReader, taat_topk
+
+    cfg = EngineConfig(emit_pairs=False)
+    built = build_documents_index(sf_dir, cfg)
+    stats = built["stats"]
+    reader = IndexReader(built["final_dir"], stats, cfg)
+    terms = np.asarray(stats["terms"], dtype=object)
+    t2i = {t: i + 1 for i, t in enumerate(terms)}
+    df_by_id = np.asarray(stats["df_by_id"], dtype=np.int64)
+
+    tab = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", list(MLT_SEEDS))])
+    texts = dict(zip(tab.column("doc_id").to_pylist(),
+                     tab.column("text").to_pylist()))
+    seeds, ranks, docs_o, scores_o = [], [], [], []
+    for seed in MLT_SEEDS:
+        toks = tokenize_text(texts[seed])
+        if not toks:
+            continue
+        tf = Counter(toks)
+        tids = np.array([t2i[t] for t in tf], np.int64)
+        tfv = np.array(list(tf.values()), np.float64)
+        sc = bm25_quantized(tfv, float(tfv.max()), float(len(toks)),
+                            df_by_id[tids], stats["n_docs"], stats["avgdl"])
+        order = sorted(zip(tids.tolist(), sc.tolist()),
+                       key=lambda x: (-x[1], terms[x[0] - 1]))
+        qids = sorted(tid for tid, _ in order[:MLT_E])
+        hits = [(s, d) for s, d in taat_topk(reader, qids, 11)
+                if d != seed][:10]
+        for rank, (s, d) in enumerate(hits):
+            seeds.append(seed)
+            ranks.append(rank + 1)
+            docs_o.append(d)
+            scores_o.append(s)
+    return pa.table({
+        "seed_doc": pa.array(seeds, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs_o, pa.int64()),
+        "score": pa.array(scores_o, pa.int64()),
+    })

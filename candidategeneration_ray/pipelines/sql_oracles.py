@@ -290,6 +290,32 @@ SELECT s.doc_id,
 FROM scores s JOIN tid t USING (tok)
 GROUP BY s.doc_id
 """,
+        "more_like_this": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+seeds(seed_doc) AS (VALUES (CAST(0 AS BIGINT)), (17), (42)),
+exp AS (
+  SELECT seed_doc, tok FROM (
+    SELECT d.seed_doc, s.tok,
+           row_number() OVER (PARTITION BY d.seed_doc
+                              ORDER BY s.score DESC, s.tok ASC) AS rn
+    FROM seeds d JOIN scores s ON s.doc_id = d.seed_doc
+  ) WHERE rn <= 5
+),
+q2 AS (
+  SELECT e.seed_doc, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM exp e JOIN scores s USING (tok)
+  WHERE s.doc_id <> e.seed_doc
+  GROUP BY 1, 2
+)
+SELECT seed_doc, rank, doc_id, score FROM (
+  SELECT seed_doc,
+         CAST(row_number() OVER (PARTITION BY seed_doc
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM q2
+) WHERE rank <= 10
+""",
         "prf_topk": f"""
 WITH {KEPT_CTE},
 {SCORES_CTE},
