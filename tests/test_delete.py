@@ -457,3 +457,46 @@ def test_randomized_delete_subsets_match_bruteforce(deleted_index, corpus,
             else:
                 assert got[0].tolist() == docs[live].tolist()
                 assert got[1].tolist() == scores[live].tolist()
+
+
+def test_delete_in_blocks_mode_and_bucket_shards(ray_session, corpus,
+                                                 tmp_path_factory):
+    """Tombstones are orthogonal to the dictionary layout (blocks mode)
+    and to key-sharded serving (buckets=...): all views agree."""
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import delete_docs, load_tombstones
+    from candidategeneration_ray.stages.listbuild import bucket_of
+    from candidategeneration_ray.state.queryengine import IndexReader, QueryEngine
+
+    cfg = EngineConfig()
+    out = str(tmp_path_factory.mktemp("idx_blocks"))
+    build_index([corpus["src"]], out, cfg, dict_blocks=4)
+    # broadcast twin supplies term_to_id for query text lookup (the
+    # established blocks-mode serving pattern in test_update)
+    twin = str(tmp_path_factory.mktemp("idx_twin"))
+    stats = build_index([corpus["src"]], twin, cfg)["stats"]
+    dels = _deleted_set(corpus["convs"])[:7]
+    delete_docs(out, dels)
+    tombs = load_tombstones(out)
+    final = os.path.join(out, "final")
+    eng = QueryEngine(final, stats, cfg, tombstones_ref=tombs)
+    dead = set(_deleted_doc_ids(out, dels).tolist())
+    full = IndexReader(final, stats, cfg, tombstones=tombs)
+    import numpy as np
+
+    for q in QUERIES:
+        res = eng.topk(q, k=10)
+        assert not ({d for _, d in res} & dead)
+    # key-sharded: every key served from its own bucket shard equals
+    # the full reader under the same tombstones
+    some = full.keys[:: max(1, full.keys.size // 20)]
+    for k in some:
+        b = int(bucket_of(np.array([k], np.int64), cfg.num_buckets)[0])
+        shard = IndexReader(final, stats, cfg, buckets=[b],
+                            tombstones=tombs)
+        a, bb = full.get(int(k)), shard.get(int(k))
+        if a is None:
+            assert bb is None
+        else:
+            assert all(np.array_equal(x, y) for x, y in zip(a, bb))
