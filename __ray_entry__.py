@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "peak_concurrency": ev.q_peak_concurrency,  # sweep-line interval max
+        "events_zorder_scan": ev.q_events_zorder_scan,  # Morton-layout 2-D pruning
         # two-level (user, time-slice) plan for monster users; hash-matches
         # the SAME sessionize oracle = plan-equivalence proof
         "sessionize_sliced": ev.q_sessionize_sliced,

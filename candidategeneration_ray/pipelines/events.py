@@ -2073,3 +2073,160 @@ def q_peak_concurrency(sf_dir: str, gap_sec: int = PEAK_GAP_SEC,
         "n_sessions": pa.array([sum(r["n_sessions"] for r in rows)],
                                pa.int64()),
     })
+
+
+ZORDER_DAY0 = 19700            # day-number offset so z fits 16 bits
+ZORDER_USER_LO, ZORDER_USER_HI = 40, 90      # query rectangle
+ZORDER_DAY_LO, ZORDER_DAY_HI = 19730, 19740  # [lo, hi) both axes
+ZORDER_ROW_GROUP = 512
+
+
+def _interleave16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Morton code: interleave the low 16 bits of a (even positions)
+    and b (odd positions) — vectorized bit spreading."""
+    def spread(x):
+        x = x.astype(np.uint64) & np.uint64(0xFFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+        return x
+
+    return (spread(a) | (spread(b) << np.uint64(1))).astype(np.int64)
+
+
+def build_events_zorder(sf_dir: str, out_dir: str) -> str:
+    """Materialize the event log in Z-ORDER (Morton-interleaved
+    (user_id, day)) with small parquet row groups — the space-filling-
+    curve layout that lets ONE sorted file order serve 2-D rectangle
+    queries with row-group pruning on BOTH axes (the Delta/Iceberg
+    OPTIMIZE ZORDER technique). Same atomic-state crash discipline as
+    the other persisted layouts."""
+    def _with_z(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // np.int64(86_400_000_000)
+        rel = day - np.int64(ZORDER_DAY0)
+        if u.size and (int(u.max()) >= (1 << 16) or int(rel.max()) >= (1 << 16)
+                       or int(rel.min()) < 0):
+            raise ValueError("user_id/day outside the 16-bit z pack; "
+                             "widen _interleave16 or rebase ZORDER_DAY0")
+        return pa.table({
+            "z": pa.array(_interleave16(u, rel), pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "cents": pa.array(_cents(batch.column("value").to_numpy()),
+                              pa.int64()),
+        })
+
+    def _write(tmp: str) -> None:
+        (events_ds(sf_dir, ["user_id", "ts", "value"])
+         .map_batches(_with_z, batch_format="pyarrow")
+         .sort("z")
+         .write_parquet(tmp, row_group_size=ZORDER_ROW_GROUP))
+
+    return _atomic_state_build(out_dir, _write)
+
+
+def _morton_ranges(ulo: int, uhi: int, dlo: int, dhi: int) -> list[tuple[int, int]]:
+    """EXACT z-range decomposition of the rectangle [ulo,uhi)×[dlo,dhi)
+    via quadtree descent: a canonical 2^k-aligned cell's Morton codes
+    are one contiguous range, so the cover is a short list of
+    disjoint ranges (the litmax/bigmin alternative — same pruning
+    power, simpler to audit). Adjacent ranges merge."""
+    out: list[tuple[int, int]] = []
+
+    def z_of(u: int, d: int) -> int:
+        return int(_interleave16(np.array([u], np.int64),
+                                 np.array([d], np.int64))[0])
+
+    def cover(u0: int, d0: int, size: int) -> None:
+        u1, d1 = u0 + size, d0 + size
+        if u1 <= ulo or u0 >= uhi or d1 <= dlo or d0 >= dhi:
+            return
+        if ulo <= u0 and u1 <= uhi and dlo <= d0 and d1 <= dhi:
+            base = z_of(u0, d0)
+            out.append((base, base + size * size - 1))
+            return
+        h = size // 2
+        cover(u0, d0, h)
+        cover(u0 + h, d0, h)
+        cover(u0, d0 + h, h)
+        cover(u0 + h, d0 + h, h)
+
+    cover(0, 0, 1 << 16)
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def zorder_scan(layout_dir: str, user_lo: int, user_hi: int,
+                day_lo: int, day_hi: int):
+    """Rectangle scan over the z-ordered layout: the rectangle
+    decomposes into exact disjoint Morton ranges (_morton_ranges);
+    a parquet row group is read only when its z statistics interval
+    intersects one of them, and the exact rectangle predicate
+    post-filters. Returns (table, n_row_groups_read, n_row_groups_total)
+    so callers (and the pruning pytest) can see the skip rate."""
+    import pyarrow.parquet as pq
+
+    ranges = _morton_ranges(user_lo, user_hi,
+                            day_lo - ZORDER_DAY0, day_hi - ZORDER_DAY0)
+    r_lo = np.array([r[0] for r in ranges], np.int64)
+    r_hi = np.array([r[1] for r in ranges], np.int64)
+
+    def _overlaps(zmin: int, zmax: int) -> bool:
+        if r_lo.size == 0:
+            return False
+        i = int(np.searchsorted(r_hi, zmin))  # first range ending >= zmin
+        return i < r_lo.size and int(r_lo[i]) <= zmax
+
+    files = sorted(f for f in os.listdir(layout_dir) if f.endswith(".parquet"))
+    tables, n_read, n_total = [], 0, 0
+    for f in files:
+        path = os.path.join(layout_dir, f)
+        md = pq.read_metadata(path)
+        keep_groups = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(0).statistics  # z is column 0
+            n_total += 1
+            if st is None or _overlaps(int(st.min), int(st.max)):
+                keep_groups.append(g)
+        if not keep_groups:
+            continue
+        n_read += len(keep_groups)
+        pf = pq.ParquetFile(path)
+        t = pf.read_row_groups(keep_groups)
+        u = t.column("user_id").to_numpy()
+        d = t.column("day").to_numpy()
+        mask = ((u >= user_lo) & (u < user_hi)
+                & (d >= day_lo) & (d < day_hi))
+        tables.append(t.filter(pa.array(mask)))
+    out = pa.concat_tables(tables) if tables else None
+    return out, n_read, n_total
+
+
+def q_events_zorder_scan(sf_dir: str) -> pa.Table:
+    """2-D pruned rectangle query over the z-ordered event layout:
+    (n_events, cents) for user ∈ [40,90) × day ∈ [19730,19740) — both
+    axes prune storage through ONE sort order. The pruning rate is
+    asserted in pytest; this entry value-verifies the rectangle
+    semantics against plain SQL."""
+    from candidategeneration_ray.pipelines.docquery import _cache_dir
+
+    root = _cache_dir(sf_dir, "zorder")
+    os.makedirs(root, exist_ok=True)
+    layout = build_events_zorder(sf_dir, os.path.join(root, "layout"))
+    t, _, _ = zorder_scan(layout, ZORDER_USER_LO, ZORDER_USER_HI,
+                          ZORDER_DAY_LO, ZORDER_DAY_HI)
+    n = int(t.num_rows) if t is not None else 0
+    cents = int(t.column("cents").to_numpy().sum()) if t is not None and n else 0
+    return pa.table({
+        "n_events": pa.array([n], pa.int64()),
+        "cents": pa.array([cents], pa.int64()),
+    })

@@ -1049,6 +1049,15 @@ SELECT CAST((SELECT max(conc) FROM run) AS BIGINT) AS peak,
          AS peak_ts_us,
        CAST((SELECT count(*) FROM spans) AS BIGINT) AS n_sessions
 """,
+        "events_zorder_scan": """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT)
+         AS cents
+FROM events
+WHERE user_id >= 40 AND user_id < 90
+  AND epoch_us(ts) // 86400000000 >= 19730
+  AND epoch_us(ts) // 86400000000 < 19740
+""",
         "sessionize": """
 WITH ordered AS (
   SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,

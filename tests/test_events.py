@@ -991,3 +991,37 @@ def test_peak_concurrency_block_count_invariant(ray_session):
     a = ev.q_peak_concurrency(SF_DIR, num_blocks=2).to_pandas()
     b = ev.q_peak_concurrency(SF_DIR, num_blocks=57).to_pandas()
     assert a.equals(b)
+
+
+def test_zorder_scan_prunes_and_matches_bruteforce(ray_session, tmp_path):
+    """The z-ordered layout must (a) actually skip row groups on a 2-D
+    rectangle, (b) return exactly the brute-force rectangle rows, for
+    several rectangles including empty and full ones."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import events as ev
+
+    SF = "/root/testdata/sf0.01"
+    layout = ev.build_events_zorder(SF, str(tmp_path / "layout"))
+    raw = pq.read_table(os.path.join(SF, "events.parquet"),
+                        columns=["user_id", "ts", "value"]).to_pandas()
+    raw["day"] = raw["ts"].to_numpy().astype("datetime64[us]") \
+        .astype(np.int64) // 86_400_000_000
+    raw["cents"] = ev._cents(raw["value"].to_numpy())
+    rects = [(40, 90, 19730, 19740), (0, 5, 19723, 19725),
+             (140, 150, 19750, 19753), (0, 1000, 19000, 20000),
+             (60, 61, 19735, 19736), (10, 12, 19800, 19900)]  # last empty
+    pruned_somewhere = False
+    for ulo, uhi, dlo, dhi in rects:
+        t, n_read, n_total = ev.zorder_scan(layout, ulo, uhi, dlo, dhi)
+        sub = raw[(raw.user_id >= ulo) & (raw.user_id < uhi)
+                  & (raw.day >= dlo) & (raw.day < dhi)]
+        got_n = int(t.num_rows) if t is not None else 0
+        got_c = int(t.column("cents").to_numpy().sum()) if got_n else 0
+        assert got_n == len(sub)
+        assert got_c == int(sub["cents"].sum())
+        if len(sub) and len(sub) < len(raw) // 4:
+            # selective rectangles must skip a majority of row groups
+            assert n_read < n_total // 2, (ulo, uhi, dlo, dhi, n_read, n_total)
+            pruned_somewhere = True
+    assert pruned_somewhere
