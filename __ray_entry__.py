@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_eval": dq.q_retrieval_eval,  # recall/MRR stats vs exact top-k
         "prf_topk": dq.q_prf_topk,  # Rocchio-style PRF expansion, integer-exact
         "more_like_this": dq.q_more_like_this,  # doc-to-doc retrieval (MLT)
+        "textrank_terms": dq.q_textrank_terms,  # integer TextRank keywords
         "forward_export": dq.q_forward_export,  # inverted->forward transpose
         "filtered_bm25_topk": dq.q_filtered_bm25_topk,  # metadata-filtered retrieval
         # --- training-data extras (dedup / similarity / text analysis) ---

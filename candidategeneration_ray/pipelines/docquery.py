@@ -1394,3 +1394,110 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(docs_o, pa.int64()),
         "score": pa.array(scores_o, pa.int64()),
     })
+
+
+TEXTRANK_SUPPORT = 3
+TEXTRANK_ITERS = 5
+TEXTRANK_SCALE = 1_000_000
+TEXTRANK_TOPK = 20
+
+
+def q_textrank_terms(sf_dir: str) -> pa.Table:
+    """TextRank keyword importance (Mihalcea & Tarau EMNLP'04):
+    integer PageRank over the d-window term co-occurrence graph —
+    nodes are terms, edges are term pairs co-occurring (within the
+    engine's d=5 pair window) in ≥ TEXTRANK_SUPPORT documents, built
+    from the SAME pair-emission machinery as the d-bigram index (M6).
+    WEIGHTED (the paper's formulation): edge weight = co-occurrence
+    doc count, W(u) = Σ incident weights. Fixed-point arithmetic (the
+    q_pagerank convention) makes every round exact:  r₀ = S;
+    r'(v) = (100−85)·S//100 + Σ_{u∼v} (85·r(u)·w(u,v)) // (100·W(u))
+    — so the oracle unrolls the rounds and hash-verifies. Output:
+    top-20 (term, rank) by (rank desc, term asc).
+
+    Shape: pair counts via the bucketed emission groupby; the rank
+    rounds run over the edge dataset with a broadcast node-count-sized
+    (rank, degree) array per round (the kcore/degree pattern)."""
+    from ray.data.aggregate import Sum
+
+    toks = doc_tokens(sf_dir)
+    stats = corpus_stats(sf_dir)
+    cfg = EngineConfig(emit_unigrams=False, emit_pairs=True)
+    postings = emit_postings(toks, ray.put(stats), cfg)
+    counts = postings.groupby("key").aggregate(Sum("n", alias_name="n_docs"))
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy().astype(np.int64)
+        n = batch.column("n_docs").to_numpy().astype(np.int64)
+        keep = n >= TEXTRANK_SUPPORT
+        key, n = key[keep], n[keep]
+        return pa.table({
+            "u": pa.array(key >> np.int64(32), pa.int64()),
+            "v": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+            "w": pa.array(n, pa.int64()),
+        })
+
+    edges = counts.map_batches(_edges, batch_format="pyarrow").materialize()
+
+    def _deg_rows(batch: pa.Table) -> pa.Table:
+        node = np.concatenate((
+            batch.column("u").to_numpy().astype(np.int64),
+            batch.column("v").to_numpy().astype(np.int64)))
+        w = batch.column("w").to_numpy().astype(np.int64)
+        ks, ws = _packed_sum(node, np.concatenate((w, w)))
+        return pa.table({"node": pa.array(ks, pa.int64()),
+                         "w": pa.array(ws, pa.int64())})
+
+    deg_df = (edges.map_batches(_deg_rows, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("w", alias_name="w"))
+              ).to_pandas()  # node-count-sized
+    if len(deg_df) == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64())})
+    nodes = deg_df["node"].to_numpy(np.int64)
+    deg = deg_df["w"].to_numpy(np.int64)
+    o = np.argsort(nodes)
+    nodes, deg = nodes[o], deg[o]
+    S = np.int64(TEXTRANK_SCALE)
+    base = (100 - 85) * S // 100
+    rank = np.full(nodes.size, S, np.int64)
+    for _ in range(TEXTRANK_ITERS):
+        state_ref = ray.put((nodes, rank, deg))
+
+        def _give(batch: pa.Table) -> pa.Table:
+            gn, gr, gd = ray.get(state_ref)
+            u = batch.column("u").to_numpy().astype(np.int64)
+            v = batch.column("v").to_numpy().astype(np.int64)
+            w = batch.column("w").to_numpy().astype(np.int64)
+            x = np.concatenate((u, v))      # giver
+            y = np.concatenate((v, u))      # receiver
+            ww = np.concatenate((w, w))
+            gi = np.searchsorted(gn, x)
+            give = (np.int64(85) * gr[gi] * ww) // (np.int64(100) * gd[gi])
+            ys, cs = _packed_sum(y, give)
+            return pa.table({"node": pa.array(ys, pa.int64()),
+                             "got": pa.array(cs, pa.int64())})
+
+        got = (edges.map_batches(_give, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("got", alias_name="got"))
+               ).to_pandas()
+        new = np.full(nodes.size, base, np.int64)
+        gi = np.searchsorted(nodes, got["node"].to_numpy(np.int64))
+        new[gi] += got["got"].to_numpy(np.int64)
+        rank = new
+    terms = np.asarray(stats["terms"], dtype=object)
+    order = np.lexsort((terms[nodes - 1], -rank))[:TEXTRANK_TOPK]
+    return pa.table({
+        "term": pa.array(terms[nodes[order] - 1].tolist(), pa.string()),
+        "rank": pa.array(rank[order], pa.int64()),
+    })
+
+
+def _packed_sum(keys: np.ndarray, vals: np.ndarray):
+    """Grouped sum by key via one sort + reduceat."""
+    if keys.size == 0:
+        return keys, vals
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    starts = np.concatenate(([0], np.nonzero(k[1:] != k[:-1])[0] + 1))
+    return k[starts], np.add.reduceat(v, starts)

@@ -3388,22 +3388,36 @@ def q_association_rules(sf_dir: str) -> pa.Table:
     map — no new shuffle beyond the shared pair aggregate."""
     from ray.data.aggregate import Count
 
-    # item support: orders containing the part (distinct per order)
-    def _item_rows(batch: pa.Table) -> pa.Table:
+    # item support: orders containing the part — distinct (order, part)
+    # computed per ORDERKEY-HASH BUCKET (an order's lines co-locate, so
+    # per-bucket distinct is globally distinct; a per-BATCH distinct
+    # would overcount pairs split across read batches — the data has
+    # duplicate (order, part) lines)
+    from ray.data.aggregate import Sum
+
+    nb = COPURCHASE_BUCKETS
+
+    def _item_bucket(batch: pa.Table) -> pa.Table:
         ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
-        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "bkt", pa.array((ok % nb).astype(np.int32)))
+
+    def _item_rows(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy().astype(np.int64)
+        pk = group.column("l_partkey").to_numpy().astype(np.int64)
         key = (ok << np.int64(32)) | pk  # both < 2^31 (asserted in _pairs)
         uk = np.unique(key)
-        return pa.table({"pk": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
-                         "one": pa.array(np.ones(uk.size, np.int64), pa.int64())})
-
-    from ray.data.aggregate import Sum
+        pks, cnt = np.unique(uk & np.int64(0xFFFFFFFF), return_counts=True)
+        return pa.table({"pk": pa.array(pks, pa.int64()),
+                         "one": pa.array(cnt.astype(np.int64), pa.int64())})
 
     items = (
         ray.data.read_parquet(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_orderkey", "l_partkey"])
-        .map_batches(_item_rows, batch_format="pyarrow")
+        .map_batches(_item_bucket, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(_item_rows, batch_format="pyarrow")
         .groupby("pk").aggregate(Sum("one", alias_name="support"))
     ).to_pandas()  # catalog-sized
     ik = items["pk"].to_numpy(np.int64)

@@ -276,6 +276,7 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM qscores
 ) WHERE rank <= 10
 """,
+        "textrank_terms": _textrank_sql(),
         "forward_export": f"""
 WITH {KEPT_CTE},
 {SCORES_CTE},
@@ -1558,6 +1559,48 @@ r{i} AS (
         "WITH " + knn_cte + ",\n" + ",\n".join(steps)
         + f"\nSELECT CAST(node AS BIGINT) AS vec_id, r AS {out_col} "
           f"FROM r{PR_ITERS}\n")
+
+
+def _textrank_sql() -> str:
+    """Unrolled integer TextRank over the d-window pair graph (term ids
+    are sorted-vocab positions, so least/greatest on token strings
+    equals min/max on ids — the engine's packed pair keys)."""
+    from candidategeneration_ray.pipelines.docquery import (
+        TEXTRANK_ITERS, TEXTRANK_SCALE, TEXTRANK_SUPPORT, TEXTRANK_TOPK)
+
+    base = (100 - 85) * TEXTRANK_SCALE // 100
+    head = f"""
+WITH {KEPT_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc_id, least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+  FROM kept a JOIN kept b
+    ON a.doc_id = b.doc_id AND b.kpos > a.kpos AND b.kpos <= a.kpos + 5
+),
+edges AS MATERIALIZED (
+  SELECT t1, t2, CAST(count(*) AS BIGINT) AS w FROM pairs
+  GROUP BY 1, 2 HAVING count(*) >= {TEXTRANK_SUPPORT}
+),
+sadj AS MATERIALIZED (SELECT t1 AS x, t2 AS y, w FROM edges
+                      UNION ALL SELECT t2, t1, w FROM edges),
+deg AS MATERIALIZED (SELECT x, CAST(sum(w) AS BIGINT) AS deg
+                     FROM sadj GROUP BY x),
+r0 AS (SELECT x AS node, CAST({TEXTRANK_SCALE} AS BIGINT) AS r FROM deg)"""
+    rounds = []
+    prev = "r0"
+    for i in range(1, TEXTRANK_ITERS + 1):
+        rounds.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT s.y AS node,
+         CAST({base} + sum((85 * r.r * s.w) // (100 * d.deg)) AS BIGINT) AS r
+  FROM sadj s
+  JOIN {prev} r ON r.node = s.x
+  JOIN deg d ON d.x = s.x
+  GROUP BY s.y)""")
+        prev = f"r{i}"
+    return head + "".join(rounds) + f"""
+SELECT node AS term, r AS rank FROM {prev}
+ORDER BY rank DESC, term ASC LIMIT {TEXTRANK_TOPK}
+"""
 
 
 def _kcore_sql() -> str:
