@@ -3408,8 +3408,15 @@ def q_association_rules(sf_dir: str) -> pa.Table:
         key = (ok << np.int64(32)) | pk  # both < 2^31 (asserted in _pairs)
         uk = np.unique(key)
         pks, cnt = np.unique(uk & np.int64(0xFFFFFFFF), return_counts=True)
-        return pa.table({"pk": pa.array(pks, pa.int64()),
-                         "one": pa.array(cnt.astype(np.int64), pa.int64())})
+        # sentinel pk=-1 row: this bucket's distinct ORDER count (orders
+        # co-locate, so bucket counts sum to the global distinct count —
+        # the lift denominator without any driver-side column pull)
+        n_orders = np.int64(np.unique(ok).size)
+        return pa.table({
+            "pk": pa.array(np.concatenate((pks, [-1])), pa.int64()),
+            "one": pa.array(np.concatenate((cnt.astype(np.int64),
+                                            [n_orders])), pa.int64()),
+        })
 
     items = (
         ray.data.read_parquet(
@@ -3419,17 +3426,13 @@ def q_association_rules(sf_dir: str) -> pa.Table:
         .groupby("bkt")
         .map_groups(_item_rows, batch_format="pyarrow")
         .groupby("pk").aggregate(Sum("one", alias_name="support"))
-    ).to_pandas()  # catalog-sized
+    ).to_pandas()  # catalog-sized (+1 sentinel row)
+    n_orders_total = int(items[items["pk"] == -1]["support"].iloc[0])
+    items = items[items["pk"] != -1]
     ik = items["pk"].to_numpy(np.int64)
     isup = items["support"].to_numpy(np.int64)
     o = np.argsort(ik)
     ik, isup = ik[o], isup[o]
-    n_orders_total = None  # lift denominator needs total basket count
-    import pyarrow.parquet as pq
-
-    ok_col = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
-                           columns=["l_orderkey"]).column("l_orderkey")
-    n_orders_total = int(len(np.unique(ok_col.to_numpy())))
     item_ref = ray.put((ik, isup))
     num = np.int64(RULE_CONF_NUM)
     den = np.int64(RULE_CONF_DEN)
