@@ -161,6 +161,25 @@ def run_bench() -> dict:
     run_queries(upd["sources"], queries.limit(7), upd["stats"],
                 concurrency=(1, 2)).count()
 
+    # tombstone delete: drop 1% of conversations and serve through the
+    # decode-time filter (the LSM delete path; O(deleted convs) —
+    # expected sub-second at any corpus size), then compact (physical
+    # removal = one bucket-parallel merge over [final, gen])
+    from candidategeneration_ray.pipelines.update import (
+        compact_index, delete_docs, load_tombstones, serving_sources)
+
+    conv_ids = upd["offsets"]["conv_ids"]
+    victims = [str(c) for c in conv_ids[:: max(1, len(conv_ids) // 100)][:100]]
+    t3 = time.time()
+    delete_docs(out_dir, victims)
+    run_queries(serving_sources(out_dir), queries.limit(7), upd["stats"],
+                tombstones=load_tombstones(out_dir),
+                concurrency=(1, 2)).count()
+    delete_serve_sec = time.time() - t3
+    t4 = time.time()
+    compact_index(out_dir)
+    compact_sec = time.time() - t4
+
     # documents-table operator pipelines at GRAFT_SF_DIR
     per_query: dict[str, float] = {}
     shutil.rmtree("/tmp/cg_ray_cache", ignore_errors=True)
@@ -173,6 +192,8 @@ def run_bench() -> dict:
     from candidategeneration_ray.pipelines import textlm as tl
 
     per_query["delta_update_10pct"] = round(update_sec, 3)
+    per_query["tombstone_delete_serve"] = round(delete_serve_sec, 3)
+    per_query["delete_compaction"] = round(compact_sec, 3)
     for name, fn in [
         ("build_transcript_index", None),          # recorded below
         ("tokenize_counts", dq.q_tokenize_counts),
