@@ -628,6 +628,118 @@ def _pagerank_rounds(sf_dir: str, iters: int, seed_mod: int | None,
     return cur.groupby("bkt").map_groups(_final, batch_format="pyarrow")
 
 
+# ------------------------------------------- multi-source BFS hops
+
+BFS_SEED_MOD = 17     # vec_id % 17 == 0 are the BFS sources
+BFS_MAX_HOPS = 4      # exact distances up to this cap; beyond = -1
+_BFS_INF = np.int64(1) << np.int64(60)
+
+
+def q_bfs_hops(sf_dir: str, max_hops: int = BFS_MAX_HOPS,
+               seed_mod: int = BFS_SEED_MOD) -> ray.data.Dataset:
+    """Multi-source BFS over the undirected kNN graph — hop distance
+    from the nearest seed (vec_id % seed_mod == 0), exact up to
+    `max_hops`, -1 beyond. The graph-proximity labeling used for
+    'how far is each document from a vetted seed set' curation; the
+    third member of the iterative-graph family (pagerank = sum-combine,
+    dup_clusters = min-LABEL-combine, this = min-DISTANCE-combine,
+    which converges by frontier rather than by fixed point).
+
+    Shape (same scatter skeleton as _pagerank_rounds): the symmetrized
+    edge set and one node row per vector are keyed by node-hash bucket
+    and materialized once; each of the `max_hops` rounds is ONE
+    groupby(bkt) whose task (a) folds incoming distance rows into this
+    bucket's current distances with np.minimum.at, (b) re-emits the
+    carry rows, and (c) scatters dist+1 to each out-edge whose source
+    is already reached (frontier-bounded: candidates beyond the cap are
+    never emitted). All per-node work is a sort + searchsorteds; the
+    driver holds nothing. A node at distance d gets its exact value in
+    round d, so `max_hops` rounds are sufficient — the DuckDB oracle
+    unrolls the same recurrence round for round and the compare is
+    exact. Returns (vec_id, hops) for every vector."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    nbk = _graph_buckets()
+    cap = np.int64(max_hops)
+
+    # row kinds: edge row (dst >= 0), node row (dst == -1),
+    # distance row (dst == -2, give = current hop count for `node`)
+    def _static_rows(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy().astype(np.int64)
+        v = b.column("v").to_numpy().astype(np.int64)
+        src = np.concatenate((u, v))
+        dst = np.concatenate((v, u))
+        return pa.table({
+            "bkt": pa.array(src % nbk, pa.int64()),
+            "node": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "give": pa.array(np.zeros(src.size, np.int64), pa.int64()),
+        })
+
+    def _node_rows(b: pa.Table) -> pa.Table:
+        vec = b.column("vec_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(vec % nbk, pa.int64()),
+            "node": pa.array(vec, pa.int64()),
+            "dst": pa.array(np.full(vec.size, -1, np.int64), pa.int64()),
+            "give": pa.array(np.zeros(vec.size, np.int64), pa.int64()),
+        })
+
+    static = (_knn_undirected_edges(sf_dir)
+              .map_batches(_static_rows, batch_format="pyarrow")
+              .union(_embeddings_ds(sf_dir)
+                     .select_columns(["vec_id"])
+                     .map_batches(_node_rows, batch_format="pyarrow"))
+              .materialize())
+
+    def _bucket_dists(group: pa.Table, first: bool):
+        node = group.column("node").to_numpy().astype(np.int64)
+        dst = group.column("dst").to_numpy().astype(np.int64)
+        give = group.column("give").to_numpy().astype(np.int64)
+        rn = np.sort(node[dst == -1])
+        dv = np.where(rn % seed_mod == 0, np.int64(0), _BFS_INF)
+        if not first:
+            is_d = dst == -2
+            np.minimum.at(dv, np.searchsorted(rn, node[is_d]), give[is_d])
+        return rn, dv
+
+    def _make_round(first: bool):
+        def _round(group: pa.Table) -> pa.Table:
+            node = group.column("node").to_numpy().astype(np.int64)
+            dst = group.column("dst").to_numpy().astype(np.int64)
+            rn, dv = _bucket_dists(group, first)
+            is_edge = dst >= 0
+            es, ed = node[is_edge], dst[is_edge]
+            sd = dv[np.searchsorted(rn, es)]
+            live = sd < cap          # dist+1 > cap can never be output
+            reached = dv < _BFS_INF  # carry only reached nodes
+            out_node = np.concatenate((rn[reached], ed[live]))
+            out_give = np.concatenate((dv[reached], sd[live] + 1))
+            return pa.table({
+                "bkt": pa.array(out_node % nbk, pa.int64()),
+                "node": pa.array(out_node, pa.int64()),
+                "dst": pa.array(np.full(out_node.size, -2, np.int64),
+                                pa.int64()),
+                "give": pa.array(out_give, pa.int64()),
+            })
+        return _round
+
+    def _final(group: pa.Table) -> pa.Table:
+        rn, dv = _bucket_dists(group, False)
+        return pa.table({
+            "vec_id": pa.array(rn, pa.int64()),
+            "hops": pa.array(np.where(dv <= cap, dv, np.int64(-1)),
+                             pa.int64()),
+        })
+
+    cur = static
+    for t in range(max_hops):
+        dists = cur.groupby("bkt").map_groups(
+            _make_round(t == 0), batch_format="pyarrow")
+        cur = static.union(dists)
+    return cur.groupby("bkt").map_groups(_final, batch_format="pyarrow")
+
+
 # ------------------------------------------- cluster keyword labeling
 
 def q_cluster_top_terms(sf_dir: str, k_terms: int = 5) -> ray.data.Dataset:

@@ -1561,6 +1561,60 @@ r{i} AS (
           f"FROM r{PR_ITERS}\n")
 
 
+def _bfs_sql() -> str:
+    """Unrolled multi-source BFS over the symmetrized kNN edge set —
+    one min-fold round per hop, mirroring clustering.q_bfs_hops; a node
+    at distance d is reached in round d, so BFS_MAX_HOPS rounds give
+    exact distances up to the cap and -1 beyond."""
+    from candidategeneration_ray.pipelines.clustering import (
+        BFS_MAX_HOPS, BFS_SEED_MOD, KMEANS_SCALE, KNN_K)
+
+    knn_cte = f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+knn AS (
+  SELECT vec_id AS src, nbr_id AS dst FROM (
+    SELECT vec_id, nbr_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, nbr_id ASC) AS rank
+    FROM dist)
+  WHERE rank <= {KNN_K}
+),
+uedges AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn),
+dedges AS (SELECT u AS s, v AS d FROM uedges
+           UNION ALL SELECT v AS s, u AS d FROM uedges),
+d0 AS MATERIALIZED (
+  SELECT vec_id AS node, CAST(0 AS BIGINT) AS dist
+  FROM embeddings WHERE vec_id % {BFS_SEED_MOD} = 0)"""
+    steps = []
+    for i in range(1, BFS_MAX_HOPS + 1):
+        steps.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.d AS node, p.dist + 1 AS dist
+    FROM d{i - 1} p JOIN dedges e ON e.s = p.node)
+  GROUP BY node
+)""")
+    return (
+        "WITH " + knn_cte + ",\n" + ",\n".join(steps)
+        + f"""
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(d.dist, -1) AS BIGINT) AS hops
+FROM embeddings e LEFT JOIN d{BFS_MAX_HOPS} d ON d.node = e.vec_id
+""")
+
+
 def _textrank_sql() -> str:
     """Unrolled integer TextRank over the d-window pair graph (term ids
     are sorted-vocab positions, so least/greatest on token strings
@@ -1666,6 +1720,7 @@ JOIN embeddings eb ON eb.vec_id = p.vb
 WHERE list_cosine_similarity(ea.embedding, eb.embedding) * 100 >= 40
 """,
         "pagerank": _pagerank_sql(None, "pagerank"),
+        "bfs_hops": _bfs_sql(),
     }
 
 

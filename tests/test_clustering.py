@@ -594,3 +594,32 @@ def test_kcore_brute_force(ray_session):
     got = sorted(zip(t["node"], t["core_deg"]))
     assert got == want
     assert (t["core_deg"] >= cl.KCORE_K).all()
+
+
+def test_bfs_hops_brute_force(ray_session):
+    """Hop distances equal a python BFS over the symmetrized kNN edge
+    set at sf0.001 (exact up to the cap, -1 beyond), and seeds are 0."""
+    from collections import deque
+
+    sf = "/root/testdata/sf0.001"
+    got = cl.q_bfs_hops(sf).to_pandas()
+    edges = cl.q_knn_graph(sf).to_pandas()
+    adj = {}
+    for a, b in zip(edges["vec_id"], edges["nbr_id"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    nodes = sorted(set(got["vec_id"]))
+    dist = {n: 0 for n in nodes if n % cl.BFS_SEED_MOD == 0}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    want = {n: (dist[n] if dist.get(n, 1 << 30) <= cl.BFS_MAX_HOPS
+                else -1) for n in nodes}
+    assert {int(r.vec_id): int(r.hops) for r in got.itertuples()} == want
+    assert len(got) == len(nodes)
+    seeds = got[got["vec_id"] % cl.BFS_SEED_MOD == 0]
+    assert (seeds["hops"] == 0).all()
