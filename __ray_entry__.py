@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_diff_docs": lx.q_bool_diff_docs,          # AND-NOT set difference
         "facet_counts": lx.q_facet_counts,              # faceted result counts
         "substring_docs": lx.q_substring_docs,          # trigram-filtered grep
+        "bitmap_index": lx.q_bitmap_index,              # per-value bitset words
+        "bitmap_query_counts": lx.q_bitmap_query_counts,  # AND/OR/ANDNOT serving
         "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection

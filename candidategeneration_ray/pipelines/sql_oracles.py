@@ -2861,7 +2861,41 @@ FROM ft JOIN kept k ON k.tok = ft.term
 JOIN documents d ON d.doc_id = k.doc_id
 GROUP BY ft.term, d.source, d.lang
 """,
+        "bitmap_index": _bitmap_index_sql(),
+        "bitmap_query_counts": _bitmap_counts_sql(),
     }
+
+
+def _bitmap_index_sql() -> str:
+    """Word-for-word bitmap state: 32-bit words keep every shift in
+    positive BIGINT range; doc ids are unique so sum == bit OR."""
+    from candidategeneration_ray.pipelines.lexicon import (
+        BITMAP_COLS, BITMAP_WORD_BITS)
+
+    parts = [f"""
+SELECT '{col}' AS col, {col} AS value,
+       CAST(doc_id // {BITMAP_WORD_BITS} AS BIGINT) AS word_idx,
+       CAST(sum(CAST(1 AS BIGINT)
+                << CAST(doc_id % {BITMAP_WORD_BITS} AS INTEGER))
+            AS BIGINT) AS word_bits
+FROM documents GROUP BY 2, 3""" for col in BITMAP_COLS]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _bitmap_counts_sql() -> str:
+    """Row-scan recount of the fixed bitmap predicate set — the engine
+    serves the same counts from the persisted word index."""
+    from candidategeneration_ray.pipelines.lexicon import BITMAP_QUERIES
+
+    ops = {"and": "{l} AND {r}", "or": "{l} OR {r}",
+           "andnot": "{l} AND NOT ({r})"}
+    parts = []
+    for name, kind, (lc, lv), (rc, rv) in BITMAP_QUERIES:
+        cond = ops[kind].format(l=f"{lc} = '{lv}'", r=f"{rc} = '{rv}'")
+        parts.append(f"""
+SELECT '{name}' AS query, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE {cond}""")
+    return "\nUNION ALL\n".join(parts)
 
 
 def rolling_oracles() -> dict[str, str]:

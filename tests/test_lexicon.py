@@ -157,3 +157,40 @@ def test_substring_docs_matches_bruteforce(ray_session):
         for p in lx.SUBSTR_PATTERNS if p in x)
     assert sorted(zip(got["pattern"], got["doc_id"])) == want
     assert len(want) > 0
+
+
+def test_bitmap_index_reconstructs_doc_sets(ray_session):
+    """Decoding every (col, value) bitmap back to doc ids reproduces
+    the exact row sets of the base table, and each doc appears in
+    exactly one value per column (the bitmaps partition the corpus)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from candidategeneration_ray.pipelines import lexicon as lx
+
+    sf = "/root/testdata/sf0.001"
+    rows = lx.q_bitmap_index(sf).to_pandas()
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "lang", "source"]).to_pandas()
+    for col in lx.BITMAP_COLS:
+        seen = set()
+        for value, grp in rows[rows["col"] == col].groupby("value"):
+            got = set()
+            for w, bits in zip(grp["word_idx"], grp["word_bits"]):
+                b = int(bits)
+                assert 0 <= b < (1 << lx.BITMAP_WORD_BITS)
+                for i in range(lx.BITMAP_WORD_BITS):
+                    if b & (1 << i):
+                        got.add(int(w) * lx.BITMAP_WORD_BITS + i)
+            want = set(docs.loc[docs[col] == value, "doc_id"].astype(int))
+            assert got == want, (col, value)
+            assert not (got & seen)
+            seen |= got
+        assert seen == set(docs["doc_id"].astype(int))
+
+
+def test_bitmap_popcount_words():
+    import numpy as np
+    from candidategeneration_ray.pipelines.lexicon import _popcount_words
+
+    a = np.array([0, 1, 0xFFFFFFFF, 0b1010], np.int64)
+    assert _popcount_words(a) == 0 + 1 + 32 + 2
