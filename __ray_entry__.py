@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
         "rolling_spend": ev.q_rolling_spend,        # RANGE-frame rolling window
         "running_spend": ev.q_running_spend,        # UNBOUNDED-PRECEDING scan
+        "ewma_spend": ev.q_ewma_spend,              # decay recurrence (EWMA)
         "user_features": ev.q_user_features,        # one-pass feature vector
         "props_extract": ev.q_props_extract,        # JSON payload extraction
         "campaign_overlap": ev.q_campaign_overlap,  # interval-overlap join

@@ -2230,3 +2230,70 @@ def q_events_zorder_scan(sf_dir: str) -> pa.Table:
         "n_events": pa.array([n], pa.int64()),
         "cents": pa.array([cents], pa.int64()),
     })
+
+
+# ------------------------------------------------- exponential decay (EWMA)
+
+EWMA_NUM, EWMA_DEN = 3, 4    # retain 3/4 of the previous score per event
+
+
+def q_ewma_spend(sf_dir: str, event_type: str = "purchase"
+                 ) -> ray.data.Dataset:
+    """Per-user exponentially-decayed spend — the EWMA/decay recurrence
+    (recency-weighted user value scoring), the one windowed shape the
+    surface lacked because it is a true sequential recurrence rather
+    than a frame aggregate:
+
+        s_1 = c_1;   s_t = (3 * s_{t-1}) // 4 + c_t
+
+    over the user's purchases ordered by (ts, event_id), integer cents
+    with floor division so every step is exact (the DuckDB oracle runs
+    the same recurrence as a recursive CTE and the hash compare is
+    bit-for-bit). Output one row per purchase: (event_id, user_id,
+    ewma_cents).
+
+    Shape: user-hash bucket -> one lexsort per bucket -> the recurrence
+    is applied in max-run-length VECTORIZED steps: iteration j updates
+    the j-th event of EVERY user in the bucket at once (s[i] =
+    (3*s[i-1])//4 + c[i] on the positions at in-user index j, whose
+    predecessors are the adjacent array slots), so the Python loop is
+    O(max events per user), not O(rows). Floor division makes the
+    recurrence non-associative, so a parallel prefix is not available
+    — per-user sequential order is the semantics; users stay fully
+    parallel across and within buckets."""
+    def _ewma(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        keep = et == event_type
+        u = group.column("user_id").to_numpy().astype(np.int64)[keep]
+        ts = group.column("ts").cast(pa.int64()).to_numpy()[keep]
+        eid = group.column("event_id").to_numpy().astype(np.int64)[keep]
+        cents = _cents(group.column("value").to_numpy()[keep])
+        if u.size == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ewma_cents": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((eid, ts, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        # in-user position of every row (0-based), via segment offsets
+        starts = np.flatnonzero(first)
+        pos = np.arange(u.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [u.size]))))
+        s = cents.copy()
+        for j in range(1, int(pos.max()) + 1 if u.size else 0):
+            idx = np.flatnonzero(pos == j)
+            if idx.size == 0:
+                break
+            s[idx] = (EWMA_NUM * s[idx - 1]) // EWMA_DEN + cents[idx]
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ewma_cents": pa.array(s, pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                            "value"])
+    return (_with_user_bucket(ds)
+            .groupby("ubucket").map_groups(_ewma, batch_format="pyarrow"))

@@ -2913,7 +2913,33 @@ FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """,
+        "ewma_spend": _ewma_sql(),
     }
+
+
+def _ewma_sql() -> str:
+    """The engine's integer decay recurrence as a recursive CTE —
+    floor division on both sides makes every step bit-exact."""
+    from candidategeneration_ray.pipelines.events import EWMA_DEN, EWMA_NUM
+
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, event_id, rn, cents AS s FROM p WHERE rn = 1
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.rn,
+         ({EWMA_NUM} * r.s) // {EWMA_DEN} + p.cents AS s
+  FROM r JOIN p ON p.user_id = r.user_id AND p.rn = r.rn + 1)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(s AS BIGINT) AS ewma_cents
+FROM r
+"""
 
 
 def regex_oracles() -> dict[str, str]:

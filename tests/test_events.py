@@ -1025,3 +1025,28 @@ def test_zorder_scan_prunes_and_matches_bruteforce(ray_session, tmp_path):
             assert n_read < n_total // 2, (ulo, uhi, dlo, dhi, n_read, n_total)
             pruned_somewhere = True
     assert pruned_somewhere
+
+
+def test_ewma_spend_recurrence(ray_session):
+    """EWMA rows match a direct python recurrence over per-user
+    purchase sequences at sf0.001, including single-purchase users."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from candidategeneration_ray.functions.money import round_scaled
+    from candidategeneration_ray.pipelines import events as ev
+
+    sf = "/root/testdata/sf0.001"
+    got = ev.q_ewma_spend(sf).to_pandas()
+    t = pq.read_table(sf + "/events.parquet").to_pandas()
+    p = t[t["event_type"] == "purchase"].copy()
+    p["cents"] = round_scaled(p["value"].to_numpy())
+    want = {}
+    for uid, grp in p.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        s = 0
+        for i, (eid, c) in enumerate(zip(grp["event_id"], grp["cents"])):
+            s = int(c) if i == 0 else (ev.EWMA_NUM * s) // ev.EWMA_DEN + int(c)
+            want[int(eid)] = s
+    assert len(got) == len(want)
+    assert {int(r.event_id): int(r.ewma_cents)
+            for r in got.itertuples()} == want
