@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cmsketch_estimates": sk.q_cmsketch_estimates,  # point queries + truth
         "source_quantile_filter": sk.q_source_quantile_filter,  # dynamic per-source cutoff
         "source_pct_rank": sk.q_source_pct_rank,    # within-group percentile feature
+        "source_ntile": sk.q_source_ntile,          # NTILE equi-count buckets
         "hll_distinct_terms": sk.q_hll_distinct_terms,  # float estimator (rows-only)
         # --- clustering (exact-integer Lloyd, value-verified) ---
         "kmeans_centroids": cl.q_kmeans_centroids,

@@ -538,6 +538,106 @@ def q_source_pct_rank(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(_rank, batch_format="pyarrow")
 
 
+NTILE_K = 4
+NTILE_BUCKETS = 64
+
+
+def q_source_ntile(sf_dir: str, k: int = NTILE_K) -> ray.data.Dataset:
+    """NTILE(k) within each source ordered by (n_chars, doc_id) — the
+    equi-count bucketing window (quartile feature). Exact DuckDB ntile
+    semantics: the first n%k tiles hold ceil(n/k) rows.
+
+    The global per-source rank is built WITHOUT co-locating a source:
+    (1) the bounded (source, n_chars) distribution merges once and
+    broadcasts (strict-less cumulative counts + per-source totals,
+    exactly q_source_pct_rank's first pass); (2) ties are ranked by
+    doc_id inside their (source, n_chars) class via one hash-bucketed
+    groupby whose tasks do a lexsort + segmented arange — tie classes
+    are distribution rows, never a whole source. rank = strict_less +
+    tie_rank; the tile is a closed-form function of (rank, n)."""
+    def _counts(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        n = batch.column("n_chars").to_numpy().astype(np.int64)
+        key = np.asarray([f"{s}\x00{v}" for s, v in zip(src, n)], object)
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": pa.array([x.split("\x00")[0] for x in u], pa.string()),
+            "n_chars": pa.array([int(x.split("\x00")[1]) for x in u],
+                                pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    merged = (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["source", "n_chars"])
+        .map_batches(_counts, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for r in merged:
+        by_src.setdefault(r["source"], []).append(
+            (int(r["n_chars"]), int(r["cnt"])))
+    dist: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for s, rows in by_src.items():
+        rows.sort()
+        vals = np.array([v for v, _ in rows], dtype=np.int64)
+        cum = np.concatenate(([0], np.cumsum([c for _, c in rows])))
+        dist[s] = (vals, cum[:-1], int(cum[-1]))
+    dist_ref = ray.put(dist)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        n = batch.column("n_chars").to_numpy().astype(np.int64)
+        h = H.h64_many([f"{s}\x00{v}" for s, v in zip(src, n)])
+        return batch.append_column(
+            "tbucket",
+            pa.array((h % np.uint64(NTILE_BUCKETS)).astype(np.int64),
+                     pa.int64()))
+
+    def _tiles(group: pa.Table) -> pa.Table:
+        d = ray.get(dist_ref)
+        src = np.asarray(group.column("source").to_pylist(), dtype=object)
+        n = group.column("n_chars").to_numpy().astype(np.int64)
+        doc = group.column("doc_id").to_numpy().astype(np.int64)
+        # NB: np.unique, not pd.factorize — pandas hashes object strings
+        # as C strings and truncates at the embedded NUL separator
+        _, codes = np.unique(
+            np.asarray([f"{s}\x00{v}" for s, v in zip(src, n)], object),
+            return_inverse=True)
+        order = np.lexsort((doc, codes))
+        sc = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], sc[1:] != sc[:-1])))
+        tie = np.arange(sc.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [sc.size]))))
+        rank = np.empty(sc.size, np.int64)
+        nsrc = np.empty(sc.size, np.int64)
+        osrc, on = src[order], n[order]
+        for s in np.unique(osrc):
+            vals, below, total = d[s]
+            m = osrc == s
+            rank[m] = below[np.searchsorted(vals, on[m])]
+            nsrc[m] = total
+        rank = rank + tie
+        q, rem = nsrc // k, nsrc % k
+        cut = rem * (q + 1)
+        tile = np.where(rank < cut, rank // np.maximum(q + 1, 1),
+                        rem + (rank - cut) // np.maximum(q, 1)) + 1
+        return pa.table({
+            "doc_id": pa.array(doc[order], pa.int64()),
+            "source": pa.array(osrc.tolist(), pa.string()),
+            "tile": pa.array(tile.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "source", "n_chars"])
+        .map_batches(_bucket, batch_format="pyarrow")
+        .groupby("tbucket").map_groups(_tiles, batch_format="pyarrow")
+    )
+
+
 def q_hll_registers_by_source(sf_dir: str) -> ray.data.Dataset:
     """KEYED sketch: per-source HLL register state (source, register,
     max rho) over each source's distinct kept tokens — the grouped

@@ -2615,7 +2615,20 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
          AS pct_millionths
 FROM documents
 """,
+        "source_ntile": _source_ntile_sql(),
     }
+
+
+def _source_ntile_sql() -> str:
+    from candidategeneration_ray.pipelines.sketches import NTILE_K
+
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(ntile({NTILE_K}) OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS BIGINT)
+         AS tile
+FROM documents
+"""
 
 
 def keyed_hll_oracles() -> dict[str, str]:

@@ -233,3 +233,16 @@ class TestCountMin:
         got = q_cmsketch_counters(SF_).to_pandas()
         sums = got.groupby("depth")["cnt"].sum()
         assert sums.tolist() == [total] * CM_DEPTH
+
+
+def test_source_ntile_equi_count(ray_session):
+    """Per source: tiles partition the docs, sizes differ by at most
+    one, and the larger tiles come first (DuckDB ntile semantics)."""
+    from candidategeneration_ray.pipelines import sketches as sk
+
+    got = sk.q_source_ntile("/root/testdata/sf0.001").to_pandas()
+    for s, grp in got.groupby("source"):
+        sizes = grp.groupby("tile").size()
+        assert set(sizes.index) == set(range(1, len(sizes) + 1))
+        assert sizes.max() - sizes.min() <= 1
+        assert (sizes.sort_index().diff().dropna() <= 0).all()
