@@ -80,7 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_docs": lx.q_substring_docs,          # trigram-filtered grep
         "bitmap_index": lx.q_bitmap_index,              # per-value bitset words
         "bitmap_query_counts": lx.q_bitmap_query_counts,  # AND/OR/ANDNOT serving
-        "topk_candidates": dq.q_topk_candidates,        # pair/top-layer pool (rows-only)
+        "topk_candidates": dq.q_topk_candidates,
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
         "retrieval_eval": dq.q_retrieval_eval,  # recall/MRR stats vs exact top-k
@@ -108,9 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": ex.q_simhash,
         "simhash_neardups": ex.q_simhash_neardups,
         "embedding_neardups": ex.q_embedding_neardups,
-        "embedding_neardups_lsh": ex.q_embedding_neardups_lsh,  # approximate (rows-only)
+        "embedding_neardups_lsh": ex.q_embedding_neardups_lsh,
         "ann_cosine_top10": ex.q_ann_cosine_top10,
-        "ann_ivf_top10": ex.q_ann_ivf_top10,            # approximate (rows-only)
+        "ann_ivf_top10": ex.q_ann_ivf_top10,
         "text_stats": ex.q_text_stats,
         "quality_filter": ex.q_quality_filter,
         "repetition_stats": ex.q_repetition_stats,
@@ -142,14 +142,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quantile_filter": sk.q_source_quantile_filter,  # dynamic per-source cutoff
         "source_pct_rank": sk.q_source_pct_rank,    # within-group percentile feature
         "source_ntile": sk.q_source_ntile,          # NTILE equi-count buckets
-        "hll_distinct_terms": sk.q_hll_distinct_terms,  # float estimator (rows-only)
+        "hll_distinct_terms": sk.q_hll_distinct_terms,
         # --- clustering (exact-integer Lloyd, value-verified) ---
         "kmeans_centroids": cl.q_kmeans_centroids,
         "kmeans_assignments": cl.q_kmeans_assignments,
         "kmeans_label_eval": cl.q_kmeans_label_eval,  # contingency vs ground-truth labels
         "kmeans_purity": cl.q_kmeans_purity,        # sketch-then-finalize purity
         "kmeans_ari": cl.q_kmeans_ari,              # integer-exact adjusted Rand
-        "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,  # approximate (rows-only)
+        "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,
         "pq_codes": cl.q_pq_codes,                  # product-quantization codes
         "ann_pq_top10": cl.q_ann_pq_top10,          # ADC ranking (value-verified)
         "ann_ivfpq_top10": cl.q_ann_ivfpq_top10,    # IVF-PQ (probe + ADC, value-verified)
@@ -295,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         ivfpq_oracles,
         pq_oracles,
         range_scan_oracles,
+        lsh_plane_oracles,
         holistic_audit_oracles,
         top_pairs_oracles,
         ppr_oracles,
@@ -364,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),
             **top_pairs_oracles(), **digest_oracles(),
             **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
+            **lsh_plane_oracles(),
             **regression_oracles(), **gram_oracles(), **jl_oracles(),
             **token_offset_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level

@@ -290,24 +290,47 @@ def q_hll_registers(sf_dir: str) -> pa.Table:
     })
 
 
+# Flajolet et al. 2007 bias constant, fixed to parts-per-billion so the
+# estimator below is pure integer arithmetic (the SQL oracle inlines the
+# SAME constant — no float crosses an engine boundary).
+HLL_ALPHA_PPB = int(round(0.7213 / (1 + 1.079 / HLL_M) * 1e9))
+HLL_RHO_MAX = 64 - HLL_P + 1     # rho range is 1..53; 0 = empty register
+_PPB = 10 ** 9
+
+
+def hll_ln_lut() -> list[int]:
+    """ln(m / V) in parts-per-billion for V = 1..m — the linear-counting
+    correction as a FIXED integer lookup shared verbatim by the engine
+    and the SQL oracle (which inlines these values), so the corrected
+    estimate is deterministic integer arithmetic end to end."""
+    v = np.arange(1, HLL_M + 1, dtype=np.float64)
+    return [int(x) for x in np.round(np.log(HLL_M / v) * 1e9)]
+
+
 def q_hll_distinct_terms(sf_dir: str) -> pa.Table:
     """Approximate number of distinct kept tokens via HyperLogLog
     (p=12).  Per-batch register partials -> groupby(register).max ->
     driver estimate over <= 4096 rows.  Register max is commutative,
     so the estimate is independent of partitioning/parallelism (tested)
     and the merge is a fixed-size shuffle however large the corpus.
-    The register state itself is value-verified (q_hll_registers);
-    the float estimator makes THIS entry rows-only, with relative
-    error vs the exact distinct count pytest-asserted (<5%)."""
+
+    The estimator is integer-exact: with S = Σ_j 2^(RHO_MAX - rho_j)
+    (big-int; empty registers contribute 2^RHO_MAX), the raw estimate
+    is (alpha_ppb * m^2 * 2^RHO_MAX) // (S * 1e9) and the small-range
+    linear-counting correction m*ln(m/zeros) comes from the shared
+    hll_ln_lut() table — so even this 'approximate' sketch entry
+    hash-verifies against its DuckDB oracle (the approximation is vs
+    the true distinct count, pytest-asserted <5%, not vs the oracle)."""
     merged = _hll_merged(sf_dir)
     regs = np.zeros(HLL_M, dtype=np.int64)
     for r in merged:
         regs[r["register"]] = r["rho"]
-    alpha = 0.7213 / (1 + 1.079 / HLL_M)
-    est = alpha * HLL_M * HLL_M / np.sum(np.exp2(-regs.astype(np.float64)))
+    s_sum = int(np.sum(1 << (HLL_RHO_MAX - regs.astype(object))))
+    est = (HLL_ALPHA_PPB * HLL_M * HLL_M
+           << HLL_RHO_MAX) // (s_sum * _PPB)
     zeros = int(np.count_nonzero(regs == 0))
-    if est <= 2.5 * HLL_M and zeros > 0:      # small-range correction
-        est = HLL_M * np.log(HLL_M / zeros)
+    if 2 * est <= 5 * HLL_M and zeros > 0:    # small-range correction
+        est = (HLL_M * hll_ln_lut()[zeros - 1]) // _PPB
     return pa.table({
         "n_distinct_est": pa.array([int(est)], pa.int64()),
         "n_registers": pa.array([HLL_M], pa.int64()),

@@ -15,6 +15,8 @@ utilsClass.java:116's long/long truncation).
 
 from __future__ import annotations
 
+import numpy as np
+
 from candidategeneration_ray.functions import hashing as H
 from candidategeneration_ray.functions.stopwords import STOPWORDS
 from candidategeneration_ray.pipelines.docquery import DOC_QUERIES
@@ -1162,6 +1164,101 @@ FROM fp
     }
 
 
+def _plane_values(planes, cols: str) -> str:
+    """Inline a seeded hyperplane matrix as SQL VALUES rows — Python
+    float repr round-trips exactly to an IEEE double, so the oracle
+    scores against bit-identical plane weights.  `cols` names the
+    leading index columns derived from the row number."""
+    rows = []
+    n_planes, dim = planes.shape
+    for p in range(n_planes):
+        for d in range(dim):
+            idx = {"p": str(p), "band": str(p // 2), "r": str(p % 2)}
+            lead = ",".join(idx[c] for c in cols.split(","))
+            rows.append(f"({lead},{d},{planes[p, d]!r})")
+    return ",".join(rows)
+
+
+def lsh_plane_oracles() -> dict[str, str]:
+    """The seeded-hyperplane LSH entries, value-verified: both the sign
+    codes (fixed rng planes inlined via _plane_values; min |dot| over
+    the testdata is ~1e-5, nine orders above double noise, verified at
+    both sf) and the downstream ranking / predicate are deterministic,
+    so these formerly rows-only entries hash-verify.  The 'approximate'
+    in their contract is vs the unpruned exact twin (recall pytest),
+    not vs this oracle.  Planes are generated at the testdata's dim=64
+    (the engine derives dim from the data; the rng stream depends on
+    dim, so this oracle is specific to the driver tables — exactly
+    where the driver runs it)."""
+    from candidategeneration_ray.pipelines.extras import _ivf_planes
+
+    dim = 64
+    ivf_planes = _plane_values(_ivf_planes(3, dim), "p")
+    n_probe = 3
+    lsh = _plane_values(
+        np.random.default_rng(17).standard_normal((16, dim)), "band,r")
+    qv = """qv AS MATERIALIZED (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)"""
+    return {
+        "ann_ivf_top10": f"""
+WITH {qv},
+planes(p, d, w) AS (VALUES {ivf_planes}),
+dots AS (
+  SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS dot
+  FROM qv v JOIN planes pl USING (d) GROUP BY v.vec_id, pl.p),
+codes AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+           AS code
+  FROM dots GROUP BY vec_id),
+probe AS (
+  SELECT t.b AS code
+  FROM range(8) t(b), (SELECT code FROM codes WHERE vec_id = 0) qc
+  ORDER BY bit_count(xor(CAST(t.b AS BIGINT), qc.code)) ASC, t.b ASC
+  LIMIT {n_probe}),
+cand AS (
+  SELECT vec_id FROM codes WHERE code IN (SELECT code FROM probe)),
+scored AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+  FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id)
+SELECT rank, vec_id FROM (
+  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT)
+           AS rank,
+         CAST(vec_id AS BIGINT) AS vec_id
+  FROM scored
+) WHERE rank <= 10
+""",
+        "embedding_neardups_lsh": f"""
+WITH {qv},
+planes(band, r, d, w) AS (VALUES {lsh}),
+dots AS (
+  SELECT v.vec_id, pl.band, pl.r, sum(v.x * pl.w) AS dot
+  FROM qv v JOIN planes pl USING (d)
+  GROUP BY v.vec_id, pl.band, pl.r),
+codes AS (
+  SELECT vec_id, band,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << r ELSE 0 END) AS BIGINT)
+           AS code
+  FROM dots GROUP BY vec_id, band),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM codes a
+  JOIN codes b ON a.band = b.band AND a.code = b.code
+             AND a.vec_id < b.vec_id)
+SELECT CAST(c.vec_a AS BIGINT) AS vec_a, CAST(c.vec_b AS BIGINT) AS vec_b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) * 100 >= 40
+""",
+    }
+
+
 def sketch_oracles() -> dict[str, str]:
     """Oracles for the exact sketch aggregates (pipelines/sketches.py).
 
@@ -1395,7 +1492,55 @@ rr AS (
 SELECT register, CAST(max(rho) AS BIGINT) AS rho
 FROM rr GROUP BY register
 """,
+        "hll_distinct_terms": _hll_estimate_sql(),
     }
+
+
+def _hll_estimate_sql() -> str:
+    """The integer HLL estimator on top of the register state: same
+    register/rho derivation as hll_registers, then
+    raw = (alpha_ppb * m^2 * 2^RHO_MAX) // (S * 1e9) with
+    S = Σ 2^(RHO_MAX - rho) (HUGEINT), and the linear-counting
+    correction from the SAME hll_ln_lut() integers the engine uses
+    (sketches.py:q_hll_distinct_terms) — inlined here as a VALUES
+    table, so both sides share one fixed-point contract."""
+    from candidategeneration_ray.pipelines.sketches import (
+        HLL_ALPHA_PPB, HLL_M, HLL_P, HLL_RHO_MAX, _PPB, hll_ln_lut)
+
+    two_rest = 1 << (64 - HLL_P)
+    h64_tok = _H64.format(expr="tok")
+    lut_rows = ",".join(
+        f"({v + 1},{ln})" for v, ln in enumerate(hll_ln_lut()))
+    return f"""
+WITH {KEPT_CTE},
+toks AS (SELECT DISTINCT tok FROM kept),
+h AS (SELECT {h64_tok} AS hv FROM toks),
+rr AS (
+  SELECT CAST(hv // CAST({two_rest} AS UBIGINT) AS BIGINT) AS register,
+         CAST({HLL_RHO_MAX} - length(ltrim(bin(hv % CAST({two_rest} AS UBIGINT)), '0')) AS BIGINT) AS rho
+  FROM h
+),
+reg AS (SELECT register, max(rho) AS rho FROM rr GROUP BY register),
+s AS (
+  SELECT coalesce(sum(CAST(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - rho)
+                            AS HUGEINT)), 0)
+         + CAST({HLL_M} - count(*) AS HUGEINT)
+           * CAST({1 << HLL_RHO_MAX} AS HUGEINT) AS ssum,
+         CAST({HLL_M} - count(*) AS BIGINT) AS zeros
+  FROM reg),
+est AS (
+  SELECT CAST((CAST({HLL_ALPHA_PPB * HLL_M * HLL_M} AS HUGEINT)
+               * CAST({1 << HLL_RHO_MAX} AS HUGEINT))
+              // (ssum * {_PPB}) AS BIGINT) AS raw,
+         zeros FROM s),
+lut(v, lnppb) AS (VALUES {lut_rows})
+SELECT CASE WHEN 2 * e.raw <= {5 * HLL_M} AND e.zeros > 0
+            THEN CAST((CAST({HLL_M} AS HUGEINT) * l.lnppb)
+                      // {_PPB} AS BIGINT)
+            ELSE e.raw END AS n_distinct_est,
+       CAST({HLL_M} AS BIGINT) AS n_registers
+FROM est e LEFT JOIN lut l ON l.v = e.zeros
+"""
 
 
 def textlm_oracles() -> dict[str, str]:
@@ -3922,6 +4067,37 @@ def ivfpq_oracles() -> dict[str, str]:
         for m in range(PQ_M))
     adc_sum = " + ".join(f"l{m}.d2" for m in range(PQ_M))
     return {
+        # Learned-codebook IVF with EXACT in-list scoring: probe set and
+        # bucket membership are the deterministic integer k-means chains
+        # (identical to the engine's build_ivf_kmeans_index assignment),
+        # final ranking the same float cosine the value-verified
+        # ann_cosine_top10 oracle uses — so the whole two-stage ranking
+        # hash-verifies (approximate only vs the unpruned brute force).
+        "ann_ivf_kmeans_top10": f"""
+WITH {_kmeans_ctes()},
+cdist AS (
+  SELECT c.cluster, sum((q.x - c.cq) * (q.x - c.cq)) AS d2
+  FROM c{KMEANS_ITERS} c
+  JOIN qv q ON q.d = c.d AND q.vec_id = 0
+  GROUP BY c.cluster),
+probe AS (
+  SELECT cluster FROM cdist
+  ORDER BY d2 ASC, cluster ASC LIMIT {IVF_NPROBE}),
+cand AS (
+  SELECT vec_id FROM a{F}
+  WHERE cluster IN (SELECT cluster FROM probe)),
+scored AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+  FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id)
+SELECT rank, vec_id FROM (
+  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT)
+           AS rank,
+         CAST(vec_id AS BIGINT) AS vec_id
+  FROM scored
+) WHERE rank <= 10
+""",
         "ann_ivfpq_top10": f"""
 WITH {_kmeans_ctes()},
 dims AS (SELECT max(d) + 1 AS dim FROM qv),
