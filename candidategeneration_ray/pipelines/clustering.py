@@ -740,6 +740,135 @@ def q_bfs_hops(sf_dir: str, max_hops: int = BFS_MAX_HOPS,
     return cur.groupby("bkt").map_groups(_final, batch_format="pyarrow")
 
 
+# -------------------------------- hop-bounded weighted shortest paths
+
+WSP_ROUNDS = 4        # exact over paths of <= this many edges
+
+
+def _knn_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Symmetrized undirected kNN edges KEEPING the exact integer
+    squared-L2 weight (distance is symmetric, so the groupby-min is
+    a dedup, not a choice)."""
+    from ray.data.aggregate import Min
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_id").to_numpy().astype(np.int64)
+        b = batch.column("nbr_id").to_numpy().astype(np.int64)
+        w = batch.column("d2").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(np.minimum(a, b), pa.int64()),
+            "v": pa.array(np.maximum(a, b), pa.int64()),
+            "d2": pa.array(w, pa.int64()),
+        })
+
+    return (q_knn_graph(sf_dir)
+            .map_batches(_sym, batch_format="pyarrow")
+            .groupby(["u", "v"]).aggregate(Min("d2", alias_name="w")))
+
+
+def q_shortest_paths(sf_dir: str, rounds: int = WSP_ROUNDS,
+                     seed_mod: int = BFS_SEED_MOD) -> ray.data.Dataset:
+    """Multi-source WEIGHTED shortest paths over the kNN graph —
+    hop-bounded Bellman-Ford: for every vector the minimum total
+    integer-L2 edge weight over paths of <= `rounds` edges from the
+    nearest seed (vec_id % seed_mod == 0), -1 if no such path. The
+    weighted sibling of q_bfs_hops (graph-proximity curation where
+    edge LENGTH matters, not just hop count); the hop bound makes the
+    quantity exact and oracle-checkable rather than
+    convergence-dependent.
+
+    Shape: identical scatter skeleton to q_bfs_hops — static edge and
+    node rows keyed by node-hash bucket, one groupby(bkt) per
+    relaxation round whose task folds incoming distances with
+    np.minimum.at and scatters dist+w along out-edges of reached
+    sources. Integer weights from the memoized exact kNN graph; the
+    DuckDB oracle unrolls the same `rounds` relaxations. Per-round
+    traffic is O(E) rows; the driver holds nothing."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    nbk = _graph_buckets()
+
+    # row kinds: edge row (dst >= 0, give = weight),
+    # node row (dst == -1), distance row (dst == -2, give = dist)
+    def _static_rows(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy().astype(np.int64)
+        v = b.column("v").to_numpy().astype(np.int64)
+        w = b.column("w").to_numpy().astype(np.int64)
+        src = np.concatenate((u, v))
+        dst = np.concatenate((v, u))
+        ww = np.concatenate((w, w))
+        return pa.table({
+            "bkt": pa.array(src % nbk, pa.int64()),
+            "node": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "give": pa.array(ww, pa.int64()),
+        })
+
+    def _node_rows(b: pa.Table) -> pa.Table:
+        vec = b.column("vec_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(vec % nbk, pa.int64()),
+            "node": pa.array(vec, pa.int64()),
+            "dst": pa.array(np.full(vec.size, -1, np.int64), pa.int64()),
+            "give": pa.array(np.zeros(vec.size, np.int64), pa.int64()),
+        })
+
+    static = (_knn_weighted_edges(sf_dir)
+              .map_batches(_static_rows, batch_format="pyarrow")
+              .union(_embeddings_ds(sf_dir)
+                     .select_columns(["vec_id"])
+                     .map_batches(_node_rows, batch_format="pyarrow"))
+              .materialize())
+
+    def _bucket_dists(group: pa.Table, first: bool):
+        node = group.column("node").to_numpy().astype(np.int64)
+        dst = group.column("dst").to_numpy().astype(np.int64)
+        give = group.column("give").to_numpy().astype(np.int64)
+        rn = np.sort(node[dst == -1])
+        dv = np.where(rn % seed_mod == 0, np.int64(0), _BFS_INF)
+        if not first:
+            is_d = dst == -2
+            np.minimum.at(dv, np.searchsorted(rn, node[is_d]), give[is_d])
+        return rn, dv
+
+    def _make_round(first: bool):
+        def _round(group: pa.Table) -> pa.Table:
+            node = group.column("node").to_numpy().astype(np.int64)
+            dst = group.column("dst").to_numpy().astype(np.int64)
+            give = group.column("give").to_numpy().astype(np.int64)
+            rn, dv = _bucket_dists(group, first)
+            is_edge = dst >= 0
+            es, ed, ew = node[is_edge], dst[is_edge], give[is_edge]
+            sd = dv[np.searchsorted(rn, es)]
+            live = sd < _BFS_INF
+            reached = dv < _BFS_INF
+            out_node = np.concatenate((rn[reached], ed[live]))
+            out_give = np.concatenate((dv[reached], sd[live] + ew[live]))
+            return pa.table({
+                "bkt": pa.array(out_node % nbk, pa.int64()),
+                "node": pa.array(out_node, pa.int64()),
+                "dst": pa.array(np.full(out_node.size, -2, np.int64),
+                                pa.int64()),
+                "give": pa.array(out_give, pa.int64()),
+            })
+        return _round
+
+    def _final(group: pa.Table) -> pa.Table:
+        rn, dv = _bucket_dists(group, False)
+        return pa.table({
+            "vec_id": pa.array(rn, pa.int64()),
+            "dist": pa.array(np.where(dv < _BFS_INF, dv, np.int64(-1)),
+                             pa.int64()),
+        })
+
+    cur = static
+    for t in range(rounds):
+        dists = cur.groupby("bkt").map_groups(
+            _make_round(t == 0), batch_format="pyarrow")
+        cur = static.union(dists)
+    return cur.groupby("bkt").map_groups(_final, batch_format="pyarrow")
+
+
 # ------------------------------------------- cluster keyword labeling
 
 def q_cluster_top_terms(sf_dir: str, k_terms: int = 5) -> ray.data.Dataset:

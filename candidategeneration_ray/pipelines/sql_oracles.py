@@ -1760,6 +1760,62 @@ FROM embeddings e LEFT JOIN d{BFS_MAX_HOPS} d ON d.node = e.vec_id
 """)
 
 
+def _wsp_sql() -> str:
+    """Unrolled hop-bounded Bellman-Ford over the weighted kNN edge set
+    (weight = exact integer squared L2), mirroring
+    clustering.q_shortest_paths round for round: each step min-folds
+    dist + w along every directed edge, so after WSP_ROUNDS steps each
+    node holds the exact minimum over paths of <= WSP_ROUNDS edges."""
+    from candidategeneration_ray.pipelines.clustering import (
+        BFS_SEED_MOD, KMEANS_SCALE, KNN_K, WSP_ROUNDS)
+
+    knn_cte = f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+knn AS (
+  SELECT vec_id AS src, nbr_id AS dst, d2 FROM (
+    SELECT vec_id, nbr_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, nbr_id ASC) AS rank
+    FROM dist)
+  WHERE rank <= {KNN_K}
+),
+uedges AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v, min(d2) AS w
+  FROM knn GROUP BY 1, 2),
+dedges AS (SELECT u AS s, v AS t, w FROM uedges
+           UNION ALL SELECT v AS s, u AS t, w FROM uedges),
+d0 AS MATERIALIZED (
+  SELECT vec_id AS node, CAST(0 AS BIGINT) AS dist
+  FROM embeddings WHERE vec_id % {BFS_SEED_MOD} = 0)"""
+    steps = []
+    for i in range(1, WSP_ROUNDS + 1):
+        steps.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.t AS node, p.dist + e.w AS dist
+    FROM d{i - 1} p JOIN dedges e ON e.s = p.node)
+  GROUP BY node
+)""")
+    return (
+        "WITH " + knn_cte + ",\n" + ",\n".join(steps)
+        + f"""
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(d.dist, -1) AS BIGINT) AS dist
+FROM embeddings e LEFT JOIN d{WSP_ROUNDS} d ON d.node = e.vec_id
+""")
+
+
 def _textrank_sql() -> str:
     """Unrolled integer TextRank over the d-window pair graph (term ids
     are sorted-vocab positions, so least/greatest on token strings
@@ -1866,6 +1922,7 @@ WHERE list_cosine_similarity(ea.embedding, eb.embedding) * 100 >= 40
 """,
         "pagerank": _pagerank_sql(None, "pagerank"),
         "bfs_hops": _bfs_sql(),
+        "shortest_paths": _wsp_sql(),
     }
 
 

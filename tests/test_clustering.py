@@ -623,3 +623,40 @@ def test_bfs_hops_brute_force(ray_session):
     assert len(got) == len(nodes)
     seeds = got[got["vec_id"] % cl.BFS_SEED_MOD == 0]
     assert (seeds["hops"] == 0).all()
+
+
+def test_shortest_paths_brute_force(ray_session):
+    """Hop-bounded Bellman-Ford equals a python DP over the weighted
+    symmetrized kNN edge set at sf0.001: dist[r][n] = min weight over
+    paths of <= r edges from any seed; seeds are 0; hop-bound binds
+    (some node's bounded distance must exceed its unbounded one or be
+    unreached) is not required — exactness over <= WSP_ROUNDS edges is."""
+    sf = "/root/testdata/sf0.001"
+    got = cl.q_shortest_paths(sf).to_pandas()
+    edges = cl.q_knn_graph(sf).to_pandas()
+    INF = 1 << 60
+    adj = {}
+    for a, b, w in zip(edges["vec_id"], edges["nbr_id"], edges["d2"]):
+        a, b, w = int(a), int(b), int(w)
+        u, v = min(a, b), max(a, b)
+        cur = adj.setdefault((u, v), w)
+        adj[(u, v)] = min(cur, w)
+    nodes = sorted(set(got["vec_id"]))
+    dist = {n: (0 if n % cl.BFS_SEED_MOD == 0 else INF) for n in nodes}
+    for _ in range(cl.WSP_ROUNDS):
+        nxt = dict(dist)
+        for (u, v), w in adj.items():
+            if dist[u] < INF:
+                nxt[v] = min(nxt[v], dist[u] + w)
+            if dist[v] < INF:
+                nxt[u] = min(nxt[u], dist[v] + w)
+        dist = nxt
+    want = {n: (dist[n] if dist[n] < INF else -1) for n in nodes}
+    assert {int(r.vec_id): int(r.dist) for r in got.itertuples()} == want
+    seeds = got[got["vec_id"] % cl.BFS_SEED_MOD == 0]
+    assert (seeds["dist"] == 0).all()
+    # weighted distances refine hop distances: reachability agrees
+    hops = cl.q_bfs_hops(sf).to_pandas().set_index("vec_id")["hops"]
+    for r in got.itertuples():
+        if hops[r.vec_id] >= 0:
+            assert r.dist >= 0
