@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile": ex.q_column_profile,  # schema-drift validation
         "similar_docs": ex.q_similar_docs,      # broadcast-probe Jaccard search
         "top_similar_pairs": ex.q_top_similar_pairs,  # threshold-less top-k sim join
+        "fuzzy_name_pairs": ex.q_fuzzy_name_pairs,    # edit-distance join (Myers verify)
         "source_moments": ex.q_source_moments,  # sufficient-statistics pattern
         "source_regression": ex.q_source_regression,  # grouped OLS (exact num/den)
         # --- mergeable-summary (sketch) aggregates ---
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         lsh_plane_oracles,
         holistic_audit_oracles,
         top_pairs_oracles,
+        fuzzy_join_oracles,
         ppr_oracles,
         label_vote_oracles,
         p90_oracles,
@@ -364,7 +366,7 @@ def oracle_sql() -> dict[str, str]:
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),
-            **top_pairs_oracles(), **digest_oracles(),
+            **top_pairs_oracles(), **fuzzy_join_oracles(), **digest_oracles(),
             **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
             **lsh_plane_oracles(),
             **regression_oracles(), **gram_oracles(), **jl_oracles(),

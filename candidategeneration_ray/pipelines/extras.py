@@ -2364,3 +2364,206 @@ def q_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     b = documents_ds(sf_dir).select_columns(["doc_id", "text"]) \
         .map_batches(_derive_b, batch_format="pyarrow")
     return snapshot_diff(a, b)
+
+
+# ----------------------------- fuzzy string join (edit distance <= k)
+
+ED_K = 1                  # edit-distance threshold
+ED_Q = 2                  # q-gram width for the candidate filter
+
+
+def _ed_many(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Exact Levenshtein distance for MANY string pairs at once —
+    Myers' bit-parallel algorithm (Myers, JACM 1999; public algorithm)
+    vectorized across pairs: every pair advances one text position per
+    iteration via uint64 word ops, so the loop runs max(len(b)) times
+    over numpy arrays instead of once per pair. Patterns must be <= 64
+    single-byte (ASCII) chars — asserted, since the SQL oracle's
+    levenshtein() counts characters."""
+    n = len(a_list)
+    if n == 0:
+        return np.empty(0, np.int64)
+    la = np.fromiter((len(s) for s in a_list), np.int64, n)
+    lb = np.fromiter((len(s) for s in b_list), np.int64, n)
+    if int(la.max(initial=0)) > 64:
+        raise ValueError("ed verify: pattern strings must be <= 64 chars")
+    abytes = "".join(a_list).encode()
+    bbytes = "".join(b_list).encode()
+    if len(abytes) != int(la.sum()) or len(bbytes) != int(lb.sum()):
+        raise ValueError("ed verify requires single-byte (ASCII) strings")
+    acode = np.frombuffer(abytes, np.uint8).astype(np.int64)
+    bcode = np.frombuffer(bbytes, np.uint8).astype(np.int64)
+    rows = np.arange(n)
+    apair = np.repeat(rows, la)
+    apos = np.arange(acode.size) - np.repeat(
+        np.concatenate(([0], np.cumsum(la)[:-1])), la)
+    peq = np.zeros((n, 128), np.uint64)
+    np.bitwise_or.at(peq, (apair, acode),
+                     np.uint64(1) << apos.astype(np.uint64))
+    maxlb = int(lb.max(initial=0))
+    bmat = np.zeros((n, maxlb), np.int64)
+    bpair = np.repeat(rows, lb)
+    bpos = np.arange(bcode.size) - np.repeat(
+        np.concatenate(([0], np.cumsum(lb)[:-1])), lb)
+    bmat[bpair, bpos] = bcode
+
+    ones = np.full(n, np.uint64(0xFFFFFFFFFFFFFFFF))
+    sel = la < 64
+    ones[sel] = (np.uint64(1) << la[sel].astype(np.uint64)) - np.uint64(1)
+    mask = np.zeros(n, np.uint64)
+    pos = la > 0
+    mask[pos] = np.uint64(1) << (la[pos] - 1).astype(np.uint64)
+    pv = ones.copy()
+    mv = np.zeros(n, np.uint64)
+    score = la.copy()
+    one = np.uint64(1)
+    for j in range(maxlb):
+        act = j < lb
+        eq = np.where(act, peq[rows, bmat[:, j]], np.uint64(0))
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        score += (act & ((ph & mask) != 0)).astype(np.int64)
+        score -= (act & ((mh & mask) != 0)).astype(np.int64)
+        ph = (ph << one) | one
+        mh = mh << one
+        pv = np.where(act, mh | ~(xv | ph), pv)
+        mv = np.where(act, ph & xv, mv)
+    return np.where(la == 0, lb, score)
+
+
+def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
+                       q: int = ED_Q) -> ray.data.Dataset:
+    """Fuzzy string self-join: all part-name pairs within edit distance
+    `k` (typo-level near-duplicate detection — the string-similarity
+    join of Gravano et al. VLDB'01, with prefix filtering per Xiao et
+    al. WWW'08; public algorithms).
+
+    Plan (three compressed shuffles, no n² stage):
+      1. positional q-gram df: each name's (gram, occurrence-index)
+         multiset rows -> one tiny groupby (O(alphabet^q * occ) rows)
+         -> broadcast rank dictionary ordered by (df asc, gram, occ)
+         so HOT grams deterministically sink to suffixes;
+      2. prefix rows: each name keeps only its k*q+1 RAREST gram
+         occurrences (if ed(a,b) <= k the multisets share >=
+         max(la,lb)-q+1-k*q grams, so two disjoint prefixes of size
+         k*q+1 would contradict the count bound) -> groupby(gram, occ)
+         emits in-group candidate pairs under the |la-lb| <= k length
+         filter; names shorter than (k+1)*q ride a single SHORT bucket
+         (the count bound is vacuous there);
+      3. candidates route to pair-hash buckets -> per-bucket distinct
+         -> ONE vectorized Myers bit-parallel verify per bucket
+         (_ed_many) -> exact (a_key, b_key, ed) for ed <= k.
+
+    At 100 TB the prefix rank dictionary stays O(alphabet^q);
+    the verify is linear in candidates, and candidates are bounded by
+    rare-gram co-occurrence, not corpus size. Deterministic integers
+    throughout -> hash-verified against DuckDB's levenshtein()."""
+    from ray.data.aggregate import Count
+
+    if k < 1 or q < 2:
+        raise ValueError("need k >= 1 and q >= 2")
+    short_len = (k + 1) * q - 1   # count bound vacuous at/below this
+    npref = k * q + 1
+    part_path = os.path.join(sf_dir, "part.parquet")
+
+    def _multiset(name: str) -> list[tuple[str, int]]:
+        seen: dict[str, int] = {}
+        out = []
+        for i in range(len(name) - q + 1):
+            g = name[i:i + q]
+            o = seen.get(g, 0)
+            seen[g] = o + 1
+            out.append((g, o))
+        return out
+
+    def _df_rows(batch: pa.Table) -> pa.Table:
+        grams, occs = [], []
+        for name in batch.column("p_name").to_pylist():
+            if len(name) <= short_len:
+                continue
+            for g, o in _multiset(name):
+                grams.append(g)
+                occs.append(o)
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "occ": pa.array(occs, pa.int64())})
+
+    df = (ray.data.read_parquet(part_path, columns=["p_name"])
+          .map_batches(_df_rows, batch_format="pyarrow")
+          .groupby(["gram", "occ"]).aggregate(Count(alias_name="df"))
+          .to_pandas())
+    df = df.sort_values(["df", "gram", "occ"],
+                        kind="mergesort").reset_index(drop=True)
+    rank = {(g, int(o)): r for r, (g, o) in
+            enumerate(zip(df["gram"], df["occ"]))}
+    rank_ref = ray.put(rank)
+
+    def _prefix_rows(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "r" not in _c:
+            _c["r"] = ray.get(rank_ref)
+        rk = _c["r"]
+        keys = batch.column("p_partkey").to_numpy().astype(np.int64)
+        names = batch.column("p_name").to_pylist()
+        out = {"gram": [], "occ": [], "key": [], "name": [], "len": []}
+        for key, name in zip(keys, names):
+            if len(name) <= short_len:
+                items = [("", -1)]
+            else:
+                ms = sorted(_multiset(name), key=lambda t: rk[t])
+                items = ms[:npref]
+            for g, o in items:
+                out["gram"].append(g)
+                out["occ"].append(o)
+                out["key"].append(int(key))
+                out["name"].append(name)
+                out["len"].append(len(name))
+        return pa.table({
+            "gram": pa.array(out["gram"], pa.string()),
+            "occ": pa.array(out["occ"], pa.int64()),
+            "key": pa.array(out["key"], pa.int64()),
+            "name": pa.array(out["name"], pa.string()),
+            "len": pa.array(out["len"], pa.int64()),
+        })
+
+    npb = 64
+
+    def _cand(group: pa.Table) -> pa.Table:
+        keys = group.column("key").to_numpy().astype(np.int64)
+        lens = group.column("len").to_numpy().astype(np.int64)
+        names = group.column("name").to_pylist()
+        order = np.argsort(keys, kind="stable")
+        keys, lens = keys[order], lens[order]
+        names = [names[i] for i in order]
+        m = keys.size
+        ia, ib = np.triu_indices(m, k=1)
+        ok = np.abs(lens[ia] - lens[ib]) <= k
+        ia, ib = ia[ok], ib[ok]
+        if int(keys.max(initial=0)) >= 1 << 31:
+            raise ValueError("packed pair key needs key < 2^31")
+        pk = (keys[ia] << np.int64(32)) | keys[ib]
+        return pa.table({
+            "pbucket": pa.array((pk % npb).astype(np.int32)),
+            "pkey": pa.array(pk, pa.int64()),
+            "a_name": pa.array([names[i] for i in ia], pa.string()),
+            "b_name": pa.array([names[i] for i in ib], pa.string()),
+        })
+
+    def _verify(group: pa.Table) -> pa.Table:
+        pk = group.column("pkey").to_numpy().astype(np.int64)
+        _, first = np.unique(pk, return_index=True)
+        a_names = [group.column("a_name")[int(i)].as_py() for i in first]
+        b_names = [group.column("b_name")[int(i)].as_py() for i in first]
+        ed = _ed_many(a_names, b_names)
+        keep = ed <= k
+        pk = pk[first][keep]
+        return pa.table({
+            "a_key": pa.array(pk >> np.int64(32), pa.int64()),
+            "b_key": pa.array(pk & np.int64(0xFFFFFFFF), pa.int64()),
+            "ed": pa.array(ed[keep], pa.int64()),
+        })
+
+    return (ray.data.read_parquet(part_path, columns=["p_partkey", "p_name"])
+            .map_batches(_prefix_rows, batch_format="pyarrow")
+            .groupby(["gram", "occ"]).map_groups(_cand, batch_format="pyarrow")
+            .groupby("pbucket").map_groups(_verify, batch_format="pyarrow"))

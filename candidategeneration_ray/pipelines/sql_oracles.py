@@ -3920,6 +3920,24 @@ def ppr_oracles() -> dict[str, str]:
     }
 
 
+def fuzzy_join_oracles() -> dict[str, str]:
+    """Edit-distance self-join on part names — DuckDB's levenshtein()
+    is the reference; the ed <= |len diff| identity makes the length
+    predicate redundant (kept for speed)."""
+    from candidategeneration_ray.pipelines.extras import ED_K
+
+    return {
+        "fuzzy_name_pairs": f"""
+SELECT CAST(a.p_partkey AS BIGINT) AS a_key,
+       CAST(b.p_partkey AS BIGINT) AS b_key,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS ed
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= {ED_K}
+  AND levenshtein(a.p_name, b.p_name) <= {ED_K}
+""",
+    }
+
+
 def top_pairs_oracles() -> dict[str, str]:
     """Threshold-less top-k similarity join — same shingle CTEs as
     jaccard_pairs, ranked by the scaled integer score."""

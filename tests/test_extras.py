@@ -821,3 +821,63 @@ def test_snapshot_diff_property_random(ray_session):
             if k not in ta:
                 want.add((k, "added"))
         assert got == want, f"trial {trial}"
+
+
+class TestFuzzyJoin:
+    def test_myers_matches_dp(self):
+        """_ed_many equals the textbook DP on random pairs incl. empty
+        strings, equal strings, and the 64-char boundary."""
+        import random
+
+        from candidategeneration_ray.pipelines.extras import _ed_many
+
+        def ed(a, b):
+            D = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                nD = [i]
+                for j, cb in enumerate(b, 1):
+                    nD.append(min(D[j] + 1, nD[-1] + 1,
+                                  D[j - 1] + (ca != cb)))
+                D = nD
+            return D[-1]
+
+        rng = random.Random(11)
+        alpha = "abcde "
+        pairs = [("".join(rng.choice(alpha)
+                          for _ in range(rng.randint(0, 15))),
+                  "".join(rng.choice(alpha)
+                          for _ in range(rng.randint(0, 15))))
+                 for _ in range(300)]
+        pairs += [("", ""), ("a", ""), ("", "abc"), ("same", "same"),
+                  ("x" * 64, "x" * 63 + "y")]
+        got = _ed_many([a for a, _ in pairs], [b for _, b in pairs])
+        assert list(got) == [ed(a, b) for a, b in pairs]
+
+    def test_pairs_brute_force_with_shorts(self, ray_session, tmp_path):
+        """Prefix-filtered join equals the brute-force O(n^2) answer on
+        a fixture that exercises the SHORT bucket (names at/below
+        (k+1)*q-1 chars) and repeated-gram multisets."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import (
+            _ed_many, q_fuzzy_name_pairs)
+
+        names = ["ab", "ac", "abc", "abd", "x", "", "aaaa", "aaab",
+                 "banana", "banan", "bananas", "bandana", "ribbon",
+                 "ribbons", "zzz top", "zz top", "aaaa"]
+        keys = list(range(1, len(names) + 1))
+        pq.write_table(pa.table({
+            "p_partkey": pa.array(keys, pa.int64()),
+            "p_name": pa.array(names, pa.string()),
+        }), str(tmp_path / "part.parquet"))
+        got = q_fuzzy_name_pairs(str(tmp_path)).to_pandas()
+        got_set = {(a, b, e) for a, b, e in
+                   zip(got["a_key"], got["b_key"], got["ed"])}
+        want = set()
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                d = int(_ed_many([names[i]], [names[j]])[0])
+                if d <= 1:
+                    want.add((keys[i], keys[j], d))
+        assert got_set == want
