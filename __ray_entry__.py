@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "peak_concurrency": ev.q_peak_concurrency,  # sweep-line interval max
+        "late_events": ev.q_late_events,            # watermark/allowed-lateness
         "events_zorder_scan": ev.q_events_zorder_scan,  # Morton-layout 2-D pruning
         # two-level (user, time-slice) plan for monster users; hash-matches
         # the SAME sessionize oracle = plan-equivalence proof
@@ -289,7 +290,7 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        copresence_oracles, digest_oracles, gapfill_oracles,
+        copresence_oracles, digest_oracles, gapfill_oracles, late_oracles,
         token_offset_oracles,
         jl_oracles,
         gram_oracles,
@@ -365,7 +366,7 @@ def oracle_sql() -> dict[str, str]:
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
-            **p90_oracles(), **gapfill_oracles(), **ppr_oracles(),
+            **p90_oracles(), **gapfill_oracles(), **late_oracles(), **ppr_oracles(),
             **top_pairs_oracles(), **fuzzy_join_oracles(), **digest_oracles(),
             **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
             **lsh_plane_oracles(),

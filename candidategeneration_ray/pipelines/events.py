@@ -2297,3 +2297,92 @@ def q_ewma_spend(sf_dir: str, event_type: str = "purchase"
                             "value"])
     return (_with_user_bucket(ds)
             .groupby("ubucket").map_groups(_ewma, batch_format="pyarrow"))
+
+
+# ------------------------- watermark / allowed-lateness window counts
+
+LATE_MAX_DELAY_MS = 900_000    # deterministic synthetic arrival delay
+LATE_ALLOWED_MS = 120_000      # allowed lateness behind the watermark
+LATE_WINDOW_MS = 3_600_000     # tumbling event-time window
+LATE_BLOCKS = 32
+
+
+def q_late_events(sf_dir: str,
+                  num_blocks: int = LATE_BLOCKS) -> ray.data.Dataset:
+    """Watermark-gated tumbling-window counts — the Dataflow-model
+    allowed-lateness semantics (Akidau et al. VLDB'15, public model):
+    events are processed in ARRIVAL order; the watermark is the running
+    max event time seen so far minus LATE_ALLOWED_MS; an event whose
+    event time is already behind the watermark AT ITS ARRIVAL is
+    routed to the late side-output instead of its window.
+
+    The table has no arrival column, so arrival is derived
+    deterministically on both sides: arr_ms = event-time ms +
+    h64(event_id) % LATE_MAX_DELAY_MS (same md5 h64 the split/sample
+    operators share with the oracle) — a reproducible out-of-orderness
+    model rather than RNG.
+
+    Shape: the arrival-ordered prefix max is the range-blocked scan
+    (blocked_prefix_apply combine="max" — the same scaffold as
+    record_orders, which IS the watermark monoid); the late flag and
+    window assignment are pure vectorized maps, and the per-window
+    rollup is one compressed groupby. Output per event-time window:
+    (window_start_ms, n_accepted, n_late); the first-arriving event has no
+    watermark and is never late."""
+    from ray.data.aggregate import Count, Sum
+
+    from candidategeneration_ray.functions import hashing as H
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    def _arrival(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        ts_ms = batch.column("ts").cast(pa.int64()).to_numpy() // 1000
+        delay = (H.h64_many([str(i) for i in eid.tolist()])
+                 % np.uint64(LATE_MAX_DELAY_MS)).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "ts_ms": pa.array(ts_ms, pa.int64()),
+            "arr": pa.array(ts_ms + delay, pa.int64()),
+        })
+
+    ds = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                columns=["event_id", "ts"])
+          .map_batches(_arrival, batch_format="pyarrow")
+          .sort(["arr", "event_id"]))
+    ident = -(1 << 62)
+
+    def _total(tab: pa.Table) -> int:
+        t = tab.column("ts_ms").to_numpy()
+        return int(t.max()) if t.size else ident
+
+    def _emit(tab: pa.Table, base: int) -> pa.Table:
+        t = tab.column("ts_ms").to_numpy()
+        if t.size == 0:
+            return pa.table({"window": pa.array([], pa.int64()),
+                             "late": pa.array([], pa.int64())})
+        run = np.maximum.accumulate(t)
+        wm_prev = np.maximum(np.concatenate(([ident], run[:-1])),
+                             np.int64(base))
+        late = (t < wm_prev - LATE_ALLOWED_MS).astype(np.int64)
+        return pa.table({
+            "window_start_ms": pa.array(
+                t // LATE_WINDOW_MS * LATE_WINDOW_MS, pa.int64()),
+            "late": pa.array(late, pa.int64()),
+        })
+
+    flagged = blocked_prefix_apply(ds, num_blocks, _total, _emit,
+                                   combine="max")
+
+    def _final(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        nl = batch.column("n_late").to_numpy().astype(np.int64)
+        return pa.table({
+            "window_start_ms":
+                batch.column("window_start_ms").cast(pa.int64()),
+            "n_accepted": pa.array(n - nl, pa.int64()),
+            "n_late": pa.array(nl, pa.int64()),
+        })
+
+    return (flagged.groupby("window_start_ms")
+            .aggregate(Count(alias_name="n"), Sum("late", alias_name="n_late"))
+            .map_batches(_final, batch_format="pyarrow"))

@@ -3887,6 +3887,39 @@ FROM r WHERE rk = (9 * (n - 1)) // 10 + 1
     }
 
 
+def late_oracles() -> dict[str, str]:
+    """Watermark / allowed-lateness window counts — the arrival-ordered
+    running-max watermark as an exclusive-frame window function; same
+    derived arrival time (md5 h64 of event_id) as events.q_late_events."""
+    from candidategeneration_ray.pipelines.events import (
+        LATE_ALLOWED_MS, LATE_MAX_DELAY_MS, LATE_WINDOW_MS)
+
+    h64_eid = _H64.format(expr="CAST(event_id AS VARCHAR)")
+    return {
+        "late_events": f"""
+WITH e AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms,
+         CAST({h64_eid} % {LATE_MAX_DELAY_MS} AS BIGINT) AS delay
+  FROM events),
+w AS (
+  SELECT ts_ms,
+         max(ts_ms) OVER (ORDER BY ts_ms + delay, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS wm
+  FROM e),
+f AS (
+  SELECT ts_ms // {LATE_WINDOW_MS} * {LATE_WINDOW_MS} AS ws,
+         CASE WHEN wm IS NOT NULL AND ts_ms < wm - {LATE_ALLOWED_MS}
+              THEN 1 ELSE 0 END AS late
+  FROM w)
+SELECT CAST(ws AS BIGINT) AS window_start_ms,
+       CAST(sum(1 - late) AS BIGINT) AS n_accepted,
+       CAST(sum(late) AS BIGINT) AS n_late
+FROM f GROUP BY ws
+""",
+    }
+
+
 def gapfill_oracles() -> dict[str, str]:
     """Row-generation gap fill: every hourly slot per type."""
     return {

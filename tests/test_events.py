@@ -1050,3 +1050,44 @@ def test_ewma_spend_recurrence(ray_session):
     assert len(got) == len(want)
     assert {int(r.event_id): int(r.ewma_cents)
             for r in got.itertuples()} == want
+
+
+class TestLateEvents:
+    def test_brute_force_and_block_invariance(self, ray_session):
+        """Watermark lateness equals a sequential python scan in arrival
+        order at sf0.001; result is block-count independent; totals
+        conserve the event count and the late path is exercised."""
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.pipelines import events as ev
+
+        sf = "/root/testdata/sf0.001"
+        got = ev.q_late_events(sf).to_pandas().sort_values(
+            "window_start_ms").reset_index(drop=True)
+        got8 = ev.q_late_events(sf, num_blocks=7).to_pandas().sort_values(
+            "window_start_ms").reset_index(drop=True)
+        assert got.equals(got8)
+
+        t = pq.read_table(sf + "/events.parquet",
+                          columns=["event_id", "ts"])
+        eid = t.column("event_id").to_numpy()
+        ts_ms = t.column("ts").cast("int64").to_numpy() // 1000
+        delay = (H.h64_many([str(i) for i in eid.tolist()])
+                 % ev.LATE_MAX_DELAY_MS).astype("int64")
+        rows = sorted(zip(ts_ms + delay, eid, ts_ms))
+        have = {int(r.window_start_ms): (int(r.n_accepted), int(r.n_late))
+                for r in got.itertuples()}
+        wm = None
+        agg = {}
+        for _, _, tm in rows:
+            w = tm // ev.LATE_WINDOW_MS * ev.LATE_WINDOW_MS
+            late = wm is not None and tm < wm - ev.LATE_ALLOWED_MS
+            a, l = agg.get(w, (0, 0))
+            agg[w] = (a + (not late), l + late)
+            wm = tm if wm is None else max(wm, tm)
+        want = dict(agg)
+        assert have == want
+        assert sum(l for _, l in want.values()) > 0  # late path exercised
+        assert (got["n_accepted"].sum() + got["n_late"].sum()
+                == len(eid))
