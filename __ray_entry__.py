@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": rl.q_large_volume_customers,  # Q18: HAVING join
         "order_skyline": rl.q_order_skyline,        # 2-phase Pareto frontier
         "nation_median_order": rl.q_nation_median_order,  # holistic (exact median)
+        "nation_median_interp": rl.q_nation_median_interp,  # percentile_cont twin
+        "nation_mode_priority": rl.q_nation_mode_priority,  # grouped mode
         "fk_audit": rl.q_fk_audit,                  # referential-integrity audit
         "nation_p90_order": rl.q_nation_p90_order,  # two-pass exact quantile
         "promo_revenue_share": rl.q_promo_revenue_share,  # Q14: dim-broadcast CASE agg

@@ -3645,3 +3645,109 @@ def q_nation_order_stats_ivm(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         [os.path.join(cur, f) for f in os.listdir(cur)
          if f.endswith(".parquet")])
+
+
+def q_nation_median_interp(sf_dir: str) -> ray.data.Dataset:
+    """Interpolated (percentile_cont-style) per-nation median — the
+    even-count median is the MEAN of the two middle values, kept exact
+    by emitting twice the median in cents (median2_cents =
+    c[(n-1)//2] + c[n//2]; equals 2*median for odd n), so no float
+    division crosses the oracle boundary. Same co-located holistic
+    shape as q_nation_median_order (one sort per nation group)."""
+    def _median2(group: pa.Table) -> pa.Table:
+        nk = int(group.column("c_nationkey")[0].as_py())
+        c = np.sort(group.column("cents").to_numpy().astype(np.int64))
+        lo, hi = int(c[(c.size - 1) // 2]), int(c[c.size // 2])
+        return pa.table({
+            "c_nationkey": pa.array([nk], pa.int64()),
+            "n_orders": pa.array([c.size], pa.int64()),
+            "median2_cents": pa.array([lo + hi], pa.int64()),
+        })
+
+    return (_orders_nation_cents(sf_dir)
+            .groupby("c_nationkey").map_groups(_median2,
+                                               batch_format="pyarrow"))
+
+
+def q_nation_mode_priority(sf_dir: str) -> ray.data.Dataset:
+    """Per-nation MODE of the order priority — the other non-mergeable
+    aggregate class (mode needs full per-group counts, not partials of
+    a fixed summary... except the counts themselves ARE the mergeable
+    summary: O(priorities) per nation). Shape: the bucketed
+    orders⋈customer join emits (nation, priority) count partials
+    per bucket; one tiny groupby sums them; a per-nation argmax with
+    the (count desc, priority asc) tie-break finishes. Nothing scales
+    past O(nations x priorities) after the join."""
+    from ray.data.aggregate import Sum
+
+    nb = JOIN_BUCKETS
+
+    def _order_rows(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nationkey": pa.array(np.full(ck.size, -1, np.int64),
+                                  pa.int64()),
+            "pr": b.column("o_orderpriority").cast(pa.string()),
+        })
+
+    def _cust_rows(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(ck % nb, pa.int64()),
+            "key": pa.array(ck, pa.int64()),
+            "nationkey": pa.array(
+                b.column("c_nationkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "pr": pa.array([""] * len(ck), pa.string()),
+        })
+
+    def _attach(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy().astype(np.int64)
+        natk = group.column("nationkey").to_numpy().astype(np.int64)
+        pr = np.asarray(group.column("pr").to_pylist(), dtype=object)
+        build = natk >= 0
+        bk, bn = key[build], natk[build]
+        o = np.argsort(bk)
+        bk, bn = bk[o], bn[o]
+        pk, pp = key[~build], pr[~build]
+        if bk.size:
+            idx = np.minimum(np.searchsorted(bk, pk), bk.size - 1)
+            hit = bk[idx] == pk
+        else:
+            idx = np.zeros(pk.size, np.int64)
+            hit = np.zeros(pk.size, bool)
+        nat, prs = bn[idx[hit]], pp[hit]
+        pu, pinv = np.unique(prs, return_inverse=True)
+        packed = nat * pu.size + pinv
+        kg, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "c_nationkey": pa.array(kg // pu.size, pa.int64()),
+            "pr": pa.array(pu[kg % pu.size].tolist(), pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def _mode(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy().astype(np.int64)
+        pr = np.asarray(group.column("pr").to_pylist(), dtype=object)
+        best = np.lexsort((pr, -n))[0]
+        return pa.table({
+            "c_nationkey": pa.array(
+                [int(group.column("c_nationkey")[0].as_py())], pa.int64()),
+            "mode_priority": pa.array([str(pr[best])], pa.string()),
+            "n_orders_mode": pa.array([int(n[best])], pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(_order_rows, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(_cust_rows, batch_format="pyarrow")
+    return (orders.union(cust)
+            .groupby("bkt").map_groups(_attach, batch_format="pyarrow")
+            .groupby(["c_nationkey", "pr"]).aggregate(Sum("n", alias_name="n"))
+            .groupby("c_nationkey").map_groups(_mode, batch_format="pyarrow"))

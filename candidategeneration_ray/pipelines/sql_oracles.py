@@ -3860,6 +3860,38 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
          AS max_cents
 FROM r QUALIFY rk = (n - 1) // 2 + 1
 """,
+        "nation_median_interp": """
+WITH j AS (
+  SELECT c_nationkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON c_custkey = o_custkey),
+r AS (
+  SELECT c_nationkey, cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents) AS rk,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM j)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(any_value(n) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN rk = (n - 1) // 2 + 1 THEN cents ELSE 0 END)
+            + sum(CASE WHEN rk = n // 2 + 1 THEN cents ELSE 0 END)
+            AS BIGINT) AS median2_cents
+FROM r GROUP BY c_nationkey
+""",
+        "nation_mode_priority": """
+WITH j AS (
+  SELECT c_nationkey, o_orderpriority AS pr
+  FROM orders JOIN customer ON c_custkey = o_custkey),
+cnt AS (SELECT c_nationkey, pr, count(*) AS n FROM j GROUP BY 1, 2),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY n DESC, pr ASC) AS r
+  FROM cnt)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       pr AS mode_priority,
+       CAST(n AS BIGINT) AS n_orders_mode
+FROM rk WHERE r = 1
+""",
         "fk_audit": audit,
     }
 

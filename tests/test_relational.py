@@ -934,3 +934,33 @@ def test_nation_ivm_maintenance_never_reads_base(ray_session, tmp_path):
         .sort_values(["n_name", "o_orderstatus"]).reset_index(drop=True)
     assert got[["n_name", "o_orderstatus", "n_orders", "total_cents"]] \
         .equals(want[["n_name", "o_orderstatus", "n_orders", "total_cents"]])
+
+
+def test_median_interp_and_mode_brute_force(ray_session):
+    """Interpolated median and grouped mode equal pandas recomputation
+    at sf0.001 (incl. the even-count mean and the tie-break)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import relational as rl
+
+    sf = "/root/testdata/sf0.001"
+    o = pq.read_table(sf + "/orders.parquet").to_pandas()
+    c = pq.read_table(sf + "/customer.parquet").to_pandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.round(j["o_totalprice"] * 100).astype(np.int64)
+
+    got = rl.q_nation_median_interp(sf).to_pandas().set_index("c_nationkey")
+    for nk, grp in j.groupby("c_nationkey"):
+        v = np.sort(grp["cents"].to_numpy())
+        want = int(v[(v.size - 1) // 2]) + int(v[v.size // 2])
+        assert int(got.loc[nk, "median2_cents"]) == want
+        assert int(got.loc[nk, "n_orders"]) == v.size
+
+    gm = rl.q_nation_mode_priority(sf).to_pandas().set_index("c_nationkey")
+    for nk, grp in j.groupby("c_nationkey"):
+        cnt = grp.groupby("o_orderpriority").size()
+        best = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[0]
+        assert gm.loc[nk, "mode_priority"] == best[0]
+        assert int(gm.loc[nk, "n_orders_mode"]) == best[1]
