@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_select": tl.q_mixture_select,      # budgeted per-source selection
         "tfidf_top3": tl.q_tfidf_top3,              # per-doc keyword extraction
         "token_offsets": tl.q_token_offsets,            # sequence-packing offsets
+        "bpe_merges": tl.q_bpe_merges,                  # BPE tokenizer training
+        "bpe_segmented": tl.q_bpe_segmented,            # trained segmentation
         "sequence_manifest": tl.q_sequence_manifest,    # inverse seq->docs manifest
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
@@ -304,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         holistic_audit_oracles,
         top_pairs_oracles,
         fuzzy_join_oracles,
+        bpe_oracles,
         ppr_oracles,
         label_vote_oracles,
         p90_oracles,
@@ -369,7 +372,7 @@ def oracle_sql() -> dict[str, str]:
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **late_oracles(), **ppr_oracles(),
-            **top_pairs_oracles(), **fuzzy_join_oracles(), **digest_oracles(),
+            **top_pairs_oracles(), **fuzzy_join_oracles(), **bpe_oracles(), **digest_oracles(),
             **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
             **lsh_plane_oracles(),
             **regression_oracles(), **gram_oracles(), **jl_oracles(),

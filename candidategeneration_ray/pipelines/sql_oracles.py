@@ -4792,3 +4792,64 @@ SELECT event_type,
 FROM w
 """,
     }
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """Chained BPE rounds: per round a pair-count aggregate, the argmax
+    pair, and a recursive leftmost-non-overlap merge walk (each word's
+    walker advances one symbol per recursion step, skipping two on a
+    match) — mirroring textlm.q_bpe_merges round for round."""
+    parts = [f"""v0 AS MATERIALIZED (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
+         regexp_extract_all(tok, '.') AS s
+  FROM kept GROUP BY tok)"""]
+    for r in range(n_merges):
+        parts.append(f"""p{r} AS (
+  SELECT s[i] AS l, s[i + 1] AS r2, sum(freq) AS n
+  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM v{r})
+  GROUP BY 1, 2),
+top{r} AS MATERIALIZED (
+  SELECT l, r2, n FROM p{r} ORDER BY n DESC, l ASC, r2 ASC LIMIT 1),
+walk{r} AS (
+  SELECT word, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS acc
+  FROM v{r}
+  UNION ALL
+  SELECT w.word,
+         CASE WHEN w.i < len(v.s) AND v.s[w.i] = t.l
+                   AND v.s[w.i + 1] = t.r2
+              THEN w.i + 2 ELSE w.i + 1 END,
+         list_append(w.acc,
+           CASE WHEN w.i < len(v.s) AND v.s[w.i] = t.l
+                     AND v.s[w.i + 1] = t.r2
+                THEN t.l || t.r2 ELSE v.s[w.i] END)
+  FROM walk{r} w JOIN v{r} v USING (word) CROSS JOIN top{r} t
+  WHERE w.i <= len(v.s)),
+v{r + 1} AS MATERIALIZED (
+  SELECT w.word, v.freq, w.acc AS s
+  FROM walk{r} w JOIN v{r} v USING (word)
+  WHERE w.i = len(v.s) + 1)""")
+    return ",\n".join(parts)
+
+
+def bpe_oracles() -> dict[str, str]:
+    """BPE trainer oracles — merges replayed as recursive-CTE rounds."""
+    from candidategeneration_ray.pipelines.textlm import BPE_MERGES
+
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, l AS \"left\", "
+        f"r2 AS \"right\", CAST(n AS BIGINT) AS pair_n FROM top{r}"
+        for r in range(BPE_MERGES))
+    return {
+        "bpe_merges": f"""
+WITH RECURSIVE {KEPT_CTE},
+{_bpe_ctes(BPE_MERGES)}
+{merge_rows}
+""",
+        "bpe_segmented": f"""
+WITH RECURSIVE {KEPT_CTE},
+{_bpe_ctes(BPE_MERGES)}
+SELECT word, freq, array_to_string(s, ' ') AS segmented,
+       CAST(len(s) AS BIGINT) AS n_syms
+FROM v{BPE_MERGES}
+""",
+    }

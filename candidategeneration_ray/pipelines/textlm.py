@@ -812,3 +812,165 @@ def q_sequence_manifest(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset
             Max("doc_id", alias_name="last_doc"),
         )
     )
+
+
+# -------------------------------------------- BPE tokenizer training
+
+BPE_MERGES = 6
+
+
+def _bpe_flat(batch: pa.Table):
+    """Flatten the syms list column: (values, word-of-position,
+    per-word freq) numpy views shared by the pair counter and the
+    merge applier."""
+    col = batch.column("syms").combine_chunks()
+    offs = np.asarray(col.offsets)
+    vals = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                      dtype=object)
+    freq = batch.column("freq").to_numpy().astype(np.int64)
+    word_of = np.repeat(np.arange(len(batch), dtype=np.int64),
+                        np.diff(offs))
+    return vals, word_of, freq
+
+
+def q_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. ACL 2016;
+    public algorithm): the first `n_merges` merges learned over the
+    kept-token vocabulary, weighted by corpus frequency. Each round
+    counts adjacent symbol pairs (overlaps counted, per the standard),
+    picks the max with the (count desc, left asc, right asc) tie-break,
+    and applies the merge leftmost-non-overlapping to every word.
+
+    Distributed shape: the corpus compresses ONCE to the (word, freq)
+    vocabulary (one groupby — the only corpus-sized pass); each round
+    is one vectorized map over the vocab dataset (pair partials via
+    flattened list offsets + run-parity non-overlap resolution — no
+    per-word Python loop) + one O(symbol-pairs) groupby; the driver
+    pulls exactly ONE row per round (the argmax pair). The DuckDB
+    oracle replays the same rounds with recursive-CTE merge walks.
+    At a real 30k-merge budget you would hand the (already tiny,
+    corpus-size-independent) vocab to an in-memory trainer after the
+    same first aggregate — documented trade-off, same result.
+
+    Returns (step, left, right, pair_n)."""
+    from ray.data.aggregate import Count, Sum
+
+    def _tok_rows(batch: pa.Table) -> pa.Table:
+        toks = [t for ts in tokenize_many(batch.column("text").to_pylist())
+                for t in ts]
+        return pa.table({"word": pa.array(toks, pa.string())})
+
+    def _init(batch: pa.Table) -> pa.Table:
+        words = batch.column("word").to_pylist()
+        return pa.table({
+            "word": batch.column("word").cast(pa.string()),
+            "freq": batch.column("freq").cast(pa.int64()),
+            "syms": pa.array([list(w) for w in words],
+                             pa.list_(pa.string())),
+        })
+
+    state = (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+        .map_batches(_tok_rows, batch_format="pyarrow")
+        .groupby("word").aggregate(Count(alias_name="freq"))
+        .map_batches(_init, batch_format="pyarrow")
+        .materialize())
+
+    def _pair_partials(batch: pa.Table) -> pa.Table:
+        vals, word_of, freq = _bpe_flat(batch)
+        if vals.size < 2:
+            return pa.table({"l": pa.array([], pa.string()),
+                             "r": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = word_of[:-1] == word_of[1:]
+        li, ri = vals[:-1][same], vals[1:][same]
+        w = freq[word_of[:-1][same]]
+        key = np.char.add(np.char.add(li.astype("U"), "\x1f"),
+                          ri.astype("U"))
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, weights=w).astype(np.int64)
+        ls, rs = zip(*(k.split("\x1f") for k in uk.tolist())) \
+            if uk.size else ((), ())
+        return pa.table({"l": pa.array(list(ls), pa.string()),
+                         "r": pa.array(list(rs), pa.string()),
+                         "n": pa.array(n, pa.int64())})
+
+    def _make_apply(left: str, right: str):
+        def _apply(batch: pa.Table) -> pa.Table:
+            vals, word_of, _ = _bpe_flat(batch)
+            nw = len(batch)
+            if vals.size < 2:
+                return batch
+            match = np.zeros(vals.size, bool)
+            match[:-1] = ((word_of[:-1] == word_of[1:])
+                          & (vals[:-1] == left) & (vals[1:] == right))
+            # leftmost non-overlap: within each run of consecutive
+            # matches keep alternating positions from the run start
+            starts = match & ~np.concatenate(([False], match[:-1]))
+            run_id = np.cumsum(starts)
+            first_of_run = np.zeros(vals.size, np.int64)
+            idx = np.nonzero(starts)[0]
+            if idx.size:
+                first_of_run[idx] = idx
+                first_of_run = np.maximum.accumulate(first_of_run)
+            keep = match & ((np.arange(vals.size) - first_of_run) % 2 == 0)
+            drop = np.concatenate(([False], keep[:-1]))
+            out_vals = vals.copy()
+            out_vals[keep] = left + right
+            out_vals = out_vals[~drop]
+            new_counts = np.bincount(word_of[~drop], minlength=nw)
+            return pa.table({
+                "word": batch.column("word").cast(pa.string()),
+                "freq": batch.column("freq").cast(pa.int64()),
+                "syms": pa.ListArray.from_arrays(
+                    np.concatenate(([0], np.cumsum(new_counts))).astype("int32"),
+                    pa.array(out_vals.tolist(), pa.string())),
+            })
+        return _apply
+
+    steps, lefts, rights, ns = [], [], [], []
+    for step in range(n_merges):
+        top = (state.map_batches(_pair_partials, batch_format="pyarrow")
+               .groupby(["l", "r"]).aggregate(Sum("n", alias_name="n"))
+               .sort(["n", "l", "r"], descending=[True, False, False])
+               .limit(1).take_all())
+        if not top or top[0]["n"] <= 0:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        steps.append(step)
+        lefts.append(l)
+        rights.append(r)
+        ns.append(n)
+        state = state.map_batches(_make_apply(l, r),
+                                  batch_format="pyarrow").materialize()
+    q_bpe_merges._last_state = state   # reused by q_bpe_segmented
+    return pa.table({
+        "step": pa.array(steps, pa.int64()),
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "pair_n": pa.array(ns, pa.int64()),
+    })
+
+
+def q_bpe_segmented(sf_dir: str,
+                    n_merges: int = BPE_MERGES) -> ray.data.Dataset:
+    """The trained segmentation: every vocabulary word split by the
+    learned merges (space-joined symbols) plus its symbol count — the
+    apply-side contract of the BPE trainer, over the SAME final state
+    (one extra map, no retraining when called after q_bpe_merges)."""
+    q_bpe_merges(sf_dir, n_merges)
+    state = q_bpe_merges._last_state
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column("syms").combine_chunks()
+        return pa.table({
+            "word": batch.column("word").cast(pa.string()),
+            "freq": batch.column("freq").cast(pa.int64()),
+            "segmented": pc.binary_join(col, pa.scalar(" ")),
+            "n_syms": pc.list_value_length(col).cast(pa.int64()),
+        })
+
+    return state.map_batches(_seg, batch_format="pyarrow")

@@ -203,3 +203,61 @@ def test_sequence_manifest_conservation(ray_session):
     assert (df["n_tokens"].iloc[:-1] == tl.SEQ_LEN).all()
     assert 0 < int(df["n_tokens"].iloc[-1]) <= tl.SEQ_LEN
     assert (df["first_doc"] <= df["last_doc"]).all()
+
+
+class TestBpe:
+    def test_matches_reference_trainer(self, ray_session, tmp_path):
+        """Distributed BPE equals a textbook in-memory trainer on a
+        fixture with overlapping repeats (aaaa), count ties, and
+        multi-char merge chains."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.textlm import (
+            q_bpe_merges, q_bpe_segmented)
+
+        texts = ["aaaa aaaa banana bandana", "banana banana anna",
+                 "aaaa banana", "anna bandana banana aaaa"]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), str(tmp_path / "documents.parquet"))
+
+        from candidategeneration_ray.functions.tokenize import tokenize_many
+        from collections import Counter
+        vocab = Counter(t for ts in tokenize_many(texts) for t in ts)
+        state = {w: list(w) for w in vocab}
+        want = []
+        for step in range(6):
+            pairs = Counter()
+            for w, syms in state.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += vocab[w]
+            if not pairs:
+                break
+            (l, r), n = sorted(pairs.items(),
+                               key=lambda t: (-t[1], t[0]))[0]
+            want.append((step, l, r, n))
+            for w, syms in state.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                state[w] = out
+
+        got = q_bpe_merges(str(tmp_path)).to_pandas()
+        assert [tuple(r) for r in
+                got[["step", "left", "right", "pair_n"]].itertuples(
+                    index=False)] == want
+        seg = q_bpe_segmented(str(tmp_path)).to_pandas()
+        assert {r.word: r.segmented for r in seg.itertuples()} \
+            == {w: " ".join(s) for w, s in state.items()}
+        assert (seg["freq"].to_numpy()
+                == [vocab[w] for w in seg["word"]]).all()
