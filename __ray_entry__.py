@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_docs": ex.q_similar_docs,      # broadcast-probe Jaccard search
         "top_similar_pairs": ex.q_top_similar_pairs,  # threshold-less top-k sim join
         "fuzzy_name_pairs": ex.q_fuzzy_name_pairs,    # edit-distance join (Myers verify)
+        "part_entities": ex.q_part_entities,          # fuzzy-match entity resolution
+        "source_similarity": ex.q_source_similarity,  # dataset-level MinHash overlap
         "source_moments": ex.q_source_moments,  # sufficient-statistics pattern
         "source_regression": ex.q_source_regression,  # grouped OLS (exact num/den)
         # --- mergeable-summary (sketch) aggregates ---
@@ -307,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         top_pairs_oracles,
         fuzzy_join_oracles,
         bpe_oracles,
+        source_similarity_oracles,
         ppr_oracles,
         label_vote_oracles,
         p90_oracles,
@@ -372,7 +375,7 @@ def oracle_sql() -> dict[str, str]:
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
             **p90_oracles(), **gapfill_oracles(), **late_oracles(), **ppr_oracles(),
-            **top_pairs_oracles(), **fuzzy_join_oracles(), **bpe_oracles(), **digest_oracles(),
+            **top_pairs_oracles(), **fuzzy_join_oracles(), **bpe_oracles(), **source_similarity_oracles(), **digest_oracles(),
             **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
             **lsh_plane_oracles(),
             **regression_oracles(), **gram_oracles(), **jl_oracles(),

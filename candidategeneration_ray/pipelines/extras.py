@@ -2567,3 +2567,112 @@ def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
             .map_batches(_prefix_rows, batch_format="pyarrow")
             .groupby(["gram", "occ"]).map_groups(_cand, batch_format="pyarrow")
             .groupby("pbucket").map_groups(_verify, batch_format="pyarrow"))
+
+
+def q_part_entities(sf_dir: str, max_rounds: int = 20) -> ray.data.Dataset:
+    """Entity resolution over the catalog: connected components of the
+    edit-distance near-duplicate graph (q_fuzzy_name_pairs edges), so
+    every part gets the MIN partkey of its name-equivalence cluster —
+    the fuzzy-join composition that turns pairwise matches into
+    resolved entities (same CC machinery as q_dup_clusters: star-ish
+    symmetric edges, task-sized graphs in ONE object-store task, the
+    distributed min-label rounds behind them)."""
+    from ray.data.aggregate import Min
+
+    SENT = np.iinfo(np.int64).max
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_key").to_numpy().astype(np.int64)
+        b = batch.column("b_key").to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate((a, b)), pa.int64()),
+            "dst": pa.array(np.concatenate((b, a)), pa.int64()),
+            "lbl": pa.array(np.full(2 * a.size, SENT, dtype=np.int64),
+                            pa.int64()),
+        })
+
+    edges = (q_fuzzy_name_pairs(sf_dir)
+             .map_batches(_sym, batch_format="pyarrow")
+             .materialize())
+    n_edges = edges.count()
+    if n_edges == 0:
+        labels = ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "lbl": pa.array([], pa.int64())}))
+    elif n_edges <= 5_000_000:
+        labels = ray.data.from_arrow_refs(
+            [_small_graph_cc.remote(*edges.to_arrow_refs())])
+    else:
+        labels = _propagation_rounds(edges, max_rounds)
+
+    def _identity(batch: pa.Table) -> pa.Table:
+        k = batch.column("p_partkey").cast(pa.int64())
+        return pa.table({"node": k, "lbl": k})
+
+    all_parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+    ).map_batches(_identity, batch_format="pyarrow")
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": batch.column("node"),
+                         "entity": batch.column("lbl")})
+
+    return (all_parts.union(labels)
+            .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+            .map_batches(_rename, batch_format="pyarrow"))
+
+
+def q_source_similarity(sf_dir: str) -> pa.Table:
+    """DATASET-level similarity: pairwise MinHash resemblance between
+    sources (which corpora overlap, the dataset-dedup / provenance
+    question asked before mixing). A source's signature slot is the min
+    of its docs' slots (min composes), so the whole thing is per-batch
+    (source, perm, min) partials -> one O(sources x perms) groupby ->
+    a tiny pairwise slot-match count. Estimated Jaccard =
+    match_slots / n_perms; the integer pair (match_slots, n_perms) is
+    emitted so the entry hash-verifies."""
+    from ray.data.aggregate import Min
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        src = batch.column("source").to_pylist()
+        out_s, out_p, out_m = [], [], []
+        best: dict[str, np.ndarray] = {}
+        for s, toks in zip(src, token_lists):
+            sig = H.minhash_signature(
+                np.unique(H.h64_many(H.word_shingles(toks, H.SHINGLE_W))))
+            cur = best.get(s)
+            best[s] = sig if cur is None else np.minimum(cur, sig)
+        for s, sig in best.items():
+            out_s.extend([s] * H.NUM_PERMS)
+            out_p.extend(range(H.NUM_PERMS))
+            out_m.extend(sig.tolist())
+        return pa.table({
+            "source": pa.array(out_s, pa.string()),
+            "perm_id": pa.array(out_p, pa.int64()),
+            "minhash": pa.array(out_m, pa.int64()),
+        })
+
+    merged = (ray.data.read_parquet(
+                  os.path.join(sf_dir, "documents.parquet"),
+                  columns=["source", "text"])
+              .map_batches(_partial, batch_format="pyarrow")
+              .groupby(["source", "perm_id"])
+              .aggregate(Min("minhash", alias_name="minhash"))
+              .to_pandas())  # O(sources x perms) rows — driver-safe
+    sources = sorted(merged["source"].unique())
+    sig = {s: merged[merged["source"] == s]
+           .sort_values("perm_id")["minhash"].to_numpy()
+           for s in sources}
+    rows_a, rows_b, match = [], [], []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            rows_a.append(a)
+            rows_b.append(b)
+            match.append(int((sig[a] == sig[b]).sum()))
+    return pa.table({
+        "source_a": pa.array(rows_a, pa.string()),
+        "source_b": pa.array(rows_b, pa.string()),
+        "match_slots": pa.array(match, pa.int64()),
+        "n_perms": pa.array([H.NUM_PERMS] * len(rows_a), pa.int64()),
+    })

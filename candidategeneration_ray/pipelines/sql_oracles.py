@@ -1259,6 +1259,34 @@ WHERE list_cosine_similarity(ea.embedding, eb.embedding) * 100 >= 40
     }
 
 
+def source_similarity_oracles() -> dict[str, str]:
+    """Per-source MinHash resemblance: a source's slot is the min of
+    its docs' shingle permutation values (min composes), pairwise
+    slot-match counts between sources."""
+    from candidategeneration_ray.functions import hashing as H
+
+    return {
+        "source_similarity": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(H.SHINGLE_W)},
+{_perm_values()},
+smh AS MATERIALIZED (
+  SELECT d.source, CAST(perm_id AS BIGINT) AS perm_id,
+         CAST(min((a::HUGEINT * (h % {_P}) + b) % {_P}) AS BIGINT) AS mh
+  FROM sh JOIN documents d USING (doc_id) CROSS JOIN perms
+  GROUP BY 1, 2)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+         AS match_slots,
+       CAST({H.NUM_PERMS} AS BIGINT) AS n_perms
+FROM smh a JOIN smh b
+  ON a.perm_id = b.perm_id AND a.source < b.source
+GROUP BY 1, 2
+""",
+    }
+
+
 def sketch_oracles() -> dict[str, str]:
     """Oracles for the exact sketch aggregates (pipelines/sketches.py).
 
@@ -3999,6 +4027,24 @@ SELECT CAST(a.p_partkey AS BIGINT) AS a_key,
 FROM part a JOIN part b ON a.p_partkey < b.p_partkey
 WHERE abs(length(a.p_name) - length(b.p_name)) <= {ED_K}
   AND levenshtein(a.p_name, b.p_name) <= {ED_K}
+""",
+        "part_entities": f"""
+WITH RECURSIVE fp AS MATERIALIZED (
+  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key
+  FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= {ED_K}
+    AND levenshtein(a.p_name, b.p_name) <= {ED_K}),
+edges AS (
+  SELECT a_key AS src, b_key AS dst FROM fp
+  UNION ALL
+  SELECT b_key AS src, a_key AS dst FROM fp),
+reach(node, lbl) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+SELECT CAST(node AS BIGINT) AS p_partkey,
+       CAST(min(lbl) AS BIGINT) AS entity
+FROM reach GROUP BY node
 """,
     }
 

@@ -881,3 +881,72 @@ class TestFuzzyJoin:
                 if d <= 1:
                     want.add((keys[i], keys[j], d))
         assert got_set == want
+
+
+def test_part_entities_transitive_closure(ray_session):
+    """Entity labels equal a python union-find over the fuzzy pairs at
+    sf0.001 (min-key representative), and non-matched parts are
+    singletons."""
+    from candidategeneration_ray.pipelines.extras import (
+        q_fuzzy_name_pairs, q_part_entities)
+
+    sf = "/root/testdata/sf0.001"
+    pairs = q_fuzzy_name_pairs(sf).to_pandas()
+    got = q_part_entities(sf).to_pandas()
+    parent = {int(k): int(k) for k in got["p_partkey"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a_key"], pairs["b_key"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {k: find(k) for k in parent}
+    # union-find roots are not necessarily cluster minima; normalize
+    clusters = {}
+    for k, r in want.items():
+        clusters.setdefault(r, []).append(k)
+    want = {k: min(m) for r, m in clusters.items() for k in m}
+    assert {int(r.p_partkey): int(r.entity)
+            for r in got.itertuples()} == want
+
+
+def test_source_similarity_self_consistency(ray_session):
+    """Identical sources would match all slots; here: match counts are
+    within [0, n_perms], symmetric-complete pair set, and a cloned
+    source matches itself-as-clone on every slot."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.extras import \
+        q_source_similarity
+
+    sf = "/root/testdata/sf0.001"
+    t = q_source_similarity(sf)
+    df = t.to_pandas()
+    assert (df["match_slots"] >= 0).all()
+    assert (df["match_slots"] <= df["n_perms"]).all()
+    srcs = set(df["source_a"]) | set(df["source_b"])
+    assert len(df) == len(srcs) * (len(srcs) - 1) // 2
+
+    # clone fixture: duplicate ONE source under a new name -> its pair
+    # with the clone must match on EVERY slot (identical shingle sets)
+    import tempfile
+    base = pq.read_table(sf + "/documents.parquet")
+    pick = sorted(set(base.column("source").to_pylist()))[0]
+    import pyarrow.compute as pc
+    sub = base.filter(pc.equal(base.column("source"), pick))
+    clone = sub.set_column(
+        sub.schema.get_field_index("source"), "source",
+        pa.array(["zclone"] * sub.num_rows, pa.string()))
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.concat_tables([base, clone]),
+                       d + "/documents.parquet")
+        dfc = q_source_similarity(d).to_pandas()
+    row = dfc[(dfc["source_a"] == pick) & (dfc["source_b"] == "zclone")]
+    assert len(row) == 1
+    assert int(row["match_slots"].iloc[0]) == int(row["n_perms"].iloc[0])
