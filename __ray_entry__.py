@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": ex.q_fuzzy_name_pairs,    # edit-distance join (Myers verify)
         "part_entities": ex.q_part_entities,          # fuzzy-match entity resolution
         "source_similarity": ex.q_source_similarity,  # dataset-level MinHash overlap
+        "delta_dedup": ex.q_delta_dedup,              # new-vs-base ingest dedup
         "source_moments": ex.q_source_moments,  # sufficient-statistics pattern
         "source_regression": ex.q_source_regression,  # grouped OLS (exact num/den)
         # --- mergeable-summary (sketch) aggregates ---
@@ -237,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": ev.q_sessionize,
         "peak_concurrency": ev.q_peak_concurrency,  # sweep-line interval max
         "late_events": ev.q_late_events,            # watermark/allowed-lateness
+        "cusum_days": ev.q_cusum_days,              # cumulative drift detection
         "events_zorder_scan": ev.q_events_zorder_scan,  # Morton-layout 2-D pruning
         # two-level (user, time-slice) plan for monster users; hash-matches
         # the SAME sessionize oracle = plan-equivalence proof
@@ -296,7 +298,7 @@ def oracle_sql() -> dict[str, str]:
         keyed_hll_oracles, last_touch_oracles,
         kmeans_purity_oracles, minspan_oracles, phrase_bm25_oracles,
         priority_join_oracles, gap_chunk_profile_oracles,
-        copresence_oracles, digest_oracles, gapfill_oracles, late_oracles,
+        copresence_oracles, digest_oracles, gapfill_oracles, late_oracles, cusum_oracles,
         token_offset_oracles,
         jl_oracles,
         gram_oracles,
@@ -310,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         fuzzy_join_oracles,
         bpe_oracles,
         source_similarity_oracles,
+        delta_dedup_oracles,
         ppr_oracles,
         label_vote_oracles,
         p90_oracles,
@@ -374,8 +377,8 @@ def oracle_sql() -> dict[str, str]:
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),
-            **p90_oracles(), **gapfill_oracles(), **late_oracles(), **ppr_oracles(),
-            **top_pairs_oracles(), **fuzzy_join_oracles(), **bpe_oracles(), **source_similarity_oracles(), **digest_oracles(),
+            **p90_oracles(), **gapfill_oracles(), **late_oracles(), **cusum_oracles(), **ppr_oracles(),
+            **top_pairs_oracles(), **fuzzy_join_oracles(), **bpe_oracles(), **source_similarity_oracles(), **delta_dedup_oracles(), **digest_oracles(),
             **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
             **lsh_plane_oracles(),
             **regression_oracles(), **gram_oracles(), **jl_oracles(),

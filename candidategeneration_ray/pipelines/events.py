@@ -2386,3 +2386,70 @@ def q_late_events(sf_dir: str,
     return (flagged.groupby("window_start_ms")
             .aggregate(Count(alias_name="n"), Sum("late", alias_name="n_late"))
             .map_batches(_final, batch_format="pyarrow"))
+
+
+# ------------------------------ CUSUM drift detection on daily counts
+
+CUSUM_MULT = 5   # flag when |cumulative deviation| * MULT > N (per type)
+
+
+def q_cusum_days(sf_dir: str) -> ray.data.Dataset:
+    """Sequential drift detection (CUSUM family, Page 1954 — public
+    method) with exact integer arithmetic: per event type, walk its
+    active days in order and accumulate the cross-multiplied deviation
+    from the type's mean daily count,
+        S_d = D·prefix_d − d_idx·N
+    (D = active days, N = type total; S_d = D·Σ_{i<=d}(n_i − N/D)
+    cleared of the division). A day is flagged when
+    |S_d|·CUSUM_MULT > N·D — cumulative drift past 1/MULT of the
+    type's volume — catching sustained rate shifts the pointwise
+    z-test (q_anomalous_days) misses.
+
+    Shape: events compress to (type, day, count) partials per batch →
+    one tiny groupby → a per-type ordered scan over its O(days) row
+    group (holistic co-location, groups are bounded by the calendar).
+    Output (event_type, day, n_events, s_num, flag)."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        day = ts // day_us
+        ut, ti = np.unique(et, return_inverse=True)
+        d0 = np.int64(day.min()) if day.size else np.int64(0)
+        span = np.int64(day.max()) - d0 + 1 if day.size else np.int64(1)
+        key = ti.astype(np.int64) * span + (day - d0)
+        kg, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ut[kg // span].tolist(), pa.string()),
+            "day": pa.array(kg % span + d0, pa.int64()),
+            "n_events": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def _scan(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy().astype(np.int64)
+        n = group.column("n_events").to_numpy().astype(np.int64)
+        order = np.argsort(day, kind="stable")
+        day, n = day[order], n[order]
+        D = np.int64(day.size)
+        N = np.int64(n.sum())
+        s = D * np.cumsum(n) - np.arange(1, D + 1, dtype=np.int64) * N
+        flag = (np.abs(s) * CUSUM_MULT > N * D).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(
+                [group.column("event_type")[0].as_py()] * int(D),
+                pa.string()),
+            "day": pa.array(day, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "s_num": pa.array(s, pa.int64()),
+            "flag": pa.array(flag, pa.int64()),
+        })
+
+    return (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                  columns=["ts", "event_type"])
+            .map_batches(_partial, batch_format="pyarrow")
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("n_events", alias_name="n_events"))
+            .groupby("event_type").map_groups(_scan, batch_format="pyarrow"))

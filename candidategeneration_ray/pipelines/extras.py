@@ -2676,3 +2676,77 @@ def q_source_similarity(sf_dir: str) -> pa.Table:
         "match_slots": pa.array(match, pa.int64()),
         "n_perms": pa.array([H.NUM_PERMS] * len(rows_a), pa.int64()),
     })
+
+
+DELTA_ID_BASE = 50_000_000
+
+
+def q_delta_dedup(sf_dir: str) -> ray.data.Dataset:
+    """ASYMMETRIC dedup — the incremental-ingest question: which NEWLY
+    ARRIVED docs already exist in the base corpus? (q_dedup_exact
+    answers the within-corpus question; an LSM pipeline needs
+    new-vs-base before appending a delta generation.) The delta is
+    derived deterministically from the corpus (the sandbox has one
+    version): per base doc, a delta doc at DELTA_ID_BASE + doc_id whose
+    text is an exact copy (doc_id % 4 == 0), a near-copy with an
+    appended tail (% 4 == 1 — must NOT match exact dedup), or fresh.
+
+    Shape: both sides emit (h64(text), side, id, text) rows bucketed by
+    hash; each bucket resolves delta rows to the MIN base doc_id with
+    EQUAL TEXT (hash only co-locates; equality is on the string, so a
+    64-bit collision cannot corrupt the answer — at 100 TB you would
+    carry the hash and lazily confirm the rare collision instead of
+    shipping text). Output (doc_id, base_match | -1) per delta doc."""
+    nb = 64
+
+    def _base_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        h = H.h64_many(texts).astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(h % nb, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "side": pa.array(np.zeros(ids.size, np.int64), pa.int64()),
+            "id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    def _delta_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = np.asarray(batch.column("text").to_pylist(), object)
+        out = texts.copy()
+        out[ids % 4 == 1] = [t + " appended tail"
+                             for t in texts[ids % 4 == 1]]
+        fresh = ~np.isin(ids % 4, (0, 1))
+        out[fresh] = [f"fresh delta row {i}" for i in ids[fresh]]
+        h = H.h64_many(out.tolist()).astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(h % nb, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "side": pa.array(np.ones(ids.size, np.int64), pa.int64()),
+            "id": pa.array(DELTA_ID_BASE + ids, pa.int64()),
+            "text": pa.array(out.tolist(), pa.string()),
+        })
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy().astype(np.int64)
+        ids = group.column("id").to_numpy().astype(np.int64)
+        texts = np.asarray(group.column("text").to_pylist(), object)
+        bt, bi = texts[side == 0], ids[side == 0]
+        dt_, di = texts[side == 1], ids[side == 1]
+        lookup: dict[str, int] = {}
+        for t, i in zip(bt.tolist(), bi.tolist()):
+            cur = lookup.get(t)
+            if cur is None or i < cur:
+                lookup[t] = i
+        match = np.array([lookup.get(t, -1) for t in dt_.tolist()],
+                         np.int64)
+        return pa.table({
+            "doc_id": pa.array(di, pa.int64()),
+            "base_match": pa.array(match, pa.int64()),
+        })
+
+    src = documents_ds(sf_dir)
+    return (src.map_batches(_base_rows, batch_format="pyarrow")
+            .union(src.map_batches(_delta_rows, batch_format="pyarrow"))
+            .groupby("bkt").map_groups(_resolve, batch_format="pyarrow"))

@@ -1287,6 +1287,27 @@ GROUP BY 1, 2
     }
 
 
+def delta_dedup_oracles() -> dict[str, str]:
+    """New-vs-base exact dedup over the derived delta (text equality)."""
+    from candidategeneration_ray.pipelines.extras import DELTA_ID_BASE
+
+    return {
+        "delta_dedup": f"""
+WITH d AS (
+  SELECT {DELTA_ID_BASE} + doc_id AS doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text
+              WHEN doc_id % 4 = 1 THEN text || ' appended tail'
+              ELSE 'fresh delta row ' || CAST(doc_id AS VARCHAR)
+         END AS text
+  FROM documents)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(min(b.doc_id), -1) AS BIGINT) AS base_match
+FROM d LEFT JOIN documents b ON b.text = d.text
+GROUP BY d.doc_id
+""",
+    }
+
+
 def sketch_oracles() -> dict[str, str]:
     """Oracles for the exact sketch aggregates (pipelines/sketches.py).
 
@@ -3976,6 +3997,39 @@ SELECT CAST(ws AS BIGINT) AS window_start_ms,
        CAST(sum(1 - late) AS BIGINT) AS n_accepted,
        CAST(sum(late) AS BIGINT) AS n_late
 FROM f GROUP BY ws
+""",
+    }
+
+
+def cusum_oracles() -> dict[str, str]:
+    """CUSUM drift scan as window prefix sums per type."""
+    from candidategeneration_ray.pipelines.events import CUSUM_MULT
+
+    return {
+        "cusum_days": f"""
+WITH dc AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS tot_d,
+         CAST(sum(n) AS BIGINT) AS tot_n
+  FROM dc GROUP BY event_type),
+scan AS (
+  SELECT dc.event_type, dc.day, dc.n,
+         t.tot_d * sum(dc.n) OVER (PARTITION BY dc.event_type
+                                   ORDER BY dc.day)
+         - row_number() OVER (PARTITION BY dc.event_type
+                              ORDER BY dc.day) * t.tot_n AS s,
+         t.tot_n, t.tot_d
+  FROM dc JOIN t USING (event_type))
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(s AS BIGINT) AS s_num,
+       CAST(CASE WHEN abs(s) * {CUSUM_MULT} > tot_n * tot_d
+                 THEN 1 ELSE 0 END AS BIGINT) AS flag
+FROM scan
 """,
     }
 

@@ -1091,3 +1091,51 @@ class TestLateEvents:
         assert sum(l for _, l in want.values()) > 0  # late path exercised
         assert (got["n_accepted"].sum() + got["n_late"].sum()
                 == len(eid))
+
+
+def test_cusum_detects_injected_drift(ray_session, tmp_path):
+    """CUSUM fires on a rate shift (30 days at ~4/day then 30 at
+    ~20/day) and stays quiet on a uniform stream; s_num equals the
+    cross-multiplied prefix recurrence."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import events as ev
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    eid = 0
+    for day in range(60):
+        n = 4 if day < 30 else 20
+        for j in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=day, minutes=j),
+                         "drift"))
+            eid += 1
+    for day in range(60):
+        for j in range(5):
+            rows.append((eid, t0 + dt.timedelta(days=day, minutes=j),
+                         "steady"))
+            eid += 1
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([0] * len(rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    df = ev.q_cusum_days(str(tmp_path)).to_pandas()
+    drift = df[df["event_type"] == "drift"].sort_values("day")
+    steady = df[df["event_type"] == "steady"]
+    assert drift["flag"].sum() > 0, "rate shift must be flagged"
+    assert steady["flag"].sum() == 0, "uniform stream must stay quiet"
+    n = drift["n_events"].to_numpy()
+    D, N = n.size, n.sum()
+    s = D * np.cumsum(n) - np.arange(1, D + 1) * N
+    assert (drift["s_num"].to_numpy() == s).all()
+    assert int(s[-1]) == 0  # the scan must return to zero at the end
