@@ -243,6 +243,13 @@ def run_bench() -> dict:
         ("snapshot_diff", ex.q_snapshot_diff),          # versioned diff
         ("user_event_paths", ev.q_user_event_paths),    # ordered string_agg
         ("common_neighbors", cb.q_common_neighbors),    # link prediction
+        # session-9 additions (appended — earlier keys stay comparable)
+        ("bpe_merges", tl.q_bpe_merges),                # tokenizer training
+        ("fuzzy_name_pairs", ex.q_fuzzy_name_pairs),    # edit-distance join
+        ("late_events", ev.q_late_events),              # watermark lateness
+        ("shortest_paths", cb.q_shortest_paths),        # weighted BFS
+        ("source_similarity", ex.q_source_similarity),  # dataset MinHash
+        ("delta_dedup", ex.q_delta_dedup),              # new-vs-base dedup
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)
