@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_keys": dq.q_query_keys,                  # M2/M3 query convert+augment
         "access_counts": dq.q_access_counts,            # A5 access map
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
+        "maxscore_topk": dq.q_maxscore_topk,            # DAAT MaxScore, rank-identical
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
@@ -395,4 +396,7 @@ def oracle_sql() -> dict[str, str]:
     d["nation_order_stats_ivm"] = d["nation_order_stats"]
     # bloom-prefiltered anti join must equal the plain anti join
     d["customers_no_orders_bloom"] = d["customers_no_orders"]
+    # DAAT MaxScore must be rank-identical to block-max WAND — same
+    # oracle, so the driver hash-checks the pruning strategy itself
+    d["maxscore_topk"] = d["bm25_topk"]
     return d

@@ -671,6 +671,32 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def q_maxscore_topk(sf_dir: str) -> pa.Table:
+    """Exact BM25 top-10 per fixed query via DAAT MaxScore (Turtle &
+    Flood 1995) instead of block-max WAND — the second classic
+    dynamic-pruning strategy, rank-identical by contract. Same oracle
+    SQL as bm25_topk, so the driver hash-checks ALGORITHM equivalence
+    (dropping a non-essential list or a probe would flip the hash)."""
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        for rank, (s, d) in enumerate(eng.topk(text, k=10,
+                                               algorithm="maxscore")):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
 def q_toplayer_prefixes(sf_dir: str, depth: int = 3) -> pa.Table:
     """Impact-ordered top-layer prefixes (O3/O4: the reference keeps the
     first `budget` postings of each impact-ordered list,

@@ -483,6 +483,103 @@ def blockmax_topk(lists: list[_List], k: int, block_size: int) -> list[tuple[int
     return [(int(top_scores[i]), int(top_docs[i])) for i in order]
 
 
+def maxscore_topk(lists: list[_List], k: int, block_size: int) -> list[tuple[int, int]]:
+    """Exact top-k by (score desc, doc_id asc) via DAAT MaxScore
+    (Turtle & Flood, "Query evaluation: strategies and optimizations",
+    IP&M 1995), vectorized window-at-a-time like blockmax_topk.
+
+    Lists sort ascending by list-level clamped upper bound (ub_pos);
+    once the heap holds k docs, the longest PREFIX whose UB sum is
+    <= theta is NON-ESSENTIAL: a doc absent from every essential list
+    is bounded by that prefix sum, so it cannot strictly beat theta,
+    and an exact tie loses the doc-id tie-break to the incumbent
+    (windows advance in ascending doc order, so incumbents always have
+    smaller doc ids — same argument as blockmax_topk). Candidates are
+    therefore generated only from the ESSENTIAL suffix, a window at a
+    time; non-essential lists are never traversed — each window's
+    surviving candidates probe them with one np.searchsorted per list,
+    largest bound first, dropping candidates as soon as
+    partial + remaining-prefix UB <= theta.
+
+    The split index is monotone (theta only rises, UBs are static), so
+    a list that turns non-essential never needs its cursor again: its
+    already-consumed prefix lies strictly below every later window, and
+    probes binary-search the whole array.
+    """
+    lists = [l for l in lists if l.docs.size]
+    if not lists:
+        return []
+    lists.sort(key=lambda l: l.ub_pos)
+    # prefix_ub[i] = sum of ub_pos of lists[:i]
+    prefix_ub = np.concatenate(([0], np.cumsum([l.ub_pos for l in lists])))
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.int64)
+    theta = None
+    split = 0  # lists[:split] are non-essential (probe-only)
+
+    while True:
+        if theta is not None:
+            while (split < len(lists)
+                   and prefix_ub[split + 1] <= theta):
+                split += 1
+        ess = [l for l in lists[split:] if l.cur() != _EXHAUSTED]
+        if not ess:
+            break
+        ne = lists[:split]
+        ne_total = int(prefix_ub[split])
+        # window [min cur, end]: every doc in it lies inside each
+        # covering essential list's CURRENT block
+        end = min(l.cur_block_last(block_size) for l in ess)
+        covering = [l for l in ess if l.cur() <= end]
+        if theta is not None:
+            ub = ne_total + sum(max(l.cur_block_max(block_size), 0)
+                                for l in covering)
+            if ub <= theta:
+                for l in covering:
+                    l.next_geq(end + 1)
+                continue
+        # candidate docs + partial (essential) scores, vectorized
+        chunks_d, chunks_s = [], []
+        for l in covering:
+            e = l.pos + int(np.searchsorted(l.docs[l.pos:], end, side="right"))
+            chunks_d.append(l.docs[l.pos:e])
+            chunks_s.append(l.scores[l.pos:e].astype(np.int64))
+            l.pos = e
+        d = np.concatenate(chunks_d)
+        s = np.concatenate(chunks_s)
+        order = np.argsort(d, kind="stable")
+        d, s = d[order], s[order]
+        starts = np.concatenate(([0], np.nonzero(d[1:] != d[:-1])[0] + 1))
+        cand_d = d[starts]
+        cand_s = np.add.reduceat(s, starts)
+        # probe non-essential lists, largest UB first; before probing
+        # lists[:j+1] drop candidates whose best case cannot beat theta
+        for j in range(split - 1, -1, -1):
+            if not cand_d.size:
+                break
+            if theta is not None:
+                keep = cand_s + int(prefix_ub[j + 1]) > theta
+                cand_d, cand_s = cand_d[keep], cand_s[keep]
+                if not cand_d.size:
+                    break
+            ldocs = ne[j].docs
+            idx = np.searchsorted(ldocs, cand_d)
+            hit = (idx < ldocs.size) & (ldocs[np.minimum(idx, ldocs.size - 1)]
+                                        == cand_d)
+            cand_s = cand_s + np.where(
+                hit, ne[j].scores[np.minimum(idx, ldocs.size - 1)].astype(np.int64), 0)
+        if cand_d.size:
+            md = np.concatenate((top_docs, cand_d))
+            ms = np.concatenate((top_scores, cand_s))
+            keep = np.lexsort((md, -ms))[:k]
+            top_docs, top_scores = md[keep], ms[keep]
+            if top_docs.size == k:
+                theta = int(top_scores.min())
+
+    order = np.lexsort((top_docs, -top_scores))
+    return [(int(top_scores[i]), int(top_docs[i])) for i in order]
+
+
 def taat_topk(reader: IndexReader, term_ids: list[int], k: int) -> list[tuple[int, int]]:
     """Vectorized exact TAAT scorer (reference Vec_Merge/TAAT analog,
     algo_toplayer.cpp:300-338,757-858) — the internal cross-check for
@@ -543,7 +640,8 @@ class QueryEngine:
         (hot terms with df > N/2 — common in conversational corpora)
         and sub-million list totals, the vectorized TAAT merge is
         strictly faster. `algorithm` forces "wand" (vectorized
-        block-at-a-time, blockmax_topk) / "taat" / "wand_scalar" (the
+        block-at-a-time, blockmax_topk) / "maxscore" (DAAT MaxScore,
+        probe-only non-essential lists) / "taat" / "wand_scalar" (the
         per-doc pointer walk, kept as the differential reference).
         """
         k = k or self.cfg.top_k
@@ -564,6 +662,8 @@ class QueryEngine:
             return taat_topk(self.reader, ids, k)
         if algorithm == "wand_scalar":
             return wand_topk(lists, k, self.cfg.block_size)
+        if algorithm == "maxscore":
+            return maxscore_topk(lists, k, self.cfg.block_size)
         return blockmax_topk(lists, k, self.cfg.block_size)
 
     def candidates(self, text: str, budget: int = 200, pair_weight: int = 5) -> np.ndarray:

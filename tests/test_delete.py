@@ -149,6 +149,7 @@ def test_topk_identical_across_algorithms_and_views(deleted_index,
     for q in QUERIES:
         w = eng.topk(q, algorithm="wand")
         assert eng.topk(q, algorithm="wand_scalar") == w
+        assert eng.topk(q, algorithm="maxscore") == w
         assert eng.topk(q, algorithm="taat") == w
         assert eng_c.topk(q) == w
         assert not ({d for _, d in w} & dead)

@@ -12,7 +12,7 @@ from candidategeneration_ray.oracle import build_oracle_index
 from candidategeneration_ray.stages.postings import PostingEmitter
 from candidategeneration_ray.stages.listbuild import merge_partial_lists
 from candidategeneration_ray.state.queryengine import (
-    IndexReader, _List, blockmax_topk, wand_topk)
+    IndexReader, _List, blockmax_topk, maxscore_topk, wand_topk)
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta",
          "theta", "iota", "kappa", "rare1", "rare2", "77", "88"]
@@ -64,7 +64,7 @@ def test_wand_topk_matches_oracle(token_docs, query):
         assert expect == []
         return
     t2i = {t: i + 1 for i, t in enumerate(stats_terms(reader))}
-    for scorer in (wand_topk, blockmax_topk):
+    for scorer in (wand_topk, blockmax_topk, maxscore_topk):
         lists = []
         for t in sorted(set(query)):
             tid = t2i.get(t)

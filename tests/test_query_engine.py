@@ -6,7 +6,8 @@ import pytest
 
 from candidategeneration_ray.config import EngineConfig
 from candidategeneration_ray.state.queryengine import (
-    IndexReader, QueryEngine, _List, blockmax_topk, taat_topk, wand_topk,
+    IndexReader, QueryEngine, _List, blockmax_topk, maxscore_topk, taat_topk,
+    wand_topk,
 )
 
 # a query mix per FIXTURES.md §2: hot terms, rare terms, absent terms,
@@ -58,6 +59,13 @@ class TestRankIdentity:
         wand = engine.topk(qtext, k=10, algorithm="wand")
         assert wand == taat, qtext
 
+    @pytest.mark.parametrize("qtext", QUERIES)
+    def test_maxscore_matches_taat(self, engine, qtext):
+        ids = engine.reader.query_term_ids(qtext)
+        taat = taat_topk(engine.reader, ids, 10)
+        got = engine.topk(qtext, k=10, algorithm="maxscore")
+        assert got == taat, qtext
+
     def test_various_k(self, engine, oracle_small):
         from candidategeneration_ray.functions.tokenize import tokenize_text
 
@@ -68,8 +76,8 @@ class TestRankIdentity:
             assert [(d, s) for s, d in got] == expect, k
 
 
-@pytest.mark.parametrize("scorer", [wand_topk, blockmax_topk],
-                         ids=["wand_scalar", "blockmax_vec"])
+@pytest.mark.parametrize("scorer", [wand_topk, blockmax_topk, maxscore_topk],
+                         ids=["wand_scalar", "blockmax_vec", "maxscore"])
 class TestWandUnit:
     def _mk(self, docs, scores, bs=4):
         docs = np.asarray(docs, np.int64)
