@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_counts": dq.q_access_counts,            # A5 access map
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
         "maxscore_topk": dq.q_maxscore_topk,            # DAAT MaxScore, rank-identical
+        "collapse_topk": dq.q_collapse_topk,            # field collapsing per source
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
@@ -328,7 +329,7 @@ def oracle_sql() -> dict[str, str]:
         snapshot_diff_oracles,
         common_neighbor_oracles,
         bool_diff_oracles,
-        cube_oracles,
+        collapse_oracles, cube_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -374,7 +375,7 @@ def oracle_sql() -> dict[str, str]:
             **tpch_joins2_oracles(), **pivot_oracles(),
             **topn_group_oracles(), **sequence_manifest_oracles(),
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
-            **bool_diff_oracles(), **cube_oracles(),
+            **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

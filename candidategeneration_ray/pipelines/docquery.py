@@ -671,6 +671,65 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+COLLAPSE_K = 5
+
+
+def q_collapse_topk(sf_dir: str, k: int = COLLAPSE_K) -> pa.Table:
+    """Field collapsing (result grouping): exact top-k per query with at
+    most ONE document per `source` — the search-frontend dedup that
+    keeps a hot site/domain from monopolising the result page (Solr/ES
+    "collapse", SQL = row_number PARTITION BY (query, source)).
+
+    Engine side: the query's full match set comes from the vectorized
+    TAAT merge over the real compressed index (match-set size is
+    posting-list-bound, never corpus-bound); doc→source attach is one
+    searchsorted against the column-pruned (doc_id, source) projection
+    — at 10^12 docs that lookup becomes the range-blocked broadcast map
+    (stages/docids.rank_prior_scalable pattern), the collapse itself
+    stays a per-query O(matches) ordered scan: first hit per source in
+    (score desc, doc_id asc) order wins, then the k best survivors."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.state.queryengine import IndexReader, taat_topk
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    src_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source"])
+    sdoc = src_t.column("doc_id").to_numpy()
+    o = np.argsort(sdoc, kind="stable")
+    sdoc = sdoc[o]
+    ssrc = np.asarray(src_t.column("source").to_pylist(), dtype=object)[o]
+
+    qids, ranks, docs_out, srcs_out, scores_out = [], [], [], [], []
+    for qid, text in DOC_QUERIES:
+        ids = reader.query_term_ids(text)
+        hits = taat_topk(reader, ids, 1 << 60)  # full match set
+        if not hits:
+            continue
+        scores = np.array([s for s, _ in hits], np.int64)
+        docs = np.array([d for _, d in hits], np.int64)
+        src = ssrc[np.searchsorted(sdoc, docs)]
+        codes, inv = np.unique(src, return_inverse=True)
+        # hits are already in (score desc, doc asc) order; first
+        # occurrence of each source code in that order is its best doc
+        first = np.unique(inv, return_index=True)[1]
+        first.sort()
+        for rank, i in enumerate(first[:k]):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs_out.append(int(docs[i]))
+            srcs_out.append(str(src[i]))
+            scores_out.append(int(scores[i]))
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs_out, pa.int64()),
+        "source": pa.array(srcs_out, pa.string()),
+        "score": pa.array(scores_out, pa.int64()),
+    })
+
+
 def q_maxscore_topk(sf_dir: str) -> pa.Table:
     """Exact BM25 top-10 per fixed query via DAAT MaxScore (Turtle &
     Flood 1995) instead of block-max WAND — the second classic

@@ -3267,6 +3267,41 @@ FROM g GROUP BY tok
     }
 
 
+def collapse_oracles() -> dict[str, str]:
+    """Field collapsing: the bm25 qscores CTE joined to each doc's
+    source; rn=1 per (query, source) keeps the best doc per source,
+    a second window rank keeps the COLLAPSE_K best survivors."""
+    from candidategeneration_ray.pipelines.docquery import COLLAPSE_K
+
+    return {
+        "collapse_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok)
+  GROUP BY q.query_id, s.doc_id
+),
+best AS (
+  SELECT query_id, doc_id, score, source FROM (
+    SELECT qs.query_id, qs.doc_id, qs.score, d.source,
+           row_number() OVER (PARTITION BY qs.query_id, d.source
+                              ORDER BY qs.score DESC, qs.doc_id ASC) AS rn
+    FROM qscores qs JOIN documents d USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT query_id, rank, doc_id, source, score FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, source, score
+  FROM best
+) WHERE rank <= {COLLAPSE_K}
+""",
+    }
+
+
 def related_terms_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.docquery import RELATED_SEEDS
 

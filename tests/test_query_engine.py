@@ -284,3 +284,38 @@ def test_doc_filter_algorithms_agree_and_respect_filter(ray_session):
         assert all(d in aset for _, d in w)
         full = [(s, d) for s, d in eng.topk(q, k=10_000) if d in aset]
         assert w == full[:10]
+
+
+def test_collapse_topk_invariants(ray_session):
+    """Field collapsing at sf0.001: one doc per (query, source), ranks
+    are 1..n in (score desc, doc_id asc) order, and each collapsed row
+    is the best-scoring doc of its source within the query's full
+    match set (cross-checked against uncollapsed TAAT)."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.docquery import (
+        DOC_QUERIES, build_documents_index, q_collapse_topk)
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.state.queryengine import IndexReader, taat_topk
+
+    SF = "/root/testdata/sf0.001"
+    t = q_collapse_topk(SF).to_pandas()
+    assert not t.duplicated(["query_id", "source"]).any()
+    built = build_documents_index(SF, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    meta = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    src_of = dict(zip(meta.doc_id, meta.source))
+    for qid, text in DOC_QUERIES:
+        sub = t[t.query_id == qid].sort_values("rank")
+        if sub.empty:
+            continue
+        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
+        pairs = list(zip(sub["score"], sub["doc_id"]))
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+        full = taat_topk(reader, reader.query_term_ids(text), 1 << 60)
+        best = {}
+        for s, d in full:  # already (score desc, doc asc)
+            best.setdefault(src_of[d], (s, d))
+        for r in sub.itertuples():
+            assert best[r.source] == (r.score, r.doc_id)
