@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": tl.q_decontaminate,        # GPT-3-style shingle overlap
         "lm_bigram_scores": tl.q_lm_bigram_scores,  # pruned bigram LM (CCNet shape)
         "bool_and_docs": tl.q_bool_and_docs,        # conjunctive retrieval from the index
+        "percolate_matches": tl.q_percolate_matches,  # reverse search at ingest
         "pmi_top50": tl.q_pmi_top50,                # PMI collocation mining
         "mixture_select": tl.q_mixture_select,      # budgeted per-source selection
         "tfidf_top3": tl.q_tfidf_top3,              # per-doc keyword extraction
@@ -400,4 +401,7 @@ def oracle_sql() -> dict[str, str]:
     # DAAT MaxScore must be rank-identical to block-max WAND — same
     # oracle, so the driver hash-checks the pruning strategy itself
     d["maxscore_topk"] = d["bm25_topk"]
+    # ingest-time percolation must equal index-side conjunctive AND —
+    # same oracle, so the driver hash-checks plan equivalence
+    d["percolate_matches"] = d["bool_and_docs"]
     return d

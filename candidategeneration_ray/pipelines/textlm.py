@@ -319,6 +319,84 @@ def q_bool_and_docs(sf_dir: str) -> pa.Table:
     })
 
 
+def q_percolate_matches(sf_dir: str) -> ray.data.Dataset:
+    """Percolation (reverse search / ingest-time alerting — the
+    Elasticsearch `percolate` shape): the fixed query set is the STORED
+    side; documents STREAM through map_batches and each doc reports the
+    queries whose every kept term it contains. Same result set as
+    bool_and_docs via the INVERSE plan — no index, no shuffle:
+    the stored queries broadcast once as a term→query incidence (alert
+    rules are the small side by construction), each batch does one
+    _packed_doc_terms, one searchsorted semi-join against the stored
+    term array, one vectorized incidence expansion and one packed-key
+    count; a (doc, query) pair matches when its distinct-matched-term
+    count equals the query's arity. Registered with bool_and_docs'
+    oracle, so the driver hash-checks PLAN EQUIVALENCE: ingest-time
+    percolation == index-side conjunctive AND.
+
+    Scale: per-batch cost O(batch tokens + candidate pairs); output is
+    match-sized. This is the operator you run at 100 TB ingest when the
+    index doesn't exist yet (routing, alerting, contamination tags)."""
+    qids_arity, term_to_qs = {}, {}
+    for qid, text in DOC_QUERIES:
+        ts = sorted(set(tokenize_text(text)))
+        if not ts:
+            continue
+        qids_arity[qid] = len(ts)
+        for t in ts:
+            term_to_qs.setdefault(t, []).append(qid)
+    terms_sorted = np.array(sorted(term_to_qs), dtype=object)
+    inc_cnt = np.array([len(term_to_qs[t]) for t in terms_sorted], np.int64)
+    inc_off = np.zeros(terms_sorted.size + 1, np.int64)
+    np.cumsum(inc_cnt, out=inc_off[1:])
+    inc_q = np.array([q for t in terms_sorted for q in term_to_qs[t]],
+                     np.int64)
+    nq = max(qids_arity) + 1 if qids_arity else 1
+    arity = np.zeros(nq, np.int64)
+    for q, a in qids_arity.items():
+        arity[q] = a
+
+    def _match(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        _, u, doc_g, term_g, _ = _packed_doc_terms(token_lists)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64())})
+        if u.size == 0:
+            return empty
+        # semi-join the batch's distinct terms against the stored terms
+        pos = np.searchsorted(terms_sorted, u)
+        safe = np.minimum(pos, terms_sorted.size - 1)
+        stored = (pos < terms_sorted.size) & (terms_sorted[safe] == u)
+        keep = stored[term_g]
+        if not keep.any():
+            return empty
+        dd = doc_ids[doc_g[keep]]
+        tt = safe[term_g[keep]]  # index into terms_sorted
+        # expand each (doc, stored-term) row to its (doc, query) pairs
+        reps = inc_cnt[tt]
+        total = int(reps.sum())
+        starts = inc_off[tt]
+        base = np.repeat(starts, reps)
+        offs = np.arange(total, dtype=np.int64)
+        seg0 = np.zeros(reps.size, np.int64)
+        np.cumsum(reps[:-1], out=seg0[1:])
+        flat_idx = base + (offs - np.repeat(seg0, reps))
+        pair_q = inc_q[flat_idx]
+        pair_d = np.repeat(dd, reps)
+        # a (doc, query) pair matches when it has arity[q] distinct terms
+        key = pair_d * np.int64(nq) + pair_q
+        uk, cnt = np.unique(key, return_counts=True)
+        kq = uk % nq
+        hit = cnt == arity[kq]
+        return pa.table({
+            "query_id": pa.array(kq[hit], pa.int64()),
+            "doc_id": pa.array(uk[hit] // nq, pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_match, batch_format="pyarrow")
+
+
 # ---------------------------------------------------- PMI collocations
 
 def q_pmi_top50(sf_dir: str, min_count: int = 5, k: int = 50) -> pa.Table:

@@ -261,3 +261,21 @@ class TestBpe:
             == {w: " ".join(s) for w, s in state.items()}
         assert (seg["freq"].to_numpy()
                 == [vocab[w] for w in seg["word"]]).all()
+
+
+def test_percolate_equals_bool_and(ray_session):
+    """Ingest-time percolation (streamed docs vs broadcast stored
+    queries, no index) returns exactly the index-side conjunctive-AND
+    result set at sf0.001."""
+    import pandas as pd
+
+    from candidategeneration_ray.pipelines import textlm as tl
+
+    sf = "/root/testdata/sf0.001"
+    a = tl.q_percolate_matches(sf).to_pandas()
+    b = tl.q_bool_and_docs(sf).to_pandas()
+    key = ["query_id", "doc_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a[key], b[key])
