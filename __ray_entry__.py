@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
         "maxscore_topk": dq.q_maxscore_topk,            # DAAT MaxScore, rank-identical
         "collapse_topk": dq.q_collapse_topk,            # field collapsing per source
+        "mmr_topk": dq.q_mmr_topk,                      # MMR diversified re-ranking
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
@@ -330,7 +331,7 @@ def oracle_sql() -> dict[str, str]:
         snapshot_diff_oracles,
         common_neighbor_oracles,
         bool_diff_oracles,
-        collapse_oracles, cube_oracles,
+        collapse_oracles, cube_oracles, mmr_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -376,7 +377,7 @@ def oracle_sql() -> dict[str, str]:
             **tpch_joins2_oracles(), **pivot_oracles(),
             **topn_group_oracles(), **sequence_manifest_oracles(),
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
-            **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(),
+            **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

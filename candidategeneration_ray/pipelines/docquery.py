@@ -730,6 +730,85 @@ def q_collapse_topk(sf_dir: str, k: int = COLLAPSE_K) -> pa.Table:
     })
 
 
+MMR_POOL = 20       # relevance pool size per query
+MMR_K = 5           # diversified results per query
+MMR_REL_W = 7       # integer λ: value = 7·rel − 3·SIM_SCALE·max_overlap
+MMR_PEN_W = 3
+MMR_SIM_SCALE = 1_000_000  # one shared-term overlap ≈ 0.1 quantized-BM25 units
+
+
+def q_mmr_topk(sf_dir: str) -> pa.Table:
+    """Maximal Marginal Relevance result diversification (Carbonell &
+    Goldstein, SIGIR 1998) over the exact BM25 pool — greedy re-ranking
+    that trades relevance against redundancy, all-integer so the oracle
+    hash-verifies: doc-doc similarity is the distinct-kept-term overlap
+    count, and the marginal value is
+
+        mmr_value = MMR_REL_W·score − MMR_PEN_W·MMR_SIM_SCALE·max_ov
+
+    where max_ov is the candidate's largest overlap with any already-
+    selected doc (0 at step 1). Ties break doc_id asc. The DuckDB
+    oracle unrolls the MMR_K greedy steps as chained MATERIALIZED CTEs
+    (the kcore/predictive unroll pattern).
+
+    Scale: the pool is engine-served (top-MMR_POOL per query, posting-
+    list-bound); the greedy is per-query O(K·POOL) over ≤POOL docs —
+    query-bound, never corpus-bound."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+    from candidategeneration_ray.state.queryengine import IndexReader, taat_topk
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    docs_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    all_ids = docs_t.column("doc_id").to_numpy().astype(np.int64)
+    order = np.argsort(all_ids, kind="stable")
+
+    qids, ranks, docs_out, scores_out, values_out = [], [], [], [], []
+    for qid, qtext in DOC_QUERIES:
+        pool = taat_topk(reader, reader.query_term_ids(qtext), MMR_POOL)
+        if not pool:
+            continue
+        p_scores = np.array([s for s, _ in pool], np.int64)
+        p_docs = np.array([d for _, d in pool], np.int64)
+        rows = order[np.searchsorted(all_ids[order], p_docs)]
+        texts = [docs_t.column("text")[int(i)].as_py() for i in rows]
+        term_sets = [set(t) for t in tokenize_many(texts)]
+        n = len(pool)
+        ov = np.zeros((n, n), np.int64)
+        for i in range(n):
+            for j in range(i + 1, n):
+                ov[i, j] = ov[j, i] = len(term_sets[i] & term_sets[j])
+        selected: list[int] = []
+        remaining = list(range(n))
+        for rank in range(1, min(MMR_K, n) + 1):
+            best_i, best_v = None, None
+            for i in remaining:
+                max_ov = max((int(ov[i, j]) for j in selected), default=0)
+                v = (MMR_REL_W * int(p_scores[i])
+                     - MMR_PEN_W * MMR_SIM_SCALE * max_ov)
+                # tie-break doc asc — remaining is doc-unordered, compare
+                if best_v is None or v > best_v or (
+                        v == best_v and p_docs[i] < p_docs[best_i]):
+                    best_i, best_v = i, v
+            selected.append(best_i)
+            remaining.remove(best_i)
+            qids.append(qid)
+            ranks.append(rank)
+            docs_out.append(int(p_docs[best_i]))
+            scores_out.append(int(p_scores[best_i]))
+            values_out.append(int(best_v))
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs_out, pa.int64()),
+        "score": pa.array(scores_out, pa.int64()),
+        "mmr_value": pa.array(values_out, pa.int64()),
+    })
+
+
 def q_maxscore_topk(sf_dir: str) -> pa.Table:
     """Exact BM25 top-10 per fixed query via DAAT MaxScore (Turtle &
     Flood 1995) instead of block-max WAND — the second classic

@@ -3302,6 +3302,92 @@ SELECT query_id, rank, doc_id, source, score FROM (
     }
 
 
+def mmr_oracles() -> dict[str, str]:
+    """MMR diversification: pool = bm25 top-MMR_POOL per query; sims =
+    pairwise distinct-kept-term overlaps inside each pool; the greedy
+    unrolls as MMR_K chained MATERIALIZED CTE steps (argmax of
+    REL_W·score − PEN_W·SIM_SCALE·max_ov over the remaining pool)."""
+    from candidategeneration_ray.pipelines.docquery import (
+        MMR_K, MMR_PEN_W, MMR_POOL, MMR_REL_W, MMR_SIM_SCALE)
+
+    steps = []
+    for n in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, doc_id FROM sel{i}" for i in range(1, n))
+        steps.append(f"""
+prev{n} AS ({prev}),
+cand{n} AS MATERIALIZED (
+  SELECT p.query_id, p.doc_id, p.score,
+         CAST({MMR_REL_W} * p.score
+              - {MMR_PEN_W} * {MMR_SIM_SCALE} * coalesce(max(s.ov), 0)
+           AS BIGINT) AS mmr_value
+  FROM pool p
+  JOIN prev{n} v ON v.query_id = p.query_id
+  LEFT JOIN sims s ON s.query_id = p.query_id
+                  AND s.da = p.doc_id AND s.db = v.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM prev{n} v2
+                    WHERE v2.query_id = p.query_id
+                      AND v2.doc_id = p.doc_id)
+  GROUP BY p.query_id, p.doc_id, p.score
+),
+sel{n} AS MATERIALIZED (
+  SELECT query_id, doc_id, score, mmr_value FROM (
+    SELECT cand{n}.*,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr_value DESC, doc_id ASC) AS rn
+    FROM cand{n}
+  ) WHERE rn = 1
+)""")
+        final = " UNION ALL ".join(
+            f"SELECT query_id, CAST({i} AS BIGINT) AS rank, doc_id, score, "
+            f"mmr_value FROM sel{i}" for i in range(1, MMR_K + 1))
+
+    return {
+        "mmr_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok)
+  GROUP BY q.query_id, s.doc_id
+),
+pool AS MATERIALIZED (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM qscores
+  ) WHERE rn <= {MMR_POOL}
+),
+kd AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM kept
+  WHERE doc_id IN (SELECT doc_id FROM pool)
+),
+sims AS MATERIALIZED (
+  SELECT pa.query_id, pa.doc_id AS da, pb.doc_id AS db,
+         CAST(count(*) AS BIGINT) AS ov
+  FROM pool pa
+  JOIN pool pb ON pb.query_id = pa.query_id AND pb.doc_id <> pa.doc_id
+  JOIN kd a ON a.doc_id = pa.doc_id
+  JOIN kd b ON b.doc_id = pb.doc_id AND b.tok = a.tok
+  GROUP BY pa.query_id, pa.doc_id, pb.doc_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, doc_id, score,
+         CAST({MMR_REL_W} * score AS BIGINT) AS mmr_value FROM (
+    SELECT pool.*,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+{','.join(steps)}
+SELECT query_id, rank, doc_id, score, mmr_value FROM ({final})
+""",
+    }
+
+
 def related_terms_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.docquery import RELATED_SEEDS
 

@@ -319,3 +319,45 @@ def test_collapse_topk_invariants(ray_session):
             best.setdefault(src_of[d], (s, d))
         for r in sub.itertuples():
             assert best[r.source] == (r.score, r.doc_id)
+
+
+def test_mmr_topk_greedy_invariants(ray_session):
+    """MMR at sf0.001: rank 1 equals the plain BM25 top-1, no doc
+    repeats, and every later pick maximizes the marginal value over the
+    remaining pool (recomputed brute-force per step with tokenize_text
+    term sets)."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.docquery import (
+        DOC_QUERIES, MMR_PEN_W, MMR_POOL, MMR_REL_W, MMR_SIM_SCALE,
+        build_documents_index, q_mmr_topk)
+    from candidategeneration_ray.state.queryengine import IndexReader, taat_topk
+
+    SF = "/root/testdata/sf0.001"
+    t = q_mmr_topk(SF).to_pandas()
+    assert not t.duplicated(["query_id", "doc_id"]).any()
+    built = build_documents_index(SF, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    text_of = dict(zip(docs.doc_id, docs.text))
+    for qid, qtext in DOC_QUERIES:
+        sub = t[t.query_id == qid].sort_values("rank")
+        if sub.empty:
+            continue
+        pool = taat_topk(reader, reader.query_term_ids(qtext), MMR_POOL)
+        assert (sub.iloc[0].doc_id, sub.iloc[0].score) == (pool[0][1], pool[0][0])
+        tsets = {d: set(tokenize_text(text_of[d])) for _, d in pool}
+        chosen = []
+        for r in sub.itertuples():
+            vals = {}
+            for s, d in pool:
+                if d in chosen:
+                    continue
+                mo = max((len(tsets[d] & tsets[c]) for c in chosen), default=0)
+                vals[d] = MMR_REL_W * s - MMR_PEN_W * MMR_SIM_SCALE * mo
+            best = min((d for d in vals if vals[d] == max(vals.values())))
+            assert (r.doc_id, r.mmr_value) == (best, vals[best])
+            chosen.append(r.doc_id)
