@@ -1011,7 +1011,7 @@ def test_zorder_scan_prunes_and_matches_bruteforce(ray_session, tmp_path):
     rects = [(40, 90, 19730, 19740), (0, 5, 19723, 19725),
              (140, 150, 19750, 19753), (0, 1000, 19000, 20000),
              (60, 61, 19735, 19736), (10, 12, 19800, 19900)]  # last empty
-    pruned_somewhere = False
+    sel_read, sel_total = 0, 0
     for ulo, uhi, dlo, dhi in rects:
         t, n_read, n_total = ev.zorder_scan(layout, ulo, uhi, dlo, dhi)
         sub = raw[(raw.user_id >= ulo) & (raw.user_id < uhi)
@@ -1021,10 +1021,16 @@ def test_zorder_scan_prunes_and_matches_bruteforce(ray_session, tmp_path):
         assert got_n == len(sub)
         assert got_c == int(sub["cents"].sum())
         if len(sub) and len(sub) < len(raw) // 4:
-            # selective rectangles must skip a majority of row groups
-            assert n_read < n_total // 2, (ulo, uhi, dlo, dhi, n_read, n_total)
-            pruned_somewhere = True
-    assert pruned_somewhere
+            # selective rectangles must skip row groups; the exact count
+            # depends on where the sort split files (boundary groups are
+            # partial), so the per-rect bound is loose (2/3) and the
+            # aggregate bound is the strict one (1/3 across all rects)
+            assert n_read * 3 < n_total * 2, (ulo, uhi, dlo, dhi,
+                                              n_read, n_total)
+            sel_read += n_read
+            sel_total += n_total
+    assert sel_total > 0
+    assert sel_read * 3 < sel_total, (sel_read, sel_total)
 
 
 def test_ewma_spend_recurrence(ray_session):
