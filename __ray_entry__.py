@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from candidategeneration_ray.pipelines import positional as ps
     from candidategeneration_ray.pipelines import textlm as tl
     from candidategeneration_ray.pipelines import lexicon as lx
+    from candidategeneration_ray.pipelines import impact as imp
 
     return {
         # --- core engine operators (SURVEY.md §2) ---
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maxscore_topk": dq.q_maxscore_topk,            # DAAT MaxScore, rank-identical
         "collapse_topk": dq.q_collapse_topk,            # field collapsing per source
         "mmr_topk": dq.q_mmr_topk,                      # MMR diversified re-ranking
+        "impact_topk": imp.q_impact_topk,               # quantized-impact SAAT serving
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
@@ -331,7 +333,7 @@ def oracle_sql() -> dict[str, str]:
         snapshot_diff_oracles,
         common_neighbor_oracles,
         bool_diff_oracles,
-        collapse_oracles, cube_oracles, mmr_oracles,
+        collapse_oracles, cube_oracles, impact_oracles, mmr_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -377,7 +379,7 @@ def oracle_sql() -> dict[str, str]:
             **tpch_joins2_oracles(), **pivot_oracles(),
             **topn_group_oracles(), **sequence_manifest_oracles(),
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
-            **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(),
+            **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(), **impact_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

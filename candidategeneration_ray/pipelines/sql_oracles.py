@@ -3388,6 +3388,41 @@ SELECT query_id, rank, doc_id, score, mmr_value FROM ({final})
     }
 
 
+def impact_oracles() -> dict[str, str]:
+    """Quantized-impact top-k: global uniform bins over the scores CTE
+    (all-integer, numerators non-negative so // matches the numpy
+    floor-div), summed per (query, doc), window-ranked."""
+    from candidategeneration_ray.pipelines.impact import IMPACT_Q, IMPACT_TOPK
+
+    return {
+        "impact_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+mm AS (SELECT min(score) AS mn, max(score) AS mx FROM scores),
+imp AS (
+  SELECT s.doc_id, s.tok,
+         CAST(1 + ((s.score - mm.mn) * {IMPACT_Q}) // (mm.mx - mm.mn + 1)
+           AS BIGINT) AS impact
+  FROM scores s, mm
+),
+qimp AS MATERIALIZED (
+  SELECT q.query_id, i.doc_id, CAST(sum(i.impact) AS BIGINT) AS impact_sum
+  FROM qtok q JOIN imp i USING (tok)
+  GROUP BY q.query_id, i.doc_id
+)
+SELECT query_id, rank, doc_id, impact_sum FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY impact_sum DESC, doc_id ASC)
+           AS BIGINT) AS rank,
+         doc_id, impact_sum
+  FROM qimp
+) WHERE rank <= {IMPACT_TOPK}
+""",
+    }
+
+
 def related_terms_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.docquery import RELATED_SEEDS
 
