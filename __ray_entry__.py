@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": dq.q_collapse_topk,            # field collapsing per source
         "mmr_topk": dq.q_mmr_topk,                      # MMR diversified re-ranking
         "impact_topk": imp.q_impact_topk,               # quantized-impact SAAT serving
+        "term_sharded_bm25_topk": dq.q_term_sharded_topk,  # term-partitioned fleet
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
@@ -407,4 +408,7 @@ def oracle_sql() -> dict[str, str]:
     # ingest-time percolation must equal index-side conjunctive AND —
     # same oracle, so the driver hash-checks plan equivalence
     d["percolate_matches"] = d["bool_and_docs"]
+    # the term-partitioned serving fleet must be rank-identical to the
+    # single engine — same oracle, hash-checks the distribution strategy
+    d["term_sharded_bm25_topk"] = d["bm25_topk"]
     return d

@@ -835,6 +835,37 @@ def q_maxscore_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def q_term_sharded_topk(sf_dir: str) -> pa.Table:
+    """Exact BM25 top-10 per fixed query served by the TERM-PARTITIONED
+    actor fleet (state/sharded.TermShardedQueryEngine): the vocabulary
+    splits by key-hash bucket across shards, each shard loads only its
+    buckets' segments and returns partial accumulations, the
+    coordinator sums. Same oracle as bm25_topk — the driver hash-checks
+    the distribution strategy itself."""
+    from candidategeneration_ray.state.sharded import TermShardedQueryEngine
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    fleet = TermShardedQueryEngine(built["final_dir"], built["stats"],
+                                   n_shards=4,
+                                   cfg=EngineConfig(emit_pairs=False))
+    try:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, text in DOC_QUERIES:
+            for rank, (s, d) in enumerate(fleet.topk(text, k=10)):
+                qids.append(qid)
+                ranks.append(rank + 1)
+                docs.append(d)
+                scores.append(s)
+    finally:
+        fleet.shutdown()
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
 def q_toplayer_prefixes(sf_dir: str, depth: int = 3) -> pa.Table:
     """Impact-ordered top-layer prefixes (O3/O4: the reference keeps the
     first `budget` postings of each impact-ordered list,

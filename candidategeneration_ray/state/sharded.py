@@ -83,3 +83,117 @@ class ShardedQueryEngine:
         for s in self.shards:
             ray.kill(s)
         self.shards = []
+
+
+# ------------------------------------------------ term-partitioned fleet
+
+@ray.remote(max_restarts=2, max_task_retries=2)
+class _TermShardActor:
+    """Owns a disjoint set of key-hash buckets: loads ONLY those
+    buckets' segments (predicate-pushdown read on the bucket column)
+    and answers per-query PARTIAL accumulations over the terms it
+    owns. BM25 totals are additive across terms, so partial (doc,
+    sum) vectors from disjoint term sets merge exactly by summing."""
+
+    def __init__(self, index_source, stats_ref, cfg: EngineConfig,
+                 buckets: list[int]):
+        from candidategeneration_ray.state.queryengine import IndexReader
+
+        self.buckets = set(buckets)
+        self.reader = IndexReader(index_source, stats_ref, cfg,
+                                  buckets=sorted(buckets))
+
+    def partial(self, term_ids: list[int]):
+        import numpy as np
+
+        docs_all, scores_all = [], []
+        for t in term_ids:
+            got = self.reader.get(int(t))
+            if got is not None:
+                docs_all.append(got[0])
+                scores_all.append(got[1].astype(np.int64))
+        if not docs_all:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        docs = np.concatenate(docs_all)
+        scores = np.concatenate(scores_all)
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        starts = np.concatenate(([0], np.nonzero(docs[1:] != docs[:-1])[0] + 1))
+        return (docs[starts], np.add.reduceat(scores, starts))
+
+    def ping(self) -> bool:
+        return True
+
+
+class TermShardedQueryEngine:
+    """Term-partitioned scatter-gather serving — the classic
+    counterpart of the doc-sharded fleet above (Moffat et al.,
+    "A pipelined architecture for distributed text query evaluation"):
+    the index splits BY KEY-HASH BUCKET, each shard holds whole posting
+    lists for its share of the vocabulary, a query fans out only to the
+    shards owning its terms, and the coordinator sums the disjoint
+    partial accumulations (exact — BM25 totals are additive over
+    terms). Trade-off vs doc-sharding: lists never split (skip
+    structures stay whole) but the network ships match-set-sized
+    partials instead of k-sized tops, and hot terms hot-spot their
+    shard — which is why the entry exists next to ShardedQueryEngine,
+    hash-verified against the same oracle."""
+
+    def __init__(self, index_source, stats: dict, n_shards: int = 4,
+                 cfg: EngineConfig | None = None):
+        import numpy as np
+
+        from candidategeneration_ray.stages.listbuild import bucket_of
+
+        self.cfg = cfg or EngineConfig()
+        self._bucket_of = bucket_of
+        stats_ref = ray.put(stats)
+        self.stats = stats
+        nb = self.cfg.num_buckets
+        self.n_shards = min(n_shards, nb)
+        owner = [list(range(s, nb, self.n_shards))
+                 for s in range(self.n_shards)]
+        self.shards = [
+            _TermShardActor.remote(index_source, stats_ref, self.cfg, bks)
+            for bks in owner
+        ]
+        ray.get([s.ping.remote() for s in self.shards])
+
+    def _shard_of(self, term_ids):
+        import numpy as np
+
+        b = self._bucket_of(np.asarray(term_ids, np.int64),
+                            self.cfg.num_buckets)
+        return b % self.n_shards
+
+    def topk(self, text: str, k: int | None = None) -> list[tuple[int, int]]:
+        import numpy as np
+
+        from candidategeneration_ray.functions.tokenize import tokenize_text
+
+        k = k or self.cfg.top_k
+        t2i = {t: i + 1 for i, t in enumerate(self.stats["terms"])}
+        ids = sorted({t2i[t] for t in tokenize_text(text) if t in t2i})
+        if not ids:
+            return []
+        sh = self._shard_of(ids)
+        futs = []
+        for s in range(self.n_shards):
+            owned = [ids[i] for i in range(len(ids)) if sh[i] == s]
+            if owned:
+                futs.append(self.shards[s].partial.remote(owned))
+        parts = ray.get(futs)
+        docs = np.concatenate([p[0] for p in parts])
+        sums = np.concatenate([p[1] for p in parts])
+        order = np.argsort(docs, kind="stable")
+        docs, sums = docs[order], sums[order]
+        starts = np.concatenate(([0], np.nonzero(docs[1:] != docs[:-1])[0] + 1))
+        uniq = docs[starts]
+        tot = np.add.reduceat(sums, starts)
+        top = np.lexsort((uniq, -tot))[:k]
+        return [(int(tot[i]), int(uniq[i])) for i in top]
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -4,6 +4,7 @@ single-engine path (and therefore to the oracle)."""
 import os
 
 import pytest
+import ray
 
 from candidategeneration_ray.pipelines.build import build_index
 from candidategeneration_ray.state.queryengine import QueryEngine
@@ -59,3 +60,42 @@ def test_shard_actor_restart_after_kill(ray_session, built_index):
         assert after == before and len(after) > 0
     finally:
         fleet.shutdown()
+
+
+class TestTermShardedServing:
+    @pytest.fixture(scope="class")
+    def term_fleet(self, ray_session, built_index):
+        from candidategeneration_ray.state.sharded import TermShardedQueryEngine
+
+        single = QueryEngine(built_index["final_dir"], built_index["stats"])
+        fleet = TermShardedQueryEngine(built_index["final_dir"],
+                                       built_index["stats"], n_shards=4)
+        yield single, fleet
+        fleet.shutdown()
+
+    @pytest.mark.parametrize("qtext", QUERIES)
+    def test_rank_identity_vs_single_engine(self, term_fleet, qtext):
+        single, fleet = term_fleet
+        assert fleet.topk(qtext, k=10) == single.topk(qtext, k=10), qtext
+
+    def test_various_k(self, term_fleet):
+        single, fleet = term_fleet
+        for k in (1, 5, 50, 1000):
+            assert fleet.topk("query index data", k=k) == \
+                single.topk("query index data", k=k)
+
+    def test_shards_load_disjoint_buckets(self, term_fleet):
+        """Every vocabulary key is served by exactly one shard (the
+        bucket partition is a partition)."""
+        import numpy as np
+
+        _, fleet = term_fleet
+        keys = [ray.get(s.partial.remote([])) for s in fleet.shards]
+        # ownership check via the reader key sets
+        import collections
+        seen = collections.Counter()
+        for s in fleet.shards:
+            ks = ray.get(s.__ray_call__.remote(
+                lambda self: self.reader.keys.tolist()))
+            seen.update(ks)
+        assert seen and max(seen.values()) == 1
