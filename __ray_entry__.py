@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_topk": dq.q_mmr_topk,                      # MMR diversified re-ranking
         "impact_topk": imp.q_impact_topk,               # quantized-impact SAAT serving
         "term_sharded_bm25_topk": dq.q_term_sharded_topk,  # term-partitioned fleet
+        "ltr_features": dq.q_ltr_features,              # LTR training-table export
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
@@ -334,7 +335,8 @@ def oracle_sql() -> dict[str, str]:
         snapshot_diff_oracles,
         common_neighbor_oracles,
         bool_diff_oracles,
-        collapse_oracles, cube_oracles, impact_oracles, mmr_oracles,
+        collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
+        mmr_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -380,7 +382,7 @@ def oracle_sql() -> dict[str, str]:
             **tpch_joins2_oracles(), **pivot_oracles(),
             **topn_group_oracles(), **sequence_manifest_oracles(),
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
-            **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(), **impact_oracles(),
+            **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(), **impact_oracles(), **ltr_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

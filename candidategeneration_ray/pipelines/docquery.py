@@ -835,6 +835,89 @@ def q_maxscore_topk(sf_dir: str) -> pa.Table:
     })
 
 
+LTR_POOL = 20
+
+
+def q_ltr_features(sf_dir: str) -> pa.Table:
+    """Learning-to-rank training-table export: for each fixed query's
+    exact BM25 top-LTR_POOL candidates, the classic integer feature
+    vector a downstream ranker trains on (the reference's quality-model
+    matrix is the same shape with engine-specific features,
+    NewQualityModel.java:148-195):
+
+        bm25       total quantized score
+        n_matched  distinct kept query terms present
+        sum_tf     Σ term frequency of matched terms
+        max_ts/min_ts  strongest / weakest matched per-term score
+        dl         kept-token length of the doc
+        min_df     rarest matched term's document frequency
+        n_chars    raw doc length (the static prior input)
+
+    Everything is integer, so the export hash-verifies. Scale: pool
+    docs per query are k-bounded; feature assembly touches only pool
+    docs' texts and the query terms' posting lists — query-bound,
+    never corpus-bound. At 100 TB the text fetch is the range-blocked
+    doc-store lookup (same pattern as the snippet extractor)."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+    from candidategeneration_ray.state.queryengine import IndexReader, taat_topk
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    stats = built["stats"]
+    docs_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "n_chars"])
+    all_ids = docs_t.column("doc_id").to_numpy().astype(np.int64)
+    order = np.argsort(all_ids, kind="stable")
+    nchars = docs_t.column("n_chars").to_numpy().astype(np.int64)
+
+    cols = {k: [] for k in ("query_id", "rank", "doc_id", "bm25",
+                            "n_matched", "sum_tf", "max_ts", "min_ts",
+                            "dl", "min_df", "n_chars")}
+    for qid, qtext in DOC_QUERIES:
+        tids = reader.query_term_ids(qtext)
+        pool = taat_topk(reader, tids, LTR_POOL)
+        if not pool:
+            continue
+        # per-term decoded list + df for the query's terms
+        tlists = {}
+        for tid in tids:
+            got = reader.get(tid)
+            if got is not None:
+                tlists[tid] = (got[0], got[1].astype(np.int64))
+        rows = order[np.searchsorted(all_ids[order], [d for _, d in pool])]
+        texts = [docs_t.column("text")[int(i)].as_py() for i in rows]
+        toks = tokenize_many(texts)
+        for rank, ((score, doc), row, tk) in enumerate(zip(pool, rows, toks)):
+            tf = {}
+            for t in tk:
+                tf[t] = tf.get(t, 0) + 1
+            matched_ts, matched_tf, matched_df = [], [], []
+            for tid in tids:
+                if tid not in tlists:
+                    continue
+                ld, ls = tlists[tid]
+                i = int(np.searchsorted(ld, doc))
+                if i < ld.size and int(ld[i]) == doc:
+                    matched_ts.append(int(ls[i]))
+                    term = stats["terms"][tid - 1]
+                    matched_tf.append(tf.get(term, 0))
+                    matched_df.append(int(stats["df_by_id"][tid]))
+            cols["query_id"].append(qid)
+            cols["rank"].append(rank + 1)
+            cols["doc_id"].append(int(doc))
+            cols["bm25"].append(int(score))
+            cols["n_matched"].append(len(matched_ts))
+            cols["sum_tf"].append(int(sum(matched_tf)))
+            cols["max_ts"].append(int(max(matched_ts)))
+            cols["min_ts"].append(int(min(matched_ts)))
+            cols["dl"].append(len(tk))
+            cols["min_df"].append(int(min(matched_df)))
+            cols["n_chars"].append(int(nchars[row]))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
+
 def q_term_sharded_topk(sf_dir: str) -> pa.Table:
     """Exact BM25 top-10 per fixed query served by the TERM-PARTITIONED
     actor fleet (state/sharded.TermShardedQueryEngine): the vocabulary

@@ -3423,6 +3423,54 @@ SELECT query_id, rank, doc_id, impact_sum FROM (
     }
 
 
+def ltr_oracles() -> dict[str, str]:
+    """LTR feature export: pool = bm25 top-LTR_POOL; features re-derived
+    from the shared tf/dl/dft/scores CTEs plus the documents prior."""
+    from candidategeneration_ray.pipelines.docquery import LTR_POOL
+
+    return {
+        "ltr_features": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok)
+  GROUP BY q.query_id, s.doc_id
+),
+pool AS MATERIALIZED (
+  SELECT query_id, rank, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC)
+             AS BIGINT) AS rank
+    FROM qscores
+  ) WHERE rank <= {LTR_POOL}
+),
+feat AS (
+  SELECT p.query_id, p.rank, p.doc_id, p.score AS bm25,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(t.tf) AS BIGINT) AS sum_tf,
+         CAST(max(s.score) AS BIGINT) AS max_ts,
+         CAST(min(s.score) AS BIGINT) AS min_ts,
+         CAST(min(d2.df) AS BIGINT) AS min_df
+  FROM pool p
+  JOIN qtok q ON q.query_id = p.query_id
+  JOIN tf t ON t.doc_id = p.doc_id AND t.tok = q.tok
+  JOIN scores s ON s.doc_id = p.doc_id AND s.tok = q.tok
+  JOIN dft d2 ON d2.tok = q.tok
+  GROUP BY p.query_id, p.rank, p.doc_id, p.score
+)
+SELECT f.query_id, f.rank, f.doc_id, f.bm25, f.n_matched, f.sum_tf,
+       f.max_ts, f.min_ts, CAST(dl.dl AS BIGINT) AS dl, f.min_df,
+       d.n_chars
+FROM feat f
+JOIN dl ON dl.doc_id = f.doc_id
+JOIN documents d ON d.doc_id = f.doc_id
+""",
+    }
+
+
 def related_terms_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.docquery import RELATED_SEEDS
 
