@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impact_topk": imp.q_impact_topk,               # quantized-impact SAAT serving
         "term_sharded_bm25_topk": dq.q_term_sharded_topk,  # term-partitioned fleet
         "ltr_features": dq.q_ltr_features,              # LTR training-table export
+        "asof_bm25_topk": dq.q_asof_bm25_topk,          # time-travel epoch serving
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
@@ -413,4 +414,12 @@ def oracle_sql() -> dict[str, str]:
     # the term-partitioned serving fleet must be rank-identical to the
     # single engine — same oracle, hash-checks the distribution strategy
     d["term_sharded_bm25_topk"] = d["bm25_topk"]
+    # time-travel: the bm25 oracle with `documents` rebound to the base
+    # ingestion half — an uncompacted ingest must leave the old epoch
+    # exactly servable
+    d["asof_bm25_topk"] = (
+        "WITH base_docs AS MATERIALIZED (SELECT * FROM documents "
+        "WHERE doc_id < (SELECT count(*) // 2 FROM documents)),\n"
+        + d["bm25_topk"].replace("documents", "base_docs")[len("WITH "):]
+    )
     return d

@@ -213,18 +213,19 @@ def q_pruned_list_lengths(sf_dir: str, max_postings: int = 50,
     })
 
 
-def _delta_index(sf_dir: str, cfg: EngineConfig) -> str:
+def _delta_index(sf_dir: str, cfg: EngineConfig, compact: bool = True) -> str:
     """Build (or reuse) the delta-exercising LSM index: the documents
     table split at the doc-id midpoint into base + delta ingestion
-    batches — full build, then update_index + compaction. Returns the
-    index out_dir."""
+    batches — full build, then update_index (+ compaction unless
+    `compact=False`, which keeps the base generation intact for
+    time-travel serving). Returns the index out_dir."""
     import pyarrow.parquet as pq
 
     from candidategeneration_ray.pipelines.build import build_index
     from candidategeneration_ray.pipelines.update import update_index
     from candidategeneration_ray.state import checkpoint as ckpt
 
-    root = _cache_dir(sf_dir, f"deltaidx-{cfg.index_tag()}")
+    root = _cache_dir(sf_dir, f"deltaidx{'' if compact else '-nc'}-{cfg.index_tag()}")
     out = os.path.join(root, "index")
     done = os.path.join(root, "DONE")
     if not os.path.exists(done):
@@ -250,7 +251,7 @@ def _delta_index(sf_dir: str, cfg: EngineConfig) -> str:
         pq.write_table(turns.filter(pc.less(tab.column("doc_id"), mid)), base_f)
         pq.write_table(turns.filter(pc.greater_equal(tab.column("doc_id"), mid)), delta_f)
         build_index([base_f], out, cfg)
-        update_index(out, [delta_f], cfg, compact=True)
+        update_index(out, [delta_f], cfg, compact=compact)
         with open(done, "w") as f:
             f.write("ok")
     return out
@@ -823,6 +824,42 @@ def q_maxscore_topk(sf_dir: str) -> pa.Table:
     for qid, text in DOC_QUERIES:
         for rank, (s, d) in enumerate(eng.topk(text, k=10,
                                                algorithm="maxscore")):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
+def q_asof_bm25_topk(sf_dir: str) -> pa.Table:
+    """Time-travel (AS OF) serving over the LSM index: after the delta
+    generation is ingested (UNcompacted), the base epoch stays exactly
+    servable — QueryEngine over the `final` dir alone, with the
+    post-update dictionary, must equal a fresh build over just the
+    base half. Works because (a) generations are separate segment dirs
+    until compaction, (b) scoring statistics are FROZEN at the base
+    epoch (the delta is scored under them, never the reverse) and
+    (c) dictionary extension appends ids, so base term ids are stable
+    and delta-only terms simply have no list in the base generation.
+
+    Oracle: the full bm25_topk SQL with `documents` rebound to the
+    base half (doc_id < n//2) — so the driver hash-checks that an
+    ingest leaves the old epoch bit-exactly readable."""
+    from candidategeneration_ray.pipelines.build import load_stats
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    cfg = EngineConfig(emit_pairs=False)
+    out = _delta_index(sf_dir, cfg, compact=False)
+    stats, _ = load_stats(out)
+    eng = QueryEngine(os.path.join(out, "final"), stats, cfg)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        for rank, (s, d) in enumerate(eng.topk(text, k=10)):
             qids.append(qid)
             ranks.append(rank + 1)
             docs.append(d)

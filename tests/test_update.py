@@ -743,3 +743,48 @@ def test_families_invalidate_and_rebuild_on_delta(split_corpus,
             assert got is None
         else:
             np.testing.assert_array_equal(got[0], want)
+
+
+def test_asof_serving_equals_fresh_base_build(ray_session, tmp_path):
+    """After an uncompacted delta ingest, serving the final dir alone
+    (AS OF the base epoch) is rank-identical to a fresh build over
+    just the base files — and the full serving view differs (the
+    delta really changed the corpus)."""
+    import os
+
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import (
+        serving_sources, update_index)
+    from candidategeneration_ray.sources.transcripts import write_transcripts
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    cfg = EngineConfig(emit_pairs=False)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.sources.transcripts import generate_transcripts
+
+    base_src = write_transcripts(str(tmp_path / "base"), num_convs=60, seed=3)
+    dtab = generate_transcripts(25, seed=9)
+    conv = pc.binary_join_element_wise(
+        "z", dtab.column("conv_id").cast(pa.string()), "")
+    dtab = dtab.set_column(dtab.schema.get_field_index("conv_id"), "conv_id",
+                           conv.cast(dtab.schema.field("conv_id").type))
+    os.makedirs(str(tmp_path / "delta"), exist_ok=True)
+    delta_src = str(tmp_path / "delta")
+    pq.write_table(dtab, os.path.join(delta_src, "d.parquet"))
+    out = str(tmp_path / "idx")
+    res = build_index(base_src, out, cfg)
+    fresh = QueryEngine(res["final_dir"], res["stats"], cfg)
+    want = {q: fresh.topk(q, k=10)
+            for q in ["query engine latency", "data index", "worker"]}
+    upd = update_index(out, delta_src, cfg, compact=False)
+    asof = QueryEngine(os.path.join(out, "final"), upd["stats"], cfg)
+    full = QueryEngine(serving_sources(out), upd["stats"], cfg)
+    diffs = 0
+    for q, w in want.items():
+        assert asof.topk(q, k=10) == w, q
+        diffs += full.topk(q, k=10) != w
+    assert diffs > 0
