@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_sharded_bm25_topk": dq.q_term_sharded_topk,  # term-partitioned fleet
         "ltr_features": dq.q_ltr_features,              # LTR training-table export
         "asof_bm25_topk": dq.q_asof_bm25_topk,          # time-travel epoch serving
+        "ndcg_eval": dq.q_ndcg_eval,                    # graded nDCG@10, integer LUT
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
@@ -337,7 +338,7 @@ def oracle_sql() -> dict[str, str]:
         common_neighbor_oracles,
         bool_diff_oracles,
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
-        mmr_oracles,
+        mmr_oracles, ndcg_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -384,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
             **topn_group_oracles(), **sequence_manifest_oracles(),
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
             **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(), **impact_oracles(), **ltr_oracles(),
+            **ndcg_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

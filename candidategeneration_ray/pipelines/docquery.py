@@ -872,6 +872,50 @@ def q_asof_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+NDCG_DISC_SCALE = 1 << 24
+
+
+def ndcg_discounts(k: int = 10) -> list[int]:
+    """Integer nDCG discount LUT: round(2^24 / log2(r+1)) for r=1..k.
+    Shared by the engine and (inlined as SQL VALUES) the oracle, so the
+    graded metric hash-verifies despite the irrational discount."""
+    import math
+
+    return [int(round(NDCG_DISC_SCALE / math.log2(r + 1)))
+            for r in range(1, k + 1)]
+
+
+def q_ndcg_eval(sf_dir: str) -> pa.Table:
+    """Graded nDCG@10 of the predictive candidate pipeline against the
+    exact BM25 top-10 as graded relevance (gain = 11 − exact rank):
+    per query the scaled integer DCG over the candidate ranking and the
+    ideal DCG over the relevance set. The float nDCG = dcg/idcg is the
+    caller's one division; keeping both sides integer keeps the oracle
+    hash-exact (the retrieval_eval composition pattern, deepened from
+    set-overlap to graded positions)."""
+    disc = ndcg_discounts(10)
+    cand = q_predictive_candidates(sf_dir)
+    rel = q_bm25_topk(sf_dir)
+    gain = {}
+    for r in rel.to_pylist():
+        gain[(r["query_id"], r["doc_id"])] = 11 - r["rank"]
+    idcg = {}
+    for r in rel.to_pylist():
+        q = r["query_id"]
+        idcg[q] = idcg.get(q, 0) + (11 - r["rank"]) * disc[r["rank"] - 1]
+    dcg = {q: 0 for q in idcg}
+    for c in cand.to_pylist():
+        q = c["query_id"]
+        if q in dcg and c["rank"] <= 10:
+            dcg[q] += gain.get((q, c["doc_id"]), 0) * disc[c["rank"] - 1]
+    qs = sorted(q for q in dcg)
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "dcg_scaled": pa.array([dcg[q] for q in qs], pa.int64()),
+        "idcg_scaled": pa.array([idcg[q] for q in qs], pa.int64()),
+    })
+
+
 LTR_POOL = 20
 
 

@@ -3471,6 +3471,45 @@ JOIN documents d ON d.doc_id = f.doc_id
     }
 
 
+def ndcg_oracles() -> dict[str, str]:
+    """Graded nDCG@10 composition oracle: candidate + relevance oracle
+    SQL verbatim as derived tables, the shared integer discount LUT as
+    VALUES (gain = 11 − exact rank; ideal ranking IS the relevance
+    ranking, so IDCG sums gains in rank order)."""
+    from candidategeneration_ray.pipelines.docquery import ndcg_discounts
+
+    bm25 = core_oracles()["bm25_topk"]
+    cand = predictive_oracles()["predictive_candidates"]
+    disc_rows = ", ".join(f"({r + 1}, {w})"
+                          for r, w in enumerate(ndcg_discounts(10)))
+    return {
+        "ndcg_eval": f"""
+WITH cand AS ({cand}),
+rel AS ({bm25}),
+disc(r, w) AS (VALUES {disc_rows}),
+dcg AS (
+  SELECT c.query_id,
+         CAST(sum(coalesce(11 - r.rank, 0) * d.w) AS BIGINT) AS dcg_scaled
+  FROM cand c
+  JOIN disc d ON d.r = c.rank
+  LEFT JOIN rel r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+  WHERE c.rank <= 10
+  GROUP BY c.query_id
+),
+idcg AS (
+  SELECT r.query_id,
+         CAST(sum((11 - r.rank) * d.w) AS BIGINT) AS idcg_scaled
+  FROM rel r JOIN disc d ON d.r = r.rank
+  GROUP BY r.query_id
+)
+SELECT CAST(i.query_id AS BIGINT) AS query_id,
+       CAST(coalesce(d.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+       i.idcg_scaled
+FROM idcg i LEFT JOIN dcg d USING (query_id)
+""",
+    }
+
+
 def related_terms_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.docquery import RELATED_SEEDS
 
