@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_index_top5": dq.q_hit_index_top5,          # HIT index family build
         "phrase_postings": ps.q_phrase_postings,        # positional family: exact phrase
         "proximity_docs": ps.q_proximity_docs,          # all terms within a W-window
+        "ordered_window_docs": ps.q_ordered_window_docs,  # in-order #odW retrieval
         # LSM twin: base+delta compacted family must equal the
         # full-corpus phrase oracle (phrase semantics are epoch-free)
         "phrase_delta_postings": ps.q_phrase_delta_postings,
@@ -338,7 +339,7 @@ def oracle_sql() -> dict[str, str]:
         common_neighbor_oracles,
         bool_diff_oracles,
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
-        mmr_oracles, ndcg_oracles,
+        mmr_oracles, ndcg_oracles, ordered_window_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -385,7 +386,7 @@ def oracle_sql() -> dict[str, str]:
             **topn_group_oracles(), **sequence_manifest_oracles(),
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
             **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(), **impact_oracles(), **ltr_oracles(),
-            **ndcg_oracles(),
+            **ndcg_oracles(), **ordered_window_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

@@ -999,3 +999,84 @@ def q_rrf_fusion(sf_dir: str, k: int = RRF_TOPK, c: int = RRF_C,
         "doc_id": pa.array(out_d, pa.int64()),
         "rrf_micro": pa.array(out_s, pa.int64()),
     })
+
+
+# --------------------------------------------- ordered-window retrieval
+
+# Ordered-window (#odW, the INQUERY/Indri operator): terms must appear
+# IN QUERY ORDER with every adjacent gap in (0, OW_W]. A match anchors
+# at a t1 position whose greedy chain succeeds; greedy-leftmost (next
+# term's MINIMUM position in the window) is feasibility-optimal — the
+# earliest choice maximizes the remaining slack — so "exists a chain"
+# equals "the greedy chain succeeds", which is what both the engine and
+# the SQL oracle compute (the oracle chains one min-aggregate CTE per
+# step).
+OW_W = 4
+OW_QUERIES: list[tuple[int, str]] = [
+    (0, "query join"),
+    (1, "customer window merge"),
+    (2, "stream filter hash"),
+    (3, "table scan"),
+    (4, "data query"),
+    (5, "zzzq table"),       # unmapped term → no rows
+]
+
+
+@ray.remote
+def _ordered_window_task(dirs: list[str], query_id: int, tids: list[int],
+                         window: int, num_buckets: int) -> pa.Table:
+    """One ordered-window query over the packed positional arrays: the
+    chain advances all anchors at once (one searchsorted per step;
+    doc-crossing impossible because pos + window stays inside the
+    POS_BITS field)."""
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "n_matches": pa.array([], pa.int64()),
+    })
+    packed = _packed_positions(dirs, sorted(set(tids)), num_buckets)
+    if any(tid not in packed for tid in tids):
+        return empty
+    anchors = packed[tids[0]]
+    cur = anchors
+    for tid in tids[1:]:
+        p = packed[tid]
+        if p.size == 0:
+            return empty
+        idx = np.searchsorted(p, cur + 1)
+        safe = np.minimum(idx, p.size - 1)
+        ok = (idx < p.size) & (p[safe] <= cur + window)
+        anchors, cur = anchors[ok], p[safe[ok]]
+        if anchors.size == 0:
+            return empty
+    d, n = np.unique(anchors >> POS_BITS, return_counts=True)
+    return pa.table({
+        "query_id": pa.array(np.full(d.size, query_id, np.int64), pa.int64()),
+        "doc_id": pa.array(d, pa.int64()),
+        "n_matches": pa.array(n.astype(np.int64), pa.int64()),
+    })
+
+
+def q_ordered_window_docs(sf_dir: str, window: int = OW_W,
+                          queries: list[tuple[int, str]] | None = None
+                          ) -> pa.Table:
+    """Ordered-window retrieval from the persisted positional family:
+    (query_id, doc_id, n_matches) where n_matches counts the t1
+    anchors whose in-order chain (adjacent gaps in (0, window])
+    completes. One Ray task per query, bucket/key-pruned reads."""
+    cfg = EngineConfig()
+    fam = build_positional_family(sf_dir, cfg)
+    stats = fam["stats"]
+    dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
+    futs = []
+    for qid, text in (queries or OW_QUERIES):
+        tids = phrase_term_ids(stats, text)
+        if tids is None:
+            continue
+        futs.append(_ordered_window_task.remote(
+            dirs, qid, tids, window, cfg.num_buckets))
+    return _gather_sorted(futs, pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+    }), [("query_id", "ascending"), ("doc_id", "ascending")])

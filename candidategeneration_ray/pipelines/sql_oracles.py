@@ -2526,6 +2526,44 @@ WITH {KEPT_CTE}
     }
 
 
+def ordered_window_oracles() -> dict[str, str]:
+    """Ordered-window (#odW) re-derived in SQL: one min-aggregate CTE
+    per chain step (greedy-leftmost next position — feasibility-optimal,
+    so it equals exists-a-chain), n_matches counts surviving anchors."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.positional import OW_QUERIES, OW_W
+
+    ctes, parts = [], []
+    for qid, text in OW_QUERIES:
+        toks = tokenize_text(text)
+        if not toks:
+            continue
+        ctes.append(
+            f"q{qid}_c1 AS (SELECT doc_id, kpos AS anchor, kpos AS cur "
+            f"FROM kept WHERE tok = '{toks[0]}')")
+        for i, t in enumerate(toks[1:], start=2):
+            ctes.append(
+                f"q{qid}_c{i} AS (SELECT a.doc_id, a.anchor, "
+                f"min(b.kpos) AS cur "
+                f"FROM q{qid}_c{i - 1} a JOIN kept b "
+                f"ON b.doc_id = a.doc_id AND b.tok = '{t}' "
+                f"AND b.kpos > a.cur AND b.kpos <= a.cur + {OW_W} "
+                f"GROUP BY a.doc_id, a.anchor)")
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, "
+            f"CAST(doc_id AS BIGINT) AS doc_id, "
+            f"CAST(count(*) AS BIGINT) AS n_matches "
+            f"FROM q{qid}_c{len(toks)} GROUP BY doc_id")
+    union = "\nUNION ALL\n".join(parts)
+    return {
+        "ordered_window_docs": f"""
+WITH {KEPT_CTE},
+{','.join(ctes)}
+{union}
+""",
+    }
+
+
 def kmeans_ari_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
 

@@ -533,3 +533,53 @@ class TestPositionalLsmMultiDelta:
         got = TestPositionalLsm._serve(
             ps.family_serving_dirs(root), u2["stats"], phrases)
         assert got == want
+
+
+def test_ordered_window_brute_force(ray_session):
+    """Ordered-window matches a per-doc brute-force chain scan at
+    sf0.001 (greedy-leftmost == exists-a-chain), and order matters:
+    'data query' and 'query data' yield different result sets."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+    from candidategeneration_ray.pipelines.positional import (
+        OW_QUERIES, OW_W, q_ordered_window_docs)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_ordered_window_docs(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = dict(zip(docs.doc_id, tokenize_many(list(docs.text))))
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+
+    want = {}
+    for qid, text in OW_QUERIES:
+        terms = tokenize_text(text)
+        if not terms:
+            continue
+        for doc_id, tk in toks.items():
+            pos = {}
+            for i, t in enumerate(tk):
+                pos.setdefault(t, []).append(i)
+            if any(t not in pos for t in terms):
+                continue
+            n = 0
+            for a in pos[terms[0]]:
+                cur, alive = a, True
+                for t in terms[1:]:
+                    import bisect
+                    nxt = bisect.bisect_right(pos[t], cur)
+                    if nxt < len(pos[t]) and pos[t][nxt] <= cur + OW_W:
+                        cur = pos[t][nxt]
+                    else:
+                        alive = False
+                        break
+                n += alive
+            if n:
+                want[(qid, doc_id)] = n
+    have = {(int(r.query_id), int(r.doc_id)): int(r.n_matches)
+            for r in got.itertuples()}
+    assert have == want
+    a = q_ordered_window_docs(sf, queries=[(0, "data query")]).to_pandas()
+    b = q_ordered_window_docs(sf, queries=[(0, "query data")]).to_pandas()
+    assert not a.equals(b)
