@@ -191,6 +191,13 @@ def run_bench() -> dict:
     from candidategeneration_ray.pipelines import relational as rl
     from candidategeneration_ray.pipelines import textlm as tl
 
+    def _imp():
+        from candidategeneration_ray.pipelines import impact as m
+        return m
+
+    def _tl():
+        return tl
+
     per_query["delta_update_10pct"] = round(update_sec, 3)
     per_query["tombstone_delete_serve"] = round(delete_serve_sec, 3)
     per_query["delete_compaction"] = round(compact_sec, 3)
@@ -250,6 +257,14 @@ def run_bench() -> dict:
         ("shortest_paths", cb.q_shortest_paths),        # weighted BFS
         ("source_similarity", ex.q_source_similarity),  # dataset MinHash
         ("delta_dedup", ex.q_delta_dedup),              # new-vs-base dedup
+        # session-10 additions (appended — earlier keys stay comparable)
+        ("maxscore_topk", dq.q_maxscore_topk),          # DAAT MaxScore serving
+        ("impact_topk", _imp().q_impact_topk),          # quantized SAAT family
+        ("percolate_matches",
+         lambda sf: _tl().q_percolate_matches(sf).materialize()),  # reverse search
+        ("mmr_topk", dq.q_mmr_topk),                    # diversified re-rank
+        ("ltr_features", dq.q_ltr_features),            # feature export
+        ("ordered_window_docs", ps.q_ordered_window_docs),  # #odW positional
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)
