@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_features": dq.q_ltr_features,              # LTR training-table export
         "asof_bm25_topk": dq.q_asof_bm25_topk,          # time-travel epoch serving
         "ndcg_eval": dq.q_ndcg_eval,                    # graded nDCG@10, integer LUT
+        "search_after_topk": dq.q_search_after_topk,    # cursor pagination (page 2)
         "toplayer_prefixes": dq.q_toplayer_prefixes,    # O3/O4 impact-ordered top layer
         "bigram_union_lists": dq.q_bigram_union_lists,  # O5 bigram list construction
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
@@ -417,6 +418,9 @@ def oracle_sql() -> dict[str, str]:
     # the term-partitioned serving fleet must be rank-identical to the
     # single engine — same oracle, hash-checks the distribution strategy
     d["term_sharded_bm25_topk"] = d["bm25_topk"]
+    # cursor pagination: page 2 = the same ranking window, ranks 11..20
+    d["search_after_topk"] = d["bm25_topk"].replace(
+        "WHERE rank <= 10", "WHERE rank BETWEEN 11 AND 20")
     # time-travel: the bm25 oracle with `documents` rebound to the base
     # ingestion half — an uncompacted ingest must leave the old epoch
     # exactly servable

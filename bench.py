@@ -147,6 +147,25 @@ def run_bench() -> dict:
                         concurrency=(1, max(2, NUM_CPUS // 4))).count()
     query_sec = time.time() - t1
 
+    # interactive (single-request) serving latency: one in-process
+    # engine, 8 reps over the query mix, p50/p95 in ms
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    eng = QueryEngine(res["final_dir"], res["stats"])
+    lat = []
+    for _ in range(8):
+        for _, t in enumerate(["query engine latency", "data",
+                               "index worker shard", "model kernel vector",
+                               "rareterma data cluster",
+                               "agenting batching caching",
+                               "1003 1007 shard"]):
+            tq = time.time()
+            eng.topk(t, k=10)
+            lat.append((time.time() - tq) * 1000)
+    lat.sort()
+    lat_p50 = round(lat[len(lat) // 2], 2)
+    lat_p95 = round(lat[int(len(lat) * 0.95)], 2)
+
     # incremental update: ingest a +10% delta through update_index
     # (frozen-epoch LSM generation — no full rebuild) and serve over
     # [final, gen] to include the multi-generation read path
@@ -288,6 +307,8 @@ def run_bench() -> dict:
         "build_trials": trials,
         "query_serving_sec": round(query_sec, 3),
         "query_rows": n_out,
+        "serve_latency_ms_p50": lat_p50,
+        "serve_latency_ms_p95": lat_p95,
         "delta_update_sec": round(update_sec, 3),
         "delta_docs": delta_docs,
         "delta_turns_per_sec": round(delta_docs / update_sec, 1),

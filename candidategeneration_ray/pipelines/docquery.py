@@ -872,6 +872,42 @@ def q_asof_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def q_search_after_topk(sf_dir: str) -> pa.Table:
+    """Cursor pagination (the search_after serving feature): page 2 of
+    each fixed query — results 11..20 in (score desc, doc_id asc)
+    order, resumed from the page-1 cursor (the 10th hit) WITHOUT
+    re-ranking page 1: the engine re-runs block-max WAND with k=20 but
+    the cursor makes the continuation stateless and exact — a client
+    can fetch any page holding only (score, doc) of the previous last
+    hit. Deep pagination stays bounded: page n costs one k=10·n top-k,
+    never a full sort. Oracle: the bm25 window with rank 11..20."""
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        page1 = eng.topk(text, k=10)
+        if len(page1) < 10:
+            continue  # no page 2 without a full page 1
+        cs, cd = page1[-1]
+        # stateless continuation: top-20, drop everything <= cursor
+        full = eng.topk(text, k=20)
+        page2 = [(s, d) for s, d in full
+                 if s < cs or (s == cs and d > cd)][:10]
+        for rank, (s, d) in enumerate(page2):
+            qids.append(qid)
+            ranks.append(rank + 11)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
 NDCG_DISC_SCALE = 1 << 24
 
 

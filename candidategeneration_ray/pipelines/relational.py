@@ -2172,6 +2172,13 @@ def q_volume_shipping(sf_dir: str) -> pa.Table:
         .groupby(["snat", "cnat", "l_year"])
         .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
     ).to_pandas()
+    if agg.empty:  # tiny corpora can produce no qualifying pairs
+        return pa.table({
+            "supp_nation": pa.array([], pa.string()),
+            "cust_nation": pa.array([], pa.string()),
+            "l_year": pa.array([], pa.int64()),
+            "revenue_milli": pa.array([], pa.int64()),
+        })
     key2name = {int(k): str(n) for k, n in zip(nk, nnames)}
     agg["supp_nation"] = agg["snat"].map(key2name)
     agg["cust_nation"] = agg["cnat"].map(key2name)
