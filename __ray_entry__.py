@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings": dq.q_term_postings,            # M7+M8+O1/O2 list build
         "unigram_list_lengths": dq.q_unigram_list_lengths,  # A4 list lengths
         "postings_bytes": dq.q_postings_bytes,  # on-disk codec accounting
+        "postings_bytes_bp": dq.q_postings_bytes_bp,  # binary-packing codec comparison
         "pruned_list_lengths": dq.q_pruned_list_lengths,    # O3 build-time pruning
         "delta_update_lists": dq.q_delta_update_lists,      # incremental (LSM) update
         "delta_hit_top5": dq.q_delta_hit_top5,              # HIT family rebuilt after a delta
@@ -341,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         bool_diff_oracles,
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
         mmr_oracles, ndcg_oracles, ordered_window_oracles,
+        postings_bytes_bp_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -388,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
             **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(), **impact_oracles(), **ltr_oracles(),
             **ndcg_oracles(), **ordered_window_oracles(),
+            **postings_bytes_bp_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

@@ -631,6 +631,55 @@ def q_postings_bytes(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(_sizes, batch_format="pyarrow")
 
 
+def q_postings_bytes_bp(sf_dir: str) -> ray.data.Dataset:
+    """Codec comparison over the PERSISTED index: per unigram term the
+    production delta+varint doc-array size next to what the
+    binary-packing codec (functions/bitpack, BP128 layout) would cost.
+    Each list round-trips through encode_bp/decode_bp inside the scan
+    (a corrupted packing would fail loudly, not just mis-size), and the
+    oracle recomputes BOTH sizes analytically — so the entry
+    hash-checks the bit layout of a codec the index doesn't even serve
+    yet. Shape: dataset-side scan of segment files; decode + re-encode
+    is per-row vectorized numpy."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    from candidategeneration_ray.functions.bitpack import decode_bp, encode_bp
+    from candidategeneration_ray.functions.varint import decode_delta
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    terms = np.asarray(built["stats"]["terms"], dtype=object)
+    terms_ref = ray.put(terms)
+    files = sorted(_glob.glob(
+        os.path.join(built["final_dir"], "**", "*.parquet"), recursive=True))
+
+    def _sizes(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy()
+        m = key < (1 << 32)
+        t = batch.filter(pa.array(m))
+        ids = t.column("key").to_numpy().astype(np.int64)
+        names = ray.get(terms_ref)[ids - 1]
+        bp_bytes = np.empty(t.num_rows, np.int64)
+        for row in range(t.num_rows):
+            blob = t.column("docs")[row].as_py()
+            docs = decode_delta(blob)
+            b = encode_bp(docs)
+            if not np.array_equal(decode_bp(b, docs.size), docs):
+                raise ValueError(f"bp roundtrip mismatch on key {ids[row]}")
+            bp_bytes[row] = len(b)
+        return pa.table({
+            "term": pa.array(names.tolist(), pa.string()),
+            "n": t.column("n").cast(pa.int64()),
+            "docs_bytes": pc.binary_length(t.column("docs")).cast(pa.int64()),
+            "docs_bytes_bp": pa.array(bp_bytes, pa.int64()),
+        })
+
+    return ray.data.read_parquet(
+        files, columns=["key", "n", "docs"]
+    ).map_batches(_sizes, batch_format="pyarrow")
+
+
 def q_access_counts(sf_dir: str) -> pa.Table:
     """#queries containing each term (A5, Metadata.java:153-169), over
     terms that exist in the corpus dictionary."""

@@ -3305,6 +3305,50 @@ FROM g GROUP BY tok
     }
 
 
+def postings_bytes_bp_oracles() -> dict[str, str]:
+    """Analytic model of the binary-packing codec (functions/bitpack):
+    gaps in 128-wide blocks, one width byte per block (width =
+    length(bin(max_gap)), 0 for all-zero blocks), every block —
+    including a short last one, which the encoder zero-pads — costs
+    (128·w + 7)//8 payload bytes. The varint accounting (size_case)
+    rides along so the entry IS the codec comparison."""
+    size_case = ("CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 "
+                 "WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 "
+                 "ELSE 5 END")
+    return {
+        "postings_bytes_bp": f"""
+WITH {KEPT_CTE},
+dt AS (SELECT DISTINCT doc_id, tok FROM kept),
+g AS (
+  SELECT tok,
+         row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok
+                                             ORDER BY doc_id), 0) AS gap
+  FROM dt
+),
+vb AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({size_case}) AS BIGINT) AS docs_bytes
+  FROM g GROUP BY tok
+),
+blk AS (
+  SELECT tok, (rn - 1) // 128 AS b, max(gap) AS mg
+  FROM g GROUP BY tok, (rn - 1) // 128
+),
+bp AS (
+  SELECT tok,
+         CAST(count(*)
+              + sum((128 * (CASE WHEN mg = 0 THEN 0
+                            ELSE length(bin(mg)) END) + 7) // 8)
+           AS BIGINT) AS docs_bytes_bp
+  FROM blk GROUP BY tok
+)
+SELECT vb.tok AS term, vb.n, vb.docs_bytes, bp.docs_bytes_bp
+FROM vb JOIN bp USING (tok)
+""",
+    }
+
+
 def collapse_oracles() -> dict[str, str]:
     """Field collapsing: the bm25 qscores CTE joined to each doc's
     source; rn=1 per (query, source) keeps the best doc per source,

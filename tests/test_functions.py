@@ -130,3 +130,66 @@ class TestPairs:
         a = doc_pair_keys(np.array([1, 2, 3]), 5)
         b = doc_pair_keys(np.array([1, 2, 3]), 2)
         assert np.array_equal(a, b)
+
+
+class TestBitpackCodec:
+    def test_roundtrip_random(self):
+        import numpy as np
+
+        from candidategeneration_ray.functions.bitpack import (
+            bp_size, decode_bp, encode_bp)
+
+        rng = np.random.default_rng(11)
+        for _ in range(150):
+            n = int(rng.integers(0, 600))
+            v = np.sort(rng.integers(
+                0, 1 << int(rng.integers(1, 50)), size=n).astype(np.uint64))
+            b = encode_bp(v)
+            assert len(b) == bp_size(v)
+            assert np.array_equal(decode_bp(b, n), v)
+
+    def test_edge_shapes(self):
+        import numpy as np
+
+        from candidategeneration_ray.functions.bitpack import (
+            decode_bp, encode_bp)
+
+        # zero gaps (all-equal), single value, exact block boundary,
+        # width-1 blocks next to wide blocks
+        for v in [np.full(300, 2 ** 52, np.uint64),
+                  np.array([7], np.uint64),
+                  np.arange(256, dtype=np.uint64),
+                  np.concatenate((np.arange(128, dtype=np.uint64),
+                                  np.array([1 << 40], np.uint64)))]:
+            assert np.array_equal(decode_bp(encode_bp(v), v.size), v)
+
+    def test_corrupt_length_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from candidategeneration_ray.functions.bitpack import (
+            decode_bp, encode_bp)
+
+        b = encode_bp(np.arange(10, dtype=np.uint64))
+        with _pytest.raises(ValueError):
+            decode_bp(b[:-1], 10)
+
+    def test_hypothesis_matches_varint_values(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from candidategeneration_ray.functions.bitpack import (
+            decode_bp, encode_bp)
+        from candidategeneration_ray.functions.varint import (
+            decode_delta, encode_delta)
+
+        @given(st.lists(st.integers(min_value=0, max_value=1 << 48),
+                        max_size=400))
+        @settings(max_examples=60, deadline=None)
+        def check(xs):
+            v = np.sort(np.asarray(xs, np.uint64))
+            assert np.array_equal(decode_bp(encode_bp(v), v.size),
+                                  decode_delta(encode_delta(v)))
+
+        check()
