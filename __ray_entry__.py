@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_counts": dq.q_access_counts,            # A5 access map
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
         "maxscore_topk": dq.q_maxscore_topk,            # DAAT MaxScore, rank-identical
+        "bm25_topk_bp": dq.q_bm25_topk_bp,              # binary-packed index serving
         "collapse_topk": dq.q_collapse_topk,            # field collapsing per source
         "mmr_topk": dq.q_mmr_topk,                      # MMR diversified re-ranking
         "impact_topk": imp.q_impact_topk,               # quantized-impact SAAT serving
@@ -424,6 +425,10 @@ def oracle_sql() -> dict[str, str]:
     # cursor pagination: page 2 = the same ranking window, ranks 11..20
     d["search_after_topk"] = d["bm25_topk"].replace(
         "WHERE rank <= 10", "WHERE rank BETWEEN 11 AND 20")
+    # an index stored under the binary-packing codec must serve the
+    # exact same ranking — same oracle, hash-checks codec losslessness
+    # through the full build+serve path
+    d["bm25_topk_bp"] = d["bm25_topk"]
     # time-travel: the bm25 oracle with `documents` rebound to the base
     # ingestion half — an uncompacted ingest must leave the old epoch
     # exactly servable

@@ -64,6 +64,11 @@ class EngineConfig:
     # hot-term list size (~TB/list at 10^12 turns) at scale.
     max_list_postings: int | None = None
     unconditional_prefix: int = 100
+    # Doc-array codec for FINAL posting lists: "varint" (delta+LEB128,
+    # the production default) or "bp" (binary packing, functions/bitpack
+    # — ~2.4x smaller on dense lists, grouped encode loops per key).
+    # Emission partial rows stay varint (transient exchange format).
+    codec: str = "varint"
     # Optional query-driven key pruning (the reference "filter sets",
     # Metadata.java:92-151, applied at emission InvertedIndex.java:291,374):
     # when set on the emitter (via emit_postings(filter_ref=...)), only
@@ -86,6 +91,8 @@ class EngineConfig:
         if self.max_list_postings is not None and \
                 self.max_list_postings < self.unconditional_prefix:
             raise ValueError("max_list_postings must be >= unconditional_prefix")
+        if self.codec not in ("varint", "bp"):
+            raise ValueError(f"unknown codec {self.codec!r}")
 
     def index_tag(self) -> str:
         """Digest of FORMAT_VERSION + every field that changes the
@@ -104,7 +111,7 @@ class EngineConfig:
             self.quantization, self.block_size, self.num_buckets,
             self.emit_unigrams, self.emit_pairs, self.partial_lists,
             self.pairs_per_doc_cap, self.max_list_postings,
-            self.unconditional_prefix,
+            self.unconditional_prefix, self.codec,
         )
         return hashlib.sha256(repr(fields).encode()).hexdigest()[:12]
 

@@ -503,13 +503,14 @@ def _merge_bucket_task(part_files: list[list[str]], bucket: int,
     if not tables:
         return 0
     tab = pa.concat_tables(tables).combine_chunks()
-    docs_data, _ = binary_column_concat(tab.column("docs"))
+    docs_data, docs_off = binary_column_concat(tab.column("docs"))
     scores_data, _ = binary_column_concat(tab.column("scores"))
     merged = merge_partial_lists(
         tab.column("key").to_numpy().astype(np.int64),
         tab.column("n").to_numpy().astype(np.int64),
         docs_data, scores_data, cfg, bucket,
         tombstones=tombstones,
+        src_codec=cfg.codec, docs_off=docs_off,
     )
     tmp = os.path.join(final_dir, f".bucket-{bucket:05d}.tmp")
     _pq.write_table(merged, tmp)

@@ -859,6 +859,33 @@ def q_mmr_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def q_bm25_topk_bp(sf_dir: str) -> pa.Table:
+    """Exact BM25 top-10 served from an index BUILT AND STORED under the
+    binary-packing codec (EngineConfig(codec="bp") — functions/bitpack
+    doc arrays end-to-end: bucket build, merge, decode). Same oracle as
+    bm25_topk, so the driver hash-checks that the codec swap is
+    lossless through the full build+serve path, not just in codec unit
+    tests."""
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    cfg = EngineConfig(emit_pairs=False, codec="bp")
+    built = build_documents_index(sf_dir, cfg)
+    eng = QueryEngine(built["final_dir"], built["stats"], cfg)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        for rank, (s, d) in enumerate(eng.topk(text, k=10)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
 def q_maxscore_topk(sf_dir: str) -> pa.Table:
     """Exact BM25 top-10 per fixed query via DAAT MaxScore (Turtle &
     Flood 1995) instead of block-max WAND — the second classic

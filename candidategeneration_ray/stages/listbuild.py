@@ -105,7 +105,7 @@ def build_lists_for_bucket(
     bucket: int,
 ) -> pa.Table:
     """Vectorized list build over one bucket's postings."""
-    from candidategeneration_ray.functions.varint import encode_delta
+    from candidategeneration_ray.functions.codecs import encode_docs
 
     order = np.lexsort((doc_ids, keys))
     keys = keys[order]
@@ -132,7 +132,7 @@ def build_lists_for_bucket(
     for s, e in zip(starts, ends):
         d = doc_ids[s:e]
         sc = scores[s:e]
-        out["docs"].append(encode_delta(d))
+        out["docs"].append(encode_docs(d, cfg.codec))
         out["scores"].append(sc.astype("<i4").tobytes())
         nb = (d.size + bs - 1) // bs
         bm = np.empty(nb, dtype=np.int32)
@@ -161,6 +161,8 @@ def merge_partial_lists(
     cfg: EngineConfig,
     bucket: int,
     tombstones: tuple[np.ndarray, np.ndarray] | None = None,
+    src_codec: str = "varint",
+    docs_off: np.ndarray | None = None,
 ) -> pa.Table:
     """Merge per-batch partial-list rows (one per (key, batch)) into
     final lists, fully vectorized across the whole bucket:
@@ -170,21 +172,26 @@ def merge_partial_lists(
       3. grouped re-encode (encode_delta_grouped) + reduceat block
          metadata — no per-key numpy-call overhead.
 
+    `src_codec`/`docs_off`: codec of the INPUT rows (emission partials
+    are always varint; final/generation rows carry cfg.codec, whose bp
+    form needs the per-row byte offsets). Output encodes cfg.codec.
+
     `tombstones` = (starts, ends) sorted disjoint deleted doc-id ranges
     (pipelines.update.delete_docs): tombstoned postings are dropped
     BEFORE pruning/encode, so compaction physically removes deleted
     docs and keys left empty vanish from the segment.
     """
     from candidategeneration_ray.functions.arrowutil import binary_array_from_concat
-    from candidategeneration_ray.functions.varint import (
-        decode_delta_concat, encode_delta_grouped_concat,
+    from candidategeneration_ray.functions.codecs import (
+        decode_docs_concat, encode_docs_grouped_concat,
     )
 
     ns = np.asarray(ns, dtype=np.int64)
     # 1. bulk-decode every partial row in input order (docs_bin /
     # scores_bin arrive as ONE contiguous payload + offsets — zero-copy
     # views of the Arrow data buffers)
-    flat_docs_u, row_off = decode_delta_concat(docs_bin, ns)
+    flat_docs_u, row_off = decode_docs_concat(docs_bin, ns, src_codec,
+                                              byte_offsets=docs_off)
     flat_docs = flat_docs_u.astype(np.int64)
     flat_scores = np.frombuffer(scores_bin, dtype="<i4") if isinstance(scores_bin, (bytes, bytearray)) \
         else np.ascontiguousarray(scores_bin, dtype=np.uint8).view("<i4")
@@ -220,7 +227,7 @@ def merge_partial_lists(
     out_n = ends - starts
 
     # 3a. grouped re-encode, again buffer-oriented
-    dbuf, doff = encode_delta_grouped_concat(docs, starts, ends)
+    dbuf, doff = encode_docs_grouped_concat(docs, starts, ends, cfg.codec)
     out_docs = binary_array_from_concat(dbuf, doff)
     value_off = np.concatenate((starts, [pk.size])).astype(np.int64)
     out_scores = binary_array_from_concat(

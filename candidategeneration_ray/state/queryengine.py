@@ -81,9 +81,10 @@ class _Generation:
     """One segment family's sorted-key view (a full index, or one LSM
     delta generation from pipelines.update.update_index)."""
 
-    __slots__ = ("keys", "order", "docs", "scores", "bmax", "blast", "n")
+    __slots__ = ("keys", "order", "docs", "scores", "bmax", "blast", "n",
+                 "codec")
 
-    def __init__(self, table: pa.Table):
+    def __init__(self, table: pa.Table, codec: str = "varint"):
         raw = table.column("key").to_numpy()
         self.order = np.argsort(raw, kind="stable")
         self.keys = raw[self.order]
@@ -97,6 +98,7 @@ class _Generation:
         self.bmax = table.column("block_max")
         self.blast = table.column("block_last")
         self.n = table.column("n").to_numpy()[self.order]
+        self.codec = codec
 
     def find(self, key: int) -> int:
         """Sorted position of `key` or -1."""
@@ -106,8 +108,11 @@ class _Generation:
         return i
 
     def decode(self, i: int):
+        from candidategeneration_ray.functions.codecs import decode_docs
+
         row = int(self.order[i])
-        docs = decode_delta(self.docs[row].as_py()).astype(np.int64)
+        docs = decode_docs(self.docs[row].as_py(),
+                           int(self.n[i]), self.codec).astype(np.int64)
         scores = np.frombuffer(self.scores[row].as_py(), dtype="<i4")
         bmax = np.asarray(self.bmax[row].as_py(), dtype=np.int32)
         blast = np.asarray(self.blast[row].as_py(), dtype=np.int64)
@@ -192,7 +197,8 @@ class IndexReader:
             table = _load_segment_table(s, buckets)
             if table is None or table.num_rows == 0:
                 continue  # a generation may be empty in the selected buckets
-            self._gens.append(_Generation(table.combine_chunks()))
+            self._gens.append(_Generation(table.combine_chunks(),
+                                           codec=self.cfg.codec))
         if not self._gens:
             raise ValueError(f"no index segments found in {source!r}")
         if len(self._gens) == 1:
