@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_bm25_topk": ps.q_phrase_bm25_topk,      # match-then-rank: phrase + BM25
         "snippets": ps.q_snippets,                      # KWIC snippet extraction
         "rrf_fusion": ps.q_rrf_fusion,                  # reciprocal-rank fusion
+        "sdm_topk": ps.q_sdm_topk,                      # sequential dependence model
         # --- lexicon / search-frontend features ---
         "prefix_terms": lx.q_prefix_terms,              # wildcard/autocomplete scan
         "fuzzy_terms": lx.q_fuzzy_terms,                # ed<=1 "did you mean"
@@ -343,7 +344,7 @@ def oracle_sql() -> dict[str, str]:
         bool_diff_oracles,
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
         mmr_oracles, ndcg_oracles, ordered_window_oracles,
-        postings_bytes_bp_oracles,
+        postings_bytes_bp_oracles, sdm_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -391,7 +392,7 @@ def oracle_sql() -> dict[str, str]:
             **snapshot_diff_oracles(), **common_neighbor_oracles(),
             **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(), **impact_oracles(), **ltr_oracles(),
             **ndcg_oracles(), **ordered_window_oracles(),
-            **postings_bytes_bp_oracles(),
+            **postings_bytes_bp_oracles(), **sdm_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

@@ -1080,3 +1080,112 @@ def q_ordered_window_docs(sf_dir: str, window: int = OW_W,
             "doc_id": pa.array([], pa.int64()),
             "n_matches": pa.array([], pa.int64()),
     }), [("query_id", "ascending"), ("doc_id", "ascending")])
+
+
+# ------------------------------------- sequential dependence model (SDM)
+
+# Integer-weight analog of Metzler & Croft's SDM (SIGIR 2005): per
+# query, the ranking evidence combines the unigram BM25 total with
+# ordered-bigram (#od1 — adjacent occurrence) and unordered-window
+# (#uw8 — co-occurrence within SDM_UW tokens) counts over each ADJACENT
+# distinct query-term pair:
+#
+#   sdm = SDM_W_T·bm25 + SDM_W_O·SDM_SCALE·od + SDM_W_U·SDM_SCALE·uw
+#
+# (classic λ = 0.85/0.10/0.05 becomes 17/2/1 at a fixed count scale —
+# deterministic integers so the oracle hash-verifies). Serves from TWO
+# persisted families at once: the main BM25 index and the positional
+# family's packed position arrays.
+SDM_W_T = 17
+SDM_W_O = 2
+SDM_W_U = 1
+SDM_SCALE = 1_000_000
+SDM_UW = 8
+
+
+def _pair_counts(pa_pos: np.ndarray, pb_pos: np.ndarray):
+    """(docs, od, uw) for one (a, b) term pair from packed position
+    arrays: od = #{p in a : b at p+1}; uw = #{(p, q): q of b,
+    0 < |q − p| < SDM_UW}, windows clamped at the doc's low boundary
+    (packed pos −7 could borrow into the doc bits; pos +8 cannot
+    overflow — the emitter caps doc length 64 below the field)."""
+    if pa_pos.size == 0 or pb_pos.size == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    od_hit = np.searchsorted(pb_pos, pa_pos + 1)
+    od = (od_hit < pb_pos.size) & (pb_pos[np.minimum(od_hit, pb_pos.size - 1)]
+                                   == pa_pos + 1)
+    base = (pa_pos >> np.uint64(POS_BITS)) << np.uint64(POS_BITS)
+    lo = np.maximum(pa_pos - np.uint64(SDM_UW - 1), base)
+    hi = pa_pos + np.uint64(SDM_UW)
+    cnt = (np.searchsorted(pb_pos, hi) - np.searchsorted(pb_pos, lo))
+    # drop a==p self-match only when the arrays are the same term;
+    # callers never pass equal terms, but b may hold a position == p
+    # only if a == b, so no exclusion needed here.
+    docs_a = (pa_pos >> np.uint64(POS_BITS)).astype(np.int64)
+    d, inv = np.unique(docs_a, return_inverse=True)
+    od_per = np.zeros(d.size, np.int64)
+    np.add.at(od_per, inv, od.astype(np.int64))
+    uw_per = np.zeros(d.size, np.int64)
+    np.add.at(uw_per, inv, cnt.astype(np.int64))
+    return d, od_per, uw_per
+
+
+def q_sdm_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """SDM top-k per fixed DOC_QUERIES query: BM25 totals from the main
+    index (TAAT over the match set), od/uw pair counts from the
+    positional family (bucket/key-pruned packed reads), combined with
+    the fixed integer weights; order (sdm desc, doc asc). Work is
+    posting-list-bound per query on both families."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.docquery import (
+        DOC_QUERIES, build_documents_index)
+    from candidategeneration_ray.state.queryengine import IndexReader, taat_topk
+
+    cfg = EngineConfig()
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    fam = build_positional_family(sf_dir, cfg)
+    dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
+    stats = fam["stats"]
+    t2i = {t: i + 1 for i, t in enumerate(stats["terms"])}
+
+    qids, ranks, docs_out, sdm_out = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        hits = taat_topk(reader, reader.query_term_ids(text), 1 << 60)
+        if not hits:
+            continue
+        h_docs = np.array([d for _, d in hits], np.int64)
+        h_bm25 = np.array([s for s, _ in hits], np.int64)
+        order = np.argsort(h_docs, kind="stable")
+        h_docs, h_bm25 = h_docs[order], h_bm25[order]
+        sdm = SDM_W_T * h_bm25
+        toks = tokenize_text(text)
+        pairs = [(a, b) for a, b in zip(toks, toks[1:])
+                 if a != b and a in t2i and b in t2i]
+        if pairs:
+            need = sorted({t2i[t] for p in pairs for t in p})
+            packed = _packed_positions(dirs, need, cfg.num_buckets)
+            for a, b in pairs:
+                pa_pos = packed.get(t2i[a])
+                pb_pos = packed.get(t2i[b])
+                if pa_pos is None or pb_pos is None:
+                    continue
+                d, od, uw = _pair_counts(pa_pos, pb_pos)
+                idx = np.searchsorted(h_docs, d)
+                ok = (idx < h_docs.size) & (h_docs[np.minimum(
+                    idx, h_docs.size - 1)] == d)
+                sdm[idx[ok]] += (SDM_W_O * SDM_SCALE * od[ok]
+                                 + SDM_W_U * SDM_SCALE * uw[ok])
+        top = np.lexsort((h_docs, -sdm))[:k]
+        for r, i in enumerate(top):
+            qids.append(qid)
+            ranks.append(r + 1)
+            docs_out.append(int(h_docs[i]))
+            sdm_out.append(int(sdm[i]))
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs_out, pa.int64()),
+        "sdm_score": pa.array(sdm_out, pa.int64()),
+    })

@@ -2564,6 +2564,67 @@ WITH {KEPT_CTE},
     }
 
 
+def sdm_oracles() -> dict[str, str]:
+    """SDM re-derived in SQL: bm25 totals from the shared qscores CTE;
+    per adjacent query-term pair one ordered (#od1: kpos+1 equality)
+    and one unordered (#uw8: |Δkpos| < SDM_UW) count CTE; integer
+    weights identical to the engine constants."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.docquery import DOC_QUERIES
+    from candidategeneration_ray.pipelines.positional import (
+        SDM_SCALE, SDM_UW, SDM_W_O, SDM_W_T, SDM_W_U)
+
+    ctes, parts = [], []
+    for qid, text in DOC_QUERIES:
+        toks = tokenize_text(text)
+        pairs = [(a, b) for a, b in zip(toks, toks[1:]) if a != b]
+        terms = []
+        for j, (a, b) in enumerate(pairs):
+            ctes.append(
+                f"od{qid}_{j} AS (SELECT ka.doc_id, CAST(count(*) AS BIGINT)"
+                f" AS c FROM kept ka JOIN kept kb ON kb.doc_id = ka.doc_id"
+                f" AND kb.tok = '{b}' AND kb.kpos = ka.kpos + 1"
+                f" WHERE ka.tok = '{a}' GROUP BY ka.doc_id)")
+            ctes.append(
+                f"uw{qid}_{j} AS (SELECT ka.doc_id, CAST(count(*) AS BIGINT)"
+                f" AS c FROM kept ka JOIN kept kb ON kb.doc_id = ka.doc_id"
+                f" AND kb.tok = '{b}' AND abs(kb.kpos - ka.kpos) < {SDM_UW}"
+                f" WHERE ka.tok = '{a}' GROUP BY ka.doc_id)")
+            terms.append(
+                f"+ {SDM_W_O * SDM_SCALE} * coalesce(od{qid}_{j}.c, 0) "
+                f"+ {SDM_W_U * SDM_SCALE} * coalesce(uw{qid}_{j}.c, 0)")
+        joins = "".join(
+            f" LEFT JOIN od{qid}_{j} ON od{qid}_{j}.doc_id = q.doc_id"
+            f" LEFT JOIN uw{qid}_{j} ON uw{qid}_{j}.doc_id = q.doc_id"
+            for j in range(len(pairs)))
+        expr = f"{SDM_W_T} * q.score " + " ".join(terms)
+        parts.append(f"""
+SELECT query_id, rank, doc_id, sdm_score FROM (
+  SELECT CAST({qid} AS BIGINT) AS query_id,
+         CAST(row_number() OVER (ORDER BY sdm DESC, doc_id ASC)
+           AS BIGINT) AS rank,
+         doc_id, CAST(sdm AS BIGINT) AS sdm_score
+  FROM (SELECT q.doc_id, {expr} AS sdm
+        FROM qscores q{joins}
+        WHERE q.query_id = {qid})
+) WHERE rank <= 10""")
+    union = "\nUNION ALL\n".join(parts)
+    return {
+        "sdm_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok)
+  GROUP BY q.query_id, s.doc_id
+),
+{','.join(ctes)}
+{union}
+""",
+    }
+
+
 def kmeans_ari_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
 
