@@ -571,3 +571,124 @@ def q_bitmap_query_counts(sf_dir: str) -> ray.data.Dataset:
             .groupby("wbucket").map_groups(_count, batch_format="pyarrow")
             .groupby("query")
             .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+# ------------------------------------------- boolean query compiler
+
+# Grammar:  expr := term | (expr) | expr AND expr | expr OR expr |
+#                   expr AND NOT expr       (NOT only in AND context —
+# a bare NOT would be a corpus-wide complement, the standard engine
+# restriction). ONE parser builds the AST; TWO backends evaluate it:
+# the engine lowers to sorted-doc-array set algebra over the persisted
+# posting lists (AND = intersect1d, OR = union1d, AND NOT =
+# setdiff1d), the oracle lowers the SAME AST to a SQL boolean over
+# EXISTS subqueries — so the driver hash-checks the compiler, not just
+# one evaluation.
+BOOL_QUERIES: list[tuple[int, str]] = [
+    (0, "query AND (engine OR index)"),
+    (1, "(data OR stream) AND NOT filter"),
+    (2, "table AND hash AND NOT (join OR merge)"),
+    (3, "vector OR (kernel AND model)"),
+    (4, "query AND zzzqqq"),          # unknown term → empty
+    (5, "(scan OR zzzqqq) AND table"),
+]
+
+
+def parse_bool_query(text: str):
+    """Recursive-descent parser → nested AST of
+    ("term", t) / ("and", l, r) / ("or", l, r) / ("andnot", l, r)."""
+    toks = text.replace("(", " ( ").replace(")", " ) ").split()
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def eat(t=None):
+        v = toks[pos[0]]
+        if t is not None and v != t:
+            raise ValueError(f"expected {t}, got {v!r}")
+        pos[0] += 1
+        return v
+
+    def atom():
+        if peek() == "(":
+            eat("(")
+            e = expr()
+            eat(")")
+            return e
+        w = eat()
+        if w in ("AND", "OR", "NOT", ")"):
+            raise ValueError(f"unexpected {w!r}")
+        return ("term", w.lower())
+
+    def expr():
+        left = atom()
+        while peek() in ("AND", "OR"):
+            op = eat()
+            if op == "AND" and peek() == "NOT":
+                eat("NOT")
+                left = ("andnot", left, atom())
+            elif op == "AND":
+                left = ("and", left, atom())
+            else:
+                left = ("or", left, atom())
+        return left
+
+    e = expr()
+    if pos[0] != len(toks):
+        raise ValueError(f"trailing tokens: {toks[pos[0]:]}")
+    return e
+
+
+def bool_ast_to_sql(ast) -> str:
+    """Lower the AST to a SQL boolean over EXISTS probes of `kept`
+    (correlated on d.doc_id)."""
+    kind = ast[0]
+    if kind == "term":
+        return ("EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = d.doc_id "
+                f"AND k.tok = '{ast[1]}')")
+    l, r = bool_ast_to_sql(ast[1]), bool_ast_to_sql(ast[2])
+    if kind == "and":
+        return f"({l} AND {r})"
+    if kind == "or":
+        return f"({l} OR {r})"
+    return f"({l} AND NOT {r})"
+
+
+def q_boolean_query_docs(sf_dir: str,
+                         queries: list[tuple[int, str]] | None = None
+                         ) -> pa.Table:
+    """Boolean retrieval for the fixed BOOL_QUERIES set from the
+    persisted index: (query_id, doc_id) for every matching doc.
+    Set algebra over decoded doc arrays is list-bound per query;
+    AND NOT never complements the corpus (grammar-enforced)."""
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    t2i = {t: i + 1 for i, t in enumerate(built["stats"]["terms"])}
+    empty = np.empty(0, np.int64)
+
+    def docs_of(ast) -> np.ndarray:
+        kind = ast[0]
+        if kind == "term":
+            tid = t2i.get(ast[1])
+            got = reader.get(tid) if tid else None
+            return got[0].astype(np.int64) if got is not None else empty
+        l, r = docs_of(ast[1]), docs_of(ast[2])
+        if kind == "and":
+            return np.intersect1d(l, r, assume_unique=True)
+        if kind == "or":
+            return np.union1d(l, r)
+        return np.setdiff1d(l, r, assume_unique=True)
+
+    qids, docs_out = [], []
+    for qid, text in (queries or BOOL_QUERIES):
+        d = docs_of(parse_bool_query(text))
+        qids.extend([qid] * d.size)
+        docs_out.extend(d.tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs_out, pa.int64()),
+    })

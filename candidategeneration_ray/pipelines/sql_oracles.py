@@ -2625,6 +2625,28 @@ qscores AS MATERIALIZED (
     }
 
 
+def boolean_query_oracles() -> dict[str, str]:
+    """The boolean compiler's SQL backend: the SAME parser/AST the
+    engine evaluates over posting lists lowers here to a boolean over
+    EXISTS probes per query, unioned."""
+    from candidategeneration_ray.pipelines.lexicon import (
+        BOOL_QUERIES, bool_ast_to_sql, parse_bool_query)
+
+    parts = []
+    for qid, text in BOOL_QUERIES:
+        pred = bool_ast_to_sql(parse_bool_query(text))
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, d.doc_id "
+            f"FROM documents d WHERE {pred}")
+    union = "\nUNION ALL\n".join(parts)
+    return {
+        "boolean_query_docs": f"""
+WITH {KEPT_CTE}
+{union}
+""",
+    }
+
+
 def kmeans_ari_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
 

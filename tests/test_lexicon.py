@@ -194,3 +194,51 @@ def test_bitmap_popcount_words():
 
     a = np.array([0, 1, 0xFFFFFFFF, 0b1010], np.int64)
     assert _popcount_words(a) == 0 + 1 + 32 + 2
+
+
+class TestBooleanCompiler:
+    def test_parser_shapes_and_errors(self):
+        import pytest as _pytest
+
+        from candidategeneration_ray.pipelines.lexicon import parse_bool_query
+
+        assert parse_bool_query("a") == ("term", "a")
+        assert parse_bool_query("a AND b OR c") == (
+            "or", ("and", ("term", "a"), ("term", "b")), ("term", "c"))
+        assert parse_bool_query("a AND NOT (b OR c)") == (
+            "andnot", ("term", "a"),
+            ("or", ("term", "b"), ("term", "c")))
+        for bad in ["", "AND a", "a AND", "(a", "a b", "a )"]:
+            with _pytest.raises((ValueError, IndexError)):
+                parse_bool_query(bad)
+
+    def test_matches_bruteforce(self, ray_session):
+        """Engine evaluation equals a per-doc python evaluation of the
+        same AST over tokenized texts at sf0.001."""
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.functions.tokenize import tokenize_many
+        from candidategeneration_ray.pipelines.lexicon import (
+            BOOL_QUERIES, parse_bool_query, q_boolean_query_docs)
+
+        sf = "/root/testdata/sf0.001"
+        got = q_boolean_query_docs(sf).to_pandas()
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        tsets = dict(zip(docs.doc_id,
+                         (set(t) for t in tokenize_many(list(docs.text)))))
+
+        def ev(ast, s):
+            k = ast[0]
+            if k == "term":
+                return ast[1] in s
+            if k == "and":
+                return ev(ast[1], s) and ev(ast[2], s)
+            if k == "or":
+                return ev(ast[1], s) or ev(ast[2], s)
+            return ev(ast[1], s) and not ev(ast[2], s)
+
+        want = {(qid, int(d)) for qid, text in BOOL_QUERIES
+                for d, s in tsets.items() if ev(parse_bool_query(text), s)}
+        have = {(int(r.query_id), int(r.doc_id)) for r in got.itertuples()}
+        assert have == want
