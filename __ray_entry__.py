@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_or_docs": lx.q_bool_or_docs,              # m-of-k disjunctive retrieval
         "bool_diff_docs": lx.q_bool_diff_docs,          # AND-NOT set difference
         "boolean_query_docs": lx.q_boolean_query_docs,  # boolean compiler, 2 backends
+        "wildcard_docs": lx.q_wildcard_docs,            # wildcard term retrieval
         "facet_counts": lx.q_facet_counts,              # faceted result counts
         "substring_docs": lx.q_substring_docs,          # trigram-filtered grep
         "bitmap_index": lx.q_bitmap_index,              # per-value bitset words
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
         mmr_oracles, ndcg_oracles, ordered_window_oracles,
         boolean_query_oracles, postings_bytes_bp_oracles, sdm_oracles,
+        wildcard_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -394,7 +396,7 @@ def oracle_sql() -> dict[str, str]:
             **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(), **impact_oracles(), **ltr_oracles(),
             **ndcg_oracles(), **ordered_window_oracles(),
             **postings_bytes_bp_oracles(), **sdm_oracles(),
-            **boolean_query_oracles(),
+            **boolean_query_oracles(), **wildcard_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

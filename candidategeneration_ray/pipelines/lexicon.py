@@ -692,3 +692,55 @@ def q_boolean_query_docs(sf_dir: str,
         "query_id": pa.array(qids, pa.int64()),
         "doc_id": pa.array(docs_out, pa.int64()),
     })
+
+
+# --------------------------------------------------- wildcard queries
+
+# Fixed wildcard patterns ('*' = any run, the Lucene WildcardQuery
+# shape): leading, trailing, middle and double wildcards, plus a
+# no-match pattern. Resolution is the standard two-step: scan the
+# DICTIONARY for matching terms (dictionary-scale, one vectorized
+# regex pass; the blocked-stats path is the >memory variant), then
+# union the matched terms' posting lists from the persisted index.
+WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (0, "qu*"),
+    (1, "*er"),
+    (2, "s*n"),
+    (3, "*ta*"),
+    (4, "zz*qq"),     # no dictionary match → no rows
+]
+
+
+def q_wildcard_docs(sf_dir: str,
+                    patterns: list[tuple[int, str]] | None = None
+                    ) -> pa.Table:
+    """(pattern_id, doc_id) for docs containing ANY term matching each
+    wildcard pattern. Work = dictionary regex scan + matched lists'
+    bytes; doc sets union via np (lists are sorted)."""
+    import re
+
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    terms = np.asarray(built["stats"]["terms"], dtype=object)
+    qids, docs_out = [], []
+    for qid, pat in (patterns or WILDCARD_QUERIES):
+        rx = re.compile("^" + ".*".join(re.escape(p)
+                                        for p in pat.split("*")) + "$")
+        hit_ids = [i + 1 for i, t in enumerate(terms) if rx.match(t)]
+        pools = []
+        for tid in hit_ids:
+            got = reader.get(int(tid))
+            if got is not None:
+                pools.append(got[0].astype(np.int64))
+        if not pools:
+            continue
+        d = np.unique(np.concatenate(pools))
+        qids.extend([qid] * d.size)
+        docs_out.extend(d.tolist())
+    return pa.table({
+        "pattern_id": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs_out, pa.int64()),
+    })

@@ -2647,6 +2647,27 @@ WITH {KEPT_CTE}
     }
 
 
+def wildcard_oracles() -> dict[str, str]:
+    """Wildcard retrieval as SQL LIKE over the kept tokens ('*'→'%'),
+    distinct doc per pattern."""
+    from candidategeneration_ray.pipelines.lexicon import WILDCARD_QUERIES
+
+    parts = []
+    for qid, pat in WILDCARD_QUERIES:
+        like = pat.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS pattern_id, doc_id "
+            f"FROM kept WHERE tok LIKE '{like}' ESCAPE '\\'")
+    union = "\nUNION ALL\n".join(
+        f"SELECT DISTINCT * FROM ({p})" for p in parts)
+    return {
+        "wildcard_docs": f"""
+WITH {KEPT_CTE}
+{union}
+""",
+    }
+
+
 def kmeans_ari_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
 
