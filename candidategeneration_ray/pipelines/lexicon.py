@@ -744,3 +744,64 @@ def q_wildcard_docs(sf_dir: str,
         "pattern_id": pa.array(qids, pa.int64()),
         "doc_id": pa.array(docs_out, pa.int64()),
     })
+
+
+# ------------------------------------------ query correction + rescore
+
+# "Did you mean" end-to-end: every query term corrects to the
+# (edit-distance asc, df desc, term asc)-best dictionary term within
+# Levenshtein distance 1 (an in-dictionary term corrects to itself at
+# ed 0; an uncorrectable term drops), then the CORRECTED query serves
+# exact BM25 top-10. The oracle replays the correction with DuckDB
+# levenshtein() and the shared scores CTE, so the composition
+# (correct → retrieve → rank) hash-verifies end-to-end.
+CORR_QUERIES: list[tuple[int, str]] = [
+    (0, "qery engine latency"),
+    (1, "dta index worke"),
+    (2, "tible scann"),
+    (3, "vectr kernel"),
+    (4, "zzzzxq data"),      # uncorrectable first term drops
+]
+
+
+def q_corrected_bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """(query_id, rank, doc_id, score) after per-term spelling
+    correction. Correction here scans the broadcast dictionary per
+    query word (dictionary-scale); the SymSpell deletion-neighborhood
+    machinery above (q_fuzzy_terms) is the >memory / high-QPS path."""
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.state.queryengine import IndexReader, taat_topk
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    stats = built["stats"]
+    terms = np.asarray(stats["terms"], dtype=object)
+    df = stats["df_by_id"]
+
+    def correct(word: str) -> str | None:
+        best = None  # (ed, -df, term)
+        for i, t in enumerate(terms):
+            d = _edit_distance_le1(word, str(t))
+            if d is None:
+                continue
+            key = (d, -int(df[i + 1]), str(t))
+            if best is None or key < best:
+                best = key
+        return best[2] if best else None
+
+    qids, ranks, docs_out, scores_out = [], [], [], []
+    for qid, text in CORR_QUERIES:
+        corrected = sorted({c for w in tokenize_text(text)
+                            for c in [correct(w)] if c is not None})
+        tids = [i + 1 for i, t in enumerate(terms) if str(t) in corrected]
+        for rank, (s, d) in enumerate(taat_topk(reader, tids, k)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs_out.append(d)
+            scores_out.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs_out, pa.int64()),
+        "score": pa.array(scores_out, pa.int64()),
+    })

@@ -2647,6 +2647,47 @@ WITH {KEPT_CTE}
     }
 
 
+def corrected_query_oracles() -> dict[str, str]:
+    """Correction + rescore replayed in SQL: per query word one
+    (levenshtein asc, df desc, tok asc) LIMIT 1 probe of the
+    dictionary CTE; corrected DISTINCT terms join the shared scores
+    CTE; window rank takes the top-10."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.lexicon import CORR_QUERIES
+
+    ctes, parts = [], []
+    for qid, text in CORR_QUERIES:
+        words = tokenize_text(text)
+        sub = "\nUNION ALL\n".join(
+            f"(SELECT tok FROM dic WHERE levenshtein(tok, '{w}') <= 1 "
+            f"ORDER BY levenshtein(tok, '{w}') ASC, df DESC, tok ASC "
+            f"LIMIT 1)" for w in words)
+        ctes.append(f"corr{qid} AS (SELECT DISTINCT tok FROM ({sub}))")
+        parts.append(f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT CAST({qid} AS BIGINT) AS query_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           AS BIGINT) AS rank,
+         doc_id, score
+  FROM (SELECT s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+        FROM corr{qid} c JOIN scores s USING (tok)
+        GROUP BY s.doc_id)
+) WHERE rank <= 10""")
+    union = "\nUNION ALL\n".join(parts)
+    return {
+        "corrected_bm25_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+dic AS MATERIALIZED (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY tok
+),
+{','.join(ctes)}
+{union}
+""",
+    }
+
+
 def wildcard_oracles() -> dict[str, str]:
     """Wildcard retrieval as SQL LIKE over the kept tokens ('*'→'%'),
     distinct doc per pattern."""
