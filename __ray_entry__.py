@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_query_docs": lx.q_boolean_query_docs,  # boolean compiler, 2 backends
         "wildcard_docs": lx.q_wildcard_docs,            # wildcard term retrieval
         "corrected_bm25_topk": lx.q_corrected_bm25_topk,  # did-you-mean + rescore
+        "synonym_bm25_topk": lx.q_synonym_bm25_topk,    # per-group max blending
         "facet_counts": lx.q_facet_counts,              # faceted result counts
         "substring_docs": lx.q_substring_docs,          # trigram-filtered grep
         "bitmap_index": lx.q_bitmap_index,              # per-value bitset words
@@ -348,7 +349,7 @@ def oracle_sql() -> dict[str, str]:
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
         mmr_oracles, ndcg_oracles, ordered_window_oracles,
         boolean_query_oracles, postings_bytes_bp_oracles, sdm_oracles,
-        corrected_query_oracles, wildcard_oracles,
+        corrected_query_oracles, synonym_oracles, wildcard_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -398,7 +399,7 @@ def oracle_sql() -> dict[str, str]:
             **ndcg_oracles(), **ordered_window_oracles(),
             **postings_bytes_bp_oracles(), **sdm_oracles(),
             **boolean_query_oracles(), **wildcard_oracles(),
-            **corrected_query_oracles(),
+            **corrected_query_oracles(), **synonym_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

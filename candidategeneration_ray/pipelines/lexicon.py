@@ -805,3 +805,61 @@ def q_corrected_bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
         "doc_id": pa.array(docs_out, pa.int64()),
         "score": pa.array(scores_out, pa.int64()),
     })
+
+
+# ------------------------------------------------- synonym retrieval
+
+# Query-time synonym expansion (the Lucene SynonymQuery shape): each
+# query concept is a GROUP of interchangeable terms; a doc's score
+# sums, over groups, the MAX per-term quantized BM25 score of the
+# group's members present in the doc (max, not sum — synonyms must not
+# double-count a concept). Groups broadcast; serving reads only the
+# member terms' lists.
+SYNONYM_QUERIES: list[tuple[int, list[list[str]]]] = [
+    (0, [["query", "scan"], ["engine"]]),
+    (1, [["data", "table"], ["index", "shard"]]),
+    (2, [["merge", "join", "union"], ["hash"]]),
+    (3, [["zzzq", "vector"]]),
+]
+
+
+def q_synonym_bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """(query_id, rank, doc_id, score) with per-group max blending."""
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    t2i = {t: i + 1 for i, t in enumerate(built["stats"]["terms"])}
+    qids, ranks, docs_out, scores_out = [], [], [], []
+    for qid, groups in SYNONYM_QUERIES:
+        per_doc: dict[int, int] = {}
+        for group in groups:
+            gdocs, gscores = [], []
+            for term in group:
+                got = reader.get(t2i[term]) if term in t2i else None
+                if got is not None:
+                    gdocs.append(got[0].astype(np.int64))
+                    gscores.append(got[1].astype(np.int64))
+            if not gdocs:
+                continue
+            d = np.concatenate(gdocs)
+            s = np.concatenate(gscores)
+            order = np.lexsort((-s, d))
+            d, s = d[order], s[order]
+            first = np.concatenate(([True], d[1:] != d[:-1]))
+            for doc, sc in zip(d[first].tolist(), s[first].tolist()):
+                per_doc[doc] = per_doc.get(doc, 0) + sc
+        top = sorted(((s, d) for d, s in per_doc.items()),
+                     key=lambda p: (-p[0], p[1]))[:k]
+        for rank, (s, d) in enumerate(top):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs_out.append(d)
+            scores_out.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs_out, pa.int64()),
+        "score": pa.array(scores_out, pa.int64()),
+    })

@@ -2688,6 +2688,43 @@ dic AS MATERIALIZED (
     }
 
 
+def synonym_oracles() -> dict[str, str]:
+    """Synonym blending in SQL: per (query, group) a max-over-members
+    score per doc, summed across groups, window-ranked top-10."""
+    from candidategeneration_ray.pipelines.lexicon import SYNONYM_QUERIES
+
+    rows = []
+    for qid, groups in SYNONYM_QUERIES:
+        for g, group in enumerate(groups):
+            for t in group:
+                rows.append(f"({qid}, {g}, '{t}')")
+    values = ", ".join(rows)
+    return {
+        "synonym_bm25_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+syn(query_id, grp, tok) AS (VALUES {values}),
+blend AS (
+  SELECT s2.query_id, s2.doc_id, CAST(sum(s2.gmax) AS BIGINT) AS score
+  FROM (
+    SELECT y.query_id, y.grp, s.doc_id, max(s.score) AS gmax
+    FROM syn y JOIN scores s USING (tok)
+    GROUP BY y.query_id, y.grp, s.doc_id
+  ) s2
+  GROUP BY s2.query_id, s2.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC)
+           AS BIGINT) AS rank,
+         doc_id, score
+  FROM blend
+) WHERE rank <= 10
+""",
+    }
+
+
 def wildcard_oracles() -> dict[str, str]:
     """Wildcard retrieval as SQL LIKE over the kept tokens ('*'→'%'),
     distinct doc per pattern."""
