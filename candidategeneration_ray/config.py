@@ -12,8 +12,9 @@ from dataclasses import dataclass, field
 
 # Bump when the on-disk segment/stats layout changes — cache dirs and
 # manifests keyed by this version so stale artifacts from older code
-# are rebuilt, not misread.
-FORMAT_VERSION = 1
+# are rebuilt, not misread. v2: bp codec blocks are byte-bounded at
+# their own count (short last block no longer zero-pads to BP_BLOCK).
+FORMAT_VERSION = 2
 
 
 @dataclass(frozen=True)

@@ -5,10 +5,14 @@ intrinsics: delta-gap the non-decreasing sequence (first element
 absolute, like functions/varint.encode_delta), split gaps into
 fixed-size blocks of BP_BLOCK, store ONE width byte per block (the
 maximum gap's bit length) and then each block's gaps bit-packed
-little-endian at that width, each block padded to a byte boundary.
-The last block is padded with zero gaps to the full BP_BLOCK so every
-block's payload is exactly (BP_BLOCK·w + 7)//8 bytes — the decoder
-knows n and drops the padding.
+little-endian at that width, each block padded only to a byte
+boundary: a short LAST block stores exactly its own gaps
+((cnt·w + 7)//8 bytes), never zero-padding to the full BP_BLOCK.
+Full-block padding would cost ~w·127 bits on every short list, and
+the d-bigram index is DOMINATED by short large-gap pair lists
+(measured: full-block padding made bp 3.4x LARGER than varint there;
+byte-bound padding keeps short lists ≈ varint-sized while long dense
+unigram lists stay ~2.4x smaller).
 
 Vectorization: blocks group by width (≤64 distinct values), each width
 group packs/unpacks in ONE numpy op (np.packbits/np.unpackbits with
@@ -40,6 +44,13 @@ def _widths(block_max: np.ndarray) -> np.ndarray:
     return w
 
 
+def _block_counts(n: int, block: int) -> np.ndarray:
+    nb = (n + block - 1) // block
+    cnt = np.full(nb, block, np.int64)
+    cnt[-1] = n - (nb - 1) * block
+    return cnt
+
+
 def encode_bp(sorted_values: np.ndarray, block: int = BP_BLOCK) -> bytes:
     """Delta-gap + binary-pack a non-decreasing int sequence."""
     v = np.ascontiguousarray(sorted_values, dtype=np.uint64)
@@ -50,11 +61,12 @@ def encode_bp(sorted_values: np.ndarray, block: int = BP_BLOCK) -> bytes:
     gaps[0] = v[0]
     np.subtract(v[1:], v[:-1], out=gaps[1:])
     nb = (n + block - 1) // block
+    cnt = _block_counts(n, block)
     g = np.zeros(nb * block, np.uint64)
     g[:n] = gaps
     grid = g.reshape(nb, block)
     widths = _widths(grid.max(axis=1))
-    bytes_per = (block * widths.astype(np.int64) + 7) // 8
+    bytes_per = (cnt * widths.astype(np.int64) + 7) // 8
     offsets = np.concatenate(([0], np.cumsum(bytes_per))) + nb
     out = np.zeros(int(offsets[-1]), np.uint8)
     out[:nb] = widths
@@ -67,9 +79,10 @@ def encode_bp(sorted_values: np.ndarray, block: int = BP_BLOCK) -> bytes:
         bits = ((sub[..., None] >> shifts) & np.uint64(1)).astype(np.uint8)
         packed = np.packbits(bits.reshape(idx.size, block * int(w)),
                              axis=1, bitorder="little")
-        span = packed.shape[1]
-        dest = offsets[idx][:, None] + np.arange(span)
-        out[dest.reshape(-1)] = packed.reshape(-1)
+        # copy each block's OWN byte span (short last block copies less)
+        for j, bi in enumerate(idx.tolist()):
+            span = int(bytes_per[bi])
+            out[int(offsets[bi]):int(offsets[bi]) + span] = packed[j, :span]
     return out.tobytes()
 
 
@@ -81,8 +94,9 @@ def decode_bp(data: bytes | np.ndarray, n: int,
     buf = np.frombuffer(data, dtype=np.uint8) \
         if not isinstance(data, np.ndarray) else data
     nb = (n + block - 1) // block
+    cnt = _block_counts(n, block)
     widths = buf[:nb]
-    bytes_per = (block * widths.astype(np.int64) + 7) // 8
+    bytes_per = (cnt * widths.astype(np.int64) + 7) // 8
     offsets = np.concatenate(([0], np.cumsum(bytes_per))) + nb
     if int(offsets[-1]) != buf.size:
         raise ValueError(
@@ -93,8 +107,10 @@ def decode_bp(data: bytes | np.ndarray, n: int,
             continue
         idx = np.nonzero(widths == w)[0]
         span = (block * int(w) + 7) // 8
-        src = offsets[idx][:, None] + np.arange(span)
-        mat = buf[src.reshape(-1)].reshape(idx.size, span)
+        mat = np.zeros((idx.size, span), np.uint8)
+        for j, bi in enumerate(idx.tolist()):  # short blocks zero-pad here
+            bspan = int(bytes_per[bi])
+            mat[j, :bspan] = buf[int(offsets[bi]):int(offsets[bi]) + bspan]
         bits = np.unpackbits(mat, axis=1,
                              bitorder="little")[:, :block * int(w)]
         shifts = np.arange(w, dtype=np.uint64)
@@ -118,4 +134,5 @@ def bp_size(sorted_values: np.ndarray, block: int = BP_BLOCK) -> int:
     g = np.zeros(nb * block, np.uint64)
     g[:n] = gaps
     widths = _widths(g.reshape(nb, block).max(axis=1))
-    return int(nb + ((block * widths.astype(np.int64) + 7) // 8).sum())
+    cnt = _block_counts(n, block)
+    return int(nb + ((cnt * widths.astype(np.int64) + 7) // 8).sum())

@@ -3490,10 +3490,11 @@ FROM g GROUP BY tok
 def postings_bytes_bp_oracles() -> dict[str, str]:
     """Analytic model of the binary-packing codec (functions/bitpack):
     gaps in 128-wide blocks, one width byte per block (width =
-    length(bin(max_gap)), 0 for all-zero blocks), every block —
-    including a short last one, which the encoder zero-pads — costs
-    (128·w + 7)//8 payload bytes. The varint accounting (size_case)
-    rides along so the entry IS the codec comparison."""
+    length(bin(max_gap)), 0 for all-zero blocks), each block byte-
+    bounded at its OWN count — (cnt·w + 7)//8 payload bytes, so a
+    short last block never pays full-block padding. The varint
+    accounting (size_case) rides along so the entry IS the codec
+    comparison."""
     size_case = ("CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 "
                  "WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 "
                  "ELSE 5 END")
@@ -3514,13 +3515,14 @@ vb AS (
   FROM g GROUP BY tok
 ),
 blk AS (
-  SELECT tok, (rn - 1) // 128 AS b, max(gap) AS mg
+  SELECT tok, (rn - 1) // 128 AS b, max(gap) AS mg,
+         CAST(count(*) AS BIGINT) AS cnt
   FROM g GROUP BY tok, (rn - 1) // 128
 ),
 bp AS (
   SELECT tok,
          CAST(count(*)
-              + sum((128 * (CASE WHEN mg = 0 THEN 0
+              + sum((cnt * (CASE WHEN mg = 0 THEN 0
                             ELSE length(bin(mg)) END) + 7) // 8)
            AS BIGINT) AS docs_bytes_bp
   FROM blk GROUP BY tok
