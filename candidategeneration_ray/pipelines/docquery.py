@@ -744,8 +744,18 @@ def q_collapse_topk(sf_dir: str, k: int = COLLAPSE_K) -> pa.Table:
 
     built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
     reader = IndexReader(built["final_dir"], built["stats"])
+    # match sets first, then ONE doc-id-filtered read of the source
+    # column — the attach is match-set-bound, never corpus-bound (the
+    # read prunes row groups on the sorted doc_id stats)
+    per_query = {}
+    for qid, text in DOC_QUERIES:
+        hits = taat_topk(reader, reader.query_term_ids(text), 1 << 60)
+        if hits:
+            per_query[qid] = hits
+    need = sorted({d for hits in per_query.values() for _, d in hits})
     src_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "source"])
+                          columns=["doc_id", "source"],
+                          filters=[("doc_id", "in", need)])
     sdoc = src_t.column("doc_id").to_numpy()
     o = np.argsort(sdoc, kind="stable")
     sdoc = sdoc[o]
@@ -753,8 +763,7 @@ def q_collapse_topk(sf_dir: str, k: int = COLLAPSE_K) -> pa.Table:
 
     qids, ranks, docs_out, srcs_out, scores_out = [], [], [], [], []
     for qid, text in DOC_QUERIES:
-        ids = reader.query_term_ids(text)
-        hits = taat_topk(reader, ids, 1 << 60)  # full match set
+        hits = per_query.get(qid)
         if not hits:
             continue
         scores = np.array([s for s, _ in hits], np.int64)
@@ -811,14 +820,23 @@ def q_mmr_topk(sf_dir: str) -> pa.Table:
 
     built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
     reader = IndexReader(built["final_dir"], built["stats"])
+    # pools first, then ONE pool-filtered read of the text column —
+    # K*POOL doc ids total, never a corpus-wide projection
+    pools = {}
+    for qid, qtext in DOC_QUERIES:
+        pool = taat_topk(reader, reader.query_term_ids(qtext), MMR_POOL)
+        if pool:
+            pools[qid] = pool
+    need = sorted({d for pool in pools.values() for _, d in pool})
     docs_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text"],
+                           filters=[("doc_id", "in", need)])
     all_ids = docs_t.column("doc_id").to_numpy().astype(np.int64)
     order = np.argsort(all_ids, kind="stable")
 
     qids, ranks, docs_out, scores_out, values_out = [], [], [], [], []
     for qid, qtext in DOC_QUERIES:
-        pool = taat_topk(reader, reader.query_term_ids(qtext), MMR_POOL)
+        pool = pools.get(qid)
         if not pool:
             continue
         p_scores = np.array([s for s, _ in pool], np.int64)
@@ -1059,8 +1077,17 @@ def q_ltr_features(sf_dir: str) -> pa.Table:
     built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
     reader = IndexReader(built["final_dir"], built["stats"])
     stats = built["stats"]
+    # pools first, then ONE pool-filtered read (match-set-bound attach)
+    pools = {}
+    for qid, qtext in DOC_QUERIES:
+        tids = reader.query_term_ids(qtext)
+        pool = taat_topk(reader, tids, LTR_POOL)
+        if pool:
+            pools[qid] = (tids, pool)
+    need = sorted({d for _, pool in pools.values() for _, d in pool})
     docs_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text", "n_chars"])
+                           columns=["doc_id", "text", "n_chars"],
+                           filters=[("doc_id", "in", need)])
     all_ids = docs_t.column("doc_id").to_numpy().astype(np.int64)
     order = np.argsort(all_ids, kind="stable")
     nchars = docs_t.column("n_chars").to_numpy().astype(np.int64)
@@ -1069,10 +1096,9 @@ def q_ltr_features(sf_dir: str) -> pa.Table:
                             "n_matched", "sum_tf", "max_ts", "min_ts",
                             "dl", "min_df", "n_chars")}
     for qid, qtext in DOC_QUERIES:
-        tids = reader.query_term_ids(qtext)
-        pool = taat_topk(reader, tids, LTR_POOL)
-        if not pool:
+        if qid not in pools:
             continue
+        tids, pool = pools[qid]
         # per-term decoded list + df for the query's terms
         tlists = {}
         for tid in tids:
