@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_list_lengths": dq.q_unigram_list_lengths,  # A4 list lengths
         "postings_bytes": dq.q_postings_bytes,  # on-disk codec accounting
         "postings_bytes_bp": dq.q_postings_bytes_bp,  # binary-packing codec comparison
+        "index_report": dq.q_index_report,      # one-row capacity report
         "pruned_list_lengths": dq.q_pruned_list_lengths,    # O3 build-time pruning
         "delta_update_lists": dq.q_delta_update_lists,      # incremental (LSM) update
         "delta_hit_top5": dq.q_delta_hit_top5,              # HIT family rebuilt after a delta
@@ -349,7 +350,8 @@ def oracle_sql() -> dict[str, str]:
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
         mmr_oracles, ndcg_oracles, ordered_window_oracles,
         boolean_query_oracles, postings_bytes_bp_oracles, sdm_oracles,
-        corrected_query_oracles, synonym_oracles, wildcard_oracles,
+        corrected_query_oracles, index_report_oracles, synonym_oracles,
+        wildcard_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -400,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
             **postings_bytes_bp_oracles(), **sdm_oracles(),
             **boolean_query_oracles(), **wildcard_oracles(),
             **corrected_query_oracles(), **synonym_oracles(),
+            **index_report_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

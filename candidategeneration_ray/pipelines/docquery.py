@@ -680,6 +680,57 @@ def q_postings_bytes_bp(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(_sizes, batch_format="pyarrow")
 
 
+def q_index_report(sf_dir: str) -> pa.Table:
+    """One-row index capacity report off the PERSISTED unigram
+    segments — the numbers a cluster-sizing plan starts from:
+
+        n_terms, n_postings, docs_bytes (varint), max_list_n,
+        median_list_n (lower median), singleton_terms (n == 1)
+
+    Computed as a dataset-side scan with one tiny driver reduce
+    (per-batch partials are O(1) rows; the median comes from the
+    list-length multiset, vocabulary-scale). The oracle recomputes all
+    six from the kept CTE + the analytic varint model, so the report's
+    arithmetic is value-verified like everything else."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    files = sorted(_glob.glob(
+        os.path.join(built["final_dir"], "**", "*.parquet"), recursive=True))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = batch.column("key").to_numpy() < (1 << 32)
+        t = batch.filter(pa.array(m))
+        ns = t.column("n").to_numpy().astype(np.int64)
+        docs_b = pc.binary_length(t.column("docs")).to_numpy().astype(np.int64)
+        return pa.table({
+            "n_terms": pa.array([t.num_rows], pa.int64()),
+            "n_postings": pa.array([int(ns.sum())], pa.int64()),
+            "docs_bytes": pa.array([int(docs_b.sum())], pa.int64()),
+            "max_list_n": pa.array([int(ns.max()) if ns.size else 0],
+                                   pa.int64()),
+            "singleton_terms": pa.array([int((ns == 1).sum())], pa.int64()),
+            "lens": pa.array([ns.tolist()], pa.list_(pa.int64())),
+        })
+
+    parts = (ray.data.read_parquet(files, columns=["key", "n", "docs"])
+             .map_batches(_partial, batch_format="pyarrow").to_pandas())
+    lens = np.sort(np.concatenate([np.asarray(x, np.int64)
+                                   for x in parts["lens"]]))
+    return pa.table({
+        "n_terms": pa.array([int(parts["n_terms"].sum())], pa.int64()),
+        "n_postings": pa.array([int(parts["n_postings"].sum())], pa.int64()),
+        "docs_bytes": pa.array([int(parts["docs_bytes"].sum())], pa.int64()),
+        "max_list_n": pa.array([int(parts["max_list_n"].max())], pa.int64()),
+        "median_list_n": pa.array(
+            [int(lens[(lens.size - 1) // 2]) if lens.size else 0], pa.int64()),
+        "singleton_terms": pa.array([int(parts["singleton_terms"].sum())],
+                                    pa.int64()),
+    })
+
+
 def q_access_counts(sf_dir: str) -> pa.Table:
     """#queries containing each term (A5, Metadata.java:153-169), over
     terms that exist in the corpus dictionary."""

@@ -3533,6 +3533,40 @@ FROM vb JOIN bp USING (tok)
     }
 
 
+def index_report_oracles() -> dict[str, str]:
+    """The capacity report recomputed from first principles: list
+    lengths from the distinct (doc, tok) sets, varint bytes from the
+    analytic gap model, lower median via ordered offset."""
+    size_case = ("CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 "
+                 "WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 "
+                 "ELSE 5 END")
+    return {
+        "index_report": f"""
+WITH {KEPT_CTE},
+dt AS (SELECT DISTINCT doc_id, tok FROM kept),
+g AS (
+  SELECT tok,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok
+                                             ORDER BY doc_id), 0) AS gap
+  FROM dt
+),
+lists AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY tok),
+med AS (
+  SELECT n AS median_list_n FROM (
+    SELECT n, row_number() OVER (ORDER BY n) AS rn FROM lists
+  ) WHERE rn = (SELECT (count(*) + 1) // 2 FROM lists)
+)
+SELECT CAST((SELECT count(*) FROM lists) AS BIGINT) AS n_terms,
+       CAST((SELECT sum(n) FROM lists) AS BIGINT) AS n_postings,
+       CAST((SELECT sum({size_case}) FROM g) AS BIGINT) AS docs_bytes,
+       CAST((SELECT max(n) FROM lists) AS BIGINT) AS max_list_n,
+       CAST((SELECT median_list_n FROM med) AS BIGINT) AS median_list_n,
+       CAST((SELECT count(*) FROM lists WHERE n = 1) AS BIGINT)
+         AS singleton_terms
+""",
+    }
+
+
 def collapse_oracles() -> dict[str, str]:
     """Field collapsing: the bm25 qscores CTE joined to each doc's
     source; rn=1 per (query, source) keeps the best doc per source,
