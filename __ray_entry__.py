@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_by_source": ex.q_tokens_by_source,
         "train_val_split": ex.q_train_val_split,
         "regex_counts": ex.q_regex_counts,  # PII-ish scrub-pattern scan
+        "redact_docs": ex.q_redact_docs,    # redaction transform, md5-verified text
         "langid": ex.q_langid,
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
@@ -350,7 +351,8 @@ def oracle_sql() -> dict[str, str]:
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
         mmr_oracles, ndcg_oracles, ordered_window_oracles,
         boolean_query_oracles, postings_bytes_bp_oracles, sdm_oracles,
-        corrected_query_oracles, index_report_oracles, synonym_oracles,
+        corrected_query_oracles, index_report_oracles, redact_oracles,
+        synonym_oracles,
         wildcard_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
@@ -402,7 +404,7 @@ def oracle_sql() -> dict[str, str]:
             **postings_bytes_bp_oracles(), **sdm_oracles(),
             **boolean_query_oracles(), **wildcard_oracles(),
             **corrected_query_oracles(), **synonym_oracles(),
-            **index_report_oracles(),
+            **index_report_oracles(), **redact_oracles(),
             **path_anomaly_oracles(), **global_rank_oracles(), **ab_test_oracles(),
             **retrieval_eval_oracles(), **copresence_oracles(),
             **substring_oracles(), **holistic_audit_oracles(),

@@ -2750,3 +2750,50 @@ def q_delta_dedup(sf_dir: str) -> ray.data.Dataset:
     return (src.map_batches(_base_rows, batch_format="pyarrow")
             .union(src.map_batches(_delta_rows, batch_format="pyarrow"))
             .groupby("bkt").map_groups(_resolve, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------ PII redaction
+
+# Redaction TRANSFORM (the step q_regex_counts accounts for): each
+# pattern's matches are replaced with a fixed token, patterns applied
+# in list order (order matters when matches overlap — both backends
+# apply the same order). Both pyarrow and DuckDB run RE2, so the
+# redacted TEXT itself hash-verifies (md5), not just the counts.
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    ("gap_pair", "query [a-z]+ join"),
+    ("adjacent_class", "(sort|merge) (sort|merge)"),
+    ("repeat_word", "batch batch"),
+]
+REDACT_TOKEN = "<scrubbed>"
+
+
+def q_redact_docs(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_redactions, clean_md5): per doc the number of
+    redacted spans (summed over patterns, counted BEFORE each
+    replacement pass) and the md5 of the fully redacted text.
+
+    Shape: one streaming scan, compiled RE2 kernels
+    (count_substring_regex + replace_substring_regex) per batch — no
+    shuffle, no Python regex loop; output is one row per doc. At
+    100 TB this is the canonical cheap map; the md5 column is what a
+    downstream exact-dedup pass would consume."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def _redact(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        total = np.zeros(batch.num_rows, np.int64)
+        for _, pat in REDACT_PATTERNS:
+            total += pc.count_substring_regex(text, pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            text = pc.replace_substring_regex(text, pat, REDACT_TOKEN)
+        clean = [hashlib.md5((t or "").encode()).hexdigest()
+                 for t in text.to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_redactions": pa.array(total, pa.int64()),
+            "clean_md5": pa.array(clean, pa.string()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_redact, batch_format="pyarrow")

@@ -3567,6 +3567,36 @@ SELECT CAST((SELECT count(*) FROM lists) AS BIGINT) AS n_terms,
     }
 
 
+def redact_oracles() -> dict[str, str]:
+    """Redaction replayed in DuckDB RE2: counts before each pass,
+    regexp_replace(..., 'g') in the same pattern order, md5 of the
+    final text."""
+    from candidategeneration_ray.pipelines.extras import (
+        REDACT_PATTERNS, REDACT_TOKEN)
+
+    cnt = " + ".join(
+        f"len(regexp_extract_all(t{i}, '{pat}'))"
+        for i, (_, pat) in enumerate(REDACT_PATTERNS))
+    ctes = ["r0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    for i, (_, pat) in enumerate(REDACT_PATTERNS):
+        ctes.append(
+            f"r{i + 1} AS (SELECT doc_id, "
+            f"regexp_replace(t{i}, '{pat}', '{REDACT_TOKEN}', 'g') "
+            f"AS t{i + 1} FROM r{i})")
+    n = len(REDACT_PATTERNS)
+    # counts need each intermediate text: join the chain
+    joins = " ".join(f"JOIN r{i} USING (doc_id)" for i in range(n))
+    return {
+        "redact_docs": f"""
+WITH {','.join(ctes)}
+SELECT r.doc_id,
+       CAST({cnt} AS BIGINT) AS n_redactions,
+       md5(t{n}) AS clean_md5
+FROM r{n} r {joins}
+""",
+    }
+
+
 def collapse_oracles() -> dict[str, str]:
     """Field collapsing: the bm25 qscores CTE joined to each doc's
     source; rn=1 per (query, source) keeps the best doc per source,
