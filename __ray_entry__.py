@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_keys": dq.q_query_keys,                  # M2/M3 query convert+augment
         "access_counts": dq.q_access_counts,            # A5 access map
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
+        "hybrid_topk": dq.q_hybrid_topk,                # dense+sparse RRF fusion
         "maxscore_topk": dq.q_maxscore_topk,            # DAAT MaxScore, rank-identical
         "bm25_topk_bp": dq.q_bm25_topk_bp,              # binary-packed index serving
         "collapse_topk": dq.q_collapse_topk,            # field collapsing per source

@@ -2049,3 +2049,115 @@ def _packed_sum(keys: np.ndarray, vals: np.ndarray):
     k, v = keys[order], vals[order]
     starts = np.concatenate(([0], np.nonzero(k[1:] != k[:-1])[0] + 1))
     return k[starts], np.add.reduceat(v, starts)
+
+
+# ------------------------------------------- hybrid dense+sparse retrieval
+
+HYBRID_POOL = 20    # depth of each ranking fed into the fusion
+HYBRID_RRF_C = 60   # standard RRF constant (Cormack et al. SIGIR'09)
+HYBRID_K = 10
+
+
+def q_hybrid_topk(sf_dir: str) -> pa.Table:
+    """Hybrid dense+sparse retrieval: BM25 top-20 from the persisted
+    compressed index fused with a dense cosine top-20 by reciprocal-
+    rank fusion — the lexical+semantic blend a RAG stack serves. With
+    no text encoder in the environment the dense query vector is the
+    embedding of the sparse rank-1 document (dense pseudo-relevance
+    feedback: sparse retrieval picks the anchor, dense kNN pulls its
+    semantic neighborhood); RRF weights are exact integers
+    (1e6 // (60 + rank), same convention as positional.q_rrf_fusion)
+    so the whole fusion hash-verifies.
+
+    Scale shape: the sparse side reads only the queried terms' posting
+    lists; the dense side is ONE streaming pass over the embeddings
+    table scoring ALL seeds at once (per-batch |batch| x Q matmul,
+    per-seed partial top-20 — q_ann_cosine_top10's baseline
+    generalized to a seed matrix); the fusion sees Q x 40 rows. At
+    10^12 docs the dense pass swaps to the persisted IVF layout
+    (extras.q_ann_ivf_top10) with fusion unchanged.
+    Returns (query_id, rank, doc_id, rrf_micro)."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.extras import _emb_matrix
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    eng = QueryEngine(built["final_dir"], built["stats"])
+
+    sparse: dict[int, list[int]] = {}   # qid -> doc ids in rank order
+    for qid, text in DOC_QUERIES:
+        hits = eng.topk(text, k=HYBRID_POOL)
+        if hits:
+            sparse[qid] = [int(d) for (_s, d) in hits]
+
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "rrf_micro": pa.array([], pa.int64()),
+    })
+    if not sparse:
+        return empty
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qids = sorted(sparse)
+    seeds = [sparse[q][0] for q in qids]
+    # point-read the seed vectors (row-group pruned) — never the table
+    seed_tab = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "in", sorted(set(seeds)))])
+    seed_vecs = {
+        int(v): np.asarray(e, dtype=np.float64)
+        for v, e in zip(seed_tab.column("vec_id").to_pylist(),
+                        seed_tab.column("embedding").to_pylist())
+    }
+    qmat = np.stack([seed_vecs[s] for s in seeds])          # Q x d
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    q_ref = ray.put(qmat)
+
+    def _score(batch: pa.Table, *, _c={}) -> pa.Table:
+        if "q" not in _c:
+            _c["q"] = ray.get(q_ref)
+        qm = _c["q"]
+        ids, mat = _emb_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ qm.T) / np.where(norms == 0, 1.0, norms)[:, None]
+        outs_q, outs_d, outs_c = [], [], []
+        for j in range(qm.shape[0]):
+            top = np.lexsort((ids, -cos[:, j]))[:HYBRID_POOL]
+            outs_q.append(np.full(top.size, j, np.int64))
+            outs_d.append(ids[top])
+            outs_c.append(cos[top, j])
+        return pa.table({
+            "qi": pa.array(np.concatenate(outs_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(outs_d), pa.int64()),
+            "cos": pa.array(np.concatenate(outs_c), pa.float64()),
+        })
+
+    parts = (ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(_score, batch_format="pyarrow")).to_pandas()
+
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for j, qid in enumerate(qids):
+        dense_p = parts[parts["qi"] == j].sort_values(
+            ["cos", "vec_id"], ascending=[False, True]).head(HYBRID_POOL)
+        score: dict[int, int] = {}
+        for rank, doc in enumerate(sparse[qid], 1):
+            score[doc] = score.get(doc, 0) + 1_000_000 // (HYBRID_RRF_C + rank)
+        for rank, doc in enumerate(dense_p["vec_id"].to_numpy(np.int64), 1):
+            doc = int(doc)
+            score[doc] = score.get(doc, 0) + 1_000_000 // (HYBRID_RRF_C + rank)
+        top = sorted(score.items(), key=lambda t: (-t[1], t[0]))[:HYBRID_K]
+        for r, (doc, s) in enumerate(top, 1):
+            out_q.append(qid)
+            out_r.append(r)
+            out_d.append(doc)
+            out_s.append(s)
+    if not out_q:
+        return empty
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "rrf_micro": pa.array(out_s, pa.int64()),
+    })

@@ -495,6 +495,53 @@ SELECT s.doc_id, p.hit_rank
 FROM scores s JOIN prior p USING (doc_id)
 WHERE s.tok = 'vector'
 """,
+        # hybrid dense+sparse RRF fusion: sparse = BM25 ranking, dense =
+        # cosine vs the sparse rank-1 doc's embedding (dense PRF seed);
+        # rrf_micro = sum(1e6 // (60 + rank)) over both top-20 lists
+        "hybrid_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok)
+  GROUP BY q.query_id, s.doc_id
+),
+sparse AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r
+  FROM qscores
+),
+sparse_top AS (SELECT query_id, doc_id, r FROM sparse WHERE r <= 20),
+seeds AS (SELECT query_id, doc_id AS seed FROM sparse WHERE r = 1),
+dense AS (
+  SELECT query_id, doc_id, r FROM (
+    SELECT s.query_id, CAST(e.vec_id AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY list_cosine_similarity(e.embedding, se.embedding) DESC,
+                      e.vec_id ASC) AS BIGINT) AS r
+    FROM seeds s
+    JOIN embeddings se ON se.vec_id = s.seed
+    CROSS JOIN embeddings e
+  ) WHERE r <= 20
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_micro
+  FROM (SELECT * FROM sparse_top UNION ALL SELECT * FROM dense)
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, rrf_micro FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT)
+           AS rank,
+         doc_id, rrf_micro
+  FROM fused
+) WHERE rank <= 10
+""",
     }
 
 

@@ -361,3 +361,52 @@ def test_mmr_topk_greedy_invariants(ray_session):
             best = min((d for d in vals if vals[d] == max(vals.values())))
             assert (r.doc_id, r.mmr_value) == (best, vals[best])
             chosen.append(r.doc_id)
+
+
+def test_hybrid_topk_invariants(ray_session):
+    """Hybrid dense+sparse fusion at sf0.001: the dense seed (sparse
+    rank-1 doc) wins final rank 1 (rank 1 in BOTH lists is unbeatable
+    RRF mass), rrf_micro is brute-force-reproduced from the two
+    rankings, and queries with no sparse matches produce no rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.pipelines.docquery import (
+        DOC_QUERIES, HYBRID_POOL, HYBRID_RRF_C, build_documents_index,
+        q_hybrid_topk)
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    SF = "/root/testdata/sf0.001"
+    t = q_hybrid_topk(SF).to_pandas()
+    assert not t.duplicated(["query_id", "doc_id"]).any()
+    built = build_documents_index(SF, EngineConfig(emit_pairs=False))
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = emb.vec_id.to_numpy(np.int64)
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    seen_nonempty = False
+    for qid, qtext in DOC_QUERIES:
+        sub = t[t.query_id == qid].sort_values("rank")
+        hits = eng.topk(qtext, k=HYBRID_POOL)
+        if not hits:
+            assert sub.empty
+            continue
+        seen_nonempty = True
+        sparse = [int(d) for _, d in hits]
+        seed = sparse[0]
+        qv = mat[ids == seed][0]
+        cos = (mat @ qv) / (norms * np.linalg.norm(qv))
+        dense = ids[np.lexsort((ids, -cos))][:HYBRID_POOL].tolist()
+        assert dense[0] == seed          # cos(seed, seed) = 1 is the max
+        score: dict[int, int] = {}
+        for r, d in enumerate(sparse, 1):
+            score[d] = score.get(d, 0) + 1_000_000 // (HYBRID_RRF_C + r)
+        for r, d in enumerate(dense, 1):
+            score[int(d)] = score.get(int(d), 0) + 1_000_000 // (HYBRID_RRF_C + r)
+        top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = list(zip(sub.doc_id, sub.rrf_micro))
+        assert got == top
+        assert sub.iloc[0].doc_id == seed  # double rank-1 is unbeatable
+    assert seen_nonempty
