@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_counts": dq.q_access_counts,            # A5 access map
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
         "hybrid_topk": dq.q_hybrid_topk,                # dense+sparse RRF fusion
+        "bm25f_topk": dq.q_bm25f_topk,                  # fielded (head-weighted) BM25F
         "maxscore_topk": dq.q_maxscore_topk,            # DAAT MaxScore, rank-identical
         "bm25_topk_bp": dq.q_bm25_topk_bp,              # binary-packed index serving
         "collapse_topk": dq.q_collapse_topk,            # field collapsing per source
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         corrected_query_oracles, index_report_oracles, redact_oracles,
         synonym_oracles,
         wildcard_oracles,
+        session11_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -414,7 +416,7 @@ def oracle_sql() -> dict[str, str]:
             **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
             **lsh_plane_oracles(),
             **regression_oracles(), **gram_oracles(), **jl_oracles(),
-            **token_offset_oracles()}
+            **token_offset_oracles(), **session11_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

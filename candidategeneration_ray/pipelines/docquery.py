@@ -772,6 +772,130 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+# ------------------------------------------------------------- BM25F
+# Fielded retrieval (Robertson/Zaragoza/Taylor CIKM'04): per-field term
+# frequencies combine LINEARLY with integer field weights before the
+# saturation step, and the length normalizer uses the same weighted
+# length. Documents here have one text column, so the fields are the
+# classic head/body split: the first BM25F_HEAD kept tokens are the
+# "head" field (titles/leads — weight BM25F_WEIGHT), the rest are body
+# (weight 1). Because the weights are small integers, weighted tf is
+# EXACTLY the tf of a corpus whose head tokens are repeated
+# BM25F_WEIGHT times — so the fielded index is the UNCHANGED build +
+# WAND machinery over a token stream with the head slice replicated,
+# and df (presence-based) is untouched. The oracle recomputes
+# tf' = tf + (W-1)*tf_head, dl' = dl + (W-1)*min(dl, H) in SQL.
+BM25F_HEAD = 8
+BM25F_WEIGHT = 3
+
+
+def _fielded_tokens_batch(batch: pa.Table) -> pa.Table:
+    """Replicate each doc's first BM25F_HEAD kept tokens so the standard
+    emitter computes BM25F's weighted tf/dl. Batch-global (no per-doc
+    Python loop): one list_flatten + index arithmetic + one take."""
+    import pyarrow.compute as pc
+
+    col = batch.column("tokens").combine_chunks()
+    flat = pc.list_flatten(col)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    head_len = np.minimum(lens, BM25F_HEAD)
+    # flat positions of every head token, grouped by doc
+    h_total = int(head_len.sum())
+    h_cum = np.concatenate(([0], np.cumsum(head_len)))[:-1]
+    hidx = (np.arange(h_total, dtype=np.int64)
+            - np.repeat(h_cum, head_len) + np.repeat(starts, head_len))
+    n = batch.num_rows
+    orig_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    head_doc = np.repeat(np.arange(n, dtype=np.int64), head_len)
+    reps = BM25F_WEIGHT - 1
+    take_idx = np.concatenate([np.arange(lens.sum(), dtype=np.int64)]
+                              + [hidx] * reps)
+    take_doc = np.concatenate([orig_doc] + [head_doc] * reps)
+    order = np.argsort(take_doc, kind="stable")  # regroup by doc
+    new_lens = lens + reps * head_len
+    new_offsets = np.concatenate(([0], np.cumsum(new_lens))).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(
+        pa.array(new_offsets, pa.int32()), flat.take(take_idx[order]))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "tokens": tokens,
+        "doc_len": pa.array(new_lens, pa.int32()),
+    })
+
+
+def doc_tokens_fielded(sf_dir: str) -> ray.data.Dataset:
+    return doc_tokens(sf_dir).map_batches(
+        _fielded_tokens_batch, batch_format="pyarrow")
+
+
+_FSTATS_MEMO: dict[str, dict] = {}
+
+
+def build_documents_index_fielded(sf_dir: str,
+                                  cfg: EngineConfig | None = None) -> dict:
+    """Build (or reuse) the BM25F fielded index: the standard pipeline
+    (stats → emission → bucketed shuffle → compressed block-max lists)
+    over the head-replicated token stream. Everything downstream —
+    segments, manifests, WAND serving — is byte-level identical
+    machinery; only the token stream differs."""
+    from candidategeneration_ray.state import checkpoint as ckpt
+    from candidategeneration_ray.pipelines.build import _persist_stats, load_stats
+
+    cfg = cfg or EngineConfig(emit_pairs=False)
+    out_dir = _cache_dir(
+        sf_dir, f"docidxf-h{BM25F_HEAD}w{BM25F_WEIGHT}-{cfg.index_tag()}")
+    final = os.path.join(out_dir, "final")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if ckpt.is_complete(os.path.join(out_dir, "stats"), [src]) and ckpt.is_complete(final):
+        stats, _ = load_stats(out_dir)
+        return {"final_dir": final, "stats": stats}
+
+    toks = doc_tokens_fielded(sf_dir)
+    key = os.path.realpath(sf_dir)
+    if key not in _FSTATS_MEMO:
+        _FSTATS_MEMO[key] = compute_stats(toks)
+    stats = _FSTATS_MEMO[key]
+    offsets = {
+        "conv_ids": np.array(["documents"], dtype=object),
+        "bases": np.array([0], dtype=np.int64),
+        "counts": np.array([stats["n_docs"]], dtype=np.int64),
+        "n_docs": stats["n_docs"],
+    }
+    _persist_stats(out_dir, stats, offsets, [src])
+    postings = emit_postings(toks, ray.put(stats), cfg)
+    lists = build_posting_lists(postings, cfg)
+    os.makedirs(final, exist_ok=True)
+    lists.write_parquet(final)
+    ckpt.write_manifest(final, {"phase": "merge", "lineage": [src]})
+    return {"final_dir": final, "stats": stats}
+
+
+def q_bm25f_topk(sf_dir: str) -> pa.Table:
+    """BM25F top-10 per fixed query: fielded (head-weighted) scoring
+    served by the unchanged block-max WAND engine over the fielded
+    family — field weighting is an EMISSION-time property, so serving
+    inherits every index-side guarantee (block-max exactness, codec,
+    tie-break) for free."""
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_documents_index_fielded(sf_dir, EngineConfig(emit_pairs=False))
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        for rank, (s, d) in enumerate(eng.topk(text, k=10)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
 COLLAPSE_K = 5
 
 

@@ -5573,3 +5573,65 @@ SELECT word, freq, array_to_string(s, ' ') AS segmented,
 FROM v{BPE_MERGES}
 """,
     }
+
+
+def session11_oracles() -> dict[str, str]:
+    """Session-11 entries: BM25F fielded retrieval (and friends added
+    later this session)."""
+    from candidategeneration_ray.pipelines.docquery import (
+        BM25F_HEAD, BM25F_WEIGHT)
+
+    w1 = BM25F_WEIGHT - 1  # extra copies of each head-field occurrence
+    fielded_scores = f"""
+ftf AS (SELECT doc_id, tok,
+               CAST(count(*) + {w1} * count(*) FILTER (WHERE kpos <= {BM25F_HEAD})
+                    AS DOUBLE) AS tf
+        FROM kept GROUP BY doc_id, tok),
+fdl AS (SELECT doc_id,
+               CAST(count(*) + {w1} * least(count(*), {BM25F_HEAD}) AS DOUBLE) AS dl
+        FROM kept GROUP BY doc_id),
+fmx AS (SELECT doc_id, max(tf) AS maxtf FROM ftf GROUP BY doc_id),
+fdft AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM ftf GROUP BY tok),
+fgs AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT CAST(coalesce(sum(CAST(dl AS BIGINT)), 0) AS BIGINT)
+                FROM fdl) AS total_tokens),
+fgs2 AS (SELECT CAST(n_docs AS DOUBLE) AS nd,
+                CAST(total_tokens // n_docs AS DOUBLE) AS avgdl FROM fgs),
+fscores AS MATERIALIZED (
+  SELECT ftf.doc_id, ftf.tok,
+         CAST(trunc(
+           ln((nd - df + 0.5) / (df + 0.5))
+           * (0.5 + 0.5 * tf / maxtf)
+           * (1.6 + 1.0)
+           / ((0.5 + 0.5 * tf / maxtf) + 1.6 * (1 - 0.75 + 0.75 * dl / avgdl))
+           * 10000000
+         ) AS BIGINT) AS score
+  FROM ftf
+  JOIN fdl USING (doc_id)
+  JOIN fmx USING (doc_id)
+  JOIN fdft USING (tok)
+  CROSS JOIN fgs2
+)
+"""
+    return {
+        # BM25F: weighted tf' = tf + (W-1)*tf_head, dl' = dl +
+        # (W-1)*min(dl, H); df/presence unchanged — then the standard
+        # quantized BM25 formula over the fielded quantities.
+        "bm25f_topk": f"""
+WITH {KEPT_CTE},
+{fielded_scores},
+{QTOK_CTE},
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN fscores s USING (tok)
+  GROUP BY q.query_id, s.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM qscores
+) WHERE rank <= 10
+""",
+    }

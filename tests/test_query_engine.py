@@ -410,3 +410,45 @@ def test_hybrid_topk_invariants(ray_session):
         assert got == top
         assert sub.iloc[0].doc_id == seed  # double rank-1 is unbeatable
     assert seen_nonempty
+
+
+def test_bm25f_fielded_transform_and_ranking(ray_session):
+    """BM25F at sf0.001: (a) the fielded token transform preserves term
+    PRESENCE per doc (df unchanged) while inflating doc_len by exactly
+    (W-1)*min(dl, H); (b) the fielded ranking actually differs from the
+    unfielded one somewhere (the head weight is load-bearing); (c) the
+    per-query result sets obey the engine's (score desc, doc asc) order."""
+    import numpy as np
+
+    from candidategeneration_ray.pipelines.docquery import (
+        BM25F_HEAD, BM25F_WEIGHT, doc_tokens, doc_tokens_fielded,
+        q_bm25_topk, q_bm25f_topk)
+
+    SF = "/root/testdata/sf0.001"
+    plain = doc_tokens(SF).to_pandas().set_index("doc_id")
+    fielded = doc_tokens_fielded(SF).to_pandas().set_index("doc_id")
+    assert set(plain.index) == set(fielded.index)
+    for doc_id in list(plain.index)[:200]:
+        p = list(plain.loc[doc_id, "tokens"])
+        f = list(fielded.loc[doc_id, "tokens"])
+        assert set(p) == set(f)  # presence (df) preserved
+        exp_len = len(p) + (BM25F_WEIGHT - 1) * min(len(p), BM25F_HEAD)
+        assert len(f) == exp_len == fielded.loc[doc_id, "doc_len"]
+        # weighted tf: head tokens gain exactly W-1 extra copies
+        head = p[:BM25F_HEAD]
+        for tok in set(p):
+            exp_tf = p.count(tok) + (BM25F_WEIGHT - 1) * head.count(tok)
+            assert f.count(tok) == exp_tf
+
+    base = q_bm25_topk(SF).to_pandas()
+    fld = q_bm25f_topk(SF).to_pandas()
+    # same queries produce results; scores must differ somewhere
+    assert set(base.query_id) == set(fld.query_id)
+    merged = base.merge(fld, on=["query_id", "rank"], suffixes=("_b", "_f"))
+    assert (merged.score_b != merged.score_f).any()
+    for qid, sub in fld.groupby("query_id"):
+        sub = sub.sort_values("rank")
+        s = sub.score.to_numpy(np.int64)
+        d = sub.doc_id.to_numpy(np.int64)
+        assert all((s[i] > s[i + 1]) or (s[i] == s[i + 1] and d[i] < d[i + 1])
+                   for i in range(len(s) - 1))
