@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
         "hybrid_topk": dq.q_hybrid_topk,                # dense+sparse RRF fusion
         "bm25f_topk": dq.q_bm25f_topk,                  # fielded (head-weighted) BM25F
+        "cached_bm25_topk": dq.q_cached_bm25_topk,      # lineage-keyed result cache
         "maxscore_topk": dq.q_maxscore_topk,            # DAAT MaxScore, rank-identical
         "bm25_topk_bp": dq.q_bm25_topk_bp,              # binary-packed index serving
         "collapse_topk": dq.q_collapse_topk,            # field collapsing per source
@@ -429,6 +430,9 @@ def oracle_sql() -> dict[str, str]:
     d["nation_order_stats_ivm"] = d["nation_order_stats"]
     # bloom-prefiltered anti join must equal the plain anti join
     d["customers_no_orders_bloom"] = d["customers_no_orders"]
+    # result-cache serving must be invisible to results — same oracle,
+    # so the driver hash-checks the cache layer (fill + hit paths)
+    d["cached_bm25_topk"] = d["bm25_topk"]
     # DAAT MaxScore must be rank-identical to block-max WAND — same
     # oracle, so the driver hash-checks the pruning strategy itself
     d["maxscore_topk"] = d["bm25_topk"]

@@ -896,6 +896,46 @@ def q_bm25f_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def q_cached_bm25_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-10 served through the lineage-keyed RESULT CACHE
+    (state/resultcache.py): the first pass fills, the second pass must
+    serve every query from cache without touching the engine, and the
+    two passes must agree row-for-row. The driver hash-checks this
+    against the plain bm25_topk oracle — the cache layer is invisible
+    to results by construction (plan-equivalence proof). Invalidation
+    is structural: the key digests the index content lineage, so a
+    delta/compaction simply addresses different keys (tested in
+    tests/test_query_engine.py with an LSM update)."""
+    from candidategeneration_ray.state.resultcache import CachedEngine
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    root = os.path.join(_cache_dir(sf_dir, "resultcache"), "entries")
+    fill = CachedEngine(built["final_dir"], built["stats"], root)
+    first = {qid: fill.topk(text, k=10) for qid, text in DOC_QUERIES}
+    # a FRESH cache view over the same lineage: every query must hit
+    # (engine_factory raising proves the index is never touched)
+    def _no_engine():
+        raise AssertionError("cache hit path must not construct an engine")
+    hit = CachedEngine(built["final_dir"], built["stats"], root,
+                       engine_factory=_no_engine)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        res = hit.topk(text, k=10)
+        assert res == first[qid]
+        for rank, (s, d) in enumerate(res):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    assert hit.misses == 0 and hit.hits == len(DOC_QUERIES)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
 COLLAPSE_K = 5
 
 

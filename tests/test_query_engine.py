@@ -452,3 +452,61 @@ def test_bm25f_fielded_transform_and_ranking(ray_session):
         d = sub.doc_id.to_numpy(np.int64)
         assert all((s[i] > s[i + 1]) or (s[i] == s[i + 1] and d[i] < d[i + 1])
                    for i in range(len(s) - 1))
+
+
+def test_result_cache_lineage_invalidation(ray_session, tmp_path):
+    """CachedEngine over a real LSM index: (a) fill then hit without an
+    engine; (b) a delta generation changes the lineage digest so the
+    same query MISSES and returns the updated results; (c) compaction
+    changes it again but results stay equal to the post-delta truth."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.build import build_index
+    from candidategeneration_ray.pipelines.update import (
+        compact_index, serving_sources, update_index)
+    from candidategeneration_ray.sources.transcripts import (
+        generate_transcripts, write_transcripts)
+    from candidategeneration_ray.state.resultcache import CachedEngine, index_digest
+
+    src = write_transcripts(str(tmp_path / "tr"), num_convs=60, seed=11)
+    out = str(tmp_path / "idx")
+    res = build_index(src, out, partitions=2)
+    root = str(tmp_path / "cache")
+    q = "query engine latency"
+
+    fill = CachedEngine(res["final_dir"], res["stats"], root)
+    base = fill.topk(q, k=5)
+    assert (fill.misses, fill.hits) == (1, 0)
+
+    def _boom():
+        raise AssertionError("hit path constructed an engine")
+    hit = CachedEngine(res["final_dir"], res["stats"], root, engine_factory=_boom)
+    assert hit.topk(q, k=5) == base and hit.hits == 1
+    # different k = different key (cold), so the factory must fire
+    try:
+        hit.topk(q, k=3)
+        raise AssertionError("expected engine construction for new k")
+    except AssertionError as e:
+        assert "hit path" in str(e)
+
+    # delta: new conversations under a fresh prefix
+    t = generate_transcripts(10, seed=23)
+    t = t.set_column(
+        t.schema.get_field_index("conv_id"), "conv_id",
+        pc.binary_join_element_wise(
+            pa.array(["zd"] * len(t)), t.column("conv_id"), "-"))
+    os.makedirs(str(tmp_path / "delta"), exist_ok=True)
+    pq.write_table(t, str(tmp_path / "delta" / "p0.parquet"))
+    upd = update_index(out, str(tmp_path / "delta"))
+    assert index_digest(upd["sources"]) != index_digest(res["final_dir"])
+
+    upd_eng = CachedEngine(upd["sources"], upd["stats"], root)
+    post = upd_eng.topk(q, k=5)
+    assert upd_eng.misses == 1  # new lineage -> cold key
+    compact_index(out)
+    comp = CachedEngine(serving_sources(out), upd["stats"], root)
+    assert comp.topk(q, k=5) == post and comp.misses == 1
