@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": ex.q_quality_filter,
         "repetition_stats": ex.q_repetition_stats,
         "source_sample": ex.q_source_sample,
+        "pps_sample": ex.q_pps_sample,      # systematic weighted (PPS) sample
         "tokens_by_source": ex.q_tokens_by_source,
         "train_val_split": ex.q_train_val_split,
         "regex_counts": ex.q_regex_counts,  # PII-ish scrub-pattern scan
@@ -170,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_pct_rank": sk.q_source_pct_rank,    # within-group percentile feature
         "source_ntile": sk.q_source_ntile,          # NTILE equi-count buckets
         "hll_distinct_terms": sk.q_hll_distinct_terms,
+        "hll_union_distinct": sk.q_hll_union_distinct,  # keyed-sketch union merge
         # --- clustering (exact-integer Lloyd, value-verified) ---
         "kmeans_centroids": cl.q_kmeans_centroids,
         "kmeans_assignments": cl.q_kmeans_assignments,
@@ -183,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": cl.q_embedding_gram,      # distributed X^T X (PCA prep)
         "embedding_jl_sketch": cl.q_embedding_jl_sketch,  # deterministic JL projection
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
+        "mutual_knn": cl.q_mutual_knn,              # reciprocal-kNN link filter
         "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
         "cluster_top_terms": cl.q_cluster_top_terms,  # cross-modal cluster labeling
         "term_embeddings": cl.q_term_embeddings,    # cross-modal term centroids
@@ -285,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_spend": ev.q_rolling_spend,        # RANGE-frame rolling window
         "running_spend": ev.q_running_spend,        # UNBOUNDED-PRECEDING scan
         "ewma_spend": ev.q_ewma_spend,              # decay recurrence (EWMA)
+        "scd2_dim": ev.q_scd2_dim,                  # SCD type-2 dimension build
+        "attribution_linear": ev.q_attribution_linear,  # multi-touch attribution
         "user_features": ev.q_user_features,        # one-pass feature vector
         "props_extract": ev.q_props_extract,        # JSON payload extraction
         "campaign_overlap": ev.q_campaign_overlap,  # interval-overlap join
@@ -430,6 +435,9 @@ def oracle_sql() -> dict[str, str]:
     d["nation_order_stats_ivm"] = d["nation_order_stats"]
     # bloom-prefiltered anti join must equal the plain anti join
     d["customers_no_orders_bloom"] = d["customers_no_orders"]
+    # HLL mergeability: union of per-source sketches must equal the
+    # global sketch — same oracle, hash-checks the merge operator
+    d["hll_union_distinct"] = d["hll_distinct_terms"]
     # result-cache serving must be invisible to results — same oracle,
     # so the driver hash-checks the cache layer (fill + hit paths)
     d["cached_bm25_topk"] = d["bm25_topk"]

@@ -2138,3 +2138,46 @@ def q_kcore_nodes(sf_dir: str, k: int = KCORE_K,
         "node": pa.array(core["node"].to_numpy(np.int64), pa.int64()),
         "core_deg": pa.array(core["deg"].to_numpy(np.int64), pa.int64()),
     })
+
+
+# ------------------------------------------------------- mutual kNN
+
+def q_mutual_knn(sf_dir: str, k: int = KNN_K) -> ray.data.Dataset:
+    """Reciprocal (mutual) kNN edges — the density-robust link filter
+    (an edge survives iff EACH endpoint ranks the other inside its own
+    top-k; hub vectors that everyone points at but that point back at
+    nothing lose their spurious links). Intersection of the directed
+    kNN graph with its transpose: canonicalize each directed edge to
+    (min, max), one groupby — a pair kept iff both directions arrived.
+    d2 is symmetric integer L2, so Max == the single shared value.
+    Output (a, b, d2) with a < b."""
+    from ray.data.aggregate import Max
+
+    g = q_knn_graph(sf_dir, k=k)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").to_numpy().astype(np.int64)
+        n = batch.column("nbr_id").to_numpy().astype(np.int64)
+        d2 = batch.column("d2").to_numpy().astype(np.int64)
+        return pa.table({
+            "a": pa.array(np.minimum(v, n), pa.int64()),
+            "b": pa.array(np.maximum(v, n), pa.int64()),
+            "d2": pa.array(d2, pa.int64()),
+            "ndir": pa.array(np.ones(v.size, np.int64), pa.int64()),
+        })
+
+    agg = (g.map_batches(_pairs, batch_format="pyarrow")
+           .groupby(["a", "b"])
+           .aggregate(Sum("ndir", alias_name="ndir"),
+                      Max("d2", alias_name="d2")))
+
+    def _mutual(batch: pa.Table) -> pa.Table:
+        keep = batch.column("ndir").to_numpy().astype(np.int64) == 2
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "a": t.column("a").cast(pa.int64()),
+            "b": t.column("b").cast(pa.int64()),
+            "d2": t.column("d2").cast(pa.int64()),
+        })
+
+    return agg.map_batches(_mutual, batch_format="pyarrow")

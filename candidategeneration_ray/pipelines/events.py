@@ -2453,3 +2453,159 @@ def q_cusum_days(sf_dir: str) -> ray.data.Dataset:
             .groupby(["event_type", "day"])
             .aggregate(Sum("n_events", alias_name="n_events"))
             .groupby("event_type").map_groups(_scan, batch_format="pyarrow"))
+
+
+# ----------------------------------------------------- SCD2 versioning
+
+SCD2_TYPE = "view"
+_SCD2_OPEN = np.int64(-1)  # sentinel for the open (current) version
+
+
+def q_scd2_dim(sf_dir: str, change_type: str = SCD2_TYPE) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 build — the warehouse versioning
+    primitive: each user's `change_type` events set a new "segment"
+    attribute (the integer in props); consecutive NO-OP changes (same
+    segment as the previous version) collapse, and each surviving
+    version carries [valid_from, valid_to) with valid_to = the next
+    version's ts (-1 sentinel for the open current version). Joining
+    facts at their timestamp to the dimension version valid then is the
+    existing as-of join (q_asof_join) — this operator builds the
+    versioned table itself.
+
+    Shape: one user-hash bucket groupby; per bucket ONE lexsort by
+    (user, ts, event_id), the no-op collapse is a shifted-comparison
+    mask, valid_to a shifted take — no per-user loop. Output
+    (user_id, valid_from_us, valid_to_us, segment)."""
+    import pyarrow.compute as pc
+
+    def _scd2(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        keep = et == change_type
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "valid_from_us": pa.array([], pa.int64()),
+            "valid_to_us": pa.array([], pa.int64()),
+            "segment": pa.array([], pa.int64()),
+        })
+        if not keep.any():
+            return empty
+        u = group.column("user_id").to_numpy().astype(np.int64)[keep]
+        ts = group.column("ts").cast(pa.int64()).to_numpy()[keep]
+        eid = group.column("event_id").to_numpy().astype(np.int64)[keep]
+        seg = pc.cast(pc.extract_regex(
+            group.column("props").combine_chunks().filter(pa.array(keep)),
+            r'"k":\s*(?P<v>-?\d+)').field("v"), pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, seg = u[order], ts[order], seg[order]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        changed = first | np.concatenate(([True], seg[1:] != seg[:-1]))
+        u, ts, seg = u[changed], ts[changed], seg[changed]
+        nfirst = np.concatenate(([True], u[1:] != u[:-1]))
+        valid_to = np.concatenate((ts[1:], [_SCD2_OPEN]))
+        valid_to[np.concatenate((nfirst[1:], [True]))] = _SCD2_OPEN
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "valid_from_us": pa.array(ts, pa.int64()),
+            "valid_to_us": pa.array(valid_to, pa.int64()),
+            "segment": pa.array(seg, pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                            "props"])
+    return (_with_user_bucket(ds)
+            .groupby("ubucket").map_groups(_scd2, batch_format="pyarrow"))
+
+
+# --------------------------------------------- multi-touch attribution
+
+ATTR_WINDOW_US = np.int64(7 * 24 * 3600) * np.int64(1_000_000)
+ATTR_TOUCH_TYPES = ("click", "view")
+
+
+def q_attribution_linear(sf_dir: str) -> ray.data.Dataset:
+    """Linear multi-touch attribution with EXACT integer cents — the
+    completion of the attribution family next to `last_touch`: every
+    purchase's cents split equally across ALL of the user's touch
+    events (click/view) in the 7-day window [p.ts - 7d, p.ts], the
+    remainder cents going to the EARLIEST touches (largest-remainder,
+    so per purchase the credits sum to its cents exactly). Output one
+    row per credited touch: (event_id, user_id, event_type,
+    n_purchases, credit_cents).
+
+    Shape: user-hash bucket groupby; per bucket the window bounds for
+    EVERY purchase come from one merged sort of touches + two probe
+    rows per purchase (at ts-7d and ts) and a cumulative touch count —
+    the interval twin of the as-of merge above; the credit expansion is
+    bounded by touches-per-window and built with repeat/arange, no
+    per-user or per-purchase loop."""
+
+    def _attr(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        tm = (et == ATTR_TOUCH_TYPES[0]) | (et == ATTR_TOUCH_TYPES[1])
+        pm = et == "purchase"
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "n_purchases": pa.array([], pa.int64()),
+            "credit_cents": pa.array([], pa.int64()),
+        })
+        if not tm.any() or not pm.any():
+            return empty
+        cents = _cents(group.column("value").to_numpy()[pm])
+        # touches sorted by (user, ts, eid) — global touch order
+        t_ord = np.lexsort((eid[tm], ts[tm], u[tm]))
+        tu, tt, tid = u[tm][t_ord], ts[tm][t_ord], eid[tm][t_ord]
+        tet = et[tm][t_ord]
+        pu, pt = u[pm], ts[pm]
+        # merged rows: touches (side 0), lo probes at ts-7d (side -1,
+        # BEFORE equal-ts touches: window is inclusive), hi probes at
+        # ts (side 1, AFTER equal-ts touches)
+        n_t, n_p = tu.size, pu.size
+        m_u = np.concatenate((tu, pu, pu))
+        m_ts = np.concatenate((tt, pt - ATTR_WINDOW_US, pt))
+        m_side = np.concatenate((np.zeros(n_t, np.int64),
+                                 np.full(n_p, -1), np.ones(n_p, np.int64)))
+        m_kind = np.concatenate((np.full(n_t, -1),
+                                 np.arange(n_p), np.arange(n_p)))
+        order = np.lexsort((m_side, m_ts, m_u))
+        is_touch = m_side[order] == 0
+        seen = np.cumsum(is_touch)          # touches at-or-before each row
+        lo = np.empty(n_p, np.int64)
+        hi = np.empty(n_p, np.int64)
+        probe_rows = ~is_touch
+        pk = m_kind[order][probe_rows]
+        pside = m_side[order][probe_rows]
+        pseen = seen[probe_rows]
+        lo[pk[pside == -1]] = pseen[pside == -1]
+        hi[pk[pside == 1]] = pseen[pside == 1]
+        n = hi - lo                          # touches in each window
+        sel = n > 0
+        if not sel.any():
+            return empty
+        lo_s, n_s, c_s = lo[sel], n[sel], cents[sel]
+        total = int(n_s.sum())
+        starts = np.concatenate(([0], np.cumsum(n_s)))[:-1]
+        rank = np.arange(total, dtype=np.int64) - np.repeat(starts, n_s)
+        touch_idx = np.repeat(lo_s, n_s) + rank
+        credit = (np.repeat(c_s // n_s, n_s)
+                  + (rank < np.repeat(c_s % n_s, n_s)))
+        credit_by_touch = np.zeros(n_t, np.int64)   # exact int64 sums
+        np.add.at(credit_by_touch, touch_idx, credit)
+        count_by_touch = np.bincount(touch_idx, minlength=n_t)
+        out = count_by_touch > 0
+        return pa.table({
+            "event_id": pa.array(tid[out], pa.int64()),
+            "user_id": pa.array(tu[out], pa.int64()),
+            "event_type": pa.array(tet[out].tolist(), pa.string()),
+            "n_purchases": pa.array(count_by_touch[out], pa.int64()),
+            "credit_cents": pa.array(credit_by_touch[out], pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                            "value"])
+    return (_with_user_bucket(ds)
+            .groupby("ubucket").map_groups(_attr, batch_format="pyarrow"))

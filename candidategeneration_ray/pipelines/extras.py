@@ -2797,3 +2797,57 @@ def q_redact_docs(sf_dir: str) -> ray.data.Dataset:
         })
 
     return documents_ds(sf_dir).map_batches(_redact, batch_format="pyarrow")
+
+
+# ------------------------------------------------- weighted PPS sampling
+
+PPS_SAMPLE_K = 50
+
+
+def q_pps_sample(sf_dir: str, k: int = PPS_SAMPLE_K,
+                 num_blocks: int | None = None) -> ray.data.Dataset:
+    """Systematic probability-proportional-to-size sampling (the
+    deterministic cousin of A-ES weighted reservoir sampling; Madow '49):
+    lay every doc's weight (n_chars) end-to-end in doc_id order and take
+    one doc at every `step = W // k` marks — doc i is selected iff its
+    weight interval [cum_i - w_i, cum_i) contains a multiple of step,
+    i.e. floor(cum_i / step) > floor((cum_i - w_i) / step). Inclusion
+    probability is proportional to weight (docs with w >= step are
+    always selected), the sample is identical on every run and every
+    re-shard, and the whole operator is ONE distributed prefix sum:
+    sort by doc_id -> range-blocked cumsum (blocked_prefix_apply — the
+    driver holds only per-block totals) -> per-block vectorized mark
+    test. At 10^12 docs nothing corpus-sized exists anywhere.
+
+    Output (doc_id, n_chars, cum_chars) for the selected docs; the
+    oracle recomputes cum via a window SUM over doc_id order."""
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+    import pyarrow.parquet as pq_
+
+    # total weight first (one tiny aggregate) so step is known up front
+    meta = pq_.read_metadata(os.path.join(sf_dir, "documents.parquet"))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+    total_w = int(ds.sum("n_chars") or 0)
+    step = max(1, total_w // k)
+
+    ds_sorted = ds.sort("doc_id")
+
+    def _total(t: pa.Table) -> int:
+        import pyarrow.compute as pc
+        return int(pc.sum(t.column("n_chars")).as_py() or 0)
+
+    def _emit(t: pa.Table, base: int) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        w = t.column("n_chars").to_numpy().astype(np.int64)
+        cum = base + np.cumsum(w)
+        sel = (cum // step) > ((cum - w) // step)
+        return pa.table({
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "n_chars": pa.array(w[sel], pa.int64()),
+            "cum_chars": pa.array(cum[sel], pa.int64()),
+        })
+
+    if num_blocks is None:
+        num_blocks = max(4, min(64, meta.num_rows // 512 or 4))
+    return blocked_prefix_apply(ds_sorted, num_blocks, _total, _emit)

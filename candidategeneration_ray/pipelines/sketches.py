@@ -325,6 +325,12 @@ def q_hll_distinct_terms(sf_dir: str) -> pa.Table:
     regs = np.zeros(HLL_M, dtype=np.int64)
     for r in merged:
         regs[r["register"]] = r["rho"]
+    return _hll_estimate_table(regs)
+
+
+def _hll_estimate_table(regs: np.ndarray) -> pa.Table:
+    """The shared integer HLL finalizer over a dense register array
+    (used by the global sketch and the keyed-sketch UNION)."""
     s_sum = int(np.sum(1 << (HLL_RHO_MAX - regs.astype(object))))
     est = (HLL_ALPHA_PPB * HLL_M * HLL_M
            << HLL_RHO_MAX) // (s_sum * _PPB)
@@ -335,6 +341,26 @@ def q_hll_distinct_terms(sf_dir: str) -> pa.Table:
         "n_distinct_est": pa.array([int(est)], pa.int64()),
         "n_registers": pa.array([HLL_M], pa.int64()),
     })
+
+
+def q_hll_union_distinct(sf_dir: str) -> pa.Table:
+    """Sketch MERGEABILITY as a verified entry: union the per-source
+    HLL register states (q_hll_registers_by_source — register-wise max,
+    the HLL merge operator) and run the shared integer finalizer. The
+    driver checks it against the GLOBAL sketch's oracle, so the
+    algebraic claim 'union of keyed sketches == sketch of the union'
+    is hash-verified — the property that lets 10^12-doc sketches build
+    per-partition and merge in O(sources x m)."""
+    from ray.data.aggregate import Max
+
+    merged = (q_hll_registers_by_source(sf_dir)
+              .groupby("register")
+              .aggregate(Max("rho", alias_name="rho"))
+              .take_all())
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    for r in merged:
+        regs[r["register"]] = r["rho"]
+    return _hll_estimate_table(regs)
 
 
 # ----------------------------------- per-source dynamic quantile filter

@@ -5580,6 +5580,9 @@ def session11_oracles() -> dict[str, str]:
     later this session)."""
     from candidategeneration_ray.pipelines.docquery import (
         BM25F_HEAD, BM25F_WEIGHT)
+    from candidategeneration_ray.pipelines.extras import PPS_SAMPLE_K
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_SCALE as _KMEANS_SCALE, KNN_K as _KNN_K)
 
     w1 = BM25F_WEIGHT - 1  # extra copies of each head-field occurrence
     fielded_scores = f"""
@@ -5633,5 +5636,101 @@ SELECT query_id, rank, doc_id, score FROM (
          doc_id, score
   FROM qscores
 ) WHERE rank <= 10
+""",
+        # systematic PPS sampling: select docs whose weight interval
+        # (in doc_id layout order) contains a multiple of step = W//k
+        "pps_sample": f"""
+WITH cum AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+  FROM documents
+),
+par AS (SELECT greatest(1, CAST(sum(n_chars) AS BIGINT) // {PPS_SAMPLE_K}) AS step
+        FROM documents)
+SELECT doc_id, n_chars, cum_chars
+FROM cum, par
+WHERE cum_chars // step > (cum_chars - n_chars) // step
+""",
+        # SCD2: per-user 'view' events set the segment; no-op changes
+        # collapse; valid_to = next version's ts, -1 sentinel when open
+        "scd2_dim": """
+WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS segment
+  FROM events WHERE event_type = 'view'
+),
+dedup AS (
+  SELECT user_id, ts, event_id, segment FROM (
+    SELECT user_id, ts, event_id, segment,
+           lag(segment) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+    FROM ch)
+  WHERE prev IS NULL OR segment <> prev
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)), -1)
+            AS BIGINT) AS valid_to_us,
+       segment
+FROM dedup
+""",
+        # linear multi-touch attribution: purchase cents split equally
+        # over the user's clicks/views in [ts-7d, ts], remainder to the
+        # earliest touches; exact integer credits per touch
+        "attribution_linear": """
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id, user_id, event_type, ts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT p.pid, p.cents, t.event_id, t.user_id, t.event_type,
+         CAST(count(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n,
+         CAST(row_number() OVER (PARTITION BY p.pid
+                                 ORDER BY t.ts, t.event_id) AS BIGINT) AS r
+  FROM p JOIN t ON t.user_id = p.user_id
+              AND t.ts >= p.ts - INTERVAL 7 DAY AND t.ts <= p.ts
+)
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents // n + CASE WHEN r <= cents % n THEN 1 ELSE 0 END)
+            AS BIGINT) AS credit_cents
+FROM pairs
+GROUP BY event_id, user_id, event_type
+""",
+        # mutual kNN: intersection of the directed kNN graph with its
+        # transpose (same quantized integer L2 as the knn_graph oracle)
+        "mutual_knn": f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {_KMEANS_SCALE})
+              AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+g AS (
+  SELECT vec_id, nbr_id, d2 FROM (
+    SELECT vec_id, nbr_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, nbr_id ASC) AS rank
+    FROM dist
+  ) WHERE rank <= {_KNN_K}
+)
+SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(x.nbr_id AS BIGINT) AS b,
+       CAST(x.d2 AS BIGINT) AS d2
+FROM g x JOIN g y ON x.vec_id = y.nbr_id AND x.nbr_id = y.vec_id
+WHERE x.vec_id < x.nbr_id
 """,
     }

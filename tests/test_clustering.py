@@ -660,3 +660,47 @@ def test_shortest_paths_brute_force(ray_session):
     for r in got.itertuples():
         if hops[r.vec_id] >= 0:
             assert r.dist >= 0
+
+
+def test_mutual_knn_brute_force(ray_session):
+    """Mutual-kNN at sf0.001 vs a numpy brute force: exact intersection
+    of the directed top-k graph with its transpose, and a strict subset
+    of the symmetrized (union) edge set."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_SCALE, KNN_K, q_mutual_knn)
+
+    SF = "/root/testdata/sf0.001"
+    got = q_mutual_knn(SF).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = emb.vec_id.to_numpy(np.int64)
+    x = np.trunc(np.stack(emb.embedding.to_numpy()).astype(np.float64)
+                 * KMEANS_SCALE).astype(np.int64)
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    directed = set()
+    for i in range(len(ids)):
+        nb = np.lexsort((ids, d2[i]))[:KNN_K]
+        for j in nb:
+            directed.add((int(ids[i]), int(ids[j])))
+    mutual = {(a, b) for (a, b) in directed if (b, a) in directed and a < b}
+    assert set(zip(got.a.astype(int), got.b.astype(int))) == mutual
+    # d2 column matches the brute distances
+    pos = {int(v): k for k, v in enumerate(ids)}
+    for r in got.itertuples():
+        assert r.d2 == int(d2[pos[r.a], pos[r.b]])
+
+
+def test_hll_union_equals_global(ray_session):
+    """HLL mergeability: union of per-source register states finalizes
+    to EXACTLY the global sketch's estimate (same registers, same
+    integer finalizer)."""
+    from candidategeneration_ray.pipelines.sketches import (
+        q_hll_distinct_terms, q_hll_union_distinct)
+
+    SF = "/root/testdata/sf0.001"
+    assert q_hll_union_distinct(SF).equals(q_hll_distinct_terms(SF))

@@ -1145,3 +1145,83 @@ def test_cusum_detects_injected_drift(ray_session, tmp_path):
     s = D * np.cumsum(n) - np.arange(1, D + 1) * N
     assert (drift["s_num"].to_numpy() == s).all()
     assert int(s[-1]) == 0  # the scan must return to zero at the end
+
+
+def test_scd2_versions_brute_force(ray_session):
+    """SCD2 at sf0.001 vs a pandas re-derivation: version chains are
+    contiguous per user (valid_to == next valid_from, exactly one open
+    version), and no version repeats its predecessor's segment."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.events import q_scd2_dim
+
+    SF = "/root/testdata/sf0.001"
+    got = q_scd2_dim(SF).to_pandas().sort_values(
+        ["user_id", "valid_from_us"]).reset_index(drop=True)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev[ev.event_type == "view"].copy()
+    ev["seg"] = ev.props.map(lambda s: int(re.search(r'"k":\s*(-?\d+)', s).group(1)))
+    ev["ts_us"] = ev.ts.astype("int64")
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        prev = None
+        for _, r in g.iterrows():
+            if prev is None or r.seg != prev:
+                rows.append((uid, r.ts_us, r.seg))
+                prev = r.seg
+    brute = pd.DataFrame(rows, columns=["user_id", "valid_from_us", "segment"])
+    brute["valid_to_us"] = brute.groupby("user_id").valid_from_us.shift(-1)
+    brute["valid_to_us"] = brute.valid_to_us.fillna(-1).astype(np.int64)
+    brute = brute.sort_values(["user_id", "valid_from_us"]).reset_index(drop=True)
+    assert got[brute.columns.tolist()].equals(brute)
+    for uid, g in got.groupby("user_id"):
+        g = g.sort_values("valid_from_us")
+        assert (g.valid_to_us.iloc[-1] == -1) and (g.valid_to_us.iloc[:-1] != -1).all()
+        assert (g.valid_to_us.iloc[:-1].to_numpy()
+                == g.valid_from_us.iloc[1:].to_numpy()).all()
+        assert (g.segment.to_numpy()[1:] != g.segment.to_numpy()[:-1]).all()
+
+
+def test_attribution_linear_conservation(ray_session):
+    """Linear attribution at sf0.001: per-purchase credits conserve the
+    purchase's cents exactly (global check: total credit == total cents
+    of purchases with >=1 in-window touch), every credit differs from
+    the equal share by at most 1, and remainders go to the earliest
+    touches (brute-forced for a sample of purchases)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.money import round_scaled
+    from candidategeneration_ray.pipelines.events import (
+        ATTR_WINDOW_US, q_attribution_linear)
+
+    SF = "/root/testdata/sf0.001"
+    got = q_attribution_linear(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["ts_us"] = ev.ts.astype("int64")
+    touches = ev[ev.event_type.isin(["click", "view"])].sort_values(
+        ["user_id", "ts_us", "event_id"])
+    purchases = ev[ev.event_type == "purchase"]
+    total_expected = 0
+    per_touch = {}
+    for _, p in purchases.iterrows():
+        w = touches[(touches.user_id == p.user_id)
+                    & (touches.ts_us >= p.ts_us - int(ATTR_WINDOW_US))
+                    & (touches.ts_us <= p.ts_us)]
+        if w.empty:
+            continue
+        cents = int(round_scaled(np.array([p.value]))[0])
+        total_expected += cents
+        n = len(w)
+        for r, (_, t) in enumerate(w.iterrows(), start=1):
+            per_touch[t.event_id] = per_touch.get(t.event_id, 0) + \
+                cents // n + (1 if r <= cents % n else 0)
+    assert int(got.credit_cents.sum()) == total_expected
+    brute = dict(sorted(per_touch.items()))
+    mine = dict(sorted(zip(got.event_id.astype(int), got.credit_cents.astype(int))))
+    assert mine == brute

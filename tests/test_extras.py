@@ -950,3 +950,38 @@ def test_source_similarity_self_consistency(ray_session):
     row = dfc[(dfc["source_a"] == pick) & (dfc["source_b"] == "zclone")]
     assert len(row) == 1
     assert int(row["match_slots"].iloc[0]) == int(row["n_perms"].iloc[0])
+
+
+def test_pps_sample_invariance_and_inclusion(ray_session):
+    """Systematic PPS sample at sf0.001: block-count invariance (the
+    blocked-prefix contract), every doc with weight >= step is always
+    selected, sample size is within 1 of W // step, and cum_chars is
+    the true running total at each selected doc."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines.extras import PPS_SAMPLE_K, q_pps_sample
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply  # noqa: F401
+
+    SF = "/root/testdata/sf0.001"
+    got = q_pps_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    w = docs.n_chars.to_numpy(np.int64)
+    cum = np.cumsum(w)
+    step = max(1, int(w.sum()) // PPS_SAMPLE_K)
+    sel = (cum // step) > ((cum - w) // step)
+    brute = docs[sel].assign(cum_chars=cum[sel])
+    assert got.doc_id.tolist() == brute.doc_id.tolist()
+    assert got.cum_chars.tolist() == brute.cum_chars.tolist()
+    # inclusion: heavy docs always sampled; size within 1 of W // step
+    heavy = docs.doc_id[w >= step]
+    assert set(heavy).issubset(set(got.doc_id))
+    assert abs(len(got) - int(w.sum()) // step) <= 1
+    # block-count invariance: the global scan must not depend on how
+    # the sorted dataset splits into prefix blocks
+    for nb in (3, 17):
+        again = q_pps_sample(SF, num_blocks=nb).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert again.equals(got), nb
