@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": ex.q_dup_clusters,
         "cluster_representatives": ex.q_cluster_representatives,  # keep-best dedup
         "duplicate_spans": ex.q_duplicate_spans,
+        "dedup_substrings": ex.q_dedup_substrings,  # span-removal rewrite (Lee et al.)
         "simhash": ex.q_simhash,
         "simhash_neardups": ex.q_simhash_neardups,
         "embedding_neardups": ex.q_embedding_neardups,

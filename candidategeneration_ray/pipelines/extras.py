@@ -2851,3 +2851,136 @@ def q_pps_sample(sf_dir: str, k: int = PPS_SAMPLE_K,
     if num_blocks is None:
         num_blocks = max(4, min(64, meta.num_rows // 512 or 4))
     return blocked_prefix_apply(ds_sorted, num_blocks, _total, _emit)
+
+
+# ------------------------------------------- exact-substring dedup removal
+
+DEDUP_SUB_W = 10          # token window width for span removal
+_SUB_POS_BITS = 20        # packed occurrence key = doc_id << 20 | start
+
+
+def q_dedup_substrings(sf_dir: str, w: int = DEDUP_SUB_W) -> ray.data.Dataset:
+    """Exact-substring dedup REMOVAL transform (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    q_duplicate_spans only REPORTS span duplication rates; this entry
+    actually rewrites the corpus. Every w-token window is hashed; each
+    distinct window hash has one global OWNER occurrence — the minimum
+    of doc_id << 20 | start over its occurrences — and every other
+    occurrence marks its w token positions covered. A doc's clean text
+    is its kept-token stream with covered positions dropped (first
+    occurrence survives, later copies vanish; overlapping duplicated
+    windows union their coverage). Docs shorter than w emit no windows
+    (whole-doc dedup is q_dedup_exact's job). Identity is the 64-bit
+    md5 window hash — at 100 TB you would carry the window text
+    alongside the rare colliding hash and confirm lazily, exactly as
+    q_delta_dedup documents for whole-doc hashing.
+
+    Shape: window-occurrence rows (hash, packed pos) -> ONE
+    groupby(hash-bucket) where group-local min IS the global owner
+    (all occurrences of a hash share its bucket) emitting only
+    non-owner occurrences (output is duplication-bound, not
+    corpus-bound) -> union-tag bucketed join with the documents table
+    (same pattern as q_delta_dedup) -> per-doc coverage diff-array +
+    rebuild. No stage holds more than one bucket; nothing touches the
+    driver. Positions are 1-based to match the oracle's kpos;
+    per-doc token counts must fit 20 bits (fail fast otherwise)."""
+    nb = 64
+    pos_mask = (1 << _SUB_POS_BITS) - 1
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        out_h, out_p = [], []
+        for i, toks in enumerate(token_lists):
+            n = len(toks)
+            if n < w:
+                continue
+            if n >= (1 << _SUB_POS_BITS):
+                raise ValueError(
+                    f"doc {doc_ids[i]} has {n} tokens >= 2^{_SUB_POS_BITS}; "
+                    "raise _SUB_POS_BITS to pack (doc, start) keys")
+            hs = H.h64_many(
+                [" ".join(toks[j:j + w]) for j in range(n - w + 1)])
+            starts = np.arange(1, n - w + 2, dtype=np.int64)
+            out_h.append(hs.astype(np.int64))
+            out_p.append((doc_ids[i] << _SUB_POS_BITS) | starts)
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+        p = np.concatenate(out_p) if out_p else np.empty(0, np.int64)
+        return pa.table({
+            "bkt": pa.array((h.astype(np.uint64) % nb).astype(np.int64), pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "packed": pa.array(p, pa.int64()),
+        })
+
+    def _covered(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy().astype(np.int64)
+        p = group.column("packed").to_numpy().astype(np.int64)
+        order = np.lexsort((p, h))
+        h, p = h[order], p[order]
+        starts = np.concatenate(([0], np.nonzero(h[1:] != h[:-1])[0] + 1))
+        counts = np.diff(np.concatenate((starts, [h.size])))
+        owner = np.zeros(h.size, bool)
+        owner[starts] = True
+        cov = p[(np.repeat(counts, counts) >= 2) & ~owner]
+        return pa.table({
+            "jbkt": pa.array((cov >> _SUB_POS_BITS) % nb, pa.int64()),
+            "doc_id": pa.array(cov >> _SUB_POS_BITS, pa.int64()),
+            "start": pa.array(cov & pos_mask, pa.int64()),
+            "text": pa.array([""] * cov.size, pa.string()),
+        })
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "jbkt": pa.array(ids % nb, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "start": pa.array(np.full(ids.size, -1, np.int64), pa.int64()),
+            "text": batch.column("text").cast(pa.string()),
+        })
+
+    def _rebuild(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy().astype(np.int64)
+        st = group.column("start").to_numpy().astype(np.int64)
+        texts = group.column("text").to_pylist()
+        is_doc = st < 0
+        doc_idx = np.nonzero(is_doc)[0]
+        doc_ids = ids[doc_idx]
+        token_lists = tokenize_many([texts[i] for i in doc_idx.tolist()])
+        cov_ids, cov_st = ids[~is_doc], st[~is_doc]
+        order = np.argsort(cov_ids, kind="stable")
+        cov_ids, cov_st = cov_ids[order], cov_st[order]
+        lo = np.searchsorted(cov_ids, doc_ids, side="left")
+        hi = np.searchsorted(cov_ids, doc_ids, side="right")
+        out_txt: list[str] = []
+        out_nt = np.empty(doc_ids.size, np.int64)
+        out_nr = np.empty(doc_ids.size, np.int64)
+        for k, toks in enumerate(token_lists):
+            n = len(toks)
+            out_nt[k] = n
+            if lo[k] == hi[k] or n == 0:
+                out_txt.append(" ".join(toks))
+                out_nr[k] = 0
+                continue
+            s = cov_st[lo[k]:hi[k]]          # 1-based window starts
+            diff = np.zeros(n + 1, np.int64)
+            np.add.at(diff, s - 1, 1)
+            np.add.at(diff, np.minimum(s - 1 + w, n), -1)
+            covered = np.cumsum(diff[:n]) > 0
+            out_txt.append(" ".join(
+                t for t, c in zip(toks, covered.tolist()) if not c))
+            out_nr[k] = int(covered.sum())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "clean_text": pa.array(out_txt, pa.string()),
+            "n_tokens": pa.array(out_nt, pa.int64()),
+            "n_removed": pa.array(out_nr, pa.int64()),
+        })
+
+    windows = documents_ds(sf_dir).map_batches(_windows, batch_format="pyarrow")
+    covered = windows.groupby("bkt").map_groups(_covered, batch_format="pyarrow")
+    docs = documents_ds(sf_dir).map_batches(_doc_rows, batch_format="pyarrow")
+    return (
+        docs.union(covered)
+        .groupby("jbkt")
+        .map_groups(_rebuild, batch_format="pyarrow")
+    )

@@ -1018,6 +1018,44 @@ SELECT CAST(sp.doc_id AS BIGINT) AS doc_id,
 FROM spans sp JOIN df USING (s)
 GROUP BY sp.doc_id
 """,
+        # exact-substring dedup removal: same kept-token stream, same
+        # 10-token md5 window hashes, owner = min(doc_id<<20 | start);
+        # covered positions dropped, clean text re-joined — the string
+        # itself hash-verifies.
+        "dedup_substrings": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+win AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         {_H64.format(expr="array_to_string(list_slice(l, i, i + 9), ' ')")} AS h
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 8)) AS i FROM docs_toks)
+),
+own AS (SELECT h, min(doc_id * 1048576 + i) AS keep FROM win GROUP BY h),
+cov AS (
+  SELECT w.doc_id, w.i
+  FROM win w JOIN own o USING (h)
+  WHERE w.doc_id * 1048576 + w.i <> o.keep
+),
+covpos AS (
+  SELECT DISTINCT doc_id, i + o AS p
+  FROM cov CROSS JOIN (SELECT unnest(range(0, 10)) AS o) offs
+),
+keptok AS (
+  SELECT k.doc_id, k.tok, k.kpos
+  FROM kept k LEFT JOIN covpos c ON k.doc_id = c.doc_id AND k.kpos = c.p
+  WHERE c.doc_id IS NULL
+),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY kpos) AS t FROM keptok GROUP BY doc_id),
+nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS r FROM covpos GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(a.t, '') AS clean_text,
+       CAST(len(dt.l) AS BIGINT) AS n_tokens,
+       coalesce(r.r, CAST(0 AS BIGINT)) AS n_removed
+FROM documents d
+JOIN docs_toks dt USING (doc_id)
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN nrem r ON r.doc_id = d.doc_id
+""",
         "source_sample": """
 SELECT source, CAST(doc_id AS BIGINT) AS doc_id FROM (
   SELECT source, doc_id,

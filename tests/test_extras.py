@@ -401,6 +401,75 @@ class TestDuplicateSpans:
         assert pdf.loc[3].tolist() == [11, 0]
 
 
+class TestDedupSubstrings:
+    def test_removal_semantics(self, ray_session, tmp_path):
+        """Owner (lowest doc_id, earliest start) keeps its text; an exact
+        copy is fully removed; a doc sharing only a w-token prefix loses
+        exactly that prefix; short and unique docs are untouched."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import q_dedup_substrings
+
+        toks = [f"tok{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(30)]
+        base = " ".join(toks)
+        tail = [f"uniq{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(15)]
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                base,                               # owner of every window
+                base,                               # exact copy → emptied
+                "alpha beta gamma",                 # < w tokens → untouched
+                " ".join(f"solo{chr(97 + i // 26)}{chr(97 + i % 26)}"
+                         for i in range(30)),       # unique long → untouched
+                " ".join(toks[:10] + tail),         # shares only prefix window
+            ], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        pdf = (q_dedup_substrings(d, w=10).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert pdf.loc[0, "clean_text"] == base
+        assert pdf.loc[0, "n_removed"] == 0
+        assert pdf.loc[1, "clean_text"] == ""
+        assert pdf.loc[1, "n_removed"] == 30
+        assert pdf.loc[2, "clean_text"] == "alpha beta gamma"
+        assert pdf.loc[2, "n_removed"] == 0
+        assert pdf.loc[3, "n_removed"] == 0
+        # doc4: only its first 10-token window duplicates base → exactly
+        # the 10 prefix positions are covered, the unique tail survives
+        assert pdf.loc[4, "clean_text"] == " ".join(tail)
+        assert pdf.loc[4, "n_removed"] == 10
+        assert pdf.loc[4, "n_tokens"] == 25
+
+    def test_overlapping_coverage_unions(self, ray_session, tmp_path):
+        """Two overlapping duplicated windows in one doc union their
+        covered positions (diff-array, not per-window subtraction)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import q_dedup_substrings
+
+        toks = [f"tok{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(12)]
+        # doc1 contains base's tokens 0..11 → windows at starts 1,2,3 all
+        # duplicated; coverage = positions 1..12 (union), not 3*w.
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([
+                " ".join(toks) + " extra trailing words here",
+                " ".join(toks),
+            ], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        pdf = (q_dedup_substrings(d, w=10).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert pdf.loc[1, "clean_text"] == ""
+        assert pdf.loc[1, "n_removed"] == 12
+
+
 class TestMixtureAccounting:
     def test_split_partitions_and_token_totals(self, ray_session):
         from candidategeneration_ray.pipelines.docquery import q_global_stats
