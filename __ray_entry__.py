@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_jl_sketch": cl.q_embedding_jl_sketch,  # deterministic JL projection
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
         "mutual_knn": cl.q_mutual_knn,              # reciprocal-kNN link filter
+        "kcenter_coreset": cl.q_kcenter_coreset,    # greedy k-center data pruning
+        "dbscan_clusters": cl.q_dbscan_clusters,    # density clustering + noise
         "semantic_neardups": cl.q_semantic_neardups,  # SemDeDup: cluster-restricted
         "cluster_top_terms": cl.q_cluster_top_terms,  # cross-modal cluster labeling
         "term_embeddings": cl.q_term_embeddings,    # cross-modal term centroids
@@ -364,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         synonym_oracles,
         wildcard_oracles,
         session11_oracles,
+        session12_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -423,7 +426,8 @@ def oracle_sql() -> dict[str, str]:
             **range_scan_oracles(), **pq_oracles(), **ivfpq_oracles(),
             **lsh_plane_oracles(),
             **regression_oracles(), **gram_oracles(), **jl_oracles(),
-            **token_offset_oracles(), **session11_oracles()}
+            **token_offset_oracles(), **session11_oracles(),
+            **session12_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

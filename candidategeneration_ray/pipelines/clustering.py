@@ -2181,3 +2181,384 @@ def q_mutual_knn(sf_dir: str, k: int = KNN_K) -> ray.data.Dataset:
         })
 
     return agg.map_batches(_mutual, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- k-center coreset
+
+KCENTER_K = 8
+
+
+def q_kcenter_coreset(sf_dir: str, k: int = KCENTER_K) -> pa.Table:
+    """Greedy k-center coreset selection (Gonzalez 1985's 2-approx
+    farthest-point traversal) — the geometric data-pruning primitive
+    behind coverage-maximizing training-subset selection: start from
+    the lowest vec_id, then k-1 times add the vector FARTHEST (integer
+    squared L2 over the shared power-of-two quantization) from the
+    chosen set, ties broken by lowest vec_id. Each selected row carries
+    the distance at which it was chosen — a non-increasing sequence of
+    coverage radii, so the output doubles as the corpus' covering-
+    radius profile.
+
+    Shape: k-1 rounds, each ONE broadcast map_batches pass (chosen
+    centers via ray.put) emitting a single per-batch (argmax d2) row;
+    the driver folds only n_batches partials per round and holds k
+    vectors. No shuffle at all — the same partial-argmax skeleton as
+    _init_centroids. At 10^9 vectors the cost is k scans, which is why
+    greedy k-center (not exact k-center, NP-hard) is the standard
+    coreset pick."""
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "d2": pa.array([], pa.int64()),
+                      "xq": pa.array([], pa.list_(pa.int64()))})
+
+    def _seed_partial(batch: pa.Table) -> pa.Table:
+        ids, xq = _quantize(batch)
+        if ids.size == 0:
+            return empty
+        j = int(np.argmin(ids))
+        return pa.table({"vec_id": pa.array([ids[j]], pa.int64()),
+                         "d2": pa.array([0], pa.int64()),
+                         "xq": pa.array([xq[j].tolist()], pa.list_(pa.int64()))})
+
+    seed_rows = sorted(
+        _embeddings_ds(sf_dir).map_batches(
+            _seed_partial, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"])
+    if not seed_rows:
+        return pa.table({"round": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "d2": pa.array([], pa.int64())})
+    chosen_ids = [int(seed_rows[0]["vec_id"])]
+    chosen_xq = [np.asarray(seed_rows[0]["xq"], dtype=np.int64)]
+    chosen_d2 = [0]
+
+    for _ in range(1, k):
+        ref = ray.put((np.asarray(chosen_ids, np.int64),
+                       np.stack(chosen_xq)))
+
+        def _far_partial(batch: pa.Table) -> pa.Table:
+            ids, xq = _quantize(batch)
+            if ids.size == 0:
+                return empty
+            cids, c = ray.get(ref)
+            keep = ~np.isin(ids, cids)
+            if not keep.any():
+                return empty
+            ids, xq = ids[keep], xq[keep]
+            d2 = (
+                (xq * xq).sum(axis=1, keepdims=True)
+                - 2 * (xq @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            ).min(axis=1)
+            j = int(np.lexsort((ids, -d2))[0])
+            return pa.table({"vec_id": pa.array([ids[j]], pa.int64()),
+                             "d2": pa.array([int(d2[j])], pa.int64()),
+                             "xq": pa.array([xq[j].tolist()],
+                                            pa.list_(pa.int64()))})
+
+        partials = _embeddings_ds(sf_dir).map_batches(
+            _far_partial, batch_format="pyarrow").take_all()
+        if not partials:
+            break
+        win = min(partials, key=lambda r: (-int(r["d2"]), int(r["vec_id"])))
+        chosen_ids.append(int(win["vec_id"]))
+        chosen_xq.append(np.asarray(win["xq"], dtype=np.int64))
+        chosen_d2.append(int(win["d2"]))
+
+    return pa.table({
+        "round": pa.array(np.arange(len(chosen_ids)), pa.int64()),
+        "vec_id": pa.array(chosen_ids, pa.int64()),
+        "d2": pa.array(chosen_d2, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------- DBSCAN
+
+DBSCAN_EPS2 = 5_600_000_000   # integer squared-L2 radius (quantized space)
+DBSCAN_MIN_PTS = 4            # |N_eps(p)| >= min_pts (self included) -> core
+
+
+def _eps_pairs(sf_dir: str, eps2: int, n_blocks: int = 4) -> ray.data.Dataset:
+    """Exact eps-neighbor pairs (a < b, integer squared L2 <= eps2) via
+    the block-pair all-pairs decomposition (same shape as
+    extras.q_embedding_neardups: every pair scored exactly once, no
+    task holds more than 2/n_blocks of the table, scale by raising
+    n_blocks)."""
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        blk = (ids % n_blocks).astype(np.int64)
+        pair_of = np.empty((n_blocks, n_blocks), dtype=np.int64)
+        side_of = np.empty((n_blocks, n_blocks), dtype=np.int64)
+        for k in range(n_blocks):
+            for j in range(n_blocks):
+                lo, hi = min(k, j), max(k, j)
+                pair_of[k, j] = lo * n_blocks + hi
+                side_of[k, j] = 0 if k == lo else 1
+        take = np.repeat(np.arange(ids.size), n_blocks)
+        pair_id = pair_of[np.repeat(blk, n_blocks),
+                          np.tile(np.arange(n_blocks), ids.size)]
+        side = side_of[np.repeat(blk, n_blocks),
+                       np.tile(np.arange(n_blocks), ids.size)]
+        rep = batch.take(take)
+        return pa.table({
+            "pair_id": pa.array(pair_id, pa.int64()),
+            "side": pa.array(side, pa.int64()),
+            "vec_id": rep.column("vec_id").cast(pa.int64()),
+            "embedding": rep.column("embedding"),
+        })
+
+    def _d2(xa: np.ndarray, xb: np.ndarray) -> np.ndarray:
+        return ((xa * xa).sum(axis=1)[:, None]
+                - 2 * (xa @ xb.T)
+                + (xb * xb).sum(axis=1)[None, :])
+
+    def _score_group(group: pa.Table) -> pa.Table:
+        pair_id = int(group.column("pair_id")[0].as_py())
+        i, j = divmod(pair_id, n_blocks)
+        side = group.column("side").to_numpy().astype(np.int64)
+        ids = group.column("vec_id").to_numpy().astype(np.int64)
+        xq = np.trunc(np.array(group.column("embedding").to_pylist(),
+                               dtype=np.float64) * KMEANS_SCALE).astype(np.int64)
+        if i == j:
+            m0 = side == 0
+            x, xid = xq[m0], ids[m0]
+            d2 = _d2(x, x)
+            ia, ib = np.triu_indices(xid.size, k=1)
+            keep = d2[ia, ib] <= eps2
+            a, b = xid[ia[keep]], xid[ib[keep]]
+        else:
+            m0, m1 = side == 0, side == 1
+            xa, ida = xq[m0], ids[m0]
+            xb, idb = xq[m1], ids[m1]
+            d2 = _d2(xa, xb)
+            ka, kb = np.nonzero(d2 <= eps2)
+            a, b = ida[ka], idb[kb]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"a": pa.array(lo, pa.int64()),
+                         "b": pa.array(hi, pa.int64())})
+
+    return (
+        _embeddings_ds(sf_dir)
+        .map_batches(_expand, batch_format="pyarrow")
+        .groupby("pair_id").map_groups(_score_group, batch_format="pyarrow")
+    )
+
+
+def q_dbscan_clusters(sf_dir: str, eps2: int = DBSCAN_EPS2,
+                      min_pts: int = DBSCAN_MIN_PTS,
+                      n_blocks: int = 4,
+                      n_buckets: int = 64) -> ray.data.Dataset:
+    """Deterministic DBSCAN over the quantized embeddings — the
+    density-based clustering class (kmeans partitions EVERYTHING;
+    DBSCAN finds dense regions and labels sparse points noise):
+
+      core    |N_eps(p)| >= min_pts (self included)
+      cluster connected components of the core-core eps-graph,
+              labeled by min core vec_id (order-free, unlike textbook
+              DBSCAN's scan-order border assignment)
+      border  non-core with a core eps-neighbor -> MIN core neighbor's
+              cluster (deterministic variant of the order-dependent
+              tie)
+      noise   everything else, cluster = -1
+
+    Shape: exact eps-pairs by block-pair decomposition -> degree
+    groupby -> coreness attached to edges by two bucketed union-tag
+    joins -> CC over the core-core subgraph (single-task fast path /
+    label-propagation rounds, the q_dup_clusters machinery) -> border
+    labels as one more bucketed join + groupby(min). Every stage is a
+    bounded shuffle; nothing corpus-sized touches the driver.
+    Output (vec_id, cluster, is_core)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from candidategeneration_ray.pipelines.extras import (
+        _propagation_rounds, _small_graph_cc)
+
+    pairs = _eps_pairs(sf_dir, eps2, n_blocks).materialize()
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate((a, b)), pa.int64()),
+            "dst": pa.array(np.concatenate((b, a)), pa.int64()),
+        })
+
+    sym = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
+    deg = sym.groupby("src").aggregate(Count(alias_name="deg"))
+
+    def _core_flags(batch: pa.Table) -> pa.Table:
+        d = batch.column("deg").to_numpy().astype(np.int64)
+        keep = d + 1 >= min_pts
+        t = batch.filter(pa.array(keep))
+        return pa.table({"node": t.column("src").cast(pa.int64())})
+
+    cores = deg.map_batches(_core_flags, batch_format="pyarrow").materialize()
+
+    # attach coreness to edges: bucketed union-tag join, keyed by src
+    # then by dst (kind 1 = flag row, kind 0 = edge row)
+    def _tag_edges(key: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            k = batch.column(key).to_numpy().astype(np.int64)
+            out = {"bkt": pa.array((k % n_buckets), pa.int64()),
+                   "kind": pa.array(np.zeros(k.size, np.int64), pa.int64())}
+            for c in batch.column_names:
+                out[c] = batch.column(c)
+            return pa.table(out)
+        return _f
+
+    def _join_core(key: str, flag_col: str):
+        def _g(group: pa.Table) -> pa.Table:
+            kind = group.column("kind").to_numpy().astype(np.int64)
+            flags = group.filter(pa.array(kind == 1))
+            edges = group.filter(pa.array(kind == 0))
+            core_set = np.sort(flags.column(key).to_numpy().astype(np.int64))
+            k = edges.column(key).to_numpy().astype(np.int64)
+            pos = np.searchsorted(core_set, k)
+            pos_c = np.minimum(pos, max(core_set.size - 1, 0))
+            is_core = (core_set.size > 0) & (core_set[pos_c] == k) \
+                if core_set.size else np.zeros(k.size, bool)
+            out = {c: edges.column(c) for c in edges.column_names
+                   if c not in ("bkt", "kind")}
+            out[flag_col] = pa.array(is_core.astype(np.int64), pa.int64())
+            return pa.table(out)
+        return _g
+
+    # pass 1: src coreness
+    edges1_in = sym.map_batches(_tag_edges("src"), batch_format="pyarrow")
+    flags1 = cores.map_batches(
+        lambda b: pa.table({
+            "bkt": pa.array(b.column("node").to_numpy().astype(np.int64)
+                            % n_buckets, pa.int64()),
+            "kind": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            "src": b.column("node").cast(pa.int64()),
+            "dst": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+    e1 = (edges1_in.union(flags1).groupby("bkt")
+          .map_groups(_join_core("src", "src_core"), batch_format="pyarrow"))
+
+    # pass 2: dst coreness
+    edges2_in = e1.map_batches(_tag_edges("dst"), batch_format="pyarrow")
+    flags2 = cores.map_batches(
+        lambda b: pa.table({
+            "bkt": pa.array(b.column("node").to_numpy().astype(np.int64)
+                            % n_buckets, pa.int64()),
+            "kind": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            "src": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+            "dst": b.column("node").cast(pa.int64()),
+            "src_core": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+    e2 = (edges2_in.union(flags2).groupby("bkt")
+          .map_groups(_join_core("dst", "dst_core"),
+                      batch_format="pyarrow").materialize())
+
+    # CC over core-core edges (symmetric by construction)
+    cc_edges = e2.filter(
+        expr="src_core == 1 and dst_core == 1").select_columns(["src", "dst"])
+    n_cc = cc_edges.count()
+    if n_cc == 0:
+        cc_labels = ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "lbl": pa.array([], pa.int64())}))
+    elif n_cc <= 5_000_000:
+        cc_labels = ray.data.from_arrow_refs(
+            [_small_graph_cc.remote(*cc_edges.to_arrow_refs())])
+    else:
+        def _with_lbl(batch: pa.Table) -> pa.Table:
+            s = batch.column("src")
+            return pa.table({
+                "src": s, "dst": batch.column("dst"),
+                "lbl": pa.array(np.full(batch.num_rows,
+                                        np.iinfo(np.int64).max, np.int64),
+                                pa.int64())})
+        cc_labels = _propagation_rounds(
+            cc_edges.map_batches(_with_lbl,
+                                 batch_format="pyarrow").materialize(), 40)
+
+    # full core labels = CC labels  ∪  core identity (isolated cores)
+    core_ident = cores.map_batches(
+        lambda b: pa.table({"node": b.column("node").cast(pa.int64()),
+                            "lbl": b.column("node").cast(pa.int64())}),
+        batch_format="pyarrow")
+    core_lbl = (core_ident.union(cc_labels).groupby("node")
+                .aggregate(Min("lbl", alias_name="lbl")).materialize())
+
+    # border: core src -> non-core dst edges, label = min core nbr lbl;
+    # one more bucketed union-tag join keyed by src
+    border_edges = e2.filter(expr="src_core == 1 and dst_core == 0")
+
+    def _tag_border(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(s % n_buckets, pa.int64()),
+            "kind": pa.array(np.zeros(s.size, np.int64), pa.int64()),
+            "src": pa.array(s, pa.int64()),
+            "dst": batch.column("dst").cast(pa.int64()),
+            "lbl": pa.array(np.full(s.size, -1, np.int64), pa.int64()),
+        })
+
+    def _tag_lbls(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(n % n_buckets, pa.int64()),
+            "kind": pa.array(np.ones(n.size, np.int64), pa.int64()),
+            "src": pa.array(n, pa.int64()),
+            "dst": pa.array(np.full(n.size, -1, np.int64), pa.int64()),
+            "lbl": batch.column("lbl").cast(pa.int64()),
+        })
+
+    def _attach_lbl(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy().astype(np.int64)
+        lrows = group.filter(pa.array(kind == 1))
+        erows = group.filter(pa.array(kind == 0))
+        keys = lrows.column("src").to_numpy().astype(np.int64)
+        vals = lrows.column("lbl").to_numpy().astype(np.int64)
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+        s = erows.column("src").to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, s)
+        return pa.table({
+            "dst": erows.column("dst").cast(pa.int64()),
+            "lbl": pa.array(vals[pos], pa.int64()),
+        })
+
+    border_lbl = (
+        border_edges.map_batches(_tag_border, batch_format="pyarrow")
+        .union(core_lbl.map_batches(_tag_lbls, batch_format="pyarrow"))
+        .groupby("bkt").map_groups(_attach_lbl, batch_format="pyarrow")
+        .groupby("dst").aggregate(Min("lbl", alias_name="lbl"))
+    )
+
+    # final union: identity(-1, non-core) ∪ core(lbl, 1) ∪ border(lbl, 0)
+    def _ident(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").cast(pa.int64())
+        return pa.table({
+            "vec_id": v,
+            "cluster": pa.array(np.full(batch.num_rows, -1, np.int64),
+                                pa.int64()),
+            "is_core": pa.array(np.zeros(batch.num_rows, np.int64),
+                                pa.int64()),
+        })
+
+    ident = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).map_batches(_ident, batch_format="pyarrow")
+
+    core_rows = core_lbl.map_batches(
+        lambda b: pa.table({
+            "vec_id": b.column("node").cast(pa.int64()),
+            "cluster": b.column("lbl").cast(pa.int64()),
+            "is_core": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+    border_rows = border_lbl.map_batches(
+        lambda b: pa.table({
+            "vec_id": b.column("dst").cast(pa.int64()),
+            "cluster": b.column("lbl").cast(pa.int64()),
+            "is_core": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+
+    return (
+        ident.union(core_rows).union(border_rows)
+        .groupby("vec_id")
+        .aggregate(Max("cluster", alias_name="cluster"),
+                   Max("is_core", alias_name="is_core"))
+    )

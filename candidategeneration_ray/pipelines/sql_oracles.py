@@ -5772,3 +5772,94 @@ FROM g x JOIN g y ON x.vec_id = y.nbr_id AND x.nbr_id = y.vec_id
 WHERE x.vec_id < x.nbr_id
 """,
     }
+
+
+def session12_oracles() -> dict[str, str]:
+    """Session-12 entries: coreset selection, density clustering,
+    hashed text embeddings, training-data mining."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KCENTER_K, KMEANS_SCALE)
+
+    qv = f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE})
+              AS BIGINT) AS x
+  FROM embeddings
+)"""
+
+    # greedy k-center: unrolled farthest-point rounds; each round's
+    # min-dist scan excludes already-chosen ids exactly as the engine's
+    # per-batch mask does (duplicate vectors would otherwise re-pick)
+    kc_parts = [qv, """ch0 AS (
+  SELECT CAST(0 AS BIGINT) AS r,
+         (SELECT min(vec_id) FROM embeddings) AS vec_id,
+         CAST(0 AS BIGINT) AS d2)"""]
+    for i in range(1, KCENTER_K):
+        kc_parts.append(f"""m{i} AS MATERIALIZED (
+  SELECT vec_id, min(d2) AS d2 FROM (
+    SELECT q.vec_id, p.vec_id AS cid,
+           sum((q.x - p.x) * (q.x - p.x)) AS d2
+    FROM qv q
+    JOIN qv p ON p.d = q.d AND p.vec_id IN (SELECT vec_id FROM ch{i - 1})
+    WHERE q.vec_id NOT IN (SELECT vec_id FROM ch{i - 1})
+    GROUP BY q.vec_id, p.vec_id
+  ) GROUP BY vec_id
+),
+ch{i} AS (
+  SELECT * FROM ch{i - 1}
+  UNION ALL
+  SELECT CAST({i} AS BIGINT) AS r, vec_id, d2
+  FROM (SELECT vec_id, d2 FROM m{i} ORDER BY d2 DESC, vec_id ASC LIMIT 1)
+)""")
+    kc_ctes = ",\n".join(kc_parts)
+
+    from candidategeneration_ray.pipelines.clustering import (
+        DBSCAN_EPS2, DBSCAN_MIN_PTS)
+
+    return {
+        "kcenter_coreset": f"""
+WITH {kc_ctes}
+SELECT r AS "round", CAST(vec_id AS BIGINT) AS vec_id, d2
+FROM ch{KCENTER_K - 1}
+""",
+        # DBSCAN: eps-pairs -> degree coreness -> CC over the core-core
+        # subgraph (recursive reachability, min-core-id label) -> border
+        # = min core-neighbor cluster; noise -1. Mirrors the engine's
+        # deterministic border rule exactly.
+        "dbscan_clusters": f"""
+WITH RECURSIVE {qv},
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+  HAVING sum((a.x - b.x) * (a.x - b.x)) <= {DBSCAN_EPS2}
+),
+sym AS (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+core AS (SELECT node FROM deg WHERE deg + 1 >= {DBSCAN_MIN_PTS}),
+cedges AS (
+  SELECT s.src, s.dst FROM sym s
+  JOIN core c1 ON c1.node = s.src JOIN core c2 ON c2.node = s.dst
+),
+reach(node, lbl) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN cedges e ON e.src = r.node
+),
+corelbl AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+borderlbl AS (
+  SELECT s.dst AS node, min(cl.cluster) AS cluster
+  FROM sym s JOIN corelbl cl ON cl.node = s.src
+  WHERE s.dst NOT IN (SELECT node FROM core)
+  GROUP BY s.dst
+)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(c.cluster, b.cluster, -1) AS BIGINT) AS cluster,
+       CAST(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_core
+FROM embeddings e
+LEFT JOIN corelbl c ON c.node = e.vec_id
+LEFT JOIN borderlbl b ON b.node = e.vec_id
+""",
+    }

@@ -704,3 +704,127 @@ def test_hll_union_equals_global(ray_session):
 
     SF = "/root/testdata/sf0.001"
     assert q_hll_union_distinct(SF).equals(q_hll_distinct_terms(SF))
+
+
+class TestKcenterCoreset:
+    def _brute(self, ids: np.ndarray, emb: np.ndarray, k: int):
+        xq = np.trunc(emb.astype(np.float64) * cl.KMEANS_SCALE).astype(np.int64)
+        order = np.argsort(ids)
+        ids, xq = ids[order], xq[order]
+        chosen = [0]
+        d2s = [0]
+        for _ in range(1, k):
+            mind = np.full(ids.size, np.iinfo(np.int64).max, np.int64)
+            for c in chosen:
+                d = ((xq - xq[c]) ** 2).sum(axis=1)
+                mind = np.minimum(mind, d)
+            mind[chosen] = -1           # exclude already chosen
+            j = int(np.lexsort((ids, -mind))[0])
+            chosen.append(j)
+            d2s.append(int(mind[j]))
+        return ids[chosen], np.array(d2s, np.int64)
+
+    def test_matches_bruteforce_and_radii_nonincreasing(self, ray_session):
+        ids, emb = _load(SF)
+        want_ids, want_d2 = self._brute(ids, emb, cl.KCENTER_K)
+        got = cl.q_kcenter_coreset(SF).to_pandas().sort_values("round")
+        assert got["vec_id"].tolist() == want_ids.tolist()
+        assert got["d2"].tolist() == want_d2.tolist()
+        radii = got["d2"].to_numpy()[1:]
+        assert (np.diff(radii) <= 0).all()   # covering radii shrink
+
+    def test_duplicate_vectors_never_repick(self, ray_session, tmp_path):
+        """With fewer distinct vectors than k the farthest-point scan
+        must skip already-chosen ids (all remaining dist 0), picking
+        duplicates by lowest vec_id rather than looping."""
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(3, 4))
+        emb = np.vstack([base, base, base])          # 9 rows, 3 distinct
+        ids = np.arange(9, dtype=np.int64)
+        d = _write_emb(str(tmp_path), ids, emb, num_files=2)
+        got = cl.q_kcenter_coreset(d, k=6).to_pandas().sort_values("round")
+        assert got["vec_id"].is_unique
+        assert len(got) == 6
+        want_ids, want_d2 = self._brute(ids, emb, 6)
+        assert got["vec_id"].tolist() == want_ids.tolist()
+        assert got["d2"].tolist() == want_d2.tolist()
+
+
+class TestDbscan:
+    def _brute(self, ids: np.ndarray, emb: np.ndarray, eps2: int, min_pts: int):
+        xq = np.trunc(emb.astype(np.float64) * cl.KMEANS_SCALE).astype(np.int64)
+        n = ids.size
+        d2 = ((xq[:, None, :] - xq[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.iinfo(np.int64).max)
+        nbr = d2 <= eps2
+        core = nbr.sum(1) + 1 >= min_pts
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in zip(*np.nonzero(np.triu(nbr, 1))):
+            if core[a] and core[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        comp_min = {}
+        for a in range(n):
+            if core[a]:
+                r = find(a)
+                comp_min[r] = min(comp_min.get(r, ids[a]), ids[a])
+        cluster = np.full(n, -1, np.int64)
+        for a in range(n):
+            if core[a]:
+                cluster[a] = comp_min[find(a)]
+            else:
+                nb = np.nonzero(nbr[a] & core)[0]
+                if nb.size:
+                    cluster[a] = min(comp_min[find(b)] for b in nb)
+        return cluster, core.astype(np.int64)
+
+    def test_matches_bruteforce_sf(self, ray_session):
+        ids, emb = _load(SF)
+        want_cl, want_core = self._brute(ids, emb, cl.DBSCAN_EPS2,
+                                         cl.DBSCAN_MIN_PTS)
+        order = np.argsort(ids)
+        got = (cl.q_dbscan_clusters(SF).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        assert got["vec_id"].tolist() == ids[order].tolist()
+        assert got["is_core"].tolist() == want_core[order].tolist()
+        assert got["cluster"].tolist() == want_cl[order].tolist()
+        assert (got["cluster"] == -1).any()          # real noise exists
+        assert got["cluster"].max() >= 0             # real clusters exist
+
+    def test_crafted_structure_and_block_invariance(self, ray_session, tmp_path):
+        """Two tight blobs + one border point + one far noise point;
+        result identical at 1 and 3 input files."""
+        rng = np.random.default_rng(3)
+        blob1 = rng.normal(0.0, 0.001, size=(5, 4))
+        blob2 = rng.normal(1.0, 0.001, size=(5, 4))
+        border = np.array([[0.0, 0.0, 0.0, 0.0035]])   # near blob1 only
+        noise = np.array([[5.0, 5.0, 5.0, 5.0]])
+        emb = np.vstack([blob1, blob2, border, noise])
+        ids = np.arange(12, dtype=np.int64)
+        eps2 = int(((0.004 * cl.KMEANS_SCALE) ** 2))
+        results = []
+        for nf in (1, 3):
+            d = str(tmp_path / f"v{nf}")
+            os.makedirs(d, exist_ok=True)
+            _write_emb(d, ids, emb, num_files=nf)
+            got = (cl.q_dbscan_clusters(d, eps2=eps2, min_pts=4)
+                   .to_pandas().sort_values("vec_id").reset_index(drop=True))
+            results.append(got)
+        assert results[0].equals(results[1])
+        got = results[0]
+        want_cl, want_core = self._brute(ids, emb, eps2, 4)
+        assert got["cluster"].tolist() == want_cl.tolist()
+        assert got["is_core"].tolist() == want_core.tolist()
+        # structure: blob1 -> cluster 0, blob2 -> cluster 5,
+        # border point labeled into blob1's cluster but not core, noise -1
+        assert got.loc[10, "cluster"] == got.loc[0, "cluster"]
+        assert got.loc[10, "is_core"] == 0
+        assert got.loc[11, "cluster"] == -1
