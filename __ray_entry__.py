@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_representatives": ex.q_cluster_representatives,  # keep-best dedup
         "duplicate_spans": ex.q_duplicate_spans,
         "dedup_substrings": ex.q_dedup_substrings,  # span-removal rewrite (Lee et al.)
+        "hashed_embeddings": ex.q_hashed_embeddings,  # hashing-trick text vectors
+        "hashed_mips_top10": ex.q_hashed_mips_top10,  # MIPS over hashed vectors
         "simhash": ex.q_simhash,
         "simhash_neardups": ex.q_simhash_neardups,
         "embedding_neardups": ex.q_embedding_neardups,

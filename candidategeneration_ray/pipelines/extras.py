@@ -2984,3 +2984,139 @@ def q_dedup_substrings(sf_dir: str, w: int = DEDUP_SUB_W) -> ray.data.Dataset:
         .groupby("jbkt")
         .map_groups(_rebuild, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------- feature-hashed embeddings
+
+HASH_DIM = 32          # hashing-trick vector width
+_SIGN_BIT = 40         # md5 bit used for the ±1 sign (independent of dim bits)
+
+
+def _hashed_doc_vecs(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, V) where V[i] is doc i's HASH_DIM-wide signed-tf
+    hashing-trick vector (Weinberger et al. 2009): each distinct kept
+    token adds sign(h) * tf to dimension h % HASH_DIM, h = md5-64 of
+    the token, sign from an independent md5 bit. Batch-global: one
+    factorize over the batch's token stream, tokens hashed once each,
+    one np.add.at scatter — no per-doc Python loop."""
+    import pandas as pd
+
+    token_lists = tokenize_many(batch.column("text").to_pylist())
+    doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    V = np.zeros((doc_ids.size, HASH_DIM), dtype=np.int64)
+    lens = np.fromiter((len(t) for t in token_lists), np.int64,
+                       len(token_lists))
+    if lens.sum() == 0:
+        return doc_ids, V
+    flat = np.concatenate([np.asarray(t, object) for t in token_lists
+                           if t] or [np.empty(0, object)])
+    didx = np.repeat(np.arange(doc_ids.size), lens)
+    codes, uniq = pd.factorize(flat)
+    h = H.h64_many(list(uniq))
+    dim = (h % np.uint64(HASH_DIM)).astype(np.int64)
+    sign = np.where(((h >> np.uint64(_SIGN_BIT)) & np.uint64(1)) == 1,
+                    -1, 1).astype(np.int64)
+    # per (doc, token-code) tf via one packed sort
+    packed = didx * len(uniq) + codes
+    pk, tf = np.unique(packed, return_counts=True)
+    pd_doc = pk // len(uniq)
+    pd_code = pk % len(uniq)
+    np.add.at(V, (pd_doc, dim[pd_code]), sign[pd_code] * tf)
+    return doc_ids, V
+
+
+def q_hashed_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Text -> vector WITHOUT a model: the feature-hashing trick over
+    kept-token tfs. Gives every downstream embedding operator (ANN,
+    clustering, JL, gram) a deterministic text-derived vector source.
+    Pure streaming map — docs are row-local, no shuffle; output is the
+    sparse (doc_id, dim, val != 0) triple form."""
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        ids, V = _hashed_doc_vecs(batch)
+        d, k = np.nonzero(V)
+        return pa.table({
+            "doc_id": pa.array(ids[d], pa.int64()),
+            "dim": pa.array(k.astype(np.int64), pa.int64()),
+            "val": pa.array(V[d, k], pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_rows, batch_format="pyarrow")
+
+
+def q_hashed_mips_top10(sf_dir: str, k: int = 10) -> pa.Table:
+    """Maximum-inner-product search over the hashed text vectors: per
+    fixed query, the top-k docs by integer dot(q, d) > 0, ties by
+    doc_id — lexical-overlap retrieval through a 32-dim bottleneck
+    (hash collisions and sign cancellation INCLUDED: the oracle
+    reproduces them exactly, which is the point — the whole hashing
+    trick is value-verified, not just plumbed).
+
+    Shape: broadcast Q×DIM query matrix, per-batch doc vectors + one
+    matmul, per-batch partial top-k per query, driver folds only
+    k×Q×n_batches partial rows (the ann_cosine pattern)."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.docquery import DOC_QUERIES
+
+    qids, qvecs = [], []
+    for qid, text in DOC_QUERIES:
+        toks = sorted(set(tokenize_text(text)))
+        v = np.zeros(HASH_DIM, dtype=np.int64)
+        if toks:
+            h = H.h64_many(toks)
+            dim = (h % np.uint64(HASH_DIM)).astype(np.int64)
+            sign = np.where(((h >> np.uint64(_SIGN_BIT)) & np.uint64(1)) == 1,
+                            -1, 1).astype(np.int64)
+            np.add.at(v, dim, sign)
+        qids.append(qid)
+        qvecs.append(v)
+    qm = np.stack(qvecs)                      # (Q, DIM)
+    qid_arr = np.asarray(qids, np.int64)
+    qm_ref = ray.put(qm)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids, V = _hashed_doc_vecs(batch)
+        if ids.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64())})
+        dots = V @ ray.get(qm_ref).T          # (B, Q)
+        out_q, out_d, out_s = [], [], []
+        for j in range(qid_arr.size):
+            s = dots[:, j]
+            pos = s > 0
+            if not pos.any():
+                continue
+            cand_ids, cand_s = ids[pos], s[pos]
+            top = np.lexsort((cand_ids, -cand_s))[:k]
+            out_q.append(np.full(top.size, qid_arr[j], np.int64))
+            out_d.append(cand_ids[top])
+            out_s.append(cand_s[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "dot": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+
+    parts = (documents_ds(sf_dir)
+             .map_batches(_partial, batch_format="pyarrow").take_all())
+    qs, ds_, ss, rk = [], [], [], []
+    for qid in qids:
+        rows = [(int(r["dot"]), int(r["doc_id"])) for r in parts
+                if int(r["query_id"]) == qid]
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, d) in enumerate(rows[:k]):
+            qs.append(qid)
+            rk.append(rank + 1)
+            ds_.append(d)
+            ss.append(s)
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "rank": pa.array(rk, pa.int64()),
+        "doc_id": pa.array(ds_, pa.int64()),
+        "dot": pa.array(ss, pa.int64()),
+    })

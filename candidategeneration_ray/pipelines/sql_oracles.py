@@ -5816,6 +5816,19 @@ ch{i} AS (
 
     from candidategeneration_ray.pipelines.clustering import (
         DBSCAN_EPS2, DBSCAN_MIN_PTS)
+    from candidategeneration_ray.pipelines.extras import HASH_DIM, _SIGN_BIT
+
+    ht = _H64.format(expr="tok")
+    hv = f"""toks AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM kept GROUP BY doc_id, tok
+),
+dv AS (
+  SELECT doc_id, CAST({ht} % {HASH_DIM} AS BIGINT) AS dim,
+         sum(CASE WHEN ({ht} >> {_SIGN_BIT}) & 1 = 1
+                  THEN -tf ELSE tf END) AS val
+  FROM toks GROUP BY doc_id, dim
+)"""
 
     return {
         "kcenter_coreset": f"""
@@ -5827,6 +5840,41 @@ FROM ch{KCENTER_K - 1}
         # subgraph (recursive reachability, min-core-id label) -> border
         # = min core-neighbor cluster; noise -1. Mirrors the engine's
         # deterministic border rule exactly.
+        # hashing-trick embeddings: signed-tf scatter of md5 token
+        # hashes into HASH_DIM dims; the string itself is the vector
+        "hashed_embeddings": f"""
+WITH {KEPT_CTE},
+{hv}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, dim, CAST(val AS BIGINT) AS val
+FROM dv WHERE val <> 0
+""",
+        # MIPS over the hashed vectors: distinct query tokens weight 1,
+        # integer dot > 0, (dot desc, doc_id asc) top-10 — collisions
+        # and sign cancellation reproduced exactly
+        "hashed_mips_top10": f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+{hv},
+qv AS (
+  SELECT query_id, CAST({ht} % {HASH_DIM} AS BIGINT) AS dim,
+         sum(CASE WHEN ({ht} >> {_SIGN_BIT}) & 1 = 1 THEN -1 ELSE 1 END) AS val
+  FROM qtok GROUP BY query_id, dim
+),
+dots AS (
+  SELECT q.query_id, d.doc_id, sum(q.val * d.val) AS dot
+  FROM qv q JOIN dv d USING (dim)
+  GROUP BY q.query_id, d.doc_id
+  HAVING sum(q.val * d.val) > 0
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, CAST(dot AS BIGINT) AS dot
+FROM (
+  SELECT query_id, doc_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, doc_id ASC) AS rn
+  FROM dots
+) WHERE rn <= 10
+""",
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},
 pairs AS MATERIALIZED (
