@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
         "retrieval_eval": dq.q_retrieval_eval,  # recall/MRR stats vs exact top-k
+        "hard_negatives": dq.q_hard_negatives,  # BM25 contrastive triple mining
+        "passage_bm25_topk": dq.q_passage_bm25_topk,  # MaxP passage retrieval
         "prf_topk": dq.q_prf_topk,  # Rocchio-style PRF expansion, integer-exact
         "more_like_this": dq.q_more_like_this,  # doc-to-doc retrieval (MLT)
         "textrank_terms": dq.q_textrank_terms,  # integer TextRank keywords

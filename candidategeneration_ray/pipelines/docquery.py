@@ -2325,3 +2325,174 @@ def q_hybrid_topk(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(out_d, pa.int64()),
         "rrf_micro": pa.array(out_s, pa.int64()),
     })
+
+
+def q_hard_negatives(sf_dir: str, n_pos: int = 3,
+                     neg_lo: int = 11, neg_hi: int = 20) -> pa.Table:
+    """Contrastive-training triple mining (the DPR/"BM25 hard
+    negatives" recipe): per fixed query, positives = exact BM25 top
+    n_pos, hard negatives = ranks [neg_lo, neg_hi] of the SAME ranking
+    — near-misses that score high lexically but fall outside the top
+    block, exactly the negatives a bi-encoder needs. Emits the full
+    pos × neg cross product per query with the integer score margin,
+    ready to feed a triplet loss.
+
+    Serving-path computation (index build + WAND top-k at k=neg_hi);
+    output is O(queries * n_pos * (neg_hi-neg_lo+1)) — never
+    corpus-bound. Queries with < neg_lo retrievable docs yield no
+    triples, mirroring the oracle's rank-range join."""
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_documents_index(sf_dir)
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    qs, pr, nr, pd_, nd, mg = [], [], [], [], [], []
+    for qid, text in DOC_QUERIES:
+        res = eng.topk(text, k=neg_hi)
+        pos = res[:n_pos]
+        negs = res[neg_lo - 1:neg_hi]
+        for pi, (ps, pdoc) in enumerate(pos):
+            for ni, (ns, ndoc) in enumerate(negs):
+                qs.append(qid)
+                pr.append(pi + 1)
+                nr.append(neg_lo + ni)
+                pd_.append(pdoc)
+                nd.append(ndoc)
+                mg.append(int(ps) - int(ns))
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "pos_rank": pa.array(pr, pa.int64()),
+        "neg_rank": pa.array(nr, pa.int64()),
+        "pos_doc_id": pa.array(pd_, pa.int64()),
+        "neg_doc_id": pa.array(nd, pa.int64()),
+        "margin": pa.array(mg, pa.int64()),
+    })
+
+
+# ------------------------------------------------ passage (MaxP) retrieval
+
+CHUNKS_CAP = 1024     # chunk_id = doc_id * CHUNKS_CAP + chunk_idx
+
+
+def _chunk_tokens_batch(batch: pa.Table) -> pa.Table:
+    """Explode each doc's kept-token stream into CHUNK_TOKENS-token
+    passages, one token-stream row per chunk with the packed chunk id
+    as its doc_id — the standard index pipeline then builds a PASSAGE
+    index with zero new machinery. Batch-global (offset arithmetic on
+    one flat token array, no per-doc loop). Packing holds to ~2^40
+    docs x 1024 chunks; past that the chunk id needs the docids remap
+    stage instead (fail-fast below)."""
+    import pyarrow.compute as pc
+
+    from candidategeneration_ray.pipelines.extras import CHUNK_TOKENS
+
+    col = batch.column("tokens").combine_chunks()
+    flat = pc.list_flatten(col)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    n_chunks = -(-lens // CHUNK_TOKENS)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "tokens": pa.array([], pa.list_(pa.string())),
+                         "doc_len": pa.array([], pa.int32())})
+    if (n_chunks >= CHUNKS_CAP).any() or (doc_ids >= (1 << 40)).any():
+        raise ValueError("chunk-id packing overflow: use a docids remap")
+    doc_start = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    local = (np.arange(total, dtype=np.int64)
+             - np.repeat(np.concatenate(([0], np.cumsum(n_chunks)))[:-1],
+                         n_chunks))
+    starts = np.repeat(doc_start, n_chunks) + local * CHUNK_TOKENS
+    ends = np.minimum(starts + CHUNK_TOKENS,
+                      np.repeat(doc_start + lens, n_chunks))
+    offsets = np.concatenate((starts, [int(ends[-1])]))
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(doc_ids, n_chunks) * CHUNKS_CAP + local,
+                           pa.int64()),
+        "tokens": tokens,
+        "doc_len": pa.array((ends - starts).astype(np.int32), pa.int32()),
+    })
+
+
+_CSTATS_MEMO: dict[str, dict] = {}
+
+
+def build_chunk_index(sf_dir: str, cfg: EngineConfig | None = None) -> dict:
+    """Build (or reuse) the passage-level index: the unchanged pipeline
+    (stats -> emission -> bucketed shuffle -> compressed block-max
+    lists) over the chunk token stream. Passage indexing is an
+    EMISSION-time reshape, exactly like the fielded family."""
+    from candidategeneration_ray.state import checkpoint as ckpt
+    from candidategeneration_ray.pipelines.build import _persist_stats, load_stats
+    from candidategeneration_ray.pipelines.extras import CHUNK_TOKENS
+
+    cfg = cfg or EngineConfig(emit_pairs=False)
+    out_dir = _cache_dir(sf_dir, f"docidxc-c{CHUNK_TOKENS}-{cfg.index_tag()}")
+    final = os.path.join(out_dir, "final")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if ckpt.is_complete(os.path.join(out_dir, "stats"), [src]) and ckpt.is_complete(final):
+        stats, _ = load_stats(out_dir)
+        return {"final_dir": final, "stats": stats}
+
+    toks = doc_tokens(sf_dir).map_batches(
+        _chunk_tokens_batch, batch_format="pyarrow")
+    key = os.path.realpath(sf_dir)
+    if key not in _CSTATS_MEMO:
+        _CSTATS_MEMO[key] = compute_stats(toks)
+    stats = _CSTATS_MEMO[key]
+    offsets = {
+        "conv_ids": np.array(["documents"], dtype=object),
+        "bases": np.array([0], dtype=np.int64),
+        "counts": np.array([stats["n_docs"]], dtype=np.int64),
+        "n_docs": stats["n_docs"],
+    }
+    _persist_stats(out_dir, stats, offsets, [src])
+    postings = emit_postings(toks, ray.put(stats), cfg)
+    lists = build_posting_lists(postings, cfg)
+    os.makedirs(final, exist_ok=True)
+    lists.write_parquet(final)
+    ckpt.write_manifest(final, {"phase": "merge", "lineage": [src]})
+    return {"final_dir": final, "stats": stats}
+
+
+def q_passage_bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """MaxP passage retrieval (Dai & Callan 2019's BM25-MaxP shape):
+    rank documents by their BEST passage's BM25 — long documents stop
+    winning on length alone. Served EXACTLY from the passage index:
+    in the chunk ranking (score desc, chunk_id asc) the first
+    occurrence of each doc carries its max passage score AND chunk_id
+    packing makes the within-score order doc-ascending, so the global
+    top-k docs are literally the first k distinct docs of the chunk
+    ranking. The serving loop doubles the chunk k until k distinct
+    docs are seen or the ranking is exhausted — deterministic and
+    exact, no rescoring pass."""
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_chunk_index(sf_dir, EngineConfig(emit_pairs=False))
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        kk = 50 * k
+        while True:
+            res = eng.topk(text, k=kk)
+            seen: dict[int, int] = {}
+            for s, cid in res:
+                d = cid // CHUNKS_CAP
+                if d not in seen:
+                    seen[d] = int(s)
+                if len(seen) >= k:
+                    break
+            if len(seen) >= k or len(res) < kk:
+                break
+            kk *= 2
+        for rank, (d, s) in enumerate(list(seen.items())[:k]):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })

@@ -5875,6 +5875,82 @@ FROM (
   FROM dots
 ) WHERE rn <= 10
 """,
+        # hard-negative triples: positives (rank<=3) x negatives
+        # (ranks 11..20) of the same exact BM25 ranking, integer margin
+        "hard_negatives": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok)
+  GROUP BY q.query_id, s.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS rank,
+         doc_id, score
+  FROM qscores
+)
+SELECT p.query_id, p.rank AS pos_rank, n.rank AS neg_rank,
+       p.doc_id AS pos_doc_id, n.doc_id AS neg_doc_id,
+       p.score - n.score AS margin
+FROM ranked p
+JOIN ranked n ON n.query_id = p.query_id
+WHERE p.rank <= 3 AND n.rank BETWEEN 11 AND 20
+""",
+        # MaxP passage retrieval: re-derive BM25 over 32-token chunks
+        # (chunk = passage-doc: own tf/maxtf/dl/df/N/avgdl), doc score =
+        # max chunk score, top-10 by (score desc, doc_id asc)
+        "passage_bm25_topk": f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+ch AS MATERIALIZED (
+  SELECT doc_id * 1024 + (kpos - 1) // 32 AS cid, tok FROM kept
+),
+ctf AS (SELECT cid, tok, CAST(count(*) AS DOUBLE) AS tf FROM ch GROUP BY cid, tok),
+cdl AS (SELECT cid, CAST(count(*) AS DOUBLE) AS dl FROM ch GROUP BY cid),
+cmx AS (SELECT cid, max(tf) AS maxtf FROM ctf GROUP BY cid),
+cdf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM ctf GROUP BY tok),
+cgs AS (SELECT (SELECT CAST(count(DISTINCT cid) AS BIGINT) FROM ch) AS n_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM ch) AS total_tokens),
+cgs2 AS (SELECT CAST(n_docs AS DOUBLE) AS nd,
+                CAST(total_tokens // n_docs AS DOUBLE) AS avgdl FROM cgs),
+cscores AS MATERIALIZED (
+  SELECT ctf.cid, ctf.tok,
+         CAST(trunc(
+           ln((nd - df + 0.5) / (df + 0.5))
+           * (0.5 + 0.5 * tf / maxtf)
+           * (1.6 + 1.0)
+           / ((0.5 + 0.5 * tf / maxtf) + 1.6 * (1 - 0.75 + 0.75 * dl / avgdl))
+           * 10000000
+         ) AS BIGINT) AS score
+  FROM ctf
+  JOIN cdl USING (cid)
+  JOIN cmx USING (cid)
+  JOIN cdf USING (tok)
+  CROSS JOIN cgs2
+),
+qch AS (
+  SELECT q.query_id, s.cid, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN cscores s USING (tok)
+  GROUP BY q.query_id, s.cid
+),
+docmax AS (
+  SELECT query_id, cid // 1024 AS doc_id, max(score) AS score
+  FROM qch GROUP BY query_id, cid // 1024
+)
+SELECT query_id, rank, CAST(doc_id AS BIGINT) AS doc_id, score FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS rank,
+         doc_id, score
+  FROM docmax
+) WHERE rank <= 10
+""",
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},
 pairs AS MATERIALIZED (

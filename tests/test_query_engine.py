@@ -510,3 +510,80 @@ def test_result_cache_lineage_invalidation(ray_session, tmp_path):
     compact_index(out)
     comp = CachedEngine(serving_sources(out), upd["stats"], root)
     assert comp.topk(q, k=5) == post and comp.misses == 1
+
+
+class TestHardNegatives:
+    def test_triple_structure(self, ray_session):
+        from candidategeneration_ray.pipelines.docquery import (
+            q_bm25_topk, q_hard_negatives)
+
+        sf = "/root/testdata/sf0.01"
+        got = q_hard_negatives(sf).to_pandas()
+        assert len(got) > 0
+        # same ranking => pos always scores >= neg
+        assert (got["margin"] >= 0).all()
+        assert (got["pos_rank"] <= 3).all()
+        assert got["neg_rank"].between(11, 20).all()
+        # positives agree with the exact top-k entry's top-3
+        top = q_bm25_topk(sf).to_pandas()
+        for qid, grp in got.groupby("query_id"):
+            want_pos = set(top[(top.query_id == qid) & (top["rank"] <= 3)]
+                           ["doc_id"])
+            assert set(grp["pos_doc_id"]) <= want_pos
+            # a doc is never both positive and negative for one query
+            assert not (set(grp["pos_doc_id"]) & set(grp["neg_doc_id"]))
+
+
+class TestPassageMaxP:
+    def test_best_passage_beats_length(self, ray_session, tmp_path):
+        """A doc whose FIRST 32-token chunk is identical to a short
+        relevant doc ties it on best-passage score no matter how much
+        unrelated tail follows — the MaxP property (doc-level BM25
+        would bury the long doc under its dl penalty)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.docquery import (
+            q_passage_bm25_topk)
+
+        chunk = ["batch"] * 4 + [f"filler{chr(97 + i)}x" for i in range(28)]
+        tail = [f"noise{chr(97 + i // 26)}{chr(97 + i % 26)}"
+                for i in range(320)]
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                " ".join(chunk),                  # short relevant doc
+                " ".join(chunk + tail),           # same best passage + tail
+                " ".join(tail[:64]),              # irrelevant
+            ], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = q_passage_bm25_topk(d).to_pandas()
+        g5 = got[got.query_id == 5].sort_values("rank")   # query "batch"
+        assert g5["doc_id"].tolist()[:2] == [0, 1]
+        s = g5.set_index("doc_id")["score"]
+        assert s[0] == s[1]                      # identical best passages tie
+        assert 2 not in set(g5["doc_id"])        # no query term, no score
+
+    def test_chunk_packing_failfast(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+
+        from candidategeneration_ray.pipelines.docquery import build_chunk_index
+
+        toks = [f"w{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}"
+                f"{chr(97 + (i // 676) % 26)}" for i in range(1024 * 32 + 32)]
+        t = pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array([" ".join(toks)], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        with pytest.raises(Exception, match="packing overflow"):
+            build_chunk_index(d)
