@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_eval": dq.q_retrieval_eval,  # recall/MRR stats vs exact top-k
         "hard_negatives": dq.q_hard_negatives,  # BM25 contrastive triple mining
         "passage_bm25_topk": dq.q_passage_bm25_topk,  # MaxP passage retrieval
+        "set_cover_select": tl.q_set_cover_select,  # greedy benchmark coverage
         "prf_topk": dq.q_prf_topk,  # Rocchio-style PRF expansion, integer-exact
         "more_like_this": dq.q_more_like_this,  # doc-to-doc retrieval (MLT)
         "textrank_terms": dq.q_textrank_terms,  # integer TextRank keywords

@@ -5817,6 +5817,8 @@ ch{i} AS (
     from candidategeneration_ray.pipelines.clustering import (
         DBSCAN_EPS2, DBSCAN_MIN_PTS)
     from candidategeneration_ray.pipelines.extras import HASH_DIM, _SIGN_BIT
+    from candidategeneration_ray.pipelines.textlm import (
+        BENCH_MOD as _SC_MOD, DECON_W as _SC_W)
 
     ht = _H64.format(expr="tok")
     hv = f"""toks AS (
@@ -5950,6 +5952,134 @@ SELECT query_id, rank, CAST(doc_id AS BIGINT) AS doc_id, score FROM (
          doc_id, score
   FROM docmax
 ) WHERE rank <= 10
+""",
+        # greedy set cover of the benchmark shingle universe:
+        # unrolled rounds; a round's gains count only still-uncovered
+        # shingles, the engine's zero-gain stop = empty g{i}
+        "set_cover_select": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(_SC_W)},
+bench AS MATERIALIZED (SELECT DISTINCT h FROM sh WHERE doc_id % {_SC_MOD} = 0),
+cand AS MATERIALIZED (
+  SELECT s.doc_id, s.h FROM sh s JOIN bench USING (h)
+  WHERE s.doc_id % {_SC_MOD} <> 0
+),
+sel0 AS (SELECT CAST(NULL AS BIGINT) AS r, CAST(NULL AS BIGINT) AS doc_id,
+                CAST(NULL AS BIGINT) AS gain WHERE 1 = 0),
+g1 AS MATERIALIZED (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel0)
+    AND c.h NOT IN (SELECT c2.h FROM cand c2
+                    JOIN sel0 s ON s.doc_id = c2.doc_id)
+  GROUP BY c.doc_id
+),
+p1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel1 AS (SELECT * FROM sel0
+           UNION ALL SELECT CAST(1 AS BIGINT), doc_id, gain FROM p1),
+g2 AS MATERIALIZED (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1)
+    AND c.h NOT IN (SELECT c2.h FROM cand c2
+                    JOIN sel1 s ON s.doc_id = c2.doc_id)
+  GROUP BY c.doc_id
+),
+p2 AS (SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel2 AS (SELECT * FROM sel1
+           UNION ALL SELECT CAST(2 AS BIGINT), doc_id, gain FROM p2),
+g3 AS MATERIALIZED (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel2)
+    AND c.h NOT IN (SELECT c2.h FROM cand c2
+                    JOIN sel2 s ON s.doc_id = c2.doc_id)
+  GROUP BY c.doc_id
+),
+p3 AS (SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel3 AS (SELECT * FROM sel2
+           UNION ALL SELECT CAST(3 AS BIGINT), doc_id, gain FROM p3),
+g4 AS MATERIALIZED (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel3)
+    AND c.h NOT IN (SELECT c2.h FROM cand c2
+                    JOIN sel3 s ON s.doc_id = c2.doc_id)
+  GROUP BY c.doc_id
+),
+p4 AS (SELECT doc_id, gain FROM g4 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel4 AS (SELECT * FROM sel3
+           UNION ALL SELECT CAST(4 AS BIGINT), doc_id, gain FROM p4),
+g5 AS MATERIALIZED (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel4)
+    AND c.h NOT IN (SELECT c2.h FROM cand c2
+                    JOIN sel4 s ON s.doc_id = c2.doc_id)
+  GROUP BY c.doc_id
+),
+p5 AS (SELECT doc_id, gain FROM g5 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel5 AS (SELECT * FROM sel4
+           UNION ALL SELECT CAST(5 AS BIGINT), doc_id, gain FROM p5),
+g6 AS MATERIALIZED (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel5)
+    AND c.h NOT IN (SELECT c2.h FROM cand c2
+                    JOIN sel5 s ON s.doc_id = c2.doc_id)
+  GROUP BY c.doc_id
+),
+p6 AS (SELECT doc_id, gain FROM g6 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel6 AS (SELECT * FROM sel5
+           UNION ALL SELECT CAST(6 AS BIGINT), doc_id, gain FROM p6),
+g7 AS MATERIALIZED (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel6)
+    AND c.h NOT IN (SELECT c2.h FROM cand c2
+                    JOIN sel6 s ON s.doc_id = c2.doc_id)
+  GROUP BY c.doc_id
+),
+p7 AS (SELECT doc_id, gain FROM g7 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel7 AS (SELECT * FROM sel6
+           UNION ALL SELECT CAST(7 AS BIGINT), doc_id, gain FROM p7),
+g8 AS MATERIALIZED (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel7)
+    AND c.h NOT IN (SELECT c2.h FROM cand c2
+                    JOIN sel7 s ON s.doc_id = c2.doc_id)
+  GROUP BY c.doc_id
+),
+p8 AS (SELECT doc_id, gain FROM g8 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel8 AS (SELECT * FROM sel7
+           UNION ALL SELECT CAST(8 AS BIGINT), doc_id, gain FROM p8),
+g9 AS MATERIALIZED (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel8)
+    AND c.h NOT IN (SELECT c2.h FROM cand c2
+                    JOIN sel8 s ON s.doc_id = c2.doc_id)
+  GROUP BY c.doc_id
+),
+p9 AS (SELECT doc_id, gain FROM g9 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel9 AS (SELECT * FROM sel8
+           UNION ALL SELECT CAST(9 AS BIGINT), doc_id, gain FROM p9),
+g10 AS MATERIALIZED (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel9)
+    AND c.h NOT IN (SELECT c2.h FROM cand c2
+                    JOIN sel9 s ON s.doc_id = c2.doc_id)
+  GROUP BY c.doc_id
+),
+p10 AS (SELECT doc_id, gain FROM g10 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel10 AS (SELECT * FROM sel9
+           UNION ALL SELECT CAST(10 AS BIGINT), doc_id, gain FROM p10)
+SELECT r AS "round", doc_id, gain,
+       sum(gain) OVER (ORDER BY r) AS covered_total
+FROM sel10
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

@@ -1052,3 +1052,108 @@ def q_bpe_segmented(sf_dir: str,
         })
 
     return state.map_batches(_seg, batch_format="pyarrow")
+
+
+# ------------------------------------------------ greedy set-cover select
+
+SETCOVER_K = 10
+
+
+def q_set_cover_select(sf_dir: str, k: int = SETCOVER_K, w: int = DECON_W,
+                       bench_mod: int = BENCH_MOD) -> pa.Table:
+    """Coverage-driven data selection as greedy weighted SET COVER: the
+    universe is the benchmark set's distinct w-shingles (the
+    decontamination universe reused as a COVERAGE target — "pick the
+    training docs that best span the eval distribution"); each round
+    selects the non-benchmark doc covering the most not-yet-covered
+    benchmark shingles (ties by lowest doc_id), up to k docs or until
+    no doc adds coverage. Greedy is the classic (1 - 1/e)
+    approximation — the optimal cover is NP-hard, the greedy sequence
+    is deterministic and value-verifiable.
+
+    Shape: benchmark shingles broadcast once (benchmark-sized by
+    nature); each round is ONE map_batches pass computing per-doc
+    uncovered-hit counts (batch-concatenated searchsorted + reduceat,
+    the q_decontaminate kernel with a coverage mask) emitting a single
+    per-batch argmax partial that carries the winner's covered bench
+    INDICES (bounded by |bench|); the driver folds n_batches partials
+    and flips coverage bits. k scans total, no shuffle.
+
+    Output (round, doc_id, gain, covered_total)."""
+    def _bench_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, per_doc = _doc_shingle_hashes(batch, w)
+        keep = doc_ids % bench_mod == 0
+        hs = (np.unique(np.concatenate(
+            [h for h, kp in zip(per_doc, keep) if kp]))
+            if keep.any() else np.empty(0, np.uint64))
+        return pa.table({"h": pa.array(hs.astype(np.int64), pa.int64())})
+
+    bench = np.sort(np.asarray(
+        documents_ds(sf_dir)
+        .map_batches(_bench_rows, batch_format="pyarrow")
+        .unique("h"),
+        dtype=np.int64,
+    ).astype(np.uint64))
+
+    covered = np.zeros(bench.size, dtype=bool)
+    sel_rounds: list[tuple[int, int, int]] = []
+    sel_ids: set[int] = set()
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "gain": pa.array([], pa.int64()),
+                      "idxs": pa.array([], pa.list_(pa.int64()))})
+
+    for r in range(1, k + 1):
+        state_ref = ray.put(
+            (bench, covered.copy(),
+             np.asarray(sorted(sel_ids), dtype=np.int64)))
+
+        def _best_partial(batch: pa.Table) -> pa.Table:
+            bset, cov, sel = ray.get(state_ref)
+            if bset.size == 0:
+                return empty
+            doc_ids, per_doc = _doc_shingle_hashes(batch, w)
+            cand = np.flatnonzero(
+                (doc_ids % bench_mod != 0) & ~np.isin(doc_ids, sel))
+            if cand.size == 0:
+                return empty
+            sizes = np.fromiter((per_doc[i].size for i in cand), np.int64,
+                                cand.size)
+            cat = np.concatenate([per_doc[i] for i in cand])
+            pos = np.searchsorted(bset, cat)
+            posc = np.minimum(pos, bset.size - 1)
+            hit = (bset[posc] == cat) & ~cov[posc]
+            gains, _ = _segment_counts(hit, sizes)
+            j = int(np.lexsort((doc_ids[cand], -gains))[0])
+            if gains[j] == 0:
+                return empty
+            starts = np.zeros(sizes.size, np.int64)
+            np.cumsum(sizes[:-1], out=starts[1:])
+            sl = slice(starts[j], starts[j] + sizes[j])
+            win_idx = posc[sl][hit[sl]]
+            return pa.table({
+                "doc_id": pa.array([doc_ids[cand[j]]], pa.int64()),
+                "gain": pa.array([int(gains[j])], pa.int64()),
+                "idxs": pa.array([win_idx.tolist()], pa.list_(pa.int64())),
+            })
+
+        parts = (documents_ds(sf_dir)
+                 .map_batches(_best_partial, batch_format="pyarrow")
+                 .take_all())
+        if not parts:
+            break
+        win = min(parts, key=lambda p: (-int(p["gain"]), int(p["doc_id"])))
+        if int(win["gain"]) == 0:
+            break
+        covered[np.asarray(win["idxs"], dtype=np.int64)] = True
+        sel_ids.add(int(win["doc_id"]))
+        sel_rounds.append((r, int(win["doc_id"]), int(win["gain"])))
+
+    total = np.cumsum([g for _, _, g in sel_rounds]).astype(np.int64) \
+        if sel_rounds else np.empty(0, np.int64)
+    return pa.table({
+        "round": pa.array([r for r, _, _ in sel_rounds], pa.int64()),
+        "doc_id": pa.array([d for _, d, _ in sel_rounds], pa.int64()),
+        "gain": pa.array([g for _, _, g in sel_rounds], pa.int64()),
+        "covered_total": pa.array(total, pa.int64()),
+    })

@@ -279,3 +279,65 @@ def test_percolate_equals_bool_and(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     assert len(a) > 0
     pd.testing.assert_frame_equal(a[key], b[key])
+
+
+class TestSetCoverSelect:
+    def _brute(self, sf_dir: str, k: int):
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.functions import hashing as H
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = np.array(t["doc_id"], np.int64)
+        toks = tokenize_many(t["text"].to_pylist())
+        sh = [set(H.h64_many(H.word_shingles(tk, tl.DECON_W)).tolist())
+              for tk in toks]
+        bench = set().union(*(s for i, s in zip(ids, sh)
+                              if i % tl.BENCH_MOD == 0))
+        cand = {int(i): s & bench for i, s in zip(ids, sh)
+                if i % tl.BENCH_MOD != 0}
+        covered: set = set()
+        out = []
+        for r in range(1, k + 1):
+            gains = {d: len(s - covered) for d, s in cand.items()}
+            d = min(gains, key=lambda d: (-gains[d], d))
+            if gains[d] == 0:
+                break
+            covered |= cand[d]
+            out.append((r, d, gains[d], len(covered)))
+            del cand[d]
+        return out
+
+    def test_matches_bruteforce(self, ray_session):
+        sf = "/root/testdata/sf0.001"
+        want = self._brute(sf, tl.SETCOVER_K)
+        got = tl.q_set_cover_select(sf).to_pandas()
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+        # greedy gains are non-increasing
+        g = got["gain"].to_numpy()
+        assert (np.diff(g) <= 0).all()
+
+    def test_early_stop_when_universe_exhausted(self, ray_session, tmp_path):
+        """One candidate doc covers the whole benchmark; selection must
+        stop after it (no zero-gain rows)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        bench_text = " ".join(f"bench{chr(97 + i)}x" for i in range(8))
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),   # 0 = benchmark
+            "text": pa.array([
+                bench_text,
+                bench_text + " extra tail tokens here",  # covers everything
+                bench_text,                              # same cover, later id
+            ], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = tl.q_set_cover_select(d).to_pandas()
+        assert len(got) == 1
+        assert got.loc[0, "doc_id"] == 1
+        assert got.loc[0, "gain"] == got.loc[0, "covered_total"]
