@@ -2496,3 +2496,88 @@ def q_passage_bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
         "doc_id": pa.array(docs, pa.int64()),
         "score": pa.array(scores, pa.int64()),
     })
+
+
+# ------------------------------------------------------------ LTR rerank
+
+# fixed integer "trained model": the deterministic stand-in for a
+# learned linear ranker over the exported feature table (weights chosen
+# so every feature influences the order at test scale; any fixed vector
+# exercises the same serving path)
+LTR_WEIGHTS: dict[str, int] = {
+    "bm25": 3, "n_matched": 10_000_000, "sum_tf": 100_000,
+    "max_ts": 1, "min_ts": 1, "dl": -1_000, "min_df": -10_000,
+    "n_chars": -10,
+}
+
+
+def q_ltr_rerank_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Second-stage LTR rerank: apply an integer linear model over the
+    SQL-verified feature export (q_ltr_features) to the BM25 top-LTR_POOL
+    pool and emit the reranked top-k — the export -> train -> SERVE leg
+    of the learning-to-rank story. The oracle composes the feature
+    oracle verbatim and applies the same weights, so the driver
+    hash-checks the rerank WIRING, not just the features. Integer
+    weights x integer features keep every score exact. Cost is
+    pool-bound (LTR_POOL rows per query)."""
+    feat = q_ltr_features(sf_dir)
+    qid = feat.column("query_id").to_numpy().astype(np.int64)
+    doc = feat.column("doc_id").to_numpy().astype(np.int64)
+    score = np.zeros(feat.num_rows, dtype=np.int64)
+    for col, w in LTR_WEIGHTS.items():
+        score += w * feat.column(col).to_numpy().astype(np.int64)
+    order = np.lexsort((doc, -score, qid))
+    qs, rs, ds_, ss = [], [], [], []
+    prev_q, rank = None, 0
+    for i in order:
+        q = int(qid[i])
+        rank = rank + 1 if q == prev_q else 1
+        prev_q = q
+        if rank > k:
+            continue
+        qs.append(q)
+        rs.append(rank)
+        ds_.append(int(doc[i]))
+        ss.append(int(score[i]))
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "rank": pa.array(rs, pa.int64()),
+        "doc_id": pa.array(ds_, pa.int64()),
+        "ltr_score": pa.array(ss, pa.int64()),
+    })
+
+
+def q_ranking_agreement(sf_dir: str, depth: int = 10) -> pa.Table:
+    """Rank-agreement diagnostics between the doc-level BM25 ranking
+    and the MaxP passage ranking: per query and prefix depth d, the
+    exact prefix-intersection size |A_1..d ∩ B_1..d| — the integer
+    kernel of top-weighted rank-correlation measures (RBO's inner term
+    with the geometric weights left to the analyst). Two k-row lists
+    per query, O(queries x depth^2); both inputs are SQL-verified
+    pipelines and the oracle re-composes their SQL, so the COMPARISON
+    itself is value-checked."""
+    a = q_bm25_topk(sf_dir)
+    b = q_passage_bm25_topk(sf_dir)
+
+    def _by_q(t: pa.Table) -> dict[int, list[int]]:
+        qid = t.column("query_id").to_numpy().astype(np.int64)
+        rank = t.column("rank").to_numpy().astype(np.int64)
+        doc = t.column("doc_id").to_numpy().astype(np.int64)
+        out: dict[int, list[int]] = {}
+        for i in np.lexsort((rank, qid)):
+            out.setdefault(int(qid[i]), []).append(int(doc[i]))
+        return out
+
+    da, db = _by_q(a), _by_q(b)
+    qs, ds_, ns = [], [], []
+    for q in sorted(set(da) | set(db)):
+        la, lb = da.get(q, []), db.get(q, [])
+        for d in range(1, depth + 1):
+            qs.append(q)
+            ds_.append(d)
+            ns.append(len(set(la[:d]) & set(lb[:d])))
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "depth": pa.array(ds_, pa.int64()),
+        "n_common": pa.array(ns, pa.int64()),
+    })

@@ -5819,6 +5819,59 @@ ch{i} AS (
     from candidategeneration_ray.pipelines.extras import HASH_DIM, _SIGN_BIT
     from candidategeneration_ray.pipelines.textlm import (
         BENCH_MOD as _SC_MOD, DECON_W as _SC_W)
+    from candidategeneration_ray.pipelines.docquery import LTR_WEIGHTS
+
+    _LTR_SQL = ltr_oracles()["ltr_features"]
+    _LTR_EXPR = " + ".join(
+        f"({w}) * {c}" for c, w in LTR_WEIGHTS.items())
+    _BM25_SQL = core_oracles()["bm25_topk"]
+    _MAXP_SQL = f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+ch AS MATERIALIZED (
+  SELECT doc_id * 1024 + (kpos - 1) // 32 AS cid, tok FROM kept
+),
+ctf AS (SELECT cid, tok, CAST(count(*) AS DOUBLE) AS tf FROM ch GROUP BY cid, tok),
+cdl AS (SELECT cid, CAST(count(*) AS DOUBLE) AS dl FROM ch GROUP BY cid),
+cmx AS (SELECT cid, max(tf) AS maxtf FROM ctf GROUP BY cid),
+cdf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM ctf GROUP BY tok),
+cgs AS (SELECT (SELECT CAST(count(DISTINCT cid) AS BIGINT) FROM ch) AS n_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM ch) AS total_tokens),
+cgs2 AS (SELECT CAST(n_docs AS DOUBLE) AS nd,
+                CAST(total_tokens // n_docs AS DOUBLE) AS avgdl FROM cgs),
+cscores AS MATERIALIZED (
+  SELECT ctf.cid, ctf.tok,
+         CAST(trunc(
+           ln((nd - df + 0.5) / (df + 0.5))
+           * (0.5 + 0.5 * tf / maxtf)
+           * (1.6 + 1.0)
+           / ((0.5 + 0.5 * tf / maxtf) + 1.6 * (1 - 0.75 + 0.75 * dl / avgdl))
+           * 10000000
+         ) AS BIGINT) AS score
+  FROM ctf
+  JOIN cdl USING (cid)
+  JOIN cmx USING (cid)
+  JOIN cdf USING (tok)
+  CROSS JOIN cgs2
+),
+qch AS (
+  SELECT q.query_id, s.cid, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN cscores s USING (tok)
+  GROUP BY q.query_id, s.cid
+),
+docmax AS (
+  SELECT query_id, cid // 1024 AS doc_id, max(score) AS score
+  FROM qch GROUP BY query_id, cid // 1024
+)
+SELECT query_id, rank, CAST(doc_id AS BIGINT) AS doc_id, score FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS rank,
+         doc_id, score
+  FROM docmax
+) WHERE rank <= 10
+"""
 
     ht = _H64.format(expr="tok")
     hv = f"""toks AS (
@@ -5906,53 +5959,7 @@ WHERE p.rank <= 3 AND n.rank BETWEEN 11 AND 20
         # MaxP passage retrieval: re-derive BM25 over 32-token chunks
         # (chunk = passage-doc: own tf/maxtf/dl/df/N/avgdl), doc score =
         # max chunk score, top-10 by (score desc, doc_id asc)
-        "passage_bm25_topk": f"""
-WITH {KEPT_CTE},
-{QTOK_CTE},
-ch AS MATERIALIZED (
-  SELECT doc_id * 1024 + (kpos - 1) // 32 AS cid, tok FROM kept
-),
-ctf AS (SELECT cid, tok, CAST(count(*) AS DOUBLE) AS tf FROM ch GROUP BY cid, tok),
-cdl AS (SELECT cid, CAST(count(*) AS DOUBLE) AS dl FROM ch GROUP BY cid),
-cmx AS (SELECT cid, max(tf) AS maxtf FROM ctf GROUP BY cid),
-cdf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM ctf GROUP BY tok),
-cgs AS (SELECT (SELECT CAST(count(DISTINCT cid) AS BIGINT) FROM ch) AS n_docs,
-               (SELECT CAST(count(*) AS BIGINT) FROM ch) AS total_tokens),
-cgs2 AS (SELECT CAST(n_docs AS DOUBLE) AS nd,
-                CAST(total_tokens // n_docs AS DOUBLE) AS avgdl FROM cgs),
-cscores AS MATERIALIZED (
-  SELECT ctf.cid, ctf.tok,
-         CAST(trunc(
-           ln((nd - df + 0.5) / (df + 0.5))
-           * (0.5 + 0.5 * tf / maxtf)
-           * (1.6 + 1.0)
-           / ((0.5 + 0.5 * tf / maxtf) + 1.6 * (1 - 0.75 + 0.75 * dl / avgdl))
-           * 10000000
-         ) AS BIGINT) AS score
-  FROM ctf
-  JOIN cdl USING (cid)
-  JOIN cmx USING (cid)
-  JOIN cdf USING (tok)
-  CROSS JOIN cgs2
-),
-qch AS (
-  SELECT q.query_id, s.cid, CAST(sum(s.score) AS BIGINT) AS score
-  FROM qtok q JOIN cscores s USING (tok)
-  GROUP BY q.query_id, s.cid
-),
-docmax AS (
-  SELECT query_id, cid // 1024 AS doc_id, max(score) AS score
-  FROM qch GROUP BY query_id, cid // 1024
-)
-SELECT query_id, rank, CAST(doc_id AS BIGINT) AS doc_id, score FROM (
-  SELECT query_id,
-         CAST(row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC)
-              AS BIGINT) AS rank,
-         doc_id, score
-  FROM docmax
-) WHERE rank <= 10
-""",
+        "passage_bm25_topk": _MAXP_SQL,
         # greedy set cover of the benchmark shingle universe:
         # unrolled rounds; a round's gains count only still-uncovered
         # shingles, the engine's zero-gain stop = empty g{i}
@@ -6080,6 +6087,33 @@ sel10 AS (SELECT * FROM sel9
 SELECT r AS "round", doc_id, gain,
        sum(gain) OVER (ORDER BY r) AS covered_total
 FROM sel10
+""",
+        # LTR rerank: compose the feature oracle verbatim, apply the
+        # SAME integer weight vector, re-rank the pool
+        "ltr_rerank_topk": f"""
+WITH feat AS ({_LTR_SQL})
+SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ltr_score FROM (
+  SELECT query_id, doc_id, ltr_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ltr_score DESC, doc_id ASC) AS rn
+  FROM (SELECT query_id, doc_id, {_LTR_EXPR} AS ltr_score FROM feat)
+) WHERE rn <= 10
+""",
+        # prefix-agreement between the doc-level and passage rankings:
+        # both ranking oracles composed verbatim, intersected per depth
+        "ranking_agreement": f"""
+WITH a AS ({_BM25_SQL}),
+b AS ({_MAXP_SQL}),
+qs2 AS (SELECT DISTINCT query_id FROM (SELECT query_id FROM a
+                                       UNION ALL SELECT query_id FROM b)),
+depths AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS depth)
+SELECT q.query_id, d.depth,
+       CAST((SELECT count(*) FROM a
+             JOIN b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+             WHERE a.query_id = q.query_id
+               AND a.rank <= d.depth AND b.rank <= d.depth)
+            AS BIGINT) AS n_common
+FROM qs2 q CROSS JOIN depths d
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

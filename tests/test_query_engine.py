@@ -587,3 +587,37 @@ class TestPassageMaxP:
         pq.write_table(t, os.path.join(d, "documents.parquet"))
         with pytest.raises(Exception, match="packing overflow"):
             build_chunk_index(d)
+
+
+class TestLtrRerankAndAgreement:
+    def test_rerank_is_pool_permutation(self, ray_session):
+        from candidategeneration_ray.pipelines.docquery import (
+            LTR_WEIGHTS, q_ltr_features, q_ltr_rerank_topk)
+
+        sf = "/root/testdata/sf0.01"
+        feat = q_ltr_features(sf).to_pandas()
+        got = q_ltr_rerank_topk(sf).to_pandas()
+        for qid, grp in got.groupby("query_id"):
+            pool = feat[feat.query_id == qid]
+            # reranked docs come from the feature pool
+            assert set(grp["doc_id"]) <= set(pool["doc_id"])
+            # scores recompute from the weight vector
+            fs = pool.set_index("doc_id")
+            for _, r in grp.iterrows():
+                want = sum(w * int(fs.loc[r["doc_id"], c])
+                           for c, w in LTR_WEIGHTS.items())
+                assert r["ltr_score"] == want
+            s = grp.sort_values("rank")["ltr_score"].to_numpy()
+            assert (np.diff(s) <= 0).all()
+
+    def test_agreement_monotone_and_bounded(self, ray_session):
+        from candidategeneration_ray.pipelines.docquery import (
+            q_ranking_agreement)
+
+        got = q_ranking_agreement("/root/testdata/sf0.01").to_pandas()
+        for qid, grp in got.groupby("query_id"):
+            g = grp.sort_values("depth")
+            n = g["n_common"].to_numpy()
+            d = g["depth"].to_numpy()
+            assert (n <= d).all()
+            assert (np.diff(n) >= 0).all()     # prefix intersection grows
