@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardups_lsh": ex.q_embedding_neardups_lsh,
         "ann_cosine_top10": ex.q_ann_cosine_top10,
         "ann_ivf_top10": ex.q_ann_ivf_top10,
+        "ann_sq8_top10": ex.q_ann_sq8_top10,    # scalar-quantized symmetric ANN
         "text_stats": ex.q_text_stats,
         "quality_filter": ex.q_quality_filter,
         "repetition_stats": ex.q_repetition_stats,

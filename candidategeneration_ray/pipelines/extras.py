@@ -3120,3 +3120,86 @@ def q_hashed_mips_top10(sf_dir: str, k: int = 10) -> pa.Table:
         "doc_id": pa.array(ds_, pa.int64()),
         "dot": pa.array(ss, pa.int64()),
     })
+
+
+def _quantized_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, trunc(emb * 2^16) int64 matrix) — the shared
+    power-of-two quantization (pipelines/clustering.py KMEANS_SCALE)."""
+    ids, mat = _emb_matrix(batch)
+    return ids, np.trunc(mat * (1 << 16)).astype(np.int64)
+
+
+# -------------------------------------------------- scalar-quantized ANN
+
+def q_ann_sq8_top10(sf_dir: str, k: int = 10) -> pa.Table:
+    """SQ8 scalar-quantized ANN (the third quantization family next to
+    IVF and PQ): every dimension is linearly re-coded into [0, 255]
+    against its global min/max, and ranking is MIN symmetric squared
+    L2 in code space (the per-dim shift cancels in differences, so
+    code-space L2 is span-weighted true L2 — unlike a code dot
+    product, which the shift would dominate) — 4x smaller vectors
+    than f32 and pure int arithmetic, so even this APPROXIMATE method
+    is value-verified (approximate vs the exact-L2 twin, never
+    unverifiable). Query = vec_id 0, like the other ANN entries.
+
+    Shape: pass 1 aggregates per-dim (min, max) partials (64 tiny rows
+    per batch -> one groupby); pass 2 codes each batch against the
+    broadcast bounds and emits a per-batch partial top-k; the driver
+    folds k x n_batches rows. Two scans, no shuffle of vectors."""
+    from ray.data.aggregate import Max, Min
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def _mm_partial(batch: pa.Table) -> pa.Table:
+        _, xq = _quantized_batch(batch)
+        if xq.shape[0] == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table({
+            "d": pa.array(np.arange(xq.shape[1]), pa.int64()),
+            "mn": pa.array(xq.min(axis=0), pa.int64()),
+            "mx": pa.array(xq.max(axis=0), pa.int64()),
+        })
+
+    mm = (ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+          .map_batches(_mm_partial, batch_format="pyarrow")
+          .groupby("d")
+          .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+          .to_pandas().sort_values("d"))
+    mn = mm["mn"].to_numpy(np.int64)
+    mx = mm["mx"].to_numpy(np.int64)
+    span = np.maximum(mx - mn, 1)
+    live = mx > mn
+
+    def _code(xq: np.ndarray) -> np.ndarray:
+        c = ((xq - mn) * 255) // span
+        return np.where(live, c, 0).astype(np.int64)
+
+    qvec = _read_query_vec(emb_path, 0)
+    qcode = _code(np.trunc(np.asarray(qvec, np.float64)
+                           * (1 << 16)).astype(np.int64)[None, :])[0]
+    state = ray.put((mn, span, live, qcode))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids, xq = _quantized_batch(batch)
+        if ids.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        bmn, bspan, blive, bq = ray.get(state)
+        c = np.where(blive, ((xq - bmn) * 255) // bspan, 0).astype(np.int64)
+        d2 = ((c - bq) ** 2).sum(axis=1)
+        top = np.lexsort((ids, d2))[:k]
+        return pa.table({"vec_id": pa.array(ids[top], pa.int64()),
+                         "d2": pa.array(d2[top], pa.int64())})
+
+    parts = (ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(_partial, batch_format="pyarrow").to_pandas())
+    parts = parts.sort_values(["d2", "vec_id"],
+                              ascending=[True, True]).head(k)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(parts) + 1, dtype=np.int64),
+                         pa.int64()),
+        "vec_id": pa.array(parts["vec_id"].to_numpy(np.int64), pa.int64()),
+        "d2": pa.array(parts["d2"].to_numpy(np.int64), pa.int64()),
+    })

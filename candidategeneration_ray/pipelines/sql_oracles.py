@@ -6115,6 +6115,30 @@ SELECT q.query_id, d.depth,
             AS BIGINT) AS n_common
 FROM qs2 q CROSS JOIN depths d
 """,
+        # SQ8 ANN: per-dim global [min,max] -> 0..255 floor-div codes,
+        # MIN symmetric squared L2 in code space vs vec 0, top-10
+        "ann_sq8_top10": f"""
+WITH {qv},
+mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM qv GROUP BY d),
+codes AS MATERIALIZED (
+  SELECT vec_id, qv.d,
+         CASE WHEN mx > mn THEN ((x - mn) * 255) // (mx - mn)
+              ELSE 0 END AS c
+  FROM qv JOIN mm USING (d)
+),
+qc AS (SELECT d, c FROM codes WHERE vec_id = 0),
+dists AS (
+  SELECT codes.vec_id,
+         CAST(sum((codes.c - qc.c) * (codes.c - qc.c)) AS BIGINT) AS d2
+  FROM codes JOIN qc USING (d) GROUP BY codes.vec_id
+)
+SELECT CAST(rn AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id, d2
+FROM (
+  SELECT vec_id, d2,
+         row_number() OVER (ORDER BY d2 ASC, vec_id ASC) AS rn
+  FROM dists
+) WHERE rn <= 10
+""",
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},
 pairs AS MATERIALIZED (

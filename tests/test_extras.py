@@ -1101,3 +1101,26 @@ class TestHashedEmbeddings:
         # unmapped-but-hashable query 4 ("zzz") may collide into docs —
         # whatever it returns must obey the same invariants (no assert
         # on presence; collisions are the hashing trick's semantics)
+
+
+class TestAnnSq8:
+    @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+    def test_recall_vs_exact_l2(self, ray_session, sf):
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import q_ann_sq8_top10
+
+        got = q_ann_sq8_top10(sf).to_pandas().sort_values("rank")
+        # the query vector itself is its own nearest code (d2 = 0)
+        assert got.iloc[0]["vec_id"] == 0 and got.iloc[0]["d2"] == 0
+        d2 = got["d2"].to_numpy()
+        assert (np.diff(d2) >= 0).all()
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        ids = np.array(t["vec_id"], np.int64)
+        xq = np.trunc(np.array(t["embedding"].to_pylist(), np.float64)
+                      * (1 << 16)).astype(np.int64)
+        q = xq[ids == 0][0]
+        ex = ((xq - q) ** 2).sum(1)
+        exact = set(ids[np.lexsort((ids, ex))[:10]].tolist())
+        assert len(set(got["vec_id"]) & exact) >= 6   # 8-bit quantization recall
