@@ -284,6 +284,14 @@ def run_bench() -> dict:
         ("mmr_topk", dq.q_mmr_topk),                    # diversified re-rank
         ("ltr_features", dq.q_ltr_features),            # feature export
         ("ordered_window_docs", ps.q_ordered_window_docs),  # #odW positional
+        # session-12 additions (appended — earlier keys stay comparable)
+        ("dedup_substrings", ex.q_dedup_substrings),    # span-removal rewrite
+        ("kcenter_coreset", cb.q_kcenter_coreset),      # farthest-point coreset
+        ("dbscan_clusters", cb.q_dbscan_clusters),      # density clustering
+        ("hashed_mips_top10", ex.q_hashed_mips_top10),  # hashing-trick MIPS
+        ("passage_bm25_topk", dq.q_passage_bm25_topk),  # MaxP passage family
+        ("set_cover_select", _tl().q_set_cover_select),  # greedy coverage
+        ("ann_sq8_top10", ex.q_ann_sq8_top10),          # SQ8 code-space L2
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)

@@ -2609,3 +2609,78 @@ def q_attribution_linear(sf_dir: str) -> ray.data.Dataset:
                             "value"])
     return (_with_user_bucket(ds)
             .groupby("ubucket").map_groups(_attr, batch_format="pyarrow"))
+
+
+# --------------------------------------------------- MAD robust outliers
+
+MAD_K = 3   # flag |x - median| > MAD_K * MAD
+
+
+def q_mad_outlier_days(sf_dir: str, k: int = MAD_K) -> ray.data.Dataset:
+    """Robust outlier detection — the median/MAD twin of the z-score
+    entry (q_anomalous_days): a burst day inflates the MEAN AND the
+    variance, so extreme outliers can mask themselves from the z-test;
+    median and median-absolute-deviation have a 50% breakdown point
+    and keep flagging. Exact integer arithmetic throughout: medians of
+    integers are half-integers, so both are carried DOUBLED —
+    med2 = x[lo]+x[hi] (2x the median), dev2_d = |2*x_d - med2|
+    (2x each deviation), mad4 = doubled median of dev2 (4x the MAD) —
+    and the flag test 2*(2*dev2_d) > k*(mad4*... ) reduces to
+    4*|x_d - med| > 2*k*MAD  ⟺  2*dev2_d > k * mad4. No float
+    anywhere; ties and even/odd group sizes are exact by construction.
+
+    Shape: identical to the z-score entry — (type, day, count)
+    partials -> one tiny groupby -> per-type finalize (a type's day
+    vector fits a task). Output (event_type, day, n_events, dev2,
+    mad4) for flagged days."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        day = ts // day_us
+        ut, ti = np.unique(et, return_inverse=True)
+        d0 = np.int64(day.min()) if day.size else np.int64(0)
+        span = np.int64(day.max()) - d0 + 1 if day.size else np.int64(1)
+        code = ti.astype(np.int64) * span + (day - d0)
+        u, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(ut[u // span].tolist(), pa.string()),
+            "day": pa.array(u % span + d0, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+        })
+
+    def _med2(v: np.ndarray) -> np.int64:
+        """2x the exact median of an int vector (lo+hi order stats)."""
+        s = np.sort(v)
+        n = s.size
+        return np.int64(s[(n - 1) // 2]) + np.int64(s[n // 2])
+
+    def _flag(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy().astype(np.int64)
+        c = group.column("n_events").to_numpy().astype(np.int64)
+        med2 = _med2(c)
+        dev2 = np.abs(2 * c - med2)
+        mad4 = _med2(dev2)
+        keep = 2 * dev2 > k * mad4
+        t = group.filter(pa.array(keep))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": t.column("day").cast(pa.int64()),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "dev2": pa.array(dev2[keep], pa.int64()),
+            "mad4": pa.array(np.full(int(keep.sum()), mad4, np.int64),
+                             pa.int64()),
+        })
+
+    return (
+        events_ds(sf_dir, ["ts", "event_type"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .groupby("event_type")
+        .map_groups(_flag, batch_format="pyarrow")
+    )

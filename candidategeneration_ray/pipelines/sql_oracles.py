@@ -5819,6 +5819,7 @@ ch{i} AS (
     from candidategeneration_ray.pipelines.extras import HASH_DIM, _SIGN_BIT
     from candidategeneration_ray.pipelines.textlm import (
         BENCH_MOD as _SC_MOD, DECON_W as _SC_W)
+    from candidategeneration_ray.pipelines.events import MAD_K as _MAD_K
     from candidategeneration_ray.pipelines.docquery import LTR_WEIGHTS
 
     _LTR_SQL = ltr_oracles()["ltr_features"]
@@ -6138,6 +6139,48 @@ FROM (
          row_number() OVER (ORDER BY d2 ASC, vec_id ASC) AS rn
   FROM dists
 ) WHERE rn <= 10
+""",
+        # MAD robust outliers: doubled-integer medians (lo+hi order
+        # stats), deviations doubled again, flag 2*dev2 > k*mad4
+        "mad_outlier_days": f"""
+WITH ec AS MATERIALIZED (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, day
+),
+st AS (
+  SELECT event_type, n_events,
+         row_number() OVER (PARTITION BY event_type ORDER BY n_events) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ec
+),
+med AS (
+  SELECT event_type,
+         sum(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_events ELSE 0 END)
+       + sum(CASE WHEN rn = n // 2 + 1 THEN n_events ELSE 0 END) AS med2
+  FROM st GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.day, e.n_events,
+         abs(2 * e.n_events - m.med2) AS dev2
+  FROM ec e JOIN med m USING (event_type)
+),
+dst AS (
+  SELECT event_type, dev2,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         sum(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev2 ELSE 0 END)
+       + sum(CASE WHEN rn = n // 2 + 1 THEN dev2 ELSE 0 END) AS mad4
+  FROM dst GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n_events,
+       CAST(d.dev2 AS BIGINT) AS dev2, CAST(m.mad4 AS BIGINT) AS mad4
+FROM dev d JOIN mad m USING (event_type)
+WHERE 2 * d.dev2 > {_MAD_K} * m.mad4
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

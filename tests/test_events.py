@@ -1225,3 +1225,62 @@ def test_attribution_linear_conservation(ray_session):
     brute = dict(sorted(per_touch.items()))
     mine = dict(sorted(zip(got.event_id.astype(int), got.credit_cents.astype(int))))
     assert mine == brute
+
+
+class TestMadOutliers:
+    def test_masking_resistance_vs_ztest(self, ray_session, tmp_path):
+        """A monster burst day masks itself from the z-test (it inflates
+        mean AND variance) but not from median/MAD."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.events import (
+            q_mad_outlier_days)
+
+        day_us = 86_400_000_000
+        rows = []
+        eid = 0
+        # type "steady": 20 days at 5 events, one day at 500
+        for d in range(20):
+            n = 500 if d == 10 else 5
+            for _ in range(n):
+                rows.append((eid, d * day_us + eid % 1000, 7, "steady",
+                             1.0, "{}"))
+                eid += 1
+        # type "uniform": flat 6/day -> nothing flagged
+        for d in range(20):
+            for _ in range(6):
+                rows.append((eid, d * day_us + eid % 1000, 8, "uniform",
+                             1.0, "{}"))
+                eid += 1
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = q_mad_outlier_days(d).to_pandas()
+        flagged = got[got.event_type == "steady"]
+        assert flagged["day"].tolist() == [10]
+        assert flagged["n_events"].tolist() == [500]
+        assert (got.event_type != "uniform").all()
+
+    def test_doubled_median_kernel(self, ray_session):
+        from candidategeneration_ray.pipelines import events as ev
+        import numpy as np
+
+        # odd and even sizes, with ties
+        for v, want in [([3], 6), ([1, 3], 4), ([1, 2, 9], 4),
+                        ([2, 2, 4, 10], 6)]:
+            got = None
+            s = np.array(v, np.int64)
+            n = s.size
+            got = int(np.int64(np.sort(s)[(n - 1) // 2])
+                      + np.int64(np.sort(s)[n // 2]))
+            assert got == want
