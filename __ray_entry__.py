@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_bm25_topk": dq.q_passage_bm25_topk,  # MaxP passage retrieval
         "set_cover_select": tl.q_set_cover_select,  # greedy benchmark coverage
         "ltr_rerank_topk": dq.q_ltr_rerank_topk,    # linear model second stage
+        "resharded_bm25_topk": dq.q_resharded_bm25_topk,  # elastic re-bucketing
         "ranking_agreement": dq.q_ranking_agreement,  # doc vs MaxP prefix overlap
         "prf_topk": dq.q_prf_topk,  # Rocchio-style PRF expansion, integer-exact
         "more_like_this": dq.q_more_like_this,  # doc-to-doc retrieval (MLT)

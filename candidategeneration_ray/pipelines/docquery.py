@@ -2581,3 +2581,33 @@ def q_ranking_agreement(sf_dir: str, depth: int = 10) -> pa.Table:
         "depth": pa.array(ds_, pa.int64()),
         "n_common": pa.array(ns, pa.int64()),
     })
+
+
+def q_resharded_bm25_topk(sf_dir: str, new_buckets: int = 7) -> pa.Table:
+    """BM25 top-10 served from an ELASTICALLY RESHARDED index layout
+    (pipelines.update.reshard_index): the final segments rewritten
+    under a different key-hash bucket count — rows move wholesale, one
+    byte-level shuffle, no re-encode/re-score. The driver hash-checks
+    this against the plain bm25 oracle, so the reshard operation itself
+    is proven serving-invisible (plan equivalence, like the codec and
+    cache entries)."""
+    from candidategeneration_ray.pipelines.update import reshard_index
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    new_dir = reshard_index(built["final_dir"], new_buckets)
+    cfg = EngineConfig(emit_pairs=False, num_buckets=new_buckets)
+    eng = QueryEngine(new_dir, built["stats"], cfg)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        for rank, (s, d) in enumerate(eng.topk(text, k=10)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })

@@ -6182,6 +6182,9 @@ SELECT d.event_type, d.day, d.n_events,
 FROM dev d JOIN mad m USING (event_type)
 WHERE 2 * d.dev2 > {_MAD_K} * m.mad4
 """,
+        # elastic reshard plan-equivalence: serving from the re-bucketed
+        # layout must equal the plain BM25 oracle bit for bit
+        "resharded_bm25_topk": _BM25_SQL,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},
 pairs AS MATERIALIZED (

@@ -753,3 +753,70 @@ def compact_index(out_dir: str, cfg: EngineConfig | None = None) -> str:
     for t in tomb_paths:
         os.remove(t)
     return fd
+
+
+# ------------------------------------------------------ elastic reshard
+
+def reshard_index(final_dir: str, new_num_buckets: int,
+                  out_dir: str | None = None) -> str:
+    """Elastic re-bucketing of a built index: rewrite the final
+    segments under a NEW key-hash bucket count — the operation a
+    growing cluster needs when the shard count must change (more
+    serving shards, finer pruning) without paying a rebuild.
+
+    The compressed list rows move WHOLESALE: no re-tokenize, no
+    re-emission, no re-sort, no re-encode, no re-scoring — one pure map
+    recomputes bucket = hash(key) % new_n and ONE byte-level shuffle
+    (groupby the new bucket) regroups rows; each bucket task writes
+    exactly one file (tmp + atomic rename, so a crashed reshard simply
+    re-runs), giving file-granular pruning for bucket-filtered readers
+    and key-sharded fleets at the new count. Cost is proportional to
+    index BYTES, not corpus tokens — the same economics as compaction.
+    Serving from the resharded layout is bit-identical (the bucket
+    column is a layout property, not a semantic one); hash-verified by
+    the resharded_bm25_topk plan-equivalence entry and the disjoint-
+    ownership pytest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.stages.listbuild import bucket_of
+    from candidategeneration_ray.state import checkpoint as ckpt
+
+    out = out_dir or f"{final_dir.rstrip(os.sep)}-rs{new_num_buckets}"
+    done = os.path.join(out, "DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def _rebucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_numpy()
+        b = bucket_of(keys, new_num_buckets)
+        idx = batch.schema.get_field_index("bucket")
+        return batch.set_column(idx, "bucket", pa.array(b, pa.int32()))
+
+    def _write_bucket(group: pa.Table) -> pa.Table:
+        b = int(group.column("bucket")[0].as_py())
+        tmp = os.path.join(out, f".tmp-bucket-{b:05d}.parquet")
+        dst = os.path.join(out, f"bucket-{b:05d}.parquet")
+        pq.write_table(group, tmp)
+        os.replace(tmp, dst)
+        return pa.table({"bucket": pa.array([b], pa.int32()),
+                         "n_keys": pa.array([group.num_rows], pa.int64())})
+
+    counts = (
+        ray.data.read_parquet(final_dir, file_extensions=["parquet"])
+        .map_batches(_rebucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_write_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ckpt.write_manifest(out, {
+        "phase": "reshard",
+        "lineage": [final_dir],
+        "num_buckets": int(new_num_buckets),
+        "n_bucket_files": int(len(counts)),
+        "n_keys": int(counts["n_keys"].sum()),
+    })
+    with open(done, "w") as f:
+        f.write("ok")
+    return out

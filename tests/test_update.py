@@ -788,3 +788,69 @@ def test_asof_serving_equals_fresh_base_build(ray_session, tmp_path):
         assert asof.topk(q, k=10) == w, q
         diffs += full.topk(q, k=10) != w
     assert diffs > 0
+
+
+class TestReshard:
+    def test_serving_identity_ownership_and_idempotence(
+            self, ray_session, split_corpus, tmp_path_factory):
+        from candidategeneration_ray.config import EngineConfig
+        from candidategeneration_ray.pipelines.build import build_index
+        from candidategeneration_ray.pipelines.update import reshard_index
+        from candidategeneration_ray.stages.listbuild import bucket_of
+        from candidategeneration_ray.state.queryengine import (
+            IndexReader, QueryEngine)
+        from candidategeneration_ray.state.sharded import (
+            TermShardedQueryEngine)
+
+        out = str(tmp_path_factory.mktemp("idx_rs"))
+        built = build_index(split_corpus["base"], out)
+        orig = QueryEngine(built["final_dir"], built["stats"])
+        want = {q: orig.topk(q, k=10) for q in QUERIES}
+
+        new_nb = 5
+        new_dir = reshard_index(built["final_dir"], new_nb)
+        cfg = EngineConfig(num_buckets=new_nb)
+
+        # 1. serving identity across algorithms
+        eng = QueryEngine(new_dir, built["stats"], cfg)
+        for q in QUERIES:
+            assert eng.topk(q, k=10) == want[q], q
+            assert eng.topk(q, k=10, algorithm="taat") == want[q], q
+
+        # 2. one file per new bucket; bucket-filtered readers own
+        #    disjoint key sets that partition the full vocabulary
+        files = sorted(f for f in os.listdir(new_dir)
+                       if f.endswith(".parquet"))
+        per_bucket_keys = {}
+        for b in range(new_nb):
+            try:
+                r = IndexReader(new_dir, built["stats"], cfg, buckets=[b])
+                per_bucket_keys[b] = set(r.keys.tolist())
+            except ValueError:
+                per_bucket_keys[b] = set()   # empty bucket
+        all_keys = set(IndexReader(new_dir, built["stats"], cfg)
+                       .keys.tolist())
+        assert set().union(*per_bucket_keys.values()) == all_keys
+        for b, ks in per_bucket_keys.items():
+            for b2, ks2 in per_bucket_keys.items():
+                if b < b2:
+                    assert not (ks & ks2)
+            got_b = bucket_of(np.asarray(sorted(ks), np.int64), new_nb)
+            assert (got_b == b).all()
+        assert len(files) == sum(1 for ks in per_bucket_keys.values() if ks)
+
+        # 3. term-sharded fleet at the new bucket count == single engine
+        fleet = TermShardedQueryEngine(new_dir, built["stats"],
+                                       n_shards=3, cfg=cfg)
+        try:
+            for q in QUERIES:
+                assert fleet.topk(q, k=10) == want[q], q
+        finally:
+            fleet.shutdown()
+
+        # 4. idempotence: DONE short-circuits, files untouched
+        mtimes = {f: os.path.getmtime(os.path.join(new_dir, f))
+                  for f in files}
+        assert reshard_index(built["final_dir"], new_nb) == new_dir
+        assert mtimes == {f: os.path.getmtime(os.path.join(new_dir, f))
+                          for f in files}
