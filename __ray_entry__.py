@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_cover_select": tl.q_set_cover_select,  # greedy benchmark coverage
         "ltr_rerank_topk": dq.q_ltr_rerank_topk,    # linear model second stage
         "resharded_bm25_topk": dq.q_resharded_bm25_topk,  # elastic re-bucketing
+        "important_parts": rl.q_important_parts,    # Q11 fraction-of-total
+        "part_supplier_counts": rl.q_part_supplier_counts,  # Q16 distinct-count join
+        "dominant_suppliers": rl.q_dominant_suppliers,  # Q20 share rule
         "ranking_agreement": dq.q_ranking_agreement,  # doc vs MaxP prefix overlap
         "prf_topk": dq.q_prf_topk,  # Rocchio-style PRF expansion, integer-exact
         "more_like_this": dq.q_more_like_this,  # doc-to-doc retrieval (MLT)

@@ -3758,3 +3758,184 @@ def q_nation_mode_priority(sf_dir: str) -> ray.data.Dataset:
             .groupby("bkt").map_groups(_attach, batch_format="pyarrow")
             .groupby(["c_nationkey", "pr"]).aggregate(Sum("n", alias_name="n"))
             .groupby("c_nationkey").map_groups(_mode, batch_format="pyarrow"))
+
+
+# ---------------------------------------------- Q11 / Q16 / Q20 shapes
+
+IMPORTANT_PART_PPM = 600    # Q11 fraction: keep parts > 600 ppm of revenue
+DOMINANT_SUPP_MULT = 5      # Q20 rule: supplier share > 1/5 of part volume
+
+
+def q_important_parts(sf_dir: str, ppm: int = IMPORTANT_PART_PPM) -> pa.Table:
+    """TPC-H-Q11-shaped 'important stock': parts whose lineitem revenue
+    exceeds a fixed fraction of GLOBAL revenue (the fraction-of-total
+    HAVING — Q11's SUM(...) * 0.0001 subquery, decorrelated). The
+    schema has no partsupp, so lineitem revenue plays the stock value
+    (documented trade, same as the other partsupp-less shapes).
+
+    Plan: per-batch compressed (partkey, revenue_milli) partials -> one
+    groupby -> the global total is ONE tiny aggregate over the
+    part-level rows -> broadcast-scalar filter. Cross-multiplied
+    integer test rev * 1e6 > total * ppm (int64 headroom to ~10^12
+    rows; HUGEINT past that, noted)."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.functions.money import round_scaled
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        cents = round_scaled(batch.column("l_extendedprice").to_numpy())
+        disc = round_scaled(batch.column("l_discount").to_numpy())
+        rev = cents * (100 - disc)
+        u, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(u.size, np.int64)
+        np.add.at(sums, inv, rev)            # exact int64, no float weights
+        return pa.table({
+            "p_partkey": pa.array(u, pa.int64()),
+            "revenue_milli": pa.array(sums, pa.int64()),
+        })
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+        .materialize()
+    )
+    total = int(agg.aggregate(Sum("revenue_milli"))["sum(revenue_milli)"])
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        rev = batch.column("revenue_milli").to_numpy().astype(np.int64)
+        return batch.filter(pa.array(rev * 1_000_000 > total * ppm))
+
+    out = agg.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64), pa.int64()),
+        "revenue_milli": pa.array(out["revenue_milli"].to_numpy(np.int64),
+                                  pa.int64()),
+    })
+
+
+def q_part_supplier_counts(sf_dir: str) -> pa.Table:
+    """TPC-H-Q16-shaped supplier-relationship count: per (p_brand,
+    p_size), the number of DISTINCT suppliers shipping those parts,
+    excluding 'complaint' suppliers (stand-in rule: negative account
+    balance — the schema has no comment column). The missing polarity
+    this adds is grouped COUNT DISTINCT over a join with a broadcast
+    anti-filter.
+
+    Plan: part attrs (brand, size) and the excluded-supplier set
+    broadcast (both dimension-sized); per-batch DISTINCT (brand, size,
+    suppkey) triples -> groupby distinct -> count per group. Both
+    shuffles move distinct-compressed rows only."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    import pandas as pd
+
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    o = np.argsort(pk)
+    bcodes, buniq = pd.factorize(part.column("p_brand").to_numpy(
+        zero_copy_only=False)[o])
+    sizes = part.column("p_size").to_numpy().astype(np.int64)[o]
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_acctbal"])
+    excl = np.sort(supp.column("s_suppkey").to_numpy().astype(np.int64)[
+        supp.column("s_acctbal").to_numpy() < 0])
+    ref = ray.put((pk[o], bcodes.astype(np.int64), np.asarray(buniq, object),
+                   sizes, excl))
+
+    def _triples(batch: pa.Table) -> pa.Table:
+        bpk, bbc, bbu, bsz, bex = ray.get(ref)
+        lp = batch.column("l_partkey").to_numpy().astype(np.int64)
+        ls = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        keep = ~np.isin(ls, bex)
+        lp, ls = lp[keep], ls[keep]
+        idx = np.searchsorted(bpk, lp)
+        bc, sz = bbc[idx], bsz[idx]
+        packed = (bc * 1_000_000 + sz) * 10_000_000 + ls
+        u = np.unique(packed)
+        usup = u % 10_000_000
+        ubs = u // 10_000_000
+        return pa.table({
+            "p_brand": pa.array(bbu[ubs // 1_000_000].tolist(), pa.string()),
+            "p_size": pa.array(ubs % 1_000_000, pa.int64()),
+            "s_suppkey": pa.array(usup, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey"])
+        .map_batches(_triples, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size", "s_suppkey"])
+        .aggregate(Count(alias_name="n_dup"))
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+    )
+
+
+def q_dominant_suppliers(sf_dir: str,
+                         mult: int = DOMINANT_SUPP_MULT) -> pa.Table:
+    """TPC-H-Q20-shaped 'excess share' suppliers: suppliers whose
+    shipped quantity of a part exceeds 1/mult of that part's total
+    volume (Q20's availqty > 0.5 * sum(qty) correlated subquery,
+    decorrelated into a grouped rule; partsupp-less trade as above).
+    Output one row per supplier with the count of parts it dominates
+    and the supplier name (broadcast dimension attach).
+
+    Plan: (part, supp, qty) partials -> groupby sum -> per-part rule
+    applied in a co-located map_groups (a part's supplier rows are
+    few) -> groupby(supp).count -> K-row name attach."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lp = batch.column("l_partkey").to_numpy().astype(np.int64)
+        ls = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        q = batch.column("l_quantity").to_numpy().astype(np.int64)
+        packed = lp * 10_000_000 + ls
+        u, inv = np.unique(packed, return_inverse=True)
+        sums = np.zeros(u.size, np.int64)
+        np.add.at(sums, inv, q)              # exact int64, no float weights
+        return pa.table({
+            "l_partkey": pa.array(u // 10_000_000, pa.int64()),
+            "l_suppkey": pa.array(u % 10_000_000, pa.int64()),
+            "qty": pa.array(sums, pa.int64()),
+        })
+
+    def _rule(group: pa.Table) -> pa.Table:
+        q = group.column("qty").to_numpy().astype(np.int64)
+        keep = mult * q > q.sum()
+        t = group.filter(pa.array(keep))
+        return pa.table({"l_suppkey": t.column("l_suppkey").cast(pa.int64())})
+
+    counts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("qty", alias_name="qty"))
+        .groupby("l_partkey")
+        .map_groups(_rule, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="n_parts"))
+        .to_pandas()
+    )
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    o = np.argsort(sk)
+    names = np.asarray(supp.column("s_name").to_pylist(), object)[o]
+    ks = counts["l_suppkey"].to_numpy(np.int64)
+    idx = np.searchsorted(sk[o], ks)
+    return pa.table({
+        "s_suppkey": pa.array(ks, pa.int64()),
+        "s_name": pa.array(names[idx].tolist(), pa.string()),
+        "n_parts": pa.array(counts["n_parts"].to_numpy(np.int64), pa.int64()),
+    })

@@ -5819,6 +5819,8 @@ ch{i} AS (
     from candidategeneration_ray.pipelines.extras import HASH_DIM, _SIGN_BIT
     from candidategeneration_ray.pipelines.textlm import (
         BENCH_MOD as _SC_MOD, DECON_W as _SC_W)
+    from candidategeneration_ray.pipelines.relational import (
+        DOMINANT_SUPP_MULT as _DOM_MULT, IMPORTANT_PART_PPM as _IMP_PPM)
     from candidategeneration_ray.pipelines.events import MAD_K as _MAD_K
     from candidategeneration_ray.pipelines.docquery import LTR_WEIGHTS
 
@@ -6185,6 +6187,43 @@ WHERE 2 * d.dev2 > {_MAD_K} * m.mad4
         # elastic reshard plan-equivalence: serving from the re-bucketed
         # layout must equal the plain BM25 oracle bit for bit
         "resharded_bm25_topk": _BM25_SQL,
+        # Q11 shape: fraction-of-global-revenue HAVING, decorrelated
+        "important_parts": f"""
+WITH pr AS MATERIALIZED (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_milli
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, revenue_milli FROM pr
+WHERE revenue_milli * 1000000 > (SELECT sum(revenue_milli) FROM pr) * {_IMP_PPM}
+""",
+        # Q16 shape: grouped COUNT DISTINCT over a join with an
+        # anti-filtered supplier set (negative balance = complaints)
+        "part_supplier_counts": f"""
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+""",
+        # Q20 shape: per-part share rule (mult*qty > total), decorrelated
+        "dominant_suppliers": f"""
+WITH pq AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+pt AS (SELECT l_partkey, sum(q) AS t FROM pq GROUP BY l_partkey),
+dom AS (
+  SELECT pq.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS n_parts
+  FROM pq JOIN pt USING (l_partkey)
+  WHERE {_DOM_MULT} * pq.q > pt.t
+  GROUP BY pq.l_suppkey
+)
+SELECT d.s_suppkey, s.s_name, d.n_parts
+FROM dom d JOIN supplier s ON s.s_suppkey = d.s_suppkey
+""",
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},
 pairs AS MATERIALIZED (

@@ -964,3 +964,44 @@ def test_median_interp_and_mode_brute_force(ray_session):
         best = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[0]
         assert gm.loc[nk, "mode_priority"] == best[0]
         assert int(gm.loc[nk, "n_orders_mode"]) == best[1]
+
+
+class TestPartSupplierShapes:
+    def test_important_parts_threshold_semantics(self, ray_session):
+        from ray.data.aggregate import Sum
+
+        from candidategeneration_ray.pipelines.relational import (
+            IMPORTANT_PART_PPM, q_important_parts)
+
+        sf = "/root/testdata/sf0.01"
+        got = q_important_parts(sf).to_pandas()
+        assert 0 < len(got) < 2000                  # a real subset
+        # every kept part clears the fraction against the GLOBAL total
+        import duckdb
+        total = duckdb.sql(f"""
+            SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            FROM '{sf}/lineitem.parquet'""").fetchone()[0]
+        assert (got["revenue_milli"].to_numpy(np.int64).astype(object)
+                * 1_000_000 > total * IMPORTANT_PART_PPM).all()
+
+    def test_dominant_suppliers_rule(self, ray_session):
+        from candidategeneration_ray.pipelines.relational import (
+            DOMINANT_SUPP_MULT, q_dominant_suppliers)
+
+        sf = "/root/testdata/sf0.001"
+        got = q_dominant_suppliers(sf).to_pandas()
+        assert len(got) > 0
+        assert (got["n_parts"] >= 1).all()
+        # brute-force replica
+        import duckdb
+        want = duckdb.sql(f"""
+            WITH pq AS (SELECT l_partkey, l_suppkey,
+                               sum(CAST(l_quantity AS BIGINT)) q
+                        FROM '{sf}/lineitem.parquet' GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, sum(q) t FROM pq GROUP BY 1)
+            SELECT l_suppkey, count(*) n FROM pq JOIN pt USING (l_partkey)
+            WHERE {DOMINANT_SUPP_MULT} * q > t GROUP BY 1 ORDER BY 1""").df()
+        g = got.sort_values("s_suppkey").reset_index(drop=True)
+        assert g["s_suppkey"].tolist() == want["l_suppkey"].tolist()
+        assert g["n_parts"].tolist() == want["n"].tolist()
