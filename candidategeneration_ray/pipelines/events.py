@@ -2684,3 +2684,83 @@ def q_mad_outlier_days(sf_dir: str, k: int = MAD_K) -> ray.data.Dataset:
         .groupby("event_type")
         .map_groups(_flag, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------ autocorrelation stats
+
+ACF_MAX_LAG = 7
+
+
+def q_daily_autocorr(sf_dir: str, max_lag: int = ACF_MAX_LAG) -> ray.data.Dataset:
+    """Time-series diagnostics: per event type and lag 1..max_lag, the
+    EXACT integer sufficient statistics of the lag-k autocorrelation
+    over the zero-filled daily count series (missing calendar days
+    count 0 — lag alignment needs the dense series) —
+
+        n_pairs, sx, sy, sxx, syy, sxy   over pairs (x_t, x_{t+k})
+
+    Pearson r_k = (n·sxy − sx·sy) / √((n·sxx − sx²)(n·syy − sy²)) is a
+    float FINALIZER the analyst applies; keeping the moments integer
+    keeps the oracle hash-exact, the same contract as source_moments.
+    Seasonality shows as r_7 >> r_1 — the diagnostic that decides
+    whether the anomaly entries should deseasonalize first.
+
+    Shape: the (type, day, count) compression and tiny groupby of the
+    anomaly entries, then ONE co-located pass per type (a type's dense
+    day vector is days-sized, trivially task-sized; 10^12 events
+    compress to types x days rows long before this step)."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        day = ts // day_us
+        ut, ti = np.unique(et, return_inverse=True)
+        d0 = np.int64(day.min()) if day.size else np.int64(0)
+        span = np.int64(day.max()) - d0 + 1 if day.size else np.int64(1)
+        code = ti.astype(np.int64) * span + (day - d0)
+        u, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(ut[u // span].tolist(), pa.string()),
+            "day": pa.array(u % span + d0, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+        })
+
+    def _acf(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = group.column("day").to_numpy().astype(np.int64)
+        c = group.column("n_events").to_numpy().astype(np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        dense = np.zeros(hi - lo + 1, np.int64)
+        dense[day - lo] = c
+        lags, stats = [], []
+        for k in range(1, max_lag + 1):
+            if dense.size <= k:
+                break
+            x, y = dense[:-k], dense[k:]
+            lags.append(k)
+            stats.append((x.size, int(x.sum()), int(y.sum()),
+                          int((x * x).sum()), int((y * y).sum()),
+                          int((x * y).sum())))
+        return pa.table({
+            "event_type": pa.array([et] * len(lags), pa.string()),
+            "lag": pa.array(lags, pa.int64()),
+            "n_pairs": pa.array([s[0] for s in stats], pa.int64()),
+            "sx": pa.array([s[1] for s in stats], pa.int64()),
+            "sy": pa.array([s[2] for s in stats], pa.int64()),
+            "sxx": pa.array([s[3] for s in stats], pa.int64()),
+            "syy": pa.array([s[4] for s in stats], pa.int64()),
+            "sxy": pa.array([s[5] for s in stats], pa.int64()),
+        })
+
+    return (
+        events_ds(sf_dir, ["ts", "event_type"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .groupby("event_type")
+        .map_groups(_acf, batch_format="pyarrow")
+    )

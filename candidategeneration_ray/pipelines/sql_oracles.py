@@ -5822,6 +5822,7 @@ ch{i} AS (
     from candidategeneration_ray.pipelines.relational import (
         DOMINANT_SUPP_MULT as _DOM_MULT, IMPORTANT_PART_PPM as _IMP_PPM)
     from candidategeneration_ray.pipelines.events import MAD_K as _MAD_K
+    from candidategeneration_ray.pipelines.events import ACF_MAX_LAG as _ACF_LAG
     from candidategeneration_ray.pipelines.docquery import LTR_WEIGHTS
 
     _LTR_SQL = ltr_oracles()["ltr_features"]
@@ -6223,6 +6224,36 @@ dom AS (
 )
 SELECT d.s_suppkey, s.s_name, d.n_parts
 FROM dom d JOIN supplier s ON s.s_suppkey = d.s_suppkey
+""",
+        # lag-k autocorrelation sufficient stats over the zero-filled
+        # dense daily series: range-join gap fill, then a shifted self
+        # join per lag — all integer moments
+        "daily_autocorr": f"""
+WITH ec AS MATERIALIZED (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+bounds AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+           FROM ec GROUP BY event_type),
+dense AS MATERIALIZED (
+  SELECT b.event_type, d.day, coalesce(e.c, 0) AS c
+  FROM bounds b
+  CROSS JOIN LATERAL (SELECT unnest(range(b.lo, b.hi + 1)) AS day) d
+  LEFT JOIN ec e ON e.event_type = b.event_type AND e.day = d.day
+),
+lags AS (SELECT CAST(unnest(range(1, {_ACF_LAG} + 1)) AS BIGINT) AS lag)
+SELECT x.event_type, l.lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(x.c) AS BIGINT) AS sx,
+       CAST(sum(y.c) AS BIGINT) AS sy,
+       CAST(sum(x.c * x.c) AS BIGINT) AS sxx,
+       CAST(sum(y.c * y.c) AS BIGINT) AS syy,
+       CAST(sum(x.c * y.c) AS BIGINT) AS sxy
+FROM lags l
+JOIN dense x ON true
+JOIN dense y ON y.event_type = x.event_type AND y.day = x.day + l.lag
+GROUP BY x.event_type, l.lag
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

@@ -1284,3 +1284,55 @@ class TestMadOutliers:
             got = int(np.int64(np.sort(s)[(n - 1) // 2])
                       + np.int64(np.sort(s)[n // 2]))
             assert got == want
+
+
+class TestDailyAutocorr:
+    def test_seasonality_detected(self, ray_session, tmp_path):
+        """A strict weekly pattern gives r_7 = 1 exactly (constant
+        series at each lag-7 alignment) and r_1 < 1."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.events import q_daily_autocorr
+
+        day_us = 86_400_000_000
+        rows = []
+        eid = 0
+        week = [2, 5, 9, 3, 7, 1, 4]
+        for d in range(28):
+            for _ in range(week[d % 7]):
+                rows.append((eid, d * day_us + eid % 500, 3, "weekly"))
+                eid += 1
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = (q_daily_autocorr(d).to_pandas()
+               .set_index("lag").sort_index())
+
+        def r(row):
+            n, sx, sy = row["n_pairs"], row["sx"], row["sy"]
+            num = n * row["sxy"] - sx * sy
+            den = ((n * row["sxx"] - sx * sx)
+                   * (n * row["syy"] - sy * sy)) ** 0.5
+            return num / den
+
+        assert abs(r(got.loc[7]) - 1.0) < 1e-12       # exact weekly repeat
+        assert r(got.loc[1]) < 0.5
+        # moments re-derive from the dense series
+        dense = np.array([week[d % 7] for d in range(28)], np.int64)
+        for k in range(1, 8):
+            x, y = dense[:-k], dense[k:]
+            row = got.loc[k]
+            assert (row["n_pairs"], row["sx"], row["sy"], row["sxx"],
+                    row["syy"], row["sxy"]) == (
+                x.size, x.sum(), y.sum(), (x * x).sum(), (y * y).sum(),
+                (x * y).sum())
