@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_top10": ex.q_ann_cosine_top10,
         "ann_ivf_top10": ex.q_ann_ivf_top10,
         "ann_sq8_top10": ex.q_ann_sq8_top10,    # scalar-quantized symmetric ANN
+        "k_anonymity": ex.q_k_anonymity,        # privacy release audit
+        "label_centroid_dist": ex.q_label_centroid_dist,  # drift diagnostic
         "text_stats": ex.q_text_stats,
         "quality_filter": ex.q_quality_filter,
         "repetition_stats": ex.q_repetition_stats,

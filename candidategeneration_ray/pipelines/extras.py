@@ -3203,3 +3203,130 @@ def q_ann_sq8_top10(sf_dir: str, k: int = 10) -> pa.Table:
         "vec_id": pa.array(parts["vec_id"].to_numpy(np.int64), pa.int64()),
         "d2": pa.array(parts["d2"].to_numpy(np.int64), pa.int64()),
     })
+
+
+# ------------------------------------------------------ privacy / drift
+
+K_ANON = 5
+K_ANON_CHAR_BUCKET = 256
+
+
+def q_k_anonymity(sf_dir: str, k: int = K_ANON,
+                  char_bucket: int = K_ANON_CHAR_BUCKET) -> ray.data.Dataset:
+    """Privacy audit: k-anonymity violations over the quasi-identifier
+    tuple (lang, source, n_chars // bucket) — groups smaller than k are
+    re-identification risks a release gate must suppress or generalize.
+    Output one row per violating group with its size; empty = the
+    release passes at this k.
+
+    Shape: per-batch compressed (qid-tuple, count) partials -> one tiny
+    groupby -> size filter. The shuffle moves distinct quasi-identifier
+    combinations, never documents."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        nb = (batch.column("n_chars").to_numpy().astype(np.int64)
+              // char_bucket)
+        lc, lu = pd.factorize(lang)
+        sc, su = pd.factorize(src)
+        packed = (lc.astype(np.int64) * len(su) + sc) * 1_000_000 + nb
+        u, counts = np.unique(packed, return_counts=True)
+        ub = u % 1_000_000
+        uls = u // 1_000_000
+        return pa.table({
+            "lang": pa.array(lu[uls // len(su)].tolist(), pa.string()),
+            "source": pa.array(su[uls % len(su)].tolist(), pa.string()),
+            "chars_bucket": pa.array(ub, pa.int64()),
+            "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["lang", "source", "n_chars"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["lang", "source", "chars_bucket"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def _violations(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_docs").to_numpy().astype(np.int64)
+        return batch.filter(pa.array(n < k))
+
+    return agg.map_batches(_violations, batch_format="pyarrow")
+
+
+def q_label_centroid_dist(sf_dir: str) -> pa.Table:
+    """Dataset-drift / cluster-separation diagnostic: the integer
+    squared L2 distance between every pair of label centroids
+    (floor-div centroids over the shared power-of-two quantization —
+    the same arithmetic as the k-means update, so the values are
+    exactly reproducible). Small pairwise gaps between labels flag
+    collapsing classes; tracking the matrix across snapshots is the
+    embedding-drift monitor.
+
+    Shape: integer partial sums per (label, dim) + a count row -> one
+    tiny groupby -> the labels x dim centroid table folds on the
+    driver (labels-sized by nature). Output (label_a, label_b, d2)."""
+    from ray.data.aggregate import Sum
+
+    COUNT_DIM = -1
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        ids, xq = _quantized_batch(batch)
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        if ids.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        dim = xq.shape[1]
+        out_l, out_d, out_s = [], [], []
+        for lv in np.unique(lab):
+            m = lab == lv
+            out_l.append(np.full(dim + 1, lv, np.int64))
+            out_d.append(np.concatenate((np.arange(dim), [COUNT_DIM])))
+            out_s.append(np.concatenate((xq[m].sum(axis=0),
+                                         [int(m.sum())])))
+        return pa.table({
+            "label": pa.array(np.concatenate(out_l), pa.int64()),
+            "dim": pa.array(np.concatenate(out_d).astype(np.int64),
+                            pa.int64()),
+            "s": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+
+    merged = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding", "label"])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    labels = np.sort(merged["label"].unique().astype(np.int64))
+    dim = int(merged[merged["dim"] >= 0]["dim"].max()) + 1
+    cent = np.zeros((labels.size, dim), np.int64)
+    cnt = np.zeros(labels.size, np.int64)
+    lpos = {int(l): i for i, l in enumerate(labels)}
+    for _, r in merged.iterrows():
+        i = lpos[int(r["label"])]
+        if r["dim"] == COUNT_DIM:
+            cnt[i] = r["s"]
+        else:
+            cent[i, int(r["dim"])] = r["s"]
+    cent = np.floor(cent / np.maximum(cnt, 1)[:, None]).astype(np.int64)
+    la, lb, d2 = [], [], []
+    for i in range(labels.size):
+        for j in range(i + 1, labels.size):
+            la.append(int(labels[i]))
+            lb.append(int(labels[j]))
+            d2.append(int(((cent[i] - cent[j]) ** 2).sum()))
+    return pa.table({
+        "label_a": pa.array(la, pa.int64()),
+        "label_b": pa.array(lb, pa.int64()),
+        "d2": pa.array(d2, pa.int64()),
+    })

@@ -5821,6 +5821,8 @@ ch{i} AS (
         BENCH_MOD as _SC_MOD, DECON_W as _SC_W)
     from candidategeneration_ray.pipelines.relational import (
         DOMINANT_SUPP_MULT as _DOM_MULT, IMPORTANT_PART_PPM as _IMP_PPM)
+    from candidategeneration_ray.pipelines.extras import (
+        K_ANON as _KA_K, K_ANON_CHAR_BUCKET as _KA_BUCKET)
     from candidategeneration_ray.pipelines.events import MAD_K as _MAD_K
     from candidategeneration_ray.pipelines.events import ACF_MAX_LAG as _ACF_LAG
     from candidategeneration_ray.pipelines.docquery import LTR_WEIGHTS
@@ -6254,6 +6256,30 @@ FROM lags l
 JOIN dense x ON true
 JOIN dense y ON y.event_type = x.event_type AND y.day = x.day + l.lag
 GROUP BY x.event_type, l.lag
+""",
+        # k-anonymity: quasi-identifier group sizes below k
+        "k_anonymity": f"""
+SELECT lang, source, CAST(n_chars // {_KA_BUCKET} AS BIGINT) AS chars_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang, source, chars_bucket
+HAVING count(*) < {_KA_K}
+""",
+        # label centroid separation: floor-div integer centroids (the
+        # k-means update arithmetic) + pairwise squared L2
+        "label_centroid_dist": f"""
+WITH {qv},
+lv AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+cs AS (
+  SELECT l.label, q.d,
+         CAST(floor(CAST(sum(q.x) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+  FROM qv q JOIN lv l USING (vec_id)
+  GROUP BY l.label, q.d
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS d2
+FROM cs a JOIN cs b ON a.d = b.d AND a.label < b.label
+GROUP BY a.label, b.label
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

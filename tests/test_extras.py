@@ -1124,3 +1124,54 @@ class TestAnnSq8:
         ex = ((xq - q) ** 2).sum(1)
         exact = set(ids[np.lexsort((ids, ex))[:10]].tolist())
         assert len(set(got["vec_id"]) & exact) >= 6   # 8-bit quantization recall
+
+
+class TestPrivacyAndDrift:
+    def test_k_anonymity_flags_planted_rare_group(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import q_k_anonymity
+
+        n = 60
+        t = pa.table({
+            "doc_id": pa.array(range(n + 2), pa.int64()),
+            "text": pa.array(["common text"] * (n + 2), pa.string()),
+            "lang": pa.array(["en"] * n + ["xx", "xx"], pa.string()),
+            "source": pa.array(["web"] * n + ["rare", "rare"], pa.string()),
+            "n_chars": pa.array([100] * n + [100, 100], pa.int64()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = q_k_anonymity(d).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["lang"], r["source"], r["n_docs"]) == ("xx", "rare", 2)
+
+    def test_label_centroids_match_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import (
+            q_label_centroid_dist)
+
+        sf = "/root/testdata/sf0.01"
+        got = (q_label_centroid_dist(sf).to_pandas()
+               .sort_values(["label_a", "label_b"]).reset_index(drop=True))
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        lab = np.array(t["label"], np.int64)
+        xq = np.trunc(np.array(t["embedding"].to_pylist(), np.float64)
+                      * (1 << 16)).astype(np.int64)
+        labels = np.unique(lab)
+        cent = np.stack([
+            np.floor(xq[lab == lv].sum(0) / (lab == lv).sum()).astype(np.int64)
+            for lv in labels])
+        k = 0
+        for i in range(labels.size):
+            for j in range(i + 1, labels.size):
+                want = int(((cent[i] - cent[j]) ** 2).sum())
+                row = got.iloc[k]
+                assert (row["label_a"], row["label_b"], row["d2"]) == (
+                    labels[i], labels[j], want)
+                k += 1
+        assert k == len(got)
