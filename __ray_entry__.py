@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": ps.q_snippets,                      # KWIC snippet extraction
         "rrf_fusion": ps.q_rrf_fusion,                  # reciprocal-rank fusion
         "sdm_topk": ps.q_sdm_topk,                      # sequential dependence model
+        "lmdirichlet_topk": ps.q_lmdirichlet_topk,      # 2nd ranking model (QL)
         # --- lexicon / search-frontend features ---
         "prefix_terms": lx.q_prefix_terms,              # wildcard/autocomplete scan
         "fuzzy_terms": lx.q_fuzzy_terms,                # ed<=1 "did you mean"

@@ -1189,3 +1189,100 @@ def q_sdm_topk(sf_dir: str, k: int = 10) -> pa.Table:
         "doc_id": pa.array(docs_out, pa.int64()),
         "sdm_score": pa.array(sdm_out, pa.int64()),
     })
+
+
+# ------------------------------------------- LM Dirichlet ranking model
+
+LMD_MU = 2000
+LMD_TOPK = 10
+
+
+@ray.remote
+def _lmd_task(dirs: list[str], docs_path: str, query_id: int,
+              tids: list[int], total_tokens: int, num_buckets: int,
+              mu: int, k: int) -> pa.Table:
+    """Serve one query under the Dirichlet-smoothed query-likelihood
+    model. tf comes from the positional family (tf = position count —
+    the BM25 index stores quantized scores, not tf, which is exactly
+    why this second ranker lives on the positional family); cf is the
+    term's total position count; dl re-tokenizes only the CANDIDATE
+    docs (match-set-bound point read, the LTR/snippet pattern)."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+    packed = _packed_positions(dirs, sorted(set(tids)), num_buckets)
+    term_data = {}
+    cand_parts = []
+    for t in sorted(set(tids)):
+        if t not in packed:
+            continue
+        d, tf = np.unique(packed[t] >> POS_BITS, return_counts=True)
+        term_data[t] = (d, tf.astype(np.int64), int(packed[t].size))
+        cand_parts.append(d)
+    if not term_data:
+        return empty
+    cand = np.unique(np.concatenate(cand_parts))
+    dt = pq.read_table(docs_path, columns=["doc_id", "text"],
+                       filters=[("doc_id", "in", cand.tolist())])
+    ids = dt.column("doc_id").to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    toks = tokenize_many([dt.column("text")[int(i)].as_py() for i in order])
+    dl = np.fromiter((len(tk) for tk in toks), np.float64, len(toks))
+    # align dl to cand (ids[order] == cand by construction)
+    den = dl + mu
+    score = np.zeros(cand.size, np.int64)
+    for t in sorted(term_data):
+        d, tf, cf = term_data[t]
+        tfv = np.zeros(cand.size, np.float64)
+        tfv[np.searchsorted(cand, d)] = tf
+        smooth = mu * (cf / float(total_tokens))
+        val = np.trunc(np.log((tfv + smooth) / den) * 1e7).astype(np.int64)
+        score += val
+    top = np.lexsort((cand, -score))[:k]
+    return pa.table({
+        "query_id": pa.array(np.full(top.size, query_id, np.int64),
+                             pa.int64()),
+        "rank": pa.array(np.arange(1, top.size + 1), pa.int64()),
+        "doc_id": pa.array(cand[top], pa.int64()),
+        "score": pa.array(score[top], pa.int64()),
+    })
+
+
+def q_lmdirichlet_topk(sf_dir: str, k: int = LMD_TOPK,
+                       mu: int = LMD_MU) -> pa.Table:
+    """Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty 2001)
+    — a genuinely DIFFERENT ranking model beside BM25, not a variant:
+    score(q,d) = Σ_t ln((tf + μ·cf_t/T) / (dl + μ)) over the query's
+    distinct mapped terms, candidates = docs matching ≥ 1 term (the
+    standard restriction). Each per-term component quantizes to int
+    BEFORE the sum, so doc scores are order-free integer sums and the
+    whole ranking hash-verifies (the BM25 discipline applied to a
+    second model). One Ray task per query; reads prune to the query
+    terms' buckets."""
+    from candidategeneration_ray.pipelines.docquery import DOC_QUERIES
+
+    cfg = EngineConfig()
+    fam = build_positional_family(sf_dir, cfg)
+    stats = fam["stats"]
+    dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    t2i = {t: i + 1 for i, t in enumerate(stats["terms"])}
+    futs = []
+    for qid, text in DOC_QUERIES:
+        tids = sorted({t2i[t] for t in tokenize_text(text) if t in t2i})
+        if not tids:
+            continue
+        futs.append(_lmd_task.remote(
+            dirs, docs_path, qid, tids, int(stats["total_tokens"]),
+            cfg.num_buckets, mu, k))
+    return _gather_sorted(futs, pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.int64()),
+    }), [("query_id", "ascending"), ("rank", "ascending")])

@@ -5824,6 +5824,7 @@ ch{i} AS (
     from candidategeneration_ray.pipelines.extras import (
         K_ANON as _KA_K, K_ANON_CHAR_BUCKET as _KA_BUCKET)
     from candidategeneration_ray.pipelines.events import MAD_K as _MAD_K
+    from candidategeneration_ray.pipelines.positional import LMD_MU as _LMD_MU
     from candidategeneration_ray.pipelines.events import ACF_MAX_LAG as _ACF_LAG
     from candidategeneration_ray.pipelines.docquery import LTR_WEIGHTS
 
@@ -6280,6 +6281,45 @@ SELECT a.label AS label_a, b.label AS label_b,
        CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS d2
 FROM cs a JOIN cs b ON a.d = b.d AND a.label < b.label
 GROUP BY a.label, b.label
+""",
+        # LM Dirichlet query likelihood: per-term quantized components
+        # (the BM25 int-sum discipline applied to a second model);
+        # candidates = docs matching >= 1 mapped query term
+        "lmdirichlet_topk": f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM kept GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM kept GROUP BY doc_id),
+cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM kept GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM kept),
+qterms AS (SELECT q.query_id, q.tok, c.cf FROM qtok q JOIN cf c USING (tok)),
+cand AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM qterms q JOIN tf t USING (tok)
+),
+parts AS (
+  SELECT c.query_id, c.doc_id,
+         CAST(trunc(
+           ln((CAST(coalesce(t.tf, 0) AS DOUBLE)
+               + {_LMD_MU} * (CAST(q.cf AS DOUBLE) / CAST(tot.t AS DOUBLE)))
+              / (CAST(dl.dl AS DOUBLE) + {_LMD_MU}))
+           * 10000000) AS BIGINT) AS s
+  FROM cand c
+  JOIN qterms q ON q.query_id = c.query_id
+  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.tok = q.tok
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN tot
+),
+sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score
+       FROM parts GROUP BY query_id, doc_id)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sc
+) WHERE rn <= 10
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

@@ -583,3 +583,34 @@ def test_ordered_window_brute_force(ray_session):
     a = q_ordered_window_docs(sf, queries=[(0, "data query")]).to_pandas()
     b = q_ordered_window_docs(sf, queries=[(0, "query data")]).to_pandas()
     assert not a.equals(b)
+
+
+class TestLmDirichlet:
+    def test_length_normalization_and_candidates(self, ray_session, tmp_path):
+        """Equal tf, different dl -> shorter doc scores higher; docs
+        with no query term never appear; repeated term raises score."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.positional import (
+            q_lmdirichlet_topk)
+
+        pad = [f"pad{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(40)]
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "batch once short doc",
+                "batch once " + " ".join(pad),      # same tf, longer
+                "batch batch batch dense doc",       # higher tf
+                " ".join(pad[:20]),                  # no query term
+            ], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = q_lmdirichlet_topk(d).to_pandas()
+        g5 = got[got.query_id == 5].sort_values("rank")   # query "batch"
+        assert 3 not in set(g5["doc_id"])
+        s = g5.set_index("doc_id")["score"]
+        assert s[2] > s[0] > s[1]      # tf wins, then length normalization
