@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_counts": rl.q_part_supplier_counts,  # Q16 distinct-count join
         "dominant_suppliers": rl.q_dominant_suppliers,  # Q20 share rule
         "ranking_agreement": dq.q_ranking_agreement,  # doc vs MaxP prefix overlap
+        "query_difficulty": dq.q_query_difficulty,  # QPP feature table
+        "judgment_pool": dq.q_judgment_pool,        # TREC pooling of 4 systems
         "prf_topk": dq.q_prf_topk,  # Rocchio-style PRF expansion, integer-exact
         "more_like_this": dq.q_more_like_this,  # doc-to-doc retrieval (MLT)
         "textrank_terms": dq.q_textrank_terms,  # integer TextRank keywords

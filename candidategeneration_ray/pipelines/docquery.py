@@ -2611,3 +2611,90 @@ def q_resharded_bm25_topk(sf_dir: str, new_buckets: int = 7) -> pa.Table:
         "doc_id": pa.array(docs, pa.int64()),
         "score": pa.array(scores, pa.int64()),
     })
+
+
+def q_query_difficulty(sf_dir: str, k: int = 10) -> pa.Table:
+    """Query-performance prediction (QPP) features per fixed query —
+    the search-ops diagnostic that decides routing/rewriting BEFORE
+    results ship. Pre-retrieval predictors from the dictionary
+    (n_terms, min/max df, quantized max IDF, scope = docs matching any
+    term) and post-retrieval integer sufficient statistics of the
+    exact top-k score distribution (n, sum, sum-of-squares — NQC's
+    variance is a float finalizer). IDF quantizes trunc(ln·1e7) like
+    every score, so the whole feature table hash-verifies.
+
+    Cost: dictionary lookups + the already-cached exact ranking; scope
+    is one posting-length sum per term — query-bound, never
+    corpus-bound."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.state.queryengine import IndexReader, QueryEngine
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    stats = built["stats"]
+    n_docs = float(stats["n_docs"])
+    rows = {c: [] for c in ("query_id", "n_terms", "min_df", "max_df",
+                            "max_idf_q", "scope", "topk_n", "score_sum",
+                            "score_ss")}
+    for qid, text in DOC_QUERIES:
+        tids = reader.query_term_ids(text)
+        if not tids:
+            continue
+        dfs = np.array([int(stats["df_by_id"][t]) for t in tids], np.int64)
+        idf_q = np.trunc(np.log((n_docs - dfs + 0.5) / (dfs + 0.5))
+                         * 1e7).astype(np.int64)
+        # scope: |union of posting docs| — exact, decoded per term
+        docs = [reader.get(int(t))[0] for t in tids
+                if reader.get(int(t)) is not None]
+        scope = int(np.unique(np.concatenate(docs)).size) if docs else 0
+        res = eng.topk(text, k=k)
+        sc = np.array([s for s, _ in res], np.int64)
+        rows["query_id"].append(qid)
+        rows["n_terms"].append(len(tids))
+        rows["min_df"].append(int(dfs.min()))
+        rows["max_df"].append(int(dfs.max()))
+        rows["max_idf_q"].append(int(idf_q.max()))
+        rows["scope"].append(scope)
+        rows["topk_n"].append(sc.size)
+        rows["score_sum"].append(int(sc.sum()))
+        rows["score_ss"].append(int((sc * sc).sum()))
+    return pa.table({c: pa.array(v, pa.int64()) for c, v in rows.items()})
+
+
+JUDGMENT_SYSTEMS = ("bm25", "sdm", "passage", "lmd")
+
+
+def q_judgment_pool(sf_dir: str, depth: int = 10) -> pa.Table:
+    """TREC-style judgment pooling: the union of the top-`depth` docs
+    from FOUR verified ranking systems (BM25, sequential dependence,
+    MaxP passage, LM Dirichlet) per query, with the count of systems
+    that retrieved each doc — the doc set a human-annotation budget
+    would be spent on, and a cross-system agreement signal (docs found
+    by one system only are where the models disagree). The oracle
+    composes all four ranking oracles verbatim, so the POOLING of four
+    pipelines is itself hash-checked."""
+    from candidategeneration_ray.pipelines.positional import (
+        q_lmdirichlet_topk, q_sdm_topk)
+
+    systems = {
+        "bm25": q_bm25_topk(sf_dir),
+        "sdm": q_sdm_topk(sf_dir),
+        "passage": q_passage_bm25_topk(sf_dir),
+        "lmd": q_lmdirichlet_topk(sf_dir),
+    }
+    pool: dict[tuple[int, int], int] = {}
+    for name in JUDGMENT_SYSTEMS:
+        t = systems[name]
+        qid = t.column("query_id").to_numpy().astype(np.int64)
+        rank = t.column("rank").to_numpy().astype(np.int64)
+        doc = t.column("doc_id").to_numpy().astype(np.int64)
+        keep = rank <= depth
+        for q, d in zip(qid[keep], doc[keep]):
+            pool[(int(q), int(d))] = pool.get((int(q), int(d)), 0) + 1
+    keys = sorted(pool)
+    return pa.table({
+        "query_id": pa.array([q for q, _ in keys], pa.int64()),
+        "doc_id": pa.array([d for _, d in keys], pa.int64()),
+        "n_systems": pa.array([pool[k] for k in keys], pa.int64()),
+    })

@@ -5832,6 +5832,43 @@ ch{i} AS (
     _LTR_EXPR = " + ".join(
         f"({w}) * {c}" for c, w in LTR_WEIGHTS.items())
     _BM25_SQL = core_oracles()["bm25_topk"]
+    _SDM_SQL = sdm_oracles()["sdm_topk"]
+    _LMD_SQL = f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM kept GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM kept GROUP BY doc_id),
+cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM kept GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM kept),
+qterms AS (SELECT q.query_id, q.tok, c.cf FROM qtok q JOIN cf c USING (tok)),
+cand AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM qterms q JOIN tf t USING (tok)
+),
+parts AS (
+  SELECT c.query_id, c.doc_id,
+         CAST(trunc(
+           ln((CAST(coalesce(t.tf, 0) AS DOUBLE)
+               + {_LMD_MU} * (CAST(q.cf AS DOUBLE) / CAST(tot.t AS DOUBLE)))
+              / (CAST(dl.dl AS DOUBLE) + {_LMD_MU}))
+           * 10000000) AS BIGINT) AS s
+  FROM cand c
+  JOIN qterms q ON q.query_id = c.query_id
+  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.tok = q.tok
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN tot
+),
+sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score
+       FROM parts GROUP BY query_id, doc_id)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sc
+) WHERE rn <= 10
+"""
     _MAXP_SQL = f"""
 WITH {KEPT_CTE},
 {QTOK_CTE},
@@ -6285,41 +6322,63 @@ GROUP BY a.label, b.label
         # LM Dirichlet query likelihood: per-term quantized components
         # (the BM25 int-sum discipline applied to a second model);
         # candidates = docs matching >= 1 mapped query term
-        "lmdirichlet_topk": f"""
+        "lmdirichlet_topk": _LMD_SQL,
+        # QPP features: dictionary-side predictors + integer top-k
+        # score moments, composed from the shared scoring CTEs
+        "query_difficulty": f"""
 WITH {KEPT_CTE},
+{SCORES_CTE},
 {QTOK_CTE},
-tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-       FROM kept GROUP BY doc_id, tok),
-dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-       FROM kept GROUP BY doc_id),
-cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM kept GROUP BY tok),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM kept),
-qterms AS (SELECT q.query_id, q.tok, c.cf FROM qtok q JOIN cf c USING (tok)),
-cand AS (
-  SELECT DISTINCT q.query_id, t.doc_id
-  FROM qterms q JOIN tf t USING (tok)
+mapped AS (SELECT q.query_id, q.tok, d.df FROM qtok q JOIN dft d USING (tok)),
+pre AS (
+  SELECT m.query_id,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(min(m.df) AS BIGINT) AS min_df,
+         CAST(max(m.df) AS BIGINT) AS max_df,
+         CAST(max(CAST(trunc(ln((nd - m.df + 0.5) / (m.df + 0.5)) * 10000000)
+                       AS BIGINT)) AS BIGINT) AS max_idf_q
+  FROM mapped m CROSS JOIN gs2 GROUP BY m.query_id
 ),
-parts AS (
-  SELECT c.query_id, c.doc_id,
-         CAST(trunc(
-           ln((CAST(coalesce(t.tf, 0) AS DOUBLE)
-               + {_LMD_MU} * (CAST(q.cf AS DOUBLE) / CAST(tot.t AS DOUBLE)))
-              / (CAST(dl.dl AS DOUBLE) + {_LMD_MU}))
-           * 10000000) AS BIGINT) AS s
-  FROM cand c
-  JOIN qterms q ON q.query_id = c.query_id
-  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.tok = q.tok
-  JOIN dl ON dl.doc_id = c.doc_id
-  CROSS JOIN tot
+scope AS (
+  SELECT m.query_id, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS scope
+  FROM mapped m JOIN tf t USING (tok) GROUP BY m.query_id
 ),
-sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score
-       FROM parts GROUP BY query_id, doc_id)
-SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score FROM (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rn
-  FROM sc
-) WHERE rn <= 10
+qscores AS (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok) GROUP BY q.query_id, s.doc_id
+),
+topk AS (
+  SELECT query_id, score FROM (
+    SELECT query_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM qscores
+  ) WHERE rn <= 10
+),
+post AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS topk_n,
+         CAST(sum(score) AS BIGINT) AS score_sum,
+         CAST(sum(score * score) AS BIGINT) AS score_ss
+  FROM topk GROUP BY query_id
+)
+SELECT p.query_id, p.n_terms, p.min_df, p.max_df, p.max_idf_q,
+       s.scope, t.topk_n, t.score_sum, t.score_ss
+FROM pre p JOIN scope s USING (query_id) JOIN post t USING (query_id)
+""",
+        # judgment pooling: union of four composed ranking oracles
+        "judgment_pool": f"""
+WITH a AS ({_BM25_SQL}),
+b AS ({_SDM_SQL}),
+c AS ({_MAXP_SQL}),
+d AS ({_LMD_SQL}),
+u AS (
+  SELECT query_id, doc_id FROM a WHERE rank <= 10
+  UNION ALL SELECT query_id, doc_id FROM b WHERE rank <= 10
+  UNION ALL SELECT query_id, doc_id FROM c WHERE rank <= 10
+  UNION ALL SELECT query_id, doc_id FROM d WHERE rank <= 10
+)
+SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_systems
+FROM u GROUP BY query_id, doc_id
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

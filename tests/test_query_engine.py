@@ -621,3 +621,32 @@ class TestLtrRerankAndAgreement:
             d = g["depth"].to_numpy()
             assert (n <= d).all()
             assert (np.diff(n) >= 0).all()     # prefix intersection grows
+
+
+class TestQppAndPooling:
+    def test_qpp_invariants(self, ray_session):
+        from candidategeneration_ray.pipelines.docquery import (
+            q_query_difficulty)
+
+        got = q_query_difficulty("/root/testdata/sf0.01").to_pandas()
+        assert len(got) > 0
+        assert (got["min_df"] <= got["max_df"]).all()
+        assert (got["scope"] >= got["max_df"]).all()   # union >= largest list
+        assert (got["topk_n"] <= 10).all()
+        # Cauchy-Schwarz: n*ss >= sum^2 (variance nonneg)
+        n, s, ss = (got["topk_n"].astype(object), got["score_sum"].astype(object),
+                    got["score_ss"].astype(object))
+        assert ((n * ss - s * s) >= 0).all()
+
+    def test_pool_union_semantics(self, ray_session):
+        from candidategeneration_ray.pipelines.docquery import (
+            q_bm25_topk, q_judgment_pool)
+
+        sf = "/root/testdata/sf0.01"
+        pool = q_judgment_pool(sf).to_pandas()
+        assert pool["n_systems"].between(1, 4).all()
+        bm = q_bm25_topk(sf).to_pandas()
+        bm_pairs = set(zip(bm["query_id"], bm["doc_id"]))
+        pool_pairs = set(zip(pool["query_id"], pool["doc_id"]))
+        assert bm_pairs <= pool_pairs          # every system's top-10 pooled
+        assert (pool["n_systems"] >= 3).any()  # cross-system consensus exists
