@@ -2344,10 +2344,65 @@ def _eps_pairs(sf_dir: str, eps2: int, n_blocks: int = 4) -> ray.data.Dataset:
     )
 
 
+
+@ray.remote
+def _dbscan_small(min_pts: int, *tables: pa.Table) -> pa.Table:
+    """Task-sized DBSCAN over the eps-pair edge list (the dup_clusters
+    small-graph pattern): degree coreness, CC over core-core edges
+    (pointer-jumped min-label), deterministic min-label border rule —
+    all in ONE task over object-store edge blocks. Returns (vec_id,
+    cluster, is_core) for edge-touched nodes only; isolated nodes get
+    their noise rows from the identity union outside."""
+    tables = [t for t in tables if t.num_rows > 0]
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "is_core": pa.array([], pa.int64())})
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables)
+    a = t.column("a").to_numpy().astype(np.int64)
+    b = t.column("b").to_numpy().astype(np.int64)
+    src = np.concatenate((a, b))
+    dst = np.concatenate((b, a))
+    nodes = np.unique(src)
+    isrc = np.searchsorted(nodes, src)
+    idst = np.searchsorted(nodes, dst)
+    deg = np.bincount(isrc, minlength=nodes.size)
+    core = deg + 1 >= min_pts
+    # CC over core-core edges: pointer-jumped min-label propagation
+    label = np.where(core, np.arange(nodes.size), -1)
+    cc = core[isrc] & core[idst]
+    ci, cj = isrc[cc], idst[cc]
+    while True:
+        new = label.copy()
+        if ci.size:
+            np.minimum.at(new, ci, label[cj])
+        nz = new >= 0
+        new[nz] = np.minimum(new[nz], new[new[nz]])
+        if np.array_equal(new, label):
+            break
+        label = new
+    cluster = np.full(nodes.size, -1, np.int64)
+    cluster[core] = nodes[label[core]]
+    # border: non-core with a core neighbor -> min core cluster
+    be = core[isrc] & ~core[idst]
+    if be.any():
+        bl = np.full(nodes.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(bl, idst[be], cluster[isrc[be]])
+        hasb = ~core & (bl < np.iinfo(np.int64).max)
+        cluster[hasb] = bl[hasb]
+    return pa.table({
+        "vec_id": pa.array(nodes, pa.int64()),
+        "cluster": pa.array(cluster, pa.int64()),
+        "is_core": pa.array(core.astype(np.int64), pa.int64()),
+    })
+
+
 def q_dbscan_clusters(sf_dir: str, eps2: int = DBSCAN_EPS2,
                       min_pts: int = DBSCAN_MIN_PTS,
                       n_blocks: int = 4,
-                      n_buckets: int = 64) -> ray.data.Dataset:
+                      n_buckets: int = 64,
+                      small_graph_max_pairs: int = 2_500_000) -> ray.data.Dataset:
     """Deterministic DBSCAN over the quantized embeddings — the
     density-based clustering class (kmeans partitions EVERYTHING;
     DBSCAN finds dense regions and labels sparse points noise):
@@ -2374,6 +2429,33 @@ def q_dbscan_clusters(sf_dir: str, eps2: int = DBSCAN_EPS2,
         _propagation_rounds, _small_graph_cc)
 
     pairs = _eps_pairs(sf_dir, eps2, n_blocks).materialize()
+
+    def _ident(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").cast(pa.int64())
+        return pa.table({
+            "vec_id": v,
+            "cluster": pa.array(np.full(batch.num_rows, -1, np.int64),
+                                pa.int64()),
+            "is_core": pa.array(np.zeros(batch.num_rows, np.int64),
+                                pa.int64()),
+        })
+
+    ident = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).map_batches(_ident, batch_format="pyarrow")
+
+    # small-graph fast path (the dup_clusters pattern): the pair list is
+    # duplication/density-bound, so even large corpora often fit one
+    # task; the staged path below handles graphs past the threshold
+    if pairs.count() <= small_graph_max_pairs:
+        labels = ray.data.from_arrow_refs(
+            [_dbscan_small.remote(min_pts, *pairs.to_arrow_refs())])
+        return (
+            ident.union(labels)
+            .groupby("vec_id")
+            .aggregate(Max("cluster", alias_name="cluster"),
+                       Max("is_core", alias_name="is_core"))
+        )
 
     def _sym(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy().astype(np.int64)
@@ -2529,20 +2611,6 @@ def q_dbscan_clusters(sf_dir: str, eps2: int = DBSCAN_EPS2,
     )
 
     # final union: identity(-1, non-core) ∪ core(lbl, 1) ∪ border(lbl, 0)
-    def _ident(batch: pa.Table) -> pa.Table:
-        v = batch.column("vec_id").cast(pa.int64())
-        return pa.table({
-            "vec_id": v,
-            "cluster": pa.array(np.full(batch.num_rows, -1, np.int64),
-                                pa.int64()),
-            "is_core": pa.array(np.zeros(batch.num_rows, np.int64),
-                                pa.int64()),
-        })
-
-    ident = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
-    ).map_batches(_ident, batch_format="pyarrow")
-
     core_rows = core_lbl.map_batches(
         lambda b: pa.table({
             "vec_id": b.column("node").cast(pa.int64()),

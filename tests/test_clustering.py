@@ -828,3 +828,22 @@ class TestDbscan:
         assert got.loc[10, "cluster"] == got.loc[0, "cluster"]
         assert got.loc[10, "is_core"] == 0
         assert got.loc[11, "cluster"] == -1
+
+
+    def test_staged_path_equals_fast_path(self, ray_session, tmp_path):
+        """Forcing the multi-stage shuffle path (small_graph_max_pairs=0)
+        must give the identical clustering as the single-task path."""
+        rng = np.random.default_rng(11)
+        emb = np.vstack([rng.normal(0, 0.002, (6, 4)),
+                         rng.normal(1, 0.002, (6, 4)),
+                         [[4.0, 4.0, 4.0, 4.0]]])
+        ids = np.arange(13, dtype=np.int64)
+        d = _write_emb(str(tmp_path), ids, emb, num_files=2)
+        eps2 = int((0.01 * cl.KMEANS_SCALE) ** 2)
+        fast = (cl.q_dbscan_clusters(d, eps2=eps2, min_pts=3)
+                .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        staged = (cl.q_dbscan_clusters(d, eps2=eps2, min_pts=3,
+                                       small_graph_max_pairs=0)
+                  .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        assert fast.equals(staged)
+        assert fast[fast.cluster >= 0].cluster.nunique() == 2
