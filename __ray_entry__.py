@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_prefix": ex.q_jaccard_pairs_prefix,
         "minhash_signatures": ex.q_minhash_signatures,
         "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
+        "lsh_precision": ex.q_lsh_precision,    # exact-Jaccard audit of LSH pairs
         "dup_clusters": ex.q_dup_clusters,
         "cluster_representatives": ex.q_cluster_representatives,  # keep-best dedup
         "duplicate_spans": ex.q_duplicate_spans,

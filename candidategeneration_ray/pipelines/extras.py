@@ -3330,3 +3330,123 @@ def q_label_centroid_dist(sf_dir: str) -> pa.Table:
         "label_b": pa.array(lb, pa.int64()),
         "d2": pa.array(d2, pa.int64()),
     })
+
+
+# ------------------------------------------- approx-dedup quality eval
+
+def exact_jaccard_for_pairs(sf_dir: str, pairs_ds: ray.data.Dataset,
+                            npb: int = 64) -> ray.data.Dataset:
+    """Exact Jaccard for an ARBITRARY candidate-pair Dataset (doc_a,
+    doc_b): both docs' full distinct-shingle sets are routed to the
+    pair's hash bucket (union-tag through one groupby) and a per-bucket
+    lexsort counts duplicated hashes — the q_jaccard_pairs_prefix
+    verification kernel generalized to any candidate source, with NO
+    threshold filter (callers judge). Output (doc_a, doc_b, inter_n,
+    union_n) for every input pair."""
+
+    def _pid_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        if a.size and (int(a.max()) >= 1 << 31 or int(b.max()) >= 1 << 31):
+            raise ValueError("packed pair id needs doc_id < 2^31")
+        pid = (a << np.int64(32)) | b
+        return pa.table({
+            "doc": pa.array(np.concatenate((a, b)), pa.int64()),
+            "pid": pa.array(np.concatenate((pid, pid)), pa.int64()),
+            "h": pa.array(np.zeros(2 * a.size, np.int64), pa.int64()),
+            "is_set": pa.array(np.zeros(2 * a.size, bool), pa.bool_()),
+        })
+
+    def _set_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": batch.column("doc_id"),
+            "pid": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+            "h": batch.column("shingle_h"),
+            "is_set": pa.array(np.ones(batch.num_rows, bool), pa.bool_()),
+        })
+
+    def _doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc").to_numpy().astype(np.uint64)
+        hh = d * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
+        return batch.append_column(
+            "dbucket", pa.array((hh % np.uint64(npb)).astype(np.int32)))
+
+    def _gather(group: pa.Table) -> pa.Table:
+        doc = group.column("doc").to_numpy().astype(np.int64)
+        pid = group.column("pid").to_numpy().astype(np.int64)
+        h = group.column("h").to_numpy().astype(np.int64)
+        is_set = group.column("is_set").to_numpy()
+        sd, sh = doc[is_set], h[is_set]
+        order = np.argsort(sd, kind="stable")
+        sd, sh = sd[order], sh[order]
+        md, mp = doc[~is_set], pid[~is_set]
+        lo = np.searchsorted(sd, md, side="left")
+        hi = np.searchsorted(sd, md, side="right")
+        cnt = hi - lo
+        if int(cnt.sum()) == 0:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "pbucket": pa.array([], pa.int32()),
+                             "h": pa.array([], pa.int64())})
+        idx = np.repeat(lo, cnt) + (
+            np.arange(int(cnt.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt))
+        out_pid = np.repeat(mp, cnt)
+        return pa.table({
+            "pid": pa.array(out_pid, pa.int64()),
+            "pbucket": pa.array((out_pid % np.int64(npb)).astype(np.int32)),
+            "h": pa.array(sh[idx], pa.int64()),
+        })
+
+    def _verify(group: pa.Table) -> pa.Table:
+        pid = group.column("pid").to_numpy().astype(np.int64)
+        h = group.column("h").to_numpy().astype(np.int64)
+        order = np.lexsort((h, pid))
+        pid, h = pid[order], h[order]
+        dup = np.concatenate(
+            ([False], (pid[1:] == pid[:-1]) & (h[1:] == h[:-1])))
+        upid, tot = np.unique(pid, return_counts=True)
+        inter = np.bincount(np.searchsorted(upid, pid[dup]),
+                            minlength=upid.size).astype(np.int64)
+        union = tot.astype(np.int64) - inter
+        return pa.table({
+            "doc_a": pa.array(upid >> np.int64(32), pa.int64()),
+            "doc_b": pa.array(upid & np.int64(0xFFFFFFFF), pa.int64()),
+            "inter_n": pa.array(inter, pa.int64()),
+            "union_n": pa.array(union, pa.int64()),
+        })
+
+    shingles_full = documents_ds(sf_dir).map_batches(
+        lambda bt: _shingle_rows(bt, H.SHINGLE_W), batch_format="pyarrow")
+    routed = (
+        pairs_ds.map_batches(_pid_rows, batch_format="pyarrow")
+        .union(shingles_full.map_batches(_set_rows, batch_format="pyarrow"))
+        .map_batches(_doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket").map_groups(_gather, batch_format="pyarrow")
+    )
+    return (routed.groupby("pbucket")
+            .map_groups(_verify, batch_format="pyarrow")
+            .select_columns(["doc_a", "doc_b", "inter_n", "union_n"]))
+
+
+def q_lsh_precision(sf_dir: str, threshold_pct: int = 20) -> ray.data.Dataset:
+    """Quality evaluation OF the approximate dedup method BY VALUE:
+    every MinHash-LSH candidate edge gets its exact Jaccard computed
+    (the generalized pair-verification kernel) and a true/false-
+    positive verdict at the corpus' dedup threshold — the
+    precision-side audit that tells an operator whether the LSH band
+    parameters are tuned (recall's audit is the existing
+    oracle-asserted pytest). Output (doc_a, doc_b, inter_n, union_n,
+    is_dup); precision = avg(is_dup) is the analyst's finalizer.
+    Cost: candidate-bound, never corpus-bound."""
+    pairs = q_minhash_lsh_pairs(sf_dir)
+    scored = exact_jaccard_for_pairs(sf_dir, pairs)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        i = batch.column("inter_n").to_numpy().astype(np.int64)
+        u = batch.column("union_n").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "is_dup", pa.array((i * 100 >= threshold_pct * u)
+                               .astype(np.int64), pa.int64()))
+
+    return scored.map_batches(_flag, batch_format="pyarrow")

@@ -5833,6 +5833,7 @@ ch{i} AS (
         f"({w}) * {c}" for c, w in LTR_WEIGHTS.items())
     _BM25_SQL = core_oracles()["bm25_topk"]
     _SDM_SQL = sdm_oracles()["sdm_topk"]
+    _LSH_SQL = extras_oracles()["minhash_lsh_pairs"]
     _LMD_SQL = f"""
 WITH {KEPT_CTE},
 {QTOK_CTE},
@@ -6379,6 +6380,35 @@ u AS (
 )
 SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_systems
 FROM u GROUP BY query_id, doc_id
+""",
+        # LSH precision audit: compose the lsh-pairs oracle, attach
+        # exact Jaccard per candidate + the threshold verdict
+        "lsh_precision": f"""
+WITH cand AS ({_LSH_SQL}),
+shx AS MATERIALIZED (
+  WITH {KEPT_CTE},
+  {_DOCS_TOKS},
+  {_shingle_cte(H.SHINGLE_W)}
+  SELECT doc_id, h FROM sh
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shx a ON a.doc_id = c.doc_a
+  JOIN shx b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       coalesce(i.i, 0) AS inter_n,
+       na.n + nb.n - coalesce(i.i, 0) AS union_n,
+       CAST(CASE WHEN coalesce(i.i, 0) * 100 >=
+                      20 * (na.n + nb.n - coalesce(i.i, 0))
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

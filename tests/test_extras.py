@@ -1175,3 +1175,29 @@ class TestPrivacyAndDrift:
                     labels[i], labels[j], want)
                 k += 1
         assert k == len(got)
+
+
+class TestLshPrecision:
+    def test_verdicts_match_exact_jaccard(self, ray_session):
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.functions.tokenize import tokenize_many
+        from candidategeneration_ray.pipelines.extras import q_lsh_precision
+
+        import pyarrow.parquet as pq
+
+        sf = "/root/testdata/sf0.01"
+        got = q_lsh_precision(sf).to_pandas()
+        assert len(got) > 0
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ids = np.array(t["doc_id"], np.int64)
+        toks = tokenize_many(t["text"].to_pylist())
+        sets = {int(i): set(H.h64_many(H.word_shingles(tk, H.SHINGLE_W))
+                            .tolist())
+                for i, tk in zip(ids, toks)}
+        for _, r in got.iterrows():
+            a, b = sets[r["doc_a"]], sets[r["doc_b"]]
+            assert r["inter_n"] == len(a & b)
+            assert r["union_n"] == len(a | b)
+            assert r["is_dup"] == int(len(a & b) * 100 >= 20 * len(a | b))
+        # the duplicate fixture guarantees true positives exist
+        assert got["is_dup"].sum() > 0
