@@ -3450,3 +3450,54 @@ def q_lsh_precision(sf_dir: str, threshold_pct: int = 20) -> ray.data.Dataset:
                                .astype(np.int64), pa.int64()))
 
     return scored.map_batches(_flag, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ curriculum order
+
+def q_curriculum_order(sf_dir: str, num_blocks: int = 8) -> ray.data.Dataset:
+    """Curriculum ordering for training: a GLOBAL rank over the corpus
+    by (fluency desc, length asc, doc_id) — easy-first scheduling, the
+    ordering knob next to the packing entries (token_offsets /
+    sequence_manifest consume doc order; this entry PRODUCES a
+    quality-aware one). Fluency proxy = stopword density in millionths
+    (integer; the classic cheap signal), over the verified text-stats
+    kernel.
+
+    Shape: streaming stats map -> ONE distributed sort -> the
+    range-blocked prefix-rank pattern (blocked_prefix_apply: the
+    driver holds only per-block row counts). Output (doc_id,
+    fluency_ppm, n_words, curriculum_rank) with rank 1 = first doc to
+    train on."""
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    def _score(batch: pa.Table) -> pa.Table:
+        nw = batch.column("n_words").to_numpy().astype(np.int64)
+        ns = batch.column("n_stop").to_numpy().astype(np.int64)
+        ppm = (ns * 1_000_000) // np.maximum(nw, 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "fluency_ppm": pa.array(ppm, pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+            "neg_fluency": pa.array(-ppm, pa.int64()),
+        })
+
+    ds_sorted = (
+        documents_ds(sf_dir)
+        .map_batches(_textstats, batch_format="pyarrow")
+        .map_batches(_score, batch_format="pyarrow")
+        .sort(["neg_fluency", "n_words", "doc_id"])
+    )
+
+    def _total(t: pa.Table) -> int:
+        return t.num_rows
+
+    def _emit(t: pa.Table, base: int) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "fluency_ppm": t.column("fluency_ppm"),
+            "n_words": t.column("n_words"),
+            "curriculum_rank": pa.array(
+                base + 1 + np.arange(t.num_rows, dtype=np.int64), pa.int64()),
+        })
+
+    return blocked_prefix_apply(ds_sorted, num_blocks, _total, _emit)

@@ -5834,6 +5834,7 @@ ch{i} AS (
     _BM25_SQL = core_oracles()["bm25_topk"]
     _SDM_SQL = sdm_oracles()["sdm_topk"]
     _LSH_SQL = extras_oracles()["minhash_lsh_pairs"]
+    _TS_SQL = extras_oracles()["text_stats"]
     _LMD_SQL = f"""
 WITH {KEPT_CTE},
 {QTOK_CTE},
@@ -6409,6 +6410,20 @@ FROM cand c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes na ON na.doc_id = c.doc_a
 JOIN sizes nb ON nb.doc_id = c.doc_b
+""",
+        # curriculum rank: compose the text-stats oracle, integer
+        # stopword-density key, global row_number
+        "curriculum_order": f"""
+WITH ts AS ({_TS_SQL})
+SELECT doc_id,
+       (n_stop * 1000000) // CASE WHEN n_words > 0 THEN n_words ELSE 1 END
+         AS fluency_ppm,
+       n_words,
+       CAST(row_number() OVER (
+         ORDER BY (n_stop * 1000000)
+                  // CASE WHEN n_words > 0 THEN n_words ELSE 1 END DESC,
+                  n_words ASC, doc_id ASC) AS BIGINT) AS curriculum_rank
+FROM ts
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

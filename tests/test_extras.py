@@ -1201,3 +1201,20 @@ class TestLshPrecision:
             assert r["is_dup"] == int(len(a & b) * 100 >= 20 * len(a | b))
         # the duplicate fixture guarantees true positives exist
         assert got["is_dup"].sum() > 0
+
+
+class TestCurriculumOrder:
+    def test_rank_is_total_and_block_invariant(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import q_curriculum_order
+
+        sf = "/root/testdata/sf0.01"
+        a = (q_curriculum_order(sf, num_blocks=3).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (q_curriculum_order(sf, num_blocks=11).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)                                  # block invariance
+        r = np.sort(a["curriculum_rank"].to_numpy())
+        assert (r == np.arange(1, len(a) + 1)).all()        # total order
+        g = a.sort_values("curriculum_rank")
+        f = g["fluency_ppm"].to_numpy()
+        assert (np.diff(f) <= 0).all()                      # easy-first
