@@ -847,3 +847,31 @@ class TestDbscan:
                   .to_pandas().sort_values("vec_id").reset_index(drop=True))
         assert fast.equals(staged)
         assert fast[fast.cluster >= 0].cluster.nunique() == 2
+
+
+    def test_randomized_geometries_match_bruteforce(self, ray_session,
+                                                    tmp_path):
+        """Five random point clouds x varying (eps, min_pts): engine ==
+        union-find brute force, exercising dense, sparse and
+        duplicate-heavy regimes."""
+        for trial, (n, sigma, min_pts) in enumerate([
+                (30, 0.05, 2), (40, 0.3, 3), (25, 1.0, 4),
+                (36, 0.02, 5), (32, 0.15, 3)]):
+            rng = np.random.default_rng(100 + trial)
+            emb = rng.normal(0, sigma, size=(n, 5))
+            if trial == 3:                     # duplicate-heavy regime
+                emb[::3] = emb[0]
+            ids = np.arange(n, dtype=np.int64)
+            d = str(tmp_path / f"t{trial}")
+            os.makedirs(d, exist_ok=True)
+            _write_emb(d, ids, emb, num_files=2)
+            xq = np.trunc(emb * cl.KMEANS_SCALE).astype(np.int64)
+            d2 = ((xq[:, None, :] - xq[None, :, :]) ** 2).sum(-1)
+            np.fill_diagonal(d2, np.iinfo(np.int64).max)
+            eps2 = int(np.percentile(d2[d2 < d2.max()], 10))
+            want_cl, want_core = TestDbscan._brute(
+                self, ids, emb, eps2, min_pts)
+            got = (cl.q_dbscan_clusters(d, eps2=eps2, min_pts=min_pts)
+                   .to_pandas().sort_values("vec_id").reset_index(drop=True))
+            assert got["cluster"].tolist() == want_cl.tolist(), trial
+            assert got["is_core"].tolist() == want_core.tolist(), trial

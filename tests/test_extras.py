@@ -1218,3 +1218,48 @@ class TestCurriculumOrder:
         g = a.sort_values("curriculum_rank")
         f = g["fluency_ppm"].to_numpy()
         assert (np.diff(f) <= 0).all()                      # easy-first
+
+
+class TestDedupSubstringsProperties:
+    def test_randomized_conservation_and_owner_survival(self, ray_session,
+                                                        tmp_path):
+        """Random corpora with planted repetition: token conservation
+        (n_tokens - n_removed == len(clean tokens)), the globally first
+        occurrence of every duplicated window survives in its owner's
+        clean text, and a corpus with no repeated window is untouched."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.functions.tokenize import tokenize_many
+        from candidategeneration_ray.pipelines.extras import (
+            DEDUP_SUB_W, q_dedup_substrings)
+
+        rng = np.random.default_rng(17)
+        vocab = [f"w{chr(97 + i // 26)}{chr(97 + i % 26)}q" for i in range(80)]
+        texts = []
+        motif = " ".join(vocab[:DEDUP_SUB_W])        # planted repeated span
+        for i in range(12):
+            body = " ".join(rng.choice(vocab, size=25))
+            texts.append(body if i % 3 else motif + " " + body)
+        t = pa.table({"doc_id": pa.array(range(12), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = (q_dedup_substrings(d).to_pandas()
+               .set_index("doc_id").sort_index())
+        toks = tokenize_many(texts)
+        for i in range(12):
+            clean = got.loc[i, "clean_text"].split() \
+                if got.loc[i, "clean_text"] else []
+            assert got.loc[i, "n_tokens"] == len(toks[i])
+            assert got.loc[i, "n_tokens"] - got.loc[i, "n_removed"] \
+                == len(clean)
+            # clean tokens are a subsequence of the original kept stream
+            it = iter(toks[i])
+            assert all(tok in it for tok in clean)
+        # owner (doc 0, first motif holder) keeps the motif verbatim
+        assert got.loc[0, "clean_text"].startswith(motif)
+        # at least one later motif holder lost exactly those positions
+        assert got.loc[3, "n_removed"] >= DEDUP_SUB_W
