@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_bytes": dq.q_postings_bytes,  # on-disk codec accounting
         "postings_bytes_bp": dq.q_postings_bytes_bp,  # binary-packing codec comparison
         "index_report": dq.q_index_report,      # one-row capacity report
+        "index_integrity": dq.q_index_integrity,  # on-disk format audit
         "pruned_list_lengths": dq.q_pruned_list_lengths,    # O3 build-time pruning
         "delta_update_lists": dq.q_delta_update_lists,      # incremental (LSM) update
         "delta_hit_top5": dq.q_delta_hit_top5,              # HIT family rebuilt after a delta

@@ -2698,3 +2698,71 @@ def q_judgment_pool(sf_dir: str, depth: int = 10) -> pa.Table:
         "doc_id": pa.array([d for _, d in keys], pa.int64()),
         "n_systems": pa.array([pool[k] for k in keys], pa.int64()),
     })
+
+
+def q_index_integrity(sf_dir: str) -> pa.Table:
+    """Distributed index-integrity audit — the reference's sortedness
+    scans (ExternalSort.testMassiveBinaryMerge :294-339, WWWMain.finda
+    :277-305) promoted to a first-class operator: every persisted list
+    row is decoded and checked (docs strictly ascending, decoded count
+    == n, score bytes aligned, block_max exactly the max score of its
+    block, block_last the block's final doc, block count == ceil(n /
+    block_size)). Returns ONE row (n_keys, n_postings, n_violations);
+    the oracle re-derives the first two from the kept CTE and expects
+    ZERO violations — so the structural invariants of the on-disk
+    format are value-checked by the driver every round.
+
+    Shape: a pure map over segment rows emitting one partial per
+    batch, one tiny aggregate. Audit cost = one decode pass over index
+    bytes, embarrassingly parallel."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.functions.codecs import decode_docs
+
+    cfg = EngineConfig(emit_pairs=False)
+    built = build_documents_index(sf_dir, cfg)
+    bs = cfg.block_size
+
+    def _audit(batch: pa.Table) -> pa.Table:
+        keys = batch.num_rows
+        postings = 0
+        bad = 0
+        for r in range(batch.num_rows):
+            n = int(batch.column("n")[r].as_py())
+            postings += n
+            docs = decode_docs(batch.column("docs")[r].as_py(), n, cfg.codec)
+            scores = np.frombuffer(batch.column("scores")[r].as_py(),
+                                   dtype="<i4")
+            bm = np.asarray(batch.column("block_max")[r].as_py(), np.int64)
+            bl = np.asarray(batch.column("block_last")[r].as_py(), np.int64)
+            nb = -(-n // bs)
+            ok = (
+                docs.size == n
+                and scores.size == n
+                and (np.diff(docs) > 0).all()
+                and bm.size == nb and bl.size == nb
+                and all(int(bm[i]) == int(scores[i * bs:(i + 1) * bs].max())
+                        for i in range(nb))
+                and all(int(bl[i]) == int(docs[min((i + 1) * bs, n) - 1])
+                        for i in range(nb))
+            )
+            bad += 0 if ok else 1
+        return pa.table({
+            "n_keys": pa.array([keys], pa.int64()),
+            "n_postings": pa.array([postings], pa.int64()),
+            "n_violations": pa.array([bad], pa.int64()),
+        })
+
+    agg = (
+        ray.data.read_parquet(built["final_dir"],
+                              file_extensions=["parquet"])
+        .map_batches(_audit, batch_format="pyarrow")
+        .aggregate(Sum("n_keys", alias_name="k"),
+                   Sum("n_postings", alias_name="p"),
+                   Sum("n_violations", alias_name="v"))
+    )
+    return pa.table({
+        "n_keys": pa.array([int(agg["k"])], pa.int64()),
+        "n_postings": pa.array([int(agg["p"])], pa.int64()),
+        "n_violations": pa.array([int(agg["v"])], pa.int64()),
+    })

