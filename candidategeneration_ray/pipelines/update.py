@@ -786,6 +786,14 @@ def reshard_index(final_dir: str, new_num_buckets: int,
     done = os.path.join(out, "DONE")
     if os.path.exists(done):
         return out
+    # a reshard covers ONLY the segments it rewrites: pending LSM
+    # generations (bucketed with the old count) would silently miss
+    # keys under bucket-filtered reads at the new count — compact first
+    parent = os.path.dirname(final_dir.rstrip(os.sep))
+    if generation_dirs(parent):
+        raise ValueError(
+            "index has uncompacted delta generations; run compact_index "
+            "before resharding (mixed bucket counts break pruned reads)")
     os.makedirs(out, exist_ok=True)
 
     def _rebucket(batch: pa.Table) -> pa.Table:

@@ -854,3 +854,17 @@ class TestReshard:
         assert reshard_index(built["final_dir"], new_nb) == new_dir
         assert mtimes == {f: os.path.getmtime(os.path.join(new_dir, f))
                           for f in files}
+
+    def test_reshard_refuses_uncompacted_generations(
+            self, ray_session, split_corpus, tmp_path_factory):
+        from candidategeneration_ray.pipelines.build import build_index
+        from candidategeneration_ray.pipelines.update import (
+            compact_index, reshard_index, update_index)
+
+        out = str(tmp_path_factory.mktemp("idx_rs_guard"))
+        built = build_index(split_corpus["base"], out)
+        update_index(out, split_corpus["delta"])
+        with pytest.raises(ValueError, match="uncompacted"):
+            reshard_index(built["final_dir"], 5)
+        compact_index(out)
+        assert reshard_index(built["final_dir"], 5)   # compacted -> allowed
