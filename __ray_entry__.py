@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": rl.q_important_parts,    # Q11 fraction-of-total
         "part_supplier_counts": rl.q_part_supplier_counts,  # Q16 distinct-count join
         "dominant_suppliers": rl.q_dominant_suppliers,  # Q20 share rule
+        "benford_digits": rl.q_benford_digits,      # first-digit fraud audit
         "ranking_agreement": dq.q_ranking_agreement,  # doc vs MaxP prefix overlap
         "query_difficulty": dq.q_query_difficulty,  # QPP feature table
         "judgment_pool": dq.q_judgment_pool,        # TREC pooling of 4 systems

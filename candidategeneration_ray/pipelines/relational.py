@@ -3939,3 +3939,57 @@ def q_dominant_suppliers(sf_dir: str,
         "s_name": pa.array(names[idx].tolist(), pa.string()),
         "n_parts": pa.array(counts["n_parts"].to_numpy(np.int64), pa.int64()),
     })
+
+
+def q_benford_digits(sf_dir: str) -> ray.data.Dataset:
+    """Benford first-digit audit over order totals — the classic
+    fraud/data-generation screen (natural multi-scale amounts follow
+    log10(1+1/d); fabricated ones usually don't). Emits observed
+    counts per leading digit plus the Benford expectation in parts per
+    million (integer LUT, so the comparison row is hash-verifiable);
+    the chi-square decision is the analyst's finalizer.
+
+    Shape: per-batch digit histogram partials (9 rows) -> one tiny
+    groupby. The leading digit comes from integer CENTS (DuckDB round
+    semantics), so both sides derive it from identical integers."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.functions.money import round_scaled
+
+    # round(log10(1 + 1/d) * 1e6) for d = 1..9
+    BENFORD_PPM = [301030, 176091, 124939, 96910, 79181,
+                   66947, 57992, 51153, 45757]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = round_scaled(batch.column("o_totalprice").to_numpy())
+        cents = cents[cents > 0]
+        if cents.size == 0:
+            return pa.table({"digit": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        digit = cents.copy()
+        while True:                       # exact: <=19 halving rounds
+            big = digit >= 10
+            if not big.any():
+                break
+            digit[big] //= 10
+        d, n = np.unique(digit, return_counts=True)
+        return pa.table({"digit": pa.array(d, pa.int64()),
+                         "n_orders": pa.array(n.astype(np.int64), pa.int64())})
+
+    agg = (
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    lut = {d + 1: p for d, p in enumerate(BENFORD_PPM)}
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        d = batch.column("digit").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "benford_ppm",
+            pa.array([lut[int(x)] for x in d], pa.int64()))
+
+    return agg.map_batches(_attach, batch_format="pyarrow")

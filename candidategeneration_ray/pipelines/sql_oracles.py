@@ -6434,6 +6434,24 @@ SELECT CAST((SELECT count(DISTINCT tok) FROM tf) AS BIGINT) AS n_keys,
        CAST((SELECT count(*) FROM tf) AS BIGINT) AS n_postings,
        CAST(0 AS BIGINT) AS n_violations
 """,
+        # Benford audit: leading digit of integer cents (string head),
+        # expectation as an integer ppm LUT
+        "benford_digits": f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE round(o_totalprice * 100) > 0
+),
+obs AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM cents GROUP BY digit
+),
+lut(digit, benford_ppm) AS (VALUES
+  (1, CAST(301030 AS BIGINT)), (2, 176091), (3, 124939), (4, 96910),
+  (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+SELECT o.digit, o.n_orders, CAST(l.benford_ppm AS BIGINT) AS benford_ppm
+FROM obs o JOIN lut l USING (digit)
+""",
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},
 pairs AS MATERIALIZED (

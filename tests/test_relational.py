@@ -1005,3 +1005,24 @@ class TestPartSupplierShapes:
         g = got.sort_values("s_suppkey").reset_index(drop=True)
         assert g["s_suppkey"].tolist() == want["l_suppkey"].tolist()
         assert g["n_parts"].tolist() == want["n"].tolist()
+
+
+class TestBenford:
+    def test_digits_complete_and_exact(self, ray_session):
+        import duckdb
+
+        from candidategeneration_ray.pipelines.relational import (
+            q_benford_digits)
+
+        sf = "/root/testdata/sf0.01"
+        got = (q_benford_digits(sf).to_pandas()
+               .sort_values("digit").reset_index(drop=True))
+        assert got["digit"].tolist() == list(range(1, 10))
+        want = duckdb.sql(f"""
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS BIGINT) d,
+                   count(*) n
+            FROM '{sf}/orders.parquet'
+            WHERE round(o_totalprice*100) > 0 GROUP BY 1 ORDER BY 1""").df()
+        assert got["n_orders"].tolist() == want["n"].tolist()
+        assert got["n_orders"].sum() == 15000
