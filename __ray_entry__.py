@@ -325,7 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": ev.q_user_event_paths,      # ordered string_agg journeys
         "anomalous_days": ev.q_anomalous_days,
         "mad_outlier_days": ev.q_mad_outlier_days,  # median/MAD robust twin
-        "daily_autocorr": ev.q_daily_autocorr,  # exact ACF sufficient stats          # integer-exact z-score outliers
+        "daily_autocorr": ev.q_daily_autocorr,  # exact ACF sufficient stats
+        "seasonal_forecast_eval": ev.q_seasonal_forecast_eval,  # MASE baseline          # integer-exact z-score outliers
         "ab_test_flags": ev.q_ab_test_flags,            # integer two-sample test
         "range_join_counts": ev.q_range_join_counts,
         "multimodal_meta": ex.q_multimodal_meta,        # decode stub

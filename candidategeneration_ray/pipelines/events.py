@@ -2764,3 +2764,78 @@ def q_daily_autocorr(sf_dir: str, max_lag: int = ACF_MAX_LAG) -> ray.data.Datase
         .groupby("event_type")
         .map_groups(_acf, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------- forecast baseline eval
+
+FORECAST_LAG = 7
+
+
+def q_seasonal_forecast_eval(sf_dir: str,
+                             lag: int = FORECAST_LAG) -> ray.data.Dataset:
+    """Forecast-baseline evaluation: score the SEASONAL-NAIVE
+    predictor (forecast for day d = observed count at day d-lag) over
+    the zero-filled daily series — the baseline every real forecaster
+    must beat, and the M-competition convention for reporting. Exact
+    integer error sufficient statistics per event type:
+
+        n_days, mae_num = Σ|x_d − x_{d−lag}|, sse = Σ(x_d − x_{d−lag})²,
+        naive_num = Σ|x_d − x_{d−1}|   (the MASE scaling denominator)
+
+    MAE / RMSE / MASE are the analyst's float finalizers; keeping
+    integer numerators keeps the oracle hash-exact. Shape: the
+    (type, day, count) compression -> tiny groupby -> one co-located
+    pass per type (dense day vector, days-sized)."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        day = ts // day_us
+        ut, ti = np.unique(et, return_inverse=True)
+        d0 = np.int64(day.min()) if day.size else np.int64(0)
+        span = np.int64(day.max()) - d0 + 1 if day.size else np.int64(1)
+        code = ti.astype(np.int64) * span + (day - d0)
+        u, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(ut[u // span].tolist(), pa.string()),
+            "day": pa.array(u % span + d0, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+        })
+
+    def _eval(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = group.column("day").to_numpy().astype(np.int64)
+        c = group.column("n_events").to_numpy().astype(np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        dense = np.zeros(hi - lo + 1, np.int64)
+        dense[day - lo] = c
+        if dense.size <= lag:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_days": pa.array([], pa.int64()),
+                "mae_num": pa.array([], pa.int64()),
+                "sse": pa.array([], pa.int64()),
+                "naive_num": pa.array([], pa.int64()),
+            })
+        err = dense[lag:] - dense[:-lag]
+        step = np.abs(np.diff(dense))
+        return pa.table({
+            "event_type": pa.array([et], pa.string()),
+            "n_days": pa.array([int(err.size)], pa.int64()),
+            "mae_num": pa.array([int(np.abs(err).sum())], pa.int64()),
+            "sse": pa.array([int((err * err).sum())], pa.int64()),
+            "naive_num": pa.array([int(step.sum())], pa.int64()),
+        })
+
+    return (
+        events_ds(sf_dir, ["ts", "event_type"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .groupby("event_type")
+        .map_groups(_eval, batch_format="pyarrow")
+    )

@@ -5826,6 +5826,7 @@ ch{i} AS (
     from candidategeneration_ray.pipelines.events import MAD_K as _MAD_K
     from candidategeneration_ray.pipelines.positional import LMD_MU as _LMD_MU
     from candidategeneration_ray.pipelines.events import ACF_MAX_LAG as _ACF_LAG
+    from candidategeneration_ray.pipelines.events import FORECAST_LAG as _FC_LAG
     from candidategeneration_ray.pipelines.docquery import LTR_WEIGHTS
 
     _LTR_SQL = ltr_oracles()["ltr_features"]
@@ -6451,6 +6452,40 @@ lut(digit, benford_ppm) AS (VALUES
   (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
 SELECT o.digit, o.n_orders, CAST(l.benford_ppm AS BIGINT) AS benford_ppm
 FROM obs o JOIN lut l USING (digit)
+""",
+        # seasonal-naive forecast baseline: gap-filled series, lag-7
+        # absolute/squared error sums + lag-1 MASE denominator
+        "seasonal_forecast_eval": f"""
+WITH ec AS MATERIALIZED (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+bounds AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+           FROM ec GROUP BY event_type),
+dense AS MATERIALIZED (
+  SELECT b.event_type, d.day, coalesce(e.c, 0) AS c
+  FROM bounds b
+  CROSS JOIN LATERAL (SELECT unnest(range(b.lo, b.hi + 1)) AS day) d
+  LEFT JOIN ec e ON e.event_type = b.event_type AND e.day = d.day
+),
+season AS (
+  SELECT x.event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(abs(y.c - x.c)) AS BIGINT) AS mae_num,
+         CAST(sum((y.c - x.c) * (y.c - x.c)) AS BIGINT) AS sse
+  FROM dense x
+  JOIN dense y ON y.event_type = x.event_type AND y.day = x.day + {_FC_LAG}
+  GROUP BY x.event_type
+),
+naive AS (
+  SELECT x.event_type, CAST(sum(abs(y.c - x.c)) AS BIGINT) AS naive_num
+  FROM dense x
+  JOIN dense y ON y.event_type = x.event_type AND y.day = x.day + 1
+  GROUP BY x.event_type
+)
+SELECT s.event_type, s.n_days, s.mae_num, s.sse, n.naive_num
+FROM season s JOIN naive n USING (event_type)
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

@@ -1336,3 +1336,40 @@ class TestDailyAutocorr:
                     row["syy"], row["sxy"]) == (
                 x.size, x.sum(), y.sum(), (x * x).sum(), (y * y).sum(),
                 (x * y).sum())
+
+
+class TestSeasonalForecastEval:
+    def test_perfect_weekly_pattern_scores_zero(self, ray_session, tmp_path):
+        """A strict weekly series has ZERO seasonal-naive error while
+        the lag-1 naive denominator stays positive (MASE -> 0)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.events import (
+            q_seasonal_forecast_eval)
+
+        day_us = 86_400_000_000
+        rows = []
+        eid = 0
+        week = [2, 5, 9, 3, 7, 1, 4]
+        for d in range(28):
+            for _ in range(week[d % 7]):
+                rows.append((eid, d * day_us + eid % 500, 3, "weekly"))
+                eid += 1
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = q_seasonal_forecast_eval(d).to_pandas()
+        r = got.iloc[0]
+        assert (r["mae_num"], r["sse"]) == (0, 0)
+        assert r["naive_num"] > 0
+        assert r["n_days"] == 21
