@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_docs": lx.q_substring_docs,          # trigram-filtered grep
         "bitmap_index": lx.q_bitmap_index,              # per-value bitset words
         "bitmap_query_counts": lx.q_bitmap_query_counts,  # AND/OR/ANDNOT serving
+        "dictionary_bytes": lx.q_dictionary_bytes,  # front-coding accounting
         "topk_candidates": dq.q_topk_candidates,
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection

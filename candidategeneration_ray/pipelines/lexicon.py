@@ -863,3 +863,51 @@ def q_synonym_bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
         "doc_id": pa.array(docs_out, pa.int64()),
         "score": pa.array(scores_out, pa.int64()),
     })
+
+
+# --------------------------------------------- dictionary front coding
+
+FRONT_BLOCK = 16
+
+
+def q_dictionary_bytes(sf_dir: str,
+                       block: int = FRONT_BLOCK) -> pa.Table:
+    """Term-dictionary compression accounting — front coding (the
+    classic sorted-dictionary layout: every BLOCKth term stored whole,
+    the rest as (lcp, suffix) against their predecessor). One row of
+    exact byte totals:
+
+        n_terms, raw_bytes (2-byte length + chars each),
+        front_bytes (block heads whole; others 2 control bytes +
+        the non-shared suffix), saved_ppm
+
+    The analog of postings_bytes for the DICTIONARY side of the index;
+    the oracle re-derives the same totals with a lag-window LCP in
+    SQL, so the layout arithmetic is value-verified before anyone
+    writes the format. Vocabulary-scale work: one pass over sorted
+    terms per dictionary block (the blocked dictionary at 100 TB
+    feeds the same kernel per range block; per-block front coding is
+    exactly why the whole dictionary never needs one task)."""
+    stats = corpus_stats(sf_dir)
+    terms = sorted(stats["terms"])
+    n = len(terms)
+    raw = sum(2 + len(t) for t in terms)
+    front = 0
+    prev = ""
+    for i, t in enumerate(terms):
+        if i % block == 0:
+            front += 2 + len(t)
+        else:
+            lcp = 0
+            m = min(len(prev), len(t), 255)
+            while lcp < m and prev[lcp] == t[lcp]:
+                lcp += 1
+            front += 2 + (len(t) - lcp)
+        prev = t
+    saved_ppm = ((raw - front) * 1_000_000) // max(raw, 1)
+    return pa.table({
+        "n_terms": pa.array([n], pa.int64()),
+        "raw_bytes": pa.array([raw], pa.int64()),
+        "front_bytes": pa.array([front], pa.int64()),
+        "saved_ppm": pa.array([saved_ppm], pa.int64()),
+    })

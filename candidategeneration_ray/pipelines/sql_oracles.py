@@ -6487,6 +6487,33 @@ naive AS (
 SELECT s.event_type, s.n_days, s.mae_num, s.sse, n.naive_num
 FROM season s JOIN naive n USING (event_type)
 """,
+        # dictionary front-coding accounting: lag-window LCP, exact
+        # byte totals for the block-head layout
+        "dictionary_bytes": f"""
+WITH {KEPT_CTE},
+terms AS (
+  SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS rn,
+         lag(tok) OVER (ORDER BY tok) AS prev
+  FROM (SELECT DISTINCT tok FROM kept)
+),
+pos AS (SELECT CAST(unnest(range(1, 256)) AS INT) AS i),
+coded AS (
+  SELECT tok, rn, prev,
+         CASE WHEN rn % 16 = 0 OR prev IS NULL THEN 2 + length(tok)
+              ELSE 2 + length(tok) - (
+                SELECT count(*) FROM pos p
+                WHERE p.i <= least(length(tok), length(prev), 255)
+                  AND substr(tok, 1, p.i) = substr(prev, 1, p.i))
+         END AS fb
+  FROM terms
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(2 + length(tok)) AS BIGINT) AS raw_bytes,
+       CAST(sum(fb) AS BIGINT) AS front_bytes,
+       CAST(((sum(2 + length(tok)) - sum(fb)) * 1000000)
+            // greatest(sum(2 + length(tok)), 1) AS BIGINT) AS saved_ppm
+FROM coded
+""",
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},
 pairs AS MATERIALIZED (

@@ -242,3 +242,29 @@ class TestBooleanCompiler:
                 for d, s in tsets.items() if ev(parse_bool_query(text), s)}
         have = {(int(r.query_id), int(r.doc_id)) for r in got.itertuples()}
         assert have == want
+
+
+class TestDictionaryBytes:
+    def test_known_vocabulary_arithmetic(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.lexicon import (
+            q_dictionary_bytes)
+
+        # vocabulary: aaaa aaab aaac ... shares 3-char prefixes
+        toks = [f"aaa{chr(97 + i)}" for i in range(10)]
+        t = pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array([" ".join(toks)], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = q_dictionary_bytes(d).to_pandas().iloc[0]
+        assert got["n_terms"] == 10
+        assert got["raw_bytes"] == 10 * (2 + 4)
+        # head stored whole (6), 9 others at 2 + 1 suffix byte
+        assert got["front_bytes"] == 6 + 9 * 3
+        assert got["saved_ppm"] == ((60 - 33) * 1_000_000) // 60
