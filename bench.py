@@ -292,6 +292,9 @@ def run_bench() -> dict:
         ("passage_bm25_topk", dq.q_passage_bm25_topk),  # MaxP passage family
         ("set_cover_select", _tl().q_set_cover_select),  # greedy coverage
         ("ann_sq8_top10", ex.q_ann_sq8_top10),          # SQ8 code-space L2
+        ("lmdirichlet_topk", ps.q_lmdirichlet_topk),    # 2nd ranking model
+        ("index_integrity", dq.q_index_integrity),     # format audit pass
+        ("curriculum_order", ex.q_curriculum_order),    # global quality rank
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)
