@@ -1098,6 +1098,8 @@ def q_set_cover_select(sf_dir: str, k: int = SETCOVER_K, w: int = DECON_W,
     covered = np.zeros(bench.size, dtype=bool)
     sel_rounds: list[tuple[int, int, int]] = []
     sel_ids: set[int] = set()
+    bench_ref = ray.put(bench)          # broadcast ONCE; rounds ship only
+                                        # the coverage mask + selected ids
 
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "gain": pa.array([], pa.int64()),
@@ -1105,11 +1107,12 @@ def q_set_cover_select(sf_dir: str, k: int = SETCOVER_K, w: int = DECON_W,
 
     for r in range(1, k + 1):
         state_ref = ray.put(
-            (bench, covered.copy(),
+            (covered.copy(),
              np.asarray(sorted(sel_ids), dtype=np.int64)))
 
         def _best_partial(batch: pa.Table) -> pa.Table:
-            bset, cov, sel = ray.get(state_ref)
+            bset = ray.get(bench_ref)
+            cov, sel = ray.get(state_ref)
             if bset.size == 0:
                 return empty
             doc_ids, per_doc = _doc_shingle_hashes(batch, w)
