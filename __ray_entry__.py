@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": ex.q_minhash_lsh_pairs,
         "lsh_precision": ex.q_lsh_precision,    # exact-Jaccard audit of LSH pairs
         "curriculum_order": ex.q_curriculum_order,  # easy-first global training order
+        "mixed_lang_docs": ex.q_mixed_lang_docs,    # per-chunk language routing audit
         "dup_clusters": ex.q_dup_clusters,
         "cluster_representatives": ex.q_cluster_representatives,  # keep-best dedup
         "duplicate_spans": ex.q_duplicate_spans,

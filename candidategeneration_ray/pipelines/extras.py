@@ -3501,3 +3501,72 @@ def q_curriculum_order(sf_dir: str, num_blocks: int = 8) -> ray.data.Dataset:
         })
 
     return blocked_prefix_apply(ds_sorted, num_blocks, _total, _emit)
+
+
+# ------------------------------------------------ mixed-language audit
+
+MIXED_CHUNK_WORDS = 32
+
+
+def q_mixed_lang_docs(sf_dir: str,
+                      chunk: int = MIXED_CHUNK_WORDS) -> ray.data.Dataset:
+    """Language-consistency audit: the doc-level language-ID heuristic
+    applied PER 32-WORD CHUNK — a doc whose chunks disagree (some
+    English-dense, some not) is code-switched or concatenated content
+    that a doc-level classifier mislabels wholesale; the standard
+    pre-training fix is per-chunk routing, and this entry finds the
+    docs that need it. Output per doc with >= 1 alphabetic word:
+    (doc_id, n_chunks, en_chunks, is_mixed).
+
+    Shape: one vectorized batch pass (Arrow regex word split, ordinal
+    arithmetic, two packed bincounts) — no shuffle; docs are row-local
+    like every text audit."""
+    import pyarrow.compute as pc
+
+    from candidategeneration_ray.functions.stopwords import STOPWORDS
+
+    stop_arr = pa.array(sorted(STOPWORDS), pa.string())
+
+    def _audit(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        n = len(text)
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        words = pc.split_pattern_regex(
+            pc.replace_substring_regex(text, "[^A-Za-z]+", " "), r"\s+")
+        flat = words.values
+        lens_all = np.diff(words.offsets.to_numpy().astype(np.int64))
+        didx = np.repeat(np.arange(n), lens_all)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        stop = pc.is_in(pc.utf8_lower(flat), value_set=stop_arr) \
+            .to_numpy(zero_copy_only=False) & nonempty
+        d = didx[nonempty]
+        s = stop[nonempty]
+        if d.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chunks": pa.array([], pa.int64()),
+                             "en_chunks": pa.array([], pa.int64()),
+                             "is_mixed": pa.array([], pa.int64())})
+        counts = np.bincount(d, minlength=n).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        ordinal = np.arange(d.size, dtype=np.int64) - starts[d]
+        ck = ordinal // chunk
+        code = d * (int(ck.max()) + 1) + ck
+        u, inv = np.unique(code, return_inverse=True)
+        nw = np.bincount(inv).astype(np.int64)
+        ns = np.zeros(u.size, np.int64)
+        np.add.at(ns, inv, s.astype(np.int64))
+        en = 5 * ns >= nw
+        udoc = u // (int(ck.max()) + 1)
+        docs, dinv = np.unique(udoc, return_inverse=True)
+        n_chunks = np.bincount(dinv).astype(np.int64)
+        en_chunks = np.zeros(docs.size, np.int64)
+        np.add.at(en_chunks, dinv, en.astype(np.int64))
+        mixed = (en_chunks > 0) & (en_chunks < n_chunks)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[docs], pa.int64()),
+            "n_chunks": pa.array(n_chunks, pa.int64()),
+            "en_chunks": pa.array(en_chunks, pa.int64()),
+            "is_mixed": pa.array(mixed.astype(np.int64), pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_audit, batch_format="pyarrow")

@@ -5823,6 +5823,8 @@ ch{i} AS (
         DOMINANT_SUPP_MULT as _DOM_MULT, IMPORTANT_PART_PPM as _IMP_PPM)
     from candidategeneration_ray.pipelines.extras import (
         K_ANON as _KA_K, K_ANON_CHAR_BUCKET as _KA_BUCKET)
+    from candidategeneration_ray.pipelines.extras import (
+        MIXED_CHUNK_WORDS as _MIX_CHUNK)
     from candidategeneration_ray.pipelines.events import MAD_K as _MAD_K
     from candidategeneration_ray.pipelines.positional import LMD_MU as _LMD_MU
     from candidategeneration_ray.pipelines.events import ACF_MAX_LAG as _ACF_LAG
@@ -6513,6 +6515,29 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
        CAST(((sum(2 + length(tok)) - sum(fb)) * 1000000)
             // greatest(sum(2 + length(tok)), 1) AS BIGINT) AS saved_ppm
 FROM coded
+""",
+        # per-chunk language consistency: ordered word positions,
+        # 32-word chunks, the same 20%-stopword rule per chunk
+        "mixed_lang_docs": f"""
+WITH wordsp AS (
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z]+'), 1) AS p
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST((p - 1) // {_MIX_CHUNK} AS BIGINT) AS ck,
+         CAST(count(*) AS BIGINT) AS nw,
+         CAST(count(*) FILTER (w IN ({_STOP_SQL})) AS BIGINT) AS ns
+  FROM wordsp GROUP BY doc_id, ck
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (5 * ns >= nw) AS BIGINT) AS en_chunks,
+       CAST(CASE WHEN count(*) FILTER (5 * ns >= nw) > 0
+                  AND count(*) FILTER (5 * ns >= nw) < count(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+FROM ch GROUP BY doc_id
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {qv},

@@ -1263,3 +1263,32 @@ class TestDedupSubstringsProperties:
         assert got.loc[0, "clean_text"].startswith(motif)
         # at least one later motif holder lost exactly those positions
         assert got.loc[3, "n_removed"] >= DEDUP_SUB_W
+
+
+class TestMixedLangDocs:
+    def test_code_switched_doc_flagged(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from candidategeneration_ray.pipelines.extras import q_mixed_lang_docs
+
+        en = "the quick brown fox and the lazy dog were on the hill " * 4
+        xx = "zorblat qixmur flendor gazpin wroddle klumft yerbosh " * 6
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                en + xx,            # code-switched -> mixed
+                en + en,            # uniformly english
+                xx + xx,            # uniformly non-english
+            ], pa.string()),
+        })
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = (q_mixed_lang_docs(d).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert got.loc[0, "is_mixed"] == 1
+        assert got.loc[1, "is_mixed"] == 0
+        assert got.loc[1, "en_chunks"] == got.loc[1, "n_chunks"]
+        assert got.loc[2, "is_mixed"] == 0
+        assert got.loc[2, "en_chunks"] == 0
