@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": cl.q_triangle_counts,        # graph-motif wedge-check
         "common_neighbors": cl.q_common_neighbors,      # link prediction (wedge anti)
         "neighborhood_jaccard": cl.q_neighborhood_jaccard,  # exact-ratio link score
+        "adamic_adar": cl.q_adamic_adar,            # 1/ln(deg) weighted link score
         "kcore_nodes": cl.q_kcore_nodes,                # k-core peeling fixed point
         "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
         "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         wildcard_oracles,
         session11_oracles,
         session12_oracles,
+        session13_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -453,7 +455,7 @@ def oracle_sql() -> dict[str, str]:
             **lsh_plane_oracles(),
             **regression_oracles(), **gram_oracles(), **jl_oracles(),
             **token_offset_oracles(), **session11_oracles(),
-            **session12_oracles()}
+            **session12_oracles(), **session13_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -1975,6 +1975,30 @@ def q_common_neighbors(sf_dir: str, k_out: int = CN_TOPK) -> pa.Table:
     })
 
 
+def _edge_degree_ref(edges: "ray.data.Dataset"):
+    """Broadcast (sorted node ids, degrees) of an undirected edge set —
+    the node-count-sized lookup the weighted link scores share. Built
+    by a distributed degree groupby; only the merged O(nodes) summary
+    touches the driver."""
+    from ray.data.aggregate import Sum
+
+    def _deg_rows(batch: pa.Table) -> pa.Table:
+        node = np.concatenate((
+            batch.column("u").to_numpy().astype(np.int64),
+            batch.column("v").to_numpy().astype(np.int64)))
+        uk, cnt = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(uk, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    deg_df = (edges.map_batches(_deg_rows, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+              ).to_pandas()  # node-count-sized
+    dn = deg_df["node"].to_numpy(np.int64)
+    dd = deg_df["deg"].to_numpy(np.int64)
+    o = np.argsort(dn)
+    return ray.put((dn[o], dd[o]))
+
+
 JACCARD_LINK_NUM = 1
 JACCARD_LINK_DEN = 4
 
@@ -1993,25 +2017,8 @@ def q_neighborhood_jaccard(sf_dir: str) -> pa.Table:
     Shape: the shared wedge plan (pair-hash buckets, bucket-complete
     counts, anti test against edges) plus ONE broadcast degree array
     (node-count-sized, built from a distributed degree groupby)."""
-    from ray.data.aggregate import Sum
-
     edges = _knn_undirected_edges(sf_dir)
-
-    def _deg_rows(batch: pa.Table) -> pa.Table:
-        node = np.concatenate((
-            batch.column("u").to_numpy().astype(np.int64),
-            batch.column("v").to_numpy().astype(np.int64)))
-        uk, cnt = np.unique(node, return_counts=True)
-        return pa.table({"node": pa.array(uk, pa.int64()),
-                         "deg": pa.array(cnt.astype(np.int64), pa.int64())})
-
-    deg_df = (edges.map_batches(_deg_rows, batch_format="pyarrow")
-              .groupby("node").aggregate(Sum("deg", alias_name="deg"))
-              ).to_pandas()  # node-count-sized
-    dn = deg_df["node"].to_numpy(np.int64)
-    dd = deg_df["deg"].to_numpy(np.int64)
-    o = np.argsort(dn)
-    deg_ref = ray.put((dn[o], dd[o]))
+    deg_ref = _edge_degree_ref(edges)
     num = np.int64(JACCARD_LINK_NUM)
     den = np.int64(JACCARD_LINK_DEN)
 
@@ -2630,3 +2637,96 @@ def q_dbscan_clusters(sf_dir: str, eps2: int = DBSCAN_EPS2,
         .aggregate(Max("cluster", alias_name="cluster"),
                    Max("is_core", alias_name="is_core"))
     )
+
+
+# ----------------------------------------------- Adamic-Adar link score
+
+AA_LN_PPB_SCALE = 10 ** 9     # ln values held as parts-per-billion ints
+AA_WEIGHT_NUM = 10 ** 15      # w(d) = AA_WEIGHT_NUM // ln_ppb(d)
+AA_DEG_CAP = 1024             # LUT domain cap: ln is nearly flat past
+                              # this, so hub apexes clamp (documented)
+AA_TOPK = 20
+
+
+def aa_weight_lut() -> list[int]:
+    """Adamic-Adar apex weights 1/ln(d) as FIXED integers for
+    d = 2..AA_DEG_CAP: w(d) = 10^15 // round(ln(d)*10^9). Shared
+    verbatim by the engine (numpy array) and the SQL oracle (inlined
+    VALUES), so the weighted sum is deterministic integer arithmetic
+    end to end — the same bounded-domain scaled-ln trick as
+    sketches.hll_ln_lut()."""
+    d = np.arange(2, AA_DEG_CAP + 1, dtype=np.float64)
+    ln_ppb = np.round(np.log(d) * AA_LN_PPB_SCALE).astype(np.int64)
+    return [AA_WEIGHT_NUM // int(x) for x in ln_ppb]
+
+
+def q_adamic_adar(sf_dir: str, k_out: int = AA_TOPK) -> pa.Table:
+    """Link prediction by the Adamic-Adar score (Adamic & Adar 2003;
+    Liben-Nowell & Kleinberg CIKM'03): the top NON-adjacent pairs of
+    the undirected kNN graph ranked by Σ_z 1/ln(deg(z)) over their
+    common neighbors z — rare shared neighbors count for more than
+    hub ones, the refinement plain common-neighbor counting lacks.
+
+    Exactness: apex weights come from the fixed integer LUT
+    aa_weight_lut() (deg clamped at AA_DEG_CAP), so scores are int64
+    sums both sides compute identically — the entry hash-verifies.
+
+    Shape: the shared wedge plan (q_common_neighbors) — adjacency
+    buckets emit wedges with their apex attached, pair-hash buckets
+    co-locate every copy of a pair — plus ONE broadcast degree array
+    (_edge_degree_ref); per-bucket the apex degrees become LUT weights
+    summed per pair with an int64 sorted reduceat (no float
+    accumulation). O(Σ deg²) wedge rows, degree-bounded; the global
+    answer is a dataset-side sort/limit over distinct candidate
+    pairs."""
+    edges = _knn_undirected_edges(sf_dir)
+    deg_ref = _edge_degree_ref(edges)
+    lut = np.zeros(AA_DEG_CAP + 1, dtype=np.int64)
+    lut[2:] = np.asarray(aa_weight_lut(), dtype=np.int64)
+
+    def _aa_pairs(group: pa.Table) -> pa.Table:
+        pkey = group.column("pkey").to_numpy().astype(np.int64)
+        apex = group.column("apex").to_numpy().astype(np.int64)
+        is_edge = apex < 0
+        ek = np.unique(pkey[is_edge])
+        wk = pkey[~is_edge]
+        wapex = apex[~is_edge]
+        if wk.size and ek.size:
+            idx = np.minimum(np.searchsorted(ek, wk), ek.size - 1)
+            keep = ek[idx] != wk
+            wk, wapex = wk[keep], wapex[keep]
+        if wk.size == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64()),
+                             "aa_score": pa.array([], pa.int64())})
+        gn, gd = ray.get(deg_ref)
+        dz = gd[np.searchsorted(gn, wapex)]
+        w = lut[np.minimum(dz, np.int64(AA_DEG_CAP))]
+        order = np.argsort(wk, kind="stable")
+        wk, w = wk[order], w[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], wk[1:] != wk[:-1])))
+        score = np.add.reduceat(w, starts)          # int64-exact
+        cnt = np.diff(np.concatenate((starts, [wk.size])))
+        uk = wk[starts]
+        return pa.table({
+            "u": pa.array(uk >> np.int64(32), pa.int64()),
+            "v": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+            "n_common": pa.array(cnt.astype(np.int64), pa.int64()),
+            "aa_score": pa.array(score, pa.int64()),
+        })
+
+    top = (
+        _wedge_edge_union(edges)
+        .groupby("pbucket").map_groups(_aa_pairs, batch_format="pyarrow")
+        .sort(key=["aa_score", "u", "v"], descending=[True, False, False])
+        .limit(k_out)
+        .take_all()
+    )
+    return pa.table({
+        "u": pa.array([r["u"] for r in top], pa.int64()),
+        "v": pa.array([r["v"] for r in top], pa.int64()),
+        "n_common": pa.array([r["n_common"] for r in top], pa.int64()),
+        "aa_score": pa.array([r["aa_score"] for r in top], pa.int64()),
+    })

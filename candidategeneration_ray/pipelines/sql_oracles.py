@@ -6575,3 +6575,74 @@ LEFT JOIN corelbl c ON c.node = e.vec_id
 LEFT JOIN borderlbl b ON b.node = e.vec_id
 """,
     }
+
+
+# --------------------------------------------------------- session 13
+
+
+def _knn_edge_ctes() -> str:
+    """The shared kNN-graph CTE chain (quantized vectors -> pairwise
+    integer L2 -> per-node top-k -> distinct undirected edges ->
+    symmetric adjacency + degrees) used by the weighted link-prediction
+    oracles."""
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_SCALE, KNN_K)
+
+    return f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+rk AS (
+  SELECT vec_id, nbr_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, nbr_id ASC) AS rank
+  FROM dist
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+  FROM rk WHERE rank <= {KNN_K}
+),
+sadj AS (SELECT u AS x, v AS y FROM edges
+         UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM sadj GROUP BY x)"""
+
+
+def session13_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.clustering import (
+        AA_DEG_CAP, AA_TOPK, aa_weight_lut)
+
+    aa_lut_rows = ",".join(
+        f"({d + 2},{w})" for d, w in enumerate(aa_weight_lut()))
+
+    return {
+        # Adamic-Adar: the wedge self-join weighted by the SAME fixed
+        # integer 1/ln(deg) LUT the engine uses (clustering.aa_weight_lut)
+        "adamic_adar": f"""
+WITH {_knn_edge_ctes()},
+lut(d, w) AS (VALUES {aa_lut_rows}),
+aa AS (
+  SELECT s1.y AS u, s2.y AS v,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(l.w) AS BIGINT) AS aa_score
+  FROM sadj s1 JOIN sadj s2 ON s1.x = s2.x AND s1.y < s2.y
+  JOIN deg dz ON dz.x = s1.x
+  JOIN lut l ON l.d = least(dz.deg, {AA_DEG_CAP})
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT aa.u, aa.v, aa.n_common, aa.aa_score
+  FROM aa LEFT JOIN edges e ON e.u = aa.u AND e.v = aa.v
+  WHERE e.u IS NULL)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, n_common, aa_score
+FROM nonadj
+ORDER BY aa_score DESC, u, v
+LIMIT {AA_TOPK}
+""",
+    }
