@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": ex.q_langid,
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
+        "winnow_fingerprints": ex.q_winnow_fingerprints,  # MOSS local fingerprints
         "corpus_digest": ex.q_corpus_digest,            # order-insensitive row-hash digest
         "snapshot_diff": ex.q_snapshot_diff,            # versioned-table diff by key
         "doc_chunks": ex.q_doc_chunks,          # flat-map chunker (RAG shape)

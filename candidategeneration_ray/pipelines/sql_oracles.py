@@ -6618,11 +6618,51 @@ deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM sadj GROUP BY x)"""
 def session13_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import (
         AA_DEG_CAP, AA_TOPK, aa_weight_lut)
+    from candidategeneration_ray.pipelines.extras import WINNOW_K, WINNOW_W
 
     aa_lut_rows = ",".join(
         f"({d + 2},{w})" for d, w in enumerate(aa_weight_lut()))
+    K, W = WINNOW_K, WINNOW_W
+    kgram_h = _H64.format(
+        expr=f"CASE WHEN len(l) <= {K} THEN array_to_string(l, ' ') "
+             f"ELSE array_to_string(list_slice(l, i, i + {K - 1}), ' ') END")
 
     return {
+        # winnowing: positional (NON-distinct) k-gram hashes, per-window
+        # min with leftmost tie-break as a two-step group-by
+        "winnow_fingerprints": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+pos AS (
+  SELECT doc_id, l,
+         unnest(range(1, CASE WHEN len(l) <= {K} THEN 2 ELSE len(l) - {K - 2} END)) AS i
+  FROM docs_toks
+),
+kg AS MATERIALIZED (SELECT doc_id, i, {kgram_h} AS h FROM pos),
+nn AS (SELECT doc_id, max(i) AS n FROM kg GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, unnest(range(1, greatest(n - {W - 1}, 1) + 1)) AS j
+  FROM nn
+),
+wmin AS (
+  SELECT w.doc_id, w.j, min(k.h) AS m
+  FROM wins w JOIN kg k ON k.doc_id = w.doc_id
+    AND k.i >= w.j AND k.i <= w.j + {W - 1}
+  GROUP BY w.doc_id, w.j
+),
+sel AS (
+  SELECT w.doc_id, min(k.i) AS p, w.m
+  FROM wmin w JOIN kg k ON k.doc_id = w.doc_id
+    AND k.i >= w.j AND k.i <= w.j + {W - 1} AND k.h = w.m
+  GROUP BY w.doc_id, w.j, w.m
+),
+fp AS (SELECT DISTINCT doc_id, p, m FROM sel)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
+       CAST(m::HUGEINT - CASE WHEN m >= 9223372036854775808::UBIGINT
+                              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+            AS BIGINT) AS fp
+FROM fp
+""",
         # Adamic-Adar: the wedge self-join weighted by the SAME fixed
         # integer 1/ln(deg) LUT the engine uses (clustering.aa_weight_lut)
         "adamic_adar": f"""

@@ -48,3 +48,47 @@ def test_aa_weight_lut_monotone():
     assert len(w) == cl.AA_DEG_CAP - 1
     assert all(a > b for a, b in zip(w, w[1:]))
     assert w[-1] > 0
+
+
+def test_winnow_coverage_guarantee(ray_session):
+    """The winnowing invariant: selected positions cover every
+    WINNOW_W-window of the k-gram sequence (max gap <= W), so any
+    shared run of K+W-1 words is caught by a shared fingerprint."""
+    from candidategeneration_ray.functions import hashing as H
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+    from candidategeneration_ray.pipelines import extras as ex
+    import pyarrow.parquet as pq
+
+    fps = ex.q_winnow_fingerprints(SF).to_pandas()
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = tokenize_many(docs["text"].tolist())
+    n_kgrams = {int(d): len(H.word_shingles(t, ex.WINNOW_K))
+                for d, t in zip(docs["doc_id"], toks)}
+    for doc_id, grp in fps.groupby("doc_id"):
+        ps = sorted(grp["pos"].tolist())
+        n = n_kgrams[int(doc_id)]
+        assert ps[0] <= ex.WINNOW_W
+        assert all(b - a <= ex.WINNOW_W for a, b in zip(ps, ps[1:]))
+        assert n - ps[-1] <= ex.WINNOW_W - 1
+
+
+def test_winnow_shared_span_is_caught():
+    """Two token streams sharing a run of K+W-1 words share at least
+    one fingerprint HASH — the winnowing guarantee, on synthetic docs
+    with different surrounding context."""
+    from candidategeneration_ray.functions import hashing as H
+    from candidategeneration_ray.pipelines import extras as ex
+
+    span = [f"shared{i}" for i in range(ex.WINNOW_K + ex.WINNOW_W - 1)]
+    doc_a = [f"alpha{i}" for i in range(37)] + span + ["tail0", "tail1"]
+    doc_b = ["zeta0"] + span + [f"omega{i}" for i in range(23)]
+
+    def fps(toks):
+        return {h for _, h in ex.winnow_select(
+            H.h64_many(H.word_shingles(toks, ex.WINNOW_K)))}
+
+    span_hashes = {int(h) for h in
+                   H.h64_many(H.word_shingles(span, ex.WINNOW_K))}
+    shared = fps(doc_a) & fps(doc_b) & span_hashes
+    assert shared, "shared K+W-1 run must yield a common fingerprint"
