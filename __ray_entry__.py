@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quantile_filter": sk.q_source_quantile_filter,  # dynamic per-source cutoff
         "source_pct_rank": sk.q_source_pct_rank,    # within-group percentile feature
         "source_ntile": sk.q_source_ntile,          # NTILE equi-count buckets
+        "kmv_registers": sk.q_kmv_registers,        # bottom-k sketch state
+        "kmv_source_overlap": sk.q_kmv_source_overlap,  # intersection estimates
         "hll_distinct_terms": sk.q_hll_distinct_terms,
         "hll_union_distinct": sk.q_hll_union_distinct,  # keyed-sketch union merge
         # --- clustering (exact-integer Lloyd, value-verified) ---

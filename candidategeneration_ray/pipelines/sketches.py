@@ -824,3 +824,123 @@ def q_cmsketch_estimates(sf_dir: str) -> pa.Table:
         "cm_estimate": pa.array(ests, pa.int64()),
         "true_count": pa.array(trues, pa.int64()),
     })
+
+
+# --------------------------------------------------- KMV (bottom-k) sketch
+
+KMV_K = 64
+
+
+def _kmv_bottom(h: np.ndarray) -> np.ndarray:
+    """Bottom-KMV_K distinct uint64 hashes, sorted ascending."""
+    return np.unique(h)[:KMV_K]
+
+
+def _kmv_source_sketches(sf_dir: str) -> dict[str, np.ndarray]:
+    """Per-source bottom-k distinct-token-hash sketches (Bar-Yossef et
+    al. RANDOM'02 / the KMV 'theta sketch' state): per-batch partials
+    emit each source's batch-local bottom-k, one tiny groupby merges
+    them — bottom-k is a mergeable summary (the bottom-k of a union is
+    the bottom-k of the concatenated per-part bottom-k's), so the
+    shuffle moves O(sources x k) rows however large the corpus."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        token_lists = tokenize_many(texts)
+        out_src, out_h = [], []
+        su, sinv = np.unique(srcs, return_inverse=True)
+        for si, s in enumerate(su):
+            toks = set()
+            for tl in (token_lists[j] for j in np.flatnonzero(sinv == si)):
+                toks.update(tl)
+            if not toks:
+                continue
+            hs = _kmv_bottom(H.h64_many(sorted(toks)))
+            out_src.extend([s] * hs.size)
+            out_h.extend(hs.tolist())
+        return pa.table({
+            "source": pa.array(out_src, pa.string()),
+            "h": pa.array(np.asarray(out_h, dtype=np.uint64), pa.uint64()),
+        })
+
+    def _merge(group: pa.Table) -> pa.Table:
+        hs = _kmv_bottom(group.column("h").to_numpy().astype(np.uint64))
+        return pa.table({
+            "source": pa.array([group.column("source")[0].as_py()] * hs.size,
+                               pa.string()),
+            "h": pa.array(hs, pa.uint64()),
+        })
+
+    rows = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["text", "source"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("source").map_groups(_merge, batch_format="pyarrow")
+        .take_all()  # O(sources x k)
+    )
+    out: dict[str, list[int]] = {}
+    for r in rows:
+        out.setdefault(r["source"], []).append(int(r["h"]))
+    return {s: np.asarray(sorted(v), dtype=np.uint64)
+            for s, v in out.items()}
+
+
+def _signed64(vals) -> list[int]:
+    return [int(v) - (1 << 64) if int(v) >= (1 << 63) else int(v)
+            for v in vals]
+
+
+def q_kmv_registers(sf_dir: str) -> pa.Table:
+    """The GLOBAL KMV sketch state: the corpus's bottom-KMV_K distinct
+    kept-token hashes with their rank — deterministic integers, so the
+    driver hash-verifies the whole distributed bottom-k construction
+    (the companion intersection-capable sketch to the HLL registers,
+    which can only union). The global sketch merges exactly from the
+    per-source sketches: any hash among the global k smallest is among
+    its own source's k smallest."""
+    sks = _kmv_source_sketches(sf_dir)
+    glob = _kmv_bottom(np.concatenate(list(sks.values())))
+    return pa.table({
+        "rank": pa.array(np.arange(1, glob.size + 1, dtype=np.int64),
+                         pa.int64()),
+        "kmv_hash": pa.array(_signed64(glob), pa.int64()),
+    })
+
+
+def q_kmv_source_overlap(sf_dir: str) -> pa.Table:
+    """Pairwise source vocabulary overlap from the KMV sketches — the
+    set-INTERSECTION estimate HLL cannot provide (Beyer et al.
+    SIGMOD'07): for each source pair the union sketch is the bottom-k
+    of the two sketches' union; n_match counts union-sketch hashes
+    present in both sides (a k-sample of the union, so n_match/ku
+    estimates Jaccard); union_est is the KMV cardinality estimator
+    (k-1)*2^64 // h_k (exact count when the union sketch is not full);
+    inter_est = n_match * union_est // ku. Every quantity is integer
+    arithmetic over the sketch state, so the estimates themselves
+    hash-verify. O(sources^2 x k) driver work over the merged
+    sketches only."""
+    sks = _kmv_source_sketches(sf_dir)
+    names = sorted(sks)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            A, B = sks[a], sks[b]
+            usk = _kmv_bottom(np.concatenate((A, B)))
+            ku = int(usk.size)
+            match = int(np.count_nonzero(
+                np.isin(usk, A) & np.isin(usk, B)))
+            if ku < KMV_K:
+                union_est = ku
+            else:
+                union_est = ((KMV_K - 1) << 64) // int(usk[-1])
+            rows.append((a, b, match, union_est,
+                         match * union_est // ku))
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_match": pa.array([r[2] for r in rows], pa.int64()),
+        "union_est": pa.array([r[3] for r in rows], pa.int64()),
+        "inter_est": pa.array([r[4] for r in rows], pa.int64()),
+    })

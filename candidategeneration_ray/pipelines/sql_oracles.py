@@ -6619,9 +6619,15 @@ def session13_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import (
         AA_DEG_CAP, AA_TOPK, aa_weight_lut)
     from candidategeneration_ray.pipelines.extras import WINNOW_K, WINNOW_W
+    from candidategeneration_ray.pipelines.sketches import KMV_K
 
     aa_lut_rows = ",".join(
         f"({d + 2},{w})" for d, w in enumerate(aa_weight_lut()))
+    h_tok = _H64.format(expr="tok")
+    signed_h = ("CAST({col}::HUGEINT - CASE WHEN {col} >= "
+                "9223372036854775808::UBIGINT THEN "
+                "18446744073709551616::HUGEINT ELSE 0::HUGEINT END "
+                "AS BIGINT)")
     K, W = WINNOW_K, WINNOW_W
     kgram_h = _H64.format(
         expr=f"CASE WHEN len(l) <= {K} THEN array_to_string(l, ' ') "
@@ -6662,6 +6668,55 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
                               THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
             AS BIGINT) AS fp
 FROM fp
+""",
+        # KMV global sketch state: bottom-k distinct kept-token hashes
+        "kmv_registers": f"""
+WITH {KEPT_CTE},
+gh AS (SELECT DISTINCT {h_tok} AS h FROM kept),
+g AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM gh)
+SELECT CAST(rank AS BIGINT) AS rank,
+       {signed_h.format(col="h")} AS kmv_hash
+FROM g WHERE rank <= {KMV_K}
+""",
+        # KMV pairwise source overlap: union sketch = bottom-k of the
+        # two per-source sketches; integer KMV estimators
+        "kmv_source_overlap": f"""
+WITH {KEPT_CTE},
+st AS (SELECT DISTINCT d.source AS source, {h_tok} AS h
+       FROM kept k JOIN documents d USING (doc_id)),
+ssk AS MATERIALIZED (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS r
+    FROM st) t WHERE r <= {KMV_K}),
+srcs AS (SELECT DISTINCT source FROM documents),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+uh AS (SELECT p.sa, p.sb, s.h
+       FROM pairs p JOIN ssk s ON s.source IN (p.sa, p.sb)
+       GROUP BY p.sa, p.sb, s.h),
+urk AS (SELECT sa, sb, h,
+               row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+        FROM uh),
+usk AS MATERIALIZED (SELECT sa, sb, h FROM urk WHERE r <= {KMV_K}),
+ag AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS ku, max(h) AS hk
+       FROM usk GROUP BY sa, sb),
+mt AS (SELECT u.sa, u.sb, CAST(count(*) AS BIGINT) AS n_match
+       FROM usk u
+       JOIN ssk x ON x.source = u.sa AND x.h = u.h
+       JOIN ssk y ON y.source = u.sb AND y.h = u.h
+       GROUP BY u.sa, u.sb),
+fin AS (
+  SELECT ag.sa, ag.sb, coalesce(mt.n_match, 0) AS n_match, ag.ku,
+         CASE WHEN ag.ku < {KMV_K} THEN ag.ku::HUGEINT
+              ELSE ({KMV_K - 1}::HUGEINT
+                    * 18446744073709551616::HUGEINT) // ag.hk::HUGEINT
+         END AS union_est
+  FROM ag LEFT JOIN mt ON mt.sa = ag.sa AND mt.sb = ag.sb)
+SELECT sa AS src_a, sb AS src_b, n_match,
+       CAST(union_est AS BIGINT) AS union_est,
+       CAST((n_match::HUGEINT * union_est) // ku AS BIGINT) AS inter_est
+FROM fin
 """,
         # Adamic-Adar: the wedge self-join weighted by the SAME fixed
         # integer 1/ln(deg) LUT the engine uses (clustering.aa_weight_lut)

@@ -92,3 +92,50 @@ def test_winnow_shared_span_is_caught():
                    H.h64_many(H.word_shingles(span, ex.WINNOW_K))}
     shared = fps(doc_a) & fps(doc_b) & span_hashes
     assert shared, "shared K+W-1 run must yield a common fingerprint"
+
+
+class TestKMV:
+    def _truth(self):
+        import pyarrow.parquet as pq
+        from candidategeneration_ray.functions.tokenize import tokenize_many
+
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["text", "source"]).to_pandas()
+        toks = tokenize_many(docs["text"].tolist())
+        per_src = {}
+        for s, t in zip(docs["source"], toks):
+            per_src.setdefault(s, set()).update(t)
+        return per_src
+
+    def test_overlap_estimates_within_bounds(self, ray_session):
+        """KMV union/intersection estimates land within 5 relative
+        standard errors (rse ~ 1/sqrt(k-1)) of the exact counts."""
+        from candidategeneration_ray.pipelines import sketches as sk
+
+        got = sk.q_kmv_source_overlap(SF).to_pandas()
+        per_src = self._truth()
+        rse = 5.0 / np.sqrt(sk.KMV_K - 1)
+        assert len(got) == len(per_src) * (len(per_src) - 1) // 2
+        for r in got.itertuples():
+            a, b = per_src[r.src_a], per_src[r.src_b]
+            true_union = len(a | b)
+            true_inter = len(a & b)
+            assert abs(r.union_est - true_union) <= max(
+                rse * true_union, 2), (r.src_a, r.src_b)
+            assert abs(r.inter_est - true_inter) <= max(
+                rse * true_union, 2), (r.src_a, r.src_b)
+
+    def test_registers_are_global_bottom_k(self, ray_session):
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.pipelines import sketches as sk
+
+        got = sk.q_kmv_registers(SF).to_pandas()
+        per_src = self._truth()
+        allh = np.unique(H.h64_many(
+            sorted(set().union(*per_src.values()))))
+        want = allh[:sk.KMV_K]
+        got_u = np.asarray(
+            [v + (1 << 64) if v < 0 else v for v in got["kmv_hash"]],
+            dtype=np.uint64)
+        assert got["rank"].tolist() == list(range(1, len(want) + 1))
+        assert (got_u == want).all()
