@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_spend": ev.q_running_spend,        # UNBOUNDED-PRECEDING scan
         "ewma_spend": ev.q_ewma_spend,              # decay recurrence (EWMA)
         "scd2_dim": ev.q_scd2_dim,                  # SCD type-2 dimension build
+        "scd2_join": ev.q_scd2_join,                # point-in-time temporal join
         "attribution_linear": ev.q_attribution_linear,  # multi-touch attribution
         "user_features": ev.q_user_features,        # one-pass feature vector
         "props_extract": ev.q_props_extract,        # JSON payload extraction

@@ -2461,6 +2461,31 @@ SCD2_TYPE = "view"
 _SCD2_OPEN = np.int64(-1)  # sentinel for the open (current) version
 
 
+def _scd2_version_arrays(group: pa.Table, change_type: str):
+    """(user, valid_from_us, segment) arrays of the collapsed SCD2
+    version chain, sorted by (user, ts, event_id) — shared by the
+    dimension build and the point-in-time join. Consecutive same-
+    segment changes collapse to the first."""
+    import pyarrow.compute as pc
+
+    et = group.column("event_type").to_numpy(zero_copy_only=False)
+    keep = et == change_type
+    if not keep.any():
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    u = group.column("user_id").to_numpy().astype(np.int64)[keep]
+    ts = group.column("ts").cast(pa.int64()).to_numpy()[keep]
+    eid = group.column("event_id").to_numpy().astype(np.int64)[keep]
+    seg = pc.cast(pc.extract_regex(
+        group.column("props").combine_chunks().filter(pa.array(keep)),
+        r'"k":\s*(?P<v>-?\d+)').field("v"), pa.int64()).to_numpy()
+    order = np.lexsort((eid, ts, u))
+    u, ts, seg = u[order], ts[order], seg[order]
+    first = np.concatenate(([True], u[1:] != u[:-1]))
+    changed = first | np.concatenate(([True], seg[1:] != seg[:-1]))
+    return u[changed], ts[changed], seg[changed]
+
+
 def q_scd2_dim(sf_dir: str, change_type: str = SCD2_TYPE) -> ray.data.Dataset:
     """Slowly-changing-dimension type-2 build — the warehouse versioning
     primitive: each user's `change_type` events set a new "segment"
@@ -2476,30 +2501,15 @@ def q_scd2_dim(sf_dir: str, change_type: str = SCD2_TYPE) -> ray.data.Dataset:
     (user, ts, event_id), the no-op collapse is a shifted-comparison
     mask, valid_to a shifted take — no per-user loop. Output
     (user_id, valid_from_us, valid_to_us, segment)."""
-    import pyarrow.compute as pc
-
     def _scd2(group: pa.Table) -> pa.Table:
-        et = group.column("event_type").to_numpy(zero_copy_only=False)
-        keep = et == change_type
-        empty = pa.table({
-            "user_id": pa.array([], pa.int64()),
-            "valid_from_us": pa.array([], pa.int64()),
-            "valid_to_us": pa.array([], pa.int64()),
-            "segment": pa.array([], pa.int64()),
-        })
-        if not keep.any():
-            return empty
-        u = group.column("user_id").to_numpy().astype(np.int64)[keep]
-        ts = group.column("ts").cast(pa.int64()).to_numpy()[keep]
-        eid = group.column("event_id").to_numpy().astype(np.int64)[keep]
-        seg = pc.cast(pc.extract_regex(
-            group.column("props").combine_chunks().filter(pa.array(keep)),
-            r'"k":\s*(?P<v>-?\d+)').field("v"), pa.int64()).to_numpy()
-        order = np.lexsort((eid, ts, u))
-        u, ts, seg = u[order], ts[order], seg[order]
-        first = np.concatenate(([True], u[1:] != u[:-1]))
-        changed = first | np.concatenate(([True], seg[1:] != seg[:-1]))
-        u, ts, seg = u[changed], ts[changed], seg[changed]
+        u, ts, seg = _scd2_version_arrays(group, change_type)
+        if u.size == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "valid_from_us": pa.array([], pa.int64()),
+                "valid_to_us": pa.array([], pa.int64()),
+                "segment": pa.array([], pa.int64()),
+            })
         nfirst = np.concatenate(([True], u[1:] != u[:-1]))
         valid_to = np.concatenate((ts[1:], [_SCD2_OPEN]))
         valid_to[np.concatenate((nfirst[1:], [True]))] = _SCD2_OPEN
@@ -2514,6 +2524,74 @@ def q_scd2_dim(sf_dir: str, change_type: str = SCD2_TYPE) -> ray.data.Dataset:
                             "props"])
     return (_with_user_bucket(ds)
             .groupby("ubucket").map_groups(_scd2, batch_format="pyarrow"))
+
+
+def q_scd2_join(sf_dir: str, change_type: str = SCD2_TYPE) -> ray.data.Dataset:
+    """Point-in-time (temporal) join — the lookup the SCD2 dimension
+    exists for: every purchase event enriched with the segment version
+    valid AT its timestamp (valid_from <= ts < valid_to, open version
+    unbounded); purchases before the user's first version (or with no
+    versions at all) get segment = -1. The event-time twin of a
+    stream-table temporal join: facts never see segments assigned
+    after them.
+
+    Shape: ONE user-hash bucket groupby co-locates each user's change
+    events and purchases; per bucket the version chain is the shared
+    _scd2_version_arrays kernel and the probe is a merged stable sort
+    (versions sort before purchases at equal ts because valid_from is
+    inclusive) + one cumulative last-version scan — no per-user loop,
+    no second shuffle. Output (event_id, user_id, segment), one row
+    per purchase."""
+
+    def _join(group: pa.Table) -> pa.Table:
+        uv, tsv, segv = _scd2_version_arrays(group, change_type)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        pm = et == "purchase"
+        if not pm.any():
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "segment": pa.array([], pa.int64()),
+            })
+        up = group.column("user_id").to_numpy().astype(np.int64)[pm]
+        tsp = group.column("ts").cast(pa.int64()).to_numpy()[pm]
+        eidp = group.column("event_id").to_numpy().astype(np.int64)[pm]
+        if uv.size == 0:
+            return pa.table({
+                "event_id": pa.array(eidp, pa.int64()),
+                "user_id": pa.array(up, pa.int64()),
+                "segment": pa.array(np.full(up.size, -1, np.int64),
+                                    pa.int64()),
+            })
+        n_v, n_p = uv.size, up.size
+        mu = np.concatenate((uv, up))
+        mts = np.concatenate((tsv, tsp))
+        tag = np.concatenate((np.zeros(n_v, np.int64),
+                              np.ones(n_p, np.int64)))
+        pidx = np.concatenate((np.arange(n_v, dtype=np.int64),
+                               np.arange(n_p, dtype=np.int64)))
+        order = np.lexsort((tag, mts, mu))
+        is_v = tag[order] == 0
+        # versions are (u, ts)-sorted among themselves and lexsort is
+        # stable, so the i-th version row in merged order IS version i
+        last_v = np.cumsum(is_v) - 1
+        ppos = ~is_v
+        vidx = last_v[ppos]
+        pi = pidx[order][ppos]
+        valid = vidx >= 0
+        seg_out = np.full(pi.size, -1, np.int64)
+        ok = valid & (uv[np.maximum(vidx, 0)] == up[pi])
+        seg_out[ok] = segv[vidx[ok]]
+        return pa.table({
+            "event_id": pa.array(eidp[pi], pa.int64()),
+            "user_id": pa.array(up[pi], pa.int64()),
+            "segment": pa.array(seg_out, pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                            "props"])
+    return (_with_user_bucket(ds)
+            .groupby("ubucket").map_groups(_join, batch_format="pyarrow"))
 
 
 # --------------------------------------------- multi-touch attribution

@@ -6669,6 +6669,39 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
             AS BIGINT) AS fp
 FROM fp
 """,
+        # point-in-time join: purchases against the SCD2 version chain,
+        # version valid at ts (same dedup/collapse CTEs as scd2_dim)
+        "scd2_join": """
+WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS segment
+  FROM events WHERE event_type = 'view'
+),
+dedup AS (
+  SELECT user_id, ts, event_id, segment FROM (
+    SELECT user_id, ts, event_id, segment,
+           lag(segment) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+    FROM ch)
+  WHERE prev IS NULL OR segment <> prev
+),
+dim AS (
+  SELECT user_id, epoch_us(ts) AS f,
+         coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)), -1) AS t,
+         segment
+  FROM dedup
+),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tsu
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(coalesce(d.segment, -1) AS BIGINT) AS segment
+FROM p LEFT JOIN dim d
+  ON d.user_id = p.user_id AND d.f <= p.tsu AND (d.t = -1 OR p.tsu < d.t)
+""",
         # KMV global sketch state: bottom-k distinct kept-token hashes
         "kmv_registers": f"""
 WITH {KEPT_CTE},

@@ -139,3 +139,36 @@ class TestKMV:
             dtype=np.uint64)
         assert got["rank"].tolist() == list(range(1, len(want) + 1))
         assert (got_u == want).all()
+
+
+def test_scd2_join_brute_force(ray_session):
+    """Point-in-time join equals a per-user Python replay: last version
+    chain value at or before each purchase ts, -1 before the first."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import events as ev
+
+    got = ev.q_scd2_join(SF).to_pandas().sort_values("event_id")
+    raw = pq.read_table(SF + "/events.parquet").to_pandas()
+    raw["ts_us"] = raw["ts"].astype("int64")
+    chains = {}
+    ch = raw[raw["event_type"] == ev.SCD2_TYPE].sort_values(
+        ["user_id", "ts_us", "event_id"])
+    for r in ch.itertuples():
+        seg = int(re.search(r'"k":\s*(-?\d+)', r.props).group(1))
+        c = chains.setdefault(int(r.user_id), [])
+        if not c or c[-1][1] != seg:
+            c.append((int(r.ts_us), seg))
+    want = {}
+    for r in raw[raw["event_type"] == "purchase"].itertuples():
+        seg = -1
+        for f, s in chains.get(int(r.user_id), []):
+            if f <= int(r.ts_us):
+                seg = s
+        want[int(r.event_id)] = seg
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert int(r.segment) == want[int(r.event_id)], int(r.event_id)
+    assert (got["segment"] == -1).any(), "fixture should have pre-chain buys"
