@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_join": ev.q_scd2_join,                # point-in-time temporal join
         "attribution_linear": ev.q_attribution_linear,  # multi-touch attribution
         "user_features": ev.q_user_features,        # one-pass feature vector
+        "rfm_segments": ev.q_rfm_segments,          # exact NTILE RFM scoring
         "props_extract": ev.q_props_extract,        # JSON payload extraction
         "campaign_overlap": ev.q_campaign_overlap,  # interval-overlap join
         "session_copresence": ev.q_session_copresence,  # large-large interval self-join

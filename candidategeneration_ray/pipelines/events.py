@@ -2917,3 +2917,116 @@ def q_seasonal_forecast_eval(sf_dir: str,
         .groupby("event_type")
         .map_groups(_eval, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------- RFM segmentation
+
+RFM_TILES = 4
+
+
+def _ntile_of_rank(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) over 1-based global ranks: bucket sizes differ by
+    at most one, larger buckets first — the exact DuckDB rule."""
+    q, r = divmod(int(n), k)
+    if q == 0:
+        return rank.astype(np.int64)
+    big = r * (q + 1)
+    return np.where(rank <= big,
+                    (rank - 1) // (q + 1) + 1,
+                    r + (rank - big - 1) // q + 1).astype(np.int64)
+
+
+def q_rfm_segments(sf_dir: str, num_blocks: int = 16) -> ray.data.Dataset:
+    """RFM customer segmentation — the classic marketing/warehouse
+    feature: each user scored 1..4 on Recency (last event time),
+    Frequency (event count) and Monetary (purchase cents), each score
+    an exact global NTILE(4) ordered by (metric asc, user_id asc), and
+    segment_code = 100·R + 10·F + M. Quartiles are RANK-based (ties
+    split by user_id exactly as SQL NTILE does), not
+    threshold-based — so the entry hash-verifies against the window
+    formulation.
+
+    Shape: events compress to one row per user (batch partials → one
+    groupby — O(users), corpus-independent); per metric ONE
+    distributed sort + the range-blocked prefix pattern
+    (blocked_prefix_apply) assigns global ranks with the driver
+    holding only per-block counts; the three score columns meet in a
+    single groupby(user).sum of weighted scores (100/10/1), so no join
+    is needed. O(users) rows after the first compression; three sorts
+    of the small per-user table."""
+    from ray.data.aggregate import Max, Sum
+
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        if u.size == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "last_ts": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            })
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.where(et == "purchase",
+                         _cents(batch.column("value").to_numpy()),
+                         np.int64(0))
+        order = np.argsort(u, kind="stable")
+        u_s, ts_s, c_s = u[order], ts[order], cents[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], u_s[1:] != u_s[:-1])))
+        return pa.table({
+            "user_id": pa.array(u_s[starts], pa.int64()),
+            "last_ts": pa.array(np.maximum.reduceat(ts_s, starts),
+                                pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.concatenate((starts, [u_s.size]))).astype(
+                    np.int64), pa.int64()),
+            "cents": pa.array(np.add.reduceat(c_s, starts), pa.int64()),
+        })
+
+    feats = (
+        events_ds(sf_dir, ["user_id", "ts", "event_type", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("last_ts", alias_name="last_ts"),
+                   Sum("n_events", alias_name="n_events"),
+                   Sum("cents", alias_name="cents"))
+        .materialize()  # O(users) — the compressed per-user table
+    )
+    n_users = feats.count()
+
+    def _scores(metric: str, weight: int) -> ray.data.Dataset:
+        def _emit(t: pa.Table, base: int) -> pa.Table:
+            if t.num_rows == 0 or "user_id" not in t.column_names:
+                return pa.table({"user_id": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.int64())})
+            rank = base + 1 + np.arange(t.num_rows, dtype=np.int64)
+            tile = _ntile_of_rank(rank, n_users, RFM_TILES)
+            return pa.table({
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "w": pa.array(tile * weight, pa.int64()),
+            })
+
+        return blocked_prefix_apply(
+            feats.sort(key=[metric, "user_id"]), num_blocks,
+            lambda t: t.num_rows, _emit)
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "r_score": pa.array(w // 100, pa.int64()),
+            "f_score": pa.array((w // 10) % 10, pa.int64()),
+            "m_score": pa.array(w % 10, pa.int64()),
+            "segment_code": pa.array(w, pa.int64()),
+        })
+
+    return (
+        _scores("last_ts", 100)
+        .union(_scores("n_events", 10))
+        .union(_scores("cents", 1))
+        .groupby("user_id").aggregate(Sum("w", alias_name="w"))
+        .map_batches(_decode, batch_format="pyarrow")
+    )

@@ -6669,6 +6669,32 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
             AS BIGINT) AS fp
 FROM fp
 """,
+        # RFM segmentation: rank-based NTILE(4) per metric, SQL windows
+        "rfm_segments": """
+WITH f AS (
+  SELECT user_id,
+         max(epoch_us(ts)) AS last_ts,
+         count(*) AS n_events,
+         coalesce(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) END),
+                  0) AS cents
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT user_id,
+         ntile(4) OVER (ORDER BY last_ts, user_id) AS r_score,
+         ntile(4) OVER (ORDER BY n_events, user_id) AS f_score,
+         ntile(4) OVER (ORDER BY cents, user_id) AS m_score
+  FROM f
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(100 * r_score + 10 * f_score + m_score AS BIGINT)
+         AS segment_code
+FROM s
+""",
         # point-in-time join: purchases against the SCD2 version chain,
         # version valid at ts (same dedup/collapse CTEs as scd2_dim)
         "scd2_join": """

@@ -172,3 +172,35 @@ def test_scd2_join_brute_force(ray_session):
     for r in got.itertuples():
         assert int(r.segment) == want[int(r.event_id)], int(r.event_id)
     assert (got["segment"] == -1).any(), "fixture should have pre-chain buys"
+
+
+def test_ntile_of_rank_matches_sql_rule():
+    """_ntile_of_rank equals the SQL NTILE rule (bucket sizes differ by
+    at most one, larger buckets first) for a sweep of (n, k)."""
+    from candidategeneration_ray.pipelines.events import _ntile_of_rank
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 9, 100, 101, 103):
+        for k in (1, 2, 3, 4, 5):
+            ranks = np.arange(1, n + 1, dtype=np.int64)
+            got = _ntile_of_rank(ranks, n, k)
+            # reference: assign round-robin bucket sizes then expand
+            q, r = divmod(n, k)
+            sizes = [(q + 1 if b < r else q) for b in range(k)]
+            want = np.repeat(np.arange(1, k + 1), sizes)[:n]
+            assert (got == want).all(), (n, k)
+
+
+def test_rfm_block_count_invariance(ray_session):
+    """RFM output is identical under different prefix block counts."""
+    from candidategeneration_ray.pipelines import events as ev
+
+    a = (ev.q_rfm_segments(SF, num_blocks=3).to_pandas()
+         .sort_values("user_id").reset_index(drop=True))
+    b = (ev.q_rfm_segments(SF, num_blocks=16).to_pandas()
+         .sort_values("user_id").reset_index(drop=True))
+    assert a.equals(b)
+    assert set(a["r_score"]) <= {1, 2, 3, 4}
+    # quartiles are balanced: counts differ by at most one
+    for col in ("r_score", "f_score", "m_score"):
+        counts = a[col].value_counts()
+        assert counts.max() - counts.min() <= 1
