@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": ex.q_dedup_substrings,  # span-removal rewrite (Lee et al.)
         "hashed_embeddings": ex.q_hashed_embeddings,  # hashing-trick text vectors
         "hashed_mips_top10": ex.q_hashed_mips_top10,  # MIPS over hashed vectors
+        "maxsim_top10": ex.q_maxsim_top10,      # late-interaction (MaxSim) plan
         "simhash": ex.q_simhash,
         "simhash_neardups": ex.q_simhash_neardups,
         "embedding_neardups": ex.q_embedding_neardups,

@@ -3626,3 +3626,126 @@ def q_mixed_lang_docs(sf_dir: str,
         })
 
     return documents_ds(sf_dir).map_batches(_audit, batch_format="pyarrow")
+
+
+# ------------------------------------------- late-interaction (MaxSim)
+
+MAXSIM_SLOTS = 4       # hash slots per token vector (4 nonzero dims)
+
+
+def _token_slot_vecs(tokens: list[str]) -> np.ndarray:
+    """(len(tokens), HASH_DIM) int64 token vectors: each token gets
+    MAXSIM_SLOTS ±1 entries at dims h64(f"{s}:{tok}") % HASH_DIM (same
+    md5 hash family and sign bit as the doc-level hashing trick); slot
+    collisions within a token accumulate (±2 / 0), exactly as the SQL
+    replay's per-(tok, dim) sum does."""
+    V = np.zeros((len(tokens), HASH_DIM), dtype=np.int64)
+    if not tokens:
+        return V
+    for s in range(MAXSIM_SLOTS):
+        h = H.h64_many([f"{s}:{t}" for t in tokens])
+        dim = (h % np.uint64(HASH_DIM)).astype(np.int64)
+        sign = np.where(((h >> np.uint64(_SIGN_BIT)) & np.uint64(1)) == 1,
+                        -1, 1).astype(np.int64)
+        np.add.at(V, (np.arange(len(tokens)), dim), sign)
+    return V
+
+
+def q_maxsim_top10(sf_dir: str, k: int = 10) -> pa.Table:
+    """Late-interaction retrieval (the ColBERT MaxSim PLAN, Khattab &
+    Zaharia SIGIR'20, with a model-free token-vector source): every
+    token — query and document — gets a MAXSIM_SLOTS-sparse ±1 hash
+    vector, and score(q, d) = Σ_{t∈q} max(0, max_{w∈d} ⟨v_t, v_w⟩):
+    per-query-token MAXIMUM over the doc's token vectors, summed —
+    token-level matching that survives the bottleneck better than one
+    pooled doc vector (q_hashed_mips_top10 is exactly that pooled
+    twin). All-integer arithmetic, so the late-interaction aggregation
+    itself is value-verified. Top-10 per query by (score desc, doc_id
+    asc), docs with score > 0.
+
+    Shape: broadcast (query-token matrix, query ids); per batch ONE
+    factorize over distinct doc tokens, one (uniq-tokens × q-tokens)
+    integer matmul, per-doc per-query-token max via maximum.reduceat,
+    relu + per-query sum, per-batch partial top-k; the driver folds
+    k × Q × n_batches partial rows. No shuffle."""
+    import pandas as pd
+
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.docquery import DOC_QUERIES
+
+    q_ids, q_toks = [], []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize_text(text))):
+            q_ids.append(qid)
+            q_toks.append(t)
+    qtv = _token_slot_vecs(q_toks)              # (QT, DIM)
+    qid_rows = np.asarray(q_ids, np.int64)
+    qorder = np.argsort(qid_rows, kind="stable")
+    qtv, qid_rows = qtv[qorder], qid_rows[qorder]
+    qstarts = np.flatnonzero(
+        np.concatenate(([True], qid_rows[1:] != qid_rows[:-1])))
+    uniq_qids = qid_rows[qstarts]
+    ref = ray.put((qtv, qstarts, uniq_qids))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        pairs = {(i, t) for i, toks in enumerate(token_lists)
+                 for t in toks}
+        if not pairs:
+            return empty
+        didx = np.asarray([p[0] for p in sorted(pairs)], np.int64)
+        toks = [p[1] for p in sorted(pairs)]
+        codes, uniq = pd.factorize(np.asarray(toks, object))
+        qm, qst, qids_u = ray.get(ref)
+        D = _token_slot_vecs(list(uniq)) @ qm.T   # (U, QT)
+        rows = D[codes]                           # (pairs, QT) doc-sorted
+        dstarts = np.flatnonzero(
+            np.concatenate(([True], didx[1:] != didx[:-1])))
+        M = np.maximum.reduceat(rows, dstarts, axis=0)  # (docs, QT)
+        S = np.add.reduceat(np.maximum(M, 0), qst, axis=1)  # (docs, Q)
+        batch_docs = doc_ids[didx[dstarts]]
+        out_q, out_d, out_s = [], [], []
+        for j in range(qids_u.size):
+            s = S[:, j]
+            pos = s > 0
+            if not pos.any():
+                continue
+            cd, cs = batch_docs[pos], s[pos]
+            top = np.lexsort((cd, -cs))[:k]
+            out_q.append(np.full(top.size, qids_u[j], np.int64))
+            out_d.append(cd[top])
+            out_s.append(cs[top])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+
+    parts = (documents_ds(sf_dir)
+             .map_batches(_partial, batch_format="pyarrow")
+             .take_all())  # <= k x Q x n_batches rows
+    qs, rk, ds_, ss = [], [], [], []
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in parts:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), int(r["score"])))
+    for qid in sorted(by_q):
+        cand = by_q[qid]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (d, s) in enumerate(cand[:k], 1):
+            qs.append(qid)
+            rk.append(rank)
+            ds_.append(d)
+            ss.append(s)
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "rank": pa.array(rk, pa.int64()),
+        "doc_id": pa.array(ds_, pa.int64()),
+        "score": pa.array(ss, pa.int64()),
+    })

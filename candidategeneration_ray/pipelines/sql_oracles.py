@@ -6618,7 +6618,8 @@ deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM sadj GROUP BY x)"""
 def session13_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import (
         AA_DEG_CAP, AA_TOPK, aa_weight_lut)
-    from candidategeneration_ray.pipelines.extras import WINNOW_K, WINNOW_W
+    from candidategeneration_ray.pipelines.extras import (
+        _SIGN_BIT, HASH_DIM, MAXSIM_SLOTS, WINNOW_K, WINNOW_W)
     from candidategeneration_ray.pipelines.sketches import KMV_K
 
     aa_lut_rows = ",".join(
@@ -6628,6 +6629,8 @@ def session13_oracles() -> dict[str, str]:
                 "9223372036854775808::UBIGINT THEN "
                 "18446744073709551616::HUGEINT ELSE 0::HUGEINT END "
                 "AS BIGINT)")
+    h_slot = _H64.format(expr="CAST(s AS VARCHAR) || ':' || tok")
+    slot_vals = ",".join(f"({s})" for s in range(MAXSIM_SLOTS))
     K, W = WINNOW_K, WINNOW_W
     kgram_h = _H64.format(
         expr=f"CASE WHEN len(l) <= {K} THEN array_to_string(l, ' ') "
@@ -6668,6 +6671,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
                               THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
             AS BIGINT) AS fp
 FROM fp
+""",
+        # MaxSim late interaction: 4-slot ±1 token vectors, per-query-
+        # token max over doc tokens (relu), summed — integers throughout
+        "maxsim_top10": f"""
+WITH {KEPT_CTE},
+{QTOK_CTE},
+slots(s) AS (VALUES {slot_vals}),
+dtoks AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM kept),
+vtoks AS (SELECT DISTINCT tok FROM dtoks),
+dtv AS (
+  SELECT tok, CAST({h_slot} % {HASH_DIM} AS BIGINT) AS dim,
+         sum(CASE WHEN ({h_slot} >> {_SIGN_BIT}) & 1 = 1
+                  THEN -1 ELSE 1 END) AS val
+  FROM vtoks CROSS JOIN slots GROUP BY tok, dim),
+qtv AS (
+  SELECT query_id, tok, CAST({h_slot} % {HASH_DIM} AS BIGINT) AS dim,
+         sum(CASE WHEN ({h_slot} >> {_SIGN_BIT}) & 1 = 1
+                  THEN -1 ELSE 1 END) AS val
+  FROM qtok CROSS JOIN slots GROUP BY query_id, tok, dim),
+pairsim AS MATERIALIZED (
+  SELECT q.query_id, q.tok AS qt, d.tok AS dt, sum(q.val * d.val) AS sim
+  FROM qtv q JOIN dtv d USING (dim)
+  GROUP BY 1, 2, 3),
+contrib AS (
+  SELECT p.query_id, p.qt, dk.doc_id, greatest(max(p.sim), 0) AS m
+  FROM pairsim p JOIN dtoks dk ON dk.tok = p.dt
+  GROUP BY 1, 2, 3),
+score AS (
+  SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS score
+  FROM contrib GROUP BY 1, 2
+  HAVING sum(m) > 0)
+SELECT query_id, CAST(rn AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score
+FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM score
+) WHERE rn <= 10
 """,
         # RFM segmentation: rank-based NTILE(4) per metric, SQL windows
         "rfm_segments": """

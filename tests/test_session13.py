@@ -204,3 +204,41 @@ def test_rfm_block_count_invariance(ray_session):
     for col in ("r_score", "f_score", "m_score"):
         counts = a[col].value_counts()
         assert counts.max() - counts.min() <= 1
+
+
+def test_maxsim_brute_force(ray_session):
+    """MaxSim top-10 equals a single-process numpy replay: per query
+    token, max dot over each doc's distinct token vectors, relu, sum."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.tokenize import (
+        tokenize_many, tokenize_text)
+    from candidategeneration_ray.pipelines import extras as ex
+    from candidategeneration_ray.pipelines.docquery import DOC_QUERIES
+
+    got = ex.q_maxsim_top10(SF).to_pandas()
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = tokenize_many(docs["text"].tolist())
+    want_rows = []
+    for qid, text in DOC_QUERIES:
+        qt = sorted(set(tokenize_text(text)))
+        if not qt:
+            continue
+        qv = ex._token_slot_vecs(qt)
+        scored = []
+        for d, tl in zip(docs["doc_id"], toks):
+            dt = sorted(set(tl))
+            if not dt:
+                continue
+            dv = ex._token_slot_vecs(dt)
+            m = (qv @ dv.T).max(axis=1)
+            s = int(np.maximum(m, 0).sum())
+            if s > 0:
+                scored.append((int(d), s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (d, s) in enumerate(scored[:10], 1):
+            want_rows.append((int(qid), rank, d, s))
+    got_rows = [(int(r.query_id), int(r.rank), int(r.doc_id), int(r.score))
+                for r in got.itertuples()]
+    assert got_rows == want_rows
