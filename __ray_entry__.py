@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": ex.q_k_anonymity,        # privacy release audit
         "label_centroid_dist": ex.q_label_centroid_dist,  # drift diagnostic
         "text_stats": ex.q_text_stats,
+        "decision_stump": ex.q_decision_stump,  # exact 0-1-loss best split
         "quality_filter": ex.q_quality_filter,
         "repetition_stats": ex.q_repetition_stats,
         "source_sample": ex.q_source_sample,

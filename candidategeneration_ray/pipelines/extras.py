@@ -3749,3 +3749,92 @@ def q_maxsim_top10(sf_dir: str, k: int = 10) -> pa.Table:
         "doc_id": pa.array(ds_, pa.int64()),
         "score": pa.array(ss, pa.int64()),
     })
+
+
+# ------------------------------------------------- exact decision stump
+
+STUMP_FEATURES = ("n_chars", "n_tokens", "n_types")
+
+
+def q_decision_stump(sf_dir: str) -> pa.Table:
+    """Exact best-split decision stump — the CART/boosting base
+    learner, trained distributed: label y = (lang = 'en'), integer
+    features (n_chars, kept-token count, distinct-token count); for
+    every feature the best threshold minimizes EXACT 0-1 loss
+    min(p_l, n_l) + min(p_r, n_r) over the split x <= t vs x > t,
+    candidate thresholds = the feature's distinct values, ties by
+    smaller threshold. Output one row per feature (its best split,
+    errors and per-side majority labels) — integer counts only, so the
+    trained model itself hash-verifies.
+
+    Shape: per-batch (feature, value) → (pos, neg) count partials →
+    ONE groupby(feature, value).sum (O(distinct values) rows — the
+    sufficient statistic for 0-1-loss splitting) → per-feature prefix
+    scan in a 3-group map_groups. The corpus is read once; nothing
+    driver-side scales with it."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        y = (np.asarray(batch.column("lang").to_pylist(), dtype=object)
+             == "en").astype(np.int64)
+        feats = {
+            "n_chars": batch.column("n_chars").to_numpy().astype(np.int64),
+            "n_tokens": np.fromiter((len(t) for t in token_lists),
+                                    np.int64, len(token_lists)),
+            "n_types": np.fromiter((len(set(t)) for t in token_lists),
+                                   np.int64, len(token_lists)),
+        }
+        out_f, out_v, out_p, out_n = [], [], [], []
+        for name in STUMP_FEATURES:
+            v = feats[name]
+            uk, inv = np.unique(v, return_inverse=True)
+            p = np.bincount(inv, weights=y).astype(np.int64)
+            c = np.bincount(inv).astype(np.int64)
+            out_f.extend([name] * uk.size)
+            out_v.extend(uk.tolist())
+            out_p.extend(p.tolist())
+            out_n.extend((c - p).tolist())
+        return pa.table({
+            "feature": pa.array(out_f, pa.string()),
+            "value": pa.array(out_v, pa.int64()),
+            "p": pa.array(out_p, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    def _best(group: pa.Table) -> pa.Table:
+        v = group.column("value").to_numpy().astype(np.int64)
+        p = group.column("p").to_numpy().astype(np.int64)
+        n = group.column("n").to_numpy().astype(np.int64)
+        order = np.argsort(v)
+        v, p, n = v[order], p[order], n[order]
+        pl, nl = np.cumsum(p), np.cumsum(n)
+        pr, nr = pl[-1] - pl, nl[-1] - nl
+        errors = np.minimum(pl, nl) + np.minimum(pr, nr)
+        i = int(np.lexsort((v, errors))[0])     # min errors, then min t
+        return pa.table({
+            "feature": pa.array([group.column("feature")[0].as_py()],
+                                pa.string()),
+            "threshold": pa.array([int(v[i])], pa.int64()),
+            "n_errors": pa.array([int(errors[i])], pa.int64()),
+            "left_label": pa.array([1 if pl[i] > nl[i] else 0], pa.int64()),
+            "right_label": pa.array([1 if pr[i] > nr[i] else 0], pa.int64()),
+        })
+
+    rows = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["text", "lang", "n_chars"])
+            .map_batches(_partial, batch_format="pyarrow")
+            .groupby(["feature", "value"])
+            .aggregate(Sum("p", alias_name="p"), Sum("n", alias_name="n"))
+            .groupby("feature").map_groups(_best, batch_format="pyarrow")
+            .take_all())
+    rows.sort(key=lambda r: r["feature"])
+    return pa.table({
+        "feature": pa.array([r["feature"] for r in rows], pa.string()),
+        "threshold": pa.array([r["threshold"] for r in rows], pa.int64()),
+        "n_errors": pa.array([r["n_errors"] for r in rows], pa.int64()),
+        "left_label": pa.array([r["left_label"] for r in rows], pa.int64()),
+        "right_label": pa.array([r["right_label"] for r in rows],
+                                pa.int64()),
+    })

@@ -6672,6 +6672,50 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
             AS BIGINT) AS fp
 FROM fp
 """,
+        # exact decision stump: cumulative (p, n) over distinct values
+        # per feature, 0-1 loss, best (errors, threshold) per feature
+        "decision_stump": f"""
+WITH {KEPT_CTE},
+tok_cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+            FROM kept GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(d.n_chars AS BIGINT) AS n_chars,
+         coalesce(t.n_tokens, 0) AS n_tokens,
+         coalesce(t.n_types, 0) AS n_types
+  FROM documents d LEFT JOIN tok_cnt t USING (doc_id)),
+feats AS (
+  SELECT 'n_chars' AS feature, n_chars AS value, y FROM base
+  UNION ALL SELECT 'n_tokens', n_tokens, y FROM base
+  UNION ALL SELECT 'n_types', n_types, y FROM base),
+agg AS (SELECT feature, value, sum(y) AS p, count(*) - sum(y) AS n
+        FROM feats GROUP BY 1, 2),
+scan AS (
+  SELECT feature, value AS threshold,
+         sum(p) OVER w AS pl, sum(n) OVER w AS nl,
+         sum(p) OVER f - sum(p) OVER w AS pr,
+         sum(n) OVER f - sum(n) OVER w AS nr
+  FROM agg
+  WINDOW w AS (PARTITION BY feature ORDER BY value
+               ROWS UNBOUNDED PRECEDING),
+         f AS (PARTITION BY feature)
+),
+best AS (
+  SELECT feature, threshold,
+         least(pl, nl) + least(pr, nr) AS n_errors,
+         CASE WHEN pl > nl THEN 1 ELSE 0 END AS left_label,
+         CASE WHEN pr > nr THEN 1 ELSE 0 END AS right_label,
+         row_number() OVER (PARTITION BY feature
+                            ORDER BY least(pl, nl) + least(pr, nr),
+                                     threshold) AS rn
+  FROM scan)
+SELECT feature, CAST(threshold AS BIGINT) AS threshold,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       CAST(left_label AS BIGINT) AS left_label,
+       CAST(right_label AS BIGINT) AS right_label
+FROM best WHERE rn = 1
+""",
         # MaxSim late interaction: 4-slot ±1 token vectors, per-query-
         # token max over doc tokens (relu), summed — integers throughout
         "maxsim_top10": f"""

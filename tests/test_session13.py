@@ -242,3 +242,38 @@ def test_maxsim_brute_force(ray_session):
     got_rows = [(int(r.query_id), int(r.rank), int(r.doc_id), int(r.score))
                 for r in got.itertuples()]
     assert got_rows == want_rows
+
+
+def test_decision_stump_brute_force(ray_session):
+    """Per-feature best split equals an O(n log n) single-process scan,
+    and the chosen errors beat (or tie) every other threshold."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+    from candidategeneration_ray.pipelines import extras as ex
+
+    got = ex.q_decision_stump(SF).to_pandas().set_index("feature")
+    docs = pq.read_table(SF + "/documents.parquet").to_pandas()
+    toks = tokenize_many(docs["text"].tolist())
+    y = (docs["lang"] == "en").to_numpy().astype(np.int64)
+    feats = {
+        "n_chars": docs["n_chars"].to_numpy().astype(np.int64),
+        "n_tokens": np.asarray([len(t) for t in toks], np.int64),
+        "n_types": np.asarray([len(set(t)) for t in toks], np.int64),
+    }
+    assert list(got.index) == sorted(ex.STUMP_FEATURES)
+    for name, x in feats.items():
+        best = (10**9, None)
+        for t in np.unique(x):
+            left, right = y[x <= t], y[x > t]
+            e = (min(left.sum(), len(left) - left.sum())
+                 + min(right.sum(), len(right) - right.sum()))
+            if e < best[0]:
+                best = (int(e), int(t))
+        r = got.loc[name]
+        assert (int(r.n_errors), int(r.threshold)) == best, name
+        left, right = y[x <= r.threshold], y[x > r.threshold]
+        assert int(r.left_label) == (
+            1 if left.sum() > len(left) - left.sum() else 0)
+        assert int(r.right_label) == (
+            1 if right.sum() > len(right) - right.sum() else 0)
