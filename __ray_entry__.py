@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_dist": ex.q_label_centroid_dist,  # drift diagnostic
         "text_stats": ex.q_text_stats,
         "decision_stump": ex.q_decision_stump,  # exact 0-1-loss best split
+        "readability": ex.q_readability,        # Flesch score, exact rational
         "quality_filter": ex.q_quality_filter,
         "repetition_stats": ex.q_repetition_stats,
         "source_sample": ex.q_source_sample,
@@ -237,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": tl.q_decontaminate,        # GPT-3-style shingle overlap
         "lm_bigram_scores": tl.q_lm_bigram_scores,  # pruned bigram LM (CCNet shape)
         "bool_and_docs": tl.q_bool_and_docs,        # conjunctive retrieval from the index
+        "bool_and_docs_svs": tl.q_bool_and_docs_svs,  # galloping-intersection twin
         "percolate_matches": tl.q_percolate_matches,  # reverse search at ingest
         "pmi_top50": tl.q_pmi_top50,                # PMI collocation mining
         "mixture_select": tl.q_mixture_select,      # budgeted per-source selection
@@ -487,6 +489,9 @@ def oracle_sql() -> dict[str, str]:
     # ingest-time percolation must equal index-side conjunctive AND —
     # same oracle, so the driver hash-checks plan equivalence
     d["percolate_matches"] = d["bool_and_docs"]
+    # SvS (binary-probe) intersection must equal the merge intersection
+    # — same oracle, hash-checks the list-intersection algorithm swap
+    d["bool_and_docs_svs"] = d["bool_and_docs"]
     # the term-partitioned serving fleet must be rank-identical to the
     # single engine — same oracle, hash-checks the distribution strategy
     d["term_sharded_bm25_topk"] = d["bm25_topk"]

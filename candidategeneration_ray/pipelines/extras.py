@@ -3838,3 +3838,49 @@ def q_decision_stump(sf_dir: str) -> pa.Table:
         "right_label": pa.array([r["right_label"] for r in rows],
                                 pa.int64()),
     })
+
+
+# ------------------------------------------------- readability scoring
+
+def q_readability(sf_dir: str) -> ray.data.Dataset:
+    """Flesch reading-ease per document as an EXACT rational — the
+    classic readability feature next to the length/punct heuristics of
+    q_text_stats: words = maximal [a-z]+ runs of the lowercased text,
+    sentences = [.!?]+ runs, syllables = vowel-group count with a
+    min-1-per-word floor (vowel-less words count one syllable, added
+    as words - words_with_vowel). The score 206.835 - 1.015·W/S -
+    84.6·Y/W is emitted as an integer (num, den) pair over the common
+    denominator 1000·S·W — no float division, so the feature
+    hash-verifies; consumers divide (or threshold by
+    cross-multiplication). S and W floor at 1 so empty docs are
+    defined.
+
+    Shape: pure streaming map — four compiled RE2 count kernels per
+    batch (pyarrow count_substring_regex, the same RE2 DuckDB runs),
+    no Python loop, no shuffle."""
+    import pyarrow.compute as pc
+
+    def _read(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").cast(pa.int64())
+        lower = pc.utf8_lower(batch.column("text"))
+        w = pc.count_substring_regex(lower, "[a-z]+").to_numpy().astype(
+            np.int64)
+        wv = pc.count_substring_regex(
+            lower, "[a-z]*[aeiouy][a-z]*").to_numpy().astype(np.int64)
+        y = pc.count_substring_regex(
+            lower, "[aeiouy]+").to_numpy().astype(np.int64) + (w - wv)
+        s = pc.count_substring_regex(
+            batch.column("text"), r"[.!?]+").to_numpy().astype(np.int64)
+        w1 = np.maximum(w, 1)
+        s1 = np.maximum(s, 1)
+        num = 206835 * s1 * w1 - 1015 * w1 * w1 - 84600 * y * s1
+        return pa.table({
+            "doc_id": doc_id,
+            "n_words": pa.array(w, pa.int64()),
+            "n_sentences": pa.array(s, pa.int64()),
+            "n_syllables": pa.array(y, pa.int64()),
+            "flesch_num": pa.array(num, pa.int64()),
+            "flesch_den": pa.array(1000 * s1 * w1, pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_read, batch_format="pyarrow")

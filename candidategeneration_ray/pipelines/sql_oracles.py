@@ -6672,6 +6672,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
             AS BIGINT) AS fp
 FROM fp
 """,
+        # Flesch reading ease as an exact (num, den) rational
+        "readability": """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+           AS w,
+         CAST(len(regexp_extract_all(lower(text),
+              '[a-z]*[aeiouy][a-z]*')) AS BIGINT) AS wv,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS vg,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       w AS n_words, s AS n_sentences,
+       vg + (w - wv) AS n_syllables,
+       206835 * greatest(s, 1) * greatest(w, 1)
+         - 1015 * greatest(w, 1) * greatest(w, 1)
+         - 84600 * (vg + (w - wv)) * greatest(s, 1) AS flesch_num,
+       1000 * greatest(s, 1) * greatest(w, 1) AS flesch_den
+FROM c
+""",
         # exact decision stump: cumulative (p, n) over distinct values
         # per feature, 0-1 loss, best (errors, threshold) per feature
         "decision_stump": f"""

@@ -1160,3 +1160,60 @@ def q_set_cover_select(sf_dir: str, k: int = SETCOVER_K, w: int = DECON_W,
         "gain": pa.array([g for _, _, g in sel_rounds], pa.int64()),
         "covered_total": pa.array(total, pa.int64()),
     })
+
+
+def _svs_intersect(small: np.ndarray, large: np.ndarray) -> np.ndarray:
+    """SvS sorted-set intersection: one vectorized binary probe of the
+    smaller list into the larger (O(|s| log |l|) — the skip-list /
+    galloping regime that beats the linear merge when lists differ in
+    length by orders of magnitude, exactly the skew conjunctive
+    queries have at scale)."""
+    if small.size == 0 or large.size == 0:
+        return small[:0]
+    idx = np.searchsorted(large, small)
+    idx = np.minimum(idx, large.size - 1)
+    return small[large[idx] == small]
+
+
+def q_bool_and_docs_svs(sf_dir: str) -> pa.Table:
+    """Conjunctive retrieval with the SvS (small-vs-large binary-probe)
+    intersection instead of q_bool_and_docs' np.isin merge — the
+    ALGORITHM-swap twin: the driver checks it against the SAME oracle,
+    so the hash match proves the galloping plan equivalent to the
+    merge plan on the persisted index."""
+    from candidategeneration_ray.config import EngineConfig
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    qids, docs = [], []
+    for qid, text in DOC_QUERIES:
+        terms = sorted(set(tokenize_text(text)))
+        if not terms:
+            continue
+        tids = [reader.term_to_id.get(t) for t in terms]
+        if any(t is None for t in tids):
+            continue
+        lists = []
+        ok = True
+        for tid in tids:
+            got = reader.get(int(tid))
+            if got is None:
+                ok = False
+                break
+            lists.append(got[0])
+        if not ok:
+            continue
+        lists.sort(key=len)
+        cur = lists[0]
+        for nxt in lists[1:]:
+            cur = _svs_intersect(cur, nxt)
+            if cur.size == 0:
+                break
+        for d in cur.tolist():
+            qids.append(qid)
+            docs.append(int(d))
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
