@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": rl.q_disjunctive_revenue,  # Q19: OR'd predicate scan
         "copurchase_pairs": rl.q_copurchase_pairs,      # market-basket 2-itemsets
         "association_rules": rl.q_association_rules,    # confidence/lift rules (exact)
+        "item_cosine_pairs": rl.q_item_cosine_pairs,    # item-item recommender score
         "record_orders": rl.q_record_orders,            # running-max record scan
         "nation_order_stats_ivm": rl.q_nation_order_stats_ivm,  # join-view IVM
         "top_orders_per_customer": rl.q_top_orders_per_customer,  # ROW_NUMBER top-N per group

@@ -3381,25 +3381,15 @@ RULE_CONF_DEN = 5
 RULE_MIN_SUPPORT = 3
 
 
-def q_association_rules(sf_dir: str) -> pa.Table:
-    """Association rules from the co-purchase 2-itemsets (Agrawal &
-    Srikant VLDB'94): directed rules a→b with pair support ≥
-    RULE_MIN_SUPPORT and confidence = support(a,b)/support(a) ≥ 1/5.
-    The confidence threshold is EXACT by cross-multiplication
-    (5·support(a,b) ≥ support(a)) and the output exposes the raw
-    integer (antecedent, pair) supports plus the lift fraction's
-    numerator/denominator — every column integer, hash-verified.
-
-    Shape: copurchase_counts (the bucketed basket expansion) + ONE
-    item-support groupby (catalog-sized) broadcast into a final filter
-    map — no new shuffle beyond the shared pair aggregate."""
-    from ray.data.aggregate import Count
-
-    # item support: orders containing the part — distinct (order, part)
-    # computed per ORDERKEY-HASH BUCKET (an order's lines co-locate, so
-    # per-bucket distinct is globally distinct; a per-BATCH distinct
-    # would overcount pairs split across read batches — the data has
-    # duplicate (order, part) lines)
+def _copurchase_item_supports(sf_dir: str):
+    """(sorted part keys, order-supports, total distinct orders) for
+    the market-basket operators. Item support = orders containing the
+    part — distinct (order, part) computed per ORDERKEY-HASH BUCKET (an
+    order's lines co-locate, so per-bucket distinct is globally
+    distinct; a per-BATCH distinct would overcount pairs split across
+    read batches — the data has duplicate (order, part) lines). One
+    catalog-sized groupby; the total-order count rides along as a
+    sentinel row, so no extra pass."""
     from ray.data.aggregate import Sum
 
     nb = COPURCHASE_BUCKETS
@@ -3415,9 +3405,6 @@ def q_association_rules(sf_dir: str) -> pa.Table:
         key = (ok << np.int64(32)) | pk  # both < 2^31 (asserted in _pairs)
         uk = np.unique(key)
         pks, cnt = np.unique(uk & np.int64(0xFFFFFFFF), return_counts=True)
-        # sentinel pk=-1 row: this bucket's distinct ORDER count (orders
-        # co-locate, so bucket counts sum to the global distinct count —
-        # the lift denominator without any driver-side column pull)
         n_orders = np.int64(np.unique(ok).size)
         return pa.table({
             "pk": pa.array(np.concatenate((pks, [-1])), pa.int64()),
@@ -3439,7 +3426,69 @@ def q_association_rules(sf_dir: str) -> pa.Table:
     ik = items["pk"].to_numpy(np.int64)
     isup = items["support"].to_numpy(np.int64)
     o = np.argsort(ik)
-    ik, isup = ik[o], isup[o]
+    return ik[o], isup[o], n_orders_total
+
+
+ITEM_COS2_NUM = 1
+ITEM_COS2_DEN = 8
+
+
+def q_item_cosine_pairs(sf_dir: str) -> pa.Table:
+    """Item-item cosine affinity over the co-purchase matrix — the
+    classic neighborhood recommender score (Sarwar et al. WWW'01):
+    cos(a, b) = n_ab / sqrt(sup_a · sup_b) over binary order-item
+    vectors. The threshold cos² ≥ 1/8 is EXACT by squared
+    cross-multiplication (8·n_ab² ≥ sup_a·sup_b — no sqrt, no float),
+    pair support ≥ RULE_MIN_SUPPORT; output exposes the raw integer
+    counts (n_orders, sup_a, sup_b), so the score fraction itself
+    hash-verifies.
+
+    Shape: the shared copurchase_counts pair aggregate + the shared
+    catalog-sized item-support broadcast (_copurchase_item_supports);
+    the filter is a pure map over pair rows — no new shuffle."""
+    ik, isup, _ = _copurchase_item_supports(sf_dir)
+    item_ref = ray.put((ik, isup))
+    num = np.int64(ITEM_COS2_NUM)
+    den = np.int64(ITEM_COS2_DEN)
+
+    def _cos(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy().astype(np.int64)
+        n = batch.column("n_orders").to_numpy().astype(np.int64)
+        keep = n >= RULE_MIN_SUPPORT
+        key, n = key[keep], n[keep]
+        p1 = key >> np.int64(32)
+        p2 = key & np.int64(0xFFFFFFFF)
+        gk, gs = ray.get(item_ref)
+        sa = gs[np.searchsorted(gk, p1)]
+        sb = gs[np.searchsorted(gk, p2)]
+        keep = den * n * n >= num * sa * sb
+        return pa.table({
+            "p1": pa.array(p1[keep], pa.int64()),
+            "p2": pa.array(p2[keep], pa.int64()),
+            "n_orders": pa.array(n[keep], pa.int64()),
+            "sup_a": pa.array(sa[keep], pa.int64()),
+            "sup_b": pa.array(sb[keep], pa.int64()),
+        })
+
+    return pa.concat_tables(
+        ray.get(copurchase_counts(sf_dir)
+                .map_batches(_cos, batch_format="pyarrow")
+                .to_arrow_refs()))
+
+
+def q_association_rules(sf_dir: str) -> pa.Table:
+    """Association rules from the co-purchase 2-itemsets (Agrawal &
+    Srikant VLDB'94): directed rules a→b with pair support ≥
+    RULE_MIN_SUPPORT and confidence = support(a,b)/support(a) ≥ 1/5.
+    The confidence threshold is EXACT by cross-multiplication
+    (5·support(a,b) ≥ support(a)) and the output exposes the raw
+    integer (antecedent, pair) supports plus the lift fraction's
+    numerator/denominator — every column integer, hash-verified.
+
+    Shape: copurchase_counts (the bucketed basket expansion) + ONE
+    item-support groupby (catalog-sized) broadcast into a final filter
+    map — no new shuffle beyond the shared pair aggregate."""
+    ik, isup, n_orders_total = _copurchase_item_supports(sf_dir)
     item_ref = ray.put((ik, isup))
     num = np.int64(RULE_CONF_NUM)
     den = np.int64(RULE_CONF_DEN)

@@ -6672,6 +6672,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
             AS BIGINT) AS fp
 FROM fp
 """,
+        # item-item cosine: squared cross-multiplied threshold over the
+        # co-purchase pair and item supports
+        "item_cosine_pairs": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+isup AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS s
+         FROM op GROUP BY 1),
+pr AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT CAST(pr.p1 AS BIGINT) AS p1, CAST(pr.p2 AS BIGINT) AS p2,
+       pr.n AS n_orders, sa.s AS sup_a, sb.s AS sup_b
+FROM pr JOIN isup sa ON sa.pk = pr.p1
+        JOIN isup sb ON sb.pk = pr.p2
+WHERE 8 * pr.n * pr.n >= 1 * sa.s * sb.s
+""",
         # Flesch reading ease as an exact (num, den) rational
         "readability": """
 WITH c AS (

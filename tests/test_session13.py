@@ -307,3 +307,34 @@ def test_readability_known_values():
     den = 1000 * s * w
     # F = 206.835 - 1.015*3 - 84.6*1 = 119.19
     assert abs(num / den - 119.19) < 1e-9
+
+
+def test_item_cosine_threshold_soundness(ray_session):
+    """Every emitted pair clears the cross-multiplied cosine² bound and
+    its counts match a pandas recomputation from raw lineitem."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import relational as rl
+
+    got = rl.q_item_cosine_pairs(SF).to_pandas()
+    assert (8 * got["n_orders"] ** 2 >= got["sup_a"] * got["sup_b"]).all()
+    li = pq.read_table(SF + "/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    op = li.drop_duplicates()
+    sup = op.groupby("l_partkey").size()
+    by_order = op.groupby("l_orderkey")["l_partkey"].apply(
+        lambda s: sorted(set(s)))
+    from collections import Counter
+
+    pc_ = Counter()
+    for parts in by_order:
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pc_[(parts[i], parts[j])] += 1
+    want = sorted(
+        (a, b, n, int(sup[a]), int(sup[b]))
+        for (a, b), n in pc_.items()
+        if n >= rl.RULE_MIN_SUPPORT and 8 * n * n >= sup[a] * sup[b])
+    got_rows = sorted(zip(got["p1"], got["p2"], got["n_orders"],
+                          got["sup_a"], got["sup_b"]))
+    assert [tuple(map(int, r)) for r in got_rows] == want
