@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_counts": dq.q_access_counts,            # A5 access map
         "bm25_topk": dq.q_bm25_topk,                    # FLAGSHIP: WAND top-k (J4/O6/O7)
         "hybrid_topk": dq.q_hybrid_topk,                # dense+sparse RRF fusion
+        "ta_fused_topk": dq.q_ta_fused_topk,            # Fagin TA early termination
         "bm25f_topk": dq.q_bm25f_topk,                  # fielded (head-weighted) BM25F
         "cached_bm25_topk": dq.q_cached_bm25_topk,      # lineage-keyed result cache
         "maxscore_topk": dq.q_maxscore_topk,            # DAAT MaxScore, rank-identical

@@ -2766,3 +2766,144 @@ def q_index_integrity(sf_dir: str) -> pa.Table:
         "n_postings": pa.array([int(agg["p"])], pa.int64()),
         "n_violations": pa.array([int(agg["v"])], pa.int64()),
     })
+
+
+# --------------------------------------- threshold-algorithm rank fusion
+
+TA_FLUENCY_W = 10      # fused = bm25_score + TA_FLUENCY_W * fluency_ppm
+
+
+def q_ta_fused_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Fagin's Threshold Algorithm (Fagin, Lotem & Naor PODS'01) fusing
+    a QUERY attribute (exact BM25) with a STATIC document attribute
+    (stopword-fluency ppm, the curriculum_order signal):
+    fused = bm25 + TA_FLUENCY_W·fluency, top-10 per query. TA
+    alternates sorted access on both attribute lists, fills the other
+    attribute by random access, and STOPS when the k-th best fused
+    strictly exceeds the threshold τ = cur_bm25 + W·cur_fluency — the
+    early-termination rank-aggregation classic, and the hash match
+    against the full-scan oracle proves the stopping rule exact
+    (strict >, so doc-id ties at τ can never be cut off).
+
+    Sorted access: the BM25 side enumerates the match set score-desc
+    (match-set-bounded — docs outside score exactly 0, so after
+    exhaustion the bound is 0; negative-idf docs stay IN the list and
+    below the bound); the fluency side streams the corpus-wide sorted
+    attribute list, which TA reads only a PREFIX of (pytest asserts
+    the scan stops early). Random access: the doc-keyed attribute
+    arrays (the in-memory stand-in for a point-read attribute index;
+    rank_prior_scalable is the range-blocked form of the same
+    lookup)."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.extras import _textstats
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+
+    def _flu(batch: pa.Table) -> pa.Table:
+        nw = batch.column("n_words").to_numpy().astype(np.int64)
+        ns = batch.column("n_stop").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "fluency_ppm": pa.array(
+                (ns * 1_000_000) // np.maximum(nw, 1), pa.int64()),
+        })
+
+    stat_rows = (documents_ds(sf_dir)
+                 .map_batches(_textstats, batch_format="pyarrow")
+                 .map_batches(_flu, batch_format="pyarrow")
+                 .take_all())
+    s2_docs = np.array([r["doc_id"] for r in stat_rows], np.int64)
+    s2_vals = np.array([r["fluency_ppm"] for r in stat_rows], np.int64)
+    o = np.lexsort((s2_docs, -s2_vals))          # fluency desc, doc asc
+    s2_docs, s2_vals = s2_docs[o], s2_vals[o]
+    ra_order = np.argsort(s2_docs)               # random-access index
+    ra_docs = s2_docs[ra_order]
+    ra_vals = s2_vals[ra_order]
+    w = np.int64(TA_FLUENCY_W)
+
+    qids, ranks, docs_out, fused_out = [], [], [], []
+    total_sorted_accesses = 0
+    per_query_accesses: list[tuple] = []
+    for qid, text in DOC_QUERIES:
+        terms = sorted(set(tokenize_text(text)))
+        if not terms:
+            continue
+        tlists = []
+        for t in terms:
+            tid = reader.term_to_id.get(t)
+            got = reader.get(int(tid)) if tid is not None else None
+            if got is not None:
+                tlists.append((got[0], got[1]))
+        # BM25 match set, score-desc (match-set-bounded, not corpus)
+        if tlists:
+            alldocs = np.unique(np.concatenate([d for d, _ in tlists]))
+            bscore = np.zeros(alldocs.size, np.int64)
+            for d, s in tlists:
+                pos = np.searchsorted(alldocs, d)
+                bscore[pos] += s.astype(np.int64)
+            o1 = np.lexsort((alldocs, -bscore))
+            s1_docs, s1_vals = alldocs[o1], bscore[o1]
+        else:
+            s1_docs = np.empty(0, np.int64)
+            s1_vals = np.empty(0, np.int64)
+
+        def bm25_of(d: int) -> int:
+            if s1_docs.size == 0:
+                return 0
+            i = np.searchsorted(alldocs, d)
+            if i < alldocs.size and alldocs[i] == d:
+                return int(bscore[i])
+            return 0
+
+        seen: dict[int, int] = {}
+        p1 = p2 = 0
+        cur1 = int(s1_vals[0]) if s1_vals.size else 0
+        cur2 = int(s2_vals[0]) if s2_vals.size else 0
+        while True:
+            if p1 < s1_docs.size:
+                d = int(s1_docs[p1])
+                cur1 = int(s1_vals[p1])
+                p1 += 1
+                if d not in seen:
+                    j = np.searchsorted(ra_docs, d)
+                    seen[d] = int(s1_vals[p1 - 1]) + int(w * ra_vals[j])
+            if p2 < s2_docs.size:
+                d = int(s2_docs[p2])
+                cur2 = int(s2_vals[p2])
+                p2 += 1
+                if d not in seen:
+                    seen[d] = bm25_of(d) + int(w) * cur2
+            # s1 bound for an UNSEEN doc: an unenumerated matcher is
+            # <= cur1, and every non-matcher scores exactly 0 — so
+            # max(cur1, 0) while the match list is live, 0 after it
+            # exhausts (negative-idf matchers stay under both bounds)
+            bound1 = max(cur1, 0) if p1 < s1_docs.size else 0
+            tau = bound1 + int(w) * cur2
+            if len(seen) >= k:
+                kth = sorted(seen.values(), reverse=True)[k - 1]
+                if kth > tau:
+                    break
+            if p1 >= s1_docs.size and p2 >= s2_docs.size:
+                break
+        total_sorted_accesses += p1 + p2
+        per_query_accesses.append((qid, p1, int(s1_docs.size),
+                                   p2, int(s2_docs.size)))
+        top = sorted(seen.items(), key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (d, f) in enumerate(top, 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs_out.append(d)
+            fused_out.append(f)
+    out = pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs_out, pa.int64()),
+        "fused": pa.array(fused_out, pa.int64()),
+    })
+    # expose the instrumentation for the early-termination pytest
+    q_ta_fused_topk.last_sorted_accesses = total_sorted_accesses  # type: ignore[attr-defined]
+    q_ta_fused_topk.last_corpus_size = int(s2_docs.size)  # type: ignore[attr-defined]
+    q_ta_fused_topk.last_per_query = per_query_accesses  # type: ignore[attr-defined]
+    return out

@@ -6618,6 +6618,7 @@ deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM sadj GROUP BY x)"""
 def session13_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import (
         AA_DEG_CAP, AA_TOPK, aa_weight_lut)
+    from candidategeneration_ray.pipelines.docquery import TA_FLUENCY_W
     from candidategeneration_ray.pipelines.extras import (
         _SIGN_BIT, HASH_DIM, MAXSIM_SLOTS, WINNOW_K, WINNOW_W)
     from candidategeneration_ray.pipelines.sketches import KMV_K
@@ -6631,6 +6632,7 @@ def session13_oracles() -> dict[str, str]:
                 "AS BIGINT)")
     h_slot = _H64.format(expr="CAST(s AS VARCHAR) || ':' || tok")
     slot_vals = ",".join(f"({s})" for s in range(MAXSIM_SLOTS))
+    _TS13_SQL = extras_oracles()["text_stats"]
     K, W = WINNOW_K, WINNOW_W
     kgram_h = _H64.format(
         expr=f"CASE WHEN len(l) <= {K} THEN array_to_string(l, ' ') "
@@ -6672,6 +6674,39 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
             AS BIGINT) AS fp
 FROM fp
 """,
+        # TA rank fusion: full-scan fused = bm25 + W*fluency; TA's hash
+        # match against this proves the early-termination rule exact
+        "ta_fused_topk": f"""
+WITH {KEPT_CTE},
+{SCORES_CTE},
+{QTOK_CTE},
+ts AS ({{TS}}),
+flu AS (SELECT doc_id,
+               (n_stop * 1000000)
+                 // CASE WHEN n_words > 0 THEN n_words ELSE 1 END AS f
+        FROM ts),
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok q JOIN scores s USING (tok)
+  GROUP BY 1, 2),
+allq AS (SELECT DISTINCT query_id FROM qtok),
+fused AS (
+  SELECT a.query_id, d.doc_id,
+         coalesce(qs.score, 0) + {TA_FLUENCY_W} * f.f AS fused
+  FROM allq a
+  CROSS JOIN documents d
+  JOIN flu f ON f.doc_id = d.doc_id
+  LEFT JOIN qscores qs
+    ON qs.query_id = a.query_id AND qs.doc_id = d.doc_id)
+SELECT query_id, CAST(rn AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, CAST(fused AS BIGINT) AS fused
+FROM (
+  SELECT query_id, doc_id, fused,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fused DESC, doc_id ASC) AS rn
+  FROM fused
+) WHERE rn <= 10
+""".replace("{TS}", _TS13_SQL),
         # item-item cosine: squared cross-multiplied threshold over the
         # co-purchase pair and item supports
         "item_cosine_pairs": """
