@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomalous_days": ev.q_anomalous_days,
         "mad_outlier_days": ev.q_mad_outlier_days,  # median/MAD robust twin
         "daily_autocorr": ev.q_daily_autocorr,  # exact ACF sufficient stats
+        "haar_daily": ev.q_haar_daily,          # integer Haar filter bank
         "seasonal_forecast_eval": ev.q_seasonal_forecast_eval,  # MASE baseline          # integer-exact z-score outliers
         "ab_test_flags": ev.q_ab_test_flags,            # integer two-sample test
         "range_join_counts": ev.q_range_join_counts,

@@ -3030,3 +3030,82 @@ def q_rfm_segments(sf_dir: str, num_blocks: int = 16) -> ray.data.Dataset:
         .groupby("user_id").aggregate(Sum("w", alias_name="w"))
         .map_batches(_decode, batch_format="pyarrow")
     )
+
+
+# ----------------------------------------------- Haar wavelet transform
+
+HAAR_N = 64                      # fixed dyadic window (2^6 day slots)
+HAAR_LEVELS = 6
+
+
+def q_haar_daily(sf_dir: str) -> ray.data.Dataset:
+    """Integer Haar wavelet decomposition of each event type's daily
+    count series — the multi-resolution view (compression / burst
+    localization: a detail coefficient says WHERE at WHICH scale the
+    rate changed, which the pointwise z-test and CUSUM entries cannot).
+    The UNNORMALIZED filter bank keeps every coefficient an integer:
+    level ℓ pairs s→(a+b) with detail (a−b); level HAAR_LEVELS+1 row 0
+    is the final approximation = the type's total event count. Missing
+    calendar days are zero-filled on a fixed HAAR_N-slot window
+    anchored at the GLOBAL min day (raises if the span outgrows it —
+    widen HAAR_N, it must be dyadic).
+
+    Shape: the (type, day) count compression (types × days rows) →
+    ONE per-type map_groups computing the whole filter bank on a
+    64-slot vector. Output (event_type, level, idx, coeff)."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def _day_rows(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        day = ts // day_us
+        ut, ti = np.unique(et, return_inverse=True)
+        d0 = np.int64(day.min()) if day.size else np.int64(0)
+        span = np.int64(day.max()) - d0 + 1 if day.size else np.int64(1)
+        code = ti.astype(np.int64) * span + (day - d0)
+        u, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(ut[u // span].tolist(), pa.string()),
+            "day": pa.array(u % span + d0, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+        })
+
+    counts = (events_ds(sf_dir, ["ts", "event_type"])
+              .map_batches(_day_rows, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n_events", alias_name="n_events"))
+              .materialize())
+    day0 = int(counts.min("day"))
+
+    def _haar(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = group.column("day").to_numpy().astype(np.int64) - day0
+        c = group.column("n_events").to_numpy().astype(np.int64)
+        if day.size and int(day.max()) >= HAAR_N:
+            raise ValueError(
+                f"event span {int(day.max()) + 1} days exceeds the "
+                f"HAAR_N={HAAR_N} dyadic window — widen HAAR_N")
+        s = np.zeros(HAAR_N, np.int64)
+        s[day] = c
+        out_l, out_i, out_c = [], [], []
+        for lvl in range(1, HAAR_LEVELS + 1):
+            d = s[0::2] - s[1::2]
+            s = s[0::2] + s[1::2]
+            out_l.extend([lvl] * d.size)
+            out_i.extend(range(d.size))
+            out_c.extend(d.tolist())
+        out_l.append(HAAR_LEVELS + 1)
+        out_i.append(0)
+        out_c.append(int(s[0]))
+        return pa.table({
+            "event_type": pa.array([et] * len(out_l), pa.string()),
+            "level": pa.array(out_l, pa.int64()),
+            "idx": pa.array(out_i, pa.int64()),
+            "coeff": pa.array(out_c, pa.int64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        _haar, batch_format="pyarrow")

@@ -6633,6 +6633,36 @@ def session13_oracles() -> dict[str, str]:
     h_slot = _H64.format(expr="CAST(s AS VARCHAR) || ':' || tok")
     slot_vals = ",".join(f"({s})" for s in range(MAXSIM_SLOTS))
     _TS13_SQL = extras_oracles()["text_stats"]
+
+    from candidategeneration_ray.pipelines.events import HAAR_LEVELS, HAAR_N
+    haar_ctes = []
+    for lvl in range(1, HAAR_LEVELS + 1):
+        haar_ctes.append(
+            f"l{lvl} AS (SELECT event_type, i // 2 AS i,\n"
+            f"  sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS d,\n"
+            f"  sum(v) AS v FROM l{lvl - 1} GROUP BY 1, 2)")
+    haar_selects = [
+        f"SELECT event_type, CAST({lvl} AS BIGINT) AS level, "
+        f"CAST(i AS BIGINT) AS idx, CAST(d AS BIGINT) AS coeff FROM l{lvl}"
+        for lvl in range(1, HAAR_LEVELS + 1)]
+    haar_selects.append(
+        f"SELECT event_type, CAST({HAAR_LEVELS + 1} AS BIGINT), "
+        f"CAST(0 AS BIGINT), CAST(v AS BIGINT) FROM l{HAAR_LEVELS}")
+    haar_sql = f"""
+WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+cnt AS (SELECT event_type,
+               epoch_us(ts) // 86400000000 - (SELECT d0 FROM d0) AS i,
+               CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+grid AS (SELECT t.event_type, g.i
+         FROM (SELECT DISTINCT event_type FROM events) t
+         CROSS JOIN (SELECT unnest(range(0, {HAAR_N})) AS i) g),
+l0 AS (SELECT g.event_type, g.i, coalesce(c.v, 0) AS v
+       FROM grid g LEFT JOIN cnt c
+         ON c.event_type = g.event_type AND c.i = g.i),
+{",".join(haar_ctes)}
+{" UNION ALL ".join(haar_selects)}
+"""
     K, W = WINNOW_K, WINNOW_W
     kgram_h = _H64.format(
         expr=f"CASE WHEN len(l) <= {K} THEN array_to_string(l, ' ') "
@@ -6674,6 +6704,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
             AS BIGINT) AS fp
 FROM fp
 """,
+        # Haar filter bank: one GROUP BY per level over the zero-filled
+        # dyadic day grid (details = even-odd, approx rides along)
+        "haar_daily": haar_sql,
         # TA rank fusion: full-scan fused = bm25 + W*fluency; TA's hash
         # match against this proves the early-termination rule exact
         "ta_fused_topk": f"""

@@ -393,3 +393,39 @@ def test_ta_early_termination_and_exactness(ray_session):
         got_rows = [(int(r.doc_id), int(r.fused))
                     for r in grp.sort_values("rank").itertuples()]
         assert got_rows == want, qid
+
+
+def test_haar_invariants(ray_session):
+    """Perfect reconstruction (inverse transform returns the daily
+    series) and Parseval-style energy accounting for the unnormalized
+    Haar bank; approx row equals the type's total count."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import events as ev
+
+    got = ev.q_haar_daily(SF).to_pandas()
+    raw = pq.read_table(SF + "/events.parquet",
+                        columns=["ts", "event_type"]).to_pandas()
+    raw["day"] = raw["ts"].astype("int64") // 86_400_000_000
+    day0 = int(raw["day"].min())
+    for et, grp in raw.groupby("event_type"):
+        dense = np.zeros(ev.HAAR_N, np.int64)
+        for d, n in grp.groupby("day").size().items():
+            dense[int(d) - day0] = n
+        g = got[got["event_type"] == et]
+        assert int(g[g["level"] == ev.HAAR_LEVELS + 1]["coeff"].iloc[0]) \
+            == int(dense.sum())
+        # inverse transform: start from approx, apply details upward
+        s = np.array([int(g[g["level"] == ev.HAAR_LEVELS + 1]
+                          ["coeff"].iloc[0])], np.int64)
+        for lvl in range(ev.HAAR_LEVELS, 0, -1):
+            dd = (g[g["level"] == lvl].sort_values("idx")["coeff"]
+                  .to_numpy(np.int64))
+            a = (s + dd) // 2
+            b = (s - dd) // 2
+            assert ((s + dd) % 2 == 0).all()    # integers reconstruct
+            nxt = np.empty(2 * s.size, np.int64)
+            nxt[0::2] = a
+            nxt[1::2] = b
+            s = nxt
+        assert (s == dense).all(), et
