@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": tl.q_bpe_merges,                  # BPE tokenizer training
         "bpe_segmented": tl.q_bpe_segmented,            # trained segmentation
         "sequence_manifest": tl.q_sequence_manifest,    # inverse seq->docs manifest
+        "selection_audit": tl.q_selection_audit,    # per-doc reason codes
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
         # --- relational / warehouse surface (TPC-H-shaped tables) ---

@@ -2153,6 +2153,60 @@ SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(prio AS BIGINT) AS prio,
        CAST(cum AS BIGINT) AS cum_tokens
 FROM sel WHERE cum <= {budget}
 """,
+        # row-level lineage: the same stage rules, re-derived as a
+        # fixed-priority reason CASE for EVERY document
+        "selection_audit": f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(DECON_W)},
+{_WORDS_CTE},
+qual AS (
+  SELECT d.doc_id
+  FROM documents d LEFT JOIN wstats w USING (doc_id)
+  WHERE coalesce(w.n_words, 0) >= {QF_MIN_WORDS}
+    AND coalesce(w.n_words, 0) <= {QF_MAX_WORDS}
+    AND {QF_STOP_MULT} * coalesce(w.n_stop, 0) >= coalesce(w.n_words, 0)
+    AND length(d.text) <= {QF_MAX_MEAN_WLEN} * greatest(coalesce(w.n_words, 0), 1)
+    AND {QF_PUNCT_MULT} * len(regexp_extract_all(d.text, '[^A-Za-z0-9\\s]')) <= length(d.text)
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+contam AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (h)
+  WHERE s.doc_id % {BENCH_MOD} <> 0
+),
+tk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT tok) AS BIGINT) AS nd
+       FROM kept GROUP BY doc_id),
+flags AS (
+  SELECT d.doc_id, d.source, d.text,
+         (d.doc_id % {BENCH_MOD} = 0) AS is_bench,
+         (d.doc_id IN (SELECT doc_id FROM qual)) AS q_ok,
+         (d.doc_id IN (SELECT doc_id FROM contam)) AS is_contam,
+         coalesce(tk.n, 0) AS n, coalesce(tk.nd, 0) AS nd
+  FROM documents d LEFT JOIN tk USING (doc_id)),
+gate AS (SELECT *, (q_ok AND NOT is_bench AND NOT is_contam AND n > 0)
+                AS ok FROM flags),
+dd AS (SELECT min(doc_id) AS keep_id FROM gate WHERE ok GROUP BY md5(text)),
+cand AS (
+  SELECT g.source, g.doc_id, (1000 * g.nd) // g.n AS prio, g.n AS ntok
+  FROM gate g JOIN dd ON dd.keep_id = g.doc_id),
+sel AS (
+  SELECT doc_id,
+         sum(ntok) OVER (PARTITION BY source ORDER BY prio DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cand)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id, g.source,
+       CASE WHEN g.is_bench THEN 'benchmark'
+            WHEN NOT g.q_ok THEN 'quality'
+            WHEN g.is_contam THEN 'contaminated'
+            WHEN g.n = 0 THEN 'empty'
+            WHEN s2.keep_id IS NULL THEN 'duplicate'
+            WHEN s.cum <= {budget} THEN 'selected'
+            ELSE 'over_budget' END AS reason
+FROM gate g
+LEFT JOIN dd s2 ON s2.keep_id = g.doc_id
+LEFT JOIN sel s ON s.doc_id = g.doc_id
+""",
     }
 
 

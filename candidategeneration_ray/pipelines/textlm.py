@@ -594,6 +594,27 @@ def q_tfidf_top3(sf_dir: str, k: int = 3) -> ray.data.Dataset:
 
 # --------------------------------- end-to-end pretraining data prep
 
+def _benchmark_shingle_set(sf_dir: str, w: int,
+                           bench_mod: int) -> np.ndarray:
+    """Sorted uint64 benchmark shingle hashes (docs with
+    doc_id % bench_mod == 0): distributed distinct → one broadcast —
+    shared by the flagship composition and its audit twin."""
+    def _bench_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, per_doc = _doc_shingle_hashes(batch, w)
+        keep = doc_ids % bench_mod == 0
+        hs = (np.unique(np.concatenate(
+            [h for h, k in zip(per_doc, keep) if k]))
+            if keep.any() else np.empty(0, np.uint64))
+        return pa.table({"h": pa.array(hs.astype(np.int64), pa.int64())})
+
+    return np.sort(np.asarray(
+        documents_ds(sf_dir)
+        .map_batches(_bench_rows, batch_format="pyarrow")
+        .unique("h"),
+        dtype=np.int64,
+    ).astype(np.uint64))
+
+
 def q_pretrain_select(sf_dir: str, budget: int = 400, w: int = DECON_W,
                       bench_mod: int = BENCH_MOD,
                       n_buckets: int = 64) -> ray.data.Dataset:
@@ -622,22 +643,7 @@ def q_pretrain_select(sf_dir: str, budget: int = 400, w: int = DECON_W,
 
     from candidategeneration_ray.pipelines import extras as ex
 
-    # benchmark shingle hashes: distributed distinct -> one broadcast
-    def _bench_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, per_doc = _doc_shingle_hashes(batch, w)
-        keep = doc_ids % bench_mod == 0
-        hs = (np.unique(np.concatenate(
-            [h for h, k in zip(per_doc, keep) if k]))
-            if keep.any() else np.empty(0, np.uint64))
-        return pa.table({"h": pa.array(hs.astype(np.int64), pa.int64())})
-
-    bench = np.sort(np.asarray(
-        documents_ds(sf_dir)
-        .map_batches(_bench_rows, batch_format="pyarrow")
-        .unique("h"),
-        dtype=np.int64,
-    ).astype(np.uint64))
-    bench_ref = ray.put(bench)
+    bench_ref = ray.put(_benchmark_shingle_set(sf_dir, w, bench_mod))
 
     def _rows(batch: pa.Table) -> pa.Table:
         from candidategeneration_ray.pipelines.extras import (
@@ -1217,3 +1223,130 @@ def q_bool_and_docs_svs(sf_dir: str) -> pa.Table:
         "query_id": pa.array(qids, pa.int64()),
         "doc_id": pa.array(docs, pa.int64()),
     })
+
+
+def q_selection_audit(sf_dir: str, budget: int = 400, w: int = DECON_W,
+                      bench_mod: int = BENCH_MOD,
+                      n_buckets: int = 64) -> ray.data.Dataset:
+    """Row-level lineage for the FLAGSHIP composition — every document
+    gets the REASON it did or did not survive q_pretrain_select, by
+    fixed gate priority:
+
+        benchmark > quality > contaminated > empty > duplicate >
+        over_budget > selected
+
+    The explainability twin a data-curation pipeline owes its users:
+    q_pretrain_select emits the survivors; this emits the verdict for
+    ALL rows (a selected doc here is exactly a pretrain_select row —
+    the oracle re-derives both from the same rule text, so the wiring
+    is hash-checked).
+
+    Shape: identical to the flagship — one feature map (quality mask,
+    contamination flag, md5, token stats in a single pass), the SAME
+    two bounded shuffles (md5-hash bucket dedup; per-source budget
+    scan); decided rows ride through the second shuffle untouched.
+    Output (doc_id, source, reason)."""
+    import hashlib
+
+    from candidategeneration_ray.pipelines import extras as ex
+
+    bench_ref = ray.put(_benchmark_shingle_set(sf_dir, w, bench_mod))
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        from candidategeneration_ray.pipelines.extras import (
+            QF_MAX_MEAN_WLEN, QF_MAX_WORDS, QF_MIN_WORDS, QF_PUNCT_MULT,
+            QF_STOP_MULT)
+
+        bset = ray.get(bench_ref)
+        st = ex._textstats(batch)
+        nw = st.column("n_words").to_numpy()
+        nc = st.column("n_chars").to_numpy()
+        ns = st.column("n_stop").to_numpy()
+        npc = st.column("n_punct_chars").to_numpy()
+        quality_ok = (
+            (nw >= QF_MIN_WORDS) & (nw <= QF_MAX_WORDS)
+            & (QF_STOP_MULT * ns >= nw)
+            & (nc <= QF_MAX_MEAN_WLEN * np.maximum(nw, 1))
+            & (QF_PUNCT_MULT * npc <= nc)
+        )
+        texts = batch.column("text").to_pylist()
+        token_lists = tokenize_many(texts)
+        lens, _, doc_g, _, _ = _packed_doc_terms(token_lists)
+        nd = np.bincount(doc_g, minlength=len(token_lists)).astype(np.int64)
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        per_doc = [np.unique(H.h64_many(H.word_shingles(t, w)))
+                   for t in token_lists]
+        sizes = np.fromiter((p.size for p in per_doc), np.int64,
+                            len(per_doc))
+        cat = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
+        if bset.size:
+            pos = np.searchsorted(bset, cat)
+            pos[pos == bset.size] = 0
+            n_hit, _ = _segment_counts(bset[pos] == cat, sizes)
+        else:
+            n_hit = np.zeros(sizes.size, np.int64)
+        is_bench = doc_ids % bench_mod == 0
+        contam = (n_hit > 0) & ~is_bench
+        empty = lens == 0
+        # gate verdict by fixed priority; '' = pending (gate survivor)
+        reason = np.full(doc_ids.size, "", dtype=object)
+        reason[empty] = "empty"
+        reason[contam] = "contaminated"
+        reason[~quality_ok] = "quality"
+        reason[is_bench] = "benchmark"
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        bkt = H.h64_many(md5s) % np.uint64(n_buckets)
+        return pa.table({
+            "bkt": pa.array(bkt.astype(np.int64), pa.int64()),
+            "md5": pa.array(md5s, pa.string()),
+            "source": batch.column("source"),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "reason": pa.array(reason.tolist(), pa.string()),
+            "prio": pa.array((1000 * nd) // np.maximum(lens, 1),
+                             pa.int64()),
+            "ntok": pa.array(lens, pa.int64()),
+        })
+
+    def _dedup_bucket(group: pa.Table) -> pa.Table:
+        md5 = np.asarray(group.column("md5").to_pylist(), dtype=object)
+        did = group.column("doc_id").to_numpy().astype(np.int64)
+        reason = np.asarray(group.column("reason").to_pylist(),
+                            dtype=object)
+        ok = reason == ""
+        if ok.any():
+            _, inv = np.unique(md5[ok], return_inverse=True)
+            oki = np.flatnonzero(ok)
+            order = np.lexsort((did[oki], inv))
+            v = inv[order]
+            first = np.r_[True, v[1:] != v[:-1]]
+            losers = oki[order[~first]]
+            reason[losers] = "duplicate"
+        out = group.drop_columns(["bkt", "md5", "reason"])
+        return out.append_column("reason",
+                                 pa.array(reason.tolist(), pa.string()))
+
+    def _select(group: pa.Table) -> pa.Table:
+        reason = np.asarray(group.column("reason").to_pylist(),
+                            dtype=object)
+        prio = group.column("prio").to_numpy().astype(np.int64)
+        did = group.column("doc_id").to_numpy().astype(np.int64)
+        ntok = group.column("ntok").to_numpy().astype(np.int64)
+        pend = np.flatnonzero(reason == "")
+        if pend.size:
+            order = pend[np.lexsort((did[pend], -prio[pend]))]
+            cum = np.cumsum(ntok[order])
+            reason[order] = np.where(cum <= budget,
+                                     "selected", "over_budget")
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "source": group.column("source"),
+            "reason": pa.array(reason.tolist(), pa.string()),
+        })
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "source"])
+        .map_batches(_rows, batch_format="pyarrow")
+        .groupby("bkt").map_groups(_dedup_bucket, batch_format="pyarrow")
+        .groupby("source").map_groups(_select, batch_format="pyarrow")
+    )

@@ -429,3 +429,21 @@ def test_haar_invariants(ray_session):
             nxt[1::2] = b
             s = nxt
         assert (s == dense).all(), et
+
+
+def test_selection_audit_consistency(ray_session):
+    """The audit's 'selected' rows are exactly pretrain_select's
+    survivors; every doc gets exactly one reason; reasons partition."""
+    from candidategeneration_ray.pipelines import textlm as tl
+
+    audit = tl.q_selection_audit(SF).to_pandas()
+    sel = tl.q_pretrain_select(SF).to_pandas()
+    assert audit["doc_id"].is_unique
+    got_sel = set(audit[audit["reason"] == "selected"]["doc_id"])
+    assert got_sel == set(sel["doc_id"])
+    allowed = {"benchmark", "quality", "contaminated", "empty",
+               "duplicate", "over_budget", "selected"}
+    assert set(audit["reason"]) <= allowed
+    # priority sanity: every benchmark doc is labeled benchmark
+    assert (audit[audit["doc_id"] % tl.BENCH_MOD == 0]["reason"]
+            == "benchmark").all()
