@@ -178,9 +178,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": ex.q_snapshot_diff,            # versioned-table diff by key
         "doc_chunks": ex.q_doc_chunks,          # flat-map chunker (RAG shape)
         "column_profile": ex.q_column_profile,  # schema-drift validation
+        "df_drift": ex.q_df_drift,              # vocabulary drift audit
         "similar_docs": ex.q_similar_docs,      # broadcast-probe Jaccard search
         "top_similar_pairs": ex.q_top_similar_pairs,  # threshold-less top-k sim join
         "fuzzy_name_pairs": ex.q_fuzzy_name_pairs,    # edit-distance join (Myers verify)
+        "snm_pairs": ex.q_snm_pairs,                  # sorted-neighborhood blocking
         "part_entities": ex.q_part_entities,          # fuzzy-match entity resolution
         "source_similarity": ex.q_source_similarity,  # dataset-level MinHash overlap
         "delta_dedup": ex.q_delta_dedup,              # new-vs-base ingest dedup

@@ -208,6 +208,7 @@ def run_bench() -> dict:
     from candidategeneration_ray.pipelines import ivfdelta as ivfd
     from candidategeneration_ray.pipelines import positional as ps
     from candidategeneration_ray.pipelines import relational as rl
+    from candidategeneration_ray.pipelines import sketches as sk_
     from candidategeneration_ray.pipelines import textlm as tl
 
     def _imp():
@@ -295,6 +296,16 @@ def run_bench() -> dict:
         ("lmdirichlet_topk", ps.q_lmdirichlet_topk),    # 2nd ranking model
         ("index_integrity", dq.q_index_integrity),     # format audit pass
         ("curriculum_order", ex.q_curriculum_order),    # global quality rank
+        # session-13 additions (appended — earlier keys stay comparable)
+        ("maxsim_top10", ex.q_maxsim_top10),            # late interaction
+        ("ta_fused_topk", dq.q_ta_fused_topk),          # Fagin TA fusion
+        ("winnow_fingerprints", ex.q_winnow_fingerprints),  # MOSS winnowing
+        ("rfm_segments", ev.q_rfm_segments),            # exact NTILE RFM
+        ("scd2_join", ev.q_scd2_join),                  # point-in-time join
+        ("kmv_source_overlap", sk_.q_kmv_source_overlap),  # KMV sketch
+        ("adamic_adar", cb.q_adamic_adar),              # weighted link score
+        ("selection_audit", _tl().q_selection_audit),   # reason codes
+        ("haar_daily", ev.q_haar_daily),                # wavelet filter bank
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)

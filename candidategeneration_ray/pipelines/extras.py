@@ -3884,3 +3884,187 @@ def q_readability(sf_dir: str) -> ray.data.Dataset:
         })
 
     return documents_ds(sf_dir).map_batches(_read, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- term-drift audit
+
+DF_DRIFT_TOPK = 50
+
+
+def q_df_drift(sf_dir: str, k_out: int = DF_DRIFT_TOPK) -> pa.Table:
+    """Vocabulary drift between two corpus snapshots (first/second half
+    by doc_id — the same split convention as asof_bm25_topk): per term,
+    document frequency in each half, ranked by the EXACT cross-
+    multiplied rate difference |df_a·n_b − df_b·n_a| (the χ²-style
+    drift numerator with no division — a term used proportionally more
+    in one half scores high). The text-side distribution-drift
+    diagnostic next to label_centroid_dist (embeddings) and
+    snapshot_diff (rows): detects topic/source composition shifts
+    between ingests.
+
+    Shape: per-batch (term, half) distinct-doc count partials → ONE
+    groupby(term) merge → a pure map computes the drift → dataset-side
+    sort/limit. O(vocabulary) rows after the merge."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        half = batch.column("is_b").to_numpy().astype(np.int64)
+        toks, halves = [], []
+        for i, tl in enumerate(token_lists):
+            u = set(tl)
+            toks.extend(u)
+            halves.extend([half[i]] * len(u))
+        if not toks:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "df_a": pa.array([], pa.int64()),
+                             "df_b": pa.array([], pa.int64())})
+        ta = np.asarray(toks, object)
+        hb = np.asarray(halves, np.int64)
+        u, inv = np.unique(ta, return_inverse=True)
+        da = np.bincount(inv, weights=(hb == 0)).astype(np.int64)
+        db = np.bincount(inv, weights=(hb == 1)).astype(np.int64)
+        return pa.table({"tok": pa.array(u.tolist(), pa.string()),
+                         "df_a": pa.array(da, pa.int64()),
+                         "df_b": pa.array(db, pa.int64())})
+
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    n_total = docs.count()
+    n_a = n_total // 2          # doc_id < n_total // 2 -> half A
+    n_b = n_total - n_a
+
+    merged = (docs.map_batches(
+        lambda b: b.append_column(
+            "is_b", pc.cast(pc.greater_equal(
+                b.column("doc_id"), n_a), pa.int64())),
+        batch_format="pyarrow")
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("df_a", alias_name="df_a"),
+                   Sum("df_b", alias_name="df_b")))
+
+    def _drift(batch: pa.Table) -> pa.Table:
+        da = batch.column("df_a").to_numpy().astype(np.int64)
+        db = batch.column("df_b").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "drift_num", pa.array(np.abs(da * n_b - db * n_a), pa.int64()))
+
+    top = (merged.map_batches(_drift, batch_format="pyarrow")
+           .sort(key=["drift_num", "tok"], descending=[True, False])
+           .limit(k_out)
+           .take_all())
+    return pa.table({
+        "tok": pa.array([r["tok"] for r in top], pa.string()),
+        "df_a": pa.array([r["df_a"] for r in top], pa.int64()),
+        "df_b": pa.array([r["df_b"] for r in top], pa.int64()),
+        "drift_num": pa.array([r["drift_num"] for r in top], pa.int64()),
+    })
+
+
+# ------------------------------------- sorted-neighborhood (SNM) blocking
+
+SNM_W = 4        # sliding window over the sorted key order
+SNM_K = 4        # verify threshold (edit distance; the synthetic
+                 # names are 'color noun' — nearest window pairs
+                 # sit at ed 3-4, so 4 keeps real matches)
+SNM_GROUP = 512  # ranks per window bucket (>> SNM_W)
+
+
+def q_snm_pairs(sf_dir: str, w: int = SNM_W,
+                k: int = SNM_K) -> ray.data.Dataset:
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo SIGMOD'95 merge/purge): DISTINCT part names sort globally;
+    every pair within a window of `w` consecutive sorted positions is a
+    candidate; candidates verify with the exact Myers bit-parallel
+    edit distance (<= k kept). The classic alternative BLOCKING
+    strategy to q_fuzzy_name_pairs' q-gram prefix filter — window
+    candidates are O(n·w) regardless of gram skew, at the cost of
+    missing pairs that sort far apart.
+
+    Shape: distinct-name groupby → ONE distributed sort + the
+    range-blocked rank pattern → each row lands in its rank-bucket
+    (and the previous bucket when within w-1 of the boundary, so every
+    window pair is owned by exactly one bucket — its LEFT element's) →
+    per-bucket window expansion + one vectorized _ed_many verify.
+    Output (name_a, name_b, ed), name_a < name_b in sort order."""
+    from ray.data.aggregate import Count
+
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    g = SNM_GROUP
+
+    names = (ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_name"])
+        .groupby("p_name").aggregate(Count(alias_name="_c"))
+        .select_columns(["p_name"]))
+
+    def _emit(t: pa.Table, base: int) -> pa.Table:
+        if t.num_rows == 0 or "p_name" not in t.column_names:
+            return pa.table({"nm": pa.array([], pa.string()),
+                             "r": pa.array([], pa.int64())})
+        return pa.table({
+            "nm": t.column("p_name"),
+            "r": pa.array(base + 1 + np.arange(t.num_rows, dtype=np.int64),
+                          pa.int64()),
+        })
+
+    ranked = blocked_prefix_apply(names.sort(key=["p_name"]), 16,
+                                  lambda t: t.num_rows, _emit)
+
+    def _buckets(batch: pa.Table) -> pa.Table:
+        nm = np.asarray(batch.column("nm").to_pylist(), object)
+        r = batch.column("r").to_numpy().astype(np.int64)
+        own = r // g
+        out_nm = [nm]
+        out_r = [r]
+        out_b = [own]
+        straddle = (r % g) <= (w - 2)
+        if straddle.any():
+            out_nm.append(nm[straddle])
+            out_r.append(r[straddle])
+            out_b.append(own[straddle] - 1)
+        return pa.table({
+            "bkt": pa.array(np.concatenate(out_b), pa.int64()),
+            "nm": pa.array(np.concatenate(out_nm).tolist(), pa.string()),
+            "r": pa.array(np.concatenate(out_r), pa.int64()),
+        })
+
+    def _window_pairs(group: pa.Table) -> pa.Table:
+        bkt = int(group.column("bkt")[0].as_py())
+        nm = np.asarray(group.column("nm").to_pylist(), object)
+        r = group.column("r").to_numpy().astype(np.int64)
+        order = np.argsort(r)
+        nm, r = nm[order], r[order]
+        a_list, b_list = [], []
+        for i in range(r.size):
+            if r[i] // g != bkt:        # replicated row: right-side only
+                continue
+            for j in range(i + 1, r.size):
+                if r[j] - r[i] >= w:
+                    break
+                a_list.append(nm[i])
+                b_list.append(nm[j])
+        empty = pa.table({"name_a": pa.array([], pa.string()),
+                          "name_b": pa.array([], pa.string()),
+                          "ed": pa.array([], pa.int64())})
+        if not a_list:
+            return empty
+        ed = _ed_many(a_list, b_list)
+        keep = ed <= k
+        if not keep.any():
+            return empty
+        ki = np.flatnonzero(keep)
+        return pa.table({
+            "name_a": pa.array([a_list[i] for i in ki], pa.string()),
+            "name_b": pa.array([b_list[i] for i in ki], pa.string()),
+            "ed": pa.array(ed[ki], pa.int64()),
+        })
+
+    return (ranked.map_batches(_buckets, batch_format="pyarrow")
+            .groupby("bkt")
+            .map_groups(_window_pairs, batch_format="pyarrow"))

@@ -6674,7 +6674,8 @@ def session13_oracles() -> dict[str, str]:
         AA_DEG_CAP, AA_TOPK, aa_weight_lut)
     from candidategeneration_ray.pipelines.docquery import TA_FLUENCY_W
     from candidategeneration_ray.pipelines.extras import (
-        _SIGN_BIT, HASH_DIM, MAXSIM_SLOTS, WINNOW_K, WINNOW_W)
+        _SIGN_BIT, DF_DRIFT_TOPK, HASH_DIM, MAXSIM_SLOTS, SNM_K, SNM_W,
+        WINNOW_K, WINNOW_W)
     from candidategeneration_ray.pipelines.sketches import KMV_K
 
     aa_lut_rows = ",".join(
@@ -6757,6 +6758,37 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
                               THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
             AS BIGINT) AS fp
 FROM fp
+""",
+        # sorted-neighborhood blocking: window pairs over the ranked
+        # distinct names, DuckDB levenshtein verify
+        "snm_pairs": f"""
+WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
+rk AS (SELECT nm, row_number() OVER (ORDER BY nm) AS r FROM names),
+pairs AS (
+  SELECT a.nm AS name_a, b.nm AS name_b
+  FROM rk a JOIN rk b ON b.r > a.r AND b.r < a.r + {SNM_W})
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS ed
+FROM pairs WHERE levenshtein(name_a, name_b) <= {SNM_K}
+""",
+        # term drift between doc-id halves: cross-multiplied rate diff
+        "df_drift": f"""
+WITH {KEPT_CTE},
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+tf AS (SELECT DISTINCT doc_id, tok FROM kept),
+agg AS (
+  SELECT tok,
+         CAST(count(*) FILTER (WHERE doc_id < (SELECT n // 2 FROM tot))
+              AS BIGINT) AS df_a,
+         CAST(count(*) FILTER (WHERE doc_id >= (SELECT n // 2 FROM tot))
+              AS BIGINT) AS df_b
+  FROM tf GROUP BY tok)
+SELECT tok, df_a, df_b,
+       CAST(abs(df_a * (SELECT n - n // 2 FROM tot)
+                - df_b * (SELECT n // 2 FROM tot)) AS BIGINT) AS drift_num
+FROM agg
+ORDER BY drift_num DESC, tok
+LIMIT {DF_DRIFT_TOPK}
 """,
         # Haar filter bank: one GROUP BY per level over the zero-filled
         # dyadic day grid (details = even-odd, approx rides along)

@@ -447,3 +447,55 @@ def test_selection_audit_consistency(ray_session):
     # priority sanity: every benchmark doc is labeled benchmark
     assert (audit[audit["doc_id"] % tl.BENCH_MOD == 0]["reason"]
             == "benchmark").all()
+
+
+def test_df_drift_brute_force(ray_session):
+    """Top drift terms equal a pandas recomputation over the halves."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+    from candidategeneration_ray.pipelines import extras as ex
+
+    got = ex.q_df_drift(SF).to_pandas()
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    n = len(docs)
+    n_a, n_b = n // 2, n - n // 2
+    toks = tokenize_many(docs["text"].tolist())
+    from collections import Counter
+
+    da, db = Counter(), Counter()
+    for d, tl in zip(docs["doc_id"], toks):
+        for t in set(tl):
+            (da if int(d) < n_a else db)[t] += 1
+    vocab = set(da) | set(db)
+    rows = sorted(
+        ((abs(da[t] * n_b - db[t] * n_a), t, da[t], db[t]) for t in vocab),
+        key=lambda r: (-r[0], r[1]))[:ex.DF_DRIFT_TOPK]
+    want = [(t, a, b, dn) for dn, t, a, b in rows]
+    assert [(r.tok, int(r.df_a), int(r.df_b), int(r.drift_num))
+            for r in got.itertuples()] == want
+
+
+def test_snm_window_soundness(ray_session):
+    """Every emitted pair is within the window in the global sorted
+    order of distinct names, its ed <= SNM_K, and the set equals a
+    single-process window scan."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import extras as ex
+
+    got = ex.q_snm_pairs(SF).to_pandas()
+    names = sorted(set(pq.read_table(
+        SF + "/part.parquet", columns=["p_name"])["p_name"].to_pylist()))
+    want = []
+    for i, a in enumerate(names):
+        for j in range(i + 1, min(i + ex.SNM_W, len(names))):
+            b = names[j]
+            ed = int(ex._ed_many([a], [b])[0])
+            if ed <= ex.SNM_K:
+                want.append((a, b, ed))
+    got_rows = sorted((r.name_a, r.name_b, int(r.ed))
+                      for r in got.itertuples())
+    assert got_rows == sorted(want)
+    assert len(got_rows) > 0
