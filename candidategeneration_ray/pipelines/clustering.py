@@ -2730,3 +2730,186 @@ def q_adamic_adar(sf_dir: str, k_out: int = AA_TOPK) -> pa.Table:
         "n_common": pa.array([r["n_common"] for r in top], pa.int64()),
         "aa_score": pa.array([r["aa_score"] for r in top], pa.int64()),
     })
+
+
+# ------------------------------------------- deterministic random walks
+
+WALK_STEPS = 4     # walk length (sequence = start + WALK_STEPS nodes)
+WALK_WINDOW = 2    # co-occurrence window over the walk sequence
+WALK_TOPK = 50
+
+
+def _walk_choice_hash(cur: np.ndarray, step: int) -> np.ndarray:
+    """uint64 hash drawn once per (node, step) — the deterministic
+    stand-in for the walk's random next-neighbor draw (md5, so the SQL
+    oracle replays the exact walks)."""
+    from candidategeneration_ray.functions import hashing as H
+
+    return H.h64_many([f"{int(c)}:{step}" for c in cur])
+
+
+def q_walk_cooccurrence(sf_dir: str, steps: int = WALK_STEPS,
+                        window: int = WALK_WINDOW,
+                        k_out: int = WALK_TOPK) -> pa.Table:
+    """DeepWalk-style graph context mining (Perozzi et al. KDD'14 —
+    the corpus-generation half, which is the distributed part): one
+    walk starts at every node of the undirected kNN graph; the next
+    hop is the h64(node:step) % deg -th sorted neighbor (deterministic
+    hash draws, so the walks — and therefore the entry — replay
+    exactly in SQL); the output is the top co-occurring node pairs
+    within a WALK_WINDOW skip-gram window over the walk sequences,
+    i.e. the positive-pair corpus a node-embedding trainer consumes.
+
+    Shape: adjacency rows bucket by node hash and materialize ONCE;
+    each of `steps` rounds is one groupby(bkt) join of the frontier
+    against its bucket's sorted adjacency (deg lookup + one pick per
+    walk — no per-node Python loop beyond the hash draw); sequences
+    then co-locate by walk id for the window-pair expansion
+    (O(walks × steps × window) rows) and ONE pair groupby finishes.
+    The driver sees only the merged top-k."""
+    from ray.data.aggregate import Sum
+
+    nbk = _graph_buckets()
+
+    def _adj_rows(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy().astype(np.int64)
+        v = b.column("v").to_numpy().astype(np.int64)
+        src = np.concatenate((u, v))
+        dst = np.concatenate((v, u))
+        return pa.table({
+            "bkt": pa.array(src % nbk, pa.int64()),
+            "node": pa.array(src, pa.int64()),
+            "nbr": pa.array(dst, pa.int64()),
+        })
+
+    adj = (_knn_undirected_edges(sf_dir)
+           .map_batches(_adj_rows, batch_format="pyarrow")
+           .materialize())
+
+    def _start_rows(b: pa.Table) -> pa.Table:
+        vec = b.column("vec_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(vec % nbk, pa.int64()),
+            "walk": pa.array(vec, pa.int64()),
+            "cur": pa.array(vec, pa.int64()),
+        })
+
+    frontier = (_embeddings_ds(sf_dir).select_columns(["vec_id"])
+                .map_batches(_start_rows, batch_format="pyarrow"))
+    seq_parts = []   # datasets of (walk, step, node)
+
+    def _tag(step: int):
+        def _t(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "walk": b.column("walk"),
+                "step": pa.array(
+                    np.full(b.num_rows, step, np.int64), pa.int64()),
+                "node": b.column("cur"),
+            })
+        return _t
+
+    seq_parts.append(frontier.map_batches(_tag(0), batch_format="pyarrow"))
+
+    def _make_step(step: int):
+        def _step(group: pa.Table) -> pa.Table:
+            empty = pa.table({"bkt": pa.array([], pa.int64()),
+                              "walk": pa.array([], pa.int64()),
+                              "cur": pa.array([], pa.int64())})
+            is_w = group.column("kind").to_numpy() == 1
+            w_walk = group.column("walk").to_numpy().astype(np.int64)[is_w]
+            w_cur = group.column("cur").to_numpy().astype(np.int64)[is_w]
+            a_node = group.column("cur").to_numpy().astype(np.int64)[~is_w]
+            a_nbr = group.column("walk").to_numpy().astype(np.int64)[~is_w]
+            if w_walk.size == 0:
+                return empty
+            order = np.lexsort((a_nbr, a_node))
+            a_node, a_nbr = a_node[order], a_nbr[order]
+            lo = np.searchsorted(a_node, w_cur, side="left")
+            hi = np.searchsorted(a_node, w_cur, side="right")
+            deg = hi - lo
+            if (deg == 0).any():
+                raise ValueError("walk reached a node with no adjacency "
+                                 "rows in its bucket")
+            pick = (_walk_choice_hash(w_cur, step)
+                    % deg.astype(np.uint64)).astype(np.int64)
+            nxt = a_nbr[lo + pick]
+            return pa.table({
+                "bkt": pa.array(nxt % nbk, pa.int64()),
+                "walk": pa.array(w_walk, pa.int64()),
+                "cur": pa.array(nxt, pa.int64()),
+            })
+        return _step
+
+    for step in range(steps):
+        # union-tag: adjacency rows (kind 0: walk=nbr, cur=node) +
+        # frontier rows (kind 1)
+        def _adj_tag(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "bkt": b.column("bkt"),
+                "walk": b.column("nbr"),
+                "cur": b.column("node"),
+                "kind": pa.array(np.zeros(b.num_rows, np.int64),
+                                 pa.int64()),
+            })
+
+        def _fr_tag(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "bkt": b.column("bkt"),
+                "walk": b.column("walk"),
+                "cur": b.column("cur"),
+                "kind": pa.array(np.ones(b.num_rows, np.int64),
+                                 pa.int64()),
+            })
+
+        frontier = (adj.map_batches(_adj_tag, batch_format="pyarrow")
+                    .union(frontier.map_batches(_fr_tag,
+                                                batch_format="pyarrow"))
+                    .groupby("bkt")
+                    .map_groups(_make_step(step), batch_format="pyarrow")
+                    .materialize())
+        seq_parts.append(frontier.map_batches(_tag(step + 1),
+                                              batch_format="pyarrow"))
+
+    seq = seq_parts[0]
+    for p in seq_parts[1:]:
+        seq = seq.union(p)
+
+    def _walk_bucket(b: pa.Table) -> pa.Table:
+        w = b.column("walk").to_numpy().astype(np.int64)
+        return b.append_column("wbkt", pa.array(w % nbk, pa.int64()))
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        w = group.column("walk").to_numpy().astype(np.int64)
+        s = group.column("step").to_numpy().astype(np.int64)
+        nd = group.column("node").to_numpy().astype(np.int64)
+        order = np.lexsort((s, w))
+        w, s, nd = w[order], s[order], nd[order]
+        out_a, out_b = [], []
+        for off in range(1, window + 1):
+            m = (w[off:] == w[:-off]) if off < w.size else \
+                np.empty(0, bool)
+            a, b2 = nd[:-off][m], nd[off:][m]
+            ne = a != b2
+            out_a.append(np.minimum(a[ne], b2[ne]))
+            out_b.append(np.maximum(a[ne], b2[ne]))
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b2 = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        key = (a << np.int64(32)) | b2
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "a": pa.array(uk >> np.int64(32), pa.int64()),
+            "b": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    top = (seq.map_batches(_walk_bucket, batch_format="pyarrow")
+           .groupby("wbkt").map_groups(_pairs, batch_format="pyarrow")
+           .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
+           .sort(key=["n", "a", "b"], descending=[True, False, False])
+           .limit(k_out)
+           .take_all())
+    return pa.table({
+        "a": pa.array([r["a"] for r in top], pa.int64()),
+        "b": pa.array([r["b"] for r in top], pa.int64()),
+        "n": pa.array([r["n"] for r in top], pa.int64()),
+    })

@@ -6672,6 +6672,8 @@ deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM sadj GROUP BY x)"""
 def session13_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import (
         AA_DEG_CAP, AA_TOPK, aa_weight_lut)
+    from candidategeneration_ray.pipelines.clustering import (
+        WALK_STEPS, WALK_TOPK, WALK_WINDOW)
     from candidategeneration_ray.pipelines.docquery import TA_FLUENCY_W
     from candidategeneration_ray.pipelines.extras import (
         _SIGN_BIT, DF_DRIFT_TOPK, HASH_DIM, MAXSIM_SLOTS, SNM_K, SNM_W,
@@ -6723,7 +6725,39 @@ l0 AS (SELECT g.event_type, g.i, coalesce(c.v, 0) AS v
         expr=f"CASE WHEN len(l) <= {K} THEN array_to_string(l, ' ') "
              f"ELSE array_to_string(list_slice(l, i, i + {K - 1}), ' ') END")
 
+    walk_ctes = ["w0 AS (SELECT vec_id AS walk, 0 AS step, vec_id AS cur "
+                 "FROM embeddings)"]
+    for s in range(WALK_STEPS):
+        h = _H64.format(expr=f"CAST(w{s}.cur AS VARCHAR) || ':{s}'")
+        walk_ctes.append(
+            f"w{s + 1} AS (SELECT w{s}.walk, {s + 1} AS step, r.y AS cur\n"
+            f"  FROM w{s} JOIN radj r ON r.x = w{s}.cur\n"
+            f"   AND r.rk = CAST({h} % CAST(r.deg AS UBIGINT) AS BIGINT))")
+    walk_seq = " UNION ALL ".join(
+        f"SELECT * FROM w{s}" for s in range(WALK_STEPS + 1))
+
     return {
+        # deterministic DeepWalk corpus: hash-chosen sorted-neighbor
+        # hops unrolled step by step, skip-gram window pair counts
+        "walk_cooccurrence": f"""
+WITH {_knn_edge_ctes()},
+radj AS MATERIALIZED (
+  SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY y) - 1 AS rk,
+         count(*) OVER (PARTITION BY x) AS deg
+  FROM sadj),
+{",".join(walk_ctes)},
+seq AS ({walk_seq}),
+pairs AS (
+  SELECT least(a.cur, b.cur) AS pa_, greatest(a.cur, b.cur) AS pb_
+  FROM seq a JOIN seq b
+    ON a.walk = b.walk AND b.step > a.step
+   AND b.step <= a.step + {WALK_WINDOW} AND a.cur <> b.cur)
+SELECT CAST(pa_ AS BIGINT) AS a, CAST(pb_ AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1, 2
+ORDER BY n DESC, a, b
+LIMIT {WALK_TOPK}
+""",
         # winnowing: positional (NON-distinct) k-gram hashes, per-window
         # min with leftmost tie-break as a two-step group-by
         "winnow_fingerprints": f"""

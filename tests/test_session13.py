@@ -499,3 +499,35 @@ def test_snm_window_soundness(ray_session):
                       for r in got.itertuples())
     assert got_rows == sorted(want)
     assert len(got_rows) > 0
+
+
+def test_walk_cooccurrence_brute_force(ray_session):
+    """Deterministic walks replayed single-process: hash-chosen sorted
+    neighbors, skip-gram window pairs, top-k order."""
+    from collections import Counter
+
+    from candidategeneration_ray.functions import hashing as H
+
+    got = cl.q_walk_cooccurrence(SF).to_pandas()
+    edges = cl._knn_undirected_edges(SF).to_pandas()
+    adj = {}
+    for u, v in zip(edges["u"], edges["v"]):
+        adj.setdefault(int(u), []).append(int(v))
+        adj.setdefault(int(v), []).append(int(u))
+    adj = {k: sorted(vs) for k, vs in adj.items()}
+    cnt = Counter()
+    for start in adj:
+        seq = [start]
+        cur = start
+        for s in range(cl.WALK_STEPS):
+            nbrs = adj[cur]
+            cur = nbrs[int(H.h64(f"{cur}:{s}")) % len(nbrs)]
+            seq.append(cur)
+        for i in range(len(seq)):
+            for j in range(i + 1, min(i + cl.WALK_WINDOW + 1, len(seq))):
+                if seq[i] != seq[j]:
+                    cnt[(min(seq[i], seq[j]), max(seq[i], seq[j]))] += 1
+    want = sorted(((n, a, b) for (a, b), n in cnt.items()),
+                  key=lambda t: (-t[0], t[1], t[2]))[:cl.WALK_TOPK]
+    got_rows = [(int(r.n), int(r.a), int(r.b)) for r in got.itertuples()]
+    assert got_rows == want
