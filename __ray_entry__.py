@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top10": ex.q_ann_ivf_top10,
         "ann_sq8_top10": ex.q_ann_sq8_top10,    # scalar-quantized symmetric ANN
         "k_anonymity": ex.q_k_anonymity,        # privacy release audit
+        "l_diversity": ex.q_l_diversity,        # attribute-disclosure audit
         "label_centroid_dist": ex.q_label_centroid_dist,  # drift diagnostic
         "text_stats": ex.q_text_stats,
         "decision_stump": ex.q_decision_stump,  # exact 0-1-loss best split

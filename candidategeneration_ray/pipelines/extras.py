@@ -4068,3 +4068,69 @@ def q_snm_pairs(sf_dir: str, w: int = SNM_W,
     return (ranked.map_batches(_buckets, batch_format="pyarrow")
             .groupby("bkt")
             .map_groups(_window_pairs, batch_format="pyarrow"))
+
+
+L_DIVERSITY = 3
+
+
+def q_l_diversity(sf_dir: str, l_min: int = L_DIVERSITY,
+                  char_bucket: int = K_ANON_CHAR_BUCKET) -> ray.data.Dataset:
+    """l-diversity audit (Machanavajjhala et al. ICDE'06) — the
+    attribute-disclosure companion of q_k_anonymity: for each
+    quasi-identifier group (source, n_chars // bucket), the number of
+    DISTINCT sensitive values (lang) must reach l; a group where it
+    doesn't lets an attacker infer the sensitive attribute even when
+    the group is large. Output one row per violating group with its
+    size and diversity count.
+
+    Shape: per-batch compressed (qid, lang, count) partials → one
+    groupby to distinct (qid, lang) rows → one groupby to per-qid
+    (Σdocs, #langs) → size filter. Shuffles move distinct combinations
+    only."""
+    from ray.data.aggregate import Count, Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        nb = (batch.column("n_chars").to_numpy().astype(np.int64)
+              // char_bucket)
+        lc, lu = pd.factorize(lang)
+        sc, su = pd.factorize(src)
+        packed = (lc.astype(np.int64) * len(su) + sc) * 1_000_000 + nb
+        u, counts = np.unique(packed, return_counts=True)
+        ub = u % 1_000_000
+        uls = u // 1_000_000
+        return pa.table({
+            "lang": pa.array(lu[uls // len(su)].tolist(), pa.string()),
+            "source": pa.array(su[uls % len(su)].tolist(), pa.string()),
+            "chars_bucket": pa.array(ub, pa.int64()),
+            "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    per_lang = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["lang", "source", "n_chars"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["lang", "source", "chars_bucket"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    agg = (per_lang
+           .groupby(["source", "chars_bucket"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Count(alias_name="n_langs")))
+
+    def _violations(batch: pa.Table) -> pa.Table:
+        nl = batch.column("n_langs").to_numpy().astype(np.int64)
+        out = batch.filter(pa.array(nl < l_min))
+        return pa.table({
+            "source": out.column("source"),
+            "chars_bucket": out.column("chars_bucket").cast(pa.int64()),
+            "n_docs": out.column("n_docs").cast(pa.int64()),
+            "n_langs": out.column("n_langs").cast(pa.int64()),
+        })
+
+    return agg.map_batches(_violations, batch_format="pyarrow")

@@ -6676,8 +6676,8 @@ def session13_oracles() -> dict[str, str]:
         WALK_STEPS, WALK_TOPK, WALK_WINDOW)
     from candidategeneration_ray.pipelines.docquery import TA_FLUENCY_W
     from candidategeneration_ray.pipelines.extras import (
-        _SIGN_BIT, DF_DRIFT_TOPK, HASH_DIM, MAXSIM_SLOTS, SNM_K, SNM_W,
-        WINNOW_K, WINNOW_W)
+        _SIGN_BIT, DF_DRIFT_TOPK, HASH_DIM, K_ANON_CHAR_BUCKET,
+        L_DIVERSITY, MAXSIM_SLOTS, SNM_K, SNM_W, WINNOW_K, WINNOW_W)
     from candidategeneration_ray.pipelines.sketches import KMV_K
 
     aa_lut_rows = ",".join(
@@ -6792,6 +6792,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS pos,
                               THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
             AS BIGINT) AS fp
 FROM fp
+""",
+        # l-diversity: distinct sensitive values per QI group
+        "l_diversity": f"""
+WITH g AS (
+  SELECT source, n_chars // {K_ANON_CHAR_BUCKET} AS chars_bucket, lang,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2, 3),
+a AS (
+  SELECT source, chars_bucket,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM g GROUP BY 1, 2)
+SELECT source, CAST(chars_bucket AS BIGINT) AS chars_bucket,
+       n_docs, n_langs
+FROM a WHERE n_langs < {L_DIVERSITY}
 """,
         # sorted-neighborhood blocking: window pairs over the ranked
         # distinct names, DuckDB levenshtein verify

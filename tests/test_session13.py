@@ -531,3 +531,23 @@ def test_walk_cooccurrence_brute_force(ray_session):
                   key=lambda t: (-t[0], t[1], t[2]))[:cl.WALK_TOPK]
     got_rows = [(int(r.n), int(r.a), int(r.b)) for r in got.itertuples()]
     assert got_rows == want
+
+
+def test_l_diversity_brute_force(ray_session):
+    """Violating QI groups equal a pandas recomputation."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import extras as ex
+
+    got = ex.q_l_diversity(SF).to_pandas()
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["lang", "source", "n_chars"]).to_pandas()
+    docs["chars_bucket"] = docs["n_chars"] // ex.K_ANON_CHAR_BUCKET
+    g = docs.groupby(["source", "chars_bucket"]).agg(
+        n_docs=("lang", "size"), n_langs=("lang", "nunique")).reset_index()
+    want = g[g["n_langs"] < ex.L_DIVERSITY]
+    a = got.sort_values(["source", "chars_bucket"]).reset_index(drop=True)
+    b = want.sort_values(["source", "chars_bucket"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ("source", "chars_bucket", "n_docs", "n_langs"):
+        assert (a[col].values == b[col].values).all(), col
