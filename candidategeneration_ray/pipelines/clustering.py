@@ -2913,3 +2913,133 @@ def q_walk_cooccurrence(sf_dir: str, steps: int = WALK_STEPS,
         "b": pa.array([r["b"] for r in top], pa.int64()),
         "n": pa.array([r["n"] for r in top], pa.int64()),
     })
+
+
+# -------------------------------------------------- minimum spanning tree
+
+MST_MAX_ROUNDS = 20
+
+
+def _knn_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct undirected kNN edges WITH their integer-L2 weight
+    (u < v, w = d2) — the weighted twin of _knn_undirected_edges."""
+    from ray.data.aggregate import Min
+
+    knn = q_knn_graph(sf_dir)
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_id").to_numpy().astype(np.int64)
+        b = batch.column("nbr_id").to_numpy().astype(np.int64)
+        w = batch.column("d2").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(np.minimum(a, b), pa.int64()),
+            "v": pa.array(np.maximum(a, b), pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        })
+
+    return (knn.map_batches(_sym, batch_format="pyarrow")
+            .groupby(["u", "v"]).aggregate(Min("w", alias_name="w")))
+
+
+def q_mst_edges(sf_dir: str) -> pa.Table:
+    """Minimum spanning forest of the weighted kNN graph by Borůvka's
+    algorithm (1926; the distributed-MST classic) — single-linkage
+    clustering's backbone: cutting the forest's heaviest edges yields
+    the single-linkage dendrogram at any level. Edge weights are
+    totally ordered by (d2, u, v), so the MSF is UNIQUE and the SQL
+    oracle (the same Borůvka recurrence unrolled, component closure as
+    a recursive CTE per round) must reproduce it edge for edge.
+
+    Shape: per round, ONE distributed pass over the edge set computes
+    each component's minimum outgoing edge (batch partials → a
+    components-sized groupby argmin); the driver folds only the
+    O(components) chosen edges (halving each round) with a union-find
+    and re-broadcasts the node-count label array — the same
+    O(nodes)-driver-state class as the degree broadcast the wedge
+    operators use, never O(edges). ≤ log2(n) rounds by Borůvka's
+    halving argument; raises past MST_MAX_ROUNDS."""
+    ew = _knn_weighted_edges(sf_dir).materialize()
+    node_arr = ray.get(_edge_degree_ref(ew))[0]  # O(nodes) via groupby
+    labels = node_arr.copy()
+    chosen: dict[tuple[int, int], int] = {}
+
+    def _argmin_rows(batch: pa.Table, lbl_ref) -> pa.Table:
+        nodes, lbl = ray.get(lbl_ref)
+        u = batch.column("u").to_numpy().astype(np.int64)
+        v = batch.column("v").to_numpy().astype(np.int64)
+        w = batch.column("w").to_numpy().astype(np.int64)
+        lu = lbl[np.searchsorted(nodes, u)]
+        lv = lbl[np.searchsorted(nodes, v)]
+        x = lu != lv
+        if not x.any():
+            return pa.table({"comp": pa.array([], pa.int64()),
+                             "u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "lu": pa.array([], pa.int64()),
+                             "lv": pa.array([], pa.int64())})
+        u, v, w, lu, lv = u[x], v[x], w[x], lu[x], lv[x]
+        comp = np.concatenate((lu, lv))
+        uu = np.concatenate((u, u))
+        vv = np.concatenate((v, v))
+        ww = np.concatenate((w, w))
+        llu = np.concatenate((lu, lu))
+        llv = np.concatenate((lv, lv))
+        order = np.lexsort((vv, uu, ww, comp))
+        comp, uu, vv, ww = comp[order], uu[order], vv[order], ww[order]
+        llu, llv = llu[order], llv[order]
+        first = np.concatenate(([True], comp[1:] != comp[:-1]))
+        return pa.table({
+            "comp": pa.array(comp[first], pa.int64()),
+            "u": pa.array(uu[first], pa.int64()),
+            "v": pa.array(vv[first], pa.int64()),
+            "w": pa.array(ww[first], pa.int64()),
+            "lu": pa.array(llu[first], pa.int64()),
+            "lv": pa.array(llv[first], pa.int64()),
+        })
+
+    def _argmin_merge(group: pa.Table) -> pa.Table:
+        w = group.column("w").to_numpy().astype(np.int64)
+        u = group.column("u").to_numpy().astype(np.int64)
+        v = group.column("v").to_numpy().astype(np.int64)
+        i = int(np.lexsort((v, u, w))[0])
+        return group.take([i])
+
+    for _ in range(MST_MAX_ROUNDS):
+        lbl_ref = ray.put((node_arr, labels))
+        rows = (ew.map_batches(
+                    lambda b, r=lbl_ref: _argmin_rows(b, r),
+                    batch_format="pyarrow")
+                .groupby("comp")
+                .map_groups(_argmin_merge, batch_format="pyarrow")
+                .take_all())  # O(components), halves every round
+        if not rows:
+            break
+        # driver union-find over the components-sized chosen set
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in rows:
+            chosen[(int(r["u"]), int(r["v"]))] = int(r["w"])
+            ra, rb = find(int(r["lu"])), find(int(r["lv"]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # relabel: component -> root, nodes inherit
+        comp_ids = np.unique(labels)
+        root = np.asarray([find(int(c)) for c in comp_ids], np.int64)
+        labels = root[np.searchsorted(comp_ids, labels)]
+    else:
+        raise RuntimeError("Borůvka exceeded MST_MAX_ROUNDS without "
+                           "exhausting cross edges")
+
+    items = sorted(chosen.items(), key=lambda t: (t[1], t[0]))
+    return pa.table({
+        "u": pa.array([a for (a, _), _ in items], pa.int64()),
+        "v": pa.array([b for (_, b), _ in items], pa.int64()),
+        "w": pa.array([w for _, w in items], pa.int64()),
+    })

@@ -6673,7 +6673,7 @@ def session13_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import (
         AA_DEG_CAP, AA_TOPK, aa_weight_lut)
     from candidategeneration_ray.pipelines.clustering import (
-        WALK_STEPS, WALK_TOPK, WALK_WINDOW)
+        KNN_K as _KNN_K13, WALK_STEPS, WALK_TOPK, WALK_WINDOW)
     from candidategeneration_ray.pipelines.docquery import TA_FLUENCY_W
     from candidategeneration_ray.pipelines.extras import (
         _SIGN_BIT, DF_DRIFT_TOPK, HASH_DIM, K_ANON_CHAR_BUCKET,
@@ -6725,6 +6725,39 @@ l0 AS (SELECT g.event_type, g.i, coalesce(c.v, 0) AS v
         expr=f"CASE WHEN len(l) <= {K} THEN array_to_string(l, ' ') "
              f"ELSE array_to_string(list_slice(l, i, i + {K - 1}), ' ') END")
 
+    # Borůvka unroll: 12 rounds (>= log2(nodes) at every oracle sf);
+    # per round the component closure is a recursive CTE, labels the min
+    # reachable component id. Rounds after convergence are no-ops
+    # (xe empty -> me empty -> labels unchanged).
+    MST_SQL_ROUNDS = 12
+    mst_ctes = ["lbl0 AS MATERIALIZED (SELECT DISTINCT x AS node, "
+                "x AS lbl FROM sadj)"]
+    for r in range(MST_SQL_ROUNDS):
+        mst_ctes.append(f"""xe{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.w, la.lbl AS lu, lb.lbl AS lv
+  FROM ew e JOIN lbl{r} la ON la.node = e.u
+            JOIN lbl{r} lb ON lb.node = e.v
+  WHERE la.lbl <> lb.lbl),
+me{r} AS (
+  SELECT lu, lv, u, v, w FROM (
+    SELECT *, row_number() OVER (PARTITION BY comp
+                                 ORDER BY w, u, v) AS rn
+    FROM (SELECT lu AS comp, lu, lv, u, v, w FROM xe{r}
+          UNION ALL SELECT lv AS comp, lu, lv, u, v, w FROM xe{r}))
+  WHERE rn = 1),
+cg{r} AS (SELECT DISTINCT lu AS a, lv AS b FROM me{r}
+          UNION SELECT lv, lu FROM me{r}),
+rc{r}(a, b) AS (
+  SELECT DISTINCT lbl AS a, lbl AS b FROM lbl{r}
+  UNION
+  SELECT rc{r}.a, cg{r}.b FROM rc{r} JOIN cg{r} ON cg{r}.a = rc{r}.b),
+nl{r} AS (SELECT a AS comp, min(b) AS nlbl FROM rc{r} GROUP BY a),
+lbl{r + 1} AS MATERIALIZED (
+  SELECT l.node, n.nlbl AS lbl
+  FROM lbl{r} l JOIN nl{r} n ON n.comp = l.lbl)""")
+    mst_union = " UNION ".join(
+        f"SELECT u, v, w FROM me{r}" for r in range(MST_SQL_ROUNDS))
+
     walk_ctes = ["w0 AS (SELECT vec_id AS walk, 0 AS step, vec_id AS cur "
                  "FROM embeddings)"]
     for s in range(WALK_STEPS):
@@ -6737,6 +6770,22 @@ l0 AS (SELECT g.event_type, g.i, coalesce(c.v, 0) AS v
         f"SELECT * FROM w{s}" for s in range(WALK_STEPS + 1))
 
     return {
+        # Borůvka MSF: the unique MST under the (w, u, v) total order,
+        # rounds unrolled with recursive component closures
+        "mst_edges": f"""
+WITH RECURSIVE {_knn_edge_ctes()},
+ew AS MATERIALIZED (
+  SELECT least(r.vec_id, r.nbr_id) AS u, greatest(r.vec_id, r.nbr_id) AS v,
+         min(d.d2) AS w
+  FROM rk r JOIN dist d
+    ON d.vec_id = r.vec_id AND d.nbr_id = r.nbr_id
+  WHERE r.rank <= {_KNN_K13} GROUP BY 1, 2),
+{",".join(mst_ctes)}
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(w AS BIGINT) AS w
+FROM ({mst_union})
+ORDER BY w, u, v
+""",
         # deterministic DeepWalk corpus: hash-chosen sorted-neighbor
         # hops unrolled step by step, skip-gram window pair counts
         "walk_cooccurrence": f"""

@@ -551,3 +551,32 @@ def test_l_diversity_brute_force(ray_session):
     assert len(a) == len(b)
     for col in ("source", "chars_bucket", "n_docs", "n_langs"):
         assert (a[col].values == b[col].values).all(), col
+
+
+def test_mst_matches_kruskal(ray_session):
+    """Borůvka output equals a single-process Kruskal under the same
+    (w, u, v) total order, spans each component, and is acyclic."""
+    got = cl.q_mst_edges(SF).to_pandas()
+    ew = cl._knn_weighted_edges(SF).to_pandas()
+    edges = sorted((int(w), int(u), int(v))
+                   for u, v, w in zip(ew["u"], ew["v"], ew["w"]))
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    want = []
+    for w, u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            want.append((u, v, w))
+    want.sort(key=lambda t: (t[2], t[0], t[1]))
+    got_rows = [(int(r.u), int(r.v), int(r.w)) for r in got.itertuples()]
+    assert got_rows == want
+    nodes = set(ew["u"]).union(set(ew["v"]))
+    n_cc = len({find(n) for n in nodes})
+    assert len(got_rows) == len(nodes) - n_cc
