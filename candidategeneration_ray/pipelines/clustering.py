@@ -766,8 +766,48 @@ def _knn_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
             .groupby(["u", "v"]).aggregate(Min("d2", alias_name="w")))
 
 
+@ray.remote
+def _small_graph_sssp(rounds: int, seed_mod: int, n_edge_tables: int,
+                      *tables: pa.Table) -> pa.Table:
+    """Hop-bounded multi-source Bellman-Ford over a task-sized edge
+    list — one numpy task over object-store blocks (the edge list
+    never touches the driver). Computes EXACTLY the staged rounds'
+    function: dist_{t+1}[v] = min(dist_t[v], min_u dist_t[u] + w(u,v))
+    over the symmetric edge set, dist_0 = 0 at seeds."""
+    edge_tabs = [t for t in tables[:n_edge_tables] if t.num_rows > 0]
+    node_tabs = [t for t in tables[n_edge_tables:] if t.num_rows > 0]
+    vec = np.sort(np.concatenate(
+        [t.column("vec_id").to_numpy().astype(np.int64)
+         for t in node_tabs]))
+    if edge_tabs:
+        u = np.concatenate([t.column("u").to_numpy().astype(np.int64)
+                            for t in edge_tabs])
+        v = np.concatenate([t.column("v").to_numpy().astype(np.int64)
+                            for t in edge_tabs])
+        w = np.concatenate([t.column("w").to_numpy().astype(np.int64)
+                            for t in edge_tabs])
+        src = np.searchsorted(vec, np.concatenate((u, v)))
+        dst = np.searchsorted(vec, np.concatenate((v, u)))
+        ww = np.concatenate((w, w))
+    else:
+        src = dst = ww = np.empty(0, np.int64)
+    dist = np.where(vec % seed_mod == 0, np.int64(0), _BFS_INF)
+    for _ in range(rounds):
+        sd = dist[src]
+        live = sd < _BFS_INF
+        nxt = dist.copy()
+        np.minimum.at(nxt, dst[live], sd[live] + ww[live])
+        dist = nxt
+    return pa.table({
+        "vec_id": pa.array(vec, pa.int64()),
+        "dist": pa.array(np.where(dist < _BFS_INF, dist, np.int64(-1)),
+                         pa.int64()),
+    })
+
+
 def q_shortest_paths(sf_dir: str, rounds: int = WSP_ROUNDS,
-                     seed_mod: int = BFS_SEED_MOD) -> ray.data.Dataset:
+                     seed_mod: int = BFS_SEED_MOD,
+                     small_graph_max_edges: int = 2_500_000) -> ray.data.Dataset:
     """Multi-source WEIGHTED shortest paths over the kNN graph —
     hop-bounded Bellman-Ford: for every vector the minimum total
     integer-L2 edge weight over paths of <= `rounds` edges from the
@@ -787,6 +827,16 @@ def q_shortest_paths(sf_dir: str, rounds: int = WSP_ROUNDS,
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     nbk = _graph_buckets()
+    ew = _knn_weighted_edges(sf_dir).materialize()
+    if ew.count() <= small_graph_max_edges:
+        # bounded fast path (the dup_clusters/dbscan pattern): one task
+        # over the edge blocks, identical per-round semantics — the
+        # staged path below stays the >cap route (equality pytest)
+        edge_refs = ew.to_arrow_refs()
+        node_refs = (_embeddings_ds(sf_dir).select_columns(["vec_id"])
+                     .to_arrow_refs())
+        return ray.data.from_arrow_refs([_small_graph_sssp.remote(
+            rounds, seed_mod, len(edge_refs), *edge_refs, *node_refs)])
 
     # row kinds: edge row (dst >= 0, give = weight),
     # node row (dst == -1), distance row (dst == -2, give = dist)
@@ -813,7 +863,7 @@ def q_shortest_paths(sf_dir: str, rounds: int = WSP_ROUNDS,
             "give": pa.array(np.zeros(vec.size, np.int64), pa.int64()),
         })
 
-    static = (_knn_weighted_edges(sf_dir)
+    static = (ew
               .map_batches(_static_rows, batch_format="pyarrow")
               .union(_embeddings_ds(sf_dir)
                      .select_columns(["vec_id"])
@@ -1352,7 +1402,42 @@ HITS_ITERS = 2
 HITS_SCALE = np.int64(1_000_000)
 
 
-def q_hits_scores(sf_dir: str, iters: int = HITS_ITERS) -> ray.data.Dataset:
+@ray.remote
+def _small_graph_hits(iters: int, *tables: pa.Table) -> pa.Table:
+    """Integer HITS over a task-sized directed edge list — one numpy
+    task over object-store blocks, computing EXACTLY the staged
+    half-rounds: raw sums along (reverse) edges, floor normalization
+    by the global max of the contributed nodes (every node has k
+    out-edges, so hub rows cover all nodes and auth rows exactly the
+    in-edge-receiving ones — zeros elsewhere, as the staged union
+    fills)."""
+    tables = [t for t in tables if t.num_rows > 0]
+    u = np.concatenate([t.column("vec_id").to_numpy().astype(np.int64)
+                        for t in tables])
+    v = np.concatenate([t.column("nbr_id").to_numpy().astype(np.int64)
+                        for t in tables])
+    nodes = np.unique(u)
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    s = np.int64(HITS_SCALE)
+    h = np.full(nodes.size, s, np.int64)
+    a = np.zeros(nodes.size, np.int64)
+    for _ in range(iters):
+        a_raw = np.zeros(nodes.size, np.int64)
+        np.add.at(a_raw, vi, h[ui])
+        a = a_raw * s // np.int64(a_raw.max())
+        h_raw = np.zeros(nodes.size, np.int64)
+        np.add.at(h_raw, ui, a[vi])
+        h = h_raw * s // np.int64(h_raw.max())
+    return pa.table({
+        "vec_id": pa.array(nodes, pa.int64()),
+        "hub": pa.array(h, pa.int64()),
+        "auth": pa.array(a, pa.int64()),
+    })
+
+
+def q_hits_scores(sf_dir: str, iters: int = HITS_ITERS,
+                  small_graph_max_edges: int = 2_500_000) -> ray.data.Dataset:
     """Integer HITS (hubs & authorities, Kleinberg JACM'99) over the
     directed kNN graph — closes SURVEY §2 A7 with a value-verified
     implementation instead of the prior-join stand-in: the reference
@@ -1383,6 +1468,13 @@ def q_hits_scores(sf_dir: str, iters: int = HITS_ITERS) -> ray.data.Dataset:
     # derive from the kNN graph, and the all-pairs distance pass is
     # the dominant cost (q_pagerank does the same)
     knn = q_knn_graph(sf_dir).materialize()
+    if knn.count() <= small_graph_max_edges:
+        # bounded fast path (the dup_clusters/dbscan/sssp pattern):
+        # the staged plan below stays the >cap route (equality pytest)
+        refs = (knn.select_columns(["vec_id", "nbr_id"])
+                .materialize().to_arrow_refs())
+        return ray.data.from_arrow_refs([_small_graph_hits.remote(
+            iters, *refs)])
 
     def _edge_rows(b: pa.Table) -> pa.Table:
         u = b.column("vec_id").to_numpy().astype(np.int64)

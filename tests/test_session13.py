@@ -580,3 +580,23 @@ def test_mst_matches_kruskal(ray_session):
     nodes = set(ew["u"]).union(set(ew["v"]))
     n_cc = len({find(n) for n in nodes})
     assert len(got_rows) == len(nodes) - n_cc
+
+
+def test_shortest_paths_fast_path_equals_staged(ray_session):
+    """The single-task Bellman-Ford fast path equals the bucket-round
+    staged plan row for row (forced via small_graph_max_edges=0)."""
+    fast = (cl.q_shortest_paths(SF).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    staged = (cl.q_shortest_paths(SF, small_graph_max_edges=0)
+              .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert fast.equals(staged)
+
+
+def test_hits_fast_path_equals_staged(ray_session):
+    """The single-task HITS fast path equals the staged half-round
+    plan row for row (forced via small_graph_max_edges=0)."""
+    fast = (cl.q_hits_scores(SF).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    staged = (cl.q_hits_scores(SF, small_graph_max_edges=0)
+              .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert fast.equals(staged)
