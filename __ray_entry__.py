@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
         "walk_cooccurrence": cl.q_walk_cooccurrence,  # DeepWalk context pairs
         "mst_edges": cl.q_mst_edges,                # Borůvka spanning forest
+        "single_linkage_clusters": cl.q_single_linkage_clusters,  # dendrogram cut
         "ivf_delta_counts": ivfd.q_ivf_delta_counts,
         "ivf_delete_counts": ivfd.q_ivf_delete_counts,  # vector tombstones
         # --- corpus-LM / retrieval / mixture operators ---

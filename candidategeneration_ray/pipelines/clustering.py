@@ -3135,3 +3135,79 @@ def q_mst_edges(sf_dir: str) -> pa.Table:
         "v": pa.array([b for (_, b), _ in items], pa.int64()),
         "w": pa.array([w for _, w in items], pa.int64()),
     })
+
+
+def q_single_linkage_clusters(sf_dir: str,
+                              small_graph_max_edges: int = 2_500_000
+                              ) -> ray.data.Dataset:
+    """Single-linkage flat clustering at the MEDIAN edge weight — the
+    dendrogram consumer of q_mst_edges: clusters at threshold t are the
+    connected components of the edges with w <= t, which by the
+    single-linkage property equals cutting the Borůvka forest's
+    heavier edges at t. Threshold = the exact lower median of the kNN
+    edge weights under the (w, u, v) total order, so the whole entry
+    is deterministic and SQL-replayable. Output (vec_id, cluster) for
+    every vector, cluster = min member id (singletons label
+    themselves).
+
+    Shape: ONE distributed sort + the range-blocked rank pattern finds
+    the median edge (driver holds O(blocks)); the light-edge filter is
+    a pure map; components reuse the shared CC machinery (bounded
+    single-task fast path, groupby label-propagation rounds past the
+    cap); the final union-min groupby restores singleton vectors."""
+    from ray.data.aggregate import Min
+
+    from candidategeneration_ray.pipelines.extras import (
+        _propagation_rounds, _small_graph_cc)
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    ew = _knn_weighted_edges(sf_dir).materialize()
+    n_edges = ew.count()
+    target = (n_edges + 1) // 2
+
+    def _emit(t: pa.Table, base: int) -> pa.Table:
+        if t.num_rows == 0 or "w" not in t.column_names:
+            return pa.table({"w": pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64())})
+        return pa.table({
+            "w": t.column("w").cast(pa.int64()),
+            "rn": pa.array(base + 1 + np.arange(t.num_rows,
+                                                dtype=np.int64),
+                           pa.int64()),
+        })
+
+    ranked = blocked_prefix_apply(ew.sort(key=["w", "u", "v"]), 16,
+                                  lambda t: t.num_rows, _emit)
+    med_rows = ranked.filter(lambda r: r["rn"] == target).take_all()
+    t_med = int(med_rows[0]["w"])
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy().astype(np.int64)
+        keep = w <= t_med
+        u = batch.column("u").to_numpy().astype(np.int64)[keep]
+        v = batch.column("v").to_numpy().astype(np.int64)[keep]
+        return pa.table({
+            "src": pa.array(np.concatenate((u, v)), pa.int64()),
+            "dst": pa.array(np.concatenate((v, u)), pa.int64()),
+        })
+
+    sym = ew.map_batches(_sym, batch_format="pyarrow").materialize()
+    if sym.count() <= 2 * small_graph_max_edges:
+        labels = ray.data.from_arrow_refs(
+            [_small_graph_cc.remote(*sym.to_arrow_refs())])
+    else:
+        labels = _propagation_rounds(sym, 20)
+
+    def _lbl_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b.column("node").cast(pa.int64()),
+                         "cluster": b.column("lbl").cast(pa.int64())})
+
+    ident = _embeddings_ds(sf_dir).select_columns(["vec_id"]).map_batches(
+        lambda b: pa.table({
+            "vec_id": b.column("vec_id").cast(pa.int64()),
+            "cluster": b.column("vec_id").cast(pa.int64()),
+        }), batch_format="pyarrow")
+    return (labels.map_batches(_lbl_rows, batch_format="pyarrow")
+            .union(ident)
+            .groupby("vec_id")
+            .aggregate(Min("cluster", alias_name="cluster")))

@@ -6786,6 +6786,29 @@ SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
 FROM ({mst_union})
 ORDER BY w, u, v
 """,
+        # single-linkage at the median edge weight: CC over light edges
+        "single_linkage_clusters": f"""
+WITH RECURSIVE {_knn_edge_ctes()},
+ew AS MATERIALIZED (
+  SELECT least(r.vec_id, r.nbr_id) AS u, greatest(r.vec_id, r.nbr_id) AS v,
+         min(d.d2) AS w
+  FROM rk r JOIN dist d
+    ON d.vec_id = r.vec_id AND d.nbr_id = r.nbr_id
+  WHERE r.rank <= {_KNN_K13} GROUP BY 1, 2),
+tot AS (SELECT count(*) AS n FROM ew),
+med AS (SELECT w AS t FROM (
+  SELECT w, row_number() OVER (ORDER BY w, u, v) AS rn FROM ew)
+  WHERE rn = (SELECT (n + 1) // 2 FROM tot)),
+light AS (SELECT u, v FROM ew WHERE w <= (SELECT t FROM med)),
+edges2 AS (SELECT u AS src, v AS dst FROM light
+           UNION ALL SELECT v, u FROM light),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges2 e ON e.src = r.node)
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster
+FROM reach GROUP BY node
+""",
         # deterministic DeepWalk corpus: hash-chosen sorted-neighbor
         # hops unrolled step by step, skip-gram window pair counts
         "walk_cooccurrence": f"""

@@ -600,3 +600,37 @@ def test_hits_fast_path_equals_staged(ray_session):
     staged = (cl.q_hits_scores(SF, small_graph_max_edges=0)
               .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert fast.equals(staged)
+
+
+def test_single_linkage_consistency_with_mst(ray_session):
+    """Single-linkage at the median weight equals cutting MST edges
+    heavier than the threshold (the single-linkage property) AND a
+    brute-force union-find over light graph edges."""
+    sl = cl.q_single_linkage_clusters(SF).to_pandas()
+    mst = cl.q_mst_edges(SF).to_pandas()
+    ew = cl._knn_weighted_edges(SF).to_pandas()
+    ws = sorted(zip(ew["w"], ew["u"], ew["v"]))
+    t = int(ws[(len(ws) + 1) // 2 - 1][0])
+
+    def cc(edges, nodes):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {n: find(int(n)) for n in nodes}
+
+    nodes = sl["vec_id"].tolist()
+    via_graph = cc([(u, v) for u, v, w in
+                    zip(ew["u"], ew["v"], ew["w"]) if w <= t], nodes)
+    via_mst = cc([(u, v) for u, v, w in
+                  zip(mst["u"], mst["v"], mst["w"]) if w <= t], nodes)
+    got = dict(zip(sl["vec_id"], sl["cluster"]))
+    assert got == via_graph == via_mst
