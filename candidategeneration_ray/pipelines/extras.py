@@ -3693,12 +3693,12 @@ def q_maxsim_top10(sf_dir: str, k: int = 10) -> pa.Table:
                           "score": pa.array([], pa.int64())})
         token_lists = tokenize_many(batch.column("text").to_pylist())
         doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
-        pairs = {(i, t) for i, toks in enumerate(token_lists)
-                 for t in toks}
+        pairs = sorted({(i, t) for i, toks in enumerate(token_lists)
+                        for t in toks})
         if not pairs:
             return empty
-        didx = np.asarray([p[0] for p in sorted(pairs)], np.int64)
-        toks = [p[1] for p in sorted(pairs)]
+        didx = np.asarray([p[0] for p in pairs], np.int64)
+        toks = [p[1] for p in pairs]
         codes, uniq = pd.factorize(np.asarray(toks, object))
         qm, qst, qids_u = ray.get(ref)
         D = _token_slot_vecs(list(uniq)) @ qm.T   # (U, QT)
