@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_median_interp": rl.q_nation_median_interp,  # percentile_cont twin
         "nation_mode_priority": rl.q_nation_mode_priority,  # grouped mode
         "fk_audit": rl.q_fk_audit,                  # referential-integrity audit
+        "fd_audit": rl.q_fd_audit,                  # functional-dependency audit
         "nation_p90_order": rl.q_nation_p90_order,  # two-pass exact quantile
         "promo_revenue_share": rl.q_promo_revenue_share,  # Q14: dim-broadcast CASE agg
         "small_qty_revenue": rl.q_small_qty_revenue,  # Q17: decorrelated scalar subquery

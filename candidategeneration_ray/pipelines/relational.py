@@ -4042,3 +4042,89 @@ def q_benford_digits(sf_dir: str) -> ray.data.Dataset:
             pa.array([lut[int(x)] for x in d], pa.int64()))
 
     return agg.map_batches(_attach, batch_format="pyarrow")
+
+
+# ------------------------------------------- functional-dependency audit
+
+FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),      # PK -> attr: must hold
+    ("orders", "o_custkey", "o_orderpriority"),  # expected to fail
+    ("lineitem", "l_orderkey", "l_returnflag"),  # expected to fail
+    ("lineitem", "l_partkey", "l_suppkey"),      # data-dependent
+    ("customer", "c_custkey", "c_nationkey"),    # PK -> attr: must hold
+)
+
+
+def q_fd_audit(sf_dir: str) -> pa.Table:
+    """Functional-dependency discovery over candidate column pairs —
+    the data-profiling classic (TANE's verification step, Huhtala et
+    al. 1999): for each candidate A → B, the number of A-keys with
+    more than one distinct B value (0 = the FD holds) plus the total
+    violating rows a repair would touch. The schema-inference /
+    data-contract audit next to fk_audit (referential) and
+    column_profile (per-column).
+
+    Shape: per candidate ONE distinct-pair groupby — per-batch
+    compressed (A, B) distinct partials → groupby(A) counts distinct
+    B and rows; the shuffle moves distinct (A, B) combinations.
+    Output (tbl, determinant, dependent, n_keys, n_violating_keys,
+    n_violating_rows)."""
+    from ray.data.aggregate import Count, Sum
+
+    out_rows = []
+    for tbl, det, dep in FD_CANDIDATES:
+        def _partial(batch: pa.Table, det=det, dep=dep) -> pa.Table:
+            import pandas as pd
+
+            a = batch.column(det).to_numpy(zero_copy_only=False)
+            b = batch.column(dep).to_numpy(zero_copy_only=False)
+            ac, _au = pd.factorize(a)
+            bc, _bu = pd.factorize(b)
+            key = ac.astype(np.int64) * (int(bc.max()) + 1 if bc.size
+                                         else 1) + bc
+            uk, cnt = np.unique(key, return_counts=True)
+            width = int(bc.max()) + 1 if bc.size else 1
+            return pa.table({
+                "a": pa.array([_au[i] for i in (uk // width)]),
+                "b": pa.array([_bu[i] for i in (uk % width)]),
+                "n_rows": pa.array(cnt.astype(np.int64), pa.int64()),
+            })
+
+        per_key = (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, f"{tbl}.parquet"),
+                columns=[det, dep])
+            .map_batches(_partial, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Sum("n_rows", alias_name="n_rows"))
+            .groupby("a")
+            .aggregate(Count(alias_name="n_vals"),
+                       Sum("n_rows", alias_name="n_rows"))
+        )
+
+        def _fold(batch: pa.Table) -> pa.Table:
+            nv = batch.column("n_vals").to_numpy().astype(np.int64)
+            nr = batch.column("n_rows").to_numpy().astype(np.int64)
+            viol = nv > 1
+            return pa.table({
+                "n_keys": pa.array([batch.num_rows], pa.int64()),
+                "n_violating_keys": pa.array(
+                    [int(np.count_nonzero(viol))], pa.int64()),
+                "n_violating_rows": pa.array(
+                    [int(nr[viol].sum())], pa.int64()),
+            })
+
+        # per-batch partial folds -> one tiny driver sum (3 ints/batch)
+        agg = per_key.map_batches(_fold, batch_format="pyarrow").to_pandas()
+        out_rows.append((tbl, det, dep,
+                         int(agg["n_keys"].sum()),
+                         int(agg["n_violating_keys"].sum()),
+                         int(agg["n_violating_rows"].sum())))
+    return pa.table({
+        "tbl": pa.array([r[0] for r in out_rows], pa.string()),
+        "determinant": pa.array([r[1] for r in out_rows], pa.string()),
+        "dependent": pa.array([r[2] for r in out_rows], pa.string()),
+        "n_keys": pa.array([r[3] for r in out_rows], pa.int64()),
+        "n_violating_keys": pa.array([r[4] for r in out_rows], pa.int64()),
+        "n_violating_rows": pa.array([r[5] for r in out_rows], pa.int64()),
+    })

@@ -6675,6 +6675,7 @@ def session13_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import (
         KNN_K as _KNN_K13, WALK_STEPS, WALK_TOPK, WALK_WINDOW)
     from candidategeneration_ray.pipelines.docquery import TA_FLUENCY_W
+    from candidategeneration_ray.pipelines.relational import FD_CANDIDATES
     from candidategeneration_ray.pipelines.extras import (
         _SIGN_BIT, DF_DRIFT_TOPK, HASH_DIM, K_ANON_CHAR_BUCKET,
         L_DIVERSITY, MAXSIM_SLOTS, SNM_K, SNM_W, WINNOW_K, WINNOW_W)
@@ -6786,6 +6787,18 @@ SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
 FROM ({mst_union})
 ORDER BY w, u, v
 """,
+        # functional-dependency audit over the fixed candidate list
+        "fd_audit": " UNION ALL ".join(f"""
+SELECT '{tbl}' AS tbl, '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(count(*) FILTER (WHERE n_vals > 1) AS BIGINT)
+         AS n_violating_keys,
+       CAST(coalesce(sum(n_rows) FILTER (WHERE n_vals > 1), 0) AS BIGINT)
+         AS n_violating_rows
+FROM (SELECT {det} AS a, count(DISTINCT {dep}) AS n_vals,
+             count(*) AS n_rows
+      FROM {tbl} GROUP BY {det})
+""" for tbl, det, dep in FD_CANDIDATES),
         # single-linkage at the median edge weight: CC over light edges
         "single_linkage_clusters": f"""
 WITH RECURSIVE {_knn_edge_ctes()},

@@ -634,3 +634,27 @@ def test_single_linkage_consistency_with_mst(ray_session):
                   zip(mst["u"], mst["v"], mst["w"]) if w <= t], nodes)
     got = dict(zip(sl["vec_id"], sl["cluster"]))
     assert got == via_graph == via_mst
+
+
+def test_fd_audit_brute_force(ray_session):
+    """FD verdicts equal pandas nunique checks; PK FDs hold exactly."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import relational as rl
+
+    got = rl.q_fd_audit(SF).to_pandas().set_index(
+        ["tbl", "determinant", "dependent"])
+    for tbl, det, dep in rl.FD_CANDIDATES:
+        df = pq.read_table(f"{SF}/{tbl}.parquet",
+                           columns=[det, dep]).to_pandas()
+        g = df.groupby(det)[dep].agg(["nunique", "size"])
+        r = got.loc[(tbl, det, dep)]
+        assert int(r.n_keys) == len(g)
+        assert int(r.n_violating_keys) == int((g["nunique"] > 1).sum())
+        assert int(r.n_violating_rows) == int(
+            g[g["nunique"] > 1]["size"].sum())
+    # primary-key determinants must hold by construction
+    assert int(got.loc[("orders", "o_orderkey", "o_custkey")]
+               .n_violating_keys) == 0
+    assert int(got.loc[("customer", "c_custkey", "c_nationkey")]
+               .n_violating_keys) == 0
