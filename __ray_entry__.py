@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": ex.q_text_stats,
         "decision_stump": ex.q_decision_stump,  # exact 0-1-loss best split
         "readability": ex.q_readability,        # Flesch score, exact rational
+        "char_entropy": ex.q_char_entropy,      # integer Shannon entropy
         "quality_filter": ex.q_quality_filter,
         "repetition_stats": ex.q_repetition_stats,
         "source_sample": ex.q_source_sample,
@@ -315,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the SAME sessionize oracle = plan-equivalence proof
         "sessionize_sliced": ev.q_sessionize_sliced,
         "session_length_hist": ev.q_session_length_hist,  # composition histogram
+        "time_rollup": ev.q_time_rollup,            # day/week/month grouping sets
         "asof_join": ev.q_asof_join,
         "windowed_counts": ev.q_windowed_counts,
         "windowed_counts_filled": ev.q_windowed_counts_filled,  # gap-fill row generation

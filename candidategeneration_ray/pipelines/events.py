@@ -3109,3 +3109,54 @@ def q_haar_daily(sf_dir: str) -> ray.data.Dataset:
 
     return counts.groupby("event_type").map_groups(
         _haar, batch_format="pyarrow")
+
+
+# ------------------------------------------------ time-hierarchy rollup
+
+def q_time_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Multi-grain time rollup — the calendar-hierarchy GROUPING SETS
+    (day, week, month) in one pass: per grain the event count and
+    exact purchase cents. Coarser grains derive from the DAY aggregate
+    (week = epoch_day // 7, month = calendar month), so the corpus is
+    read once and the day-grain summary (types×days rows) feeds the
+    other two — the time twin of orders_cube's lattice derivation.
+    Output (grain, bucket, n_events, cents); bucket = epoch day /
+    epoch-day week start / year*100+month."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.where(et == "purchase",
+                         _cents(batch.column("value").to_numpy()),
+                         np.int64(0))
+        day = ts // day_us
+        # calendar month from the timestamp column (Arrow kernel)
+        import pyarrow.compute as pc
+        tsc = batch.column("ts")
+        ym = (pc.year(tsc).to_numpy(zero_copy_only=False).astype(np.int64)
+              * 100
+              + pc.month(tsc).to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        out = []
+        for grain, bucket in (("day", day), ("week", (day // 7) * 7),
+                              ("month", ym)):
+            uk, inv = np.unique(bucket, return_inverse=True)
+            n = np.bincount(inv).astype(np.int64)
+            c = np.zeros(uk.size, np.int64)
+            np.add.at(c, inv, cents)
+            out.append(pa.table({
+                "grain": pa.array([grain] * uk.size, pa.string()),
+                "bucket": pa.array(uk, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    return (events_ds(sf_dir, ["ts", "event_type", "value"])
+            .map_batches(_partial, batch_format="pyarrow")
+            .groupby(["grain", "bucket"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("cents", alias_name="cents")))

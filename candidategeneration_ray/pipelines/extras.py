@@ -4134,3 +4134,61 @@ def q_l_diversity(sf_dir: str, l_min: int = L_DIVERSITY,
         })
 
     return agg.map_batches(_violations, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- character entropy
+
+ENTROPY_LUT_MAX = 1024
+
+
+def entropy_ln_lut() -> list[int]:
+    """round(ln(c)·1e9) for c = 1..ENTROPY_LUT_MAX — the bounded-domain
+    scaled-ln table (the hll_ln_lut / aa_weight_lut trick) shared by
+    the engine and the inlined SQL VALUES, so Shannon entropy over
+    counts <= the cap is pure integer arithmetic."""
+    c = np.arange(1, ENTROPY_LUT_MAX + 1, dtype=np.float64)
+    return [int(x) for x in np.round(np.log(c) * 1e9)]
+
+
+def q_char_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-document Shannon character entropy — the gibberish /
+    base64-blob detector quality scoring stacks on length heuristics:
+    with per-doc ASCII character counts c_i (n = Σc_i),
+
+        entropy_num = Σ c_i·(lnppb(n) − lnppb(c_i))   [= n·H·1e9 nats]
+
+    over the shared integer LUT, so the feature hash-verifies; the
+    consumer divides by n·1e9. Docs longer than ENTROPY_LUT_MAX ASCII
+    chars raise (widen the LUT — it is O(cap) rows).
+
+    Shape: pure streaming map — one byte-level bincount per batch (a
+    batch-global scatter over doc×byte keys, no per-char Python), no
+    shuffle. Output (doc_id, n_ascii, entropy_num)."""
+    lut = np.zeros(ENTROPY_LUT_MAX + 1, np.int64)
+    lut[1:] = np.asarray(entropy_ln_lut(), np.int64)
+
+    def _ent(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        enc = [t.encode("utf-8") for t in texts]
+        lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+        flat = np.frombuffer(b"".join(enc), np.uint8)
+        didx = np.repeat(np.arange(len(enc), dtype=np.int64), lens)
+        ascii_m = flat < 128
+        key = didx[ascii_m] * 128 + flat[ascii_m]
+        uk, cnt = np.unique(key, return_counts=True)
+        kd = uk // 128
+        n = np.zeros(len(enc), np.int64)
+        np.add.at(n, kd, cnt)
+        if n.size and int(n.max()) > ENTROPY_LUT_MAX:
+            raise ValueError("doc exceeds ENTROPY_LUT_MAX ASCII chars — "
+                             "widen the LUT")
+        num = np.zeros(len(enc), np.int64)
+        np.add.at(num, kd, cnt * (lut[n[kd]] - lut[cnt]))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_ascii": pa.array(n, pa.int64()),
+            "entropy_num": pa.array(num, pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_ent, batch_format="pyarrow")

@@ -6691,6 +6691,9 @@ def session13_oracles() -> dict[str, str]:
     h_slot = _H64.format(expr="CAST(s AS VARCHAR) || ':' || tok")
     slot_vals = ",".join(f"({s})" for s in range(MAXSIM_SLOTS))
     _TS13_SQL = extras_oracles()["text_stats"]
+    from candidategeneration_ray.pipelines.extras import entropy_ln_lut
+    _ent_lut_rows = ",".join(
+        f"({c + 1},{v})" for c, v in enumerate(entropy_ln_lut()))
 
     from candidategeneration_ray.pipelines.events import HAAR_LEVELS, HAAR_N
     haar_ctes = []
@@ -6786,6 +6789,51 @@ SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
        CAST(w AS BIGINT) AS w
 FROM ({mst_union})
 ORDER BY w, u, v
+""",
+        # Shannon character entropy via the shared integer ln LUT
+        "char_entropy": f"""
+WITH lut(c, lnppb) AS (VALUES {_ent_lut_rows}),
+chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+       FROM chars WHERE ch <> '' AND unicode(ch) < 128
+       GROUP BY 1, 2),
+nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1),
+h AS (
+  SELECT cc.doc_id,
+         CAST(sum(cc.c * (ln_n.lnppb - ln_c.lnppb)) AS BIGINT)
+           AS entropy_num
+  FROM cc JOIN nn USING (doc_id)
+  JOIN lut ln_n ON ln_n.c = nn.n
+  JOIN lut ln_c ON ln_c.c = cc.c
+  GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(nn.n, 0) AS BIGINT) AS n_ascii,
+       CAST(coalesce(h.entropy_num, 0) AS BIGINT) AS entropy_num
+FROM documents d
+LEFT JOIN nn ON nn.doc_id = d.doc_id
+LEFT JOIN h ON h.doc_id = d.doc_id
+""",
+        # calendar grouping sets derived from one scan
+        "time_rollup": """
+WITH base AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         year(ts) * 100 + month(ts) AS ym,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+  FROM events),
+g AS (
+  SELECT 'day' AS grain, day AS bucket, count(*) AS n, sum(cents) AS c
+  FROM base GROUP BY 2
+  UNION ALL
+  SELECT 'week', (day // 7) * 7, count(*), sum(cents)
+  FROM base GROUP BY 2
+  UNION ALL
+  SELECT 'month', ym, count(*), sum(cents)
+  FROM base GROUP BY 2)
+SELECT grain, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS n_events, CAST(c AS BIGINT) AS cents
+FROM g
 """,
         # functional-dependency audit over the fixed candidate list
         "fd_audit": " UNION ALL ".join(f"""

@@ -658,3 +658,38 @@ def test_fd_audit_brute_force(ray_session):
                .n_violating_keys) == 0
     assert int(got.loc[("customer", "c_custkey", "c_nationkey")]
                .n_violating_keys) == 0
+
+
+def test_char_entropy_properties(ray_session):
+    """Entropy numerator equals a Counter recomputation and behaves:
+    uniform-ish text scores higher than a single repeated char."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import extras as ex
+
+    got = ex.q_char_entropy(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    lut = [0] + ex.entropy_ln_lut()
+    for r in docs.itertuples():
+        cnt = Counter(b for b in r.text.encode("utf-8") if b < 128)
+        n = sum(cnt.values())
+        num = sum(c * (lut[n] - lut[c]) for c in cnt.values())
+        row = got.loc[int(r.doc_id)]
+        assert int(row.n_ascii) == n
+        assert int(row.entropy_num) == num
+        # 0 <= H <= ln(128): num in [0, n * lut-ish bound]
+        assert 0 <= num <= n * lut[min(n, 128)] if n else num == 0
+
+
+def test_time_rollup_consistency(ray_session):
+    """Grain totals agree: day rows sum to week rows sum to month rows
+    sum to the total event count and purchase cents."""
+    from candidategeneration_ray.pipelines import events as ev
+
+    got = ev.q_time_rollup(SF).to_pandas()
+    for col in ("n_events", "cents"):
+        vals = got.groupby("grain")[col].sum()
+        assert vals["day"] == vals["week"] == vals["month"], col
