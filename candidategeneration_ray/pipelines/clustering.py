@@ -3012,25 +3012,20 @@ def q_walk_cooccurrence(sf_dir: str, steps: int = WALK_STEPS,
 MST_MAX_ROUNDS = 20
 
 
-def _knn_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
-    """Distinct undirected kNN edges WITH their integer-L2 weight
-    (u < v, w = d2) — the weighted twin of _knn_undirected_edges."""
-    from ray.data.aggregate import Min
+def _edge_node_ids(edges: "ray.data.Dataset") -> np.ndarray:
+    """Sorted distinct node ids of an undirected edge set — one
+    distinct groupby; only the O(nodes) summary reaches the driver."""
+    from ray.data.aggregate import Count
 
-    knn = q_knn_graph(sf_dir)
+    def _node_rows(batch: pa.Table) -> pa.Table:
+        node = np.unique(np.concatenate((
+            batch.column("u").to_numpy().astype(np.int64),
+            batch.column("v").to_numpy().astype(np.int64))))
+        return pa.table({"node": pa.array(node, pa.int64())})
 
-    def _sym(batch: pa.Table) -> pa.Table:
-        a = batch.column("vec_id").to_numpy().astype(np.int64)
-        b = batch.column("nbr_id").to_numpy().astype(np.int64)
-        w = batch.column("d2").to_numpy().astype(np.int64)
-        return pa.table({
-            "u": pa.array(np.minimum(a, b), pa.int64()),
-            "v": pa.array(np.maximum(a, b), pa.int64()),
-            "w": pa.array(w, pa.int64()),
-        })
-
-    return (knn.map_batches(_sym, batch_format="pyarrow")
-            .groupby(["u", "v"]).aggregate(Min("w", alias_name="w")))
+    df = (edges.map_batches(_node_rows, batch_format="pyarrow")
+          .groupby("node").aggregate(Count(alias_name="_c"))).to_pandas()
+    return np.sort(df["node"].to_numpy(np.int64))
 
 
 def q_mst_edges(sf_dir: str) -> pa.Table:
@@ -3051,7 +3046,7 @@ def q_mst_edges(sf_dir: str) -> pa.Table:
     operators use, never O(edges). ≤ log2(n) rounds by Borůvka's
     halving argument; raises past MST_MAX_ROUNDS."""
     ew = _knn_weighted_edges(sf_dir).materialize()
-    node_arr = ray.get(_edge_degree_ref(ew))[0]  # O(nodes) via groupby
+    node_arr = _edge_node_ids(ew)   # O(nodes) via a distinct groupby
     labels = node_arr.copy()
     chosen: dict[tuple[int, int], int] = {}
 
@@ -3189,6 +3184,10 @@ def q_single_linkage_clusters(sf_dir: str,
         return pa.table({
             "src": pa.array(np.concatenate((u, v)), pa.int64()),
             "dst": pa.array(np.concatenate((v, u)), pa.int64()),
+            # edge-row marker _propagation_rounds' unioned schema needs
+            "lbl": pa.array(np.full(2 * u.size,
+                                    np.iinfo(np.int64).max, np.int64),
+                            pa.int64()),
         })
 
     sym = ew.map_batches(_sym, batch_format="pyarrow").materialize()

@@ -2857,7 +2857,11 @@ def q_ta_fused_topk(sf_dir: str, k: int = 10) -> pa.Table:
                 return int(bscore[i])
             return 0
 
+        import heapq
+
         seen: dict[int, int] = {}
+        topk_heap: list[int] = []
+        new_fused: list[int] = []
         p1 = p2 = 0
         cur1 = int(s1_vals[0]) if s1_vals.size else 0
         cur2 = int(s2_vals[0]) if s2_vals.size else 0
@@ -2869,22 +2873,31 @@ def q_ta_fused_topk(sf_dir: str, k: int = 10) -> pa.Table:
                 if d not in seen:
                     j = np.searchsorted(ra_docs, d)
                     seen[d] = int(s1_vals[p1 - 1]) + int(w * ra_vals[j])
+                    new_fused.append(seen[d])
             if p2 < s2_docs.size:
                 d = int(s2_docs[p2])
                 cur2 = int(s2_vals[p2])
                 p2 += 1
                 if d not in seen:
                     seen[d] = bm25_of(d) + int(w) * cur2
+                    new_fused.append(seen[d])
             # s1 bound for an UNSEEN doc: an unenumerated matcher is
             # <= cur1, and every non-matcher scores exactly 0 — so
             # max(cur1, 0) while the match list is live, 0 after it
             # exhausts (negative-idf matchers stay under both bounds)
             bound1 = max(cur1, 0) if p1 < s1_docs.size else 0
             tau = bound1 + int(w) * cur2
-            if len(seen) >= k:
-                kth = sorted(seen.values(), reverse=True)[k - 1]
-                if kth > tau:
-                    break
+            # k-th best via a size-k min-heap — O(log k) per access
+            # instead of re-sorting `seen` (flat-attribute queries
+            # grow seen to the corpus)
+            while len(topk_heap) < k and new_fused:
+                heapq.heappush(topk_heap, new_fused.pop())
+            while new_fused:
+                f = new_fused.pop()
+                if f > topk_heap[0]:
+                    heapq.heapreplace(topk_heap, f)
+            if len(topk_heap) >= k and topk_heap[0] > tau:
+                break
             if p1 >= s1_docs.size and p2 >= s2_docs.size:
                 break
         total_sorted_accesses += p1 + p2

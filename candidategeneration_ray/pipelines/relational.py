@@ -4076,6 +4076,12 @@ def q_fd_audit(sf_dir: str) -> pa.Table:
         def _partial(batch: pa.Table, det=det, dep=dep) -> pa.Table:
             import pandas as pd
 
+            if batch.num_rows == 0:
+                return pa.table({
+                    "a": pa.array([], batch.schema.field(det).type),
+                    "b": pa.array([], batch.schema.field(dep).type),
+                    "n_rows": pa.array([], pa.int64()),
+                })
             a = batch.column(det).to_numpy(zero_copy_only=False)
             b = batch.column(dep).to_numpy(zero_copy_only=False)
             ac, _au = pd.factorize(a)

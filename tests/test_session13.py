@@ -693,3 +693,15 @@ def test_time_rollup_consistency(ray_session):
     for col in ("n_events", "cents"):
         vals = got.groupby("grain")[col].sum()
         assert vals["day"] == vals["week"] == vals["month"], col
+
+
+def test_single_linkage_staged_path_equals_fast(ray_session):
+    """The >cap _propagation_rounds route equals the single-task CC
+    fast path (regression: the staged route once dropped the lbl
+    sentinel column and produced garbage labels)."""
+    fast = (cl.q_single_linkage_clusters(SF).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    staged = (cl.q_single_linkage_clusters(SF, small_graph_max_edges=0)
+              .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert fast.equals(staged)
+    assert (staged["cluster"] >= 0).all()
