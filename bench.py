@@ -306,6 +306,11 @@ def run_bench() -> dict:
         ("adamic_adar", cb.q_adamic_adar),              # weighted link score
         ("selection_audit", _tl().q_selection_audit),   # reason codes
         ("haar_daily", ev.q_haar_daily),                # wavelet filter bank
+        ("mst_edges", cb.q_mst_edges),                  # Borůvka forest
+        ("walk_cooccurrence", cb.q_walk_cooccurrence),  # DeepWalk corpus
+        ("fd_audit", rl.q_fd_audit),                    # FD discovery
+        ("time_rollup", ev.q_time_rollup),              # calendar lattice
+        ("char_entropy", ex.q_char_entropy),            # integer entropy
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)
