@@ -3210,3 +3210,125 @@ def q_single_linkage_clusters(sf_dir: str,
             .union(ident)
             .groupby("vec_id")
             .aggregate(Min("cluster", alias_name="cluster")))
+
+
+# ------------------------------------------ maximal independent set (MIS)
+
+MIS_MAX_ROUNDS = 12   # shared with the SQL unroll — widen BOTH together
+
+
+def q_mis_nodes(sf_dir: str) -> pa.Table:
+    """Maximal independent set over the undirected kNN graph by Luby's
+    algorithm (Luby SICOMP'86 — THE parallel symmetry-breaking
+    classic) with deterministic md5 priorities: each round every
+    undecided node whose (h64(node), node) is smaller than all its
+    undecided neighbors' joins the set; the node and its neighbors
+    leave the pool. O(log n) rounds w.h.p.; raises past
+    MIS_MAX_ROUNDS (the SQL oracle unrolls exactly that many — widen
+    both together). MIS is the scheduling/conflict-free-selection
+    primitive (pick a maximal set of pairwise-non-similar docs).
+
+    Shape: per round ONE distributed pass over the edge set computes
+    each undecided node's minimum undecided-neighbor priority (batch
+    partials → a nodes-sized groupby argmin); the driver holds only
+    the node-count priority/state arrays (the accepted
+    degree-broadcast class) and folds the O(und) summary. Output
+    (vec_id, mis_round) for the selected nodes."""
+    from candidategeneration_ray.functions import hashing as H
+
+    ew = _knn_weighted_edges(sf_dir).materialize()
+    nodes = _edge_node_ids(ew)
+    prio = H.h64_many([str(int(v)) for v in nodes])
+    und = np.ones(nodes.size, bool)
+    picked = np.full(nodes.size, -1, np.int64)   # round joined, -1 = no
+
+    def _nbr_min(batch: pa.Table, state_ref) -> pa.Table:
+        nds, pr, u_mask = ray.get(state_ref)
+        a = batch.column("u").to_numpy().astype(np.int64)
+        b = batch.column("v").to_numpy().astype(np.int64)
+        src = np.concatenate((a, b))
+        dst = np.concatenate((b, a))
+        si = np.searchsorted(nds, src)
+        di = np.searchsorted(nds, dst)
+        live = u_mask[si] & u_mask[di]
+        if not live.any():
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "nh": pa.array([], pa.uint64()),
+                             "nv": pa.array([], pa.int64())})
+        di, si = di[live], si[live]
+        # per-dst min (h, v) within the batch
+        order = np.lexsort((nds[si], pr[si], di))
+        di, si = di[order], si[order]
+        first = np.concatenate(([True], di[1:] != di[:-1]))
+        return pa.table({
+            "node": pa.array(nds[di[first]], pa.int64()),
+            "nh": pa.array(pr[si[first]], pa.uint64()),
+            "nv": pa.array(nds[si[first]], pa.int64()),
+        })
+
+    def _merge_min(group: pa.Table) -> pa.Table:
+        nh = group.column("nh").to_numpy().astype(np.uint64)
+        nv = group.column("nv").to_numpy().astype(np.int64)
+        i = int(np.lexsort((nv, nh))[0])
+        return group.take([i])
+
+    for rnd in range(MIS_MAX_ROUNDS):
+        if not und.any():
+            break
+        state_ref = ray.put((nodes, prio, und))
+        rows = (ew.map_batches(
+                    lambda b, r=state_ref: _nbr_min(b, r),
+                    batch_format="pyarrow")
+                .groupby("node")
+                .map_groups(_merge_min, batch_format="pyarrow")
+                .take_all())  # O(undecided)
+        # nodes with an undecided neighbor: min (h, v) over them
+        nbr_h = np.zeros(nodes.size, np.uint64)
+        nbr_v = np.zeros(nodes.size, np.int64)
+        has_nbr = np.zeros(nodes.size, bool)
+        for r in rows:
+            i = int(np.searchsorted(nodes, int(r["node"])))
+            has_nbr[i] = True
+            nbr_h[i] = np.uint64(r["nh"])
+            nbr_v[i] = np.int64(r["nv"])
+        cand = und & (~has_nbr
+                      | (prio < nbr_h)
+                      | ((prio == nbr_h) & (nodes < nbr_v)))
+        picked[cand] = rnd
+        # remove candidates and their neighbors (locally: neighbors of
+        # cand are exactly the dst's whose min undecided nbr could be a
+        # cand — recompute from edge rows next round; here mark via the
+        # rows we already have plus cand itself)
+        und = und & ~cand
+        # neighbors of cand: one more distributed pass is avoided by
+        # folding removal into the next round's live mask — but Luby
+        # requires removing N(cand) NOW; do it with a driver-free pass
+        cand_ids = nodes[cand]
+        if cand_ids.size:
+            cref = ray.put(cand_ids)
+
+            def _touched(batch: pa.Table, cref=cref) -> pa.Table:
+                cs = ray.get(cref)
+                a = batch.column("u").to_numpy().astype(np.int64)
+                b = batch.column("v").to_numpy().astype(np.int64)
+                am = np.isin(a, cs)
+                bm = np.isin(b, cs)
+                out = np.unique(np.concatenate((b[am], a[bm])))
+                return pa.table({"node": pa.array(out, pa.int64())})
+
+            from ray.data.aggregate import Count
+
+            tdf = (ew.map_batches(_touched, batch_format="pyarrow")
+                   .groupby("node").aggregate(Count(alias_name="_c"))
+                   ).to_pandas()
+            tid = tdf["node"].to_numpy(np.int64)
+            und[np.searchsorted(nodes, tid)] = False
+    else:
+        if und.any():
+            raise RuntimeError("Luby MIS exceeded MIS_MAX_ROUNDS")
+
+    sel = picked >= 0
+    return pa.table({
+        "vec_id": pa.array(nodes[sel], pa.int64()),
+        "mis_round": pa.array(picked[sel], pa.int64()),
+    })

@@ -6762,6 +6762,34 @@ lbl{r + 1} AS MATERIALIZED (
     mst_union = " UNION ".join(
         f"SELECT u, v, w FROM me{r}" for r in range(MST_SQL_ROUNDS))
 
+    # Luby MIS unroll (deterministic md5 priorities)
+    from candidategeneration_ray.pipelines.clustering import MIS_MAX_ROUNDS
+    h_node = _H64.format(expr="CAST(x AS VARCHAR)")
+    mis_ctes = [f"pr AS MATERIALIZED (SELECT x AS v, {h_node} AS h "
+                "FROM (SELECT DISTINCT x FROM sadj))",
+                "und0 AS (SELECT v FROM pr)"]
+    for r in range(MIS_MAX_ROUNDS):
+        mis_ctes.append(f"""nb{r} AS (
+  SELECT s.x AS v, p.h AS nh, p.v AS nv,
+         row_number() OVER (PARTITION BY s.x ORDER BY p.h, p.v) AS rn
+  FROM sadj s
+  JOIN und{r} ux ON ux.v = s.x
+  JOIN und{r} uy ON uy.v = s.y
+  JOIN pr p ON p.v = s.y),
+cand{r} AS MATERIALIZED (
+  SELECT u.v FROM und{r} u
+  JOIN pr p ON p.v = u.v
+  LEFT JOIN (SELECT v, nh, nv FROM nb{r} WHERE rn = 1) m ON m.v = u.v
+  WHERE m.v IS NULL OR p.h < m.nh OR (p.h = m.nh AND p.v < m.nv)),
+rem{r} AS (SELECT v FROM cand{r}
+           UNION SELECT s.y FROM sadj s JOIN cand{r} c ON c.v = s.x),
+und{r + 1} AS MATERIALIZED (
+  SELECT u.v FROM und{r} u
+  WHERE u.v NOT IN (SELECT v FROM rem{r}))""")
+    mis_union = " UNION ALL ".join(
+        f"SELECT CAST(v AS BIGINT) AS vec_id, CAST({r} AS BIGINT) "
+        f"AS mis_round FROM cand{r}" for r in range(MIS_MAX_ROUNDS))
+
     walk_ctes = ["w0 AS (SELECT vec_id AS walk, 0 AS step, vec_id AS cur "
                  "FROM embeddings)"]
     for s in range(WALK_STEPS):
@@ -6847,6 +6875,12 @@ FROM (SELECT {det} AS a, count(DISTINCT {dep}) AS n_vals,
              count(*) AS n_rows
       FROM {tbl} GROUP BY {det})
 """ for tbl, det, dep in FD_CANDIDATES),
+        # Luby MIS: rounds unrolled, min undecided-neighbor priority
+        "mis_nodes": f"""
+WITH {_knn_edge_ctes()},
+{",".join(mis_ctes)}
+{mis_union}
+""",
         # single-linkage at the median edge weight: CC over light edges
         "single_linkage_clusters": f"""
 WITH RECURSIVE {_knn_edge_ctes()},

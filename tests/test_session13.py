@@ -705,3 +705,36 @@ def test_single_linkage_staged_path_equals_fast(ray_session):
               .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert fast.equals(staged)
     assert (staged["cluster"] >= 0).all()
+
+
+def test_mis_is_maximal_independent(ray_session):
+    """MIS properties on the real kNN graph: no two selected nodes are
+    adjacent (independent) and every unselected node has a selected
+    neighbor (maximal); equals a sequential Luby replay."""
+    from candidategeneration_ray.functions import hashing as H
+
+    got = cl.q_mis_nodes(SF).to_pandas()
+    sel = set(got["vec_id"].astype(int))
+    ew = cl._knn_weighted_edges(SF).to_pandas()
+    adj = {}
+    for u, v in zip(ew["u"], ew["v"]):
+        adj.setdefault(int(u), set()).add(int(v))
+        adj.setdefault(int(v), set()).add(int(u))
+    for u, v in zip(ew["u"], ew["v"]):
+        assert not (int(u) in sel and int(v) in sel)
+    for n, nbrs in adj.items():
+        assert n in sel or (nbrs & sel), n
+    # sequential replay with the same priorities and round rule
+    prio = {n: (int(H.h64(str(n))), n) for n in adj}
+    und = set(adj)
+    want = {}
+    rnd = 0
+    while und:
+        cand = {n for n in und
+                if all(prio[n] < prio[m] for m in adj[n] if m in und)}
+        for n in cand:
+            want[n] = rnd
+        und -= cand | {m for n in cand for m in adj[n]}
+        rnd += 1
+    assert dict(zip(got["vec_id"].astype(int),
+                    got["mis_round"].astype(int))) == want
