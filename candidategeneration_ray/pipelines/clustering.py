@@ -3332,3 +3332,117 @@ def q_mis_nodes(sf_dir: str) -> pa.Table:
         "vec_id": pa.array(nodes[sel], pa.int64()),
         "mis_round": pa.array(picked[sel], pa.int64()),
     })
+
+
+# ------------------------------------------------ greedy maximal matching
+
+MATCHING_MAX_ROUNDS = 12   # shared with the SQL unroll
+
+
+def q_matching_edges(sf_dir: str) -> pa.Table:
+    """Maximal matching over the undirected kNN graph by parallel
+    greedy locally-minimal selection (the Luby-style symmetry-breaking
+    twin of q_mis_nodes, and the classic 2-approx vertex-cover /
+    pair-up primitive — e.g. pairing near-duplicate docs for A/B
+    dedup review): edge priorities are h64("u:v"); each round every
+    undecided edge whose priority is the strict minimum among ALL
+    edges sharing an endpoint joins the matching, and its endpoints'
+    edges leave the pool. Deterministic; raises past
+    MATCHING_MAX_ROUNDS (the SQL unrolls the same count).
+
+    Shape: per round ONE distributed pass computes each node's
+    min-incident-undecided priority (batch partials → nodes-sized
+    groupby min); an edge is selected iff its priority equals BOTH
+    endpoints' minima (strict minimality under distinct md5
+    priorities). Driver holds the node-count state arrays. Output
+    (u, v, match_round)."""
+    from candidategeneration_ray.functions import hashing as H
+    from ray.data.aggregate import Min
+
+    ew = _knn_weighted_edges(sf_dir).materialize()
+    nodes = _edge_node_ids(ew)
+    alive = np.ones(nodes.size, bool)   # node still unmatched
+    out_u, out_v, out_r = [], [], []
+
+    def _prio(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return H.h64_many([f"{int(a)}:{int(b)}" for a, b in zip(u, v)])
+
+    def _node_min(batch: pa.Table, state_ref) -> pa.Table:
+        nds, al = ray.get(state_ref)
+        u = batch.column("u").to_numpy().astype(np.int64)
+        v = batch.column("v").to_numpy().astype(np.int64)
+        live = al[np.searchsorted(nds, u)] & al[np.searchsorted(nds, v)]
+        u, v = u[live], v[live]
+        if u.size == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "mp": pa.array([], pa.uint64())})
+        p = _prio(u, v)
+        node = np.concatenate((u, v))
+        pp = np.concatenate((p, p))
+        order = np.lexsort((pp, node))
+        node, pp = node[order], pp[order]
+        first = np.concatenate(([True], node[1:] != node[:-1]))
+        return pa.table({"node": pa.array(node[first], pa.int64()),
+                         "mp": pa.array(pp[first], pa.uint64())})
+
+    for rnd in range(MATCHING_MAX_ROUNDS):
+        state_ref = ray.put((nodes, alive))
+        mins = (ew.map_batches(
+                    lambda b, r=state_ref: _node_min(b, r),
+                    batch_format="pyarrow")
+                .groupby("node").aggregate(Min("mp", alias_name="mp"))
+                ).to_pandas()  # O(alive nodes)
+        if len(mins) == 0:
+            break
+        mn = mins["node"].to_numpy(np.int64)
+        mv = mins["mp"].to_numpy(np.uint64)
+        o = np.argsort(mn)
+        mn, mv = mn[o], mv[o]
+        min_ref = ray.put((nodes, alive, mn, mv))
+
+        def _cand(batch: pa.Table, r=min_ref) -> pa.Table:
+            nds, al, mn_, mv_ = ray.get(r)
+            u = batch.column("u").to_numpy().astype(np.int64)
+            v = batch.column("v").to_numpy().astype(np.int64)
+            live = (al[np.searchsorted(nds, u)]
+                    & al[np.searchsorted(nds, v)])
+            u, v = u[live], v[live]
+            if u.size == 0:
+                return pa.table({"u": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())})
+            p = _prio(u, v)
+            iu = np.searchsorted(mn_, u)
+            iv = np.searchsorted(mn_, v)
+            keep = (mv_[iu] == p) & (mv_[iv] == p)
+            return pa.table({"u": pa.array(u[keep], pa.int64()),
+                             "v": pa.array(v[keep], pa.int64())})
+
+        cand = pa.concat_tables(ray.get(
+            ew.map_batches(_cand, batch_format="pyarrow")
+            .to_arrow_refs()))  # O(matched this round)
+        if cand.num_rows == 0:
+            break
+        cu = cand.column("u").to_numpy().astype(np.int64)
+        cv = cand.column("v").to_numpy().astype(np.int64)
+        out_u.extend(cu.tolist())
+        out_v.extend(cv.tolist())
+        out_r.extend([rnd] * cu.size)
+        alive[np.searchsorted(nodes, cu)] = False
+        alive[np.searchsorted(nodes, cv)] = False
+    else:
+        # pool may legitimately be empty exactly at the last round
+        state_ref = ray.put((nodes, alive))
+        leftover = (ew.map_batches(
+            lambda b, r=state_ref: _node_min(b, r),
+            batch_format="pyarrow").take_all())
+        if leftover:
+            raise RuntimeError("matching exceeded MATCHING_MAX_ROUNDS")
+
+    order = np.lexsort((np.asarray(out_v, np.int64),
+                        np.asarray(out_u, np.int64)))
+    return pa.table({
+        "u": pa.array(np.asarray(out_u, np.int64)[order], pa.int64()),
+        "v": pa.array(np.asarray(out_v, np.int64)[order], pa.int64()),
+        "match_round": pa.array(np.asarray(out_r, np.int64)[order],
+                                pa.int64()),
+    })

@@ -6790,6 +6790,34 @@ und{r + 1} AS MATERIALIZED (
         f"SELECT CAST(v AS BIGINT) AS vec_id, CAST({r} AS BIGINT) "
         f"AS mis_round FROM cand{r}" for r in range(MIS_MAX_ROUNDS))
 
+    # parallel greedy maximal matching unroll
+    from candidategeneration_ray.pipelines.clustering import (
+        MATCHING_MAX_ROUNDS)
+    h_edge = _H64.format(
+        expr="CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")
+    mm_ctes = [f"epr AS MATERIALIZED (SELECT u, v, {h_edge} AS p FROM ew)",
+               "alive0 AS (SELECT DISTINCT x AS v FROM sadj)"]
+    for r in range(MATCHING_MAX_ROUNDS):
+        mm_ctes.append(f"""le{r} AS (
+  SELECT e.u, e.v, e.p FROM epr e
+  JOIN alive{r} a1 ON a1.v = e.u
+  JOIN alive{r} a2 ON a2.v = e.v),
+nm{r} AS (
+  SELECT node, min(p) AS mp FROM (
+    SELECT u AS node, p FROM le{r}
+    UNION ALL SELECT v, p FROM le{r}) GROUP BY node),
+mc{r} AS MATERIALIZED (
+  SELECT l.u, l.v FROM le{r} l
+  JOIN nm{r} mu ON mu.node = l.u AND mu.mp = l.p
+  JOIN nm{r} mv ON mv.node = l.v AND mv.mp = l.p),
+alive{r + 1} AS MATERIALIZED (
+  SELECT a.v FROM alive{r} a
+  WHERE a.v NOT IN (SELECT u FROM mc{r} UNION SELECT v FROM mc{r}))""")
+    mm_union = " UNION ALL ".join(
+        f"SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, "
+        f"CAST({r} AS BIGINT) AS match_round FROM mc{r}"
+        for r in range(MATCHING_MAX_ROUNDS))
+
     walk_ctes = ["w0 AS (SELECT vec_id AS walk, 0 AS step, vec_id AS cur "
                  "FROM embeddings)"]
     for s in range(WALK_STEPS):
@@ -6875,6 +6903,18 @@ FROM (SELECT {det} AS a, count(DISTINCT {dep}) AS n_vals,
              count(*) AS n_rows
       FROM {tbl} GROUP BY {det})
 """ for tbl, det, dep in FD_CANDIDATES),
+        # greedy maximal matching: locally-minimal edge priorities
+        "matching_edges": f"""
+WITH {_knn_edge_ctes()},
+ew AS MATERIALIZED (
+  SELECT least(r.vec_id, r.nbr_id) AS u, greatest(r.vec_id, r.nbr_id) AS v,
+         min(d.d2) AS w
+  FROM rk r JOIN dist d
+    ON d.vec_id = r.vec_id AND d.nbr_id = r.nbr_id
+  WHERE r.rank <= {_KNN_K13} GROUP BY 1, 2),
+{",".join(mm_ctes)}
+{mm_union}
+""",
         # Luby MIS: rounds unrolled, min undecided-neighbor priority
         "mis_nodes": f"""
 WITH {_knn_edge_ctes()},

@@ -738,3 +738,15 @@ def test_mis_is_maximal_independent(ray_session):
         rnd += 1
     assert dict(zip(got["vec_id"].astype(int),
                     got["mis_round"].astype(int))) == want
+
+
+def test_matching_is_maximal(ray_session):
+    """Matching properties: no node appears twice (a matching) and no
+    surviving edge has both endpoints unmatched (maximal)."""
+    got = cl.q_matching_edges(SF).to_pandas()
+    used = got["u"].astype(int).tolist() + got["v"].astype(int).tolist()
+    assert len(used) == len(set(used))
+    matched = set(used)
+    ew = cl._knn_weighted_edges(SF).to_pandas()
+    for u, v in zip(ew["u"], ew["v"]):
+        assert int(u) in matched or int(v) in matched
