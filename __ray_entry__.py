@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_top10": cl.q_ann_pq_top10,          # ADC ranking (value-verified)
         "ann_ivfpq_top10": cl.q_ann_ivfpq_top10,    # IVF-PQ (probe + ADC, value-verified)
         "embedding_gram": cl.q_embedding_gram,      # distributed X^T X (PCA prep)
+        "gram_power_iteration": cl.q_gram_power_iteration,  # spectral finalizer
         "embedding_jl_sketch": cl.q_embedding_jl_sketch,  # deterministic JL projection
         "knn_graph": cl.q_knn_graph,                # exact integer-L2 kNN graph
         "mutual_knn": cl.q_mutual_knn,              # reciprocal-kNN link filter

@@ -3446,3 +3446,50 @@ def q_matching_edges(sf_dir: str) -> pa.Table:
         "match_round": pa.array(np.asarray(out_r, np.int64)[order],
                                 pa.int64()),
     })
+
+
+# --------------------------------------------- spectral (power iteration)
+
+POWER_ITERS = 4
+POWER_SCALE = 10 ** 6
+
+
+def q_gram_power_iteration(sf_dir: str,
+                           iters: int = POWER_ITERS) -> pa.Table:
+    """Leading-eigenvector estimate of the Gram matrix XᵀX by
+    fixed-point power iteration — the spectral step PCA/whitening
+    pipelines run on the verified distributed Gram sufficient
+    statistic (q_embedding_gram): v ← trunc(G·v · S / max|G·v|), all
+    integer (Python big-int on the driver over the d×d summary,
+    HUGEINT in the oracle; division truncates toward zero on BOTH
+    sides — DuckDB's `//`). The distributed work is the Gram build;
+    the iteration is the documented O(d²) driver finalizer. Output
+    (dim, v) after `iters` rounds, scaled to max |v| = 10^6.
+
+    Convergence RATE is (λ2/λ1)^iters — spectrum-dependent; the
+    near-isotropic synthetic embeddings need many steps for full
+    alignment, so the entry verifies the exact iteration (each step a
+    Krylov step that provably improves the Rayleigh quotient —
+    pytest), and `iters` is the caller's accuracy knob."""
+    rows = q_embedding_gram(sf_dir).take_all()   # d(d+1)/2 + 1 rows
+    dims = max(int(r["dim_a"]) for r in rows) + 1
+    g = [[0] * dims for _ in range(dims)]
+    for r in rows:
+        i, j = int(r["dim_a"]), int(r["dim_b"])
+        if i < 0:
+            continue
+        g[i][j] = int(r["sum_xy"])
+        g[j][i] = int(r["sum_xy"])
+    s = POWER_SCALE
+    v = [s] * dims
+    for _ in range(iters):
+        w = [sum(g[i][j] * v[j] for j in range(dims))
+             for i in range(dims)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            break
+        v = [(abs(x) * s) // mx * (1 if x >= 0 else -1) for x in w]
+    return pa.table({
+        "dim": pa.array(np.arange(dims, dtype=np.int64), pa.int64()),
+        "v": pa.array(np.asarray(v, dtype=np.int64), pa.int64()),
+    })

@@ -6669,6 +6669,37 @@ sadj AS (SELECT u AS x, v AS y FROM edges
 deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM sadj GROUP BY x)"""
 
 
+def _gram_power_sql() -> str:
+    from candidategeneration_ray.pipelines.clustering import (
+        KMEANS_SCALE, POWER_ITERS, POWER_SCALE)
+
+    ctes = [f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS x
+  FROM embeddings
+)""",
+            """g AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS val
+  FROM qv a JOIN qv b ON a.vec_id = b.vec_id GROUP BY 1, 2)""",
+            f"""v0 AS (SELECT DISTINCT d AS i,
+  CAST({POWER_SCALE} AS HUGEINT) AS v FROM qv)"""]
+    for r in range(POWER_ITERS):
+        ctes.append(f"""w{r} AS (
+  SELECT g.i, sum(g.val * v{r}.v) AS w
+  FROM g JOIN v{r} ON v{r}.i = g.j GROUP BY g.i),
+mx{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
+v{r + 1} AS MATERIALIZED (
+  SELECT i, CASE WHEN w >= 0
+                 THEN (abs(w) * {POWER_SCALE}) // (SELECT m FROM mx{r})
+                 ELSE -((abs(w) * {POWER_SCALE}) // (SELECT m FROM mx{r}))
+            END AS v
+  FROM w{r})""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v "
+            f"FROM v{POWER_ITERS}")
+
+
 def session13_oracles() -> dict[str, str]:
     from candidategeneration_ray.pipelines.clustering import (
         AA_DEG_CAP, AA_TOPK, aa_weight_lut)
@@ -6903,6 +6934,8 @@ FROM (SELECT {det} AS a, count(DISTINCT {dep}) AS n_vals,
              count(*) AS n_rows
       FROM {tbl} GROUP BY {det})
 """ for tbl, det, dep in FD_CANDIDATES),
+        # power iteration over the Gram matrix, HUGEINT fixed point
+        "gram_power_iteration": _gram_power_sql(),
         # greedy maximal matching: locally-minimal edge priorities
         "matching_edges": f"""
 WITH {_knn_edge_ctes()},

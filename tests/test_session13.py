@@ -750,3 +750,33 @@ def test_matching_is_maximal(ray_session):
     ew = cl._knn_weighted_edges(SF).to_pandas()
     for u, v in zip(ew["u"], ew["v"]):
         assert int(u) in matched or int(v) in matched
+
+
+def test_power_iteration_exact_and_improving(ray_session):
+    """The fixed-point vector equals an exact big-int replay of the
+    truncating recurrence, and its Rayleigh quotient strictly improves
+    on the start vector's (convergence RATE is spectrum-dependent —
+    the synthetic embeddings are near-isotropic, so full alignment
+    needs more steps; the oracle verifies the iteration itself)."""
+    got = cl.q_gram_power_iteration(SF).to_pandas().sort_values("dim")
+    rows = cl.q_embedding_gram(SF).take_all()
+    d = max(int(r["dim_a"]) for r in rows) + 1
+    g = [[0] * d for _ in range(d)]
+    for r in rows:
+        i, j = int(r["dim_a"]), int(r["dim_b"])
+        if i >= 0:
+            g[i][j] = g[j][i] = int(r["sum_xy"])
+    s = cl.POWER_SCALE
+    v = [s] * d
+    for _ in range(cl.POWER_ITERS):
+        w = [sum(g[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        v = [(abs(x) * s) // mx * (1 if x >= 0 else -1) for x in w]
+    assert got["v"].tolist() == v
+    G = np.asarray(g, np.float64)
+
+    def rayleigh(x):
+        x = np.asarray(x, np.float64)
+        return (x @ G @ x) / (x @ x)
+
+    assert rayleigh(v) > rayleigh([s] * d)
