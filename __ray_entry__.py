@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighborhood_jaccard": cl.q_neighborhood_jaccard,  # exact-ratio link score
         "adamic_adar": cl.q_adamic_adar,            # 1/ln(deg) weighted link score
         "kcore_nodes": cl.q_kcore_nodes,                # k-core peeling fixed point
+        "densest_subgraph": cl.q_densest_subgraph,      # parallel peeling 2-approx
         "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
         "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
         "walk_cooccurrence": cl.q_walk_cooccurrence,  # DeepWalk context pairs

@@ -3493,3 +3493,95 @@ def q_gram_power_iteration(sf_dir: str,
         "dim": pa.array(np.arange(dims, dtype=np.int64), pa.int64()),
         "v": pa.array(np.asarray(v, dtype=np.int64), pa.int64()),
     })
+
+
+# ------------------------------------------------- densest subgraph (2+ε)
+
+DENSEST_MAX_ROUNDS = 24
+
+
+def q_densest_subgraph(sf_dir: str) -> pa.Table:
+    """Greedy densest-subgraph 2-approximation by parallel peeling
+    (Charikar APPROX'00; the distributed variant of Bahmani, Kumar &
+    Vassilvitskii VLDB'12 with ε = 0) over the CO-PURCHASE graph (the
+    same skewed association graph as q_kcore_nodes — a quasi-regular
+    kNN graph would make round 0 trivially densest): each round
+    removes EVERY node whose degree is at most the current average
+    (n·deg ≤ 2·|E| — integer cross-multiplication, no division), and
+    the answer is the densest iterate — community-core / bundle
+    extraction. Deterministic; raises past DENSEST_MAX_ROUNDS (the
+    SQL unrolls the same count; post-fixed-point rounds are no-ops).
+
+    Density compares exactly by cross-multiplication; ties between
+    iterates break toward the EARLIEST round — the SQL replays the
+    same rule. Output one row per member of the winning iterate
+    (part, best_round, e2 = 2·|E|, n = |V|), density = e2 / (2·n).
+
+    Shape: per round ONE edge-set pass computes surviving degrees
+    (batch partials → nodes-sized groupby); the driver holds the
+    node-count alive/degree arrays (the accepted broadcast class).
+    The per-round edge count is Σdeg/2 — no second pass."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.pipelines.relational import (
+        copurchase_edges)
+
+    ew = copurchase_edges(sf_dir, KCORE_SUPPORT).materialize()
+    nodes = _edge_node_ids(ew)
+    alive = np.ones(nodes.size, bool)
+    iterates = []   # (round, e2, n, alive snapshot)
+
+    def _deg_rows(batch: pa.Table, state_ref) -> pa.Table:
+        nds, al = ray.get(state_ref)
+        u = batch.column("u").to_numpy().astype(np.int64)
+        v = batch.column("v").to_numpy().astype(np.int64)
+        live = al[np.searchsorted(nds, u)] & al[np.searchsorted(nds, v)]
+        u, v = u[live], v[live]
+        node = np.concatenate((u, v))
+        uk, cnt = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(uk, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64),
+                                         pa.int64())})
+
+    for rnd in range(DENSEST_MAX_ROUNDS):
+        state_ref = ray.put((nodes, alive))
+        degs = (ew.map_batches(
+                    lambda b, r=state_ref: _deg_rows(b, r),
+                    batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+                ).to_pandas()   # O(alive nodes)
+        deg = np.zeros(nodes.size, np.int64)
+        if len(degs):
+            dn = degs["node"].to_numpy(np.int64)
+            deg[np.searchsorted(nodes, dn)] = \
+                degs["deg"].to_numpy(np.int64)
+        n_alive = int(np.count_nonzero(alive))
+        e2 = int(deg[alive].sum())          # = 2|E| of the iterate
+        if n_alive == 0:
+            break
+        iterates.append((rnd, e2, n_alive, alive.copy()))
+        # peel: deg <= avg  <=>  n * deg <= e2  (isolated nodes too)
+        peel = alive & (n_alive * deg <= e2)
+        if not peel.any():                  # stable core: done
+            break
+        alive = alive & ~peel
+    else:
+        if alive.any():
+            raise RuntimeError("densest-subgraph peeling exceeded "
+                               "DENSEST_MAX_ROUNDS")
+
+    # densest iterate: max e2/(2n) -> cross-multiplied, earliest wins
+    best = iterates[0]
+    for it in iterates[1:]:
+        # it denser than best  <=>  it.e2 * best.n > best.e2 * it.n
+        if it[1] * best[2] > best[1] * it[2]:
+            best = it
+    rnd, e2, n_alive, snap = best
+    sel = nodes[snap]
+    return pa.table({
+        "part": pa.array(sel, pa.int64()),
+        "best_round": pa.array(np.full(sel.size, rnd, np.int64),
+                               pa.int64()),
+        "e2": pa.array(np.full(sel.size, e2, np.int64), pa.int64()),
+        "n": pa.array(np.full(sel.size, n_alive, np.int64), pa.int64()),
+    })

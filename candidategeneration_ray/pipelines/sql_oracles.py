@@ -6669,6 +6669,56 @@ sadj AS (SELECT u AS x, v AS y FROM edges
 deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM sadj GROUP BY x)"""
 
 
+def _densest_sql() -> str:
+    from candidategeneration_ray.pipelines.clustering import (
+        DENSEST_MAX_ROUNDS, KCORE_SUPPORT)
+
+    ctes = ["a0 AS MATERIALIZED (SELECT DISTINCT x AS v FROM sadj)"]
+    for r in range(DENSEST_MAX_ROUNDS):
+        ctes.append(f"""le{r} AS (
+  SELECT e.u, e.v FROM ew e
+  JOIN a{r} x ON x.v = e.u JOIN a{r} y ON y.v = e.v),
+dg{r} AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM le{r} UNION ALL SELECT v FROM le{r})
+  GROUP BY node),
+st{r} AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a{r}) AS n,
+                 coalesce((SELECT sum(deg) FROM dg{r}), 0) AS e2),
+a{r + 1} AS MATERIALIZED (
+  SELECT a.v FROM a{r} a LEFT JOIN dg{r} d ON d.node = a.v
+  WHERE (SELECT n FROM st{r}) * coalesce(d.deg, 0)
+        > (SELECT e2 FROM st{r}))""")
+    allst = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, (SELECT n FROM st{r}) AS n, "
+        f"(SELECT e2 FROM st{r}) AS e2" for r in range(DENSEST_MAX_ROUNDS))
+    mem = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, v FROM a{r}"
+        for r in range(DENSEST_MAX_ROUNDS))
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ew AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {KCORE_SUPPORT}),
+sadj AS MATERIALIZED (SELECT u AS x, v AS y FROM ew
+                      UNION ALL SELECT v, u FROM ew),
+{",".join(ctes)},
+allst AS ({allst}),
+valid AS (SELECT * FROM allst WHERE n > 0),
+best AS (
+  SELECT rnd, n, e2 FROM valid v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM valid w
+    WHERE w.e2 * v.n > v.e2 * w.n
+       OR (w.e2 * v.n = v.e2 * w.n AND w.rnd < v.rnd))),
+mem AS ({mem})
+SELECT CAST(m.v AS BIGINT) AS part, CAST(b.rnd AS BIGINT) AS best_round,
+       CAST(b.e2 AS BIGINT) AS e2, CAST(b.n AS BIGINT) AS n
+FROM best b JOIN mem m ON m.rnd = b.rnd
+"""
+
+
 def _gram_power_sql() -> str:
     from candidategeneration_ray.pipelines.clustering import (
         KMEANS_SCALE, POWER_ITERS, POWER_SCALE)
@@ -6934,6 +6984,9 @@ FROM (SELECT {det} AS a, count(DISTINCT {dep}) AS n_vals,
              count(*) AS n_rows
       FROM {tbl} GROUP BY {det})
 """ for tbl, det, dep in FD_CANDIDATES),
+        # parallel peeling densest subgraph: rounds unrolled, density
+        # compared by cross-multiplication, earliest densest iterate
+        "densest_subgraph": _densest_sql(),
         # power iteration over the Gram matrix, HUGEINT fixed point
         "gram_power_iteration": _gram_power_sql(),
         # greedy maximal matching: locally-minimal edge priorities

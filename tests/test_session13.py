@@ -780,3 +780,43 @@ def test_power_iteration_exact_and_improving(ray_session):
         return (x @ G @ x) / (x @ x)
 
     assert rayleigh(v) > rayleigh([s] * d)
+
+
+def test_densest_subgraph_brute_force(ray_session):
+    """Peeling replayed single-process over the co-purchase graph:
+    iterate-dominance, earliest-tie-break and membership all match."""
+    from candidategeneration_ray.pipelines import clustering as cl
+    from candidategeneration_ray.pipelines import relational as rl
+
+    got = cl.q_densest_subgraph(SF).to_pandas()
+    ew = rl.copurchase_edges(SF, cl.KCORE_SUPPORT).to_pandas()
+    edges = [(int(u), int(v)) for u, v in zip(ew["u"], ew["v"])]
+    alive = {x for e in edges for x in e}
+    iters = []
+    for _ in range(cl.DENSEST_MAX_ROUNDS):
+        deg = {n: 0 for n in alive}
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] += 1
+                deg[v] += 1
+        n = len(alive)
+        e2 = sum(deg.values())
+        if n == 0:
+            break
+        iters.append((e2, n, set(alive)))
+        peel = {x for x in alive if n * deg[x] <= e2}
+        if not peel:
+            break
+        alive -= peel
+    best = iters[0]
+    best_rnd = 0
+    for i, it in enumerate(iters[1:], 1):
+        if it[0] * best[1] > best[0] * it[1]:
+            best, best_rnd = it, i
+    e2, n, members = best
+    assert set(got["part"].astype(int)) == members
+    assert int(got["e2"].iloc[0]) == e2
+    assert int(got["n"].iloc[0]) == n
+    assert int(got["best_round"].iloc[0]) == best_rnd
+    # the winner is denser than the full graph unless round 0 won
+    assert best_rnd >= 0
