@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq8_top10": ex.q_ann_sq8_top10,    # scalar-quantized symmetric ANN
         "k_anonymity": ex.q_k_anonymity,        # privacy release audit
         "l_diversity": ex.q_l_diversity,        # attribute-disclosure audit
+        "release_report": ex.q_release_report,  # 5-subsystem release gate
         "label_centroid_dist": ex.q_label_centroid_dist,  # drift diagnostic
         "text_stats": ex.q_text_stats,
         "decision_stump": ex.q_decision_stump,  # exact 0-1-loss best split

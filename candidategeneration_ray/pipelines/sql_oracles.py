@@ -6910,7 +6910,7 @@ alive{r + 1} AS MATERIALIZED (
     walk_seq = " UNION ALL ".join(
         f"SELECT * FROM w{s}" for s in range(WALK_STEPS + 1))
 
-    return {
+    d = {
         # Borůvka MSF: the unique MST under the (w, u, v) total order,
         # rounds unrolled with recursive component closures
         "mst_edges": f"""
@@ -7422,3 +7422,33 @@ ORDER BY aa_score DESC, u, v
 LIMIT {AA_TOPK}
 """,
     }
+
+    # release gate: compose FIVE audit subsystems' oracle SQL — the
+    # driver hash-checks the cross-subsystem wiring
+    from candidategeneration_ray.pipelines.sql_oracles import (
+        digest_oracles as _dg13, holistic_audit_oracles as _ha13,
+        session12_oracles as _s12_13)
+    _ka_sql = _s12_13()["k_anonymity"].strip().rstrip(";")
+    _fk_sql = _ha13()["fk_audit"].strip().rstrip(";")
+    _dg_sql = _dg13()["corpus_digest"].strip().rstrip(";")
+    _ld_sql = d["l_diversity"].strip()
+    _fd_sql = d["fd_audit"].strip()
+    d["release_report"] = f"""
+SELECT 'corpus_digest' AS "check",
+       CAST(sum(digest) % 1099511627776 AS BIGINT) AS metric,
+       CAST(1 AS BIGINT) AS passed
+FROM ({_dg_sql})
+UNION ALL
+SELECT 'fd_violations', CAST(sum(n_violating_keys) AS BIGINT),
+       CAST(sum(n_violating_keys) = 0 AS BIGINT) FROM ({_fd_sql})
+UNION ALL
+SELECT 'fk_orphans', CAST(sum(n_orphans) AS BIGINT),
+       CAST(sum(n_orphans) = 0 AS BIGINT) FROM ({_fk_sql})
+UNION ALL
+SELECT 'k_anonymity', CAST(count(*) AS BIGINT),
+       CAST(count(*) = 0 AS BIGINT) FROM ({_ka_sql})
+UNION ALL
+SELECT 'l_diversity', CAST(count(*) AS BIGINT),
+       CAST(count(*) = 0 AS BIGINT) FROM ({_ld_sql})
+"""
+    return d
