@@ -3282,15 +3282,18 @@ def q_mis_nodes(sf_dir: str) -> pa.Table:
                 .groupby("node")
                 .map_groups(_merge_min, batch_format="pyarrow")
                 .take_all())  # O(undecided)
-        # nodes with an undecided neighbor: min (h, v) over them
+        # nodes with an undecided neighbor: min (h, v) over them —
+        # one vectorized scatter over the O(und) summary
         nbr_h = np.zeros(nodes.size, np.uint64)
         nbr_v = np.zeros(nodes.size, np.int64)
         has_nbr = np.zeros(nodes.size, bool)
-        for r in rows:
-            i = int(np.searchsorted(nodes, int(r["node"])))
-            has_nbr[i] = True
-            nbr_h[i] = np.uint64(r["nh"])
-            nbr_v[i] = np.int64(r["nv"])
+        rn = np.fromiter((r["node"] for r in rows), np.int64, len(rows))
+        rh = np.fromiter((r["nh"] for r in rows), np.uint64, len(rows))
+        rv = np.fromiter((r["nv"] for r in rows), np.int64, len(rows))
+        ri = np.searchsorted(nodes, rn)
+        has_nbr[ri] = True
+        nbr_h[ri] = rh
+        nbr_v[ri] = rv
         cand = und & (~has_nbr
                       | (prio < nbr_h)
                       | ((prio == nbr_h) & (nodes < nbr_v)))
@@ -3359,24 +3362,31 @@ def q_matching_edges(sf_dir: str) -> pa.Table:
     from candidategeneration_ray.functions import hashing as H
     from ray.data.aggregate import Min
 
-    ew = _knn_weighted_edges(sf_dir).materialize()
+    def _with_prio(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy().astype(np.int64)
+        v = batch.column("v").to_numpy().astype(np.int64)
+        p = H.h64_many([f"{int(a)}:{int(b)}" for a, b in zip(u, v)])
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "p": pa.array(p, pa.uint64())})
+
+    # edge priorities hash ONCE (the oracle's epr CTE), not per round
+    ew = (_knn_weighted_edges(sf_dir)
+          .map_batches(_with_prio, batch_format="pyarrow").materialize())
     nodes = _edge_node_ids(ew)
     alive = np.ones(nodes.size, bool)   # node still unmatched
     out_u, out_v, out_r = [], [], []
-
-    def _prio(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-        return H.h64_many([f"{int(a)}:{int(b)}" for a, b in zip(u, v)])
 
     def _node_min(batch: pa.Table, state_ref) -> pa.Table:
         nds, al = ray.get(state_ref)
         u = batch.column("u").to_numpy().astype(np.int64)
         v = batch.column("v").to_numpy().astype(np.int64)
+        pe = batch.column("p").to_numpy().astype(np.uint64)
         live = al[np.searchsorted(nds, u)] & al[np.searchsorted(nds, v)]
-        u, v = u[live], v[live]
+        u, v, p = u[live], v[live], pe[live]
         if u.size == 0:
             return pa.table({"node": pa.array([], pa.int64()),
                              "mp": pa.array([], pa.uint64())})
-        p = _prio(u, v)
         node = np.concatenate((u, v))
         pp = np.concatenate((p, p))
         order = np.lexsort((pp, node))
@@ -3404,13 +3414,13 @@ def q_matching_edges(sf_dir: str) -> pa.Table:
             nds, al, mn_, mv_ = ray.get(r)
             u = batch.column("u").to_numpy().astype(np.int64)
             v = batch.column("v").to_numpy().astype(np.int64)
+            pe = batch.column("p").to_numpy().astype(np.uint64)
             live = (al[np.searchsorted(nds, u)]
                     & al[np.searchsorted(nds, v)])
-            u, v = u[live], v[live]
+            u, v, p = u[live], v[live], pe[live]
             if u.size == 0:
                 return pa.table({"u": pa.array([], pa.int64()),
                                  "v": pa.array([], pa.int64())})
-            p = _prio(u, v)
             iu = np.searchsorted(mn_, u)
             iv = np.searchsorted(mn_, v)
             keep = (mv_[iu] == p) & (mv_[iv] == p)
@@ -3497,7 +3507,7 @@ def q_gram_power_iteration(sf_dir: str,
 
 # ------------------------------------------------- densest subgraph (2+ε)
 
-DENSEST_MAX_ROUNDS = 24
+DENSEST_MAX_ROUNDS = 32
 
 
 def q_densest_subgraph(sf_dir: str) -> pa.Table:
@@ -3511,6 +3521,10 @@ def q_densest_subgraph(sf_dir: str) -> pa.Table:
     the answer is the densest iterate — community-core / bundle
     extraction. Deterministic; raises past DENSEST_MAX_ROUNDS (the
     SQL unrolls the same count; post-fixed-point rounds are no-ops).
+    NOTE the round bound: with ε = 0 the constant-fraction-per-round
+    argument needs ε > 0 — sparse chain-shaped graphs can peel one
+    layer per round, so the cap is a graph-diameter-class guard, not
+    O(log n); widen BOTH sides together if a corpus trips it.
 
     Density compares exactly by cross-multiplication; ties between
     iterates break toward the EARLIEST round — the SQL replays the
@@ -3570,6 +3584,11 @@ def q_densest_subgraph(sf_dir: str) -> pa.Table:
             raise RuntimeError("densest-subgraph peeling exceeded "
                                "DENSEST_MAX_ROUNDS")
 
+    if not iterates:   # empty edge set: 0 rows, like the oracle
+        return pa.table({"part": pa.array([], pa.int64()),
+                         "best_round": pa.array([], pa.int64()),
+                         "e2": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     # densest iterate: max e2/(2n) -> cross-multiplied, earliest wins
     best = iterates[0]
     for it in iterates[1:]:

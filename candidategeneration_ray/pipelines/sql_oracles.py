@@ -6876,7 +6876,7 @@ und{r + 1} AS MATERIALIZED (
         MATCHING_MAX_ROUNDS)
     h_edge = _H64.format(
         expr="CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")
-    mm_ctes = [f"epr AS MATERIALIZED (SELECT u, v, {h_edge} AS p FROM ew)",
+    mm_ctes = [f"epr AS MATERIALIZED (SELECT u, v, {h_edge} AS p FROM edges)",
                "alive0 AS (SELECT DISTINCT x AS v FROM sadj)"]
     for r in range(MATCHING_MAX_ROUNDS):
         mm_ctes.append(f"""le{r} AS (
@@ -6992,12 +6992,6 @@ FROM (SELECT {det} AS a, count(DISTINCT {dep}) AS n_vals,
         # greedy maximal matching: locally-minimal edge priorities
         "matching_edges": f"""
 WITH {_knn_edge_ctes()},
-ew AS MATERIALIZED (
-  SELECT least(r.vec_id, r.nbr_id) AS u, greatest(r.vec_id, r.nbr_id) AS v,
-         min(d.d2) AS w
-  FROM rk r JOIN dist d
-    ON d.vec_id = r.vec_id AND d.nbr_id = r.nbr_id
-  WHERE r.rank <= {_KNN_K13} GROUP BY 1, 2),
 {",".join(mm_ctes)}
 {mm_union}
 """,
@@ -7425,12 +7419,9 @@ LIMIT {AA_TOPK}
 
     # release gate: compose FIVE audit subsystems' oracle SQL — the
     # driver hash-checks the cross-subsystem wiring
-    from candidategeneration_ray.pipelines.sql_oracles import (
-        digest_oracles as _dg13, holistic_audit_oracles as _ha13,
-        session12_oracles as _s12_13)
-    _ka_sql = _s12_13()["k_anonymity"].strip().rstrip(";")
-    _fk_sql = _ha13()["fk_audit"].strip().rstrip(";")
-    _dg_sql = _dg13()["corpus_digest"].strip().rstrip(";")
+    _ka_sql = session12_oracles()["k_anonymity"].strip().rstrip(";")
+    _fk_sql = holistic_audit_oracles()["fk_audit"].strip().rstrip(";")
+    _dg_sql = digest_oracles()["corpus_digest"].strip().rstrip(";")
     _ld_sql = d["l_diversity"].strip()
     _fd_sql = d["fd_audit"].strip()
     d["release_report"] = f"""

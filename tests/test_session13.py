@@ -818,5 +818,6 @@ def test_densest_subgraph_brute_force(ray_session):
     assert int(got["e2"].iloc[0]) == e2
     assert int(got["n"].iloc[0]) == n
     assert int(got["best_round"].iloc[0]) == best_rnd
-    # the winner is denser than the full graph unless round 0 won
-    assert best_rnd >= 0
+    # the winner's density dominates EVERY iterate (cross-multiplied)
+    for e2i, ni, _ in iters:
+        assert e2 * ni >= e2i * n
