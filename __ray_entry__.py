@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": cl.q_adamic_adar,            # 1/ln(deg) weighted link score
         "kcore_nodes": cl.q_kcore_nodes,                # k-core peeling fixed point
         "densest_subgraph": cl.q_densest_subgraph,      # parallel peeling 2-approx
+        "ktruss_edges": cl.q_ktruss_edges,              # edge-cohesion peeling
         "hits_scores": cl.q_hits_scores,            # integer HITS (SURVEY A7)
         "knn_label_vote": cl.q_knn_label_vote,      # semi-supervised labeling
         "walk_cooccurrence": cl.q_walk_cooccurrence,  # DeepWalk context pairs

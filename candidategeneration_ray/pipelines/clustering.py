@@ -3604,3 +3604,91 @@ def q_densest_subgraph(sf_dir: str) -> pa.Table:
         "e2": pa.array(np.full(sel.size, e2, np.int64), pa.int64()),
         "n": pa.array(np.full(sel.size, n_alive, np.int64), pa.int64()),
     })
+
+
+# --------------------------------------------------------------- k-truss
+
+TRUSS_K = 3            # edges must sit in >= K-2 triangles among survivors
+                       # (3-truss: every edge in a triangle — the synthetic
+                       # co-purchase graph thins out at sf0.01, so K=4 is empty)
+TRUSS_MAX_ROUNDS = 16  # shared with the SQL unroll — widen BOTH together
+
+
+def _edge_support(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(u, v, s) triangle support per edge of an undirected edge set —
+    the wedge plan with the closure polarity of triangle_counts but
+    aggregated per EDGE: in each pair-hash bucket, s(pkey) = wedge
+    rows whose pair IS an edge (zero-support edges still emit)."""
+
+    def _support(group: pa.Table) -> pa.Table:
+        pkey = group.column("pkey").to_numpy().astype(np.int64)
+        apex = group.column("apex").to_numpy().astype(np.int64)
+        is_edge = apex < 0
+        ek = np.unique(pkey[is_edge])
+        if ek.size == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        wk = pkey[~is_edge]
+        s = np.zeros(ek.size, np.int64)
+        if wk.size:
+            idx = np.searchsorted(ek, wk)
+            idx_ok = np.minimum(idx, ek.size - 1)
+            hit = ek[idx_ok] == wk
+            np.add.at(s, idx_ok[hit], 1)
+        return pa.table({
+            "u": pa.array(ek >> np.int64(32), pa.int64()),
+            "v": pa.array(ek & np.int64(0xFFFFFFFF), pa.int64()),
+            "s": pa.array(s, pa.int64()),
+        })
+
+    return (_wedge_edge_union(edges)
+            .groupby("pbucket").map_groups(_support,
+                                           batch_format="pyarrow"))
+
+
+def q_ktruss_edges(sf_dir: str, k: int = TRUSS_K) -> ray.data.Dataset:
+    """The k-truss of the co-purchase graph (Cohen 2008) — the EDGE
+    analog of q_kcore_nodes and the third member of the
+    triangle/k-core/truss cohesion family: iteratively delete every
+    edge in fewer than k−2 triangles among the SURVIVING edges, to a
+    fixed point. Trusses are the tight community scaffold (every
+    surviving edge has k−2 common-neighbor witnesses). Deterministic;
+    raises past TRUSS_MAX_ROUNDS (the SQL unrolls the same count;
+    post-fixed-point rounds are no-ops; peeling cascades can be
+    diameter-long on pathological graphs — same honesty note as
+    densest_subgraph).
+
+    Shape: each round ONE wedge-plan pass computes per-edge triangle
+    support (O(Σ deg²) wedge rows, degree-bounded) and a pure filter
+    peels; the driver sees only the per-round edge count. Output the
+    surviving edges with their fixed-point support (u, v, support)."""
+    from candidategeneration_ray.pipelines.relational import (
+        copurchase_edges)
+
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3")
+    edges = (copurchase_edges(sf_dir, KCORE_SUPPORT)
+             .materialize())
+    n_edges = edges.count()
+    supp = None
+    for _ in range(TRUSS_MAX_ROUNDS):
+        supp = _edge_support(edges).materialize()
+        kept = supp.filter(lambda r, kk=k: r["s"] >= kk - 2)
+        n_kept = kept.count()
+        if n_kept == n_edges:
+            break
+        edges = kept.select_columns(["u", "v"]).materialize()
+        n_edges = n_kept
+    else:
+        # converged exactly at the cap only if the last pass was clean
+        supp = _edge_support(edges).materialize()
+        if supp.filter(lambda r, kk=k: r["s"] < kk - 2).count() > 0:
+            raise RuntimeError("k-truss peeling exceeded "
+                               "TRUSS_MAX_ROUNDS")
+    return (supp.filter(lambda r, kk=k: r["s"] >= kk - 2)
+            .map_batches(lambda b: pa.table({
+                "u": b.column("u").cast(pa.int64()),
+                "v": b.column("v").cast(pa.int64()),
+                "support": b.column("s").cast(pa.int64()),
+            }), batch_format="pyarrow"))

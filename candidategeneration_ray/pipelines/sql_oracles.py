@@ -6719,6 +6719,36 @@ FROM best b JOIN mem m ON m.rnd = b.rnd
 """
 
 
+def _ktruss_sql() -> str:
+    from candidategeneration_ray.pipelines.clustering import (
+        KCORE_SUPPORT, TRUSS_K, TRUSS_MAX_ROUNDS)
+
+    ctes = [f"""e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {KCORE_SUPPORT})"""]
+    for r in range(TRUSS_MAX_ROUNDS + 1):   # +1: fixed-point support
+        ctes.append(f"""sadj{r} AS (SELECT u AS x, v AS y FROM e{r}
+            UNION ALL SELECT v, u FROM e{r}),
+tri{r} AS (
+  SELECT a.x AS u, b.x AS v, CAST(count(*) AS BIGINT) AS s
+  FROM sadj{r} a JOIN sadj{r} b ON a.y = b.y AND a.x < b.x
+  GROUP BY 1, 2),
+supp{r} AS (
+  SELECT e.u, e.v, coalesce(t.s, 0) AS s
+  FROM e{r} e LEFT JOIN tri{r} t ON t.u = e.u AND t.v = e.v),
+e{r + 1} AS MATERIALIZED (
+  SELECT u, v FROM supp{r} WHERE s >= {TRUSS_K - 2})""")
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+{",".join(ctes)}
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(s AS BIGINT) AS support
+FROM supp{TRUSS_MAX_ROUNDS} WHERE s >= {TRUSS_K - 2}
+"""
+
+
 def _gram_power_sql() -> str:
     from candidategeneration_ray.pipelines.clustering import (
         KMEANS_SCALE, POWER_ITERS, POWER_SCALE)
@@ -6984,6 +7014,8 @@ FROM (SELECT {det} AS a, count(DISTINCT {dep}) AS n_vals,
              count(*) AS n_rows
       FROM {tbl} GROUP BY {det})
 """ for tbl, det, dep in FD_CANDIDATES),
+        # k-truss: per-round per-edge triangle support, peel, unrolled
+        "ktruss_edges": _ktruss_sql(),
         # parallel peeling densest subgraph: rounds unrolled, density
         # compared by cross-multiplication, earliest densest iterate
         "densest_subgraph": _densest_sql(),

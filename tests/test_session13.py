@@ -821,3 +821,30 @@ def test_densest_subgraph_brute_force(ray_session):
     # the winner's density dominates EVERY iterate (cross-multiplied)
     for e2i, ni, _ in iters:
         assert e2 * ni >= e2i * n
+
+
+def test_ktruss_fixed_point_and_replay(ray_session):
+    """k-truss equals a sequential peel replay, and the fixed point
+    holds: every surviving edge has >= K-2 common neighbors among
+    survivors."""
+    from candidategeneration_ray.pipelines import relational as rl
+
+    got = cl.q_ktruss_edges(SF).to_pandas()
+    ew = rl.copurchase_edges(SF, cl.KCORE_SUPPORT).to_pandas()
+    edges = {(int(u), int(v)) for u, v in zip(ew["u"], ew["v"])}
+    k = cl.TRUSS_K
+    for _ in range(cl.TRUSS_MAX_ROUNDS + 1):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        supp = {(u, v): len(adj[u] & adj[v]) for u, v in edges}
+        nxt = {e for e in edges if supp[e] >= k - 2}
+        if nxt == edges:
+            break
+        edges = nxt
+    want = sorted((u, v, supp[(u, v)]) for u, v in edges)
+    got_rows = sorted((int(r.u), int(r.v), int(r.support))
+                      for r in got.itertuples())
+    assert got_rows == want
+    assert len(got_rows) > 0
