@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_dedup_counts": ev.q_event_dedup_counts,  # stream near-dup rule
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window
         "rolling_spend": ev.q_rolling_spend,        # RANGE-frame rolling window
+        "rate_limit_flags": ev.q_rate_limit_flags,  # sliding-window admission
         "running_spend": ev.q_running_spend,        # UNBOUNDED-PRECEDING scan
         "ewma_spend": ev.q_ewma_spend,              # decay recurrence (EWMA)
         "scd2_dim": ev.q_scd2_dim,                  # SCD type-2 dimension build

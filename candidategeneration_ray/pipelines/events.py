@@ -3160,3 +3160,48 @@ def q_time_rollup(sf_dir: str) -> ray.data.Dataset:
             .groupby(["grain", "bucket"])
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("cents", alias_name="cents")))
+
+
+# ------------------------------------------------ sliding-window limiter
+
+RATE_LIMIT_N = 1                                   # max events allowed...
+RATE_LIMIT_W_US = np.int64(3600) * 1_000_000       # ...per trailing hour
+
+
+def q_rate_limit_flags(sf_dir: str, limit: int = RATE_LIMIT_N) -> ray.data.Dataset:
+    """Sliding-window rate limiting — the admission-control replay an
+    abuse/quota pipeline runs offline: an event is FLAGGED when its
+    user's trailing-hour event count (inclusive window [ts − W, ts],
+    counting ALL events with equal timestamps — SQL RANGE-frame peer
+    semantics) exceeds `limit`. Output one row per flagged event.
+
+    Shape: one user-hash bucket groupby; per bucket ONE lexsort and
+    two vectorized searchsorteds give every event's window count (the
+    RANGE-frame twin of rolling_spend, counting instead of summing) —
+    no per-user loop. Returns (event_id, user_id, n_in_window)."""
+    w = RATE_LIMIT_W_US
+
+    def _flags(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.concatenate((starts[1:], [u.size]))
+        n = np.empty(u.size, np.int64)
+        for s, e in zip(starts, ends):      # per-user slice, vector ops
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg - w, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            n[s:e] = hi - lo
+        keep = n > limit
+        return pa.table({
+            "event_id": pa.array(eid[keep], pa.int64()),
+            "user_id": pa.array(u[keep], pa.int64()),
+            "n_in_window": pa.array(n[keep], pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["event_id", "ts", "user_id"])
+    return (_with_user_bucket(ds)
+            .groupby("ubucket").map_groups(_flags, batch_format="pyarrow"))

@@ -6806,7 +6806,8 @@ def session13_oracles() -> dict[str, str]:
     _ent_lut_rows = ",".join(
         f"({c + 1},{v})" for c, v in enumerate(entropy_ln_lut()))
 
-    from candidategeneration_ray.pipelines.events import HAAR_LEVELS, HAAR_N
+    from candidategeneration_ray.pipelines.events import (
+        HAAR_LEVELS, HAAR_N, RATE_LIMIT_N)
     haar_ctes = []
     for lvl in range(1, HAAR_LEVELS + 1):
         haar_ctes.append(
@@ -7317,6 +7318,19 @@ FROM (
   FROM score
 ) WHERE rn <= 10
 """,
+        # sliding-window rate limiter: RANGE-frame count over epoch_us
+        "rate_limit_flags": """
+WITH c AS (
+  SELECT event_id, user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 3600000000 PRECEDING
+                              AND CURRENT ROW) AS n
+  FROM events)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS n_in_window
+FROM c WHERE n > {RL}
+""".replace("{RL}", str(RATE_LIMIT_N)),
         # RFM segmentation: rank-based NTILE(4) per metric, SQL windows
         "rfm_segments": """
 WITH f AS (

@@ -848,3 +848,29 @@ def test_ktruss_fixed_point_and_replay(ray_session):
                       for r in got.itertuples())
     assert got_rows == want
     assert len(got_rows) > 0
+
+
+def test_rate_limit_brute_force(ray_session):
+    """Flags equal a per-user pandas window count with peer (equal-ts)
+    semantics; flagged set non-empty on the fixture."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import events as ev
+
+    got = ev.q_rate_limit_flags(SF).to_pandas()
+    raw = pq.read_table(SF + "/events.parquet",
+                        columns=["event_id", "ts", "user_id"]).to_pandas()
+    raw["tsu"] = raw["ts"].astype("int64")
+    want = {}
+    for uid, grp in raw.groupby("user_id"):
+        t = np.sort(grp["tsu"].to_numpy(np.int64))
+        for r in grp.itertuples():
+            lo = np.searchsorted(t, r.tsu - int(ev.RATE_LIMIT_W_US), "left")
+            hi = np.searchsorted(t, r.tsu, "right")
+            n = int(hi - lo)
+            if n > ev.RATE_LIMIT_N:
+                want[int(r.event_id)] = n
+    got_map = dict(zip(got["event_id"].astype(int),
+                       got["n_in_window"].astype(int)))
+    assert got_map == want
+    assert len(want) > 0
