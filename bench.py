@@ -311,6 +311,13 @@ def run_bench() -> dict:
         ("fd_audit", rl.q_fd_audit),                    # FD discovery
         ("time_rollup", ev.q_time_rollup),              # calendar lattice
         ("char_entropy", ex.q_char_entropy),            # integer entropy
+        ("single_linkage_clusters",
+         cb.q_single_linkage_clusters),                 # dendrogram cut
+        ("mis_nodes", cb.q_mis_nodes),                  # Luby MIS rounds
+        ("matching_edges", cb.q_matching_edges),        # greedy matching
+        ("densest_subgraph", cb.q_densest_subgraph),    # peeling 2-approx
+        ("ktruss_edges", cb.q_ktruss_edges),            # edge cohesion
+        ("release_report", ex.q_release_report),        # 5-audit gate
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)
