@@ -2840,9 +2840,47 @@ def _walk_choice_hash(cur: np.ndarray, step: int) -> np.ndarray:
     return H.h64_many([f"{int(c)}:{step}" for c in cur])
 
 
+@ray.remote
+def _small_graph_walks(steps: int, *tables: pa.Table) -> pa.Table:
+    """Deterministic walk sequences over a task-sized symmetric edge
+    list — one numpy task over object-store blocks computing EXACTLY
+    the staged rounds' hops: next = sorted-neighbors[h64(cur:step) %
+    deg]. Returns (walk, step, node) rows for steps 0..steps."""
+    tables = [t for t in tables if t.num_rows > 0]
+    u = np.concatenate([t.column("u").to_numpy().astype(np.int64)
+                        for t in tables])
+    v = np.concatenate([t.column("v").to_numpy().astype(np.int64)
+                        for t in tables])
+    node = np.concatenate((u, v))
+    nbr = np.concatenate((v, u))
+    order = np.lexsort((nbr, node))
+    node, nbr = node[order], nbr[order]
+    nodes = np.unique(node)
+    starts = np.searchsorted(node, nodes, side="left")
+    ends = np.searchsorted(node, nodes, side="right")
+    deg = (ends - starts).astype(np.uint64)
+    cur = nodes.copy()
+    out_w = [nodes]
+    out_s = [np.zeros(nodes.size, np.int64)]
+    out_n = [nodes]
+    for step in range(steps):
+        pick = (_walk_choice_hash(cur, step) % deg[
+            np.searchsorted(nodes, cur)]).astype(np.int64)
+        cur = nbr[starts[np.searchsorted(nodes, cur)] + pick]
+        out_w.append(nodes)
+        out_s.append(np.full(nodes.size, step + 1, np.int64))
+        out_n.append(cur)
+    return pa.table({
+        "walk": pa.array(np.concatenate(out_w), pa.int64()),
+        "step": pa.array(np.concatenate(out_s), pa.int64()),
+        "node": pa.array(np.concatenate(out_n), pa.int64()),
+    })
+
+
 def q_walk_cooccurrence(sf_dir: str, steps: int = WALK_STEPS,
                         window: int = WALK_WINDOW,
-                        k_out: int = WALK_TOPK) -> pa.Table:
+                        k_out: int = WALK_TOPK,
+                        small_graph_max_edges: int = 2_500_000) -> pa.Table:
     """DeepWalk-style graph context mining (Perozzi et al. KDD'14 —
     the corpus-generation half, which is the distributed part): one
     walk starts at every node of the undirected kNN graph; the next
@@ -2862,6 +2900,16 @@ def q_walk_cooccurrence(sf_dir: str, steps: int = WALK_STEPS,
     from ray.data.aggregate import Sum
 
     nbk = _graph_buckets()
+    und = _knn_undirected_edges(sf_dir).materialize()
+
+    if und.count() <= small_graph_max_edges:
+        # bounded fast path (the shared single-task pattern): walks in
+        # one numpy task; the staged rounds below stay the >cap route
+        # (equality pytest). The window-pair expansion still runs
+        # distributed over the walk-id buckets.
+        seq = ray.data.from_arrow_refs([_small_graph_walks.remote(
+            steps, *und.to_arrow_refs())])
+        return _walk_pairs_topk(seq, window, k_out, nbk)
 
     def _adj_rows(b: pa.Table) -> pa.Table:
         u = b.column("u").to_numpy().astype(np.int64)
@@ -2874,7 +2922,7 @@ def q_walk_cooccurrence(sf_dir: str, steps: int = WALK_STEPS,
             "nbr": pa.array(dst, pa.int64()),
         })
 
-    adj = (_knn_undirected_edges(sf_dir)
+    adj = (und
            .map_batches(_adj_rows, batch_format="pyarrow")
            .materialize())
 
@@ -2965,6 +3013,14 @@ def q_walk_cooccurrence(sf_dir: str, steps: int = WALK_STEPS,
     seq = seq_parts[0]
     for p in seq_parts[1:]:
         seq = seq.union(p)
+    return _walk_pairs_topk(seq, window, k_out, nbk)
+
+
+def _walk_pairs_topk(seq: "ray.data.Dataset", window: int, k_out: int,
+                     nbk: int) -> pa.Table:
+    """Skip-gram window pair counts + top-k over (walk, step, node)
+    sequence rows — shared by the staged and fast walk paths."""
+    from ray.data.aggregate import Sum
 
     def _walk_bucket(b: pa.Table) -> pa.Table:
         w = b.column("walk").to_numpy().astype(np.int64)

@@ -874,3 +874,11 @@ def test_rate_limit_brute_force(ray_session):
                        got["n_in_window"].astype(int)))
     assert got_map == want
     assert len(want) > 0
+
+
+def test_walk_fast_path_equals_staged(ray_session):
+    """The single-task walk fast path equals the staged bucket-join
+    rounds (forced via small_graph_max_edges=0)."""
+    fast = cl.q_walk_cooccurrence(SF).to_pandas()
+    staged = cl.q_walk_cooccurrence(SF, small_graph_max_edges=0).to_pandas()
+    assert fast.equals(staged)
