@@ -3422,9 +3422,14 @@ def q_matching_edges(sf_dir: str) -> pa.Table:
         u = batch.column("u").to_numpy().astype(np.int64)
         v = batch.column("v").to_numpy().astype(np.int64)
         p = H.h64_many([f"{int(a)}:{int(b)}" for a, b in zip(u, v)])
+        # order-preserving signed shift (x - 2^63): keeps int64-native
+        # Arrow columns through the Min aggregate (uint64 > 2^63 would
+        # fall back to pickled Python objects); the SQL side compares
+        # raw UBIGINT — the shift preserves the order on both sides
+        ps = (p - np.uint64(1 << 63)).astype(np.int64)
         return pa.table({"u": pa.array(u, pa.int64()),
                          "v": pa.array(v, pa.int64()),
-                         "p": pa.array(p, pa.uint64())})
+                         "p": pa.array(ps, pa.int64())})
 
     # edge priorities hash ONCE (the oracle's epr CTE), not per round
     ew = (_knn_weighted_edges(sf_dir)
@@ -3437,19 +3442,19 @@ def q_matching_edges(sf_dir: str) -> pa.Table:
         nds, al = ray.get(state_ref)
         u = batch.column("u").to_numpy().astype(np.int64)
         v = batch.column("v").to_numpy().astype(np.int64)
-        pe = batch.column("p").to_numpy().astype(np.uint64)
+        pe = batch.column("p").to_numpy().astype(np.int64)
         live = al[np.searchsorted(nds, u)] & al[np.searchsorted(nds, v)]
         u, v, p = u[live], v[live], pe[live]
         if u.size == 0:
             return pa.table({"node": pa.array([], pa.int64()),
-                             "mp": pa.array([], pa.uint64())})
+                             "mp": pa.array([], pa.int64())})
         node = np.concatenate((u, v))
         pp = np.concatenate((p, p))
         order = np.lexsort((pp, node))
         node, pp = node[order], pp[order]
         first = np.concatenate(([True], node[1:] != node[:-1]))
         return pa.table({"node": pa.array(node[first], pa.int64()),
-                         "mp": pa.array(pp[first], pa.uint64())})
+                         "mp": pa.array(pp[first], pa.int64())})
 
     for rnd in range(MATCHING_MAX_ROUNDS):
         state_ref = ray.put((nodes, alive))
@@ -3461,7 +3466,7 @@ def q_matching_edges(sf_dir: str) -> pa.Table:
         if len(mins) == 0:
             break
         mn = mins["node"].to_numpy(np.int64)
-        mv = mins["mp"].to_numpy(np.uint64)
+        mv = mins["mp"].to_numpy(np.int64)
         o = np.argsort(mn)
         mn, mv = mn[o], mv[o]
         min_ref = ray.put((nodes, alive, mn, mv))
@@ -3470,7 +3475,7 @@ def q_matching_edges(sf_dir: str) -> pa.Table:
             nds, al, mn_, mv_ = ray.get(r)
             u = batch.column("u").to_numpy().astype(np.int64)
             v = batch.column("v").to_numpy().astype(np.int64)
-            pe = batch.column("p").to_numpy().astype(np.uint64)
+            pe = batch.column("p").to_numpy().astype(np.int64)
             live = (al[np.searchsorted(nds, u)]
                     & al[np.searchsorted(nds, v)])
             u, v, p = u[live], v[live], pe[live]
