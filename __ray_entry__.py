@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_heavy_hitters": ev.q_windowed_heavy_hitters,  # keyed 2-pass MG, exact
         "funnel_counts": ev.q_funnel_counts,        # ordered-subsequence funnel
         "cohort_retention": ev.q_cohort_retention,  # signup-cohort x week matrix
+        "conversion_delay": ev.q_conversion_delay,  # exact time-to-convert pcts
         "last_touch": ev.q_last_touch,              # group-wise argmax
         "event_dedup_counts": ev.q_event_dedup_counts,  # stream near-dup rule
         "window_top_users": ev.q_window_top_users,  # group-wise top-k per window

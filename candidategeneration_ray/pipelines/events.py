@@ -3205,3 +3205,98 @@ def q_rate_limit_flags(sf_dir: str, limit: int = RATE_LIMIT_N) -> ray.data.Datas
     ds = events_ds(sf_dir, ["event_id", "ts", "user_id"])
     return (_with_user_bucket(ds)
             .groupby("ubucket").map_groups(_flags, batch_format="pyarrow"))
+
+
+# ------------------------------------------------ conversion-delay stats
+
+CONV_PCTS = (50, 90)
+
+
+def q_conversion_delay(sf_dir: str) -> pa.Table:
+    """Time-to-convert quantiles — the product-analytics latency
+    metric: per user, delay = (first purchase AT/after the first view)
+    − (first view); users lacking either side are excluded; exact
+    p50/p90 over the delays with the ceil-rank rule (value at rank
+    ⌈p·n/100⌉ of the ascending (delay, user) order — deterministic,
+    so the entry hash-verifies). Output (pct, delay_us, n_users).
+
+    Shape: ONE user-bucket groupby compresses events to a per-user
+    (first_view, first_purchase_after) row via two searchsorteds; the
+    delays table is O(converting users); quantiles come from one sort
+    + the blocked-rank pattern (driver holds O(blocks))."""
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    def _delays(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        vm = et == "view"
+        pm = et == "purchase"
+        uv, tv = u[vm], ts[vm]
+        up, tp = u[pm], ts[pm]
+        ov = np.lexsort((tv, uv))
+        uv, tv = uv[ov], tv[ov]
+        op = np.lexsort((tp, up))
+        up, tp = up[op], tp[op]
+        first = np.concatenate(([True], uv[1:] != uv[:-1])) \
+            if uv.size else np.empty(0, bool)
+        fv_u, fv_t = uv[first], tv[first]
+        if fv_u.size == 0 or up.size == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "delay_us": pa.array([], pa.int64())})
+        # merged scan (the scd2_join trick): probes sort BEFORE
+        # purchases at an equal (user, ts) key, so each probe's
+        # purchase-cumsum is the index of the first purchase with
+        # (u, t) >= (fv_u, fv_t) in the global order
+        m_u = np.concatenate((up, fv_u))
+        m_t = np.concatenate((tp, fv_t))
+        tag = np.concatenate((np.ones(up.size, np.int64),
+                              np.zeros(fv_u.size, np.int64)))
+        order = np.lexsort((tag, m_t, m_u))
+        is_p = tag[order] == 1
+        cum = np.cumsum(is_p)
+        probe_pos = ~is_p
+        # probes keep their relative (u, t) order under the stable sort
+        j0 = cum[probe_pos]
+        po = np.lexsort((fv_t, fv_u))      # probe order in merged scan
+        fv_u, fv_t = fv_u[po], fv_t[po]
+        ok = (j0 < up.size) & (up[np.minimum(j0, up.size - 1)] == fv_u)
+        out_u = fv_u[ok]
+        out_d = tp[j0[ok]] - fv_t[ok]
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "delay_us": pa.array(out_d, pa.int64()),
+        })
+
+    ds = events_ds(sf_dir, ["ts", "user_id", "event_type"])
+    delays = (_with_user_bucket(ds)
+              .groupby("ubucket")
+              .map_groups(_delays, batch_format="pyarrow")
+              .materialize())
+    n = delays.count()
+
+    def _emit(t: pa.Table, base: int) -> pa.Table:
+        if t.num_rows == 0 or "delay_us" not in t.column_names:
+            return pa.table({"rnk": pa.array([], pa.int64()),
+                             "delay_us": pa.array([], pa.int64())})
+        return pa.table({
+            "rnk": pa.array(base + 1 + np.arange(t.num_rows,
+                                                 dtype=np.int64),
+                            pa.int64()),
+            "delay_us": t.column("delay_us").cast(pa.int64()),
+        })
+
+    ranked = blocked_prefix_apply(
+        delays.sort(key=["delay_us", "user_id"]), 8,
+        lambda t: t.num_rows, _emit)
+    targets = {p: max(1, -(-p * n // 100)) for p in CONV_PCTS}
+    tset = set(targets.values())
+    picked = {int(r["rnk"]): int(r["delay_us"])
+              for r in ranked.filter(
+                  lambda r, ts_=tset: r["rnk"] in ts_).take_all()}
+    return pa.table({
+        "pct": pa.array(list(CONV_PCTS), pa.int64()),
+        "delay_us": pa.array([picked[targets[p]] for p in CONV_PCTS],
+                             pa.int64()),
+        "n_users": pa.array([n] * len(CONV_PCTS), pa.int64()),
+    })

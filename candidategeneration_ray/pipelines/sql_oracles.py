@@ -7318,6 +7318,26 @@ FROM (
   FROM score
 ) WHERE rn <= 10
 """,
+        # conversion-delay quantiles: first purchase at/after first view
+        "conversion_delay": """
+WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS t0
+            FROM events WHERE event_type = 'view' GROUP BY 1),
+fp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+       FROM events e JOIN fv ON fv.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.t0
+       GROUP BY 1),
+d AS (SELECT fv.user_id, fp.t1 - fv.t0 AS delay
+      FROM fv JOIN fp USING (user_id)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+r AS (SELECT delay,
+             row_number() OVER (ORDER BY delay, user_id) AS rnk
+      FROM d)
+SELECT CAST(p.pct AS BIGINT) AS pct, CAST(r.delay AS BIGINT) AS delay_us,
+       (SELECT n FROM nn) AS n_users
+FROM (VALUES (50), (90)) p(pct)
+JOIN r ON r.rnk = greatest(
+  1, (p.pct * (SELECT n FROM nn) + 99) // 100)
+""",
         # sliding-window rate limiter: RANGE-frame count over epoch_us
         "rate_limit_flags": """
 WITH c AS (

@@ -882,3 +882,33 @@ def test_walk_fast_path_equals_staged(ray_session):
     fast = cl.q_walk_cooccurrence(SF).to_pandas()
     staged = cl.q_walk_cooccurrence(SF, small_graph_max_edges=0).to_pandas()
     assert fast.equals(staged)
+
+
+def test_conversion_delay_brute_force(ray_session):
+    """Quantiles equal a pandas replay of first-view -> first purchase
+    at/after, ceil-rank rule."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import events as ev
+
+    got = ev.q_conversion_delay(SF).to_pandas().set_index("pct")
+    raw = pq.read_table(SF + "/events.parquet",
+                        columns=["ts", "user_id", "event_type"]).to_pandas()
+    raw["tsu"] = raw["ts"].astype("int64")
+    delays = []
+    for uid, grp in raw.groupby("user_id"):
+        views = grp[grp["event_type"] == "view"]["tsu"]
+        if views.empty:
+            continue
+        t0 = int(views.min())
+        purch = grp[(grp["event_type"] == "purchase")
+                    & (grp["tsu"] >= t0)]["tsu"]
+        if purch.empty:
+            continue
+        delays.append((int(purch.min()) - t0, int(uid)))
+    delays.sort()
+    n = len(delays)
+    for p in ev.CONV_PCTS:
+        rnk = max(1, -(-p * n // 100))
+        assert int(got.loc[p].delay_us) == delays[rnk - 1][0], p
+        assert int(got.loc[p].n_users) == n
