@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_sliced": ev.q_sessionize_sliced,
         "session_length_hist": ev.q_session_length_hist,  # composition histogram
         "time_rollup": ev.q_time_rollup,            # day/week/month grouping sets
+        "dow_profile": ev.q_dow_profile,            # weekly seasonality table
         "asof_join": ev.q_asof_join,
         "windowed_counts": ev.q_windowed_counts,
         "windowed_counts_filled": ev.q_windowed_counts_filled,  # gap-fill row generation

@@ -3300,3 +3300,79 @@ def q_conversion_delay(sf_dir: str) -> pa.Table:
                              pa.int64()),
         "n_users": pa.array([n] * len(CONV_PCTS), pa.int64()),
     })
+
+
+def q_dow_profile(sf_dir: str) -> ray.data.Dataset:
+    """Day-of-week seasonal profile per event type — the additive
+    seasonality table the anomaly entries deseasonalize with (the
+    q_daily_autocorr diagnostic showed r_7 structure; this extracts
+    it): per (event_type, dow 0=Monday) the day count, total events
+    and exact purchase cents, with the per-day mean left as the
+    (sum, n_days) integer pair. Zero-event (type, dow) days inside
+    the span count toward n_days — the mean is over CALENDAR days,
+    not active ones.
+
+    Shape: the (type, day) compression (one groupby), then dow rollup
+    of the types×days summary; span bounds ride along as scalars."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        cents = np.where(
+            np.asarray(batch.column("event_type").to_pylist(),
+                       object) == "purchase",
+            _cents(batch.column("value").to_numpy()), np.int64(0))
+        day = ts // day_us
+        ut, ti = np.unique(et, return_inverse=True)
+        d0 = np.int64(day.min()) if day.size else np.int64(0)
+        span = np.int64(day.max()) - d0 + 1 if day.size else np.int64(1)
+        code = ti.astype(np.int64) * span + (day - d0)
+        u, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        c = np.zeros(u.size, np.int64)
+        np.add.at(c, inv, cents)
+        return pa.table({
+            "event_type": pa.array(ut[u // span].tolist(), pa.string()),
+            "day": pa.array(u % span + d0, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    counts = (events_ds(sf_dir, ["ts", "event_type", "value"])
+              .map_batches(_partial, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n_events", alias_name="n_events"),
+                         Sum("cents", alias_name="cents"))
+              .materialize())
+    lo = int(counts.min("day"))
+    hi = int(counts.max("day"))
+    # calendar days per dow inside [lo, hi] — epoch day 0 = Thursday,
+    # so dow(Monday=0) = (day + 3) % 7
+    all_days = np.arange(lo, hi + 1, dtype=np.int64)
+    dow_days = np.bincount((all_days + 3) % 7, minlength=7).astype(
+        np.int64)
+    ref = ray.put(dow_days)
+
+    def _dow(batch: pa.Table) -> pa.Table:
+        day = batch.column("day").to_numpy().astype(np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "dow": pa.array((day + 3) % 7, pa.int64()),
+            "n_events": batch.column("n_events").cast(pa.int64()),
+            "cents": batch.column("cents").cast(pa.int64()),
+        })
+
+    def _attach_days(batch: pa.Table) -> pa.Table:
+        dd = ray.get(ref)
+        dow = batch.column("dow").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "n_days", pa.array(dd[dow], pa.int64()))
+
+    return (counts.map_batches(_dow, batch_format="pyarrow")
+            .groupby(["event_type", "dow"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("cents", alias_name="cents"))
+            .map_batches(_attach_days, batch_format="pyarrow"))

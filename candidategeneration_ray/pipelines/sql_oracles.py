@@ -7318,6 +7318,28 @@ FROM (
   FROM score
 ) WHERE rn <= 10
 """,
+        # day-of-week profile: pure (day+3)%7 arithmetic on both sides
+        "dow_profile": """
+WITH cnt AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM cnt),
+dd AS (SELECT (d + 3) % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days
+       FROM (SELECT unnest(range((SELECT lo FROM b),
+                                 (SELECT hi FROM b) + 1)) AS d)
+       GROUP BY 1),
+g AS (SELECT event_type, (day + 3) % 7 AS dow,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(c) AS BIGINT) AS cents
+      FROM cnt GROUP BY 1, 2)
+SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow, g.n_events, g.cents,
+       dd.n_days
+FROM g JOIN dd USING (dow)
+""",
         # conversion-delay quantiles: first purchase at/after first view
         "conversion_delay": """
 WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS t0

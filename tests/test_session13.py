@@ -912,3 +912,23 @@ def test_conversion_delay_brute_force(ray_session):
         rnk = max(1, -(-p * n // 100))
         assert int(got.loc[p].delay_us) == delays[rnk - 1][0], p
         assert int(got.loc[p].n_users) == n
+
+
+def test_dow_profile_conservation(ray_session):
+    """Per-type dow sums equal the type's total events/cents; n_days
+    across dows equals the span length."""
+    import pyarrow.parquet as pq
+
+    from candidategeneration_ray.pipelines import events as ev
+
+    got = ev.q_dow_profile(SF).to_pandas()
+    raw = pq.read_table(SF + "/events.parquet",
+                        columns=["ts", "event_type"]).to_pandas()
+    totals = raw.groupby("event_type").size()
+    g = got.groupby("event_type")["n_events"].sum()
+    for et, n in totals.items():
+        assert int(g[et]) == int(n), et
+    day = raw["ts"].astype("int64") // 86_400_000_000
+    span = int(day.max() - day.min() + 1)
+    per_dow = got.drop_duplicates("dow").set_index("dow")["n_days"]
+    assert int(per_dow.sum()) == span
