@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ntile": sk.q_source_ntile,          # NTILE equi-count buckets
         "kmv_registers": sk.q_kmv_registers,        # bottom-k sketch state
         "kmv_source_overlap": sk.q_kmv_source_overlap,  # intersection estimates
+        "source_hist_l1": sk.q_source_hist_l1,      # distribution distance
         "hll_distinct_terms": sk.q_hll_distinct_terms,
         "hll_union_distinct": sk.q_hll_union_distinct,  # keyed-sketch union merge
         # --- clustering (exact-integer Lloyd, value-verified) ---

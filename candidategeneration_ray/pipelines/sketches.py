@@ -944,3 +944,64 @@ def q_kmv_source_overlap(sf_dir: str) -> pa.Table:
         "union_est": pa.array([r[3] for r in rows], pa.int64()),
         "inter_est": pa.array([r[4] for r in rows], pa.int64()),
     })
+
+
+# ------------------------------------- distribution distance (source L1)
+
+def q_source_hist_l1(sf_dir: str) -> pa.Table:
+    """Pairwise distribution distance between sources — exact L1
+    (total variation ×2) between NORMALIZED doc-length histograms,
+    kept as the cross-multiplied integer pair
+
+        l1_num = Σ_bins |c_a·n_b − c_b·n_a|,   l1_den = n_a·n_b
+
+    (identical distributions → 0; disjoint → 2·n_a·n_b). The
+    distribution-shift metric next to df_drift (vocabulary) and
+    kmv_source_overlap (set overlap), over the same fixed 64-char
+    bins as the histogram/quantile sketches.
+
+    Shape: per-batch (source, bin) count partials → one tiny groupby
+    (O(sources × bins) rows); the pairwise fold is driver math over
+    that summary, like the KMV overlap."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(), object)
+        bins = (batch.column("n_chars").to_numpy().astype(np.int64)
+                // HIST_BIN_WIDTH)
+        su, sinv = np.unique(src, return_inverse=True)
+        width = int(bins.max()) + 1 if bins.size else 1
+        key = sinv.astype(np.int64) * width + bins
+        kg, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": pa.array(su[kg // width].tolist(), pa.string()),
+            "bin": pa.array(kg % width, pa.int64()),
+            "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    rows = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["source", "n_chars"])
+            .map_batches(_partial, batch_format="pyarrow")
+            .groupby(["source", "bin"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+            .take_all())  # O(sources x bins)
+    hists: dict[str, dict[int, int]] = {}
+    for r in rows:
+        hists.setdefault(r["source"], {})[int(r["bin"])] = int(r["n_docs"])
+    names = sorted(hists)
+    totals = {s: sum(h.values()) for s, h in hists.items()}
+    out = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            na, nb = totals[a], totals[b]
+            all_bins = set(hists[a]) | set(hists[b])
+            num = sum(abs(hists[a].get(k, 0) * nb
+                          - hists[b].get(k, 0) * na) for k in all_bins)
+            out.append((a, b, num, na * nb))
+    return pa.table({
+        "src_a": pa.array([r[0] for r in out], pa.string()),
+        "src_b": pa.array([r[1] for r in out], pa.string()),
+        "l1_num": pa.array([r[2] for r in out], pa.int64()),
+        "l1_den": pa.array([r[3] for r in out], pa.int64()),
+    })

@@ -7432,6 +7432,26 @@ SELECT CAST(p.event_id AS BIGINT) AS event_id,
 FROM p LEFT JOIN dim d
   ON d.user_id = p.user_id AND d.f <= p.tsu AND (d.t = -1 OR p.tsu < d.t)
 """,
+        # pairwise source L1 over normalized length histograms
+        "source_hist_l1": """
+WITH h AS (
+  SELECT source, n_chars // 64 AS bin, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+pairs AS (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+          FROM t a JOIN t b ON a.source < b.source),
+bins AS (
+  SELECT p.sa, p.sb, p.na, p.nb,
+         coalesce(ha.c, 0) AS ca, coalesce(hb.c, 0) AS cb
+  FROM pairs p
+  JOIN (SELECT DISTINCT bin FROM h) ab ON true
+  LEFT JOIN h ha ON ha.source = p.sa AND ha.bin = ab.bin
+  LEFT JOIN h hb ON hb.source = p.sb AND hb.bin = ab.bin)
+SELECT sa AS src_a, sb AS src_b,
+       CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) AS l1_num,
+       CAST(min(na * nb) AS BIGINT) AS l1_den
+FROM bins GROUP BY 1, 2, na, nb
+""",
         # KMV global sketch state: bottom-k distinct kept-token hashes
         "kmv_registers": f"""
 WITH {KEPT_CTE},
