@@ -262,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": tl.q_bpe_merges,                  # BPE tokenizer training
         "bpe_segmented": tl.q_bpe_segmented,            # trained segmentation
         "sequence_manifest": tl.q_sequence_manifest,    # inverse seq->docs manifest
+        "kn_bigram_lm": tl.q_kn_bigram_lm,      # Kneser-Ney smoothing, exact rational
+        "nb_model": tl.q_nb_model,              # Naive Bayes training table
+        "nb_predict": tl.q_nb_predict,          # NB classifier serving (val split)
+        "auc_eval": ex.q_auc_eval,              # exact ROC-AUC (midrank U)
         "selection_audit": tl.q_selection_audit,    # per-doc reason codes
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
@@ -427,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         session11_oracles,
         session12_oracles,
         session13_oracles,
+        session14_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -487,7 +492,8 @@ def oracle_sql() -> dict[str, str]:
             **lsh_plane_oracles(),
             **regression_oracles(), **gram_oracles(), **jl_oracles(),
             **token_offset_oracles(), **session11_oracles(),
-            **session12_oracles(), **session13_oracles()}
+            **session12_oracles(), **session13_oracles(),
+            **session14_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -318,6 +318,10 @@ def run_bench() -> dict:
         ("densest_subgraph", cb.q_densest_subgraph),    # peeling 2-approx
         ("ktruss_edges", cb.q_ktruss_edges),            # edge cohesion
         ("release_report", ex.q_release_report),        # 5-audit gate
+        # session-14 additions (appended — earlier keys stay comparable)
+        ("kn_bigram_lm", _tl().q_kn_bigram_lm),         # KN smoothing
+        ("nb_predict", _tl().q_nb_predict),             # NB classifier
+        ("auc_eval", ex.q_auc_eval),                    # exact ROC-AUC
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)

@@ -4236,3 +4236,67 @@ def q_release_report(sf_dir: str) -> pa.Table:
         "metric": pa.array([c[1] for c in checks], pa.int64()),
         "passed": pa.array([c[2] for c in checks], pa.int64()),
     })
+
+
+def q_auc_eval(sf_dir: str) -> pa.Table:
+    """Exact ROC-AUC (Mann-Whitney U with midrank tie handling) for the
+    stopword-density English score against the lang label — the
+    classifier-evaluation aggregate (decision_stump's missing twin:
+    that entry trains, this one scores). Score s = (5000*n_stop) //
+    max(n_words, 1) (the q_langid heuristic as a graded score, ties
+    common by construction); label y = (lang = 'en').
+
+        u2 = sum_s pos_s * (2*cumneg_below(s) + neg_s)   [= 2*U]
+        AUC = u2 / (2 * n_pos * n_neg)
+
+    Every quantity is an integer (ties contribute exactly 1 per pair),
+    so the evaluation hash-verifies; auc_ppm = the parts-per-million
+    floor quotient. Output one row (n_pos, n_neg, u2, auc_ppm).
+
+    Shape: per-batch (s, pos, neg) partials -> groupby(s).sum over the
+    bounded score domain (s in [0, 5000]) -> an O(domain) driver
+    finalizer in exact Python ints (u2 <= 2*n_pos*n_neg needs bigints
+    past ~3e9 docs; the int64 OUTPUT column is the documented bound)."""
+    from ray.data.aggregate import Sum
+
+    def _part(batch: pa.Table) -> pa.Table:
+        t = _textstats(batch)
+        n_words = t.column("n_words").to_numpy()
+        n_stop = t.column("n_stop").to_numpy()
+        s = (5000 * n_stop) // np.maximum(n_words, 1)
+        y = (np.asarray(batch.column("lang").to_pylist(), dtype=object)
+             == "en")
+        u = np.unique(s)
+        pos = np.zeros(u.size, np.int64)
+        neg = np.zeros(u.size, np.int64)
+        si = np.searchsorted(u, s)
+        np.add.at(pos, si[y], 1)
+        np.add.at(neg, si[~y], 1)
+        return pa.table({"s": pa.array(u, pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "neg": pa.array(neg, pa.int64())})
+
+    agg = (ray.data.read_parquet(
+               os.path.join(sf_dir, "documents.parquet"),
+               columns=["doc_id", "text", "lang"])
+           .map_batches(_part, batch_format="pyarrow")
+           .groupby("s")
+           .aggregate(Sum("pos", alias_name="pos"),
+                      Sum("neg", alias_name="neg"))
+           .to_pandas())
+    agg = agg.sort_values("s", kind="mergesort")
+    pos = [int(x) for x in agg["pos"]]
+    neg = [int(x) for x in agg["neg"]]
+    n_pos, n_neg = sum(pos), sum(neg)
+    u2, cneg = 0, 0
+    for p, ng in zip(pos, neg):
+        u2 += p * (2 * cneg + ng)
+        cneg += ng
+    auc_ppm = ((1_000_000 * u2) // (2 * n_pos * n_neg)
+               if n_pos and n_neg else -1)
+    return pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "auc_ppm": pa.array([auc_ppm], pa.int64()),
+    })

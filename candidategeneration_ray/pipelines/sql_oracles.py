@@ -7551,3 +7551,111 @@ SELECT 'l_diversity', CAST(count(*) AS BIGINT),
        CAST(count(*) = 0 AS BIGINT) FROM ({_ld_sql})
 """
     return d
+
+
+def session14_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.textlm import TRAIN_PCT
+
+    h64_docid = _H64.format(expr="CAST(doc_id AS VARCHAR)")
+    # Kneser-Ney rational surface: pnum = (4c-3)*T + 3*N1L*N1R,
+    # pden = 4*c(w1.)*T  (D = 3/4 exactly)
+    kn = f"""
+WITH {KEPT_CTE},
+tr AS (SELECT doc_id FROM documents WHERE {h64_docid} % 100 < {TRAIN_PCT}),
+seq AS (SELECT k.doc_id, k.kpos, k.tok FROM kept k JOIN tr USING (doc_id)),
+bg AS MATERIALIZED (
+  SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS c
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.kpos = a.kpos + 1
+  GROUP BY 1, 2
+),
+lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1l FROM bg GROUP BY w1),
+rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM bg GROUP BY w2),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bg)
+SELECT w1, w2, c,
+       CAST((4 * c - 3) * t + 3 * n1l * n1r AS BIGINT) AS pnum,
+       CAST(4 * c1 * t AS BIGINT) AS pden
+FROM bg JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tt
+ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 200
+"""
+    nb_model = f"""
+WITH {KEPT_CTE},
+tr AS (SELECT doc_id, lang FROM documents
+       WHERE {h64_docid} % 100 < {TRAIN_PCT})
+SELECT t.lang, k.tok, CAST(count(*) AS BIGINT) AS cnt
+FROM kept k JOIN tr t USING (doc_id)
+GROUP BY 1, 2
+"""
+    nb_predict = f"""
+WITH {KEPT_CTE},
+tr AS (SELECT doc_id, lang FROM documents
+       WHERE {h64_docid} % 100 < {TRAIN_PCT}),
+cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS ndocs FROM tr GROUP BY lang),
+tot AS (SELECT CAST(sum(ndocs) AS BIGINT) AS n FROM cls),
+mk AS MATERIALIZED (
+  SELECT t.lang, k.tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM kept k JOIN tr t USING (doc_id) GROUP BY 1, 2
+),
+voc AS (SELECT DISTINCT tok FROM mk),
+vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+tc AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS t FROM mk GROUP BY lang),
+w AS MATERIALIZED (
+  SELECT c.lang, vo.tok,
+         CAST(trunc(ln(CAST(coalesce(m.cnt, 0) + 1 AS DOUBLE)
+                       / CAST(tc.t + vsz.v AS DOUBLE)) * 10000000)
+              AS BIGINT) AS w
+  FROM cls c CROSS JOIN voc vo
+  JOIN tc ON tc.lang = c.lang CROSS JOIN vsz
+  LEFT JOIN mk m ON m.lang = c.lang AND m.tok = vo.tok
+),
+pri AS (SELECT lang, CAST(trunc(ln(CAST(ndocs AS DOUBLE)
+                                   / CAST(tot.n AS DOUBLE)) * 10000000)
+                          AS BIGINT) AS pw
+        FROM cls CROSS JOIN tot),
+vd AS (SELECT doc_id FROM documents WHERE {h64_docid} % 100 >= {TRAIN_PCT}),
+vtf AS (SELECT k.doc_id, k.tok, CAST(count(*) AS BIGINT) AS tf
+        FROM kept k JOIN vd USING (doc_id) JOIN voc USING (tok)
+        GROUP BY 1, 2),
+sc AS (
+  SELECT d.doc_id, p.lang,
+         p.pw + coalesce(sum(v2.tf * w.w), 0) AS score,
+         coalesce(sum(v2.tf), 0) AS nk
+  FROM vd d CROSS JOIN pri p
+  LEFT JOIN vtf v2 ON v2.doc_id = d.doc_id
+  LEFT JOIN w ON w.lang = p.lang AND w.tok = v2.tok
+  GROUP BY 1, 2, p.pw
+)
+SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score,
+       CAST(nk AS BIGINT) AS n_known
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang ASC) AS rn
+      FROM sc)
+WHERE rn = 1
+"""
+    auc = f"""
+WITH {_WORDS_CTE},
+sc AS (
+  SELECT (5000 * coalesce(w.n_stop, 0))
+           // greatest(coalesce(w.n_words, 0), 1) AS s,
+         CAST(count(*) FILTER (d.lang = 'en') AS BIGINT) AS pos,
+         CAST(count(*) FILTER (d.lang <> 'en') AS BIGINT) AS neg
+  FROM documents d LEFT JOIN wstats w USING (doc_id)
+  GROUP BY 1
+),
+r AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+  FROM sc
+),
+f AS (SELECT CAST(sum(pos * (2 * cneg + neg)) AS BIGINT) AS u2 FROM r),
+nn AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+              CAST(sum(neg) AS BIGINT) AS n_neg FROM sc)
+SELECT n_pos, n_neg, u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST((1000000 * u2) // (2 * n_pos * n_neg) AS BIGINT)
+            ELSE CAST(-1 AS BIGINT) END AS auc_ppm
+FROM f CROSS JOIN nn
+"""
+    return {"kn_bigram_lm": kn, "nb_model": nb_model,
+            "nb_predict": nb_predict, "auc_eval": auc}

@@ -1350,3 +1350,258 @@ def q_selection_audit(sf_dir: str, budget: int = 400, w: int = DECON_W,
         .groupby("bkt").map_groups(_dedup_bucket, batch_format="pyarrow")
         .groupby("source").map_groups(_select, batch_format="pyarrow")
     )
+
+
+# ----------------------------------------- Kneser-Ney smoothed bigram LM
+
+def q_kn_bigram_lm(sf_dir: str, top_k: int = 200,
+                   train_pct: int = TRAIN_PCT) -> pa.Table:
+    """Interpolated Kneser-Ney bigram probabilities as EXACT rationals —
+    the standard n-gram smoothing (Kneser & Ney 1995, Chen & Goodman
+    1998) beside the MLE-count LM (q_lm_bigram_scores). With discount
+    D = 3/4 and bigram counts c over the train split:
+
+        P_KN(w2|w1) = (c - D)/c(w1.) + D*N1+(w1.)/c(w1.) * N1+(.w2)/T
+
+    where c(w1.) = left-context token count, N1+(w1.) / N1+(.w2) are
+    distinct-continuation counts and T = total distinct bigram types.
+    D = 3/4 makes every probability an exact int64 rational:
+
+        pnum = (4c - 3)*T + 3*N1+(w1.)*N1+(.w2)      pden = 4*c(w1.)*T
+
+    so the smoothed model itself hash-verifies (no float crosses the
+    engine boundary). Output: the top_k bigrams by (c desc, w1, w2)
+    with (w1, w2, c, pnum, pden).
+
+    Shape: per-batch (w1, w2) partial counts -> ONE groupby sum (the
+    bigram-type table, the LM's own size); the three marginals are
+    vocabulary-bounded aggregates over that table, broadcast via
+    ray.put into a pure map; top_k via dataset sort/limit. Nothing
+    driver-side scales with the corpus — only with the vocabulary."""
+    from ray.data.aggregate import Count, Sum
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        hs = H.h64_many([str(i) for i in doc_ids.tolist()])
+        sel = hs % np.uint64(100) < train_pct
+        w1s: list[str] = []
+        w2s: list[str] = []
+        for toks, keep in zip(token_lists, sel):
+            if keep and len(toks) >= 2:
+                w1s.extend(toks[:-1])
+                w2s.extend(toks[1:])
+        if not w1s:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        pairs = np.asarray([a + " " + b for a, b in zip(w1s, w2s)],
+                           dtype=object)
+        u, c = np.unique(pairs, return_counts=True)
+        split = np.char.partition(u.astype(str), " ")
+        return pa.table({
+            "w1": pa.array(split[:, 0].tolist(), pa.string()),
+            "w2": pa.array(split[:, 2].tolist(), pa.string()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    types = (
+        documents_ds(sf_dir)
+        .map_batches(_rows, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="c"))
+    )
+    # vocabulary-bounded marginals (left totals + distinct continuations)
+    left = types.groupby("w1").aggregate(
+        Sum("c", alias_name="c1"), Count(alias_name="n1l")).to_pandas()
+    right = types.groupby("w2").aggregate(
+        Count(alias_name="n1r")).to_pandas()
+    t_types = int(left["n1l"].sum())
+    lw = left["w1"].to_numpy(dtype=object)
+    lo = np.argsort(lw)
+    lw, lc1 = lw[lo], left["c1"].to_numpy(np.int64)[lo]
+    ln1 = left["n1l"].to_numpy(np.int64)[lo]
+    rw = right["w2"].to_numpy(dtype=object)
+    ro = np.argsort(rw)
+    rw, rn1 = rw[ro], right["n1r"].to_numpy(np.int64)[ro]
+    if t_types and int(lc1.max()) > (2**62) // (4 * t_types):
+        raise OverflowError("kn_bigram_lm: pden exceeds int64 — "
+                            "rescale T or use per-shard models")
+    marg = ray.put((lw, lc1, ln1, rw, rn1, t_types))
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        lw_, lc1_, ln1_, rw_, rn1_, t = ray.get(marg)
+        w1 = np.asarray(batch.column("w1").to_pylist(), dtype=object)
+        w2 = np.asarray(batch.column("w2").to_pylist(), dtype=object)
+        c = batch.column("c").to_numpy().astype(np.int64)
+        li = np.searchsorted(lw_, w1)
+        ri = np.searchsorted(rw_, w2)
+        pnum = (4 * c - 3) * t + 3 * ln1_[li] * rn1_[ri]
+        pden = 4 * lc1_[li] * t
+        return pa.table({
+            "w1": batch.column("w1"), "w2": batch.column("w2"),
+            "c": pa.array(c, pa.int64()),
+            "pnum": pa.array(pnum, pa.int64()),
+            "pden": pa.array(pden, pa.int64()),
+        })
+
+    out = (types.map_batches(_attach, batch_format="pyarrow")
+           .sort(key=["c", "w1", "w2"], descending=[True, False, False])
+           .limit(top_k))
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.select(["w1", "w2", "c", "pnum", "pden"])
+
+
+# ------------------------------------- multinomial Naive Bayes (fastText
+# -style quality/language classifier: the supervised-text class)
+
+def _nb_train(sf_dir: str, train_pct: int):
+    """Distributed NB sufficient statistics: per-(lang, tok) kept-token
+    counts over the train split (ONE groupby — the model is the
+    aggregate) plus per-lang train-doc counts. Both are vocabulary/
+    class-bounded; only they reach the driver."""
+    from ray.data.aggregate import Sum
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        hs = H.h64_many([str(i) for i in doc_ids.tolist()])
+        sel = hs % np.uint64(100) < train_pct
+        keys: list[str] = []
+        for toks, keep, lg in zip(token_lists, sel, langs):
+            if keep:
+                keys.extend(lg + " " + t for t in toks)
+        # per-lang doc-count partials ride along as tok='' rows
+        dk, dc = np.unique(langs[sel], return_counts=True)
+        u, c = (np.unique(np.asarray(keys, dtype=object),
+                          return_counts=True)
+                if keys else (np.empty(0, object), np.empty(0, np.int64)))
+        split = (np.char.partition(u.astype(str), " ")
+                 if u.size else np.empty((0, 3), dtype="U1"))
+        return pa.table({
+            "lang": pa.array(list(split[:, 0]) + list(dk), pa.string()),
+            "tok": pa.array(list(split[:, 2]) + [""] * len(dk),
+                            pa.string()),
+            "cnt": pa.array(np.concatenate([c.astype(np.int64),
+                                            dc.astype(np.int64)]),
+                            pa.int64()),
+        })
+
+    agg = (ray.data.read_parquet(
+               os.path.join(sf_dir, "documents.parquet"),
+               columns=["doc_id", "text", "lang"])
+           .map_batches(_rows, batch_format="pyarrow")
+           .groupby(["lang", "tok"])
+           .aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    is_doc = agg["tok"].to_numpy(dtype=object) == ""
+    model = agg[~is_doc]
+    docs = agg[is_doc]
+    return model, docs
+
+
+def q_nb_model(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
+    """Multinomial-NB training table: per-(lang, tok) kept-token counts
+    over the consistent-hash train split — the model IS this integer
+    aggregate, so training hash-verifies by value. Shape: one
+    corpus-sized groupby to O(classes x vocab) rows."""
+    model, _ = _nb_train(sf_dir, train_pct)
+    model = model.sort_values(["lang", "tok"], kind="mergesort")
+    return pa.table({
+        "lang": pa.array(model["lang"].tolist(), pa.string()),
+        "tok": pa.array(model["tok"].tolist(), pa.string()),
+        "cnt": pa.array(model["cnt"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def q_nb_predict(sf_dir: str, train_pct: int = TRAIN_PCT) -> ray.data.Dataset:
+    """Naive Bayes prediction over the VAL split — the trained-text-
+    classifier serving path (the shape of fastText-style quality /
+    language filters over a pretraining corpus). Laplace-smoothed
+    per-term log weights quantize to int BEFORE the per-doc sum
+    (the BM25/LMD discipline), so the whole classifier output —
+    winner class, integer score, known-token count — hash-verifies:
+
+        w(t,c)  = trunc(1e7 * ln((cnt(t,c) + 1) / (T_c + V)))
+        prior_c = trunc(1e7 * ln(docs_c / docs_total))
+        score(d,c) = prior_c + sum_t tf_t * w(t,c)   [t in train vocab]
+
+    prediction = argmax_c score, ties by lang asc. Unknown tokens
+    (absent from the train vocabulary) are skipped — the standard
+    multinomial-NB convention.
+
+    Shape: the model is the vocabulary-bounded groupby from _nb_train,
+    broadcast once via ray.put as a dense (classes x vocab) int weight
+    matrix; scoring is a pure map_batches (one searchsorted + one
+    reduceat per class per batch) — no shuffle, no per-doc Python."""
+    model, docs = _nb_train(sf_dir, train_pct)
+    classes = np.sort(docs["lang"].to_numpy(dtype=object))
+    ndocs = docs.set_index("lang")["cnt"].to_dict()
+    docs_tot = int(sum(ndocs.values()))
+    vocab = np.unique(model["tok"].to_numpy(dtype=object))
+    v = int(vocab.size)
+    cnt_mat = np.zeros((classes.size, max(v, 1)), np.int64)
+    ci = {c: i for i, c in enumerate(classes)}
+    if len(model):
+        rows = np.fromiter((ci[c] for c in model["lang"]), np.int64,
+                           len(model))
+        cols = np.searchsorted(vocab, model["tok"].to_numpy(dtype=object))
+        cnt_mat[rows, cols] = model["cnt"].to_numpy(np.int64)
+    t_c = cnt_mat.sum(axis=1)
+    # identical double expression as the SQL oracle: ln(num/den) * 1e7
+    w_mat = np.trunc(np.log((cnt_mat + 1).astype(np.float64)
+                            / (t_c + v).astype(np.float64)[:, None])
+                     * 1e7).astype(np.int64)
+    prior = np.trunc(np.log(
+        np.asarray([ndocs[c] for c in classes], np.float64) / docs_tot)
+        * 1e7).astype(np.int64)
+    st = ray.put((classes, vocab, w_mat, prior))
+
+    def _predict(batch: pa.Table) -> pa.Table:
+        classes_, vocab_, w_, prior_ = ray.get(st)
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        hs = H.h64_many([str(i) for i in doc_ids.tolist()])
+        is_val = hs % np.uint64(100) >= train_pct
+        val_pos = np.flatnonzero(is_val)
+        n = val_pos.size
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "pred_lang": pa.array([], pa.string()),
+            "score": pa.array([], pa.int64()),
+            "n_known": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        lens = np.fromiter((len(token_lists[i]) for i in val_pos),
+                           np.int64, n)
+        total = int(lens.sum())
+        scores = np.tile(prior_, (n, 1)).astype(np.int64)
+        n_known = np.zeros(n, np.int64)
+        if total and vocab_.size:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for i in val_pos:
+                t = token_lists[i]
+                flat[pos:pos + len(t)] = t
+                pos += len(t)
+            didx = np.repeat(np.arange(n), lens)
+            idx = np.searchsorted(vocab_, flat)
+            idx[idx == vocab_.size] = 0
+            known = vocab_[idx] == flat
+            n_known = np.bincount(didx[known], minlength=n).astype(np.int64)
+            kd, ki = didx[known], idx[known]
+            for c in range(classes_.size):
+                acc = np.zeros(n, np.int64)   # int64 adds stay exact
+                np.add.at(acc, kd, w_[c, ki])
+                scores[:, c] += acc
+        best = np.argmax(scores, axis=1)  # first max = smallest lang asc
+        return pa.table({
+            "doc_id": pa.array(doc_ids[val_pos], pa.int64()),
+            "pred_lang": pa.array([classes_[b] for b in best], pa.string()),
+            "score": pa.array(scores[np.arange(n), best], pa.int64()),
+            "n_known": pa.array(n_known, pa.int64()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_predict, batch_format="pyarrow")
