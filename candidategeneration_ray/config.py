@@ -66,9 +66,12 @@ class EngineConfig:
     max_list_postings: int | None = None
     unconditional_prefix: int = 100
     # Doc-array codec for FINAL posting lists: "varint" (delta+LEB128,
-    # the production default) or "bp" (binary packing, functions/bitpack
-    # — ~2.4x smaller on dense lists, grouped encode loops per key).
-    # Emission partial rows stay varint (transient exchange format).
+    # the production default), "bp" (binary packing, functions/bitpack
+    # — ~2.4x smaller on dense lists, grouped encode loops per key) or
+    # "ef" (Elias-Fano, functions/eliasfano — within half a bit/elem of
+    # the monotone-sequence entropy bound, smaller than both on the
+    # transcript lists). Emission partial rows stay varint (transient
+    # exchange format).
     codec: str = "varint"
     # Optional query-driven key pruning (the reference "filter sets",
     # Metadata.java:92-151, applied at emission InvertedIndex.java:291,374):
@@ -92,7 +95,7 @@ class EngineConfig:
         if self.max_list_postings is not None and \
                 self.max_list_postings < self.unconditional_prefix:
             raise ValueError("max_list_postings must be >= unconditional_prefix")
-        if self.codec not in ("varint", "bp"):
+        if self.codec not in ("varint", "bp", "ef"):
             raise ValueError(f"unknown codec {self.codec!r}")
 
     def index_tag(self) -> str:

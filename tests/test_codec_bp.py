@@ -1,6 +1,7 @@
-"""Binary-packing codec through the FULL index lifecycle: partitioned
-build (bucket merge with bp-coded inputs), serving, LSM delta ingest
-and compaction — decoded content identical to the varint build."""
+"""Non-default codecs (binary packing + Elias-Fano) through the FULL
+index lifecycle: partitioned build (bucket merge with codec-coded
+inputs), serving, LSM delta ingest and compaction — decoded content
+identical to the varint build."""
 
 import os
 
@@ -19,7 +20,7 @@ QUERIES = ["query engine latency", "data index", "worker shard",
 def both_indexes(ray_session, transcripts_dir, tmp_path_factory):
     root = tmp_path_factory.mktemp("bp_codec")
     out = {}
-    for codec in ("varint", "bp"):
+    for codec in ("varint", "bp", "ef"):
         cfg = EngineConfig(codec=codec)
         res = build_index(transcripts_dir, str(root / codec), cfg,
                           partitions=3)  # partitions exercise the merge
@@ -27,9 +28,10 @@ def both_indexes(ray_session, transcripts_dir, tmp_path_factory):
     return out
 
 
-def test_decoded_lists_identical(both_indexes):
+@pytest.mark.parametrize("codec", ["bp", "ef"])
+def test_decoded_lists_identical(both_indexes, codec):
     rv, cv = both_indexes["varint"]
-    rb, cb = both_indexes["bp"]
+    rb, cb = both_indexes[codec]
     a = IndexReader(rv["final_dir"], rv["stats"], cv)
     b = IndexReader(rb["final_dir"], rb["stats"], cb)
     assert np.array_equal(a.keys, b.keys)
@@ -40,18 +42,21 @@ def test_decoded_lists_identical(both_indexes):
         assert np.array_equal(sa, sb), k
 
 
-def test_topk_identical(both_indexes):
+@pytest.mark.parametrize("codec", ["bp", "ef"])
+def test_topk_identical(both_indexes, codec):
     rv, cv = both_indexes["varint"]
-    rb, cb = both_indexes["bp"]
+    rb, cb = both_indexes[codec]
     ev = QueryEngine(rv["final_dir"], rv["stats"], cv)
     eb = QueryEngine(rb["final_dir"], rb["stats"], cb)
     for q in QUERIES:
         assert ev.topk(q, k=10) == eb.topk(q, k=10), q
 
 
-def test_bp_delta_and_compaction(ray_session, tmp_path):
-    """Ingest a delta and compact under codec='bp': multi-generation
-    serving equals the compacted single-generation serving."""
+@pytest.mark.parametrize("codec", ["bp", "ef"])
+def test_delta_and_compaction(ray_session, tmp_path, codec):
+    """Ingest a delta and compact under a non-default codec:
+    multi-generation serving equals the compacted single-generation
+    serving."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -61,7 +66,7 @@ def test_bp_delta_and_compaction(ray_session, tmp_path):
     from candidategeneration_ray.sources.transcripts import (
         generate_transcripts, write_transcripts)
 
-    cfg = EngineConfig(emit_pairs=False, codec="bp")
+    cfg = EngineConfig(emit_pairs=False, codec=codec)
     base = write_transcripts(str(tmp_path / "base"), num_convs=50, seed=5)
     dtab = generate_transcripts(20, seed=8)
     conv = pc.binary_join_element_wise(

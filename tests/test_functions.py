@@ -193,3 +193,52 @@ class TestBitpackCodec:
                                   decode_delta(encode_delta(v)))
 
         check()
+
+
+def test_elias_fano_roundtrip_property():
+    import numpy as np
+
+    from candidategeneration_ray.functions.eliasfano import (
+        decode_ef, encode_ef, ef_size)
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        n = int(rng.integers(1, 500))
+        scale = int(rng.choice([2, 7, 1000, 10**7]))
+        v = np.cumsum(rng.integers(0, scale, n)).astype(np.uint64)
+        b = encode_ef(v)
+        assert len(b) == ef_size(v)
+        assert np.array_equal(decode_ef(b, n), v)
+
+
+def test_elias_fano_edges():
+    import numpy as np
+    import pytest as _pt
+
+    from candidategeneration_ray.functions.eliasfano import (
+        decode_ef, encode_ef)
+
+    for v in (np.array([0], np.uint64), np.array([0, 0, 0], np.uint64),
+              np.array([2**62], np.uint64),
+              np.arange(1000, dtype=np.uint64)):
+        assert np.array_equal(decode_ef(encode_ef(v), v.size), v)
+    assert encode_ef(np.array([], np.uint64)) == b""
+    b = encode_ef(np.arange(100, dtype=np.uint64))
+    with _pt.raises(ValueError):
+        decode_ef(b[:3], 100)
+    with _pt.raises(OverflowError):
+        encode_ef(np.array([2**63], np.uint64))
+
+
+def test_elias_fano_near_entropy_bound():
+    """EF must stay within the 2 + ceil(log2(u/n)) bits/element bound
+    regardless of gap distribution (the property bp/varint lack)."""
+    import numpy as np
+
+    from candidategeneration_ray.functions.eliasfano import encode_ef
+
+    rng = np.random.default_rng(3)
+    v = np.sort(rng.choice(10**6, size=5000, replace=False)).astype(np.uint64)
+    n, u = v.size, int(v[-1])
+    bound_bits = n * (2 + max(1, (u // n).bit_length())) + 16
+    assert len(encode_ef(v)) * 8 <= bound_bits
