@@ -3669,6 +3669,39 @@ bp AS (
 SELECT vb.tok AS term, vb.n, vb.docs_bytes, bp.docs_bytes_bp
 FROM vb JOIN bp USING (tok)
 """,
+        # Elias-Fano analytic model: per list n = count, u = max doc_id,
+        # l = floor(log2(u/n)) (0 when u < n), size = 1 header byte +
+        # (n*l+7)//8 low-section bytes + ((u>>l)+n+7)//8 high-bitvector
+        # bytes — exactly functions/eliasfano.ef_size.
+        "postings_bytes_ef": f"""
+WITH {KEPT_CTE},
+dt AS (SELECT DISTINCT doc_id, tok FROM kept),
+g AS (
+  SELECT tok,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok
+                                             ORDER BY doc_id), 0) AS gap
+  FROM dt
+),
+vb AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({size_case}) AS BIGINT) AS docs_bytes
+  FROM g GROUP BY tok
+),
+lu AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n, CAST(max(doc_id) AS BIGINT) AS u
+  FROM dt GROUP BY tok
+),
+ef AS (
+  SELECT tok, n, u,
+         CASE WHEN u // n >= 1 THEN length(bin(u // n)) - 1
+              ELSE 0 END AS l
+  FROM lu
+)
+SELECT vb.tok AS term, vb.n, vb.docs_bytes,
+       CAST(1 + (ef.n * ef.l + 7) // 8
+              + ((ef.u >> ef.l) + ef.n + 7) // 8 AS BIGINT) AS docs_bytes_ef
+FROM vb JOIN ef USING (tok)
+""",
     }
 
 
