@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": sk.q_bloom_membership,  # probes incl. false positives
         "cmsketch_counters": sk.q_cmsketch_counters,  # count-min state, exact
         "cmsketch_estimates": sk.q_cmsketch_estimates,  # point queries + truth
+        "ams_f2": sk.q_ams_f2,                          # F2 moment sketch state
+        "ams_f2_estimate": sk.q_ams_f2_estimate,        # median estimator + truth
+        "countsketch_counters": sk.q_countsketch_counters,  # signed-counter state
+        "countsketch_estimates": sk.q_countsketch_estimates,  # unbiased medians
         "source_quantile_filter": sk.q_source_quantile_filter,  # dynamic per-source cutoff
         "source_pct_rank": sk.q_source_pct_rank,    # within-group percentile feature
         "source_ntile": sk.q_source_ntile,          # NTILE equi-count buckets
@@ -268,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_model": tl.q_nb_model,              # Naive Bayes training table
         "nb_predict": tl.q_nb_predict,          # NB classifier serving (val split)
         "auc_eval": ex.q_auc_eval,              # exact ROC-AUC (midrank U)
+        "perceptron": tl.q_perceptron,          # batch perceptron trajectory
         "selection_audit": tl.q_selection_audit,    # per-doc reason codes
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
@@ -426,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         bool_diff_oracles,
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
         mmr_oracles, ndcg_oracles, ordered_window_oracles,
+        ams_cs_oracles, perceptron_oracles,
         boolean_query_oracles, postings_bytes_bp_oracles, sdm_oracles,
         corrected_query_oracles, index_report_oracles, redact_oracles,
         synonym_oracles,
@@ -482,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
             **bool_diff_oracles(), **cube_oracles(), **collapse_oracles(), **mmr_oracles(), **impact_oracles(), **ltr_oracles(),
             **ndcg_oracles(), **ordered_window_oracles(),
             **postings_bytes_bp_oracles(), **sdm_oracles(),
+            **ams_cs_oracles(), **perceptron_oracles(),
             **boolean_query_oracles(), **wildcard_oracles(),
             **corrected_query_oracles(), **synonym_oracles(),
             **index_report_oracles(), **redact_oracles(),

@@ -322,6 +322,10 @@ def run_bench() -> dict:
         ("kn_bigram_lm", _tl().q_kn_bigram_lm),         # KN smoothing
         ("nb_predict", _tl().q_nb_predict),             # NB classifier
         ("auc_eval", ex.q_auc_eval),                    # exact ROC-AUC
+        # session-15 additions
+        ("ams_f2_estimate", sk_.q_ams_f2_estimate),      # F2 moment sketch
+        ("countsketch_estimates", sk_.q_countsketch_estimates),  # signed CM
+        ("perceptron", _tl().q_perceptron),             # batch perceptron
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)

@@ -1005,3 +1005,207 @@ def q_source_hist_l1(sf_dir: str) -> pa.Table:
         "l1_num": pa.array([r[2] for r in out], pa.int64()),
         "l1_den": pa.array([r[3] for r in out], pa.int64()),
     })
+
+
+# --------------------------------------------- AMS F2 (frequency moments)
+
+AMS_ROWS = 16
+
+
+def _ams_signs(terms, row: int) -> np.ndarray:
+    """±1 four-universal-style signs from the salted md5-h64 parity —
+    the same hash family the CM sketch uses, one salt per sketch row."""
+    h = H.h64_many([f"a{row}:{t}" for t in terms])
+    return np.where(h % np.uint64(2) == 0, np.int64(1), np.int64(-1))
+
+
+def _ams_merged(sf_dir: str) -> ray.data.Dataset:
+    """The AMS sketch state: per row r, X_r = Σ_t cnt_t · s_r(t) over
+    kept-token occurrence counts (Alon, Matias & Szegedy 1996). X is
+    linear in the counts, so per-batch partials (AMS_ROWS ints per
+    batch) merge with ONE groupby sum — the canonical mergeable-sketch
+    shape; nothing scales with the vocabulary or the corpus."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        flat = np.asarray([t for ts in token_lists for t in ts], dtype=object)
+        if flat.size == 0:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64())})
+        terms, counts = np.unique(flat, return_counts=True)
+        counts = counts.astype(np.int64)
+        xs = [int((counts * _ams_signs(terms, r)).sum())
+              for r in range(AMS_ROWS)]
+        return pa.table({
+            "row": pa.array(np.arange(AMS_ROWS, dtype=np.int64), pa.int64()),
+            "x": pa.array(np.asarray(xs, np.int64), pa.int64()),
+        })
+
+    return (
+        _texts_ds(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("row")
+        .aggregate(Sum("x", alias_name="x"))
+    )
+
+
+def q_ams_f2(sf_dir: str) -> ray.data.Dataset:
+    """AMS F2 sketch STATE: one (row, x, x2) per sketch row — x2 = X_r²
+    is the row's unbiased F2 estimate. Exact deterministic integers,
+    value-verified like the CM/HLL states."""
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy().astype(np.int64)
+        return batch.append_column("x2", pa.array(x * x, pa.int64()))
+
+    return _ams_merged(sf_dir).map_batches(_fin, batch_format="pyarrow")
+
+
+def q_ams_f2_estimate(sf_dir: str) -> pa.Table:
+    """The sketch's F2 (second frequency moment, Σ cnt_t²) estimate —
+    lower median of the AMS_ROWS squared row sums — next to the TRUE F2
+    from the exact per-term counts (vocabulary-bounded groupby), so the
+    driver hash-checks both the estimator arithmetic and the ground
+    truth it approximates. One row: (rows, f2_est, f2_true)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    merged = _ams_merged(sf_dir).to_pandas()
+    x = merged.sort_values("row")["x"].to_numpy(np.int64)
+    x2 = np.sort(x * x)
+    f2_est = int(x2[(AMS_ROWS + 1) // 2 - 1])  # lower median, rn convention
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        flat = np.asarray([t for ts in token_lists for t in ts], dtype=object)
+        if flat.size == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        terms, counts = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(terms.tolist(), pa.string()),
+                         "cnt": pa.array(counts.astype(np.int64), pa.int64())})
+
+    tf = (_texts_ds(sf_dir)
+          .map_batches(_tf, batch_format="pyarrow")
+          .groupby("tok").aggregate(_Sum("cnt", alias_name="cnt")))
+
+    def _sq(batch: pa.Table) -> pa.Table:
+        c = batch.column("cnt").to_numpy().astype(np.int64)
+        return pa.table({"f2": pa.array([int((c * c).sum())], pa.int64())})
+
+    f2_true = sum(r["f2"] for r in
+                  tf.map_batches(_sq, batch_format="pyarrow").take_all())
+    return pa.table({
+        "rows": pa.array([AMS_ROWS], pa.int64()),
+        "f2_est": pa.array([f2_est], pa.int64()),
+        "f2_true": pa.array([int(f2_true)], pa.int64()),
+    })
+
+
+# ------------------------------------------------------------ Count-Sketch
+
+CS_WIDTH = 2048
+CS_DEPTH = 3          # odd, so the median estimator is a single value
+CS_PROBES = CM_PROBES
+
+
+def _cs_rows(terms: np.ndarray, counts: np.ndarray) -> pa.Table:
+    """(depth, cell, signed partial) rows — the Count-Sketch twin of
+    _cm_rows (Charikar, Chen & Farach-Colton 2002): counters accumulate
+    sign_d(t)·cnt_t, so heavy hitters cancel noise instead of
+    inflating it and the estimator is unbiased (median, not min)."""
+    ds, ws, cs = [], [], []
+    for d in range(CS_DEPTH):
+        w = (H.h64_many([f"s{d}:{t}" for t in terms])
+             % np.uint64(CS_WIDTH)).astype(np.int64)
+        g = np.where(H.h64_many([f"g{d}:{t}" for t in terms])
+                     % np.uint64(2) == 0, np.int64(1), np.int64(-1))
+        signed = counts * g
+        u, inv = np.unique(w, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, signed)
+        ds.append(np.full(u.size, d, np.int64))
+        ws.append(u)
+        cs.append(s)
+    return pa.table({
+        "depth": pa.array(np.concatenate(ds), pa.int64()),
+        "cell": pa.array(np.concatenate(ws), pa.int64()),
+        "cnt": pa.array(np.concatenate(cs), pa.int64()),
+    })
+
+
+def _cs_merged(sf_dir: str) -> ray.data.Dataset:
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        flat = np.asarray([t for ts in token_lists for t in ts], dtype=object)
+        if flat.size == 0:
+            return pa.table({"depth": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        terms, counts = np.unique(flat, return_counts=True)
+        return _cs_rows(terms, counts.astype(np.int64))
+
+    return (
+        _texts_ds(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["depth", "cell"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def q_countsketch_counters(sf_dir: str) -> ray.data.Dataset:
+    """Count-Sketch STATE over kept-token occurrences: counter
+    (depth, cell) = Σ sign_d(t)·cnt_t (width=2048, depth=3, salted
+    md5-h64 for both cell and sign). Signed-counter addition is
+    commutative, so the merge is one groupby over at most depth × width
+    rows — exact deterministic integers."""
+    return _cs_merged(sf_dir)
+
+
+def q_countsketch_estimates(sf_dir: str) -> pa.Table:
+    """Point queries through the merged Count-Sketch: est = MEDIAN over
+    rows of sign_d(term)·counter[d, cell_d(term)] — unbiased, two-sided
+    error (the CM min is a one-sided upper bound), so the absent-word
+    probes can come back negative. True counts ride along; CS_DEPTH is
+    odd so the median is a single integer and the row hash-verifies."""
+    merged = {(int(r["depth"]), int(r["cell"])): int(r["cnt"])
+              for r in _cs_merged(sf_dir).take_all()}
+
+    def _true_counts() -> dict[str, int]:
+        from ray.data.aggregate import Sum as _Sum
+
+        def _tf(batch: pa.Table) -> pa.Table:
+            token_lists = tokenize_many(batch.column("text").to_pylist())
+            probes = set(CS_PROBES)
+            flat = np.asarray([t for ts in token_lists for t in ts
+                               if t in probes], dtype=object)
+            if flat.size == 0:
+                return pa.table({"tok": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            terms, counts = np.unique(flat, return_counts=True)
+            return pa.table({
+                "tok": pa.array(terms.tolist(), pa.string()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64())})
+
+        rows = (_texts_ds(sf_dir)
+                .map_batches(_tf, batch_format="pyarrow")
+                .groupby("tok").aggregate(_Sum("cnt", alias_name="cnt"))
+                .take_all())
+        return {r["tok"]: int(r["cnt"]) for r in rows}
+
+    true = _true_counts()
+    terms_arr = np.asarray(CS_PROBES, dtype=object)
+    ests = []
+    for t in CS_PROBES:
+        vals = []
+        for d in range(CS_DEPTH):
+            cell = int(H.h64_many([f"s{d}:{t}"])[0] % np.uint64(CS_WIDTH))
+            sign = 1 if int(H.h64_many([f"g{d}:{t}"])[0]
+                            % np.uint64(2)) == 0 else -1
+            vals.append(sign * merged.get((d, cell), 0))
+        ests.append(int(np.sort(np.asarray(vals, np.int64))[CS_DEPTH // 2]))
+    return pa.table({
+        "term": pa.array(terms_arr.tolist(), pa.string()),
+        "cs_estimate": pa.array(ests, pa.int64()),
+        "true_count": pa.array([true.get(t, 0) for t in CS_PROBES],
+                               pa.int64()),
+    })

@@ -3311,6 +3311,126 @@ FROM p
     }
 
 
+def ams_cs_oracles() -> dict[str, str]:
+    """AMS F2 rows as a per-row signed sum over the exact tf table;
+    Count-Sketch counters/estimates mirror the CM oracles with ±1 signs
+    and a 3-way integer median (sum − greatest − least)."""
+    from candidategeneration_ray.pipelines.sketches import (
+        AMS_ROWS, CS_DEPTH, CS_PROBES, CS_WIDTH)
+
+    def _sign(expr: str, salt: str) -> str:
+        h = _H64.format(expr=f"'{salt}:' || {expr}")
+        return f"CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END"
+
+    ams_union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS row, "
+        f"CAST(sum(cnt * {_sign('tok', f'a{r}')}) AS BIGINT) AS x FROM tf"
+        for r in range(AMS_ROWS))
+
+    def _cs_cell(expr: str, d: int) -> str:
+        h = _H64.format(expr=f"'s{d}:' || {expr}")
+        return f"CAST({h} % {CS_WIDTH} AS BIGINT)"
+
+    cs_union = "\nUNION ALL\n".join(
+        f"SELECT CAST({d} AS BIGINT) AS depth, {_cs_cell('tok', d)} AS cell, "
+        f"cnt * {_sign('tok', f'g{d}')} AS cnt FROM tf"
+        for d in range(CS_DEPTH))
+    probes = ", ".join(f"('{t}')" for t in CS_PROBES)
+    vals = [
+        f"({_sign('p.term', f'g{d}')}) * coalesce((SELECT cnt FROM counters c "
+        f"WHERE c.depth = {d} AND c.cell = {_cs_cell('p.term', d)}), 0)"
+        for d in range(CS_DEPTH)]
+    assert CS_DEPTH == 3  # 3-way integer median below
+    med = (f"({' + '.join(vals)}) - greatest({', '.join(vals)})"
+           f" - least({', '.join(vals)})")
+    return {
+        "ams_f2": f"""
+WITH {KEPT_CTE},
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY tok)
+SELECT row, x, CAST(x * x AS BIGINT) AS x2 FROM ({ams_union})
+""",
+        "ams_f2_estimate": f"""
+WITH {KEPT_CTE},
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY tok),
+xs AS ({ams_union}),
+med AS (
+  SELECT v AS f2_est FROM (
+    SELECT x * x AS v, row_number() OVER (ORDER BY x * x) AS rn FROM xs
+  ) WHERE rn = {(AMS_ROWS + 1) // 2}
+)
+SELECT CAST({AMS_ROWS} AS BIGINT) AS rows,
+       CAST(med.f2_est AS BIGINT) AS f2_est,
+       CAST((SELECT sum(cnt * cnt) FROM tf) AS BIGINT) AS f2_true
+FROM med
+""",
+        "countsketch_counters": f"""
+WITH {KEPT_CTE},
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY tok)
+SELECT depth, cell, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM ({cs_union}) GROUP BY depth, cell
+""",
+        "countsketch_estimates": f"""
+WITH {KEPT_CTE},
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY tok),
+counters AS (
+  SELECT depth, cell, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM ({cs_union}) GROUP BY depth, cell
+),
+p(term) AS (VALUES {probes})
+SELECT p.term,
+       CAST({med} AS BIGINT) AS cs_estimate,
+       CAST(coalesce((SELECT cnt FROM tf WHERE tf.tok = p.term), 0) AS BIGINT)
+         AS true_count
+FROM p
+""",
+    }
+
+
+def perceptron_oracles() -> dict[str, str]:
+    """Batch-perceptron trajectory unrolled as chained CTEs: each
+    iteration joins the one-row previous-weights CTE with the feature
+    table, sums y·x over the misclassified rows and counts them."""
+    from candidategeneration_ray.pipelines.textlm import (
+        PERCEPTRON_NF, PERCEPTRON_T)
+
+    nf = PERCEPTRON_NF
+    dot = " + ".join(f"i.w{j} * f.x{j}" for j in range(nf))
+    mis = f"f.y * ({dot}) <= 0"
+    it_ctes = [f"it0 AS (SELECT {', '.join(f'CAST(0 AS BIGINT) AS w{j}' for j in range(nf))})"]
+    for k in range(1, PERCEPTRON_T + 1):
+        ws = ",\n         ".join(
+            f"i.w{j} + coalesce(sum(CASE WHEN {mis} THEN f.y * f.x{j} "
+            f"ELSE 0 END), 0) AS w{j}"
+            for j in range(nf))
+        it_ctes.append(f"""it{k} AS (
+  SELECT CAST({k} AS BIGINT) AS it,
+         {ws},
+         coalesce(count(*) FILTER ({mis}), 0) AS n_err
+  FROM it{k - 1} i CROSS JOIN feats f
+  GROUP BY {', '.join(f'i.w{j}' for j in range(nf))}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT it, {', '.join(f'w{j}' for j in range(nf))}, "
+        f"CAST(n_err AS BIGINT) AS n_err FROM it{k}"
+        for k in range(1, PERCEPTRON_T + 1))
+    return {
+        "perceptron": f"""
+WITH {_WORDS_CTE},
+feats AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS x0,
+         coalesce(w.n_words, 0) AS x1,
+         coalesce(w.n_stop, 0) AS x2,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS x3,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS x4,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS y
+  FROM documents d LEFT JOIN wstats w USING (doc_id)
+),
+{",".join(it_ctes)}
+{union}
+""",
+    }
+
+
 def session_hist_oracles() -> dict[str, str]:
     # composition oracle: the sessionize rule text + one aggregation
     return {

@@ -1605,3 +1605,89 @@ def q_nb_predict(sf_dir: str, train_pct: int = TRAIN_PCT) -> ray.data.Dataset:
         })
 
     return documents_ds(sf_dir).map_batches(_predict, batch_format="pyarrow")
+
+
+# ------------------------------------------- batch perceptron (iterative
+# supervised training as a driver loop of full scans — the GD shape)
+
+PERCEPTRON_T = 6
+# feature vector per doc: [bias, n_words, n_stop, n_digit_tokens,
+# n_punct_chars] — the integer text-stats surface (extras._textstats,
+# SQL-verified by the text_stats entry), so training stays in exact
+# int64 arithmetic end-to-end
+PERCEPTRON_NF = 5
+
+
+def q_perceptron(sf_dir: str, iters: int = PERCEPTRON_T) -> pa.Table:
+    """Batch perceptron over integer text-stat features, label
+    y = ±1 for lang = 'en' — the iterative-supervised-training class
+    (full-batch update, so the result is independent of row order and
+    partitioning, unlike the classic online perceptron):
+
+        w_0 = 0
+        w_k = w_{k-1} + Σ_{i : y_i (w_{k-1}·x_i) <= 0} y_i x_i
+
+    Every quantity is an int64 (|w·x| is bounded by iters · Σ|x|² —
+    ~1e12 at sf0.1, the documented headroom), so the whole training
+    TRAJECTORY hash-verifies: output one row per iteration with the
+    post-update weights and the pre-update misclassified count. The
+    oracle unrolls the iterations as chained CTEs.
+
+    Shape: the feature table is materialized once (5 ints + label per
+    doc); each iteration broadcasts w via ray.put and reduces per-batch
+    partial gradients (one 6-int row per batch) on the driver — the
+    canonical full-batch GD layout where only O(features) state ever
+    leaves the cluster."""
+    from candidategeneration_ray.pipelines.extras import _textstats
+
+    def _feats(batch: pa.Table) -> pa.Table:
+        t = _textstats(batch)
+        y = np.where(np.asarray(batch.column("lang").to_pylist(),
+                                dtype=object) == "en",
+                     np.int64(1), np.int64(-1))
+        return pa.table({
+            "x0": pa.array(np.ones(len(y), np.int64), pa.int64()),
+            "x1": t.column("n_words"),
+            "x2": t.column("n_stop"),
+            "x3": t.column("n_digit_tokens"),
+            "x4": t.column("n_punct_chars"),
+            "y": pa.array(y, pa.int64()),
+        })
+
+    feats = (ray.data.read_parquet(
+                 os.path.join(sf_dir, "documents.parquet"),
+                 columns=["doc_id", "text", "lang"])
+             .map_batches(_feats, batch_format="pyarrow")
+             .materialize())
+
+    w = np.zeros(PERCEPTRON_NF, np.int64)
+    its, ws, errs = [], [], []
+    for k in range(1, iters + 1):
+        w_ref = ray.put(w.copy())
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            wk = ray.get(w_ref)
+            x = np.stack([batch.column(f"x{j}").to_numpy().astype(np.int64)
+                          for j in range(PERCEPTRON_NF)], axis=1)
+            y = batch.column("y").to_numpy().astype(np.int64)
+            m = y * (x @ wk) <= 0
+            g = (y[m, None] * x[m]).sum(axis=0, dtype=np.int64)
+            out = {f"g{j}": pa.array([int(g[j])], pa.int64())
+                   for j in range(PERCEPTRON_NF)}
+            out["err"] = pa.array([int(m.sum())], pa.int64())
+            return pa.table(out)
+
+        parts = feats.map_batches(_partial, batch_format="pyarrow").take_all()
+        g = np.array([sum(int(r[f"g{j}"]) for r in parts)
+                      for j in range(PERCEPTRON_NF)], np.int64)
+        n_err = sum(int(r["err"]) for r in parts)
+        w = w + g
+        its.append(k)
+        ws.append(w.copy())
+        errs.append(n_err)
+    wm = np.stack(ws)
+    cols = {"it": pa.array(np.asarray(its, np.int64), pa.int64())}
+    for j in range(PERCEPTRON_NF):
+        cols[f"w{j}"] = pa.array(wm[:, j], pa.int64())
+    cols["n_err"] = pa.array(np.asarray(errs, np.int64), pa.int64())
+    return pa.table(cols)

@@ -1,0 +1,175 @@
+"""Session-15 operators: AMS F2 sketch, Count-Sketch, batch perceptron.
+Each checked against an independent pure-Python reference over the
+sf0.001 tables (the driver contract test covers the SQL oracles; these
+pin the math itself)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _token_counts():
+    """Exact kept-token occurrence counts, sequential reference."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    counts: dict[str, int] = {}
+    for txt in t.column("text").to_pylist():
+        for tok in tokenize_text(txt):
+            counts[tok] = counts.get(tok, 0) + 1
+    return counts
+
+
+@pytest.fixture(scope="module")
+def tf(ray_session):
+    return _token_counts()
+
+
+class TestAmsF2:
+    def test_rows_match_sequential(self, ray_session, tf):
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.pipelines.sketches import (
+            AMS_ROWS, q_ams_f2)
+
+        got = {int(r["row"]): (int(r["x"]), int(r["x2"]))
+               for r in q_ams_f2(SF).take_all()}
+        assert len(got) == AMS_ROWS
+        terms = sorted(tf)
+        cnt = np.asarray([tf[t] for t in terms], np.int64)
+        for r in range(AMS_ROWS):
+            h = H.h64_many([f"a{r}:{t}" for t in terms])
+            s = np.where(h % np.uint64(2) == 0, 1, -1).astype(np.int64)
+            x = int((cnt * s).sum())
+            assert got[r] == (x, x * x), f"row {r}"
+
+    def test_estimate_fields(self, ray_session, tf):
+        from candidategeneration_ray.pipelines.sketches import (
+            AMS_ROWS, q_ams_f2, q_ams_f2_estimate)
+
+        est = q_ams_f2_estimate(SF).to_pylist()[0]
+        f2_true = sum(c * c for c in tf.values())
+        assert est["f2_true"] == f2_true
+        assert est["rows"] == AMS_ROWS
+        x2 = sorted(int(r["x2"]) for r in q_ams_f2(SF).take_all())
+        assert est["f2_est"] == x2[(AMS_ROWS + 1) // 2 - 1]
+        # the median-of-squares estimator should land within an order
+        # of magnitude on this corpus (loose sanity, not a hash check)
+        assert f2_true / 10 <= est["f2_est"] <= f2_true * 10
+
+
+class TestCountSketch:
+    def test_counters_match_sequential(self, ray_session, tf):
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.pipelines.sketches import (
+            CS_DEPTH, CS_WIDTH, q_countsketch_counters)
+
+        got = {(int(r["depth"]), int(r["cell"])): int(r["cnt"])
+               for r in q_countsketch_counters(SF).take_all()}
+        terms = sorted(tf)
+        cnt = np.asarray([tf[t] for t in terms], np.int64)
+        for d in range(CS_DEPTH):
+            cells = (H.h64_many([f"s{d}:{t}" for t in terms])
+                     % np.uint64(CS_WIDTH)).astype(np.int64)
+            signs = np.where(H.h64_many([f"g{d}:{t}" for t in terms])
+                             % np.uint64(2) == 0, 1, -1).astype(np.int64)
+            ref = np.zeros(CS_WIDTH, np.int64)
+            np.add.at(ref, cells, cnt * signs)
+            for cell in np.nonzero(ref)[0]:
+                assert got.get((d, int(cell)), 0) == int(ref[cell])
+            # zero-sum cells may be present or absent depending on
+            # whether any term hashed there; present ones must be 0
+            for (dd, cell), v in got.items():
+                if dd == d:
+                    assert v == int(ref[cell])
+
+    def test_estimates_are_medians(self, ray_session, tf):
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.pipelines.sketches import (
+            CS_DEPTH, CS_PROBES, CS_WIDTH, q_countsketch_counters,
+            q_countsketch_estimates)
+
+        counters = {(int(r["depth"]), int(r["cell"])): int(r["cnt"])
+                    for r in q_countsketch_counters(SF).take_all()}
+        est = {r["term"]: (int(r["cs_estimate"]), int(r["true_count"]))
+               for r in q_countsketch_estimates(SF).to_pylist()}
+        for t in CS_PROBES:
+            vals = []
+            for d in range(CS_DEPTH):
+                cell = int(H.h64_many([f"s{d}:{t}"])[0]
+                           % np.uint64(CS_WIDTH))
+                sign = 1 if int(H.h64_many([f"g{d}:{t}"])[0]
+                                % np.uint64(2)) == 0 else -1
+                vals.append(sign * counters.get((d, cell), 0))
+            assert est[t][0] == sorted(vals)[CS_DEPTH // 2]
+            assert est[t][1] == tf.get(t, 0)
+
+
+class TestPerceptron:
+    def _ref_feats(self):
+        import pyarrow as pa
+
+        from candidategeneration_ray.pipelines.extras import _textstats
+
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text", "lang"])
+        s = _textstats(t)
+        x = np.stack([
+            np.ones(t.num_rows, np.int64),
+            s.column("n_words").to_numpy().astype(np.int64),
+            s.column("n_stop").to_numpy().astype(np.int64),
+            s.column("n_digit_tokens").to_numpy().astype(np.int64),
+            s.column("n_punct_chars").to_numpy().astype(np.int64),
+        ], axis=1)
+        y = np.where(np.asarray(t.column("lang").to_pylist(),
+                                dtype=object) == "en", 1, -1).astype(np.int64)
+        return x, y
+
+    def test_trajectory_matches_sequential(self, ray_session):
+        from candidategeneration_ray.pipelines.textlm import (
+            PERCEPTRON_NF, PERCEPTRON_T, q_perceptron)
+
+        got = q_perceptron(SF).to_pylist()
+        x, y = self._ref_feats()
+        w = np.zeros(PERCEPTRON_NF, np.int64)
+        for k in range(1, PERCEPTRON_T + 1):
+            m = y * (x @ w) <= 0
+            n_err = int(m.sum())
+            w = w + (y[m, None] * x[m]).sum(axis=0, dtype=np.int64)
+            row = got[k - 1]
+            assert row["it"] == k
+            assert row["n_err"] == n_err, f"iter {k}"
+            for j in range(PERCEPTRON_NF):
+                assert row[f"w{j}"] == int(w[j]), f"iter {k} w{j}"
+
+    def test_separable_fixture_converges(self, ray_session, tmp_path):
+        """On a linearly separable corpus the batch perceptron must
+        reach (and keep) zero training error."""
+        import pyarrow as pa
+
+        from candidategeneration_ray.pipelines.textlm import q_perceptron
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(200):
+            en = i % 2 == 0
+            # 'en' docs: many stopwords; others: none (separable on x2)
+            words = (["the", "of", "and"] * 5 if en
+                     else ["zzz", "qqq", "xxx"] * 5)
+            rng.shuffle(words)
+            rows.append({"doc_id": i, "text": " ".join(words),
+                         "lang": "en" if en else "xx"})
+        tab = pa.Table.from_pylist(rows)
+        import pyarrow.parquet as _pq
+
+        d = tmp_path / "sep"
+        d.mkdir()
+        _pq.write_table(tab, str(d / "documents.parquet"))
+        out = q_perceptron(str(d), iters=12).to_pylist()
+        errs = [r["n_err"] for r in out]
+        assert errs[-1] == 0
+        # once a separating w is found, the update is empty and the
+        # weights freeze: trailing zeros only
+        first_zero = errs.index(0)
+        assert all(e == 0 for e in errs[first_zero:])
