@@ -69,6 +69,8 @@ def decode_ef(data: bytes | np.ndarray, n: int) -> np.ndarray:
         return np.zeros(0, np.uint64)
     buf = np.frombuffer(data, dtype=np.uint8) \
         if not isinstance(data, np.ndarray) else data
+    if buf.size == 0:
+        raise ValueError(f"elias-fano payload is empty but n={n}")
     l = int(buf[0])
     low_bytes = (n * l + 7) // 8
     if buf.size < 1 + low_bytes + (n + 7) // 8:

@@ -631,21 +631,19 @@ def q_postings_bytes(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(_sizes, batch_format="pyarrow")
 
 
-def q_postings_bytes_bp(sf_dir: str) -> ray.data.Dataset:
-    """Codec comparison over the PERSISTED index: per unigram term the
-    production delta+varint doc-array size next to what the
-    binary-packing codec (functions/bitpack, BP128 layout) would cost.
-    Each list round-trips through encode_bp/decode_bp inside the scan
-    (a corrupted packing would fail loudly, not just mis-size), and the
-    oracle recomputes BOTH sizes analytically — so the entry
-    hash-checks the bit layout of a codec the index doesn't even serve
-    yet. Shape: dataset-side scan of segment files; decode + re-encode
-    is per-row vectorized numpy."""
+def _postings_bytes_codec(sf_dir: str, codec: str,
+                          out_col: str) -> ray.data.Dataset:
+    """Shared scan for the codec-size comparison entries: per unigram
+    term the production delta+varint doc-array size next to what
+    `codec` (functions/codecs registry) would cost. Each list
+    round-trips through the codec inside the scan — a corrupted
+    encoding fails loudly, not just mis-sizes."""
     import glob as _glob
 
     import pyarrow.compute as pc
 
-    from candidategeneration_ray.functions.bitpack import decode_bp, encode_bp
+    from candidategeneration_ray.functions.codecs import (
+        decode_docs, encode_docs)
     from candidategeneration_ray.functions.varint import decode_delta
 
     built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
@@ -660,75 +658,42 @@ def q_postings_bytes_bp(sf_dir: str) -> ray.data.Dataset:
         t = batch.filter(pa.array(m))
         ids = t.column("key").to_numpy().astype(np.int64)
         names = ray.get(terms_ref)[ids - 1]
-        bp_bytes = np.empty(t.num_rows, np.int64)
+        alt_bytes = np.empty(t.num_rows, np.int64)
         for row in range(t.num_rows):
             blob = t.column("docs")[row].as_py()
             docs = decode_delta(blob)
-            b = encode_bp(docs)
-            if not np.array_equal(decode_bp(b, docs.size), docs):
-                raise ValueError(f"bp roundtrip mismatch on key {ids[row]}")
-            bp_bytes[row] = len(b)
+            b = encode_docs(docs, codec)
+            if not np.array_equal(decode_docs(b, docs.size, codec), docs):
+                raise ValueError(
+                    f"{codec} roundtrip mismatch on key {ids[row]}")
+            alt_bytes[row] = len(b)
         return pa.table({
             "term": pa.array(names.tolist(), pa.string()),
             "n": t.column("n").cast(pa.int64()),
             "docs_bytes": pc.binary_length(t.column("docs")).cast(pa.int64()),
-            "docs_bytes_bp": pa.array(bp_bytes, pa.int64()),
+            out_col: pa.array(alt_bytes, pa.int64()),
         })
 
     return ray.data.read_parquet(
         files, columns=["key", "n", "docs"]
     ).map_batches(_sizes, batch_format="pyarrow")
+
+
+def q_postings_bytes_bp(sf_dir: str) -> ray.data.Dataset:
+    """Codec comparison over the PERSISTED index: varint vs the
+    binary-packing codec (functions/bitpack, BP128 layout). The oracle
+    recomputes BOTH sizes analytically, so the entry hash-checks the
+    bit layout of a codec the index doesn't even serve."""
+    return _postings_bytes_codec(sf_dir, "bp", "docs_bytes_bp")
 
 
 def q_postings_bytes_ef(sf_dir: str) -> ray.data.Dataset:
-    """Codec comparison over the PERSISTED index: per unigram term the
-    production delta+varint doc-array size next to what the Elias-Fano
-    codec (functions/eliasfano — the quasi-succinct layout of Vigna,
-    WSDM 2013) would cost. Each list round-trips through
-    encode_ef/decode_ef inside the scan (a corrupted encoding fails
-    loudly), and the oracle recomputes BOTH sizes analytically from
+    """Codec comparison over the PERSISTED index: varint vs Elias-Fano
+    (functions/eliasfano — the quasi-succinct layout of Vigna, WSDM
+    2013). The oracle recomputes the EF size analytically from
     (n, max doc_id) — l = floor(log2(u/n)), size = 1 header byte +
-    (n*l+7)//8 low bytes + ((u>>l)+n+7)//8 high bytes — so the entry
-    hash-checks the exact bit layout. Shape: dataset-side scan of
-    segment files; encode/decode is vectorized numpy per row."""
-    import glob as _glob
-
-    import pyarrow.compute as pc
-
-    from candidategeneration_ray.functions.eliasfano import (
-        decode_ef, encode_ef)
-    from candidategeneration_ray.functions.varint import decode_delta
-
-    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
-    terms = np.asarray(built["stats"]["terms"], dtype=object)
-    terms_ref = ray.put(terms)
-    files = sorted(_glob.glob(
-        os.path.join(built["final_dir"], "**", "*.parquet"), recursive=True))
-
-    def _sizes(batch: pa.Table) -> pa.Table:
-        key = batch.column("key").to_numpy()
-        m = key < (1 << 32)
-        t = batch.filter(pa.array(m))
-        ids = t.column("key").to_numpy().astype(np.int64)
-        names = ray.get(terms_ref)[ids - 1]
-        ef_bytes = np.empty(t.num_rows, np.int64)
-        for row in range(t.num_rows):
-            blob = t.column("docs")[row].as_py()
-            docs = decode_delta(blob)
-            b = encode_ef(docs)
-            if not np.array_equal(decode_ef(b, docs.size), docs):
-                raise ValueError(f"ef roundtrip mismatch on key {ids[row]}")
-            ef_bytes[row] = len(b)
-        return pa.table({
-            "term": pa.array(names.tolist(), pa.string()),
-            "n": t.column("n").cast(pa.int64()),
-            "docs_bytes": pc.binary_length(t.column("docs")).cast(pa.int64()),
-            "docs_bytes_ef": pa.array(ef_bytes, pa.int64()),
-        })
-
-    return ray.data.read_parquet(
-        files, columns=["key", "n", "docs"]
-    ).map_batches(_sizes, batch_format="pyarrow")
+    (n*l+7)//8 low bytes + ((u>>l)+n+7)//8 high bytes."""
+    return _postings_bytes_codec(sf_dir, "ef", "docs_bytes_ef")
 
 
 def q_index_report(sf_dir: str) -> pa.Table:
@@ -1143,16 +1108,15 @@ def q_mmr_topk(sf_dir: str) -> pa.Table:
     })
 
 
-def q_bm25_topk_bp(sf_dir: str) -> pa.Table:
-    """Exact BM25 top-10 served from an index BUILT AND STORED under the
-    binary-packing codec (EngineConfig(codec="bp") — functions/bitpack
-    doc arrays end-to-end: bucket build, merge, decode). Same oracle as
+def _bm25_topk_codec(sf_dir: str, codec: str) -> pa.Table:
+    """Exact BM25 top-10 served from an index BUILT AND STORED under
+    `codec` end-to-end (bucket build, merge, decode). Same oracle as
     bm25_topk, so the driver hash-checks that the codec swap is
     lossless through the full build+serve path, not just in codec unit
     tests."""
     from candidategeneration_ray.state.queryengine import QueryEngine
 
-    cfg = EngineConfig(emit_pairs=False, codec="bp")
+    cfg = EngineConfig(emit_pairs=False, codec=codec)
     built = build_documents_index(sf_dir, cfg)
     eng = QueryEngine(built["final_dir"], built["stats"], cfg)
     qids, ranks, docs, scores = [], [], [], []
@@ -1168,32 +1132,16 @@ def q_bm25_topk_bp(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(docs, pa.int64()),
         "score": pa.array(scores, pa.int64()),
     })
+
+
+def q_bm25_topk_bp(sf_dir: str) -> pa.Table:
+    """BM25 top-10 from a binary-packing (codec='bp') index."""
+    return _bm25_topk_codec(sf_dir, "bp")
 
 
 def q_bm25_topk_ef(sf_dir: str) -> pa.Table:
-    """Exact BM25 top-10 served from an index BUILT AND STORED under the
-    Elias-Fano codec (EngineConfig(codec="ef") — functions/eliasfano doc
-    arrays end-to-end: bucket build, merge, decode). Same oracle as
-    bm25_topk, so the driver hash-checks that the codec swap is
-    lossless through the full build+serve path."""
-    from candidategeneration_ray.state.queryengine import QueryEngine
-
-    cfg = EngineConfig(emit_pairs=False, codec="ef")
-    built = build_documents_index(sf_dir, cfg)
-    eng = QueryEngine(built["final_dir"], built["stats"], cfg)
-    qids, ranks, docs, scores = [], [], [], []
-    for qid, text in DOC_QUERIES:
-        for rank, (s, d) in enumerate(eng.topk(text, k=10)):
-            qids.append(qid)
-            ranks.append(rank + 1)
-            docs.append(d)
-            scores.append(s)
-    return pa.table({
-        "query_id": pa.array(qids, pa.int64()),
-        "rank": pa.array(ranks, pa.int64()),
-        "doc_id": pa.array(docs, pa.int64()),
-        "score": pa.array(scores, pa.int64()),
-    })
+    """BM25 top-10 from an Elias-Fano (codec='ef') index."""
+    return _bm25_topk_codec(sf_dir, "ef")
 
 
 def q_maxscore_topk(sf_dir: str) -> pa.Table:

@@ -785,6 +785,31 @@ def q_cmsketch_counters(sf_dir: str) -> ray.data.Dataset:
     return _cm_merged(sf_dir)
 
 
+def _probe_true_counts(sf_dir: str, probes) -> dict[str, int]:
+    """Exact kept-token occurrence counts for a fixed probe list —
+    the shared truth side of the CM / Count-Sketch estimate entries
+    (probe-filtered per-batch partials, one tiny groupby)."""
+    probe_arr = np.asarray(list(probes), dtype=object)
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        flat = np.asarray([t for ts in token_lists for t in ts], dtype=object)
+        if flat.size:
+            flat = flat[np.isin(flat, probe_arr)]
+        terms, counts = np.unique(flat, return_counts=True)
+        return pa.table({
+            "term": pa.array(terms.tolist(), pa.string()),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return {
+        r["term"]: int(r["cnt"])
+        for r in _texts_ds(sf_dir)
+        .map_batches(_exact, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("cnt", alias_name="cnt")).take_all()
+    }
+
+
 def q_cmsketch_estimates(sf_dir: str) -> pa.Table:
     """Point queries through the merged sketch: est = min over rows of
     the probed counters (the CM upper bound; >= true count, equality
@@ -794,24 +819,7 @@ def q_cmsketch_estimates(sf_dir: str) -> pa.Table:
     for r in _cm_merged(sf_dir).take_all():
         merged[(int(r["depth"]), int(r["cell"]))] = int(r["cnt"])
 
-    def _exact(batch: pa.Table) -> pa.Table:
-        token_lists = tokenize_many(batch.column("text").to_pylist())
-        flat = np.asarray([t for ts in token_lists for t in ts], dtype=object)
-        probes = np.asarray(CM_PROBES, dtype=object)
-        if flat.size:
-            flat = flat[np.isin(flat, probes)]
-        terms, counts = np.unique(flat, return_counts=True)
-        return pa.table({
-            "term": pa.array(terms.tolist(), pa.string()),
-            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
-        })
-
-    exact = {
-        r["term"]: int(r["cnt"])
-        for r in _texts_ds(sf_dir)
-        .map_batches(_exact, batch_format="pyarrow")
-        .groupby("term").aggregate(Sum("cnt", alias_name="cnt")).take_all()
-    }
+    exact = _probe_true_counts(sf_dir, CM_PROBES)
     ests, trues = [], []
     for t in CM_PROBES:
         cells = (H.h64_many([f"c{d}:{t}" for d in range(CM_DEPTH)])
@@ -1169,30 +1177,7 @@ def q_countsketch_estimates(sf_dir: str) -> pa.Table:
     odd so the median is a single integer and the row hash-verifies."""
     merged = {(int(r["depth"]), int(r["cell"])): int(r["cnt"])
               for r in _cs_merged(sf_dir).take_all()}
-
-    def _true_counts() -> dict[str, int]:
-        from ray.data.aggregate import Sum as _Sum
-
-        def _tf(batch: pa.Table) -> pa.Table:
-            token_lists = tokenize_many(batch.column("text").to_pylist())
-            probes = set(CS_PROBES)
-            flat = np.asarray([t for ts in token_lists for t in ts
-                               if t in probes], dtype=object)
-            if flat.size == 0:
-                return pa.table({"tok": pa.array([], pa.string()),
-                                 "cnt": pa.array([], pa.int64())})
-            terms, counts = np.unique(flat, return_counts=True)
-            return pa.table({
-                "tok": pa.array(terms.tolist(), pa.string()),
-                "cnt": pa.array(counts.astype(np.int64), pa.int64())})
-
-        rows = (_texts_ds(sf_dir)
-                .map_batches(_tf, batch_format="pyarrow")
-                .groupby("tok").aggregate(_Sum("cnt", alias_name="cnt"))
-                .take_all())
-        return {r["tok"]: int(r["cnt"]) for r in rows}
-
-    true = _true_counts()
+    true = _probe_true_counts(sf_dir, CS_PROBES)
     terms_arr = np.asarray(CS_PROBES, dtype=object)
     ests = []
     for t in CS_PROBES:

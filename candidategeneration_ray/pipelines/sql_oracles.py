@@ -3398,9 +3398,11 @@ def perceptron_oracles() -> dict[str, str]:
     mis = f"f.y * ({dot}) <= 0"
     it_ctes = [f"it0 AS (SELECT {', '.join(f'CAST(0 AS BIGINT) AS w{j}' for j in range(nf))})"]
     for k in range(1, PERCEPTRON_T + 1):
+        # sum(BIGINT) is HUGEINT in DuckDB — cast each weight back to
+        # BIGINT so the oracle's arrow schema matches the pipeline int64
         ws = ",\n         ".join(
-            f"i.w{j} + coalesce(sum(CASE WHEN {mis} THEN f.y * f.x{j} "
-            f"ELSE 0 END), 0) AS w{j}"
+            f"CAST(i.w{j} + coalesce(sum(CASE WHEN {mis} THEN f.y * f.x{j} "
+            f"ELSE 0 END), 0) AS BIGINT) AS w{j}"
             for j in range(nf))
         it_ctes.append(f"""it{k} AS (
   SELECT CAST({k} AS BIGINT) AS it,

@@ -1495,6 +1495,15 @@ def _nb_train(sf_dir: str, train_pct: int):
            .groupby(["lang", "tok"])
            .aggregate(Sum("cnt", alias_name="cnt"))
            .to_pandas())
+    if agg.empty and "tok" not in agg.columns:
+        # an all-empty aggregate loses its schema entirely (no train
+        # docs at all): synthesize the empty frame so callers see the
+        # usual columns
+        import pandas as _pd
+
+        agg = _pd.DataFrame({"lang": _pd.Series([], dtype=object),
+                             "tok": _pd.Series([], dtype=object),
+                             "cnt": _pd.Series([], dtype="int64")})
     is_doc = agg["tok"].to_numpy(dtype=object) == ""
     model = agg[~is_doc]
     docs = agg[is_doc]
@@ -1572,7 +1581,10 @@ def q_nb_predict(sf_dir: str, train_pct: int = TRAIN_PCT) -> ray.data.Dataset:
             "score": pa.array([], pa.int64()),
             "n_known": pa.array([], pa.int64()),
         })
-        if n == 0:
+        # empty train split => zero classes; the oracle's empty cls CTE
+        # yields no rows, so predict nothing rather than argmax over a
+        # zero-width score matrix
+        if n == 0 or classes_.size == 0:
             return empty
         lens = np.fromiter((len(token_lists[i]) for i in val_pos),
                            np.int64, n)

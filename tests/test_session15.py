@@ -173,3 +173,28 @@ class TestPerceptron:
         # weights freeze: trailing zeros only
         first_zero = errs.index(0)
         assert all(e == 0 for e in errs[first_zero:])
+
+
+def test_nb_predict_empty_train_split(ray_session, tmp_path):
+    """All docs hashing into the val split leaves zero trained classes;
+    the prediction must be empty (matching the oracle's empty cls CTE),
+    not an argmax crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from candidategeneration_ray.functions import hashing as H
+    from candidategeneration_ray.pipelines.textlm import TRAIN_PCT, q_nb_predict
+
+    val_ids = [i for i in range(3000)
+               if int(H.h64_many([str(i)])[0]) % 100 >= TRAIN_PCT][:20]
+    assert val_ids, "fixture needs at least one val-split doc_id"
+    tab = pa.Table.from_pylist(
+        [{"doc_id": i, "text": "query engine words", "lang": "en"}
+         for i in val_ids])
+    d = tmp_path / "valonly"
+    d.mkdir()
+    _pq.write_table(tab, str(d / "documents.parquet"))
+    out = q_nb_predict(str(d)).to_pandas()
+    assert len(out) == 0
+    # Ray's to_pandas drops the schema of an all-empty dataset, so only
+    # the row count (and the absence of a crash) is asserted here
