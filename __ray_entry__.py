@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_predict": tl.q_nb_predict,          # NB classifier serving (val split)
         "auc_eval": ex.q_auc_eval,              # exact ROC-AUC (midrank U)
         "perceptron": tl.q_perceptron,          # batch perceptron trajectory
+        "chi2_terms": tl.q_chi2_terms,          # chi-square feature selection
+        "als_rank1": rl.q_als_rank1,            # rank-1 ALS factorization
         "selection_audit": tl.q_selection_audit,    # per-doc reason codes
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
@@ -431,7 +433,7 @@ def oracle_sql() -> dict[str, str]:
         bool_diff_oracles,
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
         mmr_oracles, ndcg_oracles, ordered_window_oracles,
-        ams_cs_oracles, perceptron_oracles,
+        ams_cs_oracles, perceptron_oracles, chi2_oracles, als_oracles,
         boolean_query_oracles, postings_bytes_bp_oracles, sdm_oracles,
         corrected_query_oracles, index_report_oracles, redact_oracles,
         synonym_oracles,
@@ -489,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
             **ndcg_oracles(), **ordered_window_oracles(),
             **postings_bytes_bp_oracles(), **sdm_oracles(),
             **ams_cs_oracles(), **perceptron_oracles(),
+            **chi2_oracles(), **als_oracles(),
             **boolean_query_oracles(), **wildcard_oracles(),
             **corrected_query_oracles(), **synonym_oracles(),
             **index_report_oracles(), **redact_oracles(),

@@ -4134,3 +4134,101 @@ def q_fd_audit(sf_dir: str) -> pa.Table:
         "n_violating_keys": pa.array([r[4] for r in out_rows], pa.int64()),
         "n_violating_rows": pa.array([r[5] for r in out_rows], pa.int64()),
     })
+
+
+# --------------------------------------- rank-1 ALS matrix factorization
+
+ALS_SCALE = 1024      # fixed-point unit for the latent factors
+ALS_ROUNDS = 2
+
+
+def q_als_rank1(sf_dir: str, rounds: int = ALS_ROUNDS) -> pa.Table:
+    """Rank-1 alternating least squares over the (supplier, part)
+    quantity matrix — the matrix-factorization / recommender-training
+    class (Koren, Bell & Volinsky 2009), in exact integer fixed point
+    so the trained factors hash-verify. Ratings r_sp = Σ round(qty);
+    factors start at v_p = ALS_SCALE and alternate
+
+        u_s = (ALS_SCALE · Σ_p r_sp·v_p) // Σ_p v_p²
+        v_p = (ALS_SCALE · Σ_s r_sp·u_s) // Σ_s u_s²
+
+    (per-entity sums over its observed ratings; floor division is the
+    quantizer, applied identically in the SQL oracle's chained CTEs).
+    Output one row per entity: (kind, id, factor) after `rounds`
+    alternations.
+
+    Shape: the ratings table is ONE groupby of lineitem, materialized;
+    each half-round broadcasts the opposite factor vector via ray.put
+    (entity-bounded model state — the standard broadcast-ALS layout;
+    at extreme entity counts this becomes a partitioned join) and
+    reduces per-entity (num, den) partials with one groupby sum."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def _r(batch: pa.Table) -> pa.Table:
+        q = _cents(batch.column("l_quantity").to_numpy()) // 100  # = round()
+        return pa.table({
+            "s": batch.column("l_suppkey").cast(pa.int64()),
+            "p": batch.column("l_partkey").cast(pa.int64()),
+            "r": pa.array(q.astype(np.int64), pa.int64()),
+        })
+
+    ratings = (ray.data.read_parquet(
+                   os.path.join(sf_dir, "lineitem.parquet"),
+                   columns=["l_suppkey", "l_partkey", "l_quantity"])
+               .map_batches(_r, batch_format="pyarrow")
+               .groupby(["s", "p"]).aggregate(_Sum("r", alias_name="r"))
+               .materialize())
+
+    def _solve(key_col: str, other_col: str, fac_keys: np.ndarray,
+               fac_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """One ALS half-round: update the `key_col` factors given the
+        `other_col` factor vector (broadcast, sorted keys)."""
+        ref = ray.put((fac_keys, fac_vals))
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            ks, vs = ray.get(ref)
+            key = batch.column(key_col).to_numpy().astype(np.int64)
+            oth = batch.column(other_col).to_numpy().astype(np.int64)
+            r = batch.column("r").to_numpy().astype(np.int64)
+            f = vs[np.searchsorted(ks, oth)]
+            u, inv = np.unique(key, return_inverse=True)
+            num = np.zeros(u.size, np.int64)
+            den = np.zeros(u.size, np.int64)
+            np.add.at(num, inv, r * f)
+            np.add.at(den, inv, f * f)
+            return pa.table({
+                "k": pa.array(u, pa.int64()),
+                "num": pa.array(num, pa.int64()),
+                "den": pa.array(den, pa.int64()),
+            })
+
+        rows = (ratings.map_batches(_partial, batch_format="pyarrow")
+                .groupby("k")
+                .aggregate(_Sum("num", alias_name="num"),
+                           _Sum("den", alias_name="den"))
+                .take_all())  # entity-bounded
+        keys = np.asarray([int(r_["k"]) for r_ in rows], np.int64)
+        num = np.asarray([int(r_["num"]) for r_ in rows], np.int64)
+        den = np.asarray([int(r_["den"]) for r_ in rows], np.int64)
+        o = np.argsort(keys)
+        keys, num, den = keys[o], num[o], den[o]
+        vals = np.where(den > 0, (ALS_SCALE * num) // np.maximum(den, 1), 0)
+        return keys, vals.astype(np.int64)
+
+    # v0 = SCALE for every part present in the ratings
+    p_rows = ratings.groupby("p").aggregate(
+        _Sum("r", alias_name="_")).take_all()
+    v_keys = np.sort(np.asarray([int(r_["p"]) for r_ in p_rows], np.int64))
+    v_vals = np.full(v_keys.size, ALS_SCALE, np.int64)
+    u_keys = u_vals = None
+    for _ in range(rounds):
+        u_keys, u_vals = _solve("s", "p", v_keys, v_vals)
+        v_keys, v_vals = _solve("p", "s", u_keys, u_vals)
+    kinds = ["supplier"] * u_keys.size + ["part"] * v_keys.size
+    ids = np.concatenate([u_keys, v_keys])
+    facs = np.concatenate([u_vals, v_vals])
+    return pa.table({
+        "kind": pa.array(kinds, pa.string()),
+        "id": pa.array(ids, pa.int64()),
+        "factor": pa.array(facs, pa.int64()),
+    })

@@ -3433,6 +3433,80 @@ feats AS MATERIALIZED (
     }
 
 
+def chi2_oracles() -> dict[str, str]:
+    from candidategeneration_ray.pipelines.textlm import CHI2_TOP_K
+
+    return {
+        "chi2_terms": f"""
+WITH {KEPT_CTE},
+dt AS (SELECT DISTINCT k.doc_id, k.tok FROM kept k),
+cls AS (SELECT CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+               CAST(count(*) AS BIGINT) AS n FROM documents),
+cells AS (
+  SELECT dt.tok,
+         CAST(count(*) FILTER (d.lang = 'en') AS BIGINT) AS a,
+         CAST(count(*) FILTER (d.lang <> 'en') AS BIGINT) AS b
+  FROM dt JOIN documents d USING (doc_id)
+  GROUP BY dt.tok
+),
+x AS (
+  SELECT tok, a, b,
+         CAST(cls.n_en - a AS HUGEINT) AS c,
+         CAST(cls.n - cls.n_en - b AS HUGEINT) AS d,
+         CAST(cls.n AS HUGEINT) AS n
+  FROM cells CROSS JOIN cls
+)
+SELECT tok AS term, a, b,
+       CAST(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0
+            ELSE (n * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                  * 1000000)
+                 // ((a + b) * (c + d) * (a + c) * (b + d)) END
+            AS BIGINT) AS chi2_ppm
+FROM x
+ORDER BY chi2_ppm DESC, term ASC
+LIMIT {CHI2_TOP_K}
+""",
+    }
+
+
+def als_oracles() -> dict[str, str]:
+    """Rank-1 ALS unrolled as chained CTEs — integer fixed-point
+    half-rounds with floor-division quantization, the exact update
+    rule of relational.q_als_rank1."""
+    from candidategeneration_ray.pipelines.relational import (
+        ALS_ROUNDS, ALS_SCALE)
+
+    ctes = ["""r AS MATERIALIZED (
+  SELECT l_suppkey AS s, l_partkey AS p,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) // 100)
+              AS BIGINT) AS r
+  FROM lineitem GROUP BY 1, 2
+)""", f"v0 AS (SELECT DISTINCT p, CAST({ALS_SCALE} AS BIGINT) AS v FROM r)"]
+    for k in range(1, ALS_ROUNDS + 1):
+        ctes.append(f"""u{k} AS (
+  SELECT s, CAST(CASE WHEN sum(v.v * v.v) > 0
+                 THEN ({ALS_SCALE} * sum(r.r * v.v)) // sum(v.v * v.v)
+                 ELSE 0 END AS BIGINT) AS u
+  FROM r JOIN v{k - 1} v USING (p) GROUP BY s
+)""")
+        ctes.append(f"""v{k} AS (
+  SELECT p, CAST(CASE WHEN sum(u.u * u.u) > 0
+                 THEN ({ALS_SCALE} * sum(r.r * u.u)) // sum(u.u * u.u)
+                 ELSE 0 END AS BIGINT) AS v
+  FROM r JOIN u{k} u USING (s) GROUP BY p
+)""")
+    return {
+        "als_rank1": f"""
+WITH {",".join(ctes)}
+SELECT 'supplier' AS kind, CAST(s AS BIGINT) AS id, u AS factor
+FROM u{ALS_ROUNDS}
+UNION ALL
+SELECT 'part', CAST(p AS BIGINT), v FROM v{ALS_ROUNDS}
+""",
+    }
+
+
 def session_hist_oracles() -> dict[str, str]:
     # composition oracle: the sessionize rule text + one aggregation
     return {

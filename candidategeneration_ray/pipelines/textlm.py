@@ -1703,3 +1703,96 @@ def q_perceptron(sf_dir: str, iters: int = PERCEPTRON_T) -> pa.Table:
         cols[f"w{j}"] = pa.array(wm[:, j], pa.int64())
     cols["n_err"] = pa.array(np.asarray(errs, np.int64), pa.int64())
     return pa.table(cols)
+
+
+# ------------------------------------------------ chi² feature selection
+
+CHI2_TOP_K = 50
+
+
+def q_chi2_terms(sf_dir: str, top_k: int = CHI2_TOP_K) -> pa.Table:
+    """χ² term–class association against the lang = 'en' label — the
+    feature-selection aggregate behind classifier vocabularies (Yang &
+    Pedersen 1997). With the per-term document 2×2 table a = docs
+    containing the term with lang='en', b = containing, other lang,
+    c/d = the complements:
+
+        chi2 = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+
+    Every quantity is an exact integer; (ad − bc)²·N overflows int64,
+    so the finalize runs in arbitrary-precision Python ints over the
+    VOCABULARY-bounded aggregate only, emitting chi2_ppm = the
+    parts-per-million floor quotient (int64-safe: ≤ 1e6·N). Output the
+    top_k terms by (chi2_ppm desc, term asc) with the 2×2 cells.
+
+    Shape: per-batch distinct (term, in-en) doc counts -> ONE
+    vocabulary-bounded groupby sum; class totals are one tiny
+    aggregate; the bigint finalize is a map over the merged vocab
+    table (object-dtype Python ints, vocabulary-scale)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        keys: list[str] = []
+        for toks, lg in zip(token_lists, langs):
+            en = "1" if lg == "en" else "0"
+            keys.extend(en + t for t in set(toks))
+        if not keys:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "n_en": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        u, c = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+        toks = np.asarray([k[1:] for k in u], dtype=object)
+        is_en = np.asarray([k[0] == "1" for k in u])
+        c = c.astype(np.int64)
+        return pa.table({
+            "tok": pa.array(toks.tolist(), pa.string()),
+            "n_en": pa.array(np.where(is_en, c, 0), pa.int64()),
+            "n_docs": pa.array(c, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"])
+    agg = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("tok")
+           .aggregate(Sum("n_en", alias_name="a"),
+                      Sum("n_docs", alias_name="ab")))
+
+    # class totals: one tiny aggregate over the documents table
+    def _tot(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        return pa.table({
+            "n_en": pa.array([int((langs == "en").sum())], pa.int64()),
+            "n": pa.array([len(langs)], pa.int64()),
+        })
+
+    tot = (ray.data.read_parquet(
+               os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
+           .map_batches(_tot, batch_format="pyarrow").take_all())
+    n_en = sum(int(r["n_en"]) for r in tot)
+    n_all = sum(int(r["n"]) for r in tot)
+
+    def _chi2(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(object)
+        ab = batch.column("ab").to_numpy().astype(object)
+        b = ab - a
+        c = n_en - a
+        d = (n_all - n_en) - b
+        num = n_all * (a * d - b * c) ** 2 * 1_000_000
+        den = ab * (c + d) * (a + c) * (b + d)
+        ppm = np.asarray([int(x) // int(y) if int(y) else 0
+                          for x, y in zip(num, den)], dtype=np.int64)
+        return pa.table({
+            "term": batch.column("tok"),
+            "a": pa.array(a.astype(np.int64), pa.int64()),
+            "b": pa.array(b.astype(np.int64), pa.int64()),
+            "chi2_ppm": pa.array(ppm, pa.int64()),
+        })
+
+    out = (agg.map_batches(_chi2, batch_format="pyarrow")
+           .sort(key=["chi2_ppm", "term"], descending=[True, False])
+           .limit(top_k))
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.select(["term", "a", "b", "chi2_ppm"])

@@ -198,3 +198,82 @@ def test_nb_predict_empty_train_split(ray_session, tmp_path):
     assert len(out) == 0
     # Ray's to_pandas drops the schema of an all-empty dataset, so only
     # the row count (and the absence of a crash) is asserted here
+
+
+def test_chi2_terms_matches_sequential(ray_session):
+    """chi2_terms equals a pure-Python bigint reference at sf0.001."""
+    import pyarrow.parquet as _pq
+
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.pipelines.textlm import (
+        CHI2_TOP_K, q_chi2_terms)
+
+    t = _pq.read_table(f"{SF}/documents.parquet",
+                       columns=["text", "lang"])
+    n_all = t.num_rows
+    n_en = 0
+    a_cnt: dict[str, int] = {}
+    ab_cnt: dict[str, int] = {}
+    for txt, lg in zip(t.column("text").to_pylist(),
+                       t.column("lang").to_pylist()):
+        en = lg == "en"
+        n_en += en
+        for tok in set(tokenize_text(txt)):
+            ab_cnt[tok] = ab_cnt.get(tok, 0) + 1
+            if en:
+                a_cnt[tok] = a_cnt.get(tok, 0) + 1
+    ref = []
+    for tok, ab in ab_cnt.items():
+        a = a_cnt.get(tok, 0)
+        b = ab - a
+        c, d = n_en - a, (n_all - n_en) - b
+        den = ab * (c + d) * (a + c) * (b + d)
+        ppm = (n_all * (a * d - b * c) ** 2 * 1_000_000) // den if den else 0
+        ref.append((tok, a, b, ppm))
+    ref.sort(key=lambda r: (-r[3], r[0]))
+    got = q_chi2_terms(SF).to_pylist()
+    assert len(got) == min(CHI2_TOP_K, len(ref))
+    for row, (tok, a, b, ppm) in zip(got, ref):
+        assert (row["term"], row["a"], row["b"], row["chi2_ppm"]) == \
+            (tok, a, b, ppm)
+
+
+def test_als_rank1_matches_sequential(ray_session):
+    """q_als_rank1 equals the sequential integer ALS at sf0.001, and
+    the factors are nonnegative fixed-point ints."""
+    import pyarrow.parquet as _pq
+
+    from candidategeneration_ray.functions.money import round_scaled
+    from candidategeneration_ray.pipelines.relational import (
+        ALS_ROUNDS, ALS_SCALE, q_als_rank1)
+
+    t = _pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_suppkey", "l_partkey", "l_quantity"])
+    r: dict[tuple[int, int], int] = {}
+    q = (round_scaled(t.column("l_quantity").to_numpy()) // 100)
+    for s, p, v in zip(t.column("l_suppkey").to_pylist(),
+                       t.column("l_partkey").to_pylist(), q.tolist()):
+        r[(int(s), int(p))] = r.get((int(s), int(p)), 0) + int(v)
+    v_fac = {p: ALS_SCALE for (_, p) in r}
+    u_fac: dict[int, int] = {}
+    for _ in range(ALS_ROUNDS):
+        num: dict[int, int] = {}
+        den: dict[int, int] = {}
+        for (s, p), rv in r.items():
+            num[s] = num.get(s, 0) + rv * v_fac[p]
+            den[s] = den.get(s, 0) + v_fac[p] ** 2
+        u_fac = {s: (ALS_SCALE * num[s]) // den[s] if den[s] else 0
+                 for s in num}
+        num, den = {}, {}
+        for (s, p), rv in r.items():
+            num[p] = num.get(p, 0) + rv * u_fac[s]
+            den[p] = den.get(p, 0) + u_fac[s] ** 2
+        v_fac = {p: (ALS_SCALE * num[p]) // den[p] if den[p] else 0
+                 for p in num}
+    got = q_als_rank1(SF).to_pylist()
+    gu = {r_["id"]: r_["factor"] for r_ in got if r_["kind"] == "supplier"}
+    gv = {r_["id"]: r_["factor"] for r_ in got if r_["kind"] == "part"}
+    assert gu == u_fac
+    assert gv == v_fac
+    assert all(v >= 0 for v in gu.values())
+    assert all(v >= 0 for v in gv.values())
