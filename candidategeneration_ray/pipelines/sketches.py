@@ -1194,3 +1194,58 @@ def q_countsketch_estimates(sf_dir: str) -> pa.Table:
         "true_count": pa.array([true.get(t, 0) for t in CS_PROBES],
                                pa.int64()),
     })
+
+
+# -------------------------------------- Kolmogorov–Smirnov two-sample
+
+def q_ks_source_test(sf_dir: str) -> pa.Table:
+    """Exact two-sample Kolmogorov–Smirnov statistic between every
+    source pair's doc-length (n_chars) distributions — the
+    distribution-shift test beside the L1 histogram distance
+    (q_source_hist_l1): D = sup_v |F_a(v) − F_b(v)| over the union of
+    observed values, kept as the exact rational
+
+        d_num = max_v |cle_a(v)·n_b − cle_b(v)·n_a|      d_den = n_a·n_b
+
+    (cle = docs with n_chars ≤ v), so the statistic hash-verifies with
+    no float CDF. Shape: ONE (source, n_chars) groupby (value-domain ×
+    sources bounded); the driver finalize is a cumsum + merged-support
+    walk per pair over that summary only."""
+    from ray.data.aggregate import Count
+
+    hist = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["source", "n_chars"])
+            .groupby(["source", "n_chars"])
+            .aggregate(Count(alias_name="c"))
+            .take_all())
+    per: dict[str, dict[int, int]] = {}
+    for r in hist:
+        per.setdefault(r["source"], {})[int(r["n_chars"])] = int(r["c"])
+    names = sorted(per)
+    totals = {s: sum(h.values()) for s, h in per.items()}
+    out = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            va = np.asarray(sorted(per[a]), np.int64)
+            vb = np.asarray(sorted(per[b]), np.int64)
+            ca = np.cumsum([per[a][int(v)] for v in va]).astype(np.int64)
+            cb = np.cumsum([per[b][int(v)] for v in vb]).astype(np.int64)
+            support = np.union1d(va, vb)
+            # docs with value <= v: cumulative count at the rightmost
+            # observed value <= v (0 before the first)
+            ia = np.searchsorted(va, support, side="right")
+            ib = np.searchsorted(vb, support, side="right")
+            cle_a = np.where(ia > 0, ca[np.maximum(ia - 1, 0)], 0)
+            cle_b = np.where(ib > 0, cb[np.maximum(ib - 1, 0)], 0)
+            d_num = int(np.abs(cle_a * totals[b] - cle_b * totals[a]).max())
+            out.append((a, b, totals[a], totals[b], d_num,
+                        totals[a] * totals[b]))
+    return pa.table({
+        "src_a": pa.array([r[0] for r in out], pa.string()),
+        "src_b": pa.array([r[1] for r in out], pa.string()),
+        "n_a": pa.array([r[2] for r in out], pa.int64()),
+        "n_b": pa.array([r[3] for r in out], pa.int64()),
+        "d_num": pa.array([r[4] for r in out], pa.int64()),
+        "d_den": pa.array([r[5] for r in out], pa.int64()),
+    })

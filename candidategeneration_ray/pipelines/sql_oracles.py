@@ -3507,6 +3507,33 @@ SELECT 'part', CAST(p AS BIGINT), v FROM v{ALS_ROUNDS}
     }
 
 
+def ks_oracles() -> dict[str, str]:
+    return {
+        "ks_source_test": """
+WITH h AS MATERIALIZED (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY source),
+vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+grid AS (SELECT t.source, v.v FROM tot t CROSS JOIN vals v),
+cum AS (
+  SELECT g.source, g.v, CAST(coalesce(sum(h.c), 0) AS BIGINT) AS cle
+  FROM grid g LEFT JOIN h ON h.source = g.source AND h.n_chars <= g.v
+  GROUP BY 1, 2
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       ta.n AS n_a, tb.n AS n_b,
+       CAST(max(abs(a.cle * tb.n - b.cle * ta.n)) AS BIGINT) AS d_num,
+       CAST(ta.n * tb.n AS BIGINT) AS d_den
+FROM cum a JOIN cum b ON a.v = b.v AND a.source < b.source
+JOIN tot ta ON ta.source = a.source
+JOIN tot tb ON tb.source = b.source
+GROUP BY 1, 2, 3, 4, 6
+""",
+    }
+
+
 def session_hist_oracles() -> dict[str, str]:
     # composition oracle: the sessionize rule text + one aggregation
     return {

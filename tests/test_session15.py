@@ -277,3 +277,36 @@ def test_als_rank1_matches_sequential(ray_session):
     assert gv == v_fac
     assert all(v >= 0 for v in gu.values())
     assert all(v >= 0 for v in gv.values())
+
+
+def test_ks_source_test_matches_bruteforce(ray_session):
+    """KS statistic equals the brute-force empirical-CDF sup over raw
+    n_chars values at sf0.001."""
+    import itertools
+
+    import pyarrow.parquet as _pq
+
+    from candidategeneration_ray.pipelines.sketches import q_ks_source_test
+
+    t = _pq.read_table(f"{SF}/documents.parquet",
+                       columns=["source", "n_chars"])
+    by_src: dict[str, list[int]] = {}
+    for s, v in zip(t.column("source").to_pylist(),
+                    t.column("n_chars").to_pylist()):
+        by_src.setdefault(s, []).append(int(v))
+    got = {(r["src_a"], r["src_b"]): (r["n_a"], r["n_b"],
+                                      r["d_num"], r["d_den"])
+           for r in q_ks_source_test(SF).to_pylist()}
+    names = sorted(by_src)
+    assert len(got) == len(names) * (len(names) - 1) // 2
+    for a, b in itertools.combinations(names, 2):
+        va, vb = sorted(by_src[a]), sorted(by_src[b])
+        na, nb = len(va), len(vb)
+        support = sorted(set(va) | set(vb))
+        d_num = 0
+        for v in support:
+            import bisect
+            ca = bisect.bisect_right(va, v)
+            cb = bisect.bisect_right(vb, v)
+            d_num = max(d_num, abs(ca * nb - cb * na))
+        assert got[(a, b)] == (na, nb, d_num, na * nb), (a, b)
