@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_terms": tl.q_chi2_terms,          # chi-square feature selection
         "als_rank1": rl.q_als_rank1,            # rank-1 ALS factorization
         "ks_source_test": sk.q_ks_source_test,  # exact two-sample KS statistic
+        "ridge_regression": ex.q_ridge_regression,  # 3x3 Cramer ridge solve
         "selection_audit": tl.q_selection_audit,    # per-doc reason codes
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
@@ -435,7 +436,7 @@ def oracle_sql() -> dict[str, str]:
         collapse_oracles, cube_oracles, impact_oracles, ltr_oracles,
         mmr_oracles, ndcg_oracles, ordered_window_oracles,
         ams_cs_oracles, perceptron_oracles, chi2_oracles, als_oracles,
-        ks_oracles,
+        ks_oracles, ridge_oracles,
         boolean_query_oracles, postings_bytes_bp_oracles, sdm_oracles,
         corrected_query_oracles, index_report_oracles, redact_oracles,
         synonym_oracles,
@@ -494,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
             **postings_bytes_bp_oracles(), **sdm_oracles(),
             **ams_cs_oracles(), **perceptron_oracles(),
             **chi2_oracles(), **als_oracles(), **ks_oracles(),
+            **ridge_oracles(),
             **boolean_query_oracles(), **wildcard_oracles(),
             **corrected_query_oracles(), **synonym_oracles(),
             **index_report_oracles(), **redact_oracles(),

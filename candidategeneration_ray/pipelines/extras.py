@@ -4300,3 +4300,71 @@ def q_auc_eval(sf_dir: str) -> pa.Table:
         "u2": pa.array([u2], pa.int64()),
         "auc_ppm": pa.array([auc_ppm], pa.int64()),
     })
+
+
+RIDGE_LAMBDA = 1000
+
+
+def q_ridge_regression(sf_dir: str, lam: int = RIDGE_LAMBDA) -> pa.Table:
+    """Multivariate ridge regression in closed form — predict n_chars
+    from [1, n_words, n_punct_chars] by solving the 3×3 normal
+    equations (X'X + λI)β = X'y with Cramer's rule in EXACT
+    arbitrary-precision integers (the multivariate big sibling of
+    q_source_regression's single-feature OLS). β arrives as ppm
+    truncating quotients det_i·10⁶ / det (toward-zero division — the
+    DuckDB `//` convention, emulated exactly on negatives), so the
+    trained model hash-verifies with no float linear algebra.
+
+    Shape: per-batch integer moment partials (9 sums + n, one row per
+    batch) -> driver sum -> O(1) bigint Cramer finalize; only the
+    sufficient statistics cross the wire."""
+    def _moments(batch: pa.Table) -> pa.Table:
+        t = _textstats(batch)
+        x1 = t.column("n_words").to_numpy().astype(np.int64)
+        x2 = t.column("n_punct_chars").to_numpy().astype(np.int64)
+        y = t.column("n_chars").to_numpy().astype(np.int64)
+        vals = {
+            "n": len(y),
+            "sx1": int(x1.sum()), "sx2": int(x2.sum()),
+            "sx11": int((x1 * x1).sum()), "sx12": int((x1 * x2).sum()),
+            "sx22": int((x2 * x2).sum()),
+            "sy": int(y.sum()), "sx1y": int((x1 * y).sum()),
+            "sx2y": int((x2 * y).sum()),
+        }
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in vals.items()})
+
+    parts = (ray.data.read_parquet(
+                 os.path.join(sf_dir, "documents.parquet"),
+                 columns=["doc_id", "text"])
+             .map_batches(_moments, batch_format="pyarrow").take_all())
+    m = {k: sum(int(r[k]) for r in parts) for k in parts[0]}
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    a = [[m["n"] + lam, m["sx1"], m["sx2"]],
+         [m["sx1"], m["sx11"] + lam, m["sx12"]],
+         [m["sx2"], m["sx12"], m["sx22"] + lam]]
+    b = [m["sy"], m["sx1y"], m["sx2y"]]
+
+    def _det3(mm) -> int:
+        return (mm[0][0] * (mm[1][1] * mm[2][2] - mm[1][2] * mm[2][1])
+                - mm[0][1] * (mm[1][0] * mm[2][2] - mm[1][2] * mm[2][0])
+                + mm[0][2] * (mm[1][0] * mm[2][1] - mm[1][1] * mm[2][0]))
+
+    det = _det3(a)
+    betas = []
+    for j in range(3):
+        aj = [row[:] for row in a]
+        for i in range(3):
+            aj[i][j] = b[i]
+        betas.append(_tdiv(1_000_000 * _det3(aj), det) if det else 0)
+    return pa.table({
+        "n": pa.array([m["n"]], pa.int64()),
+        "lam": pa.array([lam], pa.int64()),
+        "beta0_ppm": pa.array([betas[0]], pa.int64()),
+        "beta1_ppm": pa.array([betas[1]], pa.int64()),
+        "beta2_ppm": pa.array([betas[2]], pa.int64()),
+    })

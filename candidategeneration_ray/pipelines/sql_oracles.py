@@ -3534,6 +3534,56 @@ GROUP BY 1, 2, 3, 4, 6
     }
 
 
+def ridge_oracles() -> dict[str, str]:
+    """3x3 Cramer ridge solve in HUGEINT, toward-zero // quotients
+    (DuckDB's native integer-division semantics, mirrored in Python)."""
+    from candidategeneration_ray.pipelines.extras import RIDGE_LAMBDA as lam
+
+    def det3(mm) -> str:
+        def _m(i, j):
+            return mm[i][j]
+        return (f"({_m(0,0)}) * (({_m(1,1)}) * ({_m(2,2)}) - ({_m(1,2)}) * ({_m(2,1)}))"
+                f" - ({_m(0,1)}) * (({_m(1,0)}) * ({_m(2,2)}) - ({_m(1,2)}) * ({_m(2,0)}))"
+                f" + ({_m(0,2)}) * (({_m(1,0)}) * ({_m(2,1)}) - ({_m(1,1)}) * ({_m(2,0)}))")
+
+    A = [[f"a00", "a01", "a02"], ["a01", "a11", "a12"], ["a02", "a12", "a22"]]
+    bcol = ["b0", "b1", "b2"]
+    dets = [det3(A)]
+    for j in range(3):
+        aj = [row[:] for row in A]
+        for i in range(3):
+            aj[i][j] = bcol[i]
+        dets.append(det3(aj))
+    beta_sel = ",\n       ".join(
+        f"CAST(CASE WHEN ({dets[0]}) = 0 THEN 0 "
+        f"ELSE (1000000 * ({dets[j + 1]})) // ({dets[0]}) END AS BIGINT) "
+        f"AS beta{j}_ppm"
+        for j in range(3))
+    return {
+        "ridge_regression": f"""
+WITH {_WORDS_CTE},
+feats AS MATERIALIZED (
+  SELECT CAST(coalesce(w.n_words, 0) AS HUGEINT) AS x1,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS HUGEINT) AS x2,
+         CAST(length(text) AS HUGEINT) AS y
+  FROM documents d LEFT JOIN wstats w USING (doc_id)
+),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) + {lam} AS a00,
+         sum(x1) AS a01, sum(x2) AS a02,
+         sum(x1 * x1) + {lam} AS a11, sum(x1 * x2) AS a12,
+         sum(x2 * x2) + {lam} AS a22,
+         sum(y) AS b0, sum(x1 * y) AS b1, sum(x2 * y) AS b2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM feats
+)
+SELECT n, CAST({lam} AS BIGINT) AS lam,
+       {beta_sel}
+FROM m
+""",
+    }
+
+
 def session_hist_oracles() -> dict[str, str]:
     # composition oracle: the sessionize rule text + one aggregation
     return {

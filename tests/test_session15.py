@@ -310,3 +310,51 @@ def test_ks_source_test_matches_bruteforce(ray_session):
             cb = bisect.bisect_right(vb, v)
             d_num = max(d_num, abs(ca * nb - cb * na))
         assert got[(a, b)] == (na, nb, d_num, na * nb), (a, b)
+
+
+def test_ridge_regression_matches_float_solve(ray_session):
+    """The exact Cramer betas agree with numpy's float ridge solution
+    to within the ppm quantization at sf0.001, and replaying the bigint
+    arithmetic reproduces the entry bit-for-bit."""
+    import pyarrow.parquet as _pq
+
+    from candidategeneration_ray.pipelines.extras import (
+        RIDGE_LAMBDA, _textstats, q_ridge_regression)
+
+    t = _pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"])
+    s = _textstats(t)
+    x1 = s.column("n_words").to_numpy().astype(np.int64)
+    x2 = s.column("n_punct_chars").to_numpy().astype(np.int64)
+    y = s.column("n_chars").to_numpy().astype(np.int64)
+    X = np.stack([np.ones_like(x1), x1, x2], axis=1).astype(np.float64)
+    A = X.T @ X + RIDGE_LAMBDA * np.eye(3)
+    beta = np.linalg.solve(A, X.T @ y.astype(np.float64))
+    got = q_ridge_regression(SF).to_pylist()[0]
+    for j in range(3):
+        assert abs(got[f"beta{j}_ppm"] / 1e6 - beta[j]) < 1e-3, j
+    # bigint replay
+    m = {"n": len(y), "sx1": int(x1.sum()), "sx2": int(x2.sum()),
+         "sx11": int((x1 * x1).sum()), "sx12": int((x1 * x2).sum()),
+         "sx22": int((x2 * x2).sum()), "sy": int(y.sum()),
+         "sx1y": int((x1 * y).sum()), "sx2y": int((x2 * y).sum())}
+    a = [[m["n"] + RIDGE_LAMBDA, m["sx1"], m["sx2"]],
+         [m["sx1"], m["sx11"] + RIDGE_LAMBDA, m["sx12"]],
+         [m["sx2"], m["sx12"], m["sx22"] + RIDGE_LAMBDA]]
+    b = [m["sy"], m["sx1y"], m["sx2y"]]
+
+    def det3(mm):
+        return (mm[0][0] * (mm[1][1] * mm[2][2] - mm[1][2] * mm[2][1])
+                - mm[0][1] * (mm[1][0] * mm[2][2] - mm[1][2] * mm[2][0])
+                + mm[0][2] * (mm[1][0] * mm[2][1] - mm[1][1] * mm[2][0]))
+
+    det = det3(a)
+    for j in range(3):
+        aj = [row[:] for row in a]
+        for i in range(3):
+            aj[i][j] = b[i]
+        num = 1_000_000 * det3(aj)
+        q = abs(num) // abs(det)
+        if (num >= 0) != (det >= 0):
+            q = -q
+        assert got[f"beta{j}_ppm"] == q, j
