@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_bytes": dq.q_postings_bytes,  # on-disk codec accounting
         "postings_bytes_bp": dq.q_postings_bytes_bp,  # binary-packing codec comparison
         "postings_bytes_ef": dq.q_postings_bytes_ef,  # Elias-Fano codec comparison
+        "postings_bytes_rice": dq.q_postings_bytes_rice,  # Golomb-Rice codec comparison
         "index_report": dq.q_index_report,      # one-row capacity report
         "index_integrity": dq.q_index_integrity,  # on-disk format audit
         "pruned_list_lengths": dq.q_pruned_list_lengths,    # O3 build-time pruning
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maxscore_topk": dq.q_maxscore_topk,            # DAAT MaxScore, rank-identical
         "bm25_topk_bp": dq.q_bm25_topk_bp,              # binary-packed index serving
         "bm25_topk_ef": dq.q_bm25_topk_ef,              # Elias-Fano index serving
+        "bm25_topk_rice": dq.q_bm25_topk_rice,          # Golomb-Rice index serving
         "collapse_topk": dq.q_collapse_topk,            # field collapsing per source
         "mmr_topk": dq.q_mmr_topk,                      # MMR diversified re-ranking
         "impact_topk": imp.q_impact_topk,               # quantized-impact SAAT serving
@@ -548,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
     # through the full build+serve path
     d["bm25_topk_bp"] = d["bm25_topk"]
     d["bm25_topk_ef"] = d["bm25_topk"]
+    d["bm25_topk_rice"] = d["bm25_topk"]
     # time-travel: the bm25 oracle with `documents` rebound to the base
     # ingestion half — an uncompacted ingest must leave the old epoch
     # exactly servable

@@ -70,8 +70,9 @@ class EngineConfig:
     # — ~2.4x smaller on dense lists, grouped encode loops per key) or
     # "ef" (Elias-Fano, functions/eliasfano — within half a bit/elem of
     # the monotone-sequence entropy bound, smaller than both on the
-    # transcript lists). Emission partial rows stay varint (transient
-    # exchange format).
+    # transcript lists) or "rice" (Golomb-Rice, functions/rice — the
+    # classic geometric-gap code, best on large-mean-gap lists).
+    # Emission partial rows stay varint (transient exchange format).
     codec: str = "varint"
     # Optional query-driven key pruning (the reference "filter sets",
     # Metadata.java:92-151, applied at emission InvertedIndex.java:291,374):
@@ -95,7 +96,7 @@ class EngineConfig:
         if self.max_list_postings is not None and \
                 self.max_list_postings < self.unconditional_prefix:
             raise ValueError("max_list_postings must be >= unconditional_prefix")
-        if self.codec not in ("varint", "bp", "ef"):
+        if self.codec not in ("varint", "bp", "ef", "rice"):
             raise ValueError(f"unknown codec {self.codec!r}")
 
     def index_tag(self) -> str:

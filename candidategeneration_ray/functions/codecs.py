@@ -24,12 +24,15 @@ import numpy as np
 from candidategeneration_ray.functions import varint as _vi
 from candidategeneration_ray.functions import bitpack as _bp
 from candidategeneration_ray.functions import eliasfano as _ef
+from candidategeneration_ray.functions import rice as _rice
 
-CODECS = ("varint", "bp", "ef")
+CODECS = ("varint", "bp", "ef", "rice")
 # non-varint codecs are not self-delimiting inside a concatenation, so
 # grouped decode needs per-group byte offsets for them
-_ENC = {"bp": _bp.encode_bp, "ef": _ef.encode_ef}
-_DEC = {"bp": _bp.decode_bp, "ef": _ef.decode_ef}
+_ENC = {"bp": _bp.encode_bp, "ef": _ef.encode_ef,
+        "rice": _rice.encode_rice}
+_DEC = {"bp": _bp.decode_bp, "ef": _ef.decode_ef,
+        "rice": _rice.decode_rice}
 
 
 def encode_docs(sorted_values: np.ndarray, codec: str) -> bytes:

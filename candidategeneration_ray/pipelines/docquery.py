@@ -687,6 +687,14 @@ def q_postings_bytes_bp(sf_dir: str) -> ray.data.Dataset:
     return _postings_bytes_codec(sf_dir, "bp", "docs_bytes_bp")
 
 
+def q_postings_bytes_rice(sf_dir: str) -> ray.data.Dataset:
+    """Codec comparison over the PERSISTED index: varint vs Golomb-Rice
+    (functions/rice). The oracle recomputes the Rice size analytically
+    from the gap model — k = floor(log2(u/n)), size = 5 header bytes +
+    (Σ(gap>>k)+n+7)//8 unary bytes + (n·k+7)//8 remainder bytes."""
+    return _postings_bytes_codec(sf_dir, "rice", "docs_bytes_rice")
+
+
 def q_postings_bytes_ef(sf_dir: str) -> ray.data.Dataset:
     """Codec comparison over the PERSISTED index: varint vs Elias-Fano
     (functions/eliasfano — the quasi-succinct layout of Vigna, WSDM
@@ -1142,6 +1150,11 @@ def q_bm25_topk_bp(sf_dir: str) -> pa.Table:
 def q_bm25_topk_ef(sf_dir: str) -> pa.Table:
     """BM25 top-10 from an Elias-Fano (codec='ef') index."""
     return _bm25_topk_codec(sf_dir, "ef")
+
+
+def q_bm25_topk_rice(sf_dir: str) -> pa.Table:
+    """BM25 top-10 from a Golomb-Rice (codec='rice') index."""
+    return _bm25_topk_codec(sf_dir, "rice")
 
 
 def q_maxscore_topk(sf_dir: str) -> pa.Table:

@@ -3975,6 +3975,43 @@ SELECT vb.tok AS term, vb.n, vb.docs_bytes,
               + ((ef.u >> ef.l) + ef.n + 7) // 8 AS BIGINT) AS docs_bytes_ef
 FROM vb JOIN ef USING (tok)
 """,
+        # Golomb-Rice analytic model: k = floor(log2(u/n)) as in EF,
+        # unary stream = Σ(gap>>k) + n bits, remainders n·k bits, plus
+        # the 5-byte header (k + unary byte length) — exactly
+        # functions/rice.rice_size over the same delta-from-0 gaps.
+        "postings_bytes_rice": f"""
+WITH {KEPT_CTE},
+dt AS (SELECT DISTINCT doc_id, tok FROM kept),
+g AS (
+  SELECT tok, doc_id,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok
+                                             ORDER BY doc_id), 0) AS gap
+  FROM dt
+),
+vb AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({size_case}) AS BIGINT) AS docs_bytes
+  FROM g GROUP BY tok
+),
+kk AS (
+  SELECT tok,
+         CASE WHEN max(doc_id) // count(*) >= 1
+              THEN length(bin(max(doc_id) // count(*))) - 1
+              ELSE 0 END AS k
+  FROM dt GROUP BY tok
+),
+rz AS (
+  SELECT g.tok,
+         CAST(sum(g.gap >> kk.k) AS BIGINT) AS sum_q,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(max(kk.k) AS BIGINT) AS k
+  FROM g JOIN kk USING (tok) GROUP BY g.tok
+)
+SELECT vb.tok AS term, vb.n, vb.docs_bytes,
+       CAST(5 + (rz.sum_q + rz.n + 7) // 8
+              + (rz.n * rz.k + 7) // 8 AS BIGINT) AS docs_bytes_rice
+FROM vb JOIN rz USING (tok)
+""",
     }
 
 

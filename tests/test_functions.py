@@ -242,3 +242,40 @@ def test_elias_fano_near_entropy_bound():
     n, u = v.size, int(v[-1])
     bound_bits = n * (2 + max(1, (u // n).bit_length())) + 16
     assert len(encode_ef(v)) * 8 <= bound_bits
+
+
+def test_rice_roundtrip_property():
+    import numpy as np
+
+    from candidategeneration_ray.functions.rice import (
+        decode_rice, encode_rice, rice_size)
+
+    rng = np.random.default_rng(13)
+    for _ in range(200):
+        n = int(rng.integers(1, 500))
+        scale = int(rng.choice([2, 7, 1000, 10**7]))
+        v = np.cumsum(rng.integers(0, scale, n)).astype(np.uint64)
+        b = encode_rice(v)
+        assert len(b) == rice_size(v)
+        assert np.array_equal(decode_rice(b, n), v)
+
+
+def test_rice_edges():
+    import numpy as np
+    import pytest as _pt
+
+    from candidategeneration_ray.functions.rice import (
+        decode_rice, encode_rice)
+
+    for v in (np.array([0], np.uint64), np.array([0, 0, 0], np.uint64),
+              np.array([2**62], np.uint64),
+              np.arange(1000, dtype=np.uint64)):
+        assert np.array_equal(decode_rice(encode_rice(v), v.size), v)
+    assert encode_rice(np.array([], np.uint64)) == b""
+    b = encode_rice(np.arange(100, dtype=np.uint64))
+    with _pt.raises(ValueError):
+        decode_rice(b[:3], 100)
+    with _pt.raises(ValueError):
+        decode_rice(b[:8], 100)
+    with _pt.raises(OverflowError):
+        encode_rice(np.array([2**63], np.uint64))
