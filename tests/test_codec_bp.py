@@ -84,3 +84,21 @@ def test_delta_and_compaction(ray_session, tmp_path, codec):
     eng = QueryEngine(serving_sources(out), upd["stats"], cfg)
     for q in QUERIES:
         assert eng.topk(q, k=10) == want[q], q
+
+
+@pytest.mark.parametrize("codec", ["ef", "rice"])
+def test_reshard_preserves_codec_serving(both_indexes, tmp_path, codec):
+    """Elastic reshard moves compressed rows wholesale, so it must be
+    codec-agnostic: serving the resharded layout under the same
+    EngineConfig is rank-identical."""
+    from candidategeneration_ray.pipelines.update import reshard_index
+
+    rb, cb = both_indexes[codec]
+    eng = QueryEngine(rb["final_dir"], rb["stats"], cb)
+    new_nb = 7
+    out = reshard_index(rb["final_dir"], new_nb,
+                        str(tmp_path / f"rs_{codec}"))
+    cfg2 = EngineConfig(codec=codec, num_buckets=new_nb)
+    eng2 = QueryEngine(out, rb["stats"], cfg2)
+    for q in QUERIES:
+        assert eng.topk(q, k=10) == eng2.topk(q, k=10), q
