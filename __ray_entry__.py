@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_bytes_bp": dq.q_postings_bytes_bp,  # binary-packing codec comparison
         "postings_bytes_ef": dq.q_postings_bytes_ef,  # Elias-Fano codec comparison
         "postings_bytes_rice": dq.q_postings_bytes_rice,  # Golomb-Rice codec comparison
+        "postings_bytes_bic": dq.q_postings_bytes_bic,  # binary-interpolative codec comparison
         "index_report": dq.q_index_report,      # one-row capacity report
         "index_integrity": dq.q_index_integrity,  # on-disk format audit
         "pruned_list_lengths": dq.q_pruned_list_lengths,    # O3 build-time pruning
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_bp": dq.q_bm25_topk_bp,              # binary-packed index serving
         "bm25_topk_ef": dq.q_bm25_topk_ef,              # Elias-Fano index serving
         "bm25_topk_rice": dq.q_bm25_topk_rice,          # Golomb-Rice index serving
+        "bm25_topk_bic": dq.q_bm25_topk_bic,            # binary-interpolative index serving
         "collapse_topk": dq.q_collapse_topk,            # field collapsing per source
         "mmr_topk": dq.q_mmr_topk,                      # MMR diversified re-ranking
         "impact_topk": imp.q_impact_topk,               # quantized-impact SAAT serving
@@ -551,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
     d["bm25_topk_bp"] = d["bm25_topk"]
     d["bm25_topk_ef"] = d["bm25_topk"]
     d["bm25_topk_rice"] = d["bm25_topk"]
+    d["bm25_topk_bic"] = d["bm25_topk"]
     # time-travel: the bm25 oracle with `documents` rebound to the base
     # ingestion half — an uncompacted ingest must leave the old epoch
     # exactly servable

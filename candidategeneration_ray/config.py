@@ -71,7 +71,9 @@ class EngineConfig:
     # "ef" (Elias-Fano, functions/eliasfano — within half a bit/elem of
     # the monotone-sequence entropy bound, smaller than both on the
     # transcript lists) or "rice" (Golomb-Rice, functions/rice — the
-    # classic geometric-gap code, best on large-mean-gap lists).
+    # classic geometric-gap code, best on large-mean-gap lists) or
+    # "bic" (binary interpolative, functions/interpolative — the
+    # recursive range-split code, near-zero bits/doc on clustered runs).
     # Emission partial rows stay varint (transient exchange format).
     codec: str = "varint"
     # Optional query-driven key pruning (the reference "filter sets",
@@ -96,7 +98,7 @@ class EngineConfig:
         if self.max_list_postings is not None and \
                 self.max_list_postings < self.unconditional_prefix:
             raise ValueError("max_list_postings must be >= unconditional_prefix")
-        if self.codec not in ("varint", "bp", "ef", "rice"):
+        if self.codec not in ("varint", "bp", "ef", "rice", "bic"):
             raise ValueError(f"unknown codec {self.codec!r}")
 
     def index_tag(self) -> str:

@@ -25,14 +25,15 @@ from candidategeneration_ray.functions import varint as _vi
 from candidategeneration_ray.functions import bitpack as _bp
 from candidategeneration_ray.functions import eliasfano as _ef
 from candidategeneration_ray.functions import rice as _rice
+from candidategeneration_ray.functions import interpolative as _bic
 
-CODECS = ("varint", "bp", "ef", "rice")
+CODECS = ("varint", "bp", "ef", "rice", "bic")
 # non-varint codecs are not self-delimiting inside a concatenation, so
 # grouped decode needs per-group byte offsets for them
 _ENC = {"bp": _bp.encode_bp, "ef": _ef.encode_ef,
-        "rice": _rice.encode_rice}
+        "rice": _rice.encode_rice, "bic": _bic.encode_bic}
 _DEC = {"bp": _bp.decode_bp, "ef": _ef.decode_ef,
-        "rice": _rice.decode_rice}
+        "rice": _rice.decode_rice, "bic": _bic.decode_bic}
 
 
 def encode_docs(sorted_values: np.ndarray, codec: str) -> bytes:

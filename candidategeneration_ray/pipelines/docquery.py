@@ -695,6 +695,15 @@ def q_postings_bytes_rice(sf_dir: str) -> ray.data.Dataset:
     return _postings_bytes_codec(sf_dir, "rice", "docs_bytes_rice")
 
 
+def q_postings_bytes_bic(sf_dir: str) -> ray.data.Dataset:
+    """Codec comparison over the PERSISTED index: varint vs binary
+    interpolative (functions/interpolative). The oracle REPLAYS the
+    range-split recursion as a recursive CTE — per node w =
+    bit_length(r-1) bits, summed over the tree, + the 8-byte u header
+    — so the driver hash-checks the recursion itself, node for node."""
+    return _postings_bytes_codec(sf_dir, "bic", "docs_bytes_bic")
+
+
 def q_postings_bytes_ef(sf_dir: str) -> ray.data.Dataset:
     """Codec comparison over the PERSISTED index: varint vs Elias-Fano
     (functions/eliasfano — the quasi-succinct layout of Vigna, WSDM
@@ -1155,6 +1164,11 @@ def q_bm25_topk_ef(sf_dir: str) -> pa.Table:
 def q_bm25_topk_rice(sf_dir: str) -> pa.Table:
     """BM25 top-10 from a Golomb-Rice (codec='rice') index."""
     return _bm25_topk_codec(sf_dir, "rice")
+
+
+def q_bm25_topk_bic(sf_dir: str) -> pa.Table:
+    """BM25 top-10 from a binary-interpolative (codec='bic') index."""
+    return _bm25_topk_codec(sf_dir, "bic")
 
 
 def q_maxscore_topk(sf_dir: str) -> pa.Table:

@@ -4012,6 +4012,70 @@ SELECT vb.tok AS term, vb.n, vb.docs_bytes,
               + (rz.n * rz.k + 7) // 8 AS BIGINT) AS docs_bytes_rice
 FROM vb JOIN rz USING (tok)
 """,
+        # Binary interpolative model: REPLAY the range-split recursion
+        # (Moffat & Stuiver 2000, fixed-width variant) — a node over
+        # positions [s,e) within value bounds [lo,hi] codes the middle
+        # value in bit_length(hi' - lo') bits (lo' = lo + mid - s,
+        # hi' = hi - (e-1-mid)), children tighten the bounds around the
+        # decoded midpoint. The bit total is traversal-invariant, so
+        # the CTE's breadth-first expansion matches the engine's
+        # level-order layout bit for bit. Size = 8-byte u header +
+        # ceil(total_bits / 8) — exactly functions/interpolative.
+        "postings_bytes_bic": f"""
+WITH RECURSIVE {KEPT_CTE},
+dt AS (SELECT DISTINCT doc_id, tok FROM kept),
+g AS (
+  SELECT tok,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok
+                                             ORDER BY doc_id), 0) AS gap
+  FROM dt
+),
+vb AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({size_case}) AS BIGINT) AS docs_bytes
+  FROM g GROUP BY tok
+),
+dv AS MATERIALIZED (
+  SELECT tok, CAST(doc_id AS BIGINT) AS val,
+         row_number() OVER (PARTITION BY tok ORDER BY doc_id) - 1 AS idx
+  FROM dt
+),
+lu AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n, CAST(max(val) AS BIGINT) AS u
+  FROM dv GROUP BY tok
+),
+nodes AS (
+  SELECT tok, CAST(0 AS BIGINT) AS s, n AS e, CAST(0 AS BIGINT) AS lo,
+         u AS hi
+  FROM lu
+  UNION ALL
+  SELECT n.tok,
+         CASE WHEN c.i = 0 THEN n.s
+              ELSE n.s + (n.e - n.s) // 2 + 1 END,
+         CASE WHEN c.i = 0 THEN n.s + (n.e - n.s) // 2 ELSE n.e END,
+         CASE WHEN c.i = 0 THEN n.lo ELSE dv.val + 1 END,
+         CASE WHEN c.i = 0 THEN dv.val - 1 ELSE n.hi END
+  FROM nodes n
+  JOIN dv ON dv.tok = n.tok AND dv.idx = n.s + (n.e - n.s) // 2
+  CROSS JOIN (VALUES (0), (1)) c(i)
+  WHERE (c.i = 0 AND n.s + (n.e - n.s) // 2 > n.s)
+     OR (c.i = 1 AND n.e > n.s + (n.e - n.s) // 2 + 1)
+),
+nb AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN rm1 = 0 THEN 0
+                       ELSE length(bin(rm1)) END) AS BIGINT) AS bits
+  FROM (
+    SELECT tok,
+           (hi - (e - 1 - (s + (e - s) // 2)))
+             - (lo + ((s + (e - s) // 2) - s)) AS rm1
+    FROM nodes
+  ) GROUP BY tok
+)
+SELECT vb.tok AS term, vb.n, vb.docs_bytes,
+       CAST(8 + (nb.bits + 7) // 8 AS BIGINT) AS docs_bytes_bic
+FROM vb JOIN nb USING (tok)
+""",
     }
 
 

@@ -20,7 +20,7 @@ QUERIES = ["query engine latency", "data index", "worker shard",
 def both_indexes(ray_session, transcripts_dir, tmp_path_factory):
     root = tmp_path_factory.mktemp("bp_codec")
     out = {}
-    for codec in ("varint", "bp", "ef", "rice"):
+    for codec in ("varint", "bp", "ef", "rice", "bic"):
         cfg = EngineConfig(codec=codec)
         res = build_index(transcripts_dir, str(root / codec), cfg,
                           partitions=3)  # partitions exercise the merge
@@ -28,7 +28,7 @@ def both_indexes(ray_session, transcripts_dir, tmp_path_factory):
     return out
 
 
-@pytest.mark.parametrize("codec", ["bp", "ef", "rice"])
+@pytest.mark.parametrize("codec", ["bp", "ef", "rice", "bic"])
 def test_decoded_lists_identical(both_indexes, codec):
     rv, cv = both_indexes["varint"]
     rb, cb = both_indexes[codec]
@@ -42,7 +42,7 @@ def test_decoded_lists_identical(both_indexes, codec):
         assert np.array_equal(sa, sb), k
 
 
-@pytest.mark.parametrize("codec", ["bp", "ef", "rice"])
+@pytest.mark.parametrize("codec", ["bp", "ef", "rice", "bic"])
 def test_topk_identical(both_indexes, codec):
     rv, cv = both_indexes["varint"]
     rb, cb = both_indexes[codec]
@@ -52,7 +52,7 @@ def test_topk_identical(both_indexes, codec):
         assert ev.topk(q, k=10) == eb.topk(q, k=10), q
 
 
-@pytest.mark.parametrize("codec", ["bp", "ef", "rice"])
+@pytest.mark.parametrize("codec", ["bp", "ef", "rice", "bic"])
 def test_delta_and_compaction(ray_session, tmp_path, codec):
     """Ingest a delta and compact under a non-default codec:
     multi-generation serving equals the compacted single-generation
@@ -86,7 +86,7 @@ def test_delta_and_compaction(ray_session, tmp_path, codec):
         assert eng.topk(q, k=10) == want[q], q
 
 
-@pytest.mark.parametrize("codec", ["ef", "rice"])
+@pytest.mark.parametrize("codec", ["ef", "rice", "bic"])
 def test_reshard_preserves_codec_serving(both_indexes, tmp_path, codec):
     """Elastic reshard moves compressed rows wholesale, so it must be
     codec-agnostic: serving the resharded layout under the same

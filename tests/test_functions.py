@@ -279,3 +279,52 @@ def test_rice_edges():
         decode_rice(b[:8], 100)
     with _pt.raises(OverflowError):
         encode_rice(np.array([2**63], np.uint64))
+
+
+def test_bic_roundtrip_property():
+    import numpy as np
+
+    from candidategeneration_ray.functions.interpolative import (
+        bic_size, decode_bic, encode_bic)
+
+    rng = np.random.default_rng(17)
+    for _ in range(200):
+        n = int(rng.integers(1, 500))
+        u = int(rng.integers(n, n * 60 + 2))
+        v = np.sort(rng.choice(u, size=min(n, u),
+                               replace=False)).astype(np.uint64)
+        b = encode_bic(v)
+        assert len(b) == bic_size(v)
+        assert np.array_equal(decode_bic(b, v.size), v)
+
+
+def test_bic_edges():
+    import numpy as np
+    import pytest as _pt
+
+    from candidategeneration_ray.functions.interpolative import (
+        decode_bic, encode_bic)
+
+    for v in (np.array([0], np.uint64), np.array([2**61], np.uint64),
+              np.arange(1000, dtype=np.uint64),
+              np.array([0, 1, 2, 10**12], np.uint64)):
+        assert np.array_equal(decode_bic(encode_bic(v), v.size), v)
+    assert encode_bic(np.array([], np.uint64)) == b""
+    b = encode_bic(np.arange(100, dtype=np.uint64))
+    with _pt.raises(ValueError):
+        decode_bic(b[:3], 100)
+    with _pt.raises(OverflowError):
+        encode_bic(np.array([2**62], np.uint64))
+    with _pt.raises(ValueError):  # duplicates break the bounds invariant
+        encode_bic(np.array([4, 4, 5], np.uint64))
+
+
+def test_bic_dense_run_near_zero_bits():
+    """The interpolative signature: a contiguous run costs (almost)
+    nothing — every node's range collapses to r == 1 after the root."""
+    import numpy as np
+
+    from candidategeneration_ray.functions.interpolative import encode_bic
+
+    v = np.arange(1, 100001, dtype=np.uint64)
+    assert len(encode_bic(v)) <= 8 + 4  # u header + root bits only
