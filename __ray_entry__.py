@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "als_rank1": rl.q_als_rank1,            # rank-1 ALS factorization
         "ks_source_test": sk.q_ks_source_test,  # exact two-sample KS statistic
         "ridge_regression": ex.q_ridge_regression,  # 3x3 Cramer ridge solve
+        "gbdt_model": ex.q_gbdt_model,          # boosted stumps, exact SSE
         "selection_audit": tl.q_selection_audit,    # per-doc reason codes
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection
@@ -449,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         session12_oracles,
         session13_oracles,
         session14_oracles,
+        session16_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -513,7 +515,7 @@ def oracle_sql() -> dict[str, str]:
             **regression_oracles(), **gram_oracles(), **jl_oracles(),
             **token_offset_oracles(), **session11_oracles(),
             **session12_oracles(), **session13_oracles(),
-            **session14_oracles()}
+            **session14_oracles(), **session16_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

@@ -4368,3 +4368,126 @@ def q_ridge_regression(sf_dir: str, lam: int = RIDGE_LAMBDA) -> pa.Table:
         "beta1_ppm": pa.array([betas[1]], pa.int64()),
         "beta2_ppm": pa.array([betas[2]], pa.int64()),
     })
+
+
+# --------------------------------------- gradient-boosted stumps (GBM)
+
+GBDT_ROUNDS = 3
+GBDT_SCALE = 1000            # residuals in permille units
+GBDT_FEATURES = ("n_punct_chars", "n_stop", "n_words")
+
+
+def q_gbdt_model(sf_dir: str, rounds: int = GBDT_ROUNDS) -> pa.Table:
+    """Gradient-boosted regression stumps — Friedman's GBM with
+    squared loss and depth-1 trees, made hash-verifiable by keeping
+    every quantity an integer: residuals live in permille units
+    (r0 = 1000·n_chars), each leaf value is the toward-zero-truncated
+    mean of its side's residuals (the DuckDB `//` convention), and the
+    split criterion is the EXACT integer SSE of those truncated
+    leaves, Σr² − 2·leaf·Σr + n·leaf² per side (an empty right side
+    contributes leaf 0 / sse 0). Candidate thresholds are the
+    feature's distinct values; ties break on (sse, feature, threshold)
+    ascending. Because a zero leaf is always dominated by the
+    truncated mean (a·(2S − n·a) ≥ 0 for a = trunc(S/n)), the train
+    SSE is non-increasing across rounds — asserted in tests. Features:
+    the q_text_stats integers (n_punct_chars, n_stop, n_words);
+    target n_chars.
+
+    Shape: one corpus pass per round (the model so far is a tiny
+    broadcast list; residuals are recomputed per batch) emitting
+    per-(feature, value) partials (cnt, Σr, Σr²) → ONE
+    groupby(feature, value).sum to O(distinct values) rows — the
+    sufficient statistic for SSE splitting — → an exact Python-int
+    prefix scan on the driver. Nothing driver-side scales with the
+    corpus; int64 partials bound the corpus at ~10⁸ docs per the Σr²
+    column (documented; split hi/lo words past that)."""
+    from ray.data.aggregate import Sum
+
+    model: list[tuple[str, int, int, int]] = []
+    out = {"round": [], "feature": [], "threshold": [],
+           "leaf_l": [], "leaf_r": [], "sse": []}
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for t in range(1, rounds + 1):
+        frozen = list(model)
+
+        def _partial(batch: pa.Table,
+                     _m=frozen) -> pa.Table:
+            ts = _textstats(batch)
+            feats = {f: ts.column(f).to_numpy().astype(np.int64)
+                     for f in GBDT_FEATURES}
+            r = GBDT_SCALE * ts.column("n_chars").to_numpy().astype(
+                np.int64)
+            for mf, mt, ll, lr in _m:
+                r = r - np.where(feats[mf] <= mt, ll, lr)
+            out_f, out_v, out_c, out_s1, out_s2 = [], [], [], [], []
+            for name in GBDT_FEATURES:
+                v = feats[name]
+                uk, inv = np.unique(v, return_inverse=True)
+                c = np.bincount(inv).astype(np.int64)
+                # int64 scatter-adds (bincount weights would round
+                # through float64 and lose exactness on big blocks)
+                s1 = np.zeros(uk.size, np.int64)
+                s2 = np.zeros(uk.size, np.int64)
+                np.add.at(s1, inv, r)
+                np.add.at(s2, inv, r * r)
+                out_f.extend([name] * uk.size)
+                out_v.extend(uk.tolist())
+                out_c.extend(c.tolist())
+                out_s1.extend(s1.tolist())
+                out_s2.extend(s2.tolist())
+            return pa.table({
+                "feature": pa.array(out_f, pa.string()),
+                "value": pa.array(out_v, pa.int64()),
+                "cnt": pa.array(out_c, pa.int64()),
+                "s1": pa.array(out_s1, pa.int64()),
+                "s2": pa.array(out_s2, pa.int64()),
+            })
+
+        rows = (documents_ds(sf_dir)
+                .map_batches(_partial, batch_format="pyarrow")
+                .groupby(["feature", "value"])
+                .aggregate(Sum("cnt", alias_name="cnt"),
+                           Sum("s1", alias_name="s1"),
+                           Sum("s2", alias_name="s2"))
+                .take_all())
+        # exact Python-int prefix scan per feature (tiny table)
+        best = None          # (sse, feature, threshold, leaf_l, leaf_r)
+        for name in sorted({r["feature"] for r in rows}):
+            sub = sorted((int(r["value"]), int(r["cnt"]),
+                          int(r["s1"]), int(r["s2"]))
+                         for r in rows if r["feature"] == name)
+            nt = sum(x[1] for x in sub)
+            st1 = sum(x[2] for x in sub)
+            st2 = sum(x[3] for x in sub)
+            nl = sl1 = sl2 = 0
+            for v, c, s1, s2 in sub:
+                nl, sl1, sl2 = nl + c, sl1 + s1, sl2 + s2
+                nr, sr1, sr2 = nt - nl, st1 - sl1, st2 - sl2
+                ll = _tdiv(sl1, nl)
+                lr = _tdiv(sr1, nr) if nr else 0
+                sse = sl2 - 2 * ll * sl1 + nl * ll * ll
+                if nr:
+                    sse += sr2 - 2 * lr * sr1 + nr * lr * lr
+                key = (sse, name, v)
+                if best is None or key < best[:3]:
+                    best = (sse, name, v, ll, lr)
+        sse, name, v, ll, lr = best
+        model.append((name, v, ll, lr))
+        out["round"].append(t)
+        out["feature"].append(name)
+        out["threshold"].append(v)
+        out["leaf_l"].append(ll)
+        out["leaf_r"].append(lr)
+        out["sse"].append(sse)
+    return pa.table({
+        "round": pa.array(out["round"], pa.int64()),
+        "feature": pa.array(out["feature"], pa.string()),
+        "threshold": pa.array(out["threshold"], pa.int64()),
+        "leaf_l": pa.array(out["leaf_l"], pa.int64()),
+        "leaf_r": pa.array(out["leaf_r"], pa.int64()),
+        "sse": pa.array(out["sse"], pa.int64()),
+    })

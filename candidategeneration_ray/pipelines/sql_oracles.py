@@ -8066,3 +8066,74 @@ FROM f CROSS JOIN nn
 """
     return {"kn_bigram_lm": kn, "nb_model": nb_model,
             "nb_predict": nb_predict, "auc_eval": auc}
+
+
+def session16_oracles() -> dict[str, str]:
+    """Session-16 oracles: gradient-boosted stumps (unrolled rounds,
+    the k-means/PageRank verification pattern applied to Friedman's
+    GBM — every leaf a `//`-truncated mean, every split ranked by the
+    exact integer SSE of those leaves)."""
+    from candidategeneration_ray.pipelines.extras import (
+        GBDT_ROUNDS, GBDT_SCALE)
+
+    feats = [("n_punct_chars", "x_punct"), ("n_stop", "x_stop"),
+             ("n_words", "x_words")]
+    parts = [f"""res0 AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(coalesce(w.n_words, 0) AS BIGINT) AS x_words,
+         CAST(coalesce(w.n_stop, 0) AS BIGINT) AS x_stop,
+         CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9\\s]'))
+              AS BIGINT) AS x_punct,
+         CAST({GBDT_SCALE} AS HUGEINT) * length(d.text) AS r
+  FROM documents d LEFT JOIN wstats w USING (doc_id))"""]
+    for t in range(1, GBDT_ROUNDS + 1):
+        unpivot = " UNION ALL ".join(
+            f"SELECT '{f}' AS feature, {c} AS value, r FROM res{t - 1}"
+            for f, c in feats)
+        parts.append(f"""agg{t} AS (
+  SELECT feature, value, CAST(count(*) AS HUGEINT) AS cnt,
+         sum(r) AS s1, sum(r * r) AS s2
+  FROM ({unpivot}) GROUP BY 1, 2)""")
+        parts.append(f"""scan{t} AS (
+  SELECT feature, value AS threshold,
+         sum(cnt) OVER w AS nl, sum(s1) OVER w AS sl1,
+         sum(s2) OVER w AS sl2,
+         sum(cnt) OVER f - sum(cnt) OVER w AS nr,
+         sum(s1) OVER f - sum(s1) OVER w AS sr1,
+         sum(s2) OVER f - sum(s2) OVER w AS sr2
+  FROM agg{t}
+  WINDOW w AS (PARTITION BY feature ORDER BY value
+               ROWS UNBOUNDED PRECEDING),
+         f AS (PARTITION BY feature))""")
+        parts.append(f"""cand{t} AS (
+  SELECT feature, threshold, sl1 // nl AS leaf_l,
+         CASE WHEN nr = 0 THEN 0 ELSE sr1 // nr END AS leaf_r,
+         (sl2 - 2 * (sl1 // nl) * sl1 + nl * (sl1 // nl) * (sl1 // nl))
+         + CASE WHEN nr = 0 THEN 0
+                ELSE sr2 - 2 * (sr1 // nr) * sr1
+                     + nr * (sr1 // nr) * (sr1 // nr)
+           END AS sse
+  FROM scan{t})""")
+        parts.append(f"""best{t} AS (
+  SELECT * FROM cand{t} ORDER BY sse, feature, threshold LIMIT 1)""")
+        parts.append(f"""res{t} AS MATERIALIZED (
+  SELECT r.doc_id, r.x_words, r.x_stop, r.x_punct,
+         r.r - (CASE b.feature
+                WHEN 'n_words' THEN CASE WHEN r.x_words <= b.threshold
+                                         THEN b.leaf_l ELSE b.leaf_r END
+                WHEN 'n_stop' THEN CASE WHEN r.x_stop <= b.threshold
+                                        THEN b.leaf_l ELSE b.leaf_r END
+                ELSE CASE WHEN r.x_punct <= b.threshold
+                          THEN b.leaf_l ELSE b.leaf_r END
+                END) AS r
+  FROM res{t - 1} r CROSS JOIN best{t} b)""")
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, feature,"
+        f" CAST(threshold AS BIGINT) AS threshold,"
+        f" CAST(leaf_l AS BIGINT) AS leaf_l,"
+        f" CAST(leaf_r AS BIGINT) AS leaf_r,"
+        f" CAST(sse AS BIGINT) AS sse FROM best{t}"
+        for t in range(1, GBDT_ROUNDS + 1))
+    gbdt = ("WITH " + _WORDS_CTE + ",\n" + ",\n".join(parts)
+            + "\n" + final)
+    return {"gbdt_model": gbdt}

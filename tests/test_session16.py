@@ -1,0 +1,68 @@
+"""Session-16 operators, pinned against independent brute-force
+references over the sf0.001 tables (the driver contract test covers
+the SQL oracles; these pin the math itself)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tdiv(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@pytest.fixture(scope="module")
+def doc_feats(ray_session):
+    from candidategeneration_ray.pipelines.extras import _textstats
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    ts = _textstats(t)
+    return {name: ts.column(name).to_numpy().astype(np.int64)
+            for name in ("n_chars", "n_words", "n_stop", "n_punct_chars")}
+
+
+class TestGbdtModel:
+    def _brute_round(self, feats, r):
+        """Brute-force best split: per candidate, recompute the SSE
+        directly from doc-level residuals (no prefix-sum algebra)."""
+        from candidategeneration_ray.pipelines.extras import GBDT_FEATURES
+
+        best = None
+        for name in sorted(GBDT_FEATURES):
+            x = feats[name]
+            for v in sorted(set(x.tolist())):
+                lm = x <= v
+                nl, nr = int(lm.sum()), int((~lm).sum())
+                ll = _tdiv(int(r[lm].sum()), nl)
+                lr = _tdiv(int(r[~lm].sum()), nr) if nr else 0
+                sse = int(((r[lm] - ll) ** 2).sum()) + \
+                    int(((r[~lm] - lr) ** 2).sum())
+                key = (sse, name, int(v))
+                if best is None or key < best[:3]:
+                    best = (sse, name, int(v), ll, lr)
+        return best
+
+    def test_matches_bruteforce(self, ray_session, doc_feats):
+        from candidategeneration_ray.pipelines.extras import (
+            GBDT_ROUNDS, GBDT_SCALE, q_gbdt_model)
+
+        got = q_gbdt_model(SF).to_pylist()
+        assert len(got) == GBDT_ROUNDS
+        r = GBDT_SCALE * doc_feats["n_chars"].astype(object)
+        for t, row in enumerate(got, 1):
+            sse, name, v, ll, lr = self._brute_round(doc_feats, r)
+            assert row == {"round": t, "feature": name, "threshold": v,
+                           "leaf_l": ll, "leaf_r": lr, "sse": sse}
+            r = r - np.where(doc_feats[name] <= v, ll, lr)
+        # the reported final SSE is the actual residual energy
+        assert int((r.astype(np.int64) ** 2).sum()) == got[-1]["sse"]
+
+    def test_sse_nonincreasing(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import q_gbdt_model
+
+        sses = [r["sse"] for r in q_gbdt_model(SF).to_pylist()]
+        assert all(a >= b for a, b in zip(sses, sses[1:]))
+        assert all(s >= 0 for s in sses)
