@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_source_test": sk.q_ks_source_test,  # exact two-sample KS statistic
         "ridge_regression": ex.q_ridge_regression,  # 3x3 Cramer ridge solve
         "gbdt_model": ex.q_gbdt_model,          # boosted stumps, exact SSE
+        "isotonic_calibration": ex.q_isotonic_calibration,  # exact PAVA
         "selection_audit": tl.q_selection_audit,    # per-doc reason codes
         "pretrain_select": tl.q_pretrain_select,    # FLAGSHIP COMPOSITION:
         # quality gate -> decontaminate -> exact dedup -> budget selection

@@ -4491,3 +4491,85 @@ def q_gbdt_model(sf_dir: str, rounds: int = GBDT_ROUNDS) -> pa.Table:
         "leaf_r": pa.array(out["leaf_r"], pa.int64()),
         "sse": pa.array(out["sse"], pa.int64()),
     })
+
+
+# ------------------------------------------ isotonic calibration (PAVA)
+
+ISO_BINS = 64                # stopword-ratio bin resolution
+ISO_KEY_SCALE = 10 ** 12     # order-embedding scale for exact fractions
+
+
+def q_isotonic_calibration(sf_dir: str) -> pa.Table:
+    """Isotonic regression — the PAVA calibration curve mapping a
+    bounded quality score to a nondecreasing P(lang = 'en'), computed
+    by the exact minimax characterization fit(k) = max_{i<=k}
+    min_{j>=k} avg(p[i..j]/n[i..j]) over the present score bins
+    (score = 64·n_stop // max(n_words, 1), a bounded domain like
+    q_auc_eval's). Interval averages are exact rationals compared
+    through the order-embedding key (10¹²·P) // N, valid while the
+    corpus holds ≤ 10⁶ docs (distinct fractions then differ by
+    ≥ 1/(N·N) ≥ 10⁻¹², so scaled floors preserve strict order — the
+    documented bound; raise the scale past it). Output per present
+    bin: (s, n, p, fit_s12), with fit_s12 nondecreasing in s — the
+    weighted-least-squares isotonic fit, bit-equal to classic
+    adjacent-violators pooling (tested).
+
+    Shape: one corpus pass → groupby(s).sum over the ≤65-value domain
+    → O(bins²) exact-int minimax on the driver. The sufficient
+    statistic is the bounded per-bin table; nothing driver-side
+    scales with the corpus."""
+    from ray.data.aggregate import Sum
+
+    def _part(batch: pa.Table) -> pa.Table:
+        t = _textstats(batch)
+        n_words = t.column("n_words").to_numpy()
+        n_stop = t.column("n_stop").to_numpy()
+        s = (ISO_BINS * n_stop) // np.maximum(n_words, 1)
+        y = (np.asarray(batch.column("lang").to_pylist(), dtype=object)
+             == "en")
+        u, inv = np.unique(s, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        p = np.bincount(inv[y]).astype(np.int64)
+        p.resize(u.size, refcheck=False)
+        return pa.table({"s": pa.array(u, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "p": pa.array(p, pa.int64())})
+
+    rows = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "lang"])
+            .map_batches(_part, batch_format="pyarrow")
+            .groupby("s")
+            .aggregate(Sum("n", alias_name="n"), Sum("p", alias_name="p"))
+            .take_all())
+    rows.sort(key=lambda r: r["s"])
+    s = [int(r["s"]) for r in rows]
+    n = [int(r["n"]) for r in rows]
+    p = [int(r["p"]) for r in rows]
+    b = len(s)
+    cp = [0]
+    cn = [0]
+    for i in range(b):
+        cp.append(cp[-1] + p[i])
+        cn.append(cn[-1] + n[i])
+
+    def _key(i: int, j: int) -> int:
+        return (ISO_KEY_SCALE * (cp[j + 1] - cp[i])) // (cn[j + 1] - cn[i])
+
+    # fit(k) = max_{i<=k} min_{j>=k} key(i, j): for each i, one
+    # right-to-left pass yields the suffix minima over j; fold the
+    # running max over i into fit as each row completes — O(b²)
+    fit = [None] * b
+    for i in range(b):
+        suf = None
+        for k in range(b - 1, i - 1, -1):
+            kij = _key(i, k)
+            suf = kij if suf is None else min(suf, kij)
+            if fit[k] is None or suf > fit[k]:
+                fit[k] = suf
+    return pa.table({
+        "s": pa.array(s, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "p": pa.array(p, pa.int64()),
+        "fit_s12": pa.array(fit, pa.int64()),
+    })

@@ -8136,4 +8136,39 @@ def session16_oracles() -> dict[str, str]:
         for t in range(1, GBDT_ROUNDS + 1))
     gbdt = ("WITH " + _WORDS_CTE + ",\n" + ",\n".join(parts)
             + "\n" + final)
-    return {"gbdt_model": gbdt}
+
+    from candidategeneration_ray.pipelines.extras import (
+        ISO_BINS, ISO_KEY_SCALE)
+
+    # isotonic (PAVA) calibration via the exact minimax form:
+    # fit(k) = max_{i<=k} min_{j>=k} of the interval average, compared
+    # through the (SCALE*P)//N order-embedding key on both sides
+    isotonic = f"""
+WITH {_WORDS_CTE},
+bin AS (
+  SELECT ({ISO_BINS} * coalesce(w.n_stop, 0))
+           // greatest(coalesce(w.n_words, 0), 1) AS s,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents d LEFT JOIN wstats w USING (doc_id)),
+agg AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS p
+        FROM bin GROUP BY s),
+ord AS (SELECT s, n, p,
+               row_number() OVER (ORDER BY s) AS k,
+               sum(n) OVER (ORDER BY s) AS cn,
+               sum(p) OVER (ORDER BY s) AS cp
+        FROM agg),
+iv AS (
+  SELECT a.k AS i, b.k AS j,
+         (CAST({ISO_KEY_SCALE} AS HUGEINT) * (b.cp - a.cp + a.p))
+           // (b.cn - a.cn + a.n) AS key
+  FROM ord a JOIN ord b ON a.k <= b.k),
+mn AS (
+  SELECT iv.i, o.k, min(iv.key) AS mnk
+  FROM iv JOIN ord o ON iv.i <= o.k AND iv.j >= o.k
+  GROUP BY iv.i, o.k),
+fit AS (SELECT k, max(mnk) AS fit_s12 FROM mn GROUP BY k)
+SELECT o.s, o.n, o.p, CAST(f.fit_s12 AS BIGINT) AS fit_s12
+FROM ord o JOIN fit f USING (k)
+"""
+    return {"gbdt_model": gbdt, "isotonic_calibration": isotonic}

@@ -66,3 +66,57 @@ class TestGbdtModel:
         sses = [r["sse"] for r in q_gbdt_model(SF).to_pylist()]
         assert all(a >= b for a, b in zip(sses, sses[1:]))
         assert all(s >= 0 for s in sses)
+
+
+class TestIsotonicCalibration:
+    @staticmethod
+    def _pava(n, p):
+        """Classic adjacent-violators pooling with exact Fractions."""
+        from fractions import Fraction
+
+        blocks = [[Fraction(pi, ni), ni, pi] for ni, pi in zip(n, p)]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] > blocks[i + 1][0]:
+                a, b = blocks[i], blocks[i + 1]
+                merged = [Fraction(a[2] + b[2], a[1] + b[1]),
+                          a[1] + b[1], a[2] + b[2]]
+                blocks[i:i + 2] = [merged]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        # expand merged blocks back to per-bin fitted values by
+        # walking the input weights each block absorbed
+        vals, bi = [], 0
+        for mean, ni, _ in blocks:
+            covered = 0
+            while covered < ni:
+                covered += n[bi]
+                vals.append(mean)
+                bi += 1
+        return vals
+
+    def test_matches_pava_pooling(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import (
+            ISO_KEY_SCALE, q_isotonic_calibration)
+
+        t = q_isotonic_calibration(SF).to_pylist()
+        n = [r["n"] for r in t]
+        p = [r["p"] for r in t]
+        ref = self._pava(n, p)
+        for row, mean in zip(t, ref):
+            assert row["fit_s12"] == (ISO_KEY_SCALE * mean.numerator) \
+                // mean.denominator
+        # nondecreasing fit, exactly the isotonic property
+        fits = [r["fit_s12"] for r in t]
+        assert all(a <= b for a, b in zip(fits, fits[1:]))
+
+    def test_synthetic_violators(self, ray_session):
+        """Hand case: a strict violation pools to the weighted mean."""
+        from fractions import Fraction
+
+        vals = self._pava([2, 2], [2, 0])    # 1.0 then 0.0 -> pooled
+        assert vals == [Fraction(1, 2), Fraction(1, 2)]
+        # blocks 0 | 1 | 1/2: violation (1 > 1/2) pools to 2/3, 2/3
+        vals = self._pava([1, 1, 2], [0, 1, 1])
+        assert vals == [Fraction(0), Fraction(2, 3), Fraction(2, 3)]
