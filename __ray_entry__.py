@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit_flags": ev.q_rate_limit_flags,  # sliding-window admission
         "running_spend": ev.q_running_spend,        # UNBOUNDED-PRECEDING scan
         "ewma_spend": ev.q_ewma_spend,              # decay recurrence (EWMA)
+        "spend_gini": ev.q_spend_gini,              # exact concentration audit
         "scd2_dim": ev.q_scd2_dim,                  # SCD type-2 dimension build
         "scd2_join": ev.q_scd2_join,                # point-in-time temporal join
         "attribution_linear": ev.q_attribution_linear,  # multi-touch attribution

@@ -3376,3 +3376,73 @@ def q_dow_profile(sf_dir: str) -> ray.data.Dataset:
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("cents", alias_name="cents"))
             .map_batches(_attach_days, batch_format="pyarrow"))
+
+
+# ------------------------------------------- spend concentration (Gini)
+
+GINI_RANK_BLOCKS = 32
+
+
+def q_spend_gini(sf_dir: str,
+                 num_blocks: int = GINI_RANK_BLOCKS) -> pa.Table:
+    """Gini coefficient of per-user purchase spend — the inequality /
+    concentration audit (how skewed is the spend distribution), exact
+    as an integer fraction: with per-user totals x sorted ascending
+    and ranked 1..n (ties broken by user_id, the documented
+    convention), G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx). Output one row
+    (n_users, total_cents, gini_num, gini_den, gini_ppm) — gini_ppm is
+    the ppm floor quotient, computed in Python bigints so no
+    intermediate overflows.
+
+    Shape: groupby(user_id) to per-user totals → distributed sort on
+    (cents, user_id) → blocked_prefix_apply assigns global ranks with
+    O(num_blocks) driver state, each block emitting ONE partial row
+    (cnt, Σx, Σ rank·x) → the driver sums ≤num_blocks partials. The
+    rank-weighted sum never materializes the user table anywhere."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    def _user_cents(batch: pa.Table) -> pa.Table:
+        keep = (np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object) == "purchase")
+        uid = batch.column("user_id").to_numpy().astype(np.int64)[keep]
+        cents = _cents(batch.column("value").to_numpy()[keep])
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    per_user = (events_ds(sf_dir, ["user_id", "event_type", "value"])
+                .map_batches(_user_cents, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("cents", alias_name="cents"))
+                .sort(key=["cents", "user_id"]))
+
+    def _emit(t: pa.Table, base: int) -> pa.Table:
+        if t.num_rows == 0 or "cents" not in t.schema.names:
+            # repartition can hand back schema-less empty blocks when
+            # there are fewer users than blocks
+            x = np.zeros(0, np.int64)
+        else:
+            x = t.column("cents").to_numpy().astype(np.int64)
+        ranks = base + 1 + np.arange(x.size, dtype=np.int64)
+        return pa.table({
+            "cnt": pa.array([x.size], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "srx": pa.array([int((ranks * x).sum())], pa.int64()),
+        })
+
+    parts = blocked_prefix_apply(per_user, num_blocks,
+                                 lambda t: t.num_rows, _emit).take_all()
+    n = sum(int(r["cnt"]) for r in parts)
+    tot = sum(int(r["sx"]) for r in parts)
+    rx = sum(int(r["srx"]) for r in parts)
+    num = 2 * rx - (n + 1) * tot
+    den = n * tot
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "total_cents": pa.array([tot], pa.int64()),
+        "gini_num": pa.array([num], pa.int64()),
+        "gini_den": pa.array([den], pa.int64()),
+        "gini_ppm": pa.array([(1_000_000 * num) // den if den else 0],
+                             pa.int64()),
+    })

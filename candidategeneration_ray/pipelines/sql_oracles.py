@@ -8171,4 +8171,28 @@ fit AS (SELECT k, max(mnk) AS fit_s12 FROM mn GROUP BY k)
 SELECT o.s, o.n, o.p, CAST(f.fit_s12 AS BIGINT) AS fit_s12
 FROM ord o JOIN fit f USING (k)
 """
-    return {"gbdt_model": gbdt, "isotonic_calibration": isotonic}
+    # Gini of per-user purchase spend: exact integer fraction over the
+    # ascending (cents, user_id) ranking; numerator is >= 0 by the
+    # rearrangement inequality so // floor == toward-zero on both sides
+    gini = """
+WITH per_user AS (
+  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+rk AS (SELECT cents,
+              row_number() OVER (ORDER BY cents, user_id) AS r
+       FROM per_user),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS t,
+             CAST(sum(r * cents) AS HUGEINT) AS rx
+      FROM rk)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(t AS BIGINT) AS total_cents,
+       CAST(2 * rx - (n + 1) * t AS BIGINT) AS gini_num,
+       CAST(n * t AS BIGINT) AS gini_den,
+       CASE WHEN n * t = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * (2 * rx - (n + 1) * t)) // (n * t)
+                      AS BIGINT) END AS gini_ppm
+FROM m
+"""
+    return {"gbdt_model": gbdt, "isotonic_calibration": isotonic,
+            "spend_gini": gini}

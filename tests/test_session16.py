@@ -120,3 +120,37 @@ class TestIsotonicCalibration:
         # blocks 0 | 1 | 1/2: violation (1 > 1/2) pools to 2/3, 2/3
         vals = self._pava([1, 1, 2], [0, 1, 1])
         assert vals == [Fraction(0), Fraction(2, 3), Fraction(2, 3)]
+
+
+class TestSpendGini:
+    def test_matches_bruteforce(self, ray_session):
+        from candidategeneration_ray.functions.money import round_scaled
+        from candidategeneration_ray.pipelines.events import q_spend_gini
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type", "value"])
+        mask = np.asarray(ev.column("event_type").to_pylist(),
+                          dtype=object) == "purchase"
+        uid = ev.column("user_id").to_numpy()[mask]
+        cents = round_scaled(ev.column("value").to_numpy()[mask])
+        totals: dict[int, int] = {}
+        for u, c in zip(uid.tolist(), cents.tolist()):
+            totals[u] = totals.get(u, 0) + c
+        xs = [c for _, c in sorted(totals.items(),
+                                   key=lambda kv: (kv[1], kv[0]))]
+        n, t = len(xs), sum(xs)
+        rx = sum((i + 1) * x for i, x in enumerate(xs))
+        row = q_spend_gini(SF).to_pylist()[0]
+        assert row == {"n_users": n, "total_cents": t,
+                       "gini_num": 2 * rx - (n + 1) * t,
+                       "gini_den": n * t,
+                       "gini_ppm": (1_000_000 * (2 * rx - (n + 1) * t))
+                       // (n * t)}
+        assert 0 <= row["gini_ppm"] <= 1_000_000
+
+    def test_block_count_invariance(self, ray_session):
+        from candidategeneration_ray.pipelines.events import q_spend_gini
+
+        a = q_spend_gini(SF, num_blocks=3).to_pylist()
+        b = q_spend_gini(SF, num_blocks=64).to_pylist()
+        assert a == b
