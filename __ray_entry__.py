@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigram_lm": tl.q_kn_bigram_lm,      # Kneser-Ney smoothing, exact rational
         "nb_model": tl.q_nb_model,              # Naive Bayes training table
         "nb_predict": tl.q_nb_predict,          # NB classifier serving (val split)
+        "nb_eval": tl.q_nb_eval,                # confusion + exact P/R/F1
         "auc_eval": ex.q_auc_eval,              # exact ROC-AUC (midrank U)
         "perceptron": tl.q_perceptron,          # batch perceptron trajectory
         "chi2_terms": tl.q_chi2_terms,          # chi-square feature selection
@@ -558,6 +559,37 @@ def oracle_sql() -> dict[str, str]:
     d["bm25_topk_ef"] = d["bm25_topk"]
     d["bm25_topk_rice"] = d["bm25_topk"]
     d["bm25_topk_bic"] = d["bm25_topk"]
+    # classifier eval: confusion + per-class precision/recall/F1 over
+    # the nb_predict oracle's own prediction text (composition proof —
+    # truth joins back to documents; classes = distinct true langs)
+    d["nb_eval"] = (
+        "WITH preds AS MATERIALIZED (\n" + d["nb_predict"] + "\n),\n"
+        """conf AS (
+  SELECT d.lang AS true_lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM preds p JOIN documents d USING (doc_id) GROUP BY 1, 2),
+cls AS (SELECT DISTINCT true_lang AS lang FROM conf),
+agg AS (
+  SELECT c.lang,
+    CAST(coalesce((SELECT sum(n) FROM conf WHERE true_lang = c.lang), 0)
+         AS BIGINT) AS support,
+    CAST(coalesce((SELECT sum(n) FROM conf WHERE true_lang = c.lang
+                   AND pred_lang = c.lang), 0) AS BIGINT) AS tp,
+    CAST(coalesce((SELECT sum(n) FROM conf WHERE pred_lang = c.lang
+                   AND true_lang <> c.lang), 0) AS BIGINT) AS fp,
+    CAST(coalesce((SELECT sum(n) FROM conf WHERE true_lang = c.lang
+                   AND pred_lang <> c.lang), 0) AS BIGINT) AS fn
+  FROM cls c)
+SELECT lang, support, tp, fp, fn,
+  CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST((1000000 * tp) // (tp + fp) AS BIGINT)
+  END AS precision_ppm,
+  CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST((1000000 * tp) // (tp + fn) AS BIGINT)
+  END AS recall_ppm,
+  CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST((2000000 * tp) // (2 * tp + fp + fn) AS BIGINT)
+  END AS f1_ppm
+FROM agg""")
     # time-travel: the bm25 oracle with `documents` rebound to the base
     # ingestion half — an uncompacted ingest must leave the old epoch
     # exactly servable

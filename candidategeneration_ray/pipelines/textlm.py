@@ -1524,26 +1524,10 @@ def q_nb_model(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
     })
 
 
-def q_nb_predict(sf_dir: str, train_pct: int = TRAIN_PCT) -> ray.data.Dataset:
-    """Naive Bayes prediction over the VAL split — the trained-text-
-    classifier serving path (the shape of fastText-style quality /
-    language filters over a pretraining corpus). Laplace-smoothed
-    per-term log weights quantize to int BEFORE the per-doc sum
-    (the BM25/LMD discipline), so the whole classifier output —
-    winner class, integer score, known-token count — hash-verifies:
-
-        w(t,c)  = trunc(1e7 * ln((cnt(t,c) + 1) / (T_c + V)))
-        prior_c = trunc(1e7 * ln(docs_c / docs_total))
-        score(d,c) = prior_c + sum_t tf_t * w(t,c)   [t in train vocab]
-
-    prediction = argmax_c score, ties by lang asc. Unknown tokens
-    (absent from the train vocabulary) are skipped — the standard
-    multinomial-NB convention.
-
-    Shape: the model is the vocabulary-bounded groupby from _nb_train,
-    broadcast once via ray.put as a dense (classes x vocab) int weight
-    matrix; scoring is a pure map_batches (one searchsorted + one
-    reduceat per class per batch) — no shuffle, no per-doc Python."""
+def _nb_model_state(sf_dir: str, train_pct: int):
+    """Train the NB model and broadcast it once via ray.put: returns
+    the handle to (classes, vocab, weight matrix, priors) — shared by
+    the predict and eval entries."""
     model, docs = _nb_train(sf_dir, train_pct)
     classes = np.sort(docs["lang"].to_numpy(dtype=object))
     ndocs = docs.set_index("lang")["cnt"].to_dict()
@@ -1565,50 +1549,84 @@ def q_nb_predict(sf_dir: str, train_pct: int = TRAIN_PCT) -> ray.data.Dataset:
     prior = np.trunc(np.log(
         np.asarray([ndocs[c] for c in classes], np.float64) / docs_tot)
         * 1e7).astype(np.int64)
-    st = ray.put((classes, vocab, w_mat, prior))
+    return ray.put((classes, vocab, w_mat, prior))
+
+
+def _nb_score_batch(batch: pa.Table, state, train_pct: int):
+    """Score a batch's VAL-split docs under the broadcast NB model.
+    Returns (val_pos, doc_ids, best_idx, scores, n_known, classes) or
+    None when there is nothing to score (empty split / zero classes)."""
+    classes_, vocab_, w_, prior_ = state
+    token_lists = tokenize_many(batch.column("text").to_pylist())
+    doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    hs = H.h64_many([str(i) for i in doc_ids.tolist()])
+    is_val = hs % np.uint64(100) >= train_pct
+    val_pos = np.flatnonzero(is_val)
+    n = val_pos.size
+    if n == 0 or classes_.size == 0:
+        return None
+    lens = np.fromiter((len(token_lists[i]) for i in val_pos),
+                       np.int64, n)
+    total = int(lens.sum())
+    scores = np.tile(prior_, (n, 1)).astype(np.int64)
+    n_known = np.zeros(n, np.int64)
+    if total and vocab_.size:
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for i in val_pos:
+            t = token_lists[i]
+            flat[pos:pos + len(t)] = t
+            pos += len(t)
+        didx = np.repeat(np.arange(n), lens)
+        idx = np.searchsorted(vocab_, flat)
+        idx[idx == vocab_.size] = 0
+        known = vocab_[idx] == flat
+        n_known = np.bincount(didx[known], minlength=n).astype(np.int64)
+        kd, ki = didx[known], idx[known]
+        for c in range(classes_.size):
+            acc = np.zeros(n, np.int64)   # int64 adds stay exact
+            np.add.at(acc, kd, w_[c, ki])
+            scores[:, c] += acc
+    best = np.argmax(scores, axis=1)  # first max = smallest lang asc
+    return val_pos, doc_ids, best, scores, n_known, classes_
+
+
+def q_nb_predict(sf_dir: str, train_pct: int = TRAIN_PCT) -> ray.data.Dataset:
+    """Naive Bayes prediction over the VAL split — the trained-text-
+    classifier serving path (the shape of fastText-style quality /
+    language filters over a pretraining corpus). Laplace-smoothed
+    per-term log weights quantize to int BEFORE the per-doc sum
+    (the BM25/LMD discipline), so the whole classifier output —
+    winner class, integer score, known-token count — hash-verifies:
+
+        w(t,c)  = trunc(1e7 * ln((cnt(t,c) + 1) / (T_c + V)))
+        prior_c = trunc(1e7 * ln(docs_c / docs_total))
+        score(d,c) = prior_c + sum_t tf_t * w(t,c)   [t in train vocab]
+
+    prediction = argmax_c score, ties by lang asc. Unknown tokens
+    (absent from the train vocabulary) are skipped — the standard
+    multinomial-NB convention.
+
+    Shape: the model is the vocabulary-bounded groupby from _nb_train,
+    broadcast once via ray.put as a dense (classes x vocab) int weight
+    matrix; scoring is a pure map_batches (one searchsorted + one
+    reduceat per class per batch) — no shuffle, no per-doc Python."""
+    st = _nb_model_state(sf_dir, train_pct)
 
     def _predict(batch: pa.Table) -> pa.Table:
-        classes_, vocab_, w_, prior_ = ray.get(st)
-        token_lists = tokenize_many(batch.column("text").to_pylist())
-        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
-        hs = H.h64_many([str(i) for i in doc_ids.tolist()])
-        is_val = hs % np.uint64(100) >= train_pct
-        val_pos = np.flatnonzero(is_val)
-        n = val_pos.size
-        empty = pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "pred_lang": pa.array([], pa.string()),
-            "score": pa.array([], pa.int64()),
-            "n_known": pa.array([], pa.int64()),
-        })
         # empty train split => zero classes; the oracle's empty cls CTE
         # yields no rows, so predict nothing rather than argmax over a
         # zero-width score matrix
-        if n == 0 or classes_.size == 0:
-            return empty
-        lens = np.fromiter((len(token_lists[i]) for i in val_pos),
-                           np.int64, n)
-        total = int(lens.sum())
-        scores = np.tile(prior_, (n, 1)).astype(np.int64)
-        n_known = np.zeros(n, np.int64)
-        if total and vocab_.size:
-            flat = np.empty(total, dtype=object)
-            pos = 0
-            for i in val_pos:
-                t = token_lists[i]
-                flat[pos:pos + len(t)] = t
-                pos += len(t)
-            didx = np.repeat(np.arange(n), lens)
-            idx = np.searchsorted(vocab_, flat)
-            idx[idx == vocab_.size] = 0
-            known = vocab_[idx] == flat
-            n_known = np.bincount(didx[known], minlength=n).astype(np.int64)
-            kd, ki = didx[known], idx[known]
-            for c in range(classes_.size):
-                acc = np.zeros(n, np.int64)   # int64 adds stay exact
-                np.add.at(acc, kd, w_[c, ki])
-                scores[:, c] += acc
-        best = np.argmax(scores, axis=1)  # first max = smallest lang asc
+        scored = _nb_score_batch(batch, ray.get(st), train_pct)
+        if scored is None:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "pred_lang": pa.array([], pa.string()),
+                "score": pa.array([], pa.int64()),
+                "n_known": pa.array([], pa.int64()),
+            })
+        val_pos, doc_ids, best, scores, n_known, classes_ = scored
+        n = val_pos.size
         return pa.table({
             "doc_id": pa.array(doc_ids[val_pos], pa.int64()),
             "pred_lang": pa.array([classes_[b] for b in best], pa.string()),
@@ -1617,6 +1635,92 @@ def q_nb_predict(sf_dir: str, train_pct: int = TRAIN_PCT) -> ray.data.Dataset:
         })
 
     return documents_ds(sf_dir).map_batches(_predict, batch_format="pyarrow")
+
+
+def q_nb_eval(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
+    """Classifier evaluation of the NB val-split predictions — the
+    confusion-derived per-class metric table every trained filter
+    ships with: for each TRUE class, support, tp, fp, fn and the ppm
+    floor quotients precision = tp/(tp+fp), recall = tp/(tp+fn),
+    f1 = 2tp/(2tp+fp+fn) (the exact integer form of 2PR/(P+R); 0 when
+    the denominator is 0). Classes = distinct true langs in the val
+    split; fp counts predictions of the class whose truth differs.
+
+    Shape: the scoring map emits per-batch (true, pred, n) confusion
+    partials (truth is IN the batch — no join) → one groupby to
+    O(classes²) rows → O(classes) driver finalize."""
+    from ray.data.aggregate import Sum
+
+    st = _nb_model_state(sf_dir, train_pct)
+
+    def _confuse(batch: pa.Table) -> pa.Table:
+        scored = _nb_score_batch(batch, ray.get(st), train_pct)
+        if scored is None:
+            return pa.table({
+                "true_lang": pa.array([], pa.string()),
+                "pred_lang": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        val_pos, _, best, _, _, classes_ = scored
+        true = np.asarray(batch.column("lang").to_pylist(),
+                          dtype=object)[val_pos]
+        # pack (true, pred) as integer codes — one np.unique per batch
+        tu, tinv = np.unique(true, return_inverse=True)
+        pack = tinv * classes_.size + best
+        u, c = np.unique(pack, return_counts=True)
+        return pa.table({
+            "true_lang": pa.array(
+                tu[u // classes_.size].tolist(), pa.string()),
+            "pred_lang": pa.array(
+                classes_[u % classes_.size].tolist(), pa.string()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    conf = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "lang"])
+            .map_batches(_confuse, batch_format="pyarrow")
+            .groupby(["true_lang", "pred_lang"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all())
+    classes = sorted({r["true_lang"] for r in conf})
+    tp = {c: 0 for c in classes}
+    fn = {c: 0 for c in classes}
+    fp = {c: 0 for c in classes}
+    sup = {c: 0 for c in classes}
+    for r in conf:
+        t, p, n = r["true_lang"], r["pred_lang"], int(r["n"])
+        sup[t] += n
+        if t == p:
+            tp[t] += n
+        else:
+            fn[t] += n
+            if p in fp:
+                fp[p] += n
+    rows = {"lang": [], "support": [], "tp": [], "fp": [], "fn": [],
+            "precision_ppm": [], "recall_ppm": [], "f1_ppm": []}
+    for c in classes:
+        rows["lang"].append(c)
+        rows["support"].append(sup[c])
+        rows["tp"].append(tp[c])
+        rows["fp"].append(fp[c])
+        rows["fn"].append(fn[c])
+        rows["precision_ppm"].append(
+            (10 ** 6 * tp[c]) // (tp[c] + fp[c]) if tp[c] + fp[c] else 0)
+        rows["recall_ppm"].append(
+            (10 ** 6 * tp[c]) // (tp[c] + fn[c]) if tp[c] + fn[c] else 0)
+        d = 2 * tp[c] + fp[c] + fn[c]
+        rows["f1_ppm"].append((2 * 10 ** 6 * tp[c]) // d if d else 0)
+    return pa.table({
+        "lang": pa.array(rows["lang"], pa.string()),
+        "support": pa.array(rows["support"], pa.int64()),
+        "tp": pa.array(rows["tp"], pa.int64()),
+        "fp": pa.array(rows["fp"], pa.int64()),
+        "fn": pa.array(rows["fn"], pa.int64()),
+        "precision_ppm": pa.array(rows["precision_ppm"], pa.int64()),
+        "recall_ppm": pa.array(rows["recall_ppm"], pa.int64()),
+        "f1_ppm": pa.array(rows["f1_ppm"], pa.int64()),
+    })
 
 
 # ------------------------------------------- batch perceptron (iterative

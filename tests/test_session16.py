@@ -154,3 +154,37 @@ class TestSpendGini:
         a = q_spend_gini(SF, num_blocks=3).to_pylist()
         b = q_spend_gini(SF, num_blocks=64).to_pylist()
         assert a == b
+
+
+class TestNbEval:
+    def test_matches_prediction_confusion(self, ray_session):
+        from candidategeneration_ray.pipelines.textlm import (
+            q_nb_eval, q_nb_predict)
+
+        truth = dict(zip(
+            *[pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id", "lang"]).column(c).to_pylist()
+              for c in ("doc_id", "lang")]))
+        preds = {r["doc_id"]: r["pred_lang"]
+                 for r in q_nb_predict(SF).take_all()}
+        rows = {r["lang"]: r for r in q_nb_eval(SF).to_pylist()}
+        classes = sorted({truth[d] for d in preds})
+        assert sorted(rows) == classes
+        for c in classes:
+            tp = sum(1 for d, p in preds.items()
+                     if truth[d] == c and p == c)
+            fp = sum(1 for d, p in preds.items()
+                     if truth[d] != c and p == c)
+            fn = sum(1 for d, p in preds.items()
+                     if truth[d] == c and p != c)
+            r = rows[c]
+            assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+            assert r["support"] == tp + fn
+            if tp + fp:
+                assert r["precision_ppm"] == (10**6 * tp) // (tp + fp)
+            if tp + fn:
+                assert r["recall_ppm"] == (10**6 * tp) // (tp + fn)
+            d2 = 2 * tp + fp + fn
+            assert r["f1_ppm"] == ((2 * 10**6 * tp) // d2 if d2 else 0)
+        # every val prediction is accounted for exactly once
+        assert sum(r["support"] for r in rows.values()) == len(preds)
