@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- lexicon / search-frontend features ---
         "prefix_terms": lx.q_prefix_terms,              # wildcard/autocomplete scan
         "fuzzy_terms": lx.q_fuzzy_terms,                # ed<=1 "did you mean"
+        "soundex_terms": lx.q_soundex_terms,            # phonetic encoding
+        "phonetic_lookup": lx.q_phonetic_lookup,        # sound-alike matches
         "bool_or_docs": lx.q_bool_or_docs,              # m-of-k disjunctive retrieval
         "bool_diff_docs": lx.q_bool_diff_docs,          # AND-NOT set difference
         "boolean_query_docs": lx.q_boolean_query_docs,  # boolean compiler, 2 backends

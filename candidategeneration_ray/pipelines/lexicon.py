@@ -911,3 +911,95 @@ def q_dictionary_bytes(sf_dir: str,
         "front_bytes": pa.array([front], pa.int64()),
         "saved_ppm": pa.array([saved_ppm], pa.int64()),
     })
+
+
+# -------------------------------------------------- phonetic (Soundex)
+
+# letter -> Soundex digit (a..z); vowels plus h/w/y map to 0
+_SOUNDEX_DIGITS = "01230120022455012623010202"
+_SOUNDEX_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz",
+                             _SOUNDEX_DIGITS)
+
+
+def soundex_code(tok: str) -> str:
+    """American Soundex, simplified variant WITHOUT the h/w-separator
+    exception (adjacent equal codes separated by h or w stay separate
+    runs — h/w act as run breakers exactly like vowels). Rules, applied
+    to a lowercase [a-z]+ token: map letters to digits, collapse
+    adjacent equal-digit runs, drop the leading run (it belongs to the
+    kept first letter), strip zeros, keep 3 digits zero-padded behind
+    the uppercased first letter. Deterministic string arithmetic on
+    both sides — the SQL oracle applies the identical rule chain with
+    translate + per-digit run collapses."""
+    d = tok.translate(_SOUNDEX_MAP)
+    out = []
+    prev = None
+    for ch in d:
+        if ch != prev:
+            out.append(ch)
+        prev = ch
+    rest = "".join(out[1:]).replace("0", "")
+    return (tok[0].upper() + rest + "000")[:4]
+
+
+def q_soundex_terms(sf_dir: str) -> ray.data.Dataset:
+    """Phonetic dictionary: every alphabetic dictionary term with its
+    Soundex code (see soundex_code for the documented variant) and df
+    — the encoding half of phonetic entity blocking ("smith" and
+    "smyth" share S530). Shape: a per-block map over the blocked
+    dictionary; the per-term Python loop runs over the VOCABULARY
+    (bounded), never over the corpus. Returns (term, df, code)."""
+    def _code(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        df = batch.column("df").to_numpy().astype(np.int64)
+        keep = [i for i, t in enumerate(terms) if t.isalpha()]
+        return pa.table({
+            "term": pa.array([terms[i] for i in keep], pa.string()),
+            "df": pa.array(df[keep], pa.int64()),
+            "code": pa.array([soundex_code(terms[i]) for i in keep],
+                             pa.string()),
+        })
+
+    return _dictionary_ds(sf_dir).map_batches(_code,
+                                              batch_format="pyarrow")
+
+
+# misspelled probes whose Soundex codes collide with dictionary terms
+# (badge/batch -> B320, march/merge -> M620, soared/sort -> S630, ...)
+PHONETIC_QUERIES = ("badge", "march", "soared", "qwery", "joyn",
+                    "filtar", "haash")
+
+
+def q_phonetic_lookup(sf_dir: str) -> ray.data.Dataset:
+    """Phonetic "did you mean": for each fixed (misspelled) probe
+    word, every dictionary term sharing its Soundex code, with df —
+    the phonetic companion to q_fuzzy_terms' edit-distance lookup
+    (soundex catches sound-alike misspellings Levenshtein-1 misses,
+    e.g. badge→batch). Shape: the probes' codes are tiny and
+    broadcast; each dictionary block encodes itself and hash-joins
+    locally — no shuffle. Returns (qword, term, df, code)."""
+    probes = [(q, soundex_code(q)) for q in PHONETIC_QUERIES]
+
+    def _match(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        df = batch.column("df").to_numpy().astype(np.int64)
+        codes = batch.column("code").to_pylist()
+        out_q, out_t, out_df, out_c = [], [], [], []
+        by_code: dict[str, list[int]] = {}
+        for i, c in enumerate(codes):
+            by_code.setdefault(c, []).append(i)
+        for qw, qc in probes:
+            for i in by_code.get(qc, ()):
+                out_q.append(qw)
+                out_t.append(terms[i])
+                out_df.append(int(df[i]))
+                out_c.append(qc)
+        return pa.table({
+            "qword": pa.array(out_q, pa.string()),
+            "term": pa.array(out_t, pa.string()),
+            "df": pa.array(out_df, pa.int64()),
+            "code": pa.array(out_c, pa.string()),
+        })
+
+    return q_soundex_terms(sf_dir).map_batches(_match,
+                                               batch_format="pyarrow")

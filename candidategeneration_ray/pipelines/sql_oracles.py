@@ -8194,5 +8194,37 @@ SELECT CAST(n AS BIGINT) AS n_users, CAST(t AS BIGINT) AS total_cents,
                       AS BIGINT) END AS gini_ppm
 FROM m
 """
+    # Soundex (simplified variant, no h/w exception — see
+    # lexicon.soundex_code): translate to digits, collapse runs per
+    # digit, drop the leading run, strip zeros, pad to 3 behind the
+    # uppercased first letter
+    from candidategeneration_ray.pipelines.lexicon import _SOUNDEX_DIGITS
+
+    collapsed = ("translate(term, 'abcdefghijklmnopqrstuvwxyz', "
+                 f"'{_SOUNDEX_DIGITS}')")
+    for dgt in "0123456":
+        collapsed = ("regexp_replace(" + collapsed + ", '" + dgt
+                     + "{2,}', '" + dgt + "', 'g')")
+    code_expr = (
+        "upper(substr(term, 1, 1)) || rpad(substr(replace(substr("
+        + collapsed + ", 2), '0', ''), 1, 3), 3, '0')")
+    dft = ("dft AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS "
+           "BIGINT) AS df FROM kept GROUP BY tok)")
+    sx_cte = (f"WITH {KEPT_CTE},\n{dft},\n"
+              "al AS (SELECT term, df FROM dft "
+              "WHERE regexp_full_match(term, '[a-z]+')),\n"
+              f"sx AS (SELECT term, df, {code_expr} AS code FROM al)")
+    soundex_terms = sx_cte + "\nSELECT term, df, code FROM sx"
+    from candidategeneration_ray.pipelines.lexicon import PHONETIC_QUERIES
+
+    pq_vals = ", ".join(f"('{w}')" for w in PHONETIC_QUERIES)
+    phonetic_lookup = sx_cte + f""",
+probe(qword) AS (VALUES {pq_vals}),
+pc AS (SELECT qword, {code_expr.replace('term', 'qword')} AS code
+       FROM probe)
+SELECT pc.qword, sx.term, sx.df, sx.code
+FROM pc JOIN sx ON sx.code = pc.code
+"""
     return {"gbdt_model": gbdt, "isotonic_calibration": isotonic,
-            "spend_gini": gini}
+            "spend_gini": gini, "soundex_terms": soundex_terms,
+            "phonetic_lookup": phonetic_lookup}

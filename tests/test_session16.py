@@ -188,3 +188,35 @@ class TestNbEval:
             assert r["f1_ppm"] == ((2 * 10**6 * tp) // d2 if d2 else 0)
         # every val prediction is accounted for exactly once
         assert sum(r["support"] for r in rows.values()) == len(preds)
+
+
+class TestSoundex:
+    def test_known_codes(self, ray_session):
+        from candidategeneration_ray.pipelines.lexicon import soundex_code
+
+        # classic reference values that don't involve the h/w rule
+        assert soundex_code("robert") == "R163"
+        assert soundex_code("rupert") == "R163"
+        assert soundex_code("tymczak") == "T522"
+        assert soundex_code("honeyman") == "H555"
+        assert soundex_code("jazz") == "J200"
+        # p and f share code 1: the leading run collapses into the P
+        assert soundex_code("pfister") == "P236"
+        # documented variant: h/w BREAK runs (classic A261 -> A226 here)
+        assert soundex_code("ashcraft") == "A226"
+        assert soundex_code("a") == "A000"
+
+    def test_lookup_finds_soundalikes(self, ray_session):
+        from candidategeneration_ray.pipelines.lexicon import (
+            q_phonetic_lookup)
+
+        rows = q_phonetic_lookup(SF).take_all()
+        got = {(r["qword"], r["term"]) for r in rows}
+        assert ("badge", "batch") in got
+        assert ("march", "merge") in got
+        assert ("soared", "sort") in got
+        # every match shares the probe's code by construction
+        from candidategeneration_ray.pipelines.lexicon import soundex_code
+        for r in rows:
+            assert soundex_code(r["term"]) == r["code"] == \
+                soundex_code(r["qword"])
