@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_eval": ex.q_langid_eval,
         "fingerprints": ex.q_fingerprints,
         "winnow_fingerprints": ex.q_winnow_fingerprints,  # MOSS local fingerprints
+        "cdc_chunks": ex.q_cdc_chunks,              # content-defined chunking
+        "cdc_dedup_stats": ex.q_cdc_dedup_stats,    # chunk-store savings
         "corpus_digest": ex.q_corpus_digest,            # order-insensitive row-hash digest
         "snapshot_diff": ex.q_snapshot_diff,            # versioned-table diff by key
         "doc_chunks": ex.q_doc_chunks,          # flat-map chunker (RAG shape)

@@ -4573,3 +4573,116 @@ def q_isotonic_calibration(sf_dir: str) -> pa.Table:
         "p": pa.array(p, pa.int64()),
         "fit_s12": pa.array(fit, pa.int64()),
     })
+
+
+# ------------------------------------- content-defined chunking (CDC)
+
+CDC_K = 4        # tokens per rolling window
+CDC_D = 8        # boundary divisor: ~1/D cut rate, mean chunk ~D tokens
+
+
+def _cdc_bounds(toks: list[str]) -> list[int]:
+    """Chunk boundary token-counts for one doc under basic Rabin-style
+    CDC (no min/max clamps — the variant whose boundaries depend only
+    on local content, so edits shift at most the two adjacent chunks):
+    a cut falls AFTER token e (K <= e <= n-1) iff the window hash of
+    tokens (e-K+1 .. e) is divisible by CDC_D. Returns the partition
+    fenceposts [0, e1, e2, ..., n]."""
+    n = len(toks)
+    bounds = [0]
+    if n >= CDC_K:
+        hs = H.h64_many(H.word_shingles(toks, CDC_K))
+        for idx in range(n - CDC_K):       # exclude the final window
+            if int(hs[idx]) % CDC_D == 0:
+                bounds.append(idx + CDC_K)
+    bounds.append(n)
+    return bounds
+
+
+def q_cdc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Content-defined chunking over the kept-token stream — the
+    storage-dedup primitive (LBFS/FastCDC family): boundaries are
+    picked where a K-token rolling hash is divisible by CDC_D, so
+    identical passages chunk identically REGARDLESS of their offset
+    in the doc (the property fixed-size blocks lack). Per chunk:
+    (doc_id, chunk_idx, start_kpos, n_tokens, chunk_md5) with
+    chunk_md5 = md5 of the space-joined chunk tokens — the
+    content-addressed store key.
+
+    Shape: pure streaming map_batches, no shuffle; the md5-per-chunk
+    loop is bounded by tokens/CDC_D per doc. Docs with no kept tokens
+    emit nothing."""
+    import hashlib
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        out = {"doc_id": [], "chunk_idx": [], "start_kpos": [],
+               "n_tokens": [], "chunk_md5": []}
+        for did, toks in zip(doc_ids.tolist(), token_lists):
+            if not toks:
+                continue
+            bounds = _cdc_bounds(toks)
+            for c in range(len(bounds) - 1):
+                lo, hi = bounds[c], bounds[c + 1]
+                out["doc_id"].append(did)
+                out["chunk_idx"].append(c)
+                out["start_kpos"].append(lo + 1)
+                out["n_tokens"].append(hi - lo)
+                out["chunk_md5"].append(
+                    hashlib.md5(" ".join(toks[lo:hi]).encode())
+                    .hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "chunk_idx": pa.array(out["chunk_idx"], pa.int64()),
+            "start_kpos": pa.array(out["start_kpos"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "chunk_md5": pa.array(out["chunk_md5"], pa.string()),
+        })
+
+    return documents_ds(sf_dir).map_batches(_chunks,
+                                            batch_format="pyarrow")
+
+
+def q_cdc_dedup_stats(sf_dir: str) -> pa.Table:
+    """Chunk-level dedup accounting over the CDC chunking — what a
+    content-addressed store would save: total vs distinct chunks and
+    the redundant token mass Σ (occurrences − 1) · chunk_len over
+    duplicate chunk groups (equal md5 ⇒ equal content ⇒ equal length).
+    One output row (total_chunks, distinct_chunks, dup_chunks,
+    total_tokens, redundant_tokens).
+
+    Shape: chunk stream → ONE groupby(chunk_md5) to per-content rows
+    → per-batch partial sums → O(1) driver finalize."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    grouped = (q_cdc_chunks(sf_dir)
+               .groupby("chunk_md5")
+               .aggregate(Count(alias_name="cnt"),
+                          Min("n_tokens", alias_name="len"),
+                          Sum("n_tokens", alias_name="tok_sum")))
+
+    def _part(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy().astype(np.int64)
+        ln = batch.column("len").to_numpy().astype(np.int64)
+        tok = batch.column("tok_sum").to_numpy().astype(np.int64)
+        return pa.table({
+            "total_chunks": pa.array([int(cnt.sum())], pa.int64()),
+            "distinct_chunks": pa.array([cnt.size], pa.int64()),
+            "total_tokens": pa.array([int(tok.sum())], pa.int64()),
+            "redundant_tokens": pa.array(
+                [int(((cnt - 1) * ln).sum())], pa.int64()),
+        })
+
+    parts = grouped.map_batches(_part, batch_format="pyarrow").take_all()
+    tc = sum(int(r["total_chunks"]) for r in parts)
+    dc = sum(int(r["distinct_chunks"]) for r in parts)
+    tt = sum(int(r["total_tokens"]) for r in parts)
+    rt = sum(int(r["redundant_tokens"]) for r in parts)
+    return pa.table({
+        "total_chunks": pa.array([tc], pa.int64()),
+        "distinct_chunks": pa.array([dc], pa.int64()),
+        "dup_chunks": pa.array([tc - dc], pa.int64()),
+        "total_tokens": pa.array([tt], pa.int64()),
+        "redundant_tokens": pa.array([rt], pa.int64()),
+    })

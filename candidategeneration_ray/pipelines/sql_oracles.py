@@ -8225,6 +8225,46 @@ pc AS (SELECT qword, {code_expr.replace('term', 'qword')} AS code
 SELECT pc.qword, sx.term, sx.df, sx.code
 FROM pc JOIN sx ON sx.code = pc.code
 """
+    # content-defined chunking: cut after token e iff the K-token
+    # window hash ending at e is divisible by D (final window excluded)
+    from candidategeneration_ray.pipelines.extras import CDC_D, CDC_K
+
+    cdc_h = _H64.format(
+        expr=f"array_to_string(list_slice(l, i, i + {CDC_K - 1}), ' ')")
+    cdc_cte = f"""WITH {KEPT_CTE},
+{_DOCS_TOKS},
+sh AS (SELECT doc_id, l,
+              unnest(range(1, greatest(len(l) - {CDC_K}, 0) + 1)) AS i
+       FROM docs_toks),
+cuts AS (SELECT doc_id, i + {CDC_K - 1} AS e
+         FROM sh WHERE {cdc_h} % {CDC_D} = 0),
+tokc AS (
+  SELECT k.doc_id, k.kpos, k.tok, CAST(count(c.e) AS BIGINT) AS ci
+  FROM kept k LEFT JOIN cuts c ON c.doc_id = k.doc_id AND c.e < k.kpos
+  GROUP BY k.doc_id, k.kpos, k.tok),
+ch AS (
+  SELECT doc_id, ci AS chunk_idx,
+         CAST(min(kpos) AS BIGINT) AS start_kpos,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY kpos)) AS chunk_md5
+  FROM tokc GROUP BY doc_id, ci)"""
+    cdc_chunks = cdc_cte + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       start_kpos, n_tokens, chunk_md5
+FROM ch"""
+    cdc_stats = cdc_cte + """,
+g AS (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(min(n_tokens) AS BIGINT) AS len,
+             CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+      FROM ch GROUP BY chunk_md5)
+SELECT CAST(sum(cnt) AS BIGINT) AS total_chunks,
+       CAST(count(*) AS BIGINT) AS distinct_chunks,
+       CAST(sum(cnt) - count(*) AS BIGINT) AS dup_chunks,
+       CAST(sum(tok_sum) AS BIGINT) AS total_tokens,
+       CAST(sum((cnt - 1) * len) AS BIGINT) AS redundant_tokens
+FROM g"""
     return {"gbdt_model": gbdt, "isotonic_calibration": isotonic,
             "spend_gini": gini, "soundex_terms": soundex_terms,
-            "phonetic_lookup": phonetic_lookup}
+            "phonetic_lookup": phonetic_lookup,
+            "cdc_chunks": cdc_chunks, "cdc_dedup_stats": cdc_stats}

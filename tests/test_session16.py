@@ -220,3 +220,64 @@ class TestSoundex:
         for r in rows:
             assert soundex_code(r["term"]) == r["code"] == \
                 soundex_code(r["qword"])
+
+
+class TestCdcChunks:
+    def test_partition_invariant(self, ray_session):
+        from candidategeneration_ray.functions.tokenize import tokenize_text
+        from candidategeneration_ray.pipelines.extras import q_cdc_chunks
+
+        rows = q_cdc_chunks(SF).take_all()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        texts = pq.read_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"])
+        kept = {d: len(tokenize_text(t)) for d, t in zip(
+            texts.column("doc_id").to_pylist(),
+            texts.column("text").to_pylist())}
+        for did, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_idx"])
+            # chunks tile the kept-token stream exactly
+            pos = 1
+            for c in chunks:
+                assert c["start_kpos"] == pos
+                pos += c["n_tokens"]
+            assert pos - 1 == kept[did]
+        assert set(by_doc) == {d for d, n in kept.items() if n > 0}
+
+    def test_shift_invariance(self, ray_session):
+        """The CDC property: a shared passage yields identical interior
+        chunks regardless of its offset in the doc."""
+        import hashlib
+
+        from candidategeneration_ray.pipelines.extras import _cdc_bounds
+
+        shared = ("query engine latency budget shard merge spill "
+                  "vector column batch stream filter hash join sort "
+                  "window group order scan table row key data line "
+                  "part value small slow fast big").split()
+        doc_a = shared * 3                       # offset 0
+        doc_b = "alpha beta gamma delta".split() + shared * 3
+
+        def chunk_set(toks):
+            b = _cdc_bounds(toks)
+            return {hashlib.md5(" ".join(toks[b[i]:b[i + 1]]).encode())
+                    .hexdigest() for i in range(len(b) - 1)}
+
+        common = chunk_set(doc_a) & chunk_set(doc_b)
+        # interior chunks of the shared run must coincide
+        assert len(common) >= 3
+
+    def test_dedup_stats_consistent(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import (
+            q_cdc_chunks, q_cdc_dedup_stats)
+
+        rows = q_cdc_chunks(SF).take_all()
+        stats = q_cdc_dedup_stats(SF).to_pylist()[0]
+        md5s = [r["chunk_md5"] for r in rows]
+        assert stats["total_chunks"] == len(md5s)
+        assert stats["distinct_chunks"] == len(set(md5s))
+        assert stats["dup_chunks"] == len(md5s) - len(set(md5s))
+        assert stats["total_tokens"] == sum(r["n_tokens"] for r in rows)
+        assert 0 <= stats["redundant_tokens"] <= stats["total_tokens"]
