@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_regression": ex.q_source_regression,  # grouped OLS (exact num/den)
         # --- mergeable-summary (sketch) aggregates ---
         "doclen_histogram": sk.q_doclen_histogram,
+        "vopt_histogram": sk.q_vopt_histogram,      # exact DP segmentation
         "doclen_quantiles": sk.q_doclen_quantiles,
         "frequent_terms": sk.q_frequent_terms,      # 2-pass Misra-Gries, exact
         "hll_registers": sk.q_hll_registers,            # sketch state, exact

@@ -1249,3 +1249,96 @@ def q_ks_source_test(sf_dir: str) -> pa.Table:
         "d_num": pa.array([r[4] for r in out], pa.int64()),
         "d_den": pa.array([r[5] for r in out], pa.int64()),
     })
+
+
+# --------------------------------------- V-optimal histogram (exact DP)
+
+VOPT_BIN_WIDTH = 8     # pre-binning width for the frequency series
+VOPT_BUCKETS = 6       # histogram buckets the DP may spend
+
+
+def q_vopt_histogram(sf_dir: str,
+                     n_buckets: int = VOPT_BUCKETS) -> pa.Table:
+    """V-optimal histogram (Jagadish et al., VLDB'98) — the optimal-
+    segmentation / dynamic-programming class: partition the dense
+    doc-length frequency series f_0..f_m (s = n_chars // 8, zeros
+    filled in) into exactly B contiguous buckets minimizing the total
+    integer SSE, where each segment's cost uses the toward-zero
+    truncated mean (the same quantized-leaf criterion as q_gbdt_model
+    — segment costs are then INTEGERS, so DP sums stay exact and the
+    argmin is well-defined with ties broken toward the smaller segment
+    start). The SQL oracle unrolls the B DP layers and backtracks the
+    cut chain. Output one row per bucket: (bucket, lo_bin, hi_bin,
+    n_docs, sse).
+
+    Shape: one groupby(s).sum to the bounded frequency domain (the
+    doclen-histogram sufficient statistic); the O(m²·B) DP runs on the
+    driver over the ≤~hundred-point series — nothing scales with the
+    corpus."""
+    from ray.data.aggregate import Sum
+
+    def _part(batch: pa.Table) -> pa.Table:
+        s = batch.column("n_chars").to_numpy() // VOPT_BIN_WIDTH
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"s": pa.array(u, pa.int64()),
+                         "f": pa.array(c.astype(np.int64), pa.int64())})
+
+    rows = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["n_chars"])
+            .map_batches(_part, batch_format="pyarrow")
+            .groupby("s")
+            .aggregate(Sum("f", alias_name="f"))
+            .take_all())
+    m = max(int(r["s"]) for r in rows)
+    f = [0] * (m + 1)
+    for r in rows:
+        f[int(r["s"])] = int(r["f"])
+    if m + 1 < n_buckets:
+        raise ValueError(
+            f"{m + 1} series points cannot fill {n_buckets} buckets")
+    c1 = [0]
+    c2 = [0]
+    for v in f:
+        c1.append(c1[-1] + v)
+        c2.append(c2[-1] + v * v)
+
+    def _cost(i: int, j: int) -> int:      # inclusive bin range
+        n = j - i + 1
+        s1 = c1[j + 1] - c1[i]
+        s2 = c2[j + 1] - c2[i]
+        mu = s1 // n                        # s1 >= 0: floor == trunc
+        return s2 - 2 * mu * s1 + n * mu * mu
+
+    B = n_buckets
+    INF = float("inf")
+    dp = [[INF] * (m + 1) for _ in range(B + 1)]
+    cut = [[0] * (m + 1) for _ in range(B + 1)]
+    for j in range(m + 1):
+        dp[1][j] = _cost(0, j)
+    for b in range(2, B + 1):
+        for j in range(b - 1, m + 1):
+            best, bc = INF, 0
+            for c in range(b - 1, j + 1):
+                v = dp[b - 1][c - 1] + _cost(c, j)
+                if v < best or (v == best and c < bc):
+                    best, bc = v, c
+            dp[b][j] = best
+            cut[b][j] = bc
+    # backtrack the cut chain from (B, m)
+    segs = []
+    j = m
+    for b in range(B, 1, -1):
+        c = cut[b][j]
+        segs.append((b, c, j))
+        j = c - 1
+    segs.append((1, 0, j))
+    segs.reverse()
+    return pa.table({
+        "bucket": pa.array([s[0] for s in segs], pa.int64()),
+        "lo_bin": pa.array([s[1] for s in segs], pa.int64()),
+        "hi_bin": pa.array([s[2] for s in segs], pa.int64()),
+        "n_docs": pa.array([c1[s[2] + 1] - c1[s[1]] for s in segs],
+                           pa.int64()),
+        "sse": pa.array([_cost(s[1], s[2]) for s in segs], pa.int64()),
+    })

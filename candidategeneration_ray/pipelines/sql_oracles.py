@@ -8264,7 +8264,58 @@ SELECT CAST(sum(cnt) AS BIGINT) AS total_chunks,
        CAST(sum(tok_sum) AS BIGINT) AS total_tokens,
        CAST(sum((cnt - 1) * len) AS BIGINT) AS redundant_tokens
 FROM g"""
+    # V-optimal histogram: B unrolled DP layers over the dense
+    # doc-length frequency series, integer segment costs (truncated
+    # mean, the gbdt convention), backtracked cut chain
+    from candidategeneration_ray.pipelines.sketches import (
+        VOPT_BIN_WIDTH, VOPT_BUCKETS)
+
+    B = VOPT_BUCKETS
+    vparts = [f"""agg AS (SELECT n_chars // {VOPT_BIN_WIDTH} AS s,
+       CAST(count(*) AS BIGINT) AS f FROM documents GROUP BY 1)""",
+              "mx AS (SELECT CAST(max(s) AS BIGINT) AS m FROM agg)",
+              """dense AS (
+  SELECT d.s, coalesce(a.f, 0) AS f
+  FROM (SELECT unnest(range(0, (SELECT m FROM mx) + 1)) AS s) d
+  LEFT JOIN agg a USING (s))""",
+              """pre AS (
+  SELECT s, f, sum(f) OVER w AS c1, sum(f * f) OVER w AS c2
+  FROM dense WINDOW w AS (ORDER BY s ROWS UNBOUNDED PRECEDING))""",
+              """cc AS MATERIALIZED (
+  SELECT i, j, s1,
+         s2 - 2 * (s1 // n) * s1 + n * (s1 // n) * (s1 // n) AS c
+  FROM (
+    SELECT i.s AS i, j.s AS j,
+           (j.c1 - i.c1 + i.f) AS s1,
+           (j.c2 - i.c2 + i.f * i.f) AS s2,
+           (j.s - i.s + 1) AS n
+    FROM pre i JOIN pre j ON j.s >= i.s))""",
+              ("dp1 AS (SELECT j, c AS v, CAST(0 AS BIGINT) AS ci "
+               "FROM cc WHERE i = 0)")]
+    for b in range(2, B + 1):
+        vparts.append(f"""dp{b} AS (
+  SELECT j, v, ci FROM (
+    SELECT c.j, p.v + c.c AS v, c.i AS ci,
+           row_number() OVER (PARTITION BY c.j
+                              ORDER BY p.v + c.c, c.i) AS rn
+    FROM cc c JOIN dp{b - 1} p ON p.j = c.i - 1) WHERE rn = 1)""")
+    vparts.append(f"r{B} AS (SELECT j, ci FROM dp{B} "
+                  "WHERE j = (SELECT m FROM mx))")
+    for b in range(B - 1, 1, -1):
+        vparts.append(f"r{b} AS (SELECT d.j, d.ci FROM dp{b} d "
+                      f"JOIN r{b + 1} r ON d.j = r.ci - 1)")
+    seg_sel = "\nUNION ALL\n".join(
+        ["SELECT CAST(1 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS lo,"
+         " CAST(ci - 1 AS BIGINT) AS hi FROM r2"]
+        + [f"SELECT CAST({b} AS BIGINT), CAST(ci AS BIGINT),"
+           f" CAST(j AS BIGINT) FROM r{b}" for b in range(2, B + 1)])
+    vopt = ("WITH " + ",\n".join(vparts) + ",\nsegs AS (" + seg_sel
+            + """)
+SELECT g.bucket, g.lo AS lo_bin, g.hi AS hi_bin,
+       CAST(cc.s1 AS BIGINT) AS n_docs, CAST(cc.c AS BIGINT) AS sse
+FROM segs g JOIN cc ON cc.i = g.lo AND cc.j = g.hi""")
     return {"gbdt_model": gbdt, "isotonic_calibration": isotonic,
             "spend_gini": gini, "soundex_terms": soundex_terms,
             "phonetic_lookup": phonetic_lookup,
-            "cdc_chunks": cdc_chunks, "cdc_dedup_stats": cdc_stats}
+            "cdc_chunks": cdc_chunks, "cdc_dedup_stats": cdc_stats,
+            "vopt_histogram": vopt}

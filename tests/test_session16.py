@@ -281,3 +281,65 @@ class TestCdcChunks:
         assert stats["dup_chunks"] == len(md5s) - len(set(md5s))
         assert stats["total_tokens"] == sum(r["n_tokens"] for r in rows)
         assert 0 <= stats["redundant_tokens"] <= stats["total_tokens"]
+
+
+class TestVoptHistogram:
+    def test_tiling_and_totals(self, ray_session):
+        from candidategeneration_ray.pipelines.sketches import (
+            VOPT_BIN_WIDTH, VOPT_BUCKETS, q_vopt_histogram)
+
+        rows = q_vopt_histogram(SF).to_pylist()
+        assert [r["bucket"] for r in rows] == list(
+            range(1, VOPT_BUCKETS + 1))
+        lens = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["n_chars"]).column("n_chars")
+        s = lens.to_numpy() // VOPT_BIN_WIDTH
+        assert rows[0]["lo_bin"] == 0
+        assert rows[-1]["hi_bin"] == int(s.max())
+        for a, b in zip(rows, rows[1:]):
+            assert b["lo_bin"] == a["hi_bin"] + 1
+        assert sum(r["n_docs"] for r in rows) == len(s)
+
+    def test_beats_alternative_segmentations(self, ray_session):
+        from candidategeneration_ray.pipelines.sketches import (
+            VOPT_BIN_WIDTH, VOPT_BUCKETS, q_vopt_histogram)
+
+        lens = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["n_chars"]).column("n_chars")
+        s = (lens.to_numpy() // VOPT_BIN_WIDTH).astype(np.int64)
+        m = int(s.max())
+        f = np.bincount(s, minlength=m + 1).astype(np.int64)
+
+        def seg_cost(lo, hi):
+            seg = f[lo:hi + 1]
+            s1, n = int(seg.sum()), hi - lo + 1
+            mu = s1 // n
+            return int((seg * seg).sum()) - 2 * mu * s1 + n * mu * mu
+
+        def total(cuts):           # cuts: sorted interior fenceposts
+            bounds = [0] + list(cuts) + [m + 1]
+            return sum(seg_cost(bounds[i], bounds[i + 1] - 1)
+                       for i in range(len(bounds) - 1))
+
+        opt = sum(r["sse"] for r in q_vopt_histogram(SF).to_pylist())
+        # equal-width cuts plus 200 deterministic pseudo-random cut sets
+        rng = np.random.default_rng(7)
+        cand = [sorted((np.arange(1, VOPT_BUCKETS) * (m + 1))
+                       // VOPT_BUCKETS)]
+        for _ in range(200):
+            cand.append(sorted(rng.choice(
+                np.arange(1, m + 1), size=VOPT_BUCKETS - 1,
+                replace=False).tolist()))
+        for cuts in cand:
+            if len(set(cuts)) == VOPT_BUCKETS - 1 and 0 not in cuts:
+                assert opt <= total(cuts)
+
+    def test_more_buckets_never_worse(self, ray_session):
+        from candidategeneration_ray.pipelines.sketches import (
+            q_vopt_histogram)
+
+        t5 = sum(r["sse"] for r in
+                 q_vopt_histogram(SF, n_buckets=5).to_pylist())
+        t6 = sum(r["sse"] for r in
+                 q_vopt_histogram(SF, n_buckets=6).to_pylist())
+        assert t6 <= t5
