@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_dist": ex.q_label_centroid_dist,  # drift diagnostic
         "text_stats": ex.q_text_stats,
         "decision_stump": ex.q_decision_stump,  # exact 0-1-loss best split
+        "cv_stump": ex.q_cv_stump,              # k-fold CV, one-pass stats
         "readability": ex.q_readability,        # Flesch score, exact rational
         "char_entropy": ex.q_char_entropy,      # integer Shannon entropy
         "quality_filter": ex.q_quality_filter,

@@ -4686,3 +4686,123 @@ def q_cdc_dedup_stats(sf_dir: str) -> pa.Table:
         "total_tokens": pa.array([tt], pa.int64()),
         "redundant_tokens": pa.array([rt], pa.int64()),
     })
+
+
+# ----------------------------------------- k-fold cross-validation (CV)
+
+CV_FOLDS = 5
+
+
+def q_cv_stump(sf_dir: str, folds: int = CV_FOLDS) -> pa.Table:
+    """k-fold cross-validation of the decision stump — the
+    model-selection protocol: folds are the consistent hash
+    h64(doc_id) % k (the train/val-split convention), fold f's stump
+    trains on the other k−1 folds by EXACT 0-1 loss (same rule and
+    tie-break as q_decision_stump, argmin over (errors, feature,
+    threshold)), and validates on fold f. The whole protocol needs
+    ONE corpus pass: the per-(fold, feature, value) → (p, n) counts
+    are a sufficient statistic for BOTH sides — each fold's train
+    stats are total − fold, and its validation errors are the
+    stump-side minority counts over the fold's own rows. Output one
+    row per fold: (fold, feature, threshold, left_label, right_label,
+    train_errors, val_errors).
+
+    Shape: one groupby((fold, feature, value)).sum to a
+    k × O(distinct values) table; the per-fold prefix scans run on
+    the driver over that bounded table in exact Python ints."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        token_lists = tokenize_many(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        fold = (H.h64_many([str(i) for i in doc_ids.tolist()])
+                % np.uint64(folds)).astype(np.int64)
+        y = (np.asarray(batch.column("lang").to_pylist(), dtype=object)
+             == "en").astype(np.int64)
+        feats = {
+            "n_chars": batch.column("n_chars").to_numpy().astype(np.int64),
+            "n_tokens": np.fromiter((len(t) for t in token_lists),
+                                    np.int64, len(token_lists)),
+            "n_types": np.fromiter((len(set(t)) for t in token_lists),
+                                   np.int64, len(token_lists)),
+        }
+        out_fo, out_f, out_v, out_p, out_n = [], [], [], [], []
+        for name in STUMP_FEATURES:
+            uk, inv = np.unique(np.stack([fold, feats[name]], axis=1),
+                                axis=0, return_inverse=True)
+            p = np.bincount(inv, weights=y,
+                            minlength=len(uk)).astype(np.int64)
+            c = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+            out_fo.extend(uk[:, 0].tolist())
+            out_f.extend([name] * len(uk))
+            out_v.extend(uk[:, 1].tolist())
+            out_p.extend(p.tolist())
+            out_n.extend((c - p).tolist())
+        return pa.table({
+            "fold": pa.array(out_fo, pa.int64()),
+            "feature": pa.array(out_f, pa.string()),
+            "value": pa.array(out_v, pa.int64()),
+            "p": pa.array(out_p, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    rows = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "lang", "n_chars"])
+            .map_batches(_partial, batch_format="pyarrow")
+            .groupby(["fold", "feature", "value"])
+            .aggregate(Sum("p", alias_name="p"), Sum("n", alias_name="n"))
+            .take_all())
+    # bounded table: stats[(fold, feature, value)] = (p, n)
+    stats: dict[tuple[int, str, int], tuple[int, int]] = {
+        (int(r["fold"]), r["feature"], int(r["value"])):
+        (int(r["p"]), int(r["n"])) for r in rows}
+    out = {k: [] for k in ("fold", "feature", "threshold", "left_label",
+                           "right_label", "train_errors", "val_errors")}
+    feat_vals = {name: sorted({k[2] for k in stats if k[1] == name})
+                 for name in STUMP_FEATURES}
+    for f in range(folds):
+        best = None   # (errors, feature, threshold, labL, labR)
+        for name in sorted(STUMP_FEATURES):
+            vals = feat_vals[name]
+            tr = [(v,
+                   sum(stats.get((g, name, v), (0, 0))[0]
+                       for g in range(folds) if g != f),
+                   sum(stats.get((g, name, v), (0, 0))[1]
+                       for g in range(folds) if g != f))
+                  for v in vals]
+            tot_p = sum(t[1] for t in tr)
+            tot_n = sum(t[2] for t in tr)
+            pl = nl = 0
+            for v, p, n in tr:
+                pl, nl = pl + p, nl + n
+                pr, nr = tot_p - pl, tot_n - nl
+                err = min(pl, nl) + min(pr, nr)
+                labl = 1 if pl > nl else 0
+                labr = 1 if pr > nr else 0
+                key = (err, name, v)
+                if best is None or key < best[:3]:
+                    best = (err, name, v, labl, labr)
+        err, name, thr, labl, labr = best
+        # validation errors on fold f from its own (value, p, n) rows
+        ve = 0
+        for v in feat_vals[name]:
+            p, n = stats.get((f, name, v), (0, 0))
+            lab = labl if v <= thr else labr
+            ve += n if lab == 1 else p
+        out["fold"].append(f)
+        out["feature"].append(name)
+        out["threshold"].append(thr)
+        out["left_label"].append(labl)
+        out["right_label"].append(labr)
+        out["train_errors"].append(err)
+        out["val_errors"].append(ve)
+    return pa.table({
+        "fold": pa.array(out["fold"], pa.int64()),
+        "feature": pa.array(out["feature"], pa.string()),
+        "threshold": pa.array(out["threshold"], pa.int64()),
+        "left_label": pa.array(out["left_label"], pa.int64()),
+        "right_label": pa.array(out["right_label"], pa.int64()),
+        "train_errors": pa.array(out["train_errors"], pa.int64()),
+        "val_errors": pa.array(out["val_errors"], pa.int64()),
+    })

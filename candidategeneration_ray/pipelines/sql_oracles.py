@@ -8314,8 +8314,75 @@ FROM g"""
 SELECT g.bucket, g.lo AS lo_bin, g.hi AS hi_bin,
        CAST(cc.s1 AS BIGINT) AS n_docs, CAST(cc.c AS BIGINT) AS sse
 FROM segs g JOIN cc ON cc.i = g.lo AND cc.j = g.hi""")
+    # k-fold CV of the decision stump: the per-(fold, feature, value)
+    # counts are sufficient for BOTH train (total - fold) and val
+    # (fold's own minority counts under the winning stump)
+    from candidategeneration_ray.pipelines.extras import CV_FOLDS
+
+    h64_docid = _H64.format(expr="CAST(doc_id AS VARCHAR)")
+    cv_stump = f"""
+WITH {KEPT_CTE},
+tok_cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+            FROM kept GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id, CAST({h64_docid} % {CV_FOLDS} AS BIGINT) AS fold,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(d.n_chars AS BIGINT) AS n_chars,
+         coalesce(t.n_tokens, 0) AS n_tokens,
+         coalesce(t.n_types, 0) AS n_types
+  FROM documents d LEFT JOIN tok_cnt t USING (doc_id)),
+feats AS (
+  SELECT fold, 'n_chars' AS feature, n_chars AS value, y FROM base
+  UNION ALL SELECT fold, 'n_tokens', n_tokens, y FROM base
+  UNION ALL SELECT fold, 'n_types', n_types, y FROM base),
+agg AS (SELECT fold, feature, value, sum(y) AS p,
+               count(*) - sum(y) AS n
+        FROM feats GROUP BY 1, 2, 3),
+fl AS (SELECT unnest(range(0, {CV_FOLDS})) AS f),
+trv AS (
+  SELECT fl.f, a.feature, a.value,
+         sum(CASE WHEN a.fold <> fl.f THEN a.p ELSE 0 END) AS p,
+         sum(CASE WHEN a.fold <> fl.f THEN a.n ELSE 0 END) AS n,
+         sum(CASE WHEN a.fold = fl.f THEN a.p ELSE 0 END) AS vp,
+         sum(CASE WHEN a.fold = fl.f THEN a.n ELSE 0 END) AS vn
+  FROM fl CROSS JOIN agg a GROUP BY 1, 2, 3),
+scan AS (
+  SELECT f, feature, value AS threshold, vp, vn,
+         sum(p) OVER w AS pl, sum(n) OVER w AS nl,
+         sum(p) OVER t - sum(p) OVER w AS pr,
+         sum(n) OVER t - sum(n) OVER w AS nr
+  FROM trv
+  WINDOW w AS (PARTITION BY f, feature ORDER BY value
+               ROWS UNBOUNDED PRECEDING),
+         t AS (PARTITION BY f, feature)),
+best AS (
+  SELECT f, feature, threshold,
+         least(pl, nl) + least(pr, nr) AS train_errors,
+         CASE WHEN pl > nl THEN 1 ELSE 0 END AS left_label,
+         CASE WHEN pr > nr THEN 1 ELSE 0 END AS right_label,
+         row_number() OVER (PARTITION BY f
+                            ORDER BY least(pl, nl) + least(pr, nr),
+                                     feature, threshold) AS rn
+  FROM scan),
+win AS (SELECT * FROM best WHERE rn = 1),
+val AS (
+  SELECT w.f,
+         sum(CASE WHEN (CASE WHEN t.value <= w.threshold
+                             THEN w.left_label ELSE w.right_label END) = 1
+                  THEN t.vn ELSE t.vp END) AS val_errors
+  FROM win w JOIN trv t ON t.f = w.f AND t.feature = w.feature
+  GROUP BY w.f)
+SELECT CAST(w.f AS BIGINT) AS fold, w.feature,
+       CAST(w.threshold AS BIGINT) AS threshold,
+       CAST(w.left_label AS BIGINT) AS left_label,
+       CAST(w.right_label AS BIGINT) AS right_label,
+       CAST(w.train_errors AS BIGINT) AS train_errors,
+       CAST(coalesce(v.val_errors, 0) AS BIGINT) AS val_errors
+FROM win w JOIN val v USING (f)
+"""
     return {"gbdt_model": gbdt, "isotonic_calibration": isotonic,
             "spend_gini": gini, "soundex_terms": soundex_terms,
             "phonetic_lookup": phonetic_lookup,
             "cdc_chunks": cdc_chunks, "cdc_dedup_stats": cdc_stats,
-            "vopt_histogram": vopt}
+            "vopt_histogram": vopt, "cv_stump": cv_stump}

@@ -343,3 +343,53 @@ class TestVoptHistogram:
         t6 = sum(r["sse"] for r in
                  q_vopt_histogram(SF, n_buckets=6).to_pylist())
         assert t6 <= t5
+
+
+class TestCvStump:
+    def test_matches_bruteforce(self, ray_session):
+        """Per fold, train and validate directly on doc-level arrays
+        (no sufficient-statistic algebra)."""
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.functions.tokenize import tokenize_text
+        from candidategeneration_ray.pipelines.extras import (
+            CV_FOLDS, STUMP_FEATURES, q_cv_stump)
+
+        t = pq.read_table(f"{SF}/documents.parquet")
+        toks = [tokenize_text(x) for x in t.column("text").to_pylist()]
+        feats = {
+            "n_chars": t.column("n_chars").to_numpy().astype(np.int64),
+            "n_tokens": np.array([len(x) for x in toks], np.int64),
+            "n_types": np.array([len(set(x)) for x in toks], np.int64),
+        }
+        y = (np.asarray(t.column("lang").to_pylist(), dtype=object)
+             == "en").astype(np.int64)
+        fold = (H.h64_many([str(i) for i in
+                            t.column("doc_id").to_pylist()])
+                % np.uint64(CV_FOLDS)).astype(np.int64)
+        got = q_cv_stump(SF).to_pylist()
+        assert [r["fold"] for r in got] == list(range(CV_FOLDS))
+        # candidate thresholds = the feature's distinct values over
+        # the WHOLE corpus (the sufficient statistic's domain)
+        for row in got:
+            f = row["fold"]
+            tr = fold != f
+            best = None
+            for name in sorted(STUMP_FEATURES):
+                for v in sorted(set(feats[name].tolist())):
+                    lm = feats[name][tr] <= v
+                    pl = int(y[tr][lm].sum())
+                    nl = int(lm.sum()) - pl
+                    pr = int(y[tr].sum()) - pl
+                    nr = int(tr.sum() - lm.sum()) - pr
+                    err = min(pl, nl) + min(pr, nr)
+                    key = (err, name, int(v))
+                    if best is None or key < best[:3]:
+                        best = (err, name, int(v),
+                                1 if pl > nl else 0, 1 if pr > nr else 0)
+            err, name, thr, labl, labr = best
+            assert (row["train_errors"], row["feature"],
+                    row["threshold"], row["left_label"],
+                    row["right_label"]) == (err, name, thr, labl, labr)
+            va = fold == f
+            pred = np.where(feats[name][va] <= thr, labl, labr)
+            assert row["val_errors"] == int((pred != y[va]).sum())
