@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": rl.q_orders_cube,                # CUBE grouping-set lattice
         "order_global_rank": rl.q_order_global_rank,    # global rank via range blocks
         "stratified_budget": rl.q_stratified_budget,    # Hamilton budget allocation
+        "shard_plan": rl.q_shard_plan,                  # LPT layout planning
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "peak_concurrency": ev.q_peak_concurrency,  # sweep-line interval max

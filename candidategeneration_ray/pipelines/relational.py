@@ -4232,3 +4232,51 @@ def q_als_rank1(sf_dir: str, rounds: int = ALS_ROUNDS) -> pa.Table:
         "id": pa.array(ids, pa.int64()),
         "factor": pa.array(facs, pa.int64()),
     })
+
+
+# ------------------------------------------ layout planning (LPT greedy)
+
+SHARD_PLAN_N = 4
+
+
+def q_shard_plan(sf_dir: str, n_shards: int = SHARD_PLAN_N) -> pa.Table:
+    """Balanced-layout planning by LPT greedy (longest processing time
+    — the classic 4/3-approximation for makespan): partition cells are
+    (source, lang) with mass = Σ n_chars; cells are placed heaviest
+    first (ties by source, lang asc) onto the currently least-loaded
+    shard (ties by smallest shard index). This is the shard-placement
+    decision a distributed layout needs before writing bucketed
+    output; the plan itself is deterministic so the assignment
+    hash-verifies. Output one row per cell: (source, lang, mass,
+    shard). The SQL oracle replays the greedy as a recursive CTE
+    stepping one cell per iteration with the shard loads as columns.
+
+    Shape: one groupby to the O(sources × langs) cell table (the
+    BOUNDED planning domain — this is cells, not rows); the greedy is
+    O(cells · shards) driver arithmetic."""
+    from ray.data.aggregate import Sum
+
+    rows = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["source", "lang", "n_chars"])
+            .groupby(["source", "lang"])
+            .aggregate(Sum("n_chars", alias_name="mass"))
+            .take_all())
+    cells = sorted(((int(r["mass"]), r["source"], r["lang"])
+                    for r in rows),
+                   key=lambda c: (-c[0], c[1], c[2]))
+    loads = [0] * n_shards
+    out = {"source": [], "lang": [], "mass": [], "shard": []}
+    for mass, src, lng in cells:
+        s = min(range(n_shards), key=lambda i: (loads[i], i))
+        loads[s] += mass
+        out["source"].append(src)
+        out["lang"].append(lng)
+        out["mass"].append(mass)
+        out["shard"].append(s + 1)       # 1-based like the oracle
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "lang": pa.array(out["lang"], pa.string()),
+        "mass": pa.array(out["mass"], pa.int64()),
+        "shard": pa.array(out["shard"], pa.int64()),
+    })

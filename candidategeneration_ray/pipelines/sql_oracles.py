@@ -8381,8 +8381,45 @@ SELECT CAST(w.f AS BIGINT) AS fold, w.feature,
        CAST(coalesce(v.val_errors, 0) AS BIGINT) AS val_errors
 FROM win w JOIN val v USING (f)
 """
+    # LPT shard planning: recursive CTE replays the greedy, one cell
+    # per step, shard loads as explicit columns, first-minimum pick
+    from candidategeneration_ray.pipelines.relational import SHARD_PLAN_N
+
+    ns = SHARD_PLAN_N
+    lcols = [f"l{i}" for i in range(1, ns + 1)]
+    pick = "CASE "
+    for i in range(1, ns):
+        conds = " AND ".join(f"l{i} <= l{j}"
+                             for j in range(i + 1, ns + 1))
+        pick += f"WHEN {conds} THEN {i} "
+    pick += f"ELSE {ns} END"
+    upd = ",\n         ".join(
+        f"rec.l{i} + CASE WHEN ({pick}) = {i} THEN rk.mass ELSE 0 END"
+        f" AS l{i}" for i in range(1, ns + 1))
+    init_loads = ", ".join(f"CAST(0 AS BIGINT) AS l{i}"
+                           for i in range(1, ns + 1))
+    shard_plan = f"""
+WITH RECURSIVE
+cells AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS mass
+          FROM documents GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (ORDER BY mass DESC, source, lang)
+              AS r
+       FROM cells),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS r, {init_loads},
+         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS lang,
+         CAST(NULL AS BIGINT) AS mass, CAST(NULL AS BIGINT) AS shard
+  UNION ALL
+  SELECT rk.r,
+         {upd},
+         rk.source, rk.lang, rk.mass, CAST(({pick}) AS BIGINT) AS shard
+  FROM rec JOIN rk ON rk.r = rec.r + 1
+)
+SELECT source, lang, mass, shard FROM rec WHERE r > 0
+"""
     return {"gbdt_model": gbdt, "isotonic_calibration": isotonic,
             "spend_gini": gini, "soundex_terms": soundex_terms,
             "phonetic_lookup": phonetic_lookup,
             "cdc_chunks": cdc_chunks, "cdc_dedup_stats": cdc_stats,
-            "vopt_histogram": vopt, "cv_stump": cv_stump}
+            "vopt_histogram": vopt, "cv_stump": cv_stump,
+            "shard_plan": shard_plan}

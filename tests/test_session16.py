@@ -393,3 +393,34 @@ class TestCvStump:
             va = fold == f
             pred = np.where(feats[name][va] <= thr, labl, labr)
             assert row["val_errors"] == int((pred != y[va]).sum())
+
+
+class TestShardPlan:
+    def test_greedy_properties(self, ray_session):
+        from candidategeneration_ray.pipelines.relational import (
+            SHARD_PLAN_N, q_shard_plan)
+
+        rows = q_shard_plan(SF).to_pylist()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["source", "lang", "n_chars"])
+        cells: dict[tuple, int] = {}
+        for s, l, n in zip(docs.column("source").to_pylist(),
+                           docs.column("lang").to_pylist(),
+                           docs.column("n_chars").to_pylist()):
+            cells[(s, l)] = cells.get((s, l), 0) + n
+        # every cell appears exactly once with its true mass
+        assert {(r["source"], r["lang"]): r["mass"]
+                for r in rows} == cells
+        assert all(1 <= r["shard"] <= SHARD_PLAN_N for r in rows)
+        # replay the greedy: each placement must hit the least-loaded
+        loads = [0] * SHARD_PLAN_N
+        for r in sorted(rows, key=lambda r: (-r["mass"], r["source"],
+                                             r["lang"])):
+            s = r["shard"] - 1
+            assert loads[s] == min(loads)
+            assert all(loads[i] > loads[s] for i in range(s))
+            loads[s] += r["mass"]
+        # LPT guarantee: makespan <= (4/3 - 1/3m) * OPT and trivially
+        # < total/m + max_mass — check the loose additive bound
+        total, mx = sum(cells.values()), max(cells.values())
+        assert max(loads) <= total // SHARD_PLAN_N + mx
