@@ -326,6 +326,15 @@ def run_bench() -> dict:
         ("ams_f2_estimate", sk_.q_ams_f2_estimate),      # F2 moment sketch
         ("countsketch_estimates", sk_.q_countsketch_estimates),  # signed CM
         ("perceptron", _tl().q_perceptron),             # batch perceptron
+        # session-16 additions (appended — earlier keys stay comparable)
+        ("gbdt_model", ex.q_gbdt_model),                # boosted stumps
+        ("isotonic_calibration", ex.q_isotonic_calibration),  # exact PAVA
+        ("spend_gini", ev.q_spend_gini),                # concentration audit
+        ("nb_eval", _tl().q_nb_eval),                   # P/R/F1 eval
+        ("cdc_chunks", ex.q_cdc_chunks),                # content chunking
+        ("vopt_histogram", sk_.q_vopt_histogram),       # DP segmentation
+        ("cv_stump", ex.q_cv_stump),                    # k-fold CV
+        ("shard_plan", rl.q_shard_plan),                # LPT layout plan
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)

@@ -65,10 +65,10 @@ def decode_docs_concat(concat, counts: np.ndarray, codec: str,
                        byte_offsets: np.ndarray | None = None):
     """(values uint64 flat array, group value-offsets len(counts)+1).
 
-    varint recovers group boundaries from `counts` alone; bp/ef blobs
-    are not self-delimiting inside a concatenation, so the caller must
-    pass the per-group `byte_offsets` (binary_column_concat returns
-    them).
+    varint recovers group boundaries from `counts` alone; every other
+    codec's blobs (bp/ef/rice/bic) are not self-delimiting inside a
+    concatenation, so the caller must pass the per-group
+    `byte_offsets` (binary_column_concat returns them).
     """
     if codec not in _DEC:
         return _vi.decode_delta_concat(concat, counts)

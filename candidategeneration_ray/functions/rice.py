@@ -77,7 +77,9 @@ def decode_rice(data: bytes | np.ndarray, n: int) -> np.ndarray:
             f"rice payload is {buf.size} bytes, too short for n={n}, "
             f"k={k}, unary_len={unary_len}")
     ub = np.unpackbits(buf[5:5 + unary_len], bitorder="little")
-    pos = np.flatnonzero(ub)[:n]
+    # count ALL terminators: surplus set bits (mis-sliced / corrupted
+    # payload) must raise too, not silently decode the first n
+    pos = np.flatnonzero(ub)
     if pos.size != n:
         raise ValueError(
             f"rice unary stream has {pos.size} terminators, expected {n}")

@@ -1321,7 +1321,8 @@ def q_vopt_histogram(sf_dir: str,
             best, bc = INF, 0
             for c in range(b - 1, j + 1):
                 v = dp[b - 1][c - 1] + _cost(c, j)
-                if v < best or (v == best and c < bc):
+                # ascending c: strict < keeps the smallest-c tie winner
+                if v < best:
                     best, bc = v, c
             dp[b][j] = best
             cut[b][j] = bc

@@ -1410,6 +1410,7 @@ def q_kn_bigram_lm(sf_dir: str, top_k: int = 200,
         .map_batches(_rows, batch_format="pyarrow")
         .groupby(["w1", "w2"])
         .aggregate(Sum("cnt", alias_name="c"))
+        .materialize()   # consumed 3x below (marginals + final attach)
     )
     # vocabulary-bounded marginals (left totals + distinct continuations)
     left = types.groupby("w1").aggregate(
