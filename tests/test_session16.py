@@ -424,3 +424,42 @@ class TestShardPlan:
         # < total/m + max_mass — check the loose additive bound
         total, mx = sum(cells.values()), max(cells.values())
         assert max(loads) <= total // SHARD_PLAN_N + mx
+
+
+class TestHashRing:
+    def test_counts_and_minimal_movement(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import (
+            RING_NODES, q_hash_ring_counts, q_hash_ring_rebalance)
+
+        counts = {r["node"]: r["n_docs"]
+                  for r in q_hash_ring_counts(SF).take_all()}
+        n_docs = pq.read_table(f"{SF}/documents.parquet",
+                               columns=["doc_id"]).num_rows
+        assert sum(counts.values()) == n_docs
+        assert set(counts) <= set(range(1, RING_NODES + 1))
+        row = q_hash_ring_rebalance(SF).to_pylist()[0]
+        assert row["n_docs"] == n_docs
+        # THE consistent-hashing guarantee: every moved doc moved TO
+        # the new node — zero reshuffling among the old nodes
+        assert row["moved_docs"] == row["moved_to_new"]
+        # expected movement ~ n/(N+1); assert a generous envelope
+        assert row["moved_docs"] <= n_docs // 2
+        assert row["moved_docs"] > 0
+
+    def test_owner_is_clockwise_successor(self, ray_session):
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.pipelines.extras import (
+            RING_NODES, _ring_owner, _ring_points)
+
+        ring = _ring_points(RING_NODES)
+        hs, owners = ring
+        assert np.all(np.diff(hs.astype(object)) > 0)
+        # probe keys around vnode positions: at the vnode, just after,
+        # and the global wrap
+        probes = np.array([hs[0], hs[0] + 1, hs[-1], hs[-1] + 1, 0],
+                          dtype=np.uint64)
+        got = _ring_owner(probes.copy(), ring)
+        assert got[0] == owners[0]          # exact hit owns
+        assert got[2] == owners[-1]
+        assert got[3] == owners[0]          # wraps past the last vnode
+        assert got[4] == owners[0]
