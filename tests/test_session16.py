@@ -456,7 +456,8 @@ class TestHashRing:
         assert np.all(np.diff(hs.astype(object)) > 0)
         # probe keys around vnode positions: at the vnode, just after,
         # and the global wrap
-        probes = np.array([hs[0], hs[0] + 1, hs[-1], hs[-1] + 1, 0],
+        one = np.uint64(1)   # uint64 + python int promotes to float64
+        probes = np.array([hs[0], hs[0] + one, hs[-1], hs[-1] + one, 0],
                           dtype=np.uint64)
         got = _ring_owner(probes.copy(), ring)
         assert got[0] == owners[0]          # exact hit owns
