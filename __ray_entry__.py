@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_model": tl.q_nb_model,              # Naive Bayes training table
         "nb_predict": tl.q_nb_predict,          # NB classifier serving (val split)
         "nb_eval": tl.q_nb_eval,                # confusion + exact P/R/F1
+        "kappa_eval": tl.q_kappa_eval,          # Cohen's kappa, exact num/den
         "auc_eval": ex.q_auc_eval,              # exact ROC-AUC (midrank U)
         "perceptron": tl.q_perceptron,          # batch perceptron trajectory
         "chi2_terms": tl.q_chi2_terms,          # chi-square feature selection
@@ -599,6 +600,30 @@ SELECT lang, support, tp, fp, fn,
        ELSE CAST((2000000 * tp) // (2 * tp + fp + fn) AS BIGINT)
   END AS f1_ppm
 FROM agg""")
+    # Cohen's kappa over the SAME nb_predict oracle predictions
+    # (composition proof): N·A − Σrow·col over N² − Σrow·col, all
+    # integers — chance-corrected agreement with no float division
+    d["kappa_eval"] = (
+        "WITH preds AS MATERIALIZED (\n" + d["nb_predict"] + "\n),\n"
+        """conf AS (
+  SELECT d.lang AS true_lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM preds p JOIN documents d USING (doc_id) GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nt,
+         CAST(coalesce(sum(n) FILTER (true_lang = pred_lang), 0)
+              AS HUGEINT) AS na
+  FROM conf),
+rm AS (SELECT true_lang AS lang, CAST(sum(n) AS HUGEINT) AS rn
+       FROM conf GROUP BY 1),
+cm AS (SELECT pred_lang AS lang, CAST(sum(n) AS HUGEINT) AS cn
+       FROM conf GROUP BY 1),
+pe AS (SELECT CAST(coalesce(sum(r.rn * c.cn), 0) AS HUGEINT) AS e
+       FROM rm r JOIN cm c USING (lang))
+SELECT CAST(nt AS BIGINT) AS n, CAST(na AS BIGINT) AS n_agree,
+       CAST(e AS BIGINT) AS pe_cross,
+       CAST(nt * na - e AS BIGINT) AS kappa_num,
+       CAST(nt * nt - e AS BIGINT) AS kappa_den
+FROM tot, pe""")
     # time-travel: the bm25 oracle with `documents` rebound to the base
     # ingestion half — an uncompacted ingest must leave the old epoch
     # exactly servable

@@ -1638,18 +1638,10 @@ def q_nb_predict(sf_dir: str, train_pct: int = TRAIN_PCT) -> ray.data.Dataset:
     return documents_ds(sf_dir).map_batches(_predict, batch_format="pyarrow")
 
 
-def q_nb_eval(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
-    """Classifier evaluation of the NB val-split predictions — the
-    confusion-derived per-class metric table every trained filter
-    ships with: for each TRUE class, support, tp, fp, fn and the ppm
-    floor quotients precision = tp/(tp+fp), recall = tp/(tp+fn),
-    f1 = 2tp/(2tp+fp+fn) (the exact integer form of 2PR/(P+R); 0 when
-    the denominator is 0). Classes = distinct true langs in the val
-    split; fp counts predictions of the class whose truth differs.
-
-    Shape: the scoring map emits per-batch (true, pred, n) confusion
-    partials (truth is IN the batch — no join) → one groupby to
-    O(classes²) rows → O(classes) driver finalize."""
+def _nb_confusion(sf_dir: str, train_pct: int) -> list[dict]:
+    """Shared confusion-matrix aggregate for the NB eval entries: the
+    scoring map emits per-batch (true, pred, n) partials (truth is IN
+    the batch — no join) → one groupby to O(classes²) rows."""
     from ray.data.aggregate import Sum
 
     st = _nb_model_state(sf_dir, train_pct)
@@ -1677,13 +1669,27 @@ def q_nb_eval(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
             "n": pa.array(c.astype(np.int64), pa.int64()),
         })
 
-    conf = (ray.data.read_parquet(
+    return (ray.data.read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
                 columns=["doc_id", "text", "lang"])
             .map_batches(_confuse, batch_format="pyarrow")
             .groupby(["true_lang", "pred_lang"])
             .aggregate(Sum("n", alias_name="n"))
             .take_all())
+
+
+def q_nb_eval(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
+    """Classifier evaluation of the NB val-split predictions — the
+    confusion-derived per-class metric table every trained filter
+    ships with: for each TRUE class, support, tp, fp, fn and the ppm
+    floor quotients precision = tp/(tp+fp), recall = tp/(tp+fn),
+    f1 = 2tp/(2tp+fp+fn) (the exact integer form of 2PR/(P+R); 0 when
+    the denominator is 0). Classes = distinct true langs in the val
+    split; fp counts predictions of the class whose truth differs.
+
+    Shape: per-batch confusion partials → one groupby to O(classes²)
+    rows → O(classes) driver finalize (_nb_confusion)."""
+    conf = _nb_confusion(sf_dir, train_pct)
     classes = sorted({r["true_lang"] for r in conf})
     tp = {c: 0 for c in classes}
     fn = {c: 0 for c in classes}
@@ -1721,6 +1727,39 @@ def q_nb_eval(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
         "precision_ppm": pa.array(rows["precision_ppm"], pa.int64()),
         "recall_ppm": pa.array(rows["recall_ppm"], pa.int64()),
         "f1_ppm": pa.array(rows["f1_ppm"], pa.int64()),
+    })
+
+
+def q_kappa_eval(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
+    """Cohen's kappa for the NB val-split predictions — the
+    chance-corrected agreement statistic (Cohen 1960) the raw accuracy
+    number overstates on skewed label distributions (a
+    majority-class predictor scores high accuracy but kappa 0). Kept
+    exact: with N predictions, A agreements and the marginal cross
+    term E = Σ_c row_c·col_c (row = true counts, col = predicted
+    counts), kappa = (N·A − E) / (N² − E); the entry emits the
+    numerator/denominator pair (house rule: no float division) plus
+    the N, A, E witnesses.
+
+    Shape: the same O(classes²) confusion aggregate as q_nb_eval
+    (per-batch partials → one groupby) → O(classes) driver finalize.
+    One row: (n, n_agree, pe_cross, kappa_num, kappa_den)."""
+    conf = _nb_confusion(sf_dir, train_pct)
+    n = sum(int(r["n"]) for r in conf)
+    agree = sum(int(r["n"]) for r in conf
+                if r["true_lang"] == r["pred_lang"])
+    row_m: dict[str, int] = {}
+    col_m: dict[str, int] = {}
+    for r in conf:
+        row_m[r["true_lang"]] = row_m.get(r["true_lang"], 0) + int(r["n"])
+        col_m[r["pred_lang"]] = col_m.get(r["pred_lang"], 0) + int(r["n"])
+    pe = sum(cnt * col_m.get(lang, 0) for lang, cnt in row_m.items())
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_agree": pa.array([agree], pa.int64()),
+        "pe_cross": pa.array([pe], pa.int64()),
+        "kappa_num": pa.array([n * agree - pe], pa.int64()),
+        "kappa_den": pa.array([n * n - pe], pa.int64()),
     })
 
 

@@ -1,0 +1,54 @@
+"""Session-17 operators, pinned against independent brute-force
+references over the sf0.001 tables (the driver contract test covers
+the SQL oracles; these pin the math itself)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestKappaEval:
+    def test_matches_bruteforce(self, ray_session):
+        """kappa num/den recomputed from the (oracle-verified)
+        nb_predict output joined with the true langs — by the direct
+        Cohen definition, not the confusion-partials plumbing."""
+        from candidategeneration_ray.pipelines.textlm import (
+            q_kappa_eval, q_nb_predict)
+
+        preds = q_nb_predict(SF).to_pandas()
+        truth = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        j = preds.merge(truth, on="doc_id")
+        n = len(j)
+        agree = int((j["pred_lang"] == j["lang"]).sum())
+        rows = j["lang"].value_counts()
+        cols = j["pred_lang"].value_counts()
+        pe = sum(int(rows[c]) * int(cols.get(c, 0)) for c in rows.index)
+
+        got = q_kappa_eval(SF).to_pylist()
+        assert got == [{
+            "n": n, "n_agree": agree, "pe_cross": pe,
+            "kappa_num": n * agree - pe, "kappa_den": n * n - pe,
+        }]
+        # sanity: kappa is a proper fraction of a positive denominator
+        assert got[0]["kappa_den"] > 0
+        assert abs(got[0]["kappa_num"]) <= got[0]["kappa_den"]
+
+    def test_perfect_and_chance_extremes(self, ray_session):
+        """The finalize math on synthetic confusions: perfect agreement
+        gives kappa == 1 exactly; a constant predictor gives num == 0."""
+        # direct identity checks of the emitted num/den form
+        # perfect: conf = diag(10, 20) -> n=30, agree=30, pe=100+400
+        n, agree, pe = 30, 30, 10 * 10 + 20 * 20
+        assert n * agree - pe == n * n - pe - 0 * (n * n - pe)
+        # constant predictor: all mass in one predicted column ->
+        # pe == n * row_of_that_class... num = n*agree - pe == 0
+        # (agree = count of the predicted class)
+        rows = {"en": 12, "fr": 18}
+        cols = {"en": 30}
+        agree_c = rows["en"]
+        pe_c = sum(v * cols.get(k, 0) for k, v in rows.items())
+        assert 30 * agree_c - pe_c == 0
