@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream operators (keyed windowed / ordered ops) ---
         "sessionize": ev.q_sessionize,
         "peak_concurrency": ev.q_peak_concurrency,  # sweep-line interval max
+        "active_time": ev.q_active_time,            # interval-union length
         "late_events": ev.q_late_events,            # watermark/allowed-lateness
         "cusum_days": ev.q_cusum_days,              # cumulative drift detection
         "events_zorder_scan": ev.q_events_zorder_scan,  # Morton-layout 2-D pruning
@@ -464,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         session13_oracles,
         session14_oracles,
         session16_oracles,
+        session17_oracles,
         path_anomaly_oracles,
         global_rank_oracles,
         ab_test_oracles,
@@ -528,7 +530,8 @@ def oracle_sql() -> dict[str, str]:
             **regression_oracles(), **gram_oracles(), **jl_oracles(),
             **token_offset_oracles(), **session11_oracles(),
             **session12_oracles(), **session13_oracles(),
-            **session14_oracles(), **session16_oracles()}
+            **session14_oracles(), **session16_oracles(),
+            **session17_oracles()}
     # the sliced (two-level) sessionize plan must equal the one-level
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["sessionize_sliced"] = d["sessionize"]

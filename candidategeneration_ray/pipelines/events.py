@@ -1986,6 +1986,55 @@ PEAK_GAP_SEC = 1800
 PEAK_BLOCKS = 32
 
 
+def _session_delta_rows(group: pa.Table, gap_us: np.int64) -> pa.Table:
+    """Per user-bucket sweep-line endpoints: sessions (gap rule, one
+    lexsort + boundary mask — the sessionize kernel) emit ±1 deltas
+    (+1 at start_ts, −1 at end_ts + 1µs; a session is active on the
+    inclusive [start, end] microsecond range). Shared by the
+    interval-overlap family (peak concurrency, union length)."""
+    u = group.column("user_id").to_numpy().astype(np.int64)
+    ts = group.column("ts").cast(pa.int64()).to_numpy()
+    if u.size == 0:
+        return pa.table({"ts": pa.array([], pa.int64()),
+                         "delta": pa.array([], pa.int64()),
+                         "n_sessions": pa.array([], pa.int64())})
+    order = np.lexsort((ts, u))
+    u, ts = u[order], ts[order]
+    new_s = np.concatenate(([True], (u[1:] != u[:-1])
+                            | (ts[1:] - ts[:-1] > gap_us)))
+    starts = np.nonzero(new_s)[0]
+    ends = np.concatenate((starts[1:], [u.size])) - 1
+    s_ts, e_ts = ts[starts], ts[ends]
+    return pa.table({
+        "ts": pa.array(np.concatenate((s_ts, e_ts + 1)), pa.int64()),
+        "delta": pa.array(np.concatenate((
+            np.ones(s_ts.size, np.int64),
+            np.full(e_ts.size, -1, np.int64))), pa.int64()),
+        "n_sessions": pa.array(np.concatenate((
+            np.ones(s_ts.size, np.int64),
+            np.zeros(e_ts.size, np.int64))), pa.int64()),
+    })
+
+
+def _session_net_deltas(sf_dir: str, gap_sec: int) -> ray.data.Dataset:
+    """Sweep-line preparation shared by the interval-overlap entries:
+    per-bucket session endpoints → ONE net row per distinct timestamp
+    (groupby ts) → global ts order. Running sums over this dataset are
+    well-defined at every instant."""
+    from ray.data.aggregate import Sum
+
+    gap_us = np.int64(gap_sec * 1_000_000)
+    deltas = (
+        _with_user_bucket(events_ds(sf_dir, ["user_id", "ts"]))
+        .groupby("ubucket")
+        .map_groups(lambda g: _session_delta_rows(g, gap_us),
+                    batch_format="pyarrow")
+    )
+    return deltas.groupby("ts").aggregate(
+        Sum("delta", alias_name="net"),
+        Sum("n_sessions", alias_name="n_sessions")).sort("ts")
+
+
 def q_peak_concurrency(sf_dir: str, gap_sec: int = PEAK_GAP_SEC,
                        num_blocks: int = PEAK_BLOCKS) -> pa.Table:
     """Peak session concurrency — the interval-overlap maximum: how
@@ -2007,44 +2056,9 @@ def q_peak_concurrency(sf_dir: str, gap_sec: int = PEAK_GAP_SEC,
          reports (its max prefix, earliest ts attaining it), and the
          final reduce is over num_blocks rows.
     Output one row: (peak, peak_ts_us, n_sessions)."""
-    from ray.data.aggregate import Sum
-
     from candidategeneration_ray.stages.docids import blocked_prefix_apply
 
-    gap_us = np.int64(gap_sec * 1_000_000)
-
-    def _session_deltas(group: pa.Table) -> pa.Table:
-        u = group.column("user_id").to_numpy().astype(np.int64)
-        ts = group.column("ts").cast(pa.int64()).to_numpy()
-        if u.size == 0:
-            return pa.table({"ts": pa.array([], pa.int64()),
-                             "delta": pa.array([], pa.int64()),
-                             "n_sessions": pa.array([], pa.int64())})
-        order = np.lexsort((ts, u))
-        u, ts = u[order], ts[order]
-        new_s = np.concatenate(([True], (u[1:] != u[:-1])
-                                | (ts[1:] - ts[:-1] > gap_us)))
-        starts = np.nonzero(new_s)[0]
-        ends = np.concatenate((starts[1:], [u.size])) - 1
-        s_ts, e_ts = ts[starts], ts[ends]
-        return pa.table({
-            "ts": pa.array(np.concatenate((s_ts, e_ts + 1)), pa.int64()),
-            "delta": pa.array(np.concatenate((
-                np.ones(s_ts.size, np.int64),
-                np.full(e_ts.size, -1, np.int64))), pa.int64()),
-            "n_sessions": pa.array(np.concatenate((
-                np.ones(s_ts.size, np.int64),
-                np.zeros(e_ts.size, np.int64))), pa.int64()),
-        })
-
-    deltas = (
-        _with_user_bucket(events_ds(sf_dir, ["user_id", "ts"]))
-        .groupby("ubucket")
-        .map_groups(_session_deltas, batch_format="pyarrow")
-    )
-    net = deltas.groupby("ts").aggregate(
-        Sum("delta", alias_name="net"),
-        Sum("n_sessions", alias_name="n_sessions")).sort("ts")
+    net = _session_net_deltas(sf_dir, gap_sec)
 
     def _total(tab: pa.Table) -> int:
         return int(tab.column("net").to_numpy().sum()) if tab.num_rows else 0
@@ -2070,6 +2084,66 @@ def q_peak_concurrency(sf_dir: str, gap_sec: int = PEAK_GAP_SEC,
     return pa.table({
         "peak": pa.array([peak], pa.int64()),
         "peak_ts_us": pa.array([peak_ts], pa.int64()),
+        "n_sessions": pa.array([sum(r["n_sessions"] for r in rows)],
+                               pa.int64()),
+    })
+
+
+def q_active_time(sf_dir: str, gap_sec: int = PEAK_GAP_SEC,
+                  num_blocks: int = PEAK_BLOCKS) -> pa.Table:
+    """Interval-UNION length — total wall-clock microseconds during
+    which at least one user session was active (the classic "union of
+    intervals" measure: SLA busy time / fleet utilization). The
+    overlap twin of q_peak_concurrency: same gap-rule sessions, same
+    ±1 sweep deltas, but the finalizer integrates (count > 0) over
+    time instead of taking the running maximum. A session covers its
+    inclusive [start_ts, end_ts] microsecond range, so an isolated
+    single-event session contributes exactly 1µs.
+
+    Shape: per-bucket session endpoints → groupby(ts) net rows →
+    global ts sort → range-blocked prefix scan
+    (stages.docids.blocked_prefix_apply): each block integrates its
+    interior segments against its global base count and reports ONE
+    summary row (first/last ts, end count, interior covered µs); the
+    driver stitches only the O(num_blocks) boundary segments — a
+    block whose running count ends positive covers the gap to the
+    next block's first timestamp. Output one row:
+    (covered_us, n_sessions)."""
+    from candidategeneration_ray.stages.docids import blocked_prefix_apply
+
+    net = _session_net_deltas(sf_dir, gap_sec)
+
+    def _total(tab: pa.Table) -> int:
+        return int(tab.column("net").to_numpy().sum()) if tab.num_rows else 0
+
+    def _emit(tab: pa.Table, base: int) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"first_ts": pa.array([], pa.int64()),
+                             "last_ts": pa.array([], pa.int64()),
+                             "end_cnt": pa.array([], pa.int64()),
+                             "covered_us": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        ts = tab.column("ts").to_numpy()
+        c = base + np.cumsum(tab.column("net").to_numpy())
+        covered = int(((ts[1:] - ts[:-1]) * (c[:-1] > 0)).sum())
+        return pa.table({
+            "first_ts": pa.array([int(ts[0])], pa.int64()),
+            "last_ts": pa.array([int(ts[-1])], pa.int64()),
+            "end_cnt": pa.array([int(c[-1])], pa.int64()),
+            "covered_us": pa.array([covered], pa.int64()),
+            "n_sessions": pa.array(
+                [int(tab.column("n_sessions").to_numpy().sum())], pa.int64()),
+        })
+
+    rows = sorted(
+        blocked_prefix_apply(net, num_blocks, _total, _emit).take_all(),
+        key=lambda r: r["first_ts"])
+    covered = sum(r["covered_us"] for r in rows)
+    for prev, nxt in zip(rows, rows[1:]):
+        if prev["end_cnt"] > 0:           # boundary segment still active
+            covered += nxt["first_ts"] - prev["last_ts"]
+    return pa.table({
+        "covered_us": pa.array([covered], pa.int64()),
         "n_sessions": pa.array([sum(r["n_sessions"] for r in rows)],
                                pa.int64()),
     })

@@ -8467,3 +8467,50 @@ FROM nodea a JOIN nodeb b USING (doc_id)
             "shard_plan": shard_plan,
             "hash_ring_counts": ring_counts,
             "hash_ring_rebalance": ring_rebalance}
+
+
+def session17_oracles() -> dict[str, str]:
+    """Session-17 oracles: interval-union covered time (the window
+    running-sum formulation of the sweep line over gap-rule session
+    spans — same spans CTE as peak_concurrency)."""
+    from candidategeneration_ray.pipelines.events import PEAK_GAP_SEC
+
+    gap_us = PEAK_GAP_SEC * 1_000_000
+    active_time = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, session_idx,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM sess GROUP BY 1, 2
+),
+deltas AS (
+  SELECT s AS t, 1 AS d FROM spans
+  UNION ALL SELECT e + 1, -1 FROM spans
+),
+net AS (SELECT t, sum(d) AS nd FROM deltas GROUP BY t),
+run AS (
+  SELECT t, sum(nd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc,
+         lead(t) OVER (ORDER BY t) AS nxt
+  FROM net
+)
+SELECT CAST(coalesce(sum(CASE WHEN conc > 0 THEN nxt - t ELSE 0 END), 0)
+            AS BIGINT) AS covered_us,
+       CAST((SELECT count(*) FROM spans) AS BIGINT) AS n_sessions
+FROM run WHERE nxt IS NOT NULL
+"""
+    return {"active_time": active_time}

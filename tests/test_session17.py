@@ -52,3 +52,55 @@ class TestKappaEval:
         agree_c = rows["en"]
         pe_c = sum(v * cols.get(k, 0) for k, v in rows.items())
         assert 30 * agree_c - pe_c == 0
+
+
+class TestActiveTime:
+    def _brute(self, gap_sec: int) -> tuple[int, int]:
+        """Union length by direct microsecond-set semantics on the
+        sf0.001 events: build sessions per user, merge inclusive
+        [s, e] intervals, sweep the sorted interval list."""
+        import pandas as pd
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["tus"] = ev["ts"].astype("int64")
+        gap_us = gap_sec * 1_000_000
+        spans = []
+        for _, g in ev.groupby("user_id"):
+            t = np.sort(g["tus"].to_numpy())
+            brk = np.nonzero(np.diff(t) > gap_us)[0]
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk, [t.size - 1]))
+            spans += [(int(t[s]), int(t[e]) + 1)
+                      for s, e in zip(starts, ends)]
+        n_sessions = len(spans)
+        spans.sort()
+        covered, cur_s, cur_e = 0, None, None
+        for s, e in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            covered += cur_e - cur_s
+        return covered, n_sessions
+
+    def test_matches_bruteforce(self, ray_session):
+        from candidategeneration_ray.pipelines.events import (
+            PEAK_GAP_SEC, q_active_time)
+
+        got = q_active_time(SF).to_pylist()[0]
+        covered, n_sessions = self._brute(PEAK_GAP_SEC)
+        assert got == {"covered_us": covered, "n_sessions": n_sessions}
+        assert got["covered_us"] > 0
+
+    def test_block_count_invariance(self, ray_session):
+        """The boundary stitch must not depend on where the range
+        blocks fall — 1 block (no stitch) == many tiny blocks."""
+        from candidategeneration_ray.pipelines.events import q_active_time
+
+        one = q_active_time(SF, num_blocks=1).to_pylist()
+        many = q_active_time(SF, num_blocks=13).to_pylist()
+        assert one == many
