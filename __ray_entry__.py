@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "single_linkage_clusters": cl.q_single_linkage_clusters,  # dendrogram cut
         "mis_nodes": cl.q_mis_nodes,                # Luby maximal independent set
         "matching_edges": cl.q_matching_edges,      # greedy maximal matching
+        "graph_coloring": cl.q_graph_coloring,      # Jones-Plassmann mex colors
         "ivf_delta_counts": ivfd.q_ivf_delta_counts,
         "ivf_delete_counts": ivfd.q_ivf_delete_counts,  # vector tombstones
         # --- corpus-LM / retrieval / mixture operators ---

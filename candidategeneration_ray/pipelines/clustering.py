@@ -3273,30 +3273,14 @@ def q_single_linkage_clusters(sf_dir: str,
 MIS_MAX_ROUNDS = 12   # shared with the SQL unroll — widen BOTH together
 
 
-def q_mis_nodes(sf_dir: str) -> pa.Table:
-    """Maximal independent set over the undirected kNN graph by Luby's
-    algorithm (Luby SICOMP'86 — THE parallel symmetry-breaking
-    classic) with deterministic md5 priorities: each round every
-    undecided node whose (h64(node), node) is smaller than all its
-    undecided neighbors' joins the set; the node and its neighbors
-    leave the pool. O(log n) rounds w.h.p.; raises past
-    MIS_MAX_ROUNDS (the SQL oracle unrolls exactly that many — widen
-    both together). MIS is the scheduling/conflict-free-selection
-    primitive (pick a maximal set of pairwise-non-similar docs).
-
-    Shape: per round ONE distributed pass over the edge set computes
-    each undecided node's minimum undecided-neighbor priority (batch
-    partials → a nodes-sized groupby argmin); the driver holds only
-    the node-count priority/state arrays (the accepted
-    degree-broadcast class) and folds the O(und) summary. Output
-    (vec_id, mis_round) for the selected nodes."""
-    from candidategeneration_ray.functions import hashing as H
-
-    ew = _knn_weighted_edges(sf_dir).materialize()
-    nodes = _edge_node_ids(ew)
-    prio = H.h64_many([str(int(v)) for v in nodes])
-    und = np.ones(nodes.size, bool)
-    picked = np.full(nodes.size, -1, np.int64)   # round joined, -1 = no
+def _luby_local_minima(ew: "ray.data.Dataset", nodes: np.ndarray,
+                       prio: np.ndarray, und: np.ndarray) -> np.ndarray:
+    """One Luby symmetry-breaking round, factored for MIS and graph
+    coloring: among the undecided nodes, return the bool mask of those
+    whose (h64, node) is strictly smaller than every undecided
+    neighbor's. ONE distributed pass over the edge set (batch partials
+    → a nodes-sized groupby argmin); the driver folds the O(und)
+    summary against the node-count state arrays."""
 
     def _nbr_min(batch: pa.Table, state_ref) -> pa.Table:
         nds, pr, u_mask = ray.get(state_ref)
@@ -3328,31 +3312,59 @@ def q_mis_nodes(sf_dir: str) -> pa.Table:
         i = int(np.lexsort((nv, nh))[0])
         return group.take([i])
 
+    state_ref = ray.put((nodes, prio, und))
+    rows = (ew.map_batches(
+                lambda b, r=state_ref: _nbr_min(b, r),
+                batch_format="pyarrow")
+            .groupby("node")
+            .map_groups(_merge_min, batch_format="pyarrow")
+            .take_all())  # O(undecided)
+    # nodes with an undecided neighbor: min (h, v) over them —
+    # one vectorized scatter over the O(und) summary
+    nbr_h = np.zeros(nodes.size, np.uint64)
+    nbr_v = np.zeros(nodes.size, np.int64)
+    has_nbr = np.zeros(nodes.size, bool)
+    rn = np.fromiter((r["node"] for r in rows), np.int64, len(rows))
+    rh = np.fromiter((r["nh"] for r in rows), np.uint64, len(rows))
+    rv = np.fromiter((r["nv"] for r in rows), np.int64, len(rows))
+    ri = np.searchsorted(nodes, rn)
+    has_nbr[ri] = True
+    nbr_h[ri] = rh
+    nbr_v[ri] = rv
+    return und & (~has_nbr
+                  | (prio < nbr_h)
+                  | ((prio == nbr_h) & (nodes < nbr_v)))
+
+
+def q_mis_nodes(sf_dir: str) -> pa.Table:
+    """Maximal independent set over the undirected kNN graph by Luby's
+    algorithm (Luby SICOMP'86 — THE parallel symmetry-breaking
+    classic) with deterministic md5 priorities: each round every
+    undecided node whose (h64(node), node) is smaller than all its
+    undecided neighbors' joins the set; the node and its neighbors
+    leave the pool. O(log n) rounds w.h.p.; raises past
+    MIS_MAX_ROUNDS (the SQL oracle unrolls exactly that many — widen
+    both together). MIS is the scheduling/conflict-free-selection
+    primitive (pick a maximal set of pairwise-non-similar docs).
+
+    Shape: per round ONE distributed pass over the edge set computes
+    each undecided node's minimum undecided-neighbor priority (batch
+    partials → a nodes-sized groupby argmin); the driver holds only
+    the node-count priority/state arrays (the accepted
+    degree-broadcast class) and folds the O(und) summary. Output
+    (vec_id, mis_round) for the selected nodes."""
+    from candidategeneration_ray.functions import hashing as H
+
+    ew = _knn_weighted_edges(sf_dir).materialize()
+    nodes = _edge_node_ids(ew)
+    prio = H.h64_many([str(int(v)) for v in nodes])
+    und = np.ones(nodes.size, bool)
+    picked = np.full(nodes.size, -1, np.int64)   # round joined, -1 = no
+
     for rnd in range(MIS_MAX_ROUNDS):
         if not und.any():
             break
-        state_ref = ray.put((nodes, prio, und))
-        rows = (ew.map_batches(
-                    lambda b, r=state_ref: _nbr_min(b, r),
-                    batch_format="pyarrow")
-                .groupby("node")
-                .map_groups(_merge_min, batch_format="pyarrow")
-                .take_all())  # O(undecided)
-        # nodes with an undecided neighbor: min (h, v) over them —
-        # one vectorized scatter over the O(und) summary
-        nbr_h = np.zeros(nodes.size, np.uint64)
-        nbr_v = np.zeros(nodes.size, np.int64)
-        has_nbr = np.zeros(nodes.size, bool)
-        rn = np.fromiter((r["node"] for r in rows), np.int64, len(rows))
-        rh = np.fromiter((r["nh"] for r in rows), np.uint64, len(rows))
-        rv = np.fromiter((r["nv"] for r in rows), np.int64, len(rows))
-        ri = np.searchsorted(nodes, rn)
-        has_nbr[ri] = True
-        nbr_h[ri] = rh
-        nbr_v[ri] = rv
-        cand = und & (~has_nbr
-                      | (prio < nbr_h)
-                      | ((prio == nbr_h) & (nodes < nbr_v)))
+        cand = _luby_local_minima(ew, nodes, prio, und)
         picked[cand] = rnd
         # remove candidates and their neighbors (locally: neighbors of
         # cand are exactly the dst's whose min undecided nbr could be a
@@ -3516,6 +3528,112 @@ def q_matching_edges(sf_dir: str) -> pa.Table:
         "v": pa.array(np.asarray(out_v, np.int64)[order], pa.int64()),
         "match_round": pa.array(np.asarray(out_r, np.int64)[order],
                                 pa.int64()),
+    })
+
+
+# ------------------------------------------------------- graph coloring
+
+COLOR_MAX_ROUNDS = 16   # shared with the SQL unroll — widen BOTH together
+COLOR_MAX_COLORS = 64   # mex never exceeds max degree; hard guard
+
+
+def q_graph_coloring(sf_dir: str) -> pa.Table:
+    """Greedy distance-1 graph coloring over the undirected kNN graph
+    by the Jones–Plassmann schedule (Jones & Plassmann SIAM JSC'93 —
+    the third classic of the symmetry-breaking family beside Luby MIS
+    and greedy matching; the conflict-free SCHEDULING primitive:
+    same-color docs can be processed/updated concurrently because no
+    two are neighbors). Each round the uncolored nodes whose
+    deterministic (h64, node) priority is a local minimum among
+    UNCOLORED neighbors take the smallest color (mex) absent from
+    their already-colored neighborhood — adjacent nodes can never
+    color in the same round, so the coloring is proper by
+    construction; colors used ≤ max degree + 1. Deterministic; raises
+    past COLOR_MAX_ROUNDS (the SQL oracle unrolls the same count —
+    converged rounds are no-ops).
+
+    Shape: per round the shared Luby pass (_luby_local_minima — one
+    distributed edge sweep, nodes-sized groupby argmin) picks the
+    frontier, then a second edge sweep emits (frontier node,
+    colored-neighbor color) pairs whose O(frontier × degree) distinct
+    summary feeds one vectorized driver mex (sort + reduceat — no
+    per-node loop). Driver state stays O(nodes). Output
+    (vec_id, color, color_round)."""
+    from ray.data.aggregate import Count
+
+    from candidategeneration_ray.functions import hashing as H
+
+    ew = _knn_weighted_edges(sf_dir).materialize()
+    nodes = _edge_node_ids(ew)
+    prio = H.h64_many([str(int(v)) for v in nodes])
+    und = np.ones(nodes.size, bool)
+    color = np.full(nodes.size, -1, np.int64)
+    rnd_of = np.full(nodes.size, -1, np.int64)
+
+    def _used_colors(batch: pa.Table, sref) -> pa.Table:
+        nds, col, cand_sorted = ray.get(sref)
+        a = batch.column("u").to_numpy().astype(np.int64)
+        b = batch.column("v").to_numpy().astype(np.int64)
+        src = np.concatenate((a, b))
+        dst = np.concatenate((b, a))
+        cb = col[np.searchsorted(nds, dst)]
+        pos = np.searchsorted(cand_sorted, src)
+        pos[pos == cand_sorted.size] = 0
+        keep = (cand_sorted[pos] == src) & (cb >= 0)
+        if not keep.any():
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "uc": pa.array([], pa.int64())})
+        packed = np.unique(src[keep] * COLOR_MAX_COLORS + cb[keep])
+        return pa.table({
+            "node": pa.array(packed // COLOR_MAX_COLORS, pa.int64()),
+            "uc": pa.array(packed % COLOR_MAX_COLORS, pa.int64()),
+        })
+
+    for rnd in range(COLOR_MAX_ROUNDS):
+        if not und.any():
+            break
+        cand = _luby_local_minima(ew, nodes, prio, und)
+        cand_ids = nodes[cand]           # already sorted (nodes sorted)
+        mex = np.zeros(cand_ids.size, np.int64)
+        if cand_ids.size:
+            sref = ray.put((nodes, color, cand_ids))
+            used = (ew.map_batches(
+                        lambda b, r=sref: _used_colors(b, r),
+                        batch_format="pyarrow")
+                    .groupby(["node", "uc"])
+                    .aggregate(Count(alias_name="_c"))
+                    ).to_pandas()        # O(frontier × degree) distinct
+            if len(used):
+                un = used["node"].to_numpy(np.int64)
+                uc = used["uc"].to_numpy(np.int64)
+                gi = np.searchsorted(cand_ids, un)
+                order = np.lexsort((uc, gi))
+                gi, uc = gi[order], uc[order]
+                first = np.concatenate(([True], gi[1:] != gi[:-1]))
+                starts = np.nonzero(first)[0]
+                counts = np.diff(np.append(starts, gi.size))
+                # mex: within each group uc is sorted distinct; the
+                # smallest absent color is the first position where
+                # uc != its rank, else the group size
+                pos = np.arange(gi.size) - np.repeat(starts, counts)
+                miss = np.where(uc != pos, pos, np.int64(1 << 62))
+                first_miss = np.minimum.reduceat(miss, starts)
+                mex[gi[starts]] = np.minimum(
+                    first_miss, counts.astype(np.int64))
+        if cand_ids.size and int(mex.max(initial=0)) >= COLOR_MAX_COLORS:
+            raise RuntimeError("coloring exceeded COLOR_MAX_COLORS")
+        ci = np.searchsorted(nodes, cand_ids)
+        color[ci] = mex
+        rnd_of[ci] = rnd
+        und = und & ~cand
+    else:
+        if und.any():
+            raise RuntimeError("coloring exceeded COLOR_MAX_ROUNDS")
+
+    return pa.table({
+        "vec_id": pa.array(nodes, pa.int64()),
+        "color": pa.array(color, pa.int64()),
+        "color_round": pa.array(rnd_of, pa.int64()),
     })
 
 

@@ -8472,7 +8472,10 @@ FROM nodea a JOIN nodeb b USING (doc_id)
 def session17_oracles() -> dict[str, str]:
     """Session-17 oracles: interval-union covered time (the window
     running-sum formulation of the sweep line over gap-rule session
-    spans — same spans CTE as peak_concurrency)."""
+    spans — same spans CTE as peak_concurrency) and Jones-Plassmann
+    graph coloring (Luby-style rounds unrolled; per-frontier-node mex
+    as min over a colors series anti-joined with the colored
+    neighborhood)."""
     from candidategeneration_ray.pipelines.events import PEAK_GAP_SEC
 
     gap_us = PEAK_GAP_SEC * 1_000_000
@@ -8513,4 +8516,56 @@ SELECT CAST(coalesce(sum(CASE WHEN conc > 0 THEN nxt - t ELSE 0 END), 0)
        CAST((SELECT count(*) FROM spans) AS BIGINT) AS n_sessions
 FROM run WHERE nxt IS NOT NULL
 """
-    return {"active_time": active_time}
+
+    # Jones-Plassmann coloring: the MIS round structure (same nb/cand
+    # CTEs — local minima among UNCOLORED neighbors), plus per-round
+    # used-color collection and a mex via anti-joined color series
+    from candidategeneration_ray.pipelines.clustering import (
+        COLOR_MAX_COLORS, COLOR_MAX_ROUNDS)
+
+    h_node = _H64.format(expr="CAST(x AS VARCHAR)")
+    ctes = [f"pr AS MATERIALIZED (SELECT x AS v, {h_node} AS h "
+            "FROM (SELECT DISTINCT x FROM sadj))",
+            "und0 AS (SELECT v FROM pr)",
+            "col0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT)"
+            " AS c WHERE 1 = 0)",
+            f"nums AS (SELECT unnest(generate_series(0, "
+            f"{COLOR_MAX_COLORS - 1})) AS c)"]
+    for r in range(COLOR_MAX_ROUNDS):
+        ctes.append(f"""nb{r} AS (
+  SELECT s.x AS v, p.h AS nh, p.v AS nv,
+         row_number() OVER (PARTITION BY s.x ORDER BY p.h, p.v) AS rn
+  FROM sadj s
+  JOIN und{r} ux ON ux.v = s.x
+  JOIN und{r} uy ON uy.v = s.y
+  JOIN pr p ON p.v = s.y),
+cand{r} AS MATERIALIZED (
+  SELECT u.v FROM und{r} u
+  JOIN pr p ON p.v = u.v
+  LEFT JOIN (SELECT v, nh, nv FROM nb{r} WHERE rn = 1) m ON m.v = u.v
+  WHERE m.v IS NULL OR p.h < m.nh OR (p.h = m.nh AND p.v < m.nv)),
+used{r} AS (
+  SELECT c.v, k.c AS uc
+  FROM cand{r} c JOIN sadj s ON s.x = c.v JOIN col{r} k ON k.v = s.y),
+newc{r} AS MATERIALIZED (
+  SELECT c.v, min(n.c) AS c
+  FROM cand{r} c CROSS JOIN nums n
+  WHERE NOT EXISTS (SELECT 1 FROM used{r} u
+                    WHERE u.v = c.v AND u.uc = n.c)
+  GROUP BY c.v),
+col{r + 1} AS MATERIALIZED (
+  SELECT v, c FROM col{r} UNION ALL SELECT v, c FROM newc{r}),
+und{r + 1} AS MATERIALIZED (
+  SELECT u.v FROM und{r} u
+  WHERE u.v NOT IN (SELECT v FROM cand{r}))""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST(v AS BIGINT) AS vec_id, CAST(c AS BIGINT) AS color, "
+        f"CAST({r} AS BIGINT) AS color_round FROM newc{r}"
+        for r in range(COLOR_MAX_ROUNDS))
+    graph_coloring = f"""
+WITH {_knn_edge_ctes()},
+{",".join(ctes)}
+{union}
+"""
+    return {"active_time": active_time,
+            "graph_coloring": graph_coloring}

@@ -104,3 +104,67 @@ class TestActiveTime:
         one = q_active_time(SF, num_blocks=1).to_pylist()
         many = q_active_time(SF, num_blocks=13).to_pylist()
         assert one == many
+
+
+class TestGraphColoring:
+    @pytest.fixture(scope="class")
+    def colored(self, ray_session):
+        from candidategeneration_ray.pipelines.clustering import (
+            q_graph_coloring)
+
+        t = q_graph_coloring(SF)
+        return {int(v): (int(c), int(r)) for v, c, r in zip(
+            t.column("vec_id").to_pylist(),
+            t.column("color").to_pylist(),
+            t.column("color_round").to_pylist())}
+
+    @pytest.fixture(scope="class")
+    def edges(self, ray_session):
+        from candidategeneration_ray.pipelines.clustering import (
+            _knn_weighted_edges)
+
+        ew = _knn_weighted_edges(SF).to_pandas()
+        return list(zip(ew["u"].astype(int), ew["v"].astype(int)))
+
+    def test_proper_and_complete(self, colored, edges):
+        assert all(c >= 0 and r >= 0 for c, r in colored.values())
+        for u, v in edges:
+            assert colored[u][0] != colored[v][0], (u, v)
+            # adjacent nodes can never be frontier in the same round
+            assert colored[u][1] != colored[v][1], (u, v)
+
+    def test_matches_sequential_replay(self, colored, edges):
+        """Replay Jones-Plassmann sequentially in plain Python: rounds
+        of priority-local-minima, mex over colored neighbors."""
+        from candidategeneration_ray.functions import hashing as H
+
+        adj: dict[int, set] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        prio = {n: (int(H.h64_many([str(n)])[0]), n) for n in adj}
+        col: dict[int, tuple] = {}
+        und = set(adj)
+        rnd = 0
+        while und:
+            frontier = [n for n in und
+                        if all(prio[n] < prio[m]
+                               for m in adj[n] if m in und)]
+            for n in frontier:
+                used = {col[m][0] for m in adj[n] if m in col}
+                c = 0
+                while c in used:
+                    c += 1
+                col[n] = (c, rnd)
+            und -= set(frontier)
+            rnd += 1
+            assert rnd <= 64
+        assert colored == col
+
+    def test_color_count_bounded(self, colored, edges):
+        deg: dict[int, int] = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        n_colors = len({c for c, _ in colored.values()})
+        assert n_colors <= max(deg.values()) + 1
