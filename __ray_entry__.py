@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_terms": dq.q_textrank_terms,  # integer TextRank keywords
         "forward_export": dq.q_forward_export,  # inverted->forward transpose
         "filtered_bm25_topk": dq.q_filtered_bm25_topk,  # metadata-filtered retrieval
+        "dedup_bm25_topk": dq.q_dedup_bm25_topk,  # curated-corpus index rebuild
         # --- training-data extras (dedup / similarity / text analysis) ---
         "dedup_exact": ex.q_dedup_exact,
         # exact-mode opt-in: the library default caps hot shingles
@@ -635,5 +636,17 @@ FROM tot, pe""")
         "WITH base_docs AS MATERIALIZED (SELECT * FROM documents "
         "WHERE doc_id < (SELECT count(*) // 2 FROM documents)),\n"
         + d["bm25_topk"].replace("documents", "base_docs")[len("WITH "):]
+    )
+    # curated-corpus index: the bm25 oracle with `documents` rebound to
+    # the near-dup survivors (the cluster_representatives oracle's
+    # keep-best picks) — stats, df and every score re-derive over the
+    # deduplicated corpus, hash-verifying the curate→build→serve wiring
+    d["dedup_bm25_topk"] = (
+        "WITH reps AS MATERIALIZED (\n"
+        + d["cluster_representatives"] + "\n),\n"
+        "dedup_docs AS MATERIALIZED (\n"
+        "  SELECT d.* FROM documents d JOIN reps r ON r.rep_doc = d.doc_id"
+        "),\n"
+        + d["bm25_topk"].replace("documents", "dedup_docs")[len("WITH "):]
     )
     return d

@@ -2094,6 +2094,125 @@ def q_filtered_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+# --------------------------------------- curated-corpus (dedup) index
+# The production flow the two biggest subsystems exist for: the dedup
+# pipeline decides which documents survive, and the index is REBUILT
+# over the survivors — N, avgdl and df all shift, so every BM25 score
+# is re-derived (unlike the serving-time doc_filter view, which keeps
+# the full-corpus epoch). Survivors = the keep-best representatives of
+# the MinHash-LSH duplicate clusters (extras.q_cluster_representatives:
+# longest doc per cluster, ties → min doc_id; singleton clusters keep
+# their only member).
+
+
+def _dedup_drop_ids(sf_dir: str) -> np.ndarray:
+    """Sorted doc ids REMOVED by near-dup dedup: members of multi-doc
+    LSH clusters that are not the keep-best representative. Computed
+    distributed (clusters ⨝ reps is the existing bucketed join inside
+    q_cluster_representatives); only the O(near-duplicates) drop set —
+    the tombstone-sized class, NOT the corpus — reaches the driver."""
+    from candidategeneration_ray.pipelines.extras import (
+        q_cluster_representatives, q_dup_clusters)
+
+    reps = q_cluster_representatives(sf_dir).to_pandas()
+    multi = reps[reps["n_docs"] > 1].sort_values("cluster")
+    if not len(multi):
+        return np.array([], np.int64)
+    mc = multi["cluster"].to_numpy(np.int64)   # sorted multi clusters
+    mr = multi["rep_doc"].to_numpy(np.int64)   # aligned representatives
+    kref = ray.put((mc, mr))
+
+    def _drops(batch: pa.Table, r=kref) -> pa.Table:
+        mc_, mr_ = ray.get(r)
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        c = batch.column("cluster").to_numpy().astype(np.int64)
+        pos = np.searchsorted(mc_, c)
+        pos[pos == mc_.size] = 0
+        hit = (mc_[pos] == c) & (mr_[pos] != d)
+        return pa.table({"doc_id": pa.array(d[hit], pa.int64())})
+
+    rows = (q_dup_clusters(sf_dir)
+            .map_batches(_drops, batch_format="pyarrow").take_all())
+    return np.sort(np.fromiter((r["doc_id"] for r in rows), np.int64,
+                               len(rows)))
+
+
+def build_documents_index_dedup(sf_dir: str,
+                                cfg: EngineConfig | None = None) -> dict:
+    """Build (or reuse) the static index over the DEDUPLICATED corpus:
+    the standard pipeline (stats → emission → bucketed shuffle →
+    compressed block-max lists) over the token stream with the
+    near-dup drop set filtered out — stats are recomputed over the
+    survivors, so the index is a genuine rebuild, not a filtered view
+    of the full-corpus index."""
+    from candidategeneration_ray.state import checkpoint as ckpt
+    from candidategeneration_ray.pipelines.build import (
+        _persist_stats, load_stats)
+
+    cfg = cfg or EngineConfig(emit_pairs=False)
+    out_dir = _cache_dir(sf_dir, f"docidxd-{cfg.index_tag()}")
+    final = os.path.join(out_dir, "final")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if (ckpt.is_complete(os.path.join(out_dir, "stats"), [src])
+            and ckpt.is_complete(final)):
+        stats, _ = load_stats(out_dir)
+        return {"final_dir": final, "stats": stats}
+
+    drop = _dedup_drop_ids(sf_dir)
+    dref = ray.put(drop)
+
+    def _keep(batch: pa.Table, r=dref) -> pa.Table:
+        ds_ = ray.get(r)
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        pos = np.searchsorted(ds_, d)
+        pos[pos == ds_.size] = 0
+        mask = ~((ds_.size > 0) & (ds_[pos] == d))
+        return batch.filter(pa.array(mask))
+
+    toks = doc_tokens(sf_dir).map_batches(_keep, batch_format="pyarrow")
+    stats = compute_stats(toks)
+    offsets = {
+        "conv_ids": np.array(["documents"], dtype=object),
+        "bases": np.array([0], dtype=np.int64),
+        "counts": np.array([stats["n_docs"]], dtype=np.int64),
+        "n_docs": stats["n_docs"],
+    }
+    _persist_stats(out_dir, stats, offsets, [src])
+    stats_ref = ray.put(stats)
+    postings = emit_postings(toks, stats_ref, cfg)
+    lists = build_posting_lists(postings, cfg)
+    os.makedirs(final, exist_ok=True)
+    lists.write_parquet(final)
+    ckpt.write_manifest(final, {"phase": "merge", "lineage": [src]})
+    return {"final_dir": final, "stats": stats}
+
+
+def q_dedup_bm25_topk(sf_dir: str) -> pa.Table:
+    """Exact BM25 top-10 per fixed query over the DEDUPLICATED corpus
+    index — the composition proof tying the dedup subsystem to the
+    index subsystem (the oracle rebinds the bm25 SQL's documents table
+    to the cluster_representatives oracle's survivor set, so the
+    whole curate→build→serve wiring is hash-verified)."""
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_documents_index_dedup(
+        sf_dir, EngineConfig(emit_pairs=False))
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        for rank, (s, d) in enumerate(eng.topk(text, k=10)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
 MLT_SEEDS = (0, 17, 42)   # seed documents (doc ids exist at every sf)
 MLT_E = 5                 # terms taken from each seed
 

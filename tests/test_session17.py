@@ -168,3 +168,43 @@ class TestGraphColoring:
             deg[v] = deg.get(v, 0) + 1
         n_colors = len({c for c, _ in colored.values()})
         assert n_colors <= max(deg.values()) + 1
+
+
+class TestDedupIndex:
+    def test_drop_set_matches_keep_best_rule(self, ray_session):
+        """Drop set replayed in pandas: per multi-doc LSH cluster keep
+        the longest doc (ties → min doc_id), drop the rest."""
+        import pandas as pd
+
+        from candidategeneration_ray.pipelines.docquery import (
+            _dedup_drop_ids)
+        from candidategeneration_ray.pipelines.extras import q_dup_clusters
+
+        cl = q_dup_clusters(SF).to_pandas()
+        nc = pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id", "n_chars"]).to_pandas()
+        j = cl.merge(nc, on="doc_id")
+        expected = []
+        for _, g in j.groupby("cluster"):
+            if len(g) < 2:
+                continue
+            keep = g.sort_values(["n_chars", "doc_id"],
+                                 ascending=[False, True]
+                                 )["doc_id"].iloc[0]
+            expected += [int(d) for d in g["doc_id"] if d != keep]
+        got = _dedup_drop_ids(SF)
+        assert sorted(expected) == got.tolist()
+        assert got.size > 0        # fixture must exercise the path
+
+    def test_rebuild_serves_survivors_with_new_stats(self, ray_session):
+        from candidategeneration_ray.pipelines.docquery import (
+            _dedup_drop_ids, q_bm25_topk, q_dedup_bm25_topk)
+
+        drop = set(_dedup_drop_ids(SF).tolist())
+        full = q_bm25_topk(SF).to_pylist()
+        ded = q_dedup_bm25_topk(SF).to_pylist()
+        # dropped docs never surface
+        assert all(r["doc_id"] not in drop for r in ded)
+        # a genuine rebuild: N/avgdl/df shifted, so scores differ from
+        # the full-corpus epoch (unlike the doc_filter serving view)
+        assert ded != full
