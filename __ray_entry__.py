@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_counts": dq.q_tokenize_counts,        # M1 tokenizer
         "global_stats": dq.q_global_stats,              # A1 global stats
         "df_top50": dq.q_df_top50,                      # A2 document frequency
+        "stemmed_df_top50": dq.q_stemmed_df_top50,      # S-stemmer normalization
         "term_postings": dq.q_term_postings,            # M7+M8+O1/O2 list build
         "unigram_list_lengths": dq.q_unigram_list_lengths,  # A4 list lengths
         "postings_bytes": dq.q_postings_bytes,  # on-disk codec accounting

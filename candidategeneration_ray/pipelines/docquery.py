@@ -147,6 +147,75 @@ def q_df_top50(sf_dir: str) -> pa.Table:
     })
 
 
+def s_stem_unique(uniq: np.ndarray) -> list[str]:
+    """Harman S-stemmer (Harman JASIS'91 "How effective is
+    suffixing?") over a batch's UNIQUE tokens — the weakest of the
+    classic English stemmers, prized in IR evaluation because it only
+    conflates plural forms (no over-stemming): the longest matching
+    suffix rule fires and its exception list decides change vs keep;
+    later rules never apply once a suffix matched.
+      ies → y   (unless eies, aies)
+      es  → e   (unless aes, ees, oes)
+      s   → ''  (unless us, ss)
+    Applied over the dictionary (unique tokens), not the token stream
+    — the batch-global dictionary-encode pattern."""
+    out = []
+    for t in uniq:
+        if t.endswith("ies"):
+            out.append(t if t.endswith(("eies", "aies")) else t[:-3] + "y")
+        elif t.endswith("es"):
+            out.append(t if t.endswith(("aes", "ees", "oes")) else t[:-1])
+        elif t.endswith("s"):
+            out.append(t if t.endswith(("us", "ss")) else t[:-1])
+        else:
+            out.append(t)
+    return out
+
+
+def q_stemmed_df_top50(sf_dir: str) -> pa.Table:
+    """Stemmed document frequency, top 50 by (df desc, stem asc) — the
+    S-stemmer normalization layer over the M1 tokenizer (the reference
+    ships its Krovetz stemmer commented out, WWW.java:7,353 — stemming
+    is the one normalization knob it documents but never turns on).
+
+    Shape: per batch the token lists flatten once, stem over the
+    np.unique dictionary (vocabulary-sized Python work, corpus-sized
+    numpy take), per-doc distinct via one packed unique → (stem) rows
+    → ONE groupby count; the driver ranks the O(vocab) aggregate."""
+    from ray.data.aggregate import Count
+
+    def _stem_doc_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens").combine_chunks()
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(col).to_numpy()
+        if flat.size == 0:
+            return pa.table({"stem": pa.array([], pa.string())})
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        stems = np.asarray(s_stem_unique(uniq), dtype=object)
+        su, sinv = np.unique(stems, return_inverse=True)
+        # distinct (doc, stem) pairs — docs are batch-local (one row
+        # per doc), so within-batch dedup is global dedup
+        packed = np.unique(parent.astype(np.int64) * np.int64(su.size)
+                           + sinv[inv])
+        return pa.table({
+            "stem": pa.array(su[packed % su.size].tolist(), pa.string()),
+        })
+
+    agg = (doc_tokens(sf_dir)
+           .map_batches(_stem_doc_rows, batch_format="pyarrow")
+           .groupby("stem").aggregate(Count(alias_name="df"))
+           ).to_pandas()                       # O(vocab), like df_top50
+    stems = agg["stem"].to_numpy(dtype=object)
+    df = agg["df"].to_numpy(np.int64)
+    order = np.lexsort((stems, -df))[:50]
+    return pa.table({
+        "stem": pa.array(stems[order].tolist(), pa.string()),
+        "df": pa.array(df[order], pa.int64()),
+    })
+
+
 def q_term_postings(sf_dir: str, term: str = "vector") -> pa.Table:
     """Unigram posting list for one term: (doc_id, score) in doc order,
     decoded from the real compressed index (M7 + M8 + O1/O2)."""

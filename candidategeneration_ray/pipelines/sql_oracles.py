@@ -8567,5 +8567,30 @@ WITH {_knn_edge_ctes()},
 {",".join(ctes)}
 {union}
 """
+    # Harman S-stemmer over the kept tokens: longest-suffix rule fires,
+    # exception list decides change vs keep, later rules never apply
+    stemmed_df = f"""
+WITH {KEPT_CTE},
+st AS (
+  SELECT doc_id,
+    CASE WHEN tok LIKE '%ies' THEN
+           CASE WHEN tok LIKE '%eies' OR tok LIKE '%aies' THEN tok
+                ELSE substr(tok, 1, length(tok) - 3) || 'y' END
+         WHEN tok LIKE '%es' THEN
+           CASE WHEN tok LIKE '%aes' OR tok LIKE '%ees'
+                     OR tok LIKE '%oes' THEN tok
+                ELSE substr(tok, 1, length(tok) - 1) END
+         WHEN tok LIKE '%s' THEN
+           CASE WHEN tok LIKE '%us' OR tok LIKE '%ss' THEN tok
+                ELSE substr(tok, 1, length(tok) - 1) END
+         ELSE tok END AS stem
+  FROM kept)
+SELECT stem, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT DISTINCT doc_id, stem FROM st)
+GROUP BY stem
+ORDER BY df DESC, stem ASC
+LIMIT 50
+"""
     return {"active_time": active_time,
-            "graph_coloring": graph_coloring}
+            "graph_coloring": graph_coloring,
+            "stemmed_df_top50": stemmed_df}

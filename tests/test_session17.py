@@ -208,3 +208,61 @@ class TestDedupIndex:
         # a genuine rebuild: N/avgdl/df shifted, so scores differ from
         # the full-corpus epoch (unlike the doc_filter serving view)
         assert ded != full
+
+
+class TestSStemmer:
+    def test_rule_table(self):
+        from candidategeneration_ray.pipelines.docquery import (
+            s_stem_unique)
+
+        cases = {
+            # ies rule + exceptions
+            "queries": "query", "flies": "fly", "ties": "ty",
+            "eies": "eies", "aies": "aies", "movies": "movy",
+            # es rule + exceptions (es -> e, NOT stripped twice)
+            "indexes": "indexe", "tables": "table", "caches": "cache",
+            "aes": "aes", "trees": "trees", "goes": "goes", "shoes": "shoes",
+            # s rule + exceptions
+            "workers": "worker", "columns": "column",
+            "status": "status", "class": "class", "bus": "bus",
+            # no suffix
+            "merge": "merge", "data": "data",
+        }
+        got = s_stem_unique(np.array(sorted(cases), dtype=object))
+        assert got == [cases[k] for k in sorted(cases)]
+
+    def test_noop_on_pluralless_corpus(self, ray_session):
+        """The sf fixture vocabulary has no plural forms, so stemmed df
+        must equal raw df exactly (the stemmer never over-stems)."""
+        from candidategeneration_ray.pipelines.docquery import (
+            q_df_top50, q_stemmed_df_top50)
+
+        raw = {r["term"]: r["df"] for r in q_df_top50(SF).to_pylist()}
+        st = {r["stem"]: r["df"] for r in q_stemmed_df_top50(SF).to_pylist()}
+        assert raw == st
+
+    def test_conflation_synthetic(self, ray_session, tmp_path):
+        """On a corpus WITH plurals the stemmer conflates: df(stem) =
+        docs containing any surface form."""
+        import pyarrow as pa
+
+        from candidategeneration_ray.pipelines.docquery import (
+            q_stemmed_df_top50)
+
+        docs = pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array([
+                "query tables fast",
+                "queries table index",
+                "query worker workers",
+                "caches cache bus status",
+            ]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        st = {r["stem"]: r["df"]
+              for r in q_stemmed_df_top50(str(tmp_path)).to_pylist()}
+        assert st["query"] == 3      # query, queries, query
+        assert st["table"] == 2      # tables, table
+        assert st["worker"] == 1     # worker+workers in ONE doc
+        assert st["cache"] == 1
+        assert st["bus"] == 1 and st["status"] == 1  # exceptions keep s
