@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_predict": tl.q_nb_predict,          # NB classifier serving (val split)
         "nb_eval": tl.q_nb_eval,                # confusion + exact P/R/F1
         "kappa_eval": tl.q_kappa_eval,          # Cohen's kappa, exact num/den
+        "mcnemar_test": tl.q_mcnemar_test,      # paired classifier comparison
         "auc_eval": ex.q_auc_eval,              # exact ROC-AUC (midrank U)
         "perceptron": tl.q_perceptron,          # batch perceptron trajectory
         "chi2_terms": tl.q_chi2_terms,          # chi-square feature selection
@@ -606,6 +607,36 @@ SELECT lang, support, tp, fp, fn,
        ELSE CAST((2000000 * tp) // (2 * tp + fp + fn) AS BIGINT)
   END AS f1_ppm
 FROM agg""")
+    # McNemar's paired test: NB (pred_lang='en') vs the langid
+    # stopword-ratio heuristic on the shared is-English task, composed
+    # over the SAME nb_predict oracle + the shared words/wstats CTEs;
+    # continuity-corrected chi2 as exact num/den ((0,1) when b == c)
+    from candidategeneration_ray.pipelines.sql_oracles import _WORDS_CTE
+
+    d["mcnemar_test"] = (
+        "WITH preds AS MATERIALIZED (\n" + d["nb_predict"] + "\n),\n"
+        + _WORDS_CTE + ",\n"
+        """j AS (
+  SELECT ((p.pred_lang = 'en') = (d.lang = 'en')) AS a_ok,
+         ((5 * coalesce(w.n_stop, 0) >=
+           greatest(coalesce(w.n_words, 0), 1)) = (d.lang = 'en')) AS b_ok
+  FROM preds p JOIN documents d USING (doc_id)
+  LEFT JOIN wstats w ON w.doc_id = d.doc_id),
+cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (a_ok AND b_ok) AS BIGINT) AS both_right,
+         CAST(count(*) FILTER (NOT a_ok AND NOT b_ok) AS BIGINT)
+           AS both_wrong,
+         CAST(count(*) FILTER (a_ok AND NOT b_ok) AS BIGINT) AS b_cell,
+         CAST(count(*) FILTER (NOT a_ok AND b_ok) AS BIGINT) AS c_cell
+  FROM j)
+SELECT n, both_right, both_wrong, b_cell, c_cell,
+  CASE WHEN abs(b_cell - c_cell) > 1
+       THEN (abs(b_cell - c_cell) - 1) * (abs(b_cell - c_cell) - 1)
+       ELSE CAST(0 AS BIGINT) END AS chi2_num,
+  CASE WHEN abs(b_cell - c_cell) > 1 THEN b_cell + c_cell
+       ELSE CAST(1 AS BIGINT) END AS chi2_den
+FROM cnt""")
     # Cohen's kappa over the SAME nb_predict oracle predictions
     # (composition proof): N·A − Σrow·col over N² − Σrow·col, all
     # integers — chance-corrected agreement with no float division

@@ -1730,6 +1730,70 @@ def q_nb_eval(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
     })
 
 
+def q_mcnemar_test(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
+    """McNemar's paired test between the two classifiers the engine
+    ships — NB (pred_lang == 'en') vs the stopword-ratio langid
+    heuristic (extras.q_langid's 5·n_stop ≥ n_words rule) — on the
+    shared binary task "is the doc English", over the NB val split.
+    The paired test conditions on the DISAGREEMENT cells only (b = NB
+    right & heuristic wrong, c = NB wrong & heuristic right): the
+    continuity-corrected statistic χ² = (|b−c|−1)²/(b+c) emitted as
+    an exact num/den pair ((0, 1) when b == c or b + c == 0 — no
+    evidence either way). Accuracy comparisons over the SAME docs need
+    exactly this test; two independent accuracy CIs overlap-checking
+    is the classic mistake.
+
+    Shape: ONE pass over documents scores both classifiers per batch
+    (model state broadcast once; the heuristic is the same _textstats
+    kernel langid uses) and emits a 5-counter partial; one tiny sum."""
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.pipelines.extras import _textstats
+
+    st = _nb_model_state(sf_dir, train_pct)
+
+    def _pair(batch: pa.Table) -> pa.Table:
+        cols = ["n", "both_right", "both_wrong", "b_cell", "c_cell"]
+        scored = _nb_score_batch(batch, ray.get(st), train_pct)
+        if scored is None:
+            return pa.table({k: pa.array([], pa.int64()) for k in cols})
+        val_pos, _, best, _, _, classes_ = scored
+        truth_en = (np.asarray(batch.column("lang").to_pylist(),
+                               dtype=object)[val_pos] == "en")
+        a_en = classes_[best] == "en"
+        ts = _textstats(batch)
+        n_words = ts.column("n_words").to_numpy()[val_pos]
+        n_stop = ts.column("n_stop").to_numpy()[val_pos]
+        b_en = 5 * n_stop >= np.maximum(n_words, 1)
+        a_ok = a_en == truth_en
+        b_ok = b_en == truth_en
+        vals = [truth_en.size, int((a_ok & b_ok).sum()),
+                int((~a_ok & ~b_ok).sum()), int((a_ok & ~b_ok).sum()),
+                int((~a_ok & b_ok).sum())]
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in zip(cols, vals)})
+
+    agg = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "lang"])
+           .map_batches(_pair, batch_format="pyarrow")
+           .aggregate(*[Sum(k, alias_name=k)
+                        for k in ("n", "both_right", "both_wrong",
+                                  "b_cell", "c_cell")]))
+    b, c = int(agg["b_cell"] or 0), int(agg["c_cell"] or 0)
+    num = (abs(b - c) - 1) ** 2 if abs(b - c) > 1 else 0
+    den = b + c if (b + c) > 0 and num > 0 else 1
+    return pa.table({
+        "n": pa.array([int(agg["n"] or 0)], pa.int64()),
+        "both_right": pa.array([int(agg["both_right"] or 0)], pa.int64()),
+        "both_wrong": pa.array([int(agg["both_wrong"] or 0)], pa.int64()),
+        "b_cell": pa.array([b], pa.int64()),
+        "c_cell": pa.array([c], pa.int64()),
+        "chi2_num": pa.array([num], pa.int64()),
+        "chi2_den": pa.array([den], pa.int64()),
+    })
+
+
 def q_kappa_eval(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
     """Cohen's kappa for the NB val-split predictions — the
     chance-corrected agreement statistic (Cohen 1960) the raw accuracy

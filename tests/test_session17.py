@@ -54,6 +54,43 @@ class TestKappaEval:
         assert 30 * agree_c - pe_c == 0
 
 
+class TestMcnemar:
+    def test_matches_bruteforce(self, ray_session):
+        """Cells recomputed from the (oracle-verified) nb_predict and
+        langid outputs joined with truth — by direct definition."""
+        from candidategeneration_ray.pipelines.extras import q_langid
+        from candidategeneration_ray.pipelines.textlm import (
+            q_mcnemar_test, q_nb_predict)
+
+        preds = q_nb_predict(SF).to_pandas()[["doc_id", "pred_lang"]]
+        lang = q_langid(SF).to_pandas()[["doc_id", "is_en"]]
+        truth = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        j = preds.merge(lang, on="doc_id").merge(truth, on="doc_id")
+        t = j["lang"] == "en"
+        a_ok = ((j["pred_lang"] == "en") == t).to_numpy()
+        b_ok = (j["is_en"] == t).to_numpy()
+        b = int((a_ok & ~b_ok).sum())
+        c = int((~a_ok & b_ok).sum())
+        num = (abs(b - c) - 1) ** 2 if abs(b - c) > 1 else 0
+        got = q_mcnemar_test(SF).to_pylist()
+        assert got == [{
+            "n": len(j), "both_right": int((a_ok & b_ok).sum()),
+            "both_wrong": int((~a_ok & ~b_ok).sum()),
+            "b_cell": b, "c_cell": c,
+            "chi2_num": num, "chi2_den": b + c if num > 0 else 1,
+        }]
+        assert got[0]["n"] > 0
+
+    def test_counters_partition(self, ray_session):
+        from candidategeneration_ray.pipelines.textlm import q_mcnemar_test
+
+        r = q_mcnemar_test(SF).to_pylist()[0]
+        assert (r["both_right"] + r["both_wrong"]
+                + r["b_cell"] + r["c_cell"]) == r["n"]
+
+
 class TestActiveTime:
     def _brute(self, gap_sec: int) -> tuple[int, int]:
         """Union length by direct microsecond-set semantics on the
