@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_model": dq.q_quality_model,            # Q2/A6 quality model
         "predictive_candidates": dq.q_predictive_candidates,  # Q3/Q5/Q6 greedy selection
         "retrieval_eval": dq.q_retrieval_eval,  # recall/MRR stats vs exact top-k
+        "pr_points": dq.q_pr_points,            # exact precision-recall curve
         "hard_negatives": dq.q_hard_negatives,  # BM25 contrastive triple mining
         "passage_bm25_topk": dq.q_passage_bm25_topk,  # MaxP passage retrieval
         "set_cover_select": tl.q_set_cover_select,  # greedy benchmark coverage

@@ -1964,6 +1964,48 @@ def q_retrieval_eval(sf_dir: str) -> pa.Table:
     })
 
 
+def q_pr_points(sf_dir: str) -> pa.Table:
+    """Exact precision-recall curve of the predictive candidate
+    ranking against the exact BM25 top-10 as relevance truth — the
+    third member of the eval family beside retrieval_eval (recall/MRR
+    witnesses) and ndcg_eval: one row per RELEVANT HIT in candidate
+    rank order, carrying precision@k as the exact pair
+    (prec_num = hit_idx, prec_den = rank) and recall@k's numerator
+    (hit_idx again, over the query's n_rel). Average precision / MAP
+    are float one-liners over these rows; keeping the rational points
+    keeps the oracle hash-exact (a single MAP number has no bounded
+    common denominator — ranks aren't bounded by k).
+
+    Both inputs are SQL-verified pipelines and the oracle composes
+    their SQL (the retrieval_eval pattern), so the driver checks the
+    composition. O(k²) per query; never corpus-bound."""
+    cand = q_predictive_candidates(sf_dir)
+    rel = q_bm25_topk(sf_dir)
+
+    relset = set(zip(rel.column("query_id").to_pylist(),
+                     rel.column("doc_id").to_pylist()))
+    nrel: dict[int, int] = {}
+    for q in rel.column("query_id").to_pylist():
+        nrel[q] = nrel.get(q, 0) + 1
+
+    cq = cand.column("query_id").to_numpy().astype(np.int64)
+    cr = cand.column("rank").to_numpy().astype(np.int64)
+    cd = cand.column("doc_id").to_numpy().astype(np.int64)
+    hit = np.fromiter(((int(q), int(d)) in relset
+                       for q, d in zip(cq, cd)), bool, cq.size)
+    order = np.lexsort((cr, cq))
+    cq, cr, hit = cq[order], cr[order], hit[order]
+    rows = {k: [] for k in ("query_id", "hit_idx", "rank", "n_rel")}
+    for q in np.unique(cq):
+        m = (cq == q) & hit
+        for i, k in enumerate(cr[m], 1):
+            rows["query_id"].append(int(q))
+            rows["hit_idx"].append(i)
+            rows["rank"].append(int(k))
+            rows["n_rel"].append(nrel.get(int(q), 0))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
 PRF_R = 5   # pseudo-relevant feedback depth
 PRF_E = 3   # expansion terms added per query
 

@@ -4940,6 +4940,25 @@ FROM cand c
 LEFT JOIN rel r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
 GROUP BY 1
 """,
+        # exact precision-recall points: one row per relevant hit in
+        # candidate rank order (prec@k = hit_idx/rank held rational)
+        "pr_points": f"""
+WITH cand AS ({cand}),
+rel AS ({bm25}),
+nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       FROM rel GROUP BY 1),
+hits AS (
+  SELECT c.query_id, c.rank,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY c.rank) AS hit_idx
+  FROM cand c
+  JOIN rel r ON r.query_id = c.query_id AND r.doc_id = c.doc_id)
+SELECT CAST(h.query_id AS BIGINT) AS query_id,
+       CAST(h.hit_idx AS BIGINT) AS hit_idx,
+       CAST(h.rank AS BIGINT) AS rank,
+       n.n_rel
+FROM hits h JOIN nr n USING (query_id)
+""",
     }
 
 

@@ -54,6 +54,35 @@ class TestKappaEval:
         assert 30 * agree_c - pe_c == 0
 
 
+class TestPrPoints:
+    def test_consistent_with_retrieval_eval(self, ray_session):
+        """The PR points must agree with the (oracle-verified)
+        retrieval_eval witnesses: hit counts at rank<=10 and the first
+        relevant rank."""
+        from candidategeneration_ray.pipelines.docquery import (
+            q_pr_points, q_retrieval_eval)
+
+        pts = q_pr_points(SF).to_pylist()
+        ev = {r["query_id"]: r for r in q_retrieval_eval(SF).to_pylist()}
+        by_q: dict[int, list] = {}
+        for p in pts:
+            by_q.setdefault(p["query_id"], []).append(p)
+        for q, rows in by_q.items():
+            rows.sort(key=lambda r: r["hit_idx"])
+            # hit_idx is 1..m and ranks strictly increase
+            assert [r["hit_idx"] for r in rows] == list(
+                range(1, len(rows) + 1))
+            ranks = [r["rank"] for r in rows]
+            assert ranks == sorted(set(ranks))
+            assert ev[q]["first_rel_rank"] == ranks[0]
+            assert ev[q]["hits_at_10"] == sum(1 for k in ranks if k <= 10)
+            # precision is a proper fraction: hit_idx <= rank
+            assert all(r["hit_idx"] <= r["rank"] for r in rows)
+        # queries with no relevant hit emit no rows, matching eval
+        for q, r in ev.items():
+            assert (q in by_q) == (r["first_rel_rank"] > 0)
+
+
 class TestMcnemar:
     def test_matches_bruteforce(self, ray_session):
         """Cells recomputed from the (oracle-verified) nb_predict and
