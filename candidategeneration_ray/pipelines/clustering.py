@@ -740,6 +740,161 @@ def q_bfs_hops(sf_dir: str, max_hops: int = BFS_MAX_HOPS,
     return cur.groupby("bkt").map_groups(_final, batch_format="pyarrow")
 
 
+# ----------------------------- pivot-based harmonic centrality
+
+HC_SEED_MOD = 17      # vec_id % 17 == 0 are the pivot sources
+HC_MAX_HOPS = 4       # distances counted up to this cap
+# floor(1e6 / d) — the bounded-domain reciprocal LUT (shared rule with
+# the adamic_adar/entropy LUT pattern: tiny domain, exact integers)
+HC_PPM = {d: 10 ** 6 // d for d in range(1, HC_MAX_HOPS + 1)}
+
+
+def q_harmonic_centrality(sf_dir: str, max_hops: int = HC_MAX_HOPS,
+                          seed_mod: int = HC_SEED_MOD
+                          ) -> ray.data.Dataset:
+    """Pivot-based harmonic centrality over the undirected kNN graph
+    (Boldi & Vigna "Axioms for centrality" 2014; pivot sampling is the
+    HyperBall-class scale path — exact all-pairs closeness is
+    quadratic, so production centrality picks O(1/ε²) pivots): for
+    each node, H(v) = Σ over pivot sources s ≠ v within `max_hops` of
+    floor(1e6 / d(s, v)) — the closeness-family centrality the graph
+    suite lacked (PageRank/HITS rank by propagation, k-core/truss by
+    cohesion; harmonic ranks by DISTANCE). Pivots are deterministic
+    (vec_id % seed_mod == 0), so given the declared pivot set the
+    value is exact and the oracle unrolls the same labeled-BFS
+    recurrence round for round.
+
+    Shape: the bfs_hops scatter skeleton lifted to LABELED pairs —
+    per (node-hash bucket) round task folds incoming (node, src, d)
+    rows with one lexsort-min, re-emits carries, and scatters d+1
+    along out-edges with the repeat/range-gather expansion (pair
+    volume ≤ nodes × pivots, the declared sampling budget; no
+    per-edge Python). Output (vec_id, n_reached, harmonic_ppm) for
+    every vector."""
+    if max_hops < 1 or max_hops > HC_MAX_HOPS:
+        raise ValueError("max_hops must be in 1..HC_MAX_HOPS")
+    nbk = _graph_buckets()
+    cap = np.int64(max_hops)
+
+    # row kinds: edge row (dst >= 0), node row (dst == -1),
+    # pair row (dst == -2: src = pivot node id, give = distance)
+    def _static_rows(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy().astype(np.int64)
+        v = b.column("v").to_numpy().astype(np.int64)
+        src = np.concatenate((u, v))
+        dst = np.concatenate((v, u))
+        z = np.zeros(src.size, np.int64)
+        return pa.table({
+            "bkt": pa.array(src % nbk, pa.int64()),
+            "node": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "src": pa.array(z - 1, pa.int64()),
+            "give": pa.array(z, pa.int64()),
+        })
+
+    def _node_rows(b: pa.Table) -> pa.Table:
+        vec = b.column("vec_id").to_numpy().astype(np.int64)
+        z = np.zeros(vec.size, np.int64)
+        return pa.table({
+            "bkt": pa.array(vec % nbk, pa.int64()),
+            "node": pa.array(vec, pa.int64()),
+            "dst": pa.array(z - 1, pa.int64()),
+            "src": pa.array(z - 1, pa.int64()),
+            "give": pa.array(z, pa.int64()),
+        })
+
+    static = (_knn_undirected_edges(sf_dir)
+              .map_batches(_static_rows, batch_format="pyarrow")
+              .union(_embeddings_ds(sf_dir)
+                     .select_columns(["vec_id"])
+                     .map_batches(_node_rows, batch_format="pyarrow"))
+              .materialize())
+
+    def _bucket_pairs(group: pa.Table, first: bool):
+        """Fold this bucket's pair rows to min d per (node, src); in
+        the first round seed (s, s, 0) from the bucket's pivots."""
+        node = group.column("node").to_numpy().astype(np.int64)
+        dst = group.column("dst").to_numpy().astype(np.int64)
+        if first:
+            pivots = np.unique(node[(dst == -1) & (node % seed_mod == 0)])
+            return pivots, pivots.copy(), np.zeros(pivots.size, np.int64)
+        is_p = dst == -2
+        pn = node[is_p]
+        ps = group.column("src").to_numpy().astype(np.int64)[is_p]
+        pd = group.column("give").to_numpy().astype(np.int64)[is_p]
+        order = np.lexsort((pd, ps, pn))
+        pn, ps, pd = pn[order], ps[order], pd[order]
+        keep = np.concatenate(([True], (pn[1:] != pn[:-1])
+                               | (ps[1:] != ps[:-1])))
+        return pn[keep], ps[keep], pd[keep]
+
+    def _make_round(first: bool):
+        def _round(group: pa.Table) -> pa.Table:
+            node = group.column("node").to_numpy().astype(np.int64)
+            dst = group.column("dst").to_numpy().astype(np.int64)
+            pn, ps, pd = _bucket_pairs(group, first)
+            is_edge = dst >= 0
+            es, ed = node[is_edge], dst[is_edge]
+            # per-edge expansion: all live pairs of the edge source
+            live_lo = np.searchsorted(pn, es, side="left")
+            live_hi = np.searchsorted(pn, es, side="right")
+            rep = live_hi - live_lo
+            total = int(rep.sum())
+            if total:
+                base = np.repeat(live_lo, rep)
+                step = np.arange(total) - np.repeat(
+                    np.concatenate(([0], np.cumsum(rep)[:-1])), rep)
+                pi = base + step
+                sc_ok = pd[pi] + 1 <= cap
+                sc_node = np.repeat(ed, rep)[sc_ok]
+                sc_src = ps[pi][sc_ok]
+                sc_d = pd[pi][sc_ok] + 1
+            else:
+                sc_node = sc_src = sc_d = np.array([], np.int64)
+            out_node = np.concatenate((pn, sc_node))
+            out_src = np.concatenate((ps, sc_src))
+            out_d = np.concatenate((pd, sc_d))
+            return pa.table({
+                "bkt": pa.array(out_node % nbk, pa.int64()),
+                "node": pa.array(out_node, pa.int64()),
+                "dst": pa.array(np.full(out_node.size, -2, np.int64),
+                                pa.int64()),
+                "src": pa.array(out_src, pa.int64()),
+                "give": pa.array(out_d, pa.int64()),
+            })
+        return _round
+
+    lut = np.zeros(max_hops + 1, np.int64)
+    for d_, p_ in HC_PPM.items():
+        if d_ <= max_hops:
+            lut[d_] = p_
+
+    def _final(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy().astype(np.int64)
+        dst = group.column("dst").to_numpy().astype(np.int64)
+        pn, ps, pd = _bucket_pairs(group, False)
+        keep = (ps != pn) & (pd >= 1) & (pd <= cap)
+        pn, pd = pn[keep], pd[keep]
+        rn = np.sort(np.unique(node[dst == -1]))
+        n_reached = np.zeros(rn.size, np.int64)
+        hsum = np.zeros(rn.size, np.int64)
+        idx = np.searchsorted(rn, pn)
+        np.add.at(n_reached, idx, 1)
+        np.add.at(hsum, idx, lut[pd])
+        return pa.table({
+            "vec_id": pa.array(rn, pa.int64()),
+            "n_reached": pa.array(n_reached, pa.int64()),
+            "harmonic_ppm": pa.array(hsum, pa.int64()),
+        })
+
+    cur = static
+    for t in range(max_hops):
+        pairs = cur.groupby("bkt").map_groups(
+            _make_round(t == 0), batch_format="pyarrow")
+        cur = static.union(pairs)
+    return cur.groupby("bkt").map_groups(_final, batch_format="pyarrow")
+
+
 # -------------------------------- hop-bounded weighted shortest paths
 
 WSP_ROUNDS = 4        # exact over paths of <= this many edges

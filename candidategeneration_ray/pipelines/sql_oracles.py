@@ -8610,6 +8610,40 @@ GROUP BY stem
 ORDER BY df DESC, stem ASC
 LIMIT 50
 """
+    # pivot-based harmonic centrality: labeled-BFS rounds unrolled
+    # (reach{r} = min-d per (node, pivot)), reciprocal-distance LUT
+    from candidategeneration_ray.pipelines.clustering import (
+        HC_MAX_HOPS, HC_PPM, HC_SEED_MOD)
+
+    hc_ctes = [f"reach0 AS MATERIALIZED (SELECT vec_id AS node, "
+               f"vec_id AS src, 0 AS d FROM embeddings "
+               f"WHERE vec_id % {HC_SEED_MOD} = 0)"]
+    for r in range(HC_MAX_HOPS):
+        hc_ctes.append(f"""nx{r} AS (
+  SELECT s.y AS node, t.src, t.d + 1 AS d
+  FROM reach{r} t JOIN sadj s ON s.x = t.node
+  WHERE t.d < {HC_MAX_HOPS}),
+reach{r + 1} AS MATERIALIZED (
+  SELECT node, src, min(d) AS d
+  FROM (SELECT * FROM reach{r} UNION ALL SELECT * FROM nx{r})
+  GROUP BY 1, 2)""")
+    hc_lut = ", ".join(f"({d}, {p})" for d, p in sorted(HC_PPM.items()))
+    harmonic = f"""
+WITH {_knn_edge_ctes()},
+{",".join(hc_ctes)},
+lut(d, ppm) AS (VALUES {hc_lut}),
+agg AS (
+  SELECT t.node, CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(l.ppm) AS BIGINT) AS harmonic_ppm
+  FROM reach{HC_MAX_HOPS} t JOIN lut l ON l.d = t.d
+  WHERE t.src <> t.node
+  GROUP BY t.node)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(a.n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(coalesce(a.harmonic_ppm, 0) AS BIGINT) AS harmonic_ppm
+FROM embeddings e LEFT JOIN agg a ON a.node = e.vec_id
+"""
     return {"active_time": active_time,
             "graph_coloring": graph_coloring,
-            "stemmed_df_top50": stemmed_df}
+            "stemmed_df_top50": stemmed_df,
+            "harmonic_centrality": harmonic}

@@ -236,6 +236,48 @@ class TestGraphColoring:
         assert n_colors <= max(deg.values()) + 1
 
 
+class TestHarmonicCentrality:
+    def test_matches_bruteforce(self, ray_session):
+        """Plain-Python BFS from every pivot over the same kNN edge
+        set; H(v) = sum of floor(1e6/d) over pivots within the cap."""
+        from collections import deque
+
+        from candidategeneration_ray.pipelines.clustering import (
+            HC_MAX_HOPS, HC_PPM, HC_SEED_MOD, _knn_weighted_edges,
+            q_harmonic_centrality)
+
+        ew = _knn_weighted_edges(SF).to_pandas()
+        adj: dict[int, list] = {}
+        for u, v in zip(ew["u"].astype(int), ew["v"].astype(int)):
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        pivots = [n for n in adj if n % HC_SEED_MOD == 0]
+        h: dict[int, int] = {}
+        nr: dict[int, int] = {}
+        for s in pivots:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                x = q.popleft()
+                if dist[x] == HC_MAX_HOPS:
+                    continue
+                for y in adj[x]:
+                    if y not in dist:
+                        dist[y] = dist[x] + 1
+                        q.append(y)
+            for v, d in dist.items():
+                if v != s and 1 <= d <= HC_MAX_HOPS:
+                    h[v] = h.get(v, 0) + HC_PPM[d]
+                    nr[v] = nr.get(v, 0) + 1
+        got = q_harmonic_centrality(SF).to_pandas()
+        assert len(got) == len(adj) or len(got) >= len(adj)  # all vecs
+        for r in got.itertuples():
+            assert r.harmonic_ppm == h.get(r.vec_id, 0)
+            assert r.n_reached == nr.get(r.vec_id, 0)
+        # pivots exist and reach something on this graph
+        assert pivots and sum(h.values()) > 0
+
+
 class TestDedupIndex:
     def test_drop_set_matches_keep_best_rule(self, ray_session):
         """Drop set replayed in pandas: per multi-doc LSH cluster keep
