@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq8_top10": ex.q_ann_sq8_top10,    # scalar-quantized symmetric ANN
         "k_anonymity": ex.q_k_anonymity,        # privacy release audit
         "l_diversity": ex.q_l_diversity,        # attribute-disclosure audit
+        "t_closeness": ex.q_t_closeness,        # distribution-leak audit (TVD)
         "release_report": ex.q_release_report,  # 5-subsystem release gate
         "label_centroid_dist": ex.q_label_centroid_dist,  # drift diagnostic
         "text_stats": ex.q_text_stats,
@@ -234,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_label_eval": cl.q_kmeans_label_eval,  # contingency vs ground-truth labels
         "kmeans_purity": cl.q_kmeans_purity,        # sketch-then-finalize purity
         "kmeans_ari": cl.q_kmeans_ari,              # integer-exact adjusted Rand
+        "silhouette_ppm": cl.q_silhouette_ppm,      # internal geometry metric
         "ann_ivf_kmeans_top10": cl.q_ann_ivf_kmeans_top10,
         "pq_codes": cl.q_pq_codes,                  # product-quantization codes
         "ann_pq_top10": cl.q_ann_pq_top10,          # ADC ranking (value-verified)

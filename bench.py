@@ -335,6 +335,14 @@ def run_bench() -> dict:
         ("vopt_histogram", sk_.q_vopt_histogram),       # DP segmentation
         ("cv_stump", ex.q_cv_stump),                    # k-fold CV
         ("shard_plan", rl.q_shard_plan),                # LPT layout plan
+        # session-17 additions (appended — earlier keys stay comparable)
+        ("dedup_bm25_topk", dq.q_dedup_bm25_topk),      # curated-corpus index
+        ("graph_coloring", cb.q_graph_coloring),        # Jones-Plassmann
+        ("harmonic_centrality",
+         lambda sf: cb.q_harmonic_centrality(sf).materialize()),  # pivot closeness
+        ("active_time", ev.q_active_time),              # interval union
+        ("stemmed_df_top50", dq.q_stemmed_df_top50),    # S-stemmer df
+        ("mcnemar_test", _tl().q_mcnemar_test),         # paired classifier test
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)

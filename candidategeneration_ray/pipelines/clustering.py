@@ -182,6 +182,44 @@ def q_kmeans_assignments(sf_dir: str) -> ray.data.Dataset:
         _assign_batch, batch_format="pyarrow")
 
 
+def q_silhouette_ppm(sf_dir: str) -> ray.data.Dataset:
+    """Simplified (centroid) silhouette per vector — the INTERNAL
+    clustering-quality metric the eval family lacked (purity/ARI need
+    ground-truth labels; silhouette scores the geometry itself):
+    a = integer squared-L2 to the OWN (nearest) centroid, b = min over
+    the other centroids, s_ppm = 10⁶·(b − a) // max(a, b, 1). With the
+    own centroid the argmin, a ≤ b, so s_ppm ∈ [0, 10⁶]; near-0 rows
+    sit on a cluster boundary, near-10⁶ rows are well separated. The
+    centroid-simplified form (Hruschka et al.) is THE scale path — the
+    classic silhouette's pairwise means are quadratic; this is one
+    broadcast codebook pass, exact integers end to end.
+
+    Shape: one map_batches with the broadcast (k, dim) codebook; no
+    shuffle. Output (vec_id, cluster, s_ppm)."""
+    cent_ref = ray.put(kmeans_codebook(sf_dir))
+
+    def _sil(batch: pa.Table) -> pa.Table:
+        ids, xq = _quantize(batch)
+        cent = ray.get(cent_ref)
+        d2 = ((xq * xq).sum(axis=1, keepdims=True)
+              - 2 * (xq @ cent.T)
+              + (cent * cent).sum(axis=1)[None, :])
+        own = np.argmin(d2, axis=1)
+        a = d2[np.arange(ids.size), own]
+        d2[np.arange(ids.size), own] = np.int64(1) << np.int64(62)
+        b = d2.min(axis=1)
+        # 10^6 * d2 can pass 2^63 (d2 < 2^47) — bigint the numerator
+        s = ((b - a).astype(object) * 10 ** 6
+             // np.maximum(np.maximum(a, b), 1).astype(object))
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(own.astype(np.int64), pa.int64()),
+            "s_ppm": pa.array(s.astype(np.int64), pa.int64()),
+        })
+
+    return _embeddings_ds(sf_dir).map_batches(_sil, batch_format="pyarrow")
+
+
 # ------------------------------------------------- learned-codebook IVF
 
 IVF_NPROBE = 3

@@ -3267,6 +3267,46 @@ K_ANON = 5
 K_ANON_CHAR_BUCKET = 256
 
 
+def _qi_lang_partial(batch: pa.Table, char_bucket: int) -> pa.Table:
+    """Compressed (lang, source, chars_bucket, count) partials shared
+    by the privacy-audit triad (k-anonymity / l-diversity /
+    t-closeness): factorize+pack per batch, one np.unique — the
+    shuffle downstream moves distinct quasi-identifier combinations,
+    never documents."""
+    import pandas as pd
+
+    lang = batch.column("lang").to_numpy(zero_copy_only=False)
+    src = batch.column("source").to_numpy(zero_copy_only=False)
+    nb = (batch.column("n_chars").to_numpy().astype(np.int64)
+          // char_bucket)
+    lc, lu = pd.factorize(lang)
+    sc, su = pd.factorize(src)
+    packed = (lc.astype(np.int64) * len(su) + sc) * 1_000_000 + nb
+    u, counts = np.unique(packed, return_counts=True)
+    ub = u % 1_000_000
+    uls = u // 1_000_000
+    return pa.table({
+        "lang": pa.array(lu[uls // len(su)].tolist(), pa.string()),
+        "source": pa.array(su[uls % len(su)].tolist(), pa.string()),
+        "chars_bucket": pa.array(ub, pa.int64()),
+        "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
+    })
+
+
+def _qi_lang_counts(sf_dir: str, char_bucket: int) -> ray.data.Dataset:
+    """One groupby over the shared partials: exact per
+    (lang, source, chars_bucket) document counts."""
+    from ray.data.aggregate import Sum
+
+    return (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["lang", "source", "n_chars"])
+            .map_batches(lambda b: _qi_lang_partial(b, char_bucket),
+                         batch_format="pyarrow")
+            .groupby(["lang", "source", "chars_bucket"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
 def q_k_anonymity(sf_dir: str, k: int = K_ANON,
                   char_bucket: int = K_ANON_CHAR_BUCKET) -> ray.data.Dataset:
     """Privacy audit: k-anonymity violations over the quasi-identifier
@@ -3276,38 +3316,10 @@ def q_k_anonymity(sf_dir: str, k: int = K_ANON,
     release passes at this k.
 
     Shape: per-batch compressed (qid-tuple, count) partials -> one tiny
-    groupby -> size filter. The shuffle moves distinct quasi-identifier
-    combinations, never documents."""
-    from ray.data.aggregate import Sum
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        lang = batch.column("lang").to_numpy(zero_copy_only=False)
-        src = batch.column("source").to_numpy(zero_copy_only=False)
-        nb = (batch.column("n_chars").to_numpy().astype(np.int64)
-              // char_bucket)
-        lc, lu = pd.factorize(lang)
-        sc, su = pd.factorize(src)
-        packed = (lc.astype(np.int64) * len(su) + sc) * 1_000_000 + nb
-        u, counts = np.unique(packed, return_counts=True)
-        ub = u % 1_000_000
-        uls = u // 1_000_000
-        return pa.table({
-            "lang": pa.array(lu[uls // len(su)].tolist(), pa.string()),
-            "source": pa.array(su[uls % len(su)].tolist(), pa.string()),
-            "chars_bucket": pa.array(ub, pa.int64()),
-            "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
-        })
-
-    agg = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["lang", "source", "n_chars"])
-        .map_batches(_partial, batch_format="pyarrow")
-        .groupby(["lang", "source", "chars_bucket"])
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
-    )
+    groupby -> size filter (the triad-shared _qi_lang_counts). The
+    shuffle moves distinct quasi-identifier combinations, never
+    documents."""
+    agg = _qi_lang_counts(sf_dir, char_bucket)
 
     def _violations(batch: pa.Table) -> pa.Table:
         n = batch.column("n_docs").to_numpy().astype(np.int64)
@@ -4085,38 +4097,11 @@ def q_l_diversity(sf_dir: str, l_min: int = L_DIVERSITY,
 
     Shape: per-batch compressed (qid, lang, count) partials → one
     groupby to distinct (qid, lang) rows → one groupby to per-qid
-    (Σdocs, #langs) → size filter. Shuffles move distinct combinations
-    only."""
+    (Σdocs, #langs) → size filter (the triad-shared _qi_lang_counts).
+    Shuffles move distinct combinations only."""
     from ray.data.aggregate import Count, Sum
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        lang = batch.column("lang").to_numpy(zero_copy_only=False)
-        src = batch.column("source").to_numpy(zero_copy_only=False)
-        nb = (batch.column("n_chars").to_numpy().astype(np.int64)
-              // char_bucket)
-        lc, lu = pd.factorize(lang)
-        sc, su = pd.factorize(src)
-        packed = (lc.astype(np.int64) * len(su) + sc) * 1_000_000 + nb
-        u, counts = np.unique(packed, return_counts=True)
-        ub = u % 1_000_000
-        uls = u // 1_000_000
-        return pa.table({
-            "lang": pa.array(lu[uls // len(su)].tolist(), pa.string()),
-            "source": pa.array(su[uls % len(su)].tolist(), pa.string()),
-            "chars_bucket": pa.array(ub, pa.int64()),
-            "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
-        })
-
-    per_lang = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["lang", "source", "n_chars"])
-        .map_batches(_partial, batch_format="pyarrow")
-        .groupby(["lang", "source", "chars_bucket"])
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
-    )
+    per_lang = _qi_lang_counts(sf_dir, char_bucket)
 
     agg = (per_lang
            .groupby(["source", "chars_bucket"])
@@ -4134,6 +4119,67 @@ def q_l_diversity(sf_dir: str, l_min: int = L_DIVERSITY,
         })
 
     return agg.map_batches(_violations, batch_format="pyarrow")
+
+
+T_CLOSENESS_PPM = 333333   # groups with TVD > 1/3 (ppm floor) violate
+
+
+def q_t_closeness(sf_dir: str,
+                  char_bucket: int = K_ANON_CHAR_BUCKET
+                  ) -> ray.data.Dataset:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) — the
+    third member of the release-privacy triad: a quasi-identifier
+    group (source, n_chars // bucket) leaks the sensitive attribute
+    (lang) when its within-group distribution strays from the GLOBAL
+    one, even if the group is large (k-anonymous) and diverse
+    (l-diverse). Distance is the total variation distance (the
+    categorical-attribute t-closeness metric), kept exact:
+    TVD = Σ_l |c_l/n − C_l/N| / 2, emitted as the ppm floor
+    tvd_ppm = 10⁶·Σ_l |N·c_l − n·C_l| // (2·n·N) (Python/HUGEINT
+    bigints — n·N passes 2^63 at corpus scale), with
+    violates = tvd_ppm > T_CLOSENESS_PPM. Output one row per group.
+
+    Shape: the shared (lang, qi) compressed partials → one groupby to
+    distinct combinations; global lang counts are an O(langs)
+    broadcast; one map_groups per qi group computes the TVD against
+    the broadcast marginal. Shuffles move distinct combinations,
+    never documents."""
+    from ray.data.aggregate import Sum
+
+    per_lang = _qi_lang_counts(sf_dir, char_bucket).materialize()
+
+    gl = (per_lang.groupby("lang")
+          .aggregate(Sum("n_docs", alias_name="c")).take_all())
+    glangs = np.array(sorted(r["lang"] for r in gl), dtype=object)
+    gcounts = np.array([next(int(r["c"]) for r in gl
+                             if r["lang"] == s) for s in glangs], np.int64)
+    n_total = int(gcounts.sum())
+    gref = ray.put((glangs, gcounts, n_total))
+
+    def _tvd(group: pa.Table) -> pa.Table:
+        gls, gcs, nt = ray.get(gref)
+        langs = group.column("lang").to_numpy(zero_copy_only=False)
+        c = group.column("n_docs").to_numpy().astype(np.int64)
+        n = int(c.sum())
+        li = np.searchsorted(gls, langs)
+        present = [int(x) for x in gcs[li]]
+        # absent langs contribute n·C_l each; fold them as
+        # Σ_present (|N·c − n·C| − n·C) + n·N  (all Python bigints)
+        num = n * nt + sum(abs(nt * int(cc) - n * pc) - n * pc
+                           for cc, pc in zip(c, present))
+        ppm = 10 ** 6 * num // (2 * n * nt)
+        return pa.table({
+            "source": group.take([0]).column("source"),
+            "chars_bucket":
+                group.take([0]).column("chars_bucket").cast(pa.int64()),
+            "n_docs": pa.array([n], pa.int64()),
+            "tvd_ppm": pa.array([ppm], pa.int64()),
+            "violates": pa.array(
+                [1 if ppm > T_CLOSENESS_PPM else 0], pa.int64()),
+        })
+
+    return (per_lang.groupby(["source", "chars_bucket"])
+            .map_groups(_tvd, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------- character entropy

@@ -8643,7 +8643,68 @@ SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
        CAST(coalesce(a.harmonic_ppm, 0) AS BIGINT) AS harmonic_ppm
 FROM embeddings e LEFT JOIN agg a ON a.node = e.vec_id
 """
+    # t-closeness: exact TVD ppm per quasi-identifier group vs the
+    # global sensitive-attribute marginal (HUGEINT cross products)
+    from candidategeneration_ray.pipelines.extras import (
+        K_ANON_CHAR_BUCKET, T_CLOSENESS_PPM)
+
+    t_closeness = f"""
+WITH g AS MATERIALIZED (
+  SELECT source, n_chars // {K_ANON_CHAR_BUCKET} AS chars_bucket, lang,
+         CAST(count(*) AS HUGEINT) AS c
+  FROM documents GROUP BY 1, 2, 3),
+tot AS (SELECT source, chars_bucket, sum(c) AS n FROM g GROUP BY 1, 2),
+gl AS (SELECT lang, sum(c) AS cg FROM g GROUP BY 1),
+nn AS (SELECT sum(c) AS nt FROM g),
+x AS (
+  SELECT t.source, t.chars_bucket, t.n, l.cg,
+         coalesce(gg.c, 0) AS c
+  FROM tot t CROSS JOIN gl l
+  LEFT JOIN g gg ON gg.source = t.source
+              AND gg.chars_bucket = t.chars_bucket AND gg.lang = l.lang),
+s AS (
+  SELECT source, chars_bucket, n,
+         sum(abs((SELECT nt FROM nn) * c - n * cg)) AS num
+  FROM x GROUP BY 1, 2, 3)
+SELECT source, CAST(chars_bucket AS BIGINT) AS chars_bucket,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(CAST(1000000 AS HUGEINT) * num
+            // (2 * n * (SELECT nt FROM nn)) AS BIGINT) AS tvd_ppm,
+       CASE WHEN CAST(1000000 AS HUGEINT) * num
+                 // (2 * n * (SELECT nt FROM nn)) > {T_CLOSENESS_PPM}
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+       END AS violates
+FROM s
+"""
+
+    # simplified silhouette: d2 to every final centroid from the
+    # unrolled k-means chain; own = the final assignment, b = min other
+    from candidategeneration_ray.pipelines.clustering import KMEANS_ITERS
+
+    silhouette = f"""
+WITH {_kmeans_ctes()},
+d2 AS (
+  SELECT qv.vec_id, c.cluster,
+         sum((qv.x - c.cq) * (qv.x - c.cq)) AS d2
+  FROM qv JOIN c{KMEANS_ITERS} c USING (d)
+  GROUP BY 1, 2),
+own AS (
+  SELECT a.vec_id, a.cluster, d.d2 AS a
+  FROM a{KMEANS_ITERS + 1} a
+  JOIN d2 d ON d.vec_id = a.vec_id AND d.cluster = a.cluster),
+oth AS (
+  SELECT d.vec_id, min(d.d2) AS b
+  FROM d2 d JOIN own o ON o.vec_id = d.vec_id AND d.cluster <> o.cluster
+  GROUP BY 1)
+SELECT CAST(o.vec_id AS BIGINT) AS vec_id,
+       CAST(o.cluster AS BIGINT) AS cluster,
+       CAST(CAST(1000000 AS HUGEINT) * (t.b - o.a)
+            // greatest(o.a, t.b, 1) AS BIGINT) AS s_ppm
+FROM own o JOIN oth t USING (vec_id)
+"""
     return {"active_time": active_time,
             "graph_coloring": graph_coloring,
             "stemmed_df_top50": stemmed_df,
-            "harmonic_centrality": harmonic}
+            "harmonic_centrality": harmonic,
+            "t_closeness": t_closeness,
+            "silhouette_ppm": silhouette}

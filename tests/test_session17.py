@@ -236,6 +236,74 @@ class TestGraphColoring:
         assert n_colors <= max(deg.values()) + 1
 
 
+class TestTCloseness:
+    def test_matches_bruteforce(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import (
+            K_ANON_CHAR_BUCKET, T_CLOSENESS_PPM, q_t_closeness)
+
+        d = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["lang", "source", "n_chars"]).to_pandas()
+        d["cb"] = d["n_chars"] // K_ANON_CHAR_BUCKET
+        glob = d["lang"].value_counts().to_dict()
+        nt = len(d)
+        got = {(r["source"], r["chars_bucket"]): r
+               for r in q_t_closeness(SF).to_pandas().to_dict("records")}
+        assert len(got) == len(d.groupby(["source", "cb"]))
+        for (src, cb), g in d.groupby(["source", "cb"]):
+            n = len(g)
+            cnt = g["lang"].value_counts().to_dict()
+            num = sum(abs(nt * cnt.get(l, 0) - n * c)
+                      for l, c in glob.items())
+            ppm = 10 ** 6 * num // (2 * n * nt)
+            r = got[(src, cb)]
+            assert r["n_docs"] == n and r["tvd_ppm"] == ppm
+            assert r["violates"] == (1 if ppm > T_CLOSENESS_PPM else 0)
+
+    def test_uniform_release_scores_zero(self):
+        """A group whose distribution equals the global marginal has
+        TVD exactly 0 — identity of the num formula."""
+        glob = {"en": 60, "fr": 40}
+        n, nt = 10, 100
+        cnt = {"en": 6, "fr": 4}
+        num = sum(abs(nt * cnt.get(l, 0) - n * c) for l, c in glob.items())
+        assert num == 0
+
+
+class TestSilhouette:
+    def test_matches_bruteforce(self, ray_session):
+        from candidategeneration_ray.pipelines.clustering import (
+            _quantize, kmeans_codebook, q_silhouette_ppm)
+
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        ids, xq = _quantize(emb)
+        cent = kmeans_codebook(SF)
+        d2 = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        own = d2.argmin(axis=1)
+        a = d2[np.arange(ids.size), own]
+        d2[np.arange(ids.size), own] = 1 << 62
+        b = d2.min(axis=1)
+        exp = {int(i): (int(c), int(10 ** 6 * (bb - aa)
+                                    // max(aa, bb, 1)))
+               for i, c, aa, bb in zip(ids, own, a, b)}
+        got = q_silhouette_ppm(SF).to_pandas()
+        assert len(got) == ids.size
+        for r in got.itertuples():
+            assert exp[r.vec_id] == (r.cluster, r.s_ppm)
+        # scores live in [0, 1e6] and the geometry isn't degenerate
+        assert got["s_ppm"].between(0, 10 ** 6).all()
+        assert got["s_ppm"].nunique() > 1
+
+    def test_agrees_with_assignments(self, ray_session):
+        from candidategeneration_ray.pipelines.clustering import (
+            q_kmeans_assignments, q_silhouette_ppm)
+
+        asg = {r["vec_id"]: r["cluster"]
+               for r in q_kmeans_assignments(SF).to_pandas().to_dict(
+                   "records")}
+        for r in q_silhouette_ppm(SF).to_pandas().to_dict("records"):
+            assert asg[r["vec_id"]] == r["cluster"]
+
+
 class TestHarmonicCentrality:
     def test_matches_bruteforce(self, ray_session):
         """Plain-Python BFS from every pivot over the same kNN edge
