@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digits": rl.q_benford_digits,      # first-digit fraud audit
         "ranking_agreement": dq.q_ranking_agreement,  # doc vs MaxP prefix overlap
         "query_difficulty": dq.q_query_difficulty,  # QPP feature table
+        "selectivity_audit": dq.q_selectivity_audit,  # independence-assumption audit
         "judgment_pool": dq.q_judgment_pool,        # TREC pooling of 4 systems
         "prf_topk": dq.q_prf_topk,  # Rocchio-style PRF expansion, integer-exact
         "more_like_this": dq.q_more_like_this,  # doc-to-doc retrieval (MLT)
@@ -205,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity": ex.q_source_similarity,  # dataset-level MinHash overlap
         "delta_dedup": ex.q_delta_dedup,              # new-vs-base ingest dedup
         "source_moments": ex.q_source_moments,  # sufficient-statistics pattern
+        "target_encoding": ex.q_target_encoding,  # m-estimate category encoder
         "source_regression": ex.q_source_regression,  # grouped OLS (exact num/den)
         # --- mergeable-summary (sketch) aggregates ---
         "doclen_histogram": sk.q_doclen_histogram,

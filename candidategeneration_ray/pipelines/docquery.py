@@ -1964,6 +1964,72 @@ def q_retrieval_eval(sf_dir: str) -> pa.Table:
     })
 
 
+def selectivity_pairs() -> list[tuple[str, str]]:
+    """The audited conjunctive pairs: all 2-subsets of each fixed
+    query's kept tokens (sorted, deduped across queries) — shared by
+    the engine and the oracle's inline VALUES."""
+    from candidategeneration_ray.functions.tokenize import tokenize_many
+
+    pairs = set()
+    for _, text in DOC_QUERIES:
+        toks = sorted(set(tokenize_many([text])[0]))
+        for i in range(len(toks)):
+            for j in range(i + 1, len(toks)):
+                pairs.add((toks[i], toks[j]))
+    return sorted(pairs)
+
+
+def q_selectivity_audit(sf_dir: str) -> pa.Table:
+    """Optimizer-statistics audit — the System-R independence
+    assumption (Selinger et al. SIGMOD'79) checked against the real
+    index: for each fixed-query term pair, the estimated conjunctive
+    cardinality df1·df2/N (what a cost model predicts from per-term
+    stats alone) beside the TRUE co-occurrence count from a
+    posting-list intersection. The q-error between est_num/N and
+    `actual` is the classic cardinality-misestimate diagnostic; terms
+    missing from the dictionary carry df 0, matching the estimator's
+    view. Output one row per pair: (t1, t2, df1, df2, n_docs,
+    est_num, actual) — est stays the exact integer pair
+    (est_num, n_docs), no float division.
+
+    Shape: dfs come from the broadcast stats; each `actual` is one
+    sorted-array intersection over the persisted compressed lists
+    (the bool_and_docs decode path) — query-bound, never
+    corpus-bound."""
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+    stats = built["stats"]
+    df_by_id = stats["df_by_id"]
+    n_docs = int(stats["n_docs"])
+
+    rows = {k: [] for k in ("t1", "t2", "df1", "df2", "n_docs",
+                            "est_num", "actual")}
+    for t1, t2 in selectivity_pairs():
+        ids = [reader.term_to_id.get(t) for t in (t1, t2)]
+        dfs = [int(df_by_id[i]) if i else 0 for i in ids]
+        if all(ids):
+            d1 = reader.get(ids[0])[0]
+            d2 = reader.get(ids[1])[0]
+            actual = int(np.intersect1d(d1, d2, assume_unique=True).size)
+        else:
+            actual = 0
+        rows["t1"].append(t1)
+        rows["t2"].append(t2)
+        rows["df1"].append(dfs[0])
+        rows["df2"].append(dfs[1])
+        rows["n_docs"].append(n_docs)
+        rows["est_num"].append(dfs[0] * dfs[1])
+        rows["actual"].append(actual)
+    return pa.table({
+        "t1": pa.array(rows["t1"], pa.string()),
+        "t2": pa.array(rows["t2"], pa.string()),
+        **{k: pa.array(rows[k], pa.int64())
+           for k in ("df1", "df2", "n_docs", "est_num", "actual")},
+    })
+
+
 def q_pr_points(sf_dir: str) -> pa.Table:
     """Exact precision-recall curve of the predictive candidate
     ranking against the exact BM25 top-10 as relevance truth — the

@@ -2104,6 +2104,64 @@ def q_cluster_representatives(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+TE_M = 20   # m-estimate smoothing strength (prior pseudo-counts)
+
+
+def q_target_encoding(sf_dir: str, m: int = TE_M) -> pa.Table:
+    """m-estimate target encoding of the `source` categorical against
+    the binary target y = (lang == 'en') (Micci-Barreca SIGKDD
+    Explorations'01 — THE high-cardinality categorical encoder;
+    rare categories shrink toward the global prior instead of
+    memorizing noise):
+
+        enc(source) = (Σy + m·prior) / (n + m),  prior = SY/NT
+
+    kept exact by cross-multiplying the prior through:
+    enc_num = Σy·NT + m·SY, enc_den = (n + m)·NT — the no-float-
+    division house rule, so the encoder table hash-verifies. Output
+    one row per source: (source, n, sum_y, enc_num, enc_den).
+
+    Shape: one compressed (source, n, Σy) partial per batch → tiny
+    groupby → O(sources) driver finalize with the global prior."""
+    from ray.data.aggregate import Sum
+
+    def _part(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(), object)
+        y = (np.asarray(batch.column("lang").to_pylist(), object)
+             == "en").astype(np.int64)
+        u, inv = np.unique(src, return_inverse=True)
+        n = np.zeros(u.size, np.int64)
+        sy = np.zeros(u.size, np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(sy, inv, y)
+        return pa.table({
+            "source": pa.array(u.tolist(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "sum_y": pa.array(sy, pa.int64()),
+        })
+
+    rows = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["source", "lang"])
+            .map_batches(_part, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_y", alias_name="sum_y"))
+            .take_all())                       # O(sources)
+    nt = sum(int(r["n"]) for r in rows)
+    sy_tot = sum(int(r["sum_y"]) for r in rows)
+    rows.sort(key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "sum_y": pa.array([int(r["sum_y"]) for r in rows], pa.int64()),
+        "enc_num": pa.array(
+            [int(r["sum_y"]) * nt + m * sy_tot for r in rows], pa.int64()),
+        "enc_den": pa.array(
+            [(int(r["n"]) + m) * nt for r in rows], pa.int64()),
+    })
+
+
 def q_source_moments(sf_dir: str) -> ray.data.Dataset:
     """Per-source SUFFICIENT STATISTICS for (n_chars, kept-token
     count): n, Σx, Σy, Σx², Σy², Σxy — the mergeable-moment pattern

@@ -8702,9 +8702,51 @@ SELECT CAST(o.vec_id AS BIGINT) AS vec_id,
             // greatest(o.a, t.b, 1) AS BIGINT) AS s_ppm
 FROM own o JOIN oth t USING (vec_id)
 """
+    # m-estimate target encoding: smoothed category means with the
+    # global prior cross-multiplied through (exact num/den)
+    from candidategeneration_ray.pipelines.extras import TE_M
+
+    target_encoding = f"""
+WITH agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS sum_y
+  FROM documents GROUP BY 1),
+tot AS (SELECT sum(n) AS nt, sum(sum_y) AS sy FROM agg)
+SELECT source, n, sum_y,
+       CAST(sum_y * (SELECT nt FROM tot)
+            + {TE_M} * (SELECT sy FROM tot) AS BIGINT) AS enc_num,
+       CAST((n + {TE_M}) * (SELECT nt FROM tot) AS BIGINT) AS enc_den
+FROM agg
+"""
+
+    # independence-assumption audit: per fixed-query term pair, the
+    # System-R estimate witnesses vs the true co-occurrence count
+    from candidategeneration_ray.pipelines.docquery import (
+        selectivity_pairs)
+
+    qp_values = ", ".join(f"('{a}', '{b}')"
+                          for a, b in selectivity_pairs())
+    selectivity = f"""
+WITH {KEPT_CTE},
+dt AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM kept),
+qp(t1, t2) AS (VALUES {qp_values}),
+dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok)
+SELECT qp.t1, qp.t2,
+       coalesce(d1.df, 0) AS df1, coalesce(d2.df, 0) AS df2,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       coalesce(d1.df, 0) * coalesce(d2.df, 0) AS est_num,
+       coalesce((SELECT CAST(count(*) AS BIGINT)
+                 FROM dt a JOIN dt b ON a.doc_id = b.doc_id
+                 WHERE a.tok = qp.t1 AND b.tok = qp.t2), 0) AS actual
+FROM qp
+LEFT JOIN dfs d1 ON d1.tok = qp.t1
+LEFT JOIN dfs d2 ON d2.tok = qp.t2
+"""
     return {"active_time": active_time,
             "graph_coloring": graph_coloring,
             "stemmed_df_top50": stemmed_df,
             "harmonic_centrality": harmonic,
             "t_closeness": t_closeness,
-            "silhouette_ppm": silhouette}
+            "silhouette_ppm": silhouette,
+            "target_encoding": target_encoding,
+            "selectivity_audit": selectivity}

@@ -236,6 +236,74 @@ class TestGraphColoring:
         assert n_colors <= max(deg.values()) + 1
 
 
+class TestTargetEncoding:
+    def test_matches_bruteforce(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import (
+            TE_M, q_target_encoding)
+
+        d = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["source", "lang"]).to_pandas()
+        nt = len(d)
+        sy = int((d["lang"] == "en").sum())
+        got = q_target_encoding(SF).to_pylist()
+        assert len(got) == d["source"].nunique()
+        for r in got:
+            g = d[d["source"] == r["source"]]
+            n, y = len(g), int((g["lang"] == "en").sum())
+            assert r == {"source": r["source"], "n": n, "sum_y": y,
+                         "enc_num": y * nt + TE_M * sy,
+                         "enc_den": (n + TE_M) * nt}
+
+    def test_shrinkage_toward_prior(self, ray_session):
+        """Every encoded value lies between the raw category mean and
+        the global prior (the m-estimate contract), strictly inside
+        whenever they differ."""
+        from fractions import Fraction
+
+        from candidategeneration_ray.pipelines.extras import (
+            q_target_encoding)
+
+        rows = q_target_encoding(SF).to_pylist()
+        nt = sum(r["n"] for r in rows)
+        prior = Fraction(sum(r["sum_y"] for r in rows), nt)
+        for r in rows:
+            enc = Fraction(r["enc_num"], r["enc_den"])
+            raw = Fraction(r["sum_y"], r["n"])
+            lo, hi = min(raw, prior), max(raw, prior)
+            assert lo <= enc <= hi
+            if raw != prior:
+                assert lo < enc < hi
+
+
+class TestSelectivityAudit:
+    def test_matches_bruteforce(self, ray_session):
+        """dfs and true co-occurrence recomputed with the tokenizer
+        directly (no index involved)."""
+        from candidategeneration_ray.functions.tokenize import (
+            tokenize_many)
+        from candidategeneration_ray.pipelines.docquery import (
+            q_selectivity_audit, selectivity_pairs)
+
+        d = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+        docsets = {t: set() for pair in selectivity_pairs() for t in pair}
+        for doc_id, toks in zip(d["doc_id"],
+                                tokenize_many(d["text"].tolist())):
+            for t in set(toks) & set(docsets):
+                docsets[t].add(int(doc_id))
+        got = q_selectivity_audit(SF).to_pylist()
+        assert [(r["t1"], r["t2"]) for r in got] == selectivity_pairs()
+        for r in got:
+            s1, s2 = docsets[r["t1"]], docsets[r["t2"]]
+            assert r["df1"] == len(s1) and r["df2"] == len(s2)
+            assert r["actual"] == len(s1 & s2)
+            assert r["est_num"] == len(s1) * len(s2)
+        # the audit is non-trivial: some pair co-occurs, some misses
+        assert any(r["actual"] > 0 for r in got)
+        assert any(r["est_num"] // max(r["n_docs"], 1) != r["actual"]
+                   for r in got)
+
+
 class TestTCloseness:
     def test_matches_bruteforce(self, ray_session):
         from candidategeneration_ray.pipelines.extras import (
