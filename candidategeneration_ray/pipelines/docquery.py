@@ -2314,6 +2314,18 @@ def _dedup_drop_ids(sf_dir: str) -> np.ndarray:
                                len(rows)))
 
 
+def drop_doc_filter(batch: pa.Table, drop_sorted: np.ndarray) -> pa.Table:
+    """Filter a doc batch against a SORTED drop set of doc ids; an
+    empty drop set passes the batch through untouched (an
+    all-singleton corpus deduplicates to itself)."""
+    if drop_sorted.size == 0:
+        return batch
+    d = batch.column("doc_id").to_numpy().astype(np.int64)
+    pos = np.searchsorted(drop_sorted, d)
+    pos[pos == drop_sorted.size] = 0
+    return batch.filter(pa.array(~(drop_sorted[pos] == d)))
+
+
 def build_documents_index_dedup(sf_dir: str,
                                 cfg: EngineConfig | None = None) -> dict:
     """Build (or reuse) the static index over the DEDUPLICATED corpus:
@@ -2337,16 +2349,9 @@ def build_documents_index_dedup(sf_dir: str,
 
     drop = _dedup_drop_ids(sf_dir)
     dref = ray.put(drop)
-
-    def _keep(batch: pa.Table, r=dref) -> pa.Table:
-        ds_ = ray.get(r)
-        d = batch.column("doc_id").to_numpy().astype(np.int64)
-        pos = np.searchsorted(ds_, d)
-        pos[pos == ds_.size] = 0
-        mask = ~((ds_.size > 0) & (ds_[pos] == d))
-        return batch.filter(pa.array(mask))
-
-    toks = doc_tokens(sf_dir).map_batches(_keep, batch_format="pyarrow")
+    toks = doc_tokens(sf_dir).map_batches(
+        lambda b, r=dref: drop_doc_filter(b, ray.get(r)),
+        batch_format="pyarrow")
     stats = compute_stats(toks)
     offsets = {
         "conv_ids": np.array(["documents"], dtype=object),

@@ -4342,6 +4342,36 @@ def q_release_report(sf_dir: str) -> pa.Table:
     })
 
 
+def _tdiv(a: int, b: int) -> int:
+    """DuckDB `//` truncates toward zero for mixed signs; Python //
+    floors — the shared exact-arithmetic shim (used by the Cramer
+    ridge solve and the GBDT leaf means)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _score_label_partial(batch: pa.Table, scale: int) -> pa.Table:
+    """(stopword-ratio score bin, positive count, negative count)
+    partials shared by the classifier-eval entries (exact AUC,
+    isotonic calibration): score = (scale·n_stop) // max(n_words, 1),
+    label = (lang == 'en'); one np.unique + two scatters per batch."""
+    t = _textstats(batch)
+    n_words = t.column("n_words").to_numpy()
+    n_stop = t.column("n_stop").to_numpy()
+    sc = (scale * n_stop) // np.maximum(n_words, 1)
+    y = (np.asarray(batch.column("lang").to_pylist(), dtype=object)
+         == "en")
+    u = np.unique(sc)
+    pos = np.zeros(u.size, np.int64)
+    neg = np.zeros(u.size, np.int64)
+    si = np.searchsorted(u, sc)
+    np.add.at(pos, si[y], 1)
+    np.add.at(neg, si[~y], 1)
+    return pa.table({"s": pa.array(u, pa.int64()),
+                     "pos": pa.array(pos, pa.int64()),
+                     "neg": pa.array(neg, pa.int64())})
+
+
 def q_auc_eval(sf_dir: str) -> pa.Table:
     """Exact ROC-AUC (Mann-Whitney U with midrank tie handling) for the
     stopword-density English score against the lang label — the
@@ -4363,27 +4393,11 @@ def q_auc_eval(sf_dir: str) -> pa.Table:
     past ~3e9 docs; the int64 OUTPUT column is the documented bound)."""
     from ray.data.aggregate import Sum
 
-    def _part(batch: pa.Table) -> pa.Table:
-        t = _textstats(batch)
-        n_words = t.column("n_words").to_numpy()
-        n_stop = t.column("n_stop").to_numpy()
-        s = (5000 * n_stop) // np.maximum(n_words, 1)
-        y = (np.asarray(batch.column("lang").to_pylist(), dtype=object)
-             == "en")
-        u = np.unique(s)
-        pos = np.zeros(u.size, np.int64)
-        neg = np.zeros(u.size, np.int64)
-        si = np.searchsorted(u, s)
-        np.add.at(pos, si[y], 1)
-        np.add.at(neg, si[~y], 1)
-        return pa.table({"s": pa.array(u, pa.int64()),
-                         "pos": pa.array(pos, pa.int64()),
-                         "neg": pa.array(neg, pa.int64())})
-
     agg = (ray.data.read_parquet(
                os.path.join(sf_dir, "documents.parquet"),
                columns=["doc_id", "text", "lang"])
-           .map_batches(_part, batch_format="pyarrow")
+           .map_batches(lambda b: _score_label_partial(b, 5000),
+                        batch_format="pyarrow")
            .groupby("s")
            .aggregate(Sum("pos", alias_name="pos"),
                       Sum("neg", alias_name="neg"))
@@ -4443,10 +4457,6 @@ def q_ridge_regression(sf_dir: str, lam: int = RIDGE_LAMBDA) -> pa.Table:
                  columns=["doc_id", "text"])
              .map_batches(_moments, batch_format="pyarrow").take_all())
     m = {k: sum(int(r[k]) for r in parts) for k in parts[0]}
-
-    def _tdiv(a: int, b: int) -> int:
-        q = abs(a) // abs(b)
-        return q if (a >= 0) == (b >= 0) else -q
 
     a = [[m["n"] + lam, m["sx1"], m["sx2"]],
          [m["sx1"], m["sx11"] + lam, m["sx12"]],
@@ -4510,10 +4520,6 @@ def q_gbdt_model(sf_dir: str, rounds: int = GBDT_ROUNDS) -> pa.Table:
     model: list[tuple[str, int, int, int]] = []
     out = {"round": [], "feature": [], "threshold": [],
            "leaf_l": [], "leaf_r": [], "sse": []}
-
-    def _tdiv(a: int, b: int) -> int:
-        q = abs(a) // abs(b)
-        return q if (a >= 0) == (b >= 0) else -q
 
     for t in range(1, rounds + 1):
         frozen = list(model)
@@ -4624,29 +4630,19 @@ def q_isotonic_calibration(sf_dir: str) -> pa.Table:
     scales with the corpus."""
     from ray.data.aggregate import Sum
 
-    def _part(batch: pa.Table) -> pa.Table:
-        t = _textstats(batch)
-        n_words = t.column("n_words").to_numpy()
-        n_stop = t.column("n_stop").to_numpy()
-        s = (ISO_BINS * n_stop) // np.maximum(n_words, 1)
-        y = (np.asarray(batch.column("lang").to_pylist(), dtype=object)
-             == "en")
-        u, inv = np.unique(s, return_inverse=True)
-        n = np.bincount(inv).astype(np.int64)
-        p = np.bincount(inv[y]).astype(np.int64)
-        p.resize(u.size, refcheck=False)
-        return pa.table({"s": pa.array(u, pa.int64()),
-                         "n": pa.array(n, pa.int64()),
-                         "p": pa.array(p, pa.int64())})
-
     rows = (ray.data.read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
                 columns=["doc_id", "text", "lang"])
-            .map_batches(_part, batch_format="pyarrow")
+            .map_batches(lambda b: _score_label_partial(b, ISO_BINS),
+                         batch_format="pyarrow")
             .groupby("s")
-            .aggregate(Sum("n", alias_name="n"), Sum("p", alias_name="p"))
+            .aggregate(Sum("pos", alias_name="pos"),
+                       Sum("neg", alias_name="neg"))
             .take_all())
     rows.sort(key=lambda r: r["s"])
+    for r in rows:                      # (n, p) view of the partials
+        r["n"] = int(r["pos"]) + int(r["neg"])
+        r["p"] = int(r["pos"])
     s = [int(r["s"]) for r in rows]
     n = [int(r["n"]) for r in rows]
     p = [int(r["p"]) for r in rows]

@@ -453,6 +453,29 @@ class TestDedupIndex:
         # the full-corpus epoch (unlike the doc_filter serving view)
         assert ded != full
 
+    def test_drop_filter_edge_cases(self):
+        """Regression (review finding): an empty drop set must pass
+        batches through, not crash on the zero-length searchsorted;
+        ids past the last drop entry must survive the clamp."""
+        import pyarrow as pa
+
+        from candidategeneration_ray.pipelines.docquery import (
+            drop_doc_filter)
+
+        batch = pa.table({
+            "doc_id": pa.array([1, 2, 3, 99], pa.int64()),
+            "tokens": pa.array([["a"], ["b"], ["c"], ["d"]],
+                               pa.list_(pa.string())),
+        })
+        out = drop_doc_filter(batch, np.array([], np.int64))
+        assert out.num_rows == 4            # empty set: untouched
+        out = drop_doc_filter(batch, np.array([2, 3], np.int64))
+        assert out.column("doc_id").to_pylist() == [1, 99]
+        # drop id 1 specifically: the past-the-end clamp maps 99 to
+        # position 0 — it must NOT be dropped by aliasing with id 1
+        out = drop_doc_filter(batch, np.array([1], np.int64))
+        assert out.column("doc_id").to_pylist() == [2, 3, 99]
+
 
 class TestSStemmer:
     def test_rule_table(self):
