@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forward_export": dq.q_forward_export,  # inverted->forward transpose
         "filtered_bm25_topk": dq.q_filtered_bm25_topk,  # metadata-filtered retrieval
         "dedup_bm25_topk": dq.q_dedup_bm25_topk,  # curated-corpus index rebuild
+        "stemmed_bm25_topk": dq.q_stemmed_bm25_topk,  # stemmed-index retrieval
         # --- training-data extras (dedup / similarity / text analysis) ---
         "dedup_exact": ex.q_dedup_exact,
         # exact-mode opt-in: the library default caps hot shingles

@@ -2271,6 +2271,97 @@ def q_filtered_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def _stem_tokens_batch(batch: pa.Table) -> pa.Table:
+    """Map the tokens column through the S-stemmer — stemming happens
+    AFTER tokenization on a fixed token stream (never re-tokenized:
+    a stem may trip the stopword/length filters its surface form
+    passed). Dictionary-encoded: Python work is vocabulary-sized."""
+    import pyarrow.compute as pc
+
+    col = batch.column("tokens").combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    if flat.size:
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        stems = np.asarray(s_stem_unique(uniq), dtype=object)[inv]
+        new_col = pa.ListArray.from_arrays(
+            col.offsets, pa.array(stems.tolist(), pa.string()))
+    else:
+        new_col = col
+    i = batch.schema.get_field_index("tokens")
+    return batch.set_column(i, "tokens", new_col)
+
+
+def build_documents_index_stemmed(sf_dir: str,
+                                  cfg: EngineConfig | None = None) -> dict:
+    """Build (or reuse) the STEMMED static index: the standard
+    pipeline over the S-stemmed token stream — the classic
+    stemmed-index recall lever (the reference ships its Krovetz
+    stemmer commented out, WWW.java:7,353; this turns the knob with
+    the weakest safe stemmer). Stats, dictionary and df are all in
+    stem space; doc_len is unchanged (stemming is 1:1)."""
+    from candidategeneration_ray.state import checkpoint as ckpt
+    from candidategeneration_ray.pipelines.build import (
+        _persist_stats, load_stats)
+
+    cfg = cfg or EngineConfig(emit_pairs=False)
+    out_dir = _cache_dir(sf_dir, f"docidxst-{cfg.index_tag()}")
+    final = os.path.join(out_dir, "final")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if (ckpt.is_complete(os.path.join(out_dir, "stats"), [src])
+            and ckpt.is_complete(final)):
+        stats, _ = load_stats(out_dir)
+        return {"final_dir": final, "stats": stats}
+
+    toks = doc_tokens(sf_dir).map_batches(
+        _stem_tokens_batch, batch_format="pyarrow")
+    stats = compute_stats(toks)
+    offsets = {
+        "conv_ids": np.array(["documents"], dtype=object),
+        "bases": np.array([0], dtype=np.int64),
+        "counts": np.array([stats["n_docs"]], dtype=np.int64),
+        "n_docs": stats["n_docs"],
+    }
+    _persist_stats(out_dir, stats, offsets, [src])
+    stats_ref = ray.put(stats)
+    postings = emit_postings(toks, stats_ref, cfg)
+    lists = build_posting_lists(postings, cfg)
+    os.makedirs(final, exist_ok=True)
+    lists.write_parquet(final)
+    ckpt.write_manifest(final, {"phase": "merge", "lineage": [src]})
+    return {"final_dir": final, "stats": stats}
+
+
+def q_stemmed_bm25_topk(sf_dir: str) -> pa.Table:
+    """Exact BM25 top-10 per fixed query over the STEMMED index —
+    query tokens stem through the same rules (passed as pre-stemmed
+    tokens so the stopword/length filters are not re-applied), so
+    morphological variants of a query term now match. Scores are a
+    different epoch from bm25_topk (df/avgdl in stem space); the
+    oracle rebuilds the whole chain with the stem CASE interposed."""
+    from candidategeneration_ray.functions.tokenize import tokenize_text
+    from candidategeneration_ray.state.queryengine import QueryEngine
+
+    built = build_documents_index_stemmed(
+        sf_dir, EngineConfig(emit_pairs=False))
+    eng = QueryEngine(built["final_dir"], built["stats"])
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        toks = tokenize_text(text)
+        stemmed = s_stem_unique(np.asarray(toks, dtype=object))
+        for rank, (s, d) in enumerate(
+                eng.topk(text, k=10, tokens=stemmed)):
+            qids.append(qid)
+            ranks.append(rank + 1)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
 # --------------------------------------- curated-corpus (dedup) index
 # The production flow the two biggest subsystems exist for: the dedup
 # pipeline decides which documents survive, and the index is REBUILT

@@ -8586,29 +8586,56 @@ WITH {_knn_edge_ctes()},
 {",".join(ctes)}
 {union}
 """
-    # Harman S-stemmer over the kept tokens: longest-suffix rule fires,
-    # exception list decides change vs keep, later rules never apply
+    # Harman S-stemmer: longest-suffix rule fires, exception list
+    # decides change vs keep, later rules never apply
+    def stem_case(col: str) -> str:
+        return f"""CASE WHEN {col} LIKE '%ies' THEN
+           CASE WHEN {col} LIKE '%eies' OR {col} LIKE '%aies' THEN {col}
+                ELSE substr({col}, 1, length({col}) - 3) || 'y' END
+         WHEN {col} LIKE '%es' THEN
+           CASE WHEN {col} LIKE '%aes' OR {col} LIKE '%ees'
+                     OR {col} LIKE '%oes' THEN {col}
+                ELSE substr({col}, 1, length({col}) - 1) END
+         WHEN {col} LIKE '%s' THEN
+           CASE WHEN {col} LIKE '%us' OR {col} LIKE '%ss' THEN {col}
+                ELSE substr({col}, 1, length({col}) - 1) END
+         ELSE {col} END"""
+
     stemmed_df = f"""
 WITH {KEPT_CTE},
 st AS (
-  SELECT doc_id,
-    CASE WHEN tok LIKE '%ies' THEN
-           CASE WHEN tok LIKE '%eies' OR tok LIKE '%aies' THEN tok
-                ELSE substr(tok, 1, length(tok) - 3) || 'y' END
-         WHEN tok LIKE '%es' THEN
-           CASE WHEN tok LIKE '%aes' OR tok LIKE '%ees'
-                     OR tok LIKE '%oes' THEN tok
-                ELSE substr(tok, 1, length(tok) - 1) END
-         WHEN tok LIKE '%s' THEN
-           CASE WHEN tok LIKE '%us' OR tok LIKE '%ss' THEN tok
-                ELSE substr(tok, 1, length(tok) - 1) END
-         ELSE tok END AS stem
+  SELECT doc_id, {stem_case('tok')} AS stem
   FROM kept)
 SELECT stem, CAST(count(*) AS BIGINT) AS df
 FROM (SELECT DISTINCT doc_id, stem FROM st)
 GROUP BY stem
 ORDER BY df DESC, stem ASC
 LIMIT 50
+"""
+
+    # stemmed-index retrieval: the whole bm25 chain (tf/dl/df/avgdl/
+    # quantized score/top-10) re-derived over the stemmed token stream,
+    # query tokens stemmed the same way (no re-tokenization)
+    stemmed_bm25 = f"""
+WITH {KEPT_CTE},
+kept_s AS MATERIALIZED (
+  SELECT doc_id, {stem_case('tok')} AS tok, kpos FROM kept),
+{SCORES_CTE.replace('FROM kept', 'FROM kept_s')},
+{QTOK_CTE},
+qtok_s AS (
+  SELECT DISTINCT query_id, {stem_case('tok')} AS tok FROM qtok),
+qscores AS MATERIALIZED (
+  SELECT q.query_id, s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+  FROM qtok_s q JOIN scores s USING (tok)
+  GROUP BY q.query_id, s.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM qscores
+) WHERE rank <= 10
 """
     # pivot-based harmonic centrality: labeled-BFS rounds unrolled
     # (reach{r} = min-d per (node, pivot)), reciprocal-distance LUT
@@ -8749,4 +8776,5 @@ LEFT JOIN dfs d2 ON d2.tok = qp.t2
             "t_closeness": t_closeness,
             "silhouette_ppm": silhouette,
             "target_encoding": target_encoding,
-            "selectivity_audit": selectivity}
+            "selectivity_audit": selectivity,
+            "stemmed_bm25_topk": stemmed_bm25}

@@ -302,11 +302,17 @@ class IndexReader:
         self._cache[key] = val
         return val
 
-    def query_term_ids(self, text: str) -> list[int]:
+    def query_term_ids(self, text: str,
+                       tokens: list[str] | None = None) -> list[int]:
         """Query conversion (Metadata.java:191-225): tokenize with the
-        corpus tokenizer, map to term ids, drop unmapped terms; distinct."""
+        corpus tokenizer, map to term ids, drop unmapped terms;
+        distinct. `tokens` overrides tokenization for callers whose
+        index vocabulary is a transform of the raw tokens (e.g. the
+        stemmed family — re-tokenizing stemmed text would re-apply
+        stopword/length filters the stem may now trip)."""
         assert self.term_to_id is not None, "IndexReader needs stats for queries"
-        ids = {self.term_to_id[t] for t in tokenize_text(text) if t in self.term_to_id}
+        toks = tokenize_text(text) if tokens is None else tokens
+        ids = {self.term_to_id[t] for t in toks if t in self.term_to_id}
         return sorted(ids)
 
     def augmented_keys(self, term_ids: list[int]) -> list[int]:
@@ -636,7 +642,8 @@ class QueryEngine:
     TAAT_THRESHOLD = 1_000_000
 
     def topk(self, text: str, k: int | None = None,
-             algorithm: str = "auto") -> list[tuple[int, int]]:
+             algorithm: str = "auto",
+             tokens: list[str] | None = None) -> list[tuple[int, int]]:
         """Exact BM25 top-k [(score, doc_id)] for a free-text query.
 
         Hybrid dispatch, both paths rank-identical (tested equal):
@@ -651,7 +658,7 @@ class QueryEngine:
         per-doc pointer walk, kept as the differential reference).
         """
         k = k or self.cfg.top_k
-        ids = self.reader.query_term_ids(text)
+        ids = self.reader.query_term_ids(text, tokens=tokens)
         lists = []
         for t in ids:
             got = self.reader.get(t)

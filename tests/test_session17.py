@@ -477,6 +477,54 @@ class TestDedupIndex:
         assert out.column("doc_id").to_pylist() == [2, 3, 99]
 
 
+class TestStemmedIndex:
+    def test_recall_win_on_plural_corpus(self, ray_session, tmp_path):
+        """The point of the stemmed family: a singular query matches
+        plural-only documents the raw index misses."""
+        import pyarrow as pa
+
+        from candidategeneration_ray.config import EngineConfig
+        from candidategeneration_ray.functions.tokenize import (
+            tokenize_text)
+        from candidategeneration_ray.pipelines.docquery import (
+            build_documents_index, build_documents_index_stemmed,
+            s_stem_unique)
+        from candidategeneration_ray.state.queryengine import QueryEngine
+
+        docs = pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([
+                "queries tables indexes merging",   # plurals only
+                "query table index merging",        # singulars
+                "vector scan filter merging",       # neither
+            ]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        cfg = EngineConfig(emit_pairs=False)
+        raw_built = build_documents_index(str(tmp_path), cfg)
+        raw = QueryEngine(raw_built["final_dir"], raw_built["stats"])
+        st_built = build_documents_index_stemmed(str(tmp_path), cfg)
+        st = QueryEngine(st_built["final_dir"], st_built["stats"])
+
+        toks = tokenize_text("query table")
+        stemmed = s_stem_unique(np.asarray(toks, dtype=object))
+        raw_docs = {d for _, d in raw.topk("query table", k=10)}
+        st_docs = {d for _, d in st.topk("query table", k=10,
+                                         tokens=stemmed)}
+        assert raw_docs == {1}          # raw index misses the plurals
+        assert st_docs == {0, 1}        # stemmed index recalls both
+
+    def test_identity_on_pluralless_fixture(self, ray_session):
+        """On the plural-less sf fixture the stemmed index is the raw
+        index: rankings must be identical (stemming never over-stems
+        this vocabulary)."""
+        from candidategeneration_ray.pipelines.docquery import (
+            q_bm25_topk, q_stemmed_bm25_topk)
+
+        assert (q_stemmed_bm25_topk(SF).to_pylist()
+                == q_bm25_topk(SF).to_pylist())
+
+
 class TestSStemmer:
     def test_rule_table(self):
         from candidategeneration_ray.pipelines.docquery import (
