@@ -4306,11 +4306,12 @@ def q_release_report(sf_dir: str) -> pa.Table:
 
         k_anonymity    violating QI groups        (pass = 0)
         l_diversity    low-diversity QI groups    (pass = 0)
+        t_closeness    distribution-leaking QI groups (pass = 0)
         fk_orphans     orphan child rows, 5 edges (pass = 0)
         fd_violations  violating determinant keys (pass = 0)
         corpus_digest  Σ stratum digests mod 2^40 (informational)
 
-    The oracle COMPOSES all five subsystems' standalone oracle SQL as
+    The oracle COMPOSES all six subsystems' standalone oracle SQL as
     derived tables, so the driver hash-checks the cross-subsystem
     WIRING — the same composition proof pattern as judgment_pool
     (four rankers) and pretrain_select (four stages).
@@ -4328,12 +4329,15 @@ def q_release_report(sf_dir: str) -> pa.Table:
     fd_viol = int(fd["n_violating_keys"].sum())
     dg = q_corpus_digest(sf_dir).to_pandas()
     digest = int(dg["digest"].sum()) % (1 << 40)
+    tc = q_t_closeness(sf_dir).to_pandas()
+    tviol = int((tc["violates"] == 1).sum())
     checks = [
         ("corpus_digest", digest, 1),
         ("fd_violations", fd_viol, 1 if fd_viol == 0 else 0),
         ("fk_orphans", fk_orphans, 1 if fk_orphans == 0 else 0),
         ("k_anonymity", ka, 1 if ka == 0 else 0),
         ("l_diversity", ld, 1 if ld == 0 else 0),
+        ("t_closeness", tviol, 1 if tviol == 0 else 0),
     ]
     return pa.table({
         "check": pa.array([c[0] for c in checks], pa.string()),

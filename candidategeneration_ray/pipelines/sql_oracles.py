@@ -7975,6 +7975,10 @@ SELECT 'k_anonymity', CAST(count(*) AS BIGINT),
 UNION ALL
 SELECT 'l_diversity', CAST(count(*) AS BIGINT),
        CAST(count(*) = 0 AS BIGINT) FROM ({_ld_sql})
+UNION ALL
+SELECT 't_closeness', CAST(count(*) AS BIGINT),
+       CAST(count(*) = 0 AS BIGINT)
+FROM ({session17_oracles()["t_closeness"].strip()}) WHERE violates = 1
 """
     return d
 
