@@ -787,8 +787,46 @@ HC_MAX_HOPS = 4       # distances counted up to this cap
 HC_PPM = {d: 10 ** 6 // d for d in range(1, HC_MAX_HOPS + 1)}
 
 
+@ray.remote
+def _small_graph_harmonic(max_hops: int, seed_mod: int, lut: np.ndarray,
+                          n_edge_tables: int, *tables: pa.Table) -> pa.Table:
+    """Bounded fast path: labeled multi-source BFS in one numpy task
+    over the object-store edge blocks — EXACTLY the staged rounds'
+    function (dist_{t+1}[v, s] = min over in-edges of dist_t[u, s]+1,
+    hop-capped), on a dense (nodes × pivots) distance matrix."""
+    edge_tabs = [t for t in tables[:n_edge_tables] if t.num_rows > 0]
+    node_tabs = [t for t in tables[n_edge_tables:] if t.num_rows > 0]
+    vec = np.sort(np.concatenate(
+        [t.column("vec_id").to_numpy().astype(np.int64)
+         for t in node_tabs]))
+    piv = vec[vec % seed_mod == 0]
+    inf = np.int64(1) << np.int64(40)
+    d = np.full((vec.size, piv.size), inf, np.int64)
+    d[np.searchsorted(vec, piv), np.arange(piv.size)] = 0
+    if edge_tabs and piv.size:
+        u = np.concatenate([t.column("u").to_numpy().astype(np.int64)
+                            for t in edge_tabs])
+        v = np.concatenate([t.column("v").to_numpy().astype(np.int64)
+                            for t in edge_tabs])
+        src = np.searchsorted(vec, np.concatenate((u, v)))
+        dst = np.searchsorted(vec, np.concatenate((v, u)))
+        for _ in range(max_hops):
+            np.minimum.at(d, dst, d[src] + 1)
+    reach = (d >= 1) & (d <= max_hops)
+    # a pivot can't count itself: its own column holds 0, never >= 1
+    return pa.table({
+        "vec_id": pa.array(vec, pa.int64()),
+        "n_reached": pa.array(reach.sum(axis=1).astype(np.int64),
+                              pa.int64()),
+        "harmonic_ppm": pa.array(
+            (lut[np.where(reach, d, 0)]).sum(axis=1).astype(np.int64),
+            pa.int64()),
+    })
+
+
 def q_harmonic_centrality(sf_dir: str, max_hops: int = HC_MAX_HOPS,
-                          seed_mod: int = HC_SEED_MOD
+                          seed_mod: int = HC_SEED_MOD,
+                          small_graph_max_edges: int = 2_500_000
                           ) -> ray.data.Dataset:
     """Pivot-based harmonic centrality over the undirected kNN graph
     (Boldi & Vigna "Axioms for centrality" 2014; pivot sampling is the
@@ -813,6 +851,22 @@ def q_harmonic_centrality(sf_dir: str, max_hops: int = HC_MAX_HOPS,
         raise ValueError("max_hops must be in 1..HC_MAX_HOPS")
     nbk = _graph_buckets()
     cap = np.int64(max_hops)
+    lut0 = np.zeros(max_hops + 1, np.int64)
+    for d_, p_ in HC_PPM.items():
+        if d_ <= max_hops:
+            lut0[d_] = p_
+
+    knn_edges = _knn_undirected_edges(sf_dir)
+    if knn_edges.count() <= small_graph_max_edges:
+        # bounded fast path (the sssp/dup_clusters pattern): one task
+        # over the edge blocks, identical per-round semantics — the
+        # staged path below stays the >cap route (equality pytest)
+        edge_refs = knn_edges.to_arrow_refs()
+        node_refs = (_embeddings_ds(sf_dir).select_columns(["vec_id"])
+                     .to_arrow_refs())
+        return ray.data.from_arrow_refs([_small_graph_harmonic.remote(
+            max_hops, seed_mod, lut0, len(edge_refs),
+            *edge_refs, *node_refs)])
 
     # row kinds: edge row (dst >= 0), node row (dst == -1),
     # pair row (dst == -2: src = pivot node id, give = distance)
@@ -860,6 +914,8 @@ def q_harmonic_centrality(sf_dir: str, max_hops: int = HC_MAX_HOPS,
         pn = node[is_p]
         ps = group.column("src").to_numpy().astype(np.int64)[is_p]
         pd = group.column("give").to_numpy().astype(np.int64)[is_p]
+        if pn.size == 0:       # a bucket the frontier has not reached
+            return pn, ps, pd
         order = np.lexsort((pd, ps, pn))
         pn, ps, pd = pn[order], ps[order], pd[order]
         keep = np.concatenate(([True], (pn[1:] != pn[:-1])
@@ -902,10 +958,7 @@ def q_harmonic_centrality(sf_dir: str, max_hops: int = HC_MAX_HOPS,
             })
         return _round
 
-    lut = np.zeros(max_hops + 1, np.int64)
-    for d_, p_ in HC_PPM.items():
-        if d_ <= max_hops:
-            lut[d_] = p_
+    lut = lut0
 
     def _final(group: pa.Table) -> pa.Table:
         node = group.column("node").to_numpy().astype(np.int64)

@@ -406,6 +406,12 @@ class TestHarmonicCentrality:
                     h[v] = h.get(v, 0) + HC_PPM[d]
                     nr[v] = nr.get(v, 0) + 1
         got = q_harmonic_centrality(SF).to_pandas()
+        # the staged (>cap) bucket-scatter route must equal the
+        # single-task fast path — force it via a zero cap
+        staged = q_harmonic_centrality(
+            SF, small_graph_max_edges=0).to_pandas()
+        assert (staged.sort_values("vec_id").reset_index(drop=True)
+                .equals(got.sort_values("vec_id").reset_index(drop=True)))
         assert len(got) == len(adj) or len(got) >= len(adj)  # all vecs
         for r in got.itertuples():
             assert r.harmonic_ppm == h.get(r.vec_id, 0)
