@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranking_agreement": dq.q_ranking_agreement,  # doc vs MaxP prefix overlap
         "query_difficulty": dq.q_query_difficulty,  # QPP feature table
         "selectivity_audit": dq.q_selectivity_audit,  # independence-assumption audit
+        "list_overlap_kmv": dq.q_list_overlap_kmv,  # sketch cardinality estimates
         "judgment_pool": dq.q_judgment_pool,        # TREC pooling of 4 systems
         "prf_topk": dq.q_prf_topk,  # Rocchio-style PRF expansion, integer-exact
         "more_like_this": dq.q_more_like_this,  # doc-to-doc retrieval (MLT)

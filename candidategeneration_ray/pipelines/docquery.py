@@ -2030,6 +2030,67 @@ def q_selectivity_audit(sf_dir: str) -> pa.Table:
     })
 
 
+def q_list_overlap_kmv(sf_dir: str) -> pa.Table:
+    """Sketch-accelerated join-cardinality estimation — the KMV
+    (theta-sketch) companion to q_selectivity_audit: for each audited
+    term pair, bottom-k sketches of the two POSTING LISTS' doc-id
+    sets, their union sketch, and the integer KMV estimators
+    (Beyer et al. SIGMOD'07 — the sketches sketches.q_kmv_registers
+    builds for source vocabularies, here applied to the index's own
+    lists): n_match/ku samples the Jaccard,
+    union_est = (k−1)·2⁶⁴ // h_k (exact when the union sketch is not
+    full), inter_est = n_match·union_est // ku. `actual` (the exact
+    intersection) sits beside the estimate, so the driver
+    hash-verifies the ESTIMATOR — the cost-model path a distributed
+    planner uses when the exact intersection is too expensive.
+
+    Shape: per pair two posting-list decodes (query-bound) and
+    O(k) sketch arithmetic; never corpus-bound."""
+    from candidategeneration_ray.functions import hashing as H
+    from candidategeneration_ray.pipelines.sketches import (
+        KMV_K, _kmv_bottom)
+    from candidategeneration_ray.state.queryengine import IndexReader
+
+    built = build_documents_index(sf_dir, EngineConfig(emit_pairs=False))
+    reader = IndexReader(built["final_dir"], built["stats"])
+
+    def sketch(term: str) -> tuple[np.ndarray, np.ndarray]:
+        tid = reader.term_to_id.get(term)
+        if not tid:
+            return np.array([], np.int64), np.array([], np.uint64)
+        docs = reader.get(tid)[0]
+        return docs, _kmv_bottom(H.h64_many([str(int(d)) for d in docs]))
+
+    rows = {k: [] for k in ("t1", "t2", "ku", "n_match", "union_est",
+                            "inter_est", "actual")}
+    for t1, t2 in selectivity_pairs():
+        d1, a = sketch(t1)
+        d2, b = sketch(t2)
+        usk = _kmv_bottom(np.concatenate((a, b)))
+        ku = int(usk.size)
+        match = int(np.count_nonzero(np.isin(usk, a) & np.isin(usk, b)))
+        if ku == 0:
+            union_est = inter_est = 0
+        else:
+            union_est = (ku if ku < KMV_K
+                         else ((KMV_K - 1) << 64) // int(usk[-1]))
+            inter_est = match * union_est // ku
+        rows["t1"].append(t1)
+        rows["t2"].append(t2)
+        rows["ku"].append(ku)
+        rows["n_match"].append(match)
+        rows["union_est"].append(union_est)
+        rows["inter_est"].append(inter_est)
+        rows["actual"].append(
+            int(np.intersect1d(d1, d2, assume_unique=True).size))
+    return pa.table({
+        "t1": pa.array(rows["t1"], pa.string()),
+        "t2": pa.array(rows["t2"], pa.string()),
+        **{k: pa.array(rows[k], pa.int64())
+           for k in ("ku", "n_match", "union_est", "inter_est", "actual")},
+    })
+
+
 def q_pr_points(sf_dir: str) -> pa.Table:
     """Exact precision-recall curve of the predictive candidate
     ranking against the exact BM25 top-10 as relevance truth — the

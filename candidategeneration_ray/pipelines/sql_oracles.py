@@ -8773,6 +8773,68 @@ FROM qp
 LEFT JOIN dfs d1 ON d1.tok = qp.t1
 LEFT JOIN dfs d2 ON d2.tok = qp.t2
 """
+    # KMV sketches of the audited pairs' posting-list doc sets + the
+    # integer estimators — 2^64 as a HUGEINT literal, h_k as UBIGINT
+    from candidategeneration_ray.pipelines.sketches import KMV_K
+
+    h_doc = _H64.format(expr="CAST(doc_id AS VARCHAR)")
+    two64 = "CAST(18446744073709551616 AS HUGEINT)"
+    kmv_overlap = f"""
+WITH {KEPT_CTE},
+dt AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM kept),
+qp(t1, t2) AS (VALUES {qp_values}),
+hv AS MATERIALIZED (SELECT tok, doc_id, {h_doc} AS h FROM dt),
+ska AS (
+  SELECT t1, t2, h FROM (
+    SELECT qp.t1, qp.t2, v.h,
+           row_number() OVER (PARTITION BY qp.t1, qp.t2
+                              ORDER BY v.h) AS rn
+    FROM qp JOIN hv v ON v.tok = qp.t1) WHERE rn <= {KMV_K}),
+skb AS (
+  SELECT t1, t2, h FROM (
+    SELECT qp.t1, qp.t2, v.h,
+           row_number() OVER (PARTITION BY qp.t1, qp.t2
+                              ORDER BY v.h) AS rn
+    FROM qp JOIN hv v ON v.tok = qp.t2) WHERE rn <= {KMV_K}),
+u AS (
+  SELECT t1, t2, h FROM (
+    SELECT t1, t2, h,
+           row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn
+    FROM (SELECT DISTINCT t1, t2, h
+          FROM (SELECT * FROM ska UNION ALL SELECT * FROM skb)))
+  WHERE rn <= {KMV_K}),
+us AS (
+  SELECT u.t1, u.t2, CAST(count(*) AS BIGINT) AS ku,
+         max(u.h) AS kth,
+         CAST(count(*) FILTER (a.h IS NOT NULL AND b.h IS NOT NULL)
+              AS BIGINT) AS n_match
+  FROM u
+  LEFT JOIN ska a ON a.t1 = u.t1 AND a.t2 = u.t2 AND a.h = u.h
+  LEFT JOIN skb b ON b.t1 = u.t1 AND b.t2 = u.t2 AND b.h = u.h
+  GROUP BY 1, 2),
+est AS (
+  SELECT t1, t2, ku, n_match,
+         CASE WHEN ku < {KMV_K} THEN CAST(ku AS HUGEINT)
+              ELSE {KMV_K - 1} * {two64} // CAST(kth AS HUGEINT)
+         END AS union_est
+  FROM us),
+ex AS (
+  SELECT qp.t1, qp.t2,
+         coalesce((SELECT CAST(count(*) AS BIGINT)
+                   FROM dt a JOIN dt b ON a.doc_id = b.doc_id
+                   WHERE a.tok = qp.t1 AND b.tok = qp.t2), 0) AS actual
+  FROM qp)
+SELECT qp.t1, qp.t2,
+       coalesce(e.ku, 0) AS ku,
+       coalesce(e.n_match, 0) AS n_match,
+       CAST(coalesce(e.union_est, 0) AS BIGINT) AS union_est,
+       CAST(coalesce(e.n_match * e.union_est // e.ku, 0) AS BIGINT)
+         AS inter_est,
+       ex.actual
+FROM qp
+LEFT JOIN est e ON e.t1 = qp.t1 AND e.t2 = qp.t2
+JOIN ex ON ex.t1 = qp.t1 AND ex.t2 = qp.t2
+"""
     return {"active_time": active_time,
             "graph_coloring": graph_coloring,
             "stemmed_df_top50": stemmed_df,
@@ -8781,4 +8843,5 @@ LEFT JOIN dfs d2 ON d2.tok = qp.t2
             "silhouette_ppm": silhouette,
             "target_encoding": target_encoding,
             "selectivity_audit": selectivity,
-            "stemmed_bm25_topk": stemmed_bm25}
+            "stemmed_bm25_topk": stemmed_bm25,
+            "list_overlap_kmv": kmv_overlap}

@@ -236,6 +236,43 @@ class TestGraphColoring:
         assert n_colors <= max(deg.values()) + 1
 
 
+class TestListOverlapKmv:
+    def test_exact_when_sketch_not_full(self, ray_session):
+        """Lists shorter than KMV_K are sketched whole — the union
+        estimate is then the exact union size and inter_est the exact
+        intersection (sampling without loss)."""
+        from candidategeneration_ray.pipelines.docquery import (
+            q_list_overlap_kmv, q_selectivity_audit)
+        from candidategeneration_ray.pipelines.sketches import KMV_K
+
+        ex = {(r["t1"], r["t2"]): r
+              for r in q_selectivity_audit(SF).to_pylist()}
+        for r in q_list_overlap_kmv(SF).to_pylist():
+            e = ex[(r["t1"], r["t2"])]
+            assert r["actual"] == e["actual"]
+            union = e["df1"] + e["df2"] - e["actual"]
+            if union < KMV_K:
+                assert r["ku"] == union
+                assert r["union_est"] == union
+                assert r["n_match"] == e["actual"]
+                assert r["inter_est"] == e["actual"]
+
+    def test_estimator_in_range(self, ray_session):
+        from candidategeneration_ray.pipelines.docquery import (
+            q_list_overlap_kmv)
+
+        rows = q_list_overlap_kmv(SF).to_pylist()
+        assert rows
+        for r in rows:
+            assert 0 <= r["n_match"] <= r["ku"]
+            assert r["inter_est"] >= 0
+            # full sketches: a 64-slot sample keeps the estimate
+            # within a loose constant factor of truth on these lists
+            if r["actual"] > 0 and r["ku"] > 0:
+                assert r["inter_est"] <= 20 * max(r["actual"], 1) + 50
+                assert 20 * r["inter_est"] + 50 >= r["actual"] // 20
+
+
 class TestTargetEncoding:
     def test_matches_bruteforce(self, ray_session):
         from candidategeneration_ray.pipelines.extras import (
