@@ -3783,7 +3783,73 @@ COLOR_MAX_ROUNDS = 16   # shared with the SQL unroll — widen BOTH together
 COLOR_MAX_COLORS = 64   # mex never exceeds max degree; hard guard
 
 
-def q_graph_coloring(sf_dir: str) -> pa.Table:
+@ray.remote
+def _small_graph_coloring(max_rounds: int, *edge_tabs: pa.Table) -> pa.Table:
+    """Bounded fast path: the EXACT Jones-Plassmann rounds in one
+    numpy task over the object-store edge blocks — same priorities,
+    same local-minima rule, same mex (lowest zero bit of the
+    colored-neighbor bitmask == lowest absent color)."""
+    from candidategeneration_ray.functions import hashing as H
+
+    tabs = [t for t in edge_tabs if t.num_rows > 0]
+    u = np.concatenate([t.column("u").to_numpy().astype(np.int64)
+                        for t in tabs])
+    v = np.concatenate([t.column("v").to_numpy().astype(np.int64)
+                        for t in tabs])
+    nodes = np.unique(np.concatenate((u, v)))
+    prio = H.h64_many([str(int(x)) for x in nodes])
+    src = np.searchsorted(nodes, np.concatenate((u, v)))
+    dst = np.searchsorted(nodes, np.concatenate((v, u)))
+    und = np.ones(nodes.size, bool)
+    color = np.full(nodes.size, -1, np.int64)
+    rnd_of = np.full(nodes.size, -1, np.int64)
+    for rnd in range(max_rounds):
+        if not und.any():
+            break
+        live = und[src] & und[dst]
+        # per-node min undecided-neighbor (h, v): lexsort once
+        nbr_h = np.full(nodes.size, np.iinfo(np.uint64).max, np.uint64)
+        nbr_v = np.full(nodes.size, np.int64(1) << np.int64(62), np.int64)
+        if live.any():
+            ls, ld = src[live], dst[live]
+            order = np.lexsort((nodes[ls], prio[ls], ld))
+            ld_o, ls_o = ld[order], ls[order]
+            first = np.concatenate(([True], ld_o[1:] != ld_o[:-1]))
+            nbr_h[ld_o[first]] = prio[ls_o[first]]
+            nbr_v[ld_o[first]] = nodes[ls_o[first]]
+        has_nbr = nbr_h != np.iinfo(np.uint64).max
+        cand = und & (~has_nbr
+                      | (prio < nbr_h)
+                      | ((prio == nbr_h) & (nodes < nbr_v)))
+        # used colors of already-colored neighbors, folded as a bitmask
+        mask = np.zeros(nodes.size, np.uint64)
+        cm = cand[src] & (color[dst] >= 0)
+        if cm.any():
+            np.bitwise_or.at(
+                mask, src[cm],
+                (np.uint64(1) << color[dst][cm].astype(np.uint64)))
+        lowest_zero = (~mask[cand]) & (mask[cand] + np.uint64(1))
+        if (lowest_zero == 0).any():     # all 64 bits used: mex >= 64
+            raise RuntimeError("coloring exceeded COLOR_MAX_COLORS")
+        mex = np.round(np.log2(lowest_zero.astype(np.float64))
+                       ).astype(np.int64)
+        if mex.size and int(mex.max()) >= COLOR_MAX_COLORS:
+            raise RuntimeError("coloring exceeded COLOR_MAX_COLORS")
+        color[cand] = mex
+        rnd_of[cand] = rnd
+        und = und & ~cand
+    else:
+        if und.any():
+            raise RuntimeError("coloring exceeded COLOR_MAX_ROUNDS")
+    return pa.table({
+        "vec_id": pa.array(nodes, pa.int64()),
+        "color": pa.array(color, pa.int64()),
+        "color_round": pa.array(rnd_of, pa.int64()),
+    })
+
+
+def q_graph_coloring(sf_dir: str,
+                     small_graph_max_edges: int = 2_500_000) -> pa.Table:
     """Greedy distance-1 graph coloring over the undirected kNN graph
     by the Jones–Plassmann schedule (Jones & Plassmann SIAM JSC'93 —
     the third classic of the symmetry-breaking family beside Luby MIS
@@ -3810,6 +3876,14 @@ def q_graph_coloring(sf_dir: str) -> pa.Table:
     from candidategeneration_ray.functions import hashing as H
 
     ew = _knn_weighted_edges(sf_dir).materialize()
+    if ew.count() <= small_graph_max_edges:
+        # bounded fast path (the sssp/harmonic pattern): one task over
+        # the edge blocks, identical per-round semantics — the staged
+        # path below stays the >cap route (equality pytest)
+        edge_refs = ew.to_arrow_refs()
+        return ray.get(_small_graph_coloring.remote(
+            COLOR_MAX_ROUNDS, *edge_refs))
+
     nodes = _edge_node_ids(ew)
     prio = H.h64_many([str(int(v)) for v in nodes])
     und = np.ones(nodes.size, bool)

@@ -3366,7 +3366,9 @@ def _qi_lang_counts(sf_dir: str, char_bucket: int) -> ray.data.Dataset:
 
 
 def q_k_anonymity(sf_dir: str, k: int = K_ANON,
-                  char_bucket: int = K_ANON_CHAR_BUCKET) -> ray.data.Dataset:
+                  char_bucket: int = K_ANON_CHAR_BUCKET,
+                  per_lang: "ray.data.Dataset | None" = None
+                  ) -> ray.data.Dataset:
     """Privacy audit: k-anonymity violations over the quasi-identifier
     tuple (lang, source, n_chars // bucket) — groups smaller than k are
     re-identification risks a release gate must suppress or generalize.
@@ -3376,8 +3378,10 @@ def q_k_anonymity(sf_dir: str, k: int = K_ANON,
     Shape: per-batch compressed (qid-tuple, count) partials -> one tiny
     groupby -> size filter (the triad-shared _qi_lang_counts). The
     shuffle moves distinct quasi-identifier combinations, never
-    documents."""
-    agg = _qi_lang_counts(sf_dir, char_bucket)
+    documents. `per_lang` shares one materialized QI aggregate
+    across the triad (release_report passes it: 3 corpus passes → 1)."""
+    agg = (per_lang if per_lang is not None
+           else _qi_lang_counts(sf_dir, char_bucket))
 
     def _violations(batch: pa.Table) -> pa.Table:
         n = batch.column("n_docs").to_numpy().astype(np.int64)
@@ -4144,7 +4148,9 @@ L_DIVERSITY = 3
 
 
 def q_l_diversity(sf_dir: str, l_min: int = L_DIVERSITY,
-                  char_bucket: int = K_ANON_CHAR_BUCKET) -> ray.data.Dataset:
+                  char_bucket: int = K_ANON_CHAR_BUCKET,
+                  per_lang: "ray.data.Dataset | None" = None
+                  ) -> ray.data.Dataset:
     """l-diversity audit (Machanavajjhala et al. ICDE'06) — the
     attribute-disclosure companion of q_k_anonymity: for each
     quasi-identifier group (source, n_chars // bucket), the number of
@@ -4159,7 +4165,8 @@ def q_l_diversity(sf_dir: str, l_min: int = L_DIVERSITY,
     Shuffles move distinct combinations only."""
     from ray.data.aggregate import Count, Sum
 
-    per_lang = _qi_lang_counts(sf_dir, char_bucket)
+    if per_lang is None:
+        per_lang = _qi_lang_counts(sf_dir, char_bucket)
 
     agg = (per_lang
            .groupby(["source", "chars_bucket"])
@@ -4183,7 +4190,8 @@ T_CLOSENESS_PPM = 333333   # groups with TVD > 1/3 (ppm floor) violate
 
 
 def q_t_closeness(sf_dir: str,
-                  char_bucket: int = K_ANON_CHAR_BUCKET
+                  char_bucket: int = K_ANON_CHAR_BUCKET,
+                  per_lang: "ray.data.Dataset | None" = None
                   ) -> ray.data.Dataset:
     """t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) — the
     third member of the release-privacy triad: a quasi-identifier
@@ -4204,7 +4212,8 @@ def q_t_closeness(sf_dir: str,
     never documents."""
     from ray.data.aggregate import Sum
 
-    per_lang = _qi_lang_counts(sf_dir, char_bucket).materialize()
+    if per_lang is None:
+        per_lang = _qi_lang_counts(sf_dir, char_bucket).materialize()
 
     gl = (per_lang.groupby("lang")
           .aggregate(Sum("n_docs", alias_name="c")).take_all())
@@ -4321,15 +4330,17 @@ def q_release_report(sf_dir: str) -> pa.Table:
     is driver-side arithmetic over those summaries."""
     from candidategeneration_ray.pipelines import relational as rl
 
-    ka = int(q_k_anonymity(sf_dir).count())
-    ld = int(q_l_diversity(sf_dir).count())
+    # ONE materialized QI aggregate feeds the whole privacy triad
+    per_lang = _qi_lang_counts(sf_dir, K_ANON_CHAR_BUCKET).materialize()
+    ka = int(q_k_anonymity(sf_dir, per_lang=per_lang).count())
+    ld = int(q_l_diversity(sf_dir, per_lang=per_lang).count())
     fk = rl.q_fk_audit(sf_dir).to_pandas()
     fk_orphans = int(fk["n_orphans"].sum())
     fd = rl.q_fd_audit(sf_dir).to_pandas()
     fd_viol = int(fd["n_violating_keys"].sum())
     dg = q_corpus_digest(sf_dir).to_pandas()
     digest = int(dg["digest"].sum()) % (1 << 40)
-    tc = q_t_closeness(sf_dir).to_pandas()
+    tc = q_t_closeness(sf_dir, per_lang=per_lang).to_pandas()
     tviol = int((tc["violates"] == 1).sum())
     checks = [
         ("corpus_digest", digest, 1),

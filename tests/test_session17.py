@@ -227,6 +227,17 @@ class TestGraphColoring:
             assert rnd <= 64
         assert colored == col
 
+    def test_staged_equals_fast_path(self, ray_session, colored):
+        from candidategeneration_ray.pipelines.clustering import (
+            q_graph_coloring)
+
+        staged = q_graph_coloring(SF, small_graph_max_edges=0)
+        got = {int(v): (int(c), int(r)) for v, c, r in zip(
+            staged.column("vec_id").to_pylist(),
+            staged.column("color").to_pylist(),
+            staged.column("color_round").to_pylist())}
+        assert got == colored
+
     def test_color_count_bounded(self, colored, edges):
         deg: dict[int, int] = {}
         for u, v in edges:
