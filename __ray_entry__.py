@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_bytes_rice": dq.q_postings_bytes_rice,  # Golomb-Rice codec comparison
         "postings_bytes_bic": dq.q_postings_bytes_bic,  # binary-interpolative codec comparison
         "index_report": dq.q_index_report,      # one-row capacity report
+        "codec_report": dq.q_codec_report,      # codec matrix fold (5 codecs)
         "index_integrity": dq.q_index_integrity,  # on-disk format audit
         "pruned_list_lengths": dq.q_pruned_list_lengths,    # O3 build-time pruning
         "delta_update_lists": dq.q_delta_update_lists,      # incremental (LSM) update
@@ -669,6 +670,21 @@ SELECT CAST(nt AS BIGINT) AS n, CAST(na AS BIGINT) AS n_agree,
        CAST(nt * na - e AS BIGINT) AS kappa_num,
        CAST(nt * nt - e AS BIGINT) AS kappa_den
 FROM tot, pe""")
+    # codec matrix fold: ONE row per codec summing the SAME analytic
+    # size models the per-term entries verify — composition proof over
+    # all five codec oracles
+    d["codec_report"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS codec, CAST(count(*) AS BIGINT) AS n_terms, "
+        f"CAST(sum(n) AS BIGINT) AS n_postings, "
+        f"CAST(sum({col}) AS BIGINT) AS docs_bytes "
+        f"FROM ({d[key]})"
+        for c, key, col in [
+            ("varint", "postings_bytes", "docs_bytes"),
+            ("bic", "postings_bytes_bic", "docs_bytes_bic"),
+            ("bp", "postings_bytes_bp", "docs_bytes_bp"),
+            ("ef", "postings_bytes_ef", "docs_bytes_ef"),
+            ("rice", "postings_bytes_rice", "docs_bytes_rice"),
+        ])
     # time-travel: the bm25 oracle with `documents` rebound to the base
     # ingestion half — an uncompacted ingest must leave the old epoch
     # exactly servable

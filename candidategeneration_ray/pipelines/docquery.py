@@ -782,6 +782,38 @@ def q_postings_bytes_ef(sf_dir: str) -> ray.data.Dataset:
     return _postings_bytes_codec(sf_dir, "ef", "docs_bytes_ef")
 
 
+def q_codec_report(sf_dir: str) -> pa.Table:
+    """The codec matrix folded to ONE row per codec — the
+    storage-planning summary the five per-term size entries exist
+    for: (codec, n_terms, n_postings, docs_bytes) for varint (the
+    production layout) and the four alternative doc-array codecs
+    (bic/bp/ef/rice), every byte count the SAME audited numbers the
+    per-term entries verify (the oracle composes all five size-model
+    SQLs, so the driver hash-checks the fold AND the matrix in one
+    entry). Builds are cached — the report costs five segment scans,
+    not five builds."""
+    specs: list[tuple[str, object, str]] = [
+        ("varint", q_postings_bytes, "docs_bytes"),
+        ("bic", q_postings_bytes_bic, "docs_bytes_bic"),
+        ("bp", q_postings_bytes_bp, "docs_bytes_bp"),
+        ("ef", q_postings_bytes_ef, "docs_bytes_ef"),
+        ("rice", q_postings_bytes_rice, "docs_bytes_rice"),
+    ]
+    rows = {k: [] for k in ("codec", "n_terms", "n_postings",
+                            "docs_bytes")}
+    for codec, fn, col in specs:
+        df = fn(sf_dir).to_pandas()
+        rows["codec"].append(codec)
+        rows["n_terms"].append(len(df))
+        rows["n_postings"].append(int(df["n"].sum()))
+        rows["docs_bytes"].append(int(df[col].sum()))
+    return pa.table({
+        "codec": pa.array(rows["codec"], pa.string()),
+        **{k: pa.array(rows[k], pa.int64())
+           for k in ("n_terms", "n_postings", "docs_bytes")},
+    })
+
+
 def q_index_report(sf_dir: str) -> pa.Table:
     """One-row index capacity report off the PERSISTED unigram
     segments — the numbers a cluster-sizing plan starts from:

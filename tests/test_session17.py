@@ -247,6 +247,24 @@ class TestGraphColoring:
         assert n_colors <= max(deg.values()) + 1
 
 
+class TestCodecReport:
+    def test_consistent_with_per_term_entries(self, ray_session):
+        from candidategeneration_ray.pipelines.docquery import (
+            q_codec_report, q_postings_bytes, q_postings_bytes_ef)
+
+        rep = {r["codec"]: r for r in q_codec_report(SF).to_pylist()}
+        assert set(rep) == {"varint", "bic", "bp", "ef", "rice"}
+        base = q_postings_bytes(SF).to_pandas()
+        assert rep["varint"]["n_terms"] == len(base)
+        assert rep["varint"]["n_postings"] == int(base["n"].sum())
+        assert rep["varint"]["docs_bytes"] == int(base["docs_bytes"].sum())
+        ef = q_postings_bytes_ef(SF).to_pandas()
+        assert rep["ef"]["docs_bytes"] == int(ef["docs_bytes_ef"].sum())
+        # all codecs size the same posting multiset
+        assert len({r["n_postings"] for r in rep.values()}) == 1
+        assert all(r["docs_bytes"] > 0 for r in rep.values())
+
+
 class TestListOverlapKmv:
     def test_exact_when_sketch_not_full(self, ray_session):
         """Lists shorter than KMV_K are sketched whole — the union
