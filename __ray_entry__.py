@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_top10": ex.q_ann_cosine_top10,
         "ann_ivf_top10": ex.q_ann_ivf_top10,
         "ann_sq8_top10": ex.q_ann_sq8_top10,    # scalar-quantized symmetric ANN
+        "ann_recall_report": ex.q_ann_recall_report,  # 6-method recall matrix
         "k_anonymity": ex.q_k_anonymity,        # privacy release audit
         "l_diversity": ex.q_l_diversity,        # attribute-disclosure audit
         "t_closeness": ex.q_t_closeness,        # distribution-leak audit (TVD)
@@ -670,6 +671,22 @@ SELECT CAST(nt AS BIGINT) AS n, CAST(na AS BIGINT) AS n_agree,
        CAST(nt * na - e AS BIGINT) AS kappa_num,
        CAST(nt * nt - e AS BIGINT) AS kappa_den
 FROM tot, pe""")
+    # ANN recall matrix: one row per deterministic method, composing
+    # all six ANN oracles against the exact-cosine anchor
+    d["ann_recall_report"] = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, CAST(count(e.vec_id) AS BIGINT) AS n_hits, "
+        f"CAST(coalesce(max(CASE WHEN a.rank = 1 AND e.rank = 1 "
+        f"THEN 1 END), 0) AS BIGINT) AS top1_match "
+        f"FROM ({d[key]}) a LEFT JOIN ({d['ann_cosine_top10']}) e "
+        f"ON e.vec_id = a.vec_id"
+        for m, key in [
+            ("cosine", "ann_cosine_top10"),
+            ("ivf", "ann_ivf_top10"),
+            ("ivfk", "ann_ivf_kmeans_top10"),
+            ("ivfpq", "ann_ivfpq_top10"),
+            ("pq", "ann_pq_top10"),
+            ("sq8", "ann_sq8_top10"),
+        ])
     # codec matrix fold: ONE row per codec summing the SAME analytic
     # size models the per-term entries verify — composition proof over
     # all five codec oracles

@@ -738,6 +738,48 @@ def ivf_probe_paths(ivf_dir: str, probe_codes) -> list[str]:
     return paths
 
 
+def q_ann_recall_report(sf_dir: str) -> pa.Table:
+    """The ANN family folded to ONE evaluation row per method — the
+    recall@10 scoreboard an index-selection decision reads (the ANN
+    analog of judgment_pool's four-ranker pooling): for each of the
+    six deterministic methods (brute-force cosine = the truth anchor,
+    SQ8, PQ-ADC, IVF-PQ, learned-codebook IVF, hyperplane-LSH IVF),
+    n_hits = |method top-10 ∩ exact top-10| and whether the top-1
+    agrees. Every input is itself value-verified; the oracle composes
+    all six oracles, so the driver hash-checks the whole evaluation
+    matrix (the recall numbers are exact integers, not samples —
+    every method here is deterministic).
+
+    Shape: six already-cached top-10 tables; the fold is O(k²) driver
+    arithmetic."""
+    from candidategeneration_ray.pipelines import clustering as cl
+
+    methods = [
+        ("cosine", q_ann_cosine_top10),
+        ("ivf", q_ann_ivf_top10),
+        ("ivfk", cl.q_ann_ivf_kmeans_top10),
+        ("ivfpq", cl.q_ann_ivfpq_top10),
+        ("pq", cl.q_ann_pq_top10),
+        ("sq8", q_ann_sq8_top10),
+    ]
+    exact = q_ann_cosine_top10(sf_dir).to_pandas()
+    exact_ids = set(exact["vec_id"].astype(int))
+    exact_top1 = int(exact.loc[exact["rank"] == 1, "vec_id"].iloc[0])
+    rows = {"method": [], "n_hits": [], "top1_match": []}
+    for name, fn in methods:
+        t = fn(sf_dir).to_pandas()
+        ids = set(t["vec_id"].astype(int))
+        top1 = int(t.loc[t["rank"] == 1, "vec_id"].iloc[0])
+        rows["method"].append(name)
+        rows["n_hits"].append(len(ids & exact_ids))
+        rows["top1_match"].append(1 if top1 == exact_top1 else 0)
+    return pa.table({
+        "method": pa.array(rows["method"], pa.string()),
+        "n_hits": pa.array(rows["n_hits"], pa.int64()),
+        "top1_match": pa.array(rows["top1_match"], pa.int64()),
+    })
+
+
 def q_ann_ivf_top10(sf_dir: str, n_planes: int = 3, probe: int = 3) -> pa.Table:
     """IVF ANN over the PERSISTED bucketed layout (build_ivf_index):
     the query's `probe` Hamming-nearest inverted lists are read by

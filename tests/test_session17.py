@@ -247,6 +247,25 @@ class TestGraphColoring:
         assert n_colors <= max(deg.values()) + 1
 
 
+class TestAnnRecallReport:
+    def test_anchor_and_consistency(self, ray_session):
+        from candidategeneration_ray.pipelines.extras import (
+            q_ann_cosine_top10, q_ann_recall_report, q_ann_sq8_top10)
+
+        rep = {r["method"]: r
+               for r in q_ann_recall_report(SF).to_pylist()}
+        assert set(rep) == {"cosine", "ivf", "ivfk", "ivfpq", "pq",
+                            "sq8"}
+        # the truth anchor scores itself perfectly
+        assert rep["cosine"] == {"method": "cosine", "n_hits": 10,
+                                 "top1_match": 1}
+        # every method's hits recompute from its own (verified) output
+        exact = set(q_ann_cosine_top10(SF).to_pandas()["vec_id"])
+        sq8 = set(q_ann_sq8_top10(SF).to_pandas()["vec_id"])
+        assert rep["sq8"]["n_hits"] == len(sq8 & exact)
+        assert all(0 <= r["n_hits"] <= 10 for r in rep.values())
+
+
 class TestCodecReport:
     def test_consistent_with_per_term_entries(self, ray_session):
         from candidategeneration_ray.pipelines.docquery import (
