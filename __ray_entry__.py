@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": ex.q_repetition_stats,
         "source_sample": ex.q_source_sample,
         "pps_sample": ex.q_pps_sample,      # systematic weighted (PPS) sample
+        "priority_sample": ex.q_priority_sample,  # Duffield top-k + HT weights
         "tokens_by_source": ex.q_tokens_by_source,
         "train_val_split": ex.q_train_val_split,
         "regex_counts": ex.q_regex_counts,  # PII-ish scrub-pattern scan

@@ -2960,6 +2960,63 @@ def q_redact_docs(sf_dir: str) -> ray.data.Dataset:
 PPS_SAMPLE_K = 50
 
 
+PRIO_SAMPLE_K = 25
+_TWO64 = 1 << 64
+
+
+def q_priority_sample(sf_dir: str, k: int = PRIO_SAMPLE_K) -> pa.Table:
+    """Priority sampling (Duffield, Lund & Thorup JACM'07 — the
+    weighted top-k dual of q_pps_sample's systematic design, and the
+    estimator-of-choice for weighted subset sums): each doc draws a
+    deterministic uniform u = h64(doc_id)/2⁶⁴ and a priority
+    q = w/u realized as the exact integer floor w·2⁶⁴ // max(h, 1);
+    the sample is the k highest-priority docs (ties → min doc_id) and
+    τ = the (k+1)-th priority, with the Horvitz-Thompson adjusted
+    weight est_w = max(w, τ) making Σ est_w unbiased for the total
+    weight. Everything is integer arithmetic over md5 hashes, so the
+    sample AND its estimator weights hash-verify.
+
+    Shape: per-batch partial top-(k+1) by priority → driver merge of
+    O(batches·k) rows (the ann partial-top-k pattern; the global top
+    k+1 are each inside their batch's top k+1). Output
+    (doc_id, weight, est_weight) for the k sampled docs, est clamped
+    at 2⁶² identically on both sides (τ is an unbounded bigint)."""
+    from candidategeneration_ray.functions import hashing as H
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        w = batch.column("n_chars").to_numpy().astype(np.int64)
+        h = H.h64_many([str(int(x)) for x in d]).astype(object)
+        pr = np.array([int(ww) * _TWO64 // max(int(hh), 1)
+                       for ww, hh in zip(w, h)], dtype=object)
+        order = np.lexsort((d, np.array([-p for p in pr], object)))
+        keep = order[:k + 1]
+        return pa.table({
+            "doc_id": pa.array(d[keep], pa.int64()),
+            "weight": pa.array(w[keep], pa.int64()),
+            # priorities exceed int64: carry as decimal strings in the
+            # partial rows, re-bigint on the driver
+            "pr": pa.array([str(pr[i]) for i in keep], pa.string()),
+        })
+
+    rows = (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "n_chars"])
+            .map_batches(_partial, batch_format="pyarrow")
+            .take_all())                    # O(batches * k)
+    rows.sort(key=lambda r: (-int(r["pr"]), r["doc_id"]))
+    top = rows[:k]
+    tau = int(rows[k]["pr"]) if len(rows) > k else 0
+    cap = 1 << 62     # τ is unbounded bigint; both sides clamp alike
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+        "weight": pa.array([r["weight"] for r in top], pa.int64()),
+        "est_weight": pa.array(
+            [min(max(int(r["weight"]), tau), cap) for r in top],
+            pa.int64()),
+    })
+
+
 def q_pps_sample(sf_dir: str, k: int = PPS_SAMPLE_K,
                  num_blocks: int | None = None) -> ray.data.Dataset:
     """Systematic probability-proportional-to-size sampling (the

@@ -8835,6 +8835,28 @@ FROM qp
 LEFT JOIN est e ON e.t1 = qp.t1 AND e.t2 = qp.t2
 JOIN ex ON ex.t1 = qp.t1 AND ex.t2 = qp.t2
 """
+    # priority sampling: exact integer priorities w*2^64 // h over the
+    # md5 uniforms, top-k + HT adjusted weights clamped at 2^62
+    from candidategeneration_ray.pipelines.extras import PRIO_SAMPLE_K
+
+    h_docp = _H64.format(expr="CAST(doc_id AS VARCHAR)")
+    priority_sample = f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_id, CAST(n_chars AS HUGEINT) AS w,
+         CAST(n_chars AS HUGEINT) * CAST(18446744073709551616 AS HUGEINT)
+           // greatest(CAST({h_docp} AS HUGEINT), 1) AS q
+  FROM documents),
+rk AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rn
+       FROM pr),
+tau AS (SELECT coalesce((SELECT q FROM rk WHERE rn = {PRIO_SAMPLE_K + 1}),
+                        0) AS t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(w AS BIGINT) AS weight,
+       CAST(least(greatest(w, (SELECT t FROM tau)),
+                  CAST(4611686018427387904 AS HUGEINT)) AS BIGINT)
+         AS est_weight
+FROM rk WHERE rn <= {PRIO_SAMPLE_K}
+"""
     return {"active_time": active_time,
             "graph_coloring": graph_coloring,
             "stemmed_df_top50": stemmed_df,
@@ -8844,4 +8866,5 @@ JOIN ex ON ex.t1 = qp.t1 AND ex.t2 = qp.t2
             "target_encoding": target_encoding,
             "selectivity_audit": selectivity,
             "stemmed_bm25_topk": stemmed_bm25,
-            "list_overlap_kmv": kmv_overlap}
+            "list_overlap_kmv": kmv_overlap,
+            "priority_sample": priority_sample}

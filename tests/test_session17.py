@@ -247,6 +247,42 @@ class TestGraphColoring:
         assert n_colors <= max(deg.values()) + 1
 
 
+class TestPrioritySample:
+    def test_matches_bruteforce(self, ray_session):
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.pipelines.extras import (
+            PRIO_SAMPLE_K, q_priority_sample)
+
+        d = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "n_chars"]).to_pandas()
+        pr = []
+        for doc, w in zip(d["doc_id"].astype(int),
+                          d["n_chars"].astype(int)):
+            h = max(int(H.h64_many([str(doc)])[0]), 1)
+            pr.append((w * (1 << 64) // h, doc, w))
+        pr.sort(key=lambda t: (-t[0], t[1]))
+        tau = pr[PRIO_SAMPLE_K][0]
+        exp = [{"doc_id": doc, "weight": w,
+                "est_weight": min(max(w, tau), 1 << 62)}
+               for _, doc, w in pr[:PRIO_SAMPLE_K]]
+        got = q_priority_sample(SF).to_pylist()
+        assert got == exp
+
+    def test_ht_estimator_tracks_total(self, ray_session):
+        """Σ est_weight is the unbiased HT estimate of total weight —
+        on this fixture it must land within a loose factor of truth
+        (a 25-of-500 weighted sample, deterministic draws)."""
+        from candidategeneration_ray.pipelines.extras import (
+            q_priority_sample)
+
+        d = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["n_chars"]).to_pandas()
+        total = int(d["n_chars"].sum())
+        est = sum(r["est_weight"]
+                  for r in q_priority_sample(SF).to_pylist())
+        assert total // 4 <= est <= total * 4
+
+
 class TestAnnRecallReport:
     def test_anchor_and_consistency(self, ray_session):
         from candidategeneration_ray.pipelines.extras import (
