@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_sample": ex.q_source_sample,
         "pps_sample": ex.q_pps_sample,      # systematic weighted (PPS) sample
         "priority_sample": ex.q_priority_sample,  # Duffield top-k + HT weights
+        "sample_subset_sums": ex.q_sample_subset_sums,  # HT subset estimation
         "tokens_by_source": ex.q_tokens_by_source,
         "train_val_split": ex.q_train_val_split,
         "regex_counts": ex.q_regex_counts,  # PII-ish scrub-pattern scan

@@ -3017,6 +3017,64 @@ def q_priority_sample(sf_dir: str, k: int = PRIO_SAMPLE_K) -> pa.Table:
     })
 
 
+def q_sample_subset_sums(sf_dir: str, k: int = PRIO_SAMPLE_K) -> pa.Table:
+    """Subset-sum estimation from the priority sample — the query the
+    Horvitz-Thompson weights exist for (Duffield et al.: ANY
+    post-hoc subset's weight is estimated by summing est_w over the
+    sample members in the subset, unbiased, no re-sampling): per
+    source, est_chars = Σ est_weight over its sampled docs beside the
+    TRUE Σ n_chars — so the driver hash-verifies both the estimator
+    surface and its ground truth (error is the sample's variance, a
+    per-fixture constant under deterministic draws).
+
+    Shape: the k-row sample (cached arithmetic) + one point read of
+    the sampled docs' sources + the standard per-source weight
+    aggregate. Output (source, n_sampled, est_chars, true_chars)."""
+    import pyarrow.parquet as pq_
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    sample = q_priority_sample(sf_dir, k)
+    sids = sample.column("doc_id").to_numpy().astype(np.int64)
+    est = sample.column("est_weight").to_numpy().astype(np.int64)
+    meta = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+        filters=[("doc_id", "in", sids.tolist())])    # K-row point read
+    src_of = dict(zip(meta.column("doc_id").to_numpy().astype(np.int64),
+                      meta.column("source").to_pylist()))
+    est_by: dict[str, list] = {}
+    for d, e in zip(sids, est):
+        est_by.setdefault(src_of[int(d)], []).append(int(e))
+
+    def _truth(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(), object)
+        w = batch.column("n_chars").to_numpy().astype(np.int64)
+        u, inv = np.unique(src, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, w)
+        return pa.table({"source": pa.array(u.tolist(), pa.string()),
+                         "true_chars": pa.array(s, pa.int64())})
+
+    truth = (ray.data.read_parquet(
+                 os.path.join(sf_dir, "documents.parquet"),
+                 columns=["source", "n_chars"])
+             .map_batches(_truth, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("true_chars", alias_name="true_chars"))
+             .take_all())                 # O(sources)
+    truth.sort(key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in truth], pa.string()),
+        "n_sampled": pa.array(
+            [len(est_by.get(r["source"], [])) for r in truth], pa.int64()),
+        "est_chars": pa.array(
+            [sum(est_by.get(r["source"], [])) for r in truth], pa.int64()),
+        "true_chars": pa.array(
+            [int(r["true_chars"]) for r in truth], pa.int64()),
+    })
+
+
 def q_pps_sample(sf_dir: str, k: int = PPS_SAMPLE_K,
                  num_blocks: int | None = None) -> ray.data.Dataset:
     """Systematic probability-proportional-to-size sampling (the

@@ -8857,6 +8857,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          AS est_weight
 FROM rk WHERE rn <= {PRIO_SAMPLE_K}
 """
+    # subset-sum estimation: the priority sample's HT weights summed
+    # per source beside the true per-source totals
+    sample_subset_sums = f"""
+WITH samp AS MATERIALIZED ({priority_sample}),
+j AS (SELECT d.source, s.est_weight
+      FROM samp s JOIN documents d USING (doc_id)),
+tru AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS true_chars
+        FROM documents GROUP BY 1)
+SELECT t.source,
+       CAST(coalesce(count(j.est_weight), 0) AS BIGINT) AS n_sampled,
+       CAST(coalesce(sum(j.est_weight), 0) AS BIGINT) AS est_chars,
+       t.true_chars
+FROM tru t LEFT JOIN j ON j.source = t.source
+GROUP BY t.source, t.true_chars
+"""
     return {"active_time": active_time,
             "graph_coloring": graph_coloring,
             "stemmed_df_top50": stemmed_df,
@@ -8867,4 +8882,5 @@ FROM rk WHERE rn <= {PRIO_SAMPLE_K}
             "selectivity_audit": selectivity,
             "stemmed_bm25_topk": stemmed_bm25,
             "list_overlap_kmv": kmv_overlap,
-            "priority_sample": priority_sample}
+            "priority_sample": priority_sample,
+            "sample_subset_sums": sample_subset_sums}

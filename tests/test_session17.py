@@ -268,6 +268,31 @@ class TestPrioritySample:
         got = q_priority_sample(SF).to_pylist()
         assert got == exp
 
+    def test_subset_sums_consistent(self, ray_session):
+        """Per-source estimates recompute from the (verified) sample
+        joined with sources; truth equals the direct per-source sum;
+        estimates total exactly the sample's est_weight total."""
+        import pandas as pd
+
+        from candidategeneration_ray.pipelines.extras import (
+            q_priority_sample, q_sample_subset_sums)
+
+        samp = q_priority_sample(SF).to_pandas()
+        meta = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "source", "n_chars"]
+                             ).to_pandas()
+        j = samp.merge(meta[["doc_id", "source"]], on="doc_id")
+        got = q_sample_subset_sums(SF).to_pandas()
+        truth = meta.groupby("source")["n_chars"].sum()
+        assert set(got["source"]) == set(truth.index)
+        for r in got.itertuples():
+            g = j[j["source"] == r.source]
+            assert r.n_sampled == len(g)
+            assert r.est_chars == int(g["est_weight"].sum())
+            assert r.true_chars == int(truth[r.source])
+        assert int(got["est_chars"].sum()) == int(
+            samp["est_weight"].sum())
+
     def test_ht_estimator_tracks_total(self, ray_session):
         """Σ est_weight is the unbiased HT estimate of total weight —
         on this fixture it must land within a loose factor of truth
