@@ -810,8 +810,13 @@ def _small_graph_harmonic(max_hops: int, seed_mod: int, lut: np.ndarray,
                             for t in edge_tabs])
         src = np.searchsorted(vec, np.concatenate((u, v)))
         dst = np.searchsorted(vec, np.concatenate((v, u)))
+        # chunk the scatter so the (chunk × pivots) gather temp stays
+        # bounded regardless of edge count (review finding)
+        chunk = max(1, 4_000_000 // max(piv.size, 1))
         for _ in range(max_hops):
-            np.minimum.at(d, dst, d[src] + 1)
+            for lo in range(0, src.size, chunk):
+                hi = lo + chunk
+                np.minimum.at(d, dst[lo:hi], d[src[lo:hi]] + 1)
     reach = (d >= 1) & (d <= max_hops)
     # a pivot can't count itself: its own column holds 0, never >= 1
     return pa.table({
@@ -856,8 +861,14 @@ def q_harmonic_centrality(sf_dir: str, max_hops: int = HC_MAX_HOPS,
         if d_ <= max_hops:
             lut0[d_] = p_
 
-    knn_edges = _knn_undirected_edges(sf_dir)
-    if knn_edges.count() <= small_graph_max_edges:
+    knn_edges = _knn_undirected_edges(sf_dir).materialize()
+    n_vecs = _embeddings_ds(sf_dir).count()
+    # the fast path's dense state is (nodes × pivots) — bound THAT,
+    # not just edges (review finding: an edge cap alone lets a 100k-
+    # node graph allocate a multi-GB matrix in one task)
+    pair_state = n_vecs * (n_vecs // seed_mod + 1)
+    if (knn_edges.count() <= small_graph_max_edges
+            and pair_state <= 50_000_000):
         # bounded fast path (the sssp/dup_clusters pattern): one task
         # over the edge blocks, identical per-round semantics — the
         # staged path below stays the >cap route (equality pytest)
@@ -895,7 +906,7 @@ def q_harmonic_centrality(sf_dir: str, max_hops: int = HC_MAX_HOPS,
             "give": pa.array(z, pa.int64()),
         })
 
-    static = (_knn_undirected_edges(sf_dir)
+    static = (knn_edges
               .map_batches(_static_rows, batch_format="pyarrow")
               .union(_embeddings_ds(sf_dir)
                      .select_columns(["vec_id"])
@@ -3792,6 +3803,10 @@ def _small_graph_coloring(max_rounds: int, *edge_tabs: pa.Table) -> pa.Table:
     from candidategeneration_ray.functions import hashing as H
 
     tabs = [t for t in edge_tabs if t.num_rows > 0]
+    if not tabs:      # empty edge set: empty coloring (staged parity)
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "color": pa.array([], pa.int64()),
+                         "color_round": pa.array([], pa.int64())})
     u = np.concatenate([t.column("u").to_numpy().astype(np.int64)
                         for t in tabs])
     v = np.concatenate([t.column("v").to_numpy().astype(np.int64)

@@ -72,6 +72,33 @@ def corpus_stats(sf_dir: str) -> dict:
     return _STATS_MEMO[key]
 
 
+def _finish_documents_build(out_dir: str, toks, stats: dict,
+                            src: str, cfg: EngineConfig) -> dict:
+    """Shared build tail for the documents-table index variants
+    (standard / dedup / stemmed — review finding: this block existed
+    three times): persist stats with the synthesized one-"conv"
+    lineage, emit postings over `toks`, bucketed list build, write
+    segments + manifest."""
+    from candidategeneration_ray.state import checkpoint as ckpt
+    from candidategeneration_ray.pipelines.build import _persist_stats
+
+    final = os.path.join(out_dir, "final")
+    offsets = {  # documents have no conversations; one-"conv" lineage
+        "conv_ids": np.array(["documents"], dtype=object),
+        "bases": np.array([0], dtype=np.int64),
+        "counts": np.array([stats["n_docs"]], dtype=np.int64),
+        "n_docs": stats["n_docs"],
+    }
+    _persist_stats(out_dir, stats, offsets, [src])
+    stats_ref = ray.put(stats)
+    postings = emit_postings(toks, stats_ref, cfg)
+    lists = build_posting_lists(postings, cfg)
+    os.makedirs(final, exist_ok=True)
+    lists.write_parquet(final)
+    ckpt.write_manifest(final, {"phase": "merge", "lineage": [src]})
+    return {"final_dir": final, "stats": stats}
+
+
 def build_documents_index(sf_dir: str, cfg: EngineConfig | None = None) -> dict:
     """Build (or reuse) the full static index over the documents table.
 
@@ -94,22 +121,8 @@ def build_documents_index(sf_dir: str, cfg: EngineConfig | None = None) -> dict:
         stats, _ = load_stats(out_dir)
         return {"final_dir": final, "stats": stats}
 
-    toks = doc_tokens(sf_dir)
-    stats = corpus_stats(sf_dir)
-    offsets = {  # documents have no conversations; synthesize 1 "conv" lineage
-        "conv_ids": np.array(["documents"], dtype=object),
-        "bases": np.array([0], dtype=np.int64),
-        "counts": np.array([stats["n_docs"]], dtype=np.int64),
-        "n_docs": stats["n_docs"],
-    }
-    _persist_stats(out_dir, stats, offsets, [src])
-    stats_ref = ray.put(stats)
-    postings = emit_postings(toks, stats_ref, cfg)
-    lists = build_posting_lists(postings, cfg)
-    os.makedirs(final, exist_ok=True)
-    lists.write_parquet(final)
-    ckpt.write_manifest(final, {"phase": "merge", "lineage": [src]})
-    return {"final_dir": final, "stats": stats}
+    return _finish_documents_build(
+        out_dir, doc_tokens(sf_dir), corpus_stats(sf_dir), src, cfg)
 
 
 # ---------------------------------------------------------------- queries
@@ -2407,21 +2420,8 @@ def build_documents_index_stemmed(sf_dir: str,
 
     toks = doc_tokens(sf_dir).map_batches(
         _stem_tokens_batch, batch_format="pyarrow")
-    stats = compute_stats(toks)
-    offsets = {
-        "conv_ids": np.array(["documents"], dtype=object),
-        "bases": np.array([0], dtype=np.int64),
-        "counts": np.array([stats["n_docs"]], dtype=np.int64),
-        "n_docs": stats["n_docs"],
-    }
-    _persist_stats(out_dir, stats, offsets, [src])
-    stats_ref = ray.put(stats)
-    postings = emit_postings(toks, stats_ref, cfg)
-    lists = build_posting_lists(postings, cfg)
-    os.makedirs(final, exist_ok=True)
-    lists.write_parquet(final)
-    ckpt.write_manifest(final, {"phase": "merge", "lineage": [src]})
-    return {"final_dir": final, "stats": stats}
+    return _finish_documents_build(
+        out_dir, toks, compute_stats(toks), src, cfg)
 
 
 def q_stemmed_bm25_topk(sf_dir: str) -> pa.Table:
@@ -2536,21 +2536,8 @@ def build_documents_index_dedup(sf_dir: str,
     toks = doc_tokens(sf_dir).map_batches(
         lambda b, r=dref: drop_doc_filter(b, ray.get(r)),
         batch_format="pyarrow")
-    stats = compute_stats(toks)
-    offsets = {
-        "conv_ids": np.array(["documents"], dtype=object),
-        "bases": np.array([0], dtype=np.int64),
-        "counts": np.array([stats["n_docs"]], dtype=np.int64),
-        "n_docs": stats["n_docs"],
-    }
-    _persist_stats(out_dir, stats, offsets, [src])
-    stats_ref = ray.put(stats)
-    postings = emit_postings(toks, stats_ref, cfg)
-    lists = build_posting_lists(postings, cfg)
-    os.makedirs(final, exist_ok=True)
-    lists.write_parquet(final)
-    ckpt.write_manifest(final, {"phase": "merge", "lineage": [src]})
-    return {"final_dir": final, "stats": stats}
+    return _finish_documents_build(
+        out_dir, toks, compute_stats(toks), src, cfg)
 
 
 def q_dedup_bm25_topk(sf_dir: str) -> pa.Table:

@@ -754,20 +754,22 @@ def q_ann_recall_report(sf_dir: str) -> pa.Table:
     arithmetic."""
     from candidategeneration_ray.pipelines import clustering as cl
 
+    exact = q_ann_cosine_top10(sf_dir).to_pandas()
+    exact_ids = set(exact["vec_id"].astype(int))
+    exact_top1 = int(exact.loc[exact["rank"] == 1, "vec_id"].iloc[0])
     methods = [
-        ("cosine", q_ann_cosine_top10),
+        ("cosine", lambda _: exact),      # reuse the anchor scan
         ("ivf", q_ann_ivf_top10),
         ("ivfk", cl.q_ann_ivf_kmeans_top10),
         ("ivfpq", cl.q_ann_ivfpq_top10),
         ("pq", cl.q_ann_pq_top10),
         ("sq8", q_ann_sq8_top10),
     ]
-    exact = q_ann_cosine_top10(sf_dir).to_pandas()
-    exact_ids = set(exact["vec_id"].astype(int))
-    exact_top1 = int(exact.loc[exact["rank"] == 1, "vec_id"].iloc[0])
     rows = {"method": [], "n_hits": [], "top1_match": []}
     for name, fn in methods:
-        t = fn(sf_dir).to_pandas()
+        t = fn(sf_dir)
+        if hasattr(t, "to_pandas"):
+            t = t.to_pandas()
         ids = set(t["vec_id"].astype(int))
         top1 = int(t.loc[t["rank"] == 1, "vec_id"].iloc[0])
         rows["method"].append(name)
