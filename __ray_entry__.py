@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_suppliers": rl.q_dominant_suppliers,  # Q20 share rule
         "benford_digits": rl.q_benford_digits,      # first-digit fraud audit
         "ranking_agreement": dq.q_ranking_agreement,  # doc vs MaxP prefix overlap
+        "ranking_rbo": dq.q_ranking_rbo,        # exact rank-biased overlap
         "query_difficulty": dq.q_query_difficulty,  # QPP feature table
         "selectivity_audit": dq.q_selectivity_audit,  # independence-assumption audit
         "list_overlap_kmv": dq.q_list_overlap_kmv,  # sketch cardinality estimates
@@ -673,6 +674,19 @@ SELECT CAST(nt AS BIGINT) AS n, CAST(na AS BIGINT) AS n_agree,
        CAST(nt * na - e AS BIGINT) AS kappa_num,
        CAST(nt * nt - e AS BIGINT) AS kappa_den
 FROM tot, pe""")
+    # rank-biased overlap: the exact integer weight table applied over
+    # the SAME ranking_agreement oracle (composition proof)
+    from candidategeneration_ray.pipelines.docquery import rbo_weights
+
+    _rbo_w, _rbo_den = rbo_weights()
+    _rbo_vals = ", ".join(f"({d}, {w})" for d, w in sorted(_rbo_w.items()))
+    d["ranking_rbo"] = (
+        "WITH ag AS (\n" + d["ranking_agreement"] + "\n),\n"
+        f"wt(depth, w) AS (VALUES {_rbo_vals})\n"
+        "SELECT ag.query_id, CAST(sum(ag.n_common * wt.w) AS BIGINT)"
+        " AS rbo_num,\n"
+        f"       CAST({_rbo_den} AS BIGINT) AS rbo_den\n"
+        "FROM ag JOIN wt USING (depth) GROUP BY ag.query_id")
     # ANN recall matrix: one row per deterministic method, composing
     # all six ANN oracles against the exact-cosine anchor
     d["ann_recall_report"] = " UNION ALL ".join(

@@ -3107,6 +3107,58 @@ def q_ranking_agreement(sf_dir: str, depth: int = 10) -> pa.Table:
     })
 
 
+RBO_DEPTH = 10
+RBO_P = (9, 10)      # persistence p = 9/10 as an exact rational
+
+
+def rbo_weights(depth: int = RBO_DEPTH,
+                p: tuple[int, int] = RBO_P) -> tuple[dict[int, int], int]:
+    """Exact integer RBO weights: the truncated RBO_min@depth is
+    (1−p)·Σ_d p^(d−1)·A_d/d; with p = 9/10 and lcm(1..10) = 2520
+    every term scales to the integer
+        w_d = (2520 // d) · 9^(d−1) · 10^(depth−d)
+    and perfect agreement (A_d = d) gives the constant denominator
+    Σ_d 2520 · 9^(d−1) · 10^(depth−d) (d | 2520 for d ≤ 10, so
+    (2520 // d)·d == 2520 exactly). Returns ({d: w_d}, den)."""
+    pn, pd_ = p
+    lcm = 2520
+    assert depth <= 10 and all(lcm % d == 0 for d in range(1, depth + 1))
+    w = {d: (lcm // d) * pn ** (d - 1) * pd_ ** (depth - d)
+         for d in range(1, depth + 1)}
+    den = sum(lcm * pn ** (d - 1) * pd_ ** (depth - d)
+              for d in range(1, depth + 1))
+    return w, den
+
+
+def q_ranking_rbo(sf_dir: str, depth: int = RBO_DEPTH) -> pa.Table:
+    """Rank-biased overlap (Webber, Moffat & Zobel TOIS'10) between
+    the doc-level BM25 and MaxP passage rankings — the principled
+    top-weighted finalizer over q_ranking_agreement's prefix
+    intersections (whose docstring left "the geometric weights to the
+    analyst"; this entry is that analyst, kept exact): per query,
+    rbo = rbo_num / rbo_den with the integer weight table from
+    rbo_weights (p = 9/10, truncated RBO_min — no extrapolation, so
+    the bound is conservative). 1 = identical top-10s with identical
+    prefixes; 0 = disjoint.
+
+    Shape: the O(queries × depth²) agreement kernel + an O(depth)
+    weighted fold. Output (query_id, rbo_num, rbo_den)."""
+    w, den = rbo_weights(depth)
+    ag = q_ranking_agreement(sf_dir, depth=depth)
+    qid = ag.column("query_id").to_numpy().astype(np.int64)
+    dep = ag.column("depth").to_numpy().astype(np.int64)
+    nc = ag.column("n_common").to_numpy().astype(np.int64)
+    acc: dict[int, int] = {}
+    for q, d, n in zip(qid, dep, nc):
+        acc[int(q)] = acc.get(int(q), 0) + int(n) * w[int(d)]
+    qs = sorted(acc)
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "rbo_num": pa.array([acc[q] for q in qs], pa.int64()),
+        "rbo_den": pa.array([den] * len(qs), pa.int64()),
+    })
+
+
 def q_resharded_bm25_topk(sf_dir: str, new_buckets: int = 7) -> pa.Table:
     """BM25 top-10 served from an ELASTICALLY RESHARDED index layout
     (pipelines.update.reshard_index): the final segments rewritten

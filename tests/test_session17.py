@@ -247,6 +247,43 @@ class TestGraphColoring:
         assert n_colors <= max(deg.values()) + 1
 
 
+class TestRankingRbo:
+    def test_matches_definition(self, ray_session):
+        """RBO recomputed from the (verified) two rankings by the
+        textbook truncated formula in exact fractions."""
+        from fractions import Fraction
+
+        from candidategeneration_ray.pipelines.docquery import (
+            q_bm25_topk, q_passage_bm25_topk, q_ranking_rbo)
+
+        def by_q(t):
+            out = {}
+            for r in sorted(t.to_pylist(), key=lambda r: r["rank"]):
+                out.setdefault(r["query_id"], []).append(r["doc_id"])
+            return out
+
+        a, b = by_q(q_bm25_topk(SF)), by_q(q_passage_bm25_topk(SF))
+        p = Fraction(9, 10)
+        got = q_ranking_rbo(SF).to_pylist()
+        for r in got:
+            la = a.get(r["query_id"], [])
+            lb = b.get(r["query_id"], [])
+            rbo = sum(p ** (d - 1)
+                      * Fraction(len(set(la[:d]) & set(lb[:d])), d)
+                      for d in range(1, 11))
+            norm = sum(p ** (d - 1) for d in range(1, 11))
+            assert Fraction(r["rbo_num"], r["rbo_den"]) == rbo / norm
+            assert 0 <= r["rbo_num"] <= r["rbo_den"]
+
+    def test_self_rbo_is_one(self):
+        from candidategeneration_ray.pipelines.docquery import (
+            rbo_weights)
+
+        w, den = rbo_weights()
+        # perfect agreement: A_d = d at every depth
+        assert sum(d * w[d] for d in w) == den
+
+
 class TestPrioritySample:
     def test_matches_bruteforce(self, ray_session):
         from candidategeneration_ray.functions import hashing as H
