@@ -997,6 +997,96 @@ def q_harmonic_centrality(sf_dir: str, max_hops: int = HC_MAX_HOPS,
     return cur.groupby("bkt").map_groups(_final, batch_format="pyarrow")
 
 
+# --------------------------------------- pivot-sourced stress centrality
+
+STRESS_SEED_MOD = 17    # pivots share the harmonic sampling design
+STRESS_MAX_HOPS = 4
+
+
+def q_stress_centrality(sf_dir: str, max_hops: int = STRESS_MAX_HOPS,
+                        seed_mod: int = STRESS_SEED_MOD
+                        ) -> ray.data.Dataset:
+    """Pivot-sourced STRESS centrality (Shimbel 1953; the
+    integer-exact member of the betweenness family — betweenness
+    itself divides by σ_st and leaves rationals, stress counts raw
+    shortest PATHS through each node, so the whole computation is
+    integer and hash-verifies): for each pivot source s and every
+    interior node v ≠ s,
+
+        stress(v) += σ_sv · h_s(v)
+
+    where σ_sv = #shortest s→v paths (forward layer recurrence) and
+    h_s(v) = Σ over shortest-path-DAG successors w of (1 + h_s(w))
+    (backward layer recurrence — each term extends a shortest path
+    ending at v to one ending at some t beyond v), both hop-capped.
+    This is exactly Brandes' two-pass structure with the dependency
+    kept as a path COUNT instead of a fraction.
+
+    Shape: pivot-parallel (THE standard Brandes parallelization) —
+    the edge arrays broadcast once via ray.put, a pivots dataset maps
+    per-batch tasks that run the vectorized per-layer passes (every
+    inner op is O(edges) numpy; the per-pivot loop is the declared
+    sampling budget), emitting (node, contrib) partials; ONE
+    groupby(node) sum, zero-filled from the node rows. The
+    edge-set-per-task assumption is the documented kNN-subgraph
+    class. Output (vec_id, stress)."""
+    from ray.data.aggregate import Sum
+
+    ew = _knn_undirected_edges(sf_dir).to_pandas()
+    u = ew["u"].to_numpy(np.int64)
+    v = ew["v"].to_numpy(np.int64)
+    eref = ray.put((np.concatenate((u, v)), np.concatenate((v, u))))
+
+    def _pivot_contribs(batch: pa.Table) -> pa.Table:
+        src_all, dst_all = ray.get(eref)
+        nodes = np.unique(np.concatenate((src_all, dst_all)))
+        es = np.searchsorted(nodes, src_all)
+        ed = np.searchsorted(nodes, dst_all)
+        piv = batch.column("vec_id").to_numpy().astype(np.int64)
+        piv = piv[piv % seed_mod == 0]
+        out = np.zeros(nodes.size, np.int64)
+        inf = np.int64(1) << np.int64(40)
+        for s in piv:
+            si = np.searchsorted(nodes, s)
+            if si >= nodes.size or nodes[si] != s:
+                continue          # isolated pivot: no edges, no paths
+            d = np.full(nodes.size, inf, np.int64)
+            sig = np.zeros(nodes.size, np.int64)
+            d[si] = 0
+            sig[si] = 1
+            for layer in range(1, max_hops + 1):
+                m = (d[es] == layer - 1) & (d[ed] >= layer)
+                if not m.any():
+                    break
+                d[ed[m]] = layer
+                np.add.at(sig, ed[m], sig[es[m]])
+            h = np.zeros(nodes.size, np.int64)
+            for layer in range(max_hops - 1, -1, -1):
+                m = (d[es] == layer) & (d[ed] == layer + 1)
+                if m.any():
+                    np.add.at(h, es[m], 1 + h[ed[m]])
+            contrib = sig * h
+            contrib[si] = 0       # v == s is not an interior node
+            out += contrib
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "stress": pa.array(out, pa.int64())})
+
+    def _zero_rows(batch: pa.Table) -> pa.Table:
+        vec = batch.column("vec_id").to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(vec, pa.int64()),
+                         "stress": pa.array(
+                             np.zeros(vec.size, np.int64), pa.int64())})
+
+    pivots = _embeddings_ds(sf_dir).select_columns(["vec_id"])
+    agg = (pivots.map_batches(_pivot_contribs, batch_format="pyarrow")
+           .union(pivots.map_batches(_zero_rows, batch_format="pyarrow"))
+           .groupby("node").aggregate(Sum("stress", alias_name="stress")))
+    return agg.map_batches(
+        lambda t: pa.table({"vec_id": t.column("node").cast(pa.int64()),
+                            "stress": t.column("stress").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 # -------------------------------- hop-bounded weighted shortest paths
 
 WSP_ROUNDS = 4        # exact over paths of <= this many edges

@@ -8646,18 +8646,25 @@ SELECT query_id, rank, doc_id, score FROM (
     from candidategeneration_ray.pipelines.clustering import (
         HC_MAX_HOPS, HC_PPM, HC_SEED_MOD)
 
-    hc_ctes = [f"reach0 AS MATERIALIZED (SELECT vec_id AS node, "
-               f"vec_id AS src, 0 AS d FROM embeddings "
-               f"WHERE vec_id % {HC_SEED_MOD} = 0)"]
-    for r in range(HC_MAX_HOPS):
-        hc_ctes.append(f"""nx{r} AS (
+    def labeled_bfs_ctes(hops: int, mod: int) -> list[str]:
+        """The labeled multi-source BFS chain shared by the harmonic
+        and stress oracles: reach{hops} = min distance per
+        (node, pivot), hop-capped."""
+        ctes = [f"reach0 AS MATERIALIZED (SELECT vec_id AS node, "
+                f"vec_id AS src, 0 AS d FROM embeddings "
+                f"WHERE vec_id % {mod} = 0)"]
+        for r in range(hops):
+            ctes.append(f"""nx{r} AS (
   SELECT s.y AS node, t.src, t.d + 1 AS d
   FROM reach{r} t JOIN sadj s ON s.x = t.node
-  WHERE t.d < {HC_MAX_HOPS}),
+  WHERE t.d < {hops}),
 reach{r + 1} AS MATERIALIZED (
   SELECT node, src, min(d) AS d
   FROM (SELECT * FROM reach{r} UNION ALL SELECT * FROM nx{r})
   GROUP BY 1, 2)""")
+        return ctes
+
+    hc_ctes = labeled_bfs_ctes(HC_MAX_HOPS, HC_SEED_MOD)
     hc_lut = ", ".join(f"({d}, {p})" for d, p in sorted(HC_PPM.items()))
     harmonic = f"""
 WITH {_knn_edge_ctes()},
@@ -8872,6 +8879,56 @@ SELECT t.source,
 FROM tru t LEFT JOIN j ON j.source = t.source
 GROUP BY t.source, t.true_chars
 """
+    # stress centrality: Brandes' two passes with integer path counts
+    # — sigma by forward layers, h by backward layers, both over the
+    # SAME labeled-BFS distance table
+    from candidategeneration_ray.pipelines.clustering import (
+        STRESS_MAX_HOPS, STRESS_SEED_MOD)
+
+    H = STRESS_MAX_HOPS
+    st_ctes = labeled_bfs_ctes(H, STRESS_SEED_MOD)
+    st_ctes.append(
+        f"sig0 AS (SELECT node, src, CAST(1 AS HUGEINT) AS sig "
+        f"FROM reach{H} WHERE d = 0)")
+    for l in range(1, H + 1):
+        st_ctes.append(f"""sig{l} AS MATERIALIZED (
+  SELECT db.node, db.src, CAST(sum(t.sig) AS HUGEINT) AS sig
+  FROM sig{l - 1} t
+  JOIN sadj s ON s.x = t.node
+  JOIN reach{H} db ON db.node = s.y AND db.src = t.src AND db.d = {l}
+  GROUP BY 1, 2)""")
+    st_ctes.append(
+        f"h{H} AS (SELECT node, src, CAST(0 AS HUGEINT) AS h "
+        f"FROM reach{H} WHERE 1 = 0)")
+    for l in range(H - 1, -1, -1):
+        st_ctes.append(f"""h{l} AS MATERIALIZED (
+  SELECT dv.node, dv.src, CAST(sum(1 + coalesce(hw.h, 0)) AS HUGEINT) AS h
+  FROM reach{H} dv
+  JOIN sadj s ON s.x = dv.node
+  JOIN reach{H} dw ON dw.node = s.y AND dw.src = dv.src
+                  AND dw.d = {l + 1}
+  LEFT JOIN h{l + 1} hw ON hw.node = s.y AND hw.src = dv.src
+  WHERE dv.d = {l}
+  GROUP BY 1, 2)""")
+    sig_union = " UNION ALL ".join(
+        f"SELECT * FROM sig{l}" for l in range(H + 1))
+    h_union = " UNION ALL ".join(
+        f"SELECT * FROM h{l}" for l in range(H + 1))
+    stress = f"""
+WITH {_knn_edge_ctes()},
+{",".join(st_ctes)},
+sigall AS ({sig_union}),
+hall AS ({h_union}),
+agg AS (
+  SELECT g.node, sum(g.sig * coalesce(hh.h, 0)) AS s
+  FROM sigall g
+  LEFT JOIN hall hh ON hh.node = g.node AND hh.src = g.src
+  WHERE g.node <> g.src
+  GROUP BY 1)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(a.s, 0) AS BIGINT) AS stress
+FROM embeddings e LEFT JOIN agg a ON a.node = e.vec_id
+"""
     return {"active_time": active_time,
             "graph_coloring": graph_coloring,
             "stemmed_df_top50": stemmed_df,
@@ -8883,4 +8940,5 @@ GROUP BY t.source, t.true_chars
             "stemmed_bm25_topk": stemmed_bm25,
             "list_overlap_kmv": kmv_overlap,
             "priority_sample": priority_sample,
-            "sample_subset_sums": sample_subset_sums}
+            "sample_subset_sums": sample_subset_sums,
+            "stress_centrality": stress}

@@ -603,6 +603,54 @@ class TestHarmonicCentrality:
         assert pivots and sum(h.values()) > 0
 
 
+class TestStressCentrality:
+    def test_matches_bruteforce(self, ray_session):
+        """Stress recomputed by literal path enumeration: for every
+        pivot, enumerate ALL shortest paths (hop-capped) by BFS-DAG
+        DFS and count interior visits."""
+        from candidategeneration_ray.pipelines.clustering import (
+            STRESS_MAX_HOPS, STRESS_SEED_MOD, _knn_weighted_edges,
+            q_stress_centrality)
+
+        ew = _knn_weighted_edges(SF).to_pandas()
+        adj: dict[int, list] = {}
+        for u, v in zip(ew["u"].astype(int), ew["v"].astype(int)):
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        stress: dict[int, int] = {}
+        pivots = [n for n in adj if n % STRESS_SEED_MOD == 0]
+        from collections import deque
+        for s in pivots:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                x = q.popleft()
+                if dist[x] == STRESS_MAX_HOPS:
+                    continue
+                for y in adj[x]:
+                    if y not in dist:
+                        dist[y] = dist[x] + 1
+                        q.append(y)
+
+            # enumerate every shortest path from s by DAG DFS
+            def walk(path):
+                v = path[-1]
+                for w in adj[v]:
+                    if dist.get(w, 99) == dist[v] + 1:
+                        for interior in path[1:]:
+                            stress[interior] = stress.get(interior, 0) + 1
+                        walk(path + [w])
+
+            walk([s])
+        got = {r["vec_id"]: r["stress"]
+               for r in q_stress_centrality(SF).to_pandas().to_dict(
+                   "records")}
+        assert len(got) == 500
+        for v, val in got.items():
+            assert val == stress.get(v, 0), v
+        assert sum(stress.values()) > 0
+
+
 class TestDedupIndex:
     def test_drop_set_matches_keep_best_rule(self, ray_session):
         """Drop set replayed in pandas: per multi-doc LSH cluster keep
