@@ -343,6 +343,9 @@ def run_bench() -> dict:
         ("active_time", ev.q_active_time),              # interval union
         ("stemmed_df_top50", dq.q_stemmed_df_top50),    # S-stemmer df
         ("mcnemar_test", _tl().q_mcnemar_test),         # paired classifier test
+        ("stress_centrality",
+         lambda sf: cb.q_stress_centrality(sf).materialize()),  # Brandes family
+        ("ranking_rbo", dq.q_ranking_rbo),              # rank-biased overlap
     ]:
         if fn is None:
             per_query[name] = round(build_sec, 3)
