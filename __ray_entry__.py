@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": cl.q_bfs_hops,                  # multi-source BFS hop distance
         "harmonic_centrality": cl.q_harmonic_centrality,  # pivot closeness
         "stress_centrality": cl.q_stress_centrality,  # integer Brandes family
+        "bridge_edges": cl.q_bridge_edges,          # Girvan-Newman edge stress
         "shortest_paths": cl.q_shortest_paths,      # hop-bounded Bellman-Ford
         "triangle_counts": cl.q_triangle_counts,        # graph-motif wedge-check
         "common_neighbors": cl.q_common_neighbors,      # link prediction (wedge anti)

@@ -1003,6 +1003,35 @@ STRESS_SEED_MOD = 17    # pivots share the harmonic sampling design
 STRESS_MAX_HOPS = 4
 
 
+def _brandes_passes(nodes: np.ndarray, es: np.ndarray, ed: np.ndarray,
+                    s: int, max_hops: int):
+    """Brandes' two passes from one source over index-mapped edge
+    arrays, hop-capped, all integers: returns (source index, layered
+    distances d, path counts sig, continuation counts h) or None if
+    the source is not in the edge-induced node set. Shared by node
+    stress and edge stress (bridge detection)."""
+    si = int(np.searchsorted(nodes, s))
+    if si >= nodes.size or nodes[si] != s:
+        return None
+    inf = np.int64(1) << np.int64(40)
+    d = np.full(nodes.size, inf, np.int64)
+    sig = np.zeros(nodes.size, np.int64)
+    d[si] = 0
+    sig[si] = 1
+    for layer in range(1, max_hops + 1):
+        m = (d[es] == layer - 1) & (d[ed] >= layer)
+        if not m.any():
+            break
+        d[ed[m]] = layer
+        np.add.at(sig, ed[m], sig[es[m]])
+    h = np.zeros(nodes.size, np.int64)
+    for layer in range(max_hops - 1, -1, -1):
+        m = (d[es] == layer) & (d[ed] == layer + 1)
+        if m.any():
+            np.add.at(h, es[m], 1 + h[ed[m]])
+    return si, d, sig, h
+
+
 def q_stress_centrality(sf_dir: str, max_hops: int = STRESS_MAX_HOPS,
                         seed_mod: int = STRESS_SEED_MOD
                         ) -> ray.data.Dataset:
@@ -1045,26 +1074,11 @@ def q_stress_centrality(sf_dir: str, max_hops: int = STRESS_MAX_HOPS,
         piv = batch.column("vec_id").to_numpy().astype(np.int64)
         piv = piv[piv % seed_mod == 0]
         out = np.zeros(nodes.size, np.int64)
-        inf = np.int64(1) << np.int64(40)
         for s in piv:
-            si = np.searchsorted(nodes, s)
-            if si >= nodes.size or nodes[si] != s:
+            got = _brandes_passes(nodes, es, ed, s, max_hops)
+            if got is None:
                 continue          # isolated pivot: no edges, no paths
-            d = np.full(nodes.size, inf, np.int64)
-            sig = np.zeros(nodes.size, np.int64)
-            d[si] = 0
-            sig[si] = 1
-            for layer in range(1, max_hops + 1):
-                m = (d[es] == layer - 1) & (d[ed] >= layer)
-                if not m.any():
-                    break
-                d[ed[m]] = layer
-                np.add.at(sig, ed[m], sig[es[m]])
-            h = np.zeros(nodes.size, np.int64)
-            for layer in range(max_hops - 1, -1, -1):
-                m = (d[es] == layer) & (d[ed] == layer + 1)
-                if m.any():
-                    np.add.at(h, es[m], 1 + h[ed[m]])
+            si, d, sig, h = got
             contrib = sig * h
             contrib[si] = 0       # v == s is not an interior node
             out += contrib
@@ -1085,6 +1099,66 @@ def q_stress_centrality(sf_dir: str, max_hops: int = STRESS_MAX_HOPS,
         lambda t: pa.table({"vec_id": t.column("node").cast(pa.int64()),
                             "stress": t.column("stress").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+BRIDGE_TOPK = 20
+
+
+def q_bridge_edges(sf_dir: str, max_hops: int = STRESS_MAX_HOPS,
+                   seed_mod: int = STRESS_SEED_MOD,
+                   topk: int = BRIDGE_TOPK) -> pa.Table:
+    """EDGE stress — the Girvan-Newman kernel (PNAS'02: communities
+    emerge by repeatedly cutting the highest-betweenness edge; one
+    exact integer round of its edge metric): for each DAG edge u→v
+    under pivot source s, uses(u,v) += σ_su · (1 + h_s(v)) — the
+    number of hop-capped shortest s→t paths crossing that edge. Top-k
+    undirected edges by total uses are the corpus's BRIDGES: the
+    between-cluster links whose removal fragments the similarity
+    graph (dedup/near-dup review prioritizes exactly these). Same
+    pivot-parallel shape and _brandes_passes kernel as
+    q_stress_centrality; output (u, v, uses) for the top-k
+    (uses desc, u, v)."""
+    from ray.data.aggregate import Sum
+
+    ew = _knn_undirected_edges(sf_dir).to_pandas()
+    eu = ew["u"].to_numpy(np.int64)
+    evv = ew["v"].to_numpy(np.int64)
+    eref = ray.put((np.concatenate((eu, evv)), np.concatenate((evv, eu))))
+
+    def _pivot_edge_uses(batch: pa.Table) -> pa.Table:
+        src_all, dst_all = ray.get(eref)
+        nodes = np.unique(np.concatenate((src_all, dst_all)))
+        es = np.searchsorted(nodes, src_all)
+        ed = np.searchsorted(nodes, dst_all)
+        piv = batch.column("vec_id").to_numpy().astype(np.int64)
+        piv = piv[piv % seed_mod == 0]
+        uses = np.zeros(es.size, np.int64)   # per ORIENTED edge slot
+        for s in piv:
+            got = _brandes_passes(nodes, es, ed, s, max_hops)
+            if got is None:
+                continue
+            _, d, sig, h = got
+            m = d[ed] == d[es] + 1           # DAG edges under s
+            uses[m] += sig[es[m]] * (1 + h[ed[m]])
+        a = np.minimum(nodes[es], nodes[ed])
+        b = np.maximum(nodes[es], nodes[ed])
+        keep = uses > 0
+        return pa.table({"u": pa.array(a[keep], pa.int64()),
+                         "v": pa.array(b[keep], pa.int64()),
+                         "uses": pa.array(uses[keep], pa.int64())})
+
+    agg = (_embeddings_ds(sf_dir).select_columns(["vec_id"])
+           .map_batches(_pivot_edge_uses, batch_format="pyarrow")
+           .groupby(["u", "v"]).aggregate(Sum("uses", alias_name="uses"))
+           .to_pandas())                     # O(edges)
+    agg = agg.sort_values(["uses", "u", "v"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(topk)
+    return pa.table({
+        "u": pa.array(agg["u"].to_numpy(np.int64), pa.int64()),
+        "v": pa.array(agg["v"].to_numpy(np.int64), pa.int64()),
+        "uses": pa.array(agg["uses"].to_numpy(np.int64), pa.int64()),
+    })
 
 
 # -------------------------------- hop-bounded weighted shortest paths

@@ -8929,6 +8929,31 @@ SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
        CAST(coalesce(a.s, 0) AS BIGINT) AS stress
 FROM embeddings e LEFT JOIN agg a ON a.node = e.vec_id
 """
+    # edge stress (Girvan-Newman bridges): the SAME sig/h chains,
+    # folded per DAG edge instead of per node
+    from candidategeneration_ray.pipelines.clustering import BRIDGE_TOPK
+
+    bridges = f"""
+WITH {_knn_edge_ctes()},
+{",".join(st_ctes)},
+sigall AS ({sig_union}),
+hall AS ({h_union}),
+eb AS (
+  SELECT least(s.x, s.y) AS u_, greatest(s.x, s.y) AS v_,
+         sum(g.sig * (1 + coalesce(hh.h, 0))) AS uses
+  FROM sadj s
+  JOIN reach{H} du ON du.node = s.x
+  JOIN reach{H} dv ON dv.node = s.y AND dv.src = du.src
+                  AND dv.d = du.d + 1
+  JOIN sigall g ON g.node = s.x AND g.src = du.src
+  LEFT JOIN hall hh ON hh.node = s.y AND hh.src = du.src
+  GROUP BY 1, 2)
+SELECT CAST(u_ AS BIGINT) AS u, CAST(v_ AS BIGINT) AS v,
+       CAST(uses AS BIGINT) AS uses
+FROM eb
+ORDER BY uses DESC, u_, v_
+LIMIT {BRIDGE_TOPK}
+"""
     return {"active_time": active_time,
             "graph_coloring": graph_coloring,
             "stemmed_df_top50": stemmed_df,
@@ -8941,4 +8966,5 @@ FROM embeddings e LEFT JOIN agg a ON a.node = e.vec_id
             "list_overlap_kmv": kmv_overlap,
             "priority_sample": priority_sample,
             "sample_subset_sums": sample_subset_sums,
-            "stress_centrality": stress}
+            "stress_centrality": stress,
+            "bridge_edges": bridges}

@@ -651,6 +651,51 @@ class TestStressCentrality:
         assert sum(stress.values()) > 0
 
 
+class TestBridgeEdges:
+    def test_matches_path_enumeration(self, ray_session):
+        """Edge uses recomputed by literal shortest-path enumeration:
+        every enumerated path increments each of its edges."""
+        from collections import deque
+
+        from candidategeneration_ray.pipelines.clustering import (
+            BRIDGE_TOPK, STRESS_MAX_HOPS, STRESS_SEED_MOD,
+            _knn_weighted_edges, q_bridge_edges)
+
+        ew = _knn_weighted_edges(SF).to_pandas()
+        adj: dict[int, list] = {}
+        for u, v in zip(ew["u"].astype(int), ew["v"].astype(int)):
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        uses: dict[tuple, int] = {}
+        for s in [n for n in adj if n % STRESS_SEED_MOD == 0]:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                x = q.popleft()
+                if dist[x] == STRESS_MAX_HOPS:
+                    continue
+                for y in adj[x]:
+                    if y not in dist:
+                        dist[y] = dist[x] + 1
+                        q.append(y)
+
+            def walk(path):
+                v = path[-1]
+                for w in adj[v]:
+                    if dist.get(w, 99) == dist[v] + 1:
+                        for a, b in zip(path, path[1:] + [w]):
+                            e = (min(a, b), max(a, b))
+                            uses[e] = uses.get(e, 0) + 1
+                        walk(path + [w])
+
+            walk([s])
+        exp = sorted(uses.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = q_bridge_edges(SF).to_pylist()
+        assert len(got) == min(BRIDGE_TOPK, len(exp))
+        for r, ((u, v), n) in zip(got, exp):
+            assert (r["u"], r["v"], r["uses"]) == (u, v, n)
+
+
 class TestDedupIndex:
     def test_drop_set_matches_keep_best_rule(self, ray_session):
         """Drop set replayed in pandas: per multi-doc LSH cluster keep
