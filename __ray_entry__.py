@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": ex.q_dup_clusters,
         "cluster_representatives": ex.q_cluster_representatives,  # keep-best dedup
         "duplicate_spans": ex.q_duplicate_spans,
+        "novelty_scores": ex.q_novelty_scores,  # first-occurrence novelty curve
+        "heaps_curve": ex.q_heaps_curve,        # vocabulary-growth deciles
         "dedup_substrings": ex.q_dedup_substrings,  # span-removal rewrite (Lee et al.)
         "hashed_embeddings": ex.q_hashed_embeddings,  # hashing-trick text vectors
         "hashed_mips_top10": ex.q_hashed_mips_top10,  # MIPS over hashed vectors

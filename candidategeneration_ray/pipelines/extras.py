@@ -24,6 +24,104 @@ from candidategeneration_ray.pipelines.docquery import _cache_dir, documents_ds
 
 # ------------------------------------------------------------- exact dedup
 
+def q_novelty_scores(sf_dir: str) -> ray.data.Dataset:
+    """Per-document NOVELTY in corpus order — the positional twin of
+    dedup (Lee et al.'s memorization analyses ask exactly this): for
+    each doc, how many of its distinct shingles appear in NO earlier
+    document (first-occurrence attribution by min doc_id). A doc of
+    entirely novel shingles scores n_novel == n_shingles; a late
+    near-duplicate scores ~0 — the novelty CURVE over doc order is
+    the data-collection diminishing-returns diagnostic.
+
+    Shape: the shared _shingle_rows emission → ONE groupby(shingle)
+    min(doc_id) (first occurrences) → per-doc novel counts compressed
+    per batch → union with the per-doc size rows → one groupby(doc)
+    sum. Nothing driver-side scales with the corpus. Output
+    (doc_id, n_shingles, n_novel)."""
+    from ray.data.aggregate import Min, Sum
+
+    sh = (documents_ds(sf_dir)
+          .map_batches(lambda b: _shingle_rows(b, H.SHINGLE_W),
+                       batch_format="pyarrow")
+          .materialize())
+
+    def _size_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        n = batch.column("doc_n").to_numpy().astype(np.int64)
+        u, idx = np.unique(d, return_index=True)
+        return pa.table({
+            "doc_id": pa.array(u, pa.int64()),
+            "n_shingles": pa.array(n[idx], pa.int64()),
+            "n_novel": pa.array(np.zeros(u.size, np.int64), pa.int64()),
+        })
+
+    def _novel_rows(batch: pa.Table) -> pa.Table:
+        f = batch.column("first_doc").to_numpy().astype(np.int64)
+        u, c = np.unique(f, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(u, pa.int64()),
+            "n_shingles": pa.array(np.zeros(u.size, np.int64), pa.int64()),
+            "n_novel": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    novel = (sh.groupby("shingle_h")
+             .aggregate(Min("doc_id", alias_name="first_doc"))
+             .map_batches(_novel_rows, batch_format="pyarrow"))
+    sizes = sh.map_batches(_size_rows, batch_format="pyarrow")
+    return (sizes.union(novel)
+            .groupby("doc_id")
+            .aggregate(Sum("n_shingles", alias_name="n_shingles"),
+                       Sum("n_novel", alias_name="n_novel")))
+
+
+HEAPS_CHECKPOINTS = 10
+
+
+def q_heaps_curve(sf_dir: str,
+                  checkpoints: int = HEAPS_CHECKPOINTS) -> pa.Table:
+    """The vocabulary-growth (Heaps' law) curve — distinct kept terms
+    seen after each decile of the corpus in doc_id order: the
+    collection-scaling diagnostic behind "how much new vocabulary
+    does the next shard buy". Exact: per term ONE first-occurrence
+    row (groupby(term) min doc_id), folded into a checkpoint
+    histogram (O(vocab) driver work, the df_top50 class). Output
+    (checkpoint, n_docs_seen, vocab_size)."""
+    from ray.data.aggregate import Min
+
+    import pyarrow.compute as pc
+
+    def _first_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens").combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(col).to_numpy()
+        d = batch.column("doc_id").to_numpy().astype(np.int64)[parent]
+        if flat.size == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        first = np.full(uniq.size, np.int64(1) << np.int64(60), np.int64)
+        np.minimum.at(first, inv, d)
+        return pa.table({"term": pa.array(uniq.tolist(), pa.string()),
+                         "doc_id": pa.array(first, pa.int64())})
+
+    from candidategeneration_ray.pipelines.docquery import doc_tokens
+
+    firsts = (doc_tokens(sf_dir)
+              .map_batches(_first_rows, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Min("doc_id", alias_name="first_doc"))
+              .to_pandas())                    # O(vocab)
+    n_docs = int(documents_ds(sf_dir).count())
+    fd = firsts["first_doc"].to_numpy(np.int64)
+    rows = {"checkpoint": [], "n_docs_seen": [], "vocab_size": []}
+    for i in range(1, checkpoints + 1):
+        thresh = n_docs * i // checkpoints
+        rows["checkpoint"].append(i)
+        rows["n_docs_seen"].append(thresh)
+        rows["vocab_size"].append(int((fd < thresh).sum()))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
 def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup by content hash: one row per distinct text with its
     group size and representative (min doc_id). Shuffle: groupby(hash)

@@ -8954,6 +8954,42 @@ FROM eb
 ORDER BY uses DESC, u_, v_
 LIMIT {BRIDGE_TOPK}
 """
+    # novelty by first occurrence: same shingle CTEs as the dedup
+    # family; first_doc = min doc_id per shingle hash
+    from candidategeneration_ray.functions.hashing import SHINGLE_W
+    from candidategeneration_ray.pipelines.extras import (
+        HEAPS_CHECKPOINTS)
+
+    novelty = f"""
+WITH {KEPT_CTE},
+{_DOCS_TOKS},
+{_shingle_cte(SHINGLE_W)},
+f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h),
+nv AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+       FROM f GROUP BY 1),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+       FROM sh GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(sz.n_shingles, 0) AS n_shingles,
+       coalesce(nv.n_novel, 0) AS n_novel
+FROM documents d
+LEFT JOIN sz USING (doc_id)
+LEFT JOIN nv USING (doc_id)
+"""
+    heaps = f"""
+WITH {KEPT_CTE},
+f AS (SELECT tok, min(doc_id) AS first_doc FROM kept GROUP BY tok),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+cp AS (SELECT unnest(range(1, {HEAPS_CHECKPOINTS + 1})) AS c)
+SELECT CAST(c AS BIGINT) AS checkpoint,
+       CAST((SELECT n_docs FROM nn) * c // {HEAPS_CHECKPOINTS}
+            AS BIGINT) AS n_docs_seen,
+       CAST((SELECT count(*) FROM f
+             WHERE first_doc < (SELECT n_docs FROM nn) * c
+                               // {HEAPS_CHECKPOINTS})
+            AS BIGINT) AS vocab_size
+FROM cp
+"""
     return {"active_time": active_time,
             "graph_coloring": graph_coloring,
             "stemmed_df_top50": stemmed_df,
@@ -8967,4 +9003,6 @@ LIMIT {BRIDGE_TOPK}
             "priority_sample": priority_sample,
             "sample_subset_sums": sample_subset_sums,
             "stress_centrality": stress,
-            "bridge_edges": bridges}
+            "bridge_edges": bridges,
+            "novelty_scores": novelty,
+            "heaps_curve": heaps}

@@ -603,6 +603,51 @@ class TestHarmonicCentrality:
         assert pivots and sum(h.values()) > 0
 
 
+class TestNoveltyAndHeaps:
+    def test_novelty_matches_bruteforce(self, ray_session):
+        from candidategeneration_ray.functions import hashing as H
+        from candidategeneration_ray.functions.tokenize import (
+            tokenize_many)
+        from candidategeneration_ray.pipelines.extras import (
+            q_novelty_scores)
+
+        d = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+        d = d.sort_values("doc_id")
+        seen: set = set()
+        exp = {}
+        for doc_id, toks in zip(d["doc_id"].astype(int),
+                                tokenize_many(d["text"].tolist())):
+            hs = set(int(x) for x in
+                     H.h64_many(H.word_shingles(toks, H.SHINGLE_W)))
+            exp[doc_id] = (len(hs), len(hs - seen))
+            seen |= hs
+        got = q_novelty_scores(SF).to_pandas()
+        assert len(got) == len(d)
+        for r in got.itertuples():
+            assert (r.n_shingles, r.n_novel) == exp[r.doc_id]
+        # the first doc is fully novel; totals conserve
+        first = got.sort_values("doc_id").iloc[0]
+        assert first.n_novel == first.n_shingles
+        assert int(got["n_novel"].sum()) == len(seen)
+
+    def test_heaps_monotone_and_exact_tail(self, ray_session):
+        from candidategeneration_ray.functions.tokenize import (
+            tokenize_many)
+        from candidategeneration_ray.pipelines.extras import (
+            q_heaps_curve)
+
+        got = q_heaps_curve(SF).to_pylist()
+        vs = [r["vocab_size"] for r in got]
+        assert vs == sorted(vs)              # monotone growth
+        d = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).to_pandas()
+        full_vocab = len({t for toks in tokenize_many(d["text"].tolist())
+                          for t in toks})
+        assert got[-1]["vocab_size"] == full_vocab
+        assert got[-1]["n_docs_seen"] == len(d)
+
+
 class TestStressCentrality:
     def test_matches_bruteforce(self, ray_session):
         """Stress recomputed by literal path enumeration: for every
