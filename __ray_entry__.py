@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digits": rl.q_benford_digits,      # first-digit fraud audit
         "ranking_agreement": dq.q_ranking_agreement,  # doc vs MaxP prefix overlap
         "ranking_rbo": dq.q_ranking_rbo,        # exact rank-biased overlap
+        "kendall_tau": dq.q_kendall_tau,        # rerank reorder measure
         "query_difficulty": dq.q_query_difficulty,  # QPP feature table
         "selectivity_audit": dq.q_selectivity_audit,  # independence-assumption audit
         "list_overlap_kmv": dq.q_list_overlap_kmv,  # sketch cardinality estimates
@@ -691,6 +692,28 @@ FROM tot, pe""")
         " AS rbo_num,\n"
         f"       CAST({_rbo_den} AS BIGINT) AS rbo_den\n"
         "FROM ag JOIN wt USING (depth) GROUP BY ag.query_id")
+    # Kendall tau: concordant/discordant pairs over the common docs of
+    # the bm25 and LTR-rerank oracles (composition proof)
+    d["kendall_tau"] = (
+        "WITH a AS (\n" + d["bm25_topk"] + "\n),\n"
+        "b AS (\n" + d["ltr_rerank_topk"] + "\n),\n"
+        """j AS (SELECT a.query_id, a.doc_id, a.rank AS ra, b.rank AS rb
+       FROM a JOIN b USING (query_id, doc_id)),
+pairs AS (
+  SELECT x.query_id,
+         CASE WHEN (x.ra < y.ra) = (x.rb < y.rb)
+              THEN 1 ELSE 0 END AS conc
+  FROM j x JOIN j y ON y.query_id = x.query_id
+                   AND y.doc_id > x.doc_id)
+SELECT j.query_id,
+       CAST(count(DISTINCT j.doc_id) AS BIGINT) AS n_common,
+       CAST(coalesce((SELECT sum(conc) FROM pairs p
+                      WHERE p.query_id = j.query_id), 0) AS BIGINT)
+         AS concordant,
+       CAST(coalesce((SELECT count(*) - sum(conc) FROM pairs p
+                      WHERE p.query_id = j.query_id), 0) AS BIGINT)
+         AS discordant
+FROM j GROUP BY j.query_id""")
     # ANN recall matrix: one row per deterministic method, composing
     # all six ANN oracles against the exact-cosine anchor
     d["ann_recall_report"] = " UNION ALL ".join(

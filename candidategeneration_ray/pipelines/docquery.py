@@ -3159,6 +3159,52 @@ def q_ranking_rbo(sf_dir: str, depth: int = RBO_DEPTH) -> pa.Table:
     })
 
 
+def q_kendall_tau(sf_dir: str) -> pa.Table:
+    """Kendall rank correlation between the BM25 first stage and the
+    LTR-reranked second stage, per query, restricted to the docs BOTH
+    rankings retrieved (the standard treatment for top-k lists; RBO
+    covers the top-weighted view, Kendall is the uniform classic):
+    concordant / discordant counted exactly over the common-doc
+    pairs; τ = (C − D) / (C + D) is the caller's one-liner (ties are
+    impossible — ranks are strict). Measures how much the reranker
+    actually reorders. Output (query_id, n_common, concordant,
+    discordant).
+
+    Shape: two verified k-row rankings per query, O(k²) driver
+    arithmetic; the oracle composes both oracles (the
+    ranking_agreement pattern applied to the rerank pair)."""
+    a = q_bm25_topk(sf_dir)
+    b = q_ltr_rerank_topk(sf_dir)
+
+    def _ranks(t: pa.Table, score_col: str) -> dict[int, dict[int, int]]:
+        out: dict[int, dict[int, int]] = {}
+        for r in t.to_pylist():
+            out.setdefault(r["query_id"], {})[r["doc_id"]] = r["rank"]
+        return out
+
+    ra = _ranks(a, "score")
+    rb = _ranks(b, "ltr_score")
+    rows = {k: [] for k in ("query_id", "n_common", "concordant",
+                            "discordant")}
+    for q in sorted(set(ra) & set(rb)):
+        common = sorted(set(ra[q]) & set(rb[q]))
+        if not common:       # mirror the oracle: no common docs, no row
+            continue
+        c = d = 0
+        for i in range(len(common)):
+            for j in range(i + 1, len(common)):
+                x, y = common[i], common[j]
+                if ((ra[q][x] < ra[q][y]) == (rb[q][x] < rb[q][y])):
+                    c += 1
+                else:
+                    d += 1
+        rows["query_id"].append(q)
+        rows["n_common"].append(len(common))
+        rows["concordant"].append(c)
+        rows["discordant"].append(d)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
 def q_resharded_bm25_topk(sf_dir: str, new_buckets: int = 7) -> pa.Table:
     """BM25 top-10 served from an ELASTICALLY RESHARDED index layout
     (pipelines.update.reshard_index): the final segments rewritten

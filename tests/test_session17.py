@@ -284,6 +284,34 @@ class TestRankingRbo:
         assert sum(d * w[d] for d in w) == den
 
 
+class TestKendallTau:
+    def test_matches_scipy_free_definition(self, ray_session):
+        """Tau pairs recomputed directly from the two (verified)
+        rankings; pair counts partition."""
+        from candidategeneration_ray.pipelines.docquery import (
+            q_bm25_topk, q_kendall_tau, q_ltr_rerank_topk)
+
+        def ranks(t):
+            out = {}
+            for r in t.to_pylist():
+                out.setdefault(r["query_id"], {})[r["doc_id"]] = r["rank"]
+            return out
+
+        ra, rb = ranks(q_bm25_topk(SF)), ranks(q_ltr_rerank_topk(SF))
+        got = q_kendall_tau(SF).to_pylist()
+        assert got
+        for r in got:
+            q = r["query_id"]
+            common = sorted(set(ra[q]) & set(rb[q]))
+            n = len(common)
+            assert r["n_common"] == n
+            assert r["concordant"] + r["discordant"] == n * (n - 1) // 2
+            c = sum(1 for i in range(n) for j in range(i + 1, n)
+                    if (ra[q][common[i]] < ra[q][common[j]])
+                    == (rb[q][common[i]] < rb[q][common[j]]))
+            assert r["concordant"] == c
+
+
 class TestPrioritySample:
     def test_matches_bruteforce(self, ray_session):
         from candidategeneration_ray.functions import hashing as H
