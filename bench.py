@@ -152,6 +152,9 @@ def run_bench() -> dict:
     from candidategeneration_ray.state.queryengine import QueryEngine
 
     eng = QueryEngine(res["final_dir"], res["stats"])
+    t_w = time.time()
+    eng.warm()       # serving-actor startup warmup (hot-list decode)
+    warm_sec = time.time() - t_w
     lat = []
     for _ in range(8):
         for _, t in enumerate(["query engine latency", "data",
@@ -371,6 +374,7 @@ def run_bench() -> dict:
         "query_rows": n_out,
         "serve_latency_ms_p50": lat_p50,
         "serve_latency_ms_p95": lat_p95,
+        "serve_warmup_sec": round(warm_sec, 3),
         "delta_update_sec": round(update_sec, 3),
         "delta_docs": delta_docs,
         "delta_turns_per_sec": round(delta_docs / update_sec, 1),

@@ -114,8 +114,12 @@ class _Generation:
         docs = decode_docs(self.docs[row].as_py(),
                            int(self.n[i]), self.codec).astype(np.int64)
         scores = np.frombuffer(self.scores[row].as_py(), dtype="<i4")
-        bmax = np.asarray(self.bmax[row].as_py(), dtype=np.int32)
-        blast = np.asarray(self.blast[row].as_py(), dtype=np.int64)
+        # list-scalar .values → numpy skips the per-element as_py walk
+        # (~1.7 ms per hot list of 1.6k blocks — cold-latency path)
+        bmax = self.bmax[row].values.to_numpy(
+            zero_copy_only=False).astype(np.int32, copy=False)
+        blast = self.blast[row].values.to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         return docs, scores, bmax, blast
 
 
@@ -206,6 +210,8 @@ class IndexReader:
         else:
             self._keys = np.unique(np.concatenate([g.keys for g in self._gens]))
         self._cache: dict[int, tuple] = {}
+        self._impact: dict[int, np.ndarray] = {}
+        self._dense: dict[int, tuple] = {}
         if tombstones is not None and len(tombstones.get("starts", ())):
             self._tomb = (np.asarray(tombstones["starts"], dtype=np.int64),
                           np.asarray(tombstones["ends"], dtype=np.int64))
@@ -301,6 +307,55 @@ class IndexReader:
             self._cache.pop(next(iter(self._cache)))  # FIFO eviction
         self._cache[key] = val
         return val
+
+    # dense views exist only for lists at least this long (occupancy
+    # high enough that the O(doc_space) arrays pay for themselves)
+    DENSE_VIEW_MIN = 100_000
+    MAX_DENSE_VIEWS = 16   # ~5 MB per view at 1M docs/shard — bounded
+
+    def dense_view(self, key: int):
+        """(scores int32 over [0, last_doc], presence bool) for a HOT
+        list — O(1) random probes and vectorized accumulate for the
+        lists where per-needle binary search / bincount dominates
+        serving latency. Returns None for short lists or sparse doc
+        spaces; cached and warmed like the decoded lists."""
+        v = self._dense.get(key)
+        if v is not None:
+            return v
+        got = self.get(key)
+        if got is None:
+            return None
+        docs, scores, _, _ = got
+        if (docs.size < self.DENSE_VIEW_MIN
+                or int(docs[-1]) > TAAT_DENSE_MAX_DOC):
+            return None
+        n = int(docs[-1]) + 1
+        ds = np.zeros(n, np.int32)
+        ds[docs] = scores
+        dp = np.zeros(n, bool)
+        dp[docs] = True
+        if len(self._dense) >= self.MAX_DENSE_VIEWS:
+            self._dense.pop(next(iter(self._dense)))  # FIFO eviction
+        self._dense[key] = (ds, dp)
+        return self._dense[key]
+
+    def impact_order(self, key: int) -> np.ndarray | None:
+        """Cached argsort of a decoded list by (score desc, doc asc) —
+        the impact order (Anh & Moffat CIKM'06) that ta_impact_topk
+        deepens through; warmed alongside the hot lists so serving
+        never pays the lexsort inline."""
+        o = self._impact.get(key)
+        if o is not None:
+            return o
+        got = self.get(key)
+        if got is None:
+            return None
+        docs, scores, _, _ = got
+        o = np.lexsort((docs, -scores.astype(np.int64))).astype(np.int32)
+        if len(self._impact) >= self.MAX_CACHED_LISTS:
+            self._impact.pop(next(iter(self._impact)))  # FIFO eviction
+        self._impact[key] = o
+        return o
 
     def query_term_ids(self, text: str,
                        tokens: list[str] | None = None) -> list[int]:
@@ -592,27 +647,170 @@ def maxscore_topk(lists: list[_List], k: int, block_size: int) -> list[tuple[int
     return [(int(top_scores[i]), int(top_docs[i])) for i in order]
 
 
+# densest doc-id that still buys the bincount accumulator (8+8 bytes
+# per slot); beyond it the sort-merge path takes over. Serving shards
+# are doc-partitioned well below this at any corpus size.
+TAAT_DENSE_MAX_DOC = 1 << 26
+
+
 def taat_topk(reader: IndexReader, term_ids: list[int], k: int) -> list[tuple[int, int]]:
     """Vectorized exact TAAT scorer (reference Vec_Merge/TAAT analog,
     algo_toplayer.cpp:300-338,757-858) — the internal cross-check for
-    WAND."""
-    docs_all, scores_all = [], []
+    WAND.
+
+    Doc ids are dense turn ordinals, so the accumulator is a bincount
+    scatter-add over [0, max_doc] (scores are int32, query width < 2^20
+    lists, so float64 accumulation stays exact below 2^53) — an
+    O(postings + doc_space) merge that replaced the concatenate +
+    argsort + reduceat path (the old merge's sort dominated warm-query
+    latency: 36 ms vs ~3 ms for a 500k-posting query). Sparse/huge doc
+    spaces (> TAAT_DENSE_MAX_DOC) keep the sort-merge."""
+    gathered = []
     for t in term_ids:
         got = reader.get(t)
         if got is not None:
-            docs_all.append(got[0])
-            scores_all.append(got[1].astype(np.int64))
-    if not docs_all:
+            gathered.append((t, got[0], got[1]))
+    if not gathered:
         return []
-    docs = np.concatenate(docs_all)
-    scores = np.concatenate(scores_all)
-    order = np.argsort(docs, kind="stable")
-    docs, scores = docs[order], scores[order]
-    starts = np.concatenate(([0], np.nonzero(docs[1:] != docs[:-1])[0] + 1))
-    uniq = docs[starts]
-    sums = np.add.reduceat(scores, starts)
+    docs_all = [d for _, d, _ in gathered]
+    scores_all = [s for _, _, s in gathered]
+    if len(gathered) == 1:
+        uniq = docs_all[0]
+        sums = scores_all[0].astype(np.int64)
+    elif int(max(d[-1] for d in docs_all)) <= TAAT_DENSE_MAX_DOC:
+        dmax = int(max(d[-1] for d in docs_all))
+        acc = np.zeros(dmax + 1)
+        hits = np.zeros(dmax + 1, bool)
+        rest_d, rest_s = [], []
+        for t, d, s in gathered:
+            dv = reader.dense_view(t)
+            if dv is not None:   # hot list: vectorized dense add
+                ds, dp = dv
+                acc[:ds.size] += ds
+                hits[:dp.size] |= dp
+            else:
+                rest_d.append(d)
+                rest_s.append(s)
+        if rest_d:
+            docs = np.concatenate(rest_d)
+            scores = np.concatenate(rest_s)  # int32; bincount → float64
+            acc += np.bincount(docs, weights=scores, minlength=dmax + 1)
+            hits |= np.bincount(docs, minlength=dmax + 1) > 0
+        uniq = np.nonzero(hits)[0]
+        sums = acc[uniq].astype(np.int64)  # |sum| < 2^53 → exact
+    else:
+        docs = np.concatenate(docs_all)
+        scores = np.concatenate([s.astype(np.int64) for s in scores_all])
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(docs[1:] != docs[:-1])[0] + 1))
+        uniq = docs[starts]
+        sums = np.add.reduceat(scores, starts)
+    if uniq.size > k:
+        # shrink to the ties-inclusive top-k before the exact lexsort
+        kth = np.partition(sums, uniq.size - k)[uniq.size - k]
+        m = sums >= kth
+        uniq, sums = uniq[m], sums[m]
     top = np.lexsort((uniq, -sums))[:k]
     return [(int(sums[i]), int(uniq[i])) for i in top]
+
+
+def ta_impact_topk(reader: IndexReader, term_ids: list[int],
+                   k: int) -> list[tuple[int, int]]:
+    """Exact top-k via impact-ordered iterative deepening — Fagin's
+    threshold algorithm (Fagin, Lotem & Naor PODS'01) over
+    score-sorted (impact-ordered, Anh & Moffat CIKM'06) list views.
+
+    The winning path for the hot all-non-positive query mix (df > N/2
+    terms quantize negative, utilsClass.java:122): WAND/MaxScore
+    cannot prune there (every clamped UB is 0) and TAAT merges all
+    postings; here each round explores the top-K impact prefix of
+    every list, probes EXACT totals for the union of explored docs
+    (one searchsorted per list — lists stay doc-sorted), and stops
+    when no unexplored doc can beat the incumbent kth total:
+
+        unexplored u in list subset S has score_l(u) <= next_l for
+        every l in S, so total(u) <= max_l [next_l + sum of positive
+        next_m over other lists] = bound; bound < theta (strict, so
+        doc-id ties keep the explored incumbent) ends the search.
+
+    K doubles per round and every round is INCREMENTAL: only the docs
+    first seen this round are probed (a dense seen-bitmap dedups them
+    — doc ids are dense ordinals, same argument as taat_topk's
+    bincount), and the incumbent pool keeps the ties-inclusive top-k
+    explored so far, so total work is O(K_final · lists · log n), not
+    rounds × that. The dispatch sends only the heavy non-positive mix
+    here."""
+    trips = []
+    dmax = 0
+    for t in term_ids:
+        got = reader.get(t)
+        if got is not None:
+            trips.append((got[0], got[1], reader.impact_order(t),
+                          reader.dense_view(t)))
+            dmax = max(dmax, int(got[0][-1]))
+    if not trips:
+        return []
+    if dmax > TAAT_DENSE_MAX_DOC:   # sparse doc space: no bitmap win
+        return taat_topk(reader, term_ids, k)
+    seen = np.zeros(dmax + 1, bool)
+    pool_d = np.empty(0, np.int64)
+    pool_s = np.empty(0, np.int64)
+    base = max(4 * k, 1024)
+    kcur = [0] * len(trips)     # explored impact-prefix length per list
+    while True:
+        # per-list next unexplored score; per-list bound = what a doc
+        # first appearing in THAT list could still total
+        nxt = [int(s[o[kc]]) if kc < d.size else None
+               for (d, s, o, _), kc in zip(trips, kcur)]
+        live = [x for x in nxt if x is not None]
+        done, active = False, []
+        if not live:
+            done = True
+        elif pool_s.size >= k:
+            theta = int(np.partition(pool_s,
+                                     pool_s.size - k)[pool_s.size - k])
+            pos = sum(max(x, 0) for x in live)
+            done = max(x + pos - max(x, 0) for x in live) < theta
+            active = [i for i, x in enumerate(nxt)
+                      if x is not None and x + pos - max(x, 0) >= theta]
+        else:
+            active = [i for i, x in enumerate(nxt) if x is not None]
+        if done:
+            sel = np.lexsort((pool_d, -pool_s))[:k]
+            return [(int(pool_s[i]), int(pool_d[i])) for i in sel]
+        fresh_parts = []
+        for i in active:        # deepen only lists that can still win
+            d, _, o, _ = trips[i]
+            knew = min(d.size, max(2 * kcur[i], base))
+            chunk = d[o[kcur[i]:knew]]
+            kcur[i] = knew
+            new = chunk[~seen[chunk]]
+            seen[new] = True
+            fresh_parts.append(new)
+        fresh = np.concatenate(fresh_parts)
+        fresh.sort()   # sorted needles: cache-friendly binary probes
+        if fresh.size:
+            totals = np.zeros(fresh.size, np.int64)
+            for d, s, _, dv in trips:
+                if dv is not None:      # O(1) dense probes (hot list)
+                    ds, dp = dv
+                    idx = np.minimum(fresh, ds.size - 1)
+                    hit = (fresh < ds.size) & dp[idx]
+                    totals += np.where(hit, ds[idx].astype(np.int64), 0)
+                else:
+                    idx = np.minimum(np.searchsorted(d, fresh),
+                                     d.size - 1)
+                    hit = d[idx] == fresh
+                    totals += np.where(hit, s[idx].astype(np.int64), 0)
+            pool_d = np.concatenate((pool_d, fresh))
+            pool_s = np.concatenate((pool_s, totals))
+            if pool_d.size > k:  # ties-inclusive shrink of the pool
+                kth = np.partition(pool_s,
+                                   pool_s.size - k)[pool_s.size - k]
+                m = pool_s >= kth
+                pool_d, pool_s = pool_d[m], pool_s[m]
 
 
 class QueryEngine:
@@ -640,6 +838,32 @@ class QueryEngine:
     # below this many total postings the vectorized TAAT merge beats the
     # pointer-walking WAND loop regardless of selectivity (measured)
     TAAT_THRESHOLD = 1_000_000
+    # above this many total postings an all-non-positive multi-term mix
+    # dispatches to impact-ordered TA instead of the full TAAT merge
+    TA_IMPACT_THRESHOLD = 200_000
+
+    def warm(self, top_lists: int = 64) -> int:
+        """Decode the `top_lists` longest unigram lists into the
+        reader's bounded cache — serving-actor startup warmup so the
+        first live query never pays the cold decode of a hot list
+        (the p95-tail suspect: ~7 ms per 200k-posting list cold vs
+        <0.1 ms cached). Returns the number of lists decoded."""
+        r = self.reader
+        uni = r.keys[r.keys < (1 << 32)]
+        if uni.size == 0:
+            return 0
+        lens = np.zeros(uni.size, np.int64)
+        for g in r._gens:          # vectorized per generation: O(vocab)
+            m = g.keys < (1 << 32)
+            np.add.at(lens, np.searchsorted(uni, g.keys[m]), g.n[m])
+        hot = uni[np.argsort(-lens, kind="stable")[:top_lists]]
+        n = 0
+        for t in hot:
+            if r.get(int(t)) is not None:
+                r.impact_order(int(t))  # ta_impact path warms with it
+                r.dense_view(int(t))    # dense probe/accumulate view
+                n += 1
+        return n
 
     def topk(self, text: str, k: int | None = None,
              algorithm: str = "auto",
@@ -669,10 +893,29 @@ class QueryEngine:
         if algorithm == "auto":
             total = sum(l.docs.size for l in lists)
             ub_pos_sum = sum(l.ub_pos for l in lists)
-            algorithm = ("taat" if len(lists) == 1 or ub_pos_sum == 0
-                         or total < self.TAAT_THRESHOLD else "wand")
+            # MaxScore never traverses non-essential lists, so when the
+            # positive-UB (potentially essential) lists hold a small
+            # fraction of the postings — the rare-term + hot-negative-
+            # term mix — it beats TAAT's full O(total) merge (measured
+            # 3 ms vs 10 ms on a 230k-posting rare+hot query)
+            ess_total = sum(l.docs.size for l in lists if l.ub_pos > 0)
+            if (len(lists) > 1 and 0 < ub_pos_sum
+                    and ess_total * 4 < total):
+                algorithm = "maxscore"
+            elif (len(lists) > 1 and ub_pos_sum == 0
+                    and total >= self.TA_IMPACT_THRESHOLD):
+                # all-non-positive heavy mix: UB pruning is impossible
+                # and TAAT touches every posting — impact-ordered TA
+                # explores only the high-score prefixes (measured 3 ms
+                # vs 11 ms on a 408k-posting two-hot-term query)
+                algorithm = "ta_impact"
+            else:
+                algorithm = ("taat" if len(lists) == 1 or ub_pos_sum == 0
+                             or total < self.TAAT_THRESHOLD else "wand")
         if algorithm == "taat":
             return taat_topk(self.reader, ids, k)
+        if algorithm == "ta_impact":
+            return ta_impact_topk(self.reader, ids, k)
         if algorithm == "wand_scalar":
             return wand_topk(lists, k, self.cfg.block_size)
         if algorithm == "maxscore":

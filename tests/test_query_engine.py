@@ -6,8 +6,8 @@ import pytest
 
 from candidategeneration_ray.config import EngineConfig
 from candidategeneration_ray.state.queryengine import (
-    IndexReader, QueryEngine, _List, blockmax_topk, maxscore_topk, taat_topk,
-    wand_topk,
+    IndexReader, QueryEngine, _List, blockmax_topk, maxscore_topk,
+    ta_impact_topk, taat_topk, wand_topk,
 )
 
 # a query mix per FIXTURES.md §2: hot terms, rare terms, absent terms,
@@ -65,6 +65,26 @@ class TestRankIdentity:
         taat = taat_topk(engine.reader, ids, 10)
         got = engine.topk(qtext, k=10, algorithm="maxscore")
         assert got == taat, qtext
+
+    @pytest.mark.parametrize("qtext", QUERIES)
+    def test_ta_impact_matches_taat(self, engine, qtext):
+        """Impact-ordered TA (the all-non-positive heavy-mix path) is
+        rank-identical to the exhaustive TAAT merge at several k."""
+        ids = engine.reader.query_term_ids(qtext)
+        for k in (1, 3, 10, 100):
+            assert (engine.topk(qtext, k=k, algorithm="ta_impact")
+                    == taat_topk(engine.reader, ids, k)), (qtext, k)
+
+    def test_warm_preserves_results(self, built_index):
+        """Serving-actor warmup (hot-list decode + impact orders +
+        dense views) changes latency only, never results."""
+        cold = QueryEngine(built_index["final_dir"], built_index["stats"])
+        want = {q: cold.topk(q, k=10) for q in QUERIES}
+        warmed = QueryEngine(built_index["final_dir"],
+                             built_index["stats"])
+        assert warmed.warm(top_lists=8) > 0
+        for q in QUERIES:
+            assert warmed.topk(q, k=10) == want[q], q
 
     def test_various_k(self, engine, oracle_small):
         from candidategeneration_ray.functions.tokenize import tokenize_text
