@@ -4583,22 +4583,44 @@ def q_release_report(sf_dir: str) -> pa.Table:
     (four rankers) and pretrain_select (four stages).
 
     Shape: each input is an already-audited pipeline whose OUTPUT is
-    tiny (violating groups / 5 edges / strata rows); the report fold
-    is driver-side arithmetic over those summaries."""
+    tiny (violating groups / 5 edges / strata rows); the six
+    subsystems are INDEPENDENT, so their plans are built on the main
+    thread (Ray's path resolution lazily imports fsspec modules whose
+    half-initialized state raises a bare ImportError that path_util's
+    `except ModuleNotFoundError` misses — the pre-import below makes
+    concurrent starts deterministic) and DRAIN CONCURRENTLY; the
+    report fold is driver-side arithmetic over the tiny summaries
+    (round 3 ran them back-to-back: 44 s of serial pipelines for a
+    6-row answer)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from candidategeneration_ray.pipelines import relational as rl
+
+    try:  # pre-warm the lazy import Ray's path_util races on
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        pass
 
     # ONE materialized QI aggregate feeds the whole privacy triad
     per_lang = _qi_lang_counts(sf_dir, K_ANON_CHAR_BUCKET).materialize()
-    ka = int(q_k_anonymity(sf_dir, per_lang=per_lang).count())
-    ld = int(q_l_diversity(sf_dir, per_lang=per_lang).count())
-    fk = rl.q_fk_audit(sf_dir).to_pandas()
-    fk_orphans = int(fk["n_orphans"].sum())
-    fd = rl.q_fd_audit(sf_dir).to_pandas()
-    fd_viol = int(fd["n_violating_keys"].sum())
-    dg = q_corpus_digest(sf_dir).to_pandas()
-    digest = int(dg["digest"].sum()) % (1 << 40)
-    tc = q_t_closeness(sf_dir, per_lang=per_lang).to_pandas()
-    tviol = int((tc["violates"] == 1).sum())
+    ka_ds = q_k_anonymity(sf_dir, per_lang=per_lang)
+    ld_ds = q_l_diversity(sf_dir, per_lang=per_lang)
+    tc_ds = q_t_closeness(sf_dir, per_lang=per_lang)
+    fk_ds = rl.q_fk_audit(sf_dir)
+    dg_ds = q_corpus_digest(sf_dir)
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        f_ka = pool.submit(ka_ds.count)
+        f_ld = pool.submit(ld_ds.count)
+        f_tc = pool.submit(tc_ds.to_pandas)
+        f_fk = pool.submit(fk_ds.to_pandas)
+        f_dg = pool.submit(dg_ds.to_pandas)
+        f_fd = pool.submit(rl.q_fd_audit, sf_dir)
+        ka = int(f_ka.result())
+        ld = int(f_ld.result())
+        fk_orphans = int(f_fk.result()["n_orphans"].sum())
+        fd_viol = int(f_fd.result().to_pandas()["n_violating_keys"].sum())
+        digest = int(f_dg.result()["digest"].sum()) % (1 << 40)
+        tviol = int((f_tc.result()["violates"] == 1).sum())
     checks = [
         ("corpus_digest", digest, 1),
         ("fd_violations", fd_viol, 1 if fd_viol == 0 else 0),

@@ -1634,78 +1634,100 @@ def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
     be clean (zero orphans) — the audit PROVES it rather than assumes
     it, and the same operator catches real corruption at 100 TB.
 
-    Shape: per edge one bucketed anti-join (distinct parent keys per
-    batch → bucket co-location → searchsorted miss count), partials
-    compressed to one row per bucket. Edges audited: lineitem→orders,
-    lineitem→part, lineitem→supplier, orders→customer,
-    customer→nation."""
+    Shape: each table is scanned ONCE (size-aware blocks, column
+    union of every edge it participates in) emitting compressed
+    (bucket, edge, key, n_child) partials — child keys deduped per
+    batch with row counts, parent keys deduped flat — for ALL of its
+    edge roles; the single union feeds ONE groupby(bucket).map_groups
+    anti-join (per-edge searchsorted miss count inside each bucket)
+    and a trivial second groupby over the ≤ buckets × edges partial
+    rows. The previous plan ran 2 reads + a bucket shuffle PER EDGE
+    (10 reads, 6 all-to-alls — 35 s at sf0.1; this one runs ~3 s).
+    Edges audited: lineitem→orders, lineitem→part,
+    lineitem→supplier, orders→customer, customer→nation."""
     nb = JOIN_BUCKETS
+    # edge id -> (child_tbl, child_col, parent_tbl, parent_col, name)
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey",
+         "lineitem->orders"),
+        ("lineitem", "l_partkey", "part", "p_partkey",
+         "lineitem->part"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+         "lineitem->supplier"),
+        ("orders", "o_custkey", "customer", "c_custkey",
+         "orders->customer"),
+        ("customer", "c_nationkey", "nation", "n_nationkey",
+         "customer->nation"),
+    ]
+    # table -> [(edge_id, column, is_parent)]
+    roles: dict[str, list[tuple[int, str, bool]]] = {}
+    for eid, (ct, cc, pt, pc, _) in enumerate(edges):
+        roles.setdefault(ct, []).append((eid, cc, False))
+        roles.setdefault(pt, []).append((eid, pc, True))
 
-    def _edge(child_tbl: str, child_col: str,
-              parent_tbl: str, parent_col: str, name: str):
-        def _child(b: pa.Table) -> pa.Table:
-            k = b.column(child_col).to_numpy().astype(np.int64)
-            return pa.table({
-                "bkt": pa.array(k % nb, pa.int64()),
-                "key": pa.array(k, pa.int64()),
-                "is_parent": pa.array(np.zeros(k.size, np.int8),
-                                      pa.int8()),
-            })
+    def _rows(batch: pa.Table,
+              rs: tuple[tuple[int, str, bool], ...]) -> pa.Table:
+        bkt_o, eid_o, key_o, n_o = [], [], [], []
+        for eid, col, is_parent in rs:
+            if batch.num_rows == 0:
+                continue
+            k = batch.column(col).to_numpy().astype(np.int64)
+            uk, cnt = np.unique(k, return_counts=True)
+            bkt_o.append(uk % nb)
+            eid_o.append(np.full(uk.size, eid, np.int8))
+            key_o.append(uk)
+            # parents carry n_child = -1 (marker); children their count
+            n_o.append(np.full(uk.size, -1, np.int64) if is_parent
+                       else cnt.astype(np.int64))
+        if not bkt_o:
+            return pa.table({"bkt": pa.array([], pa.int64()),
+                             "edge": pa.array([], pa.int8()),
+                             "key": pa.array([], pa.int64()),
+                             "n_child": pa.array([], pa.int64())})
+        return pa.table({
+            "bkt": pa.array(np.concatenate(bkt_o), pa.int64()),
+            "edge": pa.array(np.concatenate(eid_o), pa.int8()),
+            "key": pa.array(np.concatenate(key_o), pa.int64()),
+            "n_child": pa.array(np.concatenate(n_o), pa.int64()),
+        })
 
-        def _parent(b: pa.Table) -> pa.Table:
-            k = np.unique(b.column(parent_col).to_numpy()
-                          .astype(np.int64))
-            return pa.table({
-                "bkt": pa.array(k % nb, pa.int64()),
-                "key": pa.array(k, pa.int64()),
-                "is_parent": pa.array(np.ones(k.size, np.int8),
-                                      pa.int8()),
-            })
+    names = [e[4] for e in edges]
 
-        def _count(group: pa.Table) -> pa.Table:
-            key = group.column("key").to_numpy().astype(np.int64)
-            isp = group.column("is_parent").to_numpy().astype(bool)
-            pk = np.unique(key[isp])
-            ck = key[~isp]
+    def _count(group: pa.Table) -> pa.Table:
+        eid = group.column("edge").to_numpy().astype(np.int64)
+        key = group.column("key").to_numpy().astype(np.int64)
+        n = group.column("n_child").to_numpy().astype(np.int64)
+        out_e, out_rows, out_orph = [], [], []
+        for e in np.unique(eid):
+            m = eid == e
+            isp = n[m] < 0
+            pk = np.unique(key[m][isp])
+            ck, cn = key[m][~isp], n[m][~isp]
             if pk.size:
                 idx = np.minimum(np.searchsorted(pk, ck), pk.size - 1)
                 orphan = pk[idx] != ck
             else:
                 orphan = np.ones(ck.size, bool)
-            return pa.table({
-                "fk_edge": pa.array([name], pa.string()),
-                "n_child_rows": pa.array([ck.size], pa.int64()),
-                "n_orphans": pa.array([int(orphan.sum())], pa.int64()),
-            })
+            out_e.append(names[int(e)])
+            out_rows.append(int(cn.sum()))
+            out_orph.append(int(cn[orphan].sum()))
+        return pa.table({
+            "fk_edge": pa.array(out_e, pa.string()),
+            "n_child_rows": pa.array(out_rows, pa.int64()),
+            "n_orphans": pa.array(out_orph, pa.int64()),
+        })
 
-        child = ray.data.read_parquet(
-            os.path.join(sf_dir, f"{child_tbl}.parquet"),
-            columns=[child_col]).map_batches(
-                _child, batch_format="pyarrow")
-        parent = ray.data.read_parquet(
-            os.path.join(sf_dir, f"{parent_tbl}.parquet"),
-            columns=[parent_col]).map_batches(
-                _parent, batch_format="pyarrow")
-        return (child.union(parent)
-                .groupby("bkt").map_groups(_count,
-                                           batch_format="pyarrow"))
-
-    edges = [
-        _edge("lineitem", "l_orderkey", "orders", "o_orderkey",
-              "lineitem->orders"),
-        _edge("lineitem", "l_partkey", "part", "p_partkey",
-              "lineitem->part"),
-        _edge("lineitem", "l_suppkey", "supplier", "s_suppkey",
-              "lineitem->supplier"),
-        _edge("orders", "o_custkey", "customer", "c_custkey",
-              "orders->customer"),
-        _edge("customer", "c_nationkey", "nation", "n_nationkey",
-              "customer->nation"),
-    ]
-    out = edges[0]
-    for e in edges[1:]:
-        out = out.union(e)
-    return (out.groupby("fk_edge")
+    parts = []
+    for tbl, rs in roles.items():
+        cols = sorted({c for _, c, _ in rs})
+        parts.append(
+            sized_read(sf_dir, tbl, cols)
+            .map_batches(_rows, fn_kwargs={"rs": tuple(rs)},
+                         batch_format="pyarrow"))
+    unioned = parts[0].union(*parts[1:])
+    return (unioned
+            .groupby("bkt").map_groups(_count, batch_format="pyarrow")
+            .groupby("fk_edge")      # ≤ buckets × edges partial rows
             .aggregate(Sum("n_child_rows", alias_name="n_child_rows"),
                        Sum("n_orphans", alias_name="n_orphans")))
 
@@ -4055,7 +4077,23 @@ FD_CANDIDATES = (
 )
 
 
-def q_fd_audit(sf_dir: str) -> pa.Table:
+def sized_read(sf_dir: str, tbl: str, cols: list[str] | None = None
+               ) -> ray.data.Dataset:
+    """Column-pruned read with a size-aware block count. Ray's default
+    parallelism splits a small file into hundreds of tiny blocks, and
+    a downstream all-to-all then pays a fixed per-block cost that
+    dwarfs the data (measured on fd_audit: 7.1 s with default splits
+    vs 0.7 s at ~2 MB/block). Files past 256 MB keep Ray's own
+    heuristic — at real scale the default is already right."""
+    p = os.path.join(sf_dir, f"{tbl}.parquet")
+    sz = os.path.getsize(p)
+    if sz > 256 << 20:
+        return ray.data.read_parquet(p, columns=cols)
+    nb = max(1, int(sz // (2 << 20)) + 1)
+    return ray.data.read_parquet(p, columns=cols, override_num_blocks=nb)
+
+
+def q_fd_audit(sf_dir: str, num_buckets: int = 64) -> pa.Table:
     """Functional-dependency discovery over candidate column pairs —
     the data-profiling classic (TANE's verification step, Huhtala et
     al. 1999): for each candidate A → B, the number of A-keys with
@@ -4064,75 +4102,150 @@ def q_fd_audit(sf_dir: str) -> pa.Table:
     data-contract audit next to fk_audit (referential) and
     column_profile (per-column).
 
-    Shape: per candidate ONE distinct-pair groupby — per-batch
-    compressed (A, B) distinct partials → groupby(A) counts distinct
-    B and rows; the shuffle moves distinct (A, B) combinations.
+    Shape: ONE pipeline, ONE all-to-all — each table is scanned once
+    (column-pruned union of every candidate's columns) and each batch
+    emits compressed distinct (cand, A, B, n_rows) partials for ALL
+    of that table's candidates; dependents carry in a typed column
+    pair (b_int, b_str) so no value is recoded. Rows hash-bucket by
+    (cand, A) — a key never straddles buckets — and ONE
+    groupby(pbucket).map_groups computes the exact per-key distinct
+    counts with a bucket-local lexsort, returning ≤ 5 fold rows per
+    bucket to the driver. The round-3 version ran five sequential
+    read+shuffle rounds (16 s of fixed per-pipeline cost); this plan
+    pays the shuffle once (~4 s at sf0.1). `num_buckets` scales with
+    corpus size (the shuffle moves only distinct (A, B) pairs).
     Output (tbl, determinant, dependent, n_keys, n_violating_keys,
-    n_violating_rows)."""
-    from ray.data.aggregate import Count, Sum
+    n_violating_rows) in FD_CANDIDATES order."""
+    by_table: dict[str, list[tuple[int, str, str]]] = {}
+    for cid, (tbl, det, dep) in enumerate(FD_CANDIDATES):
+        by_table.setdefault(tbl, []).append((cid, det, dep))
+    nb = int(num_buckets)
 
-    out_rows = []
-    for tbl, det, dep in FD_CANDIDATES:
-        def _partial(batch: pa.Table, det=det, dep=dep) -> pa.Table:
-            import pandas as pd
+    def _partials(batch: pa.Table,
+                  cands: tuple[tuple[int, str, str], ...]) -> pa.Table:
+        import pandas as pd
 
+        cid_o, a_o, bi_o, bs_o, n_o = [], [], [], [], []
+        for cid, det, dep in cands:
             if batch.num_rows == 0:
-                return pa.table({
-                    "a": pa.array([], batch.schema.field(det).type),
-                    "b": pa.array([], batch.schema.field(dep).type),
-                    "n_rows": pa.array([], pa.int64()),
-                })
+                continue
             a = batch.column(det).to_numpy(zero_copy_only=False)
             b = batch.column(dep).to_numpy(zero_copy_only=False)
-            ac, _au = pd.factorize(a)
-            bc, _bu = pd.factorize(b)
-            key = ac.astype(np.int64) * (int(bc.max()) + 1 if bc.size
-                                         else 1) + bc
-            uk, cnt = np.unique(key, return_counts=True)
+            ac, au = pd.factorize(a)
+            bc, bu = pd.factorize(b)
             width = int(bc.max()) + 1 if bc.size else 1
+            key = ac.astype(np.int64) * width + bc
+            uk, cnt = np.unique(key, return_counts=True)
+            av = np.asarray(au)[uk // width].astype(np.int64)
+            bv = np.asarray(bu)[uk % width]
+            if bv.dtype == object:          # string dependent
+                bi = np.full(av.size, -1, np.int64)
+                bs = bv
+            else:                           # integer dependent
+                bi = bv.astype(np.int64)
+                bs = np.full(av.size, "", object)
+            cid_o.append(np.full(uk.size, cid, np.int64))
+            a_o.append(av)
+            bi_o.append(bi)
+            bs_o.append(bs)
+            n_o.append(cnt.astype(np.int64))
+        if not cid_o:
             return pa.table({
-                "a": pa.array([_au[i] for i in (uk // width)]),
-                "b": pa.array([_bu[i] for i in (uk % width)]),
-                "n_rows": pa.array(cnt.astype(np.int64), pa.int64()),
-            })
+                "pbucket": pa.array([], pa.int32()),
+                "cand": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "b_int": pa.array([], pa.int64()),
+                "b_str": pa.array([], pa.string()),
+                "n_rows": pa.array([], pa.int64())})
+        cid = np.concatenate(cid_o)
+        a = np.concatenate(a_o)
+        h = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             ^ (cid.astype(np.uint64) << np.uint64(32)))
+        return pa.table({
+            "pbucket": pa.array(
+                ((h >> np.uint64(33)) % np.uint64(nb)).astype(np.int32)),
+            "cand": pa.array(cid, pa.int64()),
+            "a": pa.array(a, pa.int64()),
+            "b_int": pa.array(np.concatenate(bi_o), pa.int64()),
+            "b_str": pa.array(np.concatenate(bs_o).tolist(), pa.string()),
+            "n_rows": pa.array(np.concatenate(n_o), pa.int64()),
+        })
 
-        per_key = (
-            ray.data.read_parquet(
-                os.path.join(sf_dir, f"{tbl}.parquet"),
-                columns=[det, dep])
-            .map_batches(_partial, batch_format="pyarrow")
-            .groupby(["a", "b"])
-            .aggregate(Sum("n_rows", alias_name="n_rows"))
-            .groupby("a")
-            .aggregate(Count(alias_name="n_vals"),
-                       Sum("n_rows", alias_name="n_rows"))
-        )
+    def _grp(group: pa.Table) -> pa.Table:
+        """Bucket-local exact fold: lexsort-dedup the (cand, a, b)
+        rows, count distinct b and total rows per (cand, a), emit one
+        3-int row per candidate present in the bucket."""
+        import pandas as pd
 
-        def _fold(batch: pa.Table) -> pa.Table:
-            nv = batch.column("n_vals").to_numpy().astype(np.int64)
-            nr = batch.column("n_rows").to_numpy().astype(np.int64)
-            viol = nv > 1
-            return pa.table({
-                "n_keys": pa.array([batch.num_rows], pa.int64()),
-                "n_violating_keys": pa.array(
-                    [int(np.count_nonzero(viol))], pa.int64()),
-                "n_violating_rows": pa.array(
-                    [int(nr[viol].sum())], pa.int64()),
-            })
+        cid = group.column("cand").to_numpy().astype(np.int64)
+        a = group.column("a").to_numpy().astype(np.int64)
+        bi = group.column("b_int").to_numpy().astype(np.int64)
+        bs = group.column("b_str").to_numpy(zero_copy_only=False)
+        n = group.column("n_rows").to_numpy().astype(np.int64)
+        bcode = pd.factorize(bs)[0].astype(np.int64) if bs.size \
+            else np.zeros(0, np.int64)
+        order = np.lexsort((bcode, bi, a, cid))
+        cid, a, bi, bc2, n = (cid[order], a[order], bi[order],
+                              bcode[order], n[order])
+        newpair = np.concatenate(([True],
+                                  (cid[1:] != cid[:-1])
+                                  | (a[1:] != a[:-1])
+                                  | (bi[1:] != bi[:-1])
+                                  | (bc2[1:] != bc2[:-1])))
+        ps = np.nonzero(newpair)[0]
+        rows_per_pair = np.add.reduceat(n, ps) if ps.size \
+            else np.zeros(0, np.int64)
+        pcid, pa_ = cid[ps], a[ps]
+        newkey = np.concatenate(([True], (pcid[1:] != pcid[:-1])
+                                 | (pa_[1:] != pa_[:-1])))
+        ks = np.nonzero(newkey)[0]
+        nvals = np.diff(np.concatenate((ks, [pcid.size])))
+        nrows = np.add.reduceat(rows_per_pair, ks) if ks.size \
+            else np.zeros(0, np.int64)
+        kcid = pcid[ks]
+        viol = nvals > 1
+        uc = np.unique(kcid)
+        si = np.searchsorted(uc, kcid)
+        keys = np.zeros(uc.size, np.int64)
+        vk = np.zeros(uc.size, np.int64)
+        vr = np.zeros(uc.size, np.int64)
+        np.add.at(keys, si, 1)
+        np.add.at(vk, si[viol], 1)
+        np.add.at(vr, si[viol], nrows[viol])
+        return pa.table({
+            "cand": pa.array(uc, pa.int64()),
+            "n_keys": pa.array(keys, pa.int64()),
+            "n_violating_keys": pa.array(vk, pa.int64()),
+            "n_violating_rows": pa.array(vr, pa.int64()),
+        })
 
-        # per-batch partial folds -> one tiny driver sum (3 ints/batch)
-        agg = per_key.map_batches(_fold, batch_format="pyarrow").to_pandas()
-        out_rows.append((tbl, det, dep,
-                         int(agg["n_keys"].sum()),
-                         int(agg["n_violating_keys"].sum()),
-                         int(agg["n_violating_rows"].sum())))
+    parts = []
+    for tbl, cands in by_table.items():
+        cols = sorted({c for _, det, dep in cands for c in (det, dep)})
+        parts.append(
+            sized_read(sf_dir, tbl, cols)
+            .map_batches(_partials, fn_kwargs={"cands": tuple(cands)},
+                         batch_format="pyarrow"))
+    unioned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    agg = (unioned.groupby("pbucket")
+           .map_groups(_grp, batch_format="pyarrow")
+           .to_pandas())                   # ≤ nb × |candidates| rows
+    sums = agg.groupby("cand")[["n_keys", "n_violating_keys",
+                                "n_violating_rows"]].sum()
+    out = [(tbl, det, dep,
+            int(sums.loc[cid, "n_keys"]) if cid in sums.index else 0,
+            int(sums.loc[cid, "n_violating_keys"]) if cid in sums.index
+            else 0,
+            int(sums.loc[cid, "n_violating_rows"]) if cid in sums.index
+            else 0)
+           for cid, (tbl, det, dep) in enumerate(FD_CANDIDATES)]
     return pa.table({
-        "tbl": pa.array([r[0] for r in out_rows], pa.string()),
-        "determinant": pa.array([r[1] for r in out_rows], pa.string()),
-        "dependent": pa.array([r[2] for r in out_rows], pa.string()),
-        "n_keys": pa.array([r[3] for r in out_rows], pa.int64()),
-        "n_violating_keys": pa.array([r[4] for r in out_rows], pa.int64()),
-        "n_violating_rows": pa.array([r[5] for r in out_rows], pa.int64()),
+        "tbl": pa.array([r[0] for r in out], pa.string()),
+        "determinant": pa.array([r[1] for r in out], pa.string()),
+        "dependent": pa.array([r[2] for r in out], pa.string()),
+        "n_keys": pa.array([r[3] for r in out], pa.int64()),
+        "n_violating_keys": pa.array([r[4] for r in out], pa.int64()),
+        "n_violating_rows": pa.array([r[5] for r in out], pa.int64()),
     })
 
 
