@@ -3650,7 +3650,7 @@ def q_single_linkage_clusters(sf_dir: str,
 
     ranked = blocked_prefix_apply(ew.sort(key=["w", "u", "v"]), 16,
                                   lambda t: t.num_rows, _emit)
-    med_rows = ranked.filter(lambda r: r["rn"] == target).take_all()
+    med_rows = ranked.filter(expr=f"rn == {target}").take_all()
     t_med = int(med_rows[0]["w"])
 
     def _sym(batch: pa.Table) -> pa.Table:
@@ -4352,7 +4352,7 @@ def q_ktruss_edges(sf_dir: str, k: int = TRUSS_K) -> ray.data.Dataset:
     supp = None
     for _ in range(TRUSS_MAX_ROUNDS):
         supp = _edge_support(edges).materialize()
-        kept = supp.filter(lambda r, kk=k: r["s"] >= kk - 2)
+        kept = supp.filter(expr=f"s >= {k - 2}")   # vectorized Arrow
         n_kept = kept.count()
         if n_kept == n_edges:
             break
@@ -4361,10 +4361,10 @@ def q_ktruss_edges(sf_dir: str, k: int = TRUSS_K) -> ray.data.Dataset:
     else:
         # converged exactly at the cap only if the last pass was clean
         supp = _edge_support(edges).materialize()
-        if supp.filter(lambda r, kk=k: r["s"] < kk - 2).count() > 0:
+        if supp.filter(expr=f"s < {k - 2}").count() > 0:
             raise RuntimeError("k-truss peeling exceeded "
                                "TRUSS_MAX_ROUNDS")
-    return (supp.filter(lambda r, kk=k: r["s"] >= kk - 2)
+    return (supp.filter(expr=f"s >= {k - 2}")
             .map_batches(lambda b: pa.table({
                 "u": b.column("u").cast(pa.int64()),
                 "v": b.column("v").cast(pa.int64()),

@@ -1965,6 +1965,8 @@ def q_similar_docs(sf_dir: str) -> pa.Table:
 # ------------------------------------- prefix-filtered (PPJoin) near-dup
 
 PPJOIN_PAIR_BUCKETS = 64
+PPJOIN_HOT_DF = 4         # shingles at/above this df get explicit rank
+PPJOIN_HOT_MAX = 1_000_000  # broadcast bound: top-df shingles only
 
 
 def q_jaccard_pairs_prefix(sf_dir: str,
@@ -1980,11 +1982,16 @@ def q_jaccard_pairs_prefix(sf_dir: str,
     the corresponding prefix of B must share an element. Candidate
     pairs therefore come from PREFIX rows only (plus the |B| >= t·|A|
     length filter); the quadratic explosion touches ~(1-t) of each
-    set instead of all of it. Hash order gives a hot shingle a
-    ~(1-t)² chance of surviving into both prefixes; the classic
-    refinement orders by ASCENDING global df instead (one extra df
-    aggregate + broadcast), which pushes hot shingles to suffixes
-    deterministically — worth it at 100 TB, not at bench scale.
+    set instead of all of it. The global order is the classic
+    ASCENDING-df order (Bayardo et al.'s frequency ordering): one df
+    aggregate finds the hot shingles (df >= PPJOIN_HOT_DF, capped at
+    the PPJOIN_HOT_MAX highest-df entries so the broadcast stays
+    bounded at any corpus size), each doc orders its shingles by
+    (known-df, hash) — rare/unknown shingles first, hot shingles
+    deterministically in the suffixes — and prefix filtering stays
+    complete under ANY consistent total order, so the plan equals the
+    exact oracle with strictly fewer hot-bucket candidates than the
+    old hash order (~(1-t)² survival per hot shingle).
 
     Verification is exact and distributed: each candidate pair gets a
     packed pair id, both docs' FULL shingle sets are routed to the
@@ -1994,13 +2001,33 @@ def q_jaccard_pairs_prefix(sf_dir: str,
     values equal q_jaccard_pairs; the driver hash-checks the two
     plans against the SAME oracle (plan-equivalence proof, like
     sessionize_sliced)."""
+    from ray.data.aggregate import Count as AggCount
     from ray.data.aggregate import Max
 
     pct = int(threshold_pct)
     if not 0 < pct <= 100:
         raise ValueError("threshold_pct must be in (0, 100]")
 
+    # global ascending-df order: ONE df aggregate over the distinct
+    # (doc, shingle) rows; only the hot tail (df >= PPJOIN_HOT_DF,
+    # top PPJOIN_HOT_MAX by df) is broadcast — everything else ranks
+    # as df-unknown (0) and orders by hash, a consistent total order
+    hot_pdf = (documents_ds(sf_dir)
+               .map_batches(lambda bt: _shingle_rows(bt, H.SHINGLE_W),
+                            batch_format="pyarrow")
+               .groupby("shingle_h")
+               .aggregate(AggCount(alias_name="df"))
+               .filter(expr=f"df >= {PPJOIN_HOT_DF}")
+               .sort("df", descending=True)
+               .limit(PPJOIN_HOT_MAX)
+               .to_pandas())
+    hk = hot_pdf["shingle_h"].to_numpy(np.int64)
+    hd = hot_pdf["df"].to_numpy(np.int64)
+    horder = np.argsort(hk, kind="stable")
+    hot_ref = ray.put((hk[horder], hd[horder]))
+
     def _prefix_rows(batch: pa.Table) -> pa.Table:
+        hot_keys, hot_df = ray.get(hot_ref)   # plasma, zero-copy
         token_lists = tokenize_many(batch.column("text").to_pylist())
         doc_ids = batch.column("doc_id").to_numpy()
         out_doc, out_h, out_n = [], [], []
@@ -2009,9 +2036,16 @@ def q_jaccard_pairs_prefix(sf_dir: str,
             n = hs.size
             if n == 0:
                 continue
+            if hot_keys.size:
+                idx = np.minimum(np.searchsorted(hot_keys, hs),
+                                 hot_keys.size - 1)
+                dfv = np.where(hot_keys[idx] == hs, hot_df[idx], 0)
+            else:
+                dfv = np.zeros(n, np.int64)
+            sel = np.lexsort((hs, dfv))   # ascending df, then hash
             p = min(n, max(1, n - (pct * n + 99) // 100 + 1))
             out_doc.append(np.full(p, doc_ids[i], dtype=np.int64))
-            out_h.append(hs[:p].astype(np.int64))
+            out_h.append(hs[sel[:p]].astype(np.int64))
             out_n.append(np.full(p, n, dtype=np.int64))
         if not out_doc:
             return pa.table({"doc_id": pa.array([], pa.int64()),
