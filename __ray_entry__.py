@@ -147,7 +147,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data extras (dedup / similarity / text analysis) ---
         "dedup_exact": ex.q_dedup_exact,
         # exact-mode opt-in: the library default caps hot shingles
-        # (safe polarity at scale); the oracle comparison wants exact
+        # (safe polarity at scale); the oracle comparison wants exact.
+        # BOUND: max_shingle_df=None makes the shared-shingle explosion
+        # quadratic in the hottest shingle's df — safe here only
+        # because the driver runs at sf<=0.1 (hottest shingle df ~5e3
+        # -> ~1e7 pair rows worst case). Do NOT lift these lambdas
+        # into a large-scale path; use the capped library default or
+        # q_jaccard_pairs_prefix (sub-quadratic, same result).
         "jaccard_pairs": lambda sf: ex.q_jaccard_pairs(sf, max_shingle_df=None),
         # containment twin: exact-mode opt-in like jaccard_pairs
         "containment_pairs":

@@ -58,6 +58,18 @@ def read_transcripts(source: str | list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(source, columns=INPUT_COLUMNS)
 
 
+def _steal_cpu_sec() -> float:
+    """Cumulative hypervisor CPU-steal (cpu-seconds, /proc/stat col 8)
+    — per-phase deltas land in the build metrics so a noisy-host run's
+    wall-clock spread is attributable to a phase (read vs emission vs
+    shuffle vs merge) instead of a mystery (BENCH/BASELINE.md
+    session-13 measured 94-250 s for identical code)."""
+    try:
+        return int(open("/proc/stat").readline().split()[8]) / 100.0
+    except Exception:
+        return 0.0
+
+
 def _stats_dir(out_dir): return os.path.join(out_dir, "stats")
 def _part_dir(out_dir, p): return os.path.join(out_dir, "segments", f"part-{p:05d}")
 def _final_dir(out_dir): return os.path.join(out_dir, "final")
@@ -353,10 +365,12 @@ def build_index(
 
     # ---- phase 0 (optional): tokenize once into a columnar token store
     if token_cache:
-        tt = time.time()
+        tt, st = time.time(), _steal_cpu_sec()
         token_files = _build_token_store(inputs, out_dir)
         metrics["phases"].append({"phase": "tokens",
-                                  "sec": round(time.time() - tt, 3)})
+                                  "sec": round(time.time() - tt, 3),
+                                  "steal_cpu_sec": round(
+                                      _steal_cpu_sec() - st, 1)})
     else:
         token_files = None
 
@@ -370,6 +384,7 @@ def build_index(
         metrics["phases"].append({"phase": "stats", "skipped": True})
     else:
         ckpt.clear_stale(sd)
+        st = _steal_cpu_sec()
         if token_cache:
             toks = ray.data.read_parquet(token_files)
             base_ds = toks  # conv_offsets projects conv_id/turn_idx
@@ -390,7 +405,9 @@ def build_index(
             stats = compute_stats(toks)
             _persist_stats(out_dir, stats, offsets, inputs)
         metrics["phases"].append({"phase": "stats", "skipped": False,
-                                  "sec": round(time.time() - t0, 3)})
+                                  "sec": round(time.time() - t0, 3),
+                                  "steal_cpu_sec": round(
+                                      _steal_cpu_sec() - st, 1)})
 
     stats_ref = ray.put(stats)
     offsets_ref = ray.put(offsets)
@@ -419,7 +436,7 @@ def build_index(
             metrics["phases"].append({"phase": f"part-{p}", "skipped": True})
             continue
         ckpt.clear_stale(pd)
-        tp = time.time()
+        tp, sp = time.time(), _steal_cpu_sec()
         if mode == "files":
             ds = ray.data.read_parquet(spec, columns=emit_columns)
         else:
@@ -446,7 +463,9 @@ def build_index(
         })
         metrics["phases"].append({"phase": f"part-{p}", "skipped": False,
                                   "n_keys": int(n_keys),
-                                  "sec": round(time.time() - tp, 3)})
+                                  "sec": round(time.time() - tp, 3),
+                                  "steal_cpu_sec": round(
+                                      _steal_cpu_sec() - sp, 1)})
 
     # ---- phase 3: merge partition sub-segments into the global index
     fd = _final_dir(out_dir)
@@ -456,7 +475,7 @@ def build_index(
         metrics["phases"].append({"phase": "merge", "skipped": True})
     else:
         ckpt.clear_stale(fd)
-        tm = time.time()
+        tm, sm2 = time.time(), _steal_cpu_sec()
         if len(part_dirs) == 1:
             _merge_single(part_dirs[0], fd)
         else:
@@ -465,7 +484,9 @@ def build_index(
                                  "cfg": cfg_tag,
                                  "sec": round(time.time() - tm, 3)})
         metrics["phases"].append({"phase": "merge", "skipped": False,
-                                  "sec": round(time.time() - tm, 3)})
+                                  "sec": round(time.time() - tm, 3),
+                                  "steal_cpu_sec": round(
+                                      _steal_cpu_sec() - sm2, 1)})
 
     metrics["total_sec"] = round(time.time() - t0, 3)
     metrics["n_docs"] = stats["n_docs"]

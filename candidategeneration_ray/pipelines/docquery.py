@@ -216,10 +216,24 @@ def q_stemmed_df_top50(sf_dir: str) -> pa.Table:
             "stem": pa.array(su[packed % su.size].tolist(), pa.string()),
         })
 
+    def _top(batch: pa.Table) -> pa.Table:
+        """Per-batch partial top-50 by (df desc, stem asc) — the
+        global top 50 are each inside their batch's top 50, so the
+        driver merges O(batches·50) rows, never the vocabulary."""
+        stems = np.asarray(batch.column("stem").to_pylist(),
+                           dtype=object)
+        df = batch.column("df").to_numpy().astype(np.int64)
+        order = np.lexsort((stems, -df))[:50]
+        return pa.table({
+            "stem": pa.array(stems[order].tolist(), pa.string()),
+            "df": pa.array(df[order], pa.int64()),
+        })
+
     agg = (doc_tokens(sf_dir)
            .map_batches(_stem_doc_rows, batch_format="pyarrow")
            .groupby("stem").aggregate(Count(alias_name="df"))
-           ).to_pandas()                       # O(vocab), like df_top50
+           .map_batches(_top, batch_format="pyarrow")
+           ).to_pandas()                       # O(batches · 50) rows
     stems = agg["stem"].to_numpy(dtype=object)
     df = agg["df"].to_numpy(np.int64)
     order = np.lexsort((stems, -df))[:50]
@@ -545,7 +559,17 @@ def q_pair_counts_top50(sf_dir: str) -> pa.Table:
     cfg = EngineConfig(emit_unigrams=False, emit_pairs=True)
     postings = emit_postings(toks, ray.put(stats), cfg)
     counts = postings.groupby("key").aggregate(Sum("n", alias_name="n_docs"))
-    pdf = counts.to_pandas()  # one row per distinct pair key (small)
+
+    def _top(batch: pa.Table) -> pa.Table:
+        """Partial top-50 per batch by (n desc, key asc) — the driver
+        merges O(batches · 50) rows, never the pair vocabulary."""
+        k = batch.column("key").to_numpy().astype(np.int64)
+        nn = batch.column("n_docs").to_numpy().astype(np.int64)
+        o = np.lexsort((k, -nn))[:50]
+        return pa.table({"key": pa.array(k[o], pa.int64()),
+                         "n_docs": pa.array(nn[o], pa.int64())})
+
+    pdf = counts.map_batches(_top, batch_format="pyarrow").to_pandas()
     keys = pdf["key"].to_numpy(np.int64)
     n = pdf["n_docs"].to_numpy(np.int64)
     order = np.lexsort((keys, -n))[:50]
@@ -3176,14 +3200,14 @@ def q_kendall_tau(sf_dir: str) -> pa.Table:
     a = q_bm25_topk(sf_dir)
     b = q_ltr_rerank_topk(sf_dir)
 
-    def _ranks(t: pa.Table, score_col: str) -> dict[int, dict[int, int]]:
+    def _ranks(t: pa.Table) -> dict[int, dict[int, int]]:
         out: dict[int, dict[int, int]] = {}
         for r in t.to_pylist():
             out.setdefault(r["query_id"], {})[r["doc_id"]] = r["rank"]
         return out
 
-    ra = _ranks(a, "score")
-    rb = _ranks(b, "ltr_score")
+    ra = _ranks(a)
+    rb = _ranks(b)
     rows = {k: [] for k in ("query_id", "n_common", "concordant",
                             "discordant")}
     for q in sorted(set(ra) & set(rb)):

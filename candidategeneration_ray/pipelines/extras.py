@@ -3120,11 +3120,25 @@ def q_priority_sample(sf_dir: str, k: int = PRIO_SAMPLE_K) -> pa.Table:
     def _partial(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy().astype(np.int64)
         w = batch.column("n_chars").to_numpy().astype(np.int64)
-        h = H.h64_many([str(int(x)) for x in d]).astype(object)
-        pr = np.array([int(ww) * _TWO64 // max(int(hh), 1)
-                       for ww, hh in zip(w, h)], dtype=object)
-        order = np.lexsort((d, np.array([-p for p in pr], object)))
-        keep = order[:k + 1]
+        h = H.h64_many([str(int(x)) for x in d]).astype(np.uint64)
+        # float prefilter: exact bigint priorities only for rows whose
+        # float estimate can reach the batch top-(k+1) (float q has
+        # relative error ~2^-50 plus the floor's absolute 1, so the
+        # widened threshold provably keeps every true top row — the
+        # per-doc Python bigint pass shrinks from all rows to ~k+1)
+        hf = np.maximum(h.astype(np.float64), 1.0)
+        qf = w.astype(np.float64) * (2.0 ** 64) / hf
+        kk = min(k + 1, d.size)
+        if d.size > kk:
+            thr = np.partition(qf, d.size - kk)[d.size - kk]
+            cand = np.nonzero(qf >= thr * (1.0 - 1e-6) - 4.0)[0]
+        else:
+            cand = np.arange(d.size)
+        pr_c = [int(w[i]) * _TWO64 // max(int(h[i]), 1) for i in cand]
+        order_c = sorted(range(len(cand)),
+                         key=lambda j: (-pr_c[j], int(d[cand[j]])))
+        keep = cand[order_c[:k + 1]]
+        pr = {int(i): pr_c[j] for j, i in enumerate(cand)}
         return pa.table({
             "doc_id": pa.array(d[keep], pa.int64()),
             "weight": pa.array(w[keep], pa.int64()),

@@ -8552,8 +8552,14 @@ FROM run WHERE nxt IS NOT NULL
             "und0 AS (SELECT v FROM pr)",
             "col0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT)"
             " AS c WHERE 1 = 0)",
+            # 0..COLOR_MAX_COLORS inclusive: the last value is a
+            # SENTINEL — a node whose colored neighborhood exhausts
+            # all budget colors takes color = COLOR_MAX_COLORS here
+            # (instead of silently emitting no row), while the engine
+            # raises RuntimeError; either way the driver comparison
+            # fails LOUDLY rather than dropping the node
             f"nums AS (SELECT unnest(generate_series(0, "
-            f"{COLOR_MAX_COLORS - 1})) AS c)"]
+            f"{COLOR_MAX_COLORS})) AS c)"]
     for r in range(COLOR_MAX_ROUNDS):
         ctes.append(f"""nb{r} AS (
   SELECT s.x AS v, p.h AS nh, p.v AS nv,
