@@ -123,7 +123,11 @@ def run_bench() -> dict:
         res = build_index(src, out_dir)
         sec = time.time() - t0
         trials.append({"sec": round(sec, 3),
-                       "steal_cpu_sec": round((_steal_jiffies() - s0) / 100, 1)})
+                       "steal_cpu_sec": round((_steal_jiffies() - s0) / 100, 1),
+                       # per-phase wall + steal: attributes any trial
+                       # spread to read/stats vs emission vs merge
+                       "phases": [p for p in res["metrics"]["phases"]
+                                  if not p.get("skipped")]})
     build_sec = min(t["sec"] for t in trials)
     n_docs = res["metrics"]["n_docs"]
 

@@ -43,6 +43,11 @@ DOC_QUERIES: list[tuple[int, str]] = [
 
 
 def documents_ds(sf_dir: str) -> ray.data.Dataset:
+    """Column-pruned documents read. Keeps Ray's default block split:
+    most consumers run CPU-heavy tokenize/shingle map stages that
+    want full map parallelism — capping blocks here (tried: 16) slows
+    them more than it saves downstream shuffle fan-in. Plans whose
+    cost IS the shuffle use relational.sized_read instead."""
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
