@@ -137,6 +137,7 @@ def run_bench() -> dict:
             "metric": "index_build_sec", "value": round(build_sec, 3),
             "unit": "sec", "queries": {}, "sf": SF_DIR, "num_cpus": NUM_CPUS,
             "n_docs": n_docs, "turns_per_sec": round(n_docs / build_sec, 1),
+            "build_trials": trials,
         }
 
     # query serving over the fresh index (fixed query mix)
