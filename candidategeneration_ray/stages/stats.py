@@ -169,16 +169,43 @@ def compute_stats(ds_tokens: ray.data.Dataset) -> dict:
              "df_by_id": int64 array (df_by_id[0] unused),
              "n_docs": int, "total_tokens": int, "avgdl": float}.
     """
-    from ray.data.aggregate import Sum
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        import pandas as pd
 
-    partials = ds_tokens.select_columns(["tokens"]).map_batches(
-        _partial_df, batch_format="pyarrow"
-    )
-    agg = partials.groupby("term").aggregate(
-        Sum("df", alias_name="df"),
-        Sum("n_docs_partial", alias_name="nd"),
-        Sum("n_tokens_partial", alias_name="nt"),
-    )
+        names = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        b = (pd.util.hash_array(names) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("tbucket", pa.array(b))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        """Bucket-local exact fold: one row per term. The int-bucket
+        groupby + vectorized fold replaces the string-key sort
+        aggregate (measured ~2x on the headline stats phase — same
+        per-block fixed-cost lesson as relational.sized_read)."""
+        import pandas as pd
+
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        df = group.column("df").to_numpy().astype(np.int64)
+        nd = group.column("n_docs_partial").to_numpy().astype(np.int64)
+        nt = group.column("n_tokens_partial").to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(terms)
+        return pa.table({
+            "term": pa.array(np.asarray(uniq, dtype=object).tolist(),
+                             pa.string()),
+            "df": pa.array(np.bincount(codes, weights=df,
+                                       minlength=uniq.size)
+                           .astype(np.int64), pa.int64()),
+            "nd": pa.array(np.bincount(codes, weights=nd,
+                                       minlength=uniq.size)
+                           .astype(np.int64), pa.int64()),
+            "nt": pa.array(np.bincount(codes, weights=nt,
+                                       minlength=uniq.size)
+                           .astype(np.int64), pa.int64()),
+        })
+
+    agg = (ds_tokens.select_columns(["tokens"])
+           .map_batches(lambda b: _bucketize(_partial_df(b)),
+                        batch_format="pyarrow")
+           .groupby("tbucket").map_groups(_fold, batch_format="pyarrow"))
     pdf = agg.to_pandas()
     n_docs = int(pdf["nd"].sum())
     total_tokens = int(pdf["nt"].sum())
