@@ -2002,7 +2002,6 @@ def q_jaccard_pairs_prefix(sf_dir: str,
     plans against the SAME oracle (plan-equivalence proof, like
     sessionize_sliced)."""
     from ray.data.aggregate import Count as AggCount
-    from ray.data.aggregate import Max
 
     pct = int(threshold_pct)
     if not 0 < pct <= 100:
@@ -2092,6 +2091,32 @@ def q_jaccard_pairs_prefix(sf_dir: str,
             "size_b": pa.array(size_b[keep], pa.int64()),
         })
 
+    def _cbucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        pid = ((a << np.int64(32)) | b).astype(np.uint64)
+        hh = pid * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
+        return batch.append_column(
+            "cbucket", pa.array((hh % np.uint64(npb)).astype(np.int32)))
+
+    def _cand_dedup(group: pa.Table) -> pa.Table:
+        """Bucket-local pair dedup (sizes are per-doc constants, so
+        first-occurrence == the old Max aggregate) — int-bucket
+        map_groups replaces the two-column sort aggregate."""
+        a = group.column("doc_a").to_numpy().astype(np.int64)
+        b = group.column("doc_b").to_numpy().astype(np.int64)
+        sa = group.column("size_a").to_numpy().astype(np.int64)
+        sb = group.column("size_b").to_numpy().astype(np.int64)
+        pid = (a << np.int64(32)) | b
+        _, first = np.unique(pid, return_index=True)
+        return pa.table({
+            "doc_a": pa.array(a[first], pa.int64()),
+            "doc_b": pa.array(b[first], pa.int64()),
+            "size_a": pa.array(sa[first], pa.int64()),
+            "size_b": pa.array(sb[first], pa.int64()),
+        })
+
     shingles_full = documents_ds(sf_dir).map_batches(
         lambda bt: _shingle_rows(bt, H.SHINGLE_W), batch_format="pyarrow")
     cands = (
@@ -2099,9 +2124,9 @@ def q_jaccard_pairs_prefix(sf_dir: str,
         .map_batches(_prefix_rows, batch_format="pyarrow")
         .map_batches(_bucketize, batch_format="pyarrow")
         .groupby("sbucket").map_groups(_cand_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Max("size_a", alias_name="size_a"),
-                   Max("size_b", alias_name="size_b"))
+        .map_batches(_cbucket, batch_format="pyarrow")
+        .groupby("cbucket").map_groups(_cand_dedup,
+                                       batch_format="pyarrow")
     )
 
     npb = PPJOIN_PAIR_BUCKETS
