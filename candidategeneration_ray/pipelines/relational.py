@@ -3301,9 +3301,7 @@ def copurchase_counts(sf_dir: str) -> ray.data.Dataset:
     pair expansion vectorized PER BASKET-SIZE CLASS (one broadcasted
     triu index per distinct size, no per-order Python loop; basket
     size is capped — a degenerate 10⁶-line order would otherwise
-    expand quadratically). Pair partials → one groupby(key)."""
-    from ray.data.aggregate import Sum
-
+    expand quadratically). Pair partials → one key-hash bucket fold."""
     nb = COPURCHASE_BUCKETS
 
     def _pairs(group: pa.Table) -> pa.Table:
@@ -3348,15 +3346,34 @@ def copurchase_counts(sf_dir: str) -> ray.data.Dataset:
         return batch.append_column(
             "bkt", pa.array((ok % nb).astype(np.int32)))
 
+    def _kbucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy().astype(np.uint64)
+        hh = k * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
+        return batch.append_column(
+            "kbkt", pa.array((hh % np.uint64(nb)).astype(np.int32)))
+
+    def _kfold(group: pa.Table) -> pa.Table:
+        """Bucket-local exact sum per pair key — the int-bucket fold
+        replacing the key sort-aggregate (same lesson as fd_audit)."""
+        k = group.column("key").to_numpy().astype(np.int64)
+        n = group.column("n").to_numpy().astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        return pa.table({
+            "key": pa.array(uk, pa.int64()),
+            "n_orders": pa.array(
+                np.bincount(inv, weights=n, minlength=uk.size)
+                .astype(np.int64), pa.int64()),
+        })
+
     return (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_orderkey", "l_partkey"])
+        sized_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
         .map_batches(_bucket, batch_format="pyarrow")
         .groupby("bkt")
         .map_groups(lambda g: _pairs(g), batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Sum("n", alias_name="n_orders"))
+        .map_batches(_kbucket, batch_format="pyarrow")
+        .groupby("kbkt")
+        .map_groups(_kfold, batch_format="pyarrow")
     )
 
 
