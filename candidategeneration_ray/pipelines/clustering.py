@@ -1170,21 +1170,38 @@ def _knn_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
     """Symmetrized undirected kNN edges KEEPING the exact integer
     squared-L2 weight (distance is symmetric, so the groupby-min is
     a dedup, not a choice)."""
-    from ray.data.aggregate import Min
 
     def _sym(batch: pa.Table) -> pa.Table:
         a = batch.column("vec_id").to_numpy().astype(np.int64)
         b = batch.column("nbr_id").to_numpy().astype(np.int64)
         w = batch.column("d2").to_numpy().astype(np.int64)
+        key = (np.minimum(a, b) << np.int64(32)) | np.maximum(a, b)
+        hh = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
         return pa.table({
-            "u": pa.array(np.minimum(a, b), pa.int64()),
-            "v": pa.array(np.maximum(a, b), pa.int64()),
+            "kbkt": pa.array((hh % np.uint64(64)).astype(np.int32)),
+            "key": pa.array(key, pa.int64()),
             "d2": pa.array(w, pa.int64()),
+        })
+
+    def _fold(group: pa.Table) -> pa.Table:
+        """Bucket-local per-edge min (the dedup) — int-bucket fold
+        replacing the (u, v) sort aggregate."""
+        k = group.column("key").to_numpy().astype(np.int64)
+        d2 = group.column("d2").to_numpy().astype(np.int64)
+        order = np.lexsort((d2, k))
+        k, d2 = k[order], d2[order]
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        k, d2 = k[first], d2[first]
+        return pa.table({
+            "u": pa.array(k >> np.int64(32), pa.int64()),
+            "v": pa.array(k & np.int64(0xFFFFFFFF), pa.int64()),
+            "w": pa.array(d2, pa.int64()),
         })
 
     return (q_knn_graph(sf_dir)
             .map_batches(_sym, batch_format="pyarrow")
-            .groupby(["u", "v"]).aggregate(Min("d2", alias_name="w")))
+            .groupby("kbkt").map_groups(_fold, batch_format="pyarrow"))
 
 
 @ray.remote
@@ -1678,25 +1695,31 @@ def _knn_undirected_edges(sf_dir: str) -> "ray.data.Dataset":
     """Symmetrized, distinct undirected edge set of the kNN graph —
     shared by the wedge-based motif operators (triangles, common
     neighbors)."""
-    from ray.data.aggregate import Count
 
     knn = q_knn_graph(sf_dir)
 
     def _sym_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("vec_id").to_numpy().astype(np.int64)
         b = batch.column("nbr_id").to_numpy().astype(np.int64)
-        u = np.minimum(a, b)
-        v = np.maximum(a, b)
-        key = (u << np.int64(32)) | v
+        key = (np.minimum(a, b) << np.int64(32)) | np.maximum(a, b)
         uk = np.unique(key)
+        hh = uk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
+        return pa.table({
+            "kbkt": pa.array((hh % np.uint64(64)).astype(np.int32)),
+            "key": pa.array(uk, pa.int64()),
+        })
+
+    def _fold(group: pa.Table) -> pa.Table:
+        """Bucket-local distinct — replaces the (u, v) sort aggregate."""
+        uk = np.unique(group.column("key").to_numpy().astype(np.int64))
         return pa.table({
             "u": pa.array(uk >> np.int64(32), pa.int64()),
             "v": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
         })
 
     return (knn.map_batches(_sym_edges, batch_format="pyarrow")
-            .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
-            .select_columns(["u", "v"]))
+            .groupby("kbkt").map_groups(_fold, batch_format="pyarrow"))
 
 
 def _wedge_edge_union(edges: "ray.data.Dataset",
