@@ -2775,8 +2775,6 @@ def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
     the verify is linear in candidates, and candidates are bounded by
     rare-gram co-occurrence, not corpus size. Deterministic integers
     throughout -> hash-verified against DuckDB's levenshtein()."""
-    from ray.data.aggregate import Count
-
     if k < 1 or q < 2:
         raise ValueError("need k >= 1 and q >= 2")
     short_len = (k + 1) * q - 1   # count bound vacuous at/below this
@@ -2804,9 +2802,37 @@ def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
         return pa.table({"gram": pa.array(grams, pa.string()),
                          "occ": pa.array(occs, pa.int64())})
 
+    def _gbucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = np.asarray(batch.column("gram").to_pylist(), dtype=object)
+        o = batch.column("occ").to_numpy().astype(np.int64)
+        h = (pd.util.hash_array(g)
+             + o.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        return batch.append_column(
+            "gbkt", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def _df_fold(group: pa.Table) -> pa.Table:
+        """Bucket-local (gram, occ) count — int-bucket fold replacing
+        the two-column sort aggregate."""
+        import pandas as pd
+
+        dfp = (pd.DataFrame({
+            "gram": np.asarray(group.column("gram").to_pylist(),
+                               dtype=object),
+            "occ": group.column("occ").to_numpy().astype(np.int64)})
+            .groupby(["gram", "occ"], sort=False).size()
+            .reset_index(name="df"))
+        return pa.table({
+            "gram": pa.array(dfp["gram"].tolist(), pa.string()),
+            "occ": pa.array(dfp["occ"].to_numpy(np.int64), pa.int64()),
+            "df": pa.array(dfp["df"].to_numpy(np.int64), pa.int64()),
+        })
+
     df = (ray.data.read_parquet(part_path, columns=["p_name"])
           .map_batches(_df_rows, batch_format="pyarrow")
-          .groupby(["gram", "occ"]).aggregate(Count(alias_name="df"))
+          .map_batches(_gbucket, batch_format="pyarrow")
+          .groupby("gbkt").map_groups(_df_fold, batch_format="pyarrow")
           .to_pandas())
     df = df.sort_values(["df", "gram", "occ"],
                         kind="mergesort").reset_index(drop=True)
