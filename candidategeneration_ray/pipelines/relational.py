@@ -119,8 +119,7 @@ def _hot_probe_keys(sf_dir: str, hot_k: int) -> np.ndarray:
                          "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
 
     rows = (
-        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                              columns=["o_custkey"])
+        sized_read(sf_dir, "orders", ["o_custkey"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
         .sort(key=["cnt", "key"], descending=[True, False])
@@ -284,8 +283,7 @@ def q_top_customers(sf_dir: str, k: int = TOP_CUSTOMERS) -> pa.Table:
         })
 
     top = (
-        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                              columns=["o_custkey", "o_totalprice"])
+        sized_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Sum("total_cents", alias_name="total_cents"),
@@ -849,9 +847,7 @@ def q_customer_order_distribution(sf_dir: str) -> ray.data.Dataset:
     emits a (c_count, n) histogram partial — so the final shuffle is
     O(distinct counts), not O(customers)."""
     counts = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_custkey", "o_orderpriority"])
+        sized_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
         .map_batches(
             lambda b: _custkey_count_partial(b, Q13_EXCLUDE_PRIORITY),
             batch_format="pyarrow")
@@ -937,8 +933,7 @@ def q_large_volume_customers(sf_dir: str) -> pa.Table:
     made the survivor set large, the bucketed union-tag join
     (q_nation_order_stats) is the swap-in plan."""
     qty = (
-        ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
-                              columns=["l_orderkey", "l_quantity"])
+        sized_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
         .map_batches(_orderkey_qty_partial, batch_format="pyarrow")
         .groupby("key").aggregate(Sum("qty_c", alias_name="sum_qty_c"))
         .map_batches(
@@ -980,9 +975,7 @@ def q_large_volume_customers(sf_dir: str) -> pa.Table:
         })
 
     picked = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_orderkey", "o_custkey", "o_orderdate",
+        sized_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
                      "o_totalprice"])
         .map_batches(_pick_orders, batch_format="pyarrow")
         .to_pandas()
@@ -1001,8 +994,7 @@ def q_large_volume_customers(sf_dir: str) -> pa.Table:
         return batch.filter(pa.array(keep)).select(["c_custkey", "c_name"])
 
     names = (
-        ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                              columns=["c_custkey", "c_name"])
+        sized_read(sf_dir, "customer", ["c_custkey", "c_name"])
         .map_batches(_pick_names, batch_format="pyarrow")
         .to_pandas()
     )
@@ -1096,9 +1088,7 @@ def q_order_skyline(sf_dir: str) -> ray.data.Dataset:
             group.column("price_cents").to_numpy().astype(np.int64),
             group.column("order_day").to_numpy().astype(np.int64))
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    ds = sized_read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
     return (
         ds.map_batches(_local, batch_format="pyarrow")
         .groupby("g").map_groups(_final, batch_format="pyarrow")
@@ -1129,9 +1119,7 @@ def q_promo_revenue_share(sf_dir: str) -> ray.data.Dataset:
     worker memory."""
     import pyarrow.compute as pc
 
-    part = ray.data.read_parquet(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_partkey", "p_type"])
+    part = sized_read(sf_dir, "part", ["p_partkey", "p_type"])
 
     def _part_rows(b: pa.Table) -> pa.Table:
         pk = b.column("p_partkey").to_numpy().astype(np.int64)
@@ -1177,9 +1165,7 @@ def q_promo_revenue_share(sf_dir: str) -> ray.data.Dataset:
         })
 
     return (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_partkey", "l_extendedprice", "l_discount",
+        sized_read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount",
                      "l_shipdate"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("g")
@@ -1211,9 +1197,7 @@ def q_small_qty_revenue(sf_dir: str,
 
     nb = JOIN_BUCKETS
 
-    part = ray.data.read_parquet(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_partkey", "p_brand"])
+    part = sized_read(sf_dir, "part", ["p_partkey", "p_brand"])
 
     def _brand_rows(b: pa.Table) -> pa.Table:
         keep = pc.equal(b.column("p_brand"), brand).to_numpy(
@@ -1250,9 +1234,7 @@ def q_small_qty_revenue(sf_dir: str,
 
     lineitem_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
     agg = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_partkey", "l_quantity"])
+        sized_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
         .map_batches(_qty_partial, batch_format="pyarrow")
         .groupby("l_partkey")
         .aggregate(Sum("cnt", alias_name="cnt"),
@@ -1363,8 +1345,7 @@ def q_above_avg_idle_customers(sf_dir: str) -> ray.data.Dataset:
         })
 
     scal = (
-        ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                              columns=["c_acctbal"])
+        sized_read(sf_dir, "customer", ["c_acctbal"])
         .map_batches(_bal_partial, batch_format="pyarrow")
         .groupby("g")
         .aggregate(Sum("n_pos", alias_name="n_pos"),
@@ -2687,9 +2668,7 @@ def q_top_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
         })
 
     return (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        sized_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
         .map_batches(_rows, batch_format="pyarrow")
         .groupby("bkt")
         .map_groups(_rank, batch_format="pyarrow")
@@ -2750,9 +2729,7 @@ def q_orders_cube(sf_dir: str) -> ray.data.Dataset:
         })
 
     return (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        sized_read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby(["o_orderstatus", "o_orderpriority"])
         .aggregate(Sum("n_orders", alias_name="n_orders"),
@@ -2789,9 +2766,7 @@ def q_order_global_rank(sf_dir: str, num_blocks: int = 32) -> ray.data.Dataset:
     from candidategeneration_ray.stages.docids import blocked_prefix_apply
 
     ds = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_orderkey", "o_totalprice"])
+        sized_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
         .map_batches(_rows, batch_format="pyarrow")
         .sort(key=["total_cents", "o_orderkey"], descending=[True, False])
     )
@@ -2829,9 +2804,7 @@ def q_stratified_budget(sf_dir: str,
     from ray.data.aggregate import Count
 
     rows = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["source"])
+        sized_read(sf_dir, "documents", ["source"])
         .groupby("source")
         .aggregate(Count(alias_name="n_docs"))
         .take_all()
@@ -2914,9 +2887,7 @@ def q_forecast_revenue(sf_dir: str) -> ray.data.Dataset:
         })
 
     return (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_shipdate", "l_quantity", "l_discount",
+        sized_read(sf_dir, "lineitem", ["l_shipdate", "l_quantity", "l_discount",
                      "l_extendedprice"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("g")
@@ -3036,15 +3007,9 @@ def q_nation_profit(sf_dir: str) -> pa.Table:
                 pa.int64()),
         })
 
-    li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_partkey", "l_suppkey",
-                 "l_extendedprice", "l_discount", "l_quantity"]
-    ).map_batches(_line_rows, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_orderdate"]
-    ).map_batches(_order_rows, batch_format="pyarrow")
+    li = sized_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount", "l_quantity"]).map_batches(_line_rows, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(_order_rows, batch_format="pyarrow")
     joined = li.union(orders).groupby("bkt").map_groups(
         _join, batch_format="pyarrow")
     agg = joined.groupby(["nat", "year"]).aggregate(
@@ -3093,9 +3058,7 @@ def q_top_supplier_revenue(sf_dir: str) -> pa.Table:
         })
 
     agg = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+        sized_read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice",
                      "l_discount"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("s_suppkey")
@@ -3195,9 +3158,7 @@ def q_min_price_supplier(sf_dir: str) -> pa.Table:
         })
 
     pairs = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+        sized_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
         .map_batches(_pair_min, batch_format="pyarrow")
         .groupby(["p_partkey", "s_suppkey"])
         .aggregate(Min("min_cents", alias_name="min_cents"))
@@ -3274,9 +3235,7 @@ def q_disjunctive_revenue(sf_dir: str) -> ray.data.Dataset:
         })
 
     return (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_partkey", "l_quantity", "l_extendedprice",
+        sized_read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice",
                      "l_discount"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("g")
@@ -3452,9 +3411,7 @@ def _copurchase_item_supports(sf_dir: str):
         })
 
     items = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_orderkey", "l_partkey"])
+        sized_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
         .map_batches(_item_bucket, batch_format="pyarrow")
         .groupby("bkt")
         .map_groups(_item_rows, batch_format="pyarrow")
@@ -3585,9 +3542,7 @@ def q_record_orders(sf_dir: str, num_blocks: int = RECORD_BLOCKS) -> ray.data.Da
     from candidategeneration_ray.stages.docids import blocked_prefix_apply
 
     ds = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+        sized_read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
         .map_batches(lambda t: pa.table({
             "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
             "d": t.column("o_orderdate").cast(pa.int64()),
@@ -3678,10 +3633,7 @@ def _nation_view_partials(sf_dir: str,
                 if key_s.size else np.empty(0, np.int64), pa.int64()),
         })
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-    ).map_batches(_part, batch_format="pyarrow")
+    return sized_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]).map_batches(_part, batch_format="pyarrow")
 
 
 def build_nation_view(sf_dir: str, out_dir: str,
@@ -3884,9 +3836,7 @@ def q_important_parts(sf_dir: str, ppm: int = IMPORTANT_PART_PPM) -> pa.Table:
         })
 
     agg = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_partkey", "l_extendedprice", "l_discount"])
+        sized_read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("p_partkey")
         .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
@@ -3956,9 +3906,7 @@ def q_part_supplier_counts(sf_dir: str) -> pa.Table:
         })
 
     return (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_partkey", "l_suppkey"])
+        sized_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
         .map_batches(_triples, batch_format="pyarrow")
         .groupby(["p_brand", "p_size", "s_suppkey"])
         .aggregate(Count(alias_name="n_dup"))
@@ -4003,9 +3951,7 @@ def q_dominant_suppliers(sf_dir: str,
         return pa.table({"l_suppkey": t.column("l_suppkey").cast(pa.int64())})
 
     counts = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_partkey", "l_suppkey", "l_quantity"])
+        sized_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby(["l_partkey", "l_suppkey"])
         .aggregate(Sum("qty", alias_name="qty"))
@@ -4065,8 +4011,7 @@ def q_benford_digits(sf_dir: str) -> ray.data.Dataset:
                          "n_orders": pa.array(n.astype(np.int64), pa.int64())})
 
     agg = (
-        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                              columns=["o_totalprice"])
+        sized_read(sf_dir, "orders", ["o_totalprice"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("digit")
         .aggregate(Sum("n_orders", alias_name="n_orders"))
@@ -4302,9 +4247,7 @@ def q_als_rank1(sf_dir: str, rounds: int = ALS_ROUNDS) -> pa.Table:
             "r": pa.array(q.astype(np.int64), pa.int64()),
         })
 
-    ratings = (ray.data.read_parquet(
-                   os.path.join(sf_dir, "lineitem.parquet"),
-                   columns=["l_suppkey", "l_partkey", "l_quantity"])
+    ratings = (sized_read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"])
                .map_batches(_r, batch_format="pyarrow")
                .groupby(["s", "p"]).aggregate(_Sum("r", alias_name="r"))
                .materialize())
@@ -4386,9 +4329,7 @@ def q_shard_plan(sf_dir: str, n_shards: int = SHARD_PLAN_N) -> pa.Table:
     O(cells · shards) driver arithmetic."""
     from ray.data.aggregate import Sum
 
-    rows = (ray.data.read_parquet(
-                os.path.join(sf_dir, "documents.parquet"),
-                columns=["source", "lang", "n_chars"])
+    rows = (sized_read(sf_dir, "documents", ["source", "lang", "n_chars"])
             .groupby(["source", "lang"])
             .aggregate(Sum("n_chars", alias_name="mass"))
             .take_all())
