@@ -3944,9 +3944,13 @@ def q_matching_edges(sf_dir: str) -> pa.Table:
             return pa.table({"u": pa.array(u[keep], pa.int64()),
                              "v": pa.array(v[keep], pa.int64())})
 
-        cand = pa.concat_tables(ray.get(
+        from candidategeneration_ray.functions.tableutil import (
+            concat_blocks)
+
+        cand = concat_blocks(ray.get(
             ew.map_batches(_cand, batch_format="pyarrow")
-            .to_arrow_refs()))  # O(matched this round)
+            .to_arrow_refs()),   # O(matched this round)
+            pa.schema([("u", pa.int64()), ("v", pa.int64())]))
         if cand.num_rows == 0:
             break
         cu = cand.column("u").to_numpy().astype(np.int64)

@@ -3466,10 +3466,15 @@ def q_item_cosine_pairs(sf_dir: str) -> pa.Table:
             "sup_b": pa.array(sb[keep], pa.int64()),
         })
 
-    return pa.concat_tables(
+    from candidategeneration_ray.functions.tableutil import concat_blocks
+
+    return concat_blocks(
         ray.get(copurchase_counts(sf_dir)
                 .map_batches(_cos, batch_format="pyarrow")
-                .to_arrow_refs()))
+                .to_arrow_refs()),
+        pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
+                   ("n_orders", pa.int64()), ("sup_a", pa.int64()),
+                   ("sup_b", pa.int64())]))
 
 
 def q_association_rules(sf_dir: str) -> pa.Table:
@@ -3516,10 +3521,16 @@ def q_association_rules(sf_dir: str) -> pa.Table:
                                  pa.int64()),
         })
 
-    return pa.concat_tables(
+    from candidategeneration_ray.functions.tableutil import concat_blocks
+
+    return concat_blocks(
         ray.get(copurchase_counts(sf_dir)
                 .map_batches(_rules, batch_format="pyarrow")
-                .to_arrow_refs()))
+                .to_arrow_refs()),
+        pa.schema([("antecedent", pa.int64()), ("consequent", pa.int64()),
+                   ("pair_support", pa.int64()),
+                   ("antecedent_support", pa.int64()),
+                   ("lift_num", pa.int64()), ("lift_den", pa.int64())]))
 
 
 RECORD_BLOCKS = 32
