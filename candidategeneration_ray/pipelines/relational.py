@@ -1735,10 +1735,12 @@ def q_nation_p90_order(sf_dir: str) -> ray.data.Dataset:
     p90_cents), integer-exact vs the window-formulation oracle.
 
     The nation key comes from the shared bucketed orders⋈customer
-    join (_orders_nation_cents), run once per pass."""
+    join (_orders_nation_cents), materialized ONCE and reused by both
+    passes (object-store blocks, O(orders) rows — the rescan reads
+    them, not the base tables)."""
     B = P90_VALUE_BUCKET
 
-    joined = _orders_nation_cents(sf_dir)
+    joined = _orders_nation_cents(sf_dir).materialize()
 
     def _hist_partial(batch: pa.Table) -> pa.Table:
         nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
@@ -1754,10 +1756,13 @@ def q_nation_p90_order(sf_dir: str) -> ray.data.Dataset:
 
     def _find_bucket(group: pa.Table) -> pa.Table:
         nk = int(group.column("c_nationkey")[0].as_py())
-        vb = group.column("vbucket").to_numpy().astype(np.int64)
-        n = group.column("n").to_numpy().astype(np.int64)
-        o = np.argsort(vb)
-        vb, n = vb[o], n[o]
+        vb0 = group.column("vbucket").to_numpy().astype(np.int64)
+        n0 = group.column("n").to_numpy().astype(np.int64)
+        # partial rows arrive un-aggregated (one per vbucket per input
+        # block) — fold here instead of a separate groupby pass
+        vb, inv = np.unique(vb0, return_inverse=True)
+        n = np.bincount(inv, weights=n0,
+                        minlength=vb.size).astype(np.int64)
         total = int(n.sum())
         rank = (9 * (total - 1)) // 10          # 0-based target index
         cum = np.cumsum(n)
@@ -1772,8 +1777,6 @@ def q_nation_p90_order(sf_dir: str) -> ray.data.Dataset:
 
     targets = (
         joined.map_batches(_hist_partial, batch_format="pyarrow")
-        .groupby(["c_nationkey", "vbucket"])
-        .aggregate(Sum("n", alias_name="n"))
         .groupby("c_nationkey")
         .map_groups(_find_bucket, batch_format="pyarrow")
         .to_arrow_refs()
@@ -1812,7 +1815,7 @@ def q_nation_p90_order(sf_dir: str) -> ray.data.Dataset:
         })
 
     return (
-        _orders_nation_cents(sf_dir)
+        joined
         .map_batches(_pass2_filter, batch_format="pyarrow")
         .groupby("c_nationkey").map_groups(_pick,
                                            batch_format="pyarrow")
