@@ -524,7 +524,9 @@ PR_SCALE = 1_000_000          # rank fixed-point scale
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 
 
-def q_pagerank(sf_dir: str, iters: int = PR_ITERS) -> ray.data.Dataset:
+def q_pagerank(sf_dir: str, iters: int = PR_ITERS,
+               small_graph_max_edges: int = 2_500_000
+               ) -> ray.data.Dataset:
     """Integer PageRank over the exact kNN graph — the representative
     ITERATIVE graph algorithm on Ray Data (the same family as label
     propagation in q_dup_clusters). Fixed-point arithmetic makes every
@@ -551,14 +553,16 @@ def q_pagerank(sf_dir: str, iters: int = PR_ITERS) -> ray.data.Dataset:
 
     Returns (vec_id, pagerank) for every vector."""
     return _pagerank_rounds(sf_dir, iters, seed_mod=None,
-                            out_col="pagerank")
+                            out_col="pagerank",
+                            small_graph_max_edges=small_graph_max_edges)
 
 
 PPR_SEED_MOD = 10   # vec_id % 10 == 0 are the personalization seeds
 
 
 def q_personalized_pagerank(sf_dir: str, iters: int = PR_ITERS,
-                            seed_mod: int = PPR_SEED_MOD
+                            seed_mod: int = PPR_SEED_MOD,
+                            small_graph_max_edges: int = 2_500_000
                             ) -> ray.data.Dataset:
     """PERSONALIZED PageRank: teleport mass goes only to the seed set
     (vec_id % seed_mod == 0) — the seeded-relevance propagation used
@@ -576,17 +580,56 @@ def q_personalized_pagerank(sf_dir: str, iters: int = PR_ITERS,
     if seed_mod < 1:
         raise ValueError("seed_mod must be >= 1")
     return _pagerank_rounds(sf_dir, iters, seed_mod=seed_mod,
-                            out_col="ppr")
+                            out_col="ppr",
+                            small_graph_max_edges=small_graph_max_edges)
+
+
+@ray.remote
+def _small_graph_pagerank(iters: int, seed_mod, deg: int, base: int,
+                          out_col: str, *tables: pa.Table) -> pa.Table:
+    """Task-sized exact replica of the staged rounds' integer
+    recurrence (same floor-divided give, same seed-conditional base)
+    over object-store kNN blocks — the bounded fast path the
+    iterative-graph family uses (HITS/SSSP pattern); equality to the
+    staged route is pytest-forced via the cap."""
+    tabs = [t for t in tables if t.num_rows > 0]
+    vec = np.concatenate([t.column("vec_id").to_numpy().astype(np.int64)
+                          for t in tabs])
+    nbr = np.concatenate([t.column("nbr_id").to_numpy().astype(np.int64)
+                          for t in tabs])
+    nodes = np.unique(vec)
+    src = np.searchsorted(nodes, vec)
+    dst = np.searchsorted(nodes, nbr)
+    seed = np.ones(nodes.size, bool) if seed_mod is None \
+        else nodes % seed_mod == 0
+    r = np.where(seed, np.int64(PR_SCALE), np.int64(0))
+    for _ in range(iters):
+        give = (PR_DAMP_NUM * r) // (PR_DAMP_DEN * deg) if deg > 0 \
+            else np.zeros(nodes.size, np.int64)
+        nxt = np.where(seed, np.int64(base), np.int64(0))
+        np.add.at(nxt, dst, give[src])
+        r = nxt
+    return pa.table({"vec_id": pa.array(nodes, pa.int64()),
+                     out_col: pa.array(r, pa.int64())})
 
 
 def _pagerank_rounds(sf_dir: str, iters: int, seed_mod: int | None,
-                     out_col: str) -> ray.data.Dataset:
+                     out_col: str,
+                     small_graph_max_edges: int = 2_500_000
+                     ) -> ray.data.Dataset:
     """Shared PageRank machinery; seed_mod=None = uniform teleport,
     else teleport only to nodes with node % seed_mod == 0."""
     n = _embeddings_ds(sf_dir).count()
     deg = min(KNN_K, n - 1)
     base = (100 - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
     nbk = _graph_buckets()
+
+    knn = q_knn_graph(sf_dir).materialize()
+    if knn.count() <= small_graph_max_edges:
+        refs = (knn.select_columns(["vec_id", "nbr_id"])
+                .materialize().to_arrow_refs())
+        return ray.data.from_arrow_refs([_small_graph_pagerank.remote(
+            iters, seed_mod, deg, base, out_col, *refs)])
 
     def _seed_mask(nodes: np.ndarray) -> np.ndarray:
         if seed_mod is None:
@@ -611,7 +654,7 @@ def _pagerank_rounds(sf_dir: str, iters: int, seed_mod: int | None,
                 np.zeros(vec.size + nodes.size, np.int64), pa.int64()),
         })
 
-    static = q_knn_graph(sf_dir).map_batches(
+    static = knn.map_batches(
         _static_rows, batch_format="pyarrow").materialize()
 
     def _bucket_ranks(group: pa.Table, first: bool):

@@ -875,3 +875,20 @@ class TestDbscan:
                    .to_pandas().sort_values("vec_id").reset_index(drop=True))
             assert got["cluster"].tolist() == want_cl.tolist(), trial
             assert got["is_core"].tolist() == want_core.tolist(), trial
+
+
+def test_pagerank_fast_path_equals_staged(ray_session):
+    """The bounded single-task PageRank replica must equal the staged
+    one-shuffle-per-round route exactly (forced via the edge cap),
+    for both uniform and personalized teleport."""
+    sf = "/root/testdata/sf0.001"
+    fast = (cl.q_pagerank(sf).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    staged = (cl.q_pagerank(sf, small_graph_max_edges=0).to_pandas()
+              .sort_values("vec_id").reset_index(drop=True))
+    assert fast.equals(staged)
+    pfast = (cl.q_personalized_pagerank(sf).to_pandas()
+             .sort_values("vec_id").reset_index(drop=True))
+    pstaged = (cl.q_personalized_pagerank(sf, small_graph_max_edges=0)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert pfast.equals(pstaged)
