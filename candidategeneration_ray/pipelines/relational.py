@@ -432,14 +432,27 @@ def q_shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> pa.Table:
         filter=(pc.field("l_shipdate") > pa.scalar(cutoff, pa.timestamp("us"))),
     ).map_batches(_li_partial, batch_format="pyarrow")
 
-    top = (
+    def _topk(batch: pa.Table) -> pa.Table:
+        """Per-batch partial top-k by (rev desc, date, okey) — the
+        global top k are each inside their batch's top k, so the
+        driver merges O(batches · k) rows instead of paying a full
+        sort all-to-all."""
+        rev = batch.column("revenue_milli").to_numpy().astype(np.int64)
+        dt = batch.column("o_orderdate_us").to_numpy().astype(np.int64)
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        sel = np.lexsort((ok, dt, -rev))[:k]
+        return batch.take(pa.array(sel))
+
+    parts = (
         qorders.map_batches(_o2, batch_format="pyarrow").union(li)
         .groupby("bkt").map_groups(_probe2, batch_format="pyarrow")
-        .sort(key=["revenue_milli", "o_orderdate_us", "l_orderkey"],
-              descending=[True, False, False])
-        .limit(k)
-    )
-    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+        .map_batches(_topk, batch_format="pyarrow")
+        .to_pandas())                            # O(batches · k) rows
+    parts = parts.sort_values(
+        ["revenue_milli", "o_orderdate_us", "l_orderkey"],
+        ascending=[False, True, True], kind="mergesort").head(k)
+    return pa.Table.from_pandas(parts.reset_index(drop=True),
+                                preserve_index=False)
 
 
 Q5_REGION = "ASIA"
