@@ -670,3 +670,66 @@ class TestQppAndPooling:
         pool_pairs = set(zip(pool["query_id"], pool["doc_id"]))
         assert bm_pairs <= pool_pairs          # every system's top-10 pooled
         assert (pool["n_systems"] >= 3).any()  # cross-system consensus exists
+
+
+class _FakeReader:
+    """Dict-backed IndexReader stand-in for the TA property test:
+    provides exactly the surface ta_impact_topk touches."""
+
+    def __init__(self, lists):
+        # lists: {tid: (docs int64 asc, scores int32)}
+        self._lists = {}
+        for tid, (d, s) in lists.items():
+            d = np.asarray(d, np.int64)
+            s = np.asarray(s, np.int32)
+            bs = 4
+            nb = (d.size + bs - 1) // bs
+            bmax = np.array([s[i*bs:(i+1)*bs].max() for i in range(nb)],
+                            np.int32)
+            blast = np.array([d[min((i+1)*bs, d.size)-1]
+                              for i in range(nb)], np.int64)
+            self._lists[tid] = (d, s, bmax, blast)
+        self._impact = {}
+
+    def get(self, tid):
+        return self._lists.get(tid)
+
+    def impact_order(self, tid):
+        d, s, _, _ = self._lists[tid]
+        return np.lexsort((d, -s.astype(np.int64))).astype(np.int32)
+
+    def dense_view(self, tid):
+        return None   # force the searchsorted probe path
+
+
+def test_ta_impact_property_random_lists():
+    """ta_impact == brute-force TAAT on randomized signed lists with
+    heavy ties — positive, negative, and mixed regimes, several k."""
+    from candidategeneration_ray.state.queryengine import ta_impact_topk
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        n_lists = int(rng.integers(1, 5))
+        lists = {}
+        for t in range(n_lists):
+            m = int(rng.integers(1, 400))
+            docs = np.sort(rng.choice(2000, size=m, replace=False))
+            regime = trial % 3
+            if regime == 0:      # all positive
+                scores = rng.integers(1, 20, m)
+            elif regime == 1:    # all non-positive (the TA target mix)
+                scores = -rng.integers(0, 20, m)
+            else:                # signed mix
+                scores = rng.integers(-15, 15, m)
+            lists[t + 1] = (docs, scores.astype(np.int32))
+        reader = _FakeReader(lists)
+        # brute force totals
+        acc = {}
+        for d, s, _, _ in reader._lists.values():
+            for dd, ss in zip(d, s):
+                acc[int(dd)] = acc.get(int(dd), 0) + int(ss)
+        want_order = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for k in (1, 3, 10, 57):
+            got = ta_impact_topk(reader, list(lists), k)
+            want = [(s, d) for d, s in want_order[:k]]
+            assert got == want, (trial, k)
