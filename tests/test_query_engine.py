@@ -733,3 +733,26 @@ def test_ta_impact_property_random_lists():
             got = ta_impact_topk(reader, list(lists), k)
             want = [(s, d) for d, s in want_order[:k]]
             assert got == want, (trial, k)
+
+
+def test_taat_dense_equals_sparse_paths(monkeypatch):
+    """The bincount scatter-add TAAT merge must equal the sort-merge
+    fallback exactly (float64 accumulation exactness bound) across
+    random signed lists; the fallback is forced via the dense cap."""
+    import candidategeneration_ray.state.queryengine as qe
+
+    rng = np.random.default_rng(13)
+    for trial in range(25):
+        lists = {}
+        for t in range(int(rng.integers(2, 5))):
+            m = int(rng.integers(1, 300))
+            docs = np.sort(rng.choice(5000, size=m, replace=False))
+            scores = rng.integers(-(2**30), 2**30, m).astype(np.int32)
+            lists[t + 1] = (docs, scores)
+        reader = _FakeReader(lists)
+        for k in (1, 5, 40):
+            dense = qe.taat_topk(reader, list(lists), k)
+            monkeypatch.setattr(qe, "TAAT_DENSE_MAX_DOC", -1)
+            sparse = qe.taat_topk(reader, list(lists), k)
+            monkeypatch.setattr(qe, "TAAT_DENSE_MAX_DOC", 1 << 26)
+            assert dense == sparse, (trial, k)
