@@ -1078,12 +1078,15 @@ def q_set_cover_select(sf_dir: str, k: int = SETCOVER_K, w: int = DECON_W,
     is deterministic and value-verifiable.
 
     Shape: benchmark shingles broadcast once (benchmark-sized by
-    nature); each round is ONE map_batches pass computing per-doc
-    uncovered-hit counts (batch-concatenated searchsorted + reduceat,
-    the q_decontaminate kernel with a coverage mask) emitting a single
-    per-batch argmax partial that carries the winner's covered bench
-    INDICES (bounded by |bench|); the driver folds n_batches partials
-    and flips coverage bits. k scans total, no shuffle.
+    nature); the candidate docs' shingle hashes materialize ONCE as a
+    list<int64> column (tokenize+shingle runs once, not once per
+    round); each round is ONE map_batches pass over the materialized
+    blocks computing per-doc uncovered-hit counts (flat searchsorted
+    + reduceat, the q_decontaminate kernel with a coverage mask)
+    emitting a single per-batch argmax partial that carries the
+    winner's covered bench INDICES (bounded by |bench|); the driver
+    folds n_batches partials and flips coverage bits. k scans over
+    pre-shingled object-store blocks, no shuffle.
 
     Output (round, doc_id, gain, covered_total)."""
     def _bench_rows(batch: pa.Table) -> pa.Table:
@@ -1107,6 +1110,21 @@ def q_set_cover_select(sf_dir: str, k: int = SETCOVER_K, w: int = DECON_W,
     bench_ref = ray.put(bench)          # broadcast ONCE; rounds ship only
                                         # the coverage mask + selected ids
 
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
+        """Pre-shingle the CANDIDATE docs once (list<int64> column) —
+        rounds rescan these blocks, never the raw text."""
+        doc_ids, per_doc = _doc_shingle_hashes(batch, w)
+        keep = np.flatnonzero(doc_ids % bench_mod != 0)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[keep], pa.int64()),
+            "h": pa.array([per_doc[i].astype(np.int64).tolist()
+                           for i in keep], pa.list_(pa.int64())),
+        })
+
+    shingled = (documents_ds(sf_dir)
+                .map_batches(_shingle_rows, batch_format="pyarrow")
+                .materialize())
+
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "gain": pa.array([], pa.int64()),
                       "idxs": pa.array([], pa.list_(pa.int64()))})
@@ -1119,16 +1137,23 @@ def q_set_cover_select(sf_dir: str, k: int = SETCOVER_K, w: int = DECON_W,
         def _best_partial(batch: pa.Table) -> pa.Table:
             bset = ray.get(bench_ref)
             cov, sel = ray.get(state_ref)
-            if bset.size == 0:
+            if bset.size == 0 or batch.num_rows == 0:
                 return empty
-            doc_ids, per_doc = _doc_shingle_hashes(batch, w)
-            cand = np.flatnonzero(
-                (doc_ids % bench_mod != 0) & ~np.isin(doc_ids, sel))
+            doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+            col = batch.column("h").combine_chunks()
+            offs = col.offsets.to_numpy().astype(np.int64)
+            flat = col.values.to_numpy().astype(np.int64)
+            all_sizes = np.diff(offs)
+            cand = np.flatnonzero(~np.isin(doc_ids, sel))
             if cand.size == 0:
                 return empty
-            sizes = np.fromiter((per_doc[i].size for i in cand), np.int64,
-                                cand.size)
-            cat = np.concatenate([per_doc[i] for i in cand])
+            sizes = all_sizes[cand]
+            # int64 storage of uint64 hashes: element-wise view-cast
+            # preserves bits; bset stays uint64-sorted and cat needs
+            # no order of its own for searchsorted
+            cat = np.concatenate(
+                [flat[offs[i]:offs[i + 1]] for i in cand]
+            ).astype(np.uint64) if cand.size else np.empty(0, np.uint64)
             pos = np.searchsorted(bset, cat)
             posc = np.minimum(pos, bset.size - 1)
             hit = (bset[posc] == cat) & ~cov[posc]
@@ -1146,7 +1171,7 @@ def q_set_cover_select(sf_dir: str, k: int = SETCOVER_K, w: int = DECON_W,
                 "idxs": pa.array([win_idx.tolist()], pa.list_(pa.int64())),
             })
 
-        parts = (documents_ds(sf_dir)
+        parts = (shingled
                  .map_batches(_best_partial, batch_format="pyarrow")
                  .take_all())
         if not parts:
