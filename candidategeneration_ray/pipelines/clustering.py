@@ -593,13 +593,23 @@ def _small_graph_pagerank(iters: int, seed_mod, deg: int, base: int,
     iterative-graph family uses (HITS/SSSP pattern); equality to the
     staged route is pytest-forced via the cap."""
     tabs = [t for t in tables if t.num_rows > 0]
+    if not tabs:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         out_col: pa.array([], pa.int64())})
     vec = np.concatenate([t.column("vec_id").to_numpy().astype(np.int64)
                           for t in tabs])
     nbr = np.concatenate([t.column("nbr_id").to_numpy().astype(np.int64)
                           for t in tabs])
     nodes = np.unique(vec)
     src = np.searchsorted(nodes, vec)
-    dst = np.searchsorted(nodes, nbr)
+    dst = np.minimum(np.searchsorted(nodes, nbr), nodes.size - 1)
+    if not bool((nodes[dst] == nbr).all()):
+        # nodes come from the SOURCE column; a producer emitting an
+        # edge into a node with no outgoing edges would silently
+        # credit rank mass to the wrong node — fail loudly instead
+        raise ValueError("kNN edge targets a vec_id absent from the "
+                         "source column; _small_graph_pagerank needs "
+                         "every nbr_id to appear as a vec_id")
     seed = np.ones(nodes.size, bool) if seed_mod is None \
         else nodes % seed_mod == 0
     r = np.where(seed, np.int64(PR_SCALE), np.int64(0))

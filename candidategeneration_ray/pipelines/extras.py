@@ -2020,10 +2020,14 @@ def q_jaccard_pairs_prefix(sf_dir: str,
                .sort("df", descending=True)
                .limit(PPJOIN_HOT_MAX)
                .to_pandas())
-    hk = hot_pdf["shingle_h"].to_numpy(np.int64)
+    # keep the hot keys uint64 END-TO-END (bit-preserving view, sorted
+    # in uint64 order): h64_many emits uint64, and a mixed
+    # int64/uint64 searchsorted silently promotes both sides to
+    # float64 — any hash >= 2^63 would never match its broadcast df
+    hk = hot_pdf["shingle_h"].to_numpy(np.int64).view(np.uint64)
     hd = hot_pdf["df"].to_numpy(np.int64)
     horder = np.argsort(hk, kind="stable")
-    hot_ref = ray.put((hk[horder], hd[horder]))
+    hot_ref = ray.put((np.ascontiguousarray(hk[horder]), hd[horder]))
 
     def _prefix_rows(batch: pa.Table) -> pa.Table:
         hot_keys, hot_df = ray.get(hot_ref)   # plasma, zero-copy

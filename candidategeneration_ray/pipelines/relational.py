@@ -1655,9 +1655,10 @@ def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
     ]
     # table -> [(edge_id, column, is_parent)]
     roles: dict[str, list[tuple[int, str, bool]]] = {}
-    for eid, (ct, cc, pt, pc, _) in enumerate(edges):
+    for eid, (ct, cc, pt, pcol, _) in enumerate(edges):
+        # `pcol`, not `pc`: the pyarrow.compute alias stays unshadowed
         roles.setdefault(ct, []).append((eid, cc, False))
-        roles.setdefault(pt, []).append((eid, pc, True))
+        roles.setdefault(pt, []).append((eid, pcol, True))
 
     def _rows(batch: pa.Table,
               rs: tuple[tuple[int, str, bool], ...]) -> pa.Table:

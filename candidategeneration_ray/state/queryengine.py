@@ -651,6 +651,10 @@ def maxscore_topk(lists: list[_List], k: int, block_size: int) -> list[tuple[int
 # per slot); beyond it the sort-merge path takes over. Serving shards
 # are doc-partitioned well below this at any corpus size.
 TAAT_DENSE_MAX_DOC = 1 << 26
+# dense accumulators also need the postings to OCCUPY the doc space:
+# total_postings * OCC >= dmax, else a sparse query over a huge doc
+# range would pay O(dmax) allocation for O(postings) work
+TAAT_DENSE_OCCUPANCY = 16
 
 
 def taat_topk(reader: IndexReader, term_ids: list[int], k: int) -> list[tuple[int, int]]:
@@ -668,17 +672,19 @@ def taat_topk(reader: IndexReader, term_ids: list[int], k: int) -> list[tuple[in
     gathered = []
     for t in term_ids:
         got = reader.get(t)
-        if got is not None:
+        if got is not None and got[0].size:   # skip empty lists
             gathered.append((t, got[0], got[1]))
     if not gathered:
         return []
     docs_all = [d for _, d, _ in gathered]
     scores_all = [s for _, _, s in gathered]
+    dmax = int(max(d[-1] for d in docs_all))
+    total_postings = sum(d.size for d in docs_all)
     if len(gathered) == 1:
         uniq = docs_all[0]
         sums = scores_all[0].astype(np.int64)
-    elif int(max(d[-1] for d in docs_all)) <= TAAT_DENSE_MAX_DOC:
-        dmax = int(max(d[-1] for d in docs_all))
+    elif (dmax <= TAAT_DENSE_MAX_DOC
+          and total_postings * TAAT_DENSE_OCCUPANCY >= dmax):
         acc = np.zeros(dmax + 1)
         hits = np.zeros(dmax + 1, bool)
         rest_d, rest_s = [], []
@@ -744,15 +750,19 @@ def ta_impact_topk(reader: IndexReader, term_ids: list[int],
     here."""
     trips = []
     dmax = 0
+    npost = 0
     for t in term_ids:
         got = reader.get(t)
-        if got is not None:
+        if got is not None and got[0].size:   # skip empty lists
             trips.append((got[0], got[1], reader.impact_order(t),
                           reader.dense_view(t)))
             dmax = max(dmax, int(got[0][-1]))
+            npost += int(got[0].size)
     if not trips:
         return []
-    if dmax > TAAT_DENSE_MAX_DOC:   # sparse doc space: no bitmap win
+    if (dmax > TAAT_DENSE_MAX_DOC
+            or npost * TAAT_DENSE_OCCUPANCY < dmax):
+        # sparse/huge doc space: the O(dmax) seen-bitmap loses
         return taat_topk(reader, term_ids, k)
     seen = np.zeros(dmax + 1, bool)
     pool_d = np.empty(0, np.int64)
