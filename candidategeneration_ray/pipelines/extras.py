@@ -148,23 +148,51 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
 
 # ------------------------------------------------- shingles / near-dedup
 
+def _doc_shingle_flat(batch: pa.Table, w: int):
+    """Batch-global distinct (doc, shingle-hash) emission — the
+    emitter's flatten + ONE lexsort + boundary-arithmetic pattern
+    (stages/postings.py:36-68): no per-doc numpy calls, Python touches
+    each row only to build the md5 input strings (the oracle-identity
+    contract). Returns (doc_ids, doc_idx, h, starts, sizes): `doc_idx`
+    indexes into `doc_ids` per kept row, `h` is the uint64 hash sorted
+    ascending within each doc segment, `starts`/`sizes` delimit the
+    per-doc segments (every doc emits >= 1 shingle — empty docs yield
+    the empty-string shingle, hashing.word_shingles contract)."""
+    token_lists = tokenize_many(batch.column("text").to_pylist())
+    doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    sh_lists = [H.word_shingles(t, w) for t in token_lists]
+    counts = np.fromiter((len(s) for s in sh_lists), np.int64,
+                         len(sh_lists))
+    flat: list[str] = []
+    for s in sh_lists:
+        flat.extend(s)
+    h = H.h64_many(flat)
+    di = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    order = np.lexsort((h, di))
+    di, h = di[order], h[order]
+    keep = np.concatenate(
+        ([True], (di[1:] != di[:-1]) | (h[1:] != h[:-1]))) \
+        if di.size else np.zeros(0, bool)
+    di, h = di[keep], h[keep]
+    if di.size:
+        starts = np.concatenate(
+            ([0], np.nonzero(di[1:] != di[:-1])[0] + 1))
+        sizes = np.diff(np.concatenate((starts, [di.size])))
+    else:
+        starts = np.zeros(0, np.int64)
+        sizes = np.zeros(0, np.int64)
+    return doc_ids, di, h, starts, sizes
+
+
 def _shingle_rows(batch: pa.Table, w: int) -> pa.Table:
     """(doc_id, shingle_h, doc_n) rows — DISTINCT shingles per doc,
     with the doc's set size carried on every row (docs are batch-local,
     so sizes are exact — no separate sizing aggregation needed)."""
-    token_lists = tokenize_many(batch.column("text").to_pylist())
-    doc_ids = batch.column("doc_id").to_numpy()
-    out_doc, out_h, out_n = [], [], []
-    for i, toks in enumerate(token_lists):
-        hs = np.unique(H.h64_many(H.word_shingles(toks, w)))
-        out_doc.append(np.full(hs.size, doc_ids[i], dtype=np.int64))
-        out_h.append(hs)
-        out_n.append(np.full(hs.size, hs.size, dtype=np.int64))
+    doc_ids, di, h, starts, sizes = _doc_shingle_flat(batch, w)
     return pa.table({
-        "doc_id": pa.array(np.concatenate(out_doc) if out_doc else [], pa.int64()),
-        "shingle_h": pa.array(
-            np.concatenate(out_h).astype(np.int64) if out_h else [], pa.int64()),
-        "doc_n": pa.array(np.concatenate(out_n) if out_n else [], pa.int64()),
+        "doc_id": pa.array(doc_ids[di], pa.int64()),
+        "shingle_h": pa.array(h.astype(np.int64), pa.int64()),
+        "doc_n": pa.array(np.repeat(sizes, sizes), pa.int64()),
     })
 
 
@@ -1964,13 +1992,14 @@ def q_similar_docs(sf_dir: str) -> pa.Table:
 
 # ------------------------------------- prefix-filtered (PPJoin) near-dup
 
-PPJOIN_PAIR_BUCKETS = 64
 PPJOIN_HOT_DF = 4         # shingles at/above this df get explicit rank
 PPJOIN_HOT_MAX = 1_000_000  # broadcast bound: top-df shingles only
 
 
 def q_jaccard_pairs_prefix(sf_dir: str,
-                           threshold_pct: int = 20) -> ray.data.Dataset:
+                           threshold_pct: int = 20,
+                           num_buckets: int | None = None
+                           ) -> ray.data.Dataset:
     """Prefix-filtered exact Jaccard join — the ALL-PAIRS/PPJoin plan
     (Bayardo et al. WWW'07, Xiao et al. WWW'08; public algorithms):
     the same result as q_jaccard_pairs computed WITHOUT exploding
@@ -2000,12 +2029,26 @@ def q_jaccard_pairs_prefix(sf_dir: str,
     union = rows - inter, no size join needed. Output schema and
     values equal q_jaccard_pairs; the driver hash-checks the two
     plans against the SAME oracle (plan-equivalence proof, like
-    sessionize_sliced)."""
+    sessionize_sliced).
+
+    `num_buckets` sizes every hash-bucket fold in the plan (shingle
+    candidate buckets, pair-dedup buckets, pair-verify buckets).
+    Default derives from the input size via tableutil.auto_buckets —
+    a fixed count would give each fold task ~1/64th of a corpus-sized
+    row stream at 100 TB. Output is bucket-count independent
+    (pytest-forced at two counts)."""
     from ray.data.aggregate import Count as AggCount
+
+    from candidategeneration_ray.functions.tableutil import auto_buckets
 
     pct = int(threshold_pct)
     if not 0 < pct <= 100:
         raise ValueError("threshold_pct must be in (0, 100]")
+    if num_buckets is None:
+        num_buckets = auto_buckets(
+            os.path.join(sf_dir, "documents.parquet"))
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
 
     # global ascending-df order: ONE df aggregate over the distinct
     # (doc, shingle) rows; only the hot tail (df >= PPJOIN_HOT_DF,
@@ -2030,37 +2073,37 @@ def q_jaccard_pairs_prefix(sf_dir: str,
     hot_ref = ray.put((np.ascontiguousarray(hk[horder]), hd[horder]))
 
     def _prefix_rows(batch: pa.Table) -> pa.Table:
+        """Batch-global prefix emission: ONE df lookup, ONE lexsort
+        over (doc, df, hash), then segment-boundary arithmetic selects
+        each doc's prefix — no per-doc Python/numpy loop (the emitter
+        pattern, stages/postings.py:36-68)."""
         hot_keys, hot_df = ray.get(hot_ref)   # plasma, zero-copy
-        token_lists = tokenize_many(batch.column("text").to_pylist())
-        doc_ids = batch.column("doc_id").to_numpy()
-        out_doc, out_h, out_n = [], [], []
-        for i, toks in enumerate(token_lists):
-            hs = np.unique(H.h64_many(H.word_shingles(toks, H.SHINGLE_W)))
-            n = hs.size
-            if n == 0:
-                continue
-            if hot_keys.size:
-                idx = np.minimum(np.searchsorted(hot_keys, hs),
-                                 hot_keys.size - 1)
-                dfv = np.where(hot_keys[idx] == hs, hot_df[idx], 0)
-            else:
-                dfv = np.zeros(n, np.int64)
-            sel = np.lexsort((hs, dfv))   # ascending df, then hash
-            p = min(n, max(1, n - (pct * n + 99) // 100 + 1))
-            out_doc.append(np.full(p, doc_ids[i], dtype=np.int64))
-            out_h.append(hs[sel[:p]].astype(np.int64))
-            out_n.append(np.full(p, n, dtype=np.int64))
-        if not out_doc:
+        doc_ids, di, h, starts, sizes = _doc_shingle_flat(
+            batch, H.SHINGLE_W)
+        if h.size == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "shingle_h": pa.array([], pa.int64()),
                              "doc_n": pa.array([], pa.int64())})
+        if hot_keys.size:
+            idx = np.minimum(np.searchsorted(hot_keys, h),
+                             hot_keys.size - 1)
+            dfv = np.where(hot_keys[idx] == h, hot_df[idx], 0)
+        else:
+            dfv = np.zeros(h.size, np.int64)
+        order = np.lexsort((h, dfv, di))   # per doc: df asc, hash asc
+        di2, h2 = di[order], h[order]
+        pos = np.arange(di.size, dtype=np.int64) - np.repeat(starts,
+                                                             sizes)
+        n = np.repeat(sizes, sizes)
+        p = np.minimum(n, np.maximum(1, n - (pct * n + 99) // 100 + 1))
+        keep = pos < p
         return pa.table({
-            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
-            "shingle_h": pa.array(np.concatenate(out_h), pa.int64()),
-            "doc_n": pa.array(np.concatenate(out_n), pa.int64()),
+            "doc_id": pa.array(doc_ids[di2[keep]], pa.int64()),
+            "shingle_h": pa.array(h2[keep].astype(np.int64), pa.int64()),
+            "doc_n": pa.array(n[keep], pa.int64()),
         })
 
-    nsb = 64
+    nsb = num_buckets
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         h = batch.column("shingle_h").to_numpy()
@@ -2133,7 +2176,7 @@ def q_jaccard_pairs_prefix(sf_dir: str,
                                        batch_format="pyarrow")
     )
 
-    npb = PPJOIN_PAIR_BUCKETS
+    npb = num_buckets
 
     def _pid_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)
@@ -2752,8 +2795,63 @@ def _ed_many(a_list: list[str], b_list: list[str]) -> np.ndarray:
     return np.where(la == 0, lb, score)
 
 
+def _positional_grams(names: list[str], q: int, short_len: int):
+    """Flat positional q-gram emission for the names LONGER than
+    `short_len` — batch-global (the emitter pattern): one UTF-32
+    decode of the joined blob (codepoint == array slot, any script),
+    q shifted slices build every window at once, ONE stable lexsort
+    assigns occurrence indexes. No per-name Python loop.
+
+    Returns (kept, name_idx, gramkey): `kept` = indexes of the long
+    names within `names`, `name_idx` = per-gram index into `kept`,
+    `gramkey` = packed (gram, occurrence) int64 — codepoints shifted
+    into the high bits, the positional occurrence index in the low 16
+    (ordering by gramkey == ordering by (gram, occ))."""
+    lens = np.fromiter((len(s) for s in names), np.int64, len(names))
+    kept = np.nonzero(lens > short_len)[0]
+    klens = lens[kept]
+    if kept.size == 0:
+        return kept, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    blob = np.frombuffer(
+        "".join([names[i] for i in kept]).encode("utf-32-le"),
+        np.uint32).astype(np.int64)
+    shift = max(7, int(blob.max()).bit_length())
+    if q * shift + 16 > 63:
+        raise ValueError("q-gram packing overflows int64 for this "
+                         "alphabet; shrink q or widen the key")
+    counts = klens - q + 1          # windows per kept name (all >= 1)
+    nidx = np.repeat(np.arange(kept.size, dtype=np.int64), klens)
+    w = counts.sum()
+    # window starts: all blob positions whose q-window stays in-name
+    starts_b = np.concatenate(([0], np.cumsum(klens)))[:-1]
+    win = np.repeat(starts_b, counts) + (
+        np.arange(int(w), dtype=np.int64)
+        - np.repeat(np.concatenate(([0], np.cumsum(counts)))[:-1],
+                    counts))
+    gram = np.zeros(int(w), np.int64)
+    for j in range(q):              # q is a small constant
+        gram = (gram << np.int64(shift)) | blob[win + j]
+    gidx = nidx[win]
+    # occurrence index: stable lexsort keeps positional order within
+    # each (name, gram) group; occ = rank within the group
+    order = np.lexsort((gram, gidx))
+    gs, ns = gram[order], gidx[order]
+    grp = np.concatenate(
+        ([True], (ns[1:] != ns[:-1]) | (gs[1:] != gs[:-1])))
+    seg = np.nonzero(grp)[0]
+    occ = np.arange(gs.size, dtype=np.int64) - np.repeat(
+        seg, np.diff(np.concatenate((seg, [gs.size]))))
+    if int(occ.max(initial=0)) >= 1 << 16:
+        raise ValueError("names with >= 2^16 repeats of one q-gram "
+                         "overflow the packed occurrence index")
+    gramkey = (gs << np.int64(16)) | occ
+    return kept, ns, gramkey
+
+
 def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
-                       q: int = ED_Q) -> ray.data.Dataset:
+                       q: int = ED_Q,
+                       num_buckets: int | None = None
+                       ) -> ray.data.Dataset:
     """Fuzzy string self-join: all part-name pairs within edit distance
     `k` (typo-level near-duplicate detection — the string-similarity
     join of Gravano et al. VLDB'01, with prefix filtering per Xiao et
@@ -2777,101 +2875,112 @@ def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
 
     At 100 TB the prefix rank dictionary stays O(alphabet^q);
     the verify is linear in candidates, and candidates are bounded by
-    rare-gram co-occurrence, not corpus size. Deterministic integers
-    throughout -> hash-verified against DuckDB's levenshtein()."""
+    rare-gram co-occurrence, not corpus size. Grams are packed int64
+    keys built batch-globally (_positional_grams: one UTF-32 decode +
+    q shifted slices + one stable lexsort — no per-name Python loop),
+    the rank broadcast is a sorted-array searchsorted, and every
+    hash-bucket fold is sized by `num_buckets` (default from input
+    size via tableutil.auto_buckets; output is bucket-count
+    independent, pytest-forced). Deterministic integers throughout ->
+    hash-verified against DuckDB's levenshtein()."""
     if k < 1 or q < 2:
         raise ValueError("need k >= 1 and q >= 2")
     short_len = (k + 1) * q - 1   # count bound vacuous at/below this
     npref = k * q + 1
     part_path = os.path.join(sf_dir, "part.parquet")
-
-    def _multiset(name: str) -> list[tuple[str, int]]:
-        seen: dict[str, int] = {}
-        out = []
-        for i in range(len(name) - q + 1):
-            g = name[i:i + q]
-            o = seen.get(g, 0)
-            seen[g] = o + 1
-            out.append((g, o))
-        return out
+    if num_buckets is None:
+        from candidategeneration_ray.functions.tableutil import \
+            auto_buckets
+        num_buckets = auto_buckets(part_path)
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
 
     def _df_rows(batch: pa.Table) -> pa.Table:
-        grams, occs = [], []
-        for name in batch.column("p_name").to_pylist():
-            if len(name) <= short_len:
-                continue
-            for g, o in _multiset(name):
-                grams.append(g)
-                occs.append(o)
-        return pa.table({"gram": pa.array(grams, pa.string()),
-                         "occ": pa.array(occs, pa.int64())})
+        names = batch.column("p_name").to_pylist()
+        _, _, gramkey = _positional_grams(names, q, short_len)
+        return pa.table({"gramkey": pa.array(gramkey, pa.int64())})
 
     def _gbucket(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        g = np.asarray(batch.column("gram").to_pylist(), dtype=object)
-        o = batch.column("occ").to_numpy().astype(np.int64)
-        h = (pd.util.hash_array(g)
-             + o.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        gk = batch.column("gramkey").to_numpy().astype(np.uint64)
+        h = gk * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
         return batch.append_column(
-            "gbkt", pa.array((h % np.uint64(64)).astype(np.int32)))
+            "gbkt",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
 
     def _df_fold(group: pa.Table) -> pa.Table:
-        """Bucket-local (gram, occ) count — int-bucket fold replacing
-        the two-column sort aggregate."""
-        import pandas as pd
-
-        dfp = (pd.DataFrame({
-            "gram": np.asarray(group.column("gram").to_pylist(),
-                               dtype=object),
-            "occ": group.column("occ").to_numpy().astype(np.int64)})
-            .groupby(["gram", "occ"], sort=False).size()
-            .reset_index(name="df"))
-        return pa.table({
-            "gram": pa.array(dfp["gram"].tolist(), pa.string()),
-            "occ": pa.array(dfp["occ"].to_numpy(np.int64), pa.int64()),
-            "df": pa.array(dfp["df"].to_numpy(np.int64), pa.int64()),
-        })
+        """Bucket-local packed (gram, occ) count — one np.unique."""
+        u, c = np.unique(
+            group.column("gramkey").to_numpy().astype(np.int64),
+            return_counts=True)
+        return pa.table({"gramkey": pa.array(u, pa.int64()),
+                         "df": pa.array(c.astype(np.int64), pa.int64())})
 
     df = (ray.data.read_parquet(part_path, columns=["p_name"])
           .map_batches(_df_rows, batch_format="pyarrow")
           .map_batches(_gbucket, batch_format="pyarrow")
           .groupby("gbkt").map_groups(_df_fold, batch_format="pyarrow")
           .to_pandas())
-    df = df.sort_values(["df", "gram", "occ"],
-                        kind="mergesort").reset_index(drop=True)
-    rank = {(g, int(o)): r for r, (g, o) in
-            enumerate(zip(df["gram"], df["occ"]))}
-    rank_ref = ray.put(rank)
+    # ascending-df global order (ties by packed (gram, occ)): rank[i]
+    # for the i-th smallest gramkey — searchsorted replaces the old
+    # per-tuple Python dict
+    dfk = df["gramkey"].to_numpy(np.int64)
+    dfc = df["df"].to_numpy(np.int64)
+    korder = np.argsort(dfk, kind="stable")
+    keys_sorted = dfk[korder]
+    rorder = np.lexsort((dfk, dfc))       # rows in (df asc, key asc)
+    rank_by_row = np.empty(dfk.size, np.int64)
+    rank_by_row[rorder] = np.arange(dfk.size, dtype=np.int64)
+    rank_of_key = rank_by_row[korder]     # aligned with keys_sorted
+    rank_ref = ray.put((keys_sorted, rank_of_key))
 
     def _prefix_rows(batch: pa.Table, *, _c={}) -> pa.Table:
+        """Batch-global prefix emission: ONE rank searchsorted, ONE
+        lexsort over (name, rank), segment arithmetic keeps each
+        name's npref rarest gram occurrences — no per-name loop."""
         if "r" not in _c:
             _c["r"] = ray.get(rank_ref)
-        rk = _c["r"]
-        keys = batch.column("p_partkey").to_numpy().astype(np.int64)
-        names = batch.column("p_name").to_pylist()
-        out = {"gram": [], "occ": [], "key": [], "name": [], "len": []}
-        for key, name in zip(keys, names):
-            if len(name) <= short_len:
-                items = [("", -1)]
-            else:
-                ms = sorted(_multiset(name), key=lambda t: rk[t])
-                items = ms[:npref]
-            for g, o in items:
-                out["gram"].append(g)
-                out["occ"].append(o)
-                out["key"].append(int(key))
-                out["name"].append(name)
-                out["len"].append(len(name))
+        keys_s, ranks = _c["r"]
+        pkeys = batch.column("p_partkey").to_numpy().astype(np.int64)
+        names_arr = batch.column("p_name")
+        names = names_arr.to_pylist()
+        kept, nidx, gramkey = _positional_grams(names, q, short_len)
+        if gramkey.size:
+            pos = np.minimum(np.searchsorted(keys_s, gramkey),
+                             max(keys_s.size - 1, 0))
+            if keys_s.size == 0 or not bool(
+                    (keys_s[pos] == gramkey).all()):
+                raise ValueError("q-gram absent from the df broadcast "
+                                 "— df and prefix stages disagree")
+            rk = ranks[pos]
+            order = np.lexsort((rk, nidx))
+            nidx2, gk2 = nidx[order], gramkey[order]
+            counts = np.bincount(nidx2, minlength=kept.size)
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            within = np.arange(nidx2.size, dtype=np.int64) \
+                - np.repeat(starts, counts)
+            sel = within < npref
+            long_idx = kept[nidx2[sel]]
+            long_gk = gk2[sel]
+        else:
+            long_idx = np.zeros(0, np.int64)
+            long_gk = np.zeros(0, np.int64)
+        # SHORT bucket: count bound vacuous, single gramkey -1
+        lens = np.fromiter((len(s) for s in names), np.int64,
+                           len(names))
+        short_idx = np.nonzero(lens <= short_len)[0]
+        all_idx = np.concatenate((long_idx, short_idx))
+        all_gk = np.concatenate(
+            (long_gk, np.full(short_idx.size, -1, np.int64)))
+        take = pa.array(all_idx, pa.int64())
         return pa.table({
-            "gram": pa.array(out["gram"], pa.string()),
-            "occ": pa.array(out["occ"], pa.int64()),
-            "key": pa.array(out["key"], pa.int64()),
-            "name": pa.array(out["name"], pa.string()),
-            "len": pa.array(out["len"], pa.int64()),
+            "gramkey": pa.array(all_gk, pa.int64()),
+            "key": pa.array(pkeys[all_idx], pa.int64()),
+            "name": names_arr.take(take),
+            "len": pa.array(lens[all_idx], pa.int64()),
         })
 
-    npb = 64
+    npb = num_buckets
 
     def _cand(group: pa.Table) -> pa.Table:
         keys = group.column("key").to_numpy().astype(np.int64)
@@ -2910,7 +3019,7 @@ def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
 
     return (ray.data.read_parquet(part_path, columns=["p_partkey", "p_name"])
             .map_batches(_prefix_rows, batch_format="pyarrow")
-            .groupby(["gram", "occ"]).map_groups(_cand, batch_format="pyarrow")
+            .groupby("gramkey").map_groups(_cand, batch_format="pyarrow")
             .groupby("pbucket").map_groups(_verify, batch_format="pyarrow"))
 
 

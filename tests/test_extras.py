@@ -1292,3 +1292,65 @@ class TestMixedLangDocs:
         assert got.loc[1, "en_chunks"] == got.loc[1, "n_chunks"]
         assert got.loc[2, "is_mixed"] == 0
         assert got.loc[2, "en_chunks"] == 0
+
+
+def _canon_pairs(ds):
+    df = ds.to_pandas()
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_jaccard_prefix_bucket_count_independence(ray_session):
+    """Bucket counts only repartition work: the PPJoin plan must emit
+    IDENTICAL pairs at any num_buckets (the partition-independence
+    proof behind tableutil.auto_buckets deriving the count from input
+    size instead of a fixed 64)."""
+    from candidategeneration_ray.pipelines.extras import q_jaccard_pairs_prefix
+
+    sf = "/root/testdata/sf0.001"
+    a = _canon_pairs(q_jaccard_pairs_prefix(sf, num_buckets=7))
+    b = _canon_pairs(q_jaccard_pairs_prefix(sf, num_buckets=64))
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_fuzzy_name_pairs_bucket_count_independence(ray_session):
+    """Same proof for the fuzzy string join's gram-df and pair folds."""
+    from candidategeneration_ray.pipelines.extras import q_fuzzy_name_pairs
+
+    sf = "/root/testdata/sf0.001"
+    a = _canon_pairs(q_fuzzy_name_pairs(sf, num_buckets=5))
+    b = _canon_pairs(q_fuzzy_name_pairs(sf, num_buckets=64))
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_positional_grams_match_python_multiset(ray_session):
+    """The packed batch-global q-gram emitter equals the obvious
+    per-name Python multiset builder (occurrence indexes in positional
+    order), including a non-ASCII name (UTF-32 decode: codepoint ==
+    slot)."""
+    from candidategeneration_ray.pipelines.extras import _positional_grams
+
+    names = ["banana", "", "ab", "ananas", "aaaa", "naïve café", "xyz"]
+    q, short_len = 2, 3
+    kept, nidx, gramkey = _positional_grams(names, q, short_len)
+    got = {}
+    for j, gk in zip(nidx, gramkey):
+        got.setdefault(int(kept[j]), []).append(
+            (int(gk) >> 16, int(gk) & 0xFFFF))
+    shift = max(7, max(ord(c) for n in names for c in n).bit_length())
+    for i, name in enumerate(names):
+        if len(name) <= short_len:
+            assert i not in got
+            continue
+        seen, expect = {}, []
+        for p in range(len(name) - q + 1):
+            g = name[p:p + q]
+            o = seen.get(g, 0)
+            seen[g] = o + 1
+            packed = 0
+            for c in g:
+                packed = (packed << shift) | ord(c)
+            expect.append((packed, o))
+        assert sorted(got[i]) == sorted(expect), name
