@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_postings": dq.q_hit_postings,              # J6/HIT prior-ordered postings
         "hit_index_top5": dq.q_hit_index_top5,          # HIT index family build
         "phrase_postings": ps.q_phrase_postings,        # positional family: exact phrase
+        "phrase_postings_sharded": ps.q_phrase_postings_sharded,  # term-sharded phrase fleet
         "proximity_docs": ps.q_proximity_docs,          # all terms within a W-window
         "ordered_window_docs": ps.q_ordered_window_docs,  # in-order #odW retrieval
         # LSM twin: base+delta compacted family must equal the
@@ -566,6 +567,9 @@ def oracle_sql() -> dict[str, str]:
     # the prefix-filtered (PPJoin) plan must equal the exact all-pairs
     # plan — same oracle, so the driver hash-checks plan equivalence
     d["jaccard_pairs_prefix"] = d["jaccard_pairs"]
+    # term-sharded phrase fleet must equal the single-task server —
+    # same oracle, hash-checks the fleet's disjoint-ownership merge
+    d["phrase_postings_sharded"] = d["phrase_postings"]
     # IVM-maintained window view must equal the full recompute
     d["windowed_counts_ivm"] = d["windowed_counts"]
     # IVM-maintained JOIN view must equal the full shuffle-join recompute

@@ -85,6 +85,68 @@ def _bench_delta_transcripts() -> str:
     return d
 
 
+def _concurrent_serve_latency(final_dir: str, stats: dict,
+                              query_mix: list[str],
+                              total: int = 280) -> dict:
+    """Per-request serving latency under concurrent load: a pool of
+    engine actors, bounded in-flight window (4/actor, round-robin).
+    Returns service-time percentiles (measured inside the actor — the
+    compute an actor owes one request) plus sojourn p99 (driver wall:
+    queueing + RPC + compute) and the achieved qps."""
+    import ray
+
+    @ray.remote
+    class _ServeActor:
+        def __init__(self, final_dir, stats):
+            from candidategeneration_ray.state.queryengine import QueryEngine
+
+            self.eng = QueryEngine(final_dir, stats)
+            self.eng.warm()
+
+        def topk_ms(self, text: str, k: int = 10) -> float:
+            t0 = time.perf_counter()
+            self.eng.topk(text, k=k)
+            return (time.perf_counter() - t0) * 1000
+
+    n_actors = max(2, NUM_CPUS // 8)
+    stats_ref = ray.put(stats)
+    actors = [_ServeActor.remote(final_dir, stats_ref)
+              for _ in range(n_actors)]
+    # constructor warmup completes before the clock starts
+    ray.get([a.topk_ms.remote(query_mix[0]) for a in actors])
+    window = 4 * n_actors
+    svc, sojourn = [], []
+    inflight: dict = {}
+    i = 0
+    t_start = time.perf_counter()
+    while len(svc) < total:
+        while len(inflight) < window and i < total:
+            ref = actors[i % n_actors].topk_ms.remote(
+                query_mix[i % len(query_mix)])
+            inflight[ref] = time.perf_counter()
+            i += 1
+        done, _ = ray.wait(list(inflight), num_returns=1)
+        for ref in done:
+            svc.append(ray.get(ref))
+            sojourn.append((time.perf_counter() - inflight.pop(ref))
+                           * 1000)
+    wall = time.perf_counter() - t_start
+    svc.sort()
+    sojourn.sort()
+
+    def _pct(xs, p):
+        return round(xs[min(len(xs) - 1, int(len(xs) * p))], 2)
+
+    return {
+        "actors": n_actors, "inflight": window, "requests": total,
+        "service_ms_p50": _pct(svc, 0.50),
+        "service_ms_p95": _pct(svc, 0.95),
+        "service_ms_p99": _pct(svc, 0.99),
+        "sojourn_ms_p99": _pct(sojourn, 0.99),
+        "qps": round(total / wall, 1),
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -160,19 +222,26 @@ def run_bench() -> dict:
     t_w = time.time()
     eng.warm()       # serving-actor startup warmup (hot-list decode)
     warm_sec = time.time() - t_w
+    QUERY_MIX = ["query engine latency", "data", "index worker shard",
+                 "model kernel vector", "rareterma data cluster",
+                 "agenting batching caching", "1003 1007 shard"]
     lat = []
-    for _ in range(8):
-        for _, t in enumerate(["query engine latency", "data",
-                               "index worker shard", "model kernel vector",
-                               "rareterma data cluster",
-                               "agenting batching caching",
-                               "1003 1007 shard"]):
+    for _ in range(30):          # 210 samples: p99 is meaningful
+        for t in QUERY_MIX:
             tq = time.time()
             eng.topk(t, k=10)
             lat.append((time.time() - tq) * 1000)
     lat.sort()
     lat_p50 = round(lat[len(lat) // 2], 2)
     lat_p95 = round(lat[int(len(lat) * 0.95)], 2)
+    lat_p99 = round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 2)
+
+    # the fleet case (round-5 verdict item 7): per-request latency
+    # under CONCURRENT load — a pool of serving actors, bounded
+    # in-flight window (4/actor). Service time is measured INSIDE the
+    # actor (compute only); driver-side sojourn adds queueing + RPC.
+    conc = _concurrent_serve_latency(res["final_dir"], res["stats"],
+                                     QUERY_MIX)
 
     # incremental update: ingest a +10% delta through update_index
     # (frozen-epoch LSM generation — no full rebuild) and serve over
@@ -247,6 +316,7 @@ def run_bench() -> dict:
         ("semantic_neardups", cb.q_semantic_neardups),
         ("pagerank", cb.q_pagerank),
         ("phrase_postings", ps.q_phrase_postings),      # positional family build
+        ("phrase_postings_sharded", ps.q_phrase_postings_sharded),  # term-sharded fleet
         ("proximity_docs", ps.q_proximity_docs),        # served from same family
         ("windowed_heavy_hitters", ev.q_windowed_heavy_hitters),
         ("funnel_counts", ev.q_funnel_counts),
@@ -379,6 +449,8 @@ def run_bench() -> dict:
         "query_rows": n_out,
         "serve_latency_ms_p50": lat_p50,
         "serve_latency_ms_p95": lat_p95,
+        "serve_latency_ms_p99": lat_p99,
+        "serve_concurrent": conc,
         "serve_warmup_sec": round(warm_sec, 3),
         "delta_update_sec": round(update_sec, 3),
         "delta_docs": delta_docs,

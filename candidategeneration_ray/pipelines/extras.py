@@ -21,6 +21,25 @@ from candidategeneration_ray.functions import hashing as H
 from candidategeneration_ray.functions.tokenize import tokenize_many
 from candidategeneration_ray.pipelines.docquery import _cache_dir, documents_ds
 
+_BUCKET_MEMO: dict[str, int] = {}
+
+
+def _doc_buckets(sf_dir: str, table: str = "documents") -> int:
+    """Size-derived fold bucket count for this corpus (memoized per
+    (sf_dir, table)): the dedup/similarity folds route
+    corpus-proportional row streams, so their bucket counts must grow
+    with the input (tableutil.auto_buckets; the fd_audit policy —
+    round-4/5 verdict: fixed 64-way folds hand each task 1/64th of
+    the corpus at 100 TB). Bucket counts only repartition work, so
+    every fold output is bucket-count independent."""
+    key = f"{os.path.realpath(sf_dir)}::{table}"
+    if key not in _BUCKET_MEMO:
+        from candidategeneration_ray.functions.tableutil import auto_buckets
+
+        _BUCKET_MEMO[key] = auto_buckets(
+            os.path.join(sf_dir, f"{table}.parquet"))
+    return _BUCKET_MEMO[key]
+
 
 # ------------------------------------------------------------- exact dedup
 
@@ -306,11 +325,13 @@ def _shingle_pair_overlaps(sf_dir: str,
 
     shingles = documents_ds(sf_dir).map_batches(
         lambda b: _shingle_rows(b, H.SHINGLE_W), batch_format="pyarrow")
+    nsb = _doc_buckets(sf_dir)
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         h = batch.column("shingle_h").to_numpy()
         return batch.append_column(
-            "sbucket", pa.array((h.astype(np.uint64) % 64).astype(np.int32)))
+            "sbucket", pa.array(
+                (h.astype(np.uint64) % np.uint64(nsb)).astype(np.int32)))
 
     def _pairs(group: pa.Table) -> pa.Table:
         docs = group.column("doc_id").to_numpy().astype(np.int64)
@@ -409,11 +430,13 @@ def q_minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
         })
 
     bands = documents_ds(sf_dir).map_batches(_bands, batch_format="pyarrow")
+    nsb = _doc_buckets(sf_dir)
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         s = batch.column("band_sig").to_numpy()
         return batch.append_column(
-            "sbucket", pa.array((s.astype(np.uint64) % 64).astype(np.int32)))
+            "sbucket", pa.array(
+                (s.astype(np.uint64) % np.uint64(nsb)).astype(np.int32)))
 
     def _star(group: pa.Table) -> pa.Table:
         """One bucket = many (band, sig) groups, processed by ONE
@@ -501,7 +524,8 @@ def q_dup_clusters(sf_dir: str, max_rounds: int = 20) -> ray.data.Dataset:
         labels = ray.data.from_arrow_refs(
             [_small_graph_cc.remote(*edges.to_arrow_refs())])
     else:
-        labels = _propagation_rounds(edges, max_rounds)
+        labels = _propagation_rounds(edges, max_rounds,
+                                     num_buckets=_doc_buckets(sf_dir))
 
     def _identity(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").cast(pa.int64())
@@ -551,10 +575,13 @@ def _small_graph_cc(*tables: pa.Table) -> pa.Table:
                      "lbl": pa.array(label, pa.int64())})
 
 
-def _propagation_rounds(edges, max_rounds: int):
+def _propagation_rounds(edges, max_rounds: int,
+                        num_buckets: int = 64):
     """The general-scale CC path: per-round groupby label propagation
     over the edge-induced subgraph (see q_dup_clusters docstring).
-    `edges` is the materialized symmetric (src, dst, lbl=SENT) set."""
+    `edges` is the materialized symmetric (src, dst, lbl=SENT) set.
+    `num_buckets` sizes the per-round message fold — callers with a
+    corpus in scope pass _doc_buckets(sf_dir) (size-derived)."""
     from ray.data.aggregate import Min, Sum
 
     def _edge_nodes(batch: pa.Table) -> pa.Table:
@@ -578,7 +605,8 @@ def _propagation_rounds(edges, max_rounds: int):
     def _bucketize(batch: pa.Table) -> pa.Table:
         s = batch.column("src").to_numpy()
         return batch.append_column(
-            "sbucket", pa.array((s.astype(np.uint64) % 64).astype(np.int32)))
+            "sbucket", pa.array((s.astype(np.uint64)
+                                 % np.uint64(num_buckets)).astype(np.int32)))
 
     def _propagate(group: pa.Table) -> pa.Table:
         """Vectorized over the bucket's many src groups: resolve each
@@ -698,11 +726,14 @@ def q_simhash_neardups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
             "simhash": pa.array(np.concatenate(out_s), pa.int64()),
         })
 
+    nsb = _doc_buckets(sf_dir)
+
     def _bucketize(batch: pa.Table) -> pa.Table:
         b = batch.column("band_id").to_numpy().astype(np.uint64)
         v = batch.column("band_val").to_numpy().astype(np.uint64)
         return batch.append_column(
-            "sbucket", pa.array(((b * 31 + v) % 64).astype(np.int32)))
+            "sbucket", pa.array(
+                ((b * 31 + v) % np.uint64(nsb)).astype(np.int32)))
 
     def _pairs(group: pa.Table) -> pa.Table:
         b = group.column("band_id").to_numpy().astype(np.int64)
@@ -1067,11 +1098,14 @@ def q_embedding_neardups_lsh(sf_dir: str, threshold_pct: int = 40,
             "embedding": rep.column("embedding"),
         })
 
+    nsb = _doc_buckets(sf_dir, "embeddings")
+
     def _bucketize(batch: pa.Table) -> pa.Table:
         b = batch.column("band").to_numpy().astype(np.uint64)
         c = batch.column("code").to_numpy().astype(np.uint64)
         return batch.append_column(
-            "sbucket", pa.array(((b * 131 + c) % 64).astype(np.int32)))
+            "sbucket", pa.array(
+                ((b * 131 + c) % np.uint64(nsb)).astype(np.int32)))
 
     def _pairs(group: pa.Table) -> pa.Table:
         """One shuffle bucket = many (band, code) LSH buckets; score
@@ -1191,11 +1225,13 @@ def q_duplicate_spans(sf_dir: str, w: int = 20) -> ray.data.Dataset:
 
     spans = documents_ds(sf_dir).map_batches(
         lambda b: _shingle_rows(b, w), batch_format="pyarrow")
+    nsb = _doc_buckets(sf_dir)
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         h = batch.column("shingle_h").to_numpy()
         return batch.append_column(
-            "sbucket", pa.array((h.astype(np.uint64) % 64).astype(np.int32)))
+            "sbucket", pa.array(
+                (h.astype(np.uint64) % np.uint64(nsb)).astype(np.int32)))
 
     def _df_partials(group: pa.Table) -> pa.Table:
         h = group.column("shingle_h").to_numpy().astype(np.int64)
@@ -2283,7 +2319,7 @@ def q_cluster_representatives(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     clusters = q_dup_clusters(sf_dir)
-    nb = 64
+    nb = _doc_buckets(sf_dir)
 
     def _cluster_rows(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy().astype(np.int64)
@@ -3057,7 +3093,8 @@ def q_part_entities(sf_dir: str, max_rounds: int = 20) -> ray.data.Dataset:
         labels = ray.data.from_arrow_refs(
             [_small_graph_cc.remote(*edges.to_arrow_refs())])
     else:
-        labels = _propagation_rounds(edges, max_rounds)
+        labels = _propagation_rounds(edges, max_rounds,
+                                     num_buckets=_doc_buckets(sf_dir))
 
     def _identity(batch: pa.Table) -> pa.Table:
         k = batch.column("p_partkey").cast(pa.int64())
@@ -3151,7 +3188,7 @@ def q_delta_dedup(sf_dir: str) -> ray.data.Dataset:
     64-bit collision cannot corrupt the answer — at 100 TB you would
     carry the hash and lazily confirm the rare collision instead of
     shipping text). Output (doc_id, base_match | -1) per delta doc."""
-    nb = 64
+    nb = _doc_buckets(sf_dir)
 
     def _base_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
@@ -3467,7 +3504,7 @@ def q_dedup_substrings(sf_dir: str, w: int = DEDUP_SUB_W) -> ray.data.Dataset:
     rebuild. No stage holds more than one bucket; nothing touches the
     driver. Positions are 1-based to match the oracle's kpos;
     per-doc token counts must fit 20 bits (fail fast otherwise)."""
-    nb = 64
+    nb = _doc_buckets(sf_dir)
     pos_mask = (1 << _SUB_POS_BITS) - 1
 
     def _windows(batch: pa.Table) -> pa.Table:

@@ -491,19 +491,18 @@ def _packed_positions(dirs: list[str], uniq_tids: list[int],
     }
 
 
-@ray.remote
-def _phrase_task(dirs: list[str], phrase_id: int, tids: list[int],
-                 num_buckets: int) -> pa.Table:
-    """Serve one phrase: bucket/key-pruned segment read, then packed
-    (doc << POS_BITS | pos) sorted-set intersection with per-term
-    shifts — occurrence p matches iff p+i is a position of term i for
-    every i. Overlapping occurrences count (standard phrase TF)."""
+def _phrase_from_packed(packed: dict[int, np.ndarray], phrase_id: int,
+                        tids: list[int]) -> pa.Table:
+    """Packed (doc << POS_BITS | pos) sorted-set intersection with
+    per-term shifts — occurrence p matches iff p+i is a position of
+    term i for every i. Overlapping occurrences count (standard
+    phrase TF). Shared by the single-task and sharded-fleet servers
+    (the packed arrays are identical whichever reader produced them)."""
     empty = pa.table({
         "phrase_id": pa.array([], pa.int64()),
         "doc_id": pa.array([], pa.int64()),
         "n_occurrences": pa.array([], pa.int64()),
     })
-    packed = _packed_positions(dirs, sorted(set(tids)), num_buckets)
     if any(tid not in packed for tid in tids):
         return empty
     s = packed[tids[0]]
@@ -517,6 +516,15 @@ def _phrase_task(dirs: list[str], phrase_id: int, tids: list[int],
         "doc_id": pa.array(d, pa.int64()),
         "n_occurrences": pa.array(occ.astype(np.int64), pa.int64()),
     })
+
+
+@ray.remote
+def _phrase_task(dirs: list[str], phrase_id: int, tids: list[int],
+                 num_buckets: int) -> pa.Table:
+    """Serve one phrase: bucket/key-pruned segment read, then the
+    packed intersection (_phrase_from_packed)."""
+    packed = _packed_positions(dirs, sorted(set(tids)), num_buckets)
+    return _phrase_from_packed(packed, phrase_id, tids)
 
 
 # Proximity trace: every term must fall inside one W-wide kept-token
@@ -616,6 +624,114 @@ def q_phrase_postings(sf_dir: str,
             "doc_id": pa.array([], pa.int64()),
             "n_occurrences": pa.array([], pa.int64()),
     }), [("phrase_id", "ascending"), ("doc_id", "ascending")])
+
+
+# ------------------------------- term-sharded phrase serving fleet
+
+@ray.remote(max_restarts=2, max_task_retries=2)
+class _PhraseShardActor:
+    """Owns the positional-family keys whose bucket hashes to this
+    shard (bucket_of(key) % n_shards == shard_id — DISJOINT across the
+    fleet by construction, pytest-forced). Answers per-query PARTIAL
+    position reads for the terms it owns; packed position arrays are
+    term-local, so partials from disjoint term sets merge exactly by
+    dict union (the TermShardedQueryEngine pattern for BM25, applied
+    to the positional family)."""
+
+    def __init__(self, dirs: list[str], shard_id: int, n_shards: int,
+                 num_buckets: int):
+        self.dirs = dirs
+        self.sid = int(shard_id)
+        self.n = int(n_shards)
+        self.nb = int(num_buckets)
+
+    def owned(self, term_ids: list[int]) -> list[int]:
+        t = np.asarray(sorted(set(term_ids)), np.int64)
+        if t.size == 0:
+            return []
+        mine = t[bucket_of(t, self.nb) % self.n == self.sid]
+        return [int(x) for x in mine]
+
+    def positions(self, term_ids: list[int]) -> dict[int, np.ndarray]:
+        mine = self.owned(term_ids)
+        if not mine:
+            return {}
+        return _packed_positions(self.dirs, mine, self.nb)
+
+    def ping(self) -> bool:
+        return True
+
+
+class PhraseShardedEngine:
+    """Term-partitioned phrase serving: each actor owns a disjoint
+    bucket-hash slice of the positional family and serves position
+    partials for its terms only; the driver unions the (disjoint)
+    partial dicts and runs the packed intersection. One fleet serves
+    many phrases — the actors' pruned reads stay warm across queries
+    (vs one fresh task per phrase in q_phrase_postings)."""
+
+    def __init__(self, dirs: list[str], cfg: EngineConfig | None = None,
+                 n_shards: int = 4):
+        self.cfg = cfg or EngineConfig()
+        self.n_shards = n_shards
+        self.shards = [
+            _PhraseShardActor.remote(dirs, s, n_shards,
+                                     self.cfg.num_buckets)
+            for s in range(n_shards)
+        ]
+        ray.get([s.ping.remote() for s in self.shards])
+
+    def phrase(self, phrase_id: int, tids: list[int]) -> pa.Table:
+        futs = [s.positions.remote(tids) for s in self.shards]
+        packed: dict[int, np.ndarray] = {}
+        for part in ray.get(futs):
+            for k, v in part.items():
+                if k in packed:     # ownership is disjoint by design
+                    raise RuntimeError(
+                        f"term {k} served by two phrase shards")
+                packed[k] = v
+        return _phrase_from_packed(packed, phrase_id, tids)
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+def q_phrase_postings_sharded(sf_dir: str,
+                              phrases: list[tuple[int, str]] | None = None,
+                              n_shards: int = 4) -> pa.Table:
+    """q_phrase_postings served through the term-sharded fleet —
+    identical output (the driver hash-checks both against the SAME
+    oracle), different serving geometry: position partials come from
+    n_shards bucket-disjoint actors instead of one task per phrase."""
+    cfg = EngineConfig()
+    fam = build_positional_family(sf_dir, cfg)
+    stats = fam["stats"]
+    dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
+    eng = PhraseShardedEngine(dirs, cfg, n_shards=n_shards)
+    try:
+        parts = []
+        for pid, phrase in (phrases or PHRASE_QUERIES):
+            tids = phrase_term_ids(stats, phrase)
+            if tids is None:
+                continue
+            t = eng.phrase(pid, tids)
+            if t.num_rows:
+                parts.append(t)
+    finally:
+        eng.shutdown()
+    empty = pa.table({
+        "phrase_id": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "n_occurrences": pa.array([], pa.int64()),
+    })
+    if not parts:
+        return empty
+    out = pa.concat_tables(parts)
+    return out.take(pa.compute.sort_indices(
+        out, sort_keys=[("phrase_id", "ascending"),
+                        ("doc_id", "ascending")]))
 
 
 def _delta_positional(sf_dir: str) -> tuple[list[str], dict, EngineConfig]:

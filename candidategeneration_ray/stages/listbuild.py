@@ -111,9 +111,14 @@ def build_lists_for_bucket(
     keys = keys[order]
     scores = scores[order]
     doc_ids = doc_ids[order]
-    # group boundaries over the sorted keys
-    starts = np.concatenate(([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1))
-    ends = np.concatenate((starts[1:], [keys.size]))
+    # group boundaries over the sorted keys (no group at all if empty —
+    # the task exchange can hand a bucket zero rows)
+    if keys.size:
+        starts = np.concatenate(([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [keys.size]))
+    else:
+        starts = np.zeros(0, np.int64)
+        ends = np.zeros(0, np.int64)
     if cfg.max_list_postings is not None and keys.size:
         keep = prune_mask(keys, doc_ids, scores, starts, ends, cfg)
         keys, scores, doc_ids = keys[keep], scores[keep], doc_ids[keep]
@@ -258,15 +263,81 @@ def merge_partial_lists(
     })
 
 
-def build_posting_lists(postings: ray.data.Dataset, cfg: EngineConfig | None = None) -> ray.data.Dataset:
+@ray.remote
+def _split_by_bucket(block: pa.Table, nb: int):
+    """One stable sort by bucket + nb zero-copy slices of this
+    combiner-output block (num_returns=nb routes each slice straight
+    to its bucket's merge task)."""
+    keys = block.column("key").to_numpy()
+    b = bucket_of(keys, nb)
+    order = np.argsort(b, kind="stable")
+    tbl = block.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(b[order], np.arange(nb + 1))
+    return tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                 for i in range(nb))
+
+
+@ray.remote
+def _merge_bucket_slices(bucket: int, cfg: EngineConfig,
+                         *slices: pa.Table) -> pa.Table:
+    from candidategeneration_ray.functions.arrowutil import binary_column_concat
+
+    live = [s for s in slices if s.num_rows]
+    if not live:
+        return build_lists_for_bucket(
+            np.empty(0, np.int64), np.empty(0, np.int32),
+            np.empty(0, np.int64), cfg, bucket)
+    tb = pa.concat_tables(live)
+    docs_data, _ = binary_column_concat(tb.column("docs"))
+    scores_data, _ = binary_column_concat(tb.column("scores"))
+    return merge_partial_lists(
+        tb.column("key").to_numpy().astype(np.int64),
+        tb.column("n").to_numpy().astype(np.int64),
+        docs_data, scores_data, cfg, bucket)
+
+
+def build_posting_lists(postings: ray.data.Dataset,
+                        cfg: EngineConfig | None = None,
+                        exchange: str = "tasks") -> ray.data.Dataset:
     """postings → posting-list dataset (see module doc).
 
     Accepts either raw posting rows (key, score, doc_id) or the
-    combiner's partial-list rows (key, n, docs, scores); both shuffle
-    once on the key-hash bucket."""
+    combiner's partial-list rows (key, n, docs, scores).
+
+    Partial-list input takes the task-routed bucket exchange: each
+    combiner block is split into per-bucket zero-copy slices
+    (num_returns fan-out) and ONE task per bucket folds its slices —
+    the same all-to-all as groupby(bucket) minus Ray's sort machinery
+    (measured on the 8.8M-partial bench build: 5.4 s -> 4.6 s for the
+    emission phase; the Sort op spent 3.7 s wall on ~2 cpu-s of
+    work). The fold is order-insensitive (merge re-sorts each key's
+    postings), so the result is identical to the groupby plan —
+    byte-identity is pytest-forced. Raw posting rows keep the
+    groupby(bucket) route (cold path, used by small family builds)."""
     cfg = cfg or EngineConfig()
-    bucketed = attach_bucket(postings, cfg.num_buckets)
     partial = "docs" in postings.schema().names
+    if partial and exchange == "tasks":
+        nb = cfg.num_buckets
+        refs = postings.to_arrow_refs()
+        if refs and nb == 1:   # no routing needed: one fold over all
+            return ray.data.from_arrow_refs(
+                [_merge_bucket_slices.remote(0, ray.put(cfg), *refs)])
+        split_out = [
+            _split_by_bucket.options(num_returns=nb).remote(r, nb)
+            for r in refs]
+        if not split_out:
+            return ray.data.from_arrow(
+                [build_lists_for_bucket(
+                    np.empty(0, np.int64), np.empty(0, np.int32),
+                    np.empty(0, np.int64), cfg, 0)])
+        cfg_ref = ray.put(cfg)
+        merged = [
+            _merge_bucket_slices.remote(b, cfg_ref,
+                                        *[so[b] for so in split_out])
+            for b in range(nb)
+        ]
+        return ray.data.from_arrow_refs(merged)
+    bucketed = attach_bucket(postings, cfg.num_buckets)
 
     def _build(group: pa.Table) -> pa.Table:
         keys = group.column("key").to_numpy()

@@ -67,3 +67,30 @@ def built_index(ray_session, transcripts_dir, tmp_path_factory):
 
     out = str(tmp_path_factory.mktemp("index_small"))
     return build_index(transcripts_dir, out)
+
+
+# ---- driver-gather bound audit (round-5 verdict item 6) -------------
+# Every package take_all() site is a BOUNDED partial/summary gather
+# (per-batch top-k, O(components), O(buckets), O(labels*dims)); this
+# autouse guard keeps that discipline alive: any take_all that returns
+# a corpus-proportional row count at test scale fails the suite.
+TAKE_ALL_MAX_ROWS = 100_000
+
+
+@pytest.fixture(scope="session", autouse=True)
+def bounded_take_all():
+    import ray.data
+
+    orig = ray.data.Dataset.take_all
+
+    def guarded(self, *args, **kwargs):
+        rows = orig(self, *args, **kwargs)
+        assert len(rows) <= TAKE_ALL_MAX_ROWS, (
+            f"take_all() gathered {len(rows)} rows to the driver "
+            f"(> {TAKE_ALL_MAX_ROWS}); driver gathers must be bounded "
+            f"partials — fold in a map_batches/groupby stage instead")
+        return rows
+
+    ray.data.Dataset.take_all = guarded
+    yield
+    ray.data.Dataset.take_all = orig

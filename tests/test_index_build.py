@@ -292,3 +292,47 @@ class TestIndexIntegrity:
         finally:
             dq.build_documents_index = orig
         assert got.loc[0, "n_violations"] == 1
+
+
+class TestExchangeIdentity:
+    def test_task_exchange_equals_sort_exchange(self, ray_session,
+                                                transcripts_dir):
+        """The task-routed bucket exchange (split + per-bucket merge
+        tasks) must produce the SAME posting lists as the groupby
+        sort exchange — the fold is order-insensitive, so only the
+        routing differs."""
+        import glob
+
+        import numpy as np
+        import ray
+
+        from candidategeneration_ray.config import EngineConfig
+        from candidategeneration_ray.pipelines.build import (
+            INPUT_COLUMNS)
+        from candidategeneration_ray.stages.docids import (
+            attach_doc_ids, conv_offsets)
+        from candidategeneration_ray.stages.listbuild import (
+            build_posting_lists)
+        from candidategeneration_ray.stages.postings import emit_postings
+        from candidategeneration_ray.stages.tokenize import attach_tokens
+
+        inputs = sorted(glob.glob(transcripts_dir + "/*.parquet"))
+        cfg = EngineConfig()
+        base = ray.data.read_parquet(inputs, columns=INPUT_COLUMNS)
+        offsets_ref = ray.put(conv_offsets(base))
+        from candidategeneration_ray.stages.stats import compute_stats
+        stats_ref = ray.put(compute_stats(attach_tokens(base)))
+
+        def lists_df(exchange):
+            ds = ray.data.read_parquet(inputs, columns=INPUT_COLUMNS)
+            with_ids = attach_doc_ids(attach_tokens(ds), offsets_ref)
+            p = emit_postings(with_ids, stats_ref, cfg)
+            df = build_posting_lists(p, cfg, exchange=exchange).to_pandas()
+            return df.sort_values("key").reset_index(drop=True)
+
+        a, b = lists_df("tasks"), lists_df("sort")
+        assert len(a) == len(b) > 0
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            assert all(np.array_equal(x, y) for x, y in zip(av, bv)), c

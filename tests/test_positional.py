@@ -614,3 +614,43 @@ class TestLmDirichlet:
         assert 3 not in set(g5["doc_id"])
         s = g5.set_index("doc_id")["score"]
         assert s[2] > s[0] > s[1]      # tf wins, then length normalization
+
+
+class TestShardedPhrase:
+    def test_sharded_equals_single_task(self, ray_session):
+        from candidategeneration_ray.pipelines.positional import (
+            q_phrase_postings, q_phrase_postings_sharded)
+
+        sf = "/root/testdata/sf0.001"
+        a = q_phrase_postings(sf).to_pandas()
+        b = q_phrase_postings_sharded(sf).to_pandas()
+        assert a.equals(b)
+        assert len(a) > 0
+
+    def test_shard_ownership_is_disjoint_and_complete(self, ray_session):
+        """Every term id is owned by EXACTLY one shard (the fleet's
+        merge correctness rests on this)."""
+        import numpy as np
+
+        from candidategeneration_ray.config import EngineConfig
+        from candidategeneration_ray.pipelines.positional import (
+            PhraseShardedEngine, build_positional_family,
+            family_serving_dirs)
+        import os
+
+        sf = "/root/testdata/sf0.001"
+        cfg = EngineConfig()
+        fam = build_positional_family(sf, cfg)
+        dirs = family_serving_dirs(os.path.dirname(fam["final_dir"]))
+        eng = PhraseShardedEngine(dirs, cfg, n_shards=3)
+        try:
+            import ray as _ray
+
+            tids = list(range(1, 400))
+            owned = _ray.get(
+                [s.owned.remote(tids) for s in eng.shards])
+            flat = [t for o in owned for t in o]
+            assert sorted(flat) == sorted(set(flat))   # disjoint
+            assert sorted(flat) == tids                # complete
+        finally:
+            eng.shutdown()
