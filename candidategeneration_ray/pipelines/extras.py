@@ -2073,8 +2073,6 @@ def q_jaccard_pairs_prefix(sf_dir: str,
     a fixed count would give each fold task ~1/64th of a corpus-sized
     row stream at 100 TB. Output is bucket-count independent
     (pytest-forced at two counts)."""
-    from ray.data.aggregate import Count as AggCount
-
     from candidategeneration_ray.functions.tableutil import auto_buckets
 
     pct = int(threshold_pct)
@@ -2086,19 +2084,38 @@ def q_jaccard_pairs_prefix(sf_dir: str,
     if num_buckets < 1:
         raise ValueError("num_buckets must be >= 1")
 
-    # global ascending-df order: ONE df aggregate over the distinct
+    # global ascending-df order: ONE df fold over the distinct
     # (doc, shingle) rows; only the hot tail (df >= PPJOIN_HOT_DF,
     # top PPJOIN_HOT_MAX by df) is broadcast — everything else ranks
-    # as df-unknown (0) and orders by hash, a consistent total order
-    hot_pdf = (documents_ds(sf_dir)
-               .map_batches(lambda bt: _shingle_rows(bt, H.SHINGLE_W),
-                            batch_format="pyarrow")
-               .groupby("shingle_h")
-               .aggregate(AggCount(alias_name="df"))
-               .filter(expr=f"df >= {PPJOIN_HOT_DF}")
-               .sort("df", descending=True)
-               .limit(PPJOIN_HOT_MAX)
-               .to_pandas())
+    # as df-unknown (0) and orders by hash, a consistent total order.
+    # The fold is the int-bucket + np.unique pattern (NOT the sort
+    # aggregate: measured 1.9 s -> 0.9 s at sf0.1), and the df >= floor
+    # filter runs INSIDE the fold so only hot rows reach the driver
+    def _hot_fold(group: pa.Table) -> pa.Table:
+        u, c = np.unique(group.column("shingle_h").to_numpy()
+                         .astype(np.int64), return_counts=True)
+        hotm = c >= PPJOIN_HOT_DF
+        return pa.table({"shingle_h": pa.array(u[hotm], pa.int64()),
+                         "df": pa.array(c[hotm].astype(np.int64),
+                                        pa.int64())})
+
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    hot_pdf = fold_by_bucket(
+        documents_ds(sf_dir)
+        .map_batches(lambda bt: _shingle_rows(bt, H.SHINGLE_W),
+                     batch_format="pyarrow")
+        .map_batches(lambda b: b.append_column(
+            "hbkt", pa.array((b.column("shingle_h").to_numpy()
+                              .astype(np.uint64)
+                              % np.uint64(num_buckets))
+                             .astype(np.int32))),
+            batch_format="pyarrow"),
+        "hbkt", _hot_fold, num_buckets,
+        pa.table({"shingle_h": pa.array([], pa.int64()),
+                  "df": pa.array([], pa.int64())})).to_pandas()
+    hot_pdf = hot_pdf.nlargest(PPJOIN_HOT_MAX, "df", keep="first") \
+        if len(hot_pdf) > PPJOIN_HOT_MAX else hot_pdf
     # keep the hot keys uint64 END-TO-END (bit-preserving view, sorted
     # in uint64 order): h64_many emits uint64, and a mixed
     # int64/uint64 searchsorted silently promotes both sides to
@@ -2140,6 +2157,7 @@ def q_jaccard_pairs_prefix(sf_dir: str,
         })
 
     nsb = num_buckets
+    npb = num_buckets
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         h = batch.column("shingle_h").to_numpy()
@@ -2200,19 +2218,23 @@ def q_jaccard_pairs_prefix(sf_dir: str,
             "size_b": pa.array(sb[first], pa.int64()),
         })
 
+    _PAIR4 = pa.table({"doc_a": pa.array([], pa.int64()),
+                       "doc_b": pa.array([], pa.int64()),
+                       "size_a": pa.array([], pa.int64()),
+                       "size_b": pa.array([], pa.int64())})
     shingles_full = documents_ds(sf_dir).map_batches(
         lambda bt: _shingle_rows(bt, H.SHINGLE_W), batch_format="pyarrow")
-    cands = (
-        documents_ds(sf_dir)
-        .map_batches(_prefix_rows, batch_format="pyarrow")
-        .map_batches(_bucketize, batch_format="pyarrow")
-        .groupby("sbucket").map_groups(_cand_pairs, batch_format="pyarrow")
-        .map_batches(_cbucket, batch_format="pyarrow")
-        .groupby("cbucket").map_groups(_cand_dedup,
-                                       batch_format="pyarrow")
-    )
-
-    npb = num_buckets
+    # every fold below rides the task-routed exchange — this plan runs
+    # FOUR bucket folds and Ray's sort machinery dominated its wall
+    # (6.8 s of the 8.7 s execute at sf0.1, ~0.5 cpu-s of sort work)
+    cands = fold_by_bucket(
+        fold_by_bucket(
+            documents_ds(sf_dir)
+            .map_batches(_prefix_rows, batch_format="pyarrow")
+            .map_batches(_bucketize, batch_format="pyarrow"),
+            "sbucket", _cand_pairs, nsb, _PAIR4)
+        .map_batches(_cbucket, batch_format="pyarrow"),
+        "cbucket", _cand_dedup, npb, _PAIR4)
 
     def _pid_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)
@@ -2292,16 +2314,22 @@ def q_jaccard_pairs_prefix(sf_dir: str,
             "union_n": pa.array(union, pa.int64()),
         })
 
-    routed = (
+    routed = fold_by_bucket(
         cands.map_batches(_pid_rows, batch_format="pyarrow")
         .union(shingles_full.map_batches(_set_rows, batch_format="pyarrow"))
-        .map_batches(_doc_bucket, batch_format="pyarrow")
-        .groupby("dbucket").map_groups(_gather, batch_format="pyarrow")
-    )
-    return (
-        routed.groupby("pbucket").map_groups(_verify, batch_format="pyarrow")
-        .select_columns(["doc_a", "doc_b", "inter_n", "union_n"])
-    )
+        .map_batches(_doc_bucket, batch_format="pyarrow"),
+        "dbucket", _gather, npb,
+        pa.table({"pid": pa.array([], pa.int64()),
+                  "pbucket": pa.array([], pa.int32()),
+                  "h": pa.array([], pa.int64())}))
+    return fold_by_bucket(
+        routed, "pbucket", _verify, npb,
+        pa.table({"doc_a": pa.array([], pa.int64()),
+                  "doc_b": pa.array([], pa.int64()),
+                  "inter_n": pa.array([], pa.int64()),
+                  "union_n": pa.array([], pa.int64()),
+                  })).select_columns(["doc_a", "doc_b", "inter_n",
+                                      "union_n"])
 
 
 def q_cluster_representatives(sf_dir: str) -> ray.data.Dataset:
@@ -2978,8 +3006,7 @@ def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
             _c["r"] = ray.get(rank_ref)
         keys_s, ranks = _c["r"]
         pkeys = batch.column("p_partkey").to_numpy().astype(np.int64)
-        names_arr = batch.column("p_name")
-        names = names_arr.to_pylist()
+        names = batch.column("p_name").to_pylist()
         kept, nidx, gramkey = _positional_grams(names, q, short_len)
         if gramkey.size:
             pos = np.minimum(np.searchsorted(keys_s, gramkey),
@@ -3008,23 +3035,34 @@ def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
         all_idx = np.concatenate((long_idx, short_idx))
         all_gk = np.concatenate(
             (long_gk, np.full(short_idx.size, -1, np.int64)))
-        take = pa.array(all_idx, pa.int64())
         return pa.table({
             "gramkey": pa.array(all_gk, pa.int64()),
             "key": pa.array(pkeys[all_idx], pa.int64()),
-            "name": names_arr.take(take),
             "len": pa.array(lens[all_idx], pa.int64()),
         })
 
     npb = num_buckets
+    # the verify needs both name strings per surviving candidate; the
+    # part catalog is the SMALL side of this self-join (dimension
+    # table), so ship ONE sorted (key -> name) broadcast instead of
+    # carrying two strings through two pair-proportional shuffles
+    # (~2x name bytes per candidate). At a catalog too large to
+    # broadcast, switch to the union-tag bucketed join
+    # (q_delta_dedup pattern).
+    import pyarrow.parquet as _pq
+
+    ntab = _pq.read_table(part_path, columns=["p_partkey", "p_name"])
+    nkeys = ntab.column("p_partkey").to_numpy().astype(np.int64)
+    norder = np.argsort(nkeys, kind="stable")
+    name_ref = ray.put((np.ascontiguousarray(nkeys[norder]),
+                        np.asarray(ntab.column("p_name").to_pylist(),
+                                   dtype=object)[norder]))
 
     def _cand(group: pa.Table) -> pa.Table:
         keys = group.column("key").to_numpy().astype(np.int64)
         lens = group.column("len").to_numpy().astype(np.int64)
-        names = group.column("name").to_pylist()
         order = np.argsort(keys, kind="stable")
         keys, lens = keys[order], lens[order]
-        names = [names[i] for i in order]
         m = keys.size
         ia, ib = np.triu_indices(m, k=1)
         ok = np.abs(lens[ia] - lens[ib]) <= k
@@ -3035,21 +3073,22 @@ def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
         return pa.table({
             "pbucket": pa.array((pk % npb).astype(np.int32)),
             "pkey": pa.array(pk, pa.int64()),
-            "a_name": pa.array([names[i] for i in ia], pa.string()),
-            "b_name": pa.array([names[i] for i in ib], pa.string()),
         })
 
-    def _verify(group: pa.Table) -> pa.Table:
-        pk = group.column("pkey").to_numpy().astype(np.int64)
-        _, first = np.unique(pk, return_index=True)
-        a_names = [group.column("a_name")[int(i)].as_py() for i in first]
-        b_names = [group.column("b_name")[int(i)].as_py() for i in first]
+    def _verify(group: pa.Table, *, _c={}) -> pa.Table:
+        if "n" not in _c:
+            _c["n"] = ray.get(name_ref)
+        nk, nv = _c["n"]
+        pk = np.unique(group.column("pkey").to_numpy().astype(np.int64))
+        ka = pk >> np.int64(32)
+        kb = pk & np.int64(0xFFFFFFFF)
+        a_names = nv[np.searchsorted(nk, ka)].tolist()
+        b_names = nv[np.searchsorted(nk, kb)].tolist()
         ed = _ed_many(a_names, b_names)
         keep = ed <= k
-        pk = pk[first][keep]
         return pa.table({
-            "a_key": pa.array(pk >> np.int64(32), pa.int64()),
-            "b_key": pa.array(pk & np.int64(0xFFFFFFFF), pa.int64()),
+            "a_key": pa.array(ka[keep], pa.int64()),
+            "b_key": pa.array(kb[keep], pa.int64()),
             "ed": pa.array(ed[keep], pa.int64()),
         })
 
