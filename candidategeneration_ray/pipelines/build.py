@@ -414,15 +414,23 @@ def build_index(
         # sequential: measured faster than both thread-concurrent
         # execution (two streaming executions contend) and a fused
         # single-groupby variant (the two-column string groupby path
-        # costs more than the second shuffle saves)
-        offsets = conv_offsets(base_ds)
+        # costs more than the second shuffle saves). Fold bucket
+        # count: 16 for small local inputs (task-exchange object
+        # overhead dominates below that), bytes-derived at scale
+        if token_cache or _sized_blocks(inputs) is None:
+            from candidategeneration_ray.functions.tableutil import \
+                auto_buckets
+            fold_nb = auto_buckets(*inputs)
+        else:
+            fold_nb = 16
+        offsets = conv_offsets(base_ds, num_buckets=fold_nb)
         if dict_blocks:
             from candidategeneration_ray.stages.stats import compute_stats_blocks
 
             stats = compute_stats_blocks(toks, dict_blocks)
             _persist_stats_blocks(out_dir, stats, offsets, inputs)
         else:
-            stats = compute_stats(toks)
+            stats = compute_stats(toks, num_buckets=fold_nb)
             _persist_stats(out_dir, stats, offsets, inputs)
         metrics["phases"].append({"phase": "stats", "skipped": False,
                                   "sec": round(time.time() - t0, 3),

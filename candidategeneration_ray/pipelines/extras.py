@@ -41,6 +41,16 @@ def _doc_buckets(sf_dir: str, table: str = "documents") -> int:
     return _BUCKET_MEMO[key]
 
 
+def _sized_emb(emb_path: str) -> ray.data.Dataset:
+    """Size-aware embeddings read (relational.sized_read policy) —
+    see clustering._embeddings_ds for the round-5 measurements."""
+    from candidategeneration_ray.pipelines.relational import sized_read
+
+    return sized_read(os.path.dirname(emb_path), "embeddings",
+                      ["vec_id", "embedding"])
+
+
+
 # ------------------------------------------------------------- exact dedup
 
 def q_novelty_scores(sf_dir: str) -> ray.data.Dataset:
@@ -813,7 +823,7 @@ def q_ann_cosine_top10(sf_dir: str) -> pa.Table:
             "cos": pa.array(cos[top], pa.float64()),
         })
 
-    parts = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+    parts = _sized_emb(emb_path) \
         .map_batches(_score, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(10)
     return pa.table({
@@ -875,7 +885,7 @@ def build_ivf_index(sf_dir: str, n_planes: int = 3) -> str:
         return batch.append_column("code", pa.array(codes.astype(np.int64), pa.int64()))
 
     os.makedirs(out, exist_ok=True)
-    ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+    _sized_emb(emb_path) \
         .map_batches(_code, batch_format="pyarrow") \
         .write_parquet(out, partition_cols=["code"])
     ckpt.write_manifest(out, {"phase": "ivf", "inputs": [emb_path],
@@ -1050,7 +1060,7 @@ def q_embedding_neardups(sf_dir: str, threshold_pct: int = 40,
         })
 
     return (
-        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        _sized_emb(emb_path)
         .map_batches(_expand, batch_format="pyarrow")
         .groupby("pair_id").map_groups(_score_group, batch_format="pyarrow")
     )
@@ -1138,7 +1148,7 @@ def q_embedding_neardups_lsh(sf_dir: str, threshold_pct: int = 40,
         })
 
     return (
-        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        _sized_emb(emb_path)
         .map_batches(_bands, batch_format="pyarrow")
         .map_batches(_bucketize, batch_format="pyarrow")
         .groupby("sbucket").map_groups(_pairs, batch_format="pyarrow")
@@ -3821,7 +3831,7 @@ def q_ann_sq8_top10(sf_dir: str, k: int = 10) -> pa.Table:
             "mx": pa.array(xq.max(axis=0), pa.int64()),
         })
 
-    mm = (ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    mm = (_sized_emb(emb_path)
           .map_batches(_mm_partial, batch_format="pyarrow")
           .groupby("d")
           .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
@@ -3852,7 +3862,7 @@ def q_ann_sq8_top10(sf_dir: str, k: int = 10) -> pa.Table:
         return pa.table({"vec_id": pa.array(ids[top], pa.int64()),
                          "d2": pa.array(d2[top], pa.int64())})
 
-    parts = (ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    parts = (_sized_emb(emb_path)
              .map_batches(_partial, batch_format="pyarrow").to_pandas())
     parts = parts.sort_values(["d2", "vec_id"],
                               ascending=[True, True]).head(k)

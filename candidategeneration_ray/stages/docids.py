@@ -48,18 +48,22 @@ def _conv_partials(batch: pa.Table) -> pa.Table:
     })
 
 
-def conv_offsets(ds: ray.data.Dataset) -> dict:
+def conv_offsets(ds: ray.data.Dataset, num_buckets: int = 64) -> dict:
     """Aggregate per-conversation turn stats and build base offsets.
 
     Returns {"conv_ids": sorted np array, "bases": int64 np array,
     "n_docs": int}. Raises if turn_idx is not dense 0..T-1 per conv.
-    """
+
+    `num_buckets` sizes the per-conv fold (task-routed exchange);
+    build_index passes a size-derived count (16 for sub-256 MB local
+    inputs — measured fastest — else bytes-derived)."""
     def _bucketize(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         names = np.asarray(batch.column("conv_id").to_pylist(),
                            dtype=object)
-        b = (pd.util.hash_array(names) % np.uint64(64)).astype(np.int32)
+        b = (pd.util.hash_array(names)
+             % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column("cbucket", pa.array(b))
 
     def _fold(group: pa.Table) -> pa.Table:
@@ -92,12 +96,17 @@ def conv_offsets(ds: ray.data.Dataset) -> dict:
                 np.maximum.reduceat(mx[order], starts), pa.int64()),
         })
 
-    agg = (
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    agg = fold_by_bucket(
         ds.select_columns(["conv_id", "turn_idx"])
         .map_batches(lambda b: _bucketize(_conv_partials(b)),
-                     batch_format="pyarrow")
-        .groupby("cbucket").map_groups(_fold, batch_format="pyarrow")
-    )
+                     batch_format="pyarrow"),
+        "cbucket", _fold, num_buckets,
+        pa.table({"conv_id": pa.array([], pa.string()),
+                  "n_turns": pa.array([], pa.int64()),
+                  "min_t": pa.array([], pa.int64()),
+                  "max_t": pa.array([], pa.int64())}))
     pdf = agg.to_pandas()  # one row per conversation (small relative to turns)
     pdf = pdf.sort_values("conv_id").reset_index(drop=True)
     if not ((pdf["min_t"] == 0).all() and (pdf["max_t"] == pdf["n_turns"] - 1).all()):
