@@ -264,36 +264,60 @@ def merge_partial_lists(
 
 
 @ray.remote
-def _split_by_bucket(block: pa.Table, nb: int):
-    """One stable sort by bucket + nb zero-copy slices of this
-    combiner-output block (num_returns=nb routes each slice straight
-    to its bucket's merge task)."""
+def _split_by_bucket(block: pa.Table, nb: int, groups: int):
+    """One stable sort by bucket + `groups` zero-copy slices of this
+    combiner-output block; group g owns the contiguous bucket range
+    [g*nb//groups, (g+1)*nb//groups) (num_returns=groups routes each
+    slice straight to its group's merge task — grouping caps the
+    object count at blocks x groups instead of blocks x nb, which is
+    what dominates tiny local builds)."""
     keys = block.column("key").to_numpy()
     b = bucket_of(keys, nb)
     order = np.argsort(b, kind="stable")
     tbl = block.take(pa.array(order, pa.int64()))
-    bounds = np.searchsorted(b[order], np.arange(nb + 1))
+    lo = (np.arange(groups + 1, dtype=np.int64) * nb) // groups
+    bounds = np.searchsorted(b[order], lo)
     return tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
-                 for i in range(nb))
+                 for i in range(groups))
 
 
 @ray.remote
-def _merge_bucket_slices(bucket: int, cfg: EngineConfig,
+def _merge_bucket_slices(blo: int, bhi: int, nb: int, cfg: EngineConfig,
                          *slices: pa.Table) -> pa.Table:
+    """Fold every bucket in [blo, bhi): one merge_partial_lists call
+    per non-empty bucket, concatenated. Buckets arrive pre-sorted by
+    bucket id inside each slice, so per-bucket rows are contiguous
+    after ONE argsort over the concatenated bucket ids."""
     from candidategeneration_ray.functions.arrowutil import binary_column_concat
 
     live = [s for s in slices if s.num_rows]
     if not live:
         return build_lists_for_bucket(
             np.empty(0, np.int64), np.empty(0, np.int32),
-            np.empty(0, np.int64), cfg, bucket)
+            np.empty(0, np.int64), cfg, blo)
     tb = pa.concat_tables(live)
-    docs_data, _ = binary_column_concat(tb.column("docs"))
-    scores_data, _ = binary_column_concat(tb.column("scores"))
-    return merge_partial_lists(
-        tb.column("key").to_numpy().astype(np.int64),
-        tb.column("n").to_numpy().astype(np.int64),
-        docs_data, scores_data, cfg, bucket)
+    keys_all = tb.column("key").to_numpy().astype(np.int64)
+    bk = bucket_of(keys_all, nb)
+    order = np.argsort(bk, kind="stable")
+    tb = tb.take(pa.array(order, pa.int64()))
+    bk = bk[order]
+    outs = []
+    bounds = np.searchsorted(bk, np.arange(blo, bhi + 1))
+    for i, bucket in enumerate(range(blo, bhi)):
+        part = tb.slice(bounds[i], bounds[i + 1] - bounds[i])
+        if part.num_rows == 0:
+            continue
+        docs_data, _ = binary_column_concat(part.column("docs"))
+        scores_data, _ = binary_column_concat(part.column("scores"))
+        outs.append(merge_partial_lists(
+            part.column("key").to_numpy().astype(np.int64),
+            part.column("n").to_numpy().astype(np.int64),
+            docs_data, scores_data, cfg, bucket))
+    if not outs:
+        return build_lists_for_bucket(
+            np.empty(0, np.int64), np.empty(0, np.int32),
+            np.empty(0, np.int64), cfg, blo)
+    return outs[0] if len(outs) == 1 else pa.concat_tables(outs)
 
 
 def build_posting_lists(postings: ray.data.Dataset,
@@ -319,22 +343,34 @@ def build_posting_lists(postings: ray.data.Dataset,
     if partial and exchange == "tasks":
         nb = cfg.num_buckets
         refs = postings.to_arrow_refs()
-        if refs and nb == 1:   # no routing needed: one fold over all
-            return ray.data.from_arrow_refs(
-                [_merge_bucket_slices.remote(0, ray.put(cfg), *refs)])
-        split_out = [
-            _split_by_bucket.options(num_returns=nb).remote(r, nb)
-            for r in refs]
-        if not split_out:
+        if not refs:
             return ray.data.from_arrow(
                 [build_lists_for_bucket(
                     np.empty(0, np.int64), np.empty(0, np.int32),
                     np.empty(0, np.int64), cfg, 0)])
+        if nb == 1:   # no routing needed: one fold over all
+            return ray.data.from_arrow_refs(
+                [_merge_bucket_slices.remote(0, 1, 1, ray.put(cfg),
+                                             *refs)])
+        # merge-task count: one per CPU-ish, each folding a contiguous
+        # bucket range — parallelism without blocks x nb tiny objects
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        groups = max(1, min(nb, cpus))
+        split_out = [
+            _split_by_bucket.options(num_returns=groups).remote(
+                r, nb, groups)
+            for r in refs]
+        if groups == 1:
+            split_out = [[s] for s in split_out]
         cfg_ref = ray.put(cfg)
+        lo = [(g * nb) // groups for g in range(groups + 1)]
         merged = [
-            _merge_bucket_slices.remote(b, cfg_ref,
-                                        *[so[b] for so in split_out])
-            for b in range(nb)
+            _merge_bucket_slices.remote(lo[g], lo[g + 1], nb, cfg_ref,
+                                        *[so[g] for so in split_out])
+            for g in range(groups)
         ]
         return ray.data.from_arrow_refs(merged)
     bucketed = attach_bucket(postings, cfg.num_buckets)
