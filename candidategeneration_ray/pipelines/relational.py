@@ -86,11 +86,7 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
             "sum_charge_micro": pa.array(_g(charge_u), pa.int64()),
         })
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
-        filter=(pc.field("l_shipdate") <= pa.scalar(
+    ds = sized_read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"], filter=(pc.field("l_shipdate") <= pa.scalar(
             cutoff, pa.timestamp("us"))),
     )
     return (
@@ -247,14 +243,8 @@ def q_nation_order_stats(sf_dir: str, hot_k: int = 0,
             "total_cents": pa.array(c, pa.int64()),
         })
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderstatus", "o_totalprice"],
-    ).map_batches(_order_rows, batch_format="pyarrow")
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"]).map_batches(_order_rows, batch_format="pyarrow")
+    cust = sized_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(_cust_rows, batch_format="pyarrow")
     return (
         orders.union(cust)
         .groupby("bkt").map_groups(_probe, batch_format="pyarrow")
@@ -357,15 +347,9 @@ def q_shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> pa.Table:
         sel = np.flatnonzero(probe)[hit]
         return group.select(["okey", "odate_us", "oprio"]).take(sel)
 
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_mktsegment"],
-        filter=pc.equal(pc.field("c_mktsegment"), Q3_SEGMENT),
+    cust = sized_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"], filter=pc.equal(pc.field("c_mktsegment"), Q3_SEGMENT),
     ).map_batches(_cust_rows, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-        filter=(pc.field("o_orderdate") < pa.scalar(cutoff, pa.timestamp("us"))),
+    orders = sized_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"], filter=(pc.field("o_orderdate") < pa.scalar(cutoff, pa.timestamp("us"))),
     ).map_batches(_order_rows, batch_format="pyarrow")
     qorders = cust.union(orders).groupby("bkt") \
         .map_groups(_semi, batch_format="pyarrow")
@@ -426,10 +410,7 @@ def q_shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> pa.Table:
             "o_orderpriority": prios,
         })
 
-    li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        filter=(pc.field("l_shipdate") > pa.scalar(cutoff, pa.timestamp("us"))),
+    li = sized_read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"], filter=(pc.field("l_shipdate") > pa.scalar(cutoff, pa.timestamp("us"))),
     ).map_batches(_li_partial, batch_format="pyarrow")
 
     def _topk(batch: pa.Table) -> pa.Table:
@@ -600,22 +581,13 @@ def q_local_supplier_volume(sf_dir: str) -> pa.Table:
             "revenue_milli": pa.array(s, pa.int64()),
         })
 
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).map_batches(_cust_rows, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+    cust = sized_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"], filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
                 & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))),
     ).map_batches(_order_rows, batch_format="pyarrow")
     qorders = cust.union(orders).groupby("bkt") \
         .map_groups(_join1, batch_format="pyarrow")
-    li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(_li_partial, batch_format="pyarrow")
+    li = sized_read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]).map_batches(_li_partial, batch_format="pyarrow")
     out = (
         qorders.union(li)
         .groupby("bkt").map_groups(_join2, batch_format="pyarrow")
@@ -694,14 +666,8 @@ def q_customers_no_orders(sf_dir: str) -> ray.data.Dataset:
             "n_customers": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).map_batches(_cust_rows, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderdate"],
-        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+    cust = sized_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_custkey", "o_orderdate"], filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
                 & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))),
     ).map_batches(_order_rows, batch_format="pyarrow")
     return (
@@ -825,16 +791,10 @@ def q_order_priority_counts(sf_dir: str) -> ray.data.Dataset:
             "n_orders": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
-        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+    orders = sized_read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"], filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
                 & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))),
     ).map_batches(_order_rows, batch_format="pyarrow")
-    lines = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_shipdate"],
-    ).map_batches(_line_rows, batch_format="pyarrow")
+    lines = sized_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(_line_rows, batch_format="pyarrow")
     return (
         orders.union(lines)
         .groupby("bkt").map_groups(_probe, batch_format="pyarrow")
@@ -905,9 +865,7 @@ def q_customer_order_distribution(sf_dir: str) -> ray.data.Dataset:
             "custdist": pa.array(n.astype(np.int64), pa.int64()),
         })
 
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"],
-    ).map_batches(_cust_rows, batch_format="pyarrow")
+    cust = sized_read(sf_dir, "customer", ["c_custkey"]).map_batches(_cust_rows, batch_format="pyarrow")
     return (
         counts.map_batches(_count_rows, batch_format="pyarrow")
         .union(cust)
@@ -1301,9 +1259,8 @@ def q_small_qty_revenue(sf_dir: str,
             "n_lines": pa.array([int(ok.sum())], pa.int64()),
         })
 
-    lines = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"), columns=lineitem_cols
-    ).map_batches(_line_rows, batch_format="pyarrow")
+    lines = sized_read(sf_dir, "lineitem", lineitem_cols) \
+        .map_batches(_line_rows, batch_format="pyarrow")
     # zero seed: the ungrouped oracle aggregate always returns one row,
     # so an empty brand (no buckets form) must still yield (0, 0)
     seed = ray.data.from_arrow(pa.table({
@@ -1423,14 +1380,8 @@ def q_above_avg_idle_customers(sf_dir: str) -> ray.data.Dataset:
             "total_cents": pa.array(s, pa.int64()),
         })
 
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_acctbal", "c_nationkey"],
-    ).map_batches(_cust_rows, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderdate"],
-    ).map_batches(_order_keys, batch_format="pyarrow")
+    cust = sized_read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_nationkey"]).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(_order_keys, batch_format="pyarrow")
     return (
         cust.union(orders)
         .groupby("bkt").map_groups(_anti, batch_format="pyarrow")
@@ -1511,14 +1462,8 @@ def q_line_priority_counts(sf_dir: str) -> ray.data.Dataset:
             "low_lines": pa.array(lo_, pa.int64()),
         })
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
-    ).map_batches(_order_rows, batch_format="pyarrow")
-    lines = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_shipdate", "l_returnflag"],
-    ).map_batches(_line_rows, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(_order_rows, batch_format="pyarrow")
+    lines = sized_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_returnflag"]).map_batches(_line_rows, batch_format="pyarrow")
     return (
         orders.union(lines)
         .groupby("bkt").map_groups(_probe, batch_format="pyarrow")
@@ -1609,14 +1554,8 @@ def _orders_nation_cents(sf_dir: str) -> ray.data.Dataset:
             "cents": pa.array(pc_[hit], pa.int64()),
         })
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_totalprice"],
-    ).map_batches(_order_rows, batch_format="pyarrow")
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(_order_rows, batch_format="pyarrow")
+    cust = sized_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(_cust_rows, batch_format="pyarrow")
     return (orders.union(cust)
             .groupby("bkt").map_groups(_attach, batch_format="pyarrow"))
 
@@ -1895,10 +1834,7 @@ def q_customers_no_orders_bloom(sf_dir: str) -> ray.data.Dataset:
                        .astype(np.int64))
         return pa.table({"key": pa.array(ck, pa.int64())})
 
-    orders_scoped = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderdate"],
-        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+    orders_scoped = sized_read(sf_dir, "orders", ["o_custkey", "o_orderdate"], filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
                 & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))))
     key_parts = ray.get(orders_scoped.map_batches(
         _order_keys_distinct, batch_format="pyarrow").to_arrow_refs())
@@ -1976,10 +1912,7 @@ def q_customers_no_orders_bloom(sf_dir: str) -> ray.data.Dataset:
             "n_customers": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).map_batches(_cust_split, batch_format="pyarrow")
+    cust = sized_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(_cust_split, batch_format="pyarrow")
     orders = orders_scoped.map_batches(_order_rows,
                                        batch_format="pyarrow")
     return (
@@ -2169,21 +2102,11 @@ def q_volume_shipping(sf_dir: str) -> pa.Table:
             "revenue_milli": pa.array(s, pa.int64()),
         })
 
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).map_batches(_cust_rows, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey"],
-    ).map_batches(_order_rows, batch_format="pyarrow")
+    cust = sized_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(_order_rows, batch_format="pyarrow")
     qorders = cust.union(orders).groupby("bkt") \
         .map_groups(_join1, batch_format="pyarrow")
-    li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
-                 "l_discount", "l_shipdate"],
-        filter=((pc.field("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
+    li = sized_read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"], filter=((pc.field("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
                 & (pc.field("l_shipdate") < pa.scalar(hi, pa.timestamp("us")))),
     ).map_batches(_li_partial, batch_format="pyarrow")
     agg = (
@@ -2351,23 +2274,13 @@ def q_market_share(sf_dir: str) -> ray.data.Dataset:
             "total_milli": pa.array(tot_s, pa.int64()),
         })
 
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).map_batches(_cust_rows, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+    cust = sized_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"], filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
                 & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))),
     ).map_batches(_order_rows, batch_format="pyarrow")
     qorders = cust.union(orders).groupby("bkt") \
         .map_groups(_join1, batch_format="pyarrow")
-    li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_partkey", "l_suppkey",
-                 "l_extendedprice", "l_discount"],
-    ).map_batches(_li_partial, batch_format="pyarrow")
+    li = sized_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]).map_batches(_li_partial, batch_format="pyarrow")
     return (
         qorders.union(li)
         .groupby("bkt").map_groups(_join2, batch_format="pyarrow")
@@ -2452,17 +2365,10 @@ def q_returned_items(sf_dir: str) -> pa.Table:
             "revenue_milli": pa.array(s, pa.int64()),
         })
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+    orders = sized_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"], filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
                 & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))),
     ).map_batches(_order_rows, batch_format="pyarrow")
-    li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount",
-                 "l_returnflag"],
-        filter=(pc.field("l_returnflag") == "R"),
+    li = sized_read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"], filter=(pc.field("l_returnflag") == "R"),
     ).map_batches(_li_partial, batch_format="pyarrow")
     top = (
         orders.union(li)
@@ -2600,14 +2506,8 @@ def q_waiting_suppliers(sf_dir: str) -> pa.Table:
             "numwait": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
-    ).map_batches(_order_rows, batch_format="pyarrow")
-    li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
-    ).map_batches(_li_partial, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]).map_batches(_order_rows, batch_format="pyarrow")
+    li = sized_read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(_li_partial, batch_format="pyarrow")
     agg = (
         orders.union(li)
         .groupby("bkt").map_groups(_join, batch_format="pyarrow")
@@ -3814,14 +3714,8 @@ def q_nation_mode_priority(sf_dir: str) -> ray.data.Dataset:
             "n_orders_mode": pa.array([int(n[best])], pa.int64()),
         })
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderpriority"],
-    ).map_batches(_order_rows, batch_format="pyarrow")
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).map_batches(_cust_rows, batch_format="pyarrow")
+    orders = sized_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(_order_rows, batch_format="pyarrow")
+    cust = sized_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(_cust_rows, batch_format="pyarrow")
     return (orders.union(cust)
             .groupby("bkt").map_groups(_attach, batch_format="pyarrow")
             .groupby(["c_nationkey", "pr"]).aggregate(Sum("n", alias_name="n"))
@@ -4067,8 +3961,8 @@ FD_CANDIDATES = (
 )
 
 
-def sized_read(sf_dir: str, tbl: str, cols: list[str] | None = None
-               ) -> ray.data.Dataset:
+def sized_read(sf_dir: str, tbl: str, cols: list[str] | None = None,
+               **read_kw) -> ray.data.Dataset:
     """Column-pruned read with a size-aware block count. Ray's default
     parallelism splits a small file into hundreds of tiny blocks, and
     a downstream all-to-all then pays a fixed per-block cost that
@@ -4078,9 +3972,10 @@ def sized_read(sf_dir: str, tbl: str, cols: list[str] | None = None
     p = os.path.join(sf_dir, f"{tbl}.parquet")
     sz = os.path.getsize(p)
     if sz > 256 << 20:
-        return ray.data.read_parquet(p, columns=cols)
+        return ray.data.read_parquet(p, columns=cols, **read_kw)
     nb = max(1, int(sz // (2 << 20)) + 1)
-    return ray.data.read_parquet(p, columns=cols, override_num_blocks=nb)
+    return ray.data.read_parquet(p, columns=cols,
+                                 override_num_blocks=nb, **read_kw)
 
 
 def q_fd_audit(sf_dir: str, num_buckets: int = 64) -> pa.Table:
