@@ -20,6 +20,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from candidategeneration_ray.pipelines.relational import sized_read
+
 def _num_user_buckets() -> int:
     """User-hash bucket count for the keyed-stream operators, scaled
     with the cluster (4 x total CPUs, floor 64) so a bigger cluster
@@ -59,8 +61,9 @@ def _pack_window_user(widx: np.ndarray, uid: np.ndarray) -> np.ndarray:
 
 
 def events_ds(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=columns)
+    """Size-aware events read (relational.sized_read policy — the
+    windowed/sessionize family is shuffle-dominated)."""
+    return sized_read(sf_dir, "events", columns)
 
 
 def _with_user_bucket(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -1398,11 +1401,8 @@ def q_session_copresence(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
             "e": pa.array(e[idx], pa.int64()),
         })
 
-    def _sweep(group: pa.Table) -> pa.Table:
-        sl = int(group.column("slice")[0].as_py())
-        uid = group.column("user_id").to_numpy().astype(np.int64)
-        s = group.column("s").to_numpy().astype(np.int64)
-        e = group.column("e").to_numpy().astype(np.int64)
+    def _sweep_slice(sl: int, uid: np.ndarray, s: np.ndarray,
+                     e: np.ndarray) -> pa.Table:
         order = np.lexsort((uid, s))
         uid, s, e = uid[order], s[order], e[order]
         empty = pa.table({"user_a": pa.array([], pa.int64()),
@@ -1438,7 +1438,61 @@ def q_session_copresence(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
             "n_overlaps": pa.array(counts.astype(np.int64), pa.int64()),
         })
 
-    from ray.data.aggregate import Sum
+    _PAIRS_EMPTY = pa.table({"user_a": pa.array([], pa.int64()),
+                             "user_b": pa.array([], pa.int64()),
+                             "n_overlaps": pa.array([], pa.int64())})
+
+    def _sweep_bucket(group: pa.Table) -> pa.Table:
+        """All of this bucket's slices in one fold: segment by slice
+        id (one argsort), run the sweep per segment. Replaces the
+        per-slice map_groups whose per-group dispatch dominated once
+        the sized events read left few blocks (2.1 -> 13 s)."""
+        sl = group.column("slice").to_numpy().astype(np.int64)
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        s = group.column("s").to_numpy().astype(np.int64)
+        e = group.column("e").to_numpy().astype(np.int64)
+        order = np.argsort(sl, kind="stable")
+        sl, uid, s, e = sl[order], uid[order], s[order], e[order]
+        seg = np.concatenate(([0], np.nonzero(sl[1:] != sl[:-1])[0] + 1,
+                              [sl.size]))
+        outs = [_sweep_slice(int(sl[seg[i]]), uid[seg[i]:seg[i + 1]],
+                             s[seg[i]:seg[i + 1]], e[seg[i]:seg[i + 1]])
+                for i in range(seg.size - 1)]
+        outs = [o for o in outs if o.num_rows]
+        return pa.concat_tables(outs) if outs else _PAIRS_EMPTY
+
+    def _pair_fold(group: pa.Table) -> pa.Table:
+        ua = group.column("user_a").to_numpy().astype(np.int64)
+        ub = group.column("user_b").to_numpy().astype(np.int64)
+        n = group.column("n_overlaps").to_numpy().astype(np.int64)
+        packed = ua * np.int64(1 << 31) + ub
+        u_, inv = np.unique(packed, return_inverse=True)
+        return pa.table({
+            "user_a": pa.array(u_ >> np.int64(31), pa.int64()),
+            "user_b": pa.array(u_ & np.int64((1 << 31) - 1), pa.int64()),
+            "n_overlaps": pa.array(
+                np.bincount(inv, weights=n, minlength=u_.size)
+                .astype(np.int64), pa.int64()),
+        })
+
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    nb = 32
+
+    def _slb(batch: pa.Table) -> pa.Table:
+        sl = batch.column("slice").to_numpy().astype(np.uint64)
+        h = sl * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "slb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def _prb(batch: pa.Table) -> pa.Table:
+        ua = batch.column("user_a").to_numpy().astype(np.uint64)
+        ub = batch.column("user_b").to_numpy().astype(np.uint64)
+        h = (ua * np.uint64(1 << 31) + ub) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "prb", pa.array((h % np.uint64(nb)).astype(np.int32)))
 
     ds = events_ds(sf_dir, ["event_id", "ts", "user_id"])
     sessions = (
@@ -1446,12 +1500,13 @@ def q_session_copresence(sf_dir: str, gap_sec: int = 1800) -> ray.data.Dataset:
         .groupby("ubucket").map_groups(_session_bounds,
                                        batch_format="pyarrow")
     )
-    return (
+    swept = fold_by_bucket(
         sessions.map_batches(_replicate, batch_format="pyarrow")
-        .groupby("slice").map_groups(_sweep, batch_format="pyarrow")
-        .groupby(["user_a", "user_b"])
-        .aggregate(Sum("n_overlaps", alias_name="n_overlaps"))
-    )
+        .map_batches(_slb, batch_format="pyarrow"),
+        "slb", _sweep_bucket, nb, _PAIRS_EMPTY)
+    return fold_by_bucket(
+        swept.map_batches(_prb, batch_format="pyarrow"),
+        "prb", _pair_fold, nb, _PAIRS_EMPTY)
 
 
 def q_windowed_counts_filled(sf_dir: str,
@@ -2030,9 +2085,45 @@ def _session_net_deltas(sf_dir: str, gap_sec: int) -> ray.data.Dataset:
         .map_groups(lambda g: _session_delta_rows(g, gap_us),
                     batch_format="pyarrow")
     )
-    return deltas.groupby("ts").aggregate(
-        Sum("delta", alias_name="net"),
-        Sum("n_sessions", alias_name="n_sessions")).sort("ts")
+
+    # net per distinct ts via a VECTORIZED bucket fold, not the sort
+    # aggregate: Ray's aggregate pays per-GROUP Python overhead in the
+    # reduce (190k distinct ts at sf0.1 = ~20 s when the sized events
+    # read leaves few blocks); one np.unique + bincount per bucket is
+    # the same result in ~0.3 s
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    nb = 32
+
+    def _tsb(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype(np.uint64)
+        h = ts * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "tsb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def _ts_fold(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy().astype(np.int64)
+        d = group.column("delta").to_numpy().astype(np.int64)
+        ns = group.column("n_sessions").to_numpy().astype(np.int64)
+        u, inv = np.unique(ts, return_inverse=True)
+        return pa.table({
+            "ts": pa.array(u, pa.int64()),
+            "net": pa.array(np.bincount(inv, weights=d,
+                                        minlength=u.size)
+                            .astype(np.int64), pa.int64()),
+            "n_sessions": pa.array(np.bincount(inv, weights=ns,
+                                               minlength=u.size)
+                                   .astype(np.int64), pa.int64()),
+        })
+
+    folded = fold_by_bucket(
+        deltas.map_batches(_tsb, batch_format="pyarrow"),
+        "tsb", _ts_fold, nb,
+        pa.table({"ts": pa.array([], pa.int64()),
+                  "net": pa.array([], pa.int64()),
+                  "n_sessions": pa.array([], pa.int64())}))
+    return folded.sort("ts")
 
 
 def q_peak_concurrency(sf_dir: str, gap_sec: int = PEAK_GAP_SEC,
@@ -2419,8 +2510,7 @@ def q_late_events(sf_dir: str,
             "arr": pa.array(ts_ms + delay, pa.int64()),
         })
 
-    ds = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                                columns=["event_id", "ts"])
+    ds = (sized_read(sf_dir, "events", ["event_id", "ts"])
           .map_batches(_arrival, batch_format="pyarrow")
           .sort(["arr", "event_id"]))
     ident = -(1 << 62)
@@ -2521,8 +2611,7 @@ def q_cusum_days(sf_dir: str) -> ray.data.Dataset:
             "flag": pa.array(flag, pa.int64()),
         })
 
-    return (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                                  columns=["ts", "event_type"])
+    return (sized_read(sf_dir, "events", ["ts", "event_type"])
             .map_batches(_partial, batch_format="pyarrow")
             .groupby(["event_type", "day"])
             .aggregate(Sum("n_events", alias_name="n_events"))

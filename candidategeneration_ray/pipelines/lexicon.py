@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from candidategeneration_ray.pipelines.relational import sized_read
+
 from candidategeneration_ray.functions.tokenize import tokenize_text
 from candidategeneration_ray.pipelines.docquery import (
     DOC_QUERIES,
@@ -273,9 +275,7 @@ def q_facet_counts(sf_dir: str) -> ray.data.Dataset:
         })
 
     return (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text", "source", "lang"])
+        sized_read(sf_dir, "documents", ["doc_id", "text", "source", "lang"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby(["term", "source", "lang"])
         .aggregate(Sum("n_docs", alias_name="n_docs"))
@@ -348,10 +348,7 @@ def q_substring_docs(sf_dir: str) -> ray.data.Dataset:
             "doc_id": pa.array(out_doc, pa.int64()),
         })
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    ).map_batches(_scan, batch_format="pyarrow")
+    return sized_read(sf_dir, "documents", ["doc_id", "text"]).map_batches(_scan, batch_format="pyarrow")
 
 
 def q_bool_diff_docs(sf_dir: str) -> pa.Table:
@@ -478,9 +475,7 @@ def _bitmap_rows(sf_dir: str) -> ray.data.Dataset:
     so the cross-batch OR reduces to Sum."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", *BITMAP_COLS])
+    ds = sized_read(sf_dir, "documents", ["doc_id", *BITMAP_COLS])
     return (ds.map_batches(_bitmap_partials, batch_format="pyarrow")
             .groupby(["col", "value", "word_idx"])
             .aggregate(Sum("word_bits", alias_name="word_bits")))

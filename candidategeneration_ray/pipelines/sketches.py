@@ -27,6 +27,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
+
+from candidategeneration_ray.pipelines.relational import sized_read
 from ray.data.aggregate import Max, Sum
 
 from candidategeneration_ray.functions import hashing as H
@@ -48,13 +50,11 @@ def _doclen_partials(batch: pa.Table) -> pa.Table:
 
 
 def _texts_ds(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    return sized_read(sf_dir, "documents", ["text"])
 
 
 def _doclen_hist_ds(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
+    ds = sized_read(sf_dir, "documents", ["n_chars"])
     return (
         ds.map_batches(_doclen_partials, batch_format="pyarrow")
         .groupby("bin")
@@ -399,9 +399,7 @@ def q_source_quantile_filter(sf_dir: str, pct: int = 25) -> ray.data.Dataset:
             "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source", "n_chars"])
+    ds = sized_read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
     hist = (ds.map_batches(_partial, batch_format="pyarrow")
             .groupby(["source", "bin"])
             .aggregate(Sum("n_docs", alias_name="n_docs"))
@@ -545,8 +543,7 @@ def q_source_pct_rank(sf_dir: str) -> ray.data.Dataset:
         })
 
     merged = (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                              columns=["source", "n_chars"])
+        sized_read(sf_dir, "documents", ["source", "n_chars"])
         .map_batches(_counts, batch_format="pyarrow")
         .groupby(["source", "n_chars"])
         .aggregate(Sum("cnt", alias_name="cnt"))
@@ -581,10 +578,7 @@ def q_source_pct_rank(sf_dir: str) -> ray.data.Dataset:
             "pct_millionths": pa.array(pct, pa.int64()),
         })
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source", "n_chars"],
-    ).map_batches(_rank, batch_format="pyarrow")
+    return sized_read(sf_dir, "documents", ["doc_id", "source", "n_chars"]).map_batches(_rank, batch_format="pyarrow")
 
 
 NTILE_K = 4
@@ -617,8 +611,7 @@ def q_source_ntile(sf_dir: str, k: int = NTILE_K) -> ray.data.Dataset:
         })
 
     merged = (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                              columns=["source", "n_chars"])
+        sized_read(sf_dir, "documents", ["source", "n_chars"])
         .map_batches(_counts, batch_format="pyarrow")
         .groupby(["source", "n_chars"])
         .aggregate(Sum("cnt", alias_name="cnt"))
@@ -680,8 +673,7 @@ def q_source_ntile(sf_dir: str, k: int = NTILE_K) -> ray.data.Dataset:
         })
 
     return (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                              columns=["doc_id", "source", "n_chars"])
+        sized_read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
         .map_batches(_bucket, batch_format="pyarrow")
         .groupby("tbucket").map_groups(_tiles, batch_format="pyarrow")
     )
@@ -722,8 +714,7 @@ def q_hll_registers_by_source(sf_dir: str) -> ray.data.Dataset:
         })
 
     return (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                              columns=["source", "text"])
+        sized_read(sf_dir, "documents", ["source", "text"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby(["source", "register"])
         .aggregate(Max("rho", alias_name="rho"))
@@ -881,9 +872,7 @@ def _kmv_source_sketches(sf_dir: str) -> dict[str, np.ndarray]:
         })
 
     rows = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["text", "source"])
+        sized_read(sf_dir, "documents", ["text", "source"])
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("source").map_groups(_merge, batch_format="pyarrow")
         .take_all()  # O(sources x k)
@@ -987,9 +976,7 @@ def q_source_hist_l1(sf_dir: str) -> pa.Table:
             "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    rows = (ray.data.read_parquet(
-                os.path.join(sf_dir, "documents.parquet"),
-                columns=["source", "n_chars"])
+    rows = (sized_read(sf_dir, "documents", ["source", "n_chars"])
             .map_batches(_partial, batch_format="pyarrow")
             .groupby(["source", "bin"])
             .aggregate(Sum("n_docs", alias_name="n_docs"))
@@ -1213,9 +1200,7 @@ def q_ks_source_test(sf_dir: str) -> pa.Table:
     walk per pair over that summary only."""
     from ray.data.aggregate import Count
 
-    hist = (ray.data.read_parquet(
-                os.path.join(sf_dir, "documents.parquet"),
-                columns=["source", "n_chars"])
+    hist = (sized_read(sf_dir, "documents", ["source", "n_chars"])
             .groupby(["source", "n_chars"])
             .aggregate(Count(alias_name="c"))
             .take_all())
@@ -1283,9 +1268,7 @@ def q_vopt_histogram(sf_dir: str,
         return pa.table({"s": pa.array(u, pa.int64()),
                          "f": pa.array(c.astype(np.int64), pa.int64())})
 
-    rows = (ray.data.read_parquet(
-                os.path.join(sf_dir, "documents.parquet"),
-                columns=["n_chars"])
+    rows = (sized_read(sf_dir, "documents", ["n_chars"])
             .map_batches(_part, batch_format="pyarrow")
             .groupby("s")
             .aggregate(Sum("f", alias_name="f"))

@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from candidategeneration_ray.pipelines.relational import sized_read
+
 from candidategeneration_ray.functions import hashing as H
 from candidategeneration_ray.functions.tokenize import tokenize_many, tokenize_text
 from candidategeneration_ray.pipelines.docquery import (
@@ -533,8 +535,7 @@ def q_mixture_select(sf_dir: str, budget: int = 400) -> ray.data.Dataset:
         })
 
     return (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                              columns=["doc_id", "text", "source"])
+        sized_read(sf_dir, "documents", ["doc_id", "text", "source"])
         .map_batches(_rows, batch_format="pyarrow")
         .groupby("source")
         .map_groups(_select, batch_format="pyarrow")
@@ -723,8 +724,7 @@ def q_pretrain_select(sf_dir: str, budget: int = 400, w: int = DECON_W,
         })
 
     return (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                              columns=["doc_id", "text", "source"])
+        sized_read(sf_dir, "documents", ["doc_id", "text", "source"])
         .map_batches(_rows, batch_format="pyarrow")
         .groupby("bkt").map_groups(_dedup_bucket, batch_format="pyarrow")
         .groupby("source").map_groups(_select, batch_format="pyarrow")
@@ -954,8 +954,7 @@ def q_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
         })
 
     state = (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                              columns=["text"])
+        sized_read(sf_dir, "documents", ["text"])
         .map_batches(_tok_rows, batch_format="pyarrow")
         .groupby("word").aggregate(Count(alias_name="freq"))
         .map_batches(_init, batch_format="pyarrow")
@@ -1369,8 +1368,7 @@ def q_selection_audit(sf_dir: str, budget: int = 400, w: int = DECON_W,
         })
 
     return (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                              columns=["doc_id", "text", "source"])
+        sized_read(sf_dir, "documents", ["doc_id", "text", "source"])
         .map_batches(_rows, batch_format="pyarrow")
         .groupby("bkt").map_groups(_dedup_bucket, batch_format="pyarrow")
         .groupby("source").map_groups(_select, batch_format="pyarrow")
@@ -1514,9 +1512,7 @@ def _nb_train(sf_dir: str, train_pct: int):
                             pa.int64()),
         })
 
-    agg = (ray.data.read_parquet(
-               os.path.join(sf_dir, "documents.parquet"),
-               columns=["doc_id", "text", "lang"])
+    agg = (sized_read(sf_dir, "documents", ["doc_id", "text", "lang"])
            .map_batches(_rows, batch_format="pyarrow")
            .groupby(["lang", "tok"])
            .aggregate(Sum("cnt", alias_name="cnt"))
@@ -1694,9 +1690,7 @@ def _nb_confusion(sf_dir: str, train_pct: int) -> list[dict]:
             "n": pa.array(c.astype(np.int64), pa.int64()),
         })
 
-    return (ray.data.read_parquet(
-                os.path.join(sf_dir, "documents.parquet"),
-                columns=["doc_id", "text", "lang"])
+    return (sized_read(sf_dir, "documents", ["doc_id", "text", "lang"])
             .map_batches(_confuse, batch_format="pyarrow")
             .groupby(["true_lang", "pred_lang"])
             .aggregate(Sum("n", alias_name="n"))
@@ -1798,9 +1792,7 @@ def q_mcnemar_test(sf_dir: str, train_pct: int = TRAIN_PCT) -> pa.Table:
         return pa.table({k: pa.array([v], pa.int64())
                          for k, v in zip(cols, vals)})
 
-    agg = (ray.data.read_parquet(
-                os.path.join(sf_dir, "documents.parquet"),
-                columns=["doc_id", "text", "lang"])
+    agg = (sized_read(sf_dir, "documents", ["doc_id", "text", "lang"])
            .map_batches(_pair, batch_format="pyarrow")
            .aggregate(*[Sum(k, alias_name=k)
                         for k in ("n", "both_right", "both_wrong",
@@ -1899,9 +1891,7 @@ def q_perceptron(sf_dir: str, iters: int = PERCEPTRON_T) -> pa.Table:
             "y": pa.array(y, pa.int64()),
         })
 
-    feats = (ray.data.read_parquet(
-                 os.path.join(sf_dir, "documents.parquet"),
-                 columns=["doc_id", "text", "lang"])
+    feats = (sized_read(sf_dir, "documents", ["doc_id", "text", "lang"])
              .map_batches(_feats, batch_format="pyarrow")
              .materialize())
 
@@ -1985,9 +1975,7 @@ def q_chi2_terms(sf_dir: str, top_k: int = CHI2_TOP_K) -> pa.Table:
             "n_docs": pa.array(c, pa.int64()),
         })
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang"])
+    ds = sized_read(sf_dir, "documents", ["doc_id", "text", "lang"])
     agg = (ds.map_batches(_partial, batch_format="pyarrow")
            .groupby("tok")
            .aggregate(Sum("n_en", alias_name="a"),
@@ -2001,8 +1989,7 @@ def q_chi2_terms(sf_dir: str, top_k: int = CHI2_TOP_K) -> pa.Table:
             "n": pa.array([len(langs)], pa.int64()),
         })
 
-    tot = (ray.data.read_parquet(
-               os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
+    tot = (sized_read(sf_dir, "documents", ["lang"])
            .map_batches(_tot, batch_format="pyarrow").take_all())
     n_en = sum(int(r["n_en"]) for r in tot)
     n_all = sum(int(r["n"]) for r in tot)
