@@ -543,11 +543,25 @@ def update_index(
 
     base_stats, base_offsets = _load(out_dir)
 
-    # ---- delta stats pass (same two aggregates as the base build)
-    ds = read_transcripts(delta_inputs)
+    # ---- delta stats pass (same two aggregates as the base build,
+    # size-aware blocks + fold buckets like build_index)
+    from candidategeneration_ray.pipelines.build import _sized_blocks
+
+    nblk = _sized_blocks(delta_inputs)
+    kw = {} if nblk is None else {"override_num_blocks": nblk}
+    if nblk is None:
+        from candidategeneration_ray.functions.tableutil import auto_buckets
+        fold_nb = auto_buckets(*delta_inputs)
+    else:
+        fold_nb = 16
+    ds = ray.data.read_parquet(
+        delta_inputs, columns=["conv_id", "turn_idx", "text"], **kw)
     toks = attach_tokens(ds)
-    delta_stats = compute_stats(toks)
-    delta_offsets = conv_offsets(ds)
+    delta_stats = compute_stats(toks, num_buckets=fold_nb)
+    delta_offsets = conv_offsets(
+        ray.data.read_parquet(delta_inputs,
+                              columns=["conv_id", "turn_idx"], **kw),
+        num_buckets=fold_nb)
     epoch_docs = int(base_stats["n_docs"])
     if epoch_docs and delta_offsets["n_docs"] > max_delta_fraction * epoch_docs:
         raise ValueError(
@@ -616,7 +630,7 @@ def update_index(
                 flt = flt & (pads.field("conv_id") < hi)
             part_toks = attach_tokens(ray.data.read_parquet(
                 delta_inputs, columns=["conv_id", "turn_idx", "text"],
-                filter=flt))
+                filter=flt, **kw))
         with_ids = attach_doc_ids(part_toks, offsets_ref)
         postings = emit_postings(with_ids, stats_ref, cfg, concurrency=emit_concurrency)
         lists = build_posting_lists(postings, cfg)
