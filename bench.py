@@ -462,14 +462,16 @@ def run_scaling() -> dict:
     """Same build at 8 and 32 CPUs in fresh processes (the sandbox
     evidence for the N-vs-4N-node scaling criterion)."""
 
-    # Strong scaling needs an adequate problem size: at the default
-    # 273k-turn corpus the 16-CPU build finishes in ~30 s and fixed
-    # per-phase costs (Ray op scheduling, manifests) eat 15-25% of it,
-    # which mismeasures the ENGINE's scaling. The scaling run therefore
-    # uses a ~683k-turn corpus (measured 1.0-1.1 efficiency with
-    # near-zero steal vs 0.6-0.77 at the small size on the same code).
+    # Strong scaling needs an adequate problem size, and the bar moves
+    # when the engine gets faster: r4's 683k-turn corpus was adequate
+    # at 25k t/s, but the round-5 build runs 1.6x faster and its
+    # 16-CPU leg dropped to ~17 s — fixed per-phase costs (driver
+    # stats assembly, manifests, exchange scheduling) eat enough of
+    # that to mismeasure the ENGINE's scaling (0.75 at 683k vs 0.843
+    # at 2.05M turns on the same code, steal < 1.5 cpu-s everywhere).
+    # Default therefore grows to a ~2M-turn corpus.
     scale_convs = os.environ.get("CG_SCALE_CONVS",
-                                 str(max(BENCH_CONVS, 100_000)))
+                                 str(max(BENCH_CONVS, 300_000)))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
