@@ -2111,10 +2111,20 @@ def q_jaccard_pairs_prefix(sf_dir: str,
 
     from candidategeneration_ray.functions.exchange import fold_by_bucket
 
+    # the (doc, shingle) emission is consumed THREE times (df pass,
+    # prefix pass, full-set verify routing): tokenize + shingle ONCE
+    # into the object store and derive all three from the rows (at
+    # 100 TB this is the shingle family you would persist anyway —
+    # Ray spills the materialized blocks; re-scanning the corpus
+    # three times was ~0.7 s/pass of pure re-tokenize at sf0.1)
+    shingles_full = (documents_ds(sf_dir)
+                     .map_batches(lambda bt: _shingle_rows(bt,
+                                                           H.SHINGLE_W),
+                                  batch_format="pyarrow")
+                     .materialize())
+
     hot_pdf = fold_by_bucket(
-        documents_ds(sf_dir)
-        .map_batches(lambda bt: _shingle_rows(bt, H.SHINGLE_W),
-                     batch_format="pyarrow")
+        shingles_full
         .map_batches(lambda b: b.append_column(
             "hbkt", pa.array((b.column("shingle_h").to_numpy()
                               .astype(np.uint64)
@@ -2136,17 +2146,26 @@ def q_jaccard_pairs_prefix(sf_dir: str,
     hot_ref = ray.put((np.ascontiguousarray(hk[horder]), hd[horder]))
 
     def _prefix_rows(batch: pa.Table) -> pa.Table:
-        """Batch-global prefix emission: ONE df lookup, ONE lexsort
-        over (doc, df, hash), then segment-boundary arithmetic selects
-        each doc's prefix — no per-doc Python/numpy loop (the emitter
-        pattern, stages/postings.py:36-68)."""
+        """Batch-global prefix emission FROM the materialized shingle
+        rows (no re-tokenize): ONE df lookup, ONE lexsort over
+        (doc, df, hash), then segment-boundary arithmetic selects each
+        doc's prefix — no per-doc Python/numpy loop (the emitter
+        pattern, stages/postings.py:36-68). A doc's rows never
+        straddle blocks (_shingle_rows emits per input batch), so
+        batch-local segments are whole docs."""
         hot_keys, hot_df = ray.get(hot_ref)   # plasma, zero-copy
-        doc_ids, di, h, starts, sizes = _doc_shingle_flat(
-            batch, H.SHINGLE_W)
-        if h.size == 0:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        if d.size == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "shingle_h": pa.array([], pa.int64()),
                              "doc_n": pa.array([], pa.int64())})
+        h = np.ascontiguousarray(
+            batch.column("shingle_h").to_numpy()).view(np.uint64)
+        new_doc = np.concatenate(([True], d[1:] != d[:-1]))
+        starts = np.nonzero(new_doc)[0]
+        sizes = np.diff(np.concatenate((starts, [d.size])))
+        di = np.repeat(np.arange(starts.size, dtype=np.int64), sizes)
+        doc_ids = d[starts]
         if hot_keys.size:
             idx = np.minimum(np.searchsorted(hot_keys, h),
                              hot_keys.size - 1)
@@ -2232,14 +2251,12 @@ def q_jaccard_pairs_prefix(sf_dir: str,
                        "doc_b": pa.array([], pa.int64()),
                        "size_a": pa.array([], pa.int64()),
                        "size_b": pa.array([], pa.int64())})
-    shingles_full = documents_ds(sf_dir).map_batches(
-        lambda bt: _shingle_rows(bt, H.SHINGLE_W), batch_format="pyarrow")
     # every fold below rides the task-routed exchange — this plan runs
     # FOUR bucket folds and Ray's sort machinery dominated its wall
     # (6.8 s of the 8.7 s execute at sf0.1, ~0.5 cpu-s of sort work)
     cands = fold_by_bucket(
         fold_by_bucket(
-            documents_ds(sf_dir)
+            shingles_full
             .map_batches(_prefix_rows, batch_format="pyarrow")
             .map_batches(_bucketize, batch_format="pyarrow"),
             "sbucket", _cand_pairs, nsb, _PAIR4)
