@@ -2835,8 +2835,18 @@ def q_hybrid_topk(sf_dir: str) -> pa.Table:
         for v, e in zip(seed_tab.column("vec_id").to_pylist(),
                         seed_tab.column("embedding").to_pylist())
     }
-    qmat = np.stack([seed_vecs[s] for s in seeds])          # Q x d
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    # a seed doc may have NO embedding row (the embeddings table
+    # covers a subset of documents at some scales); the oracle's inner
+    # join drops such queries' dense leg, so they fuse sparse-only.
+    # `dense_qi[j]` = position of qids[j] in the dense query matrix,
+    # or -1 when its seed is vectorless
+    have = [j for j, sd in enumerate(seeds) if sd in seed_vecs]
+    dense_qi = {j: i for i, j in enumerate(have)}
+    if have:
+        qmat = np.stack([seed_vecs[seeds[j]] for j in have])   # Q x d
+        qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    else:
+        qmat = np.zeros((0, 1), np.float64)
     q_ref = ray.put(qmat)
 
     def _score(batch: pa.Table, *, _c={}) -> pa.Table:
@@ -2858,12 +2868,18 @@ def q_hybrid_topk(sf_dir: str) -> pa.Table:
             "cos": pa.array(np.concatenate(outs_c), pa.float64()),
         })
 
-    parts = (ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
-             .map_batches(_score, batch_format="pyarrow")).to_pandas()
+    if have:
+        parts = (ray.data.read_parquet(emb_path,
+                                       columns=["vec_id", "embedding"])
+                 .map_batches(_score, batch_format="pyarrow")).to_pandas()
+    else:
+        import pandas as pd
+
+        parts = pd.DataFrame({"qi": [], "vec_id": [], "cos": []})
 
     out_q, out_r, out_d, out_s = [], [], [], []
     for j, qid in enumerate(qids):
-        dense_p = parts[parts["qi"] == j].sort_values(
+        dense_p = parts[parts["qi"] == dense_qi.get(j, -1)].sort_values(
             ["cos", "vec_id"], ascending=[False, True]).head(HYBRID_POOL)
         score: dict[int, int] = {}
         for rank, doc in enumerate(sparse[qid], 1):

@@ -650,18 +650,54 @@ def q_windowed_distinct_users(sf_dir: str,
             "user_id": pa.array(u[first], pa.int64()),
         })
 
-    dedup = (
+    # global distinct + per-(type, window) count as ONE bucket fold
+    # keyed by (type, window) — a group never straddles buckets, so
+    # the fold's local distinct + count IS the global answer (the two
+    # chained multi-key sort aggregates paid per-GROUP Python over
+    # ~10^5 triple groups: 10.7 s; ~1 s as a fold)
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    nfb = 32
+
+    def _twb(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        w = batch.column("window_start_us").to_numpy().astype(np.uint64)
+        h = pd.util.hash_array(et) + w * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "twb", pa.array((h % np.uint64(nfb)).astype(np.int32)))
+
+    def _distinct_count(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        et = np.asarray(group.column("event_type").to_pylist(), object)
+        w = group.column("window_start_us").to_numpy().astype(np.int64)
+        u = group.column("user_id").to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(et)
+        order = np.lexsort((u, w, codes))
+        e, ww, uu = codes[order], w[order], u[order]
+        first = np.r_[True, (e[1:] != e[:-1]) | (ww[1:] != ww[:-1])
+                      | (uu[1:] != uu[:-1])] if e.size             else np.empty(0, bool)
+        e, ww = e[first], ww[first]
+        gfirst = np.r_[True, (e[1:] != e[:-1]) | (ww[1:] != ww[:-1])]             if e.size else np.empty(0, bool)
+        starts = np.nonzero(gfirst)[0]
+        counts = np.diff(np.concatenate((starts, [e.size])))
+        return pa.table({
+            "event_type": pa.array(
+                np.asarray(uniq, object)[e[starts]].tolist(), pa.string()),
+            "window_start_us": pa.array(ww[starts], pa.int64()),
+            "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return fold_by_bucket(
         events_ds(sf_dir, ["ts", "event_type", "user_id"])
         .map_batches(_part, batch_format="pyarrow")
-        .groupby(["event_type", "window_start_us", "user_id"])
-        .aggregate(Count(alias_name="_c"))
-    )
-
-    # one deduped row per (type, window, user) -> Count IS n_users
-    return (
-        dedup.groupby(["event_type", "window_start_us"])
-        .aggregate(Count(alias_name="n_users"))
-    )
+        .map_batches(_twb, batch_format="pyarrow"),
+        "twb", _distinct_count, nfb,
+        pa.table({"event_type": pa.array([], pa.string()),
+                  "window_start_us": pa.array([], pa.int64()),
+                  "n_users": pa.array([], pa.int64())}))
 
 
 def q_window_top_users(sf_dir: str, window_sec: int = 3600,
@@ -709,12 +745,11 @@ def q_window_top_users(sf_dir: str, window_sec: int = 3600,
             "n_events": pa.array(n[sel], pa.int64()),
         })
 
-    merged = (
-        events_ds(sf_dir, ["ts", "user_id"])
-        .map_batches(_part, batch_format="pyarrow")
-        .groupby(["window_start_us", "user_id"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    # (window, user) sum + per-window top-k as ONE bucket fold keyed
+    # by window (a window's rows never straddle buckets) — the
+    # (window, user) sort aggregate paid per-GROUP Python over ~10^5
+    # pair groups (8.4 s; ~1 s as a fold)
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
 
     nb = np.int64(_num_user_buckets())  # hoisted: one bucket count for
     # the whole run (recomputing per batch could split a window across
@@ -722,12 +757,33 @@ def q_window_top_users(sf_dir: str, window_sec: int = 3600,
 
     def _bucket(batch: pa.Table) -> pa.Table:
         win = batch.column("window_start_us").to_numpy().astype(np.int64)
-        return batch.append_column("bkt", pa.array(win % nb, pa.int64()))
+        return batch.append_column(
+            "bkt", pa.array(((win // w_us) % nb).astype(np.int32)))
 
-    return (
-        merged.map_batches(_bucket, batch_format="pyarrow")
-        .groupby("bkt").map_groups(_topk_bucket, batch_format="pyarrow")
-    )
+    def _sum_topk(group: pa.Table) -> pa.Table:
+        win = group.column("window_start_us").to_numpy().astype(np.int64)
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        n = group.column("n").to_numpy().astype(np.int64)
+        ku, inv = np.unique(_pack_window_user(win // w_us, uid),
+                            return_inverse=True)
+        sums = np.bincount(inv, weights=n,
+                           minlength=ku.size).astype(np.int64)
+        return _topk_bucket(pa.table({
+            "window_start_us": pa.array((ku // _UID_PACK) * w_us,
+                                        pa.int64()),
+            "user_id": pa.array(ku % _UID_PACK, pa.int64()),
+            "n": pa.array(sums, pa.int64()),
+        }))
+
+    return fold_by_bucket(
+        events_ds(sf_dir, ["ts", "user_id"])
+        .map_batches(_part, batch_format="pyarrow")
+        .map_batches(_bucket, batch_format="pyarrow"),
+        "bkt", _sum_topk, int(nb),
+        pa.table({"window_start_us": pa.array([], pa.int64()),
+                  "rank": pa.array([], pa.int64()),
+                  "user_id": pa.array([], pa.int64()),
+                  "n_events": pa.array([], pa.int64())}))
 
 
 def q_windowed_heavy_hitters(sf_dir: str, window_sec: int = 86400,

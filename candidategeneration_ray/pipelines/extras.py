@@ -41,6 +41,48 @@ def _doc_buckets(sf_dir: str, table: str = "documents") -> int:
     return _BUCKET_MEMO[key]
 
 
+def _pair_key_bucket(a_col: str, b_col: str, nb: int):
+    """map_batches fn attaching a hash bucket over the packed (a, b)
+    pair key (both ids < 2^31, checked)."""
+    def _pb(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy().astype(np.int64)
+        b = batch.column(b_col).to_numpy().astype(np.int64)
+        if a.size and (int(a.max()) >= 1 << 31 or int(b.max()) >= 1 << 31):
+            raise ValueError("packed pair key needs ids < 2^31")
+        pk = ((a << np.int64(32)) | b).astype(np.uint64)
+        h = pk * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "pfb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+    return _pb
+
+
+def _distinct_pairs_ds(ds: ray.data.Dataset, a_col: str, b_col: str,
+                       nb: int) -> ray.data.Dataset:
+    """Distributed DISTINCT over (a, b) pairs — packed-key bucket fold
+    (one np.unique per bucket) on the task exchange, replacing the
+    two-column sort aggregate whose reduce pays per-GROUP Python
+    (measured: 21 s on ~10^5 pair groups once the sized documents
+    read left few blocks; ~0.5 s as a fold)."""
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    def _fold(group: pa.Table) -> pa.Table:
+        a = group.column(a_col).to_numpy().astype(np.int64)
+        b = group.column(b_col).to_numpy().astype(np.int64)
+        u = np.unique((a << np.int64(32)) | b)
+        return pa.table({
+            a_col: pa.array(u >> np.int64(32), pa.int64()),
+            b_col: pa.array(u & np.int64(0xFFFFFFFF), pa.int64()),
+        })
+
+    empty = pa.table({a_col: pa.array([], pa.int64()),
+                      b_col: pa.array([], pa.int64())})
+    return fold_by_bucket(
+        ds.map_batches(_pair_key_bucket(a_col, b_col, nb),
+                       batch_format="pyarrow"),
+        "pfb", _fold, nb, empty)
+
+
 def _sized_emb(emb_path: str) -> ray.data.Dataset:
     """Size-aware embeddings read (relational.sized_read policy) —
     see clustering._embeddings_ds for the round-5 measurements."""
@@ -373,16 +415,40 @@ def _shingle_pair_overlaps(sf_dir: str,
             "size_b": pa.array(size_b, pa.int64()),
         })
 
-    inter = (
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    def _inter_fold(group: pa.Table) -> pa.Table:
+        """Per-pair Sum(inter) + first(size) — sizes are per-doc
+        constants, so first occurrence equals the old Max aggregate."""
+        a = group.column("doc_a").to_numpy().astype(np.int64)
+        b = group.column("doc_b").to_numpy().astype(np.int64)
+        ip = group.column("inter_partial").to_numpy().astype(np.int64)
+        sa = group.column("size_a").to_numpy().astype(np.int64)
+        sb = group.column("size_b").to_numpy().astype(np.int64)
+        pk = (a << np.int64(32)) | b
+        u, first, inv = np.unique(pk, return_index=True,
+                                  return_inverse=True)
+        return pa.table({
+            "doc_a": pa.array(u >> np.int64(32), pa.int64()),
+            "doc_b": pa.array(u & np.int64(0xFFFFFFFF), pa.int64()),
+            "inter_n": pa.array(np.bincount(inv, weights=ip,
+                                            minlength=u.size)
+                                .astype(np.int64), pa.int64()),
+            "size_a": pa.array(sa[first], pa.int64()),
+            "size_b": pa.array(sb[first], pa.int64()),
+        })
+
+    return fold_by_bucket(
         shingles.map_batches(_bucketize, batch_format="pyarrow")
         .groupby("sbucket").map_groups(_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"]).aggregate(
-            Sum("inter_partial", alias_name="inter_n"),
-            Max("size_a", alias_name="size_a"),
-            Max("size_b", alias_name="size_b"),
-        )
-    )
-    return inter
+        .map_batches(_pair_key_bucket("doc_a", "doc_b", nsb),
+                     batch_format="pyarrow"),
+        "pfb", _inter_fold, nsb,
+        pa.table({"doc_a": pa.array([], pa.int64()),
+                  "doc_b": pa.array([], pa.int64()),
+                  "inter_n": pa.array([], pa.int64()),
+                  "size_a": pa.array([], pa.int64()),
+                  "size_b": pa.array([], pa.int64())}))
 
 
 def q_minhash_signatures(sf_dir: str) -> ray.data.Dataset:
@@ -467,14 +533,12 @@ def q_minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
             "doc_b": pa.array(d[keep], pa.int64()),
         })
 
-    return (
+    # distinct (the same edge may arise from several bands) — the
+    # packed-pair bucket fold, not a driver drop_duplicates
+    return _distinct_pairs_ds(
         bands.map_batches(_bucketize, batch_format="pyarrow")
-        .groupby("sbucket").map_groups(_star, batch_format="pyarrow")
-        # distinct (the same edge may arise from several bands) — a
-        # distributed groupby, not a driver drop_duplicates
-        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
-        .select_columns(["doc_a", "doc_b"])
-    )
+        .groupby("sbucket").map_groups(_star, batch_format="pyarrow"),
+        "doc_a", "doc_b", nsb)
 
 
 def q_dup_clusters(sf_dir: str, max_rounds: int = 20) -> ray.data.Dataset:
@@ -574,9 +638,20 @@ def _small_graph_cc(*tables: pa.Table) -> pa.Table:
     label = nodes.copy()
     isrc = np.searchsorted(nodes, src)
     idst = np.searchsorted(nodes, dst)
+    # edges sorted by src ONCE; each round is a gather + ONE
+    # minimum.reduceat per segment (np.minimum.at is an unbuffered
+    # ufunc — ~1 s/round at 8M edges vs ~50 ms for the reduceat)
+    eorder = np.argsort(isrc, kind="stable")
+    isrc_s = isrc[eorder]
+    idst_s = idst[eorder]
+    seg = np.r_[0, np.nonzero(isrc_s[1:] != isrc_s[:-1])[0] + 1] \
+        if isrc_s.size else np.zeros(0, np.int64)
+    seg_nodes = isrc_s[seg] if isrc_s.size else np.zeros(0, np.int64)
     while True:
         new = label.copy()
-        np.minimum.at(new, isrc, label[idst])
+        if isrc_s.size:
+            mins = np.minimum.reduceat(label[idst_s], seg)
+            new[seg_nodes] = np.minimum(new[seg_nodes], mins)
         new = np.minimum(new, new[np.searchsorted(nodes, new)])
         if np.array_equal(new, label):
             break
@@ -592,18 +667,41 @@ def _propagation_rounds(edges, max_rounds: int,
     `edges` is the materialized symmetric (src, dst, lbl=SENT) set.
     `num_buckets` sizes the per-round message fold — callers with a
     corpus in scope pass _doc_buckets(sf_dir) (size-derived)."""
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
+
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    _LBL_EMPTY = pa.table({"node": pa.array([], pa.int64()),
+                           "lbl": pa.array([], pa.int64())})
+
+    def _node_bucket(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").to_numpy().astype(np.uint64)
+        h = n * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "nb_", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    def _min_per_node(group: pa.Table) -> pa.Table:
+        """Per-node Min as a vectorized fold — the sort aggregate pays
+        per-GROUP Python in the reduce (the round-5 cliff; x rounds
+        here)."""
+        n = group.column("node").to_numpy().astype(np.int64)
+        l = group.column("lbl").to_numpy().astype(np.int64)
+        order = np.lexsort((l, n))
+        n, l = n[order], l[order]
+        first = np.r_[True, n[1:] != n[:-1]] if n.size             else np.empty(0, bool)
+        return pa.table({"node": pa.array(n[first], pa.int64()),
+                         "lbl": pa.array(l[first], pa.int64())})
 
     def _edge_nodes(batch: pa.Table) -> pa.Table:
         s = batch.column("src")
         return pa.table({"node": s, "lbl": s})
 
-    # identity labels for nodes that touch an edge (distinct via groupby)
-    labels = (
+    # identity labels for nodes that touch an edge (distinct via fold)
+    labels = fold_by_bucket(
         edges.map_batches(_edge_nodes, batch_format="pyarrow")
-        .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
-        .materialize()
-    )
+        .map_batches(_node_bucket, batch_format="pyarrow"),
+        "nb_", _min_per_node, num_buckets, _LBL_EMPTY).materialize()
     prev_sum = labels.aggregate(Sum("lbl"))["sum(lbl)"]
 
     def _as_msg(batch: pa.Table) -> pa.Table:
@@ -637,12 +735,12 @@ def _propagation_rounds(edges, max_rounds: int,
     converged = False
     for _ in range(max_rounds):
         msgs = edges.union(labels.map_batches(_as_msg, batch_format="pyarrow"))
-        labels = (
-            msgs.map_batches(_bucketize, batch_format="pyarrow")
-            .groupby("sbucket").map_groups(_propagate, batch_format="pyarrow")
-            .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
-            .materialize()
-        )
+        propagated = fold_by_bucket(
+            msgs.map_batches(_bucketize, batch_format="pyarrow"),
+            "sbucket", _propagate, num_buckets, _LBL_EMPTY)
+        labels = fold_by_bucket(
+            propagated.map_batches(_node_bucket, batch_format="pyarrow"),
+            "nb_", _min_per_node, num_buckets, _LBL_EMPTY).materialize()
         cur_sum = labels.aggregate(Sum("lbl"))["sum(lbl)"]
         if cur_sum == prev_sum:
             converged = True
@@ -782,13 +880,11 @@ def q_simhash_neardups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
             "doc_b": pa.array(np.concatenate(out_b2) if out_b2 else [], pa.int64()),
         })
 
-    return (
+    return _distinct_pairs_ds(
         sims.map_batches(_bands, batch_format="pyarrow")
         .map_batches(_bucketize, batch_format="pyarrow")
-        .groupby("sbucket").map_groups(_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
-        .select_columns(["doc_a", "doc_b"])
-    )
+        .groupby("sbucket").map_groups(_pairs, batch_format="pyarrow"),
+        "doc_a", "doc_b", nsb)
 
 
 # --------------------------------------------------------- similarity search
@@ -1147,14 +1243,12 @@ def q_embedding_neardups_lsh(sf_dir: str, threshold_pct: int = 40,
             "vec_b": pa.array(np.concatenate(out_b) if out_b else [], pa.int64()),
         })
 
-    return (
+    return _distinct_pairs_ds(
         _sized_emb(emb_path)
         .map_batches(_bands, batch_format="pyarrow")
         .map_batches(_bucketize, batch_format="pyarrow")
-        .groupby("sbucket").map_groups(_pairs, batch_format="pyarrow")
-        .groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="_nb"))
-        .select_columns(["vec_a", "vec_b"])
-    )
+        .groupby("sbucket").map_groups(_pairs, batch_format="pyarrow"),
+        "vec_a", "vec_b", nsb)
 
 
 def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
@@ -3085,18 +3179,38 @@ def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
                         np.asarray(ntab.column("p_name").to_pylist(),
                                    dtype=object)[norder]))
 
-    def _cand(group: pa.Table) -> pa.Table:
+    _PK_EMPTY = pa.table({"pbucket": pa.array([], pa.int32()),
+                          "pkey": pa.array([], pa.int64())})
+
+    def _cand_bucket(group: pa.Table) -> pa.Table:
+        """All of this bucket's (gram, occ) groups in one fold: one
+        lexsort, then per-segment pair expansion (segment count is
+        alphabet-bounded — grams, not corpus)."""
+        gk = group.column("gramkey").to_numpy().astype(np.int64)
         keys = group.column("key").to_numpy().astype(np.int64)
         lens = group.column("len").to_numpy().astype(np.int64)
-        order = np.argsort(keys, kind="stable")
-        keys, lens = keys[order], lens[order]
-        m = keys.size
-        ia, ib = np.triu_indices(m, k=1)
-        ok = np.abs(lens[ia] - lens[ib]) <= k
-        ia, ib = ia[ok], ib[ok]
-        if int(keys.max(initial=0)) >= 1 << 31:
-            raise ValueError("packed pair key needs key < 2^31")
-        pk = (keys[ia] << np.int64(32)) | keys[ib]
+        order = np.lexsort((keys, gk))
+        gk, keys, lens = gk[order], keys[order], lens[order]
+        seg = np.concatenate(([0], np.nonzero(gk[1:] != gk[:-1])[0] + 1,
+                              [gk.size]))
+        parts = []
+        for i in range(seg.size - 1):
+            kseg = keys[seg[i]:seg[i + 1]]
+            lseg = lens[seg[i]:seg[i + 1]]
+            m = kseg.size
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            ok = np.abs(lseg[ia] - lseg[ib]) <= k
+            ia, ib = ia[ok], ib[ok]
+            if ia.size == 0:
+                continue
+            if int(kseg.max()) >= 1 << 31:
+                raise ValueError("packed pair key needs key < 2^31")
+            parts.append((kseg[ia] << np.int64(32)) | kseg[ib])
+        if not parts:
+            return _PK_EMPTY
+        pk = np.concatenate(parts)
         return pa.table({
             "pbucket": pa.array((pk % npb).astype(np.int32)),
             "pkey": pa.array(pk, pa.int64()),
@@ -3119,10 +3233,27 @@ def q_fuzzy_name_pairs(sf_dir: str, k: int = ED_K,
             "ed": pa.array(ed[keep], pa.int64()),
         })
 
-    return (ray.data.read_parquet(part_path, columns=["p_partkey", "p_name"])
-            .map_batches(_prefix_rows, batch_format="pyarrow")
-            .groupby("gramkey").map_groups(_cand, batch_format="pyarrow")
-            .groupby("pbucket").map_groups(_verify, batch_format="pyarrow"))
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    def _gramb(batch: pa.Table) -> pa.Table:
+        gk = batch.column("gramkey").to_numpy().astype(np.uint64)
+        h = gk * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "gramb",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    prefix = (ray.data.read_parquet(part_path,
+                                    columns=["p_partkey", "p_name"])
+              .map_batches(_prefix_rows, batch_format="pyarrow")
+              .map_batches(_gramb, batch_format="pyarrow"))
+    cands = fold_by_bucket(prefix, "gramb", _cand_bucket, num_buckets,
+                           _PK_EMPTY)
+    return fold_by_bucket(
+        cands, "pbucket", _verify, npb,
+        pa.table({"a_key": pa.array([], pa.int64()),
+                  "b_key": pa.array([], pa.int64()),
+                  "ed": pa.array([], pa.int64())}))
 
 
 def q_part_entities(sf_dir: str, max_rounds: int = 20) -> ray.data.Dataset:
@@ -3174,9 +3305,32 @@ def q_part_entities(sf_dir: str, max_rounds: int = 20) -> ray.data.Dataset:
         return pa.table({"p_partkey": batch.column("node"),
                          "entity": batch.column("lbl")})
 
-    return (all_parts.union(labels)
-            .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
-            .map_batches(_rename, batch_format="pyarrow"))
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    nfb = 32
+
+    def _nkb(batch: pa.Table) -> pa.Table:
+        k = batch.column("node").to_numpy().astype(np.uint64)
+        h = k * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "nkb", pa.array((h % np.uint64(nfb)).astype(np.int32)))
+
+    def _min_fold(group: pa.Table) -> pa.Table:
+        n = group.column("node").to_numpy().astype(np.int64)
+        l = group.column("lbl").to_numpy().astype(np.int64)
+        order = np.lexsort((l, n))
+        n, l = n[order], l[order]
+        first = np.r_[True, n[1:] != n[:-1]] if n.size             else np.empty(0, bool)
+        return pa.table({"p_partkey": pa.array(n[first], pa.int64()),
+                         "entity": pa.array(l[first], pa.int64())})
+
+    return fold_by_bucket(
+        all_parts.union(labels).map_batches(_nkb,
+                                            batch_format="pyarrow"),
+        "nkb", _min_fold, nfb,
+        pa.table({"p_partkey": pa.array([], pa.int64()),
+                  "entity": pa.array([], pa.int64())}))
 
 
 def q_source_similarity(sf_dir: str) -> pa.Table:

@@ -903,16 +903,36 @@ def q_large_volume_customers(sf_dir: str) -> pa.Table:
     two tiny survivor tables ever reach the driver. If the threshold
     made the survivor set large, the bucketed union-tag join
     (q_nation_order_stats) is the swap-in plan."""
-    qty = (
+    # per-order sum + HAVING inside ONE bucket fold (the orderkey
+    # sort aggregate paid per-GROUP Python over ~1.5e5 groups: 7.6 s)
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    nfb = 32
+
+    def _okb(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy().astype(np.uint64)
+        h = k * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "okb", pa.array((h % np.uint64(nfb)).astype(np.int32)))
+
+    def _sum_having(group: pa.Table) -> pa.Table:
+        k = group.column("key").to_numpy().astype(np.int64)
+        q = group.column("qty_c").to_numpy().astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        sums = np.bincount(inv, weights=q,
+                           minlength=u.size).astype(np.int64)
+        keep = sums > Q18_MIN_QTY_C
+        return pa.table({"key": pa.array(u[keep], pa.int64()),
+                         "sum_qty_c": pa.array(sums[keep], pa.int64())})
+
+    qty = fold_by_bucket(
         sized_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
         .map_batches(_orderkey_qty_partial, batch_format="pyarrow")
-        .groupby("key").aggregate(Sum("qty_c", alias_name="sum_qty_c"))
-        .map_batches(
-            lambda b: b.filter(
-                pa.compute.greater(b.column("sum_qty_c"),
-                                   pa.scalar(Q18_MIN_QTY_C, pa.int64()))),
-            batch_format="pyarrow")
-    )
+        .map_batches(_okb, batch_format="pyarrow"),
+        "okb", _sum_having, nfb,
+        pa.table({"key": pa.array([], pa.int64()),
+                  "sum_qty_c": pa.array([], pa.int64())}))
     hot = qty.to_pandas()
     okeys = hot["key"].to_numpy().astype(np.int64)
     order = np.argsort(okeys)
@@ -3771,6 +3791,11 @@ def q_important_parts(sf_dir: str, ppm: int = IMPORTANT_PART_PPM) -> pa.Table:
         return batch.filter(pa.array(rev * 1_000_000 > total * ppm))
 
     out = agg.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    if "p_partkey" not in out.columns:
+        # every block filtered empty: Ray's all-empty to_pandas loses
+        # the schema (no part clears the threshold at this scale)
+        return pa.table({"p_partkey": pa.array([], pa.int64()),
+                         "revenue_milli": pa.array([], pa.int64())})
     return pa.table({
         "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64), pa.int64()),
         "revenue_milli": pa.array(out["revenue_milli"].to_numpy(np.int64),
@@ -3827,14 +3852,50 @@ def q_part_supplier_counts(sf_dir: str) -> pa.Table:
             "s_suppkey": pa.array(usup, pa.int64()),
         })
 
-    return (
+    # distinct-triple + per-(brand,size) count as ONE packed-key
+    # bucket fold (the multi-key sort aggregates pay per-GROUP Python
+    # in the reduce — 12 s over ~10^5 triple groups at few blocks)
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    nfb = 32
+
+    def _tb(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # bucket by (brand, size) so a group never straddles buckets
+        br = np.asarray(batch.column("p_brand").to_pylist(), object)
+        sz = batch.column("p_size").to_numpy().astype(np.uint64)
+        h = pd.util.hash_array(br)             + sz * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "bsb", pa.array((h % np.uint64(nfb)).astype(np.int32)))
+
+    def _cnt_fold(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        br = np.asarray(group.column("p_brand").to_pylist(), object)
+        sz = group.column("p_size").to_numpy().astype(np.int64)
+        sp = group.column("s_suppkey").to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(br)
+        packed = (codes.astype(np.int64) * 1_000_000 + sz)             * 10_000_000 + sp
+        u = np.unique(packed)                 # distinct triples
+        gb = u // 10_000_000                  # (brand, size) of each
+        g, cnt = np.unique(gb, return_counts=True)
+        return pa.table({
+            "p_brand": pa.array(
+                np.asarray(uniq, object)[g // 1_000_000].tolist(),
+                pa.string()),
+            "p_size": pa.array(g % 1_000_000, pa.int64()),
+            "supplier_cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return fold_by_bucket(
         sized_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
         .map_batches(_triples, batch_format="pyarrow")
-        .groupby(["p_brand", "p_size", "s_suppkey"])
-        .aggregate(Count(alias_name="n_dup"))
-        .groupby(["p_brand", "p_size"])
-        .aggregate(Count(alias_name="supplier_cnt"))
-    )
+        .map_batches(_tb, batch_format="pyarrow"),
+        "bsb", _cnt_fold, nfb,
+        pa.table({"p_brand": pa.array([], pa.string()),
+                  "p_size": pa.array([], pa.int64()),
+                  "supplier_cnt": pa.array([], pa.int64())}))
 
 
 def q_dominant_suppliers(sf_dir: str,
@@ -3866,23 +3927,64 @@ def q_dominant_suppliers(sf_dir: str,
             "qty": pa.array(sums, pa.int64()),
         })
 
-    def _rule(group: pa.Table) -> pa.Table:
-        q = group.column("qty").to_numpy().astype(np.int64)
-        keep = mult * q > q.sum()
-        t = group.filter(pa.array(keep))
-        return pa.table({"l_suppkey": t.column("l_suppkey").cast(pa.int64())})
+    # pair-sum + per-part dominance rule fused into ONE bucket fold
+    # keyed by l_partkey (a part's pairs never straddle buckets), then
+    # a tiny per-supplier count fold — the three chained multi-key
+    # sort aggregates paid per-GROUP Python in every reduce (12.7 s)
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
 
-    counts = (
-        sized_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+    nfb = 32
+
+    def _pkb(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_partkey").to_numpy().astype(np.uint64)
+        h = k * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "pkb", pa.array((h % np.uint64(nfb)).astype(np.int32)))
+
+    def _rule_fold(group: pa.Table) -> pa.Table:
+        lp = group.column("l_partkey").to_numpy().astype(np.int64)
+        ls = group.column("l_suppkey").to_numpy().astype(np.int64)
+        q = group.column("qty").to_numpy().astype(np.int64)
+        packed = lp * 10_000_000 + ls
+        u, inv = np.unique(packed, return_inverse=True)
+        sums = np.zeros(u.size, np.int64)
+        np.add.at(sums, inv, q)
+        up = u // 10_000_000
+        upart, pinv = np.unique(up, return_inverse=True)
+        tot = np.bincount(pinv, weights=sums,
+                          minlength=upart.size).astype(np.int64)
+        keep = mult * sums > tot[pinv]
+        return pa.table({
+            "l_suppkey": pa.array(u[keep] % 10_000_000, pa.int64())})
+
+    def _supp_count(group: pa.Table) -> pa.Table:
+        ls = group.column("l_suppkey").to_numpy().astype(np.int64)
+        u, c = np.unique(ls, return_counts=True)
+        return pa.table({
+            "l_suppkey": pa.array(u, pa.int64()),
+            "n_parts": pa.array(c.astype(np.int64), pa.int64())})
+
+    def _skb(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_suppkey").to_numpy().astype(np.uint64)
+        h = k * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "skb", pa.array((h % np.uint64(nfb)).astype(np.int32)))
+
+    dominant = fold_by_bucket(
+        sized_read(sf_dir, "lineitem",
+                   ["l_partkey", "l_suppkey", "l_quantity"])
         .map_batches(_partial, batch_format="pyarrow")
-        .groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Sum("qty", alias_name="qty"))
-        .groupby("l_partkey")
-        .map_groups(_rule, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .aggregate(Count(alias_name="n_parts"))
-        .to_pandas()
-    )
+        .map_batches(_pkb, batch_format="pyarrow"),
+        "pkb", _rule_fold, nfb,
+        pa.table({"l_suppkey": pa.array([], pa.int64())}))
+    counts = fold_by_bucket(
+        dominant.map_batches(_skb, batch_format="pyarrow"),
+        "skb", _supp_count, nfb,
+        pa.table({"l_suppkey": pa.array([], pa.int64()),
+                  "n_parts": pa.array([], pa.int64())})).to_pandas()
+    counts = counts.sort_values("l_suppkey").reset_index(drop=True)
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                          columns=["s_suppkey", "s_name"])
     sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
@@ -4170,10 +4272,43 @@ def q_als_rank1(sf_dir: str, rounds: int = ALS_ROUNDS) -> pa.Table:
             "r": pa.array(q.astype(np.int64), pa.int64()),
         })
 
-    ratings = (sized_read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"])
-               .map_batches(_r, batch_format="pyarrow")
-               .groupby(["s", "p"]).aggregate(_Sum("r", alias_name="r"))
-               .materialize())
+    # (s, p) ratings sum as a packed-key bucket fold (the two-column
+    # sort aggregate paid per-GROUP Python over ~1.5e5 pair groups)
+    from candidategeneration_ray.functions.exchange import fold_by_bucket
+
+    nfb = 32
+
+    def _spb(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s").to_numpy().astype(np.uint64)
+        pk_ = batch.column("p").to_numpy().astype(np.uint64)
+        h = (sk * np.uint64(10_000_019) + pk_)             * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return batch.append_column(
+            "spb", pa.array((h % np.uint64(nfb)).astype(np.int32)))
+
+    def _rating_fold(group: pa.Table) -> pa.Table:
+        sk = group.column("s").to_numpy().astype(np.int64)
+        pk_ = group.column("p").to_numpy().astype(np.int64)
+        r = group.column("r").to_numpy().astype(np.int64)
+        packed = sk * 10_000_000 + pk_
+        u, inv = np.unique(packed, return_inverse=True)
+        return pa.table({
+            "s": pa.array(u // 10_000_000, pa.int64()),
+            "p": pa.array(u % 10_000_000, pa.int64()),
+            "r": pa.array(np.bincount(inv, weights=r,
+                                      minlength=u.size).astype(np.int64),
+                          pa.int64()),
+        })
+
+    ratings = fold_by_bucket(
+        sized_read(sf_dir, "lineitem",
+                   ["l_suppkey", "l_partkey", "l_quantity"])
+        .map_batches(_r, batch_format="pyarrow")
+        .map_batches(_spb, batch_format="pyarrow"),
+        "spb", _rating_fold, nfb,
+        pa.table({"s": pa.array([], pa.int64()),
+                  "p": pa.array([], pa.int64()),
+                  "r": pa.array([], pa.int64())})).materialize()
 
     def _solve(key_col: str, other_col: str, fac_keys: np.ndarray,
                fac_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -4198,11 +4333,35 @@ def q_als_rank1(sf_dir: str, rounds: int = ALS_ROUNDS) -> pa.Table:
                 "den": pa.array(den, pa.int64()),
             })
 
-        rows = (ratings.map_batches(_partial, batch_format="pyarrow")
-                .groupby("k")
-                .aggregate(_Sum("num", alias_name="num"),
-                           _Sum("den", alias_name="den"))
-                .take_all())  # entity-bounded
+        def _kb(batch: pa.Table) -> pa.Table:
+            kk = batch.column("k").to_numpy().astype(np.uint64)
+            h = kk * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+            return batch.append_column(
+                "kb", pa.array((h % np.uint64(nfb)).astype(np.int32)))
+
+        def _nd_fold(group: pa.Table) -> pa.Table:
+            kk = group.column("k").to_numpy().astype(np.int64)
+            nm = group.column("num").to_numpy().astype(np.int64)
+            dn = group.column("den").to_numpy().astype(np.int64)
+            u, inv = np.unique(kk, return_inverse=True)
+            return pa.table({
+                "k": pa.array(u, pa.int64()),
+                "num": pa.array(np.bincount(inv, weights=nm,
+                                            minlength=u.size)
+                                .astype(np.int64), pa.int64()),
+                "den": pa.array(np.bincount(inv, weights=dn,
+                                            minlength=u.size)
+                                .astype(np.int64), pa.int64()),
+            })
+
+        rows = fold_by_bucket(
+            ratings.map_batches(_partial, batch_format="pyarrow")
+            .map_batches(_kb, batch_format="pyarrow"),
+            "kb", _nd_fold, nfb,
+            pa.table({"k": pa.array([], pa.int64()),
+                      "num": pa.array([], pa.int64()),
+                      "den": pa.array([], pa.int64())})).take_all()
         keys = np.asarray([int(r_["k"]) for r_ in rows], np.int64)
         num = np.asarray([int(r_["num"]) for r_ in rows], np.int64)
         den = np.asarray([int(r_["den"]) for r_ in rows], np.int64)
@@ -4212,9 +4371,11 @@ def q_als_rank1(sf_dir: str, rounds: int = ALS_ROUNDS) -> pa.Table:
         return keys, vals.astype(np.int64)
 
     # v0 = SCALE for every part present in the ratings
-    p_rows = ratings.groupby("p").aggregate(
-        _Sum("r", alias_name="_")).take_all()
-    v_keys = np.sort(np.asarray([int(r_["p"]) for r_ in p_rows], np.int64))
+    p_rows = [r_ for b in ray.get(ratings.to_arrow_refs())
+              for r_ in [b]]   # entity-bounded distinct below
+    v_keys = np.unique(np.concatenate(
+        [t.column("p").to_numpy().astype(np.int64) for t in p_rows]
+        or [np.zeros(0, np.int64)]))
     v_vals = np.full(v_keys.size, ALS_SCALE, np.int64)
     u_keys = u_vals = None
     for _ in range(rounds):
